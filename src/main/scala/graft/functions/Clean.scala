@@ -1,0 +1,79 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level cleaning functions re-expressing the reference's value
+  * pipeline (reference: /root/reference/main.py) as composed Catalyst
+  * built-ins — every function here stays inside whole-stage codegen
+  * (no UDFs), so they vectorize on the parquet scan and survive
+  * predicate pushdown at 100 TB scale.
+  *
+  * Reference semantics covered:
+  *  - O6  markdown fence strip        (main.py:141-143, 451-453, 709-711)
+  *  - O11 messy numeric cast          (main.py:229-239)
+  *  - O12 fuzzy date cast (subset)    (main.py:241-247)
+  *  - O13 null normalization          (main.py:224-225)
+  *  - O14 identifier sanitization     (main.py:262-263, 281, 617, 632)
+  */
+object Clean {
+
+  /** Sentinel values the reference folds to SQL NULL (main.py:224-225). */
+  val NullSentinels: Seq[String] = Seq("", "N/A", "---")
+
+  /** O13: `None/""/"N/A"/"---"` → NULL. */
+  def nullNormalize(c: Column): Column =
+    when(c.isNull || c.isin(NullSentinels: _*), lit(null)).otherwise(c)
+
+  /** O14 (identifier rule): `re.sub(r'[^a-zA-Z0-9_]','_',s).lower()`
+    * (main.py:262-263, 281, 306). */
+  def sanitizeIdent(c: Column): Column =
+    lower(regexp_replace(c, "[^a-zA-Z0-9_]", "_"))
+
+  /** O14 (filename rule, main.py:632): keep `[a-zA-Z0-9_.-]`. */
+  def sanitizeFilename(c: Column): Column =
+    regexp_replace(c, "[^a-zA-Z0-9_.-]", "_")
+
+  /** O14 (email rule, main.py:617): `[@.]` → `_`. */
+  def sanitizeEmail(c: Column): Column =
+    regexp_replace(c, "[@.]", "_")
+
+  /** O6: strip leading/trailing ``` / ```json fences from LLM output
+    * (main.py:141-143). */
+  def stripJsonFences(c: Column): Column =
+    trim(regexp_replace(c, "^\\s*```(json)?\\s*|\\s*```\\s*$", ""))
+
+  /** Characters the reference strips before numeric parse (main.py:231). */
+  private val MessyChars = "[$€£¥,\\s%]"
+
+  /** Numeric shape accepted post-strip (python float() subset that the
+    * declared queries exercise). */
+  private val NumericRe = "^[+-]?(\\d+(\\.\\d*)?|\\.\\d+)([eE][+-]?\\d+)?$"
+
+  /** O11: messy numeric cast (main.py:229-239).
+    * Strip `[$€£¥,\s%]`; `(x)` → `-x`; cast; unparseable → NULL.
+    * Composed built-ins → codegen'd; the numeric-shape guard keeps the
+    * cast safe under ANSI mode (Spark 4 default). */
+  def parseMessyNumber(c: Column): Column = {
+    val s = nullNormalize(trim(c))
+    val cleaned = regexp_replace(s, MessyChars, "")
+    val deparen = when(
+      cleaned.startsWith("(") && cleaned.endsWith(")"),
+      concat(lit("-"), regexp_replace(cleaned, "^\\(|\\)$", ""))
+    ).otherwise(cleaned)
+    when(deparen.rlike(NumericRe), deparen.cast("double"))
+  }
+
+  /** Declared supported formats for O12 (SURVEY.md §7.4: full
+    * dateutil-fuzzy parity is ill-specified; this is the documented
+    * subset). */
+  val DateFormats: Seq[String] =
+    Seq("yyyy-MM-dd", "yyyy/M/d", "MM/dd/yyyy", "MMMM dd, yyyy", "MMM dd yyyy")
+
+  /** O12: fuzzy date cast over the declared format subset
+    * (main.py:241-247) — first format that parses wins; NULL otherwise. */
+  def parseFuzzyDate(c: Column): Column = {
+    val s = nullNormalize(trim(c))
+    coalesce(DateFormats.map(f => try_to_timestamp(s, lit(f))): _*).cast("date")
+  }
+}

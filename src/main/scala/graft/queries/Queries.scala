@@ -1,0 +1,660 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.{Clean, Inference}
+
+/** The declared query inventory (SURVEY.md §2.4) — the t2 correctness
+  * contract. Each query is a Spark DataFrame program plus (where
+  * SQL-expressible) a DuckDB oracle over the same parquet tables.
+  *
+  * Determinism discipline (SURVEY.md §7.1): every query ends in an
+  * explicit ORDER BY over a unique key; double aggregates are rounded;
+  * UTC session timezone assumed.
+  *
+  * Scale notes are attached per query — each is written so the same
+  * plan survives 100 TB (filters/projections pushed to the scan,
+  * bounded dims broadcast, no driver-side loops, top-k via
+  * TakeOrderedAndProject instead of global sort).
+  */
+object Queries {
+
+  final case class Q(
+      name: String,
+      fn: (SparkSession, String) => DataFrame,
+      oracle: Option[String])
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") {
+      // The generated events table stores ts as parquet TIMESTAMP(NANOS),
+      // which Spark's reader rejects. Read the raw INT64 nanos
+      // (legacy.parquet.nanosAsLong) and truncate to microseconds —
+      // identical to DuckDB's CAST(timestamp_ns AS TIMESTAMP), so the
+      // oracles cast too and both engines see the same instants.
+      // Integer `div` (not double /) — ns epochs exceed double's 53-bit
+      // exact-integer range.
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      s.read.parquet(s"$dir/events.parquet")
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    } else s.read.parquet(s"$dir/$name.parquet")
+
+  // ---------------------------------------------------------------------
+  // Reference-surface queries
+  // ---------------------------------------------------------------------
+
+  /** O18 (main.py:809): the reference's entire analytics surface —
+    * newest-first top-100. Spark plans this as TakeOrderedAndProject
+    * (bounded heap per partition + driver merge), NOT a global sort:
+    * at 100 TB this moves only 100 rows per partition. */
+  private val qResultsTopk = Q(
+    "q_results_topk",
+    (s, d) => t(s, d, "events")
+      .orderBy(col("ts").desc, col("event_id").asc)
+      .limit(100),
+    Some("""SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+      event_type, value, props
+    FROM events ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id ASC LIMIT 100"""))
+
+  /** O2/O3 (main.py:660-672): admission filter + path parse. The messy
+    * path column is synthesized deterministically from `documents` so
+    * both engines see identical inputs. String predicates are
+    * codegen'd and evaluated scan-side. */
+  private val qIngestFilter = Q(
+    "q_ingest_filter",
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      val path = concat(
+        when(col("doc_id") % 11 === 0, lit("processed/")).otherwise(lit("")),
+        lit("incoming/"), col("source"),
+        lit("/f"), (col("doc_id") % 10).cast("string"),
+        lit("/batch/doc_"), col("doc_id").cast("string"),
+        when(col("doc_id") % 7 === 0, lit(".txt")).otherwise(lit(".pdf")))
+      docs.withColumn("path", path)
+        .filter(!col("path").contains("processed/")
+          && lower(col("path")).endsWith(".pdf"))
+        .withColumn("parts", split(col("path"), "/"))
+        .filter(size(col("parts")) === 5
+          && element_at(col("parts"), 1) === "incoming"
+          && element_at(col("parts"), 4) === "batch")
+        .select(col("doc_id"),
+          element_at(col("parts"), 2).as("uid"),
+          element_at(col("parts"), 3).as("folder"),
+          col("path"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH p AS (
+      SELECT doc_id,
+        (CASE WHEN doc_id % 11 = 0 THEN 'processed/' ELSE '' END)
+        || 'incoming/' || source || '/f' || (doc_id % 10)
+        || '/batch/doc_' || doc_id
+        || (CASE WHEN doc_id % 7 = 0 THEN '.txt' ELSE '.pdf' END) AS path
+      FROM documents)
+    SELECT doc_id,
+      string_split(path, '/')[2] AS uid,
+      string_split(path, '/')[3] AS folder,
+      path
+    FROM p
+    WHERE path NOT LIKE '%processed/%'
+      AND lower(path) LIKE '%.pdf'
+      AND len(string_split(path, '/')) = 5
+      AND string_split(path, '/')[1] = 'incoming'
+      AND string_split(path, '/')[4] = 'batch'
+    ORDER BY doc_id"""))
+
+  /** O14 (main.py:262-263): identifier sanitization over part.p_type. */
+  private val qSanitizeIdent = Q(
+    "q_sanitize_ident",
+    (s, d) => t(s, d, "part")
+      .select(col("p_partkey"), Clean.sanitizeIdent(col("p_type")).as("ident"))
+      .orderBy("p_partkey"),
+    Some("""SELECT p_partkey,
+      lower(regexp_replace(p_type, '[^a-zA-Z0-9_]', '_', 'g')) AS ident
+    FROM part ORDER BY p_partkey"""))
+
+  /** O11 (main.py:229-239): messy numeric cast over strings synthesized
+    * from events.props. */
+  private val qParseNumber = Q(
+    "q_parse_number",
+    (s, d) => {
+      val k = get_json_object(col("props"), "$.k")
+      val messy = when(col("event_id") % 7 === 0, concat(lit("$"), k, lit(",000.25")))
+        .when(col("event_id") % 7 === 1, concat(lit("("), k, lit(")")))
+        .when(col("event_id") % 7 === 2, concat(k, lit("%")))
+        .when(col("event_id") % 7 === 3, concat(lit("€ "), k))
+        .when(col("event_id") % 7 === 4, lit("N/A"))
+        .when(col("event_id") % 7 === 5, concat(lit("x"), k))
+        .otherwise(concat(lit(" "), k, lit(" ")))
+      t(s, d, "events")
+        .select(col("event_id"), messy.as("messy"))
+        .withColumn("parsed", Clean.parseMessyNumber(col("messy")))
+        .orderBy("event_id")
+    },
+    Some("""WITH m AS (
+      SELECT event_id,
+        CASE CAST(event_id % 7 AS INT)
+          WHEN 0 THEN '$' || json_extract_string(props, '$.k') || ',000.25'
+          WHEN 1 THEN '(' || json_extract_string(props, '$.k') || ')'
+          WHEN 2 THEN json_extract_string(props, '$.k') || '%'
+          WHEN 3 THEN '€ ' || json_extract_string(props, '$.k')
+          WHEN 4 THEN 'N/A'
+          WHEN 5 THEN 'x' || json_extract_string(props, '$.k')
+          ELSE ' ' || json_extract_string(props, '$.k') || ' ' END AS messy
+      FROM events),
+    c AS (
+      SELECT event_id, messy,
+        regexp_replace(
+          CASE WHEN trim(messy) IN ('', 'N/A', '---') THEN NULL
+               ELSE trim(messy) END,
+          '[$€£¥,\s%]', '', 'g') AS cleaned
+      FROM m)
+    SELECT event_id, messy,
+      CASE WHEN cleaned LIKE '(%' AND cleaned LIKE '%)'
+           THEN -TRY_CAST(substr(cleaned, 2, len(cleaned) - 2) AS DOUBLE)
+           ELSE TRY_CAST(cleaned AS DOUBLE) END AS parsed
+    FROM c ORDER BY event_id"""))
+
+  /** O12 (main.py:241-247): declared-subset fuzzy date parse over
+    * strings synthesized from orders.o_orderdate. */
+  private val qParseDate = Q(
+    "q_parse_date",
+    (s, d) => {
+      val raw = when(col("o_orderkey") % 4 === 0, date_format(col("o_orderdate"), "yyyy-MM-dd"))
+        .when(col("o_orderkey") % 4 === 1, date_format(col("o_orderdate"), "MM/dd/yyyy"))
+        .when(col("o_orderkey") % 4 === 2, date_format(col("o_orderdate"), "MMMM dd, yyyy"))
+        .otherwise(lit("not a date"))
+      t(s, d, "orders")
+        .select(col("o_orderkey"), raw.as("raw"))
+        .withColumn("parsed", Clean.parseFuzzyDate(col("raw")))
+        .orderBy("o_orderkey")
+    },
+    Some("""WITH m AS (
+      SELECT o_orderkey,
+        CASE CAST(o_orderkey % 4 AS INT)
+          WHEN 0 THEN strftime(o_orderdate, '%Y-%m-%d')
+          WHEN 1 THEN strftime(o_orderdate, '%m/%d/%Y')
+          WHEN 2 THEN strftime(o_orderdate, '%B %d, %Y')
+          ELSE 'not a date' END AS raw
+      FROM orders)
+    SELECT o_orderkey, raw,
+      CAST(COALESCE(
+        TRY_STRPTIME(raw, '%Y-%m-%d'),
+        TRY_STRPTIME(raw, '%m/%d/%Y'),
+        TRY_STRPTIME(raw, '%B %d, %Y')) AS DATE) AS parsed
+    FROM m ORDER BY o_orderkey"""))
+
+  /** O13 (main.py:224-225): sentinel → NULL normalization, counted. */
+  private val qNullNormalize = Q(
+    "q_null_normalize",
+    (s, d) => {
+      val raw = when(col("doc_id") % 4 === 0, lit("N/A"))
+        .when(col("doc_id") % 4 === 1, lit("---"))
+        .when(col("doc_id") % 4 === 2, lit(""))
+        .otherwise(col("lang"))
+      t(s, d, "documents")
+        .select(Clean.nullNormalize(raw).as("norm_val"))
+        .groupBy("norm_val").count().withColumnRenamed("count", "cnt")
+        .orderBy(col("norm_val").asc_nulls_first)
+    },
+    Some("""SELECT
+      NULLIF(NULLIF(NULLIF(
+        CASE CAST(doc_id % 4 AS INT)
+          WHEN 0 THEN 'N/A' WHEN 1 THEN '---' WHEN 2 THEN '' ELSE lang END,
+        'N/A'), '---'), '') AS norm_val,
+      count(*) AS cnt
+    FROM documents GROUP BY 1 ORDER BY norm_val ASC NULLS FIRST"""))
+
+  /** O9 (main.py:165-202): regex type-inference histogram over samples
+    * synthesized from part. */
+  private val qInferType = Q(
+    "q_infer_type",
+    (s, d) => {
+      val dateStr = concat(lit("2024-"),
+        lpad(((col("p_partkey") % 12) + 1).cast("string"), 2, "0"),
+        lit("-"),
+        lpad(((col("p_partkey") % 28) + 1).cast("string"), 2, "0"))
+      val sample = when(col("p_partkey") % 6 === 0, concat(lit("$"), col("p_size").cast("string"), lit(",500")))
+        .when(col("p_partkey") % 6 === 1, concat(lit("INV-"), col("p_size").cast("string")))
+        .when(col("p_partkey") % 6 === 2, col("p_name"))
+        .when(col("p_partkey") % 6 === 3, dateStr)
+        .when(col("p_partkey") % 6 === 4, lit("N/A"))
+        .otherwise(concat(col("p_name"), lit(" with a long free text tail over thirty chars")))
+      t(s, d, "part")
+        .select(Inference.inferTypeCol(sample).as("inferred"))
+        .groupBy("inferred").count().withColumnRenamed("count", "cnt")
+        .orderBy("inferred")
+    },
+    Some("""WITH m AS (
+      SELECT CASE CAST(p_partkey % 6 AS INT)
+        WHEN 0 THEN '$' || p_size || ',500'
+        WHEN 1 THEN 'INV-' || p_size
+        WHEN 2 THEN p_name
+        WHEN 3 THEN '2024-' || lpad(CAST((p_partkey % 12) + 1 AS VARCHAR), 2, '0')
+                     || '-' || lpad(CAST((p_partkey % 28) + 1 AS VARCHAR), 2, '0')
+        WHEN 4 THEN 'N/A'
+        ELSE p_name || ' with a long free text tail over thirty chars' END AS s
+      FROM part),
+    c AS (
+      SELECT trim(s) AS s, regexp_replace(trim(s), '[$€£¥,\s%]', '', 'g') AS cleaned
+      FROM m),
+    i AS (
+      SELECT CASE
+        WHEN s IS NULL OR s IN ('', 'N/A', '---') THEN 'string'
+        WHEN regexp_matches(cleaned, '^-?\d+(\.\d+)?$') THEN 'number'
+        WHEN regexp_matches(s, '[A-Za-z]') AND regexp_matches(s, '[0-9]') THEN
+          CASE WHEN regexp_matches(s, '^[A-Za-z]+ \d{1,2},? \d{4}$') THEN 'date'
+               WHEN len(s) <= 30 THEN 'categorical'
+               ELSE 'string' END
+        WHEN regexp_matches(s, '^(\d{4}[-/]\d{1,2}[-/]\d{1,2}|\d{1,2}[-/]\d{1,2}[-/]\d{2,4})$') THEN 'date'
+        WHEN len(s) <= 30 AND regexp_matches(s, '^[A-Za-z][A-Za-z .-]*$') THEN 'categorical'
+        ELSE 'string' END AS inferred
+      FROM c)
+    SELECT inferred, count(*) AS cnt FROM i GROUP BY 1 ORDER BY inferred"""))
+
+  /** O7 (main.py:145): JSON field extraction + filter. get_json_object
+    * is codegen'd; at scale the filter on the extracted value is
+    * evaluated scan-side after parquet row-group pruning. */
+  private val qJsonExtract = Q(
+    "q_json_extract",
+    (s, d) => t(s, d, "events")
+      .select(col("event_id"), col("event_type"),
+        get_json_object(col("props"), "$.k").cast("int").as("k_val"))
+      .filter(col("k_val") >= 50)
+      .orderBy("event_id"),
+    Some("""SELECT event_id, event_type,
+      CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) >= 50
+    ORDER BY event_id"""))
+
+  /** O16 (main.py:273-291): schema evolution — union of two projections
+    * with disjoint columns, missing columns NULL-extended
+    * (unionByName(allowMissingColumns=true), the engine's evolving-
+    * append primitive). */
+  private val qSchemaEvolution = Q(
+    "q_schema_evolution",
+    (s, d) => {
+      val o = t(s, d, "orders")
+      val a = o.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_totalprice"))
+      val b = o.filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      a.unionByName(b, allowMissingColumns = true).orderBy("o_orderkey")
+    },
+    Some("""SELECT * FROM (
+      SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 2 = 0
+      UNION ALL BY NAME
+      SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderkey % 2 = 1)
+    ORDER BY o_orderkey"""))
+
+  // ---------------------------------------------------------------------
+  // Core relational (delegated-to-BigQuery in the reference; SURVEY §2.2)
+  // ---------------------------------------------------------------------
+
+  /** σ/π, TPC-H Q6 shape. Both predicates and the 2-column projection
+    * push to the parquet scan (PushedFilters + ReadSchema) — at 100 TB
+    * this reads 2 columns of the row groups that survive min/max
+    * pruning, nothing else. */
+  private val qProjFilter = Q(
+    "q_proj_filter",
+    (s, d) => t(s, d, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+        && col("l_shipdate") < lit("1997-01-01").cast("timestamp")
+        && col("l_discount") >= 0.05 && col("l_discount") <= 0.07
+        && col("l_quantity") < 24)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+        count(lit(1)).as("n")),
+    Some("""SELECT
+      round(sum(l_extendedprice * l_discount), 2) AS revenue,
+      count(*) AS n
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount >= 0.05 AND l_discount <= 0.07
+      AND l_quantity < 24"""))
+
+  /** Hash aggregation, TPC-H Q1 shape. Partial (map-side) agg + final
+    * agg over 6 groups — shuffle is 6 rows × partitions regardless of
+    * input size. */
+  private val qAggGroup = Q(
+    "q_agg_group",
+    (s, d) => t(s, d, "lineitem")
+      .filter(col("l_shipdate") <= lit("2000-12-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+        round(avg("l_quantity"), 4).as("avg_qty"),
+        round(avg("l_extendedprice"), 4).as("avg_price"),
+        round(avg("l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus"),
+    Some("""SELECT l_returnflag, l_linestatus,
+      round(sum(l_quantity), 2) AS sum_qty,
+      round(sum(l_extendedprice), 2) AS sum_base_price,
+      round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+      round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+      round(avg(l_quantity), 4) AS avg_qty,
+      round(avg(l_extendedprice), 4) AS avg_price,
+      round(avg(l_discount), 4) AS avg_disc,
+      count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus"""))
+
+  /** Exact distinct aggregation. Spark expands count(DISTINCT) into a
+    * two-phase agg (distinct-expand then count) — scales via shuffle on
+    * (priority, custkey). */
+  private val qDistinct = Q(
+    "q_distinct",
+    (s, d) => t(s, d, "orders")
+      .groupBy("o_orderpriority")
+      .agg(countDistinct(col("o_custkey")).as("n_cust"))
+      .orderBy("o_orderpriority"),
+    Some("""SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_cust
+    FROM orders GROUP BY 1 ORDER BY o_orderpriority"""))
+
+  /** Approximate distinct (HyperLogLog++). Sketch mergeable across
+    * partitions → single narrow shuffle of sketches; the 100 TB path
+    * where exact distinct would blow up. No oracle (sketch-dependent). */
+  private val qApproxDistinct = Q(
+    "q_approx_distinct",
+    (s, d) => t(s, d, "orders")
+      .groupBy("o_orderpriority")
+      .agg(approx_count_distinct(col("o_custkey"), 0.02).as("approx_cust"))
+      .orderBy("o_orderpriority"),
+    None)
+
+  /** ROLLUP grouping sets over customer ⋈ nation (nation broadcast). */
+  private val qRollup = Q(
+    "q_rollup",
+    (s, d) => t(s, d, "customer")
+      .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .rollup(col("n_name"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("cnt"), round(sum("c_acctbal"), 2).as("acct"))
+      .orderBy(col("n_name").asc_nulls_first, col("c_mktsegment").asc_nulls_first),
+    Some("""SELECT n_name, c_mktsegment, count(*) AS cnt,
+      round(sum(c_acctbal), 2) AS acct
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY ROLLUP(n_name, c_mktsegment)
+    ORDER BY n_name ASC NULLS FIRST, c_mktsegment ASC NULLS FIRST"""))
+
+  /** Shuffled equi inner join orders ⋈ customer (fact-to-dim where the
+    * dim is too big to broadcast at full scale → sort-merge/shuffled
+    * hash on o_custkey; AQE picks at runtime). */
+  private val qJoinHash = Q(
+    "q_join_hash",
+    (s, d) => t(s, d, "orders")
+      .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("rev"))
+      .orderBy("c_mktsegment"),
+    Some("""SELECT c_mktsegment, count(*) AS n,
+      round(sum(o_totalprice), 2) AS rev
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY 1 ORDER BY c_mktsegment"""))
+
+  /** Broadcast join: fact lineitem against two bounded dims — supplier
+    * and nation stay O(suppliers) and O(25) at any scale factor, so
+    * both are broadcast; zero shuffle on the fact side. */
+  private val qJoinBroadcast = Q(
+    "q_join_broadcast",
+    (s, d) => t(s, d, "lineitem")
+      .join(broadcast(t(s, d, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t(s, d, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n"), round(sum("l_extendedprice"), 2).as("rev"))
+      .orderBy("n_name"),
+    Some("""SELECT n_name, count(*) AS n,
+      round(sum(l_extendedprice), 2) AS rev
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY 1 ORDER BY n_name"""))
+
+  /** Left outer join with null-extension counted: count(o_orderkey)
+    * skips NULLs so order-less customers report 0. */
+  private val qJoinOuter = Q(
+    "q_join_outer",
+    (s, d) => t(s, d, "customer")
+      .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("n_orders"),
+        round(coalesce(sum("o_totalprice"), lit(0.0)), 2).as("spent"))
+      .orderBy("c_custkey"),
+    Some("""SELECT c_custkey, count(o_orderkey) AS n_orders,
+      round(coalesce(sum(o_totalprice), 0), 2) AS spent
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY 1 ORDER BY c_custkey"""))
+
+  /** Left semi join (EXISTS) — the distributed form of the reference's
+    * permission probes O20-O22 (main.py:543-545, 798-802). */
+  private val qJoinSemi = Q(
+    "q_join_semi",
+    (s, d) => t(s, d, "customer")
+      .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey"),
+    Some("""SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    ORDER BY c_custkey"""))
+
+  /** Left anti join (NOT EXISTS). */
+  private val qJoinAnti = Q(
+    "q_join_anti",
+    (s, d) => t(s, d, "customer")
+      .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey"),
+    Some("""SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    ORDER BY c_custkey"""))
+
+  /** Ranking window: top-3 orders per customer. Single shuffle on
+    * o_custkey; rank filter evaluated streaming per partition. */
+  private val qWindowRank = Q(
+    "q_window_rank",
+    (s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, d, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+        .orderBy("o_custkey", "rn")
+    },
+    Some("""SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+        row_number() OVER (PARTITION BY o_custkey
+          ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      FROM orders)
+    WHERE rn <= 3 ORDER BY o_custkey, rn"""))
+
+  /** Frame window: running per-user sum in event-time order. Rounded —
+    * both engines fold left-to-right in identical order. */
+  private val qWindowRunning = Q(
+    "q_window_running",
+    (s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "events")
+        .select(col("user_id"), col("event_id"),
+          round(sum("value").over(w), 4).as("running"))
+        .orderBy("user_id", "event_id")
+    },
+    Some("""WITH e AS (
+      SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, value FROM events)
+    SELECT user_id, event_id,
+      round(sum(value) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running
+    FROM e ORDER BY user_id, event_id"""))
+
+  /** Global top-k: TakeOrderedAndProject, not a full sort. */
+  private val qTopkGlobal = Q(
+    "q_topk_global",
+    (s, d) => t(s, d, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(10),
+    Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10"""))
+
+  /** Set operations (distinct semantics in both engines). */
+  private val qSetOps = Q(
+    "q_set_ops",
+    (s, d) => {
+      val a = t(s, d, "customer").filter(col("c_mktsegment") === "AUTOMOBILE")
+        .select(col("c_custkey").as("custkey"))
+      val b = t(s, d, "orders").filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey").as("custkey")).distinct()
+      a.intersect(b).withColumn("op", lit("both"))
+        .unionByName(a.except(b).withColumn("op", lit("only_a")))
+        .unionByName(b.except(a).withColumn("op", lit("only_b")))
+        .select("op", "custkey")
+        .orderBy("op", "custkey")
+    },
+    Some("""WITH a AS (
+      SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'),
+    b AS (
+      SELECT DISTINCT o_custkey AS custkey FROM orders
+      WHERE o_orderpriority = '1-URGENT')
+    SELECT 'both' AS op, custkey
+      FROM (SELECT custkey FROM a INTERSECT SELECT custkey FROM b)
+    UNION ALL
+    SELECT 'only_a' AS op, custkey
+      FROM (SELECT custkey FROM a EXCEPT SELECT custkey FROM b)
+    UNION ALL
+    SELECT 'only_b' AS op, custkey
+      FROM (SELECT custkey FROM b EXCEPT SELECT custkey FROM a)
+    ORDER BY op, custkey"""))
+
+  /** Tumbling time-bucket aggregation (batch analog of a streaming
+    * window-agg; the streaming twin lives in graft.streaming). */
+  private val qTumblingWindow = Q(
+    "q_tumbling_window",
+    (s, d) => t(s, d, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("bucket"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("v"))
+      .orderBy("bucket"),
+    Some("""SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket,
+      count(*) AS n, round(sum(value), 4) AS v
+    FROM events GROUP BY 1 ORDER BY bucket"""))
+
+  /** Gap sessionization (stateful-streaming analog): a session break is
+    * a >30 min silence; integer microsecond arithmetic keeps both
+    * engines bit-identical. */
+  private val qSessionize = Q(
+    "q_sessionize",
+    (s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+      val gapUs = unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w))
+      t(s, d, "events")
+        .withColumn("new_s", when(gapUs > 1800000000L, 1).otherwise(0))
+        .groupBy("user_id")
+        .agg((lit(1) + sum("new_s")).cast("long").as("n_sessions"))
+        .orderBy("user_id")
+    },
+    Some("""WITH e AS (
+      SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id FROM events),
+    g AS (
+      SELECT user_id,
+        CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+             THEN 1 ELSE 0 END AS new_s
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC))
+    SELECT user_id, CAST(1 + sum(new_s) AS BIGINT) AS n_sessions
+    FROM g GROUP BY 1 ORDER BY user_id"""))
+
+  // ---------------------------------------------------------------------
+  // North-star extension queries (LLM-data-pipeline operators)
+  // ---------------------------------------------------------------------
+
+  /** Exact dedup by content hash: one hash-shuffle on sha256(text);
+    * at 100 TB the map-side partial agg collapses duplicates before the
+    * shuffle. */
+  private val qDedupExact = Q(
+    "q_dedup_exact",
+    (s, d) => t(s, d, "documents")
+      .groupBy(sha2(col("text"), 256).as("h"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("dup_cnt"))
+      .orderBy("keep_id"),
+    Some("""SELECT sha256(text) AS h, min(doc_id) AS keep_id,
+      count(*) AS dup_cnt
+    FROM documents GROUP BY 1 ORDER BY keep_id"""))
+
+  /** Text statistics per language (token = single-space split, matching
+    * the generated corpus shape). */
+  private val qTextStats = Q(
+    "q_text_stats",
+    (s, d) => t(s, d, "documents")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg("n_chars"), 4).as("avg_chars"),
+        round(avg(size(split(col("text"), " "))), 4).as("avg_tokens"))
+      .orderBy("lang"),
+    Some("""SELECT lang, count(*) AS n_docs,
+      round(avg(n_chars), 4) AS avg_chars,
+      round(avg(len(string_split(text, ' '))), 4) AS avg_tokens
+    FROM documents GROUP BY 1 ORDER BY lang"""))
+
+  /** Multimodal equi-join documents ⋈ embeddings (1:1 on doc_id) —
+    * co-partitionable on the key at scale (bucketing note in
+    * graft.operators.Multimodal). */
+  private val qMultimodalJoin = Q(
+    "q_multimodal_join",
+    (s, d) => t(s, d, "documents")
+      .join(t(s, d, "embeddings"), col("doc_id") === col("vec_id"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_docs"), round(avg("n_chars"), 4).as("avg_chars"))
+      .orderBy("label"),
+    Some("""SELECT label, count(*) AS n_docs,
+      round(avg(n_chars), 4) AS avg_chars
+    FROM documents JOIN embeddings ON doc_id = vec_id
+    GROUP BY 1 ORDER BY label"""))
+
+  /** Brute-force cosine top-k against a constant query vector (here:
+    * all-ones/√64). Higher-order `aggregate` folds left-to-right in
+    * doubles — bit-identical to the oracle's list_sum over
+    * double-cast elements; ordering is on the ROUNDED score so ulp
+    * noise cannot reorder. Top-20 via TakeOrderedAndProject. */
+  private val qSimilarityTopk = Q(
+    "q_similarity_topk",
+    (s, d) => {
+      val dot = aggregate(col("embedding"), lit(0.0),
+        (acc, x) => acc + x.cast("double"))
+      val sq = aggregate(col("embedding"), lit(0.0),
+        (acc, x) => acc + x.cast("double") * x.cast("double"))
+      t(s, d, "embeddings")
+        .select(col("vec_id"),
+          round(dot / (sqrt(sq) * sqrt(lit(64.0))), 6).as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id").asc)
+        .limit(20)
+    },
+    Some("""SELECT vec_id,
+      round(
+        list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)))
+        / (sqrt(list_sum(list_transform(embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * sqrt(64.0)),
+        6) AS cos_sim
+    FROM embeddings ORDER BY cos_sim DESC, vec_id ASC LIMIT 20"""))
+
+  // ---------------------------------------------------------------------
+
+  val all: Seq[Q] = Seq(
+    qResultsTopk, qIngestFilter, qSanitizeIdent, qParseNumber, qParseDate,
+    qNullNormalize, qInferType, qJsonExtract, qSchemaEvolution,
+    qProjFilter, qAggGroup, qDistinct, qApproxDistinct, qRollup,
+    qJoinHash, qJoinBroadcast, qJoinOuter, qJoinSemi, qJoinAnti,
+    qWindowRank, qWindowRunning, qTopkGlobal, qSetOps,
+    qTumblingWindow, qSessionize,
+    qDedupExact, qTextStats, qMultimodalJoin, qSimilarityTopk)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map(q => q.name -> q.fn).toMap
+
+  val oracleSql: Map[String, String] =
+    all.flatMap(q => q.oracle.map(q.name -> _)).toMap
+}
