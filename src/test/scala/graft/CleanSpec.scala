@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.Clean
+
+/** Unit vectors for the cleaning functions, derived from the reference's
+  * value pipeline (FIXTURES.md §B.2-B.5; reference main.py:224-247,
+  * 262-263, 617, 632). */
+class CleanSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private def runStr(fn: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+                     inputs: Seq[String]): Seq[Any] = {
+    val rows = inputs.toDF("v").select(fn(col("v")).as("r")).collect()
+    rows.map(r => if (r.isNullAt(0)) null else r.get(0)).toSeq
+  }
+
+  test("parseMessyNumber: currency / separators / percent (B.2)") {
+    val got = runStr(Clean.parseMessyNumber,
+      Seq("$1,234.56", "€2 000", "£3,000", "¥500", "85%", "1234", "-12.5"))
+    assert(got == Seq(1234.56, 2000.0, 3000.0, 500.0, 85.0, 1234.0, -12.5))
+  }
+
+  test("parseMessyNumber: parenthesized negatives (B.2)") {
+    val got = runStr(Clean.parseMessyNumber, Seq("(100)", "($1,500.25)"))
+    assert(got == Seq(-100.0, -1500.25))
+  }
+
+  test("parseMessyNumber: unparseable and sentinels → NULL (B.2)") {
+    val got = runStr(Clean.parseMessyNumber,
+      Seq("abc", "N/A", "---", "", "12a", "(abc)", null))
+    assert(got.forall(_ == null))
+  }
+
+  test("parseFuzzyDate: declared format subset (B.3)") {
+    val got = runStr(Clean.parseFuzzyDate,
+      Seq("2024-01-15", "2024/1/5", "01/15/2024", "January 15, 2024",
+        "Jan 15 2024", "not a date", "N/A"))
+    val exp = Seq("2024-01-15", "2024-01-05", "2024-01-15", "2024-01-15",
+      "2024-01-15", null, null)
+    assert(got.map(Option(_).map(_.toString).orNull) == exp)
+  }
+
+  test("nullNormalize: sentinels → NULL, others pass through (B.2)") {
+    val got = runStr(Clean.nullNormalize, Seq("", "N/A", "---", "ok", null))
+    assert(got == Seq(null, null, null, "ok", null))
+  }
+
+  test("sanitizeIdent / sanitizeFilename / sanitizeEmail (B.5)") {
+    assert(runStr(Clean.sanitizeIdent, Seq("Total Revenue ($)")) ==
+      Seq("total_revenue____"))
+    assert(runStr(Clean.sanitizeFilename, Seq("Q1-Report.pdf", "a b?c.pdf")) ==
+      Seq("Q1-Report.pdf", "a_b_c.pdf"))
+    assert(runStr(Clean.sanitizeEmail, Seq("user@mail.com")) ==
+      Seq("user_mail_com"))
+  }
+
+  test("stripJsonFences (O6)") {
+    val got = runStr(Clean.stripJsonFences,
+      Seq("```json\n{\"a\":1}\n```", "```\n{}\n```", "{\"b\":2}"))
+    assert(got == Seq("{\"a\":1}", "{}", "{\"b\":2}"))
+  }
+}

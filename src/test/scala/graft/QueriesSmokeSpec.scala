@@ -1,0 +1,29 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.queries.Queries
+
+/** Smoke: every declared query executes on sf0.001 and returns rows
+  * (except q_join_anti, legitimately empty at tiny SF — every customer
+  * has orders there). Exact result parity vs DuckDB is the driver's
+  * job (tools/check_oracle.py locally). */
+class QueriesSmokeSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  private val dir = "/root/testdata/sf0.001"
+  private val mayBeEmpty = Set("q_join_anti")
+
+  Queries.all.foreach { q =>
+    test(s"${q.name} runs on sf0.001") {
+      val n = q.fn(spark, dir).count()
+      if (!mayBeEmpty(q.name)) assert(n > 0, s"${q.name} returned 0 rows")
+    }
+  }
+
+  test("entry returns rows (driver smoke contract)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracleSql key has a matching queries entry") {
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+}
