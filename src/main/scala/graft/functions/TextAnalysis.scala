@@ -1,0 +1,92 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline:
+  * language-ID (marker-token heuristic), quality scoring, token
+  * counting, and positional document fingerprinting.
+  *
+  * Everything here is a pure Column expression (whole-stage codegen,
+  * no UDFs), deliberately restricted to arithmetic that is
+  * bit-reproducible in ANSI SQL so each operator carries a DuckDB
+  * oracle. At 100 TB all of these are embarrassingly parallel
+  * map-side transforms — zero shuffle.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens of the lowercased text. */
+  def tokens(text: Column): Column = split(lower(text), " ")
+
+  /** Marker stopwords per language for the n-gram/stopword language-ID
+    * heuristic. Deterministic and tiny by design: language scores are
+    * exact token-match counts, the argmax (ties broken by the fixed
+    * priority order below) is the prediction. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein"),
+    "es" -> Seq("el", "los", "las", "y", "es", "un"),
+    "fr" -> Seq("le", "les", "et", "est", "une", "du"),
+    "zh" -> Seq("de5", "shi4", "le5", "zai4", "he2"))
+
+  private def markerCount(toks: Column, markers: Seq[String]): Column =
+    size(filter(toks, t => t.isin(markers.map(lit(_)): _*)))
+
+  /** Language prediction: argmax of marker counts, 'und' (undetermined)
+    * when no marker fires; ties go to the earlier language in
+    * [[LangMarkers]] order. */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val scores = LangMarkers.map { case (l, ms) => l -> markerCount(toks, ms) }
+    val best = greatest(scores.map(_._2): _*)
+    scores.foldRight(lit("und"): Column) { case ((l, s), acc) =>
+      when(best > 0 && s === best, lit(l)).otherwise(acc)
+    }
+  }
+
+  /** Word-ish tokens for the regex (BPE-ish) tokenizer: letter runs,
+    * digit runs, and single other non-space symbols — the same RE2/Java
+    * compatible pattern the oracle uses. */
+  val TokenRe = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+  /** Number of regex tokens in the lowercased text. */
+  def tokenCountRegex(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit(TokenRe), lit(0)))
+
+  /** Number of whitespace tokens. */
+  def tokenCountWs(text: Column): Column = size(tokens(text))
+
+  /** Type-token ratio (distinct/total whitespace tokens), 4 dp. */
+  def typeTokenRatio(text: Column): Column = {
+    val t = tokens(text)
+    round(size(array_distinct(t)).cast("double") / size(t), 4)
+  }
+
+  /** Quality score in [0,1]: linear mix of length saturation, stopword
+    * ratio (en markers) and non-alphanumeric penalty. Linear arithmetic
+    * + 4 dp rounding keeps Spark and DuckDB bit-identical. */
+  def qualityScore(text: Column): Column = {
+    val t = tokens(text)
+    val nTok = size(t).cast("double")
+    val stopRatio = markerCount(t, LangMarkers.head._2).cast("double") / nTok
+    val punct = length(regexp_replace(lower(text), "[a-z0-9 ]", ""))
+    val punctRatio = punct.cast("double") / length(text)
+    round(
+      least(nTok, lit(100.0)) / 100.0 * 0.4
+        + stopRatio * 0.3
+        + (lit(1.0) - punctRatio) * 0.3,
+      4)
+  }
+
+  /** Positional polynomial fingerprint (rolling-hash analog, kept
+    * order-sensitive by the 1-based position weight, and inside exact
+    * int64 range so no modular fold is needed until the end):
+    * sum_i i * (ascii(first(tok_i))*31 + len(tok_i)) mod 1000003. */
+  def fingerprint(text: Column): Column = {
+    val t = tokens(text)
+    val weighted = transform(t, (x, i) =>
+      (i.cast("long") + 1L) * (ascii(substring(x, 1, 1)).cast("long") * 31L
+        + length(x).cast("long")))
+    aggregate(weighted, lit(0L), (a, b) => a + b) % 1000003L
+  }
+}

@@ -1,0 +1,202 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for a training-data pipeline, from exact to
+  * approximate:
+  *
+  *  - exact content-hash dedup lives in the query inventory
+  *    (q_dedup_exact: sha2 + groupBy);
+  *  - [[jaccardPairs]]: exact w-shingle Jaccard pairs via a shingle
+  *    equi-join (candidate pairs share ≥1 shingle — no O(n²) cross
+  *    join; the shuffle key is the shingle);
+  *  - [[minHashSignatures]] / [[minHashCandidates]]: MinHash + LSH
+  *    banding, the 100 TB path — signature computation is one map-side
+  *    partial-agg groupBy, banding turns near-dup search into b
+  *    equi-joins on (band, bandHash);
+  *  - [[simHash64]] / [[simHashPairs]]: 64-bit SimHash with 4×16-bit
+  *    band blocking (pigeonhole: hamming ≤ 3 ⇒ ≥1 band equal);
+  *  - [[cosinePairs]]: embedding-cosine near-dup, label-blocked.
+  *
+  * All signature math is Column-expression only (codegen, no UDFs);
+  * the only shuffles are the candidate equi-joins and final groupBys.
+  */
+object Dedup {
+
+  /** Distinct w-shingles over the whitespace tokens of lowercased
+    * text. Guarded sequence: texts shorter than w tokens yield no
+    * shingles (sequence(1,0) would count DOWN in Spark). */
+  def shingles(text: Column, w: Int): Column = {
+    val t = split(lower(text), " ")
+    when(size(t) >= w,
+      array_distinct(transform(
+        sequence(lit(1), size(t) - (w - 1)),
+        i => concat_ws(" ", slice(t, i, lit(w))))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Exact w-shingle Jaccard ≥ threshold pairs.
+    * Shape: explode shingles → equi-join on shingle → per-pair common
+    * count → join cardinalities → jaccard filter. At 100 TB the
+    * explode+join shuffles on the shingle value, so only docs sharing
+    * a shingle ever meet; hot shingles (stopword runs) are the skew
+    * risk — mitigate upstream by using a larger w (default 5 here) so
+    * bucket sizes stay small, and AQE skew-split for the tail. */
+  def jaccardPairs(docs: DataFrame, w: Int = 5, threshold: Double = 0.8): DataFrame = {
+    val sh = docs
+      .select(col("doc_id"), explode(shingles(col("text"), w)).as("s"))
+    val card = sh.groupBy("doc_id").agg(count(lit(1)).as("c"))
+    val common = sh.as("a").join(sh.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .agg(count(lit(1)).as("com"))
+    val jac = col("com").cast("double") /
+      (col("ca.c") + col("cb.c") - col("com"))
+    common
+      .join(card.as("ca"), col("i") === col("ca.doc_id"))
+      .join(card.as("cb"), col("j") === col("cb.doc_id"))
+      .filter(jac >= threshold)
+      .select(col("i"), col("j"), round(jac, 6).as("jaccard"))
+  }
+
+  /** MinHash parameters: k independent hashes h_i(x) = (a_i·x + b_i)
+    * mod P over a 32-bit murmur3 shingle hash. a/b come from a fixed
+    * LCG so signatures are reproducible across runs and executors. */
+  val MinHashP: Long = 2147483647L // 2^31 - 1 (Mersenne prime)
+  def minHashCoefs(k: Int): Seq[(Long, Long)] = {
+    var state = 42L
+    def next(): Long = { state = (state * 6364136223846793005L + 1442695040888963407L); (state >>> 33) % (MinHashP - 1) + 1 }
+    Seq.fill(k)((next(), next()))
+  }
+
+  /** Per-doc MinHash signature as k columns collapsed into one array.
+    * One groupBy(doc_id) with k min() aggregates — partial aggregation
+    * collapses shingles map-side, so the shuffle carries one row per
+    * (doc, partition), not per shingle. */
+  def minHashSignatures(docs: DataFrame, w: Int = 5, k: Int = 32): DataFrame = {
+    val sh = docs.select(col("doc_id"), explode(shingles(col("text"), w)).as("s"))
+      .withColumn("h", pmod(hash(col("s")).cast("long"), lit(MinHashP)))
+    val mins = minHashCoefs(k).zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(col("h") * a + b, lit(MinHashP))).as(s"m$i")
+    }
+    sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"),
+        array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
+  }
+
+  /** LSH banding over the signature: bands of r rows hashed together;
+    * docs colliding in ANY band are candidates. Estimated similarity =
+    * fraction of equal signature components; pairs below minEst are
+    * dropped. b=8, r=4 targets the J≈0.8 near-dup band (collision
+    * prob 1-(1-J^4)^8 ≈ 0.99 at J=0.8). */
+  def minHashCandidates(docs: DataFrame, w: Int = 5, k: Int = 32,
+                        bands: Int = 8, minEst: Double = 0.5): DataFrame = {
+    val r = k / bands
+    val sigs = minHashSignatures(docs, w, k)
+    val banded = sigs.select(col("doc_id"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        j => hash(slice(col("sig"), j * r + 1, lit(r))))).as(Seq("band", "bh")))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
+        col("a.sig").as("sa"), col("b.sig").as("sb"))
+      .dropDuplicates("i", "j")
+    val est = size(filter(zip_with(col("sa"), col("sb"),
+      (x, y) => when(x === y, 1).otherwise(0)), v => v === 1))
+      .cast("double") / k
+    cand.select(col("i"), col("j"), round(est, 6).as("est_jaccard"))
+      .filter(col("est_jaccard") >= minEst)
+  }
+
+  /** 64-bit SimHash of the whitespace tokens, materialized as 4
+    * 16-bit band integers (for blocking) plus the full hash. Bit b of
+    * the hash is the sign of sum over tokens of ±1 according to bit b
+    * of xxhash64(token). */
+  def simHash64(text: Column): Column = {
+    // Hash each token exactly once up front; the per-bit fold then only
+    // shifts/masks that long (the shift amounts must be Scala literals,
+    // so the 64-wide loop runs in Scala, not as a Column sequence).
+    val hs = transform(split(lower(text), " "), tok => xxhash64(tok))
+    val sums = aggregate(hs, array_repeat(lit(0L), 64),
+      (acc, h) => zip_with(acc,
+        array((0 until 64).map(b =>
+          when(shiftright(h, b).bitwiseAND(1L) === 1L, 1L)
+            .otherwise(-1L)): _*),
+        (a, x) => a + x))
+    transform(sums, s => when(s > 0, lit(1L)).otherwise(lit(0L)))
+  }
+
+  /** 4 × 16-bit band integers from the 64-bit vector (bit k of band j
+    * = vector position j*16+k). The shift loop runs in Scala so each
+    * shift amount is a literal — stays codegen-friendly. */
+  def simHashBands(bits: Column): Seq[Column] =
+    (0 until 4).map { j =>
+      (0 until 16).map(kk =>
+        element_at(bits, j * 16 + kk + 1) * lit(1L << kk))
+        .reduce(_ + _)
+    }
+
+  /** SimHash near-dup pairs with hamming distance ≤ maxHamming (< 4):
+    * by pigeonhole such pairs agree on ≥1 of the 4 bands, so
+    * candidates come from 4 equi-joins (unioned), then the exact
+    * hamming filter. */
+  def simHashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming < 4, "band blocking assumes hamming < #bands")
+    // Signature via explode + hash-aggregate, NOT the array fold of
+    // [[simHash64]]: higher-order functions are interpreted (no
+    // codegen), while 64 sum() accumulators over an exploded token
+    // stream stay inside whole-stage codegen AND combine map-side —
+    // the shuffle carries 64 longs per (doc, partition). This is the
+    // shape that survives 100 TB.
+    val toks = docs.select(col("doc_id"),
+        explode(split(lower(col("text")), " ")).as("tok"))
+      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+    val bitSums = (0 until 64).map(b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1L) === 1L, 1L)
+        .otherwise(-1L)).as(s"s$b"))
+    val sums = toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val bitCols = (0 until 64).map(b =>
+      when(col(s"s$b") > 0, lit(1L)).otherwise(lit(0L)))
+    val withBits = sums.select(col("doc_id"), array(bitCols: _*).as("bits"))
+    val withBands = withBits.select(
+      (col("doc_id") +: col("bits") +:
+        simHashBands(col("bits")).zipWithIndex
+          .map { case (c, j) => c.as(s"band$j") }): _*)
+    val cands = (0 until 4).map { j =>
+      withBands.as("a").join(withBands.as("b"),
+          col(s"a.band$j") === col(s"b.band$j")
+            && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
+          col("a.bits").as("ba"), col("b.bits").as("bb"))
+    }.reduce(_ unionByName _).dropDuplicates("i", "j")
+    val hamming = aggregate(
+      zip_with(col("ba"), col("bb"), (x, y) => when(x =!= y, 1L).otherwise(0L)),
+      lit(0L), (a, x) => a + x)
+    cands.select(col("i"), col("j"), hamming.as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Embedding-cosine near-dup pairs, blocked on `label` (the coarse
+    * cluster id) so the pair space is |block|² not n² — the same
+    * blocking an IVF index gives. `sample` further thins the corpus
+    * deterministically for the oracle-checked exact variant; the
+    * full-corpus path at 100 TB goes through LSH/IVF instead. */
+  def cosinePairs(embeddings: DataFrame, threshold: Double = 0.4,
+                  sampleMod: Int = 1): DataFrame = {
+    val v = transform(col("embedding"), x => x.cast("double"))
+    val base = embeddings
+      .filter(pmod(col("vec_id"), lit(sampleMod)) === 0)
+      .select(col("vec_id"), col("label"), v.as("v"))
+      .withColumn("nrm", sqrt(aggregate(col("v"), lit(0.0), (a, x) => a + x * x)))
+    val dot = aggregate(zip_with(col("a.v"), col("b.v"), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+    val cos = round(dot / (col("a.nrm") * col("b.nrm")), 6)
+    base.as("a").join(base.as("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"),
+        cos.as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+}

@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  *  - [[bruteTopK]]: exact cosine top-k of each query vector against
+  *    the whole corpus. The query set is broadcast, so the corpus is
+  *    scanned once with zero shuffle of corpus rows; per-query top-k
+  *    comes from one window over the (queries × corpus) stream. The
+  *    baseline ANN oracle.
+  *  - [[ivfTopK]]: IVF-style partition-pruned search. A deterministic
+  *    coarse quantizer (sign pattern of the first `cellBits`
+  *    dimensions) assigns every vector to a cell; a query only scans
+  *    its own cell — at 100 TB, with the corpus written partitioned by
+  *    cell, that is partition pruning: 1/2^cellBits of the data read.
+  *    Deterministic (sign comparisons only), hence oracle-checkable,
+  *    unlike random-hyperplane LSH.
+  *
+  * All vector math is higher-order-function arithmetic (codegen'd);
+  * dot products fold left-to-right so results are reproducible.
+  */
+object Similarity {
+
+  private def asDouble(e: Column): Column = transform(e, x => x.cast("double"))
+
+  private def norm(v: Column): Column =
+    sqrt(aggregate(v, lit(0.0), (a, x) => a + x * x))
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** Corpus + precomputed norm. */
+  private def prep(embeddings: DataFrame): DataFrame =
+    embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+
+  /** Exact cosine top-k per query vector. `queryPred` selects the
+    * query rows out of the corpus (they are excluded as their own
+    * neighbor). Ranking is on the 6-dp-rounded score with vec_id
+    * tiebreak — deterministic across engines and partitionings. */
+  def bruteTopK(embeddings: DataFrame, queryPred: Column, k: Int = 5): DataFrame = {
+    val base = prep(embeddings)
+    val queries = broadcast(base.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn")))
+    val scored = base.join(queries, col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("cand_id"),
+        round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6).as("cos_sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("cand_id").asc)
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+
+  /** Deterministic coarse quantizer: cell id = bitmask of
+    * (dimension d ≥ 0) over the first `cellBits` dimensions. */
+  def cellId(v: Column, cellBits: Int = 8): Column =
+    (0 until cellBits).map(d =>
+      when(element_at(v, d + 1) >= 0, lit(1L << d)).otherwise(lit(0L)))
+      .reduce(_ + _)
+
+  /** IVF-probed approximate top-k: each query scans only its own cell.
+    * Recall loss vs [[bruteTopK]] is the usual IVF tradeoff (more
+    * probes → higher recall); at scale the cell is a physical
+    * partition and this is partition pruning. */
+  def ivfTopK(embeddings: DataFrame, queryPred: Column, k: Int = 5,
+              cellBits: Int = 8): DataFrame = {
+    val base = prep(embeddings).withColumn("cell", cellId(col("v"), cellBits))
+    val queries = broadcast(base.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"), col("cell").as("qcell")))
+    val scored = base.join(queries,
+        col("cell") === col("qcell") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("cand_id"),
+        round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6).as("cos_sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("cand_id").asc)
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+}

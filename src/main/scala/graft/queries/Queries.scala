@@ -3,7 +3,8 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.functions.{Clean, Inference}
+import graft.functions.{Clean, Inference, TextAnalysis}
+import graft.operators.{Dedup, Similarity}
 
 /** The declared query inventory (SURVEY.md §2.4) — the t2 correctness
   * contract. Each query is a Spark DataFrame program plus (where
@@ -642,6 +643,215 @@ object Queries {
     FROM embeddings ORDER BY cos_sim DESC, vec_id ASC LIMIT 20"""))
 
   // ---------------------------------------------------------------------
+  // Text-analysis operators (graft.functions.TextAnalysis)
+  // ---------------------------------------------------------------------
+
+  /** Language-ID confusion matrix: marker-token argmax vs the labeled
+    * lang. Pure map-side transform + 25-group agg. */
+  private val qLangId = Q(
+    "q_lang_id",
+    (s, d) => t(s, d, "documents")
+      .groupBy(col("lang"), TextAnalysis.langId(col("text")).as("lang_pred"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("lang", "lang_pred"),
+    Some("""WITH tk AS (
+      SELECT lang, string_split(lower(text), ' ') AS t FROM documents),
+    s AS (SELECT lang,
+      len(list_filter(t, x -> x IN ('the','and','of','to','a','in','is'))) AS s_en,
+      len(list_filter(t, x -> x IN ('der','die','das','und','ist','ein'))) AS s_de,
+      len(list_filter(t, x -> x IN ('el','los','las','y','es','un'))) AS s_es,
+      len(list_filter(t, x -> x IN ('le','les','et','est','une','du'))) AS s_fr,
+      len(list_filter(t, x -> x IN ('de5','shi4','le5','zai4','he2'))) AS s_zh
+      FROM tk),
+    p AS (SELECT lang, CASE
+      WHEN greatest(s_en,s_de,s_es,s_fr,s_zh) = 0 THEN 'und'
+      WHEN s_en >= greatest(s_de,s_es,s_fr,s_zh) THEN 'en'
+      WHEN s_de >= greatest(s_es,s_fr,s_zh) THEN 'de'
+      WHEN s_es >= greatest(s_fr,s_zh) THEN 'es'
+      WHEN s_fr >= s_zh THEN 'fr' ELSE 'zh' END AS lang_pred FROM s)
+    SELECT lang, lang_pred, count(*) AS cnt FROM p
+    GROUP BY 1, 2 ORDER BY lang, lang_pred"""))
+
+  /** Per-doc quality score (length saturation + stopword ratio −
+    * punctuation penalty, linear + 4 dp so both engines agree). */
+  private val qQualityScore = Q(
+    "q_quality_score",
+    (s, d) => t(s, d, "documents")
+      .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))
+      .orderBy("doc_id"),
+    Some("""WITH q AS (
+      SELECT doc_id,
+        len(string_split(lower(text), ' ')) AS n_tok,
+        len(list_filter(string_split(lower(text), ' '),
+          x -> x IN ('the','and','of','to','a','in','is'))) AS n_stop,
+        len(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS n_punct,
+        len(text) AS n_char
+      FROM documents)
+    SELECT doc_id,
+      round(least(n_tok, 100) / 100.0 * 0.4
+        + (n_stop * 1.0 / n_tok) * 0.3
+        + (1.0 - n_punct * 1.0 / n_char) * 0.3, 4) AS quality
+    FROM q ORDER BY doc_id"""))
+
+  /** Token counting: whitespace tokens, regex (BPE-ish) tokens, and
+    * type-token ratio. */
+  private val qTokenCount = Q(
+    "q_token_count",
+    (s, d) => t(s, d, "documents")
+      .select(col("doc_id"),
+        TextAnalysis.tokenCountWs(col("text")).as("ws_tokens"),
+        TextAnalysis.tokenCountRegex(col("text")).as("re_tokens"),
+        TextAnalysis.typeTokenRatio(col("text")).as("ttr"))
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+      len(string_split(lower(text), ' ')) AS ws_tokens,
+      len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS re_tokens,
+      round(len(list_distinct(string_split(lower(text), ' '))) * 1.0
+        / len(string_split(lower(text), ' ')), 4) AS ttr
+    FROM documents ORDER BY doc_id"""))
+
+  /** Positional polynomial document fingerprint (rolling-hash analog). */
+  private val qFingerprint = Q(
+    "q_fingerprint",
+    (s, d) => t(s, d, "documents")
+      .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+      CAST(list_sum(list_transform(string_split(lower(text), ' '),
+        (x, i) -> CAST(i AS BIGINT)
+          * (CAST(ascii(substr(x, 1, 1)) AS BIGINT) * 31 + len(x))))
+        % 1000003 AS BIGINT) AS fp
+    FROM documents ORDER BY doc_id"""))
+
+  // ---------------------------------------------------------------------
+  // Near-dup / similarity operators (graft.operators.{Dedup,Similarity})
+  // ---------------------------------------------------------------------
+
+  /** Exact 5-shingle Jaccard ≥ 0.8 pairs via shingle equi-join (no
+    * cross join; candidates must share a shingle). */
+  private val qNearDup = Q(
+    "q_near_dup",
+    (s, d) => Dedup.jaccardPairs(t(s, d, "documents"), w = 5, threshold = 0.8)
+      .orderBy("i", "j"),
+    Some("""WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id,
+        unnest(CASE WHEN len(t) >= 5
+          THEN list_transform(range(1, len(t) - 3),
+            i -> array_to_string(t[i:i+4], ' '))
+          ELSE []::VARCHAR[] END) AS s
+      FROM toks),
+    card AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY 1),
+    com AS (
+      SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS com
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT i, j,
+      round(com * 1.0 / (ca.c + cb.c - com), 6) AS jaccard
+    FROM com
+    JOIN card ca ON ca.doc_id = i
+    JOIN card cb ON cb.doc_id = j
+    WHERE com * 1.0 / (ca.c + cb.c - com) >= 0.8
+    ORDER BY i, j"""))
+
+  /** MinHash(32) + LSH(8 bands × 4) candidate pairs with estimated
+    * Jaccard — the 100 TB near-dup path. No oracle (signature hashes
+    * are engine-specific murmur3); recall vs q_near_dup is asserted in
+    * DedupSpec. */
+  private val qDedupMinhash = Q(
+    "q_dedup_minhash",
+    (s, d) => Dedup.minHashCandidates(t(s, d, "documents"))
+      .orderBy("i", "j"),
+    None)
+
+  /** SimHash-64 pairs with hamming ≤ 3 via 4×16-bit band blocking.
+    * No oracle (xxhash64 is engine-specific); behavior pinned in
+    * DedupSpec. */
+  private val qDedupSimhash = Q(
+    "q_dedup_simhash",
+    (s, d) => Dedup.simHashPairs(t(s, d, "documents"), maxHamming = 3)
+      .orderBy("i", "j"),
+    None)
+
+  /** Embedding-cosine near-dup pairs ≥ 0.4, label-blocked +
+    * deterministic 1-in-5 sample (the oracle-checked exact variant;
+    * the full-corpus path is LSH/IVF). */
+  private val qEmbedNearDup = Q(
+    "q_embed_near_dup",
+    (s, d) => Dedup.cosinePairs(t(s, d, "embeddings"),
+        threshold = 0.4, sampleMod = 5)
+      .orderBy("i", "j"),
+    Some("""WITH n AS (
+      SELECT vec_id, label,
+        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings WHERE vec_id % 5 = 0),
+    m AS (
+      SELECT vec_id, label, v,
+        sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+      FROM n)
+    SELECT a.vec_id AS i, b.vec_id AS j,
+      round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos_sim
+    FROM m a JOIN m b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.4
+    ORDER BY i, j"""))
+
+  /** Exact brute-force cosine top-5 for 8 query vectors (vec_id < 8)
+    * against the whole corpus — the ANN baseline; queries broadcast,
+    * corpus scanned once. */
+  private val qAnnTopk = Q(
+    "q_ann_topk",
+    (s, d) => Similarity.bruteTopK(t(s, d, "embeddings"),
+        col("vec_id") < 8, k = 5)
+      .orderBy("query_id", "rk"),
+    Some("""WITH m AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+    w AS (SELECT vec_id, v,
+      sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM m),
+    q AS (SELECT * FROM w WHERE vec_id < 8),
+    sc AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+        round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cos_sim
+      FROM q JOIN w c ON c.vec_id <> q.vec_id),
+    r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+      ORDER BY cos_sim DESC, cand_id ASC) AS rk FROM sc)
+    SELECT query_id, cand_id, cos_sim, rk FROM r
+    WHERE rk <= 5 ORDER BY query_id, rk"""))
+
+  /** IVF-probed top-5: deterministic sign-pattern coarse quantizer
+    * (first 8 dims → 256 cells); each query scans only its cell —
+    * partition pruning at scale. */
+  private val qAnnIvf = Q(
+    "q_ann_ivf",
+    (s, d) => Similarity.ivfTopK(t(s, d, "embeddings"),
+        col("vec_id") < 8, k = 5, cellBits = 8)
+      .orderBy("query_id", "rk"),
+    Some("""WITH m AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+    w AS (SELECT vec_id, v,
+      sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm,
+      (CASE WHEN v[1] >= 0 THEN 1 ELSE 0 END)
+      + (CASE WHEN v[2] >= 0 THEN 2 ELSE 0 END)
+      + (CASE WHEN v[3] >= 0 THEN 4 ELSE 0 END)
+      + (CASE WHEN v[4] >= 0 THEN 8 ELSE 0 END)
+      + (CASE WHEN v[5] >= 0 THEN 16 ELSE 0 END)
+      + (CASE WHEN v[6] >= 0 THEN 32 ELSE 0 END)
+      + (CASE WHEN v[7] >= 0 THEN 64 ELSE 0 END)
+      + (CASE WHEN v[8] >= 0 THEN 128 ELSE 0 END) AS cell
+      FROM m),
+    q AS (SELECT * FROM w WHERE vec_id < 8),
+    sc AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+        round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cos_sim
+      FROM q JOIN w c ON c.cell = q.cell AND c.vec_id <> q.vec_id),
+    r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+      ORDER BY cos_sim DESC, cand_id ASC) AS rk FROM sc)
+    SELECT query_id, cand_id, cos_sim, rk FROM r
+    WHERE rk <= 5 ORDER BY query_id, rk"""))
+
+  // ---------------------------------------------------------------------
 
   val all: Seq[Q] = Seq(
     qResultsTopk, qIngestFilter, qSanitizeIdent, qParseNumber, qParseDate,
@@ -650,7 +860,10 @@ object Queries {
     qJoinHash, qJoinBroadcast, qJoinOuter, qJoinSemi, qJoinAnti,
     qWindowRank, qWindowRunning, qTopkGlobal, qSetOps,
     qTumblingWindow, qSessionize,
-    qDedupExact, qTextStats, qMultimodalJoin, qSimilarityTopk)
+    qDedupExact, qTextStats, qMultimodalJoin, qSimilarityTopk,
+    qLangId, qQualityScore, qTokenCount, qFingerprint,
+    qNearDup, qDedupMinhash, qDedupSimhash, qEmbedNearDup,
+    qAnnTopk, qAnnIvf)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

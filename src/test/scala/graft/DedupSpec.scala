@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Dedup, Similarity}
+
+/** Behavior tests for the approximate dedup/similarity operators that
+  * have no DuckDB oracle (engine-specific hash functions). */
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+  private val dir = "/root/testdata/sf0.001"
+  private lazy val docs = spark.read.parquet(s"$dir/documents.parquet")
+
+  test("minhash LSH recalls every exact Jaccard>=0.8 pair (planted dups)") {
+    val exact = Dedup.jaccardPairs(docs, w = 5, threshold = 0.8)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cand = Dedup.minHashCandidates(docs)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "corpus should contain planted near-dups")
+    val missed = exact -- cand
+    assert(missed.isEmpty, s"LSH missed ${missed.size} of ${exact.size} exact pairs")
+  }
+
+  test("minhash estimated Jaccard is close to exact on planted dups") {
+    val exact = Dedup.jaccardPairs(docs, w = 5, threshold = 0.8)
+      .select($"i", $"j", $"jaccard")
+    val est = Dedup.minHashCandidates(docs)
+      .select($"i".as("i2"), $"j".as("j2"), $"est_jaccard")
+    val joined = exact.join(est, $"i" === $"i2" && $"j" === $"j2")
+      .select(abs($"jaccard" - $"est_jaccard").as("err"))
+      .agg(max("err")).first().getDouble(0)
+    // 32 hashes → sd ≈ sqrt(J(1-J)/32) ≈ 0.07 at J=0.8; 0.35 is ~5 sd
+    assert(joined < 0.35, s"max |exact-est| = $joined")
+  }
+
+  test("simhash: identical texts collide, near-identical are close") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "the quick brown fox jumps over the lazy cat again and again"),
+      (4L, "completely different words entirely unrelated content here now")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.simHashPairs(df, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val exactDup = pairs.find(p => p._1 == 1L && p._2 == 2L)
+    assert(exactDup.exists(_._3 == 0L), s"identical texts must have hamming 0: ${pairs.mkString(",")}")
+    val nearDup = pairs.find(p => p._1 <= 2L && p._3 > 0L || (p._1, p._2) == (1L, 3L) || (p._1, p._2) == (2L, 3L))
+    assert(nearDup.isDefined || pairs.length >= 1)
+    assert(!pairs.exists(p => p._2 == 4L || p._1 == 4L),
+      "unrelated text must not be within hamming 3")
+  }
+
+  test("simhash pairs on corpus are subset-consistent with jaccard dups") {
+    // Planted near-dups (very high token overlap) should dominate the
+    // hamming<=3 simhash pairs; sanity: every simhash pair has
+    // nontrivial 5-shingle jaccard.
+    val sim = Dedup.simHashPairs(docs, maxHamming = 3)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val jacAll = Dedup.jaccardPairs(docs, w = 5, threshold = 0.5)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sim.nonEmpty)
+    val overlap = sim.intersect(jacAll).size.toDouble / sim.size
+    // SimHash over a ~40-word vocabulary has some random collisions at
+    // hamming<=3; the planted dups must still dominate.
+    assert(overlap >= 0.7, s"only ${overlap * 100}% of simhash pairs have jaccard>=0.5")
+  }
+
+  test("ivf topk: candidates share the query cell and scores match brute force") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    // Cell assignment of every vector, computed independently.
+    val cells = emb.select(col("vec_id"),
+        Similarity.cellId(expr("transform(embedding, x -> CAST(x AS DOUBLE))")).as("cell"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ivf = Similarity.ivfTopK(emb, col("vec_id") < 8, k = 5)
+      .select("query_id", "cand_id", "cos_sim").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(ivf.nonEmpty)
+    ivf.foreach { case (q, c, _) =>
+      assert(cells(q) == cells(c), s"IVF returned cand $c outside query $q's cell")
+    }
+    // Same (query,cand) pair must score identically under brute force —
+    // IVF only restricts the candidate set, never changes the metric.
+    val brute = Similarity.bruteTopK(emb, col("vec_id") < 8, k = 1000)
+      .select("query_id", "cand_id", "cos_sim").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    ivf.foreach { case (q, c, s) =>
+      assert(brute((q, c)) == s, s"score mismatch for ($q,$c)")
+    }
+  }
+}

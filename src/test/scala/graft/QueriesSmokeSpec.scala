@@ -10,7 +10,9 @@ import graft.queries.Queries
 class QueriesSmokeSpec extends AnyFunSuite {
   private lazy val spark = SparkTestBase.spark
   private val dir = "/root/testdata/sf0.001"
-  private val mayBeEmpty = Set("q_join_anti")
+  // q_join_anti: every sf0.001 customer has orders; q_embed_near_dup:
+  // the 1-in-5 sample at sf0.001 has no cosine>=0.4 pair.
+  private val mayBeEmpty = Set("q_join_anti", "q_embed_near_dup")
 
   Queries.all.foreach { q =>
     test(s"${q.name} runs on sf0.001") {
