@@ -1,0 +1,74 @@
+package graft.catalog
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+import graft.functions.Inference
+
+/** KPI metadata for one confirmed field (reference main.py:486-494:
+  * name, sanitized column name, inferred logical type). */
+final case class KpiMeta(name: String, logicalType: String) {
+  /** O14 column rule (main.py:281): `kpi_` + sanitized + lowered. */
+  def columnName: String =
+    "kpi_" + name.replaceAll("[^a-zA-Z0-9_]", "_").toLowerCase
+  def dataType: DataType = Inference.physicalType(logicalType)
+}
+
+/** Folder-level metadata (reference Firestore doc
+  * tenants/{uid}/folders/{fid}, main.py:393-403): the trained KPI set
+  * plus the extraction context hint. */
+final case class FolderMeta(uid: String, folder: String,
+                            contextHint: String, kpis: Seq[KpiMeta]) {
+  /** The reference's per-(tenant,folder) table name (main.py:262-264). */
+  def tableName: String = {
+    def clean(s: String) = s.replaceAll("[^a-zA-Z0-9_]", "_").toLowerCase
+    s"${clean(uid)}_${clean(folder)}"
+  }
+
+  /** Target schema: 3 system columns + typed KPI columns
+    * (main.py:294-314). */
+  def schema: StructType = StructType(
+    Seq(
+      StructField("row_id", StringType, nullable = false),
+      StructField("file_name", StringType),
+      StructField("uploaded_at", TimestampType)) ++
+      kpis.map(k => StructField(k.columnName, k.dataType)))
+}
+
+/** In-engine catalog replacing the reference's Firestore tree: an
+  * immutable map of (uid, folder) → FolderMeta, typically built once
+  * on the driver from training output ([[Catalog.train]]) and
+  * broadcast by closure into the ingest job. O(#folders) driver-side
+  * state — at 100 TB the data scales, the catalog does not.
+  */
+final case class Catalog(folders: Map[(String, String), FolderMeta]) {
+  def get(uid: String, folder: String): Option[FolderMeta] =
+    folders.get((uid, folder))
+  def add(meta: FolderMeta): Catalog =
+    Catalog(folders + ((meta.uid, meta.folder) -> meta))
+}
+
+object Catalog {
+  val empty: Catalog = Catalog(Map.empty)
+
+  /** Training flow (reference §3.2: /analyze-master + /confirm-kpis):
+    * run schema discovery over one master document's extracted map,
+    * infer a logical type per field from its sample value
+    * (main.py:482-494 with the regex fallback), and register the
+    * folder. Driver-side O(#fields) — mirrors the reference's single
+    * batched inference call. */
+  def train(uid: String, folder: String, contextHint: String,
+            discovered: Map[String, String]): FolderMeta =
+    FolderMeta(uid, folder, contextHint,
+      discovered.toSeq.sortBy(_._1).map { case (name, sample) =>
+        KpiMeta(name, Inference.inferType(sample))
+      })
+
+  /** Schema-evolving read of an appended table (O16 read side): every
+    * parquet footer in the directory is merged, so rows written before
+    * a column existed surface it as NULL (main.py:273-291 ADD COLUMN
+    * semantics, without the 2s DDL stall). */
+  def readTable(spark: SparkSession, warehouseDir: String,
+                meta: FolderMeta): DataFrame =
+    spark.read.option("mergeSchema", "true")
+      .parquet(s"$warehouseDir/${meta.tableName}")
+}

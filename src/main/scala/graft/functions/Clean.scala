@@ -68,7 +68,8 @@ object Clean {
     * dateutil-fuzzy parity is ill-specified; this is the documented
     * subset). */
   val DateFormats: Seq[String] =
-    Seq("yyyy-MM-dd", "yyyy/M/d", "MM/dd/yyyy", "MMMM dd, yyyy", "MMM dd yyyy")
+    Seq("yyyy-MM-dd", "yyyy/M/d", "MM/dd/yyyy", "M/d/yyyy",
+      "MMMM dd, yyyy", "MMMM d, yyyy", "MMM dd yyyy", "MMM d yyyy")
 
   /** O12: fuzzy date cast over the declared format subset
     * (main.py:241-247) — first format that parses wins; NULL otherwise. */

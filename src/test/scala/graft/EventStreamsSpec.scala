@@ -1,0 +1,79 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.{Event, UserSessions}
+
+/** Batch-equivalent checks of the streaming event operators: the
+  * streaming results over a replayed finite input must equal the batch
+  * query over the same rows. */
+class EventStreamsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  private def ts(min: Long): Timestamp =
+    new Timestamp(1704067200000L + min * 60000L) // 2024-01-01 00:00 UTC + min
+
+  test("tumblingHourly matches the batch hourly aggregation") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val events = Seq(
+      Event(1, ts(5), 1, 1.0), Event(2, ts(20), 1, 2.0),
+      Event(3, ts(65), 2, 3.0), Event(4, ts(70), 1, 4.0),
+      Event(5, ts(130), 2, 5.0))
+    input.addData(events: _*)
+    EventStreams.runToMemory(spark,
+      EventStreams.tumblingHourly(input.toDF()), "tumbling_out",
+      OutputMode.Append())
+    // Append mode only emits windows the watermark has passed; replaying
+    // finite data the last window stays open, so compare the CLOSED ones.
+    val got = spark.table("tumbling_out")
+      .select("bucket", "n", "v").collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getLong(1), r.getDouble(2)))
+      .toSet
+    val expAll = events.groupBy(e => e.ts.getTime / 3600000L).map {
+      case (h, es) => (h * 3600000L, es.size.toLong,
+        es.map(_.value).sum)
+    }.toSet
+    assert(got.subsetOf(expAll), s"got $got not within batch result $expAll")
+    assert(got.nonEmpty, "watermark should have closed at least one window")
+  }
+
+  test("sessionize counts gap-separated sessions like the batch query") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    // user 1: 3 events, one >30min gap → 2 sessions
+    // user 2: 2 events 5min apart → 1 session
+    input.addData(
+      Event(1, ts(0), 1, 1.0), Event(2, ts(10), 1, 1.0),
+      Event(3, ts(50), 1, 1.0),
+      Event(4, ts(0), 2, 1.0), Event(5, ts(5), 2, 1.0))
+    val sessions = EventStreams.sessionize(input.toDS())
+    val q = sessions.writeStream.format("memory").queryName("sessions_out")
+      .outputMode(OutputMode.Update())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.table("sessions_out").as[UserSessions].collect()
+      .groupBy(_.user_id).map { case (u, rows) => u -> rows.last }
+    assert(got(1L).n_sessions == 2 && got(1L).n_events == 3)
+    assert(got(2L).n_sessions == 1 && got(2L).n_events == 2)
+
+    // Incremental state: a later event within the gap doesn't open a
+    // new session; one beyond the gap does.
+    input.addData(Event(6, ts(60), 1, 1.0), Event(7, ts(200), 2, 1.0))
+    val q2 = sessions.writeStream.format("memory").queryName("sessions_out2")
+      .outputMode(OutputMode.Update())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination()
+    val got2 = spark.table("sessions_out2").as[UserSessions].collect()
+      .groupBy(_.user_id).map { case (u, rows) => u -> rows.last }
+    assert(got2(1L).n_sessions == 2 && got2(1L).n_events == 4)
+    assert(got2(2L).n_sessions == 2 && got2(2L).n_events == 3)
+  }
+}

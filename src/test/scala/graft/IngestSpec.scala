@@ -1,0 +1,114 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import java.nio.charset.StandardCharsets
+import org.scalatest.funsuite.AnyFunSuite
+import graft.catalog.Catalog
+import graft.extract.DeterministicExtractor
+import graft.streaming.Ingest
+
+/** End-to-end streaming ingest test (FIXTURES.md §B.8): landing dir →
+  * admission → extraction → typed casts → schema-evolving append →
+  * archive, with checkpoint replay asserting exactly-once. */
+class IngestSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  private def write(root: String, rel: String, content: String): Unit = {
+    val p = Paths.get(root, rel)
+    Files.createDirectories(p.getParent)
+    Files.write(p, content.getBytes(StandardCharsets.UTF_8))
+  }
+
+  test("ingest e2e: typed append, rejects, archive, evolution, replay") {
+    val root = Files.createTempDirectory("graft-ingest").toString
+    val landing = s"$root/landing"
+    val warehouse = s"$root/warehouse"
+    val processed = s"$root/processed"
+    val checkpoint = s"$root/checkpoint"
+
+    // Train the folder from a master document (reference §3.2 flow).
+    val master = DeterministicExtractor.discover("master.pdf",
+      """Total Revenue ($)=$1,234.56
+        |Report Date=January 15, 2024
+        |Status=Active""".stripMargin.getBytes(StandardCharsets.UTF_8))
+    val meta = Catalog.train("u1", "f1", "quarterly report", master)
+    assert(meta.kpis.map(k => k.name -> k.logicalType).toMap == Map(
+      "Total Revenue ($)" -> "number",
+      "Report Date" -> "date",
+      "Status" -> "categorical"))
+    val catalog = Catalog.empty.add(meta)
+
+    // Batch 1: one good doc + admission rejects (B.6 vectors).
+    write(landing, "incoming/u1/f1/batch/doc1.pdf",
+      "Total Revenue ($)=\"$2,500.75\"\nReport Date=2024-02-01\nStatus=Active")
+    write(landing, "incoming/u1/f1/batch/notes.txt", "not a pdf")
+    write(landing, "incoming/u1/f1/master/skip.pdf", "Status=master-not-batch")
+    write(landing, "incoming/u1/f1/batch/.placeholder", "")
+
+    Ingest.start(spark, landing, warehouse, processed, checkpoint,
+      catalog, DeterministicExtractor).awaitTermination()
+
+    val t1 = Ingest.readTable(spark, warehouse, meta)
+    assert(t1.count() == 1)
+    val r1 = t1.first()
+    assert(r1.getAs[Double]("kpi_total_revenue____") == 2500.75)
+    assert(r1.getAs[java.sql.Date]("kpi_report_date").toString == "2024-02-01")
+    assert(r1.getAs[String]("kpi_status") == "Active")
+    assert(r1.getAs[String]("file_name") == "doc1.pdf")
+    // Good file archived; rejected files stay put.
+    assert(Files.exists(Paths.get(processed, "incoming/u1/f1/batch/doc1.pdf")))
+    assert(!Files.exists(Paths.get(landing, "incoming/u1/f1/batch/doc1.pdf")))
+    assert(Files.exists(Paths.get(landing, "incoming/u1/f1/batch/notes.txt")))
+    assert(Files.exists(Paths.get(landing, "incoming/u1/f1/master/skip.pdf")))
+
+    // Batch 2: folder retrained with a NEW kpi (B.7 evolution) + new doc
+    // carrying it and a messy negative; restart stream on the same
+    // checkpoint with the evolved catalog.
+    val meta2 = Catalog.train("u1", "f1", "quarterly report",
+      master + ("Margin %" -> "12%"))
+    val catalog2 = Catalog.empty.add(meta2)
+    write(landing, "incoming/u1/f1/batch/doc2.pdf",
+      "Total Revenue ($)=($300.50)\nReport Date=03/01/2024\nStatus=N/A\nMargin %=45%")
+
+    Ingest.start(spark, landing, warehouse, processed, checkpoint,
+      catalog2, DeterministicExtractor).awaitTermination()
+
+    val t2 = Ingest.readTable(spark, warehouse, meta2).orderBy("file_name")
+    assert(t2.count() == 2)
+    assert(t2.columns.contains("kpi_margin__"))
+    val rows = t2.collect()
+    // Evolved column is NULL for the batch-1 row...
+    assert(rows(0).isNullAt(rows(0).fieldIndex("kpi_margin__")))
+    // ...and typed for the new row; paren negative + sentinel behave.
+    assert(rows(1).getAs[Double]("kpi_margin__") == 45.0)
+    assert(rows(1).getAs[Double]("kpi_total_revenue____") == -300.5)
+    assert(rows(1).isNullAt(rows(1).fieldIndex("kpi_status")))
+
+    // Replay on the same checkpoint with no new files: no duplicates.
+    Ingest.start(spark, landing, warehouse, processed, checkpoint,
+      catalog2, DeterministicExtractor).awaitTermination()
+    val t3 = Ingest.readTable(spark, warehouse, meta2)
+    assert(t3.count() == 2)
+    assert(t3.select("row_id").distinct().count() == 2)
+  }
+
+  test("admit implements the B.6 admission vectors") {
+    import spark.implicits._
+    val paths = Seq(
+      "file:/x/incoming/u1/f1/batch/doc.pdf" -> true,
+      "file:/x/incoming/u1/f1/batch/doc.PDF" -> true,
+      "file:/x/processed/u1/f1/batch/doc.pdf" -> false,
+      "file:/x/incoming/u1/f1/master/doc.pdf" -> false,
+      "file:/x/incoming/u1/f1/batch/.placeholder" -> false,
+      "file:/x/incoming/u1/f1/batch/notes.txt" -> false)
+    val got = Ingest.admit(paths.map(_._1).toDF("path"))
+      .select("path").collect().map(_.getString(0)).toSet
+    paths.foreach { case (p, expected) =>
+      assert(got.contains(p) == expected, s"path $p")
+    }
+    val parsed = Ingest.admit(Seq("file:/x/incoming/u9/f7/batch/a.pdf").toDF("path"))
+      .select("uid", "folder", "file_name").first()
+    assert((parsed.getString(0), parsed.getString(1), parsed.getString(2))
+      == ("u9", "f7", "a.pdf"))
+  }
+}
