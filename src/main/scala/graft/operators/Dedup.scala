@@ -44,10 +44,23 @@ object Dedup {
     * risk — mitigate upstream by using a larger w (default 5 here) so
     * bucket sizes stay small, and AQE skew-split for the tail. */
   def jaccardPairs(docs: DataFrame, w: Int = 5, threshold: Double = 0.8): DataFrame = {
+    // The shingle expression is an interpreted higher-order function —
+    // by far the most expensive node here — and `sh` feeds three
+    // consumers (cardinalities, the prune, both join sides). Persist it
+    // once instead of recomputing the explode per consumer;
+    // MEMORY_AND_DISK so a 100 TB run spills instead of OOMing.
     val sh = docs
       .select(col("doc_id"), explode(shingles(col("text"), w)).as("s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val card = sh.groupBy("doc_id").agg(count(lit(1)).as("c"))
-    val common = sh.as("a").join(sh.as("b"),
+    // A shingle held by a single doc can never form a pair — drop it
+    // before the self-join. Cardinalities are computed BEFORE this
+    // prune, so results are exactly unchanged; on a mostly-unique
+    // corpus this shrinks the join input by an order of magnitude.
+    val hot = sh.groupBy("s").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2).select("s")
+    val sh2 = sh.join(hot, "s")
+    val common = sh2.as("a").join(sh2.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
       .agg(count(lit(1)).as("com"))
@@ -83,6 +96,9 @@ object Dedup {
     sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
       .select(col("doc_id"),
         array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
+      // Both LSH join sides consume the signatures — persist so the
+      // shingle explode + 32-way min aggregation runs once.
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
   /** LSH banding over the signature: bands of r rows hashed together;
@@ -157,25 +173,33 @@ object Dedup {
       sum(when(shiftright(col("h"), b).bitwiseAND(1L) === 1L, 1L)
         .otherwise(-1L)).as(s"s$b"))
     val sums = toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-    val bitCols = (0 until 64).map(b =>
-      when(col(s"s$b") > 0, lit(1L)).otherwise(lit(0L)))
-    val withBits = sums.select(col("doc_id"), array(bitCols: _*).as("bits"))
-    val withBands = withBits.select(
-      (col("doc_id") +: col("bits") +:
-        simHashBands(col("bits")).zipWithIndex
-          .map { case (c, j) => c.as(s"band$j") }): _*)
+    // Bands as plain 16-bit longs, no bit array: hamming distance is
+    // then sum of bit_count(xor) over the 4 bands — native codegen'd
+    // integer ops. The hamming filter runs INSIDE each join stage,
+    // before the union + distinct: 16-bit bands over a large corpus
+    // collide heavily (n²/2^16 candidate pairs per band), and shuffling
+    // those candidates into dropDuplicates dominated the runtime; after
+    // the early filter only true near-dups reach the dedup shuffle.
+    val bandCols = (0 until 4).map { j =>
+      (0 until 16).map(kk =>
+        when(col(s"s${j * 16 + kk}") > 0, lit(1L << kk)).otherwise(lit(0L)))
+        .reduce(_ + _).as(s"band$j")
+    }
+    // 4 self-joins consume the bands — persist (tiny: 5 longs/doc).
+    val withBands = sums.select(col("doc_id") +: bandCols: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hamming = (0 until 4).map(j =>
+      bit_count(col(s"a.band$j").bitwiseXOR(col(s"b.band$j"))).cast("long"))
+      .reduce(_ + _)
     val cands = (0 until 4).map { j =>
       withBands.as("a").join(withBands.as("b"),
           col(s"a.band$j") === col(s"b.band$j")
             && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
-          col("a.bits").as("ba"), col("b.bits").as("bb"))
+          hamming.as("hamming"))
+        .filter(col("hamming") <= maxHamming)
     }.reduce(_ unionByName _).dropDuplicates("i", "j")
-    val hamming = aggregate(
-      zip_with(col("ba"), col("bb"), (x, y) => when(x =!= y, 1L).otherwise(0L)),
-      lit(0L), (a, x) => a + x)
-    cands.select(col("i"), col("j"), hamming.as("hamming"))
-      .filter(col("hamming") <= maxHamming)
+    cands
   }
 
   /** Embedding-cosine near-dup pairs, blocked on `label` (the coarse

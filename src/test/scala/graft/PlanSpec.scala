@@ -1,0 +1,72 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.queries.Queries
+
+/** Physical-plan shape assertions: the properties that make these
+  * queries survive a 100× scale-up are plan properties, so pin them —
+  * a regression that silently turns a broadcast join into a
+  * sort-merge, or un-pushes a filter, fails here rather than in a
+  * 10×-slower bench. */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    Queries.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q_proj_filter: predicates and projection reach the parquet scan") {
+    val p = plan("q_proj_filter")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("IsNotNull(l_shipdate)") || p.contains("GreaterThanOrEqual(l_shipdate"), p)
+    // Only the needed columns are read (5 of 11).
+    assert(p.contains("ReadSchema"), p)
+    assert(!p.contains("l_orderkey"), s"scan reads unneeded column:\n$p")
+  }
+
+  test("q_results_topk: top-k via TakeOrderedAndProject, no global sort") {
+    val p = plan("q_results_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("\nSort "), p)
+  }
+
+  test("q_topk_global: TakeOrderedAndProject with column pruning") {
+    val p = plan("q_topk_global")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("o_orderdate"), s"scan reads unneeded column:\n$p")
+  }
+
+  test("q_join_broadcast: both dims broadcast, no shuffle on the fact side") {
+    val p = plan("q_join_broadcast")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q_join_semi / q_join_anti plan as semi/anti hash joins") {
+    assert(plan("q_join_semi").contains("LeftSemi"), plan("q_join_semi"))
+    assert(plan("q_join_anti").contains("LeftAnti"), plan("q_join_anti"))
+  }
+
+  test("q_agg_group: partial (map-side) aggregation before the shuffle") {
+    val p = plan("q_agg_group")
+    assert(p.contains("partial_sum") || p.contains("partial_"),
+      s"no partial aggregation found:\n$p")
+  }
+
+  test("q_agg_group and q_proj_filter run inside whole-stage codegen") {
+    // AQE finalizes the physical plan lazily — execute first, then the
+    // same executedPlan renders the final (codegen-annotated) plan.
+    Seq("q_agg_group", "q_proj_filter").foreach { q =>
+      val df = Queries.queries(q)(spark, dir)
+      df.collect()
+      // Codegen spans render as "*(n) " stage prefixes in the final plan.
+      assert(df.queryExecution.executedPlan.toString.contains("*("),
+        s"$q final plan lacks whole-stage-codegen spans:\n${df.queryExecution.executedPlan}")
+    }
+  }
+
+  test("q_ann_topk: the query side is broadcast") {
+    val p = plan("q_ann_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+}
