@@ -64,6 +64,21 @@ object Clean {
     when(deparen.rlike(NumericRe), deparen.cast("double"))
   }
 
+  /** O7 (main.py:145, 455-457, 713-715): JSON parse + shape coercion.
+    * The reference json.loads the LLM output and, if a LIST arrives,
+    * takes element 0 (or {} if empty). Expressed as: try the map
+    * parse; if that fails, parse as array-of-maps and take the head;
+    * empty/unparseable → empty map. */
+  def parseJsonMap(c: Column): Column = {
+    import org.apache.spark.sql.types._
+    val mapT = MapType(StringType, StringType)
+    val asMap = from_json(stripJsonFences(c), mapT)
+    val asList = from_json(stripJsonFences(c), ArrayType(mapT))
+    // try_element_at: NULL (not an ANSI error) when the list is empty.
+    coalesce(asMap, try_element_at(asList, lit(1)),
+      from_json(lit("{}"), mapT))
+  }
+
   /** Declared supported formats for O12 (SURVEY.md §7.4: full
     * dateutil-fuzzy parity is ill-specified; this is the documented
     * subset). */

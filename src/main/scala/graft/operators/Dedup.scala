@@ -209,13 +209,14 @@ object Dedup {
     * full-corpus path at 100 TB goes through LSH/IVF instead. */
   def cosinePairs(embeddings: DataFrame, threshold: Double = 0.4,
                   sampleMod: Int = 1): DataFrame = {
-    val v = transform(col("embedding"), x => x.cast("double"))
+    // Native codegen'd dot product (same fold order as the HOF form —
+    // see graft.plans.DotProductFloat), float arrays kept as-is.
     val base = embeddings
       .filter(pmod(col("vec_id"), lit(sampleMod)) === 0)
-      .select(col("vec_id"), col("label"), v.as("v"))
-      .withColumn("nrm", sqrt(aggregate(col("v"), lit(0.0), (a, x) => a + x * x)))
-    val dot = aggregate(zip_with(col("a.v"), col("b.v"), (x, y) => x * y),
-      lit(0.0), (acc, x) => acc + x)
+      .select(col("vec_id"), col("label"), col("embedding").as("v"))
+      .withColumn("nrm",
+        sqrt(graft.plans.GraftFunctions.dotProductFloat(col("v"), col("v"))))
+    val dot = graft.plans.GraftFunctions.dotProductFloat(col("a.v"), col("b.v"))
     val cos = round(dot / (col("a.nrm") * col("b.nrm")), 6)
     base.as("a").join(base.as("b"),
         col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))

@@ -19,23 +19,25 @@ import org.apache.spark.sql.expressions.Window
   *    Deterministic (sign comparisons only), hence oracle-checkable,
   *    unlike random-hyperplane LSH.
   *
-  * All vector math is higher-order-function arithmetic (codegen'd);
-  * dot products fold left-to-right so results are reproducible.
+  * All vector math runs through the native codegen'd
+  * [[graft.plans.DotProductFloat]] expression; dot products fold
+  * left-to-right so results are reproducible across engines.
   */
 object Similarity {
 
-  private def asDouble(e: Column): Column = transform(e, x => x.cast("double"))
-
-  private def norm(v: Column): Column =
-    sqrt(aggregate(v, lit(0.0), (a, x) => a + x * x))
-
+  // Vector math goes through the native codegen'd DotProductFloat
+  // expression (graft.plans) — the higher-order-function fold is
+  // interpreted per element; the native loop matches its fold order
+  // exactly (left-to-right, double accumulator), so results are
+  // bit-identical to the HOF form and the DuckDB oracles.
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.plans.GraftFunctions.dotProductFloat(a, b)
 
-  /** Corpus + precomputed norm. */
+  /** Corpus + precomputed norm (float vectors kept as-is; all
+    * arithmetic accumulates in double inside the expression). */
   private def prep(embeddings: DataFrame): DataFrame =
-    embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      .withColumn("nrm", norm(col("v")))
+    embeddings.select(col("vec_id"), col("embedding").as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
 
   /** Exact cosine top-k per query vector. `queryPred` selects the
     * query rows out of the corpus (they are excluded as their own

@@ -1,0 +1,177 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.GraftSqlBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Static helpers referenced from generated code (codegen emits plain
+  * Java, so these must be reachable by their JVM names). */
+object ExprHelpers {
+  /** O11 semantics (reference main.py:229-239 + sentinel rule
+    * main.py:224-225), single pass over the string:
+    * trim → sentinel→null → strip [$€£¥,\s%] → (x)→-x → double, with
+    * a strict-numeric guard so garbage yields NULL, not an ANSI error. */
+  def parseMessyNumber(s: UTF8String): java.lang.Double = {
+    if (s == null) return null
+    val t = s.toString.trim
+    if (t.isEmpty || t == "N/A" || t == "---") return null
+    val sb = new java.lang.StringBuilder(t.length)
+    var i = 0
+    while (i < t.length) {
+      val c = t.charAt(i)
+      val strip = c == '$' || c == '€' || c == '£' || c == '¥' ||
+        c == ',' || c == '%' || Character.isWhitespace(c)
+      if (!strip) sb.append(c)
+      i += 1
+    }
+    var u = sb.toString
+    var neg = false
+    if (u.length >= 2 && u.charAt(0) == '(' && u.charAt(u.length - 1) == ')') {
+      neg = true
+      u = u.substring(1, u.length - 1)
+    }
+    if (!u.matches("[+-]?(\\d+(\\.\\d*)?|\\.\\d+)([eE][+-]?\\d+)?")) return null
+    val v = java.lang.Double.parseDouble(u)
+    java.lang.Double.valueOf(if (neg) -v else v)
+  }
+
+  /** Dot product over two float arrays, accumulated in double,
+    * left-to-right (same fold order as the HOF form and the DuckDB
+    * oracle). Nulls and length mismatches yield null. */
+  def dotFloat(a: ArrayData, b: ArrayData): java.lang.Double = {
+    if (a == null || b == null || a.numElements() != b.numElements()) return null
+    var acc = 0.0
+    var i = 0
+    val n = a.numElements()
+    while (i < n) {
+      acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      i += 1
+    }
+    java.lang.Double.valueOf(acc)
+  }
+}
+
+/** Native Catalyst form of the O11 messy-number cast (SURVEY.md §7.5's
+  * optional optimization): one compiled pass instead of the composed
+  * trim/regexp_replace ×2/concat/rlike/cast chain — fewer string
+  * allocations per row and a single regex only on the cleaned tail.
+  * Verified equivalent to [[graft.functions.Clean.parseMessyNumber]]
+  * in ExpressionSpec. */
+case class ParseMessyNumber(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"parse_messy_number expects STRING, got ${child.dataType.sql}")
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else {
+      val r = ExprHelpers.parseMessyNumber(v.asInstanceOf[UTF8String])
+      if (r == null) null else r.doubleValue()
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+        java.lang.Double ${ev.value}_r = graft.plans.ExprHelpers.parseMessyNumber($c);
+        if (${ev.value}_r == null) { ${ev.isNull} = true; }
+        else { ${ev.value} = ${ev.value}_r.doubleValue(); }
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): ParseMessyNumber =
+    copy(child = newChild)
+}
+
+/** Native float-array dot product for the similarity operators: the
+  * higher-order `aggregate(zip_with(...))` form is interpreted per
+  * element; this compiles to one tight loop per row. */
+case class DotProductFloat(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(FloatType, _) => true // containsNull-agnostic
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"dot_product_float expects ARRAY<FLOAT> args, got " +
+        s"${left.dataType.sql}, ${right.dataType.sql}")
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val l = left.eval(input)
+    val r = right.eval(input)
+    if (l == null || r == null) null
+    else {
+      val d = ExprHelpers.dotFloat(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+      if (d == null) null else d.doubleValue()
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (l, r) => {
+      s"""
+        java.lang.Double ${ev.value}_r = graft.plans.ExprHelpers.dotFloat($l, $r);
+        if (${ev.value}_r == null) { ${ev.isNull} = true; }
+        else { ${ev.value} = ${ev.value}_r.doubleValue(); }
+      """
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): DotProductFloat =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Column-level and SQL-level entry points for the native expressions. */
+object GraftFunctions {
+
+  def parseMessyNumber(c: Column): Column =
+    GraftSqlBridge.column(ParseMessyNumber(GraftSqlBridge.expression(c)))
+
+  def dotProductFloat(a: Column, b: Column): Column =
+    GraftSqlBridge.column(DotProductFloat(
+      GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+
+  private val registrations: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "parse_messy_number" -> { es => ParseMessyNumber(es.head) },
+    "dot_product_float" -> { es => DotProductFloat(es.head, es(1)) })
+
+  /** Register the SQL functions into an existing session (the
+    * runtime-registration path; config-time wiring is
+    * [[GraftExtensions]]). */
+  def register(spark: SparkSession): Unit =
+    registrations.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft.plans", name),
+        builder)
+    }
+}
+
+/** Config-time wiring: `.config("spark.sql.extensions",
+  * "graft.plans.GraftExtensions")` injects the native functions into
+  * every session built on that context. */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("parse_messy_number"),
+      new ExpressionInfo("graft.plans", "parse_messy_number"),
+      (es: Seq[Expression]) => ParseMessyNumber(es.head)))
+    ext.injectFunction((FunctionIdentifier("dot_product_float"),
+      new ExpressionInfo("graft.plans", "dot_product_float"),
+      (es: Seq[Expression]) => DotProductFloat(es.head, es(1))))
+  }
+}

@@ -1,0 +1,13 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Access shim: Column ↔ Expression conversion lives in
+  * `private[sql]` scope in Spark 4 (classic.ExpressionUtils); custom
+  * Catalyst expressions need it to expose a Column API. This is the
+  * standard extension-library pattern — no Spark internals are
+  * modified, just re-exported for graft.plans. */
+object GraftSqlBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.functions.Clean
+import graft.plans.GraftFunctions
+
+/** Native Catalyst expressions must be drop-in equivalent to the
+  * composed-builtin forms they optimize. */
+class ExpressionSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private val vectors = Seq(
+    "$1,234.56", "€2 000", "£3,000", "¥500", "85%", "(100)", "($1,500.25)",
+    "abc", "N/A", "---", "", "12a", "(abc)", " 42 ", "-12.5", "+3.25",
+    "1e3", "1.5E-2", ".5", "5.", "()", "(", "$", "%%", "  ")
+
+  test("ParseMessyNumber ≡ composed Clean.parseMessyNumber on vectors") {
+    val df = vectors.toDF("v").select(
+      Clean.parseMessyNumber(col("v")).as("composed"),
+      GraftFunctions.parseMessyNumber(col("v")).as("native"))
+    df.collect().zip(vectors).foreach { case (r, in) =>
+      val c = if (r.isNullAt(0)) null else r.getDouble(0)
+      val n = if (r.isNullAt(1)) null else r.getDouble(1)
+      assert(c == n, s"input <$in>: composed=$c native=$n")
+    }
+  }
+
+  test("ParseMessyNumber ≡ composed on random garbage (property)") {
+    val gens = Gen.oneOf(
+      Gen.asciiPrintableStr,
+      Gen.chooseNum(-1e9, 1e9).map(d => f"$$$d%,.2f"),
+      Gen.chooseNum(1, 999999).map(n => s"($n)"),
+      Gen.chooseNum(0.0, 100.0).map(d => f"$d%.1f%%"))
+    val samples = (0 until 400)
+      .flatMap(i => gens.apply(Gen.Parameters.default, Seed(i.toLong)))
+    val df = samples.toDF("v").select(
+      Clean.parseMessyNumber(col("v")).as("composed"),
+      GraftFunctions.parseMessyNumber(col("v")).as("native"))
+    df.collect().zip(samples).foreach { case (r, in) =>
+      val c = if (r.isNullAt(0)) null else r.getDouble(0)
+      val n = if (r.isNullAt(1)) null else r.getDouble(1)
+      assert(c == n, s"input <$in>: composed=$c native=$n")
+    }
+  }
+
+  test("DotProductFloat ≡ interpreted HOF fold on real embeddings") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val hof = aggregate(
+      zip_with(col("embedding"), col("embedding"),
+        (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (a, x) => a + x)
+    val rows = emb.select(
+      hof.as("hof"),
+      GraftFunctions.dotProductFloat(col("embedding"), col("embedding")).as("native"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getDouble(0) == r.getDouble(1),
+        s"fold-order mismatch: ${r.getDouble(0)} vs ${r.getDouble(1)}")
+    }
+  }
+
+  test("SQL registration: parse_messy_number / dot_product_float callable from SQL") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT parse_messy_number('($2,000.50)') AS a, " +
+        "dot_product_float(array(CAST(1.5 AS FLOAT), CAST(2.0 AS FLOAT)), " +
+        "array(CAST(2.0 AS FLOAT), CAST(3.0 AS FLOAT))) AS b").first()
+    assert(r.getDouble(0) == -2000.5)
+    assert(r.getDouble(1) == 9.0)
+  }
+
+  test("native expression type errors are analysis-time, not runtime") {
+    GraftFunctions.register(spark)
+    val e = intercept[Exception] {
+      spark.sql("SELECT parse_messy_number(array(1))").collect()
+    }
+    assert(e.getMessage.contains("parse_messy_number expects STRING")
+      || e.getMessage.toLowerCase.contains("data type mismatch"), e.getMessage)
+  }
+}
