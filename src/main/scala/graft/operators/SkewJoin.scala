@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for hot-key equi-joins.
+  *
+  * AQE's skew-join split handles most cases at runtime
+  * (spark.sql.adaptive.skewJoin.enabled, on by default); this explicit
+  * salted join is for the pathological tail AQE can't fix — e.g. one
+  * tenant owning half the fact table when joining fact⋈dim on
+  * tenant_id, where a single shuffle partition would otherwise receive
+  * half of 100 TB.
+  *
+  * Shape: the fact side gets a salt in [0, salts); the dim side is
+  * replicated `salts`× with every salt value; the join key becomes
+  * (key, salt), spreading each hot key over `salts` shuffle
+  * partitions. Dim replication cost = |dim|·salts rows — use for
+  * bounded dims only (the same precondition as broadcasting, with a
+  * far lower memory bound).
+  */
+object SkewJoin {
+
+  /** Inner/left equi-join of fact⋈dim on `key`, salted `salts` ways.
+    * The salt only affects row routing, never the result: any
+    * fact-side salt value meets its dim row because the dim side
+    * carries all salt values. */
+  def saltedEquiJoin(fact: DataFrame, dim: DataFrame, key: String,
+                     salts: Int = 16, joinType: String = "inner"): DataFrame = {
+    require(salts > 0)
+    // Deterministic-per-row-content is not required for correctness —
+    // only a uniform spread. spark_partition_id + a per-row counter
+    // spreads without an extra column scan.
+    val salted = fact.withColumn("_salt",
+      pmod(xxhash64(monotonically_increasing_id(), spark_partition_id()),
+        lit(salts.toLong)))
+    val replicated = dim.withColumn("_salt",
+      explode(sequence(lit(0L), lit(salts.toLong - 1))))
+    salted.join(replicated,
+        salted(key) === replicated(key) && salted("_salt") === replicated("_salt"),
+        joinType)
+      .drop(replicated(key)).drop("_salt")
+  }
+}

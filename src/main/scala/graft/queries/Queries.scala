@@ -851,6 +851,55 @@ object Queries {
     SELECT query_id, cand_id, cos_sim, rk FROM r
     WHERE rk <= 5 ORDER BY query_id, rk"""))
 
+  /** Exact grouped quantiles (ordered-set aggregate): percentile()
+    * with linear interpolation, matching DuckDB quantile_cont. Exact
+    * quantiles need the group's values together (sort-based agg);
+    * the approximate path at 100 TB is approx_percentile (mergeable
+    * KLL-style sketch, same shuffle shape as q_approx_distinct). */
+  private val qQuantile = Q(
+    "q_quantile",
+    (s, d) => t(s, d, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(expr("transform(percentile(l_quantity, array(0.25D, 0.5D, 0.75D)), x -> round(x, 4))")
+        .as("qs"))
+      .orderBy("l_returnflag"),
+    Some("""SELECT l_returnflag,
+      list_transform(quantile_cont(l_quantity, [0.25, 0.5, 0.75]),
+        x -> round(x, 4)) AS qs
+    FROM lineitem GROUP BY 1 ORDER BY l_returnflag"""))
+
+  /** The remaining ranking/offset window functions in one query:
+    * dense_rank, ntile, lag, lead, first/last over an explicit
+    * full-partition frame. One shuffle on o_custkey serves all six. */
+  private val qWindowFuncs = Q(
+    "q_window_funcs",
+    (s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          dense_rank().over(w).as("dr"),
+          ntile(4).over(w).as("quartile"),
+          lag(col("o_orderkey"), 1).over(w).as("prev_ok"),
+          lead(col("o_orderkey"), 1).over(w).as("next_ok"),
+          first(col("o_orderkey")).over(wFull).as("best_ok"),
+          last(col("o_orderkey")).over(wFull).as("worst_ok"))
+        .orderBy("o_custkey", "dr", "o_orderkey")
+    },
+    Some("""SELECT o_custkey, o_orderkey,
+      dense_rank() OVER w AS dr,
+      ntile(4) OVER w AS quartile,
+      lag(o_orderkey, 1) OVER w AS prev_ok,
+      lead(o_orderkey, 1) OVER w AS next_ok,
+      first_value(o_orderkey) OVER
+        (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS best_ok,
+      last_value(o_orderkey) OVER
+        (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS worst_ok
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC)
+    ORDER BY o_custkey, dr, o_orderkey"""))
+
   /** Multimodal binary path: text wrapped as opaque UTF-8 bytes +
     * typed metadata, features extracted in batched mapPartitions
     * (graft.operators.Multimodal). Byte stats on the ASCII fixture are
@@ -880,7 +929,7 @@ object Queries {
     qDedupExact, qTextStats, qMultimodalJoin, qSimilarityTopk,
     qLangId, qQualityScore, qTokenCount, qFingerprint,
     qNearDup, qDedupMinhash, qDedupSimhash, qEmbedNearDup,
-    qAnnTopk, qAnnIvf, qMediaFeatures)
+    qAnnTopk, qAnnIvf, qMediaFeatures, qQuantile, qWindowFuncs)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

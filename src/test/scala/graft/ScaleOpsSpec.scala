@@ -1,0 +1,76 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.SkewJoin
+import graft.sources.Warehouse
+
+/** Scale-infrastructure operators: salted skew join correctness and
+  * warehouse partition pruning. */
+class ScaleOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  test("saltedEquiJoin: identical result to the plain join under skew") {
+    // 90% of fact rows hit one hot key.
+    val fact = (1 to 10000).map { i =>
+      (if (i % 10 == 0) s"t${i % 7}" else "hot", i.toLong)
+    }.toDF("tenant", "v")
+    val dim = Seq(("hot", "HOT"), ("t0", "A"), ("t1", "B"), ("t3", "C"))
+      .toDF("tenant", "name")
+    val plain = fact.join(dim, "tenant")
+      .groupBy("tenant", "name").agg(count(lit(1)).as("n"), sum("v").as("s"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    val salted = SkewJoin.saltedEquiJoin(fact, dim, "tenant", salts = 8)
+      .groupBy("tenant", "name").agg(count(lit(1)).as("n"), sum("v").as("s"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(salted == plain)
+  }
+
+  test("saltedEquiJoin left join keeps unmatched fact rows exactly once") {
+    val fact = Seq(("a", 1L), ("zzz", 2L), ("a", 3L)).toDF("k", "v")
+    val dim = Seq(("a", "A")).toDF("k", "name")
+    val rows = SkewJoin.saltedEquiJoin(fact, dim, "k", salts = 4, joinType = "left")
+      .select("k", "v", "name").collect()
+      .map(r => (r.getString(0), r.getLong(1), if (r.isNullAt(2)) null else r.getString(2)))
+      .toSet
+    assert(rows == Set(("a", 1L, "A"), ("a", 3L, "A"), ("zzz", 2L, null)))
+  }
+
+  test("warehouse day-partitioned layout prunes partitions on read") {
+    val dir = Files.createTempDirectory("graft-wh").toString
+    val events = spark.createDataFrame(Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1.0),
+      (2L, java.sql.Timestamp.valueOf("2024-01-02 11:00:00"), 2.0),
+      (3L, java.sql.Timestamp.valueOf("2024-01-03 12:00:00"), 3.0)))
+      .toDF("event_id", "ts", "value")
+    Warehouse.appendEventsByDay(events, dir)
+    assert(Files.exists(java.nio.file.Paths.get(dir, "day=2024-01-02")))
+
+    val pruned = Warehouse.read(spark, dir).filter(col("day") === "2024-01-02")
+    assert(pruned.collect().map(_.getAs[Long]("event_id")).toSeq == Seq(2L))
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(day"),
+      s"no partition pruning in plan:\n$plan")
+    // Only ONE of the three day-directories' files is actually scanned.
+    val scanned = pruned.queryExecution.executedPlan.collectLeaves()
+      .collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.selectedPartitions.partitionCount
+      }
+    assert(scanned.contains(1), s"expected 1 selected partition, got $scanned")
+  }
+
+  test("schema evolution survives the partitioned layout (mergeSchema)") {
+    val dir = Files.createTempDirectory("graft-wh2").toString
+    Warehouse.appendPartitioned(
+      Seq((1L, "2024-01-01", 1.0)).toDF("id", "day", "a"), dir, Seq("day"))
+    Warehouse.appendPartitioned(
+      Seq((2L, "2024-01-02", "x")).toDF("id", "day", "b"), dir, Seq("day"))
+    val merged = Warehouse.read(spark, dir)
+    assert(merged.columns.toSet == Set("id", "day", "a", "b"))
+    val r = merged.filter(col("id") === 1L).first()
+    assert(r.isNullAt(r.fieldIndex("b")))
+  }
+}
