@@ -15,7 +15,10 @@ object Bench {
     spark.read.parquet(s"$sfDir/nation.parquet").count()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // noop sink, NOT count(): count() lets the optimizer prune every
+      // projection, so map-heavy queries would be timed as bare scans.
+      try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+      catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -86,10 +86,29 @@ object Clean {
     Seq("yyyy-MM-dd", "yyyy/M/d", "MM/dd/yyyy", "M/d/yyyy",
       "MMMM dd, yyyy", "MMMM d, yyyy", "MMM dd yyyy", "MMM d yyyy")
 
+  /** Shape guard per format: a cheap regex that is a superset of what
+    * the format parses. Guarding try_to_timestamp this way avoids the
+    * exception-throwing parse attempt for every non-matching format —
+    * unguarded, a non-date string pays all N parse failures; guarded it
+    * pays N regex tests and zero parses. Semantics are unchanged: a
+    * guard that matches but fails to parse yields NULL and coalesce
+    * moves on, exactly like the unguarded chain. */
+  private val DateFormatGuards: Seq[(String, String)] = Seq(
+    "yyyy-MM-dd" -> "^\\d{4}-\\d{1,2}-\\d{1,2}$",
+    "yyyy/M/d" -> "^\\d{4}/\\d{1,2}/\\d{1,2}$",
+    "MM/dd/yyyy" -> "^\\d{1,2}/\\d{1,2}/\\d{4}$",
+    "M/d/yyyy" -> "^\\d{1,2}/\\d{1,2}/\\d{4}$",
+    "MMMM dd, yyyy" -> "^[A-Za-z]+ \\d{1,2}, \\d{4}$",
+    "MMMM d, yyyy" -> "^[A-Za-z]+ \\d{1,2}, \\d{4}$",
+    "MMM dd yyyy" -> "^[A-Za-z]+ \\d{1,2} \\d{4}$",
+    "MMM d yyyy" -> "^[A-Za-z]+ \\d{1,2} \\d{4}$")
+
   /** O12: fuzzy date cast over the declared format subset
     * (main.py:241-247) — first format that parses wins; NULL otherwise. */
   def parseFuzzyDate(c: Column): Column = {
     val s = nullNormalize(trim(c))
-    coalesce(DateFormats.map(f => try_to_timestamp(s, lit(f))): _*).cast("date")
+    coalesce(DateFormatGuards.map { case (f, re) =>
+      when(s.rlike(re), try_to_timestamp(s, lit(f)))
+    }: _*).cast("date")
   }
 }

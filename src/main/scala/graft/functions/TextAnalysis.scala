@@ -44,6 +44,26 @@ object TextAnalysis {
     }
   }
 
+  /** DataFrame form of language-ID for corpus-scale use: the Column
+    * form's per-language filter() HOFs are interpreted; this explodes
+    * tokens once and counts markers with codegen'd conditional sums —
+    * one shuffle on the grouping key, map-side combined. Returns the
+    * input plus `lang_pred`. `keyCols` must uniquely key the rows. */
+  def withLangPred(df: org.apache.spark.sql.DataFrame, textCol: String,
+                   keyCols: Seq[String]): org.apache.spark.sql.DataFrame = {
+    val key = keyCols.map(col)
+    val exploded = df.select(key :+ explode(tokens(col(textCol))).as("_tok"): _*)
+    val sums = LangMarkers.map { case (l, ms) =>
+      sum(when(col("_tok").isin(ms.map(lit(_)): _*), 1L).otherwise(0L)).as(s"_s_$l")
+    }
+    val counts = exploded.groupBy(key: _*).agg(sums.head, sums.tail: _*)
+    val best = greatest(LangMarkers.map { case (l, _) => col(s"_s_$l") }: _*)
+    val pred = LangMarkers.foldRight(lit("und"): Column) { case ((l, _), acc) =>
+      when(best > 0 && col(s"_s_$l") === best, lit(l)).otherwise(acc)
+    }
+    df.join(counts.select(key :+ pred.as("lang_pred"): _*), keyCols)
+  }
+
   /** Word-ish tokens for the regex (BPE-ish) tokenizer: letter runs,
     * digit runs, and single other non-space symbols — the same RE2/Java
     * compatible pattern the oracle uses. */

@@ -650,8 +650,8 @@ object Queries {
     * lang. Pure map-side transform + 25-group agg. */
   private val qLangId = Q(
     "q_lang_id",
-    (s, d) => t(s, d, "documents")
-      .groupBy(col("lang"), TextAnalysis.langId(col("text")).as("lang_pred"))
+    (s, d) => TextAnalysis.withLangPred(t(s, d, "documents"), "text", Seq("doc_id"))
+      .groupBy(col("lang"), col("lang_pred"))
       .agg(count(lit(1)).as("cnt"))
       .orderBy("lang", "lang_pred"),
     Some("""WITH tk AS (
