@@ -868,6 +868,20 @@ object Queries {
         x -> round(x, 4)) AS qs
     FROM lineitem GROUP BY 1 ORDER BY l_returnflag"""))
 
+  /** Approximate grouped quantiles — the 100 TB twin of q_quantile:
+    * approx_percentile's sketch merges across partitions (one narrow
+    * shuffle of sketches vs the exact form's per-group value sort).
+    * No oracle (sketch-dependent); bounded-error vs exact is asserted
+    * in QueriesSmokeSpec. */
+  private val qApproxQuantile = Q(
+    "q_approx_quantile",
+    (s, d) => t(s, d, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(expr("approx_percentile(l_quantity, array(0.25D, 0.5D, 0.75D), 1000)")
+        .as("qs"))
+      .orderBy("l_returnflag"),
+    None)
+
   /** The remaining ranking/offset window functions in one query:
     * dense_rank, ntile, lag, lead, first/last over an explicit
     * full-partition frame. One shuffle on o_custkey serves all six. */
@@ -929,7 +943,7 @@ object Queries {
     qDedupExact, qTextStats, qMultimodalJoin, qSimilarityTopk,
     qLangId, qQualityScore, qTokenCount, qFingerprint,
     qNearDup, qDedupMinhash, qDedupSimhash, qEmbedNearDup,
-    qAnnTopk, qAnnIvf, qMediaFeatures, qQuantile, qWindowFuncs)
+    qAnnTopk, qAnnIvf, qMediaFeatures, qQuantile, qApproxQuantile, qWindowFuncs)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

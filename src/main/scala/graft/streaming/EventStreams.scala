@@ -61,6 +61,16 @@ object EventStreams {
       }
   }
 
+  /** Streaming exact dedup: drop events whose `idCols` were already
+    * seen, keeping state only within the watermark (the streaming twin
+    * of q_dedup_exact — state is evicted once an id is older than the
+    * watermark, so memory is bounded by the late-data window instead
+    * of the stream's lifetime). */
+  def dedupWithinWatermark(events: DataFrame, idCols: Seq[String],
+                           watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
+
   /** Convenience: run a streaming DataFrame to a memory sink until all
     * available data is processed; returns the sink table name. */
   def runToMemory(spark: SparkSession, df: DataFrame, name: String,

@@ -42,6 +42,22 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(got.nonEmpty, "watermark should have closed at least one window")
   }
 
+  test("dedupWithinWatermark drops replayed ids, keeps distinct ones") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    input.addData(
+      Event(1, ts(0), 1, 1.0), Event(1, ts(1), 1, 1.0), // dup id 1
+      Event(2, ts(2), 1, 2.0), Event(3, ts(3), 2, 3.0),
+      Event(2, ts(4), 1, 2.0)) // dup id 2
+    EventStreams.runToMemory(spark,
+      EventStreams.dedupWithinWatermark(input.toDF(), Seq("event_id")),
+      "dedup_out", OutputMode.Append())
+    val ids = spark.table("dedup_out").select("event_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(1L, 2L, 3L))
+  }
+
   test("sessionize counts gap-separated sessions like the batch query") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -25,6 +25,19 @@ class QueriesSmokeSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("approx quantiles stay within sketch error of exact quantiles") {
+    val exact = Queries.queries("q_quantile")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    val approx = Queries.queries("q_approx_quantile")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    exact.foreach { case (flag, qs) =>
+      qs.zip(approx(flag)).foreach { case (e, a) =>
+        assert(math.abs(e - a) <= math.max(1.0, e * 0.1),
+          s"group $flag: exact $e vs approx $a")
+      }
+    }
+  }
+
   test("every oracleSql key has a matching queries entry") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
