@@ -36,6 +36,30 @@ object Dedup {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** DataFrame form of shingle generation: posexplode tokens, build
+    * each shingle from window lead()s (all codegen'd), keep only
+    * full-width shingles, distinct per doc. Equivalent to
+    * explode([[shingles]]) but ~an order of magnitude faster: the
+    * Column form is an interpreted higher-order transform per row.
+    * One shuffle on doc_id (the window), which the downstream
+    * cardinality groupBy reuses. */
+  def shingleRows(docs: DataFrame, w: Int): DataFrame = {
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val toks = docs.select(col("doc_id"),
+      posexplode(split(lower(col("text")), " ")).as(Seq("pos", "tok")))
+    val leads = (1 until w).map(i => lead(col("tok"), i).over(win))
+    toks
+      // window expressions must live in a projection; _ok marks rows
+      // whose last lead is null (tail positions with short shingles)
+      .select(col("doc_id"),
+        concat_ws(" ", col("tok") +: leads: _*).as("s"),
+        leads.last.isNotNull.as("_ok"))
+      .filter(col("_ok"))
+      .select("doc_id", "s")
+      .dropDuplicates("doc_id", "s")
+  }
+
   /** Exact w-shingle Jaccard ≥ threshold pairs.
     * Shape: explode shingles → equi-join on shingle → per-pair common
     * count → join cardinalities → jaccard filter. At 100 TB the
@@ -44,13 +68,10 @@ object Dedup {
     * risk — mitigate upstream by using a larger w (default 5 here) so
     * bucket sizes stay small, and AQE skew-split for the tail. */
   def jaccardPairs(docs: DataFrame, w: Int = 5, threshold: Double = 0.8): DataFrame = {
-    // The shingle expression is an interpreted higher-order function —
-    // by far the most expensive node here — and `sh` feeds three
-    // consumers (cardinalities, the prune, both join sides). Persist it
-    // once instead of recomputing the explode per consumer;
+    // `sh` feeds three consumers (cardinalities, the prune, both join
+    // sides) — persist so shingle generation runs once;
     // MEMORY_AND_DISK so a 100 TB run spills instead of OOMing.
-    val sh = docs
-      .select(col("doc_id"), explode(shingles(col("text"), w)).as("s"))
+    val sh = shingleRows(docs, w)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val card = sh.groupBy("doc_id").agg(count(lit(1)).as("c"))
     // A shingle held by a single doc can never form a pair — drop it
@@ -88,7 +109,7 @@ object Dedup {
     * collapses shingles map-side, so the shuffle carries one row per
     * (doc, partition), not per shingle. */
   def minHashSignatures(docs: DataFrame, w: Int = 5, k: Int = 32): DataFrame = {
-    val sh = docs.select(col("doc_id"), explode(shingles(col("text"), w)).as("s"))
+    val sh = shingleRows(docs, w)
       .withColumn("h", pmod(hash(col("s")).cast("long"), lit(MinHashP)))
     val mins = minHashCoefs(k).zipWithIndex.map { case ((a, b), i) =>
       min(pmod(col("h") * a + b, lit(MinHashP))).as(s"m$i")
