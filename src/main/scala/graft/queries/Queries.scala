@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.{Clean, Inference, TextAnalysis}
-import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.operators.{Dedup, Multimodal, Similarity, TemporalJoins}
 
 /** The declared query inventory (SURVEY.md §2.4) — the t2 correctness
   * contract. Each query is a Spark DataFrame program plus (where
@@ -868,6 +868,67 @@ object Queries {
         x -> round(x, 4)) AS qs
     FROM lineitem GROUP BY 1 ORDER BY l_returnflag"""))
 
+  /** As-of join (operator Spark lacks; graft.operators.TemporalJoins):
+    * for each purchase event, the same user's latest view at-or-before
+    * it. Union-and-carry — ONE shuffle on the key, no pair explosion.
+    * Oracle: DuckDB's native ASOF LEFT JOIN. */
+  private val qAsofJoin = Q(
+    "q_asof_join",
+    (s, d) => {
+      val e = t(s, d, "events")
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val views = e.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("view_id"), col("value").as("view_value"))
+      TemporalJoins.asofJoin(purchases, views, Seq("user_id"), "ts", "ts",
+          Seq("view_id", "view_value"))
+        .orderBy("event_id")
+    },
+    Some("""WITH e AS (
+      SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, value,
+        event_type FROM events),
+    p AS (SELECT event_id, user_id, ts FROM e WHERE event_type = 'purchase'),
+    v AS (SELECT user_id, ts, event_id AS view_id, value AS view_value
+      FROM e WHERE event_type = 'view')
+    SELECT p.event_id, p.user_id, p.ts,
+      v.view_id AS asof_view_id, v.view_value AS asof_view_value
+    FROM p ASOF LEFT JOIN v
+      ON p.user_id = v.user_id AND p.ts >= v.ts
+    ORDER BY p.event_id"""))
+
+  /** Range (interval) join: clicks within the 2 hours before each
+    * purchase, same user — bucketed equi-join + exact refine, no
+    * per-key nested loop. Oracle: DuckDB inequality join. */
+  private val qRangeJoin = Q(
+    "q_range_join",
+    (s, d) => {
+      val e = t(s, d, "events")
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"),
+          col("ts").as("p_ts"),
+          (col("ts") - expr("INTERVAL 2 HOURS")).as("w_start"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("c_id"),
+          col("ts").as("c_ts"))
+      TemporalJoins.rangeJoin(purchases, clicks, Seq("user_id"),
+          "w_start", "p_ts", "c_ts", bucketSeconds = 7200L)
+        .select("p_id", "c_id", "user_id")
+        .orderBy("p_id", "c_id")
+    },
+    Some("""WITH e AS (
+      SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type
+      FROM events),
+    p AS (SELECT event_id AS p_id, user_id, ts AS p_ts,
+        ts - INTERVAL 2 HOUR AS w_start
+      FROM e WHERE event_type = 'purchase'),
+    c AS (SELECT event_id AS c_id, user_id, ts AS c_ts
+      FROM e WHERE event_type = 'click')
+    SELECT p.p_id, c.c_id, p.user_id
+    FROM p JOIN c ON p.user_id = c.user_id
+      AND c.c_ts >= p.w_start AND c.c_ts <= p.p_ts
+    ORDER BY p_id, c_id"""))
+
   /** Approximate grouped quantiles — the 100 TB twin of q_quantile:
     * approx_percentile's sketch merges across partitions (one narrow
     * shuffle of sketches vs the exact form's per-group value sort).
@@ -943,7 +1004,8 @@ object Queries {
     qDedupExact, qTextStats, qMultimodalJoin, qSimilarityTopk,
     qLangId, qQualityScore, qTokenCount, qFingerprint,
     qNearDup, qDedupMinhash, qDedupSimhash, qEmbedNearDup,
-    qAnnTopk, qAnnIvf, qMediaFeatures, qQuantile, qApproxQuantile, qWindowFuncs)
+    qAnnTopk, qAnnIvf, qMediaFeatures, qQuantile, qApproxQuantile,
+    qWindowFuncs, qAsofJoin, qRangeJoin)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap
