@@ -79,14 +79,9 @@ object Clean {
       from_json(lit("{}"), mapT))
   }
 
-  /** Declared supported formats for O12 (SURVEY.md §7.4: full
-    * dateutil-fuzzy parity is ill-specified; this is the documented
-    * subset). */
-  val DateFormats: Seq[String] =
-    Seq("yyyy-MM-dd", "yyyy/M/d", "MM/dd/yyyy", "M/d/yyyy",
-      "MMMM dd, yyyy", "MMMM d, yyyy", "MMM dd yyyy", "MMM d yyyy")
-
-  /** Shape guard per format: a cheap regex that is a superset of what
+  /** Declared (format, shape-guard) pairs for O12 (SURVEY.md §7.4:
+    * full dateutil-fuzzy parity is ill-specified; this is the
+    * documented subset). The guard is a cheap regex superset of what
     * the format parses. Guarding try_to_timestamp this way avoids the
     * exception-throwing parse attempt for every non-matching format —
     * unguarded, a non-date string pays all N parse failures; guarded it

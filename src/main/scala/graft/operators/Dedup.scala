@@ -15,8 +15,8 @@ import org.apache.spark.sql.functions._
   *    banding, the 100 TB path — signature computation is one map-side
   *    partial-agg groupBy, banding turns near-dup search into b
   *    equi-joins on (band, bandHash);
-  *  - [[simHash64]] / [[simHashPairs]]: 64-bit SimHash with 4×16-bit
-  *    band blocking (pigeonhole: hamming ≤ 3 ⇒ ≥1 band equal);
+  *  - [[simHashPairs]]: 64-bit SimHash with 4×16-bit band blocking
+  *    (pigeonhole: hamming ≤ 3 ⇒ ≥1 band equal);
   *  - [[cosinePairs]]: embedding-cosine near-dup, label-blocked.
   *
   * All signature math is Column-expression only (codegen, no UDFs);
@@ -24,25 +24,12 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Distinct w-shingles over the whitespace tokens of lowercased
-    * text. Guarded sequence: texts shorter than w tokens yield no
-    * shingles (sequence(1,0) would count DOWN in Spark). */
-  def shingles(text: Column, w: Int): Column = {
-    val t = split(lower(text), " ")
-    when(size(t) >= w,
-      array_distinct(transform(
-        sequence(lit(1), size(t) - (w - 1)),
-        i => concat_ws(" ", slice(t, i, lit(w))))))
-      .otherwise(array().cast("array<string>"))
-  }
-
-  /** DataFrame form of shingle generation: posexplode tokens, build
-    * each shingle from window lead()s (all codegen'd), keep only
-    * full-width shingles, distinct per doc. Equivalent to
-    * explode([[shingles]]) but ~an order of magnitude faster: the
-    * Column form is an interpreted higher-order transform per row.
-    * One shuffle on doc_id (the window), which the downstream
-    * cardinality groupBy reuses. */
+  /** Shingle generation: posexplode tokens, build each w-shingle from
+    * window lead()s (all codegen'd), keep only full-width shingles,
+    * distinct per doc — ~an order of magnitude faster than the
+    * equivalent higher-order-transform Column expression is
+    * interpreted per row. One shuffle on doc_id (the window), which
+    * the downstream cardinality groupBy reuses. */
   def shingleRows(docs: DataFrame, w: Int): DataFrame = {
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("pos")
@@ -147,44 +134,16 @@ object Dedup {
       .filter(col("est_jaccard") >= minEst)
   }
 
-  /** 64-bit SimHash of the whitespace tokens, materialized as 4
-    * 16-bit band integers (for blocking) plus the full hash. Bit b of
-    * the hash is the sign of sum over tokens of ±1 according to bit b
-    * of xxhash64(token). */
-  def simHash64(text: Column): Column = {
-    // Hash each token exactly once up front; the per-bit fold then only
-    // shifts/masks that long (the shift amounts must be Scala literals,
-    // so the 64-wide loop runs in Scala, not as a Column sequence).
-    val hs = transform(split(lower(text), " "), tok => xxhash64(tok))
-    val sums = aggregate(hs, array_repeat(lit(0L), 64),
-      (acc, h) => zip_with(acc,
-        array((0 until 64).map(b =>
-          when(shiftright(h, b).bitwiseAND(1L) === 1L, 1L)
-            .otherwise(-1L)): _*),
-        (a, x) => a + x))
-    transform(sums, s => when(s > 0, lit(1L)).otherwise(lit(0L)))
-  }
-
-  /** 4 × 16-bit band integers from the 64-bit vector (bit k of band j
-    * = vector position j*16+k). The shift loop runs in Scala so each
-    * shift amount is a literal — stays codegen-friendly. */
-  def simHashBands(bits: Column): Seq[Column] =
-    (0 until 4).map { j =>
-      (0 until 16).map(kk =>
-        element_at(bits, j * 16 + kk + 1) * lit(1L << kk))
-        .reduce(_ + _)
-    }
-
   /** SimHash near-dup pairs with hamming distance ≤ maxHamming (< 4):
     * by pigeonhole such pairs agree on ≥1 of the 4 bands, so
     * candidates come from 4 equi-joins (unioned), then the exact
     * hamming filter. */
   def simHashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     require(maxHamming < 4, "band blocking assumes hamming < #bands")
-    // Signature via explode + hash-aggregate, NOT the array fold of
-    // [[simHash64]]: higher-order functions are interpreted (no
-    // codegen), while 64 sum() accumulators over an exploded token
-    // stream stay inside whole-stage codegen AND combine map-side —
+    // Signature via explode + hash-aggregate, not an array fold:
+    // higher-order functions are interpreted (no codegen), while 64
+    // sum() accumulators over an exploded token stream stay inside
+    // whole-stage codegen AND combine map-side —
     // the shuffle carries 64 longs per (doc, partition). This is the
     // shape that survives 100 TB.
     val toks = docs.select(col("doc_id"),

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.TextAnalysis
+
+/** Text-analysis unit tests beyond the oracle queries: the scalar
+  * Column form and the scalable DataFrame form of language-ID must
+  * agree, and the scoring primitives behave on constructed inputs. */
+class TextAnalysisSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  test("langId Column form agrees with withLangPred DataFrame form") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val scalar = docs.select(col("doc_id"),
+        TextAnalysis.langId(col("text")).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val vectorized = TextAnalysis.withLangPred(docs, "text", Seq("doc_id"))
+      .select("doc_id", "lang_pred")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(scalar == vectorized)
+  }
+
+  test("langId picks the marker-dominant language, 'und' when none") {
+    val got = Seq(
+      "the cat and the dog of a house",
+      "der hund und das haus ist hier",
+      "le chat et les maisons du village",
+      "xyz qqq www zzz")
+      .toDF("text")
+      .select(TextAnalysis.langId(col("text")))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == Seq("en", "de", "fr", "und"))
+  }
+
+  test("fingerprint is order-sensitive and deterministic") {
+    val fp = Seq("alpha beta gamma", "gamma beta alpha", "alpha beta gamma")
+      .toDF("text")
+      .select(TextAnalysis.fingerprint(col("text")))
+      .collect().map(_.getLong(0)).toSeq
+    assert(fp(0) == fp(2))
+    assert(fp(0) != fp(1), "permuted tokens must fingerprint differently")
+  }
+
+  test("qualityScore bounded in [0,1] and monotone in stopword ratio") {
+    val scores = Seq(
+      "the of and to a in is the of and", // all stopwords
+      "qqq www eee rrr ttt yyy uuu iii ooo ppp") // none
+      .toDF("text")
+      .select(TextAnalysis.qualityScore(col("text")))
+      .collect().map(_.getDouble(0)).toSeq
+    assert(scores.forall(s => s >= 0.0 && s <= 1.0))
+    assert(scores(0) > scores(1))
+  }
+}
