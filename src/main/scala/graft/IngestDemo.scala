@@ -37,19 +37,25 @@ object IngestDemo {
     put("incoming/acme/q1/batch/r2.pdf",
       "Revenue=(1,200)\nDate=April 2, 2024\nRegion=N/A")
     put("incoming/acme/q1/batch/junk.csv", "rejected by admission filter")
+    // second folder in the SAME micro-batch (multi-folder batch path)
+    put("incoming/acme/q2/batch/s1.pdf", "Headcount=1,250\nSite=Berlin")
 
     val meta = Catalog.train("acme", "q1", "quarterly report",
       Map("Revenue" -> "$1,000", "Date" -> "2024-01-01", "Region" -> "EMEA"))
+    val meta2 = Catalog.train("acme", "q2", "sites",
+      Map("Headcount" -> "1,000", "Site" -> "Berlin"))
     println(s"[demo] trained folder: " +
       meta.kpis.map(k => s"${k.columnName}:${k.logicalType}").mkString(", "))
 
     Ingest.start(spark, s"$root/landing", s"$root/wh", s"$root/proc",
-      s"$root/cp", Catalog.empty.add(meta), DeterministicExtractor)
+      s"$root/cp", Catalog.empty.add(meta).add(meta2), DeterministicExtractor)
       .awaitTermination()
 
     println(s"[demo] table ${meta.tableName} after ingest:")
     Ingest.readTable(spark, s"$root/wh", meta)
       .orderBy("file_name").show(truncate = false)
+    println(s"[demo] table ${meta2.tableName} after ingest:")
+    Ingest.readTable(spark, s"$root/wh", meta2).show(truncate = false)
     println(s"[demo] archived r1: " + Files.exists(
       Paths.get(root, "proc/incoming/acme/q1/batch/r1.pdf")))
     println(s"[demo] junk.csv still in landing (rejected): " + Files.exists(

@@ -82,6 +82,33 @@ object Multimodal {
       }
   }
 
+  /** Distributed resize: every media row through the (stub) codec's
+    * resample, batched per partition — map-only, zero shuffle; the
+    * bytes never leave the executor. */
+  def resized(media: Dataset[MediaRow], w: Int, h: Int): Dataset[MediaRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.map { row =>
+      val (m2, b2) = StubCodec.resize(row.meta, row.content, w, h)
+      MediaRow(row.media_id, m2, b2)
+    })
+  }
+
+  final case class Frame(media_id: Long, frame_idx: Int, frame: Array[Byte])
+
+  /** Distributed frame sampling: one media row fans out to its kept
+    * frames (video → keyframe extraction shape). Output rows are
+    * small; downstream per-frame work partitions freely. */
+  def sampledFrames(media: Dataset[MediaRow], frameSize: Int,
+                    stride: Int): Dataset[Frame] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.flatMap { row =>
+      StubCodec.sampleFrames(row.content, frameSize, stride)
+        .zipWithIndex.map { case (f, i) => Frame(row.media_id, i, f) }
+    }
+  }
+
   /** Batched per-partition feature extraction (the mapInPandas analog:
     * one JVM-side pass per partition, vectorizable per batch, no
     * per-row scheduling overhead). The features themselves are real

@@ -83,7 +83,8 @@ object Ingest {
             checkpointDir: String,
             catalog: Catalog,
             extractor: Extractor,
-            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+            trigger: Trigger = Trigger.AvailableNow(),
+            maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
 
     val extractUdf = udf((name: String, content: Array[Byte], keys: Seq[String]) =>
       extractor.extract(name, content, keys))
@@ -95,36 +96,52 @@ object Ingest {
       org.apache.spark.sql.types.StructField("modificationTime", org.apache.spark.sql.types.TimestampType),
       org.apache.spark.sql.types.StructField("length", org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("content", org.apache.spark.sql.types.BinaryType)))
-    val source = spark.readStream
+    // maxFilesPerTrigger bounds a micro-batch when a backlog of
+    // millions of files lands at once (restart after downtime) — each
+    // batch stays memory-bounded instead of listing the world.
+    val reader = spark.readStream
       .format("binaryFile")
       .schema(binarySchema)
       .option("recursiveFileLookup", "true")
+    val source = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n.toString))
       .load(landingDir)
 
     admit(source).writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val present = batch.select("uid", "folder").distinct()
-          .collect().map(r => (r.getString(0), r.getString(1)))
-        present.foreach { case (uid, folder) =>
-          catalog.get(uid, folder).foreach { meta =>
-            val keys = meta.kpis.map(_.name)
-            val subset = batch
-              .filter(col("uid") === uid && col("folder") === folder)
-              .withColumn("kpis",
-                extractUdf(col("file_name"), col("content"),
-                  typedLit(keys)))
-            project(subset, meta)
-              .withColumn("_batch_id", lit(batchId))
-              .write.mode("overwrite")
-              .option("partitionOverwriteMode", "dynamic")
-              .partitionBy("_batch_id")
-              .parquet(s"$warehouseDir/${meta.tableName}")
-            archive(spark, batch, uid, folder, processedDir)
+        // Persist: every per-folder write re-evaluates the batch, and
+        // the archive move below deletes source files — an unpersisted
+        // batch would re-list moved files (FAILED_READ_FILE) when one
+        // micro-batch spans several folders.
+        batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val present = batch.select("uid", "folder").distinct()
+            .collect().map(r => (r.getString(0), r.getString(1)))
+          val ingested = present.filter { case (u, f) =>
+            catalog.get(u, f).exists { meta =>
+              val keys = meta.kpis.map(_.name)
+              val subset = batch
+                .filter(col("uid") === u && col("folder") === f)
+                .withColumn("kpis",
+                  extractUdf(col("file_name"), col("content"),
+                    typedLit(keys)))
+              project(subset, meta)
+                .withColumn("_batch_id", lit(batchId))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("_batch_id")
+                .parquet(s"$warehouseDir/${meta.tableName}")
+              true
+            }
           }
-        }
-        ()
+          // Archive ONLY after every folder's rows are durably written
+          // (O17's crash window closed by ordering + checkpoint).
+          ingested.foreach { case (u, f) =>
+            archive(spark, batch, u, f, processedDir)
+          }
+        } finally { batch.unpersist(); () }
       }
       .start()
   }

@@ -92,6 +92,36 @@ class IngestSpec extends AnyFunSuite {
     assert(t3.select("row_id").distinct().count() == 2)
   }
 
+  test("volume: 300 files, 3 folders, bounded micro-batches, no dups") {
+    val root = Files.createTempDirectory("graft-ingest-vol").toString
+    val folders = Seq("f1", "f2", "f3")
+    val catalog = folders.foldLeft(Catalog.empty) { (c, f) =>
+      c.add(Catalog.train("u1", f, "bulk", Map("Amount" -> "$10")))
+    }
+    folders.foreach { f =>
+      (1 to 100).foreach { i =>
+        write(root + "/landing", s"incoming/u1/$f/batch/doc$i.pdf",
+          s"Amount=$$${i},000.50")
+      }
+    }
+    Ingest.start(spark, s"$root/landing", s"$root/warehouse", s"$root/processed",
+      s"$root/checkpoint", catalog, DeterministicExtractor,
+      maxFilesPerTrigger = Some(50)).awaitTermination()
+    folders.foreach { f =>
+      val meta = catalog.get("u1", f).get
+      val t = Ingest.readTable(spark, s"$root/warehouse", meta)
+      assert(t.count() == 100, f)
+      assert(t.select("row_id").distinct().count() == 100, f)
+      // bounded batches: >1 distinct _batch_id partition was written
+      val batches = graft.catalog.Catalog.readTable(spark, s"$root/warehouse", meta)
+        .select("_batch_id").distinct().count()
+      assert(batches > 1, s"$f: expected multiple micro-batches, got $batches")
+      val v = t.filter(org.apache.spark.sql.functions.col("file_name") === "doc7.pdf")
+        .first().getAs[Double]("kpi_amount")
+      assert(v == 7000.5, f)
+    }
+  }
+
   test("admit implements the B.6 admission vectors") {
     import spark.implicits._
     val paths = Seq(

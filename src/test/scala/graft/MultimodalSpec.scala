@@ -35,6 +35,26 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("distributed resize and frame sampling run map-only over the corpus") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet").limit(50)
+    val media = Multimodal.asMediaTable(docs)
+    val small = Multimodal.resized(media, 8, 8).collect()
+    assert(small.length == 50)
+    small.foreach { r =>
+      assert(r.meta.width == 8 && r.meta.height == 8)
+      assert(r.meta.nBytes == r.content.length.toLong)
+    }
+    val frames = Multimodal.sampledFrames(media, frameSize = 64, stride = 2)
+    val byDoc = frames.collect().groupBy(_.media_id)
+    assert(byDoc.size == 50)
+    val orig = media.collect().map(m => m.media_id -> m.content).toMap
+    byDoc.foreach { case (id, fs) =>
+      val expected = (math.ceil(orig(id).length / 64.0).toInt + 1) / 2
+      assert(fs.length == expected, s"doc $id: ${fs.length} frames vs $expected")
+      assert(fs.head.frame.toSeq == orig(id).slice(0, 64).toSeq)
+    }
+  }
+
   test("stub resize keeps the (meta, bytes) contract") {
     val bytes = Array.tabulate(1000)(_.toByte)
     val meta = StubCodec.decode("image", bytes)
