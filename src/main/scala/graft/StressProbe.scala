@@ -1,0 +1,33 @@
+package graft
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+/** Scratch scaling probe (not part of the library surface): replicate
+  * the sf0.1 documents corpus 10x with distinct ids and time the
+  * near-dup family, to observe the scaling slope vs sf0.1. */
+object StressProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    val big = (0 until 10).map(i =>
+      base.withColumn("doc_id", col("doc_id") + lit(i * 1000000L))
+          .withColumn("text", when(lit(i) === 0, col("text"))
+            .otherwise(concat(col("text"), lit(" rep" + i))))
+    ).reduce(_ unionByName _).repartition(32)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    println(s"[stress] corpus: ${big.count()} docs")
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"[stress] $name: ${(System.nanoTime()-t0)/1e9}%.1fs, $n rows")
+    }
+    time("jaccard")  { Dedup.jaccardPairs(big).count() }
+    time("minhash")  { Dedup.minHashCandidates(big).count() }
+    time("simhash")  { Dedup.simHashPairs(big).count() }
+    spark.stop()
+  }
+}

@@ -50,6 +50,35 @@ final case class Catalog(folders: Map[(String, String), FolderMeta]) {
 object Catalog {
   val empty: Catalog = Catalog(Map.empty)
 
+  private final case class KpiRow(name: String, logicalType: String)
+  private final case class FolderRow(uid: String, folder: String,
+                                     contextHint: String, kpis: Seq[KpiRow])
+
+  /** Persist the catalog as JSON under the warehouse (the rebuild's
+    * Firestore analog — reference main.py:497-503 persists folder
+    * metadata on confirm). O(#folders) rows; coalesced to one file so
+    * the catalog read is a single-object fetch. */
+  def save(spark: SparkSession, catalog: Catalog, warehouseDir: String): Unit = {
+    import spark.implicits._
+    catalog.folders.values.toSeq
+      .map(m => FolderRow(m.uid, m.folder, m.contextHint,
+        m.kpis.map(k => KpiRow(k.name, k.logicalType))))
+      .toDS().coalesce(1)
+      .write.mode("overwrite").json(s"$warehouseDir/_catalog")
+  }
+
+  /** Load a previously [[save]]d catalog. */
+  def load(spark: SparkSession, warehouseDir: String): Catalog = {
+    import spark.implicits._
+    val rows = spark.read
+      .schema(implicitly[org.apache.spark.sql.Encoder[FolderRow]].schema)
+      .json(s"$warehouseDir/_catalog")
+      .as[FolderRow].collect()
+    Catalog(rows.map(r => (r.uid, r.folder) ->
+      FolderMeta(r.uid, r.folder, r.contextHint,
+        r.kpis.map(k => KpiMeta(k.name, k.logicalType)))).toMap)
+  }
+
   /** Training flow (reference §3.2: /analyze-master + /confirm-kpis):
     * run schema discovery over one master document's extracted map,
     * infer a logical type per field from its sample value

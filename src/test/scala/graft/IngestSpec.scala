@@ -122,6 +122,19 @@ class IngestSpec extends AnyFunSuite {
     }
   }
 
+  test("catalog save/load round-trips through the warehouse (Firestore analog)") {
+    val root = Files.createTempDirectory("graft-cat").toString
+    val c = Catalog.empty
+      .add(Catalog.train("u1", "f1", "hint one",
+        Map("Total Revenue ($)" -> "$1,234.56", "Status" -> "Active")))
+      .add(Catalog.train("u2", "f9", "", Map("Date" -> "2024-01-15")))
+    Catalog.save(spark, c, root)
+    val back = Catalog.load(spark, root)
+    assert(back == c)
+    assert(back.get("u1", "f1").get.schema == c.get("u1", "f1").get.schema)
+    assert(back.get("u2", "f9").get.kpis.head.logicalType == "date")
+  }
+
   test("admit implements the B.6 admission vectors") {
     import spark.implicits._
     val paths = Seq(

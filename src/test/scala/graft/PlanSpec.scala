@@ -69,4 +69,22 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("q_ann_topk")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
   }
+
+  test("q_ann_ivf: cell-restricted join is an equi (hash) join, not a loop") {
+    val p = plan("q_ann_ivf")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin")
+      || p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q_asof_join: one window, no join operator at all") {
+    val p = plan("q_asof_join")
+    assert(p.contains("Window"), p)
+    assert(!p.contains("Join"), s"as-of must not plan a join:\n$p")
+  }
+
+  test("q_range_join: bucketed equi-join, never a nested loop") {
+    val p = plan("q_range_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+  }
 }
