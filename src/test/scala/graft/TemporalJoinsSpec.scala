@@ -57,6 +57,55 @@ class TemporalJoinsSpec extends AnyFunSuite {
     assert(got == Set((100L, 300L), (100L, 301L), (100L, 302L), (200L, 304L)))
   }
 
+  test("asofJoin matches a brute-force reference on random data (property)") {
+    val rnd = new scala.util.Random(42)
+    val left = (1 to 300).map(i =>
+      (i.toLong, (rnd.nextInt(8) + 1).toLong, ts(rnd.nextInt(500))))
+    val right = (1 to 300).map(i =>
+      ((rnd.nextInt(8) + 1).toLong, ts(rnd.nextInt(500)), s"tag$i"))
+    val got = TemporalJoins.asofJoin(
+        left.toDF("id", "k", "t"), right.toDF("k", "t", "tag"),
+        Seq("k"), "t", "t", Seq("tag"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) null else r.getString(3))).toMap
+    // Brute force: for each left row, the right row with max time <= t
+    // (ties on time broken by input order's last — mirror the window's
+    // last() over ties, which takes the later of equal-time rows).
+    left.foreach { case (id, k, t) =>
+      val cands = right.filter(r => r._1 == k && !r._2.after(t))
+      val exp = if (cands.isEmpty) null
+        else cands.maxBy(r => (r._2.getTime, right.indexOf(r)))._3
+      val g = got(id)
+      // equal-time ties are order-ambiguous both in the operator and
+      // brute force — only compare when the winning time is unique
+      val winners = cands.filter(c => cands.forall(!_._2.after(c._2)))
+      if (winners.map(_._2.getTime).distinct.size <= 1 && winners.size <= 1)
+        assert(g == exp, s"left $id key $k: got $g expected $exp")
+      else assert(winners.map(_._3).contains(g), s"left $id: $g not among ties")
+    }
+  }
+
+  test("rangeJoin matches a brute-force reference on random data (property)") {
+    val rnd = new scala.util.Random(7)
+    val left = (1 to 200).map(i =>
+      { val s = rnd.nextInt(400); (i.toLong, (rnd.nextInt(5) + 1).toLong,
+        ts(s), ts(s + rnd.nextInt(90))) })
+    val right = (1 to 200).map(i =>
+      ((rnd.nextInt(5) + 1).toLong, (1000 + i).toLong, ts(rnd.nextInt(500))))
+    val got = TemporalJoins.rangeJoin(
+        left.toDF("lid", "k", "start", "end"), right.toDF("k", "rid", "rt"),
+        Seq("k"), "start", "end", "rt", bucketSeconds = 1800L)
+      .select("lid", "rid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exp = (for {
+      (lid, lk, s, e) <- left
+      (rk, rid, rt) <- right
+      if lk == rk && !rt.before(s) && !rt.after(e)
+    } yield (lid, rid)).toSet
+    assert(got == exp,
+      s"missing=${(exp -- got).take(5)} extra=${(got -- exp).take(5)}")
+  }
+
   test("rangeJoin result has no duplicate pairs from multi-bucket spans") {
     val left = Seq((1L, 1L, ts(0), ts(600))).toDF("lid", "k", "start", "end")
     val right = Seq((1L, 2L, ts(300))).toDF("k", "rid", "rt")
