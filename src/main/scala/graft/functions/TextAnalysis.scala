@@ -76,10 +76,19 @@ object TextAnalysis {
   /** Number of whitespace tokens. */
   def tokenCountWs(text: Column): Column = size(tokens(text))
 
+  /** Cross-engine-stable positive rounding: floor(x·10^4 + 0.5)/10^4.
+    * Ratios of small integers often land EXACTLY on .xxxx5 decimal
+    * boundaries, where Spark's BigDecimal HALF_UP and DuckDB's rounding
+    * can disagree about which side the nearest double sits on. The
+    * floor form is the same three IEEE ops in both engines, so results
+    * are bit-identical; oracles use the same expression. Positive
+    * inputs only. */
+  def round4Stable(c: Column): Column = floor(c * 10000.0 + 0.5) / 10000.0
+
   /** Type-token ratio (distinct/total whitespace tokens), 4 dp. */
   def typeTokenRatio(text: Column): Column = {
     val t = tokens(text)
-    round(size(array_distinct(t)).cast("double") / size(t), 4)
+    round4Stable(size(array_distinct(t)).cast("double") / size(t))
   }
 
   /** Quality score in [0,1]: linear mix of length saturation, stopword
@@ -91,11 +100,10 @@ object TextAnalysis {
     val stopRatio = markerCount(t, LangMarkers.head._2).cast("double") / nTok
     val punct = length(regexp_replace(lower(text), "[a-z0-9 ]", ""))
     val punctRatio = punct.cast("double") / length(text)
-    round(
+    round4Stable(
       least(nTok, lit(100.0)) / 100.0 * 0.4
         + stopRatio * 0.3
-        + (lit(1.0) - punctRatio) * 0.3,
-      4)
+        + (lit(1.0) - punctRatio) * 0.3)
   }
 
   /** Positional polynomial fingerprint (rolling-hash analog, kept

@@ -593,12 +593,14 @@ object Queries {
     (s, d) => t(s, d, "documents")
       .groupBy("lang")
       .agg(count(lit(1)).as("n_docs"),
-        round(avg("n_chars"), 4).as("avg_chars"),
-        round(avg(size(split(col("text"), " "))), 4).as("avg_tokens"))
+        TextAnalysis.round4Stable(avg("n_chars")).as("avg_chars"),
+        TextAnalysis.round4Stable(avg(size(split(col("text"), " "))))
+          .as("avg_tokens"))
       .orderBy("lang"),
     Some("""SELECT lang, count(*) AS n_docs,
-      round(avg(n_chars), 4) AS avg_chars,
-      round(avg(len(string_split(text, ' '))), 4) AS avg_tokens
+      floor(avg(n_chars) * 10000.0 + 0.5) / 10000.0 AS avg_chars,
+      floor(avg(len(string_split(text, ' '))) * 10000.0 + 0.5) / 10000.0
+        AS avg_tokens
     FROM documents GROUP BY 1 ORDER BY lang"""))
 
   /** Multimodal equi-join documents ⋈ embeddings (1:1 on doc_id) —
@@ -609,10 +611,11 @@ object Queries {
     (s, d) => t(s, d, "documents")
       .join(t(s, d, "embeddings"), col("doc_id") === col("vec_id"))
       .groupBy("label")
-      .agg(count(lit(1)).as("n_docs"), round(avg("n_chars"), 4).as("avg_chars"))
+      .agg(count(lit(1)).as("n_docs"),
+        TextAnalysis.round4Stable(avg("n_chars")).as("avg_chars"))
       .orderBy("label"),
     Some("""SELECT label, count(*) AS n_docs,
-      round(avg(n_chars), 4) AS avg_chars
+      floor(avg(n_chars) * 10000.0 + 0.5) / 10000.0 AS avg_chars
     FROM documents JOIN embeddings ON doc_id = vec_id
     GROUP BY 1 ORDER BY label"""))
 
@@ -688,9 +691,10 @@ object Queries {
         len(text) AS n_char
       FROM documents)
     SELECT doc_id,
-      round(least(n_tok, 100) / 100.0 * 0.4
+      floor((least(n_tok, 100) / 100.0 * 0.4
         + (n_stop * 1.0 / n_tok) * 0.3
-        + (1.0 - n_punct * 1.0 / n_char) * 0.3, 4) AS quality
+        + (1.0 - n_punct * 1.0 / n_char) * 0.3) * 10000.0 + 0.5) / 10000.0
+        AS quality
     FROM q ORDER BY doc_id"""))
 
   /** Token counting: whitespace tokens, regex (BPE-ish) tokens, and
@@ -706,8 +710,8 @@ object Queries {
     Some("""SELECT doc_id,
       len(string_split(lower(text), ' ')) AS ws_tokens,
       len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS re_tokens,
-      round(len(list_distinct(string_split(lower(text), ' '))) * 1.0
-        / len(string_split(lower(text), ' ')), 4) AS ttr
+      floor(len(list_distinct(string_split(lower(text), ' '))) * 1.0
+        / len(string_split(lower(text), ' ')) * 10000.0 + 0.5) / 10000.0 AS ttr
     FROM documents ORDER BY doc_id"""))
 
   /** Positional polynomial document fingerprint (rolling-hash analog). */
