@@ -78,7 +78,11 @@ object Dedup {
       .join(card.as("ca"), col("i") === col("ca.doc_id"))
       .join(card.as("cb"), col("j") === col("cb.doc_id"))
       .filter(jac >= threshold)
-      .select(col("i"), col("j"), round(jac, 6).as("jaccard"))
+      // floor-form rounding: jaccard is a small-integer ratio, which
+      // lands on exact .5 decimal boundaries where round() diverges
+      // across engines (see TextAnalysis.round4Stable).
+      .select(col("i"), col("j"),
+        (floor(jac * 1000000.0 + 0.5) / 1000000.0).as("jaccard"))
   }
 
   /** MinHash parameters: k independent hashes h_i(x) = (a_i·x + b_i)

@@ -752,7 +752,8 @@ object Queries {
       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
       GROUP BY 1, 2)
     SELECT i, j,
-      round(com * 1.0 / (ca.c + cb.c - com), 6) AS jaccard
+      floor(com * 1.0 / (ca.c + cb.c - com) * 1000000.0 + 0.5) / 1000000.0
+        AS jaccard
     FROM com
     JOIN card ca ON ca.doc_id = i
     JOIN card cb ON cb.doc_id = j
