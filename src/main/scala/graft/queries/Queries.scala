@@ -383,6 +383,22 @@ object Queries {
     GROUP BY ROLLUP(n_name, c_mktsegment)
     ORDER BY n_name ASC NULLS FIRST, c_mktsegment ASC NULLS FIRST"""))
 
+  /** CUBE grouping sets (all 4 combinations) over supplier ⋈ nation —
+    * Spark expands the cube via a single Expand node feeding one hash
+    * aggregate; no per-grouping-set rescan. */
+  private val qCube = Q(
+    "q_cube",
+    (s, d) => t(s, d, "supplier")
+      .join(broadcast(t(s, d, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .cube(col("n_name"), (col("s_suppkey") % 3).as("bucket"))
+      .agg(count(lit(1)).as("cnt"), round(sum("s_acctbal"), 2).as("bal"))
+      .orderBy(col("n_name").asc_nulls_first, col("bucket").asc_nulls_first),
+    Some("""SELECT n_name, s_suppkey % 3 AS bucket, count(*) AS cnt,
+      round(sum(s_acctbal), 2) AS bal
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY CUBE(n_name, s_suppkey % 3)
+    ORDER BY n_name ASC NULLS FIRST, bucket ASC NULLS FIRST"""))
+
   /** Shuffled equi inner join orders ⋈ customer (fact-to-dim where the
     * dim is too big to broadcast at full scale → sort-merge/shuffled
     * hash on o_custkey; AQE picks at runtime). */
@@ -1002,7 +1018,7 @@ object Queries {
   val all: Seq[Q] = Seq(
     qResultsTopk, qIngestFilter, qSanitizeIdent, qParseNumber, qParseDate,
     qNullNormalize, qInferType, qJsonExtract, qSchemaEvolution,
-    qProjFilter, qAggGroup, qDistinct, qApproxDistinct, qRollup,
+    qProjFilter, qAggGroup, qDistinct, qApproxDistinct, qRollup, qCube,
     qJoinHash, qJoinBroadcast, qJoinOuter, qJoinSemi, qJoinAnti,
     qWindowRank, qWindowRunning, qTopkGlobal, qSetOps,
     qTumblingWindow, qSessionize,
