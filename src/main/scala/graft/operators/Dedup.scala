@@ -85,6 +85,27 @@ object Dedup {
         (floor(jac * 1000000.0 + 0.5) / 1000000.0).as("jaccard"))
   }
 
+  /** Shingle-containment text search: score each doc by the fraction
+    * of the query's w-shingles it contains, return the top-k. The
+    * query's shingle set is computed driver-side (it is a literal) and
+    * pushed as an IN filter — the scan keeps only matching shingle
+    * rows, so the aggregate sees |matches|, not the corpus. Top-k via
+    * TakeOrderedAndProject. */
+  def shingleSearchTopK(docs: DataFrame, query: String, w: Int = 3,
+                        k: Int = 20): DataFrame = {
+    val qShingles = query.toLowerCase.split(" ").toSeq
+      .sliding(w).filter(_.size == w).map(_.mkString(" ")).toSeq.distinct
+    require(qShingles.nonEmpty, s"query shorter than $w tokens")
+    shingleRows(docs, w)
+      .filter(col("s").isin(qShingles: _*))
+      .groupBy("doc_id").agg(count(lit(1)).as("matched"))
+      .withColumn("score",
+        floor(col("matched") / qShingles.size.toDouble * 1000000.0 + 0.5)
+          / 1000000.0)
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
   /** MinHash parameters: k independent hashes h_i(x) = (a_i·x + b_i)
     * mod P over a 32-bit murmur3 shingle hash. a/b come from a fixed
     * LCG so signatures are reproducible across runs and executors. */

@@ -817,6 +817,56 @@ object Queries {
     WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.4
     ORDER BY i, j"""))
 
+  /** Query-string text search: top-20 docs by 3-shingle containment of
+    * a fixed query phrase (the IN-filtered shingle scan keeps only
+    * matching rows — the aggregate never sees the corpus). */
+  private val SearchQuery =
+    "table scan merge join order batch stream spark window hash"
+  private val qTextSearch = Q(
+    "q_text_search",
+    (s, d) => Dedup.shingleSearchTopK(t(s, d, "documents"),
+      SearchQuery, w = 3, k = 20),
+    Some {
+      val shingles = SearchQuery.split(" ").sliding(3)
+        .map(_.mkString(" ")).toSeq.distinct
+      val inList = shingles.map(x => s"'$x'").mkString(", ")
+      val n = shingles.size
+      s"""WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id,
+        unnest(CASE WHEN len(t) >= 3
+          THEN list_transform(range(1, len(t) - 1),
+            i -> array_to_string(t[i:i+2], ' '))
+          ELSE []::VARCHAR[] END) AS s
+      FROM toks)
+    SELECT doc_id, count(*) AS matched,
+      floor(count(*) / $n.0 * 1000000.0 + 0.5) / 1000000.0 AS score
+    FROM sh WHERE s IN ($inList)
+    GROUP BY doc_id
+    ORDER BY score DESC, doc_id ASC LIMIT 20"""
+    })
+
+  /** Per-label embedding centroids as (label, dim, avg) rows — the
+    * cluster-diagnostic aggregate of a training-data pipeline. One
+    * posexplode + hash aggregate; 6-dp round absorbs partial-sum
+    * merge-order ulps. */
+  private val qLabelCentroids = Q(
+    "q_label_centroids",
+    (s, d) => t(s, d, "embeddings")
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy(col("label"), (col("pos") + 1).as("dim"))
+      .agg(round(avg(col("x").cast("double")), 6).as("centroid"))
+      .orderBy("label", "dim"),
+    Some("""SELECT label, s.i AS dim, round(avg(s.v), 6) AS centroid
+    FROM (
+      SELECT label,
+        unnest(list_transform(embedding,
+          (x, i) -> {'i': i, 'v': CAST(x AS DOUBLE)})) AS s
+      FROM embeddings)
+    GROUP BY label, s.i
+    ORDER BY label, dim"""))
+
   /** Exact brute-force cosine top-5 for 8 query vectors (vec_id < 8)
     * against the whole corpus — the ANN baseline; queries broadcast,
     * corpus scanned once. */
@@ -1026,7 +1076,7 @@ object Queries {
     qLangId, qQualityScore, qTokenCount, qFingerprint,
     qNearDup, qDedupMinhash, qDedupSimhash, qEmbedNearDup,
     qAnnTopk, qAnnIvf, qMediaFeatures, qQuantile, qApproxQuantile,
-    qWindowFuncs, qAsofJoin, qRangeJoin)
+    qWindowFuncs, qAsofJoin, qRangeJoin, qTextSearch, qLabelCentroids)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap
