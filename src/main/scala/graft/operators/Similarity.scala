@@ -52,7 +52,8 @@ object Similarity {
         round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6).as("cos_sim"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos_sim").desc, col("cand_id").asc)
-    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
   }
 
   /** Deterministic coarse quantizer: cell id = bitmask of
@@ -78,6 +79,7 @@ object Similarity {
         round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6).as("cos_sim"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos_sim").desc, col("cand_id").asc)
-    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
   }
 }

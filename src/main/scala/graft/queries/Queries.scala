@@ -478,7 +478,7 @@ object Queries {
       val w = Window.partitionBy("o_custkey")
         .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
       t(s, d, "orders")
-        .withColumn("rn", row_number().over(w))
+        .withColumn("rn", row_number().over(w).cast("long"))
         .filter(col("rn") <= 3)
         .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
         .orderBy("o_custkey", "rn")
@@ -719,8 +719,8 @@ object Queries {
     "q_token_count",
     (s, d) => t(s, d, "documents")
       .select(col("doc_id"),
-        TextAnalysis.tokenCountWs(col("text")).as("ws_tokens"),
-        TextAnalysis.tokenCountRegex(col("text")).as("re_tokens"),
+        TextAnalysis.tokenCountWs(col("text")).cast("long").as("ws_tokens"),
+        TextAnalysis.tokenCountRegex(col("text")).cast("long").as("re_tokens"),
         TextAnalysis.typeTokenRatio(col("text")).as("ttr"))
       .orderBy("doc_id"),
     Some("""SELECT doc_id,
@@ -855,7 +855,7 @@ object Queries {
     "q_label_centroids",
     (s, d) => t(s, d, "embeddings")
       .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
-      .groupBy(col("label"), (col("pos") + 1).as("dim"))
+      .groupBy(col("label"), (col("pos") + 1).cast("long").as("dim"))
       .agg(round(avg(col("x").cast("double")), 6).as("centroid"))
       .orderBy("label", "dim"),
     Some("""SELECT label, s.i AS dim, round(avg(s.v), 6) AS centroid
@@ -1025,8 +1025,8 @@ object Queries {
       val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
       t(s, d, "orders")
         .select(col("o_custkey"), col("o_orderkey"),
-          dense_rank().over(w).as("dr"),
-          ntile(4).over(w).as("quartile"),
+          dense_rank().over(w).cast("long").as("dr"),
+          ntile(4).over(w).cast("long").as("quartile"),
           lag(col("o_orderkey"), 1).over(w).as("prev_ok"),
           lead(col("o_orderkey"), 1).over(w).as("next_ok"),
           first(col("o_orderkey")).over(wFull).as("best_ok"),
