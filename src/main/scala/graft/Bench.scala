@@ -10,9 +10,16 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warm-up: first action pays session/codegen/parquet-reader init
-    // (~3-4s) — keep that out of whichever query happens to run first.
-    spark.read.parquet(s"$sfDir/nation.parquet").count()
+    // Warm-up: the first action on each table pays file listing +
+    // footer reads + reader init (~0.5-3s per table) — keep that out
+    // of whichever query happens to touch the table first. events is
+    // ns-timestamped, so the legacy conf must be set before listing.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "events", "documents", "embeddings").foreach { t =>
+      try spark.read.parquet(s"$sfDir/$t.parquet").count()
+      catch { case _: Throwable => () }
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink, NOT count(): count() lets the optimizer prune every

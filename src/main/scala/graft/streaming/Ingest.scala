@@ -86,8 +86,13 @@ object Ingest {
             trigger: Trigger = Trigger.AvailableNow(),
             maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
 
+    // A failing extractor must not kill the micro-batch (the reference
+    // logs-and-continues, main.py:757-759): a throw degrades to the
+    // all-"N/A" map, which the sentinel normalization turns into a row
+    // of NULL KPIs — the file is still recorded and archived.
     val extractUdf = udf((name: String, content: Array[Byte], keys: Seq[String]) =>
-      extractor.extract(name, content, keys))
+      try extractor.extract(name, content, keys)
+      catch { case _: Exception => keys.map(_ -> "N/A").toMap })
 
     // The binaryFile source's schema is fixed but streaming sources
     // don't infer — declare it.

@@ -135,6 +135,22 @@ class IngestSpec extends AnyFunSuite {
     assert(back.get("u2", "f9").get.kpis.head.logicalType == "date")
   }
 
+  test("a throwing extractor degrades to NULL KPIs instead of killing the batch") {
+    val root = Files.createTempDirectory("graft-ingest-err").toString
+    val meta = Catalog.train("u1", "f1", "x", Map("Amount" -> "$10"))
+    write(root + "/landing", "incoming/u1/f1/batch/bad.pdf", "Amount=$500")
+    val throwing = new graft.extract.Extractor {
+      override def discover(n: String, c: Array[Byte]): Map[String, String] =
+        throw new RuntimeException("codec exploded")
+    }
+    Ingest.start(spark, s"$root/landing", s"$root/warehouse", s"$root/processed",
+      s"$root/checkpoint", Catalog.empty.add(meta), throwing).awaitTermination()
+    val t = Ingest.readTable(spark, s"$root/warehouse", meta)
+    assert(t.count() == 1)
+    assert(t.first().isNullAt(t.first().fieldIndex("kpi_amount")))
+    assert(Files.exists(Paths.get(root, "processed/incoming/u1/f1/batch/bad.pdf")))
+  }
+
   test("admit implements the B.6 admission vectors") {
     import spark.implicits._
     val paths = Seq(
