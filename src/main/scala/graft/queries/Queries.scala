@@ -817,6 +817,51 @@ object Queries {
     WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.4
     ORDER BY i, j"""))
 
+  /** Stratified deterministic downsampling — the corpus-balancing
+    * operator of a training-data pipeline: dominant languages are
+    * thinned harder (every 4th en doc, every 2nd fr/es/zh/de doc).
+    * Deterministic row_number over (lang, doc_id) instead of random
+    * sampling so the result is reproducible and oracle-checkable; one
+    * shuffle on lang. */
+  private val qStratifiedSample = Q(
+    "q_stratified_sample",
+    (s, d) => {
+      val w = Window.partitionBy("lang").orderBy("doc_id")
+      t(s, d, "documents")
+        .withColumn("rn", row_number().over(w))
+        .filter(when(col("lang") === "en", col("rn") % 4 === 0)
+          .otherwise(col("rn") % 2 === 0))
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+        row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+      FROM documents)
+    WHERE CASE WHEN lang = 'en' THEN rn % 4 = 0 ELSE rn % 2 = 0 END
+    ORDER BY doc_id"""))
+
+  /** Inverse-frequency class weights (total / (n_classes · class_n)) —
+    * the loss-reweighting companion of stratified sampling. Two tiny
+    * aggregates + a broadcast-sized join. */
+  private val qClassWeights = Q(
+    "q_class_weights",
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      val counts = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+      val total = docs.count() // driver-side scalar: one number
+      val nClasses = 5.0
+      counts.select(col("lang"), col("n"),
+          (floor(lit(total) / (lit(nClasses) * col("n")) * 1000000.0 + 0.5)
+            / 1000000.0).as("weight"))
+        .orderBy("lang")
+    },
+    Some("""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+    t AS (SELECT count(*) AS total FROM documents)
+    SELECT lang, n,
+      floor(total / (5.0 * n) * 1000000.0 + 0.5) / 1000000.0 AS weight
+    FROM c, t ORDER BY lang"""))
+
   /** Query-string text search: top-20 docs by 3-shingle containment of
     * a fixed query phrase (the IN-filtered shingle scan keeps only
     * matching rows — the aggregate never sees the corpus). */
@@ -1076,7 +1121,8 @@ object Queries {
     qLangId, qQualityScore, qTokenCount, qFingerprint,
     qNearDup, qDedupMinhash, qDedupSimhash, qEmbedNearDup,
     qAnnTopk, qAnnIvf, qMediaFeatures, qQuantile, qApproxQuantile,
-    qWindowFuncs, qAsofJoin, qRangeJoin, qTextSearch, qLabelCentroids)
+    qWindowFuncs, qAsofJoin, qRangeJoin, qTextSearch, qLabelCentroids,
+    qStratifiedSample, qClassWeights)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap
