@@ -55,14 +55,19 @@ object Dedup {
     * risk — mitigate upstream by using a larger w (default 5 here) so
     * bucket sizes stay small, and AQE skew-split for the tail. */
   def jaccardPairs(docs: DataFrame, w: Int = 5, threshold: Double = 0.8): DataFrame = {
-    // `sh` feeds three consumers (cardinalities, the prune, both join
-    // sides) — persist so shingle generation runs once;
-    // MEMORY_AND_DISK so a 100 TB run spills instead of OOMing.
+    // Cardinality rides along as a window count over doc_id instead of
+    // a separate aggregate joined back twice — every shingle row
+    // carries its doc's |shingles|, so the pair aggregate gets both
+    // cardinalities for free in its grouping key (they are constant
+    // per doc). Saves one aggregation and two joins vs the textbook
+    // shape. Persisted because the prune and both join sides re-read
+    // it; MEMORY_AND_DISK so a 100 TB run spills instead of OOMing.
+    val wDoc = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
     val sh = shingleRows(docs, w)
+      .withColumn("c", count(lit(1)).over(wDoc))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val card = sh.groupBy("doc_id").agg(count(lit(1)).as("c"))
     // A shingle held by a single doc can never form a pair — drop it
-    // before the self-join. Cardinalities are computed BEFORE this
+    // before the self-join. Cardinalities were attached BEFORE this
     // prune, so results are exactly unchanged; on a mostly-unique
     // corpus this shrinks the join input by an order of magnitude.
     val hot = sh.groupBy("s").agg(count(lit(1)).as("n"))
@@ -70,13 +75,11 @@ object Dedup {
     val sh2 = sh.join(hot, "s")
     val common = sh2.as("a").join(sh2.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
+        col("a.c").as("ca"), col("b.c").as("cb"))
       .agg(count(lit(1)).as("com"))
-    val jac = col("com").cast("double") /
-      (col("ca.c") + col("cb.c") - col("com"))
+    val jac = col("com").cast("double") / (col("ca") + col("cb") - col("com"))
     common
-      .join(card.as("ca"), col("i") === col("ca.doc_id"))
-      .join(card.as("cb"), col("j") === col("cb.doc_id"))
       .filter(jac >= threshold)
       // floor-form rounding: jaccard is a small-integer ratio, which
       // lands on exact .5 decimal boundaries where round() diverges
