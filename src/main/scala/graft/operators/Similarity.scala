@@ -25,11 +25,6 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
-  // Vector math goes through the native codegen'd DotProductFloat
-  // expression (graft.plans) — the higher-order-function fold is
-  // interpreted per element; the native loop matches its fold order
-  // exactly (left-to-right, double accumulator), so results are
-  // bit-identical to the HOF form and the DuckDB oracles.
   private def dot(a: Column, b: Column): Column =
     graft.plans.GraftFunctions.dotProductFloat(a, b)
 
