@@ -54,7 +54,31 @@ object Dedup {
     * a shingle ever meet; hot shingles (stopword runs) are the skew
     * risk — mitigate upstream by using a larger w (default 5 here) so
     * bucket sizes stay small, and AQE skew-split for the tail. */
-  def jaccardPairs(docs: DataFrame, w: Int = 5, threshold: Double = 0.8): DataFrame = {
+  def jaccardPairs(docs: DataFrame, w: Int = 5, threshold: Double = 0.8): DataFrame =
+    pairsFromShingles(shingleRows(docs, w), threshold)
+
+  /** Character n-gram variant of [[jaccardPairs]]: shingles are the
+    * distinct n-char substrings of the lowercased text — finer-grained
+    * than word shingles (robust to tokenization differences), larger
+    * shingle sets. Same candidate-join pipeline. */
+  def charJaccardPairs(docs: DataFrame, n: Int = 8,
+                       threshold: Double = 0.8): DataFrame =
+    pairsFromShingles(charShingleRows(docs, n), threshold)
+
+  /** Distinct character n-grams per doc, codegen'd: explode the start
+    * positions, substr per position (Column.substr takes Column args,
+    * unlike functions.substring). */
+  def charShingleRows(docs: DataFrame, n: Int): DataFrame = {
+    val txt = lower(col("text"))
+    docs.select(col("doc_id"), txt.as("_t"),
+        explode(when(length(txt) >= n,
+            sequence(lit(1), length(txt) - (n - 1)))
+          .otherwise(array().cast("array<int>"))).as("_i"))
+      .select(col("doc_id"), col("_t").substr(col("_i"), lit(n)).as("s"))
+      .dropDuplicates("doc_id", "s")
+  }
+
+  private def pairsFromShingles(shingles: DataFrame, threshold: Double): DataFrame = {
     // Cardinality rides along as a window count over doc_id instead of
     // a separate aggregate joined back twice — every shingle row
     // carries its doc's |shingles|, so the pair aggregate gets both
@@ -63,7 +87,7 @@ object Dedup {
     // shape. Persisted because the prune and both join sides re-read
     // it; MEMORY_AND_DISK so a 100 TB run spills instead of OOMing.
     val wDoc = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
-    val sh = shingleRows(docs, w)
+    val sh = shingles
       .withColumn("c", count(lit(1)).over(wDoc))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // A shingle held by a single doc can never form a pair — drop it

@@ -776,6 +776,34 @@ object Queries {
     WHERE com * 1.0 / (ca.c + cb.c - com) >= 0.8
     ORDER BY i, j"""))
 
+  /** Character 8-gram Jaccard ≥ 0.8 pairs — the tokenization-robust
+    * near-dup variant; same candidate-join pipeline as q_near_dup with
+    * substring shingles. */
+  private val qNearDupChar = Q(
+    "q_near_dup_char",
+    (s, d) => Dedup.charJaccardPairs(t(s, d, "documents"), n = 8, threshold = 0.8)
+      .orderBy("i", "j"),
+    Some("""WITH sh AS (
+      SELECT DISTINCT doc_id,
+        unnest(CASE WHEN len(text) >= 8
+          THEN list_transform(range(1, len(text) - 6),
+            i -> substr(lower(text), i, 8))
+          ELSE []::VARCHAR[] END) AS s
+      FROM documents),
+    card AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY 1),
+    com AS (
+      SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS com
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT i, j,
+      floor(com * 1.0 / (ca.c + cb.c - com) * 1000000.0 + 0.5) / 1000000.0
+        AS jaccard
+    FROM com
+    JOIN card ca ON ca.doc_id = i
+    JOIN card cb ON cb.doc_id = j
+    WHERE com * 1.0 / (ca.c + cb.c - com) >= 0.8
+    ORDER BY i, j"""))
+
   /** MinHash(32) + LSH(8 bands × 4) candidate pairs with estimated
     * Jaccard — the 100 TB near-dup path. No oracle (signature hashes
     * are engine-specific murmur3); recall vs q_near_dup is asserted in
@@ -1119,7 +1147,7 @@ object Queries {
     qTumblingWindow, qSessionize,
     qDedupExact, qTextStats, qMultimodalJoin, qSimilarityTopk,
     qLangId, qQualityScore, qTokenCount, qFingerprint,
-    qNearDup, qDedupMinhash, qDedupSimhash, qEmbedNearDup,
+    qNearDup, qNearDupChar, qDedupMinhash, qDedupSimhash, qEmbedNearDup,
     qAnnTopk, qAnnIvf, qMediaFeatures, qQuantile, qApproxQuantile,
     qWindowFuncs, qAsofJoin, qRangeJoin, qTextSearch, qLabelCentroids,
     qStratifiedSample, qClassWeights)
