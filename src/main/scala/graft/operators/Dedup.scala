@@ -25,8 +25,9 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** Shingle generation: posexplode tokens, build each w-shingle from
-    * window lead()s (all codegen'd), keep only full-width shingles,
-    * distinct per doc — ~an order of magnitude faster than the
+    * window lead()s (all codegen'd), keep only full-width shingles.
+    * NOT deduplicated per doc (consumers dedup after hashing, or need
+    * multiplicity not at all) — ~an order of magnitude faster than the
     * equivalent higher-order-transform Column expression is
     * interpreted per row. One shuffle on doc_id (the window), which
     * the downstream cardinality groupBy reuses. */
@@ -44,7 +45,6 @@ object Dedup {
         leads.last.isNotNull.as("_ok"))
       .filter(col("_ok"))
       .select("doc_id", "s")
-      .dropDuplicates("doc_id", "s")
   }
 
   /** Exact w-shingle Jaccard ≥ threshold pairs.
@@ -61,7 +61,7 @@ object Dedup {
     * distinct n-char substrings of the lowercased text — finer-grained
     * than word shingles (robust to tokenization differences), larger
     * shingle sets. Same candidate-join pipeline. */
-  def charJaccardPairs(docs: DataFrame, n: Int = 8,
+  def charJaccardPairs(docs: DataFrame, n: Int = 20,
                        threshold: Double = 0.8): DataFrame =
     pairsFromShingles(charShingleRows(docs, n), threshold)
 
@@ -75,10 +75,19 @@ object Dedup {
             sequence(lit(1), length(txt) - (n - 1)))
           .otherwise(array().cast("array<int>"))).as("_i"))
       .select(col("doc_id"), col("_t").substr(col("_i"), lit(n)).as("s"))
-      .dropDuplicates("doc_id", "s")
   }
 
-  private def pairsFromShingles(shingles: DataFrame, threshold: Double): DataFrame = {
+  private def pairsFromShingles(rawShingles: DataFrame, threshold: Double): DataFrame = {
+    // Shuffle longs, not shingle strings: every downstream step
+    // (dedup/window/prune/self-join) only needs shingle EQUALITY, so
+    // an xxhash64 at the entrance replaces 20-40 byte strings with 8
+    // bytes in every exchange. A hash collision would merge two grams
+    // (P ≈ n²/2^65 ≈ 1e-7 at millions of distinct shingles) — the
+    // standard shingling trade, noted here because the oracle counts
+    // strings.
+    val shingles = rawShingles
+      .select(col("doc_id"), xxhash64(col("s")).as("s"))
+      .dropDuplicates("doc_id", "s")
     // Cardinality rides along as a window count over doc_id instead of
     // a separate aggregate joined back twice — every shingle row
     // carries its doc's |shingles|, so the pair aggregate gets both
@@ -125,6 +134,7 @@ object Dedup {
     require(qShingles.nonEmpty, s"query shorter than $w tokens")
     shingleRows(docs, w)
       .filter(col("s").isin(qShingles: _*))
+      .dropDuplicates("doc_id", "s") // generator emits multiplicity
       .groupBy("doc_id").agg(count(lit(1)).as("matched"))
       .withColumn("score",
         floor(col("matched") / qShingles.size.toDouble * 1000000.0 + 0.5)
@@ -148,6 +158,7 @@ object Dedup {
     * collapses shingles map-side, so the shuffle carries one row per
     * (doc, partition), not per shingle. */
   def minHashSignatures(docs: DataFrame, w: Int = 5, k: Int = 32): DataFrame = {
+    // duplicate shingles are harmless here: min() is idempotent
     val sh = shingleRows(docs, w)
       .withColumn("h", pmod(hash(col("s")).cast("long"), lit(MinHashP)))
     val mins = minHashCoefs(k).zipWithIndex.map { case ((a, b), i) =>

@@ -776,18 +776,23 @@ object Queries {
     WHERE com * 1.0 / (ca.c + cb.c - com) >= 0.8
     ORDER BY i, j"""))
 
-  /** Character 8-gram Jaccard ≥ 0.8 pairs — the tokenization-robust
+  /** Character 20-gram Jaccard ≥ 0.8 pairs — the tokenization-robust
     * near-dup variant; same candidate-join pipeline as q_near_dup with
-    * substring shingles. */
+    * substring shingles. The gram length is a blocking knob: on this
+    * ~40-word-vocabulary corpus, 8-grams repeat so heavily that the
+    * candidate join degenerates (280M pair-rows at sf0.1); 20-grams
+    * (~4 words) keep buckets small (0.7M pair-rows) with the same
+    * planted-dup sensitivity — same reasoning as the w=5 word-shingle
+    * choice. */
   private val qNearDupChar = Q(
     "q_near_dup_char",
-    (s, d) => Dedup.charJaccardPairs(t(s, d, "documents"), n = 8, threshold = 0.8)
+    (s, d) => Dedup.charJaccardPairs(t(s, d, "documents"), n = 20, threshold = 0.8)
       .orderBy("i", "j"),
     Some("""WITH sh AS (
       SELECT DISTINCT doc_id,
-        unnest(CASE WHEN len(text) >= 8
-          THEN list_transform(range(1, len(text) - 6),
-            i -> substr(lower(text), i, 8))
+        unnest(CASE WHEN len(text) >= 20
+          THEN list_transform(range(1, len(text) - 18),
+            i -> substr(lower(text), i, 20))
           ELSE []::VARCHAR[] END) AS s
       FROM documents),
     card AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY 1),
