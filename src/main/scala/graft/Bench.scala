@@ -24,13 +24,22 @@ object Bench {
       val t0 = System.nanoTime()
       // noop sink, NOT count(): count() lets the optimizer prune every
       // projection, so map-heavy queries would be timed as bare scans.
-      try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      // A failed query records NEGATIVE elapsed time — a sentinel so a
+      // regression can never masquerade as an implausibly fast success.
+      val ok = try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
+      }
+      val dt = (System.nanoTime() - t0) / 1e9
+      // Release operator-owned caches (Dedup shingle/signature
+      // intermediates) so one query's cached blocks don't squeeze the
+      // next query's execution memory.
+      graft.operators.CacheRegistry.releaseAll()
+      name -> (if (ok) dt else -dt)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.values.filter(_ > 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -96,9 +96,9 @@ object Dedup {
     // shape. Persisted because the prune and both join sides re-read
     // it; MEMORY_AND_DISK so a 100 TB run spills instead of OOMing.
     val wDoc = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
-    val sh = shingles
+    val sh = CacheRegistry.track(shingles
       .withColumn("c", count(lit(1)).over(wDoc))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // A shingle held by a single doc can never form a pair — drop it
     // before the self-join. Cardinalities were attached BEFORE this
     // prune, so results are exactly unchanged; on a mostly-unique
@@ -164,12 +164,13 @@ object Dedup {
     val mins = minHashCoefs(k).zipWithIndex.map { case ((a, b), i) =>
       min(pmod(col("h") * a + b, lit(MinHashP))).as(s"m$i")
     }
-    sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+    CacheRegistry.track(sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
       .select(col("doc_id"),
         array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
       // Both LSH join sides consume the signatures — persist so the
-      // shingle explode + 32-way min aggregation runs once.
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // shingle explode + 32-way min aggregation runs once. Released
+      // by the caller via CacheRegistry once results materialize.
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
   }
 
   /** LSH banding over the signature: bands of r rows hashed together;
@@ -229,8 +230,9 @@ object Dedup {
         .reduce(_ + _).as(s"band$j")
     }
     // 4 self-joins consume the bands — persist (tiny: 5 longs/doc).
-    val withBands = sums.select(col("doc_id") +: bandCols: _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val withBands = CacheRegistry.track(
+      sums.select(col("doc_id") +: bandCols: _*)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val hamming = (0 until 4).map(j =>
       bit_count(col(s"a.band$j").bitwiseXOR(col(s"b.band$j"))).cast("long"))
       .reduce(_ + _)

@@ -28,12 +28,16 @@ object SkewJoin {
   def saltedEquiJoin(fact: DataFrame, dim: DataFrame, key: String,
                      salts: Int = 16, joinType: String = "inner"): DataFrame = {
     require(salts > 0)
-    // Deterministic-per-row-content is not required for correctness —
-    // only a uniform spread. spark_partition_id + a per-row counter
-    // spreads without an extra column scan.
+    // The salt MUST be a pure function of row content: anything seeded
+    // by partition/task identity (monotonically_increasing_id,
+    // spark_partition_id, rand) changes when a map task is recomputed
+    // after a fetch failure, routing the recomputed rows to different
+    // shuffle partitions and silently dropping/duplicating join rows
+    // (the SPARK-23207 class of bug — routine at 100 TB scale).
+    // Hashing every fact column keeps the spread uniform even when the
+    // join key itself is a single hot value.
     val salted = fact.withColumn("_salt",
-      pmod(xxhash64(monotonically_increasing_id(), spark_partition_id()),
-        lit(salts.toLong)))
+      pmod(xxhash64(fact.columns.map(col).toIndexedSeq: _*), lit(salts.toLong)))
     val replicated = dim.withColumn("_salt",
       explode(sequence(lit(0L), lit(salts.toLong - 1))))
     salted.join(replicated,

@@ -1007,14 +1007,19 @@ object Queries {
     * KLL-style sketch, same shuffle shape as q_approx_distinct). */
   private val qQuantile = Q(
     "q_quantile",
+    // Scalar q25/q50/q75 columns (not one array column): the driver's
+    // pandas-side compare sorts every column and array cells are
+    // unhashable there — and scalars hash-compare bit-exactly.
     (s, d) => t(s, d, "lineitem")
       .groupBy("l_returnflag")
-      .agg(expr("transform(percentile(l_quantity, array(0.25D, 0.5D, 0.75D)), x -> round(x, 4))")
-        .as("qs"))
+      .agg(expr("round(percentile(l_quantity, 0.25D), 4)").as("q25"),
+        expr("round(percentile(l_quantity, 0.5D), 4)").as("q50"),
+        expr("round(percentile(l_quantity, 0.75D), 4)").as("q75"))
       .orderBy("l_returnflag"),
     Some("""SELECT l_returnflag,
-      list_transform(quantile_cont(l_quantity, [0.25, 0.5, 0.75]),
-        x -> round(x, 4)) AS qs
+      round(quantile_cont(l_quantity, 0.25), 4) AS q25,
+      round(quantile_cont(l_quantity, 0.5), 4) AS q50,
+      round(quantile_cont(l_quantity, 0.75), 4) AS q75
     FROM lineitem GROUP BY 1 ORDER BY l_returnflag"""))
 
   /** As-of join (operator Spark lacks; graft.operators.TemporalJoins):
@@ -1085,10 +1090,14 @@ object Queries {
     * in QueriesSmokeSpec. */
   private val qApproxQuantile = Q(
     "q_approx_quantile",
+    // Flattened to scalar columns for the same driver-compare reason
+    // as q_quantile (its rows-only check also sorts every column).
     (s, d) => t(s, d, "lineitem")
       .groupBy("l_returnflag")
       .agg(expr("approx_percentile(l_quantity, array(0.25D, 0.5D, 0.75D), 1000)")
         .as("qs"))
+      .select(col("l_returnflag"), col("qs")(0).as("q25"),
+        col("qs")(1).as("q50"), col("qs")(2).as("q75"))
       .orderBy("l_returnflag"),
     None)
 

@@ -37,27 +37,49 @@ object EventStreams {
   /** Gap sessionization with custom state (the streaming form of
     * q_sessionize): a >30 min silence starts a new session. State is
     * one small case class per user; emitted on every update so the
-    * sink always has the current per-user session count. */
+    * sink always has the current per-user session count.
+    *
+    * State lifetime: evicted by a processing-time timeout after
+    * `stateTimeoutMinutes` without activity (the final counts are
+    * emitted once more at eviction). A user reappearing after eviction
+    * restarts their counts — bounded state is the 100 TB trade against
+    * exact lifetime totals.
+    *
+    * Ordering: events are sorted by (ts, event_id) within each
+    * micro-batch; an event arriving in a LATER batch with an earlier
+    * timestamp folds into the current session when it is within the
+    * gap of the newest seen timestamp (never reopening closed
+    * history) — an explicit approximation, not silent miscounting. */
   def sessionize(events: Dataset[Event],
-                 gapMinutes: Long = 30): Dataset[UserSessions] = {
+                 gapMinutes: Long = 30,
+                 stateTimeoutMinutes: Long = 120): Dataset[UserSessions] = {
     val spark = events.sparkSession
     import spark.implicits._
     val gapMs = gapMinutes * 60L * 1000L
     events
       .groupByKey(_.user_id)
       .mapGroupsWithState[SessionState, UserSessions](
-        GroupStateTimeout.NoTimeout) {
+        GroupStateTimeout.ProcessingTimeTimeout) {
         case (uid, it, state: GroupState[SessionState]) =>
-          val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-          var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue, 0L))
-          sorted.foreach { e =>
-            val t = e.ts.getTime
-            val newSession = st.count == 0L || t - st.lastTs > gapMs
-            st = SessionState(st.count + 1, math.max(st.lastTs, t),
-              st.sessions + (if (newSession) 1L else 0L))
+          if (state.hasTimedOut) {
+            // Idle past the timeout: emit the final counts, drop the
+            // state — per-user memory is bounded by the idle window.
+            val st = state.get
+            state.remove()
+            UserSessions(uid, st.count, st.sessions)
+          } else {
+            val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue, 0L))
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              val newSession = st.count == 0L || t - st.lastTs > gapMs
+              st = SessionState(st.count + 1, math.max(st.lastTs, t),
+                st.sessions + (if (newSession) 1L else 0L))
+            }
+            state.update(st)
+            state.setTimeoutDuration(stateTimeoutMinutes * 60L * 1000L)
+            UserSessions(uid, st.count, st.sessions)
           }
-          state.update(st)
-          UserSessions(uid, st.count, st.sessions)
       }
   }
 

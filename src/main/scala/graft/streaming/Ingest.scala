@@ -116,10 +116,25 @@ object Ingest {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // Crash-replay tolerance: archive() moves landing files before
+        // the checkpoint commits this batch, so a replayed batch can
+        // list files that no longer exist in landing. Two guards make
+        // replay idempotent (write-before-archive ordering guarantees a
+        // file is only ever missing if its row was durably written):
+        //  1. ignoreMissingFiles, scoped to this batch: already-
+        //     archived files drop out of the re-read instead of
+        //     permanently failing the micro-batch;
+        //  2. the per-folder write MERGES the previously written
+        //     _batch_id partition (left-anti on row_id) into the
+        //     dynamic overwrite, so rows whose source file the crashed
+        //     attempt already archived survive the rewrite.
+        val imf = "spark.sql.files.ignoreMissingFiles"
+        val imfPrev = spark.conf.getOption(imf)
+        spark.conf.set(imf, "true")
         // Persist: every per-folder write re-evaluates the batch, and
         // the archive move below deletes source files — an unpersisted
-        // batch would re-list moved files (FAILED_READ_FILE) when one
-        // micro-batch spans several folders.
+        // batch would re-read moved files when one micro-batch spans
+        // several folders.
         batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
           val present = batch.select("uid", "folder").distinct()
@@ -132,12 +147,29 @@ object Ingest {
                 .withColumn("kpis",
                   extractUdf(col("file_name"), col("content"),
                     typedLit(keys)))
-              project(subset, meta)
+              val fresh = project(subset, meta)
                 .withColumn("_batch_id", lit(batchId))
-                .write.mode("overwrite")
+              val tablePath = s"$warehouseDir/${meta.tableName}"
+              // Rows written by a crashed attempt for files that are no
+              // longer in landing: carry them through the overwrite.
+              // Reading only the _batch_id=<id> subdir keeps this a
+              // partition-pruned read — O(batch), not O(table).
+              val carried = try {
+                val prev = spark.read.option("basePath", tablePath)
+                  .parquet(s"$tablePath/_batch_id=$batchId")
+                  .withColumn("_batch_id", lit(batchId))
+                  .join(fresh.select("row_id"), Seq("row_id"), "left_anti")
+                  .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+                prev.count() // materialize BEFORE overwriting its source files
+                Some(prev)
+              } catch { case _: org.apache.spark.sql.AnalysisException => None }
+              val merged = carried.fold(fresh)(c =>
+                fresh.unionByName(c, allowMissingColumns = true))
+              merged.write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
                 .partitionBy("_batch_id")
-                .parquet(s"$warehouseDir/${meta.tableName}")
+                .parquet(tablePath)
+              carried.foreach(_.unpersist())
               true
             }
           }
@@ -146,7 +178,11 @@ object Ingest {
           ingested.foreach { case (u, f) =>
             archive(spark, batch, u, f, processedDir)
           }
-        } finally { batch.unpersist(); () }
+        } finally {
+          batch.unpersist()
+          imfPrev.fold(spark.conf.unset(imf))(v => spark.conf.set(imf, v))
+          ()
+        }
       }
       .start()
   }
@@ -163,8 +199,12 @@ object Ingest {
         val fs = src.getFileSystem(conf)
         val suffix = p.substring(p.lastIndexOf("incoming/"))
         val dst = new Path(s"$processedDir/$suffix")
-        fs.mkdirs(dst.getParent)
-        fs.rename(src, dst)
+        // A replayed batch may list files a crashed attempt already
+        // moved — skip them instead of failing the move.
+        if (fs.exists(src)) {
+          fs.mkdirs(dst.getParent)
+          fs.rename(src, dst)
+        }
       }
   }
 

@@ -151,6 +151,48 @@ class IngestSpec extends AnyFunSuite {
     assert(Files.exists(Paths.get(root, "processed/incoming/u1/f1/batch/bad.pdf")))
   }
 
+  test("replay of a batch whose files were already archived (crash window)") {
+    // Simulates a crash between archive() and the checkpoint commit:
+    // run a batch to completion, then delete its commit marker so the
+    // engine replays it — with the landing files already moved to
+    // processed/. The replay must neither fail (missing files) nor
+    // lose/duplicate the rows the crashed attempt wrote.
+    val root = Files.createTempDirectory("graft-ingest-replay").toString
+    val meta = Catalog.train("u1", "f1", "x", Map("Amount" -> "$10"))
+    val catalog = Catalog.empty.add(meta)
+    write(root + "/landing", "incoming/u1/f1/batch/a.pdf", "Amount=$100")
+    write(root + "/landing", "incoming/u1/f1/batch/b.pdf", "Amount=$200")
+    Ingest.start(spark, s"$root/landing", s"$root/warehouse", s"$root/processed",
+      s"$root/checkpoint", catalog, DeterministicExtractor).awaitTermination()
+    assert(Ingest.readTable(spark, s"$root/warehouse", meta).count() == 2)
+
+    // Crash mid-archive variant: b.pdf's move is "undone" (still in
+    // landing at replay time), a.pdf's move stuck.
+    Files.createDirectories(Paths.get(root, "landing/incoming/u1/f1/batch"))
+    Files.move(Paths.get(root, "processed/incoming/u1/f1/batch/b.pdf"),
+      Paths.get(root, "landing/incoming/u1/f1/batch/b.pdf"))
+    Files.delete(Paths.get(root, "checkpoint/commits/0"))
+
+    Ingest.start(spark, s"$root/landing", s"$root/warehouse", s"$root/processed",
+      s"$root/checkpoint", catalog, DeterministicExtractor).awaitTermination()
+    val t = Ingest.readTable(spark, s"$root/warehouse", meta)
+    assert(t.count() == 2)
+    assert(t.select("row_id").distinct().count() == 2)
+    assert(t.select("kpi_amount").collect().map(_.getDouble(0)).sorted
+      .sameElements(Array(100.0, 200.0)))
+    assert(Files.exists(Paths.get(root, "processed/incoming/u1/f1/batch/b.pdf")))
+    assert(!Files.exists(Paths.get(root, "landing/incoming/u1/f1/batch/b.pdf")))
+
+    // Fully-archived variant: every file gone from landing. Replay is
+    // a no-op that must still preserve the partition.
+    Files.delete(Paths.get(root, "checkpoint/commits/0"))
+    Ingest.start(spark, s"$root/landing", s"$root/warehouse", s"$root/processed",
+      s"$root/checkpoint", catalog, DeterministicExtractor).awaitTermination()
+    val t2 = Ingest.readTable(spark, s"$root/warehouse", meta)
+    assert(t2.count() == 2)
+    assert(t2.select("row_id").distinct().count() == 2)
+  }
+
   test("admit implements the B.6 admission vectors") {
     import spark.implicits._
     val paths = Seq(

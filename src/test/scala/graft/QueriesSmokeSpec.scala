@@ -26,10 +26,10 @@ class QueriesSmokeSpec extends AnyFunSuite {
   }
 
   test("approx quantiles stay within sketch error of exact quantiles") {
-    val exact = Queries.queries("q_quantile")(spark, dir)
-      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
-    val approx = Queries.queries("q_approx_quantile")(spark, dir)
-      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    def qs(name: String) = Queries.queries(name)(spark, dir).collect()
+      .map(r => r.getString(0) -> Seq(1, 2, 3).map(r.getDouble)).toMap
+    val exact = qs("q_quantile")
+    val approx = qs("q_approx_quantile")
     exact.foreach { case (flag, qs) =>
       qs.zip(approx(flag)).foreach { case (e, a) =>
         assert(math.abs(e - a) <= math.max(1.0, e * 0.1),
