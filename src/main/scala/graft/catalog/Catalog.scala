@@ -81,16 +81,19 @@ object Catalog {
 
   /** Training flow (reference §3.2: /analyze-master + /confirm-kpis):
     * run schema discovery over one master document's extracted map,
-    * infer a logical type per field from its sample value
-    * (main.py:482-494 with the regex fallback), and register the
-    * folder. Driver-side O(#fields) — mirrors the reference's single
-    * batched inference call. */
+    * classify ALL fields in ONE batched [[Inference.inferTypes]] hook
+    * call (main.py:90-162's single LLM request, with its closed-set
+    * validation and per-column regex fallback), and register the
+    * folder. Driver-side O(#fields). */
   def train(uid: String, folder: String, contextHint: String,
-            discovered: Map[String, String]): FolderMeta =
+            discovered: Map[String, String],
+            hook: Inference.TypeInferenceHook = Inference.RegexTypeInference): FolderMeta = {
+    val types = Inference.inferTypes(discovered, hook)
     FolderMeta(uid, folder, contextHint,
-      discovered.toSeq.sortBy(_._1).map { case (name, sample) =>
-        KpiMeta(name, Inference.inferType(sample))
+      discovered.toSeq.sortBy(_._1).map { case (name, _) =>
+        KpiMeta(name, types(name))
       })
+  }
 
   /** Schema-evolving read of an appended table (O16 read side): every
     * parquet footer in the directory is merged, so rows written before

@@ -25,6 +25,24 @@ trait Extractor extends Serializable {
     discover(fileName, content)
       .pipe(found => keys.map(k => k -> found.getOrElse(k, "N/A")).toMap)
 
+  /** Preferred number of documents per [[extractAll]] call — the
+    * ingest pipeline groups each partition's rows into batches of this
+    * size before calling down. */
+  def batchSize: Int = 8
+
+  /** Batch entry point the engine actually drives (one call per batch
+    * of documents per partition). The default degrades gracefully
+    * per document: a throwing extraction yields that document's
+    * all-"N/A" map (the reference logs-and-continues per file,
+    * main.py:757-759) without poisoning its batch. RPC-backed
+    * implementations override this with one remote call per batch. */
+  def extractAll(docs: Seq[(String, Array[Byte])],
+                 keys: Seq[String]): Seq[Map[String, String]] =
+    docs.map { case (name, content) =>
+      try extract(name, content, keys)
+      catch { case _: Exception => keys.map(_ -> "N/A").toMap }
+    }
+
   private implicit class Pipe[A](a: A) {
     def pipe[B](f: A => B): B = f(a)
   }

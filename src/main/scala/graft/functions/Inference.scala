@@ -66,6 +66,47 @@ object Inference {
     else "string"
   }
 
+  /** O8 hook (reference main.py:90-162): ONE call carrying ALL
+    * `{column name → sample value}` pairs — the reference batches every
+    * column into a single LLM request rather than one call per column.
+    * Implementations may throw (network, parse); [[inferTypes]] applies
+    * the closed-set validation and per-column fallback around the call,
+    * so a hook never needs its own error handling. The default
+    * [[RegexTypeInference]] is the deterministic classifier — drop an
+    * LLM-backed implementation in without touching the pipeline. */
+  trait TypeInferenceHook extends Serializable {
+    def inferTypes(samples: Map[String, String]): Map[String, String]
+  }
+
+  /** Default hook: the regex classifier applied per column (the
+    * reference's fallback path, main.py:165-202). */
+  object RegexTypeInference extends TypeInferenceHook {
+    override def inferTypes(samples: Map[String, String]): Map[String, String] =
+      samples.map { case (name, sample) => name -> inferType(sample) }
+  }
+
+  /** O8 batched inference with the reference's guardrails
+    * (main.py:147-162): the hook is called ONCE with all pairs; each
+    * returned type is lower-cased and validated against the closed set
+    * {number,date,categorical,string} — a present-but-invalid type
+    * degrades to "string" (main.py:152-155); a column the hook did not
+    * answer for, or a hook that throws entirely, falls back to the
+    * deterministic regex classifier per column. The result always has
+    * exactly the input's keys. */
+  def inferTypes(samples: Map[String, String],
+                 hook: TypeInferenceHook = RegexTypeInference): Map[String, String] = {
+    val answered =
+      try hook.inferTypes(samples)
+      catch { case _: Exception => Map.empty[String, String] }
+    samples.map { case (name, sample) =>
+      name -> (answered.get(name) match {
+        case Some(t) if Types.contains(t.toLowerCase) => t.toLowerCase
+        case Some(_)                                  => "string"
+        case None                                     => inferType(sample)
+      })
+    }
+  }
+
   /** O10: logical → Spark physical type (main.py:208-216 mapped from
     * BigQuery FLOAT64/DATE/STRING). */
   def physicalType(logical: String): DataType = logical match {
@@ -76,15 +117,20 @@ object Inference {
 
   /** Driver-side schema discovery: one sample value per column name →
     * typed StructType, with the reference's system columns prepended
-    * (main.py:297-301). */
-  def inferSchema(samples: Map[String, String]): StructType = {
+    * (main.py:297-301). Types come from ONE [[inferTypes]] hook call
+    * over all samples (main.py:482-483's all-columns batch) — at
+    * 100 TB this stays a driver-side O(#columns) step, never a
+    * data-sized job. */
+  def inferSchema(samples: Map[String, String],
+                  hook: TypeInferenceHook = RegexTypeInference): StructType = {
     val sys = Seq(
       StructField("row_id", StringType, nullable = false),
       StructField("file_name", StringType),
       StructField("uploaded_at", TimestampType))
-    val kpis = samples.toSeq.sortBy(_._1).map { case (name, sample) =>
+    val types = inferTypes(samples, hook)
+    val kpis = samples.toSeq.sortBy(_._1).map { case (name, _) =>
       StructField("kpi_" + name.replaceAll("[^a-zA-Z0-9_]", "_").toLowerCase,
-        physicalType(inferType(sample)))
+        physicalType(types(name)))
     }
     StructType(sys ++ kpis)
   }

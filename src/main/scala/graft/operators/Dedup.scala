@@ -199,11 +199,22 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs with hamming distance ≤ maxHamming (< 4):
-    * by pigeonhole such pairs agree on ≥1 of the 4 bands, so
-    * candidates come from 4 equi-joins (unioned), then the exact
-    * hamming filter. */
+    * the 64-bit signature splits into 2 bands of 32 bits; by pigeonhole
+    * a pair within hamming 3 differs by ≤1 bit in SOME band, so
+    * candidates come from 2 equi-joins where one side probes its band
+    * value plus all 32 single-bit flips (multiprobe LSH), then the
+    * exact hamming filter.
+    *
+    * Why 32-bit bands + multiprobe instead of 4×16-bit exact bands:
+    * exact k-bit bands collide at n²/2^k per band — at 16 bits a
+    * 10⁸-doc corpus shuffles ~10¹¹ candidate pairs per band, the
+    * scale-killer of this family. Multiprobe replicates the PROBE side
+    * 33× (linear in n) to push collisions to n²·33/2^32 — a ~2000×
+    * candidate reduction for a 33× linear cost. Output pairs are
+    * IDENTICAL to the exact-band scheme: both are complete for
+    * hamming ≤ 3 and both apply the same exact hamming filter. */
   def simHashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    require(maxHamming < 4, "band blocking assumes hamming < #bands")
+    require(maxHamming < 4, "2-band multiprobe with 1-bit flips assumes hamming <= 3")
     // Signature via explode + hash-aggregate, not an array fold:
     // higher-order functions are interpreted (no codegen), while 64
     // sum() accumulators over an exploded token stream stay inside
@@ -217,28 +228,33 @@ object Dedup {
       sum(when(shiftright(col("h"), b).bitwiseAND(1L) === 1L, 1L)
         .otherwise(-1L)).as(s"s$b"))
     val sums = toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-    // Bands as plain 16-bit longs, no bit array: hamming distance is
-    // then sum of bit_count(xor) over the 4 bands — native codegen'd
-    // integer ops. The hamming filter runs INSIDE each join stage,
-    // before the union + distinct: 16-bit bands over a large corpus
-    // collide heavily (n²/2^16 candidate pairs per band), and shuffling
-    // those candidates into dropDuplicates dominated the runtime; after
-    // the early filter only true near-dups reach the dedup shuffle.
-    val bandCols = (0 until 4).map { j =>
-      (0 until 16).map(kk =>
-        when(col(s"s${j * 16 + kk}") > 0, lit(1L << kk)).otherwise(lit(0L)))
+    // Bands as plain 32-bit values in longs, no bit array: hamming
+    // distance is sum of bit_count(xor) over the 2 bands — native
+    // codegen'd integer ops. The hamming filter runs INSIDE each join
+    // stage, before the union + distinct, so only true near-dups reach
+    // the dedup shuffle.
+    val bandCols = (0 until 2).map { j =>
+      (0 until 32).map(kk =>
+        when(col(s"s${j * 32 + kk}") > 0, lit(1L << kk)).otherwise(lit(0L)))
         .reduce(_ + _).as(s"band$j")
     }
-    // 4 self-joins consume the bands — persist (tiny: 5 longs/doc).
+    // Both join sides consume the bands — persist (tiny: 3 longs/doc).
     val withBands = CacheRegistry.track(
       sums.select(col("doc_id") +: bandCols: _*)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val hamming = (0 until 4).map(j =>
+    val hamming = (0 until 2).map(j =>
       bit_count(col(s"a.band$j").bitwiseXOR(col(s"b.band$j"))).cast("long"))
       .reduce(_ + _)
-    val cands = (0 until 4).map { j =>
-      withBands.as("a").join(withBands.as("b"),
-          col(s"a.band$j") === col(s"b.band$j")
+    // A pair within hamming 3 has ≤1 differing bit in some band, so
+    // probing band ⊕ {0, each single bit} on one side and the exact
+    // band on the other is complete. The flip relation is symmetric,
+    // so probing only side "a" still finds every ordered (i < j) pair.
+    val cands = (0 until 2).map { j =>
+      val probed = withBands.withColumn("_pb",
+        explode(array(col(s"band$j") +:
+          (0 until 32).map(kk => col(s"band$j").bitwiseXOR(lit(1L << kk))): _*)))
+      probed.as("a").join(withBands.as("b"),
+          col("a._pb") === col(s"b.band$j")
             && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
           hamming.as("hamming"))

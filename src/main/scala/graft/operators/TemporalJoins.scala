@@ -36,7 +36,18 @@ object TemporalJoins {
     *
     * `valueCols` are the right columns to carry (must not collide with
     * key/time names). Ties on time: the right row sorts BEFORE the
-    * left row with equal time (inclusive ≤), matching ASOF JOIN. */
+    * left row with equal time (inclusive ≤), matching ASOF JOIN.
+    *
+    * Skew limit: the union shuffles on the KEY only, so one hot key
+    * (a single user with 10⁹ events) lands its entire timeline on one
+    * window partition — per-key volume is bounded by what one task can
+    * sort. Mitigation when a key is genuinely that hot: pre-bucket
+    * time per key (split the timeline into coarse ranges, run the
+    * carry per (key, range), then stitch the first row of each range
+    * against the previous range's last carried value — one extra
+    * narrow pass). Not built in because the composed form covers every
+    * observed workload; see TemporalJoinsSpec's hot-key test for the
+    * single-partition behavior at probe scale. */
   def asofJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
                leftTime: String, rightTime: String,
                valueCols: Seq[String]): DataFrame = {
@@ -74,15 +85,37 @@ object TemporalJoins {
     * row's [startCol, endCol], same key. `bucket` is the bucketing
     * granularity as a Column-level integer divisor over epoch seconds
     * (e.g. 86400 for day buckets); choose it near the typical interval
-    * length. */
+    * length.
+    *
+    * Replication bound: each left interval is replicated into
+    * ceil(len/bucketSeconds)+1 bucket rows. A mis-chosen divisor (1 s
+    * buckets under year-long intervals) silently multiplies the left
+    * side by ~10⁷ — so the fan-out is GUARDED: any interval spanning
+    * more than `maxBucketsPerInterval` buckets fails the job with an
+    * explicit error naming the interval, instead of quietly exploding
+    * the shuffle. Pick bucketSeconds near the typical interval length
+    * (fan-out ≈ 2) and raise the guard only deliberately. */
   def rangeJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
                 startCol: String, endCol: String, rightTime: String,
-                bucketSeconds: Long): DataFrame = {
+                bucketSeconds: Long,
+                maxBucketsPerInterval: Int = 4096): DataFrame = {
+    require(bucketSeconds > 0, "bucketSeconds must be positive")
+    require(maxBucketsPerInterval > 0, "maxBucketsPerInterval must be positive")
     val lb = unix_timestamp(col(startCol)) / bucketSeconds
     val ub = unix_timestamp(col(endCol)) / bucketSeconds
-    // Replicate each interval into every bucket it overlaps.
-    val lBucketed = left.withColumn("_bucket",
-      explode(sequence(floor(lb).cast("long"), floor(ub).cast("long"))))
+    // Replicate each interval into every bucket it overlaps — unless
+    // the fan-out breaches the guard, which is a data/config error
+    // surfaced eagerly (raise_error evaluates inside the scan stage).
+    val span = floor(ub).cast("long") - floor(lb).cast("long") + 1L
+    val buckets = when(span <= maxBucketsPerInterval,
+      sequence(floor(lb).cast("long"), floor(ub).cast("long")))
+      .otherwise(raise_error(concat(
+        lit(s"rangeJoin: interval ["), col(startCol).cast("string"),
+        lit(", "), col(endCol).cast("string"),
+        lit(s"] spans "), span.cast("string"),
+        lit(s" buckets of ${bucketSeconds}s > maxBucketsPerInterval=" +
+          s"$maxBucketsPerInterval; choose a coarser bucketSeconds"))))
+    val lBucketed = left.withColumn("_bucket", explode(buckets))
     val rBucketed = right.withColumn("_bucket",
       floor(unix_timestamp(col(rightTime)) / bucketSeconds).cast("long"))
     val keyCond = keyCols.map(k => lBucketed(k) === rBucketed(k))

@@ -875,17 +875,21 @@ object Queries {
     ORDER BY doc_id"""))
 
   /** Inverse-frequency class weights (total / (n_classes · class_n)) —
-    * the loss-reweighting companion of stratified sampling. Two tiny
-    * aggregates + a broadcast-sized join. */
+    * the loss-reweighting companion of stratified sampling. The grand
+    * total is an unpartitioned window sum over the per-class counts:
+    * ONE scan of documents, one agg shuffle, then a window over
+    * #classes rows (tiny by definition — a single-partition window
+    * over the class list, not the data). No driver-side count() sync
+    * point, no second scan. */
   private val qClassWeights = Q(
     "q_class_weights",
     (s, d) => {
       val docs = t(s, d, "documents")
       val counts = docs.groupBy("lang").agg(count(lit(1)).as("n"))
-      val total = docs.count() // driver-side scalar: one number
       val nClasses = 5.0
-      counts.select(col("lang"), col("n"),
-          (floor(lit(total) / (lit(nClasses) * col("n")) * 1000000.0 + 0.5)
+      counts.withColumn("total", sum("n").over(Window.partitionBy()))
+        .select(col("lang"), col("n"),
+          (floor(col("total") / (lit(nClasses) * col("n")) * 1000000.0 + 0.5)
             / 1000000.0).as("weight"))
         .orderBy("lang")
     },

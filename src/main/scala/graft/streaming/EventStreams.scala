@@ -49,7 +49,13 @@ object EventStreams {
     * micro-batch; an event arriving in a LATER batch with an earlier
     * timestamp folds into the current session when it is within the
     * gap of the newest seen timestamp (never reopening closed
-    * history) — an explicit approximation, not silent miscounting. */
+    * history) — an explicit approximation, not silent miscounting.
+    *
+    * Trigger caveat: an armed processing-time timeout keeps a
+    * `Trigger.AvailableNow` query alive until the wall-clock timer
+    * fires — drive bounded replays with `processAllAvailable()` +
+    * `stop()`, or use [[sessionizeEventTime]] whose eviction is
+    * watermark-driven and therefore end-of-data-terminating. */
   def sessionize(events: Dataset[Event],
                  gapMinutes: Long = 30,
                  stateTimeoutMinutes: Long = 120): Dataset[UserSessions] = {
@@ -78,6 +84,59 @@ object EventStreams {
             }
             state.update(st)
             state.setTimeoutDuration(stateTimeoutMinutes * 60L * 1000L)
+            UserSessions(uid, st.count, st.sessions)
+          }
+      }
+  }
+
+  /** Watermark-driven sessionization: same session semantics as
+    * [[sessionize]], but state eviction is tied to EVENT time — a
+    * user's state is dropped once the watermark passes their newest
+    * event plus the session gap, at which point the final counts are
+    * emitted one last time.
+    *
+    * This is the preferred form for replay/backfill and bounded
+    * drains: no wall-clock timers are armed, so a
+    * `Trigger.AvailableNow` run terminates at end of data, and state
+    * lifetime is a function of the DATA (watermark) rather than of how
+    * fast the job happens to process it. State per user is one
+    * [[SessionState]]; total state is bounded by the number of users
+    * active within the watermark horizon. */
+  def sessionizeEventTime(events: Dataset[Event],
+                          gapMinutes: Long = 30,
+                          watermark: String = "10 minutes"): Dataset[UserSessions] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMs = gapMinutes * 60L * 1000L
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[SessionState, UserSessions](
+        GroupStateTimeout.EventTimeTimeout) {
+        case (uid, it, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            // Watermark passed lastTs + gap: the session can never be
+            // extended by in-watermark data — emit final counts, evict.
+            val st = state.get
+            state.remove()
+            UserSessions(uid, st.count, st.sessions)
+          } else {
+            val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue, 0L))
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              val newSession = st.count == 0L || t - st.lastTs > gapMs
+              st = SessionState(st.count + 1, math.max(st.lastTs, t),
+                st.sessions + (if (newSession) 1L else 0L))
+            }
+            state.update(st)
+            // Evict once the watermark proves the gap has elapsed. The
+            // timestamp must sit strictly above the current watermark or
+            // Spark rejects it (a very late group's gap may already have
+            // passed) — clamp to watermark+1ms so eviction fires on the
+            // next watermark advance.
+            state.setTimeoutTimestamp(
+              math.max(st.lastTs + gapMs, state.getCurrentWatermarkMs + 1L))
             UserSessions(uid, st.count, st.sessions)
           }
       }

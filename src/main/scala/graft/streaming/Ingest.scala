@@ -86,13 +86,33 @@ object Ingest {
             trigger: Trigger = Trigger.AvailableNow(),
             maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
 
-    // A failing extractor must not kill the micro-batch (the reference
-    // logs-and-continues, main.py:757-759): a throw degrades to the
-    // all-"N/A" map, which the sentinel normalization turns into a row
-    // of NULL KPIs — the file is still recorded and archived.
-    val extractUdf = udf((name: String, content: Array[Byte], keys: Seq[String]) =>
-      try extractor.extract(name, content, keys)
-      catch { case _: Exception => keys.map(_ -> "N/A").toMap })
+    // Extraction goes through the extractor's BATCH hook: each
+    // partition's rows are grouped into extractor.batchSize chunks and
+    // handed down in one call — per-doc extractors loop internally,
+    // RPC-backed ones ([[graft.extract.BatchedRpcExtractor]]) make one
+    // remote call per chunk with retry/backoff. A failing extraction
+    // must not kill the micro-batch (the reference logs-and-continues,
+    // main.py:757-759): failures degrade to the all-"N/A" map, which
+    // the sentinel normalization turns into a row of NULL KPIs — the
+    // file is still recorded and archived.
+    def withKpis(subset: DataFrame, keys: Seq[String]): DataFrame = {
+      val schema = subset.schema.add("kpis",
+        org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType,
+          org.apache.spark.sql.types.StringType))
+      val nameIdx = subset.schema.fieldIndex("file_name")
+      val contentIdx = subset.schema.fieldIndex("content")
+      val chunk = extractor.batchSize
+      subset.mapPartitions { it =>
+        it.grouped(chunk).flatMap { rows =>
+          val docs = rows.map(r =>
+            (r.getString(nameIdx), r.getAs[Array[Byte]](contentIdx)))
+          rows.zip(extractor.extractAll(docs, keys)).map { case (r, m) =>
+            org.apache.spark.sql.Row.fromSeq(r.toSeq :+ m)
+          }
+        }
+      }(org.apache.spark.sql.Encoders.row(schema))
+    }
 
     // The binaryFile source's schema is fixed but streaming sources
     // don't infer — declare it.
@@ -121,16 +141,18 @@ object Ingest {
         // list files that no longer exist in landing. Two guards make
         // replay idempotent (write-before-archive ordering guarantees a
         // file is only ever missing if its row was durably written):
-        //  1. ignoreMissingFiles, scoped to this batch: already-
-        //     archived files drop out of the re-read instead of
-        //     permanently failing the micro-batch;
+        //  1. ignoreMissingFiles while this batch runs. NOTE: the flag
+        //     is SESSION-GLOBAL, not batch-scoped — every query sharing
+        //     this SparkSession silently skips missing files until the
+        //     batch ends (run ingest on a dedicated/cloned session if
+        //     that matters). Set/restore is reference-counted so
+        //     concurrent ingest streams on one session cannot clobber
+        //     each other's restore mid-batch;
         //  2. the per-folder write MERGES the previously written
         //     _batch_id partition (left-anti on row_id) into the
         //     dynamic overwrite, so rows whose source file the crashed
         //     attempt already archived survive the rewrite.
-        val imf = "spark.sql.files.ignoreMissingFiles"
-        val imfPrev = spark.conf.getOption(imf)
-        spark.conf.set(imf, "true")
+        acquireIgnoreMissingFiles(spark)
         // Persist: every per-folder write re-evaluates the batch, and
         // the archive move below deletes source files — an unpersisted
         // batch would re-read moved files when one micro-batch spans
@@ -142,11 +164,8 @@ object Ingest {
           val ingested = present.filter { case (u, f) =>
             catalog.get(u, f).exists { meta =>
               val keys = meta.kpis.map(_.name)
-              val subset = batch
-                .filter(col("uid") === u && col("folder") === f)
-                .withColumn("kpis",
-                  extractUdf(col("file_name"), col("content"),
-                    typedLit(keys)))
+              val subset = withKpis(
+                batch.filter(col("uid") === u && col("folder") === f), keys)
               val fresh = project(subset, meta)
                 .withColumn("_batch_id", lit(batchId))
               val tablePath = s"$warehouseDir/${meta.tableName}"
@@ -154,14 +173,18 @@ object Ingest {
               // longer in landing: carry them through the overwrite.
               // Reading only the _batch_id=<id> subdir keeps this a
               // partition-pruned read — O(batch), not O(table).
+              // localCheckpoint(eager) CUTS LINEAGE, not just caches:
+              // the dynamic overwrite below deletes the very parquet
+              // files this plan reads, so a cache-loss recompute after
+              // the commit (persist+count's failure mode) would
+              // silently resolve to zero rows under ignoreMissingFiles.
+              // Checkpointed blocks have no parent to recompute from.
               val carried = try {
-                val prev = spark.read.option("basePath", tablePath)
+                Some(spark.read.option("basePath", tablePath)
                   .parquet(s"$tablePath/_batch_id=$batchId")
                   .withColumn("_batch_id", lit(batchId))
                   .join(fresh.select("row_id"), Seq("row_id"), "left_anti")
-                  .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-                prev.count() // materialize BEFORE overwriting its source files
-                Some(prev)
+                  .localCheckpoint(eager = true))
               } catch { case _: org.apache.spark.sql.AnalysisException => None }
               val merged = carried.fold(fresh)(c =>
                 fresh.unionByName(c, allowMissingColumns = true))
@@ -180,12 +203,42 @@ object Ingest {
           }
         } finally {
           batch.unpersist()
-          imfPrev.fold(spark.conf.unset(imf))(v => spark.conf.set(imf, v))
-          ()
+          releaseIgnoreMissingFiles(spark)
         }
       }
       .start()
   }
+
+  /** Reference-counted set/restore of the SESSION-GLOBAL
+    * spark.sql.files.ignoreMissingFiles flag: the first in-flight
+    * ingest batch on a session saves the prior value and forces true;
+    * the last one out restores it. Without the counter, two ingest
+    * streams sharing a session could restore the flag while the
+    * other's replay is mid-flight and fail it. */
+  private val imfKey = "spark.sql.files.ignoreMissingFiles"
+  private val imfDepth = new java.util.concurrent.ConcurrentHashMap[SparkSession, (Int, Option[String])]()
+  private def acquireIgnoreMissingFiles(spark: SparkSession): Unit =
+    imfDepth.synchronized {
+      imfDepth.compute(spark, (_, cur) => cur match {
+        case null | (0, _) =>
+          val prev = spark.conf.getOption(imfKey)
+          spark.conf.set(imfKey, "true")
+          (1, prev)
+        case (n, prev) => (n + 1, prev)
+      })
+      ()
+    }
+  private def releaseIgnoreMissingFiles(spark: SparkSession): Unit =
+    imfDepth.synchronized {
+      imfDepth.compute(spark, (_, cur) => cur match {
+        case null => null
+        case (1, prev) =>
+          prev.fold(spark.conf.unset(imfKey))(v => spark.conf.set(imfKey, v))
+          null
+        case (n, prev) => (n - 1, prev)
+      })
+      ()
+    }
 
   /** O17 archive move (main.py:750-752): relocate ingested files under
     * processedDir, preserving the incoming/... suffix. Bookkeeping

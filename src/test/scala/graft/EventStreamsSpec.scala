@@ -58,7 +58,20 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(ids == Seq(1L, 2L, 3L))
   }
 
-  test("sessionize counts gap-separated sessions like the batch query") {
+  /** Armed per-group timeouts make the engine schedule no-data
+    * micro-batches forever (a busy loop under the default trigger, an
+    * un-terminating query under AvailableNow — the round-2 hang). The
+    * sessionize tests only need DATA batches: timeouts are evaluated at
+    * the start of every executed batch anyway, so switching the no-data
+    * batches off gives bounded tests without changing semantics. */
+  private def withoutNoDataBatches[A](body: => A): A = {
+    val key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try body finally spark.conf.set(key, prev)
+  }
+
+  test("sessionize counts gap-separated sessions like the batch query") { withoutNoDataBatches {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
@@ -69,27 +82,68 @@ class EventStreamsSpec extends AnyFunSuite {
       Event(3, ts(50), 1, 1.0),
       Event(4, ts(0), 2, 1.0), Event(5, ts(5), 2, 1.0))
     val sessions = EventStreams.sessionize(input.toDS())
+    // An armed ProcessingTimeTimeout keeps an AvailableNow query alive
+    // waiting on the wall-clock timer — drain with processAllAvailable
+    // + stop instead of awaitTermination, per the operator's scaladoc.
     val q = sessions.writeStream.format("memory").queryName("sessions_out")
       .outputMode(OutputMode.Update())
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    q.awaitTermination()
-    val got = spark.table("sessions_out").as[UserSessions].collect()
-      .groupBy(_.user_id).map { case (u, rows) => u -> rows.last }
-    assert(got(1L).n_sessions == 2 && got(1L).n_events == 3)
-    assert(got(2L).n_sessions == 1 && got(2L).n_events == 2)
+    try {
+      q.processAllAvailable()
+      val got = spark.table("sessions_out").as[UserSessions].collect()
+        .groupBy(_.user_id).map { case (u, rows) => u -> rows.last }
+      assert(got(1L).n_sessions == 2 && got(1L).n_events == 3)
+      assert(got(2L).n_sessions == 1 && got(2L).n_events == 2)
 
-    // Incremental state: a later event within the gap doesn't open a
-    // new session; one beyond the gap does.
-    input.addData(Event(6, ts(60), 1, 1.0), Event(7, ts(200), 2, 1.0))
-    val q2 = sessions.writeStream.format("memory").queryName("sessions_out2")
+      // Incremental state: a later event within the gap doesn't open a
+      // new session; one beyond the gap does.
+      input.addData(Event(6, ts(60), 1, 1.0), Event(7, ts(200), 2, 1.0))
+      q.processAllAvailable()
+      val got2 = spark.table("sessions_out").as[UserSessions].collect()
+        .groupBy(_.user_id).map { case (u, rows) => u -> rows.last }
+      assert(got2(1L).n_sessions == 2 && got2(1L).n_events == 4)
+      assert(got2(2L).n_sessions == 2 && got2(2L).n_events == 3)
+    } finally q.stop()
+  } }
+
+  test("sessionizeEventTime matches batch counts and evicts on watermark") { withoutNoDataBatches {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val sessions = EventStreams.sessionizeEventTime(input.toDS())
+    val q = sessions.writeStream.format("memory").queryName("sessions_et_out")
       .outputMode(OutputMode.Update())
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    q2.awaitTermination()
-    val got2 = spark.table("sessions_out2").as[UserSessions].collect()
-      .groupBy(_.user_id).map { case (u, rows) => u -> rows.last }
-    assert(got2(1L).n_sessions == 2 && got2(1L).n_events == 4)
-    assert(got2(2L).n_sessions == 2 && got2(2L).n_events == 3)
-  }
+    try {
+      // Batch 1: same shape as the processing-time test — counts agree.
+      input.addData(
+        Event(1, ts(0), 1, 1.0), Event(2, ts(10), 1, 1.0),
+        Event(3, ts(50), 1, 1.0),
+        Event(4, ts(0), 2, 1.0), Event(5, ts(5), 2, 1.0))
+      q.processAllAvailable()
+      val got = spark.table("sessions_et_out").as[UserSessions].collect()
+        .groupBy(_.user_id).map { case (u, rows) => u -> rows.last }
+      assert(got(1L).n_sessions == 2 && got(1L).n_events == 3)
+      assert(got(2L).n_sessions == 1 && got(2L).n_events == 2)
+
+      // Batch 2 advances the max event time to t=120min; after this
+      // batch the watermark is 110min > (50min + 30min gap), so user 1
+      // and 2 are due for eviction at the NEXT batch.
+      input.addData(Event(6, ts(120), 3, 1.0))
+      q.processAllAvailable()
+      // Batch 3: data only for user 3 — the timed-out branch must fire
+      // for users 1 and 2 (final emission + state removal).
+      input.addData(Event(7, ts(125), 3, 1.0))
+      q.processAllAvailable()
+      // Batch 4: user 1 reappears AFTER eviction — counts restart from
+      // zero, proving the state was actually removed, not retained.
+      input.addData(Event(8, ts(126), 1, 1.0))
+      q.processAllAvailable()
+      val fin = spark.table("sessions_et_out").as[UserSessions].collect()
+        .groupBy(_.user_id).map { case (u, rows) => u -> rows.last }
+      assert(fin(1L).n_events == 1 && fin(1L).n_sessions == 1,
+        s"user 1 state should have been evicted and restarted, got ${fin(1L)}")
+      assert(fin(3L).n_events == 2 && fin(3L).n_sessions == 1)
+    } finally q.stop()
+  } }
 }

@@ -76,4 +76,60 @@ class InferenceSpec extends AnyFunSuite {
     assert(sch("kpi_report_date").dataType == DateType)
     assert(sch("kpi_status").dataType == StringType)
   }
+
+  // ---- O8 batched hook (main.py:90-162 semantics) ----
+
+  private val hookSamples = Map(
+    "Revenue" -> "$1,234", "When" -> "2024-01-15", "Code" -> "KDC-54")
+
+  test("batched hook: default regex hook gives per-column inferType parity") {
+    assert(Inference.inferTypes(hookSamples) ==
+      hookSamples.map { case (k, v) => k -> Inference.inferType(v) })
+  }
+
+  test("batched hook: closed-set validation — invalid types become string") {
+    val hook = new Inference.TypeInferenceHook {
+      override def inferTypes(s: Map[String, String]) = Map(
+        "Revenue" -> "NUMBER",      // case-normalized, valid
+        "When" -> "timestamp",      // not in the closed set → string
+        "Code" -> "categorical")
+    }
+    assert(Inference.inferTypes(hookSamples, hook) == Map(
+      "Revenue" -> "number", "When" -> "string", "Code" -> "categorical"))
+  }
+
+  test("batched hook: unanswered columns fall back to the regex classifier") {
+    val hook = new Inference.TypeInferenceHook {
+      override def inferTypes(s: Map[String, String]) = Map("Revenue" -> "number")
+    }
+    val got = Inference.inferTypes(hookSamples, hook)
+    assert(got("Revenue") == "number")
+    assert(got("When") == Inference.inferType("2024-01-15"))
+    assert(got("Code") == Inference.inferType("KDC-54"))
+  }
+
+  test("batched hook: a throwing hook degrades to full regex parity") {
+    val hook = new Inference.TypeInferenceHook {
+      override def inferTypes(s: Map[String, String]) =
+        throw new RuntimeException("llm down")
+    }
+    assert(Inference.inferTypes(hookSamples, hook) ==
+      Inference.inferTypes(hookSamples))
+  }
+
+  test("batched hook: the hook is called exactly once for all columns") {
+    var calls = 0
+    val hook = new Inference.TypeInferenceHook {
+      override def inferTypes(s: Map[String, String]) = {
+        calls += 1; assert(s == hookSamples)
+        s.map { case (k, _) => k -> "string" }
+      }
+    }
+    Inference.inferTypes(hookSamples, hook)
+    assert(calls == 1)
+    // and inferSchema routes through the same single batched call
+    calls = 0
+    Inference.inferSchema(hookSamples, hook)
+    assert(calls == 1)
+  }
 }

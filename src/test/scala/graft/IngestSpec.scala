@@ -166,12 +166,23 @@ class IngestSpec extends AnyFunSuite {
       s"$root/checkpoint", catalog, DeterministicExtractor).awaitTermination()
     assert(Ingest.readTable(spark, s"$root/warehouse", meta).count() == 2)
 
+    // "Uncommit" batch 0 as a crash would leave it: neither the commit
+    // marker NOR its checksum sidecar exists (the local ChecksumFs
+    // writes a hidden .0.crc whose survival would fail the replay's
+    // commit rename with FileAlreadyExists — a real crash never wrote
+    // either file).
+    def uncommitBatch0(): Unit = {
+      Files.delete(Paths.get(root, "checkpoint/commits/0"))
+      Files.deleteIfExists(Paths.get(root, "checkpoint/commits/.0.crc"))
+      ()
+    }
+
     // Crash mid-archive variant: b.pdf's move is "undone" (still in
     // landing at replay time), a.pdf's move stuck.
     Files.createDirectories(Paths.get(root, "landing/incoming/u1/f1/batch"))
     Files.move(Paths.get(root, "processed/incoming/u1/f1/batch/b.pdf"),
       Paths.get(root, "landing/incoming/u1/f1/batch/b.pdf"))
-    Files.delete(Paths.get(root, "checkpoint/commits/0"))
+    uncommitBatch0()
 
     Ingest.start(spark, s"$root/landing", s"$root/warehouse", s"$root/processed",
       s"$root/checkpoint", catalog, DeterministicExtractor).awaitTermination()
@@ -185,12 +196,67 @@ class IngestSpec extends AnyFunSuite {
 
     // Fully-archived variant: every file gone from landing. Replay is
     // a no-op that must still preserve the partition.
-    Files.delete(Paths.get(root, "checkpoint/commits/0"))
+    uncommitBatch0()
     Ingest.start(spark, s"$root/landing", s"$root/warehouse", s"$root/processed",
       s"$root/checkpoint", catalog, DeterministicExtractor).awaitTermination()
     val t2 = Ingest.readTable(spark, s"$root/warehouse", meta)
     assert(t2.count() == 2)
     assert(t2.select("row_id").distinct().count() == 2)
+  }
+
+  test("ingest e2e through the batched-RPC extractor, with failure injection") {
+    import graft.extract.{BatchedRpcExtractor, ExtractionClient}
+    val root = Files.createTempDirectory("graft-ingest-rpc").toString
+    val meta = Catalog.train("u1", "f1", "x",
+      Map("Amount" -> "$10", "Status" -> "Active"))
+    val catalog = Catalog.empty.add(meta)
+
+    // Flaky endpoint: the FIRST call of each query run throws; retries
+    // succeed, answering deterministically. Static state because the
+    // client is serialized into tasks (local mode shares the JVM).
+    IngestSpec.rpcCalls.set(0)
+    val flaky = new ExtractionClient {
+      override def extractBatch(docs: Seq[(String, Array[Byte])],
+                                keys: Seq[String]): Seq[Map[String, String]] = {
+        if (IngestSpec.rpcCalls.incrementAndGet() == 1)
+          throw new RuntimeException("endpoint hiccup")
+        docs.map { case (n, c) => DeterministicExtractor.extract(n, c, keys) }
+      }
+    }
+    write(root + "/landing", "incoming/u1/f1/batch/a.pdf",
+      "Amount=$100\nStatus=Active")
+    write(root + "/landing", "incoming/u1/f1/batch/b.pdf",
+      "Amount=$200\nStatus=Closed")
+    Ingest.start(spark, s"$root/landing", s"$root/warehouse", s"$root/processed",
+      s"$root/checkpoint", catalog,
+      new BatchedRpcExtractor(flaky, batchSize = 2, maxAttempts = 3,
+        sleep = _ => ())).awaitTermination()
+    val t = Ingest.readTable(spark, s"$root/warehouse", meta)
+    assert(t.count() == 2)
+    assert(t.select("kpi_amount").collect().map(_.getDouble(0)).sorted
+      .sameElements(Array(100.0, 200.0)))
+    assert(IngestSpec.rpcCalls.get() >= 2, "retry should have re-called the client")
+    assert(Files.exists(Paths.get(root, "processed/incoming/u1/f1/batch/a.pdf")))
+
+    // Dead endpoint: every call fails → rows still land (all KPIs NULL
+    // via the N/A degradation) and files still archive — one broken
+    // dependency can't wedge the pipeline.
+    val dead = new ExtractionClient {
+      override def extractBatch(docs: Seq[(String, Array[Byte])],
+                                keys: Seq[String]): Seq[Map[String, String]] =
+        throw new RuntimeException("endpoint down")
+    }
+    write(root + "/landing", "incoming/u1/f1/batch/c.pdf", "Amount=$300")
+    Ingest.start(spark, s"$root/landing", s"$root/warehouse", s"$root/processed",
+      s"$root/checkpoint", catalog,
+      new BatchedRpcExtractor(dead, maxAttempts = 2, sleep = _ => ()))
+      .awaitTermination()
+    val t2 = Ingest.readTable(spark, s"$root/warehouse", meta)
+    assert(t2.count() == 3)
+    val cRow = t2.filter(org.apache.spark.sql.functions.col("file_name") === "c.pdf").first()
+    assert(cRow.isNullAt(cRow.fieldIndex("kpi_amount")))
+    assert(cRow.isNullAt(cRow.fieldIndex("kpi_status")))
+    assert(Files.exists(Paths.get(root, "processed/incoming/u1/f1/batch/c.pdf")))
   }
 
   test("admit implements the B.6 admission vectors") {
@@ -212,4 +278,10 @@ class IngestSpec extends AnyFunSuite {
     assert((parsed.getString(0), parsed.getString(1), parsed.getString(2))
       == ("u9", "f7", "a.pdf"))
   }
+}
+
+/** Cross-task-visible counters for the RPC ingest test (the client
+  * closure is deserialized per task; local mode shares this JVM). */
+object IngestSpec {
+  val rpcCalls = new java.util.concurrent.atomic.AtomicInteger(0)
 }

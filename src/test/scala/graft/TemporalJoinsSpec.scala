@@ -113,4 +113,44 @@ class TemporalJoinsSpec extends AnyFunSuite {
       "start", "end", "rt", bucketSeconds = 60L).collect()
     assert(rows.length == 1, s"right point must land in exactly one bucket: ${rows.length}")
   }
+
+  test("rangeJoin guards pathological bucket fan-out with an explicit error") {
+    // A year-long interval over 1-second buckets would replicate one
+    // left row ~31M× — the guard must fail the job with a named error,
+    // not silently explode the shuffle.
+    val left = Seq((1L, 1L, ts(0), ts(60 * 24 * 365))).toDF("lid", "k", "start", "end")
+    val right = Seq((1L, 2L, ts(300))).toDF("k", "rid", "rt")
+    val e = intercept[Exception] {
+      TemporalJoins.rangeJoin(left, right, Seq("k"),
+        "start", "end", "rt", bucketSeconds = 1L).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("maxBucketsPerInterval")),
+      s"expected the guard's error, got: $e")
+    // The same shape passes when the caller raises the guard knowingly.
+    val ok = TemporalJoins.rangeJoin(left, right, Seq("k"),
+      "start", "end", "rt", bucketSeconds = 3600L).collect()
+    assert(ok.length == 1)
+  }
+
+  test("asofJoin stays correct under a single hot key (skew probe)") {
+    // One key carries the whole dataset (the documented worst case for
+    // the key-partitioned window): 50k left rows + 5k right rows on a
+    // single key must still produce exact per-row carries.
+    val n = 50000
+    val left = spark.range(n.toLong)
+      .selectExpr("id AS lid", "CAST(1 AS LONG) AS k",
+        "timestamp_seconds(1704067200 + id * 10) AS t")
+    val right = spark.range(5000)
+      .selectExpr("CAST(1 AS LONG) AS k",
+        "timestamp_seconds(1704067200 + id * 100) AS t", "id AS tag")
+    val got = TemporalJoins.asofJoin(left, right, Seq("k"), "t", "t", Seq("tag"))
+    // left row i (time 10i) carries right row floor(10i/100) = i/10
+    val wrong = got.selectExpr("lid", "asof_tag")
+      .where("asof_tag IS NULL OR asof_tag != CAST(lid / 10 AS LONG)")
+      .count()
+    assert(wrong == 0)
+    assert(got.count() == n.toLong)
+  }
 }
