@@ -11,6 +11,14 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Throughput-first AQE coalescing: let small post-shuffle
+      // partitions merge toward the advisory size instead of padding
+      // out to #cpus. The multi-stage candidate pipelines (near-dup
+      // family) are stage-overhead-bound at bench SFs without this,
+      // and at production scale fewer, advisory-sized partitions is
+      // the recommended throughput setting anyway.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -57,7 +57,8 @@ object Catalog {
   /** Persist the catalog as JSON under the warehouse (the rebuild's
     * Firestore analog — reference main.py:497-503 persists folder
     * metadata on confirm). O(#folders) rows; coalesced to one file so
-    * the catalog read is a single-object fetch. */
+    * the catalog read is a single-object fetch. Also refreshes the
+    * [[loadCached]] fast path for this warehouse. */
   def save(spark: SparkSession, catalog: Catalog, warehouseDir: String): Unit = {
     import spark.implicits._
     catalog.folders.values.toSeq
@@ -65,7 +66,31 @@ object Catalog {
         m.kpis.map(k => KpiRow(k.name, k.logicalType))))
       .toDS().coalesce(1)
       .write.mode("overwrite").json(s"$warehouseDir/_catalog")
+    loadCache.put(warehouseDir, catalog)
+    ()
   }
+
+  /** Read-back fast path (the reference's precomputed-metadata branch,
+    * main.py:551-560: a folder doc whose kpi metadata is already
+    * materialized is served without recomputation — vs the recompute
+    * path at main.py:563-580). First [[load]] per warehouse dir scans
+    * the JSON; subsequent reads in the same JVM are served from memory.
+    * [[save]] refreshes the entry, so a save-then-read cycle never
+    * serves stale metadata; an external writer updating the warehouse
+    * behind this JVM's back requires [[invalidate]]. Catalogs are
+    * O(#folders) driver-side values — the cache is bounded by the
+    * number of distinct warehouses a process touches. */
+  def loadCached(spark: SparkSession, warehouseDir: String): Catalog =
+    loadCache.computeIfAbsent(warehouseDir, _ => load(spark, warehouseDir))
+
+  /** Drop [[loadCached]]'s entry for one warehouse (external update). */
+  def invalidate(warehouseDir: String): Unit = {
+    loadCache.remove(warehouseDir)
+    ()
+  }
+
+  private val loadCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Catalog]()
 
   /** Load a previously [[save]]d catalog. */
   def load(spark: SparkSession, warehouseDir: String): Catalog = {

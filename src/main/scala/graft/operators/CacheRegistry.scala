@@ -11,11 +11,19 @@ import org.apache.spark.sql.DataFrame
   * near-dup family repeatedly (Bench, the test suite) would steadily
   * leak storage memory.
   *
-  * Contract: operators register via [[track]]; whoever drives the
-  * actions calls [[releaseAll]] once the results are materialized
-  * (Bench and Verify do, after every query).
+  * Registries are INSTANCES so each caller can scope its own
+  * lifecycle: pass a fresh `new CacheRegistry` into an operator run
+  * and release it when that run's results are materialized, without
+  * touching any other in-flight query's intermediates.
+  * [[CacheRegistry.global]] is the default for single-driver use
+  * (Bench/Verify drive queries sequentially and release after each);
+  * its contract is single-owner — concurrent query drivers sharing
+  * `global` would release each other's live caches, so they must pass
+  * their own instances instead. Anything tracked but never released
+  * stays pinned until the session ends (exactly Spark's own behavior
+  * for an unmanaged persist).
   */
-object CacheRegistry {
+final class CacheRegistry {
   private val live = scala.collection.mutable.ArrayBuffer[DataFrame]()
 
   def track(df: DataFrame): DataFrame = synchronized { live += df; df }
@@ -25,4 +33,12 @@ object CacheRegistry {
     live.foreach(df => try df.unpersist(false) catch { case _: Throwable => () })
     live.clear()
   }
+}
+
+object CacheRegistry {
+  /** Default registry for sequential single-owner drivers. */
+  val global: CacheRegistry = new CacheRegistry
+
+  def track(df: DataFrame): DataFrame = global.track(df)
+  def releaseAll(): Unit = global.releaseAll()
 }

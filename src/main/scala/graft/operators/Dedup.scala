@@ -15,12 +15,18 @@ import org.apache.spark.sql.functions._
   *    banding, the 100 TB path — signature computation is one map-side
   *    partial-agg groupBy, banding turns near-dup search into b
   *    equi-joins on (band, bandHash);
-  *  - [[simHashPairs]]: 64-bit SimHash with 4×16-bit band blocking
-  *    (pigeonhole: hamming ≤ 3 ⇒ ≥1 band equal);
+  *  - [[simHashPairs]]: 64-bit SimHash, 2×32-bit bands with
+  *    single-bit multiprobe (pigeonhole: hamming ≤ 3 ⇒ some band
+  *    differs by ≤ 1 bit);
   *  - [[cosinePairs]]: embedding-cosine near-dup, label-blocked.
   *
   * All signature math is Column-expression only (codegen, no UDFs);
   * the only shuffles are the candidate equi-joins and final groupBys.
+  *
+  * Operators that persist intermediates take a [[CacheRegistry]]
+  * (default [[CacheRegistry.global]]); the caller releases it once the
+  * results are materialized. Concurrent drivers in one JVM should pass
+  * their own registries.
   */
 object Dedup {
 
@@ -54,16 +60,18 @@ object Dedup {
     * a shingle ever meet; hot shingles (stopword runs) are the skew
     * risk — mitigate upstream by using a larger w (default 5 here) so
     * bucket sizes stay small, and AQE skew-split for the tail. */
-  def jaccardPairs(docs: DataFrame, w: Int = 5, threshold: Double = 0.8): DataFrame =
-    pairsFromShingles(shingleRows(docs, w), threshold)
+  def jaccardPairs(docs: DataFrame, w: Int = 5, threshold: Double = 0.8,
+                   registry: CacheRegistry = CacheRegistry.global): DataFrame =
+    pairsFromShingles(shingleRows(docs, w), threshold, registry)
 
   /** Character n-gram variant of [[jaccardPairs]]: shingles are the
     * distinct n-char substrings of the lowercased text — finer-grained
     * than word shingles (robust to tokenization differences), larger
     * shingle sets. Same candidate-join pipeline. */
   def charJaccardPairs(docs: DataFrame, n: Int = 20,
-                       threshold: Double = 0.8): DataFrame =
-    pairsFromShingles(charShingleRows(docs, n), threshold)
+                       threshold: Double = 0.8,
+                       registry: CacheRegistry = CacheRegistry.global): DataFrame =
+    pairsFromShingles(charShingleRows(docs, n), threshold, registry)
 
   /** Distinct character n-grams per doc, codegen'd: explode the start
     * positions, substr per position (Column.substr takes Column args,
@@ -77,7 +85,8 @@ object Dedup {
       .select(col("doc_id"), col("_t").substr(col("_i"), lit(n)).as("s"))
   }
 
-  private def pairsFromShingles(rawShingles: DataFrame, threshold: Double): DataFrame = {
+  private def pairsFromShingles(rawShingles: DataFrame, threshold: Double,
+                                registry: CacheRegistry): DataFrame = {
     // Shuffle longs, not shingle strings: every downstream step
     // (dedup/window/prune/self-join) only needs shingle EQUALITY, so
     // an xxhash64 at the entrance replaces 20-40 byte strings with 8
@@ -96,7 +105,7 @@ object Dedup {
     // shape. Persisted because the prune and both join sides re-read
     // it; MEMORY_AND_DISK so a 100 TB run spills instead of OOMing.
     val wDoc = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
-    val sh = CacheRegistry.track(shingles
+    val sh = registry.track(shingles
       .withColumn("c", count(lit(1)).over(wDoc))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // A shingle held by a single doc can never form a pair — drop it
@@ -157,14 +166,15 @@ object Dedup {
     * One groupBy(doc_id) with k min() aggregates — partial aggregation
     * collapses shingles map-side, so the shuffle carries one row per
     * (doc, partition), not per shingle. */
-  def minHashSignatures(docs: DataFrame, w: Int = 5, k: Int = 32): DataFrame = {
+  def minHashSignatures(docs: DataFrame, w: Int = 5, k: Int = 32,
+                        registry: CacheRegistry = CacheRegistry.global): DataFrame = {
     // duplicate shingles are harmless here: min() is idempotent
     val sh = shingleRows(docs, w)
       .withColumn("h", pmod(hash(col("s")).cast("long"), lit(MinHashP)))
     val mins = minHashCoefs(k).zipWithIndex.map { case ((a, b), i) =>
       min(pmod(col("h") * a + b, lit(MinHashP))).as(s"m$i")
     }
-    CacheRegistry.track(sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+    registry.track(sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
       .select(col("doc_id"),
         array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
       // Both LSH join sides consume the signatures — persist so the
@@ -179,9 +189,10 @@ object Dedup {
     * dropped. b=8, r=4 targets the J≈0.8 near-dup band (collision
     * prob 1-(1-J^4)^8 ≈ 0.99 at J=0.8). */
   def minHashCandidates(docs: DataFrame, w: Int = 5, k: Int = 32,
-                        bands: Int = 8, minEst: Double = 0.5): DataFrame = {
+                        bands: Int = 8, minEst: Double = 0.5,
+                        registry: CacheRegistry = CacheRegistry.global): DataFrame = {
     val r = k / bands
-    val sigs = minHashSignatures(docs, w, k)
+    val sigs = minHashSignatures(docs, w, k, registry)
     val banded = sigs.select(col("doc_id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         j => hash(slice(col("sig"), j * r + 1, lit(r))))).as(Seq("band", "bh")))
@@ -213,7 +224,8 @@ object Dedup {
     * candidate reduction for a 33× linear cost. Output pairs are
     * IDENTICAL to the exact-band scheme: both are complete for
     * hamming ≤ 3 and both apply the same exact hamming filter. */
-  def simHashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def simHashPairs(docs: DataFrame, maxHamming: Int = 3,
+                   registry: CacheRegistry = CacheRegistry.global): DataFrame = {
     require(maxHamming < 4, "2-band multiprobe with 1-bit flips assumes hamming <= 3")
     // Signature via explode + hash-aggregate, not an array fold:
     // higher-order functions are interpreted (no codegen), while 64
@@ -239,7 +251,7 @@ object Dedup {
         .reduce(_ + _).as(s"band$j")
     }
     // Both join sides consume the bands — persist (tiny: 3 longs/doc).
-    val withBands = CacheRegistry.track(
+    val withBands = registry.track(
       sums.select(col("doc_id") +: bandCols: _*)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val hamming = (0 until 2).map(j =>

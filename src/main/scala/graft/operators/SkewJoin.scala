@@ -24,7 +24,19 @@ object SkewJoin {
   /** Inner/left equi-join of fact⋈dim on `key`, salted `salts` ways.
     * The salt only affects row routing, never the result: any
     * fact-side salt value meets its dim row because the dim side
-    * carries all salt values. */
+    * carries all salt values.
+    *
+    * Content-hash salt limits (both inherent to determinism):
+    *  - EXACT duplicate fact rows all hash to the same salt, so a hot
+    *    key made of byte-identical copies of one row still lands on
+    *    one partition. Such a table has no row-content entropy to
+    *    spread by; if that shape is real, add a stable discriminator
+    *    column upstream (e.g. a source offset) before salting.
+    *  - MapType columns are EXCLUDED from the hash input (xxhash64
+    *    refuses maps under default config — their iteration order is
+    *    undefined, the same reason a map must not influence routing).
+    *    A fact row whose only distinguishing column is a map therefore
+    *    degrades to the duplicate-row case above. */
   def saltedEquiJoin(fact: DataFrame, dim: DataFrame, key: String,
                      salts: Int = 16, joinType: String = "inner"): DataFrame = {
     require(salts > 0)
@@ -34,10 +46,15 @@ object SkewJoin {
     // after a fetch failure, routing the recomputed rows to different
     // shuffle partitions and silently dropping/duplicating join rows
     // (the SPARK-23207 class of bug — routine at 100 TB scale).
-    // Hashing every fact column keeps the spread uniform even when the
-    // join key itself is a single hot value.
+    // Hashing every (hashable) fact column keeps the spread uniform
+    // even when the join key itself is a single hot value.
+    val hashable = fact.schema.fields
+      .filterNot(f => containsMap(f.dataType))
+      .map(f => col(f.name)).toIndexedSeq
+    require(hashable.nonEmpty,
+      "saltedEquiJoin: every fact column is map-typed — no deterministic salt input")
     val salted = fact.withColumn("_salt",
-      pmod(xxhash64(fact.columns.map(col).toIndexedSeq: _*), lit(salts.toLong)))
+      pmod(xxhash64(hashable: _*), lit(salts.toLong)))
     val replicated = dim.withColumn("_salt",
       explode(sequence(lit(0L), lit(salts.toLong - 1))))
     salted.join(replicated,
@@ -45,4 +62,13 @@ object SkewJoin {
         joinType)
       .drop(replicated(key)).drop("_salt")
   }
+
+  private def containsMap(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt match {
+      case _: org.apache.spark.sql.types.MapType => true
+      case s: org.apache.spark.sql.types.StructType =>
+        s.fields.exists(f => containsMap(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => containsMap(a.elementType)
+      case _ => false
+    }
 }

@@ -360,12 +360,16 @@ object Queries {
 
   /** Approximate distinct (HyperLogLog++). Sketch mergeable across
     * partitions → single narrow shuffle of sketches; the 100 TB path
-    * where exact distinct would blow up. No oracle (sketch-dependent). */
+    * where exact distinct would blow up. Default rsd (0.05): the
+    * sketch update cost grows steeply with precision, and the
+    * approximate operator's contract is "cheap with bounded error" —
+    * callers needing tighter error pass rsd explicitly. No oracle
+    * (sketch-dependent). */
   private val qApproxDistinct = Q(
     "q_approx_distinct",
     (s, d) => t(s, d, "orders")
       .groupBy("o_orderpriority")
-      .agg(approx_count_distinct(col("o_custkey"), 0.02).as("approx_cust"))
+      .agg(approx_count_distinct(col("o_custkey")).as("approx_cust"))
       .orderBy("o_orderpriority"),
     None)
 

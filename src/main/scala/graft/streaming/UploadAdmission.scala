@@ -1,0 +1,105 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, functions => F}
+import org.apache.spark.sql.functions._
+
+/** O24: the assembled upload-validation operator (reference
+  * main.py:596-651, `POST /upload-batch-file`) — the pre-ingest gate
+  * that decides whether a candidate file may land in the watched
+  * layout at all. The reference validates one multipart request per
+  * HTTP call; here a whole batch of upload requests is validated in
+  * one pass and accepted files are written straight into the landing
+  * layout [[Ingest]] consumes.
+  *
+  * Gate order mirrors the reference exactly:
+  *  1. required fields present (main.py:611-612) → `missing_fields`;
+  *  2. `.pdf` suffix, case-insensitive (main.py:614) → `not_pdf`;
+  *  3. a share doc must exist for (owner, folder, uploader email)
+  *     (main.py:620-623, the flat shares collection) → `no_share`;
+  *  4. its permission must be "edit" (main.py:626-629) → `view_only`;
+  *  5. filename sanitized `[^a-zA-Z0-9_.-]` → `_`, null → unnamed.pdf
+  *     (main.py:631-632);
+  *  6. landing path `incoming/{owner}/{folder}/batch/{name}`
+  *     (main.py:634).
+  *
+  * The permission probe is a broadcast LEFT join against the shares
+  * table (metadata-sized — bounded by tenants, not data volume), so
+  * validating a million queued uploads is one map-side pass, zero
+  * shuffles of the binary payloads.
+  */
+object UploadAdmission {
+
+  /** Expected `requests` columns: email, owner_id, folder_id,
+    * file_name, content (binary). `shares` columns as in
+    * [[graft.catalog.Permissions]]: owner_id, folder_id, email,
+    * permission. Output adds: `sanitized_name`, `storage_path`,
+    * `accepted`, `reject_reason` (NULL when accepted). */
+  def validate(requests: DataFrame, shares: DataFrame): DataFrame = {
+    val s = broadcast(shares.select(
+      col("owner_id").as("_s_owner"), col("folder_id").as("_s_folder"),
+      col("email").as("_s_email"), col("permission").as("_s_perm")))
+    val joined = requests.join(s,
+      col("owner_id") === col("_s_owner")
+        && col("folder_id") === col("_s_folder")
+        && col("email") === col("_s_email"),
+      "left")
+    val missing = col("folder_id").isNull || col("owner_id").isNull ||
+      col("content").isNull
+    val reason = when(missing, lit("missing_fields"))
+      .when(!lower(coalesce(col("file_name"), lit(""))).endsWith(".pdf"),
+        lit("not_pdf"))
+      .when(col("_s_perm").isNull, lit("no_share"))
+      .when(col("_s_perm") =!= "edit", lit("view_only"))
+    val sanitized = regexp_replace(
+      coalesce(col("file_name"), lit("unnamed.pdf")),
+      "[^a-zA-Z0-9_.-]", "_")
+    joined
+      .withColumn("reject_reason", reason)
+      .withColumn("accepted", col("reject_reason").isNull)
+      .withColumn("sanitized_name", sanitized)
+      .withColumn("storage_path",
+        concat(lit("incoming/"), col("owner_id"), lit("/"),
+          col("folder_id"), lit("/batch/"), col("sanitized_name")))
+      .drop("_s_owner", "_s_folder", "_s_email", "_s_perm")
+  }
+
+  /** Validate and land: accepted payloads are written under
+    * `landingDir/<storage_path>` from the EXECUTORS (foreachPartition
+    * + Hadoop FS — content bytes never transit the driver), ready for
+    * [[Ingest.start]] to pick up. Returns the annotated validation
+    * frame (accepted + rejected rows with reasons) for
+    * auditing/retry — the reference's per-request 200/400/403 split,
+    * as data. */
+  def admit(requests: DataFrame, shares: DataFrame,
+            landingDir: String): DataFrame = {
+    val validated = validate(requests, shares)
+      // Both the write and the returned audit frame consume this plan;
+      // cut lineage so the broadcast-join runs once.
+      .localCheckpoint(true)
+    // Hadoop Configuration isn't serializable — ship its entries as a
+    // plain map and rebuild per partition (keeps object-store creds
+    // and custom FS settings working on executors).
+    val confEntries = {
+      val hc = requests.sparkSession.sparkContext.hadoopConfiguration
+      val it = hc.iterator()
+      val b = Seq.newBuilder[(String, String)]
+      while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue }
+      b.result()
+    }
+    validated.filter(col("accepted"))
+      .select("storage_path", "content")
+      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        val hc = new org.apache.hadoop.conf.Configuration(false)
+        confEntries.foreach { case (k, v) => hc.set(k, v) }
+        it.foreach { r =>
+          val dst = new Path(s"$landingDir/${r.getString(0)}")
+          val fs = dst.getFileSystem(hc)
+          fs.mkdirs(dst.getParent)
+          val out = fs.create(dst, true)
+          try out.write(r.getAs[Array[Byte]](1)) finally out.close()
+        }
+      }
+    validated
+  }
+}

@@ -135,6 +135,29 @@ class IngestSpec extends AnyFunSuite {
     assert(back.get("u2", "f9").get.kpis.head.logicalType == "date")
   }
 
+  test("catalog read-back fast path: cached reads don't re-scan the store") {
+    val root = Files.createTempDirectory("graft-cat-fast").toString
+    val c = Catalog.empty.add(Catalog.train("u1", "f1", "h", Map("A" -> "$1")))
+    Catalog.save(spark, c, root)          // save primes the cache
+    assert(Catalog.loadCached(spark, root) == c)
+    // Destroy the persisted store: a cached re-read must still serve
+    // the metadata — proof no scan happens (main.py:551-560 fast path).
+    def rmAll(p: java.nio.file.Path): Unit = {
+      if (Files.isDirectory(p))
+        Files.list(p).forEach(child => rmAll(child))
+      Files.deleteIfExists(p); ()
+    }
+    rmAll(Paths.get(root, "_catalog"))
+    assert(Catalog.loadCached(spark, root) == c)
+    // Invalidate → next read goes to disk and fails (store is gone).
+    Catalog.invalidate(root)
+    intercept[Exception] { Catalog.loadCached(spark, root) }
+    // A fresh save repopulates both store and cache.
+    val c2 = c.add(Catalog.train("u2", "f2", "", Map("B" -> "2024-01-01")))
+    Catalog.save(spark, c2, root)
+    assert(Catalog.loadCached(spark, root) == c2)
+  }
+
   test("a throwing extractor degrades to NULL KPIs instead of killing the batch") {
     val root = Files.createTempDirectory("graft-ingest-err").toString
     val meta = Catalog.train("u1", "f1", "x", Map("Amount" -> "$10"))

@@ -87,4 +87,16 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("q_range_join")
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
   }
+
+  test("q_class_weights: ONE scan of documents, no driver-side count job") {
+    // The grand total must ride the per-class agg (window over #classes
+    // rows), not a second scan or a collected scalar — at 100 TB a
+    // second scan doubles the job and a driver count() serializes it.
+    val p = plan("q_class_weights")
+    val scans = "documents\\.parquet".r.findAllIn(p).length
+    assert(scans >= 1, s"expected a documents scan in:\n$p")
+    assert(p.split("\n").count(l =>
+      l.contains("FileScan parquet") && l.contains("documents")) == 1,
+      s"documents must be scanned exactly once:\n$p")
+  }
 }

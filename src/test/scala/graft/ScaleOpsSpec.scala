@@ -38,6 +38,18 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(rows == Set(("a", 1L, "A"), ("a", 3L, "A"), ("zzz", 2L, null)))
   }
 
+  test("saltedEquiJoin tolerates map-typed fact columns (excluded from salt)") {
+    // xxhash64 refuses MapType under default config; the salt must
+    // hash the remaining columns and the join must still be exact.
+    val fact = Seq(("a", 1L), ("a", 2L), ("b", 3L)).toDF("k", "v")
+      .withColumn("props", map(lit("x"), col("v").cast("string")))
+    val dim = Seq(("a", "A"), ("b", "B")).toDF("k", "name")
+    val rows = SkewJoin.saltedEquiJoin(fact, dim, "k", salts = 4)
+      .select("k", "v", "name").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    assert(rows == Set(("a", 1L, "A"), ("a", 2L, "A"), ("b", 3L, "B")))
+  }
+
   test("warehouse day-partitioned layout prunes partitions on read") {
     val dir = Files.createTempDirectory("graft-wh").toString
     val events = spark.createDataFrame(Seq(

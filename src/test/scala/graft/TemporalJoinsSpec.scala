@@ -128,10 +128,15 @@ class TemporalJoinsSpec extends AnyFunSuite {
       Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
     assert(messages(e).exists(_.contains("maxBucketsPerInterval")),
       s"expected the guard's error, got: $e")
-    // The same shape passes when the caller raises the guard knowingly.
+    // The same data passes with a sane divisor (365 day buckets)...
     val ok = TemporalJoins.rangeJoin(left, right, Seq("k"),
-      "start", "end", "rt", bucketSeconds = 3600L).collect()
+      "start", "end", "rt", bucketSeconds = 86400L).collect()
     assert(ok.length == 1)
+    // ...or when the caller raises the guard knowingly.
+    val ok2 = TemporalJoins.rangeJoin(left, right, Seq("k"),
+      "start", "end", "rt", bucketSeconds = 3600L,
+      maxBucketsPerInterval = 10000).collect()
+    assert(ok2.length == 1)
   }
 
   test("asofJoin stays correct under a single hot key (skew probe)") {
