@@ -120,6 +120,18 @@ object Catalog {
       })
   }
 
+  /** Legacy untyped registration (reference main.py:319-351,
+    * `sync_bigquery_schema`): when only a KPI NAME list exists — no
+    * samples, no inferred metadata — every KPI column is plain STRING.
+    * Used by the pre-typed-metadata ingest path (main.py:722-724's
+    * fallback branch); rows land with sentinel normalization only, no
+    * numeric/date casts. The typed path ([[train]]) is strictly
+    * better when samples exist. */
+  def trainLegacy(uid: String, folder: String, contextHint: String,
+                  kpiNames: Seq[String]): FolderMeta =
+    FolderMeta(uid, folder, contextHint,
+      kpiNames.sorted.map(KpiMeta(_, "string")))
+
   /** Schema-evolving read of an appended table (O16 read side): every
     * parquet footer in the directory is merged, so rows written before
     * a column existed surface it as NULL (main.py:273-291 ADD COLUMN

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.{Clean, Inference, TextAnalysis}
 import graft.operators.{Dedup, Multimodal, Similarity, TemporalJoins}
+import graft.streaming.UploadAdmission
 
 /** The declared query inventory (SURVEY.md §2.4) — the t2 correctness
   * contract. Each query is a Spark DataFrame program plus (where
@@ -1158,6 +1159,75 @@ object Queries {
       strlen(text) - strlen(replace(text, ' ', '')) AS cnt_space
     FROM documents ORDER BY media_id"""))
 
+  /** O24 upload admission as an oracle-checked query: a deterministic
+    * request workload derived from `documents` (every combination of
+    * good/bad suffix, edit/view/no share, sanitizable names) validated
+    * by the assembled operator; the oracle re-states the reference's
+    * gate (main.py:611-634) in SQL. The permission probe is a
+    * broadcast left join — map-side at any scale. */
+  private val qUploadAdmission = Q(
+    "q_upload_admission",
+    (s, d) => {
+      import s.implicits._
+      val did = col("doc_id").cast("string")
+      val requests = t(s, d, "documents").select(
+        col("doc_id"),
+        when(pmod(col("doc_id"), lit(3)) === 0, lit("editor@x.com"))
+          .when(pmod(col("doc_id"), lit(3)) === 1, lit("viewer@x.com"))
+          .otherwise(lit("nobody@x.com")).as("email"),
+        lit("u1").as("owner_id"),
+        concat(lit("f"), pmod(col("doc_id"), lit(2)).cast("string")).as("folder_id"),
+        when(pmod(col("doc_id"), lit(4)) === 0,
+            concat(lit("Report "), did, lit("!.pdf")))
+          .when(pmod(col("doc_id"), lit(4)) === 1,
+            concat(lit("doc"), did, lit(".PDF")))
+          .when(pmod(col("doc_id"), lit(4)) === 2,
+            concat(lit("notes"), did, lit(".txt")))
+          .otherwise(concat(lit("a b"), did, lit(".pdf"))).as("file_name"),
+        lit("x").cast("binary").as("content"))
+      val shares = Seq(
+        ("u1", "f0", "editor@x.com", "edit"),
+        ("u1", "f0", "viewer@x.com", "view"),
+        ("u1", "f1", "editor@x.com", "view"))
+        .toDF("owner_id", "folder_id", "email", "permission")
+      UploadAdmission.validate(requests, shares)
+        .select(col("doc_id"), col("accepted"), col("reject_reason"),
+          col("sanitized_name"), col("storage_path"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH req AS (
+      SELECT doc_id,
+        CASE doc_id % 3 WHEN 0 THEN 'editor@x.com'
+                        WHEN 1 THEN 'viewer@x.com'
+                        ELSE 'nobody@x.com' END AS email,
+        'u1' AS owner_id,
+        'f' || (doc_id % 2) AS folder_id,
+        CASE doc_id % 4
+          WHEN 0 THEN 'Report ' || doc_id || '!.pdf'
+          WHEN 1 THEN 'doc' || doc_id || '.PDF'
+          WHEN 2 THEN 'notes' || doc_id || '.txt'
+          ELSE 'a b' || doc_id || '.pdf' END AS file_name
+      FROM documents),
+    sh AS (SELECT * FROM (VALUES
+      ('u1','f0','editor@x.com','edit'),
+      ('u1','f0','viewer@x.com','view'),
+      ('u1','f1','editor@x.com','view')) AS t(owner_id, folder_id, email, permission)),
+    j AS (
+      SELECT r.doc_id, r.email, r.owner_id, r.folder_id, r.file_name,
+        s.permission,
+        CASE WHEN NOT (lower(r.file_name) LIKE '%.pdf') THEN 'not_pdf'
+             WHEN s.permission IS NULL THEN 'no_share'
+             WHEN s.permission <> 'edit' THEN 'view_only' END AS reject_reason,
+        regexp_replace(r.file_name, '[^a-zA-Z0-9_.-]', '_', 'g') AS sanitized_name
+      FROM req r LEFT JOIN sh s
+        ON r.owner_id = s.owner_id AND r.folder_id = s.folder_id
+          AND r.email = s.email)
+    SELECT doc_id, reject_reason IS NULL AS accepted, reject_reason,
+      sanitized_name,
+      'incoming/' || owner_id || '/' || folder_id || '/batch/' || sanitized_name
+        AS storage_path
+    FROM j ORDER BY doc_id"""))
+
   // ---------------------------------------------------------------------
 
   val all: Seq[Q] = Seq(
@@ -1172,7 +1242,7 @@ object Queries {
     qNearDup, qNearDupChar, qDedupMinhash, qDedupSimhash, qEmbedNearDup,
     qAnnTopk, qAnnIvf, qMediaFeatures, qQuantile, qApproxQuantile,
     qWindowFuncs, qAsofJoin, qRangeJoin, qTextSearch, qLabelCentroids,
-    qStratifiedSample, qClassWeights)
+    qStratifiedSample, qClassWeights, qUploadAdmission)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

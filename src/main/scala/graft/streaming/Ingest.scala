@@ -84,7 +84,8 @@ object Ingest {
             catalog: Catalog,
             extractor: Extractor,
             trigger: Trigger = Trigger.AvailableNow(),
-            maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+            maxFilesPerTrigger: Option[Int] = None,
+            maxConcurrentFolderWrites: Int = 4): StreamingQuery = {
 
     // Extraction goes through the extractor's BATCH hook: each
     // partition's rows are grouped into extractor.batchSize chunks and
@@ -161,7 +162,7 @@ object Ingest {
         try {
           val present = batch.select("uid", "folder").distinct()
             .collect().map(r => (r.getString(0), r.getString(1)))
-          val ingested = present.filter { case (u, f) =>
+          def ingestFolder(u: String, f: String): Boolean =
             catalog.get(u, f).exists { meta =>
               val keys = meta.kpis.map(_.name)
               val subset = withKpis(
@@ -195,7 +196,25 @@ object Ingest {
               carried.foreach(_.unpersist())
               true
             }
-          }
+          // Per-folder writes are independent Spark jobs; running them
+          // from one driver thread serializes #folders job latencies
+          // (each job is small — the cluster idles between them). A
+          // bounded pool overlaps them; a failure in any folder fails
+          // the batch (Future.get rethrows) so the checkpoint doesn't
+          // commit a partial batch — replay semantics unchanged.
+          val ingested: Seq[(String, String)] =
+            if (present.length <= 1) present.toSeq.filter { case (u, f) => ingestFolder(u, f) }
+            else {
+              val pool = java.util.concurrent.Executors.newFixedThreadPool(
+                math.min(maxConcurrentFolderWrites, present.length))
+              try {
+                present.toSeq.map { case (u, f) =>
+                  (u, f) -> pool.submit(new java.util.concurrent.Callable[Boolean] {
+                    override def call(): Boolean = ingestFolder(u, f)
+                  })
+                }.collect { case (k, fut) if fut.get() => k }
+              } finally { pool.shutdown() }
+            }
           // Archive ONLY after every folder's rows are durably written
           // (O17's crash window closed by ordering + checkpoint).
           ingested.foreach { case (u, f) =>

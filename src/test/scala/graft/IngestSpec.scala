@@ -135,6 +135,28 @@ class IngestSpec extends AnyFunSuite {
     assert(back.get("u2", "f9").get.kpis.head.logicalType == "date")
   }
 
+  test("legacy all-STRING path: name-only training ingests untyped columns") {
+    // reference main.py:319-351: no samples → every KPI column STRING,
+    // values land raw (sentinel-normalized only, no casts).
+    val root = Files.createTempDirectory("graft-ingest-legacy").toString
+    val meta = Catalog.trainLegacy("u1", "f1", "x", Seq("Amount", "Status"))
+    assert(meta.kpis.forall(_.logicalType == "string"))
+    assert(meta.schema("kpi_amount").dataType ==
+      org.apache.spark.sql.types.StringType)
+    write(root + "/landing", "incoming/u1/f1/batch/a.pdf",
+      "Amount=$1,234.56\nStatus=N/A")
+    Ingest.start(spark, s"$root/landing", s"$root/warehouse", s"$root/processed",
+      s"$root/checkpoint", Catalog.empty.add(meta), DeterministicExtractor)
+      .awaitTermination()
+    val t = Ingest.readTable(spark, s"$root/warehouse", meta)
+    assert(t.count() == 1)
+    val r = t.first()
+    // untyped: the messy currency survives verbatim as a string...
+    assert(r.getAs[String]("kpi_amount") == "$1,234.56")
+    // ...while null sentinels still normalize (O13 applies to strings).
+    assert(r.isNullAt(r.fieldIndex("kpi_status")))
+  }
+
   test("catalog read-back fast path: cached reads don't re-scan the store") {
     val root = Files.createTempDirectory("graft-cat-fast").toString
     val c = Catalog.empty.add(Catalog.train("u1", "f1", "h", Map("A" -> "$1")))
