@@ -41,13 +41,11 @@ object TemporalJoins {
     * Skew limit: the union shuffles on the KEY only, so one hot key
     * (a single user with 10⁹ events) lands its entire timeline on one
     * window partition — per-key volume is bounded by what one task can
-    * sort. Mitigation when a key is genuinely that hot: pre-bucket
-    * time per key (split the timeline into coarse ranges, run the
-    * carry per (key, range), then stitch the first row of each range
-    * against the previous range's last carried value — one extra
-    * narrow pass). Not built in because the composed form covers every
-    * observed workload; see TemporalJoinsSpec's hot-key test for the
-    * single-partition behavior at probe scale. */
+    * sort. When a key is genuinely that hot, use [[asofJoinBucketed]]:
+    * identical semantics, window partitioned by (key, time-bucket),
+    * carry stitched across buckets in a bucket-count-sized second
+    * pass. TemporalJoinsSpec pins both the equivalence and the
+    * hot-key behavior at probe scale. */
   def asofJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
                leftTime: String, rightTime: String,
                valueCols: Seq[String]): DataFrame = {
@@ -79,6 +77,80 @@ object TemporalJoins {
             .over(w).as(s"asof_$c")): _*)
     carried.filter(col("_side") === 1)
       .select(leftCols.map(col) ++ valueCols.map(c => col(s"asof_$c")): _*)
+  }
+
+  /** Hot-key-safe as-of join: identical semantics to [[asofJoin]]
+    * (ties on right time are arbitrary in both, as in any as-of with
+    * duplicate timestamps), but the carry window is partitioned by
+    * (key, time-bucket) instead of key alone, so a single hot key
+    * spreads over #buckets tasks instead of one. Two passes:
+    *
+    *  1. in-bucket union-and-carry, exactly [[asofJoin]]'s window but
+    *     over (key, bucket) — each left row picks up the latest right
+    *     row at-or-before it WITHIN its bucket;
+    *  2. bucket summaries (ONE row per (key, bucket) with right rows:
+    *     the bucket's last right values) get a per-key running carry
+    *     ordered by bucket — this window is per-key sequential but
+    *     O(#buckets), not O(#events) — and left rows whose in-bucket
+    *     carry is NULL take the carry-in of their bucket.
+    *
+    * Choose `bucketSpanSeconds` so a hot key's densest bucket fits a
+    * task (e.g. hourly for ~10⁶ events/key/hour); normal keys pay one
+    * extra narrow shuffle + a broadcast-sized summary join. */
+  def asofJoinBucketed(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+                       leftTime: String, rightTime: String,
+                       valueCols: Seq[String],
+                       bucketSpanSeconds: Long = 86400L): DataFrame = {
+    require(bucketSpanSeconds > 0, "bucketSpanSeconds must be positive")
+    val leftCols = left.columns.toSeq
+    def bucketOf(c: Column) =
+      floor(unix_timestamp(c) / bucketSpanSeconds).cast("long")
+    val l = left
+      .withColumn("_t", col(leftTime)).withColumn("_side", lit(1))
+      .withColumn("_bucket", bucketOf(col(leftTime)))
+      .select(keyCols.map(col) ++ Seq(col("_t"), col("_side"), col("_bucket")) ++
+        leftCols.filterNot(keyCols.contains).map(col) ++
+        valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"_v_$c")): _*)
+    val r = right
+      .withColumn("_t", col(rightTime)).withColumn("_side", lit(0))
+      .withColumn("_bucket", bucketOf(col(rightTime)))
+      .select(keyCols.map(col) ++ Seq(col("_t"), col("_side"), col("_bucket")) ++
+        leftCols.filterNot(keyCols.contains)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        valueCols.map(c => col(c).as(s"_v_$c")): _*)
+    // Pass 1: carry within (key, bucket) — the hot-key-safe window.
+    val wInBucket = Window.partitionBy((keyCols :+ "_bucket").map(col): _*)
+      .orderBy(col("_t").asc, col("_side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = l.unionByName(r)
+      .select((keyCols.map(col) :+ col("_t") :+ col("_side") :+ col("_bucket")) ++
+        leftCols.filterNot(keyCols.contains).map(col) ++
+        valueCols.map(c =>
+          last(when(col("_side") === 0, col(s"_v_$c")), ignoreNulls = true)
+            .over(wInBucket).as(s"_in_$c")): _*)
+      .filter(col("_side") === 1)
+    // Pass 2: per-(key, bucket) last right values → per-key running
+    // carry-in over the PRECEDING buckets. The spine is the distinct
+    // (key, bucket) set of BOTH sides, so a left bucket with no right
+    // rows still receives the carry from the nearest earlier bucket.
+    // One row per key-bucket: the sequential per-key window is
+    // bucket-count-sized, never event-count-sized.
+    val lastInBucket = r.groupBy((keyCols :+ "_bucket").map(col): _*)
+      .agg(max_by(struct(valueCols.map(c => col(s"_v_$c")): _*),
+        struct(col("_t"), col("_side"))).as("_lastv"))
+    val spine = l.select((keyCols :+ "_bucket").map(col): _*)
+      .unionByName(r.select((keyCols :+ "_bucket").map(col): _*))
+      .distinct()
+    val wCarryIn = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("_bucket").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carryIn = spine.join(lastInBucket, keyCols :+ "_bucket", "left")
+      .select((keyCols.map(col) :+ col("_bucket")) :+
+        last(col("_lastv"), ignoreNulls = true).over(wCarryIn).as("_carryin"): _*)
+    val joined = carried.join(carryIn, keyCols :+ "_bucket", "left")
+    joined.select(leftCols.map(col) ++ valueCols.map(c =>
+      coalesce(col(s"_in_$c"), col("_carryin").getField(s"_v_$c"))
+        .as(s"asof_$c")): _*)
   }
 
   /** Range join: right rows whose `rightTime` falls inside the left

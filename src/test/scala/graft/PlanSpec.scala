@@ -88,6 +88,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
   }
 
+  test("q_upload_admission: permission probe is a broadcast join") {
+    // shares is metadata-sized; the gate must be map-side at any scale
+    // (no shuffle of the request payloads for the permission check).
+    val p = plan("q_upload_admission")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("q_class_weights: ONE scan of documents, no driver-side count job") {
     // The grand total must ride the per-class agg (window over #classes
     // rows), not a second scan or a collected scalar — at 100 TB a

@@ -139,6 +139,48 @@ class TemporalJoinsSpec extends AnyFunSuite {
     assert(ok2.length == 1)
   }
 
+  test("asofJoinBucketed matches asofJoin on random data (property)") {
+    // Unique right times per key → the as-of winner is unambiguous, so
+    // both operators must agree exactly. Small bucket span forces both
+    // the in-bucket and the cross-bucket carry paths to fire.
+    val rnd = new scala.util.Random(11)
+    val left = (1 to 400).map(i =>
+      (i.toLong, (rnd.nextInt(6) + 1).toLong, ts(rnd.nextInt(600))))
+    val right = rnd.shuffle((0 until 600).toList).take(250).zipWithIndex.map {
+      case (minute, i) => ((i % 6 + 1).toLong, ts(minute), s"tag$i")
+    } // per (k, t) uniqueness: one right row per minute overall
+    val lDf = left.toDF("id", "k", "t")
+    val rDf = right.toDF("k", "t", "tag")
+    val base = TemporalJoins.asofJoin(lDf, rDf, Seq("k"), "t", "t", Seq("tag"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) null else r.getString(3))).toMap
+    // 10-minute buckets: most carries cross bucket boundaries.
+    val bucketed = TemporalJoins.asofJoinBucketed(lDf, rDf, Seq("k"),
+        "t", "t", Seq("tag"), bucketSpanSeconds = 600L)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) null else r.getString(3))).toMap
+    assert(bucketed == base)
+  }
+
+  test("asofJoinBucketed stays correct under a single hot key") {
+    // Same shape as the asofJoin skew probe: exact per-row carries must
+    // hold while the window is split across (key, bucket) partitions.
+    val n = 50000
+    val left = spark.range(n.toLong)
+      .selectExpr("id AS lid", "CAST(1 AS LONG) AS k",
+        "timestamp_seconds(1704067200 + id * 10) AS t")
+    val right = spark.range(5000)
+      .selectExpr("CAST(1 AS LONG) AS k",
+        "timestamp_seconds(1704067200 + id * 100) AS t", "id AS tag")
+    val got = TemporalJoins.asofJoinBucketed(left, right, Seq("k"),
+      "t", "t", Seq("tag"), bucketSpanSeconds = 3600L)
+    val wrong = got.selectExpr("lid", "asof_tag")
+      .where("asof_tag IS NULL OR asof_tag != CAST(lid / 10 AS LONG)")
+      .count()
+    assert(wrong == 0)
+    assert(got.count() == n.toLong)
+  }
+
   test("asofJoin stays correct under a single hot key (skew probe)") {
     // One key carries the whole dataset (the documented worst case for
     // the key-partitioned window): 50k left rows + 5k right rows on a
