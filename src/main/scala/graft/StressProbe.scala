@@ -28,6 +28,26 @@ object StressProbe {
     time("jaccard")  { Dedup.jaccardPairs(big).count() }
     time("minhash")  { Dedup.minHashCandidates(big).count() }
     time("simhash")  { Dedup.simHashPairs(big).count() }
+    // Hot-key as-of: 2M left + 200k right rows ALL on one key — the
+    // plain form sorts the whole timeline in one window task; the
+    // bucketed form spreads it over (key, hour-bucket) partitions.
+    import graft.operators.TemporalJoins
+    val leftHot = spark.range(20000000L).selectExpr("id AS lid",
+      "CAST(1 AS LONG) AS k", "timestamp_seconds(1704067200 + id) AS t")
+    val rightHot = spark.range(2000000L).selectExpr("CAST(1 AS LONG) AS k",
+      "timestamp_seconds(1704067200 + id * 10) AS t", "id AS tag")
+    // noop sink, NOT count(): count() lets Catalyst prune the carried
+    // window columns and skip the sort entirely.
+    def timeNoop(name: String)(df: org.apache.spark.sql.DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      df.write.mode("overwrite").format("noop").save()
+      println(f"[stress] $name: ${(System.nanoTime() - t0) / 1e9}%.1fs")
+    }
+    timeNoop("asof_hotkey_plain")(
+      TemporalJoins.asofJoin(leftHot, rightHot, Seq("k"), "t", "t", Seq("tag")))
+    timeNoop("asof_hotkey_bucketed")(
+      TemporalJoins.asofJoinBucketed(leftHot, rightHot, Seq("k"), "t", "t",
+        Seq("tag"), bucketSpanSeconds = 3600L))
     spark.stop()
   }
 }
