@@ -136,7 +136,7 @@ object EventStreams {
             // passed) — clamp to watermark+1ms so eviction fires on the
             // next watermark advance.
             state.setTimeoutTimestamp(
-              math.max(st.lastTs + gapMs, state.getCurrentWatermarkMs + 1L))
+              math.max(st.lastTs + gapMs, state.getCurrentWatermarkMs() + 1L))
             UserSessions(uid, st.count, st.sessions)
           }
       }
