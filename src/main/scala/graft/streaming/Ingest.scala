@@ -202,17 +202,30 @@ object Ingest {
           // bounded pool overlaps them; a failure in any folder fails
           // the batch (Future.get rethrows) so the checkpoint doesn't
           // commit a partial batch — replay semantics unchanged.
+          // Parallelism is per TABLE PATH, not per (uid, folder):
+          // identifier sanitization can collide two distinct folders
+          // onto one table (a.b and a_b both → a_b — the reference
+          // shares one BigQuery table the same way), and those two
+          // writes must not race on the same directory — they run
+          // sequentially inside their group.
+          val byTable: Seq[Seq[(String, String)]] = present.toSeq
+            .groupBy { uf: (String, String) =>
+              catalog.get(uf._1, uf._2).map(_.tableName)
+                .getOrElse(uf._1 + " " + uf._2) }
+            .values.toSeq
+          def ingestGroup(group: Seq[(String, String)]): Seq[(String, String)] =
+            group.filter { case (u, f) => ingestFolder(u, f) }
           val ingested: Seq[(String, String)] =
-            if (present.length <= 1) present.toSeq.filter { case (u, f) => ingestFolder(u, f) }
+            if (byTable.length <= 1) byTable.flatMap(ingestGroup)
             else {
               val pool = java.util.concurrent.Executors.newFixedThreadPool(
-                math.min(maxConcurrentFolderWrites, present.length))
+                math.min(maxConcurrentFolderWrites, byTable.length))
               try {
-                present.toSeq.map { case (u, f) =>
-                  (u, f) -> pool.submit(new java.util.concurrent.Callable[Boolean] {
-                    override def call(): Boolean = ingestFolder(u, f)
+                byTable.map { group =>
+                  pool.submit(new java.util.concurrent.Callable[Seq[(String, String)]] {
+                    override def call(): Seq[(String, String)] = ingestGroup(group)
                   })
-                }.collect { case (k, fut) if fut.get() => k }
+                }.flatMap(_.get())
               } finally { pool.shutdown() }
             }
           // Archive ONLY after every folder's rows are durably written

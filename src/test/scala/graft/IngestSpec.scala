@@ -135,6 +135,26 @@ class IngestSpec extends AnyFunSuite {
     assert(back.get("u2", "f9").get.kpis.head.logicalType == "date")
   }
 
+  test("folders whose sanitized names collide share one table without racing") {
+    // a.b and a_b both sanitize to table u1_a_b (the reference shares
+    // one BigQuery table the same way, main.py:262-264); their writes
+    // are serialized within the table group so the shared dynamic
+    // overwrite can't race, and both folders' rows land.
+    val root = Files.createTempDirectory("graft-ingest-collide").toString
+    val m1 = Catalog.train("u1", "a.b", "x", Map("Amount" -> "$10"))
+    val m2 = Catalog.train("u1", "a_b", "x", Map("Amount" -> "$10"))
+    assert(m1.tableName == m2.tableName)
+    val catalog = Catalog.empty.add(m1).add(m2)
+    write(root + "/landing", "incoming/u1/a.b/batch/x.pdf", "Amount=$100")
+    write(root + "/landing", "incoming/u1/a_b/batch/y.pdf", "Amount=$200")
+    Ingest.start(spark, s"$root/landing", s"$root/warehouse", s"$root/processed",
+      s"$root/checkpoint", catalog, DeterministicExtractor).awaitTermination()
+    val t = Ingest.readTable(spark, s"$root/warehouse", m1)
+    assert(t.count() == 2)
+    assert(t.select("kpi_amount").collect().map(_.getDouble(0)).sorted
+      .sameElements(Array(100.0, 200.0)))
+  }
+
   test("legacy all-STRING path: name-only training ingests untyped columns") {
     // reference main.py:319-351: no samples → every KPI column STRING,
     // values land raw (sentinel-normalized only, no casts).
