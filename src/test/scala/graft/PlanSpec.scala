@@ -96,6 +96,29 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("near-dup family: candidate equi-joins only, never a product") {
+    // The entire family's 100 TB viability rests on candidates meeting
+    // on equi-join keys (shingle hash / band / cell) — a regression to
+    // a cartesian or nested-loop join is the scale-killer.
+    Seq("q_near_dup", "q_dedup_minhash", "q_dedup_simhash",
+        "q_embed_near_dup").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+        s"$q:\n$p")
+    }
+  }
+
+  test("q_text_search: shingle IN-filter applied before the aggregate, top-k sort") {
+    val p = plan("q_text_search")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_label_centroids: partial (map-side) aggregation before the shuffle") {
+    val p = plan("q_label_centroids")
+    assert(p.contains("partial_"), s"no partial aggregation found:\n$p")
+  }
+
   test("q_class_weights: ONE scan of documents, no driver-side count job") {
     // The grand total must ride the per-class agg (window over #classes
     // rows), not a second scan or a collected scalar — at 100 TB a
