@@ -28,7 +28,7 @@ object StressProbe {
     time("jaccard")  { Dedup.jaccardPairs(big).count() }
     time("minhash")  { Dedup.minHashCandidates(big).count() }
     time("simhash")  { Dedup.simHashPairs(big).count() }
-    // Hot-key as-of: 2M left + 200k right rows ALL on one key — the
+    // Hot-key as-of: 20M left + 2M right rows ALL on one key — the
     // plain form sorts the whole timeline in one window task; the
     // bucketed form spreads it over (key, hour-bucket) partitions.
     import graft.operators.TemporalJoins

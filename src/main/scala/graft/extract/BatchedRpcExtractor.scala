@@ -46,8 +46,11 @@ final class BatchedRpcExtractor(
   private val semaphoreId = s"graft-extract-${client.getClass.getName}-$maxInFlightPerExecutor"
 
   override def discover(fileName: String, content: Array[Byte]): Map[String, String] =
+    // headOption, not head: an empty client response degrades to the
+    // empty map exactly like a failed call — same contract as
+    // extractAll's short-response padding.
     callWithRetry(Seq(fileName -> content), Nil)
-      .map(_.head)
+      .flatMap(_.headOption)
       .getOrElse(Map.empty)
 
   override def extract(fileName: String, content: Array[Byte],

@@ -135,15 +135,24 @@ object TemporalJoins {
           last(when(col("_side") === 0, col(s"_v_$c")), ignoreNulls = true)
             .over(wInBucket).as(s"_in_$c")): _*)
       .filter(col("_side") === 1)
-    // Pass 2: per-(key, bucket) last right values → per-key running
-    // carry-in over the PRECEDING buckets. The spine is the distinct
+    // Pass 2: per-(key, bucket) last NON-NULL right value PER COLUMN →
+    // per-key running carry-in over the PRECEDING buckets. Per column,
+    // not per row, to match [[asofJoin]]'s last(..., ignoreNulls)
+    // exactly: a null in one value column must not mask an earlier
+    // non-null (max_by's ordering expression is null for null-valued
+    // rows, so those rows are skipped). The spine is the distinct
     // (key, bucket) set of BOTH sides, so a left bucket with no right
     // rows still receives the carry from the nearest earlier bucket.
     // One row per key-bucket: the sequential per-key window is
     // bucket-count-sized, never event-count-sized.
     val lastInBucket = r.groupBy((keyCols :+ "_bucket").map(col): _*)
-      .agg(max_by(struct(valueCols.map(c => col(s"_v_$c")): _*),
-        struct(col("_t"), col("_side"))).as("_lastv"))
+      .agg(
+        max_by(col(s"_v_${valueCols.head}"),
+          when(col(s"_v_${valueCols.head}").isNotNull, col("_t")))
+          .as(s"_lb_${valueCols.head}"),
+        valueCols.tail.map(c =>
+          max_by(col(s"_v_$c"), when(col(s"_v_$c").isNotNull, col("_t")))
+            .as(s"_lb_$c")): _*)
     val spine = l.select((keyCols :+ "_bucket").map(col): _*)
       .unionByName(r.select((keyCols :+ "_bucket").map(col): _*))
       .distinct()
@@ -151,12 +160,13 @@ object TemporalJoins {
       .orderBy(col("_bucket").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
     val carryIn = spine.join(lastInBucket, keyCols :+ "_bucket", "left")
-      .select((keyCols.map(col) :+ col("_bucket")) :+
-        last(col("_lastv"), ignoreNulls = true).over(wCarryIn).as("_carryin"): _*)
+      .select((keyCols.map(col) :+ col("_bucket")) ++
+        valueCols.map(c =>
+          last(col(s"_lb_$c"), ignoreNulls = true).over(wCarryIn)
+            .as(s"_ci_$c")): _*)
     val joined = carried.join(carryIn, keyCols :+ "_bucket", "left")
     joined.select(leftCols.map(col) ++ valueCols.map(c =>
-      coalesce(col(s"_in_$c"), col("_carryin").getField(s"_v_$c"))
-        .as(s"asof_$c")): _*)
+      coalesce(col(s"_in_$c"), col(s"_ci_$c")).as(s"asof_$c")): _*)
   }
 
   /** Range join: right rows whose `rightTime` falls inside the left
@@ -185,8 +195,11 @@ object TemporalJoins {
     // the fan-out breaches the guard, which is a data/config error
     // surfaced eagerly (raise_error evaluates inside the scan stage).
     val span = floor(ub).cast("long") - floor(lb).cast("long") + 1L
-    val buckets = when(span <= maxBucketsPerInterval,
-      sequence(floor(lb).cast("long"), floor(ub).cast("long")))
+    // A null start/end drops the row (no buckets) — the pre-guard
+    // behavior; the guard only fires on genuinely oversized intervals.
+    val buckets = when(span.isNull, lit(null).cast("array<long>"))
+      .when(span <= maxBucketsPerInterval,
+        sequence(floor(lb).cast("long"), floor(ub).cast("long")))
       .otherwise(raise_error(concat(
         lit(s"rangeJoin: interval ["), col(startCol).cast("string"),
         lit(", "), col(endCol).cast("string"),

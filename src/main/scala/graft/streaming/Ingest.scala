@@ -108,7 +108,13 @@ object Ingest {
         it.grouped(chunk).flatMap { rows =>
           val docs = rows.map(r =>
             (r.getString(nameIdx), r.getAs[Array[Byte]](contentIdx)))
-          rows.zip(extractor.extractAll(docs, keys)).map { case (r, m) =>
+          val maps = extractor.extractAll(docs, keys)
+          // Defend the row count against a misbehaving extractAll
+          // override: a short result must degrade the TAIL rows to
+          // "N/A" maps, never drop them — dropped rows would still be
+          // archived below, which is unrecoverable loss.
+          rows.zipWithIndex.map { case (r, i) =>
+            val m = if (i < maps.size) maps(i) else keys.map(_ -> "N/A").toMap
             org.apache.spark.sql.Row.fromSeq(r.toSeq :+ m)
           }
         }
@@ -221,11 +227,20 @@ object Ingest {
               val pool = java.util.concurrent.Executors.newFixedThreadPool(
                 math.min(maxConcurrentFolderWrites, byTable.length))
               try {
-                byTable.map { group =>
-                  pool.submit(new java.util.concurrent.Callable[Seq[(String, String)]] {
-                    override def call(): Seq[(String, String)] = ingestGroup(group)
+                // Each task returns Try so get() never throws early:
+                // ALL groups must finish (success or failure) before a
+                // failure propagates — rethrowing while other groups'
+                // writes are mid-flight would let zombie writes race
+                // the failed batch's replay on the same table paths.
+                val outcomes = byTable.map { group =>
+                  pool.submit(new java.util.concurrent.Callable[scala.util.Try[Seq[(String, String)]]] {
+                    override def call(): scala.util.Try[Seq[(String, String)]] =
+                      scala.util.Try(ingestGroup(group))
                   })
-                }.flatMap(_.get())
+                }.map(_.get())
+                outcomes.collectFirst { case scala.util.Failure(e) => e }
+                  .foreach(e => throw e)
+                outcomes.flatMap(_.get)
               } finally { pool.shutdown() }
             }
           // Archive ONLY after every folder's rows are durably written

@@ -46,7 +46,11 @@ object UploadAdmission {
       "left")
     val missing = col("folder_id").isNull || col("owner_id").isNull ||
       col("content").isNull
-    val reason = when(missing, lit("missing_fields"))
+    // A null email is the reference's 401 path (main.py:604-609),
+    // checked BEFORE the field/suffix/share gates — without it the
+    // share probe would misreport "no_share" for a malformed request.
+    val reason = when(col("email").isNull, lit("unauthorized"))
+      .when(missing, lit("missing_fields"))
       .when(!lower(coalesce(col("file_name"), lit(""))).endsWith(".pdf"),
         lit("not_pdf"))
       .when(col("_s_perm").isNull, lit("no_share"))
@@ -70,13 +74,23 @@ object UploadAdmission {
     * [[Ingest.start]] to pick up. Returns the annotated validation
     * frame (accepted + rejected rows with reasons) for
     * auditing/retry — the reference's per-request 200/400/403 split,
-    * as data. */
+    * as data.
+    *
+    * Two accepted requests sanitizing to the SAME storage_path write
+    * last-one-wins — the reference's blob overwrite behavior
+    * (main.py:634-640); dedupe upstream if that matters.
+    *
+    * The audit frame is checkpointed (both the write and the caller
+    * consume it) and registered with `registry` — release it once the
+    * audit is consumed, as with the Dedup intermediates. */
   def admit(requests: DataFrame, shares: DataFrame,
-            landingDir: String): DataFrame = {
-    val validated = validate(requests, shares)
+            landingDir: String,
+            registry: graft.operators.CacheRegistry =
+              graft.operators.CacheRegistry.global): DataFrame = {
+    val validated = registry.track(validate(requests, shares)
       // Both the write and the returned audit frame consume this plan;
       // cut lineage so the broadcast-join runs once.
-      .localCheckpoint(true)
+      .localCheckpoint(true))
     // Hadoop Configuration isn't serializable — ship its entries as a
     // plain map and rebuild per partition (keeps object-store creds
     // and custom FS settings working on executors).

@@ -142,12 +142,16 @@ class TemporalJoinsSpec extends AnyFunSuite {
   test("asofJoinBucketed matches asofJoin on random data (property)") {
     // Unique right times per key → the as-of winner is unambiguous, so
     // both operators must agree exactly. Small bucket span forces both
-    // the in-bucket and the cross-bucket carry paths to fire.
+    // the in-bucket and the cross-bucket carry paths to fire. A
+    // quarter of the right VALUES are null: both forms must carry the
+    // last NON-NULL value per column (a null row never masks an
+    // earlier non-null) — this pins the per-column carry semantics.
     val rnd = new scala.util.Random(11)
     val left = (1 to 400).map(i =>
       (i.toLong, (rnd.nextInt(6) + 1).toLong, ts(rnd.nextInt(600))))
     val right = rnd.shuffle((0 until 600).toList).take(250).zipWithIndex.map {
-      case (minute, i) => ((i % 6 + 1).toLong, ts(minute), s"tag$i")
+      case (minute, i) =>
+        ((i % 6 + 1).toLong, ts(minute), if (i % 4 == 0) null else s"tag$i")
     } // per (k, t) uniqueness: one right row per minute overall
     val lDf = left.toDF("id", "k", "t")
     val rDf = right.toDF("k", "t", "tag")

@@ -34,6 +34,8 @@ class UploadAdmissionSpec extends AnyFunSuite {
       req("nobody@x.com", "u1", "f1", "a.pdf"),              // no_share
       req("editor@x.com", "u1", "f9", "a.pdf"),              // no share for f9
       ("editor@x.com", "u1", null, "a.pdf", bytes("x")),     // missing_fields
+      // null principal → the reference's 401 path, BEFORE other gates
+      (null, "u1", "f1", "a.pdf", bytes("x")),               // unauthorized
       // suffix check precedes the share probe (main.py:614 vs 620)
       req("nobody@x.com", "u1", "f1", "bad.exe"))
       .toDF("email", "owner_id", "folder_id", "file_name", "content")
@@ -51,6 +53,8 @@ class UploadAdmissionSpec extends AnyFunSuite {
       got.exists(g => g._3.contains(r)) })
     assert(got.count(_._3.contains("no_share")) == 2)
     assert(got.exists(_._3.contains("missing_fields")))
+    assert(got.exists(_._3.contains("unauthorized")),
+      "null email must be the 401 path, not a share miss")
     assert(reasonOf("bad.exe").contains("not_pdf"),
       "suffix check must fire before the share probe, as in the reference")
   }
