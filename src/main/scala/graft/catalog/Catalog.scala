@@ -114,10 +114,21 @@ object Catalog {
             discovered: Map[String, String],
             hook: Inference.TypeInferenceHook = Inference.RegexTypeInference): FolderMeta = {
     val types = Inference.inferTypes(discovered, hook)
+    mustNotCollide(discovered.keys.toSeq)
     FolderMeta(uid, folder, contextHint,
       discovered.toSeq.sortBy(_._1).map { case (name, _) =>
         KpiMeta(name, types(name))
       })
+  }
+
+  /** Distinct KPI names sanitizing to one column would give the folder
+    * a duplicate-field schema (the reference's BigQuery DDL would
+    * reject the same collision) — fail at training time, with names. */
+  private def mustNotCollide(names: Seq[String]): Unit = {
+    val dup = names.groupBy(KpiMeta(_, "string").columnName)
+      .collect { case (c, ns) if ns.size > 1 => s"$c <- ${ns.mkString("/")}" }
+    require(dup.isEmpty,
+      s"KPI column collision after sanitization: ${dup.mkString("; ")}")
   }
 
   /** Legacy untyped registration (reference main.py:319-351,
@@ -128,9 +139,11 @@ object Catalog {
     * numeric/date casts. The typed path ([[train]]) is strictly
     * better when samples exist. */
   def trainLegacy(uid: String, folder: String, contextHint: String,
-                  kpiNames: Seq[String]): FolderMeta =
+                  kpiNames: Seq[String]): FolderMeta = {
+    mustNotCollide(kpiNames)
     FolderMeta(uid, folder, contextHint,
       kpiNames.sorted.map(KpiMeta(_, "string")))
+  }
 
   /** Schema-evolving read of an appended table (O16 read side): every
     * parquet footer in the directory is merged, so rows written before

@@ -55,8 +55,12 @@ object Inference {
     if (s.isEmpty || s == "N/A" || s == "---") return "string"
     val cleaned = s.replaceAll(MessyChars, "")
     if (cleaned.matches(NumericRe)) return "number"
-    val hasAlpha = s.exists(_.isLetter)
-    val hasDigit = s.exists(_.isDigit)
+    // ASCII classes, NOT Char.isLetter/isDigit: the distributed twin
+    // rlikes [A-Za-z]/[0-9] (as the reference's re.search does,
+    // main.py:177-178), and the two classifiers must agree on every
+    // input — Unicode letters/digits classify as neither.
+    val hasAlpha = s.exists(c => (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z'))
+    val hasDigit = s.exists(c => c >= '0' && c <= '9')
     if (hasAlpha && hasDigit) {
       if (s.matches(MonthNameDateRe)) "date"
       else if (s.length <= 30) "categorical"
@@ -132,6 +136,12 @@ object Inference {
       StructField("kpi_" + name.replaceAll("[^a-zA-Z0-9_]", "_").toLowerCase,
         physicalType(types(name)))
     }
+    // Distinct raw names can sanitize to one column ("a b" and "a_b"
+    // both → kpi_a_b); a schema with duplicate fields poisons every
+    // later lookup — fail at discovery time with the colliding names.
+    val dup = kpis.groupBy(_.name).collect { case (n, fs) if fs.size > 1 => n }
+    require(dup.isEmpty,
+      s"column name collision after sanitization: ${dup.mkString(", ")} — rename the source fields")
     StructType(sys ++ kpis)
   }
 

@@ -7,11 +7,20 @@ import org.apache.spark.sql.functions._
   * language-ID (marker-token heuristic), quality scoring, token
   * counting, and positional document fingerprinting.
   *
-  * Everything here is a pure Column expression (whole-stage codegen,
-  * no UDFs), deliberately restricted to arithmetic that is
-  * bit-reproducible in ANSI SQL so each operator carries a DuckDB
-  * oracle. At 100 TB all of these are embarrassingly parallel
-  * map-side transforms — zero shuffle.
+  * Everything here is a pure Column expression (no UDFs), deliberately
+  * restricted to arithmetic that is bit-reproducible in ANSI SQL so
+  * each operator carries a DuckDB oracle. At 100 TB all of these are
+  * embarrassingly parallel map-side transforms — zero shuffle.
+  *
+  * Codegen note: [[langId]], [[qualityScore]], [[typeTokenRatio]] and
+  * [[fingerprint]] use higher-order functions (filter/aggregate/
+  * transform), which Spark evaluates INTERPRETED per row — acceptable
+  * here because each operates on one short token array with a small
+  * fixed marker list. For corpus-wide language scoring prefer
+  * [[withLangPred]], which replaces the per-language filter() with
+  * exploded codegen'd conditional sums (the ~10× cheaper shape at
+  * scale); the same rewrite applies to qualityScore's stopword count
+  * if it ever dominates a profile.
   */
 object TextAnalysis {
 
@@ -61,7 +70,11 @@ object TextAnalysis {
     val pred = LangMarkers.foldRight(lit("und"): Column) { case ((l, _), acc) =>
       when(best > 0 && col(s"_s_$l") === best, lit(l)).otherwise(acc)
     }
-    df.join(counts.select(key :+ pred.as("lang_pred"): _*), keyCols)
+    // LEFT join + coalesce: a NULL text explodes to zero token rows and
+    // would otherwise vanish from the output entirely — the contract is
+    // "input plus lang_pred", and a doc with no tokens is 'und'.
+    df.join(counts.select(key :+ pred.as("lang_pred"): _*), keyCols, "left")
+      .withColumn("lang_pred", coalesce(col("lang_pred"), lit("und")))
   }
 
   /** Word-ish tokens for the regex (BPE-ish) tokenizer: letter runs,
@@ -76,14 +89,20 @@ object TextAnalysis {
   /** Number of whitespace tokens. */
   def tokenCountWs(text: Column): Column = size(tokens(text))
 
-  /** Cross-engine-stable positive rounding: floor(x·10^4 + 0.5)/10^4.
+  /** Cross-engine-stable positive rounding: floor(x·10^dp + 0.5)/10^dp.
     * Ratios of small integers often land EXACTLY on .xxxx5 decimal
     * boundaries, where Spark's BigDecimal HALF_UP and DuckDB's rounding
     * can disagree about which side the nearest double sits on. The
     * floor form is the same three IEEE ops in both engines, so results
     * are bit-identical; oracles use the same expression. Positive
     * inputs only. */
-  def round4Stable(c: Column): Column = floor(c * 10000.0 + 0.5) / 10000.0
+  def roundStable(c: Column, dp: Int): Column = {
+    val scale = math.pow(10.0, dp.toDouble)
+    floor(c * scale + 0.5) / scale
+  }
+
+  /** 4-dp form of [[roundStable]] (the quality/ratio convention). */
+  def round4Stable(c: Column): Column = roundStable(c, 4)
 
   /** Type-token ratio (distinct/total whitespace tokens), 4 dp. */
   def typeTokenRatio(text: Column): Column = {

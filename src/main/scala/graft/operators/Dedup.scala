@@ -38,10 +38,13 @@ object Dedup {
     * interpreted per row. One shuffle on doc_id (the window), which
     * the downstream cardinality groupBy reuses. */
   def shingleRows(docs: DataFrame, w: Int): DataFrame = {
-    val win = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy("pos")
+    require(w >= 1, s"shingle width must be >= 1, got $w")
     val toks = docs.select(col("doc_id"),
       posexplode(split(lower(col("text")), " ")).as(Seq("pos", "tok")))
+    // w = 1: unigrams need no window carry — skip the shuffle entirely.
+    if (w == 1) return toks.select(col("doc_id"), col("tok").as("s"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
     val leads = (1 until w).map(i => lead(col("tok"), i).over(win))
     toks
       // window expressions must live in a projection; _ok marks rows
@@ -125,9 +128,9 @@ object Dedup {
       .filter(jac >= threshold)
       // floor-form rounding: jaccard is a small-integer ratio, which
       // lands on exact .5 decimal boundaries where round() diverges
-      // across engines (see TextAnalysis.round4Stable).
+      // across engines (see TextAnalysis.roundStable).
       .select(col("i"), col("j"),
-        (floor(jac * 1000000.0 + 0.5) / 1000000.0).as("jaccard"))
+        graft.functions.TextAnalysis.roundStable(jac, 6).as("jaccard"))
   }
 
   /** Shingle-containment text search: score each doc by the fraction
@@ -145,9 +148,8 @@ object Dedup {
       .filter(col("s").isin(qShingles: _*))
       .dropDuplicates("doc_id", "s") // generator emits multiplicity
       .groupBy("doc_id").agg(count(lit(1)).as("matched"))
-      .withColumn("score",
-        floor(col("matched") / qShingles.size.toDouble * 1000000.0 + 0.5)
-          / 1000000.0)
+      .withColumn("score", graft.functions.TextAnalysis.roundStable(
+        col("matched") / qShingles.size.toDouble, 6))
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(k)
   }
@@ -191,6 +193,9 @@ object Dedup {
   def minHashCandidates(docs: DataFrame, w: Int = 5, k: Int = 32,
                         bands: Int = 8, minEst: Double = 0.5,
                         registry: CacheRegistry = CacheRegistry.global): DataFrame = {
+    require(k % bands == 0,
+      s"signature length $k must divide evenly into $bands bands — " +
+        "a remainder would silently drop signature tail components from banding")
     val r = k / bands
     val sigs = minHashSignatures(docs, w, k, registry)
     val banded = sigs.select(col("doc_id"), col("sig"),

@@ -34,21 +34,29 @@ object Similarity {
     embeddings.select(col("vec_id"), col("embedding").as("v"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
 
-  /** Exact cosine top-k per query vector. `queryPred` selects the
-    * query rows out of the corpus (they are excluded as their own
-    * neighbor). Ranking is on the 6-dp-rounded score with vec_id
-    * tiebreak — deterministic across engines and partitionings. */
-  def bruteTopK(embeddings: DataFrame, queryPred: Column, k: Int = 5): DataFrame = {
-    val base = prep(embeddings)
-    val queries = broadcast(base.filter(queryPred)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn")))
-    val scored = base.join(queries, col("vec_id") =!= col("query_id"))
+  /** Shared scorer: join the corpus to the broadcast query set under
+    * `joinCond`, 6-dp-rounded cosine with vec_id tiebreak (one rounding
+    * discipline for every search variant — deterministic across
+    * engines and partitionings), per-query top-k via one window. */
+  private def scoredTopK(base: DataFrame, queries: DataFrame,
+                         joinCond: Column, k: Int): DataFrame = {
+    val scored = base.join(queries, joinCond)
       .select(col("query_id"), col("vec_id").as("cand_id"),
         round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6).as("cos_sim"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos_sim").desc, col("cand_id").asc)
     scored.withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)
+  }
+
+  /** Exact cosine top-k per query vector. `queryPred` selects the
+    * query rows out of the corpus (they are excluded as their own
+    * neighbor). */
+  def bruteTopK(embeddings: DataFrame, queryPred: Column, k: Int = 5): DataFrame = {
+    val base = prep(embeddings)
+    val queries = broadcast(base.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn")))
+    scoredTopK(base, queries, col("vec_id") =!= col("query_id"), k)
   }
 
   /** Deterministic coarse quantizer: cell id = bitmask of
@@ -68,13 +76,7 @@ object Similarity {
     val queries = broadcast(base.filter(queryPred)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qn"), col("cell").as("qcell")))
-    val scored = base.join(queries,
-        col("cell") === col("qcell") && col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("cand_id"),
-        round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6).as("cos_sim"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos_sim").desc, col("cand_id").asc)
-    scored.withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= k)
+    scoredTopK(base, queries,
+      col("cell") === col("qcell") && col("vec_id") =!= col("query_id"), k)
   }
 }

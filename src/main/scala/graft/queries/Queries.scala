@@ -149,12 +149,18 @@ object Queries {
           CASE WHEN trim(messy) IN ('', 'N/A', '---') THEN NULL
                ELSE trim(messy) END,
           '[$€£¥,\s%]', '', 'g') AS cleaned
-      FROM m)
+      FROM m),
+    p AS (
+      SELECT event_id, messy,
+        CASE WHEN cleaned LIKE '(%' AND cleaned LIKE '%)'
+             THEN '-' || substr(cleaned, 2, len(cleaned) - 2)
+             ELSE cleaned END AS deparened
+      FROM c)
     SELECT event_id, messy,
-      CASE WHEN cleaned LIKE '(%' AND cleaned LIKE '%)'
-           THEN -TRY_CAST(substr(cleaned, 2, len(cleaned) - 2) AS DOUBLE)
-           ELSE TRY_CAST(cleaned AS DOUBLE) END AS parsed
-    FROM c ORDER BY event_id"""))
+      CASE WHEN regexp_matches(deparened,
+             '^[+-]?([0-9]+(\.[0-9]*)?|\.[0-9]+)([eE][+-]?[0-9]+)?$')
+           THEN CAST(deparened AS DOUBLE) ELSE NULL END AS parsed
+    FROM p ORDER BY event_id"""))
 
   /** O12 (main.py:241-247): declared-subset fuzzy date parse over
     * strings synthesized from orders.o_orderdate. */
@@ -688,7 +694,7 @@ object Queries {
       len(list_filter(t, x -> x IN ('de5','shi4','le5','zai4','he2'))) AS s_zh
       FROM tk),
     p AS (SELECT lang, CASE
-      WHEN greatest(s_en,s_de,s_es,s_fr,s_zh) = 0 THEN 'und'
+      WHEN coalesce(greatest(s_en,s_de,s_es,s_fr,s_zh), 0) = 0 THEN 'und'
       WHEN s_en >= greatest(s_de,s_es,s_fr,s_zh) THEN 'en'
       WHEN s_de >= greatest(s_es,s_fr,s_zh) THEN 'de'
       WHEN s_es >= greatest(s_fr,s_zh) THEN 'es'
@@ -824,9 +830,10 @@ object Queries {
       .orderBy("i", "j"),
     None)
 
-  /** SimHash-64 pairs with hamming ≤ 3 via 4×16-bit band blocking.
-    * No oracle (xxhash64 is engine-specific); behavior pinned in
-    * DedupSpec. */
+  /** SimHash-64 pairs with hamming ≤ 3 via 2×32-bit bands with
+    * single-bit multiprobe (n²/2^32 collisions per band — see
+    * Dedup.simHashPairs). No oracle (xxhash64 is engine-specific);
+    * behavior pinned in DedupSpec. */
   private val qDedupSimhash = Q(
     "q_dedup_simhash",
     (s, d) => Dedup.simHashPairs(t(s, d, "documents"), maxHamming = 3)
@@ -894,8 +901,8 @@ object Queries {
       val nClasses = 5.0
       counts.withColumn("total", sum("n").over(Window.partitionBy()))
         .select(col("lang"), col("n"),
-          (floor(col("total") / (lit(nClasses) * col("n")) * 1000000.0 + 0.5)
-            / 1000000.0).as("weight"))
+          TextAnalysis.roundStable(
+            col("total") / (lit(nClasses) * col("n")), 6).as("weight"))
         .orderBy("lang")
     },
     Some("""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),

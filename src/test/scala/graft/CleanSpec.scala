@@ -34,6 +34,14 @@ class CleanSpec extends AnyFunSuite {
     assert(got.forall(_ == null))
   }
 
+  test("parseMessyNumber: paren around an already-signed value → NULL (reference float('--x'))") {
+    // "(−42)" deparenthesizes to the string "--42", which the
+    // reference's float() rejects — NOT -(-42). Pins the oracle's
+    // string-prefix semantics too.
+    val got = runStr(Clean.parseMessyNumber, Seq("(-42)", "(+7)", "(inf)"))
+    assert(got.forall(_ == null))
+  }
+
   test("parseFuzzyDate: declared format subset (B.3)") {
     val got = runStr(Clean.parseFuzzyDate,
       Seq("2024-01-15", "2024/1/5", "01/15/2024", "January 15, 2024",

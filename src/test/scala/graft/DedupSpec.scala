@@ -12,6 +12,16 @@ class DedupSpec extends AnyFunSuite {
   private val dir = "/root/testdata/sf0.001"
   private lazy val docs = spark.read.parquet(s"$dir/documents.parquet")
 
+  test("shingleRows w=1 yields unigrams; k%bands misuse is rejected") {
+    val tiny = Seq((1L, "a b a")).toDF("doc_id", "text")
+    val uni = Dedup.shingleRows(tiny, 1).collect().map(_.getString(1)).toSeq
+    assert(uni == Seq("a", "b", "a"), "w=1 must be unigram multiplicity, not a crash")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.minHashCandidates(docs, k = 32, bands = 5)
+    }
+    assert(e.getMessage.contains("divide evenly"))
+  }
+
   test("minhash LSH recalls every exact Jaccard>=0.8 pair (planted dups)") {
     val exact = Dedup.jaccardPairs(docs, w = 5, threshold = 0.8)
       .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -77,6 +77,24 @@ class InferenceSpec extends AnyFunSuite {
     assert(sch("kpi_status").dataType == StringType)
   }
 
+  test("twins agree on non-ASCII values (both classify by ASCII classes)") {
+    import spark.implicits._
+    // Unicode letters/digits are neither [A-Za-z] nor [0-9] in the
+    // distributed form — the driver twin must classify identically.
+    val vectors = Seq("東京2024", "café", "١٢٣", "résumé2024")
+    val colForm = vectors.toDF("v")
+      .select(Inference.inferTypeCol(col("v")).as("t"))
+      .collect().map(_.getString(0)).toSeq
+    assert(colForm == vectors.map(Inference.inferType))
+  }
+
+  test("inferSchema rejects sanitization collisions with a named error") {
+    val e = intercept[IllegalArgumentException] {
+      Inference.inferSchema(Map("a b" -> "x", "a_b" -> "y"))
+    }
+    assert(e.getMessage.contains("kpi_a_b"))
+  }
+
   // ---- O8 batched hook (main.py:90-162 semantics) ----
 
   private val hookSamples = Map(

@@ -22,6 +22,17 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(scalar == vectorized)
   }
 
+  test("withLangPred keeps zero-token rows (NULL text → 'und'), never drops them") {
+    val docs = Seq((1L, "the cat and the dog"), (2L, null), (3L, ""))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.withLangPred(docs, "text", Seq("doc_id"))
+      .select("doc_id", "lang_pred")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.size == 3, "every input row must survive")
+    assert(got(1L) == "en")
+    assert(got(2L) == "und" && got(3L) == "und")
+  }
+
   test("langId picks the marker-dominant language, 'und' when none") {
     val got = Seq(
       "the cat and the dog of a house",
