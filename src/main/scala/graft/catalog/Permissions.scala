@@ -1,6 +1,6 @@
 package graft.catalog
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** The reference's access-control predicates (O19-O22,
@@ -11,38 +11,52 @@ import org.apache.spark.sql.functions._
   *    filter on the folders catalog;
   *  - O21 nested-loop scan over ALL tenants probing for folder_id
   *    (main.py:784-791, O(tenants) RPCs with early exit) → inverted
-  *    into one filtered scan: `folders.filter(folder_id === fid)`;
-  *  - O20/O22 permission predicate
-  *    `uid == owner ∨ uid ∈ shared_with ∨ ∃ share-doc` → a boolean
-  *    filter plus a LEFT SEMI join against the shares table — the
-  *    existence probe done for all folders in one pass instead of one
-  *    RPC per folder.
+  *    into one filtered scan;
+  *  - O20/O22 permission predicate — faithfully the reference's:
+  *    `uid == owner ∨ uid ∈ shared_with ∨ ∃ share-doc(folder, owner)`
+  *    (main.py:539-545, 798-801). NOTE the third arm: the reference
+  *    grants when ANY share doc exists for the (folder, owner) pair —
+  *    it does NOT check who the share was issued to (the per-principal
+  *    check exists only on the upload path, see
+  *    [[graft.streaming.UploadAdmission]]). That loose gate is
+  *    reproduced as-is, and called out here because it is surprising.
   *
   * Expected schemas (mirroring the Firestore docs):
-  *   folders: owner_uid, folder_id, shared_with array<string>, ...
+  *   folders: owner_uid, folder_id, shared_with array<string> of UIDs
+  *            (main.py:540 checks `uid in shared_with`), ...
   *   shares:  owner_id, folder_id, email   (flat collection keyed
-  *            {owner}_{folder}_{email}, main.py:618-626)
+  *            {owner}_{folder}_{email}, main.py:618-626; the email is
+  *            NOT consulted by this gate)
   *
   * Scale: folders/shares are metadata tables (bounded by tenants, not
   * data volume) — broadcast-joinable at any data SF.
   */
 object Permissions {
 
-  /** O19/O21: resolve a folder id to its (first) owning doc. */
-  def resolveFolder(folders: DataFrame, folderId: String): DataFrame =
-    folders.filter(col("folder_id") === folderId).limit(1)
+  /** O19/O21: resolve a folder id to its owning doc. With a `uid`, the
+    * reference's fallback scan semantics (main.py:784-791): only a
+    * folder the REQUESTER owns or is shared on resolves. Deterministic
+    * first-match by owner_uid order (Firestore iteration order is
+    * unspecified; an order makes duplicate folder_ids reproducible). */
+  def resolveFolder(folders: DataFrame, folderId: String,
+                    uid: Option[String] = None): DataFrame = {
+    val base = folders.filter(col("folder_id") === folderId)
+    uid.fold(base)(u => base.filter(
+        col("owner_uid") === u || array_contains(col("shared_with"), u)))
+      .orderBy("owner_uid").limit(1)
+  }
 
   /** O22's three-way predicate for ONE principal, vectorized over all
-    * folders: the folders `uid`/`email` may access. Union of
-    * ownership, shared_with membership, and share-doc existence
-    * (LEFT SEMI against shares). */
+    * folders: the folders `uid` may access. Union of ownership,
+    * shared_with UID membership, and share-doc existence — the
+    * existence arm is a LEFT SEMI on (owner, folder) ONLY, exactly the
+    * reference's unfiltered probe (main.py:543-545). */
   def accessibleFolders(folders: DataFrame, shares: DataFrame,
-                        uid: String, email: String): DataFrame = {
+                        uid: String): DataFrame = {
     val owned = folders.filter(col("owner_uid") === uid)
-    val sharedArray = folders.filter(array_contains(col("shared_with"), email))
+    val sharedArray = folders.filter(array_contains(col("shared_with"), uid))
     val sharedDoc = folders.join(
-      shares.filter(col("email") === email)
-        .select(col("owner_id").as("s_owner"), col("folder_id").as("s_fid")),
+      shares.select(col("owner_id").as("s_owner"), col("folder_id").as("s_fid")),
       col("owner_uid") === col("s_owner") && col("folder_id") === col("s_fid"),
       "left_semi")
     owned.unionByName(sharedArray).unionByName(sharedDoc)
@@ -50,17 +64,18 @@ object Permissions {
   }
 
   /** O20/O22 as a point check (the reference's per-request gate):
-    * true iff `uid`/`email` may read `folderId`. */
+    * true iff `uid` may read `folderId`. */
   def canAccess(folders: DataFrame, shares: DataFrame,
-                uid: String, email: String, folderId: String): Boolean =
-    !accessibleFolders(folders, shares, uid, email)
+                uid: String, folderId: String): Boolean =
+    !accessibleFolders(folders, shares, uid)
       .filter(col("folder_id") === folderId)
       .isEmpty
 
   /** O23 (main.py:459): reshape an extracted map column to the
-    * reference's [{key, value}] list-of-structs form. */
-  def mapToKeyValueList(spark: SparkSession, df: DataFrame,
-                        mapCol: String): DataFrame =
-    df.withColumn("kv", expr(
-      s"transform(map_entries($mapCol), e -> named_struct('key', e.key, 'value', e.value))"))
+    * reference's [{key, value}] list-of-structs form. Pure Column API —
+    * no SQL-string splicing, so any column name (spaces, quotes) is
+    * safe. */
+  def mapToKeyValueList(df: DataFrame, mapCol: String): DataFrame =
+    df.withColumn("kv", transform(map_entries(col(mapCol)),
+      e => struct(e.getField("key").as("key"), e.getField("value").as("value"))))
 }

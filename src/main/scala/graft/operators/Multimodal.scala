@@ -48,13 +48,15 @@ object Multimodal {
     }
 
     /** STUB resize: a real codec would resample pixels; the stand-in
-      * truncates bytes proportionally and rewrites metadata —
-      * preserving the (bytes, meta) contract the pipeline relies on. */
+      * truncates bytes proportionally to the AREA ratio (double math —
+      * integer division would floor any downscale ratio to 0) and
+      * rewrites metadata, preserving the (bytes, meta) contract the
+      * pipeline relies on. Upscales keep all bytes. */
     def resize(meta: MediaMeta, content: Array[Byte],
                w: Int, h: Int): (MediaMeta, Array[Byte]) = {
-      val scale = (w.toLong * h) / math.max(1L, meta.width.toLong * meta.height)
+      val ratio = (w.toDouble * h) / math.max(1.0, meta.width.toDouble * meta.height)
       val keep = math.max(1, math.min(content.length,
-        (content.length * math.min(1L, scale)).toInt))
+        math.round(content.length * math.min(1.0, ratio)).toInt))
       (meta.copy(width = w, height = h, nBytes = keep.toLong),
         content.take(keep))
     }

@@ -14,6 +14,19 @@ import org.apache.spark.unsafe.types.UTF8String
 /** Static helpers referenced from generated code (codegen emits plain
   * Java, so these must be reachable by their JVM names). */
 object ExprHelpers {
+  /** Compiled once per JVM, not per row — String.matches would
+    * recompile this Pattern on every invocation. */
+  private val NumericPattern = java.util.regex.Pattern
+    .compile("[+-]?(\\d+(\\.\\d*)?|\\.\\d+)([eE][+-]?\\d+)?")
+
+  /** The Java-regex \s class, NOT Character.isWhitespace: the composed
+    * Clean.parseMessyNumber strips "\\s" (ASCII [ \t\n\x0B\f\r]), and
+    * the two forms are pinned equivalent — Unicode spaces (NBSP, EM
+    * space) must survive the strip in BOTH so both reject them via the
+    * numeric guard. */
+  private def isAsciiSpace(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
   /** O11 semantics (reference main.py:229-239 + sentinel rule
     * main.py:224-225), single pass over the string:
     * trim → sentinel→null → strip [$€£¥,\s%] → (x)→-x → double, with
@@ -27,7 +40,7 @@ object ExprHelpers {
     while (i < t.length) {
       val c = t.charAt(i)
       val strip = c == '$' || c == '€' || c == '£' || c == '¥' ||
-        c == ',' || c == '%' || Character.isWhitespace(c)
+        c == ',' || c == '%' || isAsciiSpace(c)
       if (!strip) sb.append(c)
       i += 1
     }
@@ -37,20 +50,24 @@ object ExprHelpers {
       neg = true
       u = u.substring(1, u.length - 1)
     }
-    if (!u.matches("[+-]?(\\d+(\\.\\d*)?|\\.\\d+)([eE][+-]?\\d+)?")) return null
+    if (!NumericPattern.matcher(u).matches()) return null
     val v = java.lang.Double.parseDouble(u)
     java.lang.Double.valueOf(if (neg) -v else v)
   }
 
   /** Dot product over two float arrays, accumulated in double,
     * left-to-right (same fold order as the HOF form and the DuckDB
-    * oracle). Nulls and length mismatches yield null. */
+    * oracle). Null arrays, length mismatches AND null ELEMENTS yield
+    * null — the aggregate(zip_with(...)) form this expression is a
+    * drop-in for propagates a null element to a null sum, and the
+    * native form must not silently read the zeroed slot instead. */
   def dotFloat(a: ArrayData, b: ArrayData): java.lang.Double = {
     if (a == null || b == null || a.numElements() != b.numElements()) return null
     var acc = 0.0
     var i = 0
     val n = a.numElements()
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble
       i += 1
     }

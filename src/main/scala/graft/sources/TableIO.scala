@@ -30,12 +30,17 @@ object TableIO {
     configured.save(path)
   }
 
-  /** Schema-first read (no inference scan). */
+  /** Schema-first read (no inference scan). CSV reads multiLine so
+    * quoted embedded newlines parse back as one record — without it a
+    * write/read cycle splits such rows and [[roundTripSafe]]'s CSV
+    * claim would be false for perfectly flat string schemas. (Cost:
+    * multiLine CSV files are not line-splittable; acceptable for an
+    * interchange edge, documented here.) */
   def read(spark: SparkSession, path: String, format: String,
            schema: StructType): DataFrame = {
     val r = spark.read.format(format).schema(schema)
     val configured = format match {
-      case "csv" => r.option("header", "true")
+      case "csv" => r.option("header", "true").option("multiLine", "true")
       case _ => r
     }
     configured.load(path)

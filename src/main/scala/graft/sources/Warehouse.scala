@@ -33,7 +33,13 @@ object Warehouse {
 
   /** Read a partitioned table; predicates on partition columns become
     * partition pruning (directories never listed into the scan),
-    * asserted in WarehouseSpec. */
-  def read(spark: SparkSession, path: String): DataFrame =
-    spark.read.option("mergeSchema", "true").parquet(path)
+    * asserted in ScaleOpsSpec. `mergeSchema` is OPT-IN: merging reads
+    * every file's footer at schema-resolution time — before partition
+    * pruning can drop anything — which at the 100 TB design point is a
+    * full listing per read. Default reads resolve the schema from one
+    * footer; pass mergeSchema = true only for evolved tables whose
+    * union schema genuinely differs across files. */
+  def read(spark: SparkSession, path: String,
+           mergeSchema: Boolean = false): DataFrame =
+    spark.read.option("mergeSchema", mergeSchema.toString).parquet(path)
 }

@@ -34,6 +34,23 @@ object EventStreams {
   final case class SessionState(count: Long, lastTs: Long, sessions: Long)
   final case class UserSessions(user_id: Long, n_events: Long, n_sessions: Long)
 
+  /** The ONE session-fold both sessionize variants share (kept single
+    * so the gap/ordering semantics documented on [[sessionize]] cannot
+    * silently diverge between the two timeout modes): events sorted by
+    * (ts, event_id) within the batch, a >gap silence opens a session,
+    * lastTs never moves backward. */
+  private def foldSession(prev: SessionState, events: Iterator[Event],
+                          gapMs: Long): SessionState = {
+    var st = prev
+    events.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+      val t = e.ts.getTime
+      val newSession = st.count == 0L || t - st.lastTs > gapMs
+      st = SessionState(st.count + 1, math.max(st.lastTs, t),
+        st.sessions + (if (newSession) 1L else 0L))
+    }
+    st
+  }
+
   /** Gap sessionization with custom state (the streaming form of
     * q_sessionize): a >30 min silence starts a new session. State is
     * one small case class per user; emitted on every update so the
@@ -74,14 +91,9 @@ object EventStreams {
             state.remove()
             UserSessions(uid, st.count, st.sessions)
           } else {
-            val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-            var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue, 0L))
-            sorted.foreach { e =>
-              val t = e.ts.getTime
-              val newSession = st.count == 0L || t - st.lastTs > gapMs
-              st = SessionState(st.count + 1, math.max(st.lastTs, t),
-                st.sessions + (if (newSession) 1L else 0L))
-            }
+            val st = foldSession(
+              state.getOption.getOrElse(SessionState(0L, Long.MinValue, 0L)),
+              it, gapMs)
             state.update(st)
             state.setTimeoutDuration(stateTimeoutMinutes * 60L * 1000L)
             UserSessions(uid, st.count, st.sessions)
@@ -121,14 +133,9 @@ object EventStreams {
             state.remove()
             UserSessions(uid, st.count, st.sessions)
           } else {
-            val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-            var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue, 0L))
-            sorted.foreach { e =>
-              val t = e.ts.getTime
-              val newSession = st.count == 0L || t - st.lastTs > gapMs
-              st = SessionState(st.count + 1, math.max(st.lastTs, t),
-                st.sessions + (if (newSession) 1L else 0L))
-            }
+            val st = foldSession(
+              state.getOption.getOrElse(SessionState(0L, Long.MinValue, 0L)),
+              it, gapMs)
             state.update(st)
             // Evict once the watermark proves the gap has elapsed. The
             // timestamp must sit strictly above the current watermark or

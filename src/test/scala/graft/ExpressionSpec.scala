@@ -81,4 +81,34 @@ class ExpressionSpec extends AnyFunSuite {
     assert(e.getMessage.contains("parse_messy_number expects STRING")
       || e.getMessage.toLowerCase.contains("data type mismatch"), e.getMessage)
   }
+
+  test("DotProductFloat: a null ELEMENT yields NULL, like the HOF form") {
+    import spark.implicits._
+    val df = Seq((Seq(Some(1.0f), None), Seq(Some(1.0f), Some(1.0f))))
+      .toDF("a", "b")
+    val native = df.select(
+      GraftFunctions.dotProductFloat(col("a"), col("b")).as("d")).first()
+    assert(native.isNullAt(0),
+      "null element must not be read as the zeroed slot (0.0)")
+    val hof = df.selectExpr(
+      "aggregate(zip_with(a, b, (x, y) -> CAST(x AS DOUBLE) * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) AS d")
+      .first()
+    assert(hof.isNullAt(0), "HOF reference semantics: null propagates")
+  }
+
+  test("ParseMessyNumber ≡ composed on Unicode whitespace (NBSP family)") {
+    import spark.implicits._
+    //   NBSP and   EM-space are NOT in Java-regex \s: both
+    // forms must leave them in place and reject via the numeric guard.
+    val inputs = Seq("1 2", "4 5", "1 2")
+    val df = inputs.toDF("s")
+    val composed = df.select(graft.functions.Clean.parseMessyNumber(col("s")).as("v"))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getDouble(0))
+    val native = df.select(GraftFunctions.parseMessyNumber(col("s")).as("v"))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getDouble(0))
+    assert(composed.toSeq == native.toSeq)
+    assert(composed(0) == null && composed(1) == null,
+      "Unicode spaces must NOT be stripped (regex \\s is ASCII)")
+    assert(composed(2) == 12.0, "ASCII space IS stripped")
+  }
 }

@@ -80,7 +80,7 @@ class ScaleOpsSpec extends AnyFunSuite {
       Seq((1L, "2024-01-01", 1.0)).toDF("id", "day", "a"), dir, Seq("day"))
     Warehouse.appendPartitioned(
       Seq((2L, "2024-01-02", "x")).toDF("id", "day", "b"), dir, Seq("day"))
-    val merged = Warehouse.read(spark, dir)
+    val merged = Warehouse.read(spark, dir, mergeSchema = true)
     assert(merged.columns.toSet == Set("id", "day", "a", "b"))
     val r = merged.filter(col("id") === 1L).first()
     assert(r.isNullAt(r.fieldIndex("b")))
