@@ -70,11 +70,19 @@ object Dedup {
   /** Character n-gram variant of [[jaccardPairs]]: shingles are the
     * distinct n-char substrings of the lowercased text — finer-grained
     * than word shingles (robust to tokenization differences), larger
-    * shingle sets. Same candidate-join pipeline. */
+    * shingle sets. Same candidate-join pipeline, but grams enter it
+    * PRE-HASHED by the native rolling-hash expression
+    * ([[graft.plans.CharGramHashes]]): one O(len) pass per document
+    * instead of one substring allocation + full rehash per gram —
+    * the dominant cost of this operator's scan stage. */
   def charJaccardPairs(docs: DataFrame, n: Int = 20,
                        threshold: Double = 0.8,
                        registry: CacheRegistry = CacheRegistry.global): DataFrame =
-    pairsFromShingles(charShingleRows(docs, n), threshold, registry)
+    pairsFromHashedShingles(
+      docs.select(col("doc_id"),
+        explode(graft.plans.GraftFunctions.charGramHashes(
+          lower(col("text")), n)).as("s")),
+      threshold, registry)
 
   /** Distinct character n-grams per doc, codegen'd: explode the start
     * positions, substr per position (Column.substr takes Column args,
@@ -88,18 +96,24 @@ object Dedup {
       .select(col("doc_id"), col("_t").substr(col("_i"), lit(n)).as("s"))
   }
 
+  // Shuffle longs, not shingle strings: every downstream step
+  // (dedup/window/prune/self-join) only needs shingle EQUALITY, so a
+  // 64-bit hash at the entrance replaces 20-40 byte strings with 8
+  // bytes in every exchange. A hash collision would merge two grams
+  // (P ≈ n²/2^65 ≈ 1e-7 at millions of distinct shingles) — the
+  // standard shingling trade, noted here because the oracle counts
+  // strings.
   private def pairsFromShingles(rawShingles: DataFrame, threshold: Double,
-                                registry: CacheRegistry): DataFrame = {
-    // Shuffle longs, not shingle strings: every downstream step
-    // (dedup/window/prune/self-join) only needs shingle EQUALITY, so
-    // an xxhash64 at the entrance replaces 20-40 byte strings with 8
-    // bytes in every exchange. A hash collision would merge two grams
-    // (P ≈ n²/2^65 ≈ 1e-7 at millions of distinct shingles) — the
-    // standard shingling trade, noted here because the oracle counts
-    // strings.
-    val shingles = rawShingles
-      .select(col("doc_id"), xxhash64(col("s")).as("s"))
-      .dropDuplicates("doc_id", "s")
+                                registry: CacheRegistry): DataFrame =
+    pairsFromHashedShingles(
+      rawShingles.select(col("doc_id"), xxhash64(col("s")).as("s")),
+      threshold, registry)
+
+  /** Candidate pipeline over (doc_id, s: long) rows whose gram hashes
+    * were already computed (native rolling hash, or xxhash64 above). */
+  private def pairsFromHashedShingles(hashed: DataFrame, threshold: Double,
+                                      registry: CacheRegistry): DataFrame = {
+    val shingles = hashed.dropDuplicates("doc_id", "s")
     // Cardinality rides along as a window count over doc_id instead of
     // a separate aggregate joined back twice — every shingle row
     // carries its doc's |shingles|, so the pair aggregate gets both

@@ -55,6 +55,38 @@ object ExprHelpers {
     java.lang.Double.valueOf(if (neg) -v else v)
   }
 
+  /** All n-char-gram hashes of a string in ONE pass: a polynomial
+    * rolling hash over code points (base = FNV-64 prime, arithmetic
+    * mod 2^64 via Long overflow). Equality of grams ⇒ equality of
+    * hashes; distinct grams collide with P ≈ #grams²/2^64 — the same
+    * trade the xxhash64(substr(...)) pipeline already documents, but
+    * WITHOUT materializing one substring per position: O(len) total
+    * instead of O(len·n) bytes copied + hashed. Code points (not
+    * UTF-16 units) so gram boundaries match substr semantics beyond
+    * the BMP. Shorter-than-n strings yield an empty array. */
+  def charGramHashes(s: UTF8String, n: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    if (s == null) return null
+    val cps = s.toString.codePoints().toArray
+    val len = cps.length
+    if (len < n) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Long])
+    val B = 1099511628211L
+    var pow = 1L
+    var j = 0
+    while (j < n - 1) { pow *= B; j += 1 }
+    val out = new Array[Long](len - n + 1)
+    var h = 0L
+    var i = 0
+    while (i < n) { h = h * B + cps(i); i += 1 }
+    out(0) = h
+    i = n
+    while (i < len) {
+      h = (h - cps(i - n) * pow) * B + cps(i)
+      out(i - n + 1) = h
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Dot product over two float arrays, accumulated in double,
     * left-to-right (same fold order as the HOF form and the DuckDB
     * oracle). Null arrays, length mismatches AND null ELEMENTS yield
@@ -153,6 +185,34 @@ case class DotProductFloat(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native char-gram hasher for the exact near-dup pipeline: one array
+  * of gram hashes per document row, exploded downstream — replaces the
+  * explode(positions) → substr → xxhash64 chain (one string allocation
+  * + full rehash PER GRAM) with a single rolling pass per document.
+  * Verified pair-for-pair equivalent to the substr pipeline in
+  * ExpressionSpec/DedupSpec. */
+case class CharGramHashes(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType && n >= 1) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"char_gram_hashes expects (STRING, n >= 1), got ${child.dataType.sql}, n=$n")
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else ExprHelpers.charGramHashes(v.asInstanceOf[UTF8String], n)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.ExprHelpers.charGramHashes($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): CharGramHashes =
+    copy(child = newChild)
+}
+
 /** Column-level and SQL-level entry points for the native expressions. */
 object GraftFunctions {
 
@@ -162,6 +222,9 @@ object GraftFunctions {
   def dotProductFloat(a: Column, b: Column): Column =
     GraftSqlBridge.column(DotProductFloat(
       GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+
+  def charGramHashes(c: Column, n: Int): Column =
+    GraftSqlBridge.column(CharGramHashes(GraftSqlBridge.expression(c), n))
 
   private val registrations: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "parse_messy_number" -> { es => ParseMessyNumber(es.head) },

@@ -12,6 +12,30 @@ class DedupSpec extends AnyFunSuite {
   private val dir = "/root/testdata/sf0.001"
   private lazy val docs = spark.read.parquet(s"$dir/documents.parquet")
 
+  test("native rolling-hash grams ≡ materialized substr grams on the corpus") {
+    // The rolling hash must induce the SAME per-doc distinct-gram
+    // structure as hashing each materialized substring: equal gram
+    // multiset sizes, equal distinct counts per doc (i.e. no extra
+    // collisions on real text), and grams equal-as-strings must land
+    // equal-as-hashes by construction. Full PAIR equality vs exact
+    // string Jaccard is the q_near_dup_char DuckDB oracle's job.
+    val native = docs.select(col("doc_id"),
+        explode(graft.plans.GraftFunctions.charGramHashes(
+          lower(col("text")), 20)).as("s"))
+    val substr = Dedup.charShingleRows(docs, 20)
+      .select(col("doc_id"), xxhash64(col("s")).as("s"))
+    def profile(df: org.apache.spark.sql.DataFrame) = {
+      val total = df.count()
+      val perDoc = df.dropDuplicates("doc_id", "s").groupBy("doc_id").count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      (total, perDoc)
+    }
+    val (nTot, nPer) = profile(native)
+    val (sTot, sPer) = profile(substr)
+    assert(nTot == sTot, "gram multiset sizes must match")
+    assert(nPer == sPer, "per-doc distinct-gram counts must match (no extra collisions)")
+  }
+
   test("shingleRows w=1 yields unigrams; k%bands misuse is rejected") {
     val tiny = Seq((1L, "a b a")).toDF("doc_id", "text")
     val uni = Dedup.shingleRows(tiny, 1).collect().map(_.getString(1)).toSeq
