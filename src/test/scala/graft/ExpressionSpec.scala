@@ -96,6 +96,35 @@ class ExpressionSpec extends AnyFunSuite {
     assert(hof.isNullAt(0), "HOF reference semantics: null propagates")
   }
 
+  test("native doGenCode compiles via GenerateMutableProjection (no silent fallback)") {
+    // Whole-stage codegen silently falls back to interpreted eval if the
+    // generated Java fails to compile — correctness tests can't catch
+    // that. GenerateMutableProjection has no fallback: a Janino error
+    // throws here. Also pins CharGramHashes' edges: astral code points
+    // count as ONE gram position (substr semantics), shorter-than-n
+    // yields empty, null yields null.
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateMutableProjection
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types.{ArrayType, FloatType, StringType}
+    import org.apache.spark.unsafe.types.UTF8String
+    val proj = GenerateMutableProjection.generate(Seq(
+      graft.plans.CharGramHashes(BoundReference(0, StringType, nullable = true), 3),
+      graft.plans.DotProductFloat(
+        BoundReference(1, ArrayType(FloatType), nullable = true),
+        BoundReference(1, ArrayType(FloatType), nullable = true)),
+      graft.plans.ParseMessyNumber(BoundReference(0, StringType, nullable = true))))
+    val vec = new GenericArrayData(Array(1.0f, 2.0f))
+    val out = proj(InternalRow(UTF8String.fromString("a😀b😀c"), vec))
+    assert(out.getArray(0).numElements() == 3, "5 code points, n=3 -> 3 grams")
+    assert(out.getDouble(1) == 5.0)
+    assert(out.isNullAt(2), "non-numeric string -> null parse")
+    val short = proj(InternalRow(UTF8String.fromString("ab"), null)).getArray(0)
+    assert(short.numElements() == 0, "len < n -> empty gram array")
+    assert(proj(InternalRow(null, null)).isNullAt(0), "null string -> null")
+  }
+
   test("ParseMessyNumber ≡ composed on Unicode whitespace (NBSP family)") {
     import spark.implicits._
     //   NBSP and   EM-space are NOT in Java-regex \s: both
