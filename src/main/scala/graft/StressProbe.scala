@@ -26,6 +26,7 @@ object StressProbe {
       println(f"[stress] $name: ${(System.nanoTime()-t0)/1e9}%.1fs, $n rows")
     }
     time("jaccard")  { Dedup.jaccardPairs(big).count() }
+    time("char_jaccard") { Dedup.charJaccardPairs(big).count() }
     time("minhash")  { Dedup.minHashCandidates(big).count() }
     time("simhash")  { Dedup.simHashPairs(big).count() }
     // Hot-key as-of: 20M left + 2M right rows ALL on one key — the
