@@ -226,9 +226,24 @@ object GraftFunctions {
   def charGramHashes(c: Column, n: Int): Column =
     GraftSqlBridge.column(CharGramHashes(GraftSqlBridge.expression(c), n))
 
-  private val registrations: Seq[(String, Seq[Expression] => Expression)] = Seq(
+  /** SQL `char_gram_hashes(s, n)` takes n as a literal: the gram width
+    * is part of the operator (it fixes the output arity per row), not a
+    * per-row value — reject non-foldable n at resolution time. */
+  private def literalInt(e: Expression, fn: String): Int = {
+    require(e.foldable, s"$fn: n must be a literal integer")
+    e.eval() match {
+      case i: java.lang.Integer => i.intValue()
+      case l: java.lang.Long    => l.toInt
+      case other => throw new IllegalArgumentException(
+        s"$fn: n must be a literal integer, got $other")
+    }
+  }
+
+  private[plans] val registrations: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "parse_messy_number" -> { es => ParseMessyNumber(es.head) },
-    "dot_product_float" -> { es => DotProductFloat(es.head, es(1)) })
+    "dot_product_float" -> { es => DotProductFloat(es.head, es(1)) },
+    "char_gram_hashes" -> { es =>
+      CharGramHashes(es.head, literalInt(es(1), "char_gram_hashes")) })
 
   /** Register the SQL functions into an existing session (the
     * runtime-registration path; config-time wiring is
@@ -246,12 +261,9 @@ object GraftFunctions {
   * "graft.plans.GraftExtensions")` injects the native functions into
   * every session built on that context. */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
-    ext.injectFunction((FunctionIdentifier("parse_messy_number"),
-      new ExpressionInfo("graft.plans", "parse_messy_number"),
-      (es: Seq[Expression]) => ParseMessyNumber(es.head)))
-    ext.injectFunction((FunctionIdentifier("dot_product_float"),
-      new ExpressionInfo("graft.plans", "dot_product_float"),
-      (es: Seq[Expression]) => DotProductFloat(es.head, es(1))))
-  }
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    GraftFunctions.registrations.foreach { case (name, builder) =>
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft.plans", name), builder))
+    }
 }

@@ -63,14 +63,22 @@ class ExpressionSpec extends AnyFunSuite {
     }
   }
 
-  test("SQL registration: parse_messy_number / dot_product_float callable from SQL") {
+  test("SQL registration: all three natives callable from SQL") {
     GraftFunctions.register(spark)
     val r = spark.sql(
       "SELECT parse_messy_number('($2,000.50)') AS a, " +
         "dot_product_float(array(CAST(1.5 AS FLOAT), CAST(2.0 AS FLOAT)), " +
-        "array(CAST(2.0 AS FLOAT), CAST(3.0 AS FLOAT))) AS b").first()
+        "array(CAST(2.0 AS FLOAT), CAST(3.0 AS FLOAT))) AS b, " +
+        "size(char_gram_hashes('hello', 3)) AS c").first()
     assert(r.getDouble(0) == -2000.5)
     assert(r.getDouble(1) == 9.0)
+    assert(r.getInt(2) == 3, "5 chars, n=3 -> 3 grams")
+    // gram width is part of the operator, not a per-row value
+    val e = intercept[Exception] {
+      spark.sql("SELECT char_gram_hashes(text, n_chars) FROM " +
+        "parquet.`/root/testdata/sf0.001/documents.parquet`").collect()
+    }
+    assert(e.getMessage.contains("n must be a literal integer"), e.getMessage)
   }
 
   test("native expression type errors are analysis-time, not runtime") {
