@@ -24,6 +24,10 @@ object StressProbe {
       val t0 = System.nanoTime()
       val n = f
       println(f"[stress] $name: ${(System.nanoTime()-t0)/1e9}%.1fs, $n rows")
+      // Drop the probe's persisted intermediates (the char path pins
+      // its distinct-shingle table) so later probes aren't timed under
+      // a dead cache's storage-memory pressure.
+      graft.operators.CacheRegistry.global.releaseAll()
     }
     time("jaccard")  { Dedup.jaccardPairs(big).count() }
     time("char_jaccard") { Dedup.charJaccardPairs(big).count() }

@@ -64,11 +64,15 @@ object ExprHelpers {
     * instead of O(len·n) bytes copied + hashed. Code points (not
     * UTF-16 units) so gram boundaries match substr semantics beyond
     * the BMP. Shorter-than-n strings yield an empty array. */
-  def charGramHashes(s: UTF8String, n: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+  def charGramHashes(s: UTF8String, n: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    // UnsafeArrayData.fromPrimitiveArray keeps the longs unboxed;
+    // GenericArrayData(long[]) would box every element (ClassTag.Any)
+    // — billions of Long allocations at corpus scale.
     if (s == null) return null
     val cps = s.toString.codePoints().toArray
     val len = cps.length
-    if (len < n) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Long])
+    if (len < n) return org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(Array.empty[Long])
     val B = 1099511628211L
     var pow = 1L
     var j = 0
@@ -84,7 +88,7 @@ object ExprHelpers {
       out(i - n + 1) = h
       i += 1
     }
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
   }
 
   /** Dot product over two float arrays, accumulated in double,
@@ -193,7 +197,9 @@ case class DotProductFloat(left: Expression, right: Expression)
   * ExpressionSpec/DedupSpec. */
 case class CharGramHashes(child: Expression, n: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def nullable: Boolean = true
+  // null out only for null in — keep non-nullable inputs non-nullable
+  // so downstream plans skip the null checks.
+  override def nullable: Boolean = child.nullable
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == StringType && n >= 1) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
@@ -233,7 +239,7 @@ object GraftFunctions {
     require(e.foldable, s"$fn: n must be a literal integer")
     e.eval() match {
       case i: java.lang.Integer => i.intValue()
-      case l: java.lang.Long    => l.toInt
+      case l: java.lang.Long if l.longValue() == l.toInt => l.toInt
       case other => throw new IllegalArgumentException(
         s"$fn: n must be a literal integer, got $other")
     }
