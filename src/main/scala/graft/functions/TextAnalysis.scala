@@ -89,6 +89,34 @@ object TextAnalysis {
   /** Number of whitespace tokens. */
   def tokenCountWs(text: Column): Column = size(tokens(text))
 
+  /** PII patterns for [[redactPii]], engine-portable by construction:
+    * no lookaround, no backrefs, greedy quantifiers over character
+    * classes only — Java regex (Spark) and RE2 (DuckDB) produce the
+    * same matches for this subset, so the oracle applies the identical
+    * strings. The phone pattern is deliberately format-strict
+    * (`+C (AAA) NNN-NNNN`): a looser digit-run pattern would redact
+    * quantities and years wholesale — precision over recall for a
+    * scrubber that runs BEFORE training. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+  val PhoneRe = "\\+[0-9]{1,2} \\([0-9]{3}\\) [0-9]{3}-[0-9]{4}"
+
+  /** Replace emails, IPv4s and phone-shaped sequences with stable
+    * placeholder tokens. Order matters: emails first (their local and
+    * domain parts contain digit/dot runs the IP pattern would bite
+    * into), phones last (their digits can't be confused once IPs are
+    * gone). Pure codegen'd string ops — zero shuffle, scales as a map. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+
+  /** Count of matches of one [[redactPii]] pattern (group 0). */
+  def piiCount(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0))).cast("long")
+
   /** Cross-engine-stable positive rounding: floor(x·10^dp + 0.5)/10^dp.
     * Ratios of small integers often land EXACTLY on .xxxx5 decimal
     * boundaries, where Spark's BigDecimal HALF_UP and DuckDB's rounding

@@ -754,6 +754,53 @@ object Queries {
         % 1000003 AS BIGINT) AS fp
     FROM documents ORDER BY doc_id"""))
 
+  /** PII scrubbing over a deterministically PII-laced corpus: every doc
+    * gains a doc_id-derived email, IPv4 and phone, then
+    * [[TextAnalysis.redactPii]] replaces them with placeholder tokens.
+    * Lacing makes the oracle exercise every pattern on every row (raw
+    * documents contain no PII); both engines build the identical laced
+    * string, apply the identical regexes, and emit the full redacted
+    * text plus per-pattern match counts. Map-only — zero shuffle. */
+  private val qPiiRedact = Q(
+    "q_pii_redact",
+    (s, d) => {
+      val laced = t(s, d, "documents").select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@mail.example.org from 10."),
+          (col("doc_id") % 200).cast("string"), lit(".0."),
+          (col("doc_id") % 250).cast("string"),
+          lit(" call +1 (555) 123-"),
+          (lit(1000) + col("doc_id") % 9000).cast("string")).as("laced"))
+      laced.select(col("doc_id"),
+          TextAnalysis.redactPii(col("laced")).as("redacted"),
+          TextAnalysis.piiCount(col("laced"), TextAnalysis.EmailRe).as("n_email"),
+          TextAnalysis.piiCount(col("laced"), TextAnalysis.Ipv4Re).as("n_ip"),
+          TextAnalysis.piiCount(col("laced"), TextAnalysis.PhoneRe).as("n_phone"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH laced AS (
+      SELECT doc_id,
+        text || ' contact user' || CAST(doc_id AS VARCHAR)
+          || '@mail.example.org from 10.' || CAST(doc_id % 200 AS VARCHAR)
+          || '.0.' || CAST(doc_id % 250 AS VARCHAR)
+          || ' call +1 (555) 123-' || CAST(1000 + doc_id % 9000 AS VARCHAR)
+          AS laced
+      FROM documents)
+    SELECT doc_id,
+      regexp_replace(regexp_replace(regexp_replace(laced,
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g'),
+        '\+[0-9]{1,2} \([0-9]{3}\) [0-9]{3}-[0-9]{4}', '<PHONE>', 'g')
+        AS redacted,
+      len(regexp_extract_all(laced,
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+      len(regexp_extract_all(laced,
+        '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS n_ip,
+      len(regexp_extract_all(laced,
+        '\+[0-9]{1,2} \([0-9]{3}\) [0-9]{3}-[0-9]{4}')) AS n_phone
+    FROM laced ORDER BY doc_id"""))
+
   // ---------------------------------------------------------------------
   // Near-dup / similarity operators (graft.operators.{Dedup,Similarity})
   // ---------------------------------------------------------------------
@@ -1245,7 +1292,7 @@ object Queries {
     qWindowRank, qWindowRunning, qTopkGlobal, qSetOps,
     qTumblingWindow, qSessionize,
     qDedupExact, qTextStats, qMultimodalJoin, qSimilarityTopk,
-    qLangId, qQualityScore, qTokenCount, qFingerprint,
+    qLangId, qQualityScore, qTokenCount, qFingerprint, qPiiRedact,
     qNearDup, qNearDupChar, qDedupMinhash, qDedupSimhash, qEmbedNearDup,
     qAnnTopk, qAnnIvf, qMediaFeatures, qQuantile, qApproxQuantile,
     qWindowFuncs, qAsofJoin, qRangeJoin, qTextSearch, qLabelCentroids,

@@ -54,6 +54,25 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(fp(0) != fp(1), "permuted tokens must fingerprint differently")
   }
 
+  test("redactPii replaces emails/IPs/phones, leaves look-alikes alone") {
+    val rows = Seq(
+      "mail a.b+c@sub.example.co.uk now",          // email, multi-label domain
+      "server at 192.168.0.1 and 10.0.0.255",      // two IPs
+      "call +1 (555) 867-5309 today",              // phone
+      "version 1.2.3 costs $1,234 at 50% off",     // NOT PII: short dots, money
+      "user@localhost is not an email",            // no TLD -> keep
+      "a@b.io and 8.8.8.8 and +44 (020) 555-0199") // all three in one doc
+      .toDF("text").select(TextAnalysis.redactPii(col("text")).as("r"))
+      .collect().map(_.getString(0)).toSeq
+    assert(rows(0) == "mail <EMAIL> now")
+    assert(rows(1) == "server at <IP> and <IP>")
+    assert(rows(2) == "call <PHONE> today")
+    assert(rows(3) == "version 1.2.3 costs $1,234 at 50% off",
+      "semver/money must survive redaction")
+    assert(rows(4) == "user@localhost is not an email")
+    assert(rows(5) == "<EMAIL> and <IP> and <PHONE>")
+  }
+
   test("qualityScore bounded in [0,1] and monotone in stopword ratio") {
     val scores = Seq(
       "the of and to a in is the of and", // all stopwords
