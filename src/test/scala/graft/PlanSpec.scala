@@ -130,4 +130,17 @@ class PlanSpec extends AnyFunSuite {
       l.contains("FileScan parquet") && l.contains("documents")) == 1,
       s"documents must be scanned exactly once:\n$p")
   }
+
+  test("q_pii_redact: map-only redaction — one scan, no hash shuffle") {
+    // Redaction is per-row string work: the only exchange allowed is
+    // the range partitioning for the deterministic ORDER BY. A
+    // hashpartitioning exchange would mean an accidental aggregate or
+    // join crept into a scrubber that must scale as a pure map.
+    val p = plan("q_pii_redact")
+    assert(p.split("\n").count(l =>
+      l.contains("FileScan parquet") && l.contains("documents")) == 1,
+      s"documents must be scanned exactly once:\n$p")
+    assert(!p.contains("hashpartitioning"),
+      s"redaction must not hash-shuffle:\n$p")
+  }
 }
