@@ -18,7 +18,10 @@ import org.apache.spark.sql.functions._
   *  - [[simHashPairs]]: 64-bit SimHash, 2×32-bit bands with
   *    single-bit multiprobe (pigeonhole: hamming ≤ 3 ⇒ some band
   *    differs by ≤ 1 bit);
-  *  - [[cosinePairs]]: embedding-cosine near-dup, label-blocked.
+  *  - [[cosinePairs]]: embedding-cosine near-dup, label-blocked;
+  *  - [[cosineLshPairs]]: embedding-cosine near-dup via random-
+  *    hyperplane LSH banding — the full-corpus scale path (no label
+  *    needed, candidates meet on band equi-join keys).
   *
   * All signature math is Column-expression only (codegen, no UDFs);
   * the only shuffles are the candidate equi-joins and final groupBys.
@@ -315,5 +318,71 @@ object Dedup {
       .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"),
         cos.as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
+  }
+
+  /** Full-corpus embedding near-dup via random-hyperplane LSH: no
+    * label/block column needed, so this is the 100 TB path
+    * [[cosinePairs]]' scaladoc defers to.
+    *
+    * Signatures: `numBands*bandBits` Rademacher (±1) hyperplanes,
+    * derived from the bits of one xxhash64 per dimension index —
+    * deterministic across runs and engines. A vector's sign bit for
+    * hyperplane b is `sign(Σ_pos ±x_pos)`, computed as bandBits*numBands
+    * conditional sums over ONE posexplode + groupBy (map-side partial
+    * agg — the same proven shape as [[simHashPairs]]' bit sums).
+    *
+    * Banding: bits fold into `numBands` integer band values; candidates
+    * meet on (band index, band value) equi-joins — n²/2^bandBits
+    * collision volume per band on random data. Each join refines with
+    * the EXACT cosine (native dot product) before the union + distinct,
+    * so only true ≥-threshold pairs reach the final dedup shuffle:
+    * precision is 1.0 by construction, recall ≈
+    * 1-(1-p^bandBits)^numBands with p = 1-θ/π. The 8×8 default gives
+    * ~0.99998 recall at cosine 0.99 (planted-dup regime), ~0.85 at
+    * 0.85; raise bandBits (up to 32) to cut candidate volume on huge
+    * corpora, raise numBands for recall at lower thresholds. At 100 TB,
+    * write the signature table partitioned by (band, value) and each
+    * band join becomes a co-located bucket join. */
+  def cosineLshPairs(embeddings: DataFrame, threshold: Double = 0.9,
+                     bandBits: Int = 8, numBands: Int = 8,
+                     registry: CacheRegistry = CacheRegistry.global): DataFrame = {
+    require(bandBits >= 1 && bandBits <= 32, s"bandBits in [1,32], got $bandBits")
+    require(bandBits * numBands <= 64,
+      s"bandBits*numBands <= 64 (one xxhash64 of the dimension index " +
+        s"supplies the hyperplane signs), got ${bandBits * numBands}")
+    val nBits = bandBits * numBands
+    val base = embeddings
+      .select(col("vec_id"), col("embedding").as("v"))
+      .withColumn("nrm",
+        sqrt(graft.plans.GraftFunctions.dotProductFloat(col("v"), col("v"))))
+    // One hash per dimension index; bit b of it is hyperplane b's ±1
+    // coefficient for that dimension.
+    val contrib = base.select(col("vec_id"),
+      posexplode(col("v")).as(Seq("pos", "x")))
+      .select(col("vec_id"), col("x").cast("double").as("x"),
+        xxhash64(col("pos").cast("long")).as("h"))
+    val bitSums = (0 until nBits).map(b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1L) === 1L, col("x"))
+        .otherwise(-col("x"))).as(s"s$b"))
+    val sums = contrib.groupBy("vec_id").agg(bitSums.head, bitSums.tail: _*)
+    val bandCols = (0 until numBands).map { j =>
+      (0 until bandBits).map(kk =>
+        when(col(s"s${j * bandBits + kk}") > 0, lit(1L << kk)).otherwise(lit(0L)))
+        .reduce(_ + _).as(s"band$j")
+    }
+    val withBands = registry.track(
+      sums.select(col("vec_id") +: bandCols: _*)
+        .join(base, "vec_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val dot = graft.plans.GraftFunctions.dotProductFloat(col("a.v"), col("b.v"))
+    val cos = round(dot / (col("a.nrm") * col("b.nrm")), 6)
+    (0 until numBands).map { j =>
+      withBands.as("a").join(withBands.as("b"),
+          col(s"a.band$j") === col(s"b.band$j")
+            && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"),
+          cos.as("cos_sim"))
+        .filter(col("cos_sim") >= threshold)
+    }.reduce(_ unionByName _).dropDuplicates("i", "j")
   }
 }

@@ -36,6 +36,45 @@ class DedupSpec extends AnyFunSuite {
     assert(nPer == sPer, "per-doc distinct-gram counts must match (no extra collisions)")
   }
 
+  test("cosineLshPairs: finds planted near-dups, exact-refined, full recall regime") {
+    // The synthetic corpus has NO high-cosine pairs (max ~0.6), so
+    // plant them: vectors are unit-norm, so x + 0.05*U(-0.5,0.5) per
+    // dim gives |noise| ~ 0.115 -> cosine ~ 0.993 twins. With 8x8
+    // bands, p = 1-theta/pi ~ 0.96 per bit -> expected recall
+    // ~0.99998; assert >= 0.95 to stay robust to the corpus draw.
+    // Precision is 1.0 by construction (in-join exact-cosine refine)
+    // — verified against the native dot product directly.
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val noise = (x: org.apache.spark.sql.Column, i: org.apache.spark.sql.Column) =>
+      // Spark's `/` promotes to double — cast back so the union stays
+      // array<float> (the native dot product's input contract).
+      (x + lit(0.05) * (pmod(xxhash64(col("vec_id") * 1000L + i), lit(1000L))
+        .cast("double") / 1000.0 - 0.5)).cast("float")
+    val twins = emb.select((col("vec_id") + 1000000L).as("vec_id"),
+      transform(col("embedding"), noise).as("embedding"))
+    val corpus = emb.unionByName(twins)
+    val reg = new graft.operators.CacheRegistry
+    try {
+      val pairs = Dedup.cosineLshPairs(corpus, threshold = 0.95, registry = reg)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      val planted = pairs.filter { case (i, j, _) => j == i + 1000000L }
+      val nVecs = emb.count()
+      assert(planted.length >= (nVecs * 0.95).toInt,
+        s"recall too low: ${planted.length}/$nVecs planted twins found")
+      assert(pairs.forall(_._3 >= 0.95), "refine must enforce the exact threshold")
+      // Spot-check the reported cosine against an independent path.
+      val (i0, j0, c0) = planted.head
+      val byId = corpus.filter(col("vec_id").isin(i0, j0))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+      val (a, b) = (byId(i0), byId(j0))
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val exp = dot / (math.sqrt(a.map(x => x.toDouble * x).sum)
+        * math.sqrt(b.map(x => x.toDouble * x).sum))
+      assert(math.abs(c0 - exp) < 1e-5, s"cos mismatch: $c0 vs $exp")
+    } finally reg.releaseAll()
+  }
+
   test("shingleRows w=1 yields unigrams; k%bands misuse is rejected") {
     val tiny = Seq((1L, "a b a")).toDF("doc_id", "text")
     val uni = Dedup.shingleRows(tiny, 1).collect().map(_.getString(1)).toSeq
