@@ -33,6 +33,27 @@ object StressProbe {
     time("char_jaccard") { Dedup.charJaccardPairs(big).count() }
     time("minhash")  { Dedup.minHashCandidates(big).count() }
     time("simhash")  { Dedup.simHashPairs(big).count() }
+    // Embedding LSH at 10× corpus: near-twin per original (tiny
+    // deterministic perturbation on unit vectors), bandBits raised to
+    // 16 — the documented knob: collision volume per band is n²/2^16
+    // here vs n²/2^8 at the 8×8 default, which is the difference
+    // between a bounded candidate join and a quadratic one at 50k+.
+    val emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val bigEmb = (0 until 10).map(i =>
+      if (i == 0) emb
+      else emb.select((col("vec_id") + lit(i * 1000000L)).as("vec_id"),
+        transform(col("embedding"), (x, p) =>
+          (x + lit(0.05) * (pmod(xxhash64(col("vec_id") * 1000L + p + lit(i.toLong)),
+            lit(1000L)).cast("double") / 1000.0 - 0.5)).cast("float"))
+          .as("embedding"))
+    ).reduce(_ unionByName _).repartition(32)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    println(s"[stress] embedding corpus: ${bigEmb.count()} vectors")
+    time("cosine_lsh_16x4") {
+      Dedup.cosineLshPairs(bigEmb, threshold = 0.95, bandBits = 16,
+        numBands = 4).count()
+    }
     // Hot-key as-of: 20M left + 2M right rows ALL on one key — the
     // plain form sorts the whole timeline in one window task; the
     // bucketed form spreads it over (key, hour-bucket) partitions.
