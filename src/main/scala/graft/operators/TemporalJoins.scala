@@ -38,6 +38,16 @@ object TemporalJoins {
     * key/time names). Ties on time: the right row sorts BEFORE the
     * left row with equal time (inclusive ≤), matching ASOF JOIN.
     *
+    * TWO RIGHT ROWS at the same (key, time) are ambiguous in any as-of
+    * (SQL ASOF JOIN picks one arbitrarily). By default this operator
+    * inherits that: which row's values are carried depends on sort-tie
+    * order, which can vary across runs/partitionings. Pass
+    * `rightTieBreak` (a subset of `valueCols`) to pin the choice: ties
+    * order by those columns ascending, so the row with the LARGEST
+    * tie-break values wins the carry deterministically. Note a
+    * coarse-grained time column can manufacture such ties (e.g.
+    * nanosecond sources truncated to microseconds).
+    *
     * Skew limit: the union shuffles on the KEY only, so one hot key
     * (a single user with 10⁹ events) lands its entire timeline on one
     * window partition — per-key volume is bounded by what one task can
@@ -48,7 +58,10 @@ object TemporalJoins {
     * hot-key behavior at probe scale. */
   def asofJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
                leftTime: String, rightTime: String,
-               valueCols: Seq[String]): DataFrame = {
+               valueCols: Seq[String],
+               rightTieBreak: Seq[String] = Nil): DataFrame = {
+    require(rightTieBreak.forall(valueCols.contains),
+      s"rightTieBreak must be carried valueCols, got $rightTieBreak")
     val leftCols = left.columns.toSeq
     // Tag and align the two inputs on a common shape.
     val l = left
@@ -67,7 +80,8 @@ object TemporalJoins {
     // One shuffle: window ordered so a right row at time T precedes a
     // left row at the same T (side 0 < side 1) — inclusive as-of.
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col("_t").asc, col("_side").asc)
+      .orderBy(col("_t").asc +: col("_side").asc +:
+        rightTieBreak.map(c => col(s"_v_$c").asc): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = l.unionByName(r)
       .select((keyCols.map(col) :+ col("_t") :+ col("_side")) ++
