@@ -297,6 +297,77 @@ object Dedup {
     cands
   }
 
+  /** Connected components over a near-dup pair set: the step that turns
+    * pairwise output ([[jaccardPairs]] / [[minHashCandidates]] /
+    * [[simHashPairs]] / [[cosineLshPairs]]) into actionable dedup
+    * clusters — every doc labeled with the minimum doc_id reachable
+    * through the pair graph, so "keep one per cluster" is just
+    * `doc_id === cluster_id`.
+    *
+    * Algorithm: min-label propagation. label(v) starts at
+    * min(v, neighbors); each round every vertex takes the min of its
+    * own and its neighbors' labels (one equi-join on the edge list +
+    * one min-groupBy — both map-side combining). Converges in
+    * O(graph diameter) rounds; near-dup graphs are locally dense
+    * (LSH banding surfaces clique-ish clusters), so diameter — and
+    * the round count — is small (2-4) regardless of corpus size.
+    * Convergence is detected by the monotone label sum (labels only
+    * ever decrease, and any change strictly decreases the sum), so
+    * each round costs exactly one action and no extra join.
+    * `localCheckpoint(eager)` cuts lineage every round — without it
+    * the plan doubles per iteration and the job DAG blows up long
+    * before the data does. Per-round cost is O(|E|) shuffle on the
+    * vertex id; at 100 TB the edge list (near-dup pairs) is orders of
+    * magnitude smaller than the corpus, so rounds are cheap relative
+    * to the pair generation that feeds this.
+    *
+    * For adversarial long-chain graphs (diameter > maxIter) this
+    * throws rather than returning a half-merged labeling; raise
+    * maxIter or pre-contract chains if that regime ever matters. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+    require(maxIter >= 1, s"maxIter must be >= 1, got $maxIter")
+    val spark = pairs.sparkSession
+    if (pairs.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("cluster_id",
+            org.apache.spark.sql.types.LongType))))
+    // Symmetrize once; both the seed labeling and every round join it.
+    val sym = pairs.select(col("i").cast("long").as("v"), col("j").cast("long").as("u"))
+      .unionByName(pairs.select(col("j").cast("long").as("v"), col("i").cast("long").as("u")))
+      .localCheckpoint(true)
+    var lab = sym.groupBy("v").agg(min("u").as("mu"))
+      .select(col("v"), least(col("v"), col("mu")).as("lab"))
+      .localCheckpoint(true)
+    // Decimal sum: immune to long overflow however large the id space.
+    def labSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("lab").cast("decimal(38,0)"))).head.getDecimal(0)
+    var prevSum = labSum(lab)
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIter) {
+      val fromNeighbors = sym
+        .join(lab.withColumnRenamed("v", "u"), "u")
+        .select(col("v"), col("lab"))
+      val next = fromNeighbors.unionByName(lab.select(col("v"), col("lab")))
+        .groupBy("v").agg(min("lab").as("lab"))
+        .localCheckpoint(true)
+      val s = labSum(next)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
+      lab = next
+      it += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds - " +
+          "graph diameter exceeds maxIter (pathological chain?); raise maxIter")
+    lab.select(col("v").as("doc_id"), col("lab").as("cluster_id"))
+  }
+
   /** Embedding-cosine near-dup pairs, blocked on `label` (the coarse
     * cluster id) so the pair space is |block|² not n² — the same
     * blocking an IVF index gives. `sample` further thins the corpus

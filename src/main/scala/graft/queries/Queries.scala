@@ -839,6 +839,134 @@ object Queries {
         '\+[0-9]{1,2} \([0-9]{3}\) [0-9]{3}-[0-9]{4}')) AS n_phone
     FROM laced ORDER BY doc_id"""))
 
+  /** Repetition statistics — the Gopher-style quality-filter family a
+    * pretraining pipeline runs before anything else: per doc, the mass
+    * of the most frequent unigram/bigram and the distinct-token ratio
+    * (high top-fraction / low uniq-fraction = boilerplate or spam).
+    * Shape: ONE scan — a single posexplode token stream feeds both
+    * gram orders (bigrams via window lead, the proven shingleRows
+    * shape), stacked as (ord, gram) rows so one map-side-combining
+    * hash agg counts unigrams and bigrams together; the per-doc
+    * rollup then pivots the two orders back to columns (grouping keys
+    * shrink monotonically: (doc,ord,gram) → (doc,ord) → doc, so every
+    * stage after the first is tiny). One-token docs have no bigrams →
+    * NULL top_bigram_frac. All ratios are small-integer fractions →
+    * floor rounding both sides. */
+  private val qRepetitionStats = Q(
+    "q_repetition_stats",
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      val toks = docs.select(col("doc_id"),
+        posexplode(split(lower(col("text")), " ")).as(Seq("pos", "tok")))
+      val win = Window.partitionBy("doc_id").orderBy("pos")
+      val withNext = toks.withColumn("nxt", lead(col("tok"), 1).over(win))
+      val grams = withNext.select(col("doc_id"), explode(
+          when(col("nxt").isNotNull, array(
+            struct(lit(1).as("ord"), col("tok").as("g")),
+            struct(lit(2).as("ord"),
+              concat_ws(" ", col("tok"), col("nxt")).as("g"))))
+            .otherwise(array(struct(lit(1).as("ord"), col("tok").as("g")))))
+          .as("e"))
+        .select(col("doc_id"), col("e.ord").as("ord"), col("e.g").as("g"))
+      val perOrd = grams.groupBy("doc_id", "ord", "g")
+        .agg(count(lit(1)).as("c"))
+        .groupBy("doc_id", "ord").agg(
+          sum("c").as("n"), max("c").as("top"), count(lit(1)).as("nd"))
+      perOrd.groupBy("doc_id").agg(
+          max(when(col("ord") === 1, col("n"))).as("n_tokens"),
+          max(when(col("ord") === 1, col("top"))).as("top_c"),
+          max(when(col("ord") === 1, col("nd"))).as("n_distinct"),
+          max(when(col("ord") === 2, col("n"))).as("n_bi"),
+          max(when(col("ord") === 2, col("top"))).as("top_bi"))
+        .select(col("doc_id"), col("n_tokens"),
+          TextAnalysis.roundStable(
+            col("top_c") / col("n_tokens"), 6).as("top_tok_frac"),
+          TextAnalysis.roundStable(
+            col("n_distinct") / col("n_tokens"), 6).as("uniq_frac"),
+          TextAnalysis.roundStable(
+            col("top_bi") / col("n_bi"), 6).as("top_bigram_frac"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH toks AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+      FROM documents),
+    uc AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+    u AS (
+      SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, max(c) AS top_c,
+        count(*) AS n_distinct
+      FROM uc GROUP BY 1),
+    tl AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+    bg AS (
+      SELECT doc_id, unnest(CASE WHEN len(t) >= 2
+        THEN list_transform(range(1, len(t)),
+          i -> array_to_string(t[i:i+1], ' '))
+        ELSE []::VARCHAR[] END) AS s
+      FROM tl),
+    bc AS (SELECT doc_id, s, count(*) AS c FROM bg GROUP BY 1, 2),
+    b AS (
+      SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bi, max(c) AS top_bi
+      FROM bc GROUP BY 1)
+    SELECT u.doc_id, u.n_tokens,
+      floor(top_c * 1.0 / n_tokens * 1000000.0 + 0.5) / 1000000.0
+        AS top_tok_frac,
+      floor(n_distinct * 1.0 / n_tokens * 1000000.0 + 0.5) / 1000000.0
+        AS uniq_frac,
+      floor(top_bi * 1.0 / n_bi * 1000000.0 + 0.5) / 1000000.0
+        AS top_bigram_frac
+    FROM u LEFT JOIN b ON u.doc_id = b.doc_id
+    ORDER BY u.doc_id"""))
+
+  /** Domain histogram over URL-laced text — the provenance-analysis
+    * operator of a web-scale corpus (domain mixing/filtering decisions
+    * key off exactly this). Documents are deterministically laced with
+    * 1-2 URLs; both engines run the identical extract-all regex, pull
+    * the host with the identical group regex, and aggregate. Map-only
+    * extraction (regexp_extract_all is codegen'd scan-side), one hash
+    * agg on domain; count(DISTINCT doc_id) is the only expand — at
+    * 100 TB swap it for approx_count_distinct if exactness isn't
+    * needed. */
+  private val qDomainStats = Q(
+    "q_domain_stats",
+    (s, d) => {
+      val did = col("doc_id").cast("string")
+      val laced = t(s, d, "documents").select(col("doc_id"),
+        concat(col("text"),
+          lit(" see https://site"), (col("doc_id") % 7).cast("string"),
+          lit(".example."),
+          when(col("doc_id") % 2 === 0, lit("com")).otherwise(lit("org")),
+          lit("/p/"), did,
+          when(col("doc_id") % 3 === 0,
+            concat(lit(" and http://mirror.example.net/x"), did))
+            .otherwise(lit(""))).as("laced"))
+      laced.select(col("doc_id"),
+          explode(regexp_extract_all(col("laced"),
+            lit("https?://[A-Za-z0-9.-]+[A-Za-z0-9/._-]*"), lit(0))).as("url"))
+        .select(col("doc_id"),
+          regexp_extract(col("url"), "https?://([^/]+)", 1).as("domain"))
+        .groupBy("domain")
+        .agg(count(lit(1)).as("n_urls"),
+          countDistinct(col("doc_id")).as("n_docs"))
+        .orderBy("domain")
+    },
+    Some("""WITH laced AS (
+      SELECT doc_id,
+        text || ' see https://site' || CAST(doc_id % 7 AS VARCHAR)
+          || '.example.'
+          || (CASE WHEN doc_id % 2 = 0 THEN 'com' ELSE 'org' END)
+          || '/p/' || CAST(doc_id AS VARCHAR)
+          || (CASE WHEN doc_id % 3 = 0
+              THEN ' and http://mirror.example.net/x' || CAST(doc_id AS VARCHAR)
+              ELSE '' END) AS laced
+      FROM documents),
+    urls AS (
+      SELECT doc_id, unnest(regexp_extract_all(laced,
+        'https?://[A-Za-z0-9.-]+[A-Za-z0-9/._-]*')) AS url
+      FROM laced)
+    SELECT regexp_extract(url, 'https?://([^/]+)', 1) AS domain,
+      CAST(count(*) AS BIGINT) AS n_urls,
+      CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM urls GROUP BY 1 ORDER BY domain"""))
+
   // ---------------------------------------------------------------------
   // Near-dup / similarity operators (graft.operators.{Dedup,Similarity})
   // ---------------------------------------------------------------------
@@ -904,6 +1032,61 @@ object Queries {
     JOIN card cb ON cb.doc_id = j
     WHERE com * 1.0 / (ca.c + cb.c - com) >= 0.8
     ORDER BY i, j"""))
+
+  /** Near-dup CLUSTERING: connected components over the exact
+    * 5-shingle Jaccard ≥ 0.8 pair graph, each doc labeled with the
+    * min doc_id of its component plus the component size and the
+    * keep-one canonical flag — the operation a corpus-level dedup job
+    * actually runs (pairs alone don't dedup anything). Spark side is
+    * iterative min-label propagation (O(diameter) rounds, ~2 on
+    * near-dup cliques; see Dedup.connectedComponents scaladoc for the
+    * 100 TB cost model); oracle is a recursive-CTE reachability
+    * closure over the same pair SQL. */
+  private val qDedupCluster = Q(
+    "q_dedup_cluster",
+    (s, d) => {
+      val pairs = Dedup.jaccardPairs(t(s, d, "documents"), w = 5, threshold = 0.8)
+        .select("i", "j")
+      val cc = Dedup.connectedComponents(pairs)
+      val w = Window.partitionBy("cluster_id")
+      cc.withColumn("csize", count(lit(1)).over(w))
+        .select(col("doc_id"), col("cluster_id"), col("csize"),
+          (col("doc_id") === col("cluster_id")).as("is_canonical"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH RECURSIVE toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id,
+        unnest(CASE WHEN len(t) >= 5
+          THEN list_transform(range(1, len(t) - 3),
+            i -> array_to_string(t[i:i+4], ' '))
+          ELSE []::VARCHAR[] END) AS s
+      FROM toks),
+    card AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY 1),
+    com AS (
+      SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS com
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    pairs AS (
+      SELECT i, j FROM com
+      JOIN card ca ON ca.doc_id = i
+      JOIN card cb ON cb.doc_id = j
+      WHERE com * 1.0 / (ca.c + cb.c - com) >= 0.8),
+    sym AS (SELECT i AS v, j AS u FROM pairs
+            UNION ALL SELECT j AS v, i AS u FROM pairs),
+    reach AS (
+      SELECT v, u FROM sym
+      UNION
+      SELECT r.v, s.u FROM reach r JOIN sym s ON r.u = s.v
+        WHERE s.u <> r.v),
+    lab AS (
+      SELECT v AS doc_id, least(v, min(u)) AS cluster_id
+      FROM reach GROUP BY v)
+    SELECT doc_id, cluster_id,
+      count(*) OVER (PARTITION BY cluster_id) AS csize,
+      doc_id = cluster_id AS is_canonical
+    FROM lab ORDER BY doc_id"""))
 
   /** MinHash(32) + LSH(8 bands × 4) candidate pairs with estimated
     * Jaccard — the 100 TB near-dup path. No oracle (signature hashes
@@ -1335,7 +1518,9 @@ object Queries {
     qTumblingWindow, qSessionize,
     qDedupExact, qTextStats, qMultimodalJoin, qSimilarityTopk,
     qLangId, qQualityScore, qTokenCount, qFingerprint, qPiiRedact,
-    qNearDup, qNearDupChar, qDedupMinhash, qDedupSimhash, qEmbedNearDup,
+    qRepetitionStats, qDomainStats,
+    qNearDup, qNearDupChar, qDedupCluster,
+    qDedupMinhash, qDedupSimhash, qEmbedNearDup,
     qAnnTopk, qAnnIvf, qMediaFeatures, qQuantile, qApproxQuantile,
     qWindowFuncs, qAsofJoin, qRangeJoin, qTextSearch, qLabelCentroids,
     qStratifiedSample, qClassWeights, qUploadAdmission)

@@ -161,4 +161,36 @@ class DedupSpec extends AnyFunSuite {
       assert(brute((q, c)) == s, s"score mismatch for ($q,$c)")
     }
   }
+
+  test("connectedComponents: chains, multi-round convergence, empty input") {
+    // Two components with structure min-label propagation must cross:
+    // a 6-node chain (diameter 5 -> needs several rounds) whose min id
+    // sits at one END, and a triangle. Pair list uses i < j.
+    val pairs = Seq(
+      (10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L), (14L, 15L), // chain, min=10
+      (20L, 21L), (20L, 22L), (21L, 22L)                           // triangle, min=20
+    ).toDF("i", "j")
+    val got = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = (10L to 15L).map(_ -> 10L).toMap ++ (20L to 22L).map(_ -> 20L).toMap
+    assert(got == want)
+
+    // Reversed chain: min id at the FAR end relative to edge order.
+    val rev = Seq((1L, 9L), (9L, 17L), (17L, 25L), (25L, 33L)).toDF("i", "j")
+    val gotRev = Dedup.connectedComponents(rev)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotRev == Map(1L -> 1L, 9L -> 1L, 17L -> 1L, 25L -> 1L, 33L -> 1L))
+
+    // Diameter beyond maxIter must throw, not return a partial merge.
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(
+        (0L until 12L).sliding(2).map(s => (s.head, s.last)).toSeq
+          .toDF("i", "j"), maxIter = 2)
+    }
+
+    // Empty pair set: empty result with the contract schema.
+    val empty = Dedup.connectedComponents(Seq.empty[(Long, Long)].toDF("i", "j"))
+    assert(empty.columns.toSeq == Seq("doc_id", "cluster_id"))
+    assert(empty.count() == 0)
+  }
 }

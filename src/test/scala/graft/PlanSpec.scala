@@ -131,6 +131,34 @@ class PlanSpec extends AnyFunSuite {
       s"documents must be scanned exactly once:\n$p")
   }
 
+  test("q_repetition_stats: ONE scan, partial aggregation, no join") {
+    // Both gram orders must come off a single token stream — a second
+    // documents scan doubles the I/O of the cheapest filter in the
+    // pipeline; the stacked (ord, gram) agg must combine map-side.
+    val p = plan("q_repetition_stats")
+    assert(p.split("\n").count(l =>
+      l.contains("FileScan parquet") && l.contains("documents")) == 1,
+      s"documents must be scanned exactly once:\n$p")
+    assert(p.contains("partial_"), s"no partial aggregation found:\n$p")
+    assert(!p.contains("Join"), s"gram pivot must not plan a join:\n$p")
+  }
+
+  test("q_domain_stats: one scan, map-side extraction into one hash agg") {
+    val p = plan("q_domain_stats")
+    assert(p.split("\n").count(l =>
+      l.contains("FileScan parquet") && l.contains("documents")) == 1,
+      s"documents must be scanned exactly once:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("Join"), p)
+  }
+
+  test("q_dedup_cluster: pair generation stays equi-join only") {
+    // The iterative CC rounds run at collect time; what's pinnable
+    // statically is that the pair graph feeding them never degenerates
+    // to a product — same invariant as the near-dup family.
+    val p = plan("q_dedup_cluster")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+  }
+
   test("q_pii_redact: map-only redaction — one scan, no hash shuffle") {
     // Redaction is per-row string work: the only exchange allowed is
     // the range partitioning for the deterministic ORDER BY. A
