@@ -438,6 +438,56 @@ object Queries {
     GROUP BY CUBE(n_name, s_suppkey % 3)
     ORDER BY n_name ASC NULLS FIRST, bucket ASC NULLS FIRST"""))
 
+  /** Arbitrary GROUPING SETS (neither rollup nor cube): per-nation,
+    * per-segment, and grand-total rows in ONE pass — a single Expand
+    * node feeds one hash aggregate, identical machinery to cube but
+    * with a user-chosen set list (the shape analysts actually ask
+    * for: two independent 1-D breakdowns without the 2-D cross). */
+  private val qGroupingSets = Q(
+    "q_grouping_sets",
+    (s, d) => t(s, d, "customer")
+      .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .groupingSets(
+        Seq(Seq(col("n_name")), Seq(col("c_mktsegment")), Seq.empty[Column]),
+        col("n_name"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("cnt"), round(sum("c_acctbal"), 2).as("acct"))
+      .orderBy(col("n_name").asc_nulls_first, col("c_mktsegment").asc_nulls_first),
+    Some("""SELECT n_name, c_mktsegment, count(*) AS cnt,
+      round(sum(c_acctbal), 2) AS acct
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())
+    ORDER BY n_name ASC NULLS FIRST, c_mktsegment ASC NULLS FIRST"""))
+
+  /** PIVOT: order-priority counts spread into one column per priority
+    * class, keyed by market segment. Explicit value list — Spark then
+    * plans a single hash aggregate with one conditional count per
+    * pivot value (the two-phase pivot-without-values form needs an
+    * extra distinct pass to discover them; with a closed class list,
+    * always declare it). Missing combinations surface as 0, not NULL,
+    * on both engines. */
+  private val qPivot = Q(
+    "q_pivot",
+    (s, d) => t(s, d, "orders")
+      .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .pivot(substring(col("o_orderpriority"), 1, 1), Seq("1", "2", "3", "4", "5"))
+      .agg(count(lit(1)))
+      .select(col("c_mktsegment"),
+        coalesce(col("1"), lit(0L)).as("p1"),
+        coalesce(col("2"), lit(0L)).as("p2"),
+        coalesce(col("3"), lit(0L)).as("p3"),
+        coalesce(col("4"), lit(0L)).as("p4"),
+        coalesce(col("5"), lit(0L)).as("p5"))
+      .orderBy("c_mktsegment"),
+    Some("""SELECT c_mktsegment,
+      count(CASE WHEN substr(o_orderpriority, 1, 1) = '1' THEN 1 END) AS p1,
+      count(CASE WHEN substr(o_orderpriority, 1, 1) = '2' THEN 1 END) AS p2,
+      count(CASE WHEN substr(o_orderpriority, 1, 1) = '3' THEN 1 END) AS p3,
+      count(CASE WHEN substr(o_orderpriority, 1, 1) = '4' THEN 1 END) AS p4,
+      count(CASE WHEN substr(o_orderpriority, 1, 1) = '5' THEN 1 END) AS p5
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY 1 ORDER BY c_mktsegment"""))
+
   /** Shuffled equi inner join orders ⋈ customer (fact-to-dim where the
     * dim is too big to broadcast at full scale → sort-merge/shuffled
     * hash on o_custkey; AQE picks at runtime). */
@@ -609,6 +659,32 @@ object Queries {
     Some("""SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket,
       count(*) AS n, round(sum(value), 4) AS v
     FROM events GROUP BY 1 ORDER BY bucket"""))
+
+  /** SLIDING (hopping) windows — 1 h length, 30 min hop: every event
+    * lands in exactly 2 overlapping windows. Spark's native window()
+    * generator replicates each row once per containing window BEFORE
+    * the aggregate, so partial aggregation still combines map-side —
+    * the replication factor is length/hop (bounded, 2 here), not the
+    * window count. The oracle reproduces Spark's epoch-aligned window
+    * assignment with integer-µs arithmetic (floor to hop, minus one
+    * hop offset), so both engines bucket identically. */
+  private val qSlidingWindow = Q(
+    "q_sliding_window",
+    (s, d) => t(s, d, "events")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("v"))
+      .select(col("w.start").as("wstart"), col("n"), col("v"))
+      .orderBy("wstart"),
+    Some("""WITH e AS (
+      SELECT CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+    x AS (
+      SELECT make_timestamp(
+          (epoch_us(ts) // 1800000000) * 1800000000 - o * 1800000000)
+          AS wstart,
+        value
+      FROM e, unnest([0, 1]) AS u(o))
+    SELECT wstart, count(*) AS n, round(sum(value), 4) AS v
+    FROM x GROUP BY 1 ORDER BY wstart"""))
 
   /** Gap sessionization (stateful-streaming analog): a session break is
     * a >30 min silence; integer microsecond arithmetic keeps both
@@ -966,6 +1042,104 @@ object Queries {
       CAST(count(*) AS BIGINT) AS n_urls,
       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
     FROM urls GROUP BY 1 ORDER BY domain"""))
+
+  /** TF-IDF top-3 terms per document — the keyword-extraction /
+    * relevance-weighting primitive. ONE documents scan: the (doc,term)
+    * count is the root aggregate; document frequency and the corpus
+    * size N both derive from it (no second scan, no driver count() —
+    * N rides a broadcast single-row aggregate). Smooth idf =
+    * ln((N+1)/(df+1)) ≥ 0. Cross-engine note: ln is the one
+    * non-rational op in the inventory — ranking uses the 6-dp ROUNDED
+    * score (term asc tiebreak) so a sub-ulp libm difference can't
+    * reorder the top-k across engines. */
+  private val qTfidf = Q(
+    "q_tfidf",
+    (s, d) => {
+      val toks = t(s, d, "documents").select(col("doc_id"),
+        explode(split(lower(col("text")), " ")).as("tok"))
+      val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      val n = tf.agg(countDistinct("doc_id").as("n"))
+      val score = TextAnalysis.roundStable(
+        col("tf") * log((col("n") + 1.0) / (col("df") + 1.0)), 6)
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("score").desc, col("tok").asc)
+      tf.join(dfreq, "tok")
+        .crossJoin(broadcast(n))
+        .withColumn("score", score)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("doc_id"), col("tok").as("term"),
+          col("tf"), col("df"), col("score"))
+        .orderBy("doc_id", "term")
+    },
+    Some("""WITH toks AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+      FROM documents),
+    tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+    dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT count(DISTINCT doc_id) AS n FROM tf),
+    scored AS (
+      SELECT t.doc_id, t.tok, t.tf, f.df,
+        floor(t.tf * ln((n.n + 1.0) / (f.df + 1.0)) * 1000000.0 + 0.5)
+          / 1000000.0 AS score
+      FROM tf t JOIN dfreq f USING (tok), n),
+    top AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY score DESC, tok ASC) AS rn
+      FROM scored)
+    SELECT doc_id, tok AS term, CAST(tf AS BIGINT) AS tf,
+      CAST(df AS BIGINT) AS df, score
+    FROM top WHERE rn <= 3 ORDER BY doc_id, term"""))
+
+  /** Fuzzy entity resolution against a bounded dictionary: noisy brand
+    * strings (one deterministically-deleted character) matched back to
+    * the canonical p_brand list via levenshtein ≤ 1, best match =
+    * (min distance, lexicographic tiebreak). The dictionary is
+    * metadata-sized, so the match is a BROADCAST nested-loop — per-row
+    * cost O(|dict|), zero shuffle of the fact side; for large
+    * dictionaries add length/prefix blocking so candidates meet on an
+    * equi key first (same blocking discipline as the near-dup
+    * family). */
+  private val qFuzzyMatch = Q(
+    "q_fuzzy_match",
+    (s, d) => {
+      val part = t(s, d, "part")
+      val dict = part.select(col("p_brand").as("brand")).distinct()
+      val k = (col("p_partkey") % length(col("p_brand"))).cast("int")
+      val noisy = part.select(col("p_partkey"),
+        concat(col("p_brand").substr(lit(1), k),
+          col("p_brand").substr(k + lit(2), length(col("p_brand"))))
+          .as("noisy"))
+      val w = Window.partitionBy("p_partkey")
+        .orderBy(col("dist").asc, col("brand").asc)
+      noisy.crossJoin(broadcast(dict))
+        .withColumn("dist", levenshtein(col("noisy"), col("brand")).cast("long"))
+        .filter(col("dist") <= 1)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("p_partkey"), col("noisy"),
+          col("brand").as("matched"), col("dist"))
+        .orderBy("p_partkey")
+    },
+    Some("""WITH dict AS (SELECT DISTINCT p_brand AS brand FROM part),
+    noisy AS (
+      SELECT p_partkey,
+        substr(p_brand, 1, CAST(p_partkey % length(p_brand) AS INT))
+          || substr(p_brand, CAST(p_partkey % length(p_brand) AS INT) + 2)
+          AS noisy
+      FROM part),
+    cand AS (
+      SELECT n.p_partkey, n.noisy, d.brand,
+        CAST(levenshtein(n.noisy, d.brand) AS BIGINT) AS dist
+      FROM noisy n CROSS JOIN dict d
+      WHERE levenshtein(n.noisy, d.brand) <= 1),
+    best AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY p_partkey ORDER BY dist ASC, brand ASC) AS rn
+      FROM cand)
+    SELECT p_partkey, noisy, brand AS matched, dist
+    FROM best WHERE rn = 1 ORDER BY p_partkey"""))
 
   // ---------------------------------------------------------------------
   // Near-dup / similarity operators (graft.operators.{Dedup,Similarity})
@@ -1513,12 +1687,13 @@ object Queries {
     qResultsTopk, qIngestFilter, qSanitizeIdent, qParseNumber, qParseDate,
     qNullNormalize, qInferType, qJsonExtract, qSchemaEvolution,
     qProjFilter, qAggGroup, qDistinct, qApproxDistinct, qRollup, qCube,
+    qGroupingSets, qPivot,
     qJoinHash, qJoinBroadcast, qJoinOuter, qJoinSemi, qJoinAnti,
     qWindowRank, qWindowRunning, qTopkGlobal, qSetOps,
-    qTumblingWindow, qSessionize,
+    qTumblingWindow, qSlidingWindow, qSessionize,
     qDedupExact, qTextStats, qMultimodalJoin, qSimilarityTopk,
     qLangId, qQualityScore, qTokenCount, qFingerprint, qPiiRedact,
-    qRepetitionStats, qDomainStats,
+    qRepetitionStats, qDomainStats, qTfidf, qFuzzyMatch,
     qNearDup, qNearDupChar, qDedupCluster,
     qDedupMinhash, qDedupSimhash, qEmbedNearDup,
     qAnnTopk, qAnnIvf, qMediaFeatures, qQuantile, qApproxQuantile,

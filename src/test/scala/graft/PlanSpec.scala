@@ -159,6 +159,40 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
   }
 
+  test("q_grouping_sets: one Expand feeding one aggregate, dims broadcast") {
+    // Arbitrary grouping sets must share a single pass like cube —
+    // a per-set rescan would multiply the 100 TB read by #sets.
+    val p = plan("q_grouping_sets")
+    assert(p.contains("Expand"), s"grouping sets must plan an Expand:\n$p")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q_pivot: pivot with declared values is one aggregate pass") {
+    // No Expand, no distinct-discovery pass: the closed value list
+    // compiles to conditional aggregates in a single hash agg.
+    val p = plan("q_pivot")
+    assert(p.contains("partial_"), s"no partial aggregation found:\n$p")
+    assert(!p.contains("Expand"), s"declared-values pivot must not Expand:\n$p")
+  }
+
+  test("q_sliding_window: window replication keeps map-side partial agg") {
+    val p = plan("q_sliding_window")
+    assert(p.contains("partial_"), s"no partial aggregation found:\n$p")
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q_tfidf / q_fuzzy_match: bounded sides broadcast, no product") {
+    // The corpus-size row (1 row) and the brand dictionary (O(brands))
+    // must attach via broadcast; a CartesianProduct means the bounded
+    // side stopped being recognized as broadcastable.
+    Seq("q_tfidf", "q_fuzzy_match").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+        s"$q must broadcast its bounded side:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+    }
+  }
+
   test("q_pii_redact: map-only redaction — one scan, no hash shuffle") {
     // Redaction is per-row string work: the only exchange allowed is
     // the range partitioning for the deterministic ORDER BY. A
