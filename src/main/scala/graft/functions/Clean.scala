@@ -43,8 +43,12 @@ object Clean {
   def stripJsonFences(c: Column): Column =
     trim(regexp_replace(c, "^\\s*```(json)?\\s*|\\s*```\\s*$", ""))
 
-  /** Characters the reference strips before numeric parse (main.py:231). */
-  private val MessyChars = "[$€£¥,\\s%]"
+  /** Characters the reference strips before numeric parse (main.py:231).
+    * Whitespace is the EXPLICIT RE2 \s class [ \t\n\f\r] — Java's \s
+    * would also strip \x0B, which the DuckDB oracle's RE2 regex does
+    * not, so a vertical-tab-laced value would parse here but NULL on
+    * the oracle. Pinned to the native ExprHelpers.isAsciiSpace set. */
+  private val MessyChars = "[$€£¥,% \\t\\n\\f\\r]"
 
   /** Numeric shape accepted post-strip (python float() subset that the
     * declared queries exercise). */

@@ -19,13 +19,15 @@ object ExprHelpers {
   private val NumericPattern = java.util.regex.Pattern
     .compile("[+-]?(\\d+(\\.\\d*)?|\\.\\d+)([eE][+-]?\\d+)?")
 
-  /** The Java-regex \s class, NOT Character.isWhitespace: the composed
-    * Clean.parseMessyNumber strips "\\s" (ASCII [ \t\n\x0B\f\r]), and
-    * the two forms are pinned equivalent — Unicode spaces (NBSP, EM
-    * space) must survive the strip in BOTH so both reject them via the
+  /** The RE2 \s class [ \t\n\f\r] — NOT Java's \s (which adds \x0B)
+    * and NOT Character.isWhitespace: the DuckDB oracle strips with
+    * RE2's \s, so the native form, the composed Clean.parseMessyNumber
+    * (explicit class, same members) and the oracle are pinned to the
+    * SAME set. Unicode spaces (NBSP, EM space) and vertical tab
+    * survive the strip in ALL THREE so each rejects them via the
     * numeric guard. */
   private def isAsciiSpace(c: Char): Boolean =
-    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+    c == ' ' || c == '\t' || c == '\n' || c == '\f' || c == '\r'
 
   /** O11 semantics (reference main.py:229-239 + sentinel rule
     * main.py:224-225), single pass over the string:
@@ -55,15 +57,43 @@ object ExprHelpers {
     java.lang.Double.valueOf(if (neg) -v else v)
   }
 
+  /** Murmur3's 64-bit finalizer (fmix64): a bijective avalanche mix.
+    * Applied to every emitted gram hash so the published values have
+    * full-entropy low bits (a raw polynomial-mod-2^64 state has weak
+    * low bits — the low k bits depend only on the low bits of the
+    * inputs — which would bias anything that buckets by `h % m`). */
+  private def fmix64(x0: Long): Long = {
+    var x = x0
+    x ^= x >>> 33; x *= 0xff51afd7ed558ccdL
+    x ^= x >>> 33; x *= 0xc4ceb9fe1a85ec53L
+    x ^= x >>> 33
+    x
+  }
+
   /** All n-char-gram hashes of a string in ONE pass: a polynomial
     * rolling hash over code points (base = FNV-64 prime, arithmetic
-    * mod 2^64 via Long overflow). Equality of grams ⇒ equality of
-    * hashes; distinct grams collide with P ≈ #grams²/2^64 — the same
+    * mod 2^64 via Long overflow), each emitted value passed through
+    * [[fmix64]]. Equality of grams ⇒ equality of hashes; distinct
+    * grams collide with P ≈ #grams²/2^64 ON RANDOM INPUT — the same
     * trade the xxhash64(substr(...)) pipeline already documents, but
     * WITHOUT materializing one substring per position: O(len) total
-    * instead of O(len·n) bytes copied + hashed. Code points (not
-    * UTF-16 units) so gram boundaries match substr semantics beyond
-    * the BMP. Shorter-than-n strings yield an empty array. */
+    * instead of O(len·n) bytes copied + hashed.
+    *
+    * Adversarial caveat (unlike xxhash64): the underlying polynomial
+    * has STRUCTURED collisions — mod-2^64 polynomial equalities are
+    * solvable, so an adversary (or a pathologically repetitive corpus
+    * aligned with the base) can construct colliding grams on purpose.
+    * The bijective finalizer fixes the weak-low-bit bias but cannot
+    * remove pre-image structure (a bijection preserves collision
+    * sets). Colliding grams merge in the Jaccard count, INFLATING
+    * similarity — i.e. adversarial failure mode is false-positive
+    * near-dup pairs, never missed ones. For hostile corpora use the
+    * xxhash64(substr) path (DedupSpec pins the two pair-for-pair
+    * equal on benign input).
+    *
+    * Code points (not UTF-16 units) so gram boundaries match substr
+    * semantics beyond the BMP. Shorter-than-n strings yield an empty
+    * array. */
   def charGramHashes(s: UTF8String, n: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
     // UnsafeArrayData.fromPrimitiveArray keeps the longs unboxed;
     // GenericArrayData(long[]) would box every element (ClassTag.Any)
@@ -78,14 +108,16 @@ object ExprHelpers {
     var j = 0
     while (j < n - 1) { pow *= B; j += 1 }
     val out = new Array[Long](len - n + 1)
+    // The RAW polynomial state rolls (the subtract-outgoing-term update
+    // needs it); only the PUBLISHED values are finalized.
     var h = 0L
     var i = 0
     while (i < n) { h = h * B + cps(i); i += 1 }
-    out(0) = h
+    out(0) = fmix64(h)
     i = n
     while (i < len) {
       h = (h - cps(i - n) * pow) * B + cps(i)
-      out(i - n + 1) = h
+      out(i - n + 1) = fmix64(h)
       i += 1
     }
     org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)

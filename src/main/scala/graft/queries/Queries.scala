@@ -284,14 +284,18 @@ object Queries {
     * The numeric coercion is floor-of-double on BOTH sides: engines
     * disagree on string→int casts of non-integers (Spark truncates
     * '12.5'→12 leniently, DuckDB CAST rounds to 13 and ERRORS on
-    * garbage), so pinning floor(TRY/lenient double) makes the contract
+    * garbage), so pinning floor(try_cast double) makes the contract
     * identical for integers (the fixture), fractions AND garbage
-    * (both → NULL, filtered). */
+    * (both → NULL, filtered). try_cast (not cast) on the Spark side:
+    * this session runs ANSI mode, where cast("double") of a
+    * non-numeric extracted string THROWS instead of degrading to
+    * NULL — try_cast is what actually matches the DuckDB TRY_CAST
+    * oracle for garbage values. */
   private val qJsonExtract = Q(
     "q_json_extract",
     (s, d) => t(s, d, "events")
       .select(col("event_id"), col("event_type"),
-        floor(get_json_object(col("props"), "$.k").cast("double"))
+        floor(get_json_object(col("props"), "$.k").try_cast("double"))
           .cast("long").as("k_val"))
       .filter(col("k_val") >= 50)
       .orderBy("event_id"),

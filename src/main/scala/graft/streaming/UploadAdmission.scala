@@ -21,7 +21,12 @@ import org.apache.spark.sql.functions._
   *  5. filename sanitized `[^a-zA-Z0-9_.-]` → `_`, null → unnamed.pdf
   *     (main.py:631-632);
   *  6. landing path `incoming/{owner}/{folder}/batch/{name}`
-  *     (main.py:634).
+  *     (main.py:634). Unlike the reference — whose GCS blob namespace
+  *     is flat and cannot traverse — this path lands on a Hadoop
+  *     filesystem, so the owner/folder SEGMENTS are sanitized too
+  *     (`[^a-zA-Z0-9_-]` → `_`, deliberately dot-free so `..` cannot
+  *     survive): an adversarial `owner_id = "../../etc"` must not
+  *     escape the landing dir.
   *
   * The permission probe is a broadcast LEFT join against the shares
   * table (metadata-sized — bounded by tenants, not data volume), so
@@ -58,13 +63,19 @@ object UploadAdmission {
     val sanitized = regexp_replace(
       coalesce(col("file_name"), lit("unnamed.pdf")),
       "[^a-zA-Z0-9_.-]", "_")
+    // Path SEGMENTS get a stricter, dot-free sanitizer than file_name:
+    // '.' is legitimate in a filename but in a directory segment it is
+    // the traversal vector ('..'). '/' and '\' fall to '_' too, so the
+    // built storage_path provably stays under incoming/.
+    def segment(c: org.apache.spark.sql.Column) =
+      regexp_replace(c, "[^a-zA-Z0-9_-]", "_")
     joined
       .withColumn("reject_reason", reason)
       .withColumn("accepted", col("reject_reason").isNull)
       .withColumn("sanitized_name", sanitized)
       .withColumn("storage_path",
-        concat(lit("incoming/"), col("owner_id"), lit("/"),
-          col("folder_id"), lit("/batch/"), col("sanitized_name")))
+        concat(lit("incoming/"), segment(col("owner_id")), lit("/"),
+          segment(col("folder_id")), lit("/batch/"), col("sanitized_name")))
       .drop("_s_owner", "_s_folder", "_s_email", "_s_perm")
   }
 

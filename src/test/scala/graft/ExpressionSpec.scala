@@ -148,4 +148,20 @@ class ExpressionSpec extends AnyFunSuite {
       "Unicode spaces must NOT be stripped (regex \\s is ASCII)")
     assert(composed(2) == 12.0, "ASCII space IS stripped")
   }
+
+  test("vertical tab (\\x0B) is NOT stripped — RE2 \\s alignment with the oracle") {
+    import spark.implicits._
+    // Java's \s includes \x0B; RE2's (DuckDB's) does not. All strip
+    // forms are pinned to the RE2 set, so a vertical-tab-laced value
+    // must reject (NULL) on native, composed, AND the oracle.
+    val df = Seq("12", "1\t2", "12%").toDF("s")
+    val composed = df.select(graft.functions.Clean.parseMessyNumber(col("s")).as("v"))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getDouble(0))
+    val native = df.select(GraftFunctions.parseMessyNumber(col("s")).as("v"))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getDouble(0))
+    assert(composed.toSeq == native.toSeq, "native ≡ composed on \\x0B")
+    assert(composed(0) == null, "\\x0B must survive the strip and fail the guard")
+    assert(composed(1) == 12.0, "\\t IS in the RE2 set")
+    assert(composed(2) == null)
+  }
 }

@@ -82,4 +82,38 @@ class UploadAdmissionSpec extends AnyFunSuite {
     assert(t.count() == 1)
     assert(t.first().getAs[Double]("kpi_amount") == 250.5)
   }
+
+  test("adversarial owner/folder ids cannot traverse out of the landing dir") {
+    // The reference's GCS blob namespace is flat (no traversal); on a
+    // Hadoop filesystem raw '..' segments would escape landingDir, so
+    // validate() must sanitize the SEGMENTS, not just the file name.
+    val evilShares = Seq(("../../etc", "f/1", "e@x.com", "edit"))
+      .toDF("owner_id", "folder_id", "email", "permission")
+    val requests = Seq(
+      req("e@x.com", "../../etc", "f/1", "pwn.pdf"),
+      req("e@x.com", "..", "..", "dots.pdf"))
+      .toDF("email", "owner_id", "folder_id", "file_name", "content")
+    val got = UploadAdmission.validate(requests, evilShares)
+      .select("file_name", "accepted", "storage_path")
+      .collect().map(r => (r.getString(0), r.getBoolean(1), r.getString(2)))
+      .toSeq
+    // The evil-share row still ACCEPTS (admission semantics unchanged —
+    // the share exists) but its landing path is neutralized.
+    val pwn = got.find(_._1 == "pwn.pdf").get
+    assert(pwn._2, "share exists -> accepted")
+    assert(pwn._3 == "incoming/______etc/f_1/batch/pwn.pdf")
+    got.foreach { case (_, _, path) =>
+      assert(!path.split("/").exists(seg => seg == ".." || seg == "."),
+        s"no traversal segment may survive: $path")
+      assert(path.startsWith("incoming/"), path)
+    }
+    // And the landed file physically stays under landingDir.
+    val root = Files.createTempDirectory("graft-traversal").toString
+    UploadAdmission.admit(requests, evilShares, s"$root/landing")
+    val landed = Paths.get(root, "landing/incoming/______etc/f_1/batch/pwn.pdf")
+    assert(Files.exists(landed), "neutralized path lands inside landingDir")
+    assert(!Files.exists(Paths.get(root, "etc")) &&
+      !Files.exists(Paths.get("/root/repo/etc")),
+      "nothing may be written outside the landing dir")
+  }
 }
