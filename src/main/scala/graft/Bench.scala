@@ -36,7 +36,14 @@ object Bench {
         System.err.println(s"[bench] warm-up $t failed: ${e.getMessage}")
       }
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Optional comma-separated query filter for targeted iteration
+    // (SPARK_GRAFT_ONLY=q_near_dup_char,q_dedup_cluster); the driver
+    // never sets it, so driver runs always cover the full set.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only.fold(SparkEntry.queries)(f =>
+      SparkEntry.queries.filter { case (n, _) => f(n) })
+    val results = selected.map { case (name, fn) =>
       // noop sink, NOT count(): count() lets the optimizer prune every
       // projection, so map-heavy queries would be timed as bare scans.
       // A failed query records NEGATIVE elapsed time — a sentinel so a

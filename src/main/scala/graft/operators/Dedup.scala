@@ -327,7 +327,14 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
     require(maxIter >= 1, s"maxIter must be >= 1, got $maxIter")
     val spark = pairs.sparkSession
-    if (pairs.isEmpty)
+    // Symmetrize and materialize FIRST, then test emptiness on the
+    // checkpointed data: isEmpty on the raw input would evaluate the
+    // (possibly expensive) upstream pair pipeline a second time —
+    // measured as ~2x the whole pair-join cost on q_dedup_cluster.
+    val sym = pairs.select(col("i").cast("long").as("v"), col("j").cast("long").as("u"))
+      .unionByName(pairs.select(col("j").cast("long").as("v"), col("i").cast("long").as("u")))
+      .localCheckpoint(true)
+    if (sym.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType(Seq(
@@ -335,10 +342,6 @@ object Dedup {
             org.apache.spark.sql.types.LongType),
           org.apache.spark.sql.types.StructField("cluster_id",
             org.apache.spark.sql.types.LongType))))
-    // Symmetrize once; both the seed labeling and every round join it.
-    val sym = pairs.select(col("i").cast("long").as("v"), col("j").cast("long").as("u"))
-      .unionByName(pairs.select(col("j").cast("long").as("v"), col("i").cast("long").as("u")))
-      .localCheckpoint(true)
     var lab = sym.groupBy("v").agg(min("u").as("mu"))
       .select(col("v"), least(col("v"), col("mu")).as("lab"))
       .localCheckpoint(true)

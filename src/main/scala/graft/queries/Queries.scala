@@ -947,7 +947,13 @@ object Queries {
               concat_ws(" ", col("tok"), col("nxt")).as("g"))))
             .otherwise(array(struct(lit(1).as("ord"), col("tok").as("g")))))
           .as("e"))
-        .select(col("doc_id"), col("e.ord").as("ord"), col("e.g").as("g"))
+        // Count on a 64-bit gram hash, not the gram string: the agg
+        // only needs equality, so the map-side hash table keys and the
+        // shuffle both carry 8 bytes instead of 10-40-byte strings
+        // (same trade the near-dup pipeline documents; a collision
+        // merges two gram counts with P ≈ #grams²/2^64).
+        .select(col("doc_id"), col("e.ord").as("ord"),
+          xxhash64(col("e.g")).as("g"))
       val perOrd = grams.groupBy("doc_id", "ord", "g")
         .agg(count(lit(1)).as("c"))
         .groupBy("doc_id", "ord").agg(
