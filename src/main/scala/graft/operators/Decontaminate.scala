@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination: flag training documents that share
+  * word n-grams with an evaluation corpus — the pre-training hygiene
+  * step every LLM data pipeline runs (the GPT-3/Llama "13-gram
+  * overlap" rule, parameterized here) so that eval sets don't leak
+  * into the training corpus and inflate downstream scores.
+  *
+  * Unlike the near-dup family (symmetric, corpus×corpus), this is an
+  * ASYMMETRIC containment probe: the eval side is a benchmark suite —
+  * thousands of documents, not billions — so its shingle set is
+  * broadcast and the whole check is one map-side semi-join over the
+  * training corpus: zero shuffles of training data, scales linearly
+  * with corpus size at any number of executors. (If the eval side
+  * ever outgrows broadcast range, drop the hint and the same plan
+  * degrades gracefully to a shuffle equi-join on the gram hash.)
+  *
+  * Grams ride as xxhash64 longs (the same 8-bytes-instead-of-strings
+  * trade the near-dup pipeline documents); a collision can only ADD a
+  * false hit, never hide one.
+  */
+object Decontaminate {
+
+  /** Per-train-doc contamination report: (doc_id, n_hits = distinct
+    * contaminated w-grams, n_test_docs = distinct eval docs matched).
+    * Clean documents produce no row — the caller anti-joins or
+    * left-joins depending on whether it wants to drop or annotate.
+    *
+    * `train` / `test` need (doc_id, text); shingling follows
+    * [[Dedup.shingleRows]] (lowercased, whitespace tokens). */
+  def ngramHits(train: DataFrame, test: DataFrame, w: Int = 8): DataFrame = {
+    val trainSh = hashedShingles(train, w)
+    val testSh = hashedShingles(test, w)
+      .withColumnRenamed("doc_id", "test_doc")
+    trainSh.join(broadcast(testSh), "s")
+      .groupBy("doc_id")
+      .agg(countDistinct("s").as("n_hits"),
+        countDistinct("test_doc").as("n_test_docs"))
+  }
+
+  private def hashedShingles(docs: DataFrame, w: Int): DataFrame =
+    Dedup.shingleRows(docs, w)
+      .select(col("doc_id"), xxhash64(col("s")).as("s"))
+      .dropDuplicates("doc_id", "s")
+}

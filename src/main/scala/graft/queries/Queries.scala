@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.{Clean, Inference, TextAnalysis}
-import graft.operators.{Dedup, Multimodal, Similarity, TemporalJoins}
+import graft.operators.{Decontaminate, Dedup, Multimodal, Packing, Similarity, TemporalJoins}
 import graft.streaming.UploadAdmission
 
 /** The declared query inventory (SURVEY.md §2.4) — the t2 correctness
@@ -1691,6 +1691,143 @@ object Queries {
         AS storage_path
     FROM j ORDER BY doc_id"""))
 
+  /** Benchmark decontamination (asymmetric n-gram containment): train
+    * docs sharing any 6-gram with the eval split (doc_id % 10 = 0).
+    * The eval shingle set is BROADCAST — the training corpus is never
+    * shuffled, so the probe is one map-side join at any corpus size
+    * (see graft.operators.Decontaminate). Hashed-gram counts vs the
+    * oracle's string counts: the documented 2^-64 collision trade. */
+  private val qDecontaminate = Q(
+    "q_decontaminate",
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      val test = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+      val train = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+      Decontaminate.ngramHits(train, test, w = 6).orderBy("doc_id")
+    },
+    Some("""WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id,
+        unnest(CASE WHEN len(t) >= 6
+          THEN list_transform(range(1, len(t) - 4),
+            i -> array_to_string(t[i:i+5], ' '))
+          ELSE []::VARCHAR[] END) AS s
+      FROM toks),
+    test AS (SELECT doc_id AS test_doc, s FROM sh WHERE doc_id % 10 = 0),
+    train AS (SELECT doc_id, s FROM sh WHERE doc_id % 10 <> 0)
+    SELECT tr.doc_id, count(DISTINCT tr.s) AS n_hits,
+      count(DISTINCT te.test_doc) AS n_test_docs
+    FROM train tr JOIN test te ON tr.s = te.s
+    GROUP BY 1 ORDER BY doc_id"""))
+
+  /** Sequence packing: contiguous fill of 512-token training bins per
+    * language shard via one integer prefix sum (see
+    * graft.operators.Packing for the scale model — parallelism is the
+    * shard count, the real-pipeline bound). Integer-only arithmetic →
+    * bit-identical cross-engine. */
+  private val qSeqPack = Q(
+    "q_seq_pack",
+    (s, d) => Packing.contiguousPack(t(s, d, "documents"), budget = 512)
+      .orderBy("doc_id"),
+    Some("""WITH n AS (
+      SELECT doc_id, lang,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents),
+    c AS (
+      SELECT doc_id, lang, n_tokens,
+        CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+      FROM n)
+    SELECT doc_id, lang, n_tokens, cum_tokens,
+      CAST(floor((cum_tokens - n_tokens) / 512.0) AS BIGINT) AS bin_id,
+      (cum_tokens - n_tokens) % 512 AS bin_offset
+    FROM c ORDER BY doc_id"""))
+
+  /** Corpus-unigram-LM document scoring (the CCNet-style quality
+    * signal, with the LM trained on the corpus itself): per doc, the
+    * mean log-probability of its tokens under corpus unigram
+    * frequencies. Two aggregations, both map-side-combining: token →
+    * count (the LM), then a join back to the token stream and a
+    * per-doc mean. The grand total rides as an unpartitioned window
+    * over the LM rows (vocab-sized — q_class_weights' single-scan
+    * pattern). Scale: the LM table is vocab-sized; Spark broadcasts it
+    * when small (AQE decides) and the token-stream join never shuffles
+    * the corpus more than once. ln of identical (c, total) ratios on
+    * both engines; mean rounded via the floor form. */
+  private val qUnigramLogprob = Q(
+    "q_unigram_logprob",
+    (s, d) => {
+      val toks = t(s, d, "documents").select(col("doc_id"),
+        explode(split(lower(col("text")), " ")).as("tok"))
+      val lm = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+        .withColumn("total", sum("c").over(Window.partitionBy()))
+      toks.join(lm, "tok")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          TextAnalysis.roundStable(
+            avg(log(col("c").cast("double") / col("total"))), 6)
+            .as("avg_logprob"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH toks AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+      FROM documents),
+    lm AS (SELECT tok, count(*) AS c FROM toks GROUP BY 1),
+    t AS (SELECT sum(c) AS total FROM lm)
+    SELECT doc_id, count(*) AS n_tokens,
+      floor(avg(ln(c / total)) * 1000000.0 + 0.5) / 1000000.0 AS avg_logprob
+    FROM toks JOIN lm USING (tok), t
+    GROUP BY doc_id ORDER BY doc_id"""))
+
+  /** SemDeDup-style semantic dedup decision: connected components over
+    * the exact label-blocked cosine ≥ 0.3 pair graph, keep one doc
+    * (the min vec_id) per semantic cluster. Unlike q_dedup_cluster
+    * (lexical pairs) this is the EMBEDDING-space keep/drop set, and
+    * every vector appears in the output — singletons keep themselves.
+    * Scale path: swap cosinePairs for cosineLshPairs (same schema);
+    * the CC label propagation is O(diameter) rounds (see
+    * Dedup.connectedComponents). */
+  private val qSemDedup = Q(
+    "q_semdedup",
+    (s, d) => {
+      val emb = t(s, d, "embeddings")
+      val pairs = Dedup.cosinePairs(emb, threshold = 0.3).select("i", "j")
+      val cc = Dedup.connectedComponents(pairs)
+        .withColumnRenamed("doc_id", "vec_id")
+      emb.select("vec_id").join(cc, Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("cluster_id"), col("vec_id")).as("cluster_id"))
+        .withColumn("kept", col("vec_id") === col("cluster_id"))
+        .orderBy("vec_id")
+    },
+    Some("""WITH RECURSIVE n AS (
+      SELECT vec_id, label,
+        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+    m AS (
+      SELECT vec_id, label, v,
+        sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+      FROM n),
+    pairs AS (
+      SELECT a.vec_id AS i, b.vec_id AS j
+      FROM m a JOIN m b ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.3),
+    sym AS (SELECT i AS v, j AS u FROM pairs
+            UNION ALL SELECT j AS v, i AS u FROM pairs),
+    reach AS (
+      SELECT v, u FROM sym
+      UNION
+      SELECT r.v, s.u FROM reach r JOIN sym s ON r.u = s.v),
+    lab AS (
+      SELECT v AS vec_id, least(v, min(u)) AS cluster_id
+      FROM reach GROUP BY v)
+    SELECT m.vec_id,
+      coalesce(lab.cluster_id, m.vec_id) AS cluster_id,
+      coalesce(lab.cluster_id, m.vec_id) = m.vec_id AS kept
+    FROM m LEFT JOIN lab ON lab.vec_id = m.vec_id
+    ORDER BY m.vec_id"""))
+
   // ---------------------------------------------------------------------
 
   val all: Seq[Q] = Seq(
@@ -1708,7 +1845,8 @@ object Queries {
     qDedupMinhash, qDedupSimhash, qEmbedNearDup,
     qAnnTopk, qAnnIvf, qMediaFeatures, qQuantile, qApproxQuantile,
     qWindowFuncs, qAsofJoin, qRangeJoin, qTextSearch, qLabelCentroids,
-    qStratifiedSample, qClassWeights, qUploadAdmission)
+    qStratifiedSample, qClassWeights, qUploadAdmission,
+    qDecontaminate, qSeqPack, qUnigramLogprob, qSemDedup)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap
