@@ -11,14 +11,19 @@ import org.apache.spark.sql.functions._
   *
   * Unlike the near-dup family (symmetric, corpus×corpus), this is an
   * ASYMMETRIC containment probe: the eval side is a benchmark suite —
-  * thousands of documents, not billions — so its shingle set is
-  * broadcast and the whole check is one map-side semi-join over the
-  * training corpus: zero shuffles of training data, scales linearly
-  * with corpus size at any number of executors. (If the eval side
-  * ever outgrows broadcast range, drop the hint and the same plan
-  * degrades gracefully to a shuffle equi-join on the gram hash.)
+  * thousands of documents, not billions — so its deduplicated shingle
+  * set is broadcast, and the TRAIN side is entirely map-side up to
+  * the join: gram hashes materialize scan-side (the native
+  * [[graft.plans.WordGramHashes]] expression — no tokenize window, no
+  * pre-join shuffle) and probe the broadcast table in place. The only
+  * shuffle in the plan carries the MATCHED rows (contaminated grams —
+  * vanishingly few by definition) into the per-doc aggregate, so the
+  * probe scales linearly with corpus size at any executor count. (If
+  * the eval side ever outgrows broadcast range, drop the hint and the
+  * same plan degrades gracefully to a shuffle equi-join on the gram
+  * hash.)
   *
-  * Grams ride as xxhash64 longs (the same 8-bytes-instead-of-strings
+  * Grams ride as 64-bit hashes (the same 8-bytes-instead-of-strings
   * trade the near-dup pipeline documents); a collision can only ADD a
   * false hit, never hide one.
   */
@@ -28,21 +33,20 @@ object Decontaminate {
     * contaminated w-grams, n_test_docs = distinct eval docs matched).
     * Clean documents produce no row — the caller anti-joins or
     * left-joins depending on whether it wants to drop or annotate.
+    * Train-side gram multiplicity is NOT pre-deduplicated (that would
+    * cost a corpus-wide shuffle); the countDistinct aggregates dedup
+    * after the match, where only contaminated rows remain.
     *
     * `train` / `test` need (doc_id, text); shingling follows
     * [[Dedup.shingleRows]] (lowercased, whitespace tokens). */
   def ngramHits(train: DataFrame, test: DataFrame, w: Int = 8): DataFrame = {
-    val trainSh = hashedShingles(train, w)
-    val testSh = hashedShingles(test, w)
+    val trainSh = Dedup.hashedShingleRows(train, w)
+    val testSh = Dedup.hashedShingleRows(test, w)
       .withColumnRenamed("doc_id", "test_doc")
+      .dropDuplicates("test_doc", "s")
     trainSh.join(broadcast(testSh), "s")
       .groupBy("doc_id")
       .agg(countDistinct("s").as("n_hits"),
         countDistinct("test_doc").as("n_test_docs"))
   }
-
-  private def hashedShingles(docs: DataFrame, w: Int): DataFrame =
-    Dedup.shingleRows(docs, w)
-      .select(col("doc_id"), xxhash64(col("s")).as("s"))
-      .dropDuplicates("doc_id", "s")
 }

@@ -33,13 +33,15 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Shingle generation: posexplode tokens, build each w-shingle from
-    * window lead()s (all codegen'd), keep only full-width shingles.
-    * NOT deduplicated per doc (consumers dedup after hashing, or need
-    * multiplicity not at all) — ~an order of magnitude faster than the
-    * equivalent higher-order-transform Column expression is
-    * interpreted per row. One shuffle on doc_id (the window), which
-    * the downstream cardinality groupBy reuses. */
+  /** STRING shingle generation: posexplode tokens, build each
+    * w-shingle from window lead()s (all codegen'd), keep only
+    * full-width shingles. NOT deduplicated per doc. Costs one shuffle
+    * on doc_id (the window) — the operators below that only need gram
+    * EQUALITY use [[hashedShingleRows]] instead (map-only, no window);
+    * this string form remains for consumers that need the shingle
+    * TEXT (q_repetition_stats' oracle-side mirror, equivalence tests)
+    * and as the reference implementation the native hasher is pinned
+    * against. */
   def shingleRows(docs: DataFrame, w: Int): DataFrame = {
     require(w >= 1, s"shingle width must be >= 1, got $w")
     val toks = docs.select(col("doc_id"),
@@ -59,16 +61,39 @@ object Dedup {
       .select("doc_id", "s")
   }
 
+  /** Map-only hashed shingle stream (doc_id, s: long): all w-word-gram
+    * hashes per doc from the native rolling expression
+    * ([[graft.plans.WordGramHashes]]) — no window, no shuffle, the
+    * grams materialize scan-side. Multiplicity kept (consumers dedup
+    * or aggregate). Structurally equivalent to
+    * xxhash64(shingleRows(...)) — same per-doc gram/distinct counts,
+    * different hash VALUES — pinned in DedupSpec. */
+  def hashedShingleRows(docs: DataFrame, w: Int): DataFrame = {
+    require(w >= 1, s"shingle width must be >= 1, got $w")
+    docs.select(col("doc_id"),
+      explode(graft.plans.GraftFunctions.wordGramHashes(
+        lower(col("text")), w)).as("s"))
+  }
+
   /** Exact w-shingle Jaccard ≥ threshold pairs.
-    * Shape: explode shingles → equi-join on shingle → per-pair common
-    * count → join cardinalities → jaccard filter. At 100 TB the
-    * explode+join shuffles on the shingle value, so only docs sharing
-    * a shingle ever meet; hot shingles (stopword runs) are the skew
-    * risk — mitigate upstream by using a larger w (default 5 here) so
-    * bucket sizes stay small, and AQE skew-split for the tail. */
+    * Shape: scan-side gram hashing into per-doc ARRAYS (dedup and
+    * cardinality are row-local array ops — no pre-join shuffle at
+    * all; see [[pairsFromGramArrays]]) → equi-join on gram hash →
+    * per-pair common count → jaccard filter. At 100 TB the
+    * explode+join shuffles on the gram hash, so
+    * only docs sharing a gram ever meet; hot shingles (stopword runs)
+    * are the skew risk — mitigate upstream by using a larger w
+    * (default 5 here) so bucket sizes stay small, and AQE skew-split
+    * for the tail. */
   def jaccardPairs(docs: DataFrame, w: Int = 5, threshold: Double = 0.8,
-                   registry: CacheRegistry = CacheRegistry.global): DataFrame =
-    pairsFromShingles(shingleRows(docs, w), threshold, registry)
+                   registry: CacheRegistry = CacheRegistry.global): DataFrame = {
+    require(w >= 1, s"shingle width must be >= 1, got $w")
+    pairsFromGramArrays(
+      docs.select(col("doc_id"),
+        graft.plans.GraftFunctions.wordGramHashes(
+          lower(col("text")), w).as("arr")),
+      threshold, registry)
+  }
 
   /** Character n-gram variant of [[jaccardPairs]]: shingles are the
     * distinct n-char substrings of the lowercased text — finer-grained
@@ -81,10 +106,10 @@ object Dedup {
   def charJaccardPairs(docs: DataFrame, n: Int = 20,
                        threshold: Double = 0.8,
                        registry: CacheRegistry = CacheRegistry.global): DataFrame =
-    pairsFromHashedShingles(
+    pairsFromGramArrays(
       docs.select(col("doc_id"),
-        explode(graft.plans.GraftFunctions.charGramHashes(
-          lower(col("text")), n)).as("s")),
+        graft.plans.GraftFunctions.charGramHashes(
+          lower(col("text")), n).as("arr")),
       threshold, registry)
 
   /** Distinct character n-grams per doc, codegen'd: explode the start
@@ -100,33 +125,29 @@ object Dedup {
   }
 
   // Shuffle longs, not shingle strings: every downstream step
-  // (dedup/window/prune/self-join) only needs shingle EQUALITY, so a
+  // (prune/self-join/pair-agg) only needs shingle EQUALITY, so a
   // 64-bit hash at the entrance replaces 20-40 byte strings with 8
   // bytes in every exchange. A hash collision would merge two grams
   // (P ≈ n²/2^65 ≈ 1e-7 at millions of distinct shingles) — the
   // standard shingling trade, noted here because the oracle counts
   // strings.
-  private def pairsFromShingles(rawShingles: DataFrame, threshold: Double,
-                                registry: CacheRegistry): DataFrame =
-    pairsFromHashedShingles(
-      rawShingles.select(col("doc_id"), xxhash64(col("s")).as("s")),
-      threshold, registry)
-
-  /** Candidate pipeline over (doc_id, s: long) rows whose gram hashes
-    * were already computed (native rolling hash, or xxhash64 above). */
-  private def pairsFromHashedShingles(hashed: DataFrame, threshold: Double,
-                                      registry: CacheRegistry): DataFrame = {
-    val shingles = hashed.dropDuplicates("doc_id", "s")
-    // Cardinality rides along as a window count over doc_id instead of
-    // a separate aggregate joined back twice — every shingle row
-    // carries its doc's |shingles|, so the pair aggregate gets both
-    // cardinalities for free in its grouping key (they are constant
-    // per doc). Saves one aggregation and two joins vs the textbook
-    // shape. Persisted because the prune and both join sides re-read
-    // it; MEMORY_AND_DISK so a 100 TB run spills instead of OOMing.
-    val wDoc = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
-    val sh = registry.track(shingles
-      .withColumn("c", count(lit(1)).over(wDoc))
+  /** Candidate pipeline over (doc_id, arr: array<long>) rows — one
+    * gram-hash ARRAY per document, straight from the native rolling
+    * hashers. Holding the grams as a per-row array until the last
+    * moment makes the two per-doc steps that used to shuffle the
+    * whole gram stream MAP-SIDE row-local ops instead:
+    * per-doc dedup = array_distinct, cardinality = size — so the
+    * FIRST shuffle any gram pays is the candidate self-join itself
+    * (plus the single-holder prune agg). Two fewer corpus-wide
+    * exchanges than the exploded shape (dropDuplicates + window). */
+  private def pairsFromGramArrays(withArr: DataFrame, threshold: Double,
+                                  registry: CacheRegistry): DataFrame = {
+    // Persisted because the prune and both join sides re-read it;
+    // MEMORY_AND_DISK so a 100 TB run spills instead of OOMing.
+    val sh = registry.track(withArr
+      .select(col("doc_id"), array_distinct(col("arr")).as("d"))
+      .select(col("doc_id"), size(col("d")).cast("long").as("c"),
+        explode(col("d")).as("s"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // A shingle held by a single doc can never form a pair — drop it
     // before the self-join. Cardinalities were attached BEFORE this
@@ -152,21 +173,24 @@ object Dedup {
 
   /** Shingle-containment text search: score each doc by the fraction
     * of the query's w-shingles it contains, return the top-k. The
-    * query's shingle set is computed driver-side (it is a literal) and
-    * pushed as an IN filter — the scan keeps only matching shingle
-    * rows, so the aggregate sees |matches|, not the corpus. Top-k via
+    * query's gram hashes are computed driver-side with the SAME native
+    * hasher the corpus side uses (it is a literal) and pushed as an IN
+    * filter — the scan keeps only matching gram rows, map-only, so the
+    * aggregate sees |matches|, not the corpus. Top-k via
     * TakeOrderedAndProject. */
   def shingleSearchTopK(docs: DataFrame, query: String, w: Int = 3,
                         k: Int = 20): DataFrame = {
-    val qShingles = query.toLowerCase.split(" ").toSeq
-      .sliding(w).filter(_.size == w).map(_.mkString(" ")).toSeq.distinct
-    require(qShingles.nonEmpty, s"query shorter than $w tokens")
-    shingleRows(docs, w)
-      .filter(col("s").isin(qShingles: _*))
+    require(query.toLowerCase.split(" ").length >= w,
+      s"query shorter than $w tokens")
+    val qArr = graft.plans.ExprHelpers.wordGramHashes(
+      org.apache.spark.unsafe.types.UTF8String.fromString(query.toLowerCase), w)
+    val qHashes = qArr.toLongArray().toSeq.distinct
+    hashedShingleRows(docs, w)
+      .filter(col("s").isin(qHashes: _*))
       .dropDuplicates("doc_id", "s") // generator emits multiplicity
       .groupBy("doc_id").agg(count(lit(1)).as("matched"))
       .withColumn("score", graft.functions.TextAnalysis.roundStable(
-        col("matched") / qShingles.size.toDouble, 6))
+        col("matched") / qHashes.size.toDouble, 6))
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(k)
   }
@@ -187,9 +211,11 @@ object Dedup {
     * (doc, partition), not per shingle. */
   def minHashSignatures(docs: DataFrame, w: Int = 5, k: Int = 32,
                         registry: CacheRegistry = CacheRegistry.global): DataFrame = {
-    // duplicate shingles are harmless here: min() is idempotent
-    val sh = shingleRows(docs, w)
-      .withColumn("h", pmod(hash(col("s")).cast("long"), lit(MinHashP)))
+    // duplicate shingles are harmless here: min() is idempotent.
+    // Scan-side gram hashing (no window shuffle) — the 64-bit gram
+    // hash folds into the [0, P) MinHash domain directly.
+    val sh = hashedShingleRows(docs, w)
+      .withColumn("h", pmod(col("s"), lit(MinHashP)))
     val mins = minHashCoefs(k).zipWithIndex.map { case ((a, b), i) =>
       min(pmod(col("h") * a + b, lit(MinHashP))).as(s"m$i")
     }

@@ -39,7 +39,10 @@ object Packing {
       .select(col("doc_id"), col(shardCol), tokens.cast("long").as("n_tokens"))
       .withColumn("cum_tokens", sum("n_tokens").over(w))
       .withColumn("start", col("cum_tokens") - col("n_tokens"))
-      .withColumn("bin_id", floor(col("start") / budget.toDouble).cast("long"))
+      // `div`, not floor(double /): a prefix sum past 2^53 tokens
+      // would misround in double space — integral division keeps the
+      // "bit-identical across engines" contract true at any scale.
+      .withColumn("bin_id", expr(s"start div $budget"))
       .withColumn("bin_offset", col("start") % budget)
       .drop("start")
   }

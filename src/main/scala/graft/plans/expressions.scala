@@ -35,7 +35,18 @@ object ExprHelpers {
     * a strict-numeric guard so garbage yields NULL, not an ANSI error. */
   def parseMessyNumber(s: UTF8String): java.lang.Double = {
     if (s == null) return null
-    val t = s.toString.trim
+    // SQL trim semantics (Spark trim / DuckDB trim): strip ' ' ONLY.
+    // Java's String.trim strips every char <= U+0020 — a leading or
+    // trailing control char (\x01, \x0B, ...) would vanish here but
+    // survive in the composed form and the oracle, flipping NULL to a
+    // parsed number. The interior strip below handles \t\n\f\r like
+    // both other forms.
+    val raw = s.toString
+    var lo = 0
+    var hi = raw.length
+    while (lo < hi && raw.charAt(lo) == ' ') lo += 1
+    while (hi > lo && raw.charAt(hi - 1) == ' ') hi -= 1
+    val t = raw.substring(lo, hi)
     if (t.isEmpty || t == "N/A" || t == "---") return null
     val sb = new java.lang.StringBuilder(t.length)
     var i = 0
@@ -119,6 +130,61 @@ object ExprHelpers {
       h = (h - cps(i - n) * pow) * B + cps(i)
       out(i - n + 1) = fmix64(h)
       i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  /** All w-WORD-gram hashes of a string in ONE pass — the map-only
+    * replacement for the window-shuffle shingle generator
+    * (graft.operators.Dedup.shingleRows builds each shingle with
+    * lead() over a doc-partitioned window: a full shuffle+sort of the
+    * tokenized corpus BEFORE any dedup work starts — the dominant
+    * fixed cost of the whole near-dup family at scale).
+    *
+    * Tokenization matches Spark's split(text, " ") exactly: split on
+    * EVERY single space, empty tokens kept (including trailing), so a
+    * w-gram here equals concat_ws(" ", tok_i..tok_{i+w-1}) there.
+    * Each token is hashed (char polynomial, fmix64-finalized so the
+    * gram-level algebra can't interact with the token-level algebra),
+    * then a rolling polynomial over the token hashes yields one
+    * 64-bit value per gram position, fmix64-finalized on publish.
+    * Same adversarial caveat as [[charGramHashes]].
+    *
+    * Fewer-than-w tokens → empty array; null → null. */
+  def wordGramHashes(s: UTF8String, w: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    if (s == null) return null
+    val str = s.toString
+    val len = str.length
+    var nTok = 1
+    var i = 0
+    while (i < len) { if (str.charAt(i) == ' ') nTok += 1; i += 1 }
+    if (nTok < w) return org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(Array.empty[Long])
+    val B = 1099511628211L
+    val th = new Array[Long](nTok)
+    var t = 0
+    var h = 0L
+    i = 0
+    while (i < len) {
+      val c = str.charAt(i)
+      if (c == ' ') { th(t) = fmix64(h); t += 1; h = 0L }
+      else h = h * B + c
+      i += 1
+    }
+    th(t) = fmix64(h)
+    var pow = 1L
+    var j = 0
+    while (j < w - 1) { pow *= B; j += 1 }
+    val out = new Array[Long](nTok - w + 1)
+    var g = 0L
+    j = 0
+    while (j < w) { g = g * B + th(j); j += 1 }
+    out(0) = fmix64(g)
+    j = w
+    while (j < nTok) {
+      g = (g - th(j - w) * pow) * B + th(j)
+      out(j - w + 1) = fmix64(g)
+      j += 1
     }
     org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
   }
@@ -251,6 +317,35 @@ case class CharGramHashes(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Native word-gram hasher: the shuffle-free shingle generator for the
+  * near-dup/dedup/decontamination family. One array of gram hashes per
+  * document, computed scan-side — where Dedup.shingleRows pays a full
+  * window shuffle+sort of the token stream before the first candidate
+  * join, this is a map-only expression feeding explode. Verified
+  * structurally equivalent (per-doc gram counts, distinct counts) to
+  * the window path in ExpressionSpec/DedupSpec. */
+case class WordGramHashes(child: Expression, w: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType && w >= 1) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"word_gram_hashes expects (STRING, w >= 1), got ${child.dataType.sql}, w=$w")
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else ExprHelpers.wordGramHashes(v.asInstanceOf[UTF8String], w)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.ExprHelpers.wordGramHashes($c, $w);")
+
+  override protected def withNewChildInternal(newChild: Expression): WordGramHashes =
+    copy(child = newChild)
+}
+
 /** Column-level and SQL-level entry points for the native expressions. */
 object GraftFunctions {
 
@@ -263,6 +358,9 @@ object GraftFunctions {
 
   def charGramHashes(c: Column, n: Int): Column =
     GraftSqlBridge.column(CharGramHashes(GraftSqlBridge.expression(c), n))
+
+  def wordGramHashes(c: Column, w: Int): Column =
+    GraftSqlBridge.column(WordGramHashes(GraftSqlBridge.expression(c), w))
 
   /** SQL `char_gram_hashes(s, n)` takes n as a literal: the gram width
     * is part of the operator (it fixes the output arity per row), not a
@@ -281,7 +379,9 @@ object GraftFunctions {
     "parse_messy_number" -> { es => ParseMessyNumber(es.head) },
     "dot_product_float" -> { es => DotProductFloat(es.head, es(1)) },
     "char_gram_hashes" -> { es =>
-      CharGramHashes(es.head, literalInt(es(1), "char_gram_hashes")) })
+      CharGramHashes(es.head, literalInt(es(1), "char_gram_hashes")) },
+    "word_gram_hashes" -> { es =>
+      WordGramHashes(es.head, literalInt(es(1), "word_gram_hashes")) })
 
   /** Register the SQL functions into an existing session (the
     * runtime-registration path; config-time wiring is

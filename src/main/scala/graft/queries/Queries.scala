@@ -923,37 +923,31 @@ object Queries {
     * pretraining pipeline runs before anything else: per doc, the mass
     * of the most frequent unigram/bigram and the distinct-token ratio
     * (high top-fraction / low uniq-fraction = boilerplate or spam).
-    * Shape: ONE scan — a single posexplode token stream feeds both
-    * gram orders (bigrams via window lead, the proven shingleRows
-    * shape), stacked as (ord, gram) rows so one map-side-combining
-    * hash agg counts unigrams and bigrams together; the per-doc
-    * rollup then pivots the two orders back to columns (grouping keys
-    * shrink monotonically: (doc,ord,gram) → (doc,ord) → doc, so every
-    * stage after the first is tiny). One-token docs have no bigrams →
-    * NULL top_bigram_frac. All ratios are small-integer fractions →
-    * floor rounding both sides. */
+    * Shape: ONE scan, MAP-ONLY gram generation — both gram orders
+    * come from the native scan-side hasher (WordGramHashes at w=1 and
+    * w=2; no tokenize window, no pre-agg shuffle), concatenated and
+    * posexploded with the order recovered from the position (grams
+    * before |a1| are unigrams). One map-side-combining hash agg
+    * counts both orders together on 8-byte hash keys (the near-dup
+    * pipeline's equality trade); the per-doc rollup then pivots the
+    * two orders back to columns (grouping keys shrink monotonically:
+    * (doc,ord,gram) → (doc,ord) → doc, so every stage after the first
+    * is tiny). One-token docs have no bigrams → NULL top_bigram_frac.
+    * All ratios are small-integer fractions → floor rounding both
+    * sides. */
   private val qRepetitionStats = Q(
     "q_repetition_stats",
     (s, d) => {
       val docs = t(s, d, "documents")
-      val toks = docs.select(col("doc_id"),
-        posexplode(split(lower(col("text")), " ")).as(Seq("pos", "tok")))
-      val win = Window.partitionBy("doc_id").orderBy("pos")
-      val withNext = toks.withColumn("nxt", lead(col("tok"), 1).over(win))
-      val grams = withNext.select(col("doc_id"), explode(
-          when(col("nxt").isNotNull, array(
-            struct(lit(1).as("ord"), col("tok").as("g")),
-            struct(lit(2).as("ord"),
-              concat_ws(" ", col("tok"), col("nxt")).as("g"))))
-            .otherwise(array(struct(lit(1).as("ord"), col("tok").as("g")))))
-          .as("e"))
-        // Count on a 64-bit gram hash, not the gram string: the agg
-        // only needs equality, so the map-side hash table keys and the
-        // shuffle both carry 8 bytes instead of 10-40-byte strings
-        // (same trade the near-dup pipeline documents; a collision
-        // merges two gram counts with P ≈ #grams²/2^64).
-        .select(col("doc_id"), col("e.ord").as("ord"),
-          xxhash64(col("e.g")).as("g"))
+      val withArrs = docs.select(col("doc_id"),
+        graft.plans.GraftFunctions.wordGramHashes(lower(col("text")), 1).as("a1"),
+        graft.plans.GraftFunctions.wordGramHashes(lower(col("text")), 2).as("a2"))
+      val grams = withArrs
+        .select(col("doc_id"), size(col("a1")).as("n1"),
+          posexplode(concat(col("a1"), col("a2"))).as(Seq("p", "g")))
+        .select(col("doc_id"),
+          when(col("p") < col("n1"), lit(1)).otherwise(lit(2)).as("ord"),
+          col("g"))
       val perOrd = grams.groupBy("doc_id", "ord", "g")
         .agg(count(lit(1)).as("c"))
         .groupBy("doc_id", "ord").agg(
@@ -1740,7 +1734,7 @@ object Queries {
           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
       FROM n)
     SELECT doc_id, lang, n_tokens, cum_tokens,
-      CAST(floor((cum_tokens - n_tokens) / 512.0) AS BIGINT) AS bin_id,
+      (cum_tokens - n_tokens) // 512 AS bin_id,
       (cum_tokens - n_tokens) % 512 AS bin_offset
     FROM c ORDER BY doc_id"""))
 

@@ -23,10 +23,16 @@ import org.apache.spark.sql.functions._
   *  6. landing path `incoming/{owner}/{folder}/batch/{name}`
   *     (main.py:634). Unlike the reference — whose GCS blob namespace
   *     is flat and cannot traverse — this path lands on a Hadoop
-  *     filesystem, so the owner/folder SEGMENTS are sanitized too
-  *     (`[^a-zA-Z0-9_-]` → `_`, deliberately dot-free so `..` cannot
-  *     survive): an adversarial `owner_id = "../../etc"` must not
-  *     escape the landing dir.
+  *     filesystem, so ids that would change the directory structure
+  *     ('/' or '\' anywhere, or a segment equal to '.' or '..') are
+  *     REJECTED (`bad_path`) rather than rewritten: rewriting would
+  *     silently desynchronize the landing path from the raw-keyed
+  *     catalog ([[graft.catalog.Catalog]] keys on the ORIGINAL ids,
+  *     and [[Ingest]] parses them back out of the path), losing the
+  *     upload at ingest time — or worse, colliding two tenants into
+  *     one directory. Benign ids (dots, '@', unicode) pass through
+  *     raw and round-trip exactly; a single path segment containing
+  *     a dot (e.g. `team.a`) cannot traverse.
   *
   * The permission probe is a broadcast LEFT join against the shares
   * table (metadata-sized — bounded by tenants, not data volume), so
@@ -51,31 +57,35 @@ object UploadAdmission {
       "left")
     val missing = col("folder_id").isNull || col("owner_id").isNull ||
       col("content").isNull
+    // Traversal gate: an id that would add/remove a path level can
+    // never be written (see scaladoc — reject, don't rewrite, so
+    // accepted paths stay byte-identical to the catalog's raw keys).
+    def traverses(c: org.apache.spark.sql.Column) =
+      c.contains("/") || c.contains("\\") || c === "." || c === ".."
     // A null email is the reference's 401 path (main.py:604-609),
     // checked BEFORE the field/suffix/share gates — without it the
     // share probe would misreport "no_share" for a malformed request.
     val reason = when(col("email").isNull, lit("unauthorized"))
       .when(missing, lit("missing_fields"))
+      .when(traverses(col("owner_id")) || traverses(col("folder_id")),
+        lit("bad_path"))
       .when(!lower(coalesce(col("file_name"), lit(""))).endsWith(".pdf"),
         lit("not_pdf"))
       .when(col("_s_perm").isNull, lit("no_share"))
       .when(col("_s_perm") =!= "edit", lit("view_only"))
+    // file_name keeps the reference's sanitizer — it maps '/' and '\'
+    // to '_' itself, and a FILE segment containing dots cannot
+    // traverse, so the name needs no reject gate.
     val sanitized = regexp_replace(
       coalesce(col("file_name"), lit("unnamed.pdf")),
       "[^a-zA-Z0-9_.-]", "_")
-    // Path SEGMENTS get a stricter, dot-free sanitizer than file_name:
-    // '.' is legitimate in a filename but in a directory segment it is
-    // the traversal vector ('..'). '/' and '\' fall to '_' too, so the
-    // built storage_path provably stays under incoming/.
-    def segment(c: org.apache.spark.sql.Column) =
-      regexp_replace(c, "[^a-zA-Z0-9_-]", "_")
     joined
       .withColumn("reject_reason", reason)
       .withColumn("accepted", col("reject_reason").isNull)
       .withColumn("sanitized_name", sanitized)
       .withColumn("storage_path",
-        concat(lit("incoming/"), segment(col("owner_id")), lit("/"),
-          segment(col("folder_id")), lit("/batch/"), col("sanitized_name")))
+        concat(lit("incoming/"), col("owner_id"), lit("/"),
+          col("folder_id"), lit("/batch/"), col("sanitized_name")))
       .drop("_s_owner", "_s_folder", "_s_email", "_s_perm")
   }
 

@@ -36,6 +36,46 @@ class DedupSpec extends AnyFunSuite {
     assert(nPer == sPer, "per-doc distinct-gram counts must match (no extra collisions)")
   }
 
+  test("native word-gram hashes ≡ windowed string shingles on the corpus") {
+    // The map-only WordGramHashes path must induce the SAME per-doc
+    // gram structure as the window-lead string shingles: equal gram
+    // multiset sizes and equal per-doc distinct counts (no extra
+    // collisions on real text). Hash VALUES differ by design; every
+    // consumer only compares hashes to hashes.
+    for (w <- Seq(1, 2, 5)) {
+      val native = Dedup.hashedShingleRows(docs, w)
+      val strings = Dedup.shingleRows(docs, w)
+        .select(col("doc_id"), xxhash64(col("s")).as("s"))
+      def profile(df: org.apache.spark.sql.DataFrame) = {
+        val total = df.count()
+        val perDoc = df.dropDuplicates("doc_id", "s").groupBy("doc_id").count()
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        (total, perDoc)
+      }
+      val (nTot, nPer) = profile(native)
+      val (sTot, sPer) = profile(strings)
+      assert(nTot == sTot, s"w=$w: gram multiset sizes must match")
+      assert(nPer == sPer, s"w=$w: per-doc distinct-gram counts must match")
+    }
+  }
+
+  test("word-gram hashes: multi-space/trailing-space/short-doc edges match split semantics") {
+    import spark.implicits._
+    // split(text, " ") keeps empty tokens (doubled + trailing spaces);
+    // the native tokenizer must agree on gram COUNTS for those edges.
+    val edge = Seq((1L, "a  b c "), (2L, "one"), (3L, ""), (4L, "x y"))
+      .toDF("doc_id", "text")
+    for (w <- Seq(1, 2, 3)) {
+      val nCounts = Dedup.hashedShingleRows(edge, w)
+        .groupBy("doc_id").count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val sCounts = Dedup.shingleRows(edge, w)
+        .groupBy("doc_id").count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(nCounts == sCounts, s"w=$w: $nCounts vs $sCounts")
+    }
+  }
+
   test("cosineLshPairs: finds planted near-dups, exact-refined, full recall regime") {
     // The synthetic corpus has NO high-cosine pairs (max ~0.6), so
     // plant them: vectors are unit-norm, so x + 0.05*U(-0.5,0.5) per

@@ -154,14 +154,22 @@ class ExpressionSpec extends AnyFunSuite {
     // Java's \s includes \x0B; RE2's (DuckDB's) does not. All strip
     // forms are pinned to the RE2 set, so a vertical-tab-laced value
     // must reject (NULL) on native, composed, AND the oracle.
-    val df = Seq("12", "1\t2", "12%").toDF("s")
+    // Interior \x0B, interior \t, \x0B before %, TRAILING \x0B and
+    // LEADING \x01: the end-position cases pin SQL trim semantics —
+    // Java's String.trim would strip any control <= U+0020 at the
+    // ends and silently parse what both other engines reject.
+    val df = Seq("12", "1\t2", "12%", "42", "\u000142", " 42 ")
+      .toDF("s")
     val composed = df.select(graft.functions.Clean.parseMessyNumber(col("s")).as("v"))
       .collect().map(r => if (r.isNullAt(0)) null else r.getDouble(0))
     val native = df.select(GraftFunctions.parseMessyNumber(col("s")).as("v"))
       .collect().map(r => if (r.isNullAt(0)) null else r.getDouble(0))
-    assert(composed.toSeq == native.toSeq, "native ≡ composed on \\x0B")
+    assert(composed.toSeq == native.toSeq, "native ≡ composed on control chars")
     assert(composed(0) == null, "\\x0B must survive the strip and fail the guard")
     assert(composed(1) == 12.0, "\\t IS in the RE2 set")
     assert(composed(2) == null)
+    assert(composed(3) == null, "trailing \\x0B is NOT trimmed (SQL trim = spaces only)")
+    assert(composed(4) == null, "leading \\x01 is NOT trimmed")
+    assert(composed(5) == 42.0, "spaces ARE trimmed")
   }
 }

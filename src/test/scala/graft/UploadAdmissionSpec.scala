@@ -85,35 +85,44 @@ class UploadAdmissionSpec extends AnyFunSuite {
 
   test("adversarial owner/folder ids cannot traverse out of the landing dir") {
     // The reference's GCS blob namespace is flat (no traversal); on a
-    // Hadoop filesystem raw '..' segments would escape landingDir, so
-    // validate() must sanitize the SEGMENTS, not just the file name.
-    val evilShares = Seq(("../../etc", "f/1", "e@x.com", "edit"))
+    // Hadoop filesystem raw '..' segments would escape landingDir.
+    // Dangerous ids are REJECTED, not rewritten: a rewritten path would
+    // desynchronize from the raw-keyed catalog (Catalog.get(uid,folder))
+    // and the upload would silently never ingest — or collide into
+    // another tenant's directory. Benign dotted ids stay raw and
+    // round-trip exactly.
+    val evilShares = Seq(
+      ("../../etc", "f/1", "e@x.com", "edit"),
+      ("..", "..", "e@x.com", "edit"),
+      ("team.a", "f1", "e@x.com", "edit"))
       .toDF("owner_id", "folder_id", "email", "permission")
     val requests = Seq(
       req("e@x.com", "../../etc", "f/1", "pwn.pdf"),
-      req("e@x.com", "..", "..", "dots.pdf"))
+      req("e@x.com", "..", "..", "dots.pdf"),
+      req("e@x.com", "team.a", "f1", "ok.pdf"))
       .toDF("email", "owner_id", "folder_id", "file_name", "content")
     val got = UploadAdmission.validate(requests, evilShares)
-      .select("file_name", "accepted", "storage_path")
-      .collect().map(r => (r.getString(0), r.getBoolean(1), r.getString(2)))
-      .toSeq
-    // The evil-share row still ACCEPTS (admission semantics unchanged —
-    // the share exists) but its landing path is neutralized.
-    val pwn = got.find(_._1 == "pwn.pdf").get
-    assert(pwn._2, "share exists -> accepted")
-    assert(pwn._3 == "incoming/______etc/f_1/batch/pwn.pdf")
-    got.foreach { case (_, _, path) =>
-      assert(!path.split("/").exists(seg => seg == ".." || seg == "."),
-        s"no traversal segment may survive: $path")
-      assert(path.startsWith("incoming/"), path)
-    }
-    // And the landed file physically stays under landingDir.
+      .select("file_name", "accepted", "reject_reason", "storage_path")
+      .collect().map(r => (r.getString(0), r.getBoolean(1),
+        Option(r.getString(2)), r.getString(3))).toSeq
+    assert(got.find(_._1 == "pwn.pdf").get._3.contains("bad_path"),
+      "'/' in an id must reject, even with a matching share")
+    assert(got.find(_._1 == "dots.pdf").get._3.contains("bad_path"),
+      "'..' segments must reject")
+    // A benign dotted id is NOT a traversal: accepted, path kept RAW so
+    // ingest's path-parse and the catalog key agree byte-for-byte.
+    val ok = got.find(_._1 == "ok.pdf").get
+    assert(ok._2, s"dotted-but-safe id must accept: $ok")
+    assert(ok._4 == "incoming/team.a/f1/batch/ok.pdf")
+    // Physically: only the benign file lands, inside landingDir.
     val root = Files.createTempDirectory("graft-traversal").toString
     UploadAdmission.admit(requests, evilShares, s"$root/landing")
-    val landed = Paths.get(root, "landing/incoming/______etc/f_1/batch/pwn.pdf")
-    assert(Files.exists(landed), "neutralized path lands inside landingDir")
+    assert(Files.exists(
+      Paths.get(root, "landing/incoming/team.a/f1/batch/ok.pdf")))
     assert(!Files.exists(Paths.get(root, "etc")) &&
-      !Files.exists(Paths.get("/root/repo/etc")),
+      !Files.exists(Paths.get("/root/repo/etc")) &&
+      !Files.exists(Paths.get(root, "landing/incoming/../..").normalize
+        .resolve("etc")),
       "nothing may be written outside the landing dir")
   }
 }
