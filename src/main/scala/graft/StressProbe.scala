@@ -33,6 +33,14 @@ object StressProbe {
     time("char_jaccard") { Dedup.charJaccardPairs(big).count() }
     time("minhash")  { Dedup.minHashCandidates(big).count() }
     time("simhash")  { Dedup.simHashPairs(big).count() }
+    // Decontamination at 50k train docs vs a 5k-doc eval split: the
+    // train side is map-only into the broadcast probe, so this should
+    // track the corpus SCAN time, not the near-dup join times.
+    time("decontaminate") {
+      graft.operators.Decontaminate.ngramHits(
+        big.filter(pmod(col("doc_id"), lit(10)) =!= 0),
+        big.filter(pmod(col("doc_id"), lit(10)) === 0), w = 6).count()
+    }
     // Embedding LSH at 10× corpus: near-twin per original (tiny
     // deterministic perturbation on unit vectors), bandBits raised to
     // 16 — the documented knob: collision volume per band is n²/2^16

@@ -122,15 +122,39 @@ class ExpressionSpec extends AnyFunSuite {
       graft.plans.DotProductFloat(
         BoundReference(1, ArrayType(FloatType), nullable = true),
         BoundReference(1, ArrayType(FloatType), nullable = true)),
-      graft.plans.ParseMessyNumber(BoundReference(0, StringType, nullable = true))))
+      graft.plans.ParseMessyNumber(BoundReference(0, StringType, nullable = true)),
+      graft.plans.WordGramHashes(BoundReference(0, StringType, nullable = true), 2)))
     val vec = new GenericArrayData(Array(1.0f, 2.0f))
     val out = proj(InternalRow(UTF8String.fromString("a😀b😀c"), vec))
     assert(out.getArray(0).numElements() == 3, "5 code points, n=3 -> 3 grams")
     assert(out.getDouble(1) == 5.0)
     assert(out.isNullAt(2), "non-numeric string -> null parse")
-    val short = proj(InternalRow(UTF8String.fromString("ab"), null)).getArray(0)
-    assert(short.numElements() == 0, "len < n -> empty gram array")
+    assert(out.getArray(3).numElements() == 0,
+      "one token, w=2 -> no word grams")
+    val short = proj(InternalRow(UTF8String.fromString("ab cd ef"), null))
+    assert(short.getArray(0).numElements() == 6, "8 code points, n=3 -> 6 grams")
+    assert(short.getArray(3).numElements() == 2, "3 tokens, w=2 -> 2 grams")
+    val empty = proj(InternalRow(UTF8String.fromString("ab"), null)).getArray(0)
+    assert(empty.numElements() == 0, "len < n -> empty gram array")
     assert(proj(InternalRow(null, null)).isNullAt(0), "null string -> null")
+    assert(proj(InternalRow(null, null)).isNullAt(3), "null string -> null grams")
+  }
+
+  test("word_gram_hashes: SQL-registered, literal-w enforced, gram identity") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT size(word_gram_hashes('a b c d', 2)) AS n, " +
+        "word_gram_hashes('x y', 2)[0] = word_gram_hashes('q x y', 2)[1] AS same, " +
+        "word_gram_hashes('x y', 2)[0] = word_gram_hashes('x z', 2)[0] AS diff")
+      .first()
+    assert(r.getInt(0) == 3, "4 tokens, w=2 -> 3 grams")
+    assert(r.getBoolean(1), "equal token sequences hash equal at any position")
+    assert(!r.getBoolean(2), "different token sequences hash differently")
+    val e = intercept[Exception] {
+      spark.sql("SELECT word_gram_hashes(text, CAST(n_chars AS INT)) FROM " +
+        "parquet.`/root/testdata/sf0.001/documents.parquet`").collect()
+    }
+    assert(e.getMessage.contains("n must be a literal integer"), e.getMessage)
   }
 
   test("ParseMessyNumber ≡ composed on Unicode whitespace (NBSP family)") {

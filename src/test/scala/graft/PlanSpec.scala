@@ -114,6 +114,34 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("gram generation is map-only: no Window operator in the shingle family") {
+    // Round 4 moved shingle generation scan-side (WordGramHashes /
+    // per-doc gram arrays): a Window reappearing in these plans means
+    // the corpus-wide tokenize shuffle snuck back in.
+    Seq("q_near_dup", "q_near_dup_char", "q_repetition_stats",
+        "q_decontaminate", "q_text_search", "q_dedup_minhash").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Window"),
+        s"$q must not pay a window shuffle for gram generation:\n$p")
+    }
+  }
+
+  test("q_decontaminate: eval side broadcast, train side map-only to the probe") {
+    val p = plan("q_decontaminate")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"eval shingles must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the training corpus must not shuffle into a merge join:\n$p")
+  }
+
+  test("q_seq_pack: one scan, one shard-partitioned window, no join") {
+    val p = plan("q_seq_pack")
+    assert(p.split("\n").count(l =>
+      l.contains("FileScan parquet") && l.contains("documents")) == 1,
+      s"documents must be scanned exactly once:\n$p")
+    assert(!p.contains("Join"), s"packing is windowing, not joining:\n$p")
+  }
+
   test("q_label_centroids: partial (map-side) aggregation before the shuffle") {
     val p = plan("q_label_centroids")
     assert(p.contains("partial_"), s"no partial aggregation found:\n$p")
