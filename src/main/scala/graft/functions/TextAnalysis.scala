@@ -164,4 +164,33 @@ object TextAnalysis {
         + length(x).cast("long")))
     aggregate(weighted, lit(0L), (a, b) => a + b) % 1000003L
   }
+
+  /** Stopwords the Gopher-style composite filter tests for (the en
+    * marker list minus the rarer members — presence, not language, is
+    * the signal here). */
+  val FilterStopwords: Seq[String] = Seq("the", "a", "of", "to", "and")
+
+  /** Gopher-style composite quality gate: first failing rule (in the
+    * published rule order) or NULL when the doc passes. All arithmetic
+    * is INTEGER comparisons (mean-word-length bounds are cross-
+    * multiplied: 2n ≤ nonspace ≤ 12n instead of 2 ≤ nonspace/n ≤ 12)
+    * so the gate is bit-identical across engines — a quality filter
+    * that flickers between runs silently changes the training corpus.
+    * Rules (bounds as arguments so pipelines tune per corpus):
+    *  1. n_tokens < minTokens            → too_short
+    *  2. n_tokens > maxTokens            → too_long
+    *  3. mean word length ∉ [2, 12]      → word_length
+    *  4. stopword mass < 1/50 of tokens  → low_stopword */
+  def gopherReject(text: Column, minTokens: Int = 15,
+                   maxTokens: Int = 90): Column = {
+    val t = tokens(text)
+    val n = size(t).cast("long")
+    val nonspace = length(regexp_replace(text, " ", "")).cast("long")
+    val nStop = markerCount(t, FilterStopwords).cast("long")
+    when(n < minTokens, lit("too_short"))
+      .when(n > maxTokens, lit("too_long"))
+      .when(nonspace < lit(2L) * n || nonspace > lit(12L) * n,
+        lit("word_length"))
+      .when(nStop * 50L < n, lit("low_stopword"))
+  }
 }

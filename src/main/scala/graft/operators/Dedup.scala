@@ -373,7 +373,7 @@ object Dedup {
       .localCheckpoint(true)
     // Decimal sum: immune to long overflow however large the id space.
     def labSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("lab").cast("decimal(38,0)"))).head.getDecimal(0)
+      df.agg(sum(col("lab").cast("decimal(38,0)"))).head().getDecimal(0)
     var prevSum = labSum(lab)
     var it = 0
     var converged = false

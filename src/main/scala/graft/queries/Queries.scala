@@ -1822,6 +1822,69 @@ object Queries {
     FROM m LEFT JOIN lab ON lab.vec_id = m.vec_id
     ORDER BY m.vec_id"""))
 
+  /** Gopher-style composite quality filter: keep/reject + FIRST
+    * failing rule per doc (token-count bounds, mean-word-length
+    * bounds, stopword mass). Map-only, integer-only comparisons
+    * (see TextAnalysis.gopherReject) — a quality gate must be
+    * bit-stable across engines and runs or the training corpus
+    * silently drifts. */
+  private val qGopherFilter = Q(
+    "q_gopher_filter",
+    (s, d) => {
+      val reason = TextAnalysis.gopherReject(col("text"))
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          size(split(lower(col("text")), " ")).cast("long").as("n_tokens"),
+          reason.as("reject_reason"))
+        .withColumn("keep", col("reject_reason").isNull)
+        .orderBy("doc_id")
+    },
+    Some("""WITH m AS (
+      SELECT doc_id,
+        CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens,
+        CAST(len(replace(text, ' ', '')) AS BIGINT) AS nonspace,
+        CAST(len(list_filter(string_split(lower(text), ' '),
+          tk -> tk IN ('the', 'a', 'of', 'to', 'and'))) AS BIGINT) AS n_stop
+      FROM documents)
+    SELECT doc_id, n_tokens,
+      CASE WHEN n_tokens < 15 THEN 'too_short'
+           WHEN n_tokens > 90 THEN 'too_long'
+           WHEN nonspace < 2 * n_tokens OR nonspace > 12 * n_tokens
+             THEN 'word_length'
+           WHEN n_stop * 50 < n_tokens THEN 'low_stopword'
+           END AS reject_reason,
+      CASE WHEN n_tokens < 15 THEN 'too_short'
+           WHEN n_tokens > 90 THEN 'too_long'
+           WHEN nonspace < 2 * n_tokens OR nonspace > 12 * n_tokens
+             THEN 'word_length'
+           WHEN n_stop * 50 < n_tokens THEN 'low_stopword'
+           END IS NULL AS keep
+    FROM m ORDER BY doc_id"""))
+
+  /** Statistical aggregates per group — the stddev/correlation family
+    * BigQuery would run for the reference's numeric KPI columns:
+    * sample stddev of doc length and the length↔token-count
+    * correlation per language. One scan, one map-side-combining agg;
+    * 4-dp floor rounding absorbs the engine-dependent partial-merge
+    * order of the double moments (the documented cross-engine float
+    * limit). */
+  private val qStatsAgg = Q(
+    "q_stats_agg",
+    (s, d) => t(s, d, "documents")
+      .select(col("lang"), col("n_chars"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"),
+        TextAnalysis.round4Stable(stddev_samp(col("n_chars"))).as("sd_chars"),
+        TextAnalysis.round4Stable(
+          corr(col("n_chars"), col("n_tokens"))).as("corr_chars_tokens"))
+      .orderBy("lang"),
+    Some("""SELECT lang, count(*) AS n,
+      floor(stddev_samp(n_chars) * 10000.0 + 0.5) / 10000.0 AS sd_chars,
+      floor(corr(n_chars, len(string_split(text, ' '))) * 10000.0 + 0.5)
+        / 10000.0 AS corr_chars_tokens
+    FROM documents GROUP BY lang ORDER BY lang"""))
+
   // ---------------------------------------------------------------------
 
   val all: Seq[Q] = Seq(
@@ -1840,7 +1903,8 @@ object Queries {
     qAnnTopk, qAnnIvf, qMediaFeatures, qQuantile, qApproxQuantile,
     qWindowFuncs, qAsofJoin, qRangeJoin, qTextSearch, qLabelCentroids,
     qStratifiedSample, qClassWeights, qUploadAdmission,
-    qDecontaminate, qSeqPack, qUnigramLogprob, qSemDedup)
+    qDecontaminate, qSeqPack, qUnigramLogprob, qSemDedup,
+    qGopherFilter, qStatsAgg)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap
