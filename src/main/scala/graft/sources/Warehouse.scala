@@ -42,4 +42,27 @@ object Warehouse {
   def read(spark: SparkSession, path: String,
            mergeSchema: Boolean = false): DataFrame =
     spark.read.option("mergeSchema", mergeSchema.toString).parquet(path)
+
+  /** Write `df` as a BUCKETED catalog table: rows are hash-distributed
+    * into `nBuckets` files per partition by `bucketCol` and sorted by
+    * it within each bucket. Two tables bucketed the same way join on
+    * the bucket column with NO shuffle on either side (and no sort,
+    * since buckets are pre-sorted) — the co-located-join layout for
+    * fact↔fact joins where neither side is broadcastable and the join
+    * key is stable (e.g. orders ⋈ lineitem on the order key at the
+    * 100 TB design point, re-joined by every downstream query).
+    * Pick nBuckets so one bucket ≈ 100-200 MB at the target scale;
+    * it must MATCH across tables meant to co-join (Spark only elides
+    * the shuffle when bucket specs agree). Asserted shuffle-free in
+    * ScaleOpsSpec.
+    *
+    * Bucketing metadata lives in the session catalog (saveAsTable) —
+    * path-based parquet reads don't carry it. */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+                    nBuckets: Int, path: Option[String] = None): Unit = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    val w = df.write.mode("overwrite")
+      .bucketBy(nBuckets, bucketCol).sortBy(bucketCol)
+    path.fold(w)(p => w.option("path", p)).saveAsTable(table)
+  }
 }

@@ -50,6 +50,40 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(rows == Set(("a", 1L, "A"), ("a", 2L, "A"), ("b", 3L, "B")))
   }
 
+  test("co-bucketed tables join with zero shuffles and zero sorts") {
+    // The fact↔fact co-location layout: both sides bucketed+sorted on
+    // the join key with matching bucket counts — the join must plan
+    // without any Exchange (and without re-sorting, buckets are
+    // pre-sorted). This is the layout q-style pipelines rely on when
+    // neither side broadcasts at the 100 TB design point.
+    val dir = Files.createTempDirectory("graft-buckets").toString
+    val orders = spark.range(0, 1000)
+      .select(col("id").as("o_key"), (col("id") % 7).as("o_val"))
+    val items = spark.range(0, 3000)
+      .select((col("id") % 1000).as("o_key"), col("id").as("i_val"))
+    Warehouse.writeBucketed(orders, "b_orders", "o_key", 8,
+      Some(s"$dir/orders"))
+    Warehouse.writeBucketed(items, "b_items", "o_key", 8,
+      Some(s"$dir/items"))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("b_orders").join(spark.table("b_items"), "o_key")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"co-bucketed join must not shuffle either side:\n$plan")
+      assert(joined.count() == 3000)
+      // Sanity: same result as the plain path-based join.
+      val plain = spark.read.parquet(s"$dir/orders")
+        .join(spark.read.parquet(s"$dir/items"), "o_key")
+      assert(plain.count() == 3000)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_items")
+    }
+  }
+
   test("warehouse day-partitioned layout prunes partitions on read") {
     val dir = Files.createTempDirectory("graft-wh").toString
     val events = spark.createDataFrame(Seq(
