@@ -117,13 +117,18 @@ object TextAnalysis {
   def piiCount(text: Column, pattern: String): Column =
     size(regexp_extract_all(text, lit(pattern), lit(0))).cast("long")
 
-  /** Cross-engine-stable positive rounding: floor(x·10^dp + 0.5)/10^dp.
+  /** Cross-engine-stable rounding: floor(x·10^dp + 0.5)/10^dp.
     * Ratios of small integers often land EXACTLY on .xxxx5 decimal
     * boundaries, where Spark's BigDecimal HALF_UP and DuckDB's rounding
     * can disagree about which side the nearest double sits on. The
     * floor form is the same three IEEE ops in both engines, so results
-    * are bit-identical; oracles use the same expression. Positive
-    * inputs only. */
+    * are bit-identical; oracles MUST inline the same expression.
+    * Defined for any sign: on negatives the tie behavior is
+    * half-toward-+infinity (floor(-0.5 + 0.5) = 0), NOT half-away-
+    * from-zero — q_unigram_logprob (negative log-probs) and
+    * q_stats_agg (correlations) depend on exactly this form on both
+    * sides, so do not "fix" the negative tie direction without
+    * changing every oracle in lockstep. */
   def roundStable(c: Column, dp: Int): Column = {
     val scale = math.pow(10.0, dp.toDouble)
     floor(c * scale + 0.5) / scale

@@ -38,13 +38,21 @@ object Decontaminate {
     * after the match, where only contaminated rows remain.
     *
     * `train` / `test` need (doc_id, text); shingling follows
-    * [[Dedup.shingleRows]] (lowercased, whitespace tokens). */
-  def ngramHits(train: DataFrame, test: DataFrame, w: Int = 8): DataFrame = {
+    * [[Dedup.shingleRows]] (lowercased, whitespace tokens).
+    *
+    * `broadcastEval` (default true) force-broadcasts the eval shingle
+    * set — correct for a benchmark suite (thousands of docs). The
+    * hint BYPASSES autoBroadcastJoinThreshold, so a caller probing
+    * against a large eval corpus must pass false to fall back to the
+    * shuffle equi-join instead of collecting gigabytes to the
+    * driver. */
+  def ngramHits(train: DataFrame, test: DataFrame, w: Int = 8,
+                broadcastEval: Boolean = true): DataFrame = {
     val trainSh = Dedup.hashedShingleRows(train, w)
     val testSh = Dedup.hashedShingleRows(test, w)
       .withColumnRenamed("doc_id", "test_doc")
       .dropDuplicates("test_doc", "s")
-    trainSh.join(broadcast(testSh), "s")
+    trainSh.join(if (broadcastEval) broadcast(testSh) else testSh, "s")
       .groupBy("doc_id")
       .agg(countDistinct("s").as("n_hits"),
         countDistinct("test_doc").as("n_test_docs"))

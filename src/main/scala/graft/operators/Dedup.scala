@@ -180,10 +180,18 @@ object Dedup {
     * TakeOrderedAndProject. */
   def shingleSearchTopK(docs: DataFrame, query: String, w: Int = 3,
                         k: Int = 20): DataFrame = {
-    require(query.toLowerCase.split(" ").length >= w,
-      s"query shorter than $w tokens")
+    // Strip TRAILING spaces before hashing: the native tokenizer keeps
+    // trailing empty tokens (matching Spark's split on the corpus
+    // side), but a query phrase ending in spaces would then carry a
+    // near-unmatchable "... <empty>" gram into the denominator and
+    // deflate every score. Leading/interior runs stay as typed — they
+    // are part of the phrase on both sides. The length gate derives
+    // from the SAME tokenization as the hashes (empty gram array =
+    // too short), not from a second split with different semantics.
+    val q = query.toLowerCase.replaceAll(" +$", "")
     val qArr = graft.plans.ExprHelpers.wordGramHashes(
-      org.apache.spark.unsafe.types.UTF8String.fromString(query.toLowerCase), w)
+      org.apache.spark.unsafe.types.UTF8String.fromString(q), w)
+    require(qArr.numElements() > 0, s"query shorter than $w tokens")
     val qHashes = qArr.toLongArray().toSeq.distinct
     hashedShingleRows(docs, w)
       .filter(col("s").isin(qHashes: _*))
@@ -196,8 +204,9 @@ object Dedup {
   }
 
   /** MinHash parameters: k independent hashes h_i(x) = (a_i·x + b_i)
-    * mod P over a 32-bit murmur3 shingle hash. a/b come from a fixed
-    * LCG so signatures are reproducible across runs and executors. */
+    * mod P over the native 64-bit word-gram hash folded into [0, P)
+    * by pmod (see [[hashedShingleRows]]). a/b come from a fixed LCG so
+    * signatures are reproducible across runs and executors. */
   val MinHashP: Long = 2147483647L // 2^31 - 1 (Mersenne prime)
   def minHashCoefs(k: Int): Seq[(Long, Long)] = {
     var state = 42L

@@ -1686,17 +1686,23 @@ object Queries {
     FROM j ORDER BY doc_id"""))
 
   /** Benchmark decontamination (asymmetric n-gram containment): train
-    * docs sharing any 6-gram with the eval split (doc_id % 10 = 0).
-    * The eval shingle set is BROADCAST — the training corpus is never
-    * shuffled, so the probe is one map-side join at any corpus size
-    * (see graft.operators.Decontaminate). Hashed-gram counts vs the
-    * oracle's string counts: the documented 2^-64 collision trade. */
+    * docs sharing any 6-gram with the eval split. The eval set is
+    * BOUNDED BY CONSTRUCTION (doc_id % 10 = 0 AND doc_id < 10000 —
+    * ≤ 1000 docs at ANY corpus size, a benchmark suite, not a corpus
+    * slice), which is what licenses the unconditional broadcast of
+    * its shingle set: the training corpus is never shuffled and the
+    * probe is one map-side join at any corpus scale (see
+    * graft.operators.Decontaminate — pass broadcastEval=false for a
+    * genuinely large eval side). Hashed-gram counts vs the oracle's
+    * string counts: the documented 2^-64 collision trade. */
   private val qDecontaminate = Q(
     "q_decontaminate",
     (s, d) => {
       val docs = t(s, d, "documents")
-      val test = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
-      val train = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+      val isEval = pmod(col("doc_id"), lit(10)) === 0 &&
+        col("doc_id") < 10000L
+      val test = docs.filter(isEval)
+      val train = docs.filter(!isEval)
       Decontaminate.ngramHits(train, test, w = 6).orderBy("doc_id")
     },
     Some("""WITH toks AS (
@@ -1708,8 +1714,10 @@ object Queries {
             i -> array_to_string(t[i:i+5], ' '))
           ELSE []::VARCHAR[] END) AS s
       FROM toks),
-    test AS (SELECT doc_id AS test_doc, s FROM sh WHERE doc_id % 10 = 0),
-    train AS (SELECT doc_id, s FROM sh WHERE doc_id % 10 <> 0)
+    test AS (SELECT doc_id AS test_doc, s FROM sh
+             WHERE doc_id % 10 = 0 AND doc_id < 10000),
+    train AS (SELECT doc_id, s FROM sh
+              WHERE NOT (doc_id % 10 = 0 AND doc_id < 10000))
     SELECT tr.doc_id, count(DISTINCT tr.s) AS n_hits,
       count(DISTINCT te.test_doc) AS n_test_docs
     FROM train tr JOIN test te ON tr.s = te.s

@@ -55,17 +55,25 @@ object UploadAdmission {
         && col("folder_id") === col("_s_folder")
         && col("email") === col("_s_email"),
       "left")
-    val missing = col("folder_id").isNull || col("owner_id").isNull ||
+    // Empty string counts as missing, like the reference's Python
+    // falsiness check (main.py:611 `if not folder_id`): an accepted
+    // empty owner_id would also collapse a path level in storage_path
+    // ('incoming//f1/...' normalizes to 'incoming/f1/...'), promoting
+    // the folder into the owner directory — the collision the
+    // traversal gate exists to prevent.
+    val missing = col("folder_id").isNull || col("folder_id") === "" ||
+      col("owner_id").isNull || col("owner_id") === "" ||
       col("content").isNull
     // Traversal gate: an id that would add/remove a path level can
     // never be written (see scaladoc — reject, don't rewrite, so
     // accepted paths stay byte-identical to the catalog's raw keys).
     def traverses(c: org.apache.spark.sql.Column) =
       c.contains("/") || c.contains("\\") || c === "." || c === ".."
-    // A null email is the reference's 401 path (main.py:604-609),
+    // A null/empty email is the reference's 401 path (main.py:604-609),
     // checked BEFORE the field/suffix/share gates — without it the
     // share probe would misreport "no_share" for a malformed request.
-    val reason = when(col("email").isNull, lit("unauthorized"))
+    val reason = when(col("email").isNull || col("email") === "",
+        lit("unauthorized"))
       .when(missing, lit("missing_fields"))
       .when(traverses(col("owner_id")) || traverses(col("folder_id")),
         lit("bad_path"))

@@ -34,8 +34,12 @@ class UploadAdmissionSpec extends AnyFunSuite {
       req("nobody@x.com", "u1", "f1", "a.pdf"),              // no_share
       req("editor@x.com", "u1", "f9", "a.pdf"),              // no share for f9
       ("editor@x.com", "u1", null, "a.pdf", bytes("x")),     // missing_fields
-      // null principal → the reference's 401 path, BEFORE other gates
+      // EMPTY owner is missing too (reference Python falsiness,
+      // main.py:611) — and must never build 'incoming//...' paths
+      ("editor@x.com", "", "f1", "a.pdf", bytes("x")),       // missing_fields
+      // null/empty principal → the reference's 401 path, BEFORE other gates
       (null, "u1", "f1", "a.pdf", bytes("x")),               // unauthorized
+      ("", "u1", "f1", "a.pdf", bytes("x")),                 // unauthorized
       // suffix check precedes the share probe (main.py:614 vs 620)
       req("nobody@x.com", "u1", "f1", "bad.exe"))
       .toDF("email", "owner_id", "folder_id", "file_name", "content")
@@ -52,7 +56,10 @@ class UploadAdmissionSpec extends AnyFunSuite {
     assert(Seq(("viewer@x.com", "view_only")).forall { case (_, r) =>
       got.exists(g => g._3.contains(r)) })
     assert(got.count(_._3.contains("no_share")) == 2)
-    assert(got.exists(_._3.contains("missing_fields")))
+    assert(got.count(_._3.contains("missing_fields")) == 2,
+      "null AND empty ids must both be missing_fields")
+    assert(got.count(_._3.contains("unauthorized")) == 2,
+      "null AND empty email must both be the 401 path")
     assert(got.exists(_._3.contains("unauthorized")),
       "null email must be the 401 path, not a share miss")
     assert(reasonOf("bad.exe").contains("not_pdf"),
