@@ -232,4 +232,53 @@ object TemporalJoins {
     (keyCols.map(rBucketed(_)) ++ Seq(lBucketed("_bucket"), rBucketed("_bucket")))
       .foldLeft(joined)(_ drop _)
   }
+
+  /** Interval-OVERLAP join: pairs of left/right rows whose time
+    * intervals intersect (lStart ≤ rEnd ∧ rStart ≤ lEnd), per key.
+    * Same time-bucket equi-join scheme as [[rangeJoin]] — BOTH sides
+    * replicate into the buckets their interval spans (each guarded by
+    * `maxBucketsPerInterval`), candidates meet on (key, bucket), and
+    * the exact predicate refines in-join. A pair overlapping across
+    * several shared buckets would surface once per bucket; instead of
+    * a distinct-shuffle afterwards, the join keeps ONLY the first
+    * shared bucket (`bucket = max(floor(lStart), floor(rStart))` —
+    * the earliest bucket where both intervals exist), so each
+    * qualifying pair is emitted exactly once with no dedup stage.
+    * At scale the shuffle key is (key, bucket): only rows whose
+    * intervals touch the same bucket ever meet, and bucketSeconds
+    * trades replication (long intervals) against bucket occupancy
+    * (hot buckets) exactly as in rangeJoin. */
+  def overlapJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+                  lStart: String, lEnd: String,
+                  rStart: String, rEnd: String,
+                  bucketSeconds: Long,
+                  maxBucketsPerInterval: Int = 4096): DataFrame = {
+    require(bucketSeconds > 0, "bucketSeconds must be positive")
+    require(maxBucketsPerInterval > 0, "maxBucketsPerInterval must be positive")
+    def buckets(s: String, e: String): Column = {
+      val lb = floor(unix_timestamp(col(s)) / bucketSeconds).cast("long")
+      val ub = floor(unix_timestamp(col(e)) / bucketSeconds).cast("long")
+      val span = ub - lb + 1L
+      when(span.isNull, lit(null).cast("array<long>"))
+        .when(span <= maxBucketsPerInterval, sequence(lb, ub))
+        .otherwise(raise_error(concat(
+          lit("overlapJoin: interval ["), col(s).cast("string"),
+          lit(", "), col(e).cast("string"),
+          lit(s"] spans more than $maxBucketsPerInterval buckets of " +
+            s"${bucketSeconds}s; choose a coarser bucketSeconds"))))
+    }
+    val lB = left.withColumn("_bucket", explode(buckets(lStart, lEnd)))
+    val rB = right.withColumn("_bucket", explode(buckets(rStart, rEnd)))
+    val keyCond = keyCols.map(k => lB(k) === rB(k))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    val firstShared = greatest(
+      floor(unix_timestamp(lB(lStart)) / bucketSeconds).cast("long"),
+      floor(unix_timestamp(rB(rStart)) / bucketSeconds).cast("long"))
+    val joined = lB.join(rB,
+      keyCond && (lB("_bucket") === rB("_bucket"))
+        && lB("_bucket") === firstShared
+        && lB(lStart) <= rB(rEnd) && rB(rStart) <= lB(lEnd))
+    (keyCols.map(rB(_)) ++ Seq(lB("_bucket"), rB("_bucket")))
+      .foldLeft(joined)(_ drop _)
+  }
 }

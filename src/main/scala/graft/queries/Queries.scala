@@ -1893,6 +1893,42 @@ object Queries {
         / 10000.0 AS corr_chars_tokens
     FROM documents GROUP BY lang ORDER BY lang"""))
 
+  /** Interval-overlap join: per customer, pairs of (even, odd) order
+    * intervals [o_orderdate, +key%5 days] that intersect — the
+    * meeting/booking-conflict shape. Time-bucket equi-join with the
+    * first-shared-bucket trick (each pair emitted exactly once, no
+    * dedup shuffle); oracle is the plain inequality join. */
+  private val qIntervalOverlap = Q(
+    "q_interval_overlap",
+    (s, d) => {
+      val iv = t(s, d, "orders").select(
+        col("o_orderkey").as("k"), col("o_custkey").as("cust"),
+        col("o_orderdate").as("start_ts"),
+        (col("o_orderdate")
+          + pmod(col("o_orderkey"), lit(5)) * expr("INTERVAL 1 DAY"))
+          .as("end_ts"))
+      val left = iv.filter(pmod(col("k"), lit(2)) === 0)
+        .withColumnRenamed("k", "lk")
+      val right = iv.filter(pmod(col("k"), lit(2)) === 1)
+        .withColumnRenamed("k", "rk")
+        .withColumnRenamed("start_ts", "r_start")
+        .withColumnRenamed("end_ts", "r_end")
+      TemporalJoins.overlapJoin(left, right, Seq("cust"),
+          "start_ts", "end_ts", "r_start", "r_end",
+          bucketSeconds = 4L * 86400L)
+        .select(col("cust"), col("lk"), col("rk"))
+        .orderBy("cust", "lk", "rk")
+    },
+    Some("""WITH iv AS (
+      SELECT o_orderkey AS k, o_custkey AS cust, o_orderdate AS s,
+        o_orderdate + INTERVAL ((o_orderkey % 5)) DAY AS e
+      FROM orders)
+    SELECT a.cust AS cust, a.k AS lk, b.k AS rk
+    FROM iv a JOIN iv b
+      ON a.cust = b.cust AND a.k % 2 = 0 AND b.k % 2 = 1
+      AND a.s <= b.e AND b.s <= a.e
+    ORDER BY a.cust, lk, rk"""))
+
   // ---------------------------------------------------------------------
 
   val all: Seq[Q] = Seq(
@@ -1912,7 +1948,7 @@ object Queries {
     qWindowFuncs, qAsofJoin, qRangeJoin, qTextSearch, qLabelCentroids,
     qStratifiedSample, qClassWeights, qUploadAdmission,
     qDecontaminate, qSeqPack, qUnigramLogprob, qSemDedup,
-    qGopherFilter, qStatsAgg)
+    qGopherFilter, qStatsAgg, qIntervalOverlap)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -159,6 +159,34 @@ object EventStreams {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
 
+  /** Stream-stream interval join: match each left event with the right
+    * events of the SAME user within `[left.ts - before, left.ts +
+    * after]` — the enrichment shape (clicks ⋈ impressions, spans ⋈
+    * metrics) expressed with Structured Streaming's watermarked
+    * stream-stream join. Both sides carry a watermark and the join
+    * condition bounds the event-time distance, so each side's buffered
+    * state is evicted once the other side's watermark passes the
+    * bound — state is O(rate × window), not O(stream). Append-mode
+    * only (inner join emits when both sides are sealed).
+    *
+    * Column contract: left has (event_id, ts, user_id, ...), right is
+    * aliased (r_event_id, r_ts, user_id, ...); output pairs them. */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+                   before: String = "10 minutes",
+                   after: String = "10 minutes",
+                   watermark: String = "10 minutes"): DataFrame = {
+    val l = left.withWatermark("ts", watermark)
+    val r = right
+      .withColumnRenamed("event_id", "r_event_id")
+      .withColumnRenamed("ts", "r_ts")
+      .withWatermark("r_ts", watermark)
+    l.join(r,
+      l("user_id") === r("user_id")
+        && col("r_ts") >= col("ts") - expr(s"INTERVAL $before")
+        && col("r_ts") <= col("ts") + expr(s"INTERVAL $after"))
+      .drop(r("user_id"))
+  }
+
   /** Convenience: run a streaming DataFrame to a memory sink until all
     * available data is processed; returns the sink table name. */
   def runToMemory(spark: SparkSession, df: DataFrame, name: String,

@@ -42,6 +42,28 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(got.nonEmpty, "watermark should have closed at least one window")
   }
 
+  test("intervalJoin pairs same-user events within the time bound, append mode") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val views = MemoryStream[Event]
+    clicks.addData(
+      Event(1, ts(10), 1, 1.0),   // pairs with view 101 (5 min apart)
+      Event(2, ts(100), 1, 1.0),  // no view within 10 min
+      Event(3, ts(20), 2, 1.0))   // pairs with view 103 (same minute)
+    views.addData(
+      Event(101, ts(5), 1, 9.0),
+      Event(102, ts(60), 1, 9.0), // 40 min from click 2: out of bound
+      Event(103, ts(20), 2, 9.0),
+      Event(104, ts(15), 3, 9.0)) // user 3 has no clicks
+    EventStreams.runToMemory(spark,
+      EventStreams.intervalJoin(clicks.toDF(), views.toDF()),
+      "ssjoin_out", OutputMode.Append())
+    val pairs = spark.table("ssjoin_out").select("event_id", "r_event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 101L), (3L, 103L)), s"got $pairs")
+  }
+
   test("dedupWithinWatermark drops replayed ids, keeps distinct ones") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

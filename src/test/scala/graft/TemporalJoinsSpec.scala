@@ -139,6 +139,26 @@ class TemporalJoinsSpec extends AnyFunSuite {
     assert(ok2.length == 1)
   }
 
+  test("overlapJoin matches a brute-force inequality join on random data (property)") {
+    val rnd = new scala.util.Random(7)
+    val li = (1 to 300).map { i =>
+      val s = rnd.nextInt(5000); (i.toLong, (i % 9).toLong, ts(s), ts(s + rnd.nextInt(400)))
+    }.toDF("lk", "k", "ls", "le")
+    val ri = (1 to 300).map { i =>
+      val s = rnd.nextInt(5000); (i.toLong, (i % 9).toLong, ts(s), ts(s + rnd.nextInt(400)))
+    }.toDF("rk", "k", "rs", "re")
+    val got = TemporalJoins.overlapJoin(li, ri, Seq("k"),
+        "ls", "le", "rs", "re", bucketSeconds = 3600)
+      .select("lk", "rk").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val brute = li.join(ri, li("k") === ri("k")
+        && li("ls") <= ri("re") && ri("rs") <= li("le"))
+      .select("lk", "rk").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == got.toSet.size,
+      "multi-bucket overlaps must emit exactly once (first-shared-bucket)")
+    assert(got.toSet == brute.toSet,
+      s"missing=${(brute.toSet -- got.toSet).take(5)} extra=${(got.toSet -- brute.toSet).take(5)}")
+  }
+
   test("asofJoinBucketed matches asofJoin on random data (property)") {
     // Unique right times per key → the as-of winner is unambiguous, so
     // both operators must agree exactly. Small bucket span forces both
