@@ -161,13 +161,21 @@ object ExprHelpers {
     if (nTok < w) return org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
       .fromPrimitiveArray(Array.empty[Long])
     val B = 1099511628211L
+    // Per-token state seeds NON-ZERO: with a zero seed the empty
+    // token, an all-NUL token, and tokens differing only by leading
+    // NULs would all reach the same state (0·B + 0 = 0), making
+    // DISTINCT grams compare equal deterministically — unlike the
+    // documented probabilistic n²/2^64 trade. A non-zero seed makes
+    // the state length-sensitive (seed·B^len + Σ c·B^i), so those
+    // families separate.
+    val Seed = 0x9E3779B97F4A7C15L
     val th = new Array[Long](nTok)
     var t = 0
-    var h = 0L
+    var h = Seed
     i = 0
     while (i < len) {
       val c = str.charAt(i)
-      if (c == ' ') { th(t) = fmix64(h); t += 1; h = 0L }
+      if (c == ' ') { th(t) = fmix64(h); t += 1; h = Seed }
       else h = h * B + c
       i += 1
     }

@@ -1882,10 +1882,16 @@ object Queries {
       .select(col("lang"), col("n_chars"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"))
       .groupBy("lang")
+      // nanvl→NULL: Spark returns NaN for a singleton group's stddev
+      // and a zero-variance corr where DuckDB returns NULL — latent
+      // here (every lang has >1 varied doc) but a fixture regen or a
+      // smaller SF must not flip the gate.
       .agg(count(lit(1)).as("n"),
-        TextAnalysis.round4Stable(stddev_samp(col("n_chars"))).as("sd_chars"),
-        TextAnalysis.round4Stable(
-          corr(col("n_chars"), col("n_tokens"))).as("corr_chars_tokens"))
+        TextAnalysis.round4Stable(nanvl(stddev_samp(col("n_chars")),
+          lit(null).cast("double"))).as("sd_chars"),
+        TextAnalysis.round4Stable(nanvl(
+          corr(col("n_chars"), col("n_tokens")),
+          lit(null).cast("double"))).as("corr_chars_tokens"))
       .orderBy("lang"),
     Some("""SELECT lang, count(*) AS n,
       floor(stddev_samp(n_chars) * 10000.0 + 0.5) / 10000.0 AS sd_chars,

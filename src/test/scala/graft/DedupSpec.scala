@@ -76,6 +76,21 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("word-gram token hashes separate the NUL/empty family (seeded state)") {
+    import spark.implicits._
+    // With a zero-seeded token state, '', '\u0000' and leading-NUL
+    // tokens all hashed alike — distinct grams compared equal
+    // DETERMINISTICALLY (not the documented probabilistic trade).
+    val docs = Seq(
+      (1L, "foo \u0000 bar"), (2L, "foo  bar"),   // NUL token vs empty token
+      (3L, "foo \u0000x bar"), (4L, "foo x bar")) // leading-NUL token vs plain
+      .toDF("doc_id", "text")
+    val grams = Dedup.hashedShingleRows(docs, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(grams(1L) != grams(2L), "'\\u0000' and '' tokens must hash apart")
+    assert(grams(3L) != grams(4L), "'\\u0000x' and 'x' tokens must hash apart")
+  }
+
   test("cosineLshPairs: finds planted near-dups, exact-refined, full recall regime") {
     // The synthetic corpus has NO high-cosine pairs (max ~0.6), so
     // plant them: vectors are unit-norm, so x + 0.05*U(-0.5,0.5) per
