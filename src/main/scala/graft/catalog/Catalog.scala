@@ -66,7 +66,7 @@ object Catalog {
         m.kpis.map(k => KpiRow(k.name, k.logicalType))))
       .toDS().coalesce(1)
       .write.mode("overwrite").json(s"$warehouseDir/_catalog")
-    loadCache.put(warehouseDir, catalog)
+    loadCache.put(warehouseDir, (catalog, fingerprint(spark, warehouseDir)))
     ()
   }
 
@@ -81,7 +81,26 @@ object Catalog {
     * O(#folders) driver-side values — the cache is bounded by the
     * number of distinct warehouses a process touches. */
   def loadCached(spark: SparkSession, warehouseDir: String): Catalog =
-    loadCache.computeIfAbsent(warehouseDir, _ => load(spark, warehouseDir))
+    loadCache.computeIfAbsent(warehouseDir,
+      _ => (load(spark, warehouseDir), fingerprint(spark, warehouseDir)))._1
+
+  /** [[loadCached]] with a STALENESS CHECK: one filesystem listing of
+    * `_catalog` (names + lengths + mtimes) decides whether the cached
+    * catalog still matches the store — an external writer's update is
+    * picked up without the full JSON read/collect, while an unchanged
+    * store costs one list RPC instead of a re-scan. Use this on read
+    * paths that may race other writers; [[loadCached]] stays the
+    * zero-RPC path for single-writer processes. */
+  def loadCachedFresh(spark: SparkSession, warehouseDir: String): Catalog = {
+    val fp = fingerprint(spark, warehouseDir)
+    val cached = loadCache.get(warehouseDir)
+    if (cached != null && cached._2 == fp) cached._1
+    else {
+      val fresh = (load(spark, warehouseDir), fp)
+      loadCache.put(warehouseDir, fresh)
+      fresh._1
+    }
+  }
 
   /** Drop [[loadCached]]'s entry for one warehouse (external update). */
   def invalidate(warehouseDir: String): Unit = {
@@ -89,8 +108,20 @@ object Catalog {
     ()
   }
 
+  /** Cheap content fingerprint of the persisted catalog: the sorted
+    * (name, length, mtime) listing of `_catalog`. One FS list call —
+    * no data read. */
+  private def fingerprint(spark: SparkSession, warehouseDir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$warehouseDir/_catalog")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) "absent"
+    else fs.listStatus(p).map(s =>
+      s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
+      .sorted.mkString(",")
+  }
+
   private val loadCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Catalog]()
+    new java.util.concurrent.ConcurrentHashMap[String, (Catalog, String)]()
 
   /** Load a previously [[save]]d catalog. */
   def load(spark: SparkSession, warehouseDir: String): Catalog = {

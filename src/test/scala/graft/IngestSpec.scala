@@ -200,6 +200,41 @@ class IngestSpec extends AnyFunSuite {
     assert(Catalog.loadCached(spark, root) == c2)
   }
 
+  test("loadCachedFresh detects an external store update; unchanged store serves cache") {
+    val root = Files.createTempDirectory("graft-cat-fresh").toString
+    val c1 = Catalog.empty.add(Catalog.train("u1", "f1", "h", Map("A" -> "$1")))
+    Catalog.save(spark, c1, root)
+    // Stash c1's persisted form, then let an "external writer" (same
+    // serialization, cache forcibly reverted) change the store.
+    val stash = Files.createTempDirectory("graft-cat-stash")
+    def copyTree(from: java.nio.file.Path, to: java.nio.file.Path): Unit = {
+      Files.walk(from).forEach { p =>
+        val dst = to.resolve(from.relativize(p))
+        if (Files.isDirectory(p)) Files.createDirectories(dst)
+        else { Files.createDirectories(dst.getParent); Files.copy(p, dst) }
+      }
+    }
+    copyTree(Paths.get(root, "_catalog"), stash.resolve("_catalog"))
+    val c2 = c1.add(Catalog.train("u2", "f2", "", Map("B" -> "2")))
+    Catalog.save(spark, c2, root)
+    assert(Catalog.loadCachedFresh(spark, root) == c2,
+      "unchanged store: fresh read serves the (current) cache")
+    // External change BEHIND the JVM's back: restore c1's files over
+    // the store. The zero-RPC path must still serve c2 (documented),
+    // the fresh path must notice the listing change and reload c1.
+    def rmAll(p: java.nio.file.Path): Unit = {
+      if (Files.isDirectory(p)) Files.list(p).forEach(child => rmAll(child))
+      Files.deleteIfExists(p); ()
+    }
+    rmAll(Paths.get(root, "_catalog"))
+    copyTree(stash.resolve("_catalog"), Paths.get(root, "_catalog"))
+    assert(Catalog.loadCached(spark, root) == c2, "zero-RPC path: cached")
+    assert(Catalog.loadCachedFresh(spark, root) == c1,
+      "fresh path must pick up the external update")
+    assert(Catalog.loadCached(spark, root) == c1,
+      "fresh reload repopulates the shared cache")
+  }
+
   test("a throwing extractor degrades to NULL KPIs instead of killing the batch") {
     val root = Files.createTempDirectory("graft-ingest-err").toString
     val meta = Catalog.train("u1", "f1", "x", Map("Amount" -> "$10"))
