@@ -366,10 +366,22 @@ object Dedup {
     // checkpointed data: isEmpty on the raw input would evaluate the
     // (possibly expensive) upstream pair pipeline a second time —
     // measured as ~2x the whole pair-join cost on q_dedup_cluster.
-    val sym = pairs.select(col("i").cast("long").as("v"), col("j").cast("long").as("u"))
+    val symRaw = pairs.select(col("i").cast("long").as("v"), col("j").cast("long").as("u"))
       .unionByName(pairs.select(col("j").cast("long").as("v"), col("i").cast("long").as("u")))
       .localCheckpoint(true)
-    if (sym.isEmpty)
+    // Right-size the loop's partitioning from the MEASURED edge count
+    // (free — the data is checkpointed): a near-dup pair graph is
+    // orders of magnitude smaller than the corpus that produced it,
+    // and iterating a few-thousand-edge graph across the corpus's
+    // partition count pays per-round scheduler overhead for empty
+    // tasks. ~500k edges per partition; coalesce is narrow (no
+    // shuffle); large graphs keep their parallelism untouched.
+    val edgeCount = symRaw.count()
+    val curParts = symRaw.rdd.getNumPartitions
+    val targetParts = math.max(1L,
+      math.min(curParts.toLong, edgeCount / 500000L + 1L)).toInt
+    val sym = if (targetParts < curParts) symRaw.coalesce(targetParts) else symRaw
+    if (edgeCount == 0L)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType(Seq(
