@@ -77,6 +77,45 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(fromPack == direct)
   }
 
+  test("corpus pipeline composes end-to-end: filter → decontaminate → dedup → pack") {
+    // The full pretraining-prep chain as ONE composed job over the
+    // corpus — what a user of the library actually runs. Each stage
+    // consumes the previous stage's DataFrame; nothing is collected
+    // until the final assertion.
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // 1. Quality gate (map-only).
+    val quality = docs.filter(
+      graft.functions.TextAnalysis.gopherReject(col("text")).isNull)
+    // 2. Decontaminate against a held-out eval split (broadcast probe).
+    val isEval = pmod(col("doc_id"), lit(10)) === 0
+    val contaminated = Decontaminate.ngramHits(
+      quality.filter(!isEval), quality.filter(isEval), w = 6)
+      .select("doc_id")
+    val train = quality.filter(!isEval)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+    // 3. Near-dup clustering, keep the canonical doc per cluster.
+    val cc = Dedup.connectedComponents(
+      Dedup.jaccardPairs(train, w = 5, threshold = 0.8).select("i", "j"))
+    val deduped = train.join(
+      cc.filter(col("doc_id") =!= col("cluster_id")).select("doc_id"),
+      Seq("doc_id"), "left_anti")
+    // 4. Pack into 512-token training bins per language shard.
+    val packed = Packing.contiguousPack(deduped, budget = 512)
+    val rows = packed.collect()
+    val nDocs = docs.count()
+    assert(rows.nonEmpty && rows.length < nDocs,
+      s"pipeline must keep a strict subset: ${rows.length} of $nDocs")
+    // Survivors: quality-passing, uncontaminated, cluster-canonical.
+    val kept = rows.map(r => r.getAs[Long]("doc_id")).toSet
+    val contaminatedIds = contaminated.collect().map(_.getLong(0)).toSet
+    assert(kept.intersect(contaminatedIds).isEmpty, "no contaminated doc survives")
+    val dupIds = cc.filter(col("doc_id") =!= col("cluster_id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(kept.intersect(dupIds).isEmpty, "no non-canonical duplicate survives")
+    // Bins fill contiguously per shard: offsets stay under the budget.
+    assert(rows.forall(r => r.getAs[Long]("bin_offset") < 512L))
+  }
+
   test("semdedup composition: every vector labeled, kept = one per cluster") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val pairs = Dedup.cosinePairs(emb, threshold = 0.3).select("i", "j")
