@@ -76,6 +76,34 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("word-gram hashes ≡ windowed shingles on random space-heavy strings (property)") {
+    import spark.implicits._
+    // Adversarial tokenization inputs: random strings over a tiny
+    // alphabet with dense spaces (runs, leading/trailing, empties).
+    // The native tokenizer must agree with split(text, " ") on gram
+    // counts AND distinct counts for every width.
+    val rnd = new scala.util.Random(11)
+    val alphabet = "ab é "   // weighted toward spaces; one non-ASCII
+    val cases = (1 to 200).map { i =>
+      val len = rnd.nextInt(30)
+      (i.toLong, (0 until len).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    }
+    val df = cases.toDF("doc_id", "text")
+    for (w <- Seq(1, 2, 3)) {
+      def profile(d: org.apache.spark.sql.DataFrame) = {
+        val all = d.groupBy("doc_id").count().collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val distinct = d.dropDuplicates("doc_id", "s").groupBy("doc_id").count()
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        (all, distinct)
+      }
+      val n = profile(Dedup.hashedShingleRows(df, w))
+      val s = profile(Dedup.shingleRows(df, w)
+        .select(col("doc_id"), xxhash64(col("s")).as("s")))
+      assert(n == s, s"w=$w mismatch")
+    }
+  }
+
   test("word-gram token hashes separate the NUL/empty family (seeded state)") {
     import spark.implicits._
     // With a zero-seeded token state, '', '\u0000' and leading-NUL
