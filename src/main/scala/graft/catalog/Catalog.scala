@@ -81,8 +81,15 @@ object Catalog {
     * O(#folders) driver-side values — the cache is bounded by the
     * number of distinct warehouses a process touches. */
   def loadCached(spark: SparkSession, warehouseDir: String): Catalog =
-    loadCache.computeIfAbsent(warehouseDir,
-      _ => (load(spark, warehouseDir), fingerprint(spark, warehouseDir)))._1
+    loadCache.computeIfAbsent(warehouseDir, _ => {
+      // Fingerprint BEFORE load: if an external writer lands between
+      // the two, we pair the OLD fp with (possibly) new data and the
+      // next loadCachedFresh pays one redundant reload — the reverse
+      // order would pair the NEW fp with old data and serve stale
+      // forever.
+      val fp = fingerprint(spark, warehouseDir)
+      (load(spark, warehouseDir), fp)
+    })._1
 
   /** [[loadCached]] with a STALENESS CHECK: one filesystem listing of
     * `_catalog` (names + lengths + mtimes) decides whether the cached
@@ -109,15 +116,20 @@ object Catalog {
   }
 
   /** Cheap content fingerprint of the persisted catalog: the sorted
-    * (name, length, mtime) listing of `_catalog`. One FS list call —
-    * no data read. */
+    * (name, length, mtime) listing of `_catalog`. ONE FS list call —
+    * no data read, no exists() pre-check (an overwrite-in-flight
+    * deletes the dir between exists and list; catching the miss is
+    * both atomic and one RPC cheaper). NB [[save]] fingerprints after
+    * its own write — a DIFFERENT external writer landing inside that
+    * window is first seen at that writer's next update; racing
+    * catalog writers need external coordination regardless. */
   private def fingerprint(spark: SparkSession, warehouseDir: String): String = {
     val p = new org.apache.hadoop.fs.Path(s"$warehouseDir/_catalog")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) "absent"
-    else fs.listStatus(p).map(s =>
+    try fs.listStatus(p).map(s =>
       s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
       .sorted.mkString(",")
+    catch { case _: java.io.FileNotFoundException => "absent" }
   }
 
   private val loadCache =

@@ -13,6 +13,25 @@ import graft.streaming.Ingest
 class IngestSpec extends AnyFunSuite {
   private lazy val spark = SparkTestBase.spark
 
+  /** Recursive delete with the directory stream CLOSED (an unclosed
+    * Files.list leaks a handle per directory for the JVM's life). */
+  private def rmAll(p: java.nio.file.Path): Unit = {
+    if (Files.isDirectory(p)) {
+      val s = Files.list(p)
+      try s.forEach(child => rmAll(child)) finally s.close()
+    }
+    Files.deleteIfExists(p); ()
+  }
+
+  private def copyTree(from: java.nio.file.Path, to: java.nio.file.Path): Unit = {
+    val s = Files.walk(from)
+    try s.forEach { p =>
+      val dst = to.resolve(from.relativize(p))
+      if (Files.isDirectory(p)) Files.createDirectories(dst)
+      else { Files.createDirectories(dst.getParent); Files.copy(p, dst) }
+    } finally s.close()
+  }
+
   private def write(root: String, rel: String, content: String): Unit = {
     val p = Paths.get(root, rel)
     Files.createDirectories(p.getParent)
@@ -184,11 +203,6 @@ class IngestSpec extends AnyFunSuite {
     assert(Catalog.loadCached(spark, root) == c)
     // Destroy the persisted store: a cached re-read must still serve
     // the metadata — proof no scan happens (main.py:551-560 fast path).
-    def rmAll(p: java.nio.file.Path): Unit = {
-      if (Files.isDirectory(p))
-        Files.list(p).forEach(child => rmAll(child))
-      Files.deleteIfExists(p); ()
-    }
     rmAll(Paths.get(root, "_catalog"))
     assert(Catalog.loadCached(spark, root) == c)
     // Invalidate → next read goes to disk and fails (store is gone).
@@ -207,13 +221,6 @@ class IngestSpec extends AnyFunSuite {
     // Stash c1's persisted form, then let an "external writer" (same
     // serialization, cache forcibly reverted) change the store.
     val stash = Files.createTempDirectory("graft-cat-stash")
-    def copyTree(from: java.nio.file.Path, to: java.nio.file.Path): Unit = {
-      Files.walk(from).forEach { p =>
-        val dst = to.resolve(from.relativize(p))
-        if (Files.isDirectory(p)) Files.createDirectories(dst)
-        else { Files.createDirectories(dst.getParent); Files.copy(p, dst) }
-      }
-    }
     copyTree(Paths.get(root, "_catalog"), stash.resolve("_catalog"))
     val c2 = c1.add(Catalog.train("u2", "f2", "", Map("B" -> "2")))
     Catalog.save(spark, c2, root)
@@ -222,10 +229,6 @@ class IngestSpec extends AnyFunSuite {
     // External change BEHIND the JVM's back: restore c1's files over
     // the store. The zero-RPC path must still serve c2 (documented),
     // the fresh path must notice the listing change and reload c1.
-    def rmAll(p: java.nio.file.Path): Unit = {
-      if (Files.isDirectory(p)) Files.list(p).forEach(child => rmAll(child))
-      Files.deleteIfExists(p); ()
-    }
     rmAll(Paths.get(root, "_catalog"))
     copyTree(stash.resolve("_catalog"), Paths.get(root, "_catalog"))
     assert(Catalog.loadCached(spark, root) == c2, "zero-RPC path: cached")

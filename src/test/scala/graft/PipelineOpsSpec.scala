@@ -112,8 +112,15 @@ class PipelineOpsSpec extends AnyFunSuite {
     val dupIds = cc.filter(col("doc_id") =!= col("cluster_id"))
       .collect().map(_.getLong(0)).toSet
     assert(kept.intersect(dupIds).isEmpty, "no non-canonical duplicate survives")
-    // Bins fill contiguously per shard: offsets stay under the budget.
-    assert(rows.forall(r => r.getAs[Long]("bin_offset") < 512L))
+    // Packing invariant (falsifiable — not the tautological
+    // offset < budget): every row's (bin_id, bin_offset) must be
+    // exactly the division of its prefix-sum start position.
+    rows.foreach { r =>
+      val start = r.getAs[Long]("cum_tokens") - r.getAs[Long]("n_tokens")
+      assert(r.getAs[Long]("bin_id") == start / 512L &&
+        r.getAs[Long]("bin_offset") == start % 512L,
+        s"bin assignment must be start `div`/`%` budget: $r")
+    }
   }
 
   test("semdedup composition: every vector labeled, kept = one per cluster") {
