@@ -159,6 +159,24 @@ object EventStreams {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
 
+  /** Native session-window aggregation: per-user session rows built by
+    * Spark's built-in `session_window` (dynamic gap, watermark-driven
+    * merge + eviction) — the pure-aggregation alternative to the
+    * custom-state [[sessionize]] forms. Where sessionize keeps ONE
+    * running counter per user (emitting totals), this emits ONE ROW
+    * PER CLOSED SESSION with its bounds and event count — the shape a
+    * downstream table wants. All engine machinery: no user state, so
+    * it parallelizes and evicts exactly like any windowed agg. Append
+    * mode; a session emits when the watermark passes its close. */
+  def sessionWindows(events: DataFrame, gap: String = "30 minutes",
+                     watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 4).as("v"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"), col("v"))
+
   /** Stream-stream interval join: match each left event with the right
     * events of the SAME user within `[left.ts - before, left.ts +
     * after]` — the enrichment shape (clicks ⋈ impressions, spans ⋈

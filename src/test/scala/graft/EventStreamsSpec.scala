@@ -42,6 +42,31 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(got.nonEmpty, "watermark should have closed at least one window")
   }
 
+  test("sessionWindows: native session_window splits on the gap, one row per closed session") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    input.addData(
+      // user 1: two events 5 min apart (one session), then a 60-min
+      // silence -> second session; a late high-ts event on user 2
+      // advances the watermark far enough to close them all.
+      Event(1, ts(0), 1, 1.0), Event(2, ts(5), 1, 2.0),
+      Event(3, ts(65), 1, 4.0),
+      Event(9, ts(600), 2, 0.5))
+    EventStreams.runToMemory(spark,
+      EventStreams.sessionWindows(input.toDF(), gap = "30 minutes"),
+      "sess_win_out", OutputMode.Append())
+    val rows = spark.table("sess_win_out")
+      .select("user_id", "session_start", "n_events", "v")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime,
+        r.getLong(2), r.getDouble(3))).toSet
+    // user 1: [0,5] as one 2-event session, [65] alone; user 2's
+    // session stays OPEN (nothing advances the watermark past it).
+    assert(rows == Set(
+      (1L, ts(0).getTime, 2L, 3.0),
+      (1L, ts(65).getTime, 1L, 4.0)), s"got $rows")
+  }
+
   test("intervalJoin pairs same-user events within the time bound, append mode") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -123,6 +123,28 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("multimodal retrieval composes: media table → features → embedding join → ANN") {
+    // Binary media rows flow through feature extraction, join their
+    // embeddings on id, and feed similarity search — the multimodal
+    // retrieval chain, end-to-end, without collecting media content.
+    import graft.operators.{Multimodal, Similarity}
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val media = Multimodal.asMediaTable(docs)
+    val feats = Multimodal.extractFeatures(media).toDF()
+      .select(col("media_id"), col("n_bytes"))
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val joined = feats.join(emb, feats("media_id") === emb("vec_id"))
+      .select(col("vec_id"), col("embedding"), col("n_bytes"))
+    // Retrieval: top-3 neighbors for the media rows with vec_id < 3.
+    val topk = Similarity.bruteTopK(
+      joined.select("vec_id", "embedding"), col("vec_id") < 3, k = 3)
+    val byQuery = topk.collect().groupBy(_.getAs[Long]("query_id"))
+    assert(byQuery.keySet == Set(0L, 1L, 2L))
+    byQuery.foreach { case (q, rows) =>
+      assert(rows.length == 3, s"query $q must return k=3 neighbors")
+    }
+  }
+
   test("semdedup composition: every vector labeled, kept = one per cluster") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val pairs = Dedup.cosinePairs(emb, threshold = 0.3).select("i", "j")
