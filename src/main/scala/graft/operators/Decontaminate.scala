@@ -48,10 +48,12 @@ object Decontaminate {
     * driver. */
   def ngramHits(train: DataFrame, test: DataFrame, w: Int = 8,
                 broadcastEval: Boolean = true): DataFrame = {
+    // Eval-side per-doc dedup is fused into the hasher (distinct
+    // arrays explode to distinct (test_doc, s) by construction) — no
+    // dropDuplicates exchange before the broadcast.
     val trainSh = Dedup.hashedShingleRows(train, w)
-    val testSh = Dedup.hashedShingleRows(test, w)
+    val testSh = Dedup.hashedShingleRowsDistinct(test, w)
       .withColumnRenamed("doc_id", "test_doc")
-      .dropDuplicates("test_doc", "s")
     trainSh.join(if (broadcastEval) broadcast(testSh) else testSh, "s")
       .groupBy("doc_id")
       .agg(countDistinct("s").as("n_hits"),

@@ -75,6 +75,18 @@ object Dedup {
         lower(col("text")), w)).as("s"))
   }
 
+  /** [[hashedShingleRows]] with per-doc dedup fused into the hasher:
+    * distinct (doc_id, s) rows with NO shuffle — the array is
+    * deduplicated row-locally before the explode, so a downstream
+    * `dropDuplicates(doc_id, s)` (a corpus-wide exchange) is
+    * unnecessary by construction. */
+  def hashedShingleRowsDistinct(docs: DataFrame, w: Int): DataFrame = {
+    require(w >= 1, s"shingle width must be >= 1, got $w")
+    docs.select(col("doc_id"),
+      explode(graft.plans.GraftFunctions.wordGramHashesDistinct(
+        lower(col("text")), w)).as("s"))
+  }
+
   /** Exact w-shingle Jaccard ≥ threshold pairs.
     * Shape: scan-side gram hashing into per-doc ARRAYS (dedup and
     * cardinality are row-local array ops — no pre-join shuffle at
@@ -90,8 +102,8 @@ object Dedup {
     require(w >= 1, s"shingle width must be >= 1, got $w")
     pairsFromGramArrays(
       docs.select(col("doc_id"),
-        graft.plans.GraftFunctions.wordGramHashes(
-          lower(col("text")), w).as("arr")),
+        graft.plans.GraftFunctions.wordGramHashesDistinct(
+          lower(col("text")), w).as("d")),
       threshold, registry)
   }
 
@@ -108,8 +120,8 @@ object Dedup {
                        registry: CacheRegistry = CacheRegistry.global): DataFrame =
     pairsFromGramArrays(
       docs.select(col("doc_id"),
-        graft.plans.GraftFunctions.charGramHashes(
-          lower(col("text")), n).as("arr")),
+        graft.plans.GraftFunctions.charGramHashesDistinct(
+          lower(col("text")), n).as("d")),
       threshold, registry)
 
   /** Distinct character n-grams per doc, codegen'd: explode the start
@@ -131,21 +143,22 @@ object Dedup {
   // (P ≈ n²/2^65 ≈ 1e-7 at millions of distinct shingles) — the
   // standard shingling trade, noted here because the oracle counts
   // strings.
-  /** Candidate pipeline over (doc_id, arr: array<long>) rows — one
-    * gram-hash ARRAY per document, straight from the native rolling
-    * hashers. Holding the grams as a per-row array until the last
-    * moment makes the two per-doc steps that used to shuffle the
-    * whole gram stream MAP-SIDE row-local ops instead:
-    * per-doc dedup = array_distinct, cardinality = size — so the
-    * FIRST shuffle any gram pays is the candidate self-join itself
-    * (plus the single-holder prune agg). Two fewer corpus-wide
-    * exchanges than the exploded shape (dropDuplicates + window). */
-  private def pairsFromGramArrays(withArr: DataFrame, threshold: Double,
+  /** Candidate pipeline over (doc_id, d: array<long>) rows — one
+    * DISTINCT gram-hash ARRAY per document, straight from the native
+    * rolling hashers' fused-dedup form. Holding the grams as a per-row
+    * array until the last moment makes the two per-doc steps that used
+    * to shuffle the whole gram stream MAP-SIDE row-local ops instead:
+    * per-doc dedup is fused INSIDE the hasher expression (one
+    * open-addressed pass — no separate array_distinct traversal),
+    * cardinality = size — so the FIRST shuffle any gram pays is the
+    * candidate self-join itself (plus the single-holder prune agg).
+    * Two fewer corpus-wide exchanges than the exploded shape
+    * (dropDuplicates + window). */
+  private def pairsFromGramArrays(withDistinct: DataFrame, threshold: Double,
                                   registry: CacheRegistry): DataFrame = {
     // Persisted because the prune and both join sides re-read it;
     // MEMORY_AND_DISK so a 100 TB run spills instead of OOMing.
-    val sh = registry.track(withArr
-      .select(col("doc_id"), array_distinct(col("arr")).as("d"))
+    val sh = registry.track(withDistinct
       .select(col("doc_id"), size(col("d")).cast("long").as("c"),
         explode(col("d")).as("s"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
@@ -193,9 +206,11 @@ object Dedup {
       org.apache.spark.unsafe.types.UTF8String.fromString(q), w)
     require(qArr.numElements() > 0, s"query shorter than $w tokens")
     val qHashes = qArr.toLongArray().toSeq.distinct
-    hashedShingleRows(docs, w)
+    // Fused-distinct generator: (doc_id, s) rows are unique by
+    // construction, so no dedup exchange between the filter and the
+    // aggregate — the whole pre-agg pipeline is map-only.
+    hashedShingleRowsDistinct(docs, w)
       .filter(col("s").isin(qHashes: _*))
-      .dropDuplicates("doc_id", "s") // generator emits multiplicity
       .groupBy("doc_id").agg(count(lit(1)).as("matched"))
       .withColumn("score", graft.functions.TextAnalysis.roundStable(
         col("matched") / qHashes.size.toDouble, 6))

@@ -81,6 +81,40 @@ object ExprHelpers {
     x
   }
 
+  /** First-occurrence-order dedup of a primitive long array via open
+    * addressing (linear probe, power-of-two capacity): the row-local
+    * replacement for a downstream `array_distinct(...)` pass — one
+    * scan, no boxing, no per-element allocations. The inputs are
+    * fmix64-finalized hashes, so their low bits are already
+    * full-entropy probe starts. Zero is tracked out-of-band (the probe
+    * table uses 0 as its empty sentinel). Returns the input array
+    * unchanged when every element is distinct (the common case for
+    * natural-text grams — no copy). */
+  def distinctLongs(in: Array[Long]): Array[Long] = {
+    val n = in.length
+    if (n <= 1) return in
+    var cap = 2
+    while (cap < n * 2) cap <<= 1
+    val mask = cap - 1
+    val table = new Array[Long](cap)
+    val out = new Array[Long](n)
+    var m = 0
+    var seenZero = false
+    var i = 0
+    while (i < n) {
+      val v = in(i)
+      if (v == 0L) {
+        if (!seenZero) { seenZero = true; out(m) = 0L; m += 1 }
+      } else {
+        var idx = (v & mask).toInt
+        while (table(idx) != 0L && table(idx) != v) idx = (idx + 1) & mask
+        if (table(idx) == 0L) { table(idx) = v; out(m) = v; m += 1 }
+      }
+      i += 1
+    }
+    if (m == n) in else java.util.Arrays.copyOf(out, m)
+  }
+
   /** All n-char-gram hashes of a string in ONE pass: a polynomial
     * rolling hash over code points (base = FNV-64 prime, arithmetic
     * mod 2^64 via Long overflow), each emitted value passed through
@@ -110,10 +144,25 @@ object ExprHelpers {
     // GenericArrayData(long[]) would box every element (ClassTag.Any)
     // — billions of Long allocations at corpus scale.
     if (s == null) return null
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(charGramLongs(s, n))
+  }
+
+  /** [[charGramHashes]] with row-local dedup fused in: equals
+    * `array_distinct(char_gram_hashes(s, n))` (array_distinct also
+    * keeps first-occurrence order) without the second generic-array
+    * pass. Feeds the exact-Jaccard pipeline, whose per-doc gram SETS
+    * are the unit of work. */
+  def charGramHashesDistinct(s: UTF8String, n: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    if (s == null) return null
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(distinctLongs(charGramLongs(s, n)))
+  }
+
+  private def charGramLongs(s: UTF8String, n: Int): Array[Long] = {
     val cps = s.toString.codePoints().toArray
     val len = cps.length
-    if (len < n) return org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
-      .fromPrimitiveArray(Array.empty[Long])
+    if (len < n) return Array.empty[Long]
     val B = 1099511628211L
     var pow = 1L
     var j = 0
@@ -131,7 +180,7 @@ object ExprHelpers {
       out(i - n + 1) = fmix64(h)
       i += 1
     }
-    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+    out
   }
 
   /** All w-WORD-gram hashes of a string in ONE pass — the map-only
@@ -153,13 +202,25 @@ object ExprHelpers {
     * Fewer-than-w tokens → empty array; null → null. */
   def wordGramHashes(s: UTF8String, w: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
     if (s == null) return null
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(wordGramLongs(s, w))
+  }
+
+  /** [[wordGramHashes]] with row-local dedup fused in (see
+    * [[charGramHashesDistinct]]). */
+  def wordGramHashesDistinct(s: UTF8String, w: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    if (s == null) return null
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(distinctLongs(wordGramLongs(s, w)))
+  }
+
+  private def wordGramLongs(s: UTF8String, w: Int): Array[Long] = {
     val str = s.toString
     val len = str.length
     var nTok = 1
     var i = 0
     while (i < len) { if (str.charAt(i) == ' ') nTok += 1; i += 1 }
-    if (nTok < w) return org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
-      .fromPrimitiveArray(Array.empty[Long])
+    if (nTok < w) return Array.empty[Long]
     val B = 1099511628211L
     // Per-token state seeds NON-ZERO: with a zero seed the empty
     // token, an all-NUL token, and tokens differing only by leading
@@ -194,7 +255,7 @@ object ExprHelpers {
       out(j - w + 1) = fmix64(g)
       j += 1
     }
-    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+    out
   }
 
   /** Dot product over two float arrays, accumulated in double,
@@ -299,9 +360,13 @@ case class DotProductFloat(left: Expression, right: Expression)
   * of gram hashes per document row, exploded downstream — replaces the
   * explode(positions) → substr → xxhash64 chain (one string allocation
   * + full rehash PER GRAM) with a single rolling pass per document.
-  * Verified pair-for-pair equivalent to the substr pipeline in
-  * ExpressionSpec/DedupSpec. */
-case class CharGramHashes(child: Expression, n: Int) extends UnaryExpression {
+  * `distinct = true` fuses the row-local dedup in (equals a following
+  * array_distinct, without the second generic-array pass — the shape
+  * the exact-Jaccard pipeline wants, since its unit of work is the
+  * per-doc gram SET). Verified pair-for-pair equivalent to the substr
+  * pipeline in ExpressionSpec/DedupSpec. */
+case class CharGramHashes(child: Expression, n: Int,
+                          distinct: Boolean = false) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   // null out only for null in — keep non-nullable inputs non-nullable
   // so downstream plans skip the null checks.
@@ -314,12 +379,15 @@ case class CharGramHashes(child: Expression, n: Int) extends UnaryExpression {
   override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
     val v = child.eval(input)
     if (v == null) null
+    else if (distinct) ExprHelpers.charGramHashesDistinct(v.asInstanceOf[UTF8String], n)
     else ExprHelpers.charGramHashes(v.asInstanceOf[UTF8String], n)
   }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = if (distinct) "charGramHashesDistinct" else "charGramHashes"
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.plans.ExprHelpers.charGramHashes($c, $n);")
+      s"${ev.value} = graft.plans.ExprHelpers.$m($c, $n);")
+  }
 
   override protected def withNewChildInternal(newChild: Expression): CharGramHashes =
     copy(child = newChild)
@@ -332,7 +400,8 @@ case class CharGramHashes(child: Expression, n: Int) extends UnaryExpression {
   * join, this is a map-only expression feeding explode. Verified
   * structurally equivalent (per-doc gram counts, distinct counts) to
   * the window path in ExpressionSpec/DedupSpec. */
-case class WordGramHashes(child: Expression, w: Int) extends UnaryExpression {
+case class WordGramHashes(child: Expression, w: Int,
+                          distinct: Boolean = false) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = child.nullable
   override def checkInputDataTypes(): TypeCheckResult =
@@ -343,12 +412,15 @@ case class WordGramHashes(child: Expression, w: Int) extends UnaryExpression {
   override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
     val v = child.eval(input)
     if (v == null) null
+    else if (distinct) ExprHelpers.wordGramHashesDistinct(v.asInstanceOf[UTF8String], w)
     else ExprHelpers.wordGramHashes(v.asInstanceOf[UTF8String], w)
   }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = if (distinct) "wordGramHashesDistinct" else "wordGramHashes"
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.plans.ExprHelpers.wordGramHashes($c, $w);")
+      s"${ev.value} = graft.plans.ExprHelpers.$m($c, $w);")
+  }
 
   override protected def withNewChildInternal(newChild: Expression): WordGramHashes =
     copy(child = newChild)
@@ -370,6 +442,16 @@ object GraftFunctions {
   def wordGramHashes(c: Column, w: Int): Column =
     GraftSqlBridge.column(WordGramHashes(GraftSqlBridge.expression(c), w))
 
+  /** Fused-dedup forms: `array_distinct(char_gram_hashes(...))` in one
+    * row-local pass. */
+  def charGramHashesDistinct(c: Column, n: Int): Column =
+    GraftSqlBridge.column(CharGramHashes(GraftSqlBridge.expression(c), n,
+      distinct = true))
+
+  def wordGramHashesDistinct(c: Column, w: Int): Column =
+    GraftSqlBridge.column(WordGramHashes(GraftSqlBridge.expression(c), w,
+      distinct = true))
+
   /** SQL `char_gram_hashes(s, n)` takes n as a literal: the gram width
     * is part of the operator (it fixes the output arity per row), not a
     * per-row value — reject non-foldable n at resolution time. */
@@ -383,13 +465,27 @@ object GraftFunctions {
     }
   }
 
+  /** Optional trailing `distinct` flag of the SQL gram hashers — a
+    * literal for the same reason as n: it selects the operator shape,
+    * not a per-row value. */
+  private def literalBool(e: Expression, fn: String): Boolean = {
+    require(e.foldable, s"$fn: distinct must be a literal boolean")
+    e.eval() match {
+      case b: java.lang.Boolean => b.booleanValue()
+      case other => throw new IllegalArgumentException(
+        s"$fn: distinct must be a literal boolean, got $other")
+    }
+  }
+
   private[plans] val registrations: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "parse_messy_number" -> { es => ParseMessyNumber(es.head) },
     "dot_product_float" -> { es => DotProductFloat(es.head, es(1)) },
     "char_gram_hashes" -> { es =>
-      CharGramHashes(es.head, literalInt(es(1), "char_gram_hashes")) },
+      CharGramHashes(es.head, literalInt(es(1), "char_gram_hashes"),
+        es.length > 2 && literalBool(es(2), "char_gram_hashes")) },
     "word_gram_hashes" -> { es =>
-      WordGramHashes(es.head, literalInt(es(1), "word_gram_hashes")) })
+      WordGramHashes(es.head, literalInt(es(1), "word_gram_hashes"),
+        es.length > 2 && literalBool(es(2), "word_gram_hashes")) })
 
   /** Register the SQL functions into an existing session (the
     * runtime-registration path; config-time wiring is

@@ -123,7 +123,11 @@ class ExpressionSpec extends AnyFunSuite {
         BoundReference(1, ArrayType(FloatType), nullable = true),
         BoundReference(1, ArrayType(FloatType), nullable = true)),
       graft.plans.ParseMessyNumber(BoundReference(0, StringType, nullable = true)),
-      graft.plans.WordGramHashes(BoundReference(0, StringType, nullable = true), 2)))
+      graft.plans.WordGramHashes(BoundReference(0, StringType, nullable = true), 2),
+      graft.plans.CharGramHashes(BoundReference(0, StringType, nullable = true), 3,
+        distinct = true),
+      graft.plans.WordGramHashes(BoundReference(0, StringType, nullable = true), 1,
+        distinct = true)))
     val vec = new GenericArrayData(Array(1.0f, 2.0f))
     val out = proj(InternalRow(UTF8String.fromString("a😀b😀c"), vec))
     assert(out.getArray(0).numElements() == 3, "5 code points, n=3 -> 3 grams")
@@ -138,6 +142,10 @@ class ExpressionSpec extends AnyFunSuite {
     assert(empty.numElements() == 0, "len < n -> empty gram array")
     assert(proj(InternalRow(null, null)).isNullAt(0), "null string -> null")
     assert(proj(InternalRow(null, null)).isNullAt(3), "null string -> null grams")
+    val dup = proj(InternalRow(UTF8String.fromString("aaaa aaaa"), null))
+    assert(dup.getArray(4).numElements() == 4,
+      "9 cps 'aaaa aaaa', n=3 -> 7 grams, 4 distinct ('aaa','aa ','a a',' aa')")
+    assert(dup.getArray(5).numElements() == 1, "two equal tokens, w=1 -> 1 distinct")
   }
 
   test("word_gram_hashes: SQL-registered, literal-w enforced, gram identity") {
@@ -155,6 +163,54 @@ class ExpressionSpec extends AnyFunSuite {
         "parquet.`/root/testdata/sf0.001/documents.parquet`").collect()
     }
     assert(e.getMessage.contains("n must be a literal integer"), e.getMessage)
+  }
+
+  test("fused-distinct gram hashers ≡ array_distinct(plain form) on real docs") {
+    // Exact array equality INCLUDING order: both the fused dedup and
+    // array_distinct keep first-occurrence order, so the fused form is
+    // a drop-in for the composed one.
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val df = docs.select(
+      array_distinct(GraftFunctions.charGramHashes(lower(col("text")), 8)).as("cc"),
+      GraftFunctions.charGramHashesDistinct(lower(col("text")), 8).as("cn"),
+      array_distinct(GraftFunctions.wordGramHashes(lower(col("text")), 3)).as("wc"),
+      GraftFunctions.wordGramHashesDistinct(lower(col("text")), 3).as("wn"))
+    df.collect().foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1), "char: fused ≠ array_distinct")
+      assert(r.getSeq[Long](2) == r.getSeq[Long](3), "word: fused ≠ array_distinct")
+    }
+  }
+
+  test("distinctLongs: first-occurrence order, zero handling, no-dup passthrough (property)") {
+    val rnd = new scala.util.Random(7)
+    (0 until 200).foreach { _ =>
+      val n = rnd.nextInt(50)
+      // Small value domain forces duplicates; sprinkle zeros (the probe
+      // table's empty sentinel — tracked out-of-band).
+      val in = Array.fill(n)(if (rnd.nextInt(5) == 0) 0L
+        else rnd.nextInt(20).toLong - 10L)
+      val got = graft.plans.ExprHelpers.distinctLongs(in).toSeq
+      assert(got == in.toSeq.distinct, s"input ${in.toSeq}")
+    }
+    val unique = Array(3L, 1L, 2L)
+    assert(graft.plans.ExprHelpers.distinctLongs(unique) eq unique,
+      "all-distinct input returns the same array (no copy)")
+  }
+
+  test("SQL gram hashers accept a literal trailing distinct flag") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT size(char_gram_hashes('aaaa', 2)) AS plain, " +
+        "size(char_gram_hashes('aaaa', 2, true)) AS dedup, " +
+        "size(word_gram_hashes('a b a b a', 2, true)) AS wdedup").first()
+    assert(r.getInt(0) == 3, "3 grams with multiplicity")
+    assert(r.getInt(1) == 1, "one distinct gram")
+    assert(r.getInt(2) == 2, "'a b' and 'b a' distinct grams")
+    val e = intercept[Exception] {
+      spark.sql("SELECT char_gram_hashes('ab', 2, doc_id % 2 = 0) FROM " +
+        "parquet.`/root/testdata/sf0.001/documents.parquet`").collect()
+    }
+    assert(e.getMessage.contains("distinct must be a literal boolean"), e.getMessage)
   }
 
   test("ParseMessyNumber ≡ composed on Unicode whitespace (NBSP family)") {
