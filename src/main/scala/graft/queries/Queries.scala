@@ -563,6 +563,64 @@ object Queries {
     WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
     ORDER BY c_custkey"""))
 
+  /** Correlated SCALAR subquery — repeat purchases: orders placed
+    * strictly after their customer's first order. Goes through
+    * spark.sql on purpose: this exercises the parser +
+    * RewriteCorrelatedScalarSubquery decorrelation path (Catalyst
+    * rewrites the per-row subquery into an aggregate + join — run
+    * .explain and there is no nested-loop anywhere), which the
+    * DataFrame-built queries never touch. Timestamp comparison, so
+    * cross-engine equality is exact (no float boundary). At scale the
+    * decorrelated plan is one shuffle on o_custkey. */
+  private val qScalarSubquery = Q(
+    "q_scalar_subquery",
+    (s, d) => {
+      t(s, d, "orders").createOrReplaceTempView("orders_sq")
+      s.sql("""SELECT o_orderkey, o_custkey, o_orderdate
+        FROM orders_sq o
+        WHERE o_orderdate > (SELECT min(o2.o_orderdate)
+                             FROM orders_sq o2
+                             WHERE o2.o_custkey = o.o_custkey)
+        ORDER BY o_orderkey""")
+    },
+    Some("""SELECT o_orderkey, o_custkey, o_orderdate
+    FROM orders o
+    WHERE o_orderdate > (SELECT min(o2.o_orderdate)
+                         FROM orders o2
+                         WHERE o2.o_custkey = o.o_custkey)
+    ORDER BY o_orderkey"""))
+
+  /** Conditional (FILTER-clause) aggregation: per-priority status
+    * breakdown in ONE aggregate pass — no self-join, no second scan;
+    * each conditional count/sum is a when()-guarded accumulator
+    * (count_if / sum(CASE) — what FILTER compiles to), all combining
+    * map-side. The open-order share is an integer ratio → floor-form
+    * rounding on both engines. */
+  private val qConditionalAgg = Q(
+    "q_conditional_agg",
+    (s, d) => t(s, d, "orders")
+      .groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        count_if(col("o_orderstatus") === "O").as("n_open"),
+        count_if(col("o_orderstatus") === "F").as("n_finished"),
+        round(sum(when(col("o_totalprice") > 150000.0, col("o_totalprice"))), 2)
+          .as("big_order_total"))
+      .withColumn("open_share",
+        TextAnalysis.round4Stable(col("n_open").cast("double") / col("n_orders")))
+      .orderBy("o_orderpriority"),
+    Some("""SELECT o_orderpriority,
+      count(*) AS n_orders,
+      count(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+      count(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+      round(sum(o_totalprice) FILTER (WHERE o_totalprice > 150000.0), 2)
+        AS big_order_total,
+      floor(count(*) FILTER (WHERE o_orderstatus = 'O') * 1.0 / count(*)
+        * 10000.0 + 0.5) / 10000.0 AS open_share
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority"""))
+
   /** Ranking window: top-3 orders per customer. Single shuffle on
     * o_custkey; rank filter evaluated streaming per partition. */
   private val qWindowRank = Q(
@@ -611,6 +669,39 @@ object Queries {
         OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
         AS running
+    FROM e ORDER BY user_id, event_id"""))
+
+  /** RANGE-frame window (the frame family q_window_running's ROWS
+    * frame doesn't cover): per-user trailing 10-minute sum of value —
+    * the frame is defined by the ORDER-BY key's VALUE distance, so
+    * peers (equal timestamps) enter each other's frames regardless of
+    * row order. The frame key is integer MICROSECONDS on both engines
+    * (unix_micros here, epoch_us in the oracle) — exact integer
+    * boundary comparisons, no float/seconds truncation to diverge on;
+    * the summed measure rides in DECIMAL (order-independent), same as
+    * q_window_running. One shuffle on user_id. */
+  private val qWindowRange = Q(
+    "q_window_range",
+    (s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("us"))
+        .rangeBetween(-600000000L, 0L)
+      t(s, d, "events")
+        .select(col("user_id"), col("event_id"),
+          expr("unix_micros(ts)").as("us"), col("value"))
+        .select(col("user_id"), col("event_id"),
+          sum(col("value").cast("decimal(18,6)")).over(w)
+            .cast("double").as("trailing_10m"))
+        .orderBy("user_id", "event_id")
+    },
+    Some("""WITH e AS (
+      SELECT event_id, user_id, value,
+        epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      FROM events)
+    SELECT user_id, event_id,
+      CAST(sum(CAST(value AS DECIMAL(18,6)))
+        OVER (PARTITION BY user_id ORDER BY us
+          RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        AS trailing_10m
     FROM e ORDER BY user_id, event_id"""))
 
   /** Global top-k: TakeOrderedAndProject, not a full sort. */
@@ -858,6 +949,61 @@ object Queries {
       floor(len(list_distinct(string_split(lower(text), ' '))) * 1.0
         / len(string_split(lower(text), ' ')) * 10000.0 + 0.5) / 10000.0 AS ttr
     FROM documents ORDER BY doc_id"""))
+
+  /** Global vocabulary heavy hitters: top-25 tokens by corpus
+    * frequency — the vocab/BPE-seed precursor every tokenizer build
+    * runs. One explode + one hash aggregate (map-side combine
+    * collapses each partition's token stream to its distinct tokens
+    * before the shuffle) + TakeOrderedAndProject for the top-k: at
+    * 100 TB the shuffle carries one row per (partition, distinct
+    * token), not per token occurrence. Tie-broken on the token text
+    * so the cut is deterministic. */
+  private val qVocabTopk = Q(
+    "q_vocab_topk",
+    (s, d) => t(s, d, "documents")
+      .select(explode(split(lower(col("text")), " ")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok").asc)
+      .limit(25),
+    Some("""WITH tk AS (
+      SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents)
+    SELECT tok, count(*) AS cnt
+    FROM tk GROUP BY 1 ORDER BY cnt DESC, tok ASC LIMIT 25"""))
+
+  /** Per-doc token Shannon entropy (a repetition/quality signal the
+    * Gopher-family filters complement): H = log2(n) − Σ c·log2(c) / n
+    * over the doc's token counts — the algebraic form keeps every
+    * aggregate an integer until the final projection, so the only
+    * float work is two log2 calls per distinct token and the rounded
+    * output. Two-level aggregation, both hash aggs with map-side
+    * combine; no window, no join. */
+  private val qTokenEntropy = Q(
+    "q_token_entropy",
+    (s, d) => t(s, d, "documents")
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(
+        sum("c").as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("c").cast("double") * log2(col("c"))).as("clogc"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        TextAnalysis.roundStable(
+          log2(col("n_tokens")) - col("clogc") / col("n_tokens"), 6)
+          .as("entropy"))
+      .orderBy("doc_id"),
+    Some("""WITH tk AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+      FROM documents),
+    c AS (SELECT doc_id, tok, count(*) AS c FROM tk GROUP BY 1, 2),
+    a AS (
+      SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        count(*) AS n_distinct,
+        sum(c * log2(c)) AS clogc
+      FROM c GROUP BY 1)
+    SELECT doc_id, n_tokens, n_distinct,
+      floor((log2(n_tokens) - clogc / n_tokens) * 1000000.0 + 0.5)
+        / 1000000.0 AS entropy
+    FROM a ORDER BY doc_id"""))
 
   /** Positional polynomial document fingerprint (rolling-hash analog). */
   private val qFingerprint = Q(
@@ -1274,6 +1420,30 @@ object Queries {
     "q_dedup_minhash",
     (s, d) => Dedup.minHashCandidates(t(s, d, "documents"))
       .orderBy("i", "j"),
+    None)
+
+  /** The COMPLETE 100 TB dedup decision, end to end: MinHash+LSH
+    * candidate pairs (no exact-shingle join anywhere — the only
+    * corpus-wide shuffles are the signature groupBy and the banded
+    * equi-joins) → connected components → per-doc (cluster, size,
+    * keep-one canonical flag). This is the query a trillion-token
+    * corpus actually runs; q_dedup_cluster is its exact-pair twin for
+    * oracle calibration. No oracle (murmur3 band hashes are
+    * engine-specific); DedupSpec pins that every exact Jaccard ≥ 0.8
+    * cluster-mate pair lands in one minhash cluster on the planted
+    * corpus. */
+  private val qMinhashCluster = Q(
+    "q_minhash_cluster",
+    (s, d) => {
+      val pairs = Dedup.minHashCandidates(t(s, d, "documents"), minEst = 0.5)
+        .select("i", "j")
+      val cc = Dedup.connectedComponents(pairs)
+      val w = Window.partitionBy("cluster_id")
+      cc.withColumn("csize", count(lit(1)).over(w))
+        .select(col("doc_id"), col("cluster_id"), col("csize"),
+          (col("doc_id") === col("cluster_id")).as("is_canonical"))
+        .orderBy("doc_id")
+    },
     None)
 
   /** SimHash-64 pairs with hamming ≤ 3 via 2×32-bit bands with
@@ -1830,6 +2000,35 @@ object Queries {
     FROM m LEFT JOIN lab ON lab.vec_id = m.vec_id
     ORDER BY m.vec_id"""))
 
+  /** q_semdedup's full-corpus scale path: the SAME keep-set shape
+    * (every vector appears; singletons keep themselves) but pairs come
+    * from random-hyperplane LSH banding (Dedup.cosineLshPairs) instead
+    * of the label-blocked exact join — no blocking column needed, so
+    * this is the form that runs when no coarse cluster id exists.
+    * 4 bands × 16 bits: random-pair candidate volume n²·4/2^16 (the
+    * banding actually prunes), recall ≈ 1-(1-p^16)^4 with
+    * p = 1-θ/π — ≈ 0.93 at cos 0.99, falling fast below 0.9: LSH
+    * semantic dedup is a HIGH-threshold tool (the SemDeDup regime);
+    * use more/narrower bands only with a blocking key to absorb the
+    * candidate blow-up. Precision is exact by construction (in-join
+    * cosine refine). No oracle (band assignment is engine-specific);
+    * DedupSpec pins planted-twin keep-set behavior. */
+  private val qSemDedupLsh = Q(
+    "q_semdedup_lsh",
+    (s, d) => {
+      val emb = t(s, d, "embeddings")
+      val pairs = Dedup.cosineLshPairs(emb, threshold = 0.9,
+        bandBits = 16, numBands = 4).select("i", "j")
+      val cc = Dedup.connectedComponents(pairs)
+        .withColumnRenamed("doc_id", "vec_id")
+      emb.select("vec_id").join(cc, Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("cluster_id"), col("vec_id")).as("cluster_id"))
+        .withColumn("kept", col("vec_id") === col("cluster_id"))
+        .orderBy("vec_id")
+    },
+    None)
+
   /** Gopher-style composite quality filter: keep/reject + FIRST
     * failing rule per doc (token-count bounds, mean-word-length
     * bounds, stopword mass). Map-only, integer-only comparisons
@@ -1943,17 +2142,19 @@ object Queries {
     qProjFilter, qAggGroup, qDistinct, qApproxDistinct, qRollup, qCube,
     qGroupingSets, qPivot,
     qJoinHash, qJoinBroadcast, qJoinOuter, qJoinSemi, qJoinAnti,
-    qWindowRank, qWindowRunning, qTopkGlobal, qSetOps,
+    qScalarSubquery, qConditionalAgg,
+    qWindowRank, qWindowRunning, qWindowRange, qTopkGlobal, qSetOps,
     qTumblingWindow, qSlidingWindow, qSessionize,
     qDedupExact, qTextStats, qMultimodalJoin, qSimilarityTopk,
-    qLangId, qQualityScore, qTokenCount, qFingerprint, qPiiRedact,
+    qLangId, qQualityScore, qTokenCount, qVocabTopk, qTokenEntropy,
+    qFingerprint, qPiiRedact,
     qRepetitionStats, qDomainStats, qTfidf, qFuzzyMatch,
-    qNearDup, qNearDupChar, qDedupCluster,
+    qNearDup, qNearDupChar, qDedupCluster, qMinhashCluster,
     qDedupMinhash, qDedupSimhash, qEmbedNearDup,
     qAnnTopk, qAnnIvf, qMediaFeatures, qQuantile, qApproxQuantile,
     qWindowFuncs, qAsofJoin, qRangeJoin, qTextSearch, qLabelCentroids,
     qStratifiedSample, qClassWeights, qUploadAdmission,
-    qDecontaminate, qSeqPack, qUnigramLogprob, qSemDedup,
+    qDecontaminate, qSeqPack, qUnigramLogprob, qSemDedup, qSemDedupLsh,
     qGopherFilter, qStatsAgg, qIntervalOverlap)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -276,4 +276,60 @@ class DedupSpec extends AnyFunSuite {
     assert(empty.columns.toSeq == Seq("doc_id", "cluster_id"))
     assert(empty.count() == 0)
   }
+
+  test("minhash clusters absorb every exact-Jaccard cluster (q_minhash_cluster contract)") {
+    // The end-to-end LSH dedup decision must never split a true
+    // near-dup cluster: for every exact Jaccard >= 0.8 pair, both docs
+    // land in ONE minhash cluster. (The reverse need not hold — LSH
+    // candidates at est >= 0.5 may merge more, that's its documented
+    // recall/precision trade.)
+    val exact = Dedup.jaccardPairs(docs, w = 5, threshold = 0.8)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(exact.nonEmpty, "corpus should contain planted near-dups")
+    val lab = Dedup.connectedComponents(
+      Dedup.minHashCandidates(docs, minEst = 0.5).select("i", "j"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    exact.foreach { case (i, j) =>
+      assert(lab.contains(i) && lab.contains(j) && lab(i) == lab(j),
+        s"exact pair ($i,$j) not co-clustered by the minhash path")
+    }
+  }
+
+  test("semdedup LSH keep-set merges planted twins (q_semdedup_lsh contract)") {
+    // Same planted-twin construction as the cosineLshPairs test, but
+    // through the full keep-set composition the query runs: LSH pairs
+    // (16-bit bands x 4) -> connected components -> every vector
+    // labeled, singletons keep themselves. Expected twin recall at
+    // cos ~0.993 with 16x4 banding: 1-(1-p^16)^4 ~ 0.95; assert >= 0.85.
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val noise = (x: org.apache.spark.sql.Column, i: org.apache.spark.sql.Column) =>
+      (x + lit(0.05) * (pmod(xxhash64(col("vec_id") * 1000L + i), lit(1000L))
+        .cast("double") / 1000.0 - 0.5)).cast("float")
+    val twins = emb.select((col("vec_id") + 1000000L).as("vec_id"),
+      transform(col("embedding"), noise).as("embedding"))
+    val corpus = emb.unionByName(twins)
+    val reg = new graft.operators.CacheRegistry
+    try {
+      val pairs = Dedup.cosineLshPairs(corpus, threshold = 0.9,
+        bandBits = 16, numBands = 4, registry = reg).select("i", "j")
+      val cc = Dedup.connectedComponents(pairs)
+        .withColumnRenamed("doc_id", "vec_id")
+      val keep = corpus.select("vec_id").join(cc, Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("cluster_id"), col("vec_id")).as("cluster_id"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val ids = emb.select("vec_id").collect().map(_.getLong(0))
+      assert(keep.size == 2 * ids.length, "keep-set must label EVERY vector")
+      val merged = ids.filter(v => keep(v) == keep(v + 1000000L))
+      assert(merged.length >= (ids.length * 0.85).toInt,
+        s"twin merge recall too low: ${merged.length}/${ids.length}")
+      // Original ids are below the twin ids, so every merged cluster's
+      // canonical (min id) is the original: the twin is the one dropped.
+      merged.foreach { v =>
+        assert(keep(v + 1000000L) <= v,
+          "canonical must be the min id of the cluster")
+      }
+    } finally reg.releaseAll()
+  }
 }

@@ -108,6 +108,40 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q_scalar_subquery: decorrelated to an aggregate + join, no per-row loop") {
+    // RewriteCorrelatedScalarSubquery must turn the per-row subquery
+    // into min-aggregate + equi-join; a NestedLoop or per-row subquery
+    // execution would be O(n) scans of orders.
+    val p = plan("q_scalar_subquery")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("HashAggregate") || p.contains("SortAggregate"), p)
+    assert(p.contains("Join"), s"decorrelation should plan a join:\n$p")
+  }
+
+  test("q_conditional_agg: one scan, one aggregate — no Expand, no join") {
+    // Every FILTER-style conditional accumulator rides the SAME hash
+    // aggregate (count_if / sum(CASE)); a second scan or an Expand
+    // (the grouping-sets shape) would double the 100 TB read.
+    val p = plan("q_conditional_agg")
+    assert(!p.contains("Join") && !p.contains("Expand"), p)
+    assert(p.contains("partial_"), s"needs map-side partial agg:\n$p")
+    assert(p.sliding("FileScan".length).count(_ == "FileScan") <= 1,
+      s"must scan orders once:\n$p")
+  }
+
+  test("q_vocab_topk: map-side combine + TakeOrderedAndProject for the cut") {
+    val p = plan("q_vocab_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("partial_"), s"token counts must combine map-side:\n$p")
+  }
+
+  test("q_window_range / q_token_entropy: single shuffle, no join") {
+    Seq("q_window_range", "q_token_entropy").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q:\n$p")
+    }
+  }
+
   test("q_text_search: shingle IN-filter applied before the aggregate, top-k sort") {
     val p = plan("q_text_search")
     assert(p.contains("TakeOrderedAndProject"), p)
