@@ -479,9 +479,12 @@ object Dedup {
     * corpora, raise numBands for recall at lower thresholds. At 100 TB,
     * write the signature table partitioned by (band, value) and each
     * band join becomes a co-located bucket join. */
-  def cosineLshPairs(embeddings: DataFrame, threshold: Double = 0.9,
-                     bandBits: Int = 8, numBands: Int = 8,
-                     registry: CacheRegistry = CacheRegistry.global): DataFrame = {
+  /** Shared signature builder for the hyperplane-LSH family:
+    * (vec_id, band0..band{numBands-1}, v, nrm) — one row per vector,
+    * band values as longs. See [[cosineLshPairs]] for the hyperplane
+    * derivation. */
+  private def lshBands(embeddings: DataFrame, bandBits: Int,
+                       numBands: Int): DataFrame = {
     require(bandBits >= 1 && bandBits <= 32, s"bandBits in [1,32], got $bandBits")
     require(bandBits * numBands <= 64,
       s"bandBits*numBands <= 64 (one xxhash64 of the dimension index " +
@@ -506,9 +509,14 @@ object Dedup {
         when(col(s"s${j * bandBits + kk}") > 0, lit(1L << kk)).otherwise(lit(0L)))
         .reduce(_ + _).as(s"band$j")
     }
+    sums.select(col("vec_id") +: bandCols: _*).join(base, "vec_id")
+  }
+
+  def cosineLshPairs(embeddings: DataFrame, threshold: Double = 0.9,
+                     bandBits: Int = 8, numBands: Int = 8,
+                     registry: CacheRegistry = CacheRegistry.global): DataFrame = {
     val withBands = registry.track(
-      sums.select(col("vec_id") +: bandCols: _*)
-        .join(base, "vec_id")
+      lshBands(embeddings, bandBits, numBands)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val dot = graft.plans.GraftFunctions.dotProductFloat(col("a.v"), col("b.v"))
     val cos = round(dot / (col("a.nrm") * col("b.nrm")), 6)
@@ -520,5 +528,48 @@ object Dedup {
           cos.as("cos_sim"))
         .filter(col("cos_sim") >= threshold)
     }.reduce(_ unionByName _).dropDuplicates("i", "j")
+  }
+
+  /** MATERIALIZED form of the [[cosineLshPairs]] index — the layout its
+    * scaladoc promises at 100 TB: signature rows land in a bucketed
+    * catalog table keyed by `bkey = xxhash64(band, bandValue)`, so the
+    * candidate self-join is CO-BUCKETED — zero Exchange on either side
+    * (pinned in ScaleOpsSpec). Long format (one row per vector per
+    * band, all bands in ONE join) instead of the in-memory form's
+    * numBands joins; folding (band, value) into one hashed key makes
+    * the join key equal the bucket key. A bkey hash collision can only
+    * ADD a candidate pair, and every candidate is refined with the
+    * exact cosine — completeness and the emitted threshold are
+    * unaffected (DedupSpec pins indexed ⊇ in-memory on planted twins).
+    *
+    * Build once, then every dedup/search epoch reads the index instead
+    * of re-signing the corpus: at 100 TB the signatures are a small
+    * fraction of corpus bytes and the re-sign is the expensive step. */
+  def writeLshIndex(embeddings: DataFrame, table: String,
+                    bandBits: Int = 8, numBands: Int = 8,
+                    nBuckets: Int = 16): Unit = {
+    val bands = lshBands(embeddings, bandBits, numBands)
+    val rows = bands.select(col("vec_id"), col("v"), col("nrm"),
+      explode(array((0 until numBands).map(j =>
+        xxhash64(lit(j), col(s"band$j"))): _*)).as("bkey"))
+    graft.sources.Warehouse.writeBucketed(rows, table, "bkey", nBuckets)
+  }
+
+  /** Candidate pairs from a [[writeLshIndex]] table: one self-join on
+    * the bucket key (shuffle-free by layout), exact-cosine refine
+    * in-join, then the pair dedup — the only Exchange in the plan
+    * carries true ≥-threshold pairs. */
+  def cosineLshPairsIndexed(spark: org.apache.spark.sql.SparkSession,
+                            table: String,
+                            threshold: Double = 0.9): DataFrame = {
+    val idx = spark.table(table)
+    val dot = graft.plans.GraftFunctions.dotProductFloat(col("a.v"), col("b.v"))
+    val cos = round(dot / (col("a.nrm") * col("b.nrm")), 6)
+    idx.as("a").join(idx.as("b"),
+        col("a.bkey") === col("b.bkey") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"),
+        cos.as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+      .dropDuplicates("i", "j")
   }
 }

@@ -43,6 +43,54 @@ object Warehouse {
            mergeSchema: Boolean = false): DataFrame =
     spark.read.option("mergeSchema", mergeSchema.toString).parquet(path)
 
+  /** Compact a small-files parquet directory (ONE partition leaf —
+    * run per partition on a partitioned table) into ~`targetBytes`
+    * files. Streaming sinks append one file per micro-batch per task:
+    * after a day a hot partition holds thousands of KB-scale files,
+    * and every downstream scan pays per-file open/footer/schedule cost
+    * — the classic lakehouse small-files problem. Rewrite = one narrow
+    * coalesce (no shuffle: file count shrinks, rows don't move between
+    * surviving partitions' lineage) into a sibling temp dir, then an
+    * atomic-as-the-FS-allows swap (rename old → trash, temp → live,
+    * delete trash). Readers racing the swap see the old or the new
+    * listing; both hold the full row set. Returns (filesBefore,
+    * filesAfter).
+    *
+    * No-op (returns counts, writes nothing) when the directory already
+    * has ≤ the target file count — compaction must be safe to schedule
+    * blindly from a janitor loop. */
+  def compactSmallFiles(spark: SparkSession, path: String,
+                        targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(p).filter(s => s.isFile
+      && !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+    val totalBytes = files.map(_.getLen).sum
+    val nTarget = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
+    if (files.length <= nTarget) return (files.length, files.length)
+    val tmp = new org.apache.hadoop.fs.Path(p.getParent,
+      s".${p.getName}_compact_tmp")
+    val trash = new org.apache.hadoop.fs.Path(p.getParent,
+      s".${p.getName}_compact_old")
+    fs.delete(tmp, true); fs.delete(trash, true)
+    // coalesce, not repartition: merging files needs no row movement,
+    // so the rewrite is a read+write with zero exchange.
+    spark.read.parquet(path).coalesce(nTarget)
+      .write.mode("overwrite").parquet(tmp.toString)
+    if (!fs.rename(p, trash))
+      throw new java.io.IOException(s"compact: cannot move $p aside")
+    if (!fs.rename(tmp, p)) {
+      // restore the original rather than leaving the table missing
+      fs.rename(trash, p)
+      throw new java.io.IOException(s"compact: cannot move $tmp into place")
+    }
+    fs.delete(trash, true)
+    val after = fs.listStatus(p).count(s => s.isFile
+      && !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+    (files.length, after)
+  }
+
   /** Write `df` as a BUCKETED catalog table: rows are hash-distributed
     * into `nBuckets` files per partition by `bucketCol` and sorted by
     * it within each bucket. Two tables bucketed the same way join on

@@ -84,6 +84,64 @@ class ScaleOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("materialized LSH index: co-bucketed band join, shuffle-free, superset of in-memory pairs") {
+    // The layout cosineLshPairs' scaladoc promises: signatures in a
+    // bucketed table keyed by bkey=hash(band, value), so the candidate
+    // self-join needs NO Exchange — the only shuffle in the whole plan
+    // is the final pair dedup, which carries true >=-threshold pairs.
+    val dir = Files.createTempDirectory("graft-lsh").toString
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val noise = (x: org.apache.spark.sql.Column, i: org.apache.spark.sql.Column) =>
+      (x + lit(0.05) * (pmod(xxhash64(col("vec_id") * 1000L + i), lit(1000L))
+        .cast("double") / 1000.0 - 0.5)).cast("float")
+    val twins = emb.select((col("vec_id") + 1000000L).as("vec_id"),
+      transform(col("embedding"), noise).as("embedding"))
+    val corpus = emb.unionByName(twins)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val reg = new graft.operators.CacheRegistry
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      graft.operators.Dedup.writeLshIndex(corpus, "lsh_idx",
+        bandBits = 16, numBands = 4, nBuckets = 4)
+      val pairs = graft.operators.Dedup.cosineLshPairsIndexed(
+        spark, "lsh_idx", threshold = 0.9)
+      val plan = pairs.queryExecution.executedPlan.toString
+      assert(plan.split("Exchange").length - 1 == 1,
+        s"expected exactly one Exchange (the pair dedup), got:\n$plan")
+      val indexed = pairs.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(indexed.forall(_._3 >= 0.9), "refine must enforce the threshold")
+      val inMem = graft.operators.Dedup.cosineLshPairs(corpus,
+        threshold = 0.9, bandBits = 16, numBands = 4, registry = reg)
+        .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(inMem.nonEmpty, "planted twins must produce pairs")
+      val idxSet = indexed.map(p => (p._1, p._2)).toSet
+      assert(inMem.subsetOf(idxSet),
+        s"indexed path lost ${(inMem -- idxSet).size} in-memory pairs")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      reg.releaseAll()
+      spark.sql("DROP TABLE IF EXISTS lsh_idx")
+    }
+  }
+
+  test("compactSmallFiles: fewer files, identical rows, idempotent") {
+    val dir = Files.createTempDirectory("graft-compact").toString + "/t"
+    spark.range(0, 10000).select(col("id"), (col("id") * 3).as("v"))
+      .repartition(40).write.parquet(dir)
+    val before = spark.read.parquet(dir)
+      .agg(count(lit(1)), sum("v")).first()
+    val (n0, n1) = Warehouse.compactSmallFiles(spark, dir)
+    assert(n0 == 40 && n1 < 40 && n1 >= 1, s"compact went $n0 -> $n1")
+    val after = spark.read.parquet(dir)
+      .agg(count(lit(1)), sum("v")).first()
+    assert(after == before, "compaction must not change the row set")
+    // Second run is a no-op: already at/below the target file count.
+    val (m0, m1) = Warehouse.compactSmallFiles(spark, dir)
+    assert(m0 == n1 && m1 == n1, s"re-compact must no-op, got $m0 -> $m1")
+  }
+
   test("warehouse day-partitioned layout prunes partitions on read") {
     val dir = Files.createTempDirectory("graft-wh").toString
     val events = spark.createDataFrame(Seq(
