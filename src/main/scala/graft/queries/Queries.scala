@@ -563,6 +563,33 @@ object Queries {
     WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
     ORDER BY c_custkey"""))
 
+  /** Salted skew join (graft.operators.SkewJoin): the explicit
+    * mitigation for hot keys AQE can't split — the fact side salts on
+    * a content hash, the dim side replicates across all salt values,
+    * so one hot key spreads over `salts` shuffle partitions instead of
+    * sinking one task. The salt affects ROUTING only: the aggregated
+    * result is oracle-checked against the plain join, which is the
+    * whole point — same answer, bounded per-task volume. */
+  private val qSkewJoin = Q(
+    "q_skew_join",
+    (s, d) => {
+      val fact = t(s, d, "orders")
+        .select(col("o_custkey").as("custkey"), col("o_totalprice"))
+      val dim = t(s, d, "customer")
+        .select(col("c_custkey").as("custkey"), col("c_mktsegment"))
+      graft.operators.SkewJoin.saltedEquiJoin(fact, dim, "custkey", salts = 8)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum("o_totalprice"), 2).as("total"))
+        .orderBy("c_mktsegment")
+    },
+    Some("""SELECT c_mktsegment,
+      count(*) AS n_orders,
+      round(sum(o_totalprice), 2) AS total
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment"""))
+
   /** Correlated SCALAR subquery — repeat purchases: orders placed
     * strictly after their customer's first order. Goes through
     * spark.sql on purpose: this exercises the parser +
@@ -1004,6 +1031,68 @@ object Queries {
       floor((log2(n_tokens) - clogc / n_tokens) * 1000000.0 + 0.5)
         / 1000000.0 AS entropy
     FROM a ORDER BY doc_id"""))
+
+  /** Bigram PMI — collocation strength over the corpus (the
+    * phrase-mining signal tokenizer/vocab pipelines use):
+    * PMI(a,b) = ln( (c_ab/M) / ((c_a/N)(c_b/N)) ) for adjacent token
+    * pairs, keeping bigrams seen ≥ 5 times, top-20 by count. Bigram
+    * extraction is a row-local array transform on BOTH engines (no
+    * window, no position join — the same map-only discipline as the
+    * shingle family); the corpus totals ride in via broadcast
+    * crossJoin (one job, no driver round-trip). All counts integers;
+    * the single float expression is the final ln + floor-round. */
+  private val qBigramPmi = Q(
+    "q_bigram_pmi",
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      val tks = split(lower(col("text")), " ")
+      val bigramArr = when(size(tks) >= 2,
+        transform(sequence(lit(1), size(tks) - 1),
+          i => concat_ws(" ", element_at(tks, i), element_at(tks, i + 1))))
+        .otherwise(array().cast("array<string>"))
+      val uni = docs.select(explode(tks).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("c"))
+      val bi = docs.select(explode(bigramArr).as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("c_ab"))
+        .filter(col("c_ab") >= 5)
+      val nTok = docs.select(explode(tks).as("tok"))
+        .agg(count(lit(1)).as("n_total"))
+      val nBi = docs.select(explode(bigramArr).as("b"))
+        .agg(count(lit(1)).as("m_total"))
+      val parts = split(col("bigram"), " ")
+      bi.withColumn("a", element_at(parts, 1))
+        .withColumn("b", element_at(parts, 2))
+        .join(uni.select(col("tok").as("a"), col("c").as("c_a")), "a")
+        .join(uni.select(col("tok").as("b"), col("c").as("c_b")), "b")
+        .crossJoin(broadcast(nTok)).crossJoin(broadcast(nBi))
+        .select(col("bigram"), col("c_ab"),
+          TextAnalysis.round4Stable(
+            log(col("c_ab").cast("double") * col("n_total") * col("n_total")
+              / (col("m_total").cast("double") * col("c_a") * col("c_b"))))
+            .as("pmi"))
+        .orderBy(col("c_ab").desc, col("bigram").asc)
+        .limit(20)
+    },
+    Some("""WITH t AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
+    uni AS (
+      SELECT u.tok, count(*) AS c FROM (
+        SELECT unnest(tk) AS tok FROM t) u GROUP BY 1),
+    big AS (
+      SELECT b.bigram, count(*) AS c_ab FROM (
+        SELECT unnest(list_transform(range(1, len(tk)),
+          i -> tk[i] || ' ' || tk[i+1])) AS bigram FROM t) b
+      GROUP BY 1 HAVING count(*) >= 5),
+    tot AS (SELECT CAST(sum(len(tk)) AS BIGINT) AS n_total,
+      CAST(sum(len(tk) - 1) AS BIGINT) AS m_total FROM t)
+    SELECT bigram, c_ab,
+      floor(ln(c_ab * 1.0 * n_total * n_total
+        / (m_total * 1.0 * ca.c * cb.c)) * 10000.0 + 0.5) / 10000.0 AS pmi
+    FROM big
+    JOIN uni ca ON ca.tok = string_split(bigram, ' ')[1]
+    JOIN uni cb ON cb.tok = string_split(bigram, ' ')[2]
+    CROSS JOIN tot
+    ORDER BY c_ab DESC, bigram ASC LIMIT 20"""))
 
   /** Positional polynomial document fingerprint (rolling-hash analog). */
   private val qFingerprint = Q(
@@ -1632,6 +1721,59 @@ object Queries {
     SELECT query_id, cand_id, cos_sim, rk FROM r
     WHERE rk <= 5 ORDER BY query_id, rk"""))
 
+  /** Equi-width histogram (the distribution profile a KPI dashboard
+    * or a corpus-stats pass draws): 50k-wide price buckets, clamped
+    * top bucket, count + rounded mean per bucket. Bucket assignment is
+    * integer floor arithmetic — identical on both engines by
+    * construction (no width_bucket dialect differences) — and the
+    * whole query is one scan into one map-side-combined aggregate. */
+  private val qHistogram = Q(
+    "q_histogram",
+    (s, d) => t(s, d, "orders")
+      .select(least(floor(col("o_totalprice") / 50000.0), lit(9.0))
+        .cast("long").as("bucket"), col("o_totalprice"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        round(avg("o_totalprice"), 2).as("avg_price"))
+      .orderBy("bucket"),
+    Some("""SELECT CAST(least(floor(o_totalprice / 50000.0), 9.0) AS BIGINT)
+        AS bucket,
+      count(*) AS n,
+      round(avg(o_totalprice), 2) AS avg_price
+    FROM orders GROUP BY 1 ORDER BY bucket"""))
+
+  /** Grouped MODE with a deterministic tie-break (count desc, then
+    * value asc) — engine-native mode() functions break ties
+    * arbitrarily, so the portable form is count + row_number, which is
+    * also the shape that scales: two hash aggregates and one
+    * small-key window, no per-group value collection. */
+  private val qMode = Q(
+    "q_mode",
+    (s, d) => {
+      val counts = t(s, d, "orders")
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("c_mktsegment")
+        .orderBy(col("n").desc, col("o_orderpriority").asc)
+      counts.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("c_mktsegment"), col("o_orderpriority").as("mode_priority"),
+          col("n"))
+        .orderBy("c_mktsegment")
+    },
+    Some("""WITH c AS (
+      SELECT c_mktsegment, o_orderpriority, count(*) AS n
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1, 2),
+    r AS (
+      SELECT c_mktsegment, o_orderpriority AS mode_priority, n,
+        row_number() OVER (PARTITION BY c_mktsegment
+          ORDER BY n DESC, o_orderpriority ASC) AS rk
+      FROM c)
+    SELECT c_mktsegment, mode_priority, n FROM r WHERE rk = 1
+    ORDER BY c_mktsegment"""))
+
   /** Exact grouped quantiles (ordered-set aggregate): percentile()
     * with linear interpolation, matching DuckDB quantile_cont. Exact
     * quantiles need the group's values together (sort-based agg);
@@ -2142,7 +2284,8 @@ object Queries {
     qProjFilter, qAggGroup, qDistinct, qApproxDistinct, qRollup, qCube,
     qGroupingSets, qPivot,
     qJoinHash, qJoinBroadcast, qJoinOuter, qJoinSemi, qJoinAnti,
-    qScalarSubquery, qConditionalAgg,
+    qSkewJoin, qScalarSubquery, qConditionalAgg, qHistogram, qMode,
+    qBigramPmi,
     qWindowRank, qWindowRunning, qWindowRange, qTopkGlobal, qSetOps,
     qTumblingWindow, qSlidingWindow, qSessionize,
     qDedupExact, qTextStats, qMultimodalJoin, qSimilarityTopk,

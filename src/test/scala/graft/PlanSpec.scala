@@ -142,6 +142,25 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q_histogram: one scan into one map-side-combined aggregate") {
+    val p = plan("q_histogram")
+    assert(!p.contains("Join") && !p.contains("Expand"), p)
+    assert(p.contains("partial_"), s"needs map-side partial agg:\n$p")
+  }
+
+  test("q_bigram_pmi: bigram extraction is map-only (no Window), totals broadcast") {
+    val p = plan("q_bigram_pmi")
+    assert(!p.contains("Window"),
+      s"bigrams must come from a row-local array transform:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"corpus totals must ride a broadcast, not a shuffle:\n$p")
+  }
+
+  test("q_skew_join: equi-join on the salted key, never a product") {
+    val p = plan("q_skew_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+  }
+
   test("q_text_search: shingle IN-filter applied before the aggregate, top-k sort") {
     val p = plan("q_text_search")
     assert(p.contains("TakeOrderedAndProject"), p)
