@@ -258,6 +258,44 @@ object ExprHelpers {
     out
   }
 
+  /** All w-word-gram STRINGS of a string in one pass. Because the
+    * tokenization is split-on-single-space (empty tokens kept), the
+    * joined gram `concat_ws(" ", tok_i..tok_{i+w-1})` is EXACTLY the
+    * substring of the input from token i's start to token i+w-1's end
+    * — so each gram is one substring copy, no per-gram expression-tree
+    * interpretation (the transform(sequence(...), concat_ws) HOF form
+    * this replaces evaluates an interpreted lambda per gram: measured
+    * ~10× slower on the corpus). Equality pinned in ExpressionSpec.
+    * Fewer-than-w tokens → empty array; null → null. */
+  def wordGrams(s: UTF8String, w: Int): ArrayData = {
+    if (s == null) return null
+    val str = s.toString
+    val len = str.length
+    var nTok = 1
+    var i = 0
+    while (i < len) { if (str.charAt(i) == ' ') nTok += 1; i += 1 }
+    if (nTok < w)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[AnyRef])
+    val starts = new Array[Int](nTok)
+    val ends = new Array[Int](nTok)
+    var t = 0
+    starts(0) = 0
+    i = 0
+    while (i < len) {
+      if (str.charAt(i) == ' ') { ends(t) = i; t += 1; starts(t) = i + 1 }
+      i += 1
+    }
+    ends(t) = len
+    val out = new Array[AnyRef](nTok - w + 1)
+    var j = 0
+    while (j <= nTok - w) {
+      out(j) = UTF8String.fromString(str.substring(starts(j), ends(j + w - 1)))
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Dot product over two float arrays, accumulated in double,
     * left-to-right (same fold order as the HOF form and the DuckDB
     * oracle). Null arrays, length mismatches AND null ELEMENTS yield
@@ -426,6 +464,33 @@ case class WordGramHashes(child: Expression, w: Int,
     copy(child = newChild)
 }
 
+/** Native word-gram STRING generator (see [[ExprHelpers.wordGrams]]):
+  * the codegen replacement for interpreted transform/concat_ws gram
+  * lambdas wherever the gram TEXT is needed downstream (PMI,
+  * collocation mining); the hash forms stay the right tool when only
+  * gram equality matters. */
+case class WordGrams(child: Expression, w: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType && w >= 1) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"word_grams expects (STRING, w >= 1), got ${child.dataType.sql}, w=$w")
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else ExprHelpers.wordGrams(v.asInstanceOf[UTF8String], w)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.ExprHelpers.wordGrams($c, $w);")
+
+  override protected def withNewChildInternal(newChild: Expression): WordGrams =
+    copy(child = newChild)
+}
+
 /** Column-level and SQL-level entry points for the native expressions. */
 object GraftFunctions {
 
@@ -451,6 +516,9 @@ object GraftFunctions {
   def wordGramHashesDistinct(c: Column, w: Int): Column =
     GraftSqlBridge.column(WordGramHashes(GraftSqlBridge.expression(c), w,
       distinct = true))
+
+  def wordGrams(c: Column, w: Int): Column =
+    GraftSqlBridge.column(WordGrams(GraftSqlBridge.expression(c), w))
 
   /** SQL `char_gram_hashes(s, n)` takes n as a literal: the gram width
     * is part of the operator (it fixes the output arity per row), not a
@@ -485,7 +553,9 @@ object GraftFunctions {
         es.length > 2 && literalBool(es(2), "char_gram_hashes")) },
     "word_gram_hashes" -> { es =>
       WordGramHashes(es.head, literalInt(es(1), "word_gram_hashes"),
-        es.length > 2 && literalBool(es(2), "word_gram_hashes")) })
+        es.length > 2 && literalBool(es(2), "word_gram_hashes")) },
+    "word_grams" -> { es =>
+      WordGrams(es.head, literalInt(es(1), "word_grams")) })
 
   /** Register the SQL functions into an existing session (the
     * runtime-registration path; config-time wiring is

@@ -1045,26 +1045,37 @@ object Queries {
     "q_bigram_pmi",
     (s, d) => {
       val docs = t(s, d, "documents")
-      val tks = split(lower(col("text")), " ")
-      val bigramArr = when(size(tks) >= 2,
-        transform(sequence(lit(1), size(tks) - 1),
-          i => concat_ws(" ", element_at(tks, i), element_at(tks, i + 1))))
-        .otherwise(array().cast("array<string>"))
-      val uni = docs.select(explode(tks).as("tok"))
-        .groupBy("tok").agg(count(lit(1)).as("c"))
-      val bi = docs.select(explode(bigramArr).as("bigram"))
-        .groupBy("bigram").agg(count(lit(1)).as("c_ab"))
-        .filter(col("c_ab") >= 5)
-      val nTok = docs.select(explode(tks).as("tok"))
-        .agg(count(lit(1)).as("n_total"))
-      val nBi = docs.select(explode(bigramArr).as("b"))
-        .agg(count(lit(1)).as("m_total"))
+      val txt = lower(col("text"))
+      // Stacked gram stream (k=1 unigrams, k=2 bigrams — the gram
+      // order doubles as the kind tag): two codegen'd scans union into
+      // ONE counting shuffle, and every consumer — both count tables
+      // and both corpus totals — hangs off that same exchange
+      // (ReuseExchange runs it once). Gram strings come from the
+      // native WordGrams expression (one substring per gram) — the
+      // interpreted transform/concat_ws HOF form measured ~10× slower
+      // on the corpus scan.
+      val grams = Seq(1, 2).map { k =>
+        docs.select(lit(k).as("k"),
+          explode(graft.plans.GraftFunctions.wordGrams(txt, k)).as("g"))
+      }.reduce(_ unionByName _)
+      val counts = grams.groupBy("k", "g").agg(count(lit(1)).as("c"))
+      // Corpus totals re-aggregate the COUNTED rows (same exchange,
+      // reused at runtime) down to one row per kind — a broadcastable
+      // scalar pair, not a vocab-wide window sort.
+      val tots = counts.groupBy("k").agg(sum("c").as("tot"))
+      val uni = counts.filter(col("k") === 1)
+        .select(col("g").as("tok"), col("c"))
+      val bi = counts.filter(col("k") === 2 && col("c") >= 5)
+        .select(col("g").as("bigram"), col("c").as("c_ab"))
       val parts = split(col("bigram"), " ")
       bi.withColumn("a", element_at(parts, 1))
         .withColumn("b", element_at(parts, 2))
         .join(uni.select(col("tok").as("a"), col("c").as("c_a")), "a")
         .join(uni.select(col("tok").as("b"), col("c").as("c_b")), "b")
-        .crossJoin(broadcast(nTok)).crossJoin(broadcast(nBi))
+        .crossJoin(broadcast(tots.filter(col("k") === 1)
+          .select(col("tot").as("n_total"))))
+        .crossJoin(broadcast(tots.filter(col("k") === 2)
+          .select(col("tot").as("m_total"))))
         .select(col("bigram"), col("c_ab"),
           TextAnalysis.round4Stable(
             log(col("c_ab").cast("double") * col("n_total") * col("n_total")

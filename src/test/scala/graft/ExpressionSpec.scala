@@ -197,6 +197,33 @@ class ExpressionSpec extends AnyFunSuite {
       "all-distinct input returns the same array (no copy)")
   }
 
+  test("WordGrams ≡ interpreted transform/concat_ws grams on real docs + edges") {
+    // The substring trick (a w-gram IS the text between token i's start
+    // and token i+w-1's end, because split is on single space) must
+    // reproduce the HOF form exactly — including empty tokens from
+    // space runs and leading/trailing spaces.
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(lower(col("text")).as("t"))
+      .unionByName(Seq("a  b", " a b ", "", " ", "solo", "x y z")
+        .toDF("t"))
+    Seq(1, 2, 3).foreach { w =>
+      val tks = split(col("t"), " ")
+      val hof = when(size(tks) >= w,
+        transform(sequence(lit(1), size(tks) - (w - 1)),
+          i => concat_ws(" ", (0 until w).map(o => element_at(tks, i + o)): _*)))
+        .otherwise(array().cast("array<string>"))
+      docs.select(hof.as("h"),
+        GraftFunctions.wordGrams(col("t"), w).as("n"))
+        .collect().foreach { r =>
+          assert(r.getSeq[String](0) == r.getSeq[String](1),
+            s"w=$w: ${r.getSeq[String](0)} vs ${r.getSeq[String](1)}")
+        }
+    }
+    GraftFunctions.register(spark)
+    val r = spark.sql("SELECT word_grams('a b c', 2) AS g").first()
+    assert(r.getSeq[String](0) == Seq("a b", "b c"))
+  }
+
   test("SQL gram hashers accept a literal trailing distinct flag") {
     GraftFunctions.register(spark)
     val r = spark.sql(
