@@ -149,6 +149,72 @@ object EventStreams {
       }
   }
 
+  final case class OpenSession(start: Long, last: Long, n: Long)
+  final case class SessionRecord(user_id: Long, session_start: Timestamp,
+                                 session_end: Timestamp, n_events: Long)
+
+  /** One row PER CLOSED SESSION from custom state — the
+    * flatMapGroupsWithState form (0..n outputs per group per batch,
+    * where mapGroupsWithState is locked to exactly one): a session
+    * closes either when a >gap event arrives (emitted immediately,
+    * same batch) or when the watermark passes its end + gap (emitted
+    * from the timeout branch, state removed). Same output SHAPE as the
+    * native [[sessionWindows]] aggregation; this form is for session
+    * semantics the built-in can't express — custom close rules,
+    * per-session derived fields — while keeping the identical
+    * watermark-bounded state lifecycle. Append mode (a record is final
+    * when emitted). State per user is one [[OpenSession]].
+    *
+    * Ordering: per-batch events fold in (ts, event_id) order; a
+    * cross-batch straggler within the gap of the open session extends
+    * it, one beyond the gap closes it first — the same explicit
+    * approximation as [[sessionize]]. */
+  def sessionRecords(events: Dataset[Event],
+                     gapMinutes: Long = 30,
+                     watermark: String = "10 minutes"): Dataset[SessionRecord] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMs = gapMinutes * 60L * 1000L
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, SessionRecord](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (uid, it, state: GroupState[OpenSession]) =>
+          def rec(s: OpenSession) = SessionRecord(uid,
+            new Timestamp(s.start), new Timestamp(s.last), s.n)
+          if (state.hasTimedOut) {
+            // Watermark passed last + gap: the open session can never
+            // be extended by in-watermark data — close it, drop state.
+            val s = state.get
+            state.remove()
+            Iterator.single(rec(s))
+          } else {
+            val closed = Seq.newBuilder[SessionRecord]
+            var open = state.getOption
+            it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+              val t = e.ts.getTime
+              open = open match {
+                case Some(s) if t - s.last > gapMs =>
+                  closed += rec(s)
+                  Some(OpenSession(t, t, 1L))
+                case Some(s) =>
+                  Some(OpenSession(s.start, math.max(s.last, t), s.n + 1L))
+                case None =>
+                  Some(OpenSession(t, t, 1L))
+              }
+            }
+            // flatMap groups only sees keys WITH data or WITH a timeout
+            // — open is defined on every data path.
+            val s = open.get
+            state.update(s)
+            state.setTimeoutTimestamp(
+              math.max(s.last + gapMs, state.getCurrentWatermarkMs() + 1L))
+            closed.result().iterator
+          }
+      }
+  }
+
   /** Streaming exact dedup: drop events whose `idCols` were already
     * seen, keeping state only within the watermark (the streaming twin
     * of q_dedup_exact — state is evicted once an id is older than the

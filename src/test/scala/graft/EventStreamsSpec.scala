@@ -193,4 +193,48 @@ class EventStreamsSpec extends AnyFunSuite {
       assert(fin(3L).n_events == 2 && fin(3L).n_sessions == 1)
     } finally q.stop()
   } }
+
+  test("sessionRecords (flatMapGroupsWithState) emits one row per closed session") { withoutNoDataBatches {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val records = EventStreams.sessionRecords(input.toDS())
+    val q = records.writeStream.format("memory").queryName("srec_out")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      // user 1: two sessions in ONE batch (gap between t=10 and t=50)
+      // — the first must emit IMMEDIATELY (in-batch close), the second
+      // stays open. user 2: one open session.
+      input.addData(
+        Event(1, ts(0), 1, 1.0), Event(2, ts(10), 1, 1.0),
+        Event(3, ts(50), 1, 1.0),
+        Event(4, ts(0), 2, 1.0), Event(5, ts(5), 2, 1.0))
+      q.processAllAvailable()
+      val batch1 = spark.table("srec_out").as[EventStreams.SessionRecord]
+        .collect().toSeq
+      assert(batch1.map(r => (r.user_id, r.session_start.getTime,
+        r.session_end.getTime, r.n_events)).toSet ==
+        Set((1L, ts(0).getTime, ts(10).getTime, 2L)),
+        s"only user 1's first session is closed, got $batch1")
+
+      // Advance the watermark past every open session's end + gap
+      // (max event time 120min → watermark 110min > 50+30, > 5+30),
+      // then run a data batch so the timeout branch fires.
+      input.addData(Event(6, ts(120), 3, 1.0))
+      q.processAllAvailable()
+      input.addData(Event(7, ts(125), 3, 1.0))
+      q.processAllAvailable()
+      val all = spark.table("srec_out").as[EventStreams.SessionRecord]
+        .collect().toSeq
+        .map(r => (r.user_id, r.session_start.getTime, r.session_end.getTime,
+          r.n_events)).toSet
+      assert(all.contains((1L, ts(50).getTime, ts(50).getTime, 1L)),
+        s"user 1's open session must close on watermark, got $all")
+      assert(all.contains((2L, ts(0).getTime, ts(5).getTime, 2L)),
+        s"user 2's session must close on watermark, got $all")
+      // user 3's session (120..125) is still open: not emitted.
+      assert(!all.exists(_._1 == 3L), s"user 3 must still be open, got $all")
+    } finally q.stop()
+  } }
 }
