@@ -75,8 +75,12 @@ object Warehouse {
       s".${p.getName}_compact_old")
     fs.delete(tmp, true); fs.delete(trash, true)
     // coalesce, not repartition: merging files needs no row movement,
-    // so the rewrite is a read+write with zero exchange.
-    spark.read.parquet(path).coalesce(nTarget)
+    // so the rewrite is a read+write with zero exchange. mergeSchema:
+    // an appended leaf may hold files with EVOLVED schemas (O16) —
+    // resolving from one footer would silently drop the columns the
+    // other files carry. Reading every footer is fine here: the dir is
+    // exactly the small-files set being compacted.
+    spark.read.option("mergeSchema", "true").parquet(path).coalesce(nTarget)
       .write.mode("overwrite").parquet(tmp.toString)
     if (!fs.rename(p, trash))
       throw new java.io.IOException(s"compact: cannot move $p aside")

@@ -142,6 +142,27 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(m0 == n1 && m1 == n1, s"re-compact must no-op, got $m0 -> $m1")
   }
 
+  test("compactSmallFiles preserves evolved schemas (union of all footers)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-compact-ev").toString + "/t"
+    // Two appends with DIFFERENT schemas (the O16 evolution shape),
+    // several small files each: compaction must keep both column sets.
+    (1L to 12L).map(i => (i, i.toDouble)).toDF("id", "a").repartition(6)
+      .write.mode("append").parquet(dir)
+    (13L to 24L).map(i => (i, s"x$i")).toDF("id", "b").repartition(6)
+      .write.mode("append").parquet(dir)
+    val (n0, n1) = Warehouse.compactSmallFiles(spark, dir)
+    assert(n0 > n1 && n1 >= 1, s"compact went $n0 -> $n1")
+    val back = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(back.columns.toSet == Set("id", "a", "b"),
+      s"evolved column lost: ${back.columns.toSeq}")
+    assert(back.count() == 24)
+    val r1 = back.filter(col("id") === 1L).first()
+    assert(r1.getAs[Double]("a") == 1.0 && r1.isNullAt(r1.fieldIndex("b")))
+    val r2 = back.filter(col("id") === 13L).first()
+    assert(r2.getAs[String]("b") == "x13" && r2.isNullAt(r2.fieldIndex("a")))
+  }
+
   test("warehouse day-partitioned layout prunes partitions on read") {
     val dir = Files.createTempDirectory("graft-wh").toString
     val events = spark.createDataFrame(Seq(
