@@ -1753,6 +1753,36 @@ object Queries {
       round(avg(o_totalprice), 2) AS avg_price
     FROM orders GROUP BY 1 ORDER BY bucket"""))
 
+  /** Array aggregation + array scalar functions: per-customer sorted
+    * list of order priorities, its distinct form, and a first/last
+    * probe — the collection-function surface (collect_list /
+    * sort_array / array_distinct / element_at) the relational
+    * inventory doesn't otherwise touch. collect_list is
+    * order-nondeterministic under parallel merge, so the SORTED array
+    * is the only cross-engine-comparable form (same reason DuckDB
+    * needs list_sort(list(...))). One shuffle on the group key. */
+  private val qArrayAgg = Q(
+    "q_array_agg",
+    (s, d) => t(s, d, "orders")
+      .groupBy("o_custkey")
+      .agg(sort_array(collect_list("o_orderpriority")).as("prios"))
+      .select(col("o_custkey"), col("prios"),
+        // array_distinct keeps first-occurrence order, which over a
+        // SORTED input is sorted order — DuckDB's list_distinct makes
+        // no order promise, so the oracle re-sorts explicitly.
+        array_distinct(col("prios")).as("distinct_prios"),
+        size(col("prios")).cast("long").as("n"),
+        element_at(col("prios"), 1).as("first_prio"),
+        element_at(col("prios"), -1).as("last_prio"))
+      .orderBy("o_custkey"),
+    Some("""SELECT o_custkey,
+      list_sort(list(o_orderpriority)) AS prios,
+      list_sort(list_distinct(list(o_orderpriority))) AS distinct_prios,
+      len(list(o_orderpriority)) AS n,
+      list_sort(list(o_orderpriority))[1] AS first_prio,
+      list_sort(list(o_orderpriority))[-1] AS last_prio
+    FROM orders GROUP BY o_custkey ORDER BY o_custkey"""))
+
   /** Grouped MODE with a deterministic tie-break (count desc, then
     * value asc) — engine-native mode() functions break ties
     * arbitrarily, so the portable form is count + row_number, which is
@@ -2296,7 +2326,7 @@ object Queries {
     qGroupingSets, qPivot,
     qJoinHash, qJoinBroadcast, qJoinOuter, qJoinSemi, qJoinAnti,
     qSkewJoin, qScalarSubquery, qConditionalAgg, qHistogram, qMode,
-    qBigramPmi,
+    qArrayAgg, qBigramPmi,
     qWindowRank, qWindowRunning, qWindowRange, qTopkGlobal, qSetOps,
     qTumblingWindow, qSlidingWindow, qSessionize,
     qDedupExact, qTextStats, qMultimodalJoin, qSimilarityTopk,
