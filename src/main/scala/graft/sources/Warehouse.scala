@@ -50,11 +50,20 @@ object Warehouse {
     * and every downstream scan pays per-file open/footer/schedule cost
     * — the classic lakehouse small-files problem. Rewrite = one narrow
     * coalesce (no shuffle: file count shrinks, rows don't move between
-    * surviving partitions' lineage) into a sibling temp dir, then an
-    * atomic-as-the-FS-allows swap (rename old → trash, temp → live,
-    * delete trash). Readers racing the swap see the old or the new
-    * listing; both hold the full row set. Returns (filesBefore,
-    * filesAfter).
+    * surviving partitions' lineage) into a sibling temp dir; then the
+    * swap moves ONLY the files captured in the initial listing aside
+    * and the rewritten files in — the live directory always exists,
+    * and a file APPENDED CONCURRENTLY (a racing micro-batch) is
+    * neither read nor touched: it simply survives to the next
+    * compaction. Returns (filesBefore, filesAfter).
+    *
+    * Consistency contract (a plain filesystem has no manifest — this
+    * is exactly the gap table formats close with one): a reader racing
+    * the swap can transiently see a PARTIAL listing (some originals
+    * gone, rewrite not yet visible); a crash mid-swap leaves the
+    * originals recoverable in the sibling `.<name>_compact_old` dir,
+    * never silently duplicated. Run it from the partition's single
+    * writer/janitor; point-in-time readers need a manifest format.
     *
     * No-op (returns counts, writes nothing) when the directory already
     * has ≤ the target file count — compaction must be safe to schedule
@@ -64,8 +73,9 @@ object Warehouse {
     require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val files = fs.listStatus(p).filter(s => s.isFile
+    def liveFiles() = fs.listStatus(p).filter(s => s.isFile
       && !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+    val files = liveFiles()
     val totalBytes = files.map(_.getLen).sum
     val nTarget = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
     if (files.length <= nTarget) return (files.length, files.length)
@@ -74,25 +84,30 @@ object Warehouse {
     val trash = new org.apache.hadoop.fs.Path(p.getParent,
       s".${p.getName}_compact_old")
     fs.delete(tmp, true); fs.delete(trash, true)
-    // coalesce, not repartition: merging files needs no row movement,
-    // so the rewrite is a read+write with zero exchange. mergeSchema:
+    // Rewrite exactly the files of the initial listing (a concurrent
+    // append after this point must NOT be folded in — it would then be
+    // double-counted when the swap leaves it in place). coalesce, not
+    // repartition: merging files needs no row movement. mergeSchema:
     // an appended leaf may hold files with EVOLVED schemas (O16) —
     // resolving from one footer would silently drop the columns the
-    // other files carry. Reading every footer is fine here: the dir is
-    // exactly the small-files set being compacted.
-    spark.read.option("mergeSchema", "true").parquet(path).coalesce(nTarget)
+    // other files carry; reading every footer is fine here (the dir is
+    // exactly the small-files set being compacted).
+    spark.read.option("mergeSchema", "true")
+      .parquet(files.map(_.getPath.toString): _*).coalesce(nTarget)
       .write.mode("overwrite").parquet(tmp.toString)
-    if (!fs.rename(p, trash))
-      throw new java.io.IOException(s"compact: cannot move $p aside")
-    if (!fs.rename(tmp, p)) {
-      // restore the original rather than leaving the table missing
-      fs.rename(trash, p)
-      throw new java.io.IOException(s"compact: cannot move $tmp into place")
+    // Swap: originals → trash (only the listed ones), rewrite → live.
+    fs.mkdirs(trash)
+    files.foreach { f =>
+      if (!fs.rename(f.getPath, new org.apache.hadoop.fs.Path(trash, f.getPath.getName)))
+        throw new java.io.IOException(s"compact: cannot move ${f.getPath} aside")
     }
-    fs.delete(trash, true)
-    val after = fs.listStatus(p).count(s => s.isFile
-      && !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
-    (files.length, after)
+    fs.listStatus(tmp).filter(_.isFile)
+      .filterNot(_.getPath.getName.startsWith("_")).foreach { f =>
+        if (!fs.rename(f.getPath, new org.apache.hadoop.fs.Path(p, f.getPath.getName)))
+          throw new java.io.IOException(s"compact: cannot move ${f.getPath} into place")
+      }
+    fs.delete(trash, true); fs.delete(tmp, true)
+    (files.length, liveFiles().length)
   }
 
   /** Write `df` as a BUCKETED catalog table: rows are hash-distributed
