@@ -83,10 +83,21 @@ object Bench {
       }
       name -> (if (times.forall(_ > 0)) times.min else -times.map(math.abs).min)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Millisecond precision keeps the 80-query line ~5x shorter than
+    // raw doubles — the driver captures a bounded tail of stdout and a
+    // long line risks losing its head to the cut (r4's artifact had
+    // parsed:null for exactly this reason).
+    def ms(v: Double): Double = math.rint(v * 1000) / 1000
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
-    val total = results.values.filter(_ > 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"cpus":"$cpus"}""")
+    val total = ms(results.values.filter(_ > 0).sum)
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"cpus":"$cpus"}"""
+    println(line)
     spark.stop()
+    // Re-emit AFTER spark.stop() so the totals JSON is the absolute
+    // last stdout line, past any shutdown log noise the tail capture
+    // would otherwise have to wade through.
+    println(line)
   }
 }

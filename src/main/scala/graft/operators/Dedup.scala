@@ -530,46 +530,75 @@ object Dedup {
     }.reduce(_ unionByName _).dropDuplicates("i", "j")
   }
 
-  /** MATERIALIZED form of the [[cosineLshPairs]] index — the layout its
-    * scaladoc promises at 100 TB: signature rows land in a bucketed
-    * catalog table keyed by `bkey = xxhash64(band, bandValue)`, so the
-    * candidate self-join is CO-BUCKETED — zero Exchange on either side
-    * (pinned in ScaleOpsSpec). Long format (one row per vector per
-    * band, all bands in ONE join) instead of the in-memory form's
-    * numBands joins; folding (band, value) into one hashed key makes
-    * the join key equal the bucket key. A bkey hash collision can only
-    * ADD a candidate pair, and every candidate is refined with the
-    * exact cosine — completeness and the emitted threshold are
-    * unaffected (DedupSpec pins indexed ⊇ in-memory on planted twins).
+  /** MATERIALIZED form of the [[cosineLshPairs]] index — two catalog
+    * tables, signatures and vectors SEPARATED so the index truly is a
+    * small fraction of corpus bytes at 100 TB:
+    *
+    *   - `<table>`: thin `(vec_id, bkey)` rows (16 B each), one per
+    *     vector per band, bucketed by `bkey = xxhash64(band,
+    *     bandValue)` — folding (band, value) into one hashed key makes
+    *     the candidate self-join key equal the bucket key, so that
+    *     join plans with ZERO Exchange (pinned in ScaleOpsSpec).
+    *   - `<table>_vec`: `(vec_id, v, nrm)` exactly ONCE per vector,
+    *     bucketed by vec_id, consulted only in the refine step.
+    *
+    * Storing v/nrm in the band rows instead would duplicate every
+    * corpus embedding numBands× and make each epoch's candidate scan
+    * pay numBands× corpus-embedding bytes — the thin layout's refine
+    * joins shuffle only the candidate-pair ids (16 B/row), never the
+    * vectors. A bkey hash collision can only ADD a candidate pair, and
+    * every candidate is refined with the exact cosine — completeness
+    * and the emitted threshold are unaffected (ScaleOpsSpec pins
+    * indexed ⊇ in-memory on planted twins).
     *
     * Build once, then every dedup/search epoch reads the index instead
-    * of re-signing the corpus: at 100 TB the signatures are a small
-    * fraction of corpus bytes and the re-sign is the expensive step. */
+    * of re-signing the corpus — the re-sign (a full corpus pass) is
+    * the expensive step. */
   def writeLshIndex(embeddings: DataFrame, table: String,
                     bandBits: Int = 8, numBands: Int = 8,
                     nBuckets: Int = 16): Unit = {
     val bands = lshBands(embeddings, bandBits, numBands)
-    val rows = bands.select(col("vec_id"), col("v"), col("nrm"),
+    val rows = bands.select(col("vec_id"),
       explode(array((0 until numBands).map(j =>
         xxhash64(lit(j), col(s"band$j"))): _*)).as("bkey"))
     graft.sources.Warehouse.writeBucketed(rows, table, "bkey", nBuckets)
+    graft.sources.Warehouse.writeBucketed(
+      bands.select(col("vec_id"), col("v"), col("nrm")),
+      table + "_vec", "vec_id", nBuckets)
   }
 
-  /** Candidate pairs from a [[writeLshIndex]] table: one self-join on
-    * the bucket key (shuffle-free by layout), exact-cosine refine
-    * in-join, then the pair dedup — the only Exchange in the plan
-    * carries true ≥-threshold pairs. */
+  /** Distinct candidate id-pairs from a [[writeLshIndex]] signature
+    * table: one self-join on the bucket key (shuffle-free by layout) +
+    * the pair dedup — the ONLY Exchange in this plan carries bare
+    * (i, j) longs. */
+  def lshIndexCandidates(spark: org.apache.spark.sql.SparkSession,
+                         table: String): DataFrame = {
+    val idx = spark.table(table)
+    idx.as("a").join(idx.as("b"),
+        col("a.bkey") === col("b.bkey") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"))
+      .dropDuplicates("i", "j")
+  }
+
+  /** ≥-threshold cosine pairs from a [[writeLshIndex]] table:
+    * [[lshIndexCandidates]] refined against the `<table>_vec` side
+    * table. The refine joins move only candidate ids — the vector
+    * table is bucketed by vec_id, so Spark shuffles the thin pair
+    * stream to the buckets and the embeddings stay put (pinned in
+    * ScaleOpsSpec: no Exchange in the plan carries an array column). */
   def cosineLshPairsIndexed(spark: org.apache.spark.sql.SparkSession,
                             table: String,
                             threshold: Double = 0.9): DataFrame = {
-    val idx = spark.table(table)
-    val dot = graft.plans.GraftFunctions.dotProductFloat(col("a.v"), col("b.v"))
-    val cos = round(dot / (col("a.nrm") * col("b.nrm")), 6)
-    idx.as("a").join(idx.as("b"),
-        col("a.bkey") === col("b.bkey") && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"),
-        cos.as("cos_sim"))
+    val vec = spark.table(table + "_vec")
+    val va = vec.select(col("vec_id").as("i"), col("v").as("va"),
+      col("nrm").as("na"))
+    val vb = vec.select(col("vec_id").as("j"), col("v").as("vb"),
+      col("nrm").as("nb"))
+    val dot = graft.plans.GraftFunctions.dotProductFloat(col("va"), col("vb"))
+    val cos = round(dot / (col("na") * col("nb")), 6)
+    lshIndexCandidates(spark, table)
+      .join(va, "i").join(vb, "j")
+      .select(col("i"), col("j"), cos.as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
-      .dropDuplicates("i", "j")
   }
 }

@@ -93,6 +93,12 @@ object ExprHelpers {
   def distinctLongs(in: Array[Long]): Array[Long] = {
     val n = in.length
     if (n <= 1) return in
+    // Guard before sizing: past 2^29 elements `n * 2` would overflow
+    // Int and leave cap=2, turning the probe loop into a hang. A
+    // single row holding >512M grams is out of contract anyway (4 GiB
+    // in one cell) — fail loudly instead of spinning.
+    require(n <= (1 << 29),
+      s"distinctLongs: $n elements exceeds the 2^29 row-local bound")
     var cap = 2
     while (cap < n * 2) cap <<= 1
     val mask = cap - 1

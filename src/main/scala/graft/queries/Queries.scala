@@ -602,13 +602,22 @@ object Queries {
   private val qScalarSubquery = Q(
     "q_scalar_subquery",
     (s, d) => {
-      t(s, d, "orders").createOrReplaceTempView("orders_sq")
-      s.sql("""SELECT o_orderkey, o_custkey, o_orderdate
-        FROM orders_sq o
+      // Per-call unique view name: a session-global name would race
+      // when two datasets are evaluated interleaved in one session
+      // (the SQL could silently read the other dataset). sql() resolves
+      // the view during eager analysis, so dropping it immediately
+      // after is safe — the returned plan no longer consults the
+      // catalog.
+      val view = "orders_sq_" + java.util.UUID.randomUUID().toString
+        .replace("-", "")
+      t(s, d, "orders").createOrReplaceTempView(view)
+      try s.sql(s"""SELECT o_orderkey, o_custkey, o_orderdate
+        FROM $view o
         WHERE o_orderdate > (SELECT min(o2.o_orderdate)
-                             FROM orders_sq o2
+                             FROM $view o2
                              WHERE o2.o_custkey = o.o_custkey)
         ORDER BY o_orderkey""")
+      finally s.catalog.dropTempView(view)
     },
     Some("""SELECT o_orderkey, o_custkey, o_orderdate
     FROM orders o
@@ -1760,24 +1769,31 @@ object Queries {
     * inventory doesn't otherwise touch. collect_list is
     * order-nondeterministic under parallel merge, so the SORTED array
     * is the only cross-engine-comparable form (same reason DuckDB
-    * needs list_sort(list(...))). One shuffle on the group key. */
+    * needs list_sort(list(...))). The arrays are projected through
+    * array_join — the comparator sorts columns cell-wise and array
+    * cells are unhashable there, so the comparable surface must be
+    * scalar (same constraint documented at q_quantile). One shuffle
+    * on the group key. */
   private val qArrayAgg = Q(
     "q_array_agg",
     (s, d) => t(s, d, "orders")
       .groupBy("o_custkey")
       .agg(sort_array(collect_list("o_orderpriority")).as("prios"))
-      .select(col("o_custkey"), col("prios"),
+      .select(col("o_custkey"),
+        array_join(col("prios"), ",").as("prios_csv"),
         // array_distinct keeps first-occurrence order, which over a
         // SORTED input is sorted order — DuckDB's list_distinct makes
         // no order promise, so the oracle re-sorts explicitly.
-        array_distinct(col("prios")).as("distinct_prios"),
+        array_join(array_distinct(col("prios")), ",")
+          .as("distinct_prios_csv"),
         size(col("prios")).cast("long").as("n"),
         element_at(col("prios"), 1).as("first_prio"),
         element_at(col("prios"), -1).as("last_prio"))
       .orderBy("o_custkey"),
     Some("""SELECT o_custkey,
-      list_sort(list(o_orderpriority)) AS prios,
-      list_sort(list_distinct(list(o_orderpriority))) AS distinct_prios,
+      array_to_string(list_sort(list(o_orderpriority)), ',') AS prios_csv,
+      array_to_string(list_sort(list_distinct(list(o_orderpriority))), ',')
+        AS distinct_prios_csv,
       len(list(o_orderpriority)) AS n,
       list_sort(list(o_orderpriority))[1] AS first_prio,
       list_sort(list(o_orderpriority))[-1] AS last_prio

@@ -67,7 +67,10 @@ object Warehouse {
     *
     * No-op (returns counts, writes nothing) when the directory already
     * has ≤ the target file count — compaction must be safe to schedule
-    * blindly from a janitor loop. */
+    * blindly from a janitor loop. "Blindly" includes after a crash: a
+    * re-run that finds a non-empty trash dir ABORTS (it cannot tell
+    * moved-aside-only from already-swapped, so deleting or restoring
+    * could lose or duplicate rows) and demands manual recovery. */
   def compactSmallFiles(spark: SparkSession, path: String,
                         targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
     require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
@@ -83,6 +86,18 @@ object Warehouse {
       s".${p.getName}_compact_tmp")
     val trash = new org.apache.hadoop.fs.Path(p.getParent,
       s".${p.getName}_compact_old")
+    // A NON-EMPTY trash dir means a prior run crashed mid-swap and the
+    // files in it may be the only copy of their rows (crash during the
+    // originals→trash loop) — or duplicates of rows already swapped in
+    // (crash during the rewrite→live loop). The two are not
+    // distinguishable without a manifest, so a fresh run must never
+    // delete it: abort and require manual adjudication. An empty trash
+    // (clean shutdown raced the final delete) is safe to clear.
+    if (fs.exists(trash) && fs.listStatus(trash).exists(_.isFile))
+      throw new java.io.IOException(
+        s"compact: $trash is non-empty — a prior compaction crashed " +
+        "mid-swap; inspect and restore/remove its files manually " +
+        "before re-running")
     fs.delete(tmp, true); fs.delete(trash, true)
     // Rewrite exactly the files of the initial listing (a concurrent
     // append after this point must NOT be folded in — it would then be

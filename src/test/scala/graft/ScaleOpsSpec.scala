@@ -104,11 +104,25 @@ class ScaleOpsSpec extends AnyFunSuite {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       graft.operators.Dedup.writeLshIndex(corpus, "lsh_idx",
         bandBits = 16, numBands = 4, nBuckets = 4)
+      // The thin signature table's candidate self-join is co-bucketed:
+      // its ONLY Exchange is the pair dedup, carrying bare (i,j) longs.
+      val candPlan = graft.operators.Dedup
+        .lshIndexCandidates(spark, "lsh_idx")
+        .queryExecution.executedPlan.toString
+      assert(candPlan.split("Exchange").length - 1 == 1,
+        s"expected exactly one Exchange (the pair dedup), got:\n$candPlan")
       val pairs = graft.operators.Dedup.cosineLshPairsIndexed(
         spark, "lsh_idx", threshold = 0.9)
-      val plan = pairs.queryExecution.executedPlan.toString
-      assert(plan.split("Exchange").length - 1 == 1,
-        s"expected exactly one Exchange (the pair dedup), got:\n$plan")
+      // Embeddings never shuffle: every Exchange in the full refine
+      // plan carries only scalar columns — the vec side table stays in
+      // its buckets and only candidate ids move.
+      val shuffledArrays = pairs.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+          if e.output.exists(_.dataType
+            .isInstanceOf[org.apache.spark.sql.types.ArrayType]) => e
+      }
+      assert(shuffledArrays.isEmpty,
+        s"an Exchange carries embedding arrays:\n${shuffledArrays.mkString("\n")}")
       val indexed = pairs.collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
       assert(indexed.forall(_._3 >= 0.9), "refine must enforce the threshold")
@@ -123,6 +137,7 @@ class ScaleOpsSpec extends AnyFunSuite {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
       reg.releaseAll()
       spark.sql("DROP TABLE IF EXISTS lsh_idx")
+      spark.sql("DROP TABLE IF EXISTS lsh_idx_vec")
     }
   }
 
@@ -140,6 +155,29 @@ class ScaleOpsSpec extends AnyFunSuite {
     // Second run is a no-op: already at/below the target file count.
     val (m0, m1) = Warehouse.compactSmallFiles(spark, dir)
     assert(m0 == n1 && m1 == n1, s"re-compact must no-op, got $m0 -> $m1")
+  }
+
+  test("compactSmallFiles aborts on a non-empty trash dir (crashed prior swap)") {
+    val base = Files.createTempDirectory("graft-compact-crash")
+    val dir = base.toString + "/t"
+    spark.range(0, 1000).select(col("id"), (col("id") * 3).as("v"))
+      .repartition(20).write.parquet(dir)
+    // Simulate a prior run that crashed mid-swap: its trash dir holds a
+    // moved-aside original — possibly the only copy of those rows. A
+    // fresh run must refuse to touch it, not silently delete it.
+    val trash = base.resolve(".t_compact_old")
+    Files.createDirectory(trash)
+    val stranded = trash.resolve("part-stranded.parquet")
+    Files.write(stranded, Array[Byte](1, 2, 3))
+    val e = intercept[java.io.IOException] {
+      Warehouse.compactSmallFiles(spark, dir)
+    }
+    assert(e.getMessage.contains("non-empty"), e.getMessage)
+    assert(Files.exists(stranded), "abort must leave the trash untouched")
+    // An EMPTY trash (clean shutdown raced the final delete) is fine.
+    Files.delete(stranded)
+    val (n0, n1) = Warehouse.compactSmallFiles(spark, dir)
+    assert(n0 == 20 && n1 < 20 && n1 >= 1, s"compact went $n0 -> $n1")
   }
 
   test("compactSmallFiles preserves evolved schemas (union of all footers)") {
