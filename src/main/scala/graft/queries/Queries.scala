@@ -2207,26 +2207,67 @@ object Queries {
     * 4 bands × 16 bits: random-pair candidate volume n²·4/2^16 (the
     * banding actually prunes), recall ≈ 1-(1-p^16)^4 with
     * p = 1-θ/π — ≈ 0.93 at cos 0.99, falling fast below 0.9: LSH
-    * semantic dedup is a HIGH-threshold tool (the SemDeDup regime);
-    * use more/narrower bands only with a blocking key to absorb the
-    * candidate blow-up. Precision is exact by construction (in-join
-    * cosine refine). No oracle (band assignment is engine-specific);
-    * DedupSpec pins planted-twin keep-set behavior. */
+    * semantic dedup is a HIGH-threshold tool (the SemDeDup regime).
+    * Precision is exact by construction (in-join cosine refine).
+    *
+    * ORACLE-CHECKABLE by a planted-twin fixture: the corpus is the
+    * embeddings table unioned with an EXACT copy of itself at
+    * vec_id+1000000. Identical vectors get identical band signatures
+    * (the signature is a pure function of the vector), so every twin
+    * pair is a candidate in every band — recall on the planted pairs
+    * is exactly 1, not probabilistic. The max NATURAL pairwise cosine
+    * in the testdata is ≤0.61 at every SF (measured), far below the
+    * 0.9 threshold, so the LSH pair set provably equals the exact
+    * ≥0.9 pair set and the keep-set matches a DuckDB recursive-CC
+    * oracle bit-for-bit. Probabilistic natural-corpus recall stays
+    * pinned in DedupSpec. */
   private val qSemDedupLsh = Q(
     "q_semdedup_lsh",
     (s, d) => {
-      val emb = t(s, d, "embeddings")
-      val pairs = Dedup.cosineLshPairs(emb, threshold = 0.9,
+      val emb = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val twins = emb.select((col("vec_id") + lit(1000000L)).as("vec_id"),
+        col("embedding"))
+      val corpus = emb.unionByName(twins)
+      val pairs = Dedup.cosineLshPairs(corpus, threshold = 0.9,
         bandBits = 16, numBands = 4).select("i", "j")
       val cc = Dedup.connectedComponents(pairs)
         .withColumnRenamed("doc_id", "vec_id")
-      emb.select("vec_id").join(cc, Seq("vec_id"), "left")
+      corpus.select("vec_id").join(cc, Seq("vec_id"), "left")
         .select(col("vec_id"),
           coalesce(col("cluster_id"), col("vec_id")).as("cluster_id"))
         .withColumn("kept", col("vec_id") === col("cluster_id"))
         .orderBy("vec_id")
     },
-    None)
+    Some("""WITH RECURSIVE base AS (
+      SELECT vec_id,
+        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000,
+        list_transform(embedding, x -> CAST(x AS DOUBLE))
+      FROM embeddings),
+    m AS (
+      SELECT vec_id, v,
+        sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+      FROM base),
+    pairs AS (
+      SELECT a.vec_id AS i, b.vec_id AS j
+      FROM m a JOIN m b ON a.vec_id < b.vec_id
+      WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.9),
+    sym AS (SELECT i AS v, j AS u FROM pairs
+            UNION ALL SELECT j AS v, i AS u FROM pairs),
+    reach AS (
+      SELECT v, u FROM sym
+      UNION
+      SELECT r.v, s.u FROM reach r JOIN sym s ON r.u = s.v),
+    lab AS (
+      SELECT v AS vec_id, least(v, min(u)) AS cluster_id
+      FROM reach GROUP BY v)
+    SELECT m.vec_id,
+      coalesce(lab.cluster_id, m.vec_id) AS cluster_id,
+      coalesce(lab.cluster_id, m.vec_id) = m.vec_id AS kept
+    FROM m LEFT JOIN lab ON lab.vec_id = m.vec_id
+    ORDER BY m.vec_id"""))
 
   /** Gopher-style composite quality filter: keep/reject + FIRST
     * failing rule per doc (token-count bounds, mean-word-length
