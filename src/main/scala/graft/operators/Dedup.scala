@@ -354,35 +354,48 @@ object Dedup {
     * through the pair graph, so "keep one per cluster" is just
     * `doc_id === cluster_id`.
     *
-    * Algorithm: min-label propagation. label(v) starts at
-    * min(v, neighbors); each round every vertex takes the min of its
-    * own and its neighbors' labels (one equi-join on the edge list +
-    * one min-groupBy — both map-side combining). Converges in
-    * O(graph diameter) rounds; near-dup graphs are locally dense
-    * (LSH banding surfaces clique-ish clusters), so diameter — and
-    * the round count — is small (2-4) regardless of corpus size.
-    * Convergence is detected by the monotone label sum (labels only
-    * ever decrease, and any change strictly decreases the sum), so
-    * each round costs exactly one action and no extra join.
-    * `localCheckpoint(eager)` cuts lineage every round — without it
-    * the plan doubles per iteration and the job DAG blows up long
-    * before the data does. Per-round cost is O(|E|) shuffle on the
-    * vertex id; at 100 TB the edge list (near-dup pairs) is orders of
-    * magnitude smaller than the corpus, so rounds are cheap relative
-    * to the pair generation that feeds this.
+    * Algorithm: alternating large-star / small-star contraction
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC 2014). The edge list is kept as (child, parent) pointers
+    * with parent < child; each round runs
     *
-    * For adversarial long-chain graphs (diameter > maxIter) this
-    * throws rather than returning a half-merged labeling; raise
-    * maxIter or pre-contract chains if that regime ever matters. */
+    *   - large-star: every node attaches its LARGER neighbors to the
+    *     minimum of its neighborhood (incl. itself), and
+    *   - small-star: every node attaches its smaller neighbors and
+    *     itself to the minimum of its smaller neighborhood,
+    *
+    * each one equi-join + one min-groupBy (map-side combining).
+    * Converges in O(log² n) rounds on ANY graph shape — a length-n
+    * chain contracts in ~log n rounds where plain min-label
+    * propagation needs n (the property test in DedupSpec pins a
+    * 3000-link chain) — and near-dup graphs (clique-ish) still finish
+    * in 2-3 rounds. At fixpoint the edges form a star forest, detected
+    * structurally and EXACTLY each round: every child points at one
+    * parent and no parent is itself a child — both conditions provably
+    * hold iff the rounds are no-ops, so there is no probabilistic
+    * hash-compare in the loop. `localCheckpoint(eager)` cuts lineage
+    * every round — without it the plan doubles per iteration and the
+    * job DAG blows up long before the data does. Per-round cost is
+    * O(|E|) shuffle on the node id; at 100 TB the edge list (near-dup
+    * pairs) is orders of magnitude smaller than the corpus, so rounds
+    * are cheap relative to the pair generation that feeds this.
+    *
+    * Throws rather than returning a half-merged labeling if maxIter
+    * rounds don't reach the fixpoint (with star contraction that
+    * would take a graph of ~2^sqrt(maxIter) chained nodes). */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
     require(maxIter >= 1, s"maxIter must be >= 1, got $maxIter")
     val spark = pairs.sparkSession
-    // Symmetrize and materialize FIRST, then test emptiness on the
-    // checkpointed data: isEmpty on the raw input would evaluate the
-    // (possibly expensive) upstream pair pipeline a second time —
-    // measured as ~2x the whole pair-join cost on q_dedup_cluster.
-    val symRaw = pairs.select(col("i").cast("long").as("v"), col("j").cast("long").as("u"))
-      .unionByName(pairs.select(col("j").cast("long").as("v"), col("i").cast("long").as("u")))
+    // Canonicalize to (child, parent) with parent < child, drop self
+    // loops, and materialize FIRST: acting on the raw input twice
+    // would evaluate the (possibly expensive) upstream pair pipeline
+    // a second time — measured as ~2x the whole pair-join cost on
+    // q_dedup_cluster.
+    val e0Raw = pairs
+      .select(greatest(col("i").cast("long"), col("j").cast("long")).as("c"),
+        least(col("i").cast("long"), col("j").cast("long")).as("p"))
+      .filter(col("c") =!= col("p"))
+      .distinct()
       .localCheckpoint(true)
     // Right-size the loop's partitioning from the MEASURED edge count
     // (free — the data is checkpointed): a near-dup pair graph is
@@ -391,11 +404,12 @@ object Dedup {
     // partition count pays per-round scheduler overhead for empty
     // tasks. ~500k edges per partition; coalesce is narrow (no
     // shuffle); large graphs keep their parallelism untouched.
-    val edgeCount = symRaw.count()
-    val curParts = symRaw.rdd.getNumPartitions
+    val edgeCount = e0Raw.count()
+    val curParts = e0Raw.rdd.getNumPartitions
     val targetParts = math.max(1L,
       math.min(curParts.toLong, edgeCount / 500000L + 1L)).toInt
-    val sym = if (targetParts < curParts) symRaw.coalesce(targetParts) else symRaw
+    var edges = if (targetParts < curParts) e0Raw.coalesce(targetParts)
+      else e0Raw
     if (edgeCount == 0L)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -404,33 +418,61 @@ object Dedup {
             org.apache.spark.sql.types.LongType),
           org.apache.spark.sql.types.StructField("cluster_id",
             org.apache.spark.sql.types.LongType))))
-    var lab = sym.groupBy("v").agg(min("u").as("mu"))
-      .select(col("v"), least(col("v"), col("mu")).as("lab"))
-      .localCheckpoint(true)
-    // Decimal sum: immune to long overflow however large the id space.
-    def labSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("lab").cast("decimal(38,0)"))).head().getDecimal(0)
-    var prevSum = labSum(lab)
+    // Full adjacency (both directions) of the current pointer set.
+    def sym(e: DataFrame): DataFrame =
+      e.select(col("c").as("n"), col("p").as("nbr"))
+        .unionByName(e.select(col("p").as("n"), col("c").as("nbr")))
     var it = 0
     var converged = false
     while (!converged && it < maxIter) {
-      val fromNeighbors = sym
-        .join(lab.withColumnRenamed("v", "u"), "u")
-        .select(col("v"), col("lab"))
-      val next = fromNeighbors.unionByName(lab.select(col("v"), col("lab")))
-        .groupBy("v").agg(min("lab").as("lab"))
+      // large-star: node n attaches each LARGER neighbor to
+      // min(Γ(n) ∪ {n}). Emitted pointers always target a node smaller
+      // than their child, preserving the parent < child invariant.
+      val adj = sym(edges)
+      val largeMins = adj.groupBy("n")
+        .agg(min("nbr").as("mn"))
+        .select(col("n"), least(col("n"), col("mn")).as("m"))
+      val afterLarge = adj.filter(col("nbr") > col("n"))
+        .join(largeMins, "n")
+        .select(col("nbr").as("c"), col("m").as("p"))
+        .filter(col("c") =!= col("p"))
+        .distinct()
         .localCheckpoint(true)
-      val s = labSum(next)
-      converged = s.compareTo(prevSum) == 0
-      prevSum = s
-      lab = next
+      // small-star: node n attaches its smaller neighbors and itself
+      // to the minimum of its smaller neighborhood.
+      val adj2 = sym(afterLarge)
+      val small = adj2.filter(col("nbr") < col("n"))
+      val smallMins = small.groupBy("n").agg(min("nbr").as("m"))
+      val afterSmall = small.join(smallMins, "n")
+        .filter(col("nbr") =!= col("m"))
+        .select(col("nbr").as("c"), col("m").as("p"))
+        .unionByName(smallMins.select(col("n").as("c"), col("m").as("p")))
+        .distinct()
+        .localCheckpoint(true)
+      // EXACT fixpoint test, no hash-compare: the pointer set is a
+      // star forest iff (1) every child has exactly one parent and
+      // (2) no parent is itself a child — and a star forest is
+      // provably a no-op for both phases. Two cheap actions on the
+      // checkpointed edge list.
+      val oneParent = afterSmall.groupBy("c")
+        .agg(count(lit(1)).as("np")).filter(col("np") > 1L)
+        .limit(1).count() == 0L
+      val noMixed = afterSmall.select("p").distinct()
+        .join(afterSmall.select(col("c").as("p")).distinct(),
+          Seq("p"), "left_semi")
+        .limit(1).count() == 0L
+      converged = oneParent && noMixed
+      edges = afterSmall
       it += 1
     }
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds - " +
-          "graph diameter exceeds maxIter (pathological chain?); raise maxIter")
-    lab.select(col("v").as("doc_id"), col("lab").as("cluster_id"))
+          "star contraction should finish any real graph in O(log^2 n); " +
+          "raise maxIter")
+    edges.select(col("c").as("doc_id"), col("p").as("cluster_id"))
+      .unionByName(edges.select(col("p").as("doc_id"),
+        col("p").as("cluster_id")).distinct())
   }
 
   /** Embedding-cosine near-dup pairs, blocked on `label` (the coarse

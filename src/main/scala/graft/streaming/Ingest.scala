@@ -289,21 +289,36 @@ object Ingest {
 
   /** O17 archive move (main.py:750-752): relocate ingested files under
     * processedDir, preserving the incoming/... suffix. Bookkeeping
-    * only — exactly-once is the checkpoint's job. */
+    * only — exactly-once is the checkpoint's job.
+    *
+    * The renames run DISTRIBUTED (foreachPartition over the batch's
+    * path column): the driver never collects the file list, so a
+    * landing zone with millions of small files archives at executor
+    * parallelism instead of serializing one rename at a time on the
+    * driver. Renames are independent per file, so task retries and
+    * speculative duplicates are safe — the exists() guard makes the
+    * move idempotent. */
   private def archive(spark: SparkSession, batch: DataFrame,
                       uid: String, folder: String, processedDir: String): Unit = {
-    val conf = spark.sparkContext.hadoopConfiguration
+    val bcConf = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration))
     batch.filter(col("uid") === uid && col("folder") === folder)
-      .select("path").collect().map(_.getString(0)).foreach { p =>
-        val src = new Path(p)
-        val fs = src.getFileSystem(conf)
-        val suffix = p.substring(p.lastIndexOf("incoming/"))
-        val dst = new Path(s"$processedDir/$suffix")
-        // A replayed batch may list files a crashed attempt already
-        // moved — skip them instead of failing the move.
-        if (fs.exists(src)) {
-          fs.mkdirs(dst.getParent)
-          fs.rename(src, dst)
+      .select("path")
+      .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+        val conf = bcConf.value.value
+        rows.foreach { r =>
+          val p = r.getString(0)
+          val src = new Path(p)
+          val fs = src.getFileSystem(conf)
+          val suffix = p.substring(p.lastIndexOf("incoming/"))
+          val dst = new Path(s"$processedDir/$suffix")
+          // A replayed batch may list files a crashed attempt already
+          // moved — skip them instead of failing the move.
+          if (fs.exists(src)) {
+            fs.mkdirs(dst.getParent)
+            fs.rename(src, dst)
+          }
         }
       }
   }

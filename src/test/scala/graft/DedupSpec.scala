@@ -264,17 +264,63 @@ class DedupSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(gotRev == Map(1L -> 1L, 9L -> 1L, 17L -> 1L, 25L -> 1L, 33L -> 1L))
 
-    // Diameter beyond maxIter must throw, not return a partial merge.
+    // A round budget too small for the graph must throw, not return a
+    // partial merge. Star contraction roughly halves a chain per
+    // round, so ONE round cannot finish a 64-node chain.
     intercept[IllegalStateException] {
       Dedup.connectedComponents(
-        (0L until 12L).sliding(2).map(s => (s.head, s.last)).toSeq
-          .toDF("i", "j"), maxIter = 2)
+        (0L until 64L).sliding(2).map(s => (s.head, s.last)).toSeq
+          .toDF("i", "j"), maxIter = 1)
     }
 
     // Empty pair set: empty result with the contract schema.
     val empty = Dedup.connectedComponents(Seq.empty[(Long, Long)].toDF("i", "j"))
     assert(empty.columns.toSeq == Seq("doc_id", "cluster_id"))
     assert(empty.count() == 0)
+  }
+
+  test("connectedComponents contracts a 3000-link chain in O(log^2 n) rounds") {
+    // The adversarial shape for plain min-label propagation: a single
+    // chain with the min id at one end needs ~diameter rounds there
+    // (3000 >> the default maxIter=50, it would throw). Star
+    // contraction must finish inside the default budget and label the
+    // whole chain with its minimum id. Ids are shuffled so the chain
+    // ORDER doesn't coincide with the id order (7919 is prime, so
+    // multiplication mod 30011 is a bijection on [0, 30011)).
+    val n = 3000
+    def id(k: Int): Long = (k.toLong * 7919L) % 30011L
+    val chain = (0 until n - 1).map(k => (id(k), id(k + 1))).toDF("i", "j")
+    val lab = Dedup.connectedComponents(chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val minId = (0 until n).map(id).min
+    assert(lab.size == n, s"expected $n labeled nodes, got ${lab.size}")
+    assert(lab.values.forall(_ == minId),
+      s"chain must collapse to one cluster rooted at $minId")
+  }
+
+  test("connectedComponents matches union-find on random graphs") {
+    // Property check against a trusted driver-side union-find, across
+    // densities (sparse forest -> near-clique) with deterministic
+    // pseudo-random edges.
+    for ((nNodes, nEdges, seed) <- Seq((200, 80, 1L), (200, 200, 2L),
+        (200, 800, 3L), (50, 600, 4L))) {
+      val rnd = new scala.util.Random(seed)
+      val es = (0 until nEdges).map { _ =>
+        (rnd.nextInt(nNodes).toLong, rnd.nextInt(nNodes).toLong)
+      }.filter { case (a, b) => a != b }
+      val parent = Array.tabulate(nNodes)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r)
+        var c = x; while (parent(c) != c) { val nx = parent(c); parent(c) = r; c = nx }; r }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = es.flatMap { case (a, b) => Seq(a, b) }.distinct
+        .map(v => v -> find(v.toInt).toLong).toMap
+      val got = Dedup.connectedComponents(es.toDF("i", "j"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"mismatch at (n=$nNodes, e=$nEdges, seed=$seed)")
+    }
   }
 
   test("minhash clusters absorb every exact-Jaccard cluster (q_minhash_cluster contract)") {
