@@ -54,59 +54,96 @@ object Catalog {
   private final case class FolderRow(uid: String, folder: String,
                                      contextHint: String, kpis: Seq[KpiRow])
 
-  /** Persist the catalog as JSON under the warehouse (the rebuild's
-    * Firestore analog — reference main.py:497-503 persists folder
-    * metadata on confirm). O(#folders) rows; coalesced to one file so
-    * the catalog read is a single-object fetch. Also refreshes the
-    * [[loadCached]] fast path for this warehouse. */
+  /** Persist the catalog under the warehouse (the rebuild's Firestore
+    * analog — reference main.py:497-503 persists folder metadata on
+    * confirm): ONE JSON FILE PER FOLDER (`_catalog/<tableName>.json`),
+    * written driver-side with the FS API — the catalog is O(#folders)
+    * driver state, so a Spark job per save would be pure overhead.
+    * Per-folder objects are what give [[loadCachedFresh]] FOLDER
+    * granularity: one folder's update touches one file, so only that
+    * folder's cache entry reloads. A full save replaces the whole
+    * directory; [[saveFolder]] is the incremental form. Also refreshes
+    * the [[loadCached]] fast path for this warehouse. */
   def save(spark: SparkSession, catalog: Catalog, warehouseDir: String): Unit = {
-    import spark.implicits._
-    catalog.folders.values.toSeq
-      .map(m => FolderRow(m.uid, m.folder, m.contextHint,
-        m.kpis.map(k => KpiRow(k.name, k.logicalType))))
-      .toDS().coalesce(1)
-      .write.mode("overwrite").json(s"$warehouseDir/_catalog")
-    loadCache.put(warehouseDir, (catalog, fingerprint(spark, warehouseDir)))
+    val dir = catalogDir(warehouseDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(dir, true)
+    fs.mkdirs(dir)
+    val entries = catalog.folders.values.toSeq.map { m =>
+      val f = writeFolderFile(fs, dir, m)
+      f.getName -> (statFp(fs.getFileStatus(f)), Seq(m))
+    }
+    loadCache.put(warehouseDir, entries.toMap)
     ()
+  }
+
+  /** Incremental per-folder save: writes ONLY this folder's file and
+    * refreshes ONLY its cache entry — every other folder's cached
+    * metadata (and persisted file) is untouched, pinned in IngestSpec.
+    * A store still in the legacy single-file layout (part-*.json from
+    * the pre-per-folder writer) is migrated to the per-folder layout
+    * by a full load + save first. */
+  def saveFolder(spark: SparkSession, meta: FolderMeta,
+                 warehouseDir: String): Unit = {
+    val dir = catalogDir(warehouseDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val legacy =
+      try fs.listStatus(dir).exists(s => s.isFile &&
+        s.getPath.getName.startsWith("part-"))
+      catch { case _: java.io.FileNotFoundException => false }
+    if (legacy) {
+      save(spark, load(spark, warehouseDir).add(meta), warehouseDir)
+    } else {
+      fs.mkdirs(dir)
+      val f = writeFolderFile(fs, dir, meta)
+      val entry = f.getName -> (statFp(fs.getFileStatus(f)), Seq(meta))
+      // Only patch an EXISTING cache entry: priming a cold cache with
+      // one folder would make loadCached serve a one-folder catalog
+      // for a many-folder store.
+      loadCache.computeIfPresent(warehouseDir, (_, cur) => cur + entry)
+      ()
+    }
   }
 
   /** Read-back fast path (the reference's precomputed-metadata branch,
     * main.py:551-560: a folder doc whose kpi metadata is already
     * materialized is served without recomputation — vs the recompute
-    * path at main.py:563-580). First [[load]] per warehouse dir scans
-    * the JSON; subsequent reads in the same JVM are served from memory.
-    * [[save]] refreshes the entry, so a save-then-read cycle never
-    * serves stale metadata; an external writer updating the warehouse
-    * behind this JVM's back requires [[invalidate]]. Catalogs are
+    * path at main.py:563-580). First read per warehouse dir scans the
+    * per-folder JSON files; subsequent reads in the same JVM are
+    * served from memory. [[save]]/[[saveFolder]] refresh their
+    * entries, so a save-then-read cycle never serves stale metadata;
+    * an external writer updating the warehouse behind this JVM's back
+    * requires [[invalidate]] or [[loadCachedFresh]]. Catalogs are
     * O(#folders) driver-side values — the cache is bounded by the
     * number of distinct warehouses a process touches. */
   def loadCached(spark: SparkSession, warehouseDir: String): Catalog =
-    loadCache.computeIfAbsent(warehouseDir, _ => {
-      // Fingerprint BEFORE load: if an external writer lands between
-      // the two, we pair the OLD fp with (possibly) new data and the
-      // next loadCachedFresh pays one redundant reload — the reverse
-      // order would pair the NEW fp with old data and serve stale
-      // forever.
-      val fp = fingerprint(spark, warehouseDir)
-      (load(spark, warehouseDir), fp)
-    })._1
+    assemble(loadCache.computeIfAbsent(warehouseDir,
+      _ => loadAll(spark, warehouseDir)))
 
-  /** [[loadCached]] with a STALENESS CHECK: one filesystem listing of
-    * `_catalog` (names + lengths + mtimes) decides whether the cached
-    * catalog still matches the store — an external writer's update is
-    * picked up without the full JSON read/collect, while an unchanged
-    * store costs one list RPC instead of a re-scan. Use this on read
-    * paths that may race other writers; [[loadCached]] stays the
-    * zero-RPC path for single-writer processes. */
+  /** [[loadCached]] with a PER-FOLDER staleness check: one filesystem
+    * listing of `_catalog` (names + lengths + mtimes) decides, file by
+    * file, which cached folder entries still match the store — an
+    * external writer's update to one folder re-reads ONLY that
+    * folder's file (pinned in IngestSpec), removed files drop their
+    * entries, and an unchanged store costs one list RPC and zero data
+    * reads. Use this on read paths that may race other writers;
+    * [[loadCached]] stays the zero-RPC path for single-writer
+    * processes. */
   def loadCachedFresh(spark: SparkSession, warehouseDir: String): Catalog = {
-    val fp = fingerprint(spark, warehouseDir)
-    val cached = loadCache.get(warehouseDir)
-    if (cached != null && cached._2 == fp) cached._1
-    else {
-      val fresh = (load(spark, warehouseDir), fp)
-      loadCache.put(warehouseDir, fresh)
-      fresh._1
-    }
+    val dir = catalogDir(warehouseDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stats = fs.listStatus(dir).filter(liveFile)
+    val fps = stats.map(s => s.getPath.getName -> statFp(s)).toMap
+    val cached = Option(loadCache.get(warehouseDir))
+      .getOrElse(Map.empty[String, (String, Seq[FolderMeta])])
+    val keep = cached.filter { case (n, (f, _)) => fps.get(n).contains(f) }
+    val toRead = (fps.keySet -- keep.keySet).toSeq.sorted
+    val fresh = readFolderFiles(spark,
+      toRead.map(n => new org.apache.hadoop.fs.Path(dir, n)))
+    val merged = keep ++ toRead.map(n =>
+      n -> (fps(n), fresh.getOrElse(n, Seq.empty)))
+    loadCache.put(warehouseDir, merged)
+    assemble(merged)
   }
 
   /** Drop [[loadCached]]'s entry for one warehouse (external update). */
@@ -115,25 +152,90 @@ object Catalog {
     ()
   }
 
-  /** Cheap content fingerprint of the persisted catalog: the sorted
-    * (name, length, mtime) listing of `_catalog`. ONE FS list call —
-    * no data read, no exists() pre-check (an overwrite-in-flight
-    * deletes the dir between exists and list; catching the miss is
-    * both atomic and one RPC cheaper). NB [[save]] fingerprints after
-    * its own write — a DIFFERENT external writer landing inside that
-    * window is first seen at that writer's next update; racing
-    * catalog writers need external coordination regardless. */
-  private def fingerprint(spark: SparkSession, warehouseDir: String): String = {
-    val p = new org.apache.hadoop.fs.Path(s"$warehouseDir/_catalog")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    try fs.listStatus(p).map(s =>
-      s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
-      .sorted.mkString(",")
-    catch { case _: java.io.FileNotFoundException => "absent" }
+  // ---- per-folder persistence internals -------------------------------
+
+  private def catalogDir(warehouseDir: String) =
+    new org.apache.hadoop.fs.Path(s"$warehouseDir/_catalog")
+
+  /** Data files of the catalog dir (skips _SUCCESS/.crc bookkeeping a
+    * legacy Spark-job writer left behind). */
+  private def liveFile(s: org.apache.hadoop.fs.FileStatus): Boolean =
+    s.isFile && !s.getPath.getName.startsWith("_") &&
+      !s.getPath.getName.startsWith(".")
+
+  /** Per-file staleness fingerprint: length + mtime (names are the map
+    * keys). Same trust model as object-store ETag polling. */
+  private def statFp(s: org.apache.hadoop.fs.FileStatus): String =
+    s"${s.getLen}:${s.getModificationTime}"
+
+  /** Write one folder's metadata as a single-line JSON file readable
+    * by the generic [[load]] path; returns the file path. */
+  private def writeFolderFile(fs: org.apache.hadoop.fs.FileSystem,
+                              dir: org.apache.hadoop.fs.Path,
+                              m: FolderMeta): org.apache.hadoop.fs.Path = {
+    def esc(v: String): String = "\"" + v.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val kpis = m.kpis.map(k =>
+      s"""{"name":${esc(k.name)},"logicalType":${esc(k.logicalType)}}""")
+      .mkString("[", ",", "]")
+    val json = s"""{"uid":${esc(m.uid)},"folder":${esc(m.folder)},""" +
+      s""""contextHint":${esc(m.contextHint)},"kpis":$kpis}""" + "\n"
+    val f = new org.apache.hadoop.fs.Path(dir, m.tableName + ".json")
+    val out = fs.create(f, true)
+    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    f
   }
 
-  private val loadCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (Catalog, String)]()
+  /** Read specific catalog files, grouped by file name — the unit the
+    * per-folder cache tracks. One small Spark read over O(#changed)
+    * files. */
+  private def readFolderFiles(spark: SparkSession,
+      paths: Seq[org.apache.hadoop.fs.Path]): Map[String, Seq[FolderMeta]] = {
+    if (paths.isEmpty) return Map.empty
+    import spark.implicits._
+    val schema = implicitly[org.apache.spark.sql.Encoder[FolderRow]].schema
+    val rows = spark.read.schema(schema).json(paths.map(_.toString): _*)
+      .withColumn("_src", org.apache.spark.sql.functions.input_file_name())
+      .collect()
+    rows.groupBy(r =>
+        new org.apache.hadoop.fs.Path(r.getString(r.fieldIndex("_src"))).getName)
+      .map { case (name, rs) =>
+        name -> rs.toSeq.map { r =>
+          val kpis = r.getSeq[org.apache.spark.sql.Row](r.fieldIndex("kpis"))
+            .map(k => KpiMeta(k.getString(0), k.getString(1)))
+          FolderMeta(r.getString(r.fieldIndex("uid")),
+            r.getString(r.fieldIndex("folder")),
+            r.getString(r.fieldIndex("contextHint")), kpis)
+        }
+      }
+  }
+
+  /** Full per-file load (cold cache). Throws if the store is absent —
+    * a missing catalog is an error, not an empty catalog. */
+  private def loadAll(spark: SparkSession,
+      warehouseDir: String): Map[String, (String, Seq[FolderMeta])] = {
+    val dir = catalogDir(warehouseDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stats = fs.listStatus(dir).filter(liveFile)
+    val metas = readFolderFiles(spark, stats.map(_.getPath).toSeq)
+    stats.map(s => s.getPath.getName ->
+      (statFp(s), metas.getOrElse(s.getPath.getName, Seq.empty))).toMap
+  }
+
+  private def assemble(m: Map[String, (String, Seq[FolderMeta])]): Catalog =
+    Catalog(m.values.flatMap(_._2)
+      .map(fm => (fm.uid, fm.folder) -> fm).toMap)
+
+  private val loadCache = new java.util.concurrent.ConcurrentHashMap[
+    String, Map[String, (String, Seq[FolderMeta])]]()
 
   /** Load a previously [[save]]d catalog. */
   def load(spark: SparkSession, warehouseDir: String): Catalog = {

@@ -100,7 +100,18 @@ object Clean {
     "MMMM dd, yyyy" -> "^[A-Za-z]+ \\d{1,2}, \\d{4}$",
     "MMMM d, yyyy" -> "^[A-Za-z]+ \\d{1,2}, \\d{4}$",
     "MMM dd yyyy" -> "^[A-Za-z]+ \\d{1,2} \\d{4}$",
-    "MMM d yyyy" -> "^[A-Za-z]+ \\d{1,2} \\d{4}$")
+    "MMM d yyyy" -> "^[A-Za-z]+ \\d{1,2} \\d{4}$",
+    // Round-5 tail: full month name without comma, and dd-Mon-yyyy
+    // (both abbreviated and full month). Still the declared-subset
+    // contract — first format whose guard matches AND parses wins;
+    // a guard hit that fails to parse falls through (the `when`
+    // yields NULL and coalesce continues).
+    "MMMM dd yyyy" -> "^[A-Za-z]+ \\d{1,2} \\d{4}$",
+    "MMMM d yyyy" -> "^[A-Za-z]+ \\d{1,2} \\d{4}$",
+    "dd-MMM-yyyy" -> "^\\d{1,2}-[A-Za-z]{3}-\\d{4}$",
+    "d-MMM-yyyy" -> "^\\d{1,2}-[A-Za-z]{3}-\\d{4}$",
+    "dd-MMMM-yyyy" -> "^\\d{1,2}-[A-Za-z]{4,}-\\d{4}$",
+    "d-MMMM-yyyy" -> "^\\d{1,2}-[A-Za-z]{4,}-\\d{4}$")
 
   /** O12: fuzzy date cast over the declared format subset
     * (main.py:241-247) — first format that parses wins; NULL otherwise. */

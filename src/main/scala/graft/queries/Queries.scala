@@ -185,9 +185,11 @@ object Queries {
   private val qParseDate = Q(
     "q_parse_date",
     (s, d) => {
-      val raw = when(col("o_orderkey") % 4 === 0, date_format(col("o_orderdate"), "yyyy-MM-dd"))
-        .when(col("o_orderkey") % 4 === 1, date_format(col("o_orderdate"), "MM/dd/yyyy"))
-        .when(col("o_orderkey") % 4 === 2, date_format(col("o_orderdate"), "MMMM dd, yyyy"))
+      val raw = when(col("o_orderkey") % 6 === 0, date_format(col("o_orderdate"), "yyyy-MM-dd"))
+        .when(col("o_orderkey") % 6 === 1, date_format(col("o_orderdate"), "MM/dd/yyyy"))
+        .when(col("o_orderkey") % 6 === 2, date_format(col("o_orderdate"), "MMMM dd, yyyy"))
+        .when(col("o_orderkey") % 6 === 3, date_format(col("o_orderdate"), "dd-MMM-yyyy"))
+        .when(col("o_orderkey") % 6 === 4, date_format(col("o_orderdate"), "MMMM dd yyyy"))
         .otherwise(lit("not a date"))
       t(s, d, "orders")
         .select(col("o_orderkey"), raw.as("raw"))
@@ -196,17 +198,21 @@ object Queries {
     },
     Some("""WITH m AS (
       SELECT o_orderkey,
-        CASE CAST(o_orderkey % 4 AS INT)
+        CASE CAST(o_orderkey % 6 AS INT)
           WHEN 0 THEN strftime(o_orderdate, '%Y-%m-%d')
           WHEN 1 THEN strftime(o_orderdate, '%m/%d/%Y')
           WHEN 2 THEN strftime(o_orderdate, '%B %d, %Y')
+          WHEN 3 THEN strftime(o_orderdate, '%d-%b-%Y')
+          WHEN 4 THEN strftime(o_orderdate, '%B %d %Y')
           ELSE 'not a date' END AS raw
       FROM orders)
     SELECT o_orderkey, raw,
       CAST(COALESCE(
         TRY_STRPTIME(raw, '%Y-%m-%d'),
         TRY_STRPTIME(raw, '%m/%d/%Y'),
-        TRY_STRPTIME(raw, '%B %d, %Y')) AS DATE) AS parsed
+        TRY_STRPTIME(raw, '%B %d, %Y'),
+        TRY_STRPTIME(raw, '%d-%b-%Y'),
+        TRY_STRPTIME(raw, '%B %d %Y')) AS DATE) AS parsed
     FROM m ORDER BY o_orderkey"""))
 
   /** O13 (main.py:224-225): sentinel → NULL normalization, counted. */

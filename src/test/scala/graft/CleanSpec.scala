@@ -51,6 +51,15 @@ class CleanSpec extends AnyFunSuite {
     assert(got.map(Option(_).map(_.toString).orNull) == exp)
   }
 
+  test("parseFuzzyDate: round-5 tail formats (dd-Mon-yyyy, month-first no comma)") {
+    val got = runStr(Clean.parseFuzzyDate,
+      Seq("15-Jan-2024", "5-Jan-2024", "15-January-2024", "5-May-2024",
+        "January 15 2024", "January 5 2024", "15-Notamonth-2024"))
+    val exp = Seq("2024-01-15", "2024-01-05", "2024-01-15", "2024-05-05",
+      "2024-01-15", "2024-01-05", null)
+    assert(got.map(Option(_).map(_.toString).orNull) == exp)
+  }
+
   test("nullNormalize: sentinels → NULL, others pass through (B.2)") {
     val got = runStr(Clean.nullNormalize, Seq("", "N/A", "---", "ok", null))
     assert(got == Seq(null, null, null, "ok", null))

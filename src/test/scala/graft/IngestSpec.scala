@@ -238,6 +238,66 @@ class IngestSpec extends AnyFunSuite {
       "fresh reload repopulates the shared cache")
   }
 
+  test("per-folder staleness: touching one folder reloads only that folder") {
+    val root = Files.createTempDirectory("graft-cat-folder").toString
+    val mA = Catalog.train("u1", "fa", "ha", Map("A" -> "$1"))
+    val mB = Catalog.train("u2", "fb", "hb", Map("B" -> "2"))
+    Catalog.save(spark, Catalog.empty.add(mA).add(mB), root)
+    Catalog.invalidate(root)
+    val before = Catalog.loadCachedFresh(spark, root) // cold: reads both files
+    val aBefore = before.get("u1", "fa").get
+    // An EXTERNAL writer rewrites ONLY folder B's file (content length
+    // differs, so the per-file fingerprint must change).
+    Files.write(Paths.get(root, "_catalog", mB.tableName + ".json"),
+      ("""{"uid":"u2","folder":"fb","contextHint":"hb2-external",""" +
+        """"kpis":[{"name":"B","logicalType":"number"}]}""" + "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // A non-Hadoop external writer doesn't maintain the local-FS crc
+    // sidecar our own write left; drop the stale one (object stores —
+    // the production target — have no sidecars at all).
+    Files.deleteIfExists(
+      Paths.get(root, "_catalog", "." + mB.tableName + ".json.crc"))
+    val after = Catalog.loadCachedFresh(spark, root)
+    assert(after.get("u2", "fb").get.contextHint == "hb2-external",
+      "changed folder file must be re-read")
+    // Reference equality proves folder A was served from the cache —
+    // a re-read would have built a fresh FolderMeta instance.
+    assert(after.get("u1", "fa").get eq aBefore,
+      "unchanged folder must keep its cached entry")
+    // saveFolder: incremental write patches one file + one cache entry.
+    val mB2 = Catalog.train("u2", "fb", "hb3", Map("B" -> "3", "C" -> "x"))
+    Catalog.saveFolder(spark, mB2, root)
+    val afterSave = Catalog.loadCached(spark, root)
+    assert(afterSave.get("u2", "fb").get == mB2)
+    assert(afterSave.get("u1", "fa").get eq aBefore,
+      "saveFolder must not disturb other folders' cache entries")
+    assert(Catalog.loadCachedFresh(spark, root) == afterSave,
+      "store and cache agree after saveFolder")
+  }
+
+  test("saveFolder migrates a legacy single-file catalog store") {
+    val root = Files.createTempDirectory("graft-cat-legacy").toString
+    val dir = Paths.get(root, "_catalog")
+    Files.createDirectories(dir)
+    // The pre-per-folder layout: one Spark-written part file holding
+    // every folder, plus a _SUCCESS marker.
+    Files.write(dir.resolve("part-00000-legacy.json"),
+      ("""{"uid":"u1","folder":"fa","contextHint":"ha","kpis":[{"name":"A","logicalType":"number"}]}""" +
+        "\n" +
+        """{"uid":"u2","folder":"fb","contextHint":"hb","kpis":[{"name":"B","logicalType":"string"}]}""" +
+        "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    Files.write(dir.resolve("_SUCCESS"), Array.empty[Byte])
+    assert(Catalog.loadCachedFresh(spark, root).folders.size == 2,
+      "legacy layout must load")
+    val mC = Catalog.train("u3", "fc", "hc", Map("C" -> "1"))
+    Catalog.saveFolder(spark, mC, root)
+    val migrated = Catalog.loadCachedFresh(spark, root)
+    assert(migrated.folders.size == 3, "migration keeps every folder")
+    assert(migrated.get("u3", "fc").get == mC)
+    assert(!Files.exists(dir.resolve("part-00000-legacy.json")),
+      "migration rewrites the store in the per-folder layout")
+  }
+
   test("a throwing extractor degrades to NULL KPIs instead of killing the batch") {
     val root = Files.createTempDirectory("graft-ingest-err").toString
     val meta = Catalog.train("u1", "f1", "x", Map("Amount" -> "$10"))
