@@ -184,6 +184,41 @@ object Dedup {
         graft.functions.TextAnalysis.roundStable(jac, 6).as("jaccard"))
   }
 
+  /** Exact-Jaccard refine of an LSH candidate pair set — the
+    * production dedup-decision shape: banding prunes the n² pair
+    * space, then each surviving (i, j) candidate joins the two docs'
+    * DISTINCT gram-hash arrays and the TRUE word-shingle Jaccard is
+    * computed row-locally (array_intersect over 64-bit gram hashes),
+    * keeping pairs ≥ threshold. Precision is exact by construction;
+    * recall equals the banding recall (DedupSpec pins candidates ⊇
+    * exact pairs on this corpus). Shuffle cost: the candidate ids (two
+    * longs per row) move to meet the per-doc gram rows — the gram
+    * arrays themselves never self-join, so the refine is O(|cand|)
+    * exchange bytes, not O(corpus). Docs shorter than w words have an
+    * empty gram set and can never reach the threshold (0/0 → NaN →
+    * filtered). */
+  def jaccardRefinePairs(docs: DataFrame, candidates: DataFrame,
+                         w: Int = 5, threshold: Double = 0.8,
+                         registry: CacheRegistry = CacheRegistry.global): DataFrame = {
+    require(w >= 1, s"shingle width must be >= 1, got $w")
+    // Persisted: both join sides (gi, gj) read the gram arrays — an
+    // unpersisted plan would run the corpus-wide gram hashing TWICE.
+    val grams = registry.track(docs.select(col("doc_id"),
+      graft.plans.GraftFunctions.wordGramHashesDistinct(
+        lower(col("text")), w).as("d"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val gi = grams.select(col("doc_id").as("i"), col("d").as("di"))
+    val gj = grams.select(col("doc_id").as("j"), col("d").as("dj"))
+    val inter = size(array_intersect(col("di"), col("dj"))).cast("double")
+    val jac = inter / ((size(col("di")) + size(col("dj"))).cast("double") - inter)
+    candidates.select("i", "j")
+      .join(gi, "i").join(gj, "j")
+      .filter(size(col("di")) > 0 && size(col("dj")) > 0)
+      .filter(jac >= threshold)
+      .select(col("i"), col("j"),
+        graft.functions.TextAnalysis.roundStable(jac, 6).as("jaccard"))
+  }
+
   /** Shingle-containment text search: score each doc by the fraction
     * of the query's w-shingles it contains, return the top-k. The
     * query's gram hashes are computed driver-side with the SAME native
@@ -452,16 +487,18 @@ object Dedup {
       // EXACT fixpoint test, no hash-compare: the pointer set is a
       // star forest iff (1) every child has exactly one parent and
       // (2) no parent is itself a child — and a star forest is
-      // provably a no-op for both phases. Two cheap actions on the
-      // checkpointed edge list.
-      val oneParent = afterSmall.groupBy("c")
-        .agg(count(lit(1)).as("np")).filter(col("np") > 1L)
-        .limit(1).count() == 0L
-      val noMixed = afterSmall.select("p").distinct()
-        .join(afterSmall.select(col("c").as("p")).distinct(),
-          Seq("p"), "left_semi")
-        .limit(1).count() == 0L
-      converged = oneParent && noMixed
+      // provably a no-op for both phases. Both conditions fold into
+      // ONE aggregation over node roles (a violating node either has
+      // >1 parent rows or plays both roles), so the check costs a
+      // single action on the checkpointed edge list.
+      val violations = afterSmall
+        .select(col("c").as("x"), lit(1L).as("nc"), lit(0L).as("ip"))
+        .unionByName(afterSmall
+          .select(col("p").as("x"), lit(0L).as("nc"), lit(1L).as("ip")))
+        .groupBy("x").agg(sum("nc").as("nc"), max("ip").as("ip"))
+        .filter(col("nc") > 1L || (col("nc") > 0L && col("ip") === 1L))
+        .limit(1)
+      converged = violations.count() == 0L
       edges = afterSmall
       it += 1
     }

@@ -1538,19 +1538,26 @@ object Queries {
     None)
 
   /** The COMPLETE 100 TB dedup decision, end to end: MinHash+LSH
-    * candidate pairs (no exact-shingle join anywhere — the only
-    * corpus-wide shuffles are the signature groupBy and the banded
-    * equi-joins) → connected components → per-doc (cluster, size,
-    * keep-one canonical flag). This is the query a trillion-token
-    * corpus actually runs; q_dedup_cluster is its exact-pair twin for
-    * oracle calibration. No oracle (murmur3 band hashes are
-    * engine-specific); DedupSpec pins that every exact Jaccard ≥ 0.8
-    * cluster-mate pair lands in one minhash cluster on the planted
-    * corpus. */
+    * candidate pairs (the only corpus-wide shuffles are the signature
+    * groupBy and the banded equi-joins) → EXACT-Jaccard refine of the
+    * candidates (Dedup.jaccardRefinePairs — the candidate ids meet the
+    * per-doc gram arrays, no corpus-wide shingle self-join) →
+    * connected components → per-doc (cluster, size, keep-one canonical
+    * flag). This is the query a trillion-token corpus actually runs:
+    * banding bounds the pair space, the refine makes the keep/drop
+    * decision exact. ORACLE-CHECKED against all-pairs exact Jaccard +
+    * recursive CC in DuckDB — valid because candidate recall over the
+    * exact ≥ 0.8 pairs is 1 on this corpus (pinned in DedupSpec;
+    * deterministic hashes + fixed data make it stable), and the refine
+    * removes every sub-threshold candidate, so the refined pair set
+    * equals the exact pair set. q_dedup_minhash keeps the unrefined
+    * sketch form. */
   private val qMinhashCluster = Q(
     "q_minhash_cluster",
     (s, d) => {
-      val pairs = Dedup.minHashCandidates(t(s, d, "documents"), minEst = 0.5)
+      val docs = t(s, d, "documents")
+      val cand = Dedup.minHashCandidates(docs, minEst = 0.5).select("i", "j")
+      val pairs = Dedup.jaccardRefinePairs(docs, cand, w = 5, threshold = 0.8)
         .select("i", "j")
       val cc = Dedup.connectedComponents(pairs)
       val w = Window.partitionBy("cluster_id")
@@ -1559,7 +1566,39 @@ object Queries {
           (col("doc_id") === col("cluster_id")).as("is_canonical"))
         .orderBy("doc_id")
     },
-    None)
+    Some("""WITH RECURSIVE toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id,
+        unnest(CASE WHEN len(t) >= 5
+          THEN list_transform(range(1, len(t) - 3),
+            i -> array_to_string(t[i:i+4], ' '))
+          ELSE []::VARCHAR[] END) AS s
+      FROM toks),
+    card AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY 1),
+    com AS (
+      SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS com
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    pairs AS (
+      SELECT i, j FROM com
+      JOIN card ca ON ca.doc_id = i
+      JOIN card cb ON cb.doc_id = j
+      WHERE com * 1.0 / (ca.c + cb.c - com) >= 0.8),
+    sym AS (SELECT i AS v, j AS u FROM pairs
+            UNION ALL SELECT j AS v, i AS u FROM pairs),
+    reach AS (
+      SELECT v, u FROM sym
+      UNION
+      SELECT r.v, s2.u FROM reach r JOIN sym s2 ON r.u = s2.v),
+    lab AS (
+      SELECT v AS doc_id, least(v, min(u)) AS cluster_id
+      FROM reach GROUP BY v),
+    sizes AS (SELECT cluster_id, count(*) AS csize FROM lab GROUP BY 1)
+    SELECT lab.doc_id, lab.cluster_id, sizes.csize,
+      lab.doc_id = lab.cluster_id AS is_canonical
+    FROM lab JOIN sizes USING (cluster_id)
+    ORDER BY lab.doc_id"""))
 
   /** SimHash-64 pairs with hamming ≤ 3 via 2×32-bit bands with
     * single-bit multiprobe (n²/2^32 collisions per band — see

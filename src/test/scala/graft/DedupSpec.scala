@@ -323,6 +323,27 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("jaccardRefinePairs on minhash candidates equals the exact pair set") {
+    // The q_minhash_cluster contract: banding recall over exact >= 0.8
+    // pairs is 1 on this corpus AND the refine kills every
+    // sub-threshold candidate — so refined(candidates) == exact,
+    // values included.
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val reg = new graft.operators.CacheRegistry
+    try {
+      val exact = Dedup.jaccardPairs(docs, w = 5, threshold = 0.8,
+          registry = reg).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val cand = Dedup.minHashCandidates(docs, minEst = 0.5).select("i", "j")
+      val refined = Dedup.jaccardRefinePairs(docs, cand).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(exact.nonEmpty, "corpus must contain planted near-dups")
+      assert(refined == exact,
+        s"refined != exact: extra=${(refined -- exact).take(3)} " +
+          s"missing=${(exact -- refined).take(3)}")
+    } finally reg.releaseAll()
+  }
+
   test("minhash clusters absorb every exact-Jaccard cluster (q_minhash_cluster contract)") {
     // The end-to-end LSH dedup decision must never split a true
     // near-dup cluster: for every exact Jaccard >= 0.8 pair, both docs
