@@ -79,4 +79,35 @@ object Similarity {
     scoredTopK(base, queries,
       col("cell") === col("qcell") && col("vec_id") =!= col("query_id"), k)
   }
+
+  /** MATERIALIZED IVF index — what the [[ivfTopK]] scaladoc promises
+    * at 100 TB, made physical: the corpus (with precomputed norms and
+    * cell ids) written PARTITIONED BY cell, so each cell is a
+    * `cell=<id>` directory. Build once; probes never re-quantize or
+    * re-norm the corpus. */
+  def writeIvfIndex(embeddings: DataFrame, path: String,
+                    cellBits: Int = 8): Unit = {
+    require(cellBits >= 1 && cellBits <= 16,
+      s"cellBits in [1,16] (2^cellBits directories), got $cellBits")
+    prep(embeddings).withColumn("cell", cellId(col("v"), cellBits))
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+  }
+
+  /** [[ivfTopK]] over a [[writeIvfIndex]] layout. The probe joins the
+    * broadcast query set on the PARTITION column, so Spark's dynamic
+    * partition pruning turns "each query scans only its own cell" into
+    * literal directory pruning — the corpus scan carries a
+    * dynamicpruning partition filter and non-probed cells are never
+    * read (pinned in ScaleOpsSpec). Same scoring/tie-break discipline
+    * as every other search variant. */
+  def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession,
+                     path: String, queryPred: Column,
+                     k: Int = 5): DataFrame = {
+    val base = spark.read.parquet(path)
+    val queries = broadcast(base.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"), col("cell").as("qcell")))
+    scoredTopK(base, queries,
+      col("cell") === col("qcell") && col("vec_id") =!= col("query_id"), k)
+  }
 }

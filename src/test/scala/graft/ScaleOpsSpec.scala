@@ -1,6 +1,7 @@
 package graft
 
 import java.nio.file.Files
+import scala.jdk.CollectionConverters._
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 import graft.operators.SkewJoin
@@ -139,6 +140,33 @@ class ScaleOpsSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS lsh_idx")
       spark.sql("DROP TABLE IF EXISTS lsh_idx_vec")
     }
+  }
+
+  test("materialized IVF index: dynamic partition pruning on the probe, same results") {
+    val dir = Files.createTempDirectory("graft-ivf").toString + "/idx"
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    graft.operators.Similarity.writeIvfIndex(emb, dir, cellBits = 4)
+    assert(Files.list(java.nio.file.Paths.get(dir)).iterator().asScala
+      .exists(_.getFileName.toString.startsWith("cell=")),
+      "index must be laid out as cell=<id> partitions")
+    val probe = graft.operators.Similarity.ivfTopKIndexed(
+      spark, dir, col("vec_id") < 8, k = 5)
+    // The probe join is on the partition column against a broadcast
+    // query set → the corpus scan must carry a dynamicpruning
+    // partition filter (non-probed cell directories never read).
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"expected dynamic partition pruning in:\n$plan")
+    val got = probe.select("query_id", "cand_id", "cos_sim", "rk")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3))).toSet
+    val want = graft.operators.Similarity.ivfTopK(
+        emb, col("vec_id") < 8, k = 5, cellBits = 4)
+      .select("query_id", "cand_id", "cos_sim", "rk")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3))).toSet
+    assert(want.nonEmpty && got == want,
+      "indexed probe must equal the in-memory IVF results")
   }
 
   test("compactSmallFiles: fewer files, identical rows, idempotent") {
