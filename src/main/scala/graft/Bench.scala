@@ -86,8 +86,12 @@ object Bench {
     // Millisecond precision keeps the 80-query line ~5x shorter than
     // raw doubles — the driver captures a bounded tail of stdout and a
     // long line risks losing its head to the cut (r4's artifact had
-    // parsed:null for exactly this reason).
-    def ms(v: Double): Double = math.rint(v * 1000) / 1000
+    // parsed:null for exactly this reason). Failed queries (negative
+    // sentinel) clamp AWAY from zero: a sub-millisecond failure would
+    // otherwise round to -0.0, which reads as a 0-second success.
+    def ms(v: Double): Double =
+      if (v < 0) math.min(math.rint(v * 1000) / 1000, -0.001)
+      else math.rint(v * 1000) / 1000
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
     val total = ms(results.values.filter(_ > 0).sum)

@@ -19,6 +19,15 @@ object Verify {
     // Bench); the driver never sets it, so driver runs dump everything.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { f =>
+      val unknown = f -- SparkEntry.queries.keySet
+      if (unknown.nonEmpty) {
+        // A typo'd filter must not read as an everything-passed run.
+        System.err.println(s"[verify] unknown SPARK_GRAFT_ONLY names: " +
+          unknown.mkString(", "))
+        sys.exit(2)
+      }
+    }
     val selected = only.fold(SparkEntry.queries)(f =>
       SparkEntry.queries.filter { case (n, _) => f(n) })
     selected.foreach { case (name, fn) =>

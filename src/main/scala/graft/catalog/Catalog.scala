@@ -168,6 +168,21 @@ object Catalog {
   private def statFp(s: org.apache.hadoop.fs.FileStatus): String =
     s"${s.getLen}:${s.getModificationTime}"
 
+  /** Per-folder file name: sanitized tableName for readability PLUS a
+    * digest of the RAW (uid, folder) pair — distinct folders whose
+    * sanitized names collide (e.g. "a.b" and "a_b", which share one
+    * TABLE by documented contract) must still keep separate metadata
+    * files, or the second save would silently clobber the first's
+    * KPI metadata. */
+  private[graft] def folderFileName(m: FolderMeta): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    // Length-prefixed so ("a b", "c") and ("a", "b c") digest apart.
+    val raw = md.digest(s"${m.uid.length}:${m.uid}:${m.folder}"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val hex = raw.take(4).map(b => f"$b%02x").mkString
+    s"${m.tableName}-$hex.json"
+  }
+
   /** Write one folder's metadata as a single-line JSON file readable
     * by the generic [[load]] path; returns the file path. */
   private def writeFolderFile(fs: org.apache.hadoop.fs.FileSystem,
@@ -187,7 +202,7 @@ object Catalog {
       .mkString("[", ",", "]")
     val json = s"""{"uid":${esc(m.uid)},"folder":${esc(m.folder)},""" +
       s""""contextHint":${esc(m.contextHint)},"kpis":$kpis}""" + "\n"
-    val f = new org.apache.hadoop.fs.Path(dir, m.tableName + ".json")
+    val f = new org.apache.hadoop.fs.Path(dir, folderFileName(m))
     val out = fs.create(f, true)
     try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()

@@ -421,17 +421,20 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
     require(maxIter >= 1, s"maxIter must be >= 1, got $maxIter")
     val spark = pairs.sparkSession
-    // Canonicalize to (child, parent) with parent < child, drop self
-    // loops, and materialize FIRST: acting on the raw input twice
-    // would evaluate the (possibly expensive) upstream pair pipeline
-    // a second time — measured as ~2x the whole pair-join cost on
-    // q_dedup_cluster.
-    val e0Raw = pairs
+    // Canonicalize to (child, parent) with parent <= child and
+    // materialize FIRST: acting on the raw input twice would evaluate
+    // the (possibly expensive) upstream pair pipeline a second time —
+    // measured as ~2x the whole pair-join cost on q_dedup_cluster.
+    // Self-loops are kept through the checkpoint (then split off): a
+    // doc appearing ONLY as (i, i) must still be labeled (i → i) —
+    // the contract is "every endpoint of the input gets a label".
+    val canon = pairs
       .select(greatest(col("i").cast("long"), col("j").cast("long")).as("c"),
         least(col("i").cast("long"), col("j").cast("long")).as("p"))
-      .filter(col("c") =!= col("p"))
       .distinct()
       .localCheckpoint(true)
+    val e0Raw = canon.filter(col("c") =!= col("p"))
+    val selfOnly = canon.filter(col("c") === col("p")).select(col("c"))
     // Right-size the loop's partitioning from the MEASURED edge count
     // (free — the data is checkpointed): a near-dup pair graph is
     // orders of magnitude smaller than the corpus that produced it,
@@ -445,14 +448,9 @@ object Dedup {
       math.min(curParts.toLong, edgeCount / 500000L + 1L)).toInt
     var edges = if (targetParts < curParts) e0Raw.coalesce(targetParts)
       else e0Raw
-    if (edgeCount == 0L)
-      return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("doc_id",
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("cluster_id",
-            org.apache.spark.sql.types.LongType))))
+    val selfLabels = selfOnly
+      .select(col("c").as("doc_id"), col("c").as("cluster_id"))
+    if (edgeCount == 0L) return selfLabels
     // Full adjacency (both directions) of the current pointer set.
     def sym(e: DataFrame): DataFrame =
       e.select(col("c").as("n"), col("p").as("nbr"))
@@ -507,9 +505,13 @@ object Dedup {
         s"connectedComponents did not converge in $maxIter rounds - " +
           "star contraction should finish any real graph in O(log^2 n); " +
           "raise maxIter")
-    edges.select(col("c").as("doc_id"), col("p").as("cluster_id"))
+    val labeled = edges.select(col("c").as("doc_id"), col("p").as("cluster_id"))
       .unionByName(edges.select(col("p").as("doc_id"),
         col("p").as("cluster_id")).distinct())
+    // Docs that appeared ONLY as self-loops label themselves; one that
+    // also has real edges keeps its component label (anti-join).
+    labeled.unionByName(selfLabels
+      .join(labeled.select("doc_id"), Seq("doc_id"), "left_anti"))
   }
 
   /** Embedding-cosine near-dup pairs, blocked on `label` (the coarse
@@ -636,14 +638,23 @@ object Dedup {
   def writeLshIndex(embeddings: DataFrame, table: String,
                     bandBits: Int = 8, numBands: Int = 8,
                     nBuckets: Int = 16): Unit = {
+    // Persisted across the two table writes: signing is the full
+    // corpus pass this index exists to amortize — without the persist
+    // both saveAsTable calls would run it once each.
     val bands = lshBands(embeddings, bandBits, numBands)
-    val rows = bands.select(col("vec_id"),
-      explode(array((0 until numBands).map(j =>
-        xxhash64(lit(j), col(s"band$j"))): _*)).as("bkey"))
-    graft.sources.Warehouse.writeBucketed(rows, table, "bkey", nBuckets)
-    graft.sources.Warehouse.writeBucketed(
-      bands.select(col("vec_id"), col("v"), col("nrm")),
-      table + "_vec", "vec_id", nBuckets)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val rows = bands.select(col("vec_id"),
+        explode(array((0 until numBands).map(j =>
+          xxhash64(lit(j), col(s"band$j"))): _*)).as("bkey"))
+      graft.sources.Warehouse.writeBucketed(rows, table, "bkey", nBuckets)
+      graft.sources.Warehouse.writeBucketed(
+        bands.select(col("vec_id"), col("v"), col("nrm")),
+        table + "_vec", "vec_id", nBuckets)
+    } finally {
+      bands.unpersist()
+      ()
+    }
   }
 
   /** Distinct candidate id-pairs from a [[writeLshIndex]] signature

@@ -2269,7 +2269,12 @@ object Queries {
   private val qSemDedupLsh = Q(
     "q_semdedup_lsh",
     (s, d) => {
-      val emb = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      // vec_id < 1e6 bound keeps the twin offset collision-free at ANY
+      // scale factor (a natural id >= 1e6 colliding with a twin id
+      // would break the recall-1 argument); mirrored in the oracle.
+      val emb = t(s, d, "embeddings")
+        .filter(col("vec_id") < 1000000L)
+        .select(col("vec_id"), col("embedding"))
       val twins = emb.select((col("vec_id") + lit(1000000L)).as("vec_id"),
         col("embedding"))
       val corpus = emb.unionByName(twins)
@@ -2286,11 +2291,11 @@ object Queries {
     Some("""WITH RECURSIVE base AS (
       SELECT vec_id,
         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-      FROM embeddings
+      FROM embeddings WHERE vec_id < 1000000
       UNION ALL
       SELECT vec_id + 1000000,
         list_transform(embedding, x -> CAST(x AS DOUBLE))
-      FROM embeddings),
+      FROM embeddings WHERE vec_id < 1000000),
     m AS (
       SELECT vec_id, v,
         sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm

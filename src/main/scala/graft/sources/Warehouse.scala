@@ -76,12 +76,6 @@ object Warehouse {
     require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def liveFiles() = fs.listStatus(p).filter(s => s.isFile
-      && !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
-    val files = liveFiles()
-    val totalBytes = files.map(_.getLen).sum
-    val nTarget = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
-    if (files.length <= nTarget) return (files.length, files.length)
     val tmp = new org.apache.hadoop.fs.Path(p.getParent,
       s".${p.getName}_compact_tmp")
     val trash = new org.apache.hadoop.fs.Path(p.getParent,
@@ -92,12 +86,21 @@ object Warehouse {
     // (crash during the rewrite→live loop). The two are not
     // distinguishable without a manifest, so a fresh run must never
     // delete it: abort and require manual adjudication. An empty trash
-    // (clean shutdown raced the final delete) is safe to clear.
+    // (clean shutdown raced the final delete) is safe to clear. This
+    // check runs BEFORE the no-op early return — a crash after the
+    // rewrite→live move leaves the live dir already compact, and that
+    // "clean-looking" state is exactly the one that must still abort.
     if (fs.exists(trash) && fs.listStatus(trash).exists(_.isFile))
       throw new java.io.IOException(
         s"compact: $trash is non-empty — a prior compaction crashed " +
         "mid-swap; inspect and restore/remove its files manually " +
         "before re-running")
+    def liveFiles() = fs.listStatus(p).filter(s => s.isFile
+      && !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+    val files = liveFiles()
+    val totalBytes = files.map(_.getLen).sum
+    val nTarget = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
+    if (files.length <= nTarget) return (files.length, files.length)
     fs.delete(tmp, true); fs.delete(trash, true)
     // Rewrite exactly the files of the initial listing (a concurrent
     // append after this point must NOT be folded in — it would then be

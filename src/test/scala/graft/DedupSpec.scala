@@ -277,6 +277,20 @@ class DedupSpec extends AnyFunSuite {
     val empty = Dedup.connectedComponents(Seq.empty[(Long, Long)].toDF("i", "j"))
     assert(empty.columns.toSeq == Seq("doc_id", "cluster_id"))
     assert(empty.count() == 0)
+
+    // Self-loops: every endpoint of the input gets a label — a doc
+    // appearing ONLY as (i, i) labels itself; one that also has real
+    // edges keeps its component label.
+    val selfy = Dedup.connectedComponents(
+      Seq((7L, 7L), (3L, 4L), (4L, 4L)).toDF("i", "j"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(selfy == Map(7L -> 7L, 3L -> 3L, 4L -> 3L), selfy.toString)
+
+    // Self-loops only (no real edges): all singletons.
+    val onlySelf = Dedup.connectedComponents(
+      Seq((9L, 9L), (2L, 2L)).toDF("i", "j"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(onlySelf == Map(9L -> 9L, 2L -> 2L), onlySelf.toString)
   }
 
   test("connectedComponents contracts a 3000-link chain in O(log^2 n) rounds") {

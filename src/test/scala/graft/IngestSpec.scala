@@ -248,7 +248,7 @@ class IngestSpec extends AnyFunSuite {
     val aBefore = before.get("u1", "fa").get
     // An EXTERNAL writer rewrites ONLY folder B's file (content length
     // differs, so the per-file fingerprint must change).
-    Files.write(Paths.get(root, "_catalog", mB.tableName + ".json"),
+    Files.write(Paths.get(root, "_catalog", Catalog.folderFileName(mB)),
       ("""{"uid":"u2","folder":"fb","contextHint":"hb2-external",""" +
         """"kpis":[{"name":"B","logicalType":"number"}]}""" + "\n")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -256,7 +256,7 @@ class IngestSpec extends AnyFunSuite {
     // sidecar our own write left; drop the stale one (object stores —
     // the production target — have no sidecars at all).
     Files.deleteIfExists(
-      Paths.get(root, "_catalog", "." + mB.tableName + ".json.crc"))
+      Paths.get(root, "_catalog", "." + Catalog.folderFileName(mB) + ".crc"))
     val after = Catalog.loadCachedFresh(spark, root)
     assert(after.get("u2", "fb").get.contextHint == "hb2-external",
       "changed folder file must be re-read")
@@ -273,6 +273,21 @@ class IngestSpec extends AnyFunSuite {
       "saveFolder must not disturb other folders' cache entries")
     assert(Catalog.loadCachedFresh(spark, root) == afterSave,
       "store and cache agree after saveFolder")
+  }
+
+  test("catalog keeps separate metadata for folders sharing a sanitized table name") {
+    // "a.b" and "a_b" share one TABLE by documented contract, but they
+    // are distinct folders — the per-folder store must keep BOTH
+    // metadata files (the file name embeds a digest of the raw pair).
+    val root = Files.createTempDirectory("graft-cat-collide").toString
+    val m1 = Catalog.train("u1", "a.b", "h1", Map("A" -> "$1"))
+    val m2 = Catalog.train("u1", "a_b", "h2", Map("B" -> "2"))
+    assert(m1.tableName == m2.tableName, "fixture must actually collide")
+    Catalog.save(spark, Catalog.empty.add(m1).add(m2), root)
+    Catalog.invalidate(root)
+    val c = Catalog.loadCachedFresh(spark, root)
+    assert(c.folders.size == 2, s"lost a colliding folder: ${c.folders.keySet}")
+    assert(c.get("u1", "a.b").get == m1 && c.get("u1", "a_b").get == m2)
   }
 
   test("saveFolder migrates a legacy single-file catalog store") {

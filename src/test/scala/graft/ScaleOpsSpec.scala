@@ -202,6 +202,19 @@ class ScaleOpsSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("non-empty"), e.getMessage)
     assert(Files.exists(stranded), "abort must leave the trash untouched")
+    // The abort must fire even when the live dir LOOKS already compact
+    // (crash after the rewrite→live move): the no-op early return may
+    // not bypass it.
+    val base2 = Files.createTempDirectory("graft-compact-crash2")
+    val dir2 = base2.toString + "/t"
+    spark.range(0, 10).coalesce(1).write.parquet(dir2)
+    val trash2 = base2.resolve(".t_compact_old")
+    Files.createDirectory(trash2)
+    Files.write(trash2.resolve("part-stranded.parquet"), Array[Byte](1))
+    val e2 = intercept[java.io.IOException] {
+      Warehouse.compactSmallFiles(spark, dir2)
+    }
+    assert(e2.getMessage.contains("non-empty"), e2.getMessage)
     // An EMPTY trash (clean shutdown raced the final delete) is fine.
     Files.delete(stranded)
     val (n0, n1) = Warehouse.compactSmallFiles(spark, dir)
