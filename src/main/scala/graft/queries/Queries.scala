@@ -1681,6 +1681,48 @@ object Queries {
       floor(total / (5.0 * n) * 1000000.0 + 0.5) / 1000000.0 AS weight
     FROM c, t ORDER BY lang"""))
 
+  /** Deterministic mixture balancing — the data-mixing operator of a
+    * training pipeline: every language is downsampled toward the
+    * SMALLEST language's size via a per-group keep-rate in ppm and a
+    * multiplicative-hash admission test on doc_id. Unlike
+    * q_stratified_sample (rank-based, needs a per-group sort) this is
+    * MAP-ONLY over the corpus after one tiny agg: the rates are a
+    * broadcast #sources-row table and the admission test is pure
+    * arithmetic on the id — the same doc set is kept at any
+    * partitioning, cluster size, or execution order, which is what
+    * makes a 100 TB mixing job reproducible (and resumable: admission
+    * is a property of the row, not of a sampler's state).
+    * (doc_id * 48271) % 1000000 is engine-exact int64 arithmetic (no
+    * overflow below ~1.9e14 ids), so membership matches the oracle
+    * bit-for-bit; the query emits the sampled membership itself, the
+    * strongest checkable form. */
+  private val qMixtureSample = Q(
+    "q_mixture_sample",
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+      val rates = counts
+        .crossJoin(broadcast(counts.agg(min("n_docs").as("min_n"))))
+        .select(col("lang"), col("n_docs"),
+          floor(col("min_n") * lit(1000000L) / col("n_docs"))
+            .cast("long").as("rate_ppm"))
+      docs.join(broadcast(rates), "lang")
+        .filter((col("doc_id") * lit(48271L)) % lit(1000000L) < col("rate_ppm"))
+        .select(col("doc_id"), col("lang"), col("n_docs"), col("rate_ppm"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH counts AS (
+      SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
+    m AS (SELECT min(n_docs) AS min_n FROM counts),
+    rates AS (
+      SELECT lang, n_docs,
+        CAST(floor(min_n * 1000000.0 / n_docs) AS BIGINT) AS rate_ppm
+      FROM counts, m)
+    SELECT d.doc_id, d.lang, r.n_docs, r.rate_ppm
+    FROM documents d JOIN rates r USING (lang)
+    WHERE (d.doc_id * 48271) % 1000000 < r.rate_ppm
+    ORDER BY d.doc_id"""))
+
   /** Query-string text search: top-20 docs by 3-shingle containment of
     * a fixed query phrase (the IN-filtered shingle scan keeps only
     * matching rows — the aggregate never sees the corpus). */
@@ -2444,7 +2486,7 @@ object Queries {
     qDedupMinhash, qDedupSimhash, qEmbedNearDup,
     qAnnTopk, qAnnIvf, qMediaFeatures, qQuantile, qApproxQuantile,
     qWindowFuncs, qAsofJoin, qRangeJoin, qTextSearch, qLabelCentroids,
-    qStratifiedSample, qClassWeights, qUploadAdmission,
+    qStratifiedSample, qClassWeights, qMixtureSample, qUploadAdmission,
     qDecontaminate, qSeqPack, qUnigramLogprob, qSemDedup, qSemDedupLsh,
     qGopherFilter, qStatsAgg, qIntervalOverlap)
 
