@@ -33,6 +33,14 @@ object StressProbe {
     time("char_jaccard") { Dedup.charJaccardPairs(big).count() }
     time("minhash")  { Dedup.minHashCandidates(big).count() }
     time("simhash")  { Dedup.simHashPairs(big).count() }
+    // Star-contraction CC over the ~250k-pair minhash candidate graph
+    // (clusters of ~10 replicas): rounds are O(log^2 n) by algorithm,
+    // so this should cost a small constant number of O(|E|) passes on
+    // top of the candidate generation above.
+    time("minhash_cc") {
+      Dedup.connectedComponents(
+        Dedup.minHashCandidates(big).select("i", "j")).count()
+    }
     // Decontamination at 50k train docs vs a 5k-doc eval split: the
     // train side is map-only into the broadcast probe, so this should
     // track the corpus SCAN time, not the near-dup join times.

@@ -420,7 +420,6 @@ object Dedup {
     * would take a graph of ~2^sqrt(maxIter) chained nodes). */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
     require(maxIter >= 1, s"maxIter must be >= 1, got $maxIter")
-    val spark = pairs.sparkSession
     // Canonicalize to (child, parent) with parent <= child and
     // materialize FIRST: acting on the raw input twice would evaluate
     // the (possibly expensive) upstream pair pipeline a second time —
