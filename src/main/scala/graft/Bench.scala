@@ -46,22 +46,7 @@ object Bench {
       }
     }
     warm.foreach(Await.ready(_, Duration.Inf))
-    // Optional comma-separated query filter for targeted iteration
-    // (SPARK_GRAFT_ONLY=q_near_dup_char,q_dedup_cluster); the driver
-    // never sets it, so driver runs always cover the full set.
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    only.foreach { f =>
-      val unknown = f -- SparkEntry.queries.keySet
-      if (unknown.nonEmpty) {
-        // A typo'd filter must not masquerade as a 0-second run.
-        System.err.println(s"[bench] unknown SPARK_GRAFT_ONLY names: " +
-          unknown.mkString(", "))
-        sys.exit(2)
-      }
-    }
-    val selected = only.fold(SparkEntry.queries)(f =>
-      SparkEntry.queries.filter { case (n, _) => f(n) })
+    val selected = SparkEntry.selectedQueries("bench")
     val results = selected.map { case (name, fn) =>
       // noop sink, NOT count(): count() lets the optimizer prune every
       // projection, so map-heavy queries would be timed as bare scans.

@@ -16,4 +16,23 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Queries.oracleSql
+
+  /** Shared SPARK_GRAFT_ONLY resolution for the Bench/Verify mains: an
+    * optional comma-separated query filter for targeted local
+    * iteration (the driver never sets it). Unknown names exit 2 — a
+    * typo'd filter must not masquerade as a 0-second or
+    * everything-passed run. */
+  def selectedQueries(logTag: String): Map[String, (SparkSession, String) => DataFrame] = {
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { f =>
+      val unknown = f -- queries.keySet
+      if (unknown.nonEmpty) {
+        System.err.println(s"[$logTag] unknown SPARK_GRAFT_ONLY names: " +
+          unknown.mkString(", "))
+        sys.exit(2)
+      }
+    }
+    only.fold(queries)(f => queries.filter { case (n, _) => f(n) })
+  }
 }

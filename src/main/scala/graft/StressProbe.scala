@@ -34,13 +34,14 @@ object StressProbe {
     time("minhash")  { Dedup.minHashCandidates(big).count() }
     time("simhash")  { Dedup.simHashPairs(big).count() }
     // Star-contraction CC over the ~250k-pair minhash candidate graph
-    // (clusters of ~10 replicas): rounds are O(log^2 n) by algorithm,
-    // so this should cost a small constant number of O(|E|) passes on
-    // top of the candidate generation above.
-    time("minhash_cc") {
-      Dedup.connectedComponents(
-        Dedup.minHashCandidates(big).select("i", "j")).count()
-    }
+    // (clusters of ~10 replicas): candidates are materialized OUTSIDE
+    // the timed block so the number is the CC slope alone, not a
+    // second candidate-generation pass.
+    val ccPairs = Dedup.minHashCandidates(big).select("i", "j")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    ccPairs.count()
+    time("minhash_cc") { Dedup.connectedComponents(ccPairs).count() }
+    ccPairs.unpersist()
     // Decontamination at 50k train docs vs a 5k-doc eval split: the
     // train side is map-only into the broadcast probe, so this should
     // track the corpus SCAN time, not the near-dup join times.

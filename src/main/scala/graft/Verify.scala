@@ -15,21 +15,7 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    // Optional query filter for local iteration (same contract as
-    // Bench); the driver never sets it, so driver runs dump everything.
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    only.foreach { f =>
-      val unknown = f -- SparkEntry.queries.keySet
-      if (unknown.nonEmpty) {
-        // A typo'd filter must not read as an everything-passed run.
-        System.err.println(s"[verify] unknown SPARK_GRAFT_ONLY names: " +
-          unknown.mkString(", "))
-        sys.exit(2)
-      }
-    }
-    val selected = only.fold(SparkEntry.queries)(f =>
-      SparkEntry.queries.filter { case (n, _) => f(n) })
+    val selected = SparkEntry.selectedQueries("verify")
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -56,7 +56,8 @@ object Catalog {
 
   /** Persist the catalog under the warehouse (the rebuild's Firestore
     * analog — reference main.py:497-503 persists folder metadata on
-    * confirm): ONE JSON FILE PER FOLDER (`_catalog/<tableName>.json`),
+    * confirm): ONE JSON FILE PER FOLDER
+    * (`_catalog/<tableName>-<digest>.json`, see [[folderFileName]]),
     * written driver-side with the FS API — the catalog is O(#folders)
     * driver state, so a Spark job per save would be pure overhead.
     * Per-folder objects are what give [[loadCachedFresh]] FOLDER
@@ -80,16 +81,18 @@ object Catalog {
   /** Incremental per-folder save: writes ONLY this folder's file and
     * refreshes ONLY its cache entry — every other folder's cached
     * metadata (and persisted file) is untouched, pinned in IngestSpec.
-    * A store still in the legacy single-file layout (part-*.json from
-    * the pre-per-folder writer) is migrated to the per-folder layout
-    * by a full load + save first. */
+    * A store in ANY earlier layout (the single part-*.json file of the
+    * pre-per-folder writer, or per-folder files named before the
+    * digest suffix) is migrated by a full load + save first —
+    * otherwise the old-named file would survive beside the new one and
+    * the duplicate (uid, folder) key would resolve arbitrarily. */
   def saveFolder(spark: SparkSession, meta: FolderMeta,
                  warehouseDir: String): Unit = {
     val dir = catalogDir(warehouseDir)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val legacy =
-      try fs.listStatus(dir).exists(s => s.isFile &&
-        s.getPath.getName.startsWith("part-"))
+      try fs.listStatus(dir).exists(s => liveFile(s) &&
+        !currentLayout(s.getPath.getName))
       catch { case _: java.io.FileNotFoundException => false }
     if (legacy) {
       save(spark, load(spark, warehouseDir).add(meta), warehouseDir)
@@ -162,6 +165,12 @@ object Catalog {
   private def liveFile(s: org.apache.hadoop.fs.FileStatus): Boolean =
     s.isFile && !s.getPath.getName.startsWith("_") &&
       !s.getPath.getName.startsWith(".")
+
+  /** Whether a file name matches the CURRENT per-folder layout
+    * ([[folderFileName]]: `<tableName>-<8-hex-digest>.json`). Anything
+    * else is a legacy layout [[saveFolder]] must migrate. */
+  private def currentLayout(name: String): Boolean =
+    name.matches(".*-[0-9a-f]{8}\\.json")
 
   /** Per-file staleness fingerprint: length + mtime (names are the map
     * keys). Same trust model as object-store ETag polling. */

@@ -71,8 +71,16 @@ object Similarity {
     * probes → higher recall); at scale the cell is a physical
     * partition and this is partition pruning. */
   def ivfTopK(embeddings: DataFrame, queryPred: Column, k: Int = 5,
-              cellBits: Int = 8): DataFrame = {
-    val base = prep(embeddings).withColumn("cell", cellId(col("v"), cellBits))
+              cellBits: Int = 8): DataFrame =
+    ivfProbe(prep(embeddings).withColumn("cell", cellId(col("v"), cellBits)),
+      queryPred, k)
+
+  /** Shared IVF probe over a (vec_id, v, nrm, cell) corpus: broadcast
+    * the query rows, join same-cell candidates, score. The ONE place
+    * the probe contract lives — [[ivfTopK]] and [[ivfTopKIndexed]]
+    * must not diverge. */
+  private def ivfProbe(base: DataFrame, queryPred: Column,
+                       k: Int): DataFrame = {
     val queries = broadcast(base.filter(queryPred)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qn"), col("cell").as("qcell")))
@@ -102,12 +110,6 @@ object Similarity {
     * as every other search variant. */
   def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession,
                      path: String, queryPred: Column,
-                     k: Int = 5): DataFrame = {
-    val base = spark.read.parquet(path)
-    val queries = broadcast(base.filter(queryPred)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"),
-        col("nrm").as("qn"), col("cell").as("qcell")))
-    scoredTopK(base, queries,
-      col("cell") === col("qcell") && col("vec_id") =!= col("query_id"), k)
-  }
+                     k: Int = 5): DataFrame =
+    ivfProbe(spark.read.parquet(path), queryPred, k)
 }

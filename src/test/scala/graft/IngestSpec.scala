@@ -290,6 +290,29 @@ class IngestSpec extends AnyFunSuite {
     assert(c.get("u1", "a.b").get == m1 && c.get("u1", "a_b").get == m2)
   }
 
+  test("saveFolder migrates pre-digest per-folder files (no stale twin left)") {
+    val root = Files.createTempDirectory("graft-cat-predigest").toString
+    val dir = Paths.get(root, "_catalog")
+    Files.createDirectories(dir)
+    // A per-folder file named WITHOUT the digest suffix (the layout of
+    // an earlier writer): saveFolder must migrate it, or the old-named
+    // file would survive beside the new one and the duplicate
+    // (uid, folder) key would resolve arbitrarily at load time.
+    Files.write(dir.resolve("u1_fa.json"),
+      ("""{"uid":"u1","folder":"fa","contextHint":"ha",""" +
+        """"kpis":[{"name":"A","logicalType":"number"}]}""" + "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    Catalog.invalidate(root)
+    val mB = Catalog.train("u2", "fb", "hb", Map("B" -> "1"))
+    Catalog.saveFolder(spark, mB, root)
+    val c = Catalog.loadCachedFresh(spark, root)
+    assert(c.folders.size == 2, s"migration lost a folder: ${c.folders.keySet}")
+    assert(c.get("u1", "fa").get.contextHint == "ha")
+    assert(c.get("u2", "fb").get == mB)
+    assert(!Files.exists(dir.resolve("u1_fa.json")),
+      "pre-digest file must be rewritten in the current layout")
+  }
+
   test("saveFolder migrates a legacy single-file catalog store") {
     val root = Files.createTempDirectory("graft-cat-legacy").toString
     val dir = Paths.get(root, "_catalog")

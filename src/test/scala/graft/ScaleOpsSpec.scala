@@ -146,9 +146,11 @@ class ScaleOpsSpec extends AnyFunSuite {
     val dir = Files.createTempDirectory("graft-ivf").toString + "/idx"
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     graft.operators.Similarity.writeIvfIndex(emb, dir, cellBits = 4)
-    assert(Files.list(java.nio.file.Paths.get(dir)).iterator().asScala
+    val listing = Files.list(java.nio.file.Paths.get(dir))
+    try assert(listing.iterator().asScala
       .exists(_.getFileName.toString.startsWith("cell=")),
       "index must be laid out as cell=<id> partitions")
+    finally listing.close()
     val probe = graft.operators.Similarity.ivfTopKIndexed(
       spark, dir, col("vec_id") < 8, k = 5)
     // The probe join is on the partition column against a broadcast
