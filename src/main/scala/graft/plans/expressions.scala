@@ -497,6 +497,161 @@ case class WordGrams(child: Expression, w: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Misra–Gries heavy-hitters SKETCH over a string key — the aggregate
+  * Spark lacks natively (DuckDB ships approx_top_k): at most `k`
+  * (key, count) counters per partial aggregate, merged with the
+  * offset-subtraction rule of Agarwal et al. ("Mergeable Summaries",
+  * PODS 2012), emitting the surviving candidate keys as a sorted
+  * array.
+  *
+  * Guarantee, holding REGARDLESS of partitioning or merge order: every
+  * key whose true frequency exceeds n/(k+1) survives to the output.
+  * Which LOW-frequency keys also survive IS merge-order dependent, so
+  * this operator is the pass-1 candidate generator of the two-pass
+  * exact heavy-hitters pattern (q_heavy_hitters): pass 2 exact-counts
+  * the ≤ k candidates and applies the real threshold, making the final
+  * answer exact and engine-independent while the corpus-wide
+  * aggregation state stays O(k) — no full-cardinality shuffle ever
+  * happens.
+  *
+  * Buffer: plain HashMap, serialized length-prefixed. Update is
+  * amortized O(1) (each O(k) decrement-all pass is paid for by k prior
+  * O(1) inserts). Input UTF8Strings are cloned before first insertion
+  * — eval-time instances may alias reused row buffers. */
+case class MisraGriesKeys(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends org.apache.spark.sql.catalyst.expressions.aggregate
+    .TypedImperativeAggregate[java.util.HashMap[UTF8String, java.lang.Long]] {
+
+  require(k >= 1 && k <= 100000,
+    s"misra_gries_keys: k must be in [1, 100000], got $k")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"misra_gries_keys requires a STRING key, got ${child.dataType.sql}")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "misra_gries_keys"
+
+  override def createAggregationBuffer(): java.util.HashMap[UTF8String, java.lang.Long] =
+    new java.util.HashMap[UTF8String, java.lang.Long]()
+
+  override def update(
+      buf: java.util.HashMap[UTF8String, java.lang.Long],
+      input: org.apache.spark.sql.catalyst.InternalRow): java.util.HashMap[UTF8String, java.lang.Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val key = v.asInstanceOf[UTF8String]
+      val cur = buf.get(key)
+      if (cur != null) {
+        // HashMap.put on a present key keeps the existing (owned) key
+        // object — the possibly-aliased `key` is never stored.
+        buf.put(key, java.lang.Long.valueOf(cur.longValue() + 1L))
+      } else if (buf.size < k) {
+        buf.put(key.clone(), java.lang.Long.valueOf(1L))
+      } else {
+        // Classic MG absorb: new key not inserted, every counter -1,
+        // zeros dropped.
+        val it = buf.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          if (e.getValue.longValue() == 1L) it.remove()
+          else e.setValue(java.lang.Long.valueOf(e.getValue.longValue() - 1L))
+        }
+      }
+    }
+    buf
+  }
+
+  override def merge(
+      b1: java.util.HashMap[UTF8String, java.lang.Long],
+      b2: java.util.HashMap[UTF8String, java.lang.Long]): java.util.HashMap[UTF8String, java.lang.Long] = {
+    val it = b2.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val cur = b1.get(e.getKey)
+      // Keys from a deserialized buffer are owned — no clone needed.
+      if (cur != null)
+        b1.put(e.getKey, java.lang.Long.valueOf(cur.longValue() + e.getValue.longValue()))
+      else b1.put(e.getKey, e.getValue)
+    }
+    if (b1.size > k) {
+      // Mergeable-summaries reduction: subtract the (k+1)-th largest
+      // count from every counter, drop the non-positive — at most k
+      // survive and the n/(k+1) recall guarantee is preserved.
+      val counts = new Array[Long](b1.size)
+      var i = 0
+      val vit = b1.values().iterator()
+      while (vit.hasNext) { counts(i) = vit.next().longValue(); i += 1 }
+      java.util.Arrays.sort(counts)
+      val sub = counts(b1.size - (k + 1))
+      val eit = b1.entrySet().iterator()
+      while (eit.hasNext) {
+        val e = eit.next()
+        if (e.getValue.longValue() <= sub) eit.remove()
+        else e.setValue(java.lang.Long.valueOf(e.getValue.longValue() - sub))
+      }
+    }
+    b1
+  }
+
+  override def eval(buf: java.util.HashMap[UTF8String, java.lang.Long]): Any = {
+    val arr = new Array[AnyRef](buf.size)
+    var i = 0
+    val it = buf.keySet().iterator()
+    while (it.hasNext) { arr(i) = it.next(); i += 1 }
+    // Sorted for a deterministic array order per buffer state.
+    java.util.Arrays.sort(arr,
+      (a: AnyRef, b: AnyRef) =>
+        a.asInstanceOf[UTF8String].compareTo(b.asInstanceOf[UTF8String]))
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+  }
+
+  override def serialize(buf: java.util.HashMap[UTF8String, java.lang.Long]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(buf.size)
+    val it = buf.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val kb = e.getKey.getBytes
+      out.writeInt(kb.length)
+      out.write(kb)
+      out.writeLong(e.getValue.longValue())
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.HashMap[UTF8String, java.lang.Long] = {
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val buf = new java.util.HashMap[UTF8String, java.lang.Long](n * 2)
+    var i = 0
+    while (i < n) {
+      val len = in.readInt()
+      val kb = new Array[Byte](len)
+      in.readFully(kb)
+      buf.put(UTF8String.fromBytes(kb), java.lang.Long.valueOf(in.readLong()))
+      i += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): MisraGriesKeys =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): MisraGriesKeys =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): MisraGriesKeys =
+    copy(child = newChildren.head)
+}
+
 /** Column-level and SQL-level entry points for the native expressions. */
 object GraftFunctions {
 
@@ -525,6 +680,12 @@ object GraftFunctions {
 
   def wordGrams(c: Column, w: Int): Column =
     GraftSqlBridge.column(WordGrams(GraftSqlBridge.expression(c), w))
+
+  /** Aggregate: Misra–Gries heavy-hitter candidate keys (see
+    * [[MisraGriesKeys]]). */
+  def misraGriesKeys(c: Column, k: Int): Column =
+    GraftSqlBridge.column(
+      MisraGriesKeys(GraftSqlBridge.expression(c), k).toAggregateExpression())
 
   /** SQL `char_gram_hashes(s, n)` takes n as a literal: the gram width
     * is part of the operator (it fixes the output arity per row), not a
@@ -561,7 +722,9 @@ object GraftFunctions {
       WordGramHashes(es.head, literalInt(es(1), "word_gram_hashes"),
         es.length > 2 && literalBool(es(2), "word_gram_hashes")) },
     "word_grams" -> { es =>
-      WordGrams(es.head, literalInt(es(1), "word_grams")) })
+      WordGrams(es.head, literalInt(es(1), "word_grams")) },
+    "misra_gries_keys" -> { es =>
+      MisraGriesKeys(es.head, literalInt(es(1), "misra_gries_keys")) })
 
   /** Register the SQL functions into an existing session (the
     * runtime-registration path; config-time wiring is

@@ -1723,6 +1723,47 @@ object Queries {
     WHERE (d.doc_id * 48271) % 1000000 < r.rate_ppm
     ORDER BY d.doc_id"""))
 
+  /** Exact heavy hitters via the two-pass Misra–Gries pattern — the
+    * scalable form of "which keys exceed 5% of the corpus": pass 1
+    * aggregates a 63-counter MG sketch (graft.plans.MisraGriesKeys, a
+    * native TypedImperativeAggregate — O(k) state, map-side combined,
+    * ONE tiny row out, no full-cardinality shuffle); its n/(k+1)
+    * recall guarantee puts every ≥5% key among the ≤63 candidates
+    * regardless of partitioning or merge order. Pass 2 exact-counts
+    * ONLY the candidates (broadcast join prunes the corpus-wide agg to
+    * candidate keys) and applies the real threshold — the output is
+    * exact and engine-independent, so the oracle is a plain
+    * GROUP BY + HAVING. The synthesized key blends 3 hot keys (~60% of
+    * rows) into a ~40%-unique tail: the cardinality profile where a
+    * direct GROUP BY would shuffle tens of thousands of distinct keys
+    * to answer a 3-row question. */
+  private val qHeavyHitters = Q(
+    "q_heavy_hitters",
+    (s, d) => {
+      val key = when(pmod(col("o_orderkey"), lit(10)) < 6,
+          concat(lit("hot"), pmod(col("o_orderkey"), lit(3)).cast("string")))
+        .otherwise(concat(lit("cold"), col("o_orderkey").cast("string")))
+      val keyed = t(s, d, "orders").select(key.as("key"))
+      val sketch = keyed.agg(
+        graft.plans.GraftFunctions.misraGriesKeys(col("key"), 63).as("cands"),
+        count(lit(1)).as("n"))
+      val cands = sketch.select(explode(col("cands")).as("key"), col("n"))
+      keyed.join(broadcast(cands), Seq("key"))
+        .groupBy("key", "n").agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") * 20 >= col("n"))
+        .select(col("key"), col("cnt"))
+        .orderBy("key")
+    },
+    Some("""WITH k AS (
+      SELECT CASE WHEN o_orderkey % 10 < 6
+        THEN 'hot' || CAST(o_orderkey % 3 AS VARCHAR)
+        ELSE 'cold' || CAST(o_orderkey AS VARCHAR) END AS key
+      FROM orders),
+    t AS (SELECT count(*) AS n FROM k)
+    SELECT key, count(*) AS cnt
+    FROM k, t GROUP BY key, n HAVING count(*) * 20 >= n
+    ORDER BY key"""))
+
   /** Query-string text search: top-20 docs by 3-shingle containment of
     * a fixed query phrase (the IN-filtered shingle scan keeps only
     * matching rows — the aggregate never sees the corpus). */
@@ -2486,7 +2527,8 @@ object Queries {
     qDedupMinhash, qDedupSimhash, qEmbedNearDup,
     qAnnTopk, qAnnIvf, qMediaFeatures, qQuantile, qApproxQuantile,
     qWindowFuncs, qAsofJoin, qRangeJoin, qTextSearch, qLabelCentroids,
-    qStratifiedSample, qClassWeights, qMixtureSample, qUploadAdmission,
+    qStratifiedSample, qClassWeights, qMixtureSample, qHeavyHitters,
+    qUploadAdmission,
     qDecontaminate, qSeqPack, qUnigramLogprob, qSemDedup, qSemDedupLsh,
     qGopherFilter, qStatsAgg, qIntervalOverlap)
 

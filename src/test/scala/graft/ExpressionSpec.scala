@@ -279,4 +279,39 @@ class ExpressionSpec extends AnyFunSuite {
     assert(composed(4) == null, "leading \\x01 is NOT trimmed")
     assert(composed(5) == 42.0, "spaces ARE trimmed")
   }
+
+  test("misra_gries_keys: heavy keys survive every partitioning (MG guarantee)") {
+    // 3 heavy keys at ~20% each inside a ~40%-unique tail; the n/(k+1)
+    // bound (156 rows at n=10000, k=63) sits far under the 2000-row
+    // heavies, so the guarantee must hold REGARDLESS of partitioning —
+    // which is exactly what varying repartition() exercises (different
+    // partial buffers, different merge orders).
+    val df = spark.range(0, 10000).select(
+      when(col("id") % 10 < 6,
+          concat(lit("hot"), (col("id") % 3).cast("string")))
+        .otherwise(concat(lit("cold"), col("id").cast("string"))).as("key"))
+    for (parts <- Seq(1, 7, 32)) {
+      val cands = df.repartition(parts)
+        .agg(GraftFunctions.misraGriesKeys(col("key"), 63).as("c"))
+        .select(explode(col("c")).as("k"))
+        .collect().map(_.getString(0)).toSet
+      assert(cands.size <= 63, s"sketch must keep <= k keys, got ${cands.size}")
+      for (h <- Seq("hot0", "hot1", "hot2"))
+        assert(cands.contains(h), s"heavy key $h lost at parts=$parts")
+    }
+    // Grouped form: per-group sketches stay independent.
+    val grouped = df.withColumn("g", length(col("key")) <= 4)
+      .groupBy("g").agg(GraftFunctions.misraGriesKeys(col("key"), 8).as("c"))
+      .collect().map(r => r.getBoolean(0) -> r.getSeq[String](1).toSet).toMap
+    assert(grouped(true) == Set("hot0", "hot1", "hot2"),
+      "k >= #distinct group must be exact")
+    // SQL registration path.
+    GraftFunctions.register(spark)
+    df.createOrReplaceTempView("mg_in")
+    try {
+      val viaSql = spark.sql("SELECT misra_gries_keys(key, 63) FROM mg_in")
+        .collect()(0).getSeq[String](0).toSet
+      for (h <- Seq("hot0", "hot1", "hot2")) assert(viaSql.contains(h))
+    } finally spark.catalog.dropTempView("mg_in")
+  }
 }
