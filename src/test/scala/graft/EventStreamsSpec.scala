@@ -237,4 +237,37 @@ class EventStreamsSpec extends AnyFunSuite {
       assert(!all.exists(_._1 == 3L), s"user 3 must still be open, got $all")
     } finally q.stop()
   } }
+
+  test("misra_gries_keys composes with streaming windowed aggregation") {
+    // The native TypedImperativeAggregate must work under the streaming
+    // stateful-agg operator (its buffer round-trips through the state
+    // store between micro-batches) — proven by feeding two batches and
+    // checking the heavy key survives the restored sketch.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, window}
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val agg = input.toDF()
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(graft.plans.GraftFunctions.misraGriesKeys(
+        col("user_id").cast("string"), 4).as("heavy"))
+      .select(col("window.start").as("w"), col("heavy"))
+    val q = agg.writeStream.format("memory").queryName("mg_stream_out")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      // user 1 dominates across BOTH batches; the tail users churn.
+      input.addData((1 to 10).map(i =>
+        Event(i, ts(i), if (i % 4 == 0) 100 + i else 1, 1.0)): _*)
+      q.processAllAvailable()
+      input.addData((11 to 20).map(i =>
+        Event(i, ts(i), if (i % 4 == 0) 100 + i else 1, 1.0)): _*)
+      q.processAllAvailable()
+      val rows = spark.table("mg_stream_out").collect()
+      assert(rows.length == 1, s"one open hour window, got ${rows.length}")
+      val heavy = rows.head.getSeq[String](1).toSet
+      assert(heavy.size <= 4, s"sketch must keep <= k keys: $heavy")
+      assert(heavy.contains("1"),
+        s"heavy user must survive the state-store round-trip: $heavy")
+    } finally q.stop()
+  }
 }

@@ -286,4 +286,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("hashpartitioning"),
       s"redaction must not hash-shuffle:\n$p")
   }
+
+  test("q_heavy_hitters: sketch via ObjectHashAggregate, pass-2 candidates broadcast") {
+    // The MG sketch is a TypedImperativeAggregate: it must plan as
+    // ObjectHashAggregate (SortAggregate would sort the whole corpus
+    // to feed an order-insensitive O(k) sketch), and the pass-2 refine
+    // must join the candidate set by BROADCAST — a shuffled join here
+    // would defeat the no-full-cardinality-shuffle point of the
+    // two-pass pattern.
+    val p = plan("q_heavy_hitters")
+    assert(p.contains("ObjectHashAggregate"),
+      s"MG sketch must plan as ObjectHashAggregate:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"pass-2 candidate join must broadcast:\n$p")
+  }
 }
