@@ -59,4 +59,33 @@ object Decontaminate {
       .agg(countDistinct("s").as("n_hits"),
         countDistinct("test_doc").as("n_test_docs"))
   }
+
+  /** Driver-side collection of the eval corpus' distinct gram hashes,
+    * ascending-sorted — bounded by the same eval-side contract that
+    * licenses [[ngramHits]]' broadcast (a benchmark suite is thousands
+    * of docs, so its gram set is driver-safe by construction). Collect
+    * ONCE, then stamp any number of batches or micro-batches with
+    * [[contaminationFlag]]. */
+  def collectEvalGrams(test: DataFrame, w: Int = 8): Array[Long] = {
+    val grams = Dedup.hashedShingleRowsDistinct(test, w)
+      .select("s").distinct().collect().map(_.getLong(0))
+    java.util.Arrays.sort(grams)
+    grams
+  }
+
+  /** Map-only contamination flag — the STREAMING-safe form of
+    * [[ngramHits]]: TRUE iff the text shares any w-gram with the
+    * collected eval gram set. Stateless: no join, no aggregation, no
+    * watermark — usable directly in an append-mode streaming ingest
+    * (EventStreamsSpec pins stream ≡ batch). The probe is the native
+    * [[graft.plans.SortedLongsContainAny]] expression: O(g · log |E|)
+    * per row by binary search against the referenced sorted set, not
+    * arrays_overlap's O(|E|)-per-row iteration. Same hash-collision
+    * one-sidedness as ngramHits — a collision can only ADD a flag,
+    * never hide one. */
+  def contaminationFlag(textCol: org.apache.spark.sql.Column,
+                        evalGrams: Array[Long], w: Int = 8): org.apache.spark.sql.Column =
+    graft.plans.GraftFunctions.sortedLongsContainAny(
+      graft.plans.GraftFunctions.wordGramHashesDistinct(lower(textCol), w),
+      evalGrams)
 }

@@ -90,6 +90,18 @@ object ExprHelpers {
     * table uses 0 as its empty sentinel). Returns the input array
     * unchanged when every element is distinct (the common case for
     * natural-text grams — no copy). */
+  /** Does any element of `arr` occur in the SORTED `set`? Binary
+    * search per element — see [[graft.plans.SortedLongsContainAny]]. */
+  def containsAnySorted(arr: ArrayData, set: Array[Long]): Boolean = {
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (java.util.Arrays.binarySearch(set, arr.getLong(i)) >= 0) return true
+      i += 1
+    }
+    false
+  }
+
   def distinctLongs(in: Array[Long]): Array[Long] = {
     val n = in.length
     if (n <= 1) return in
@@ -497,6 +509,40 @@ case class WordGrams(child: Expression, w: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `array<long> ∩ sorted-literal-set ≠ ∅`, by per-element binary
+  * search: the probe shape of the STREAMING decontamination flag
+  * (Decontaminate.contaminationFlag). arrays_overlap against a big
+  * literal set would rebuild a hash set of the smaller side and
+  * iterate the LARGER side per row — O(|eval|) per document; this
+  * expression is O(g · log |eval|) per row with zero per-row
+  * allocation (the sorted set rides once as a referenced object in
+  * both interpreted and generated code). */
+case class SortedLongsContainAny(child: Expression, sorted: Array[Long])
+  extends UnaryExpression {
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = child.nullable
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"sorted_longs_contain_any expects ARRAY<BIGINT>, got ${other.sql}")
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else ExprHelpers.containsAnySorted(v.asInstanceOf[ArrayData], sorted)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("sortedSet", sorted, "long[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.ExprHelpers.containsAnySorted($c, $ref);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SortedLongsContainAny =
+    copy(child = newChild)
+}
+
 /** Misra–Gries heavy-hitters SKETCH over a string key — the aggregate
   * Spark lacks natively (DuckDB ships approx_top_k): at most `k`
   * (key, count) counters per partial aggregate, merged with the
@@ -680,6 +726,12 @@ object GraftFunctions {
 
   def wordGrams(c: Column, w: Int): Column =
     GraftSqlBridge.column(WordGrams(GraftSqlBridge.expression(c), w))
+
+  /** `array<long>` ∩ sorted set ≠ ∅ (see [[SortedLongsContainAny]]);
+    * `sorted` MUST be ascending-sorted. */
+  def sortedLongsContainAny(c: Column, sorted: Array[Long]): Column =
+    GraftSqlBridge.column(
+      SortedLongsContainAny(GraftSqlBridge.expression(c), sorted))
 
   /** Aggregate: Misra–Gries heavy-hitter candidate keys (see
     * [[MisraGriesKeys]]). */

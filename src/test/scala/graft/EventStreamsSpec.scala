@@ -238,6 +238,45 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   } }
 
+  test("streaming contamination flag matches the batch ngramHits decision") {
+    // The stateless decontamination form: collect the eval gram set
+    // once, stamp every micro-batch map-only (no join/agg/watermark).
+    // The flagged doc set must equal batch ngramHits over the same
+    // split.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val train = docs.filter(col("doc_id") % 10 =!= 0)
+    val evalSide = docs.filter(col("doc_id") % 10 === 0)
+    val evalGrams = graft.operators.Decontaminate.collectEvalGrams(evalSide, w = 6)
+    val batchHit = graft.operators.Decontaminate.ngramHits(train, evalSide, w = 6)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(batchHit.nonEmpty, "fixture must contain contamination")
+    val input = MemoryStream[(Long, String)]
+    val flagged = input.toDF().toDF("doc_id", "text")
+      .withColumn("contaminated", graft.operators.Decontaminate
+        .contaminationFlag(col("text"), evalGrams, w = 6))
+    val q = flagged.writeStream.format("memory").queryName("decon_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val rows = train.collect().map(r => (r.getLong(0), r.getString(1)))
+      input.addData(rows.take(rows.length / 2): _*)
+      q.processAllAvailable()
+      input.addData(rows.drop(rows.length / 2): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("decon_out")
+        .filter(col("contaminated")).select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(streamed == batchHit,
+        s"stream != batch: extra=${(streamed -- batchHit).take(5)} " +
+          s"missing=${(batchHit -- streamed).take(5)}")
+      assert(spark.table("decon_out").count() == rows.length,
+        "every streamed doc must be stamped exactly once")
+    } finally q.stop()
+  }
+
   test("misra_gries_keys composes with streaming windowed aggregation") {
     // The native TypedImperativeAggregate must work under the streaming
     // stateful-agg operator (its buffer round-trips through the state

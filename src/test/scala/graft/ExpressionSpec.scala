@@ -280,6 +280,21 @@ class ExpressionSpec extends AnyFunSuite {
     assert(composed(5) == 42.0, "spaces ARE trimmed")
   }
 
+  test("sorted_longs_contain_any: hit/miss/empty-set/empty-array/null edges") {
+    val df = Seq(Seq(1L, 5L), Seq(2L, 3L), Seq.empty[Long]).toDF("a")
+    val hit = df.select(GraftFunctions
+        .sortedLongsContainAny(col("a"), Array(5L, 9L)).as("r"))
+      .collect().map(_.getBoolean(0)).toSeq
+    assert(hit == Seq(true, false, false))
+    val emptySet = df.select(GraftFunctions
+        .sortedLongsContainAny(col("a"), Array.empty[Long]).as("r"))
+      .collect().map(_.getBoolean(0)).toSeq
+    assert(emptySet == Seq(false, false, false))
+    val nullIn = spark.range(1).select(GraftFunctions.sortedLongsContainAny(
+      lit(null).cast("array<bigint>"), Array(1L)).as("r")).collect()(0)
+    assert(nullIn.isNullAt(0), "null array must yield null, not false")
+  }
+
   test("misra_gries_keys: heavy keys survive every partitioning (MG guarantee)") {
     // 3 heavy keys at ~20% each inside a ~40%-unique tail; the n/(k+1)
     // bound (156 rows at n=10000, k=63) sits far under the 2000-row
