@@ -2220,6 +2220,48 @@ object Queries {
     FROM train tr JOIN test te ON tr.s = te.s
     GROUP BY 1 ORDER BY doc_id"""))
 
+  /** The STREAMING decontamination form, oracle-checked: every train
+    * doc stamped with the map-only contamination flag
+    * (Decontaminate.contaminationFlag — the eval corpus' sorted gram
+    * set collected once under the bounded-eval contract, probed per
+    * row by the native binary-search expression SortedLongsContainAny;
+    * no join, no aggregation, streaming-safe). Unlike q_decontaminate
+    * (hits only, with counts) this emits EVERY train doc with a
+    * boolean — the ingest-filter shape. Oracle = string-gram EXISTS
+    * semi-join; hash vs string grams carry the usual one-sided 64-bit
+    * collision caveat (none on this data, deterministic). */
+  private val qDecontaminateFlag = Q(
+    "q_decontaminate_flag",
+    (s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val isEval = pmod(col("doc_id"), lit(10)) === 0 &&
+        col("doc_id") < 10000L
+      val grams = Decontaminate.collectEvalGrams(docs.filter(isEval), w = 6)
+      docs.filter(!isEval)
+        .select(col("doc_id"),
+          Decontaminate.contaminationFlag(col("text"), grams, w = 6)
+            .as("contaminated"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id,
+        unnest(CASE WHEN len(t) >= 6
+          THEN list_transform(range(1, len(t) - 4),
+            i -> array_to_string(t[i:i+5], ' '))
+          ELSE []::VARCHAR[] END) AS s
+      FROM toks),
+    ev AS (SELECT DISTINCT s FROM sh
+           WHERE doc_id % 10 = 0 AND doc_id < 10000),
+    hits AS (SELECT DISTINCT tr.doc_id
+             FROM sh tr JOIN ev USING (s)
+             WHERE NOT (tr.doc_id % 10 = 0 AND tr.doc_id < 10000))
+    SELECT d.doc_id, h.doc_id IS NOT NULL AS contaminated
+    FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+    WHERE NOT (d.doc_id % 10 = 0 AND d.doc_id < 10000)
+    ORDER BY d.doc_id"""))
+
   /** Sequence packing: contiguous fill of 512-token training bins per
     * language shard via one integer prefix sum (see
     * graft.operators.Packing for the scale model — parallelism is the
@@ -2529,7 +2571,8 @@ object Queries {
     qWindowFuncs, qAsofJoin, qRangeJoin, qTextSearch, qLabelCentroids,
     qStratifiedSample, qClassWeights, qMixtureSample, qHeavyHitters,
     qUploadAdmission,
-    qDecontaminate, qSeqPack, qUnigramLogprob, qSemDedup, qSemDedupLsh,
+    qDecontaminate, qDecontaminateFlag, qSeqPack, qUnigramLogprob,
+    qSemDedup, qSemDedupLsh,
     qGopherFilter, qStatsAgg, qIntervalOverlap)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
