@@ -287,6 +287,19 @@ class PlanSpec extends AnyFunSuite {
       s"redaction must not hash-shuffle:\n$p")
   }
 
+  test("q_decontaminate_flag: map-only stamp, no hash shuffle") {
+    // The whole point of the flag form is statelessness: the eval set
+    // rides as a referenced object inside the probe expression, so the
+    // plan must contain no hash exchange (the only exchange is the
+    // final ORDER BY's range partitioning) and exactly one corpus
+    // scan.
+    val p = plan("q_decontaminate_flag")
+    assert(!p.contains("hashpartitioning"),
+      s"flag stamp must not hash-shuffle:\n$p")
+    assert(p.split("\n").count(_.contains("FileScan parquet")) == 1,
+      s"documents must be scanned exactly once in the streamed plan:\n$p")
+  }
+
   test("q_heavy_hitters: sketch via ObjectHashAggregate, pass-2 candidates broadcast") {
     // The MG sketch is a TypedImperativeAggregate: it must plan as
     // ObjectHashAggregate (SortAggregate would sort the whole corpus
