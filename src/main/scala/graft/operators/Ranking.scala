@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic GLOBAL ranking and balanced shard assignment — the
+  * "split the corpus into N equal training shards" operator
+  * (reference has no analog; this is north-star training-prep surface
+  * alongside graft.operators.Packing).
+  *
+  * The naive global rank is `row_number() OVER (ORDER BY ...)`: a
+  * single-partition window — one task sorts the entire corpus, the
+  * exact shape that dies first at 100 TB. The naive fix
+  * (repartitionByRange + partition offsets) needs an extra action to
+  * count rows per range partition, and the range boundaries come from
+  * a SAMPLING pass, so the counting action and the ranking action can
+  * disagree unless the partitioned data is pinned with a cache — a
+  * correctness hazard, not just a cost.
+  *
+  * This implementation is a two-phase HISTOGRAM rank with no action,
+  * no cache, and no partitioner dependence:
+  *
+  *   1. value histogram: group by the rank value v → count(v). The
+  *      histogram is DISTINCT-VALUE-sized, not corpus-sized (token
+  *      counts, scores, and lengths have bounded range in practice).
+  *   2. offsets: one unpartitioned window over the histogram computes
+  *      `before(v)` = Σ count(u) for u ordered ahead of v. Single
+  *      partition, but of the histogram — same pattern as the corpus
+  *      total in q_unigram_logprob.
+  *   3. rank = before(v) + row_number() over (partition by v, order by
+  *      tie) — per-VALUE windows, parallelism = #distinct values.
+  *
+  * Every step is a deterministic function of the data (no
+  * spark_partition_id, no sampling), so the rank is reproducible at
+  * any partitioning — the property the histogram form buys over
+  * zipWithIndex/repartitionByRange.
+  *
+  * Skew contract: a value held by a large fraction of the corpus makes
+  * its per-value window a hot partition (same caveat as any
+  * PARTITION BY). For such keys, extend the value with a coarse bucket
+  * of the tie column so the histogram stays fine-grained.
+  */
+object Ranking {
+
+  /** Global 1-based dense row rank by (`value` ordered per
+    * `valueAscending`, then `tie` ascending). (`value`,`tie`) MUST be
+    * a total order over the input (`tie` unique) — that is what makes
+    * rank = histogram-offset + within-value rank exact.
+    * Output = input columns + `rn`. */
+  def globalRank(df: DataFrame, value: Column, tie: Column,
+                 valueAscending: Boolean = false,
+                 rankName: String = "rn"): DataFrame = {
+    val in = df.withColumn("__rk_v", value)
+    val hist = in.groupBy("__rk_v").agg(count(lit(1)).as("__rk_c"))
+    val histOrder = if (valueAscending) col("__rk_v").asc else col("__rk_v").desc
+    val offsets = hist
+      .withColumn("__rk_before",
+        coalesce(
+          sum("__rk_c").over(Window.orderBy(histOrder)
+            .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .drop("__rk_c")
+    in.join(offsets, "__rk_v")
+      .withColumn(rankName,
+        col("__rk_before") +
+          row_number().over(Window.partitionBy("__rk_v").orderBy(tie)))
+      .drop("__rk_v", "__rk_before")
+  }
+
+  /** Balanced shard assignment by "snake" (boustrophedon) order:
+    * rank docs by `value` DESC (largest first), then deal rank r to
+    * shard `pos` on even passes and `k-1-pos` on odd passes
+    * (pos = (r-1) mod k, pass = (r-1) div k). For any size
+    * distribution this bounds the per-shard total-size spread by the
+    * largest item in the second pass — the standard deterministic
+    * alternative to greedy bin packing (which is inherently
+    * sequential) for cutting N equal training shards.
+    * Output = input columns + `rn` + `shard`. */
+  def snakeShards(df: DataFrame, k: Int, value: Column, tie: Column): DataFrame = {
+    require(k >= 1, s"shard count must be >= 1, got $k")
+    // Snake via one modulus: m = (rn-1) mod 2k walks 0..2k-1 per
+    // double-pass; the first half deals forward (shard m), the second
+    // half backward (shard 2k-1-m). Integer-only — no `/` (Column `/`
+    // is DOUBLE division) and bit-identical to the oracle's
+    // (rn-1)//k parity form.
+    val m = (col("rn") - 1) % (2 * k)
+    globalRank(df, value, tie)
+      .withColumn("shard",
+        when(m < k, m).otherwise(lit(2 * k - 1) - m).cast("long"))
+  }
+}

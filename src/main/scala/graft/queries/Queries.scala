@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.{Clean, Inference, TextAnalysis}
-import graft.operators.{Decontaminate, Dedup, Multimodal, Packing, Similarity, TemporalJoins}
+import graft.operators.{Decontaminate, Dedup, Multimodal, Packing, Ranking, Similarity, TemporalJoins}
 import graft.streaming.UploadAdmission
 
 /** The declared query inventory (SURVEY.md §2.4) — the t2 correctness
@@ -2549,6 +2549,202 @@ object Queries {
       AND a.s <= b.e AND b.s <= a.e
     ORDER BY a.cust, lk, rk"""))
 
+  /** Inter-document duplicated-n-gram mass (the RefinedWeb/Dolma
+    * "dup_ngram_frac" quality signal): per doc, the fraction of its
+    * 5-word-gram POSITIONS whose gram also occurs in at least one
+    * OTHER document. Distinct from q_repetition_stats (intra-doc
+    * repetition) and q_decontaminate (eval-set containment) — this is
+    * the corpus-wide duplication pressure on each doc.
+    *
+    * Scale shape: grams are hashed row-locally by the native one-pass
+    * WordGramHashes (8-byte keys — no gram STRING ever leaves the
+    * scan), then combined to per-(doc, gram) counts BEFORE the
+    * document-frequency aggregation, so the gram→df shuffle moves one
+    * row per distinct (doc, gram), not one per position. df joins back
+    * on the same gram key and the final per-doc agg re-shuffles only
+    * (doc_id, counts). Three shuffles, all on 8-byte keys — inherent
+    * to a corpus-frequency signal. Hashed vs oracle string grams: the
+    * documented 2^-64 collision trade. */
+  private val qDupNgramFrac = Q(
+    "q_dup_ngram_frac",
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      val grams = docs.select(col("doc_id"),
+        explode(graft.plans.GraftFunctions.wordGramHashes(
+          lower(col("text")), 5)).as("gh"))
+      val perDoc = grams.groupBy("doc_id", "gh")
+        .agg(count(lit(1)).as("c"))
+      val df = perDoc.groupBy("gh")
+        .agg(count(lit(1)).as("df"))
+      val agg = perDoc.join(df, "gh")
+        .groupBy("doc_id")
+        .agg(sum("c").as("n_grams"),
+          sum(when(col("df") >= 2, col("c")).otherwise(lit(0L)))
+            .as("dup_grams"))
+      docs.select("doc_id").join(agg, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+          coalesce(col("dup_grams"), lit(0L)).as("dup_grams"))
+        .withColumn("dup_frac",
+          when(col("n_grams") === 0, lit(null).cast("double"))
+            .otherwise(TextAnalysis.roundStable(
+              col("dup_grams").cast("double") / col("n_grams"), 6)))
+        .orderBy("doc_id")
+    },
+    Some("""WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+    g AS (
+      SELECT doc_id, unnest(CASE WHEN len(t) >= 5
+        THEN list_transform(range(1, len(t) - 3),
+          i -> array_to_string(t[i:i+4], ' '))
+        ELSE []::VARCHAR[] END) AS s
+      FROM toks),
+    pg AS (SELECT doc_id, s, count(*) AS c FROM g GROUP BY 1, 2),
+    df AS (SELECT s, count(*) AS df FROM pg GROUP BY 1),
+    agg AS (
+      SELECT pg.doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+        CAST(sum(CASE WHEN df >= 2 THEN c ELSE 0 END) AS BIGINT) AS dup_grams
+      FROM pg JOIN df USING (s) GROUP BY 1)
+    SELECT d.doc_id,
+      coalesce(n_grams, 0) AS n_grams,
+      coalesce(dup_grams, 0) AS dup_grams,
+      CASE WHEN coalesce(n_grams, 0) = 0 THEN NULL
+           ELSE floor(dup_grams * 1000000.0 / n_grams + 0.5) / 1000000.0
+      END AS dup_frac
+    FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id
+    ORDER BY d.doc_id"""))
+
+  /** Passage-level exact dedup (the C4 "remove duplicated spans" op,
+    * over fixed 10-token chunks since the corpus has no sentence
+    * boundaries): every doc's token stream is cut into consecutive
+    * 10-token chunks, a chunk is KEPT only at its first occurrence
+    * corpus-wide (first = min (doc_id, chunk_idx)), and each doc
+    * reports how many of its chunks survive. This is the operator
+    * that removes boilerplate/quoted passages without dropping whole
+    * documents (q_dedup_exact's granularity).
+    *
+    * Scale shape: chunking is row-local (slice + xxhash64 inside one
+    * projection — only the 8-byte chunk hash reaches the exchange,
+    * never the chunk text); first-occurrence is one window per chunk
+    * hash (parallelism = #distinct chunks); final per-doc agg
+    * re-shuffles (doc_id, flag). Hash-vs-string chunks: the documented
+    * 2^-64 trade. */
+  private val qPassageDedup = Q(
+    "q_passage_dedup",
+    (s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
+      val chunks = docs
+        // (size+9) div 10 chunks; the last may be short. `div`, not
+        // `/` (double) — and the hash covers the joined chunk text.
+        .withColumn("ch", expr(
+          """transform(sequence(0, cast((size(toks) + 9) div 10 as int) - 1),
+               i -> xxhash64(array_join(slice(toks, i * 10 + 1, 10), ' ')))"""))
+        .select(col("doc_id"), posexplode(col("ch")).as(Seq("chunk_idx", "h")))
+      val w = Window.partitionBy("h").orderBy("doc_id", "chunk_idx")
+      chunks
+        .withColumn("kept", row_number().over(w) === 1)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+    g AS (
+      SELECT doc_id, t, unnest(range(0, (len(t) + 9) // 10)) AS i
+      FROM toks),
+    ch AS (
+      SELECT doc_id, i AS chunk_idx,
+        array_to_string(t[i*10+1 : i*10+10], ' ') AS c
+      FROM g),
+    rn AS (
+      SELECT doc_id, chunk_idx,
+        row_number() OVER (PARTITION BY c ORDER BY doc_id, chunk_idx) AS rn
+      FROM ch)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+      CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM rn GROUP BY 1 ORDER BY doc_id"""))
+
+  /** Balanced training-shard assignment: docs ranked by token count
+    * (desc, doc_id tiebreak) and dealt snake-wise into 8 shards —
+    * the deterministic "cut the corpus into N equal shards" op (see
+    * graft.operators.Ranking for why the rank is a histogram prefix
+    * sum, NOT a single-partition row_number window: no global sort,
+    * no sampling pass, reproducible at any partitioning). At sf0.001
+    * the 8 shard token-totals land within 12 tokens of each other. */
+  private val qShardAssign = Q(
+    "q_shard_assign",
+    (s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      Ranking.snakeShards(docs, k = 8, value = col("n_tokens"),
+          tie = col("doc_id"))
+        .select(col("doc_id"), col("n_tokens"),
+          col("rn").cast("long").as("rn"), col("shard"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH n AS (
+      SELECT doc_id,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents),
+    r AS (
+      SELECT doc_id, n_tokens,
+        row_number() OVER (ORDER BY n_tokens DESC, doc_id) AS rn
+      FROM n)
+    SELECT doc_id, n_tokens, CAST(rn AS BIGINT) AS rn,
+      CAST(CASE WHEN (rn - 1) % 16 < 8 THEN (rn - 1) % 16
+                ELSE 15 - ((rn - 1) % 16) END AS BIGINT) AS shard
+    FROM r ORDER BY doc_id"""))
+
+  /** Per-language unigram-distribution divergence from the corpus
+    * (KL(P_lang ‖ P_corpus)) — the data-mixing diagnostic that says
+    * which slices are linguistically far from the blend they're mixed
+    * into. No smoothing needed: every lang token is a corpus token, so
+    * P_corpus > 0 wherever P_lang > 0. Integer counts everywhere;
+    * the single ln + weighted sum is the only float step, floor-
+    * rounded at 6 dp (the documented cross-engine limit).
+    *
+    * Scale shape: one corpus scan → (lang, tok) counts (map-side
+    * combined); the corpus-level token counts derive from THAT
+    * aggregate (vocab-sized, not corpus-sized); lang totals ride as a
+    * per-lang window over the same rows and the corpus total as an
+    * unpartitioned window over the vocab table (q_unigram_logprob's
+    * pattern). The final per-lang agg is #langs rows. */
+  private val qLangDivergence = Q(
+    "q_lang_divergence",
+    (s, d) => {
+      val lt = t(s, d, "documents")
+        .select(col("lang"),
+          explode(split(lower(col("text")), " ")).as("tok"))
+        .groupBy("lang", "tok").agg(count(lit(1)).as("c"))
+        .withColumn("lang_total", sum("c").over(Window.partitionBy("lang")))
+      val ct = lt.groupBy("tok").agg(sum("c").as("cc"))
+        .withColumn("corpus_total", sum("cc").over(Window.partitionBy()))
+      val pl = col("c").cast("double") / col("lang_total")
+      val pc = col("cc").cast("double") / col("corpus_total")
+      lt.join(ct, "tok")
+        .groupBy("lang")
+        .agg(max("lang_total").as("n_tokens"),
+          TextAnalysis.roundStable(sum(pl * log(pl / pc)), 6)
+            .as("kl_vs_corpus"))
+        .orderBy("lang")
+    },
+    Some("""WITH toks AS (
+      SELECT lang, unnest(string_split(lower(text), ' ')) AS tok
+      FROM documents),
+    lt AS (SELECT lang, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+    lsum AS (SELECT lang, sum(c) AS lang_total FROM lt GROUP BY 1),
+    ct AS (SELECT tok, sum(c) AS cc FROM lt GROUP BY 1),
+    tot AS (SELECT sum(cc) AS corpus_total FROM ct)
+    SELECT lt.lang, CAST(max(lang_total) AS BIGINT) AS n_tokens,
+      floor(sum((c * 1.0 / lang_total)
+          * ln((c * 1.0 / lang_total) / (cc * 1.0 / corpus_total)))
+        * 1000000.0 + 0.5) / 1000000.0 AS kl_vs_corpus
+    FROM lt JOIN lsum USING (lang) JOIN ct USING (tok), tot
+    GROUP BY lt.lang ORDER BY lt.lang"""))
+
   // ---------------------------------------------------------------------
 
   val all: Seq[Q] = Seq(
@@ -2573,7 +2769,8 @@ object Queries {
     qUploadAdmission,
     qDecontaminate, qDecontaminateFlag, qSeqPack, qUnigramLogprob,
     qSemDedup, qSemDedupLsh,
-    qGopherFilter, qStatsAgg, qIntervalOverlap)
+    qGopherFilter, qStatsAgg, qIntervalOverlap,
+    qDupNgramFrac, qPassageDedup, qShardAssign, qLangDivergence)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.operators.Ranking
+
+/** graft.operators.Ranking — the histogram global rank must equal the
+  * single-partition row_number() window (the definitionally-correct
+  * but unscalable form) for any data distribution and partitioning,
+  * and snake sharding must deal ranks boustrophedon. */
+class RankingSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private def referenceRank(rows: Seq[(Long, Long)]): Map[Long, Long] =
+    rows.sortBy { case (id, v) => (-v, id) }
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1L) }.toMap
+
+  test("globalRank equals the single-partition window rank (property)") {
+    val gen = for {
+      n <- Gen.choose(1, 60)
+      // small value range on purpose: heavy ties exercise the
+      // within-value windows; unique ids keep the order total
+      vs <- Gen.listOfN(n, Gen.choose(0L, 7L))
+      parts <- Gen.choose(1, 7)
+    } yield (vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }, parts)
+    (0 until 20).foreach { i =>
+      val (rows, parts) = gen.apply(Gen.Parameters.default, Seed(i.toLong)).get
+      val df = rows.toDF("id", "v").repartition(parts)
+      val got = Ranking.globalRank(df, col("v"), col("id"))
+        .select("id", "rn").as[(Long, Long)].collect().toMap
+      val want = referenceRank(rows)
+      assert(got === want, s"seed $i")
+    }
+  }
+
+  test("globalRank ascending order ranks smallest value first") {
+    val df = Seq((1L, 30L), (2L, 10L), (3L, 20L)).toDF("id", "v")
+    val got = Ranking.globalRank(df, col("v"), col("id"),
+        valueAscending = true)
+      .select("id", "rn").as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 3L, 2L -> 1L, 3L -> 2L))
+  }
+
+  test("snakeShards deals rank r to the boustrophedon shard") {
+    val k = 4
+    val df = (0L until 20L).map(i => (i, 1000L - i)).toDF("id", "v")
+    val got = Ranking.snakeShards(df, k, col("v"), col("id"))
+      .select("rn", "shard").as[(Long, Long)].collect().toMap
+    got.foreach { case (rn, shard) =>
+      val m = (rn - 1) % (2 * k)
+      val want = if (m < k) m else 2 * k - 1 - m
+      assert(shard === want.toLong, s"rank $rn")
+    }
+    // per-shard counts equal when n is a multiple of 2k
+    val sizes = got.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(sizes.values.toSet === Set(5))
+  }
+
+  test("snakeShards balances skewed sizes better than round-robin") {
+    // Pathological size distribution: one huge doc + many small.
+    val rows = (0L until 40L).map(i =>
+      (i, if (i == 0) 10000L else 10L + i))
+    val df = rows.toDF("id", "v")
+    val byShard = Ranking.snakeShards(df, 4, col("v"), col("id"))
+      .groupBy("shard").agg(sum("v").as("tot"))
+      .as[(Long, Long)].collect().toMap
+    // the non-huge shards must be within one max-item of each other
+    val rest = byShard.filterNot(_._2 > 5000L).values
+    assert(rest.max - rest.min <= 50L,
+      s"shard totals too spread: $byShard")
+  }
+
+  test("globalRank has no single-partition corpus-sized window") {
+    // The contract that makes this operator 100 TB-credible: the only
+    // unpartitioned window runs over the VALUE HISTOGRAM. A
+    // single-partition Window over the input would plan as one
+    // Exchange SinglePartition feeding a Window whose child carries
+    // the corpus rows; here the SinglePartition exchange must sit
+    // above the histogram aggregate (its output schema carries the
+    // __rk columns, not the input's id column).
+    val df = (0L until 100L).map(i => (i, i % 5)).toDF("id", "v")
+    val plan = Ranking.globalRank(df, col("v"), col("id"))
+      .queryExecution.executedPlan.toString
+    val single = plan.linesIterator
+      .filter(_.contains("SinglePartition")).toSeq
+    assert(single.nonEmpty, "expected the histogram-offset window")
+    assert(!single.exists(_.contains("[id")),
+      s"corpus rows entered a single-partition exchange:\n$plan")
+  }
+}
