@@ -207,8 +207,18 @@ object Dedup {
       graft.plans.GraftFunctions.wordGramHashesDistinct(
         lower(col("text")), w).as("d"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val gi = grams.select(col("doc_id").as("i"), col("d").as("di"))
-    val gj = grams.select(col("doc_id").as("j"), col("d").as("dj"))
+    refineJoin(candidates,
+      grams.select(col("doc_id").as("i"), col("d").as("di")),
+      grams.select(col("doc_id").as("j"), col("d").as("dj")),
+      threshold)
+  }
+
+  /** The refine join itself, shared by [[jaccardRefinePairs]] and the
+    * incremental forms: candidates (i, j) meet the two gram-array
+    * sides and the TRUE Jaccard decides. Only candidate ids shuffle to
+    * the gram rows — gram arrays never self-join. */
+  private def refineJoin(candidates: DataFrame, gi: DataFrame,
+                         gj: DataFrame, threshold: Double): DataFrame = {
     val inter = size(array_intersect(col("di"), col("dj"))).cast("double")
     val jac = inter / ((size(col("di")) + size(col("dj"))).cast("double") - inter)
     candidates.select("i", "j")
@@ -314,6 +324,104 @@ object Dedup {
       .cast("double") / k
     cand.select(col("i"), col("j"), round(est, 6).as("est_jaccard"))
       .filter(col("est_jaccard") >= minEst)
+  }
+
+  /** (doc_id, bkey) rows from a signature table — band id and band
+    * value folded into ONE hashed 64-bit key, so a banded join needs a
+    * single equi-key and a materialized index can bucket by it. A bkey
+    * collision across bands can only ADD a candidate (the exact-Jaccard
+    * refine decides), never lose one. */
+  private def minhashBandRows(sigs: DataFrame, k: Int, bands: Int): DataFrame = {
+    val r = k / bands
+    sigs.select(col("doc_id"),
+      explode(transform(sequence(lit(0), lit(bands - 1)),
+        j => xxhash64(j, hash(slice(col("sig"), j * r + 1, lit(r)))))).as("bkey"))
+  }
+
+  /** INCREMENTAL dedup decision — the shape a production pipeline runs
+    * every ingest epoch: a (small) delta of new documents is checked
+    * against the (huge) existing corpus, and only cross pairs
+    * (delta i, base j) are ever generated. The delta×delta and
+    * base×base pair spaces are never entered — the banded join is
+    * delta-side × base-side, so its output is linear in the delta's
+    * candidate count, and the base corpus is never self-joined.
+    *
+    * Candidates = banded MinHash collisions (no estimated-similarity
+    * gate: banding-only candidates are a SUPERSET of the est-filtered
+    * ones, so recall over true ≥-threshold pairs is at least
+    * q_minhash_cluster's pinned recall); decision = exact-Jaccard
+    * refine over the two docs' distinct gram arrays. Output:
+    * (i delta doc, j base doc, jaccard) for every true pair ≥
+    * threshold. For repeated epochs, materialize the base side once
+    * with [[writeMinhashIndex]] and use
+    * [[incrementalDupPairsIndexed]] — signing the base corpus is the
+    * full-corpus pass the index amortizes away. */
+  def incrementalDupPairs(base: DataFrame, delta: DataFrame,
+                          w: Int = 5, k: Int = 32, bands: Int = 8,
+                          threshold: Double = 0.8,
+                          registry: CacheRegistry = CacheRegistry.global): DataFrame = {
+    require(k % bands == 0, s"signature length $k must divide into $bands bands")
+    val sb = minhashBandRows(minHashSignatures(base, w, k, registry), k, bands)
+    val sd = minhashBandRows(minHashSignatures(delta, w, k, registry), k, bands)
+    val cand = sd.as("a").join(sb.as("b"), col("a.bkey") === col("b.bkey"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .dropDuplicates("i", "j")
+    jaccardRefinePairs(base.unionByName(delta), cand, w, threshold, registry)
+  }
+
+  /** Materialized MinHash index over a corpus — the text twin of
+    * [[writeLshIndex]], two catalog tables:
+    *
+    *   - `<table>`: thin `(doc_id, bkey)` rows (16 B each), one per
+    *     doc per band, bucketed by bkey — a delta probe joins it on
+    *     the bucket key, so the INDEX SIDE never exchanges (pinned in
+    *     ScaleOpsSpec);
+    *   - `<table>_grams`: `(doc_id, d array<long>)` distinct gram
+    *     hashes once per doc, bucketed by doc_id — the refine reads
+    *     base grams from here instead of re-hashing the corpus.
+    *
+    * Build once per epoch boundary; each epoch's delta then pays only
+    * its own signing + a probe join, never a base-corpus pass. */
+  def writeMinhashIndex(docs: DataFrame, table: String,
+                        w: Int = 5, k: Int = 32, bands: Int = 8,
+                        nBuckets: Int = 16,
+                        registry: CacheRegistry = CacheRegistry.global): Unit = {
+    val sigs = minHashSignatures(docs, w, k, registry)
+    graft.sources.Warehouse.writeBucketed(
+      minhashBandRows(sigs, k, bands), table, "bkey", nBuckets)
+    graft.sources.Warehouse.writeBucketed(
+      docs.select(col("doc_id"),
+        graft.plans.GraftFunctions.wordGramHashesDistinct(
+          lower(col("text")), w).as("d")),
+      table + "_grams", "doc_id", nBuckets)
+  }
+
+  /** [[incrementalDupPairs]] against a [[writeMinhashIndex]] base: the
+    * delta signs itself map-only and probes the bucketed signature
+    * table (index side shuffle-free by layout); the refine joins the
+    * delta's gram arrays with the index's `<table>_grams` side table.
+    * The base corpus is re-read only at the candidate docs' gram rows
+    * — no re-signing, no base self-join, no corpus-sized exchange.
+    * MUST be called with the same (w, k, bands) the index was built
+    * with — signatures are parameter-specific. */
+  def incrementalDupPairsIndexed(spark: org.apache.spark.sql.SparkSession,
+                                 delta: DataFrame, table: String,
+                                 w: Int = 5, k: Int = 32, bands: Int = 8,
+                                 threshold: Double = 0.8,
+                                 registry: CacheRegistry = CacheRegistry.global): DataFrame = {
+    require(k % bands == 0, s"signature length $k must divide into $bands bands")
+    val sd = minhashBandRows(minHashSignatures(delta, w, k, registry), k, bands)
+    val cand = sd.as("a").join(spark.table(table).as("b"),
+        col("a.bkey") === col("b.bkey"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .dropDuplicates("i", "j")
+    refineJoin(cand,
+      delta.select(col("doc_id").as("i"),
+        graft.plans.GraftFunctions.wordGramHashesDistinct(
+          lower(col("text")), w).as("di")),
+      spark.table(table + "_grams")
+        .select(col("doc_id").as("j"), col("d").as("dj")),
+      threshold)
   }
 
   /** SimHash near-dup pairs with hamming distance ≤ maxHamming (< 4):

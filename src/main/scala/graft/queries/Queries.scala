@@ -2745,6 +2745,73 @@ object Queries {
     FROM lt JOIN lsum USING (lang) JOIN ct USING (tok), tot
     GROUP BY lt.lang ORDER BY lt.lang"""))
 
+  /** INCREMENTAL dedup — the epoch-ingest decision: new documents
+    * (delta = doc_id ≡ 4 mod 5) checked against the existing corpus
+    * (base = the rest), every delta doc stamped is_dup with its
+    * canonical base match. Only CROSS pairs are generated
+    * (Dedup.incrementalDupPairs: the banded MinHash join is
+    * delta×base, so the base corpus is never self-joined and the
+    * delta never meets itself) and the exact-Jaccard refine decides.
+    * Oracle-valid for the same reason as q_minhash_cluster: banding
+    * recall over exact ≥0.8 pairs is 1 on this corpus (DedupSpec),
+    * and cross-pair candidates here are a superset of the est-gated
+    * form's. The epoch-repeat shape (base signed ONCE into a bucketed
+    * index, probe join exchange-free on the index side) is
+    * Dedup.writeMinhashIndex / incrementalDupPairsIndexed, pinned
+    * equivalent in ScaleOpsSpec. */
+  private val qIncrementalDedup = Q(
+    "q_incremental_dedup",
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      val isDelta = pmod(col("doc_id"), lit(5)) === 4
+      val pairs = Dedup.incrementalDupPairs(
+        docs.filter(!isDelta), docs.filter(isDelta), threshold = 0.8)
+      val agg = pairs.groupBy("i")
+        .agg(count(lit(1)).as("n_matches"),
+          min("j").as("canonical"),
+          max("jaccard").as("best_jaccard"))
+        .withColumnRenamed("i", "doc_id")
+      docs.filter(isDelta).select("doc_id")
+        .join(agg, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          col("n_matches").isNotNull.as("is_dup"),
+          coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+          col("canonical"), col("best_jaccard"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH sh AS (
+      SELECT DISTINCT doc_id,
+        unnest(CASE WHEN len(string_split(lower(text), ' ')) >= 5
+          THEN list_transform(range(1, len(string_split(lower(text), ' ')) - 3),
+            i -> array_to_string(string_split(lower(text), ' ')[i:i+4], ' '))
+          ELSE []::VARCHAR[] END) AS s
+      FROM documents),
+    card AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY 1),
+    com AS (
+      SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS com
+      FROM sh a JOIN sh b ON a.s = b.s
+      WHERE a.doc_id % 5 = 4 AND b.doc_id % 5 <> 4
+      GROUP BY 1, 2),
+    m AS (
+      SELECT i, j,
+        floor(com * 1.0 / (ca.c + cb.c - com) * 1000000.0 + 0.5) / 1000000.0
+          AS jac
+      FROM com
+      JOIN card ca ON ca.doc_id = i
+      JOIN card cb ON cb.doc_id = j
+      WHERE com * 1.0 / (ca.c + cb.c - com) >= 0.8),
+    agg AS (
+      SELECT i AS doc_id, CAST(count(*) AS BIGINT) AS n_matches,
+        min(j) AS canonical, max(jac) AS best_jaccard
+      FROM m GROUP BY 1)
+    SELECT d.doc_id,
+      agg.doc_id IS NOT NULL AS is_dup,
+      coalesce(n_matches, 0) AS n_matches,
+      canonical, best_jaccard
+    FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id
+    WHERE d.doc_id % 5 = 4
+    ORDER BY d.doc_id"""))
+
   // ---------------------------------------------------------------------
 
   val all: Seq[Q] = Seq(
@@ -2770,7 +2837,8 @@ object Queries {
     qDecontaminate, qDecontaminateFlag, qSeqPack, qUnigramLogprob,
     qSemDedup, qSemDedupLsh,
     qGopherFilter, qStatsAgg, qIntervalOverlap,
-    qDupNgramFrac, qPassageDedup, qShardAssign, qLangDivergence)
+    qDupNgramFrac, qPassageDedup, qShardAssign, qLangDivergence,
+    qIncrementalDedup)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -413,4 +413,34 @@ class DedupSpec extends AnyFunSuite {
       }
     } finally reg.releaseAll()
   }
+
+  test("incrementalDupPairs: cross pairs only, equals the cross-split slice of exact pairs") {
+    // The q_incremental_dedup contract: delta-vs-base banding finds
+    // exactly the exact-Jaccard pairs that CROSS the split (recall-1
+    // banding + exact refine), emits them delta-side-first, and never
+    // generates a delta×delta or base×base pair.
+    val reg = new graft.operators.CacheRegistry
+    try {
+      val isDelta = (id: Long) => id % 5 == 4
+      val full = Dedup.jaccardPairs(docs, w = 5, threshold = 0.8,
+          registry = reg).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      val wantCross = full
+        .filter { case (i, j, _) => isDelta(i) != isDelta(j) }
+        .map { case (i, j, v) =>
+          if (isDelta(i)) (i, j, v) else (j, i, v) }.toSet
+      val got = Dedup.incrementalDupPairs(
+          docs.filter(!pmod(col("doc_id"), lit(5)).equalTo(4)),
+          docs.filter(pmod(col("doc_id"), lit(5)) === 4),
+          threshold = 0.8, registry = reg).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(wantCross.nonEmpty, "fixture must have cross-split dups")
+      assert(got == wantCross,
+        s"extra=${(got -- wantCross).take(3)} missing=${(wantCross -- got).take(3)}")
+      got.foreach { case (i, j, _) =>
+        assert(isDelta(i) && !isDelta(j),
+          s"pair ($i,$j) is not delta-first/base-second")
+      }
+    } finally reg.releaseAll()
+  }
 }

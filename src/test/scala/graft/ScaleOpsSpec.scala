@@ -142,6 +142,53 @@ class ScaleOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("materialized MinHash index: base never shuffles, indexed equals in-memory") {
+    // The incremental-dedup epoch contract (Dedup.writeMinhashIndex /
+    // incrementalDupPairsIndexed): the base corpus is signed ONCE into
+    // a bucketed signature table + a bucketed gram side table; each
+    // epoch's delta probes them and the BASE side never moves — no
+    // ShuffleExchange in the probe/refine plan has the index tables'
+    // scan in its subtree (the only array-carrying exchange is the
+    // delta's own gram rows, delta-sized by construction).
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val isDelta = pmod(col("doc_id"), lit(5)) === 4
+    val base = docs.filter(!isDelta)
+    val delta = docs.filter(isDelta)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val reg = new graft.operators.CacheRegistry
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      graft.operators.Dedup.writeMinhashIndex(base, "minc_idx",
+        nBuckets = 4, registry = reg)
+      val indexed = graft.operators.Dedup.incrementalDupPairsIndexed(
+        spark, delta, "minc_idx")
+      // Non-vacuity guard: the probe plan must actually read the index
+      // tables (otherwise the no-shuffle assertion below tests nothing).
+      assert(indexed.queryExecution.executedPlan.toString.contains("minc_idx"),
+        "probe plan does not scan the index tables")
+      val idxShuffles = indexed.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+          if e.child.toString.contains("minc_idx") => e
+      }
+      assert(idxShuffles.isEmpty,
+        s"index-table rows entered a shuffle:\n${idxShuffles.mkString("\n")}")
+      val got = indexed.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val want = graft.operators.Dedup.incrementalDupPairs(
+          base, delta, registry = reg).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(want.nonEmpty, "fixture must have cross-split dups")
+      assert(got == want,
+        s"indexed != in-memory: extra=${(got -- want).take(3)} " +
+          s"missing=${(want -- got).take(3)}")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      reg.releaseAll()
+      spark.sql("DROP TABLE IF EXISTS minc_idx")
+      spark.sql("DROP TABLE IF EXISTS minc_idx_grams")
+    }
+  }
+
   test("materialized IVF index: dynamic partition pruning on the probe, same results") {
     val dir = Files.createTempDirectory("graft-ivf").toString + "/idx"
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
