@@ -266,35 +266,51 @@ object Dedup {
   /** MinHash parameters: k independent hashes h_i(x) = (a_i·x + b_i)
     * mod P over the native 64-bit word-gram hash folded into [0, P)
     * by pmod (see [[hashedShingleRows]]). a/b come from a fixed LCG so
-    * signatures are reproducible across runs and executors. */
-  val MinHashP: Long = 2147483647L // 2^31 - 1 (Mersenne prime)
+    * signatures are reproducible across runs and executors. The
+    * algebra's single source of truth is
+    * [[graft.plans.ExprHelpers.minHashCoefArrays]] — both forms below
+    * derive from it and DedupSpec pins them equal. */
+  val MinHashP: Long = graft.plans.ExprHelpers.MinHashP
   def minHashCoefs(k: Int): Seq[(Long, Long)] = {
-    var state = 42L
-    def next(): Long = { state = (state * 6364136223846793005L + 1442695040888963407L); (state >>> 33) % (MinHashP - 1) + 1 }
-    Seq.fill(k)((next(), next()))
+    val (as, bs) = graft.plans.ExprHelpers.minHashCoefArrays(k)
+    as.zip(bs).toSeq
   }
 
-  /** Per-doc MinHash signature as k columns collapsed into one array.
-    * One groupBy(doc_id) with k min() aggregates — partial aggregation
-    * collapses shingles map-side, so the shuffle carries one row per
-    * (doc, partition), not per shingle. */
+  /** Per-doc MinHash signature (doc_id, sig: array<long>[k]) — MAP
+    * ONLY: the fused native expression
+    * ([[graft.plans.MinHashSigs]]) tokenizes, rolls the gram hash and
+    * folds each gram into the k minima in one scan-side pass, so
+    * signing a corpus costs ZERO shuffle (the previous form exploded
+    * the gram stream into a groupBy(doc_id) with k min() aggregates —
+    * map-side combined, but still a corpus-wide exchange). Scan-side
+    * signatures are also what make dedup-on-ingest streaming-trivial:
+    * no aggregation state, a micro-batch signs itself. Docs shorter
+    * than w tokens have no grams, hence no signature row (the
+    * aggregate form's semantics, pinned in DedupSpec). */
   def minHashSignatures(docs: DataFrame, w: Int = 5, k: Int = 32,
-                        registry: CacheRegistry = CacheRegistry.global): DataFrame = {
+                        registry: CacheRegistry = CacheRegistry.global): DataFrame =
+    registry.track(docs.select(col("doc_id"),
+      graft.plans.GraftFunctions.minHashSigs(lower(col("text")), w, k).as("sig"))
+      .filter(col("sig").isNotNull)
+      // Both LSH join sides consume the signatures — persist so the
+      // text scan + signing runs once. Released by the caller via
+      // CacheRegistry once results materialize.
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  /** The AGGREGATE signature form the fused expression replaced — kept
+    * as the independently-derived reference implementation DedupSpec
+    * pins [[minHashSignatures]] against (explode grams → groupBy(doc)
+    * → k·min; one corpus-wide exchange). Not used by any operator. */
+  def minHashSignaturesViaAgg(docs: DataFrame, w: Int = 5, k: Int = 32): DataFrame = {
     // duplicate shingles are harmless here: min() is idempotent.
-    // Scan-side gram hashing (no window shuffle) — the 64-bit gram
-    // hash folds into the [0, P) MinHash domain directly.
     val sh = hashedShingleRows(docs, w)
       .withColumn("h", pmod(col("s"), lit(MinHashP)))
     val mins = minHashCoefs(k).zipWithIndex.map { case ((a, b), i) =>
       min(pmod(col("h") * a + b, lit(MinHashP))).as(s"m$i")
     }
-    registry.track(sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+    sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
       .select(col("doc_id"),
         array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
-      // Both LSH join sides consume the signatures — persist so the
-      // shingle explode + 32-way min aggregation runs once. Released
-      // by the caller via CacheRegistry once results materialize.
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
   }
 
   /** LSH banding over the signature: bands of r rows hashed together;

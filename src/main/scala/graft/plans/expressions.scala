@@ -276,6 +276,64 @@ object ExprHelpers {
     out
   }
 
+  /** MinHash domain prime (2^31 - 1) and the reproducible coefficient
+    * streams — the single source of truth for the signature algebra
+    * (graft.operators.Dedup delegates here, so the aggregate form and
+    * the fused expression can never drift apart). Coefficients come
+    * from a fixed-seed LCG, interleaved a,b per hash index, and are
+    * cached per k (they are computed per ROW otherwise). */
+  val MinHashP: Long = 2147483647L
+  private val minHashCoefCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, (Array[Long], Array[Long])]()
+  def minHashCoefArrays(k: Int): (Array[Long], Array[Long]) =
+    minHashCoefCache.computeIfAbsent(k, _ => {
+      var state = 42L
+      def next(): Long = {
+        state = state * 6364136223846793005L + 1442695040888963407L
+        (state >>> 33) % (MinHashP - 1) + 1
+      }
+      val as = new Array[Long](k)
+      val bs = new Array[Long](k)
+      var i = 0
+      while (i < k) { as(i) = next(); bs(i) = next(); i += 1 }
+      (as, bs)
+    })
+
+  /** Fused text → MinHash-k signature in ONE pass: tokenize, roll the
+    * word-gram hash, fold each gram straight into the k running minima.
+    * This is the map-only replacement for the explode + groupBy(doc_id)
+    * + k·min() aggregation — that aggregation is a full corpus-wide
+    * shuffle of the gram stream, this is a scan-side expression (which
+    * is also what makes dedup-on-ingest streaming-trivial: a signature
+    * needs no aggregation state). Signature VALUES are identical to
+    * the aggregate form (pinned in DedupSpec): gram hash folded by
+    * pmod into [0, P), then min over (h·a_i + b_i) mod P per i.
+    * h < P and a_i < P keep h·a_i + b_i < 2^62 — no overflow.
+    * Fewer than w tokens → NULL (the aggregate form emits no row for
+    * such docs); null in → null out. */
+  def minHashSigs(s: UTF8String, w: Int, k: Int): ArrayData = {
+    if (s == null) return null
+    val grams = wordGramLongs(s, w)
+    if (grams.length == 0) return null
+    val (as, bs) = minHashCoefArrays(k)
+    val out = new Array[Long](k)
+    java.util.Arrays.fill(out, Long.MaxValue)
+    var gi = 0
+    while (gi < grams.length) {
+      val m = grams(gi) % MinHashP
+      val h = if (m < 0) m + MinHashP else m
+      var i = 0
+      while (i < k) {
+        val v = (h * as(i) + bs(i)) % MinHashP
+        if (v < out(i)) out(i) = v
+        i += 1
+      }
+      gi += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
+
   /** All w-word-gram STRINGS of a string in one pass. Because the
     * tokenization is split-on-single-space (empty tokens kept), the
     * joined gram `concat_ws(" ", tok_i..tok_{i+w-1})` is EXACTLY the
@@ -479,6 +537,38 @@ case class WordGramHashes(child: Expression, w: Int,
   }
 
   override protected def withNewChildInternal(newChild: Expression): WordGramHashes =
+    copy(child = newChild)
+}
+
+/** Fused MinHash signature expression (see [[ExprHelpers.minHashSigs]]):
+  * text → array of k signature minima, scan-side, no aggregation.
+  * NULLABLE regardless of the child: a doc shorter than w tokens has
+  * no grams and therefore no signature (mirroring the aggregate form,
+  * which emits no row) — consumers filter nulls. */
+case class MinHashSigs(child: Expression, w: Int, k: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType && w >= 1 && k >= 1)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"minhash_sigs expects (STRING, w >= 1, k >= 1), got ${child.dataType.sql}, w=$w, k=$k")
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else ExprHelpers.minHashSigs(v.asInstanceOf[UTF8String], w, k)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      org.apache.spark.sql.catalyst.util.ArrayData ${ev.value}_r =
+        graft.plans.ExprHelpers.minHashSigs($c, $w, $k);
+      if (${ev.value}_r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ${ev.value}_r; }
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSigs =
     copy(child = newChild)
 }
 
@@ -727,6 +817,10 @@ object GraftFunctions {
   def wordGrams(c: Column, w: Int): Column =
     GraftSqlBridge.column(WordGrams(GraftSqlBridge.expression(c), w))
 
+  /** Fused map-only MinHash signature (see [[MinHashSigs]]). */
+  def minHashSigs(c: Column, w: Int, k: Int): Column =
+    GraftSqlBridge.column(MinHashSigs(GraftSqlBridge.expression(c), w, k))
+
   /** `array<long>` ∩ sorted set ≠ ∅ (see [[SortedLongsContainAny]]);
     * `sorted` MUST be ascending-sorted. */
   def sortedLongsContainAny(c: Column, sorted: Array[Long]): Column =
@@ -775,6 +869,9 @@ object GraftFunctions {
         es.length > 2 && literalBool(es(2), "word_gram_hashes")) },
     "word_grams" -> { es =>
       WordGrams(es.head, literalInt(es(1), "word_grams")) },
+    "minhash_sigs" -> { es =>
+      MinHashSigs(es.head, literalInt(es(1), "minhash_sigs"),
+        literalInt(es(2), "minhash_sigs")) },
     "misra_gries_keys" -> { es =>
       MisraGriesKeys(es.head, literalInt(es(1), "misra_gries_keys")) })
 

@@ -414,6 +414,32 @@ class DedupSpec extends AnyFunSuite {
     } finally reg.releaseAll()
   }
 
+  test("fused MinHashSigs expression equals the aggregate signature form, value for value") {
+    // The map-only signer must be bit-identical to the explode +
+    // groupBy + k·min reference — same docs present (short docs
+    // absent from both), same k minima per doc. Also exercises the
+    // SQL registration of minhash_sigs.
+    val reg = new graft.operators.CacheRegistry
+    try {
+      def collectSigs(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val fused = collectSigs(Dedup.minHashSignatures(docs, registry = reg))
+      val agg = collectSigs(Dedup.minHashSignaturesViaAgg(docs))
+      assert(fused.nonEmpty && fused == agg,
+        s"fused != agg: sizes ${fused.size}/${agg.size}")
+      graft.plans.GraftFunctions.register(spark)
+      docs.createOrReplaceTempView("mh_docs")
+      val sql = collectSigs(spark.sql(
+        """SELECT doc_id, minhash_sigs(lower(text), 5, 32) AS sig
+           FROM mh_docs WHERE minhash_sigs(lower(text), 5, 32) IS NOT NULL"""))
+      assert(sql == agg, "SQL-registered form diverges")
+    } finally {
+      reg.releaseAll()
+      spark.catalog.dropTempView("mh_docs")
+      ()
+    }
+  }
+
   test("incrementalDupPairs: cross pairs only, equals the cross-split slice of exact pairs") {
     // The q_incremental_dedup contract: delta-vs-base banding finds
     // exactly the exact-Jaccard pairs that CROSS the split (recall-1
