@@ -309,4 +309,53 @@ class EventStreamsSpec extends AnyFunSuite {
         s"heavy user must survive the state-store round-trip: $heavy")
     } finally q.stop()
   }
+
+  test("dedup-on-ingest: streaming stamps equal the batch decision at any micro-batch split") {
+    // The batch-split-invariance contract of DedupOnIngest: the
+    // incremental decision is a per-row function of (doc, base index),
+    // so two micro-batches must produce exactly the single-batch
+    // stamps — including the dup hits against the base corpus.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    implicit val sqlCtx = spark.sqlContext
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val isDelta = pmod(col("doc_id"), lit(5)) === 4
+    val out = java.nio.file.Files.createTempDirectory("graft-doi-out")
+      .toString + "/stamps"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-doi-ck").toString
+    val reg = new graft.operators.CacheRegistry
+    try {
+      graft.operators.Dedup.writeMinhashIndex(docs.filter(!isDelta),
+        "doi_idx", nBuckets = 4, registry = reg)
+      val deltaRows = docs.filter(isDelta).select("doc_id", "text")
+        .as[(Long, String)].collect().sortBy(_._1)
+      val (b1, b2) = deltaRows.splitAt(deltaRows.length / 2)
+      val input = MemoryStream[(Long, String)]
+      val q = graft.streaming.DedupOnIngest.start(spark,
+        input.toDF().toDF("doc_id", "text"), "doi_idx", out, ckpt)
+      try {
+        input.addData(b1.toSeq: _*); q.processAllAvailable()
+        input.addData(b2.toSeq: _*); q.processAllAvailable()
+      } finally q.stop()
+      def key(r: org.apache.spark.sql.Row) = r.getLong(0) ->
+        ((r.getBoolean(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4))))
+      val streamed = spark.read.parquet(out)
+        .select("doc_id", "is_dup", "n_matches", "canonical", "best_jaccard")
+        .collect().map(key).toMap
+      val batch = graft.streaming.DedupOnIngest.stampBatch(spark,
+          docs.filter(isDelta), "doi_idx", registry = reg)
+        .collect().map(key).toMap
+      assert(batch.values.exists(_._1), "fixture must have cross-split dups")
+      assert(streamed.size == deltaRows.length,
+        "every streamed doc stamped exactly once")
+      assert(streamed == batch,
+        s"stream != batch, e.g. ${(streamed.toSet -- batch.toSet).take(3)}")
+    } finally {
+      reg.releaseAll()
+      spark.sql("DROP TABLE IF EXISTS doi_idx")
+      spark.sql("DROP TABLE IF EXISTS doi_idx_grams")
+    }
+  }
 }
