@@ -458,32 +458,24 @@ object Dedup {
   def simHashPairs(docs: DataFrame, maxHamming: Int = 3,
                    registry: CacheRegistry = CacheRegistry.global): DataFrame = {
     require(maxHamming < 4, "2-band multiprobe with 1-bit flips assumes hamming <= 3")
-    // Signature via explode + hash-aggregate, not an array fold:
-    // higher-order functions are interpreted (no codegen), while 64
-    // sum() accumulators over an exploded token stream stay inside
-    // whole-stage codegen AND combine map-side —
-    // the shuffle carries 64 longs per (doc, partition). This is the
-    // shape that survives 100 TB.
-    val toks = docs.select(col("doc_id"),
-        explode(split(lower(col("text")), " ")).as("tok"))
-      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
-    val bitSums = (0 until 64).map(b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(1L) === 1L, 1L)
-        .otherwise(-1L)).as(s"s$b"))
-    val sums = toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    // Signature via the fused native expression — one scan-side pass
+    // per doc (tokenize on the space byte, XXH64 per token, 64 ±1 bit
+    // votes), ZERO shuffle. The previous explode + groupBy + 64·sum()
+    // aggregate combined map-side but still paid a corpus-wide
+    // exchange; bit-identical output pinned in DedupSpec against that
+    // form ([[simHashBandsViaAgg]]).
     // Bands as plain 32-bit values in longs, no bit array: hamming
     // distance is sum of bit_count(xor) over the 2 bands — native
     // codegen'd integer ops. The hamming filter runs INSIDE each join
     // stage, before the union + distinct, so only true near-dups reach
     // the dedup shuffle.
-    val bandCols = (0 until 2).map { j =>
-      (0 until 32).map(kk =>
-        when(col(s"s${j * 32 + kk}") > 0, lit(1L << kk)).otherwise(lit(0L)))
-        .reduce(_ + _).as(s"band$j")
-    }
     // Both join sides consume the bands — persist (tiny: 3 longs/doc).
     val withBands = registry.track(
-      sums.select(col("doc_id") +: bandCols: _*)
+      docs.select(col("doc_id"),
+          graft.plans.GraftFunctions.simHashBands(lower(col("text"))).as("_b"))
+        .select(col("doc_id"),
+          element_at(col("_b"), 1).as("band0"),
+          element_at(col("_b"), 2).as("band1"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val hamming = (0 until 2).map(j =>
       bit_count(col(s"a.band$j").bitwiseXOR(col(s"b.band$j"))).cast("long"))
@@ -504,6 +496,27 @@ object Dedup {
         .filter(col("hamming") <= maxHamming)
     }.reduce(_ unionByName _).dropDuplicates("i", "j")
     cands
+  }
+
+  /** The AGGREGATE SimHash band form the fused expression replaced —
+    * kept as the independently-derived reference (explode tokens →
+    * xxhash64 → groupBy(doc) → 64·sum votes → band assembly) that
+    * DedupSpec pins [[simHashPairs]]' scan-side signer against.
+    * Not used by any operator. */
+  def simHashBandsViaAgg(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+        explode(split(lower(col("text")), " ")).as("tok"))
+      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+    val bitSums = (0 until 64).map(b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1L) === 1L, 1L)
+        .otherwise(-1L)).as(s"s$b"))
+    val sums = toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val bandCols = (0 until 2).map { j =>
+      (0 until 32).map(kk =>
+        when(col(s"s${j * 32 + kk}") > 0, lit(1L << kk)).otherwise(lit(0L)))
+        .reduce(_ + _).as(s"band$j")
+    }
+    sums.select(col("doc_id") +: bandCols: _*)
   }
 
   /** Connected components over a near-dup pair set: the step that turns

@@ -334,6 +334,56 @@ object ExprHelpers {
       .fromPrimitiveArray(out)
   }
 
+  /** Fused text → SimHash bands in ONE pass: tokenize on the space
+    * BYTE (0x20 never occurs inside a UTF-8 multibyte sequence, so
+    * byte-level splitting is exactly split(text, " ")), hash each
+    * token with the SAME XXH64(seed 42) Spark's xxhash64 uses — over
+    * the token's byte range in place, no substring materialization —
+    * and accumulate the 64 ±1 bit votes. Output = the two 32-bit
+    * bands ([low, high]) the multiprobe join consumes, bit kk of band
+    * j set iff vote s_{32j+kk} > 0 — bit-identical to the explode +
+    * groupBy + 64·sum() aggregate form (pinned in DedupSpec), minus
+    * its corpus-wide exchange. Empty tokens (leading/trailing/double
+    * spaces) vote like the exploded form: they are tokens there too.
+    * Null → null; "" is ONE empty token (split semantics). */
+  def simHashBands(s: UTF8String): ArrayData = {
+    if (s == null) return null
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val n = s.numBytes
+    val votes = new Array[Int](64)
+    var tokStart = 0
+    var i = 0
+    while (i <= n) {
+      val atEnd = i == n
+      if (atEnd || s.getByte(i) == 0x20.toByte) {
+        val h = org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUnsafeBytes(base, off + tokStart, i - tokStart, 42L)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+        tokStart = i + 1
+      }
+      i += 1
+    }
+    val out = new Array[Long](2)
+    var j = 0
+    while (j < 2) {
+      var band = 0L
+      var kk = 0
+      while (kk < 32) {
+        if (votes(j * 32 + kk) > 0) band |= (1L << kk)
+        kk += 1
+      }
+      out(j) = band
+      j += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
+
   /** All w-word-gram STRINGS of a string in one pass. Because the
     * tokenization is split-on-single-space (empty tokens kept), the
     * joined gram `concat_ws(" ", tok_i..tok_{i+w-1})` is EXACTLY the
@@ -569,6 +619,30 @@ case class MinHashSigs(child: Expression, w: Int, k: Int) extends UnaryExpressio
     """)
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSigs =
+    copy(child = newChild)
+}
+
+/** Fused SimHash band expression (see [[ExprHelpers.simHashBands]]):
+  * text → [band0, band1] (2×32-bit), scan-side, no aggregation. */
+case class SimHashBands(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"simhash_bands expects STRING, got ${child.dataType.sql}")
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else ExprHelpers.simHashBands(v.asInstanceOf[UTF8String])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.ExprHelpers.simHashBands($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashBands =
     copy(child = newChild)
 }
 
@@ -821,6 +895,10 @@ object GraftFunctions {
   def minHashSigs(c: Column, w: Int, k: Int): Column =
     GraftSqlBridge.column(MinHashSigs(GraftSqlBridge.expression(c), w, k))
 
+  /** Fused map-only SimHash bands (see [[SimHashBands]]). */
+  def simHashBands(c: Column): Column =
+    GraftSqlBridge.column(SimHashBands(GraftSqlBridge.expression(c)))
+
   /** `array<long>` ∩ sorted set ≠ ∅ (see [[SortedLongsContainAny]]);
     * `sorted` MUST be ascending-sorted. */
   def sortedLongsContainAny(c: Column, sorted: Array[Long]): Column =
@@ -872,6 +950,7 @@ object GraftFunctions {
     "minhash_sigs" -> { es =>
       MinHashSigs(es.head, literalInt(es(1), "minhash_sigs"),
         literalInt(es(2), "minhash_sigs")) },
+    "simhash_bands" -> { es => SimHashBands(es.head) },
     "misra_gries_keys" -> { es =>
       MisraGriesKeys(es.head, literalInt(es(1), "misra_gries_keys")) })
 

@@ -440,6 +440,33 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("fused SimHashBands expression equals the aggregate vote form, band for band") {
+    // The scan-side signer must reproduce the explode + groupBy +
+    // 64·sum() reference exactly: same XXH64 token hashes (byte-level
+    // space split == split(text,' ')), same ±1 votes, same band bits.
+    val reg = new graft.operators.CacheRegistry
+    try {
+      val fused = docs.select(col("doc_id"),
+          graft.plans.GraftFunctions.simHashBands(lower(col("text"))).as("b"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val agg = Dedup.simHashBandsViaAgg(docs)
+        .collect().map(r => r.getLong(0) -> Seq(r.getLong(1), r.getLong(2)))
+        .toMap
+      assert(fused.nonEmpty && fused == agg,
+        s"fused != agg, e.g. ${(fused.toSet -- agg.toSet).take(3)}")
+      // Edge family: empty string (one empty token), multi-space runs.
+      import spark.implicits._
+      val edge = Seq((1L, ""), (2L, "a  b "), (3L, "a b")).toDF("doc_id", "text")
+      val ef = edge.select(col("doc_id"),
+          graft.plans.GraftFunctions.simHashBands(lower(col("text"))).as("b"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val ea = Dedup.simHashBandsViaAgg(edge)
+        .collect().map(r => r.getLong(0) -> Seq(r.getLong(1), r.getLong(2)))
+        .toMap
+      assert(ef == ea, s"edge cases diverge: $ef vs $ea")
+    } finally reg.releaseAll()
+  }
+
   test("incrementalDupPairs: cross pairs only, equals the cross-split slice of exact pairs") {
     // The q_incremental_dedup contract: delta-vs-base banding finds
     // exactly the exact-Jaccard pairs that CROSS the split (recall-1
