@@ -2812,6 +2812,67 @@ object Queries {
     WHERE d.doc_id % 5 = 4
     ORDER BY d.doc_id"""))
 
+  /** Int8 scalar quantization of the embedding corpus (the ANN
+    * memory-compression step: 4 bytes/dim → 1): per-DIMENSION min/max
+    * calibration over the corpus, code = floor((x-min)/scale + 0.5)
+    * clamped to [0,255], plus per-vector reconstruction-error stats.
+    * Oracle-exact where it matters: min/max are EXACT aggregates (no
+    * float summation), so every code is the same integer on both
+    * engines — pinned via the per-vector code_sum; only the error
+    * means carry the documented floor-rounding float caveat.
+    *
+    * Scale shape: the calibration table is DIM-sized (64 rows — one
+    * map-side-combined agg), broadcast back onto the dim stream; the
+    * only corpus-sized shuffle is the final per-vector regroup. At
+    * 100 TB the calibration broadcast is what makes this one pass +
+    * one regroup instead of a driver-side collect. */
+  private val qQuantizeEmbed = Q(
+    "q_quantize_embed",
+    (s, d) => {
+      val dims = t(s, d, "embeddings")
+        .select(col("vec_id"),
+          posexplode(col("embedding")).as(Seq("dim", "xf")))
+        .select(col("vec_id"), col("dim"), col("xf").cast("double").as("x"))
+      val stats = dims.groupBy("dim")
+        .agg(min("x").as("mn"), max("x").as("mx"))
+      val scale = (col("mx") - col("mn")) / 255.0
+      val code = when(col("mx") === col("mn"), lit(0L))
+        .otherwise(greatest(lit(0L), least(lit(255L),
+          floor((col("x") - col("mn")) / scale + 0.5).cast("long"))))
+      val err = abs(col("x") - (col("mn") + col("code") * scale))
+      dims.join(broadcast(stats), "dim")
+        .withColumn("code", code)
+        .withColumn("err", err)
+        .groupBy("vec_id")
+        .agg(count(lit(1)).as("n_dims"),
+          sum("code").as("code_sum"),
+          TextAnalysis.roundStable(max("err"), 6).as("max_abs_err"),
+          TextAnalysis.roundStable(avg("err"), 6).as("mean_abs_err"))
+        .orderBy("vec_id")
+    },
+    Some("""WITH dims AS (
+      SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+        generate_subscripts(embedding, 1) - 1 AS dim
+      FROM embeddings),
+    stats AS (
+      SELECT dim, min(x) AS mn, max(x) AS mx FROM dims GROUP BY 1),
+    q AS (
+      SELECT vec_id, x, mn, mx,
+        CASE WHEN mx = mn THEN 0
+             ELSE greatest(0, least(255,
+               CAST(floor((x - mn) / ((mx - mn) / 255.0) + 0.5) AS BIGINT)))
+        END AS code
+      FROM dims JOIN stats USING (dim)),
+    e AS (
+      SELECT vec_id, code,
+        abs(x - (mn + code * ((mx - mn) / 255.0))) AS err
+      FROM q)
+    SELECT vec_id, CAST(count(*) AS BIGINT) AS n_dims,
+      CAST(sum(code) AS BIGINT) AS code_sum,
+      floor(max(err) * 1000000.0 + 0.5) / 1000000.0 AS max_abs_err,
+      floor(avg(err) * 1000000.0 + 0.5) / 1000000.0 AS mean_abs_err
+    FROM e GROUP BY 1 ORDER BY vec_id"""))
+
   // ---------------------------------------------------------------------
 
   val all: Seq[Q] = Seq(
@@ -2838,7 +2899,7 @@ object Queries {
     qSemDedup, qSemDedupLsh,
     qGopherFilter, qStatsAgg, qIntervalOverlap,
     qDupNgramFrac, qPassageDedup, qShardAssign, qLangDivergence,
-    qIncrementalDedup)
+    qIncrementalDedup, qQuantizeEmbed)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap
