@@ -2873,6 +2873,79 @@ object Queries {
       floor(avg(err) * 1000000.0 + 0.5) / 1000000.0 AS mean_abs_err
     FROM e GROUP BY 1 ORDER BY vec_id"""))
 
+  /** FULL OUTER join — the reconciliation shape (which keys exist on
+    * only one side): urgent-order counts ⟗ high-order counts per
+    * customer, null-extended on both sides. Completes the outer-join
+    * family (q_join_outer is LEFT). Both inputs are aggregates of the
+    * same scan; Spark plans one exchange per side then a single
+    * full-outer hash/merge join — at scale this is the standard
+    * changed-keys diff between two snapshots. */
+  private val qJoinFull = Q(
+    "q_join_full",
+    (s, d) => {
+      val o = t(s, d, "orders")
+      val a = o.filter(col("o_orderpriority") === "1-URGENT")
+        .groupBy(col("o_custkey").as("custkey"))
+        .agg(count(lit(1)).as("n_urgent"))
+      val b = o.filter(col("o_orderpriority") === "2-HIGH")
+        .groupBy(col("o_custkey").as("custkey"))
+        .agg(count(lit(1)).as("n_high"))
+      a.join(b, Seq("custkey"), "full_outer")
+        .select(col("custkey"),
+          coalesce(col("n_urgent"), lit(0L)).as("n_urgent"),
+          coalesce(col("n_high"), lit(0L)).as("n_high"),
+          when(col("n_urgent").isNull, lit("high_only"))
+            .when(col("n_high").isNull, lit("urgent_only"))
+            .otherwise(lit("both")).as("match_type"))
+        .orderBy("custkey")
+    },
+    Some("""WITH a AS (
+      SELECT o_custkey AS custkey, count(*) AS n_urgent FROM orders
+      WHERE o_orderpriority = '1-URGENT' GROUP BY 1),
+    b AS (
+      SELECT o_custkey AS custkey, count(*) AS n_high FROM orders
+      WHERE o_orderpriority = '2-HIGH' GROUP BY 1)
+    SELECT coalesce(a.custkey, b.custkey) AS custkey,
+      CAST(coalesce(n_urgent, 0) AS BIGINT) AS n_urgent,
+      CAST(coalesce(n_high, 0) AS BIGINT) AS n_high,
+      CASE WHEN a.custkey IS NULL THEN 'high_only'
+           WHEN b.custkey IS NULL THEN 'urgent_only'
+           ELSE 'both' END AS match_type
+    FROM a FULL JOIN b ON a.custkey = b.custkey
+    ORDER BY custkey"""))
+
+  /** Percentile normalization — the curriculum-learning prep that maps
+    * a raw per-doc signal (length here) onto its within-language
+    * percentile: percent_rank + cume_dist over a TOTAL order
+    * (doc_id tiebreak), plus the 4-way curriculum bin. The rank
+    * ratios are small-integer divisions — identical doubles on both
+    * engines — so the floor rounding is exact, and the bin boundary
+    * derives from the same integers. One shuffle (the per-lang
+    * window); parallelism = #langs, the usual shard-key caveat. */
+  private val qPercentileNorm = Q(
+    "q_percentile_norm",
+    (s, d) => {
+      val w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+      t(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .withColumn("pr",
+          TextAnalysis.roundStable(percent_rank().over(w), 6))
+        .withColumn("cd",
+          TextAnalysis.roundStable(cume_dist().over(w), 6))
+        .withColumn("curriculum_bin",
+          least(lit(3L), floor(percent_rank().over(w) * 4).cast("long")))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, lang, n_chars,
+      floor(percent_rank() OVER (PARTITION BY lang ORDER BY n_chars, doc_id)
+        * 1000000.0 + 0.5) / 1000000.0 AS pr,
+      floor(cume_dist() OVER (PARTITION BY lang ORDER BY n_chars, doc_id)
+        * 1000000.0 + 0.5) / 1000000.0 AS cd,
+      least(3, CAST(floor(percent_rank() OVER
+        (PARTITION BY lang ORDER BY n_chars, doc_id) * 4) AS BIGINT))
+        AS curriculum_bin
+    FROM documents ORDER BY doc_id"""))
+
   // ---------------------------------------------------------------------
 
   val all: Seq[Q] = Seq(
@@ -2899,7 +2972,7 @@ object Queries {
     qSemDedup, qSemDedupLsh,
     qGopherFilter, qStatsAgg, qIntervalOverlap,
     qDupNgramFrac, qPassageDedup, qShardAssign, qLangDivergence,
-    qIncrementalDedup, qQuantizeEmbed)
+    qIncrementalDedup, qQuantizeEmbed, qJoinFull, qPercentileNorm)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap
