@@ -467,6 +467,37 @@ class DedupSpec extends AnyFunSuite {
     } finally reg.releaseAll()
   }
 
+  test("fused signers equal their aggregate forms on random space-heavy strings (property)") {
+    // Same adversarial family as the gram property test: dense space
+    // runs, empties, non-ASCII — the byte-level tokenizers inside
+    // MinHashSigs/SimHashBands must agree with the exploded split()
+    // forms on every input, not just the corpus.
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val alphabet = "ab é "
+    val cases = (1 to 200).map { i =>
+      val len = rnd.nextInt(30)
+      (i.toLong, (0 until len).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    }
+    val df = cases.toDF("doc_id", "text")
+    val simFused = df.select(col("doc_id"),
+        graft.plans.GraftFunctions.simHashBands(lower(col("text"))).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val simAgg = Dedup.simHashBandsViaAgg(df)
+      .collect().map(r => r.getLong(0) -> Seq(r.getLong(1), r.getLong(2))).toMap
+    assert(simFused == simAgg, "SimHash fused != agg on random strings")
+    for (w <- Seq(1, 2, 3)) {
+      val reg = new graft.operators.CacheRegistry
+      try {
+        val fused = Dedup.minHashSignatures(df, w = w, k = 8, registry = reg)
+          .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+        val agg = Dedup.minHashSignaturesViaAgg(df, w = w, k = 8)
+          .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+        assert(fused == agg, s"MinHash fused != agg at w=$w")
+      } finally reg.releaseAll()
+    }
+  }
+
   test("incrementalDupPairs: cross pairs only, equals the cross-split slice of exact pairs") {
     // The q_incremental_dedup contract: delta-vs-base banding finds
     // exactly the exact-Jaccard pairs that CROSS the split (recall-1
