@@ -2946,6 +2946,96 @@ object Queries {
         AS curriculum_bin
     FROM documents ORDER BY doc_id"""))
 
+  /** Asymmetric top-k over the QUANTIZED corpus — how search actually
+    * runs after q_quantize_embed's compression: queries keep full
+    * float precision, candidates are dequantized from their int8
+    * codes (mn + code·scale), cosine in double. "Asymmetric" is the
+    * standard trade: only the stored side pays quantization error.
+    *
+    * Cross-engine exactness chain: calibration min/max exact → codes
+    * exact integers → dequantized values identical doubles → the only
+    * float-order surface is the 64-term dot fold, same left-to-right
+    * order both engines (the q_similarity_topk precedent), rounded
+    * at 6 dp before the rank.
+    *
+    * Scale shape: the calibration collapses to ONE broadcast row of
+    * (mns, mxs) arrays; dequantization is row-local; the ≤8 queries
+    * broadcast; per-query ranking partitions by query_id. The corpus
+    * is scanned once and never shuffled except the final rank. */
+  private val qAnnQuantized = Q(
+    "q_ann_quantized",
+    (s, d) => {
+      val emb = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val stats = emb
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "xf")))
+        .select(col("dim"), col("xf").cast("double").as("x"))
+        .groupBy("dim").agg(min("x").as("mn"), max("x").as("mx"))
+      val cal = stats.agg(
+        expr("transform(array_sort(collect_list(struct(dim, mn))), s -> s.mn)")
+          .as("mns"),
+        expr("transform(array_sort(collect_list(struct(dim, mx))), s -> s.mx)")
+          .as("mxs"))
+      val deq = emb.crossJoin(broadcast(cal))
+        .select(col("vec_id"),
+          expr("""transform(sequence(0, size(embedding) - 1), i ->
+              CASE WHEN mxs[i] = mns[i] THEN mns[i]
+                   ELSE mns[i] + greatest(0L, least(255L,
+                     cast(floor((cast(embedding[i] as double) - mns[i])
+                       / ((mxs[i] - mns[i]) / 255.0) + 0.5) as bigint)))
+                     * ((mxs[i] - mns[i]) / 255.0) END)""").as("cv"))
+        .withColumn("cnrm",
+          sqrt(expr("aggregate(cv, 0D, (acc, v) -> acc + v * v)")))
+      val queries = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"),
+          expr("transform(embedding, x -> cast(x as double))").as("qv"))
+        .withColumn("qnrm",
+          sqrt(expr("aggregate(qv, 0D, (acc, v) -> acc + v * v)")))
+      val dot = expr(
+        "aggregate(zip_with(qv, cv, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
+      val scored = deq.join(broadcast(queries),
+          col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("cand_id"),
+          round(dot / (col("qnrm") * col("cnrm")), 6).as("cos_sim"))
+      scored
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("query_id")
+            .orderBy(col("cos_sim").desc, col("cand_id").asc)))
+        .filter(col("rk") <= 5)
+        .orderBy("query_id", "rk")
+    },
+    Some("""WITH dims AS (
+      SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+        generate_subscripts(embedding, 1) - 1 AS dim
+      FROM embeddings),
+    stats AS (SELECT dim, min(x) AS mn, max(x) AS mx FROM dims GROUP BY 1),
+    deqd AS (
+      SELECT vec_id, dim,
+        CASE WHEN mx = mn THEN mn
+             ELSE mn + greatest(0, least(255,
+               CAST(floor((x - mn) / ((mx - mn) / 255.0) + 0.5) AS BIGINT)))
+               * ((mx - mn) / 255.0) END AS dx
+      FROM dims JOIN stats USING (dim)),
+    cand AS (
+      SELECT vec_id, list(dx ORDER BY dim) AS cv FROM deqd GROUP BY 1),
+    candn AS (
+      SELECT vec_id, cv,
+        sqrt(list_sum(list_transform(cv, v -> v * v))) AS cnrm FROM cand),
+    q AS (
+      SELECT vec_id AS query_id,
+        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+      FROM embeddings WHERE vec_id < 8),
+    qn AS (
+      SELECT query_id, qv,
+        sqrt(list_sum(list_transform(qv, v -> v * v))) AS qnrm FROM q),
+    sc AS (
+      SELECT query_id, c.vec_id AS cand_id,
+        round(list_dot_product(qv, cv) / (qnrm * cnrm), 6) AS cos_sim
+      FROM qn JOIN candn c ON c.vec_id <> query_id),
+    r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+      ORDER BY cos_sim DESC, cand_id ASC) AS rk FROM sc)
+    SELECT query_id, cand_id, cos_sim, rk FROM r
+    WHERE rk <= 5 ORDER BY query_id, rk"""))
+
   // ---------------------------------------------------------------------
 
   val all: Seq[Q] = Seq(
@@ -2972,7 +3062,8 @@ object Queries {
     qSemDedup, qSemDedupLsh,
     qGopherFilter, qStatsAgg, qIntervalOverlap,
     qDupNgramFrac, qPassageDedup, qShardAssign, qLangDivergence,
-    qIncrementalDedup, qQuantizeEmbed, qJoinFull, qPercentileNorm)
+    qIncrementalDedup, qQuantizeEmbed, qJoinFull, qPercentileNorm,
+    qAnnQuantized)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap
