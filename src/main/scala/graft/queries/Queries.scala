@@ -3036,6 +3036,61 @@ object Queries {
     SELECT query_id, cand_id, cos_sim, rk FROM r
     WHERE rk <= 5 ORDER BY query_id, rk"""))
 
+  /** Bigram-LM document scoring (the KenLM-style quality filter, one
+    * order up from q_unigram_logprob): per doc, the mean add-one-
+    * smoothed conditional log-probability ln((c(w1,w2)+1)/(c(w1)+V))
+    * under the corpus's own bigram counts. Low scores = text whose
+    * word TRANSITIONS are unusual for the corpus — catches shuffled/
+    * boilerplate text that unigram frequencies miss.
+    *
+    * Scale shape: bigram and prefix streams come from the native gram
+    * hashers in ONE scan — the 2-gram hash array zipped row-locally
+    * with the 1-gram prefix slice, so no token string and no window
+    * ever shuffles; the LM tables (bigram counts, unigram counts) are
+    * vocab-sized aggregates; V collapses to one broadcast row. Hashed
+    * grams vs the oracle's strings: the documented 2^-64 trade. */
+  private val qBigramLogprob = Q(
+    "q_bigram_logprob",
+    (s, d) => {
+      val arrs = t(s, d, "documents").select(col("doc_id"),
+        graft.plans.GraftFunctions.wordGramHashes(lower(col("text")), 1).as("a1"),
+        graft.plans.GraftFunctions.wordGramHashes(lower(col("text")), 2).as("a2"))
+        .withColumn("p1", expr("slice(a1, 1, size(a1) - 1)"))
+      val bg = arrs
+        .select(col("doc_id"), explode(arrays_zip(col("p1"), col("a2"))).as("z"))
+        .select(col("doc_id"), col("z.p1").as("h1"), col("z.a2").as("g2"))
+      val uni = arrs.select(col("doc_id"), explode(col("a1")).as("h1"))
+      val bCounts = bg.groupBy("h1", "g2").agg(count(lit(1)).as("c12"))
+      val uCounts = uni.groupBy("h1").agg(count(lit(1)).as("c1"))
+      val vocab = uCounts.agg(count(lit(1)).as("v"))
+      bg.join(bCounts, Seq("h1", "g2")).join(uCounts, "h1")
+        .crossJoin(broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          TextAnalysis.roundStable(
+            avg(log((col("c12") + lit(1.0)) / (col("c1") + col("v")))), 6)
+            .as("avg_logprob"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+    bgf AS (
+      SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM (
+        SELECT doc_id, unnest(CASE WHEN len(t) >= 2
+          THEN list_transform(range(1, len(t)),
+            i -> struct_pack(w1 := t[i], w2 := t[i+1]))
+          ELSE [] END) AS b
+        FROM toks)),
+    B AS (SELECT w1, w2, count(*) AS c12 FROM bgf GROUP BY 1, 2),
+    U AS (SELECT tok AS w1, count(*) AS c1
+          FROM (SELECT unnest(t) AS tok FROM toks) GROUP BY 1),
+    V AS (SELECT count(*) AS v FROM U)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+      floor(avg(ln((c12 + 1.0) / (c1 + v))) * 1000000.0 + 0.5) / 1000000.0
+        AS avg_logprob
+    FROM bgf JOIN B USING (w1, w2) JOIN U USING (w1), V
+    GROUP BY doc_id ORDER BY doc_id"""))
+
   // ---------------------------------------------------------------------
 
   val all: Seq[Q] = Seq(
@@ -3063,7 +3118,7 @@ object Queries {
     qGopherFilter, qStatsAgg, qIntervalOverlap,
     qDupNgramFrac, qPassageDedup, qShardAssign, qLangDivergence,
     qIncrementalDedup, qQuantizeEmbed, qJoinFull, qPercentileNorm,
-    qAnnQuantized)
+    qAnnQuantized, qBigramLogprob)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap
