@@ -88,4 +88,28 @@ object Decontaminate {
     graft.plans.GraftFunctions.sortedLongsContainAny(
       graft.plans.GraftFunctions.wordGramHashesDistinct(lower(textCol), w),
       evalGrams)
+
+  /** Bloom filter over the eval gram set — the COMPACT broadcast form
+    * for when the eval suite outgrows the raw sorted-set ship:
+    * `bitsPerKey` bits per gram (default 12 ⇒ ~0.5% false positives
+    * with 4 hashes) instead of the sorted set's 64, a 5–6x smaller
+    * per-task footprint. One-sided: a bloom hit may be spurious, a
+    * miss is definitive — so use it as the PREFILTER of a two-phase
+    * decontamination (see [[bloomCandidateFlag]]) whose exact refine
+    * touches only the flagged sliver. */
+  def bloomBits(evalGrams: Array[Long], bitsPerKey: Int = 12,
+                numHashes: Int = 4): Array[Long] =
+    graft.plans.ExprHelpers.bloomBuild(evalGrams, bitsPerKey, numHashes)
+
+  /** Map-only Bloom PREFILTER flag: TRUE iff any w-gram of the text
+    * hits the filter — a superset of the exact contamination set (no
+    * false negatives). Same stateless streaming-safe shape as
+    * [[contaminationFlag]]; follow with an exact refine (gram
+    * equi-join or sorted-set probe) over the flagged rows only. */
+  def bloomCandidateFlag(textCol: org.apache.spark.sql.Column,
+                         bits: Array[Long], w: Int = 8,
+                         numHashes: Int = 4): org.apache.spark.sql.Column =
+    graft.plans.GraftFunctions.bloomLongsContainAny(
+      graft.plans.GraftFunctions.wordGramHashesDistinct(lower(textCol), w),
+      bits, numHashes)
 }

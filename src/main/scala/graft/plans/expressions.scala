@@ -102,6 +102,75 @@ object ExprHelpers {
     false
   }
 
+  /** Build a Bloom filter over 64-bit keys: power-of-two bit count
+    * (≥ bitsPerKey·n, so the probe masks instead of mod), positions by
+    * Kirsch–Mitzenmacher double hashing — h1 = fmix64(x),
+    * h2 = fmix64(x ^ φ64) | 1 (odd ⇒ h1 + i·h2 walks all residues of
+    * the power-of-two table), position_i = (h1 + i·h2) & (m-1). Both
+    * derived hashes are full 64-bit avalanches of the key, so the two
+    * streams are independent enough for the standard
+    * (1 - e^{-kn/m})^k false-positive bound to hold in practice.
+    * Deterministic: same keys (any order) ⇒ same bits. */
+  def bloomBuild(keys: Array[Long], bitsPerKey: Int, numHashes: Int): Array[Long] = {
+    require(bitsPerKey >= 1 && bitsPerKey <= 64,
+      s"bloomBuild: bitsPerKey must be in [1, 64], got $bitsPerKey")
+    require(numHashes >= 1 && numHashes <= 16,
+      s"bloomBuild: numHashes must be in [1, 16], got $numHashes")
+    val want = math.max(64L, keys.length.toLong * bitsPerKey)
+    require(want <= (1L << 36),
+      s"bloomBuild: ${keys.length} keys x $bitsPerKey bits exceeds the 8 GiB bound")
+    var m = 64L
+    while (m < want) m <<= 1
+    val bits = new Array[Long]((m >>> 6).toInt)
+    val mask = m - 1L
+    var i = 0
+    while (i < keys.length) {
+      val x = keys(i)
+      val h1 = fmix64(x)
+      val h2 = fmix64(x ^ 0x9E3779B97F4A7C15L) | 1L
+      var j = 0
+      var h = h1
+      while (j < numHashes) {
+        val pos = (h & mask).toInt
+        bits(pos >>> 6) |= (1L << (pos & 63))
+        h += h2
+        j += 1
+      }
+      i += 1
+    }
+    bits
+  }
+
+  /** Might `x` be in the Bloom filter built by [[bloomBuild]]? No
+    * false negatives; false positives at the configured rate. `bits`
+    * MUST have power-of-two length (bloomBuild guarantees it). */
+  def bloomHit(x: Long, bits: Array[Long], numHashes: Int): Boolean = {
+    val mask = (bits.length.toLong << 6) - 1L
+    val h1 = fmix64(x)
+    val h2 = fmix64(x ^ 0x9E3779B97F4A7C15L) | 1L
+    var j = 0
+    var h = h1
+    while (j < numHashes) {
+      val pos = (h & mask).toInt
+      if ((bits(pos >>> 6) & (1L << (pos & 63))) == 0L) return false
+      h += h2
+      j += 1
+    }
+    true
+  }
+
+  /** Does any element of `arr` hit the Bloom filter? — see
+    * [[graft.plans.BloomLongsContainAny]]. */
+  def bloomContainsAny(arr: ArrayData, bits: Array[Long], numHashes: Int): Boolean = {
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (bloomHit(arr.getLong(i), bits, numHashes)) return true
+      i += 1
+    }
+    false
+  }
+
   def distinctLongs(in: Array[Long]): Array[Long] = {
     val n = in.length
     if (n <= 1) return in
@@ -707,6 +776,50 @@ case class SortedLongsContainAny(child: Expression, sorted: Array[Long])
     copy(child = newChild)
 }
 
+/** `array<long>` ∩ Bloom filter ≠ ∅ — the CONSTANT-MEMORY sibling of
+  * [[SortedLongsContainAny]] for reference sets too large to ship
+  * verbatim: the sorted-set probe broadcasts 64 bits per key, this one
+  * ~12 (configurable), a 5–6x smaller task-side footprint with the
+  * one-sided error a Bloom filter buys it — NO false negatives, false
+  * positives at the (1 - e^{-k/bpk})^k rate. That error mode is
+  * exactly what a two-phase decontamination gate wants: the bloom pass
+  * can only OVER-flag, and the exact refine pass (which now touches
+  * only the flagged sliver of the corpus) removes the overshoot, so
+  * the composition is exact while the corpus-wide scan probes nothing
+  * bigger than the filter. Probe math in [[ExprHelpers.bloomHit]];
+  * the bits ride once as a referenced object in interpreted and
+  * generated code alike, same as the sorted set. */
+case class BloomLongsContainAny(child: Expression, bits: Array[Long], numHashes: Int)
+  extends UnaryExpression {
+  require(bits.nonEmpty && (bits.length & (bits.length - 1)) == 0,
+    "bloom_longs_contain_any: bits length must be a power of two (use ExprHelpers.bloomBuild)")
+  require(numHashes >= 1 && numHashes <= 16,
+    s"bloom_longs_contain_any: numHashes must be in [1, 16], got $numHashes")
+
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = child.nullable
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"bloom_longs_contain_any expects ARRAY<BIGINT>, got ${other.sql}")
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else ExprHelpers.bloomContainsAny(v.asInstanceOf[ArrayData], bits, numHashes)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloomBits", bits, "long[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.ExprHelpers.bloomContainsAny($c, $ref, $numHashes);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BloomLongsContainAny =
+    copy(child = newChild)
+}
+
 /** Misra–Gries heavy-hitters SKETCH over a string key — the aggregate
   * Spark lacks natively (DuckDB ships approx_top_k): at most `k`
   * (key, count) counters per partial aggregate, merged with the
@@ -862,6 +975,151 @@ case class MisraGriesKeys(
     copy(child = newChildren.head)
 }
 
+/** Bounded top-k buffer for [[TopKByScore]]: a binary min-heap over
+  * primitive parallel arrays, WORST kept entry at the root, ordered by
+  * (score asc, id desc) so "better" = (higher score, then smaller id).
+  * O(log k) insert once full, O(k) memory regardless of group size —
+  * no boxing, no per-row allocation. */
+final class TopKHeap(val k: Int) {
+  var size: Int = 0
+  val scores: Array[Double] = new Array[Double](k)
+  val ids: Array[Long] = new Array[Long](k)
+
+  /** Total order: is (s1, i1) strictly worse than (s2, i2)? */
+  private def worse(s1: Double, i1: Long, s2: Double, i2: Long): Boolean =
+    s1 < s2 || (s1 == s2 && i1 > i2)
+
+  def offer(s: Double, id: Long): Unit = {
+    if (size < k) {
+      scores(size) = s; ids(size) = id; size += 1
+      var i = size - 1
+      while (i > 0 && worse(scores(i), ids(i), scores((i - 1) >> 1), ids((i - 1) >> 1))) {
+        swap(i, (i - 1) >> 1); i = (i - 1) >> 1
+      }
+    } else if (worse(scores(0), ids(0), s, id)) {
+      scores(0) = s; ids(0) = id
+      var i = 0
+      var done = false
+      while (!done) {
+        val l = 2 * i + 1; val r = 2 * i + 2
+        var w = i
+        if (l < size && worse(scores(l), ids(l), scores(w), ids(w))) w = l
+        if (r < size && worse(scores(r), ids(r), scores(w), ids(w))) w = r
+        if (w == i) done = true else { swap(i, w); i = w }
+      }
+    }
+  }
+
+  private def swap(a: Int, b: Int): Unit = {
+    val ts = scores(a); scores(a) = scores(b); scores(b) = ts
+    val ti = ids(a); ids(a) = ids(b); ids(b) = ti
+  }
+}
+
+/** Per-group top-k WITHOUT a window sort: the aggregate form of
+  * `row_number() OVER (PARTITION BY g ORDER BY score DESC, id) <= k`.
+  * The window form shuffles and SORTS every row of every group; this
+  * TypedImperativeAggregate keeps an O(k) bounded heap per group and
+  * map-side-combines, so the exchange carries at most groups x k
+  * entries no matter how large the groups are — at corpus scale the
+  * difference between shuffling 100 TB and shuffling kilobytes. The
+  * result is EXACT and partitioning-independent: the keep-set under
+  * the total order (score DESC, id ASC) is unique, and merge order
+  * cannot change it (heap-of-heaps of a total order). Emits
+  * `array<struct<id, score>>` best-first; NULL scores/ids and NaN
+  * scores are skipped (NaN has no place in a total order — a NaN at
+  * the root would block every future eviction). */
+case class TopKByScore(
+    score: Expression,
+    id: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends org.apache.spark.sql.catalyst.expressions.aggregate
+    .TypedImperativeAggregate[TopKHeap] {
+
+  require(k >= 1 && k <= 1000000,
+    s"top_k_by: k must be in [1, 1000000], got $k")
+
+  override def children: Seq[Expression] = Seq(score, id)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (score.dataType == DoubleType && id.dataType == LongType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"top_k_by requires (DOUBLE score, BIGINT id), got " +
+        s"(${score.dataType.sql}, ${id.dataType.sql})")
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("score", DoubleType, nullable = false))),
+    containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "top_k_by"
+
+  override def createAggregationBuffer(): TopKHeap = new TopKHeap(k)
+
+  override def update(buf: TopKHeap, input: org.apache.spark.sql.catalyst.InternalRow): TopKHeap = {
+    val s = score.eval(input)
+    val i = id.eval(input)
+    if (s != null && i != null) {
+      val sv = s.asInstanceOf[Double]
+      if (!java.lang.Double.isNaN(sv)) buf.offer(sv, i.asInstanceOf[Long])
+    }
+    buf
+  }
+
+  override def merge(b1: TopKHeap, b2: TopKHeap): TopKHeap = {
+    var i = 0
+    while (i < b2.size) { b1.offer(b2.scores(i), b2.ids(i)); i += 1 }
+    b1
+  }
+
+  override def eval(buf: TopKHeap): Any = {
+    val n = buf.size
+    // Sort best-first: (score DESC, id ASC) — the inverse of the
+    // heap's worse() order.
+    val idx = Array.range(0, n).map(java.lang.Integer.valueOf).sortWith { (a, b) =>
+      val (sa, ia) = (buf.scores(a), buf.ids(a))
+      val (sb, ib) = (buf.scores(b), buf.ids(b))
+      sa > sb || (sa == sb && ia < ib)
+    }
+    val rows = new Array[AnyRef](n)
+    var i = 0
+    while (i < n) {
+      val j = idx(i)
+      rows(i) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](buf.ids(j), buf.scores(j)))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(rows)
+  }
+
+  override def serialize(buf: TopKHeap): Array[Byte] = {
+    val out = java.nio.ByteBuffer.allocate(4 + 16 * buf.size)
+    out.putInt(buf.size)
+    var i = 0
+    while (i < buf.size) { out.putDouble(buf.scores(i)); out.putLong(buf.ids(i)); i += 1 }
+    out.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): TopKHeap = {
+    val in = java.nio.ByteBuffer.wrap(bytes)
+    val n = in.getInt()
+    val buf = new TopKHeap(k)
+    var i = 0
+    while (i < n) { val s = in.getDouble(); val id = in.getLong(); buf.offer(s, id); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKByScore =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKByScore =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): TopKByScore =
+    copy(score = newChildren.head, id = newChildren(1))
+}
+
 /** Column-level and SQL-level entry points for the native expressions. */
 object GraftFunctions {
 
@@ -911,6 +1169,19 @@ object GraftFunctions {
     GraftSqlBridge.column(
       MisraGriesKeys(GraftSqlBridge.expression(c), k).toAggregateExpression())
 
+  /** `array<long>` ∩ Bloom filter ≠ ∅ (see [[BloomLongsContainAny]]);
+    * `bits` MUST come from [[ExprHelpers.bloomBuild]]. */
+  def bloomLongsContainAny(c: Column, bits: Array[Long], numHashes: Int): Column =
+    GraftSqlBridge.column(
+      BloomLongsContainAny(GraftSqlBridge.expression(c), bits, numHashes))
+
+  /** Aggregate: exact per-group top-k as a bounded heap (see
+    * [[TopKByScore]]). */
+  def topKByScore(score: Column, id: Column, k: Int): Column =
+    GraftSqlBridge.column(
+      TopKByScore(GraftSqlBridge.expression(score),
+        GraftSqlBridge.expression(id), k).toAggregateExpression())
+
   /** SQL `char_gram_hashes(s, n)` takes n as a literal: the gram width
     * is part of the operator (it fixes the output arity per row), not a
     * per-row value — reject non-foldable n at resolution time. */
@@ -952,7 +1223,9 @@ object GraftFunctions {
         literalInt(es(2), "minhash_sigs")) },
     "simhash_bands" -> { es => SimHashBands(es.head) },
     "misra_gries_keys" -> { es =>
-      MisraGriesKeys(es.head, literalInt(es(1), "misra_gries_keys")) })
+      MisraGriesKeys(es.head, literalInt(es(1), "misra_gries_keys")) },
+    "top_k_by" -> { es =>
+      TopKByScore(es.head, es(1), literalInt(es(2), "top_k_by")) })
 
   /** Register the SQL functions into an existing session (the
     * runtime-registration path; config-time wiring is

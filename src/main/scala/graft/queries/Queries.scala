@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.{Clean, Inference, TextAnalysis}
-import graft.operators.{Decontaminate, Dedup, Multimodal, Packing, Ranking, Similarity, TemporalJoins}
+import graft.operators.{Decontaminate, Dedup, Graph, Multimodal, Packing, Ranking, Similarity, TemporalJoins}
 import graft.streaming.UploadAdmission
 
 /** The declared query inventory (SURVEY.md §2.4) — the t2 correctness
@@ -3091,6 +3091,266 @@ object Queries {
     FROM bgf JOIN B USING (w1, w2) JOIN U USING (w1), V
     GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** Per-group top-k WITHOUT the window sort: the native
+    * [[graft.plans.TopKByScore]] bounded-heap aggregate replaces
+    * `row_number() OVER (PARTITION BY ... ORDER BY ...) <= k` — the
+    * window form shuffles AND SORTS every row of every group, the
+    * aggregate map-side-combines O(k) heaps so the exchange carries at
+    * most groups x k entries at any corpus size. Exact and
+    * partitioning-independent (total order (price DESC, orderkey ASC)
+    * ⇒ unique keep-set), which is what makes the window oracle valid.
+    * Raw stored doubles pass through unrounded — no arithmetic, no
+    * boundary risk. */
+  private val qGroupTopk = Q(
+    "q_group_topk",
+    (s, d) => {
+      val orders = t(s, d, "orders")
+      orders.groupBy("o_orderpriority")
+        .agg(graft.plans.GraftFunctions.topKByScore(
+          col("o_totalprice"), col("o_orderkey"), 3).as("top"))
+        .select(col("o_orderpriority"), posexplode(col("top")).as(Seq("i", "e")))
+        .select(col("o_orderpriority"),
+          (col("i") + 1).cast("long").as("rnk"),
+          col("e.id").as("o_orderkey"),
+          col("e.score").as("price"))
+        .orderBy("o_orderpriority", "rnk")
+    },
+    Some("""WITH r AS (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+        ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+          ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+      FROM orders)
+    SELECT o_orderpriority, CAST(rnk AS BIGINT) AS rnk, o_orderkey,
+      o_totalprice AS price
+    FROM r WHERE rnk <= 3 ORDER BY o_orderpriority, rnk"""))
+
+  /** Two-phase Bloom decontamination — q_decontaminate_flag's
+    * semantics under the eval-set-outgrows-broadcast constraint: phase
+    * 1 is a map-only probe of a ~12-bits-per-gram Bloom filter (5-6x
+    * smaller than the sorted-set ship, no false negatives, ~0.5% false
+    * positives), phase 2 exact-refines ONLY the flagged sliver via a
+    * distributed gram equi-join against the eval gram rows — never
+    * broadcasting the raw gram set at all. The composition is exact
+    * (bloom can only over-flag; the refine removes the overshoot), so
+    * the oracle is the same string-gram EXISTS semi-join as the
+    * single-phase form, and any bloom false positive that changed the
+    * output would fail the gate. Same one-sided 64-bit gram-hash
+    * collision caveat as the rest of the family. */
+  private val qBloomDecontaminate = Q(
+    "q_bloom_decontaminate",
+    (s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val isEval = pmod(col("doc_id"), lit(10)) === 0 &&
+        col("doc_id") < 10000L
+      val evalDocs = docs.filter(isEval)
+      val grams = Decontaminate.collectEvalGrams(evalDocs, w = 6)
+      val bits = Decontaminate.bloomBits(grams, bitsPerKey = 12, numHashes = 4)
+      val train = docs.filter(!isEval)
+      val cand = train.filter(
+        Decontaminate.bloomCandidateFlag(col("text"), bits, w = 6, numHashes = 4))
+      val candGrams = cand.select(col("doc_id"),
+        explode(graft.plans.GraftFunctions.wordGramHashesDistinct(
+          lower(col("text")), 6)).as("s"))
+      val evalGrams = Dedup.hashedShingleRowsDistinct(evalDocs, 6)
+        .select("s").distinct()
+      val hits = candGrams.join(evalGrams, "s").select("doc_id").distinct()
+      train.select("doc_id")
+        .join(hits.withColumn("hit", lit(true)), Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("hit"), lit(false)).as("contaminated"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id,
+        unnest(CASE WHEN len(t) >= 6
+          THEN list_transform(range(1, len(t) - 4),
+            i -> array_to_string(t[i:i+5], ' '))
+          ELSE []::VARCHAR[] END) AS s
+      FROM toks),
+    ev AS (SELECT DISTINCT s FROM sh
+           WHERE doc_id % 10 = 0 AND doc_id < 10000),
+    hits AS (SELECT DISTINCT tr.doc_id
+             FROM sh tr JOIN ev USING (s)
+             WHERE NOT (tr.doc_id % 10 = 0 AND tr.doc_id < 10000))
+    SELECT d.doc_id, h.doc_id IS NOT NULL AS contaminated
+    FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+    WHERE NOT (d.doc_id % 10 = 0 AND d.doc_id < 10000)
+    ORDER BY d.doc_id"""))
+
+  /** Fixed-iteration integer PageRank (graft.operators.Graph) over the
+    * symmetrized supplier↔customer trade graph — the link-analysis
+    * sibling of the CC family: 3 iterations, damping 85/100, ranks in
+    * integer parts-per-1e9 with floor division throughout, so every
+    * value is BIT-IDENTICAL across engines and partitionings (no
+    * float-sum merge-order drift) and the DuckDB oracle is simply the
+    * same recurrence unrolled. Top-20 via TakeOrderedAndProject. The
+    * symmetrized edge list means no dangling nodes; distinct pairs
+    * before symmetrization keep edge multiplicity out of the
+    * transition weights. */
+  private val qLinkRank = Q(
+    "q_link_rank",
+    (s, d) => {
+      val li = t(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val ord = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val pairs = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .select(col("l_suppkey").as("sk"), col("o_custkey").as("ck")).distinct()
+      val edges = pairs
+        .select(col("sk").as("src"), (col("ck") + 1000000L).as("dst"))
+        .union(pairs.select((col("ck") + 1000000L).as("src"), col("sk").as("dst")))
+      Graph.pageRankFixed(edges, iters = 3)
+        .orderBy(col("r").desc, col("node").asc).limit(20)
+    },
+    Some("""WITH pairs AS (
+      SELECT DISTINCT l.l_suppkey AS sk, o.o_custkey AS ck
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+    e AS (
+      SELECT sk AS src, ck + 1000000 AS dst FROM pairs
+      UNION ALL
+      SELECT ck + 1000000 AS src, sk AS dst FROM pairs),
+    nodes AS (SELECT DISTINCT node FROM (
+      SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e)),
+    nn AS (SELECT count(*) AS n FROM nodes),
+    deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+    r0 AS (SELECT node, 1000000000 // n AS r FROM nodes CROSS JOIN nn),
+    i1 AS (SELECT e.dst AS node, CAST(sum(r0.r // deg.d) AS BIGINT) AS inc
+           FROM e JOIN r0 ON e.src = r0.node JOIN deg ON deg.src = e.src
+           GROUP BY e.dst),
+    r1 AS (SELECT nodes.node, CAST(
+             (15 * (1000000000 // n)) // 100
+             + (85 * COALESCE(i1.inc, 0)) // 100 AS BIGINT) AS r
+           FROM nodes CROSS JOIN nn LEFT JOIN i1 ON i1.node = nodes.node),
+    i2 AS (SELECT e.dst AS node, CAST(sum(r1.r // deg.d) AS BIGINT) AS inc
+           FROM e JOIN r1 ON e.src = r1.node JOIN deg ON deg.src = e.src
+           GROUP BY e.dst),
+    r2 AS (SELECT nodes.node, CAST(
+             (15 * (1000000000 // n)) // 100
+             + (85 * COALESCE(i2.inc, 0)) // 100 AS BIGINT) AS r
+           FROM nodes CROSS JOIN nn LEFT JOIN i2 ON i2.node = nodes.node),
+    i3 AS (SELECT e.dst AS node, CAST(sum(r2.r // deg.d) AS BIGINT) AS inc
+           FROM e JOIN r2 ON e.src = r2.node JOIN deg ON deg.src = e.src
+           GROUP BY e.dst),
+    r3 AS (SELECT nodes.node, CAST(
+             (15 * (1000000000 // n)) // 100
+             + (85 * COALESCE(i3.inc, 0)) // 100 AS BIGINT) AS r
+           FROM nodes CROSS JOIN nn LEFT JOIN i3 ON i3.node = nodes.node)
+    SELECT node, r FROM r3 ORDER BY r DESC, node ASC LIMIT 20"""))
+
+  /** Ordered-sequence funnel (view → click → purchase) per user — the
+    * product-analytics query every event pipeline runs, in ONE
+    * user-partitioned sort: stage-2/3 qualification ("a click AFTER
+    * some view") rides as running-min windows over STRICTLY PRECEDING
+    * rows (ROWS ... AND 1 PRECEDING over the deterministic (ts,
+    * event_id) order), so the three window passes and the final
+    * per-user aggregate all share one exchange + one sort — no
+    * self-joins, no per-stage scans. At 100 TB this is the shape that
+    * matters: funnel depth adds projections, never shuffles. */
+  private val qFunnel = Q(
+    "q_funnel",
+    (s, d) => {
+      val ev = t(s, d, "events")
+        .select(col("user_id"), col("ts"), col("event_type"), col("event_id"))
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val p1 = ev.withColumn("v_prev",
+        min(when(col("event_type") === "view", col("ts"))).over(w))
+      val p2 = p1.withColumn("c_prev",
+        min(when(col("event_type") === "click" && col("v_prev").isNotNull,
+          col("ts"))).over(w))
+      p2.groupBy("user_id")
+        .agg(
+          min(when(col("event_type") === "view", col("ts"))).as("t_view"),
+          min(when(col("event_type") === "click" && col("v_prev").isNotNull,
+            col("ts"))).as("t_click"),
+          min(when(col("event_type") === "purchase" && col("c_prev").isNotNull,
+            col("ts"))).as("t_purchase"))
+        .withColumn("stage",
+          when(col("t_purchase").isNotNull, 3L)
+            .when(col("t_click").isNotNull, 2L)
+            .when(col("t_view").isNotNull, 1L).otherwise(0L))
+        .orderBy("user_id")
+    },
+    Some("""WITH e AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, event_id
+      FROM events),
+    p1 AS (
+      SELECT *, min(CASE WHEN event_type = 'view' THEN ts END) OVER
+        (PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS v_prev
+      FROM e),
+    p2 AS (
+      SELECT *, min(CASE WHEN event_type = 'click' AND v_prev IS NOT NULL
+          THEN ts END) OVER
+        (PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS c_prev
+      FROM p1),
+    agg AS (
+      SELECT user_id,
+        min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+        min(CASE WHEN event_type = 'click' AND v_prev IS NOT NULL
+            THEN ts END) AS t_click,
+        min(CASE WHEN event_type = 'purchase' AND c_prev IS NOT NULL
+            THEN ts END) AS t_purchase
+      FROM p2 GROUP BY user_id)
+    SELECT user_id, t_view, t_click, t_purchase,
+      CAST(CASE WHEN t_purchase IS NOT NULL THEN 3
+           WHEN t_click IS NOT NULL THEN 2
+           WHEN t_view IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS stage
+    FROM agg ORDER BY user_id"""))
+
+  /** Pairwise co-occurrence support + lift (the market-basket /
+    * frequent-itemset pass-2 over per-user event-type sets): per-user
+    * DISTINCT types collect into a bounded set (the event vocabulary,
+    * dozens at most), pairs expand ROW-LOCALLY via a double explode
+    * with a < b — never a corpus self-join — and lift's
+    * integer-ratio-of-counts rides the floor rounding form on both
+    * engines. Scale: the pair stream is users x C(t,2) with t bounded,
+    * the type-marginal dims are vocabulary-sized (AQE broadcasts), the
+    * user-count single-row is explicit-broadcast. */
+  private val qEventPairs = Q(
+    "q_event_pairs",
+    (s, d) => {
+      val ev = t(s, d, "events").select(col("user_id"), col("event_type"))
+      // Persisted: the per-user set table feeds the pair stream, the
+      // type marginals AND the user count — without it each consumer
+      // re-derives the aggregation from its own events scan.
+      val sets = graft.operators.CacheRegistry.global.track(
+        ev.groupBy("user_id").agg(collect_set("event_type").as("types"))
+          .persist())
+      val totals = sets.agg(count(lit(1)).as("n_users"))
+      val pairs = sets
+        .select(col("user_id"), explode(col("types")).as("a"), col("types"))
+        .select(col("user_id"), col("a"), explode(col("types")).as("b"))
+        .filter(col("a") < col("b"))
+      // Type marginals from the SAME per-user sets — one events scan
+      // total, and the exploded stream is users x t, not raw events.
+      val perType = sets.select(explode(col("types")).as("event_type"))
+        .groupBy("event_type").agg(count(lit(1)).as("n"))
+      pairs.groupBy("a", "b").agg(count(lit(1)).as("n_both"))
+        .join(perType.select(col("event_type").as("a"), col("n").as("n_a")), "a")
+        .join(perType.select(col("event_type").as("b"), col("n").as("n_b")), "b")
+        .crossJoin(broadcast(totals))
+        .select(col("a"), col("b"), col("n_both"), col("n_a"), col("n_b"),
+          TextAnalysis.roundStable(
+            col("n_both") * col("n_users") / (col("n_a") * col("n_b")), 6)
+            .as("lift"))
+        .orderBy("a", "b")
+    },
+    Some("""WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+    tot AS (SELECT count(DISTINCT user_id) AS n_users FROM events),
+    pt AS (SELECT event_type, count(*) AS n FROM ut GROUP BY 1),
+    pr AS (SELECT a.user_id, a.event_type AS a, b.event_type AS b
+           FROM ut a JOIN ut b
+             ON a.user_id = b.user_id AND a.event_type < b.event_type),
+    pc AS (SELECT a, b, count(*) AS n_both FROM pr GROUP BY 1, 2)
+    SELECT pc.a, pc.b, pc.n_both, pa.n AS n_a, pb.n AS n_b,
+      floor((pc.n_both * tot.n_users / (pa.n * pb.n)) * 1000000.0 + 0.5)
+        / 1000000.0 AS lift
+    FROM pc JOIN pt pa ON pa.event_type = pc.a
+         JOIN pt pb ON pb.event_type = pc.b
+         CROSS JOIN tot
+    ORDER BY a, b"""))
+
   // ---------------------------------------------------------------------
 
   val all: Seq[Q] = Seq(
@@ -3118,7 +3378,8 @@ object Queries {
     qGopherFilter, qStatsAgg, qIntervalOverlap,
     qDupNgramFrac, qPassageDedup, qShardAssign, qLangDivergence,
     qIncrementalDedup, qQuantizeEmbed, qJoinFull, qPercentileNorm,
-    qAnnQuantized, qBigramLogprob)
+    qAnnQuantized, qBigramLogprob,
+    qGroupTopk, qBloomDecontaminate, qLinkRank, qFunnel, qEventPairs)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

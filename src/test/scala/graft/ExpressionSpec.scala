@@ -329,4 +329,101 @@ class ExpressionSpec extends AnyFunSuite {
       for (h <- Seq("hot0", "hot1", "hot2")) assert(viaSql.contains(h))
     } finally spark.catalog.dropTempView("mg_in")
   }
+
+  test("top_k_by ≡ window row_number under every partitioning (incl. ties)") {
+    import org.apache.spark.sql.expressions.Window
+    // Scores drawn from a SMALL set so cross-group and in-group ties
+    // are common — the tie-break (score DESC, id ASC) is the part a
+    // heap bug would get wrong first.
+    val df = spark.range(0, 3000).select(
+      (col("id") % 7).as("g"),
+      ((col("id") * 37 % 11).cast("double") / 2.0).as("score"),
+      col("id").as("rid"))
+    val viaWindow = df.withColumn("rnk",
+        row_number().over(Window.partitionBy("g")
+          .orderBy(col("score").desc, col("rid").asc)))
+      .filter(col("rnk") <= 5)
+      .select("g", "rnk", "rid", "score")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    for (parts <- Seq(1, 4, 13)) {
+      val viaAgg = df.repartition(parts).groupBy("g")
+        .agg(GraftFunctions.topKByScore(col("score"), col("rid"), 5).as("top"))
+        .select(col("g"), posexplode(col("top")).as(Seq("i", "e")))
+        .select(col("g"), (col("i") + 1).as("rnk"), col("e.id"), col("e.score"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(viaAgg == viaWindow, s"parts=$parts: agg != window form")
+    }
+  }
+
+  test("top_k_by: groups smaller than k, NULL and NaN inputs") {
+    val df = Seq(
+      (1L, Some(2.0), Some(10L)),
+      (1L, Some(1.0), Some(11L)),
+      (1L, None, Some(12L)),          // null score: skipped
+      (1L, Some(3.0), None),          // null id: skipped
+      (1L, Some(Double.NaN), Some(13L)), // NaN score: skipped
+      (2L, Some(5.0), Some(20L)))
+      .toDF("g", "score", "rid")
+    val out = df.groupBy("g")
+      .agg(GraftFunctions.topKByScore(col("score"), col("rid"), 4).as("top"))
+      .select(col("g"), col("top.id").as("ids"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(out(1L) == Seq(10L, 11L), s"got ${out(1L)}")
+    assert(out(2L) == Seq(20L))
+    // SQL registration path.
+    GraftFunctions.register(spark)
+    df.createOrReplaceTempView("tk_in")
+    try {
+      val viaSql = spark.sql(
+        "SELECT top_k_by(score, rid, 1)[0].id FROM tk_in WHERE g = 1")
+        .collect()(0).getLong(0)
+      assert(viaSql == 10L)
+    } finally spark.catalog.dropTempView("tk_in")
+  }
+
+  test("bloom filter: no false negatives, bounded false positives") {
+    import graft.plans.ExprHelpers
+    val rnd = new scala.util.Random(42)
+    for (n <- Seq(1, 10, 1000, 50000)) {
+      val keys = Array.fill(n)(rnd.nextLong())
+      val bits = ExprHelpers.bloomBuild(keys, bitsPerKey = 12, numHashes = 4)
+      assert((bits.length & (bits.length - 1)) == 0, "bit count must be 2^k")
+      keys.foreach(k => assert(ExprHelpers.bloomHit(k, bits, 4),
+        s"false negative at n=$n — bloom contract broken"))
+      val keySet = keys.toSet
+      val probes = Array.fill(20000)(rnd.nextLong()).filterNot(keySet)
+      val fp = probes.count(ExprHelpers.bloomHit(_, bits, 4)).toDouble / probes.length
+      // 12 bits/key, 4 hashes ⇒ ~0.5% expected; 5% is a 10x guard band.
+      assert(fp < 0.05, s"false-positive rate $fp at n=$n")
+    }
+  }
+
+  test("BloomLongsContainAny: superset of the exact probe; composition exact") {
+    import graft.plans.ExprHelpers
+    val rnd = new scala.util.Random(7)
+    val refSet = Array.fill(500)(rnd.nextLong() & 0xFFFFL) // dense → real overlaps
+    java.util.Arrays.sort(refSet)
+    val sorted = refSet.distinct.sorted
+    val bits = ExprHelpers.bloomBuild(sorted, 12, 4)
+    val rows = (0 until 300).map(i =>
+      (i.toLong, Seq.fill(5)(rnd.nextLong() & 0xFFFFL)))
+    val df = rows.toDF("rid", "arr")
+      .select(col("rid"),
+        GraftFunctions.sortedLongsContainAny(col("arr"), sorted).as("exact"),
+        GraftFunctions.bloomLongsContainAny(col("arr"), bits, 4).as("bloom"))
+    val got = df.collect().map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2)))
+    got.foreach { case (rid, exact, bloom) =>
+      assert(!exact || bloom, s"row $rid: exact hit missed by bloom (false negative)")
+    }
+    // The two-phase composition (bloom gate AND exact refine) is exact.
+    val composed = df.select(col("rid"), (col("bloom") && col("exact")).as("c"),
+        col("exact"))
+      .collect().forall(r => r.getBoolean(1) == r.getBoolean(2))
+    assert(composed)
+    val nullIn = spark.range(1).select(GraftFunctions.bloomLongsContainAny(
+      lit(null).cast("array<bigint>"), bits, 4).as("r")).collect()(0)
+    assert(nullIn.isNullAt(0), "null array must yield null, not false")
+  }
 }

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Graph
+
+/** Integer PageRank must match an independently-written single-machine
+  * reference bit-for-bit — that's the whole point of the integer
+  * formulation. */
+class GraphSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  /** Straight-line reference: same recurrence, scala Maps, no Spark.
+    * Written against the formula, not the operator code. */
+  private def referencePr(edges: Seq[(Long, Long)], iters: Int,
+                          total: Long = 1000000000L): Map[Long, Long] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val n = nodes.size
+    val share = total / n
+    val base = (15L * share) / 100L
+    val deg = edges.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+    var r = nodes.map(_ -> share).toMap
+    for (_ <- 1 to iters) {
+      val inc = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+      edges.foreach { case (s, d) => inc(d) += r(s) / deg(s) }
+      r = nodes.map(v => v -> (base + (85L * inc(v)) / 100L)).toMap
+    }
+    r
+  }
+
+  private def run(edges: Seq[(Long, Long)], iters: Int, parts: Int,
+                  checkpointEvery: Int = 6): Map[Long, Long] =
+    Graph.pageRankFixed(
+        edges.toDF("src", "dst").repartition(parts), iters,
+        checkpointEvery = checkpointEvery)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("two-node cycle is a fixed point at exactly total/2 each") {
+    val edges = Seq((1L, 2L), (2L, 1L))
+    val got = run(edges, iters = 3, parts = 2)
+    assert(got == Map(1L -> 500000000L, 2L -> 500000000L), got)
+  }
+
+  test("symmetrized star: center accumulates, leaves match reference exactly") {
+    val leaves = (2L to 6L)
+    val edges = leaves.flatMap(l => Seq((1L, l), (l, 1L)))
+    val want = referencePr(edges, iters = 4)
+    val got = run(edges, iters = 4, parts = 3)
+    assert(got == want, s"got=$got want=$want")
+    assert(got(1L) > got(2L), "hub must outrank a leaf")
+  }
+
+  test("random graphs match the reference bit-for-bit at every partitioning") {
+    val rnd = new scala.util.Random(11)
+    for (trial <- 0 until 3) {
+      val n = 20 + trial * 15
+      val edges = (0 until n * 3).map { _ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)
+      }.filter { case (a, b) => a != b }.distinct
+      val want = referencePr(edges, iters = 3)
+      for (parts <- Seq(1, 5)) {
+        val got = run(edges, iters = 3, parts = parts)
+        assert(got == want, s"trial=$trial parts=$parts")
+      }
+    }
+  }
+
+  test("checkpointed long run equals the unchckpointed lineage") {
+    val rnd = new scala.util.Random(5)
+    val edges = (0 until 60).map(_ =>
+      (rnd.nextInt(15).toLong, rnd.nextInt(15).toLong))
+      .filter { case (a, b) => a != b }.distinct
+    val want = referencePr(edges, iters = 8)
+    // checkpointEvery=3 exercises the localCheckpoint branch twice.
+    assert(run(edges, iters = 8, parts = 2, checkpointEvery = 3) == want)
+    assert(run(edges, iters = 8, parts = 2, checkpointEvery = 0) == want)
+  }
+
+  test("dangling sinks leak mass; symmetric graphs conserve it (mod floor)") {
+    // Pure sink: 1→2 with no return edge — node 1's mass drains to the
+    // teleport term by iteration 2.
+    val got = run(Seq((1L, 2L), (3L, 2L), (3L, 1L)), iters = 3, parts = 1)
+    val total = got.values.sum
+    assert(total < 1000000000L, "dangling sink must leak mass")
+    // Symmetric: mass stays within floor-division loss of total.
+    val sym = run(Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)), iters = 3, parts = 1)
+    val symTotal = sym.values.sum
+    assert(symTotal <= 1000000000L && symTotal > 999999900L,
+      s"symmetric graph lost too much mass: $symTotal")
+  }
+}

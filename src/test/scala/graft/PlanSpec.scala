@@ -365,4 +365,63 @@ class PlanSpec extends AnyFunSuite {
     assert(occurrences >= 2,
       s"expected the mod-5 split predicate on both sides:\n$p")
   }
+
+  test("q_group_topk: bounded-heap aggregate, no window sort anywhere") {
+    val p = plan("q_group_topk")
+    assert(p.contains("ObjectHashAggregate"),
+      s"top_k_by must plan as ObjectHashAggregate:\n$p")
+    assert(p.contains("partial_top_k_by"),
+      s"the heap must combine map-side before the exchange:\n$p")
+    assert(!p.contains("Window"),
+      s"the whole point is NO per-group window sort:\n$p")
+  }
+
+  test("q_bloom_decontaminate: map-only bloom gate, candidate joins equi-only") {
+    val p = plan("q_bloom_decontaminate")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"refine must stay an equi-join:\n$p")
+    // The bloom prefilter must sit in a Filter ABOVE a documents scan
+    // (map-only phase 1), not after any join.
+    assert(p.contains("bloomlongscontainany") || p.contains("BloomLongsContainAny"),
+      s"bloom probe expression missing from the plan:\n$p")
+  }
+
+  test("q_link_rank: top-20 via TakeOrderedAndProject, spine/edges cached once") {
+    val p = plan("q_link_rank")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // The only non-equi join allowed is the single-row N broadcast
+    // (the crossJoin(broadcast(agg)) idiom shared with q_class_weights).
+    assert(!p.contains("CartesianProduct"), s"unbounded product:\n$p")
+    // Persisted spine/edges: iterations must read InMemoryTableScan,
+    // not re-derive the edge table from the source scans. (The scan
+    // text still appears under each InMemoryTableScan — it prints the
+    // cached subtree — so presence of the cache node is the signal,
+    // not the textual scan count.)
+    assert(p.contains("InMemoryTableScan"),
+      s"iterations must reuse cached spine/edges:\n$p")
+    graft.operators.CacheRegistry.global.releaseAll()
+  }
+
+  test("q_funnel: stages share ONE user exchange — no self-joins, no re-sort") {
+    val p = plan("q_funnel")
+    assert(!p.contains("Join"), s"funnel must not self-join per stage:\n$p")
+    val exchanges = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1,
+      s"window passes + final agg must share one exchange, found $exchanges:\n$p")
+    val scans = p.linesIterator.count(_.contains("FileScan parquet"))
+    assert(scans == 1, s"events must be scanned once, found $scans:\n$p")
+  }
+
+  test("q_event_pairs: pair expansion is row-local — no corpus self-join") {
+    val p = plan("q_event_pairs")
+    // Pairs come from exploding the per-user set twice; the only joins
+    // are the vocabulary-sized marginals and the single-row total.
+    assert(!p.contains("SortMergeJoin"),
+      s"pairs must explode row-locally, not merge-join the corpus:\n$p")
+    assert(p.contains("Generate explode"), s"expected the explode:\n$p")
+    assert(p.contains("InMemoryTableScan"),
+      s"the per-user set table must be cached, not re-derived:\n$p")
+    graft.operators.CacheRegistry.global.releaseAll()
+  }
 }
