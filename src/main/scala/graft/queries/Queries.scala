@@ -3351,6 +3351,75 @@ object Queries {
          CROSS JOIN tot
     ORDER BY a, b"""))
 
+  /** CDC/upsert compaction — latest row per key, the merge-on-read
+    * collapse every change-data pipeline runs: `max_by(payload,
+    * (ts, event_id))` is a DECLARATIVE aggregate (map-side combined,
+    * one value per key per partition enters the exchange), not the
+    * window row_number() form that shuffles and sorts every version of
+    * every key. The (ts, event_id) struct order is total (event_id
+    * unique), so the winner is engine- and partitioning-independent.
+    * Oracle uses the window form — the semantics are identical, which
+    * is the point. */
+  private val qUpsertLatest = Q(
+    "q_upsert_latest",
+    (s, d) => t(s, d, "events")
+      .groupBy("user_id")
+      .agg(
+        max_by(struct(col("event_type"), col("value"), col("ts"),
+          col("event_id")), struct(col("ts"), col("event_id"))).as("last"),
+        count(lit(1)).as("n_versions"))
+      .select(col("user_id"),
+        col("last.event_type").as("last_type"),
+        col("last.value").as("last_value"),
+        col("last.ts").as("last_ts"),
+        col("last.event_id").as("last_event_id"),
+        col("n_versions"))
+      .orderBy("user_id"),
+    Some("""WITH e AS (
+      SELECT user_id, event_type, value, CAST(ts AS TIMESTAMP) AS ts,
+        event_id,
+        ROW_NUMBER() OVER (PARTITION BY user_id
+          ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn,
+        count(*) OVER (PARTITION BY user_id) AS n_versions
+      FROM events)
+    SELECT user_id, event_type AS last_type, value AS last_value,
+      ts AS last_ts, event_id AS last_event_id, n_versions
+    FROM e WHERE rn = 1 ORDER BY user_id"""))
+
+  /** RAG-style document chunking: fixed 64-token windows at stride 48
+    * (16-token overlap), entirely MAP-ONLY — the chunk index rides an
+    * exploded `sequence()` bounded by n/48 per document, the slice and
+    * its fingerprint are row-local, and the only exchange in the plan
+    * is the output ordering. The md5 of the space-joined token slice
+    * gives both engines a content fingerprint without shipping chunk
+    * text through the comparator. */
+  private val qChunk = Q(
+    "q_chunk",
+    (s, d) => t(s, d, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("n", size(col("toks")))
+      .select(col("doc_id"), col("toks"), col("n"),
+        explode(sequence(lit(0L),
+          expr("CAST((n - 1) div 48 AS BIGINT)"))).as("ci"))
+      .select(col("doc_id"), col("ci"),
+        size(slice(col("toks"), (col("ci") * 48 + 1).cast("int"), lit(64)))
+          .cast("long").as("chunk_tokens"),
+        md5(concat_ws(" ",
+          slice(col("toks"), (col("ci") * 48 + 1).cast("int"), lit(64))))
+          .as("chunk_md5"))
+      .orderBy("doc_id", "ci"),
+    Some("""WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t,
+        len(string_split(text, ' ')) AS n
+      FROM documents),
+    ch AS (
+      SELECT doc_id, unnest(range(0, (n - 1) // 48 + 1)) AS ci, t, n
+      FROM toks)
+    SELECT doc_id, ci,
+      CAST(len(t[ci * 48 + 1 : ci * 48 + 64]) AS BIGINT) AS chunk_tokens,
+      md5(array_to_string(t[ci * 48 + 1 : ci * 48 + 64], ' ')) AS chunk_md5
+    FROM ch ORDER BY doc_id, ci"""))
+
   // ---------------------------------------------------------------------
 
   val all: Seq[Q] = Seq(
@@ -3379,7 +3448,8 @@ object Queries {
     qDupNgramFrac, qPassageDedup, qShardAssign, qLangDivergence,
     qIncrementalDedup, qQuantizeEmbed, qJoinFull, qPercentileNorm,
     qAnnQuantized, qBigramLogprob,
-    qGroupTopk, qBloomDecontaminate, qLinkRank, qFunnel, qEventPairs)
+    qGroupTopk, qBloomDecontaminate, qLinkRank, qFunnel, qEventPairs,
+    qUpsertLatest, qChunk)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -424,4 +424,23 @@ class PlanSpec extends AnyFunSuite {
       s"the per-user set table must be cached, not re-derived:\n$p")
     graft.operators.CacheRegistry.global.releaseAll()
   }
+
+  test("q_upsert_latest: declarative max_by combines map-side — no window sort") {
+    val p = plan("q_upsert_latest")
+    assert(p.contains("partial_max_by") || p.contains("partial_"),
+      s"latest-row pick must partial-aggregate before the exchange:\n$p")
+    assert(!p.contains("Window"),
+      s"CDC compaction must not sort every version per key:\n$p")
+  }
+
+  test("q_chunk: chunking is map-only — one scan, no join, no agg exchange") {
+    val p = plan("q_chunk")
+    assert(!p.contains("Join"), s"chunking must not join:\n$p")
+    assert(p.contains("Generate explode"), s"expected the chunk-index explode:\n$p")
+    val scans = p.linesIterator.count(_.contains("FileScan parquet"))
+    assert(scans == 1, s"documents must be scanned once, found $scans:\n$p")
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 1,
+      s"only the output ordering may exchange, found $exchanges:\n$p")
+  }
 }
