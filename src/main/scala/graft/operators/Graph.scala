@@ -43,8 +43,10 @@ object Graph {
     * shuffle that matters — the contribution sum keyed by dst (the
     * rank join is node-sized and AQE-broadcastable; at web scale,
     * co-partition edges and ranks by src so it plans shuffle-free).
-    * Iteration count is FIXED (no convergence probe), so the whole
-    * loop is ONE lazy plan with zero driver actions; past
+    * The node count is taken as ONE driver scalar action (it
+    * materializes the node cache as a side effect) so the teleport
+    * constants ride as literals — a spine table carrying them would
+    * re-derive the node set once per reference. Past
     * `checkpointEvery` iterations the rank lineage is cut with an
     * eager localCheckpoint to keep analysis cost linear. */
   def pageRankFixed(edges: DataFrame,
@@ -58,27 +60,33 @@ object Graph {
       s"pageRankFixed: iters must be in [1, 100], got $iters")
     require(dampDen > 0 && dampNum >= 0 && dampNum <= dampDen,
       s"pageRankFixed: damping $dampNum/$dampDen out of [0, 1]")
-    val e = edges.select(col("src").cast("long").as("src"),
+    // The edge list is the ONLY expensive lineage (the caller's joins
+    // + distinct) and every downstream table — outdegrees, the node
+    // set, each iteration's contribution join — re-derives it per
+    // appearance in the (single, lazy) plan unless persisted: Spark
+    // does not deduplicate common subplans above the exchange level.
+    // Persist it FIRST, then derive everything from the cache. The
+    // coalesce keeps a union-of-branches input (2x partition count)
+    // from doubling every downstream stage's task count — the work is
+    // bytes-bound, not partition-bound. Caller's registry releases
+    // all three caches after its action.
+    val sel = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst"))
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
-    val n = nodes.agg(count(lit(1)).as("n_nodes"))
-    // Node spine: start rank + the damped teleport base term, both
-    // constants of N. The spine and the edges⋈outdeg table appear in
-    // EVERY iteration of the (single, lazy) plan — without persist
-    // Spark re-derives each from the source scans per appearance
-    // (common subplans are NOT deduplicated above the exchange level),
-    // turning 3 iterations into ~4x the scans. Persisted and tracked;
-    // the caller's registry releases them after its action.
-    val spine = registry.track(nodes.crossJoin(broadcast(n))
-      .select(col("node"),
-        expr(s"CAST($total AS BIGINT) div n_nodes").as("r0"),
-        expr(s"(${dampDen - dampNum} * (CAST($total AS BIGINT) div n_nodes))" +
-          s" div $dampDen").as("base"))
-      .persist())
+    val par = edges.sparkSession.sparkContext.defaultParallelism
+    val e = registry.track(
+      (if (sel.rdd.getNumPartitions > par) sel.coalesce(par) else sel).persist())
+    val nodes = registry.track(
+      e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node"))).distinct().persist())
+    // ONE driver scalar (also materializes e + nodes): the teleport
+    // constants become literals. Long division == SQL `div` here.
+    val nNodes = nodes.count()
+    require(nNodes > 0, "pageRankFixed: empty graph")
+    val share = total / nNodes
+    val base = ((dampDen - dampNum) * share) / dampDen
     val ed = registry.track(
       e.join(e.groupBy("src").agg(count(lit(1)).as("deg")), "src").persist())
-    var ranks = spine.select(col("node"), col("r0").as("r"))
+    var ranks = nodes.select(col("node"), lit(share).as("r"))
     var it = 1
     while (it <= iters) {
       val inc = ed
@@ -86,9 +94,9 @@ object Graph {
           "src")
         .select(col("dst").as("node"), expr("rsrc div deg").as("c"))
         .groupBy("node").agg(sum("c").as("inc"))
-      ranks = spine.join(inc, Seq("node"), "left")
+      ranks = nodes.join(inc, Seq("node"), "left")
         .select(col("node"),
-          (col("base") +
+          (lit(base) +
             expr(s"($dampNum * coalesce(inc, CAST(0 AS BIGINT))) div $dampDen"))
             .as("r"))
       if (checkpointEvery > 0 && it % checkpointEvery == 0 && it < iters)

@@ -3420,6 +3420,57 @@ object Queries {
       md5(array_to_string(t[ci * 48 + 1 : ci * 48 + 64], ' ')) AS chunk_md5
     FROM ch ORDER BY doc_id, ci"""))
 
+  /** Robust outlier detection (median + MAD, the anomaly gate that
+    * survives the outliers it hunts — mean/stddev would be dragged by
+    * them): two inherently-sequential passes — median per group, then
+    * the median of absolute deviations, then the 3σ-equivalent cut
+    * (4.4478 = 3·1.4826, the normal-consistency constant, written as
+    * ONE literal on both engines so no multiplication-order drift).
+    * Exact percentile ≡ quantile_cont parity is the q_quantile
+    * precedent; med/mad round to 4 dp for display while the outlier
+    * comparison uses the unrounded values on BOTH sides (an ulp-level
+    * interpolation difference could only flip a row sitting within an
+    * ulp of the cut — the fixtures sit clear). The group dimension is
+    * vocabulary-sized so the median state is bounded; at corpus scale
+    * swap percentile for approx_percentile (q_approx_quantile is the
+    * sketch twin) and persist the deviation stream instead of
+    * re-deriving it per pass. */
+  private val qMadOutlier = Q(
+    "q_mad_outlier",
+    (s, d) => {
+      val ev = t(s, d, "events").select(col("event_type"), col("value"))
+      val med = ev.groupBy("event_type")
+        .agg(expr("percentile(value, 0.5D)").as("med"))
+      val dev = ev.join(broadcast(med), "event_type")
+        .withColumn("adev", abs(col("value") - col("med")))
+      val mad = dev.groupBy("event_type")
+        .agg(expr("percentile(adev, 0.5D)").as("mad"))
+      dev.join(broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(round(min(col("med")), 4).as("med_val"),
+          round(min(col("mad")), 4).as("mad_val"),
+          count(lit(1)).as("n"),
+          sum(when(col("adev") > lit(4.4478) * col("mad"), 1L).otherwise(0L))
+            .as("n_outliers"))
+        .orderBy("event_type")
+    },
+    Some("""WITH e AS (SELECT event_type, value FROM events),
+    med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+            FROM e GROUP BY 1),
+    dev AS (SELECT e.event_type, e.value, med.med,
+              abs(e.value - med.med) AS adev
+            FROM e JOIN med USING (event_type)),
+    mad AS (SELECT event_type, quantile_cont(adev, 0.5) AS mad
+            FROM dev GROUP BY 1)
+    SELECT dev.event_type,
+      round(min(dev.med), 4) AS med_val,
+      round(min(mad.mad), 4) AS mad_val,
+      count(*) AS n,
+      CAST(sum(CASE WHEN dev.adev > 4.4478 * mad.mad THEN 1 ELSE 0 END)
+        AS BIGINT) AS n_outliers
+    FROM dev JOIN mad USING (event_type)
+    GROUP BY 1 ORDER BY event_type"""))
+
   // ---------------------------------------------------------------------
 
   val all: Seq[Q] = Seq(
@@ -3449,7 +3500,7 @@ object Queries {
     qIncrementalDedup, qQuantizeEmbed, qJoinFull, qPercentileNorm,
     qAnnQuantized, qBigramLogprob,
     qGroupTopk, qBloomDecontaminate, qLinkRank, qFunnel, qEventPairs,
-    qUpsertLatest, qChunk)
+    qUpsertLatest, qChunk, qMadOutlier)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap
