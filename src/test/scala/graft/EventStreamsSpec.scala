@@ -277,6 +277,51 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming bloom prefilter: superset of exact, exact when composed") {
+    // The two-phase gate's streaming phase 1: the bloom flag is
+    // stateless (map-only, no join/agg/watermark) so it drops into an
+    // append stream like contaminationFlag; it may only OVER-flag
+    // (no false negatives), and AND-ing the exact probe restores the
+    // exact decision — both checked across a micro-batch split.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val train = docs.filter(col("doc_id") % 10 =!= 0)
+    val evalSide = docs.filter(col("doc_id") % 10 === 0)
+    val evalGrams = graft.operators.Decontaminate.collectEvalGrams(evalSide, w = 6)
+    val bits = graft.operators.Decontaminate.bloomBits(evalGrams)
+    val exactHit = train.filter(graft.operators.Decontaminate
+        .contaminationFlag(col("text"), evalGrams, w = 6))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(exactHit.nonEmpty, "fixture must contain contamination")
+    val input = MemoryStream[(Long, String)]
+    val flagged = input.toDF().toDF("doc_id", "text")
+      .withColumn("bloom_hit", graft.operators.Decontaminate
+        .bloomCandidateFlag(col("text"), bits, w = 6))
+      .withColumn("exact_hit", graft.operators.Decontaminate
+        .contaminationFlag(col("text"), evalGrams, w = 6))
+    val q = flagged.writeStream.format("memory").queryName("bloom_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val rows = train.collect().map(r => (r.getLong(0), r.getString(1)))
+      input.addData(rows.take(rows.length / 2): _*)
+      q.processAllAvailable()
+      input.addData(rows.drop(rows.length / 2): _*)
+      q.processAllAvailable()
+      val out = spark.table("bloom_out")
+      val bloomSet = out.filter(col("bloom_hit")).select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      val composed = out.filter(col("bloom_hit") && col("exact_hit"))
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(exactHit.subsetOf(bloomSet),
+        s"bloom missed exact hits: ${(exactHit -- bloomSet).take(5)}")
+      assert(composed == exactHit,
+        s"composition must be exact: extra=${(composed -- exactHit).take(5)}")
+    } finally q.stop()
+  }
+
   test("misra_gries_keys composes with streaming windowed aggregation") {
     // The native TypedImperativeAggregate must work under the streaming
     // stateful-agg operator (its buffer round-trips through the state
