@@ -98,18 +98,22 @@ object Decontaminate {
     * decontamination (see [[bloomCandidateFlag]]) whose exact refine
     * touches only the flagged sliver. */
   def bloomBits(evalGrams: Array[Long], bitsPerKey: Int = 12,
-                numHashes: Int = 4): Array[Long] =
-    graft.plans.ExprHelpers.bloomBuild(evalGrams, bitsPerKey, numHashes)
+                numHashes: Int = 4): graft.plans.Bloom =
+    graft.plans.Bloom(
+      graft.plans.ExprHelpers.bloomBuild(evalGrams, bitsPerKey, numHashes),
+      numHashes)
 
   /** Map-only Bloom PREFILTER flag: TRUE iff any w-gram of the text
     * hits the filter — a superset of the exact contamination set (no
-    * false negatives). Same stateless streaming-safe shape as
-    * [[contaminationFlag]]; follow with an exact refine (gram
-    * equi-join or sorted-set probe) over the flagged rows only. */
+    * false negatives; the [[graft.plans.Bloom]] carrier keeps the
+    * probe's hash count pinned to the build's). Same stateless
+    * streaming-safe shape as [[contaminationFlag]]; follow with an
+    * exact refine (gram equi-join or sorted-set probe) over the
+    * flagged rows only. */
   def bloomCandidateFlag(textCol: org.apache.spark.sql.Column,
-                         bits: Array[Long], w: Int = 8,
-                         numHashes: Int = 4): org.apache.spark.sql.Column =
+                         bloom: graft.plans.Bloom,
+                         w: Int = 8): org.apache.spark.sql.Column =
     graft.plans.GraftFunctions.bloomLongsContainAny(
       graft.plans.GraftFunctions.wordGramHashesDistinct(lower(textCol), w),
-      bits, numHashes)
+      bloom)
 }

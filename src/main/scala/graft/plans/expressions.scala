@@ -131,8 +131,11 @@ object ExprHelpers {
       var j = 0
       var h = h1
       while (j < numHashes) {
-        val pos = (h & mask).toInt
-        bits(pos >>> 6) |= (1L << (pos & 63))
+        // Positions stay Long until the word index: a .toInt on the
+        // position itself would silently wrap above 2^32 bits and
+        // cram every bit into the first 512 MiB of a larger table.
+        val pos = h & mask
+        bits((pos >>> 6).toInt) |= (1L << (pos & 63L).toInt)
         h += h2
         j += 1
       }
@@ -143,7 +146,10 @@ object ExprHelpers {
 
   /** Might `x` be in the Bloom filter built by [[bloomBuild]]? No
     * false negatives; false positives at the configured rate. `bits`
-    * MUST have power-of-two length (bloomBuild guarantees it). */
+    * MUST have power-of-two length (bloomBuild guarantees it) and
+    * `numHashes` MUST equal the build-time value — a probe with MORE
+    * hashes than were set manufactures false negatives (the
+    * [[graft.plans.Bloom]] carrier keeps them paired). */
   def bloomHit(x: Long, bits: Array[Long], numHashes: Int): Boolean = {
     val mask = (bits.length.toLong << 6) - 1L
     val h1 = fmix64(x)
@@ -151,8 +157,8 @@ object ExprHelpers {
     var j = 0
     var h = h1
     while (j < numHashes) {
-      val pos = (h & mask).toInt
-      if ((bits(pos >>> 6) & (1L << (pos & 63))) == 0L) return false
+      val pos = h & mask
+      if ((bits((pos >>> 6).toInt) & (1L << (pos & 63L).toInt)) == 0L) return false
       h += h2
       j += 1
     }
@@ -776,6 +782,18 @@ case class SortedLongsContainAny(child: Expression, sorted: Array[Long])
     copy(child = newChild)
 }
 
+/** A built Bloom filter: the bit table TOGETHER with the hash count
+  * it was built with. The pairing is load-bearing — probing with more
+  * hashes than were set manufactures false negatives, the one error
+  * the filter promises never to make — so the probe API takes this
+  * carrier, not a bare array. */
+final case class Bloom(bits: Array[Long], numHashes: Int) {
+  require(bits.nonEmpty && (bits.length & (bits.length - 1)) == 0,
+    "Bloom: bits length must be a power of two (use ExprHelpers.bloomBuild)")
+  require(numHashes >= 1 && numHashes <= 16,
+    s"Bloom: numHashes must be in [1, 16], got $numHashes")
+}
+
 /** `array<long>` ∩ Bloom filter ≠ ∅ — the CONSTANT-MEMORY sibling of
   * [[SortedLongsContainAny]] for reference sets too large to ship
   * verbatim: the sorted-set probe broadcasts 64 bits per key, this one
@@ -789,12 +807,10 @@ case class SortedLongsContainAny(child: Expression, sorted: Array[Long])
   * bigger than the filter. Probe math in [[ExprHelpers.bloomHit]];
   * the bits ride once as a referenced object in interpreted and
   * generated code alike, same as the sorted set. */
-case class BloomLongsContainAny(child: Expression, bits: Array[Long], numHashes: Int)
+case class BloomLongsContainAny(child: Expression, bloom: Bloom)
   extends UnaryExpression {
-  require(bits.nonEmpty && (bits.length & (bits.length - 1)) == 0,
-    "bloom_longs_contain_any: bits length must be a power of two (use ExprHelpers.bloomBuild)")
-  require(numHashes >= 1 && numHashes <= 16,
-    s"bloom_longs_contain_any: numHashes must be in [1, 16], got $numHashes")
+  private def bits: Array[Long] = bloom.bits
+  private def numHashes: Int = bloom.numHashes
 
   override def dataType: DataType = BooleanType
   override def nullable: Boolean = child.nullable
@@ -1170,10 +1186,11 @@ object GraftFunctions {
       MisraGriesKeys(GraftSqlBridge.expression(c), k).toAggregateExpression())
 
   /** `array<long>` ∩ Bloom filter ≠ ∅ (see [[BloomLongsContainAny]]);
-    * `bits` MUST come from [[ExprHelpers.bloomBuild]]. */
-  def bloomLongsContainAny(c: Column, bits: Array[Long], numHashes: Int): Column =
+    * the [[Bloom]] MUST come from [[ExprHelpers.bloomBuild]] (via the
+    * building wrapper, e.g. Decontaminate.bloomBits). */
+  def bloomLongsContainAny(c: Column, bloom: Bloom): Column =
     GraftSqlBridge.column(
-      BloomLongsContainAny(GraftSqlBridge.expression(c), bits, numHashes))
+      BloomLongsContainAny(GraftSqlBridge.expression(c), bloom))
 
   /** Aggregate: exact per-group top-k as a bounded heap (see
     * [[TopKByScore]]). */

@@ -3147,7 +3147,7 @@ object Queries {
       val bits = Decontaminate.bloomBits(grams, bitsPerKey = 12, numHashes = 4)
       val train = docs.filter(!isEval)
       val cand = train.filter(
-        Decontaminate.bloomCandidateFlag(col("text"), bits, w = 6, numHashes = 4))
+        Decontaminate.bloomCandidateFlag(col("text"), bits, w = 6))
       val candGrams = cand.select(col("doc_id"),
         explode(graft.plans.GraftFunctions.wordGramHashesDistinct(
           lower(col("text")), 6)).as("s"))
@@ -3187,7 +3187,11 @@ object Queries {
     * same recurrence unrolled. Top-20 via TakeOrderedAndProject. The
     * symmetrized edge list means no dangling nodes; distinct pairs
     * before symmetrization keep edge multiplicity out of the
-    * transition weights. */
+    * transition weights. Node ids use a TAG BIT (supplier = 2·sk,
+    * customer = 2·ck+1) rather than an additive offset — an offset
+    * collides once the supplier key space outgrows it, silently
+    * merging two real nodes; the tag encoding is collision-free at
+    * every scale. */
   private val qLinkRank = Q(
     "q_link_rank",
     (s, d) => {
@@ -3196,8 +3200,9 @@ object Queries {
       val pairs = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
         .select(col("l_suppkey").as("sk"), col("o_custkey").as("ck")).distinct()
       val edges = pairs
-        .select(col("sk").as("src"), (col("ck") + 1000000L).as("dst"))
-        .union(pairs.select((col("ck") + 1000000L).as("src"), col("sk").as("dst")))
+        .select((col("sk") * 2L).as("src"), (col("ck") * 2L + 1L).as("dst"))
+        .union(pairs.select((col("ck") * 2L + 1L).as("src"),
+          (col("sk") * 2L).as("dst")))
       Graph.pageRankFixed(edges, iters = 3)
         .orderBy(col("r").desc, col("node").asc).limit(20)
     },
@@ -3205,9 +3210,9 @@ object Queries {
       SELECT DISTINCT l.l_suppkey AS sk, o.o_custkey AS ck
       FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
     e AS (
-      SELECT sk AS src, ck + 1000000 AS dst FROM pairs
+      SELECT sk * 2 AS src, ck * 2 + 1 AS dst FROM pairs
       UNION ALL
-      SELECT ck + 1000000 AS src, sk AS dst FROM pairs),
+      SELECT ck * 2 + 1 AS src, sk * 2 AS dst FROM pairs),
     nodes AS (SELECT DISTINCT node FROM (
       SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e)),
     nn AS (SELECT count(*) AS n FROM nodes),
@@ -3434,7 +3439,10 @@ object Queries {
     * vocabulary-sized so the median state is bounded; at corpus scale
     * swap percentile for approx_percentile (q_approx_quantile is the
     * sketch twin) and persist the deviation stream instead of
-    * re-deriving it per pass. */
+    * re-deriving it per pass. Display rounding uses roundStable (the
+    * floor form, identical expression both engines) — Spark's round()
+    * is exact-BigDecimal HALF_UP while DuckDB's multiplies in floats,
+    * and a 4-dp boundary case can flip between them. */
   private val qMadOutlier = Q(
     "q_mad_outlier",
     (s, d) => {
@@ -3447,8 +3455,8 @@ object Queries {
         .agg(expr("percentile(adev, 0.5D)").as("mad"))
       dev.join(broadcast(mad), "event_type")
         .groupBy("event_type")
-        .agg(round(min(col("med")), 4).as("med_val"),
-          round(min(col("mad")), 4).as("mad_val"),
+        .agg(TextAnalysis.roundStable(min(col("med")), 4).as("med_val"),
+          TextAnalysis.roundStable(min(col("mad")), 4).as("mad_val"),
           count(lit(1)).as("n"),
           sum(when(col("adev") > lit(4.4478) * col("mad"), 1L).otherwise(0L))
             .as("n_outliers"))
@@ -3463,8 +3471,8 @@ object Queries {
     mad AS (SELECT event_type, quantile_cont(adev, 0.5) AS mad
             FROM dev GROUP BY 1)
     SELECT dev.event_type,
-      round(min(dev.med), 4) AS med_val,
-      round(min(mad.mad), 4) AS mad_val,
+      floor(min(dev.med) * 10000.0 + 0.5) / 10000.0 AS med_val,
+      floor(min(mad.mad) * 10000.0 + 0.5) / 10000.0 AS mad_val,
       count(*) AS n,
       CAST(sum(CASE WHEN dev.adev > 4.4478 * mad.mad THEN 1 ELSE 0 END)
         AS BIGINT) AS n_outliers

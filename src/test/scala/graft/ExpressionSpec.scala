@@ -406,13 +406,13 @@ class ExpressionSpec extends AnyFunSuite {
     val refSet = Array.fill(500)(rnd.nextLong() & 0xFFFFL) // dense → real overlaps
     java.util.Arrays.sort(refSet)
     val sorted = refSet.distinct.sorted
-    val bits = ExprHelpers.bloomBuild(sorted, 12, 4)
+    val bloom = graft.plans.Bloom(ExprHelpers.bloomBuild(sorted, 12, 4), 4)
     val rows = (0 until 300).map(i =>
       (i.toLong, Seq.fill(5)(rnd.nextLong() & 0xFFFFL)))
     val df = rows.toDF("rid", "arr")
       .select(col("rid"),
         GraftFunctions.sortedLongsContainAny(col("arr"), sorted).as("exact"),
-        GraftFunctions.bloomLongsContainAny(col("arr"), bits, 4).as("bloom"))
+        GraftFunctions.bloomLongsContainAny(col("arr"), bloom).as("bloom"))
     val got = df.collect().map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2)))
     got.foreach { case (rid, exact, bloom) =>
       assert(!exact || bloom, s"row $rid: exact hit missed by bloom (false negative)")
@@ -423,7 +423,7 @@ class ExpressionSpec extends AnyFunSuite {
       .collect().forall(r => r.getBoolean(1) == r.getBoolean(2))
     assert(composed)
     val nullIn = spark.range(1).select(GraftFunctions.bloomLongsContainAny(
-      lit(null).cast("array<bigint>"), bits, 4).as("r")).collect()(0)
+      lit(null).cast("array<bigint>"), bloom).as("r")).collect()(0)
     assert(nullIn.isNullAt(0), "null array must yield null, not false")
   }
 }
