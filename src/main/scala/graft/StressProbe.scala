@@ -91,6 +91,64 @@ object StressProbe {
     timeNoop("asof_hotkey_bucketed")(
       TemporalJoins.asofJoinBucketed(leftHot, rightHot, Seq("k"), "t", "t",
         Seq("tag"), bucketSpanSeconds = 3600L))
+    // PageRank slope: a synthetic 10M-edge / 1M-node graph (hash-mixed
+    // endpoints — connected, skewed in/out degrees like a real link
+    // graph). q_link_rank's sf0.1 graph is 1.17M edges; this is ~10×,
+    // so ~linear wall growth is the pass signal for the O(E)/iteration
+    // claim.
+    val bigEdges = spark.range(10000000L).selectExpr(
+      "pmod(xxhash64(id), 1000000L) AS src",
+      "pmod(xxhash64(id + 77L), 1000000L) AS dst")
+      .filter(col("src") =!= col("dst"))
+    locally {
+      val reg = new graft.operators.CacheRegistry
+      val t0 = System.nanoTime()
+      graft.operators.Graph.pageRankFixed(bigEdges, iters = 3, registry = reg)
+        .write.mode("overwrite").format("noop").save()
+      println(f"[stress] pagerank_10m_edges_3it: ${(System.nanoTime() - t0) / 1e9}%.1fs")
+      reg.releaseAll()
+    }
+    // Bloom vs sorted-set probe throughput over the 50k-doc corpus:
+    // same gram stream, same contamination decision shape — the bloom
+    // rides ~12 bits/gram vs the sorted set's 64, and the probe is
+    // O(k) bit tests vs O(log E) cache-missing binary search.
+    locally {
+      val evalSide = big.filter(pmod(col("doc_id"), lit(10)) === 0)
+      val trainSide = big.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+      val grams = graft.operators.Decontaminate.collectEvalGrams(evalSide, w = 6)
+      println(s"[stress] eval grams: ${grams.length} " +
+        s"(sorted ${grams.length * 8 / 1024} KiB)")
+      val bloom = graft.operators.Decontaminate.bloomBits(grams)
+      println(s"[stress] bloom bits: ${bloom.bits.length * 8 / 1024} KiB")
+      time("decon_probe_sorted") {
+        trainSide.filter(graft.operators.Decontaminate
+          .contaminationFlag(col("text"), grams, w = 6)).count()
+      }
+      time("decon_probe_bloom") {
+        trainSide.filter(graft.operators.Decontaminate
+          .bloomCandidateFlag(col("text"), bloom, w = 6)).count()
+      }
+    }
+    // Group-top-k on HOT groups: 20M rows over 8 groups. The window
+    // form must sort a 2.5M-row partition per group; the bounded-heap
+    // aggregate keeps 10 entries per (partition, group) and combines
+    // map-side — the shuffle carries ~8x10 rows total.
+    locally {
+      val hot = spark.range(20000000L).selectExpr("pmod(id, 8L) AS g",
+        "CAST(pmod(xxhash64(id), 1000000L) AS DOUBLE) AS score", "id AS rid")
+      timeNoop("group_topk_heap_20m") {
+        hot.groupBy("g")
+          .agg(graft.plans.GraftFunctions.topKByScore(
+            col("score"), col("rid"), 10).as("top"))
+          .select(col("g"), explode(col("top")).as("e"))
+      }
+      timeNoop("group_topk_window_20m") {
+        hot.withColumn("rn",
+            row_number().over(org.apache.spark.sql.expressions.Window
+              .partitionBy("g").orderBy(col("score").desc, col("rid"))))
+          .filter(col("rn") <= 10)
+      }
+    }
     spark.stop()
   }
 }
