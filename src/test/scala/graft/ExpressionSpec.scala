@@ -383,6 +383,58 @@ class ExpressionSpec extends AnyFunSuite {
     } finally spark.catalog.dropTempView("tk_in")
   }
 
+  test("TopKHeap: random offers == sort-take reference; merge-order invariant") {
+    val rnd = new scala.util.Random(13)
+    for (trial <- 0 until 30) {
+      val n = rnd.nextInt(200)
+      val k = 1 + rnd.nextInt(12)
+      // Small score domain → heavy ties; ids unique.
+      val items = (0 until n).map(i => (rnd.nextInt(8).toDouble, i.toLong))
+      val want = items.sortBy { case (s, id) => (-s, id) }.take(k)
+      def drain(h: graft.plans.TopKHeap) =
+        (0 until h.size).map(i => (h.scores(i), h.ids(i)))
+          .sortBy { case (s, id) => (-s, id) }
+      val direct = new graft.plans.TopKHeap(k)
+      items.foreach { case (s, id) => direct.offer(s, id) }
+      assert(drain(direct) == want, s"trial=$trial direct")
+      // Partition into random chunks, heap each, merge in shuffled
+      // order — the keep-set must not depend on merge order.
+      val chunks = rnd.shuffle(items).grouped(1 + rnd.nextInt(20)).toSeq
+      val merged = new graft.plans.TopKHeap(k)
+      rnd.shuffle(chunks).foreach { c =>
+        val h = new graft.plans.TopKHeap(k)
+        c.foreach { case (s, id) => h.offer(s, id) }
+        (0 until h.size).foreach(i => merged.offer(h.scores(i), h.ids(i)))
+      }
+      assert(drain(merged) == want, s"trial=$trial merged")
+    }
+  }
+
+  test("TopKByScore serialize/deserialize roundtrips the heap state") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val agg = graft.plans.TopKByScore(Literal(1.0), Literal(1L), 5)
+    val h = new graft.plans.TopKHeap(5)
+    Seq((3.5, 1L), (2.0, 2L), (3.5, 0L), (9.9, 7L), (1.0, 4L), (8.8, 5L))
+      .foreach { case (s, id) => h.offer(s, id) }
+    val back = agg.deserialize(agg.serialize(h))
+    def drain(x: graft.plans.TopKHeap) =
+      (0 until x.size).map(i => (x.scores(i), x.ids(i))).sorted
+    assert(drain(back) == drain(h))
+    val empty = agg.deserialize(agg.serialize(new graft.plans.TopKHeap(5)))
+    assert(empty.size == 0)
+  }
+
+  test("bloom filter: no false negatives across the parameter grid") {
+    import graft.plans.ExprHelpers
+    val rnd = new scala.util.Random(99)
+    for (bpk <- Seq(1, 8, 24); k <- Seq(1, 4, 9); n <- Seq(3, 2000)) {
+      val keys = Array.fill(n)(rnd.nextLong())
+      val bits = ExprHelpers.bloomBuild(keys, bpk, k)
+      keys.foreach(x => assert(ExprHelpers.bloomHit(x, bits, k),
+        s"false negative at bpk=$bpk k=$k n=$n"))
+    }
+  }
+
   test("bloom filter: no false negatives, bounded false positives") {
     import graft.plans.ExprHelpers
     val rnd = new scala.util.Random(42)
