@@ -3479,6 +3479,93 @@ object Queries {
     FROM dev JOIN mad USING (event_type)
     GROUP BY 1 ORDER BY event_type"""))
 
+  /** Time-series gap fill (resampling): per-user DAILY purchase counts
+    * with explicit zeros for silent days inside each user's own
+    * [first, last] activity span — the densification every
+    * forecasting/feature pipeline needs before a rolling window, done
+    * without a calendar dimension table: the day spine EXPLODES from a
+    * per-key sequence() (bounded by that key's span, map-local after a
+    * key-partitioned min/max) and left-joins the sparse counts on the
+    * same key — co-partitioned, no corpus-wide calendar product.
+    * Integer counts ⇒ exact cross-engine. */
+  private val qGapFill = Q(
+    "q_gap_fill",
+    (s, d) => {
+      val ev = t(s, d, "events").select(col("user_id"),
+        to_date(col("ts")).as("day"), col("event_type"))
+      val spine = ev.groupBy("user_id")
+        .agg(min("day").as("d0"), max("day").as("d1"))
+        .select(col("user_id"),
+          explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy("user_id", "day").agg(count(lit(1)).as("n"))
+      spine.join(purchases, Seq("user_id", "day"), "left")
+        .select(col("user_id"), col("day"),
+          coalesce(col("n"), lit(0L)).as("n_purchases"))
+        .orderBy("user_id", "day")
+    },
+    Some("""WITH e AS (
+      SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, event_type
+      FROM events),
+    span AS (SELECT user_id, min(day) AS d0, max(day) AS d1
+             FROM e GROUP BY 1),
+    days AS (SELECT user_id,
+               CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+                 CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+             FROM span),
+    p AS (SELECT user_id, day, count(*) AS n FROM e
+          WHERE event_type = 'purchase' GROUP BY 1, 2)
+    SELECT days.user_id, days.day,
+      CAST(COALESCE(p.n, 0) AS BIGINT) AS n_purchases
+    FROM days LEFT JOIN p USING (user_id, day)
+    ORDER BY user_id, day"""))
+
+  /** Cohort retention matrix — the other half of product analytics
+    * next to q_funnel: users cohorted by FIRST active ISO week, the
+    * (cohort, week-offset) cells counting distinct active users, plus
+    * the retention ratio against the offset-0 cohort size. Everything
+    * is one distinct (user, week) exchange reused by both the cohort
+    * assignment (min per user, same key) and the activity stream; the
+    * matrix itself is weeks² rows. Integer day arithmetic for the
+    * offset, floor-rounded ratio — exact cross-engine. */
+  private val qRetention = Q(
+    "q_retention",
+    (s, d) => {
+      val ev = t(s, d, "events").select(col("user_id"),
+        to_date(date_trunc("week", col("ts"))).as("wk")).distinct()
+      val cohorts = ev.groupBy("user_id").agg(min("wk").as("cohort"))
+      val joined = ev.join(cohorts, "user_id")
+        .select(col("cohort"),
+          expr("CAST(datediff(wk, cohort) div 7 AS BIGINT)").as("offset_weeks"))
+      val counts = joined.groupBy("cohort", "offset_weeks")
+        .agg(count(lit(1)).as("n_active"))
+      val sizes = counts.filter(col("offset_weeks") === 0)
+        .select(col("cohort"), col("n_active").as("cohort_size"))
+      counts.join(sizes, "cohort")
+        .select(col("cohort"), col("offset_weeks"), col("n_active"),
+          col("cohort_size"),
+          TextAnalysis.roundStable(
+            col("n_active") / col("cohort_size"), 4).as("retention"))
+        .orderBy("cohort", "offset_weeks")
+    },
+    Some("""WITH e AS (
+      SELECT DISTINCT user_id,
+        CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS wk
+      FROM events),
+    c AS (SELECT user_id, min(wk) AS cohort FROM e GROUP BY 1),
+    j AS (SELECT c.cohort,
+            date_diff('day', c.cohort, e.wk) // 7 AS offset_weeks
+          FROM e JOIN c USING (user_id)),
+    n AS (SELECT cohort, offset_weeks, count(*) AS n_active
+          FROM j GROUP BY 1, 2),
+    s AS (SELECT cohort, n_active AS cohort_size FROM n
+          WHERE offset_weeks = 0)
+    SELECT n.cohort, CAST(n.offset_weeks AS BIGINT) AS offset_weeks,
+      n.n_active, s.cohort_size,
+      floor((n.n_active / s.cohort_size) * 10000.0 + 0.5) / 10000.0
+        AS retention
+    FROM n JOIN s USING (cohort) ORDER BY cohort, offset_weeks"""))
+
   // ---------------------------------------------------------------------
 
   val all: Seq[Q] = Seq(
@@ -3508,7 +3595,7 @@ object Queries {
     qIncrementalDedup, qQuantizeEmbed, qJoinFull, qPercentileNorm,
     qAnnQuantized, qBigramLogprob,
     qGroupTopk, qBloomDecontaminate, qLinkRank, qFunnel, qEventPairs,
-    qUpsertLatest, qChunk, qMadOutlier)
+    qUpsertLatest, qChunk, qMadOutlier, qGapFill, qRetention)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -435,6 +435,22 @@ class PlanSpec extends AnyFunSuite {
       s"CDC compaction must not sort every version per key:\n$p")
   }
 
+  test("q_gap_fill: day spine explodes per key — no calendar product") {
+    val p = plan("q_gap_fill")
+    assert(p.contains("Generate explode"), s"expected the day-spine explode:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"densification must stay a co-keyed equi-join:\n$p")
+  }
+
+  test("q_retention: cohort assignment and activity share the week stream") {
+    val p = plan("q_retention")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the matrix must come from equi-joins:\n$p")
+    // The (user, week) distinct is the only corpus-sized exchange;
+    // everything after is users- or weeks-sized.
+    assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"), p)
+  }
+
   test("q_chunk: chunking is map-only — one scan, no join, no agg exchange") {
     val p = plan("q_chunk")
     assert(!p.contains("Join"), s"chunking must not join:\n$p")
