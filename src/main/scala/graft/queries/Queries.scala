@@ -3523,25 +3523,31 @@ object Queries {
   /** Cohort retention matrix — the other half of product analytics
     * next to q_funnel: users cohorted by FIRST active ISO week, the
     * (cohort, week-offset) cells counting distinct active users, plus
-    * the retention ratio against the offset-0 cohort size. Everything
-    * is one distinct (user, week) exchange reused by both the cohort
-    * assignment (min per user, same key) and the activity stream; the
-    * matrix itself is weeks² rows. Integer day arithmetic for the
-    * offset, floor-rounded ratio — exact cross-engine. */
+    * the retention ratio against the offset-0 cohort size. ONE corpus
+    * exchange total: per-user distinct weeks collect into a bounded
+    * set (≤52/year — the state bound), the cohort is a ROW-LOCAL
+    * array_min over that set (no second aggregation, no join back),
+    * and the matrix aggregate map-side-combines users x weeks rows
+    * down to weeks² cells. The matrix persists so the offset-0 size
+    * column doesn't re-derive the corpus subtree (the join-back form
+    * scanned events 4x). Integer day arithmetic for the offset,
+    * floor-rounded ratio — exact cross-engine. */
   private val qRetention = Q(
     "q_retention",
     (s, d) => {
-      val ev = t(s, d, "events").select(col("user_id"),
-        to_date(date_trunc("week", col("ts"))).as("wk")).distinct()
-      val cohorts = ev.groupBy("user_id").agg(min("wk").as("cohort"))
-      val joined = ev.join(cohorts, "user_id")
+      val sets = t(s, d, "events")
+        .select(col("user_id"), to_date(date_trunc("week", col("ts"))).as("wk"))
+        .groupBy("user_id").agg(collect_set("wk").as("wks"))
+      val joined = sets
+        .select(array_min(col("wks")).as("cohort"), explode(col("wks")).as("wk"))
         .select(col("cohort"),
           expr("CAST(datediff(wk, cohort) div 7 AS BIGINT)").as("offset_weeks"))
-      val counts = joined.groupBy("cohort", "offset_weeks")
-        .agg(count(lit(1)).as("n_active"))
+      val counts = graft.operators.CacheRegistry.global.track(
+        joined.groupBy("cohort", "offset_weeks")
+          .agg(count(lit(1)).as("n_active")).persist())
       val sizes = counts.filter(col("offset_weeks") === 0)
         .select(col("cohort"), col("n_active").as("cohort_size"))
-      counts.join(sizes, "cohort")
+      counts.join(broadcast(sizes), "cohort")
         .select(col("cohort"), col("offset_weeks"), col("n_active"),
           col("cohort_size"),
           TextAnalysis.roundStable(

@@ -442,13 +442,23 @@ class PlanSpec extends AnyFunSuite {
       s"densification must stay a co-keyed equi-join:\n$p")
   }
 
-  test("q_retention: cohort assignment and activity share the week stream") {
-    val p = plan("q_retention")
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
-      s"the matrix must come from equi-joins:\n$p")
-    // The (user, week) distinct is the only corpus-sized exchange;
-    // everything after is users- or weeks-sized.
-    assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"), p)
+  test("q_retention: one corpus scan, row-local cohort, cached matrix") {
+    try {
+      val p = plan("q_retention")
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"the matrix must come from equi-joins:\n$p")
+      // BOTH matrix consumers (cells + offset-0 sizes) read the
+      // persisted matrix — the cache builds from one events scan, so
+      // two InMemoryTableScan nodes IS the one-scan proof. (A textual
+      // FileScan count would lie here: each InMemoryTableScan prints
+      // its cached subtree, events scan included.)
+      val cacheReads = p.linesIterator.count(_.contains("InMemoryTableScan"))
+      assert(cacheReads >= 2,
+        s"both matrix consumers must read the cache, found $cacheReads:\n$p")
+      // And the cohort is row-local (array_min over the per-user set),
+      // not a join back to a second aggregation.
+      assert(p.contains("array_min"), s"expected the row-local cohort:\n$p")
+    } finally graft.operators.CacheRegistry.global.releaseAll()
   }
 
   test("q_chunk: chunking is map-only — one scan, no join, no agg exchange") {

@@ -39,11 +39,15 @@ object LinkRankProbe {
     val ord = spark.read.parquet(s"$dir/orders.parquet")
       .select(col("o_orderkey"), col("o_custkey"))
     time("warm scans")(li.count() + ord.count())
+    // Tag-bit node encoding, kept in lockstep with q_link_rank —
+    // an additive offset collides once the supplier key space
+    // outgrows it.
     val pairs = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
       .select(col("l_suppkey").as("sk"), col("o_custkey").as("ck")).distinct()
     val edges = pairs
-      .select(col("sk").as("src"), (col("ck") + 1000000L).as("dst"))
-      .union(pairs.select((col("ck") + 1000000L).as("src"), col("sk").as("dst")))
+      .select((col("sk") * 2L).as("src"), (col("ck") * 2L + 1L).as("dst"))
+      .union(pairs.select((col("ck") * 2L + 1L).as("src"),
+        (col("sk") * 2L).as("dst")))
     val nEdges = time("edge build (count)")(edges.count())
     println(s"[probe] edges=$nEdges")
     // Fixed-part breakdown (mirrors pageRankFixed's internals).
