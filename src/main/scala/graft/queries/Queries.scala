@@ -3572,6 +3572,278 @@ object Queries {
         AS retention
     FROM n JOIN s USING (cohort) ORDER BY cohort, offset_weeks"""))
 
+  /** Running DISTINCT count over an ordered stream — the window form
+    * Spark has no built-in for (COUNT(DISTINCT) OVER is unsupported):
+    * decomposed into first-occurrence flags + a running sum, the
+    * standard O(1)-state rewrite. Both windows partition by user_id,
+    * so the whole query is ONE exchange and two in-partition sorts —
+    * no per-row distinct set is materialized anywhere (the naive
+    * collect_set-over-frame form carries a growing array per row).
+    * The first-occurrence flag comes from a (type, ts) ordering — the
+    * earliest event of each (user, type) — and the running sum
+    * re-sorts by event time. Integer output ⇒ exact cross-engine. */
+  private val qRunningDistinct = Q(
+    "q_running_distinct",
+    (s, d) => {
+      val ev = t(s, d, "events")
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      val wType = Window.partitionBy("user_id")
+        .orderBy(col("event_type").asc, col("ts").asc, col("event_id").asc)
+      val wTime = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val prev = lag(col("event_type"), 1).over(wType)
+      ev.withColumn("is_first",
+          when(prev.isNull || prev =!= col("event_type"), 1L).otherwise(0L))
+        .withColumn("n_types_so_far", sum(col("is_first")).over(wTime))
+        .select("user_id", "event_id", "event_type", "n_types_so_far")
+        .orderBy("user_id", "event_id")
+    },
+    Some("""WITH e AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+      FROM events),
+    f AS (SELECT user_id, event_id, ts, event_type,
+        CASE WHEN lag(event_type) OVER (PARTITION BY user_id
+            ORDER BY event_type, ts, event_id)
+          IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS is_first
+      FROM e)
+    SELECT user_id, event_id, event_type,
+      CAST(sum(is_first) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        AS n_types_so_far
+    FROM f ORDER BY user_id, event_id"""))
+
+  /** Markov transition matrix over per-user event sequences (the
+    * next-event model behind session recommendation and anomaly
+    * scoring): lead() pairs each event with its successor in ONE
+    * user-partitioned window pass, the (from, to) counts collapse to a
+    * vocabulary² table (map-side combined), and the row-normalizing
+    * marginal rides a window sum over that tiny table — no join back,
+    * no second corpus pass. The probability is a ratio of exact
+    * integers, floor-rounded identically on both engines. */
+  private val qTransition = Q(
+    "q_transition",
+    (s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val counts = t(s, d, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("to_type", lead(col("event_type"), 1).over(w))
+        .filter(col("to_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+      counts
+        .withColumn("n_from",
+          sum(col("n")).over(Window.partitionBy("from_type")))
+        .select(col("from_type"), col("to_type"), col("n"), col("n_from"),
+          TextAnalysis.roundStable(col("n") / col("n_from"), 6).as("p"))
+        .orderBy("from_type", "to_type")
+    },
+    Some("""WITH e AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type
+      FROM events),
+    pr AS (SELECT event_type AS from_type,
+        lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+          AS to_type
+      FROM e),
+    c AS (SELECT from_type, to_type, count(*) AS n FROM pr
+          WHERE to_type IS NOT NULL GROUP BY 1, 2)
+    SELECT from_type, to_type, n,
+      CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT) AS n_from,
+      floor((n / CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT))
+        * 1000000.0 + 0.5) / 1000000.0 AS p
+    FROM c ORDER BY from_type, to_type"""))
+
+  /** RFM segmentation (recency / frequency / monetary quintiles — the
+    * classic customer-scoring pass): per-customer metrics reduce in
+    * one groupBy (monetary summed in DECIMAL so the double is
+    * bit-identical cross-engine, the q_window_running rule), the
+    * corpus max-date and the three quintile threshold vectors are
+    * SINGLE-ROW aggregates broadcast back, and the binning itself is
+    * map-only comparisons — the big table never shuffles again after
+    * the one per-customer aggregation. Exact percentile keeps the
+    * oracle honest (≡ quantile_cont, the q_quantile precedent); at
+    * corpus scale swap approx_percentile in for the threshold pass —
+    * the plan shape (tiny broadcast thresholds, map-only bin) is the
+    * part that must survive. Bins are ascending (1 = lowest quintile);
+    * presentation-layer score flips (recency: low = good) are left to
+    * the caller. */
+  private val qRfm = Q(
+    "q_rfm",
+    (s, d) => {
+      val o = t(s, d, "orders").select(col("o_custkey"),
+        to_date(col("o_orderdate")).as("day"), col("o_totalprice"))
+      val m = graft.operators.CacheRegistry.global.track(
+        o.groupBy("o_custkey").agg(
+          max("day").as("d_last"),
+          count(lit(1)).as("frequency"),
+          sum(col("o_totalprice").cast("decimal(18,6)")).as("mon"))
+          .persist())
+      val dmax = m.agg(max("d_last").as("d_max"))
+      val met = m.crossJoin(broadcast(dmax))
+        .select(col("o_custkey"),
+          datediff(col("d_max"), col("d_last")).cast("long").as("recency_days"),
+          col("frequency"), col("mon").cast("double").as("monetary"))
+      val th = met.agg(
+        expr("percentile(recency_days, array(0.2D, 0.4D, 0.6D, 0.8D))").as("rt"),
+        expr("percentile(frequency, array(0.2D, 0.4D, 0.6D, 0.8D))").as("ft"),
+        expr("percentile(monetary, array(0.2D, 0.4D, 0.6D, 0.8D))").as("mt"))
+      def bin(v: Column, thr: Column): Column =
+        lit(1L) + (v > element_at(thr, 1)).cast("long") +
+          (v > element_at(thr, 2)).cast("long") +
+          (v > element_at(thr, 3)).cast("long") +
+          (v > element_at(thr, 4)).cast("long")
+      met.crossJoin(broadcast(th))
+        .select(col("o_custkey"), col("recency_days"), col("frequency"),
+          col("monetary"),
+          bin(col("recency_days"), col("rt")).as("r_bin"),
+          bin(col("frequency"), col("ft")).as("f_bin"),
+          bin(col("monetary"), col("mt")).as("m_bin"))
+        .orderBy("o_custkey")
+    },
+    Some("""WITH o AS (
+      SELECT o_custkey, CAST(o_orderdate AS DATE) AS day, o_totalprice
+      FROM orders),
+    m AS (SELECT o_custkey, max(day) AS d_last, count(*) AS frequency,
+            CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+              AS monetary
+          FROM o GROUP BY 1),
+    mx AS (SELECT max(d_last) AS d_max FROM m),
+    met AS (SELECT o_custkey,
+            CAST(date_diff('day', d_last, mx.d_max) AS BIGINT)
+              AS recency_days,
+            frequency, monetary
+          FROM m CROSS JOIN mx),
+    th AS (SELECT quantile_cont(recency_days, [0.2, 0.4, 0.6, 0.8]) AS rt,
+                  quantile_cont(frequency, [0.2, 0.4, 0.6, 0.8]) AS ft,
+                  quantile_cont(monetary, [0.2, 0.4, 0.6, 0.8]) AS mt
+           FROM met)
+    SELECT o_custkey, recency_days, frequency, monetary,
+      CAST(1 + CAST(recency_days > rt[1] AS INT)
+             + CAST(recency_days > rt[2] AS INT)
+             + CAST(recency_days > rt[3] AS INT)
+             + CAST(recency_days > rt[4] AS INT) AS BIGINT) AS r_bin,
+      CAST(1 + CAST(frequency > ft[1] AS INT)
+             + CAST(frequency > ft[2] AS INT)
+             + CAST(frequency > ft[3] AS INT)
+             + CAST(frequency > ft[4] AS INT) AS BIGINT) AS f_bin,
+      CAST(1 + CAST(monetary > mt[1] AS INT)
+             + CAST(monetary > mt[2] AS INT)
+             + CAST(monetary > mt[3] AS INT)
+             + CAST(monetary > mt[4] AS INT) AS BIGINT) AS m_bin
+    FROM met CROSS JOIN th ORDER BY o_custkey"""))
+
+  /** Duplicate-cluster size histogram over a NORMALIZED content key
+    * (sorted distinct token set — catches reordered/repeated-word
+    * twins that byte-exact md5 misses; this corpus has token-set
+    * clusters up to ~29 docs while being byte-exact-unique): the
+    * aggregate-of-aggregates shape — per-key sizes reduce the corpus
+    * to |clusters| rows, the histogram reduces that to a handful, and
+    * the corpus-fraction denominator is a window sum over the
+    * HISTOGRAM (a few rows — no second corpus pass, no broadcast
+    * round-trip). The normalized key is row-local string work; only
+    * the 32-byte digest enters the exchange. */
+  private val qClusterSizes = Q(
+    "q_cluster_sizes",
+    (s, d) => {
+      val key = md5(concat_ws(" ",
+        sort_array(array_distinct(split(col("text"), " ")))))
+      val hist = t(s, d, "documents")
+        .groupBy(key.as("h")).agg(count(lit(1)).as("cluster_size"))
+        .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+        .withColumn("n_docs", col("cluster_size") * col("n_clusters"))
+      hist
+        .withColumn("total", sum(col("n_docs")).over(Window.partitionBy()))
+        .select(col("cluster_size"), col("n_clusters"), col("n_docs"),
+          TextAnalysis.roundStable(col("n_docs") / col("total"), 6)
+            .as("corpus_frac"))
+        .orderBy("cluster_size")
+    },
+    Some("""WITH c AS (
+      SELECT md5(array_to_string(
+               list_sort(list_distinct(string_split(text, ' '))), ' ')) AS h,
+             count(*) AS cluster_size
+      FROM documents GROUP BY 1),
+    h AS (SELECT cluster_size, count(*) AS n_clusters FROM c GROUP BY 1)
+    SELECT cluster_size, n_clusters,
+      cluster_size * n_clusters AS n_docs,
+      floor(((cluster_size * n_clusters)
+          / CAST(sum(cluster_size * n_clusters) OVER () AS BIGINT))
+        * 1000000.0 + 0.5) / 1000000.0 AS corpus_frac
+    FROM h ORDER BY cluster_size"""))
+
+  /** Rolling median (7-observation window) of daily event counts — the
+    * robust trend line time-series monitoring wants where a rolling
+    * MEAN is spike-dragged. Spark has no median-over-window: the
+    * bounded ROWS frame makes the collect_list legitimate — ≤7
+    * elements per row, sorted and interpolated ROW-LOCALLY (even
+    * frames average the middle two, ≡ quantile_cont ties). The corpus
+    * collapses to |types|×|days| rows in the daily aggregate first;
+    * the window partitions by event_type (vocabulary-sized — same
+    * contract as q_vocab_topk's pinned single-partition window).
+    * Integer counts ⇒ the .5 halves are exact in both engines. */
+  private val qRollingMedian = Q(
+    "q_rolling_median",
+    (s, d) => {
+      val w = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(-6, 0)
+      t(s, d, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("a", sort_array(collect_list(col("n")).over(w)))
+        .select(col("event_type"), col("day"), col("n"),
+          when(size(col("a")) % 2 === 1,
+            element_at(col("a"), expr("CAST((size(a) + 1) div 2 AS INT)"))
+              .cast("double"))
+            .otherwise(
+              (element_at(col("a"), expr("CAST(size(a) div 2 AS INT)")) +
+                element_at(col("a"), expr("CAST(size(a) div 2 + 1 AS INT)")))
+                / 2.0)
+            .as("med7"))
+        .orderBy("event_type", "day")
+    },
+    Some("""WITH e AS (
+      SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+      FROM events),
+    dc AS (SELECT event_type, day, count(*) AS n FROM e GROUP BY 1, 2)
+    SELECT event_type, day, n,
+      CAST(median(n) OVER (PARTITION BY event_type ORDER BY day
+        ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS med7
+    FROM dc ORDER BY event_type, day"""))
+
+  /** Activity streaks — gaps-and-islands (the pattern behind "longest
+    * run of consecutive active days"): distinct (user, day) rows get a
+    * per-user row_number in day order, and `day - rn` is CONSTANT
+    * within a consecutive run — the island anchor. Two aggregations on
+    * (user, anchor) then user. All exchanges carry (user, day)-sized
+    * rows; the window and both groupBys cluster by user_id so AQE
+    * coalesces the tiny tail. Integer/date arithmetic only ⇒ exact. */
+  private val qStreak = Q(
+    "q_streak",
+    (s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("day")
+      t(s, d, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+        .withColumn("anchor", date_sub(col("day"), row_number().over(w)))
+        .groupBy("user_id", "anchor").agg(count(lit(1)).as("len"))
+        .groupBy("user_id").agg(
+          sum("len").as("n_active_days"),
+          max("len").as("longest_streak"),
+          count(lit(1)).as("n_streaks"))
+        .orderBy("user_id")
+    },
+    Some("""WITH d AS (
+      SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+      FROM events),
+    g AS (SELECT user_id, day,
+        day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day)
+          AS INT) AS anchor
+      FROM d),
+    st AS (SELECT user_id, anchor, count(*) AS len FROM g GROUP BY 1, 2)
+    SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days,
+      max(len) AS longest_streak, count(*) AS n_streaks
+    FROM st GROUP BY 1 ORDER BY user_id"""))
+
   // ---------------------------------------------------------------------
 
   val all: Seq[Q] = Seq(
@@ -3601,7 +3873,9 @@ object Queries {
     qIncrementalDedup, qQuantizeEmbed, qJoinFull, qPercentileNorm,
     qAnnQuantized, qBigramLogprob,
     qGroupTopk, qBloomDecontaminate, qLinkRank, qFunnel, qEventPairs,
-    qUpsertLatest, qChunk, qMadOutlier, qGapFill, qRetention)
+    qUpsertLatest, qChunk, qMadOutlier, qGapFill, qRetention,
+    qRunningDistinct, qTransition, qRfm, qClusterSizes, qRollingMedian,
+    qStreak)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

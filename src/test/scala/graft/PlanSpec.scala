@@ -471,4 +471,87 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges <= 1,
       s"only the output ordering may exchange, found $exchanges:\n$p")
   }
+
+  test("q_running_distinct: both windows share ONE user exchange") {
+    // The COUNT(DISTINCT) OVER rewrite only beats the naive
+    // set-per-row form if the flag window and the running-sum window
+    // cluster on the same key: one hash exchange, two in-partition
+    // sorts. A second hashpartitioning means the (user, type) flag
+    // window stopped riding the user_id clustering.
+    val p = plan("q_running_distinct")
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1,
+      s"flag + running-sum windows must share one exchange, found $exchanges:\n$p")
+    assert(!p.contains("Join"), s"no join belongs in this rewrite:\n$p")
+  }
+
+  test("q_transition: marginal window runs over the vocab² aggregate, not the corpus") {
+    // The row-normalizing sum must consume the (from, to) count table
+    // (vocabulary² rows, post-aggregate) — a corpus-cardinality input
+    // to that window means the no-join-back shortcut regressed.
+    val p = plan("q_transition")
+    assert(!p.contains("Join"), s"marginals must not join back:\n$p")
+    val scans = p.linesIterator.count(_.contains("FileScan parquet"))
+    assert(scans == 1, s"events must be scanned once, found $scans:\n$p")
+    assert(p.contains("partial_count"),
+      s"pair counts must combine map-side before their exchange:\n$p")
+  }
+
+  test("q_rfm: thresholds broadcast back; the fact side shuffles once") {
+    try {
+      val p = plan("q_rfm")
+      // Single-row max-date and threshold vectors arrive via broadcast
+      // (nested-loop on a 1-row side is the broadcast scalar pattern).
+      assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+        s"thresholds must broadcast:\n$p")
+      assert(!p.contains("SortMergeJoin"),
+        s"nothing in RFM justifies a sort-merge join:\n$p")
+      // One per-customer aggregation is the only fact-side hash
+      // exchange; binning afterwards is map-only over the cached rows.
+      assert(p.contains("InMemoryTableScan"),
+        s"threshold pass and bin pass must reuse the cached per-customer table:\n$p")
+    } finally graft.operators.CacheRegistry.global.releaseAll()
+  }
+
+  test("q_cluster_sizes: only digests shuffle; denominator window is histogram-sized") {
+    val df = Queries.queries("q_cluster_sizes")(spark, dir)
+    val bad = shuffledStringArrays(df)
+    // The md5 digest (32-char string) is the ONLY string allowed into
+    // an exchange — text and token arrays must be reduced scan-side.
+    val nonDigest = bad.filterNot(_.output.forall(a =>
+      a.name == "h" || !(a.dataType ==
+        org.apache.spark.sql.types.StringType ||
+        a.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])))
+    assert(nonDigest.isEmpty,
+      s"q_cluster_sizes shuffles text/arrays:\n${nonDigest.mkString("\n")}")
+    val p = df.queryExecution.executedPlan.toString
+    val single = p.linesIterator.filter(_.contains("SinglePartition")).toSeq
+    assert(single.nonEmpty, s"expected the histogram-total window:\n$p")
+    assert(!single.exists(_.contains("text")),
+      s"corpus rows entered the single-partition window:\n$p")
+  }
+
+  test("q_rolling_median: bounded ROWS frame over the daily aggregate") {
+    val p = plan("q_rolling_median")
+    // The collect_list is legitimate ONLY because the frame is ≤7
+    // rows: pin the bounded frame (-6, currentrow) so an unbounded
+    // frame regression (growing per-row state) can't slip in.
+    assert(p.contains("-6") && p.toLowerCase.contains("currentrow"),
+      s"expected the bounded 7-row frame:\n$p")
+    assert(p.contains("partial_count"),
+      s"daily counts must combine map-side before the window:\n$p")
+    assert(!p.contains("Join"), s"no join belongs here:\n$p")
+  }
+
+  test("q_streak: islands via window arithmetic — no join, user-clustered exchanges") {
+    val p = plan("q_streak")
+    assert(!p.contains("Join"),
+      s"gaps-and-islands must not self-join:\n$p")
+    val scans = p.linesIterator.count(_.contains("FileScan parquet"))
+    assert(scans == 1, s"events must be scanned once, found $scans:\n$p")
+    // Every hash exchange carries (user, day)-grade rows — no text,
+    // no arrays.
+    val bad = shuffledStringArrays(Queries.queries("q_streak")(spark, dir))
+    assert(bad.isEmpty, s"q_streak shuffles wide rows:\n${bad.mkString("\n")}")
+  }
 }
