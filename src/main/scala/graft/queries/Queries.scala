@@ -3844,6 +3844,138 @@ object Queries {
       max(len) AS longest_streak, count(*) AS n_streaks
     FROM st GROUP BY 1 ORDER BY user_id"""))
 
+  /** Trailing rolling statistics (the lag-feature pass of feature
+    * engineering): strictly-PRECEDING 10-event mean/std/z-score per
+    * user — the 1-PRECEDING upper bound keeps the current point out of
+    * its own baseline (no target leakage). EXACT cross-engine parity
+    * for a windowed variance: both moments accumulate in DECIMAL
+    * (order-independent, the q_window_running rule — v and v² are
+    * doubles identical in both engines before quantization), and
+    * every downstream double op (mean, sum-of-squares variance, sqrt,
+    * z) is the SAME IEEE expression tree on both sides, so the
+    * outputs are bit-identical with no rounding needed. One user
+    * exchange; O(1) running state per row (Spark's frame sum adds/
+    * subtracts decimals at the frame edges — no per-row rescan). The
+    * greatest(…, 0) clamps catastrophic-cancellation negatives. */
+  private val qRollingStats = Q(
+    "q_rolling_stats",
+    (s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+        .rowsBetween(-10, -1)
+      t(s, d, "events")
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+        .withColumn("n_w", count(col("value")).over(w))
+        .withColumn("s1",
+          sum(col("value").cast("decimal(18,6)")).over(w).cast("double"))
+        .withColumn("s2",
+          sum((col("value") * col("value")).cast("decimal(28,12)")).over(w)
+            .cast("double"))
+        .filter(col("n_w") >= 2)
+        .withColumn("mean10", col("s1") / col("n_w"))
+        .withColumn("std10",
+          sqrt(greatest(
+            (col("s2") - col("s1") * col("s1") / col("n_w"))
+              / (col("n_w") - 1),
+            lit(0.0))))
+        .select(col("user_id"), col("event_id"), col("value"),
+          col("mean10"), col("std10"),
+          when(col("std10") > 0,
+            (col("value") - col("mean10")) / col("std10")).as("z"))
+        .orderBy("user_id", "event_id")
+    },
+    Some("""WITH e AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value
+      FROM events),
+    f AS (SELECT user_id, event_id, value,
+        count(value) OVER w AS n_w,
+        CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS s1,
+        CAST(sum(CAST(value * value AS DECIMAL(28,12))) OVER w AS DOUBLE)
+          AS s2
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)),
+    g AS (SELECT user_id, event_id, value, n_w,
+        s1 / n_w AS mean10,
+        sqrt(greatest((s2 - s1 * s1 / n_w) / (n_w - 1), 0.0)) AS std10
+      FROM f WHERE n_w >= 2)
+    SELECT user_id, event_id, value, mean10, std10,
+      CASE WHEN std10 > 0 THEN (value - mean10) / std10 END AS z
+    FROM g ORDER BY user_id, event_id"""))
+
+  /** Keep-best canonical dedup — the APPLY step after cluster
+    * discovery (q_cluster_sizes finds the clusters; this picks the
+    * survivor): within each normalized token-set cluster the longest
+    * doc wins (doc_id tiebreak), via DECLARATIVE max_by over a
+    * (n_chars, −doc_id) struct — map-side combined, one candidate per
+    * cluster per partition enters the exchange, never a corpus-wide
+    * window sort (the q_upsert_latest rule). The per-doc verdict joins
+    * back on the 32-byte digest — both sides pre-projected to
+    * (digest, scalars), so no text ever shuffles; the canonical table
+    * this builds is exactly what a production dedup pass persists. */
+  private val qDedupKeepBest = Q(
+    "q_dedup_keep_best",
+    (s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          md5(concat_ws(" ",
+            sort_array(array_distinct(split(col("text"), " "))))).as("h"))
+      val canon = docs.groupBy("h").agg(
+        max_by(col("doc_id"), struct(col("n_chars"), -col("doc_id")))
+          .as("canonical_id"),
+        count(lit(1)).as("cluster_n"))
+      docs.join(canon, "h")
+        .select(col("doc_id"), col("canonical_id"), col("cluster_n"),
+          (col("doc_id") === col("canonical_id")).cast("long").as("is_kept"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH k AS (
+      SELECT doc_id, n_chars,
+        md5(array_to_string(
+          list_sort(list_distinct(string_split(text, ' '))), ' ')) AS h
+      FROM documents),
+    c AS (SELECT h, doc_id,
+        row_number() OVER (PARTITION BY h
+          ORDER BY n_chars DESC, doc_id ASC) AS rn,
+        count(*) OVER (PARTITION BY h) AS cluster_n
+      FROM k),
+    canon AS (SELECT h, doc_id AS canonical_id, cluster_n
+              FROM c WHERE rn = 1)
+    SELECT k.doc_id, canon.canonical_id, canon.cluster_n,
+      CAST(CASE WHEN k.doc_id = canon.canonical_id THEN 1 ELSE 0 END
+        AS BIGINT) AS is_kept
+    FROM k JOIN canon USING (h) ORDER BY k.doc_id"""))
+
+  /** Day-of-week seasonality profile (the calendar fingerprint behind
+    * staffing/capacity and anomaly baselines): daily counts reduce the
+    * corpus to |types|×|days| first, then fold onto ISO weekday — an
+    * aggregate-of-aggregates, both layers map-side combined; nothing
+    * after the first reduction touches corpus cardinality. Weekday
+    * numbering aligned explicitly: Spark weekday() is Monday=0, so +1
+    * ≡ DuckDB isodow (Monday=1) — the classic silent cross-engine
+    * calendar mismatch, pinned here. Integer-ratio average rides the
+    * shared floor rounding. */
+  private val qWeekdayProfile = Q(
+    "q_weekday_profile",
+    (s, d) => t(s, d, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("event_type"),
+        (expr("weekday(day)") + 1).cast("long").as("dow"))
+      .agg(sum("n").as("n_events"), count(lit(1)).as("n_days"),
+        TextAnalysis.roundStable(
+          sum(col("n")) / count(lit(1)), 4).as("avg_per_day"))
+      .orderBy("event_type", "dow"),
+    Some("""WITH e AS (
+      SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+      FROM events),
+    dc AS (SELECT event_type, day, count(*) AS n FROM e GROUP BY 1, 2)
+    SELECT event_type, CAST(isodow(day) AS BIGINT) AS dow,
+      CAST(sum(n) AS BIGINT) AS n_events, count(*) AS n_days,
+      floor((CAST(sum(n) AS BIGINT) / count(*)) * 10000.0 + 0.5) / 10000.0
+        AS avg_per_day
+    FROM dc GROUP BY 1, 2 ORDER BY event_type, dow"""))
+
   // ---------------------------------------------------------------------
 
   val all: Seq[Q] = Seq(
@@ -3875,7 +4007,7 @@ object Queries {
     qGroupTopk, qBloomDecontaminate, qLinkRank, qFunnel, qEventPairs,
     qUpsertLatest, qChunk, qMadOutlier, qGapFill, qRetention,
     qRunningDistinct, qTransition, qRfm, qClusterSizes, qRollingMedian,
-    qStreak)
+    qStreak, qRollingStats, qDedupKeepBest, qWeekdayProfile)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -554,4 +554,42 @@ class PlanSpec extends AnyFunSuite {
     val bad = shuffledStringArrays(Queries.queries("q_streak")(spark, dir))
     assert(bad.isEmpty, s"q_streak shuffles wide rows:\n${bad.mkString("\n")}")
   }
+
+  test("q_rolling_stats: one user exchange, strictly-trailing bounded frame") {
+    val p = plan("q_rolling_stats")
+    assert(!p.contains("Join"), s"lag features must not join:\n$p")
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1,
+      s"all three moment windows must share one exchange, found $exchanges:\n$p")
+    // The no-leakage contract in plan form: the frame ends at
+    // 1 PRECEDING (upper bound -1), never at currentrow.
+    assert(p.contains("-10") && p.contains("-1"),
+      s"expected the strictly-trailing (-10, -1) frame:\n$p")
+  }
+
+  test("q_dedup_keep_best: declarative max_by canonical pick, digest-only shuffles") {
+    val p = plan("q_dedup_keep_best")
+    assert(p.contains("partial_max_by"),
+      s"canonical pick must combine map-side before the exchange:\n$p")
+    assert(!p.contains("Window"),
+      s"keep-best must not window-sort the corpus:\n$p")
+    // Text never shuffles: every exchange's only string column is the
+    // 32-byte digest h.
+    val bad = shuffledStringArrays(Queries.queries("q_dedup_keep_best")(spark, dir))
+    val nonDigest = bad.filterNot(_.output.forall(a =>
+      a.name == "h" || !(a.dataType ==
+        org.apache.spark.sql.types.StringType ||
+        a.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])))
+    assert(nonDigest.isEmpty,
+      s"q_dedup_keep_best shuffles text/arrays:\n${nonDigest.mkString("\n")}")
+  }
+
+  test("q_weekday_profile: aggregate-of-aggregates, one scan, both layers combine map-side") {
+    val p = plan("q_weekday_profile")
+    assert(!p.contains("Join"), s"no join belongs here:\n$p")
+    val scans = p.linesIterator.count(_.contains("FileScan parquet"))
+    assert(scans == 1, s"events must be scanned once, found $scans:\n$p")
+    assert(p.contains("partial_count") && p.contains("partial_sum"),
+      s"both aggregation layers must combine map-side:\n$p")
+  }
 }
