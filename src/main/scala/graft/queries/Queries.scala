@@ -3976,6 +3976,99 @@ object Queries {
         AS avg_per_day
     FROM dc GROUP BY 1, 2 ORDER BY event_type, dow"""))
 
+  /** Column profiling (the audit every ingest runs before trusting a
+    * table): row count, null count and exact distinct count for five
+    * representative lineitem columns, computed in ONE aggregate pass
+    * (Catalyst plans multi-COUNT(DISTINCT) as a single Expand — one
+    * scan, not five) and reshaped row-per-column with stack(), the
+    * UNPIVOT operator the inventory otherwise lacks. At corpus scale
+    * the exact distincts swap for approx_count_distinct
+    * (q_approx_distinct is the sketch twin); the one-scan + unpivot
+    * shape is the part that survives. Integer outputs ⇒ exact. */
+  private val qNullProfile = Q(
+    "q_null_profile",
+    (s, d) => t(s, d, "lineitem")
+      .agg(
+        count(lit(1)).as("nr"),
+        sum(col("l_quantity").isNull.cast("long")).as("nn_qty"),
+        countDistinct(col("l_quantity")).as("nd_qty"),
+        sum(col("l_discount").isNull.cast("long")).as("nn_disc"),
+        countDistinct(col("l_discount")).as("nd_disc"),
+        sum(col("l_returnflag").isNull.cast("long")).as("nn_rf"),
+        countDistinct(col("l_returnflag")).as("nd_rf"),
+        sum(col("l_shipdate").isNull.cast("long")).as("nn_sd"),
+        countDistinct(col("l_shipdate")).as("nd_sd"),
+        sum(col("l_partkey").isNull.cast("long")).as("nn_pk"),
+        countDistinct(col("l_partkey")).as("nd_pk"))
+      .select(expr("""stack(5,
+          'l_discount',   nr, nn_disc, nd_disc,
+          'l_partkey',    nr, nn_pk,   nd_pk,
+          'l_quantity',   nr, nn_qty,  nd_qty,
+          'l_returnflag', nr, nn_rf,   nd_rf,
+          'l_shipdate',   nr, nn_sd,   nd_sd)
+        AS (column_name, n_rows, n_null, n_distinct)"""))
+      .orderBy("column_name"),
+    Some("""WITH a AS (SELECT count(*) AS nr,
+        sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS nn_qty,
+        count(DISTINCT l_quantity) AS nd_qty,
+        sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS nn_disc,
+        count(DISTINCT l_discount) AS nd_disc,
+        sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS nn_rf,
+        count(DISTINCT l_returnflag) AS nd_rf,
+        sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS nn_sd,
+        count(DISTINCT l_shipdate) AS nd_sd,
+        sum(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END) AS nn_pk,
+        count(DISTINCT l_partkey) AS nd_pk
+      FROM lineitem)
+    SELECT * FROM (
+      SELECT 'l_discount' AS column_name, nr AS n_rows,
+        CAST(nn_disc AS BIGINT) AS n_null, nd_disc AS n_distinct FROM a
+      UNION ALL SELECT 'l_partkey', nr, CAST(nn_pk AS BIGINT), nd_pk FROM a
+      UNION ALL SELECT 'l_quantity', nr, CAST(nn_qty AS BIGINT), nd_qty FROM a
+      UNION ALL SELECT 'l_returnflag', nr, CAST(nn_rf AS BIGINT), nd_rf FROM a
+      UNION ALL SELECT 'l_shipdate', nr, CAST(nn_sd AS BIGINT), nd_sd FROM a)
+    ORDER BY column_name"""))
+
+  /** Key-skew audit — the measurement pass BEFORE choosing a join
+    * strategy (q_skew_join is the mitigation; this is the detector
+    * that tells you to salt): per-key counts reduce the fact table to
+    * |keys| rows, then one summary row — hottest-key multiple of the
+    * mean, p99/p50 count ratio, hot share of all rows. Exact
+    * percentile over the per-key counts (≡ quantile_cont, the
+    * q_quantile precedent; approx_percentile is the corpus-scale
+    * swap). All ratios are identical IEEE expressions over exact
+    * integers, floor-rounded on both sides. */
+  private val qKeySkew = Q(
+    "q_key_skew",
+    (s, d) => t(s, d, "lineitem")
+      .groupBy("l_partkey").agg(count(lit(1)).as("cnt"))
+      .agg(
+        count(lit(1)).as("n_keys"),
+        sum("cnt").as("n_rows"),
+        max("cnt").as("max_cnt"),
+        expr("percentile(cnt, 0.5D)").as("p50"),
+        expr("percentile(cnt, 0.99D)").as("p99"))
+      .select(col("n_keys"), col("n_rows"), col("max_cnt"),
+        TextAnalysis.roundStable(
+          col("max_cnt") / (col("n_rows") / col("n_keys")), 4)
+          .as("hot_multiple"),
+        TextAnalysis.roundStable(col("p99") / col("p50"), 4)
+          .as("p99_p50"),
+        TextAnalysis.roundStable(col("max_cnt") / col("n_rows"), 6)
+          .as("hot_share")),
+    Some("""WITH c AS (SELECT l_partkey, count(*) AS cnt
+            FROM lineitem GROUP BY 1),
+    a AS (SELECT count(*) AS n_keys, CAST(sum(cnt) AS BIGINT) AS n_rows,
+        max(cnt) AS max_cnt,
+        quantile_cont(cnt, 0.5) AS p50, quantile_cont(cnt, 0.99) AS p99
+      FROM c)
+    SELECT n_keys, n_rows, max_cnt,
+      floor((max_cnt / (n_rows / n_keys)) * 10000.0 + 0.5) / 10000.0
+        AS hot_multiple,
+      floor((p99 / p50) * 10000.0 + 0.5) / 10000.0 AS p99_p50,
+      floor((max_cnt / n_rows) * 1000000.0 + 0.5) / 1000000.0 AS hot_share
+    FROM a"""))
+
   // ---------------------------------------------------------------------
 
   val all: Seq[Q] = Seq(
@@ -4007,7 +4100,8 @@ object Queries {
     qGroupTopk, qBloomDecontaminate, qLinkRank, qFunnel, qEventPairs,
     qUpsertLatest, qChunk, qMadOutlier, qGapFill, qRetention,
     qRunningDistinct, qTransition, qRfm, qClusterSizes, qRollingMedian,
-    qStreak, qRollingStats, qDedupKeepBest, qWeekdayProfile)
+    qStreak, qRollingStats, qDedupKeepBest, qWeekdayProfile,
+    qNullProfile, qKeySkew)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

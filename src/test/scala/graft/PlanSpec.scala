@@ -592,4 +592,25 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_count") && p.contains("partial_sum"),
       s"both aggregation layers must combine map-side:\n$p")
   }
+
+  test("q_null_profile: five columns profile in ONE scan via Expand, then unpivot") {
+    val p = plan("q_null_profile")
+    val scans = p.linesIterator.count(_.contains("FileScan parquet"))
+    assert(scans == 1,
+      s"multi-COUNT(DISTINCT) must plan as one Expand pass over one scan, found $scans:\n$p")
+    assert(p.contains("Expand"),
+      s"expected the multi-distinct Expand:\n$p")
+    assert(p.contains("Generate stack") || p.contains("stack("),
+      s"expected the stack() unpivot:\n$p")
+    assert(!p.contains("Join"), s"profiling must not join:\n$p")
+  }
+
+  test("q_key_skew: per-key counts combine map-side; summary is one tiny row") {
+    val p = plan("q_key_skew")
+    assert(!p.contains("Join"), s"no join belongs here:\n$p")
+    val scans = p.linesIterator.count(_.contains("FileScan parquet"))
+    assert(scans == 1, s"lineitem must be scanned once, found $scans:\n$p")
+    assert(p.contains("partial_count"),
+      s"per-key counts must combine map-side before the exchange:\n$p")
+  }
 }
