@@ -213,6 +213,67 @@ object Dedup {
       threshold)
   }
 
+  /** Prefix-filtering set-similarity self-join (the AllPairs / PPJoin
+    * family — Bayardo et al. WWW'07, Xiao et al. WWW'08): the
+    * EXACT-RECALL alternative to MinHash banding. Under one global
+    * canonical gram order (document frequency ascending, gram hash
+    * tiebreak — rarest first), any pair with Jaccard ≥ tNum/tDen must
+    * share a gram inside both docs' first p = n − ⌈t·n⌉ + 1 grams.
+    * Proof: J ≥ t ⇒ overlap ≥ t·|union| ≥ t·n ⇒ overlap ≥ ⌈t·n⌉
+    * (integer); at most n − overlap ≤ n − ⌈t·n⌉ non-shared grams can
+    * precede the globally-smallest shared gram within either doc, so
+    * that gram sits at position ≤ p in BOTH prefixes. So only
+    * prefixes (~(1−t) of each doc's grams) enter the candidate join —
+    * no signature computation at all, recall exact by construction —
+    * and the shared exact-Jaccard refine decides.
+    *
+    * The threshold is a RATIONAL (tNum/tDen) so the prefix length is
+    * exact integer arithmetic — ⌈t·n⌉ as (tNum·n + tDen − 1) div tDen
+    * — immune to the 0.8·5 → 4.0000000000000002 float-ceil trap that
+    * would silently shorten prefixes and lose recall.
+    *
+    * Scale shape: gram df is one hash-keyed count over gram longs;
+    * the per-doc rank-and-slice is one doc-keyed agg whose sort_array
+    * is row-local over that doc's own grams; candidate generation
+    * explodes PREFIXES only, with single-holder grams (df = 1)
+    * dropped from the probe stream AFTER positions are fixed (so
+    * prefixes stay correct — a df-1 gram can never produce a pair);
+    * the refine moves candidate id pairs only. Hot-gram skew risk is
+    * structurally smaller than the exact pipeline's: stopword-run
+    * grams have the highest df, which the rarest-first order pushes
+    * OUT of prefixes. */
+  def prefixFilterPairs(docs: DataFrame, w: Int = 5,
+                        tNum: Int = 4, tDen: Int = 5,
+                        registry: CacheRegistry = CacheRegistry.global): DataFrame = {
+    require(w >= 1 && tNum > 0 && tDen >= tNum,
+      s"need w >= 1 and 0 < tNum/tDen <= 1, got w=$w t=$tNum/$tDen")
+    // Persisted: the prefix build and both refine sides read the
+    // per-doc gram arrays.
+    val grams = registry.track(docs.select(col("doc_id"),
+      graft.plans.GraftFunctions.wordGramHashesDistinct(
+        lower(col("text")), w).as("d"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val exploded = grams.select(col("doc_id"), explode(col("d")).as("s"))
+    val dfTab = exploded.groupBy("s").agg(count(lit(1)).as("df"))
+    val prefix = exploded.join(dfTab, "s")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("df"), col("s")))).as("g"))
+      .select(col("doc_id"),
+        expr(s"slice(g, 1, size(g) - (($tNum * size(g) + $tDen - 1) div $tDen) + 1)")
+          .as("p"))
+      .select(col("doc_id"), explode(col("p")).as("e"))
+      .select(col("doc_id"), col("e.s").as("s"), col("e.df").as("df"))
+      .filter(col("df") >= 2)
+    val candidates = prefix.as("a").join(prefix.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .distinct()
+    refineJoin(candidates,
+      grams.select(col("doc_id").as("i"), col("d").as("di")),
+      grams.select(col("doc_id").as("j"), col("d").as("dj")),
+      tNum.toDouble / tDen)
+  }
+
   /** The refine join itself, shared by [[jaccardRefinePairs]] and the
     * incremental forms: candidates (i, j) meet the two gram-array
     * sides and the TRUE Jaccard decides. Only candidate ids shuffle to

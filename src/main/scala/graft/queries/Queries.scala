@@ -4069,6 +4069,45 @@ object Queries {
       floor((max_cnt / n_rows) * 1000000.0 + 0.5) / 1000000.0 AS hot_share
     FROM a"""))
 
+  /** Prefix-filtering near-dup pairs — q_near_dup's EXACT twin by a
+    * DIFFERENT algorithm (AllPairs/PPJoin prefix filtering,
+    * Dedup.prefixFilterPairs, instead of the full gram self-join):
+    * same oracle, same result set, recall exact by the
+    * prefix-filtering principle (proof in the operator scaladoc). The
+    * inventory carries both because they trade differently at 100 TB:
+    * prefix filtering joins only each doc's ~(1−t) RAREST grams (no
+    * signature computation, exactness by construction, stopword-run
+    * hot grams pushed out of prefixes by the rarest-first order),
+    * while MinHash banding bounds candidate volume independently of
+    * df skew but pays signatures and probabilistic recall. The 4/5
+    * rational threshold keeps prefix lengths exact integer math. */
+  private val qPrefixJoin = Q(
+    "q_prefix_join",
+    (s, d) => Dedup.prefixFilterPairs(t(s, d, "documents"), w = 5)
+      .orderBy("i", "j"),
+    Some("""WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id,
+        unnest(CASE WHEN len(t) >= 5
+          THEN list_transform(range(1, len(t) - 3),
+            i -> array_to_string(t[i:i+4], ' '))
+          ELSE []::VARCHAR[] END) AS s
+      FROM toks),
+    card AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY 1),
+    com AS (
+      SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS com
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT i, j,
+      floor(com * 1.0 / (ca.c + cb.c - com) * 1000000.0 + 0.5) / 1000000.0
+        AS jaccard
+    FROM com
+    JOIN card ca ON ca.doc_id = i
+    JOIN card cb ON cb.doc_id = j
+    WHERE com * 1.0 / (ca.c + cb.c - com) >= 0.8
+    ORDER BY i, j"""))
+
   // ---------------------------------------------------------------------
 
   val all: Seq[Q] = Seq(
@@ -4101,7 +4140,7 @@ object Queries {
     qUpsertLatest, qChunk, qMadOutlier, qGapFill, qRetention,
     qRunningDistinct, qTransition, qRfm, qClusterSizes, qRollingMedian,
     qStreak, qRollingStats, qDedupKeepBest, qWeekdayProfile,
-    qNullProfile, qKeySkew)
+    qNullProfile, qKeySkew, qPrefixJoin)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -358,6 +358,38 @@ class DedupSpec extends AnyFunSuite {
     } finally reg.releaseAll()
   }
 
+  test("prefixFilterPairs equals the exact pair set, values included") {
+    // The prefix-filtering principle promises EXACT recall (smallest
+    // shared gram sits in both prefixes — proof in the scaladoc) and
+    // the refine is exact precision — so the result must equal
+    // jaccardPairs bit-for-bit, jaccard values included. Checked on
+    // the corpus (planted near-dups) AND on a crafted fixture where
+    // prefixes are as short as possible (sets of 5 grams → prefix 2).
+    val reg = new graft.operators.CacheRegistry
+    try {
+      val exact = Dedup.jaccardPairs(docs, w = 5, threshold = 0.8,
+          registry = reg).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val pf = Dedup.prefixFilterPairs(docs, w = 5, registry = reg)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(exact.nonEmpty, "corpus must contain planted near-dups")
+      assert(pf == exact,
+        s"prefix != exact: extra=${(pf -- exact).take(3)} " +
+          s"missing=${(exact -- pf).take(3)}")
+      // Crafted: identical 9-word docs (5 grams, prefix length 2) and
+      // a disjoint decoy — the twin must survive, the decoy must not.
+      import spark.implicits._
+      val crafted = Seq(
+        (1L, "a b c d e f g h i"),
+        (2L, "a b c d e f g h i"),
+        (3L, "q r s t u v w x y")).toDF("doc_id", "text")
+      val got = Dedup.prefixFilterPairs(crafted, w = 5, registry = reg)
+        .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(got.toSet == Set((1L, 2L)), s"crafted case got ${got.toSet}")
+    } finally reg.releaseAll()
+  }
+
   test("minhash clusters absorb every exact-Jaccard cluster (q_minhash_cluster contract)") {
     // The end-to-end LSH dedup decision must never split a true
     // near-dup cluster: for every exact Jaccard >= 0.8 pair, both docs

@@ -605,6 +605,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"profiling must not join:\n$p")
   }
 
+  test("q_prefix_join: candidates meet on gram equality only, grams stay cached") {
+    try {
+      val p = plan("q_prefix_join")
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"prefix filtering must stay equi-join only:\n$p")
+      assert(!p.contains("Window"),
+        s"no window sort belongs in the prefix pipeline:\n$p")
+      // The per-doc gram arrays are persisted once and read by the
+      // prefix build and both refine sides.
+      assert(p.contains("InMemoryTableScan"),
+        s"gram arrays must be cached, not re-derived per consumer:\n$p")
+    } finally graft.operators.CacheRegistry.global.releaseAll()
+  }
+
   test("q_key_skew: per-key counts combine map-side; summary is one tiny row") {
     val p = plan("q_key_skew")
     assert(!p.contains("Join"), s"no join belongs here:\n$p")
