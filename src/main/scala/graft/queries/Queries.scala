@@ -4108,6 +4108,298 @@ object Queries {
     WHERE com * 1.0 / (ca.c + cb.c - com) >= 0.8
     ORDER BY i, j"""))
 
+  /** BM25 top-3 terms per document — the retrieval scoring function a
+    * RAG corpus is indexed under (q_tfidf is the naive twin; BM25 adds
+    * tf saturation (k1=1.2) and length normalization (b=0.75), the
+    * form every production lexical index uses). Same shuffle shape as
+    * q_tfidf: tf groupBy (doc,tok) and df groupBy tok are both
+    * map-side combined; the corpus-wide scalars (N, avgdl) ride a
+    * broadcast single-row crossJoin, so the only per-row joins are the
+    * tok-keyed df join and a doc-bounded top-3 window. Ranking is by
+    * the ROUNDED score (the q_tfidf precedent — keeps the rank
+    * comparison clear of cross-engine ulp noise), term tiebreak.
+    * Every arithmetic step is written with identical association on
+    * both sides (left-assoc a*b/c), constants as decimal literals. */
+  private val qBm25 = Q(
+    "q_bm25",
+    (s, d) => {
+      val toks = t(s, d, "documents").select(col("doc_id"),
+        explode(split(lower(col("text")), " ")).as("tok"))
+      val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+      val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      val stats = dl.agg(count(lit(1)).as("n"), sum("dl").as("tottok"))
+      val idf = log(lit(1.0) + (col("n") - col("df") + lit(0.5)) /
+        (col("df") + lit(0.5)))
+      val score = TextAnalysis.roundStable(
+        idf * (col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) *
+            (lit(0.25) + lit(0.75) * col("dl") / (col("tottok") / col("n")))),
+        6)
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("score").desc, col("tok").asc)
+      tf.join(dl, "doc_id").join(dfreq, "tok")
+        .crossJoin(broadcast(stats))
+        .withColumn("score", score)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("doc_id"), col("tok").as("term"),
+          col("tf"), col("df"), col("score"))
+        .orderBy("doc_id", "term")
+    },
+    Some("""WITH toks AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+      FROM documents),
+    tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+    dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+    dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+    stats AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS tottok
+      FROM dl),
+    scored AS (
+      SELECT t.doc_id, t.tok, t.tf, f.df,
+        floor(ln(1.0 + (s.n - f.df + 0.5) / (f.df + 0.5))
+            * (t.tf * 2.2)
+            / (t.tf + 1.2 * (0.25 + 0.75 * l.dl / (s.tottok / s.n)))
+          * 1000000.0 + 0.5) / 1000000.0 AS score
+      FROM tf t JOIN dl l USING (doc_id) JOIN dfreq f USING (tok), stats s),
+    top AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY score DESC, tok ASC) AS rn
+      FROM scored)
+    SELECT doc_id, tok AS term, CAST(tf AS BIGINT) AS tf,
+      CAST(df AS BIGINT) AS df, score
+    FROM top WHERE rn <= 3 ORDER BY doc_id, term"""))
+
+  /** Daily OHLC bars per event type — the time-bucket open/high/low/
+    * close aggregate every metrics store materializes. Open/close are
+    * position-picked by two opposite-order row_number windows over the
+    * SAME (event_type, day) partition (one Exchange, two sorts — no
+    * tuple-arg_min dependence), high/low/n by plain min/max/count in a
+    * groupBy on the same keys, so the whole query rides ONE hash
+    * partitioning. No double is ever summed — every output is an
+    * exact pick from an input row or an integer count, so parity is
+    * bit-exact with no rounding at all. At 100 TB the day key bounds
+    * partition width and the window frame never buffers more than a
+    * partition-local sort run. */
+  private val qOhlc = Q(
+    "q_ohlc",
+    (s, d) => {
+      val e = t(s, d, "events")
+        .select(col("event_type"), to_date(col("ts")).as("day"),
+          col("ts"), col("event_id"), col("value"))
+      val wAsc = Window.partitionBy("event_type", "day")
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val wDesc = Window.partitionBy("event_type", "day")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      e.withColumn("ra", row_number().over(wAsc))
+        .withColumn("rd", row_number().over(wDesc))
+        .groupBy("event_type", "day")
+        .agg(
+          max(when(col("ra") === 1, col("value"))).as("open"),
+          max(col("value")).as("high"),
+          min(col("value")).as("low"),
+          max(when(col("rd") === 1, col("value"))).as("close"),
+          count(lit(1)).as("n_events"))
+        .orderBy("event_type", "day")
+    },
+    Some("""WITH e AS (
+      SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        CAST(ts AS TIMESTAMP) AS tts, event_id, value
+      FROM events),
+    r AS (SELECT *,
+        row_number() OVER (PARTITION BY event_type, day
+          ORDER BY tts ASC, event_id ASC) AS ra,
+        row_number() OVER (PARTITION BY event_type, day
+          ORDER BY tts DESC, event_id DESC) AS rd
+      FROM e)
+    SELECT event_type, day,
+      max(CASE WHEN ra = 1 THEN value END) AS open,
+      max(value) AS high, min(value) AS low,
+      max(CASE WHEN rd = 1 THEN value END) AS close,
+      count(*) AS n_events
+    FROM r GROUP BY 1, 2 ORDER BY event_type, day"""))
+
+  /** Lag-1 / lag-7 autocorrelation of each event type's daily-count
+    * series — the seasonality detector behind anomaly alerting (a high
+    * r7 says "weekly cycle", a high r1 says "trend"). Pearson r is
+    * assembled from INTEGER power sums (k, Σx, Σy, Σxy, Σx², Σy² over
+    * the lag-aligned pairs — all exact BIGINT, order-independent), so
+    * the only floating-point steps are the final two sqrt's and one
+    * division, written identically on both sides: exact cross-engine
+    * parity without trusting either engine's corr() merge order. The
+    * two lag windows share ONE (event_type ORDER BY day) sort; the
+    * series itself is day-level (bounded — the corpus reduces to
+    * |types|×|days| rows before any window runs). Constant series
+    * (zero variance) yield NULL via a 0-denominator guard. */
+  private val qAutocorr = Q(
+    "q_autocorr",
+    (s, d) => {
+      val daily = t(s, d, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+      val lagged = daily
+        .withColumn("l1", lag(col("n"), 1).over(w))
+        .withColumn("l7", lag(col("n"), 7).over(w))
+      def r(x: Column, y: Column, k: Column,
+            sx: Column, sy: Column, sxy: Column,
+            sxx: Column, syy: Column): Column = {
+        val num = (k * sxy - sx * sy).cast("double")
+        val va = (k * sxx - sx * sx).cast("double")
+        val vb = (k * syy - sy * sy).cast("double")
+        TextAnalysis.roundStable(
+          when(va > 0 && vb > 0, num / (sqrt(va) * sqrt(vb))), 4)
+      }
+      lagged.groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n_days"),
+          count(col("l1")).as("k1"),
+          sum(when(col("l1").isNotNull, col("n"))).as("sx1"),
+          sum(col("l1")).as("sy1"),
+          sum(col("n") * col("l1")).as("sxy1"),
+          sum(when(col("l1").isNotNull, col("n") * col("n"))).as("sxx1"),
+          sum(col("l1") * col("l1")).as("syy1"),
+          count(col("l7")).as("k7"),
+          sum(when(col("l7").isNotNull, col("n"))).as("sx7"),
+          sum(col("l7")).as("sy7"),
+          sum(col("n") * col("l7")).as("sxy7"),
+          sum(when(col("l7").isNotNull, col("n") * col("n"))).as("sxx7"),
+          sum(col("l7") * col("l7")).as("syy7"))
+        .select(col("event_type"), col("n_days"),
+          r(col("n"), col("l1"), col("k1"), col("sx1"), col("sy1"),
+            col("sxy1"), col("sxx1"), col("syy1")).as("r1"),
+          r(col("n"), col("l7"), col("k7"), col("sx7"), col("sy7"),
+            col("sxy7"), col("sxx7"), col("syy7")).as("r7"))
+        .orderBy("event_type")
+    },
+    Some("""WITH daily AS (
+      SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        count(*) AS n
+      FROM events GROUP BY 1, 2),
+    lagged AS (SELECT event_type, n,
+        lag(n, 1) OVER (PARTITION BY event_type ORDER BY day) AS l1,
+        lag(n, 7) OVER (PARTITION BY event_type ORDER BY day) AS l7
+      FROM daily),
+    s AS (SELECT event_type, count(*) AS n_days,
+        count(l1) AS k1,
+        CAST(sum(CASE WHEN l1 IS NOT NULL THEN n END) AS BIGINT) AS sx1,
+        CAST(sum(l1) AS BIGINT) AS sy1,
+        CAST(sum(n * l1) AS BIGINT) AS sxy1,
+        CAST(sum(CASE WHEN l1 IS NOT NULL THEN n * n END) AS BIGINT) AS sxx1,
+        CAST(sum(l1 * l1) AS BIGINT) AS syy1,
+        count(l7) AS k7,
+        CAST(sum(CASE WHEN l7 IS NOT NULL THEN n END) AS BIGINT) AS sx7,
+        CAST(sum(l7) AS BIGINT) AS sy7,
+        CAST(sum(n * l7) AS BIGINT) AS sxy7,
+        CAST(sum(CASE WHEN l7 IS NOT NULL THEN n * n END) AS BIGINT) AS sxx7,
+        CAST(sum(l7 * l7) AS BIGINT) AS syy7
+      FROM lagged GROUP BY 1)
+    SELECT event_type, n_days,
+      CASE WHEN (k1 * sxx1 - sx1 * sx1) > 0 AND (k1 * syy1 - sy1 * sy1) > 0
+        THEN floor(CAST(k1 * sxy1 - sx1 * sy1 AS DOUBLE)
+          / (sqrt(CAST(k1 * sxx1 - sx1 * sx1 AS DOUBLE))
+             * sqrt(CAST(k1 * syy1 - sy1 * sy1 AS DOUBLE)))
+          * 10000.0 + 0.5) / 10000.0 END AS r1,
+      CASE WHEN (k7 * sxx7 - sx7 * sx7) > 0 AND (k7 * syy7 - sy7 * sy7) > 0
+        THEN floor(CAST(k7 * sxy7 - sx7 * sy7 AS DOUBLE)
+          / (sqrt(CAST(k7 * sxx7 - sx7 * sx7 AS DOUBLE))
+             * sqrt(CAST(k7 * syy7 - sy7 * sy7 AS DOUBLE)))
+          * 10000.0 + 0.5) / 10000.0 END AS r7
+    FROM s ORDER BY event_type"""))
+
+  /** Chi-square independence audit of the lang × source contingency
+    * table — the "is my language mix uniform across sources?" check a
+    * corpus curator runs before mixing. The full grid (including
+    * structural zeros — a crossJoin of the two BOUNDED dims, both
+    * broadcast) is left-joined against observed cell counts; expected
+    * counts and per-cell chi-square contributions are assembled from
+    * exact integer marginals via window sums over the vocab-sized cell
+    * table, with the identical (o−e)·(o−e)/e expression on both
+    * sides. One corpus scan; everything after the first groupBy is
+    * dimension-sized. */
+  private val qChiSquare = Q(
+    "q_chi_square",
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      val cells = docs.groupBy("lang", "source").agg(count(lit(1)).as("o"))
+      val langs = docs.select("lang").distinct()
+      val sources = docs.select("source").distinct()
+      val grid = broadcast(langs).crossJoin(broadcast(sources))
+        .join(cells, Seq("lang", "source"), "left")
+        .withColumn("o", coalesce(col("o"), lit(0L)))
+      val wl = Window.partitionBy("lang")
+      val ws = Window.partitionBy("source")
+      val wg = Window.partitionBy()
+      val e = (sum("o").over(wl) * sum("o").over(ws)).cast("double") /
+        sum("o").over(wg).cast("double")
+      grid.withColumn("e", e)
+        .select(col("lang"), col("source"), col("o"),
+          TextAnalysis.roundStable(col("e"), 4).as("expected"),
+          TextAnalysis.roundStable(
+            (col("o") - col("e")) * (col("o") - col("e")) / col("e"), 4)
+            .as("contrib"))
+        .orderBy("lang", "source")
+    },
+    Some("""WITH cells AS (
+      SELECT lang, source, count(*) AS o FROM documents GROUP BY 1, 2),
+    grid AS (
+      SELECT l.lang, s.source, COALESCE(c.o, 0) AS o
+      FROM (SELECT DISTINCT lang FROM documents) l
+      CROSS JOIN (SELECT DISTINCT source FROM documents) s
+      LEFT JOIN cells c ON c.lang = l.lang AND c.source = s.source),
+    m AS (SELECT lang, source, o,
+        CAST(sum(o) OVER (PARTITION BY lang)
+           * sum(o) OVER (PARTITION BY source) AS DOUBLE)
+          / CAST(sum(o) OVER () AS DOUBLE) AS e
+      FROM grid)
+    SELECT lang, source, CAST(o AS BIGINT) AS o,
+      floor(e * 10000.0 + 0.5) / 10000.0 AS expected,
+      floor((o - e) * (o - e) / e * 10000.0 + 0.5) / 10000.0 AS contrib
+    FROM m ORDER BY lang, source"""))
+
+  /** Per-user view→purchase conversion lag — the event-time funnel
+    * latency behind "median time to convert" dashboards (q_funnel
+    * counts the stages; this measures the gap). First-view is a
+    * full-partition min window over the user, first-purchase-after a
+    * groupBy on the SAME user key — Catalyst reuses one Exchange for
+    * both (the q_funnel precedent). The lag is integer microseconds
+    * floor-divided to whole seconds on both sides (no date_diff
+    * boundary-counting semantics to reconcile). Output is
+    * user-bounded, ordered by user_id. */
+  private val qConversionLag = Q(
+    "q_conversion_lag",
+    (s, d) => {
+      val wu = Window.partitionBy("user_id")
+      val e = t(s, d, "events")
+        .filter(col("event_type").isin("view", "purchase"))
+        .withColumn("fv",
+          min(when(col("event_type") === "view", col("ts"))).over(wu))
+      e.filter(col("event_type") === "purchase"
+          && col("fv").isNotNull && col("ts") > col("fv"))
+        .groupBy("user_id")
+        .agg(min(col("fv")).as("first_view"),
+          min(col("ts")).as("first_purchase"))
+        .select(col("user_id"), col("first_view"), col("first_purchase"),
+          ((unix_micros(col("first_purchase")) -
+            unix_micros(col("first_view"))) / lit(1000000L))
+            .cast("long").as("lag_sec"))
+        .orderBy("user_id")
+    },
+    Some("""WITH e AS (
+      SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS tts
+      FROM events WHERE event_type IN ('view', 'purchase')),
+    fv AS (SELECT user_id, min(tts) AS first_view
+      FROM e WHERE event_type = 'view' GROUP BY 1),
+    conv AS (
+      SELECT e.user_id, f.first_view, min(e.tts) AS first_purchase
+      FROM e JOIN fv f USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.tts > f.first_view
+      GROUP BY 1, 2)
+    SELECT user_id, first_view, first_purchase,
+      (epoch_us(first_purchase) - epoch_us(first_view)) // 1000000
+        AS lag_sec
+    FROM conv ORDER BY user_id"""))
+
   // ---------------------------------------------------------------------
 
   val all: Seq[Q] = Seq(
@@ -4140,7 +4432,8 @@ object Queries {
     qUpsertLatest, qChunk, qMadOutlier, qGapFill, qRetention,
     qRunningDistinct, qTransition, qRfm, qClusterSizes, qRollingMedian,
     qStreak, qRollingStats, qDedupKeepBest, qWeekdayProfile,
-    qNullProfile, qKeySkew, qPrefixJoin)
+    qNullProfile, qKeySkew, qPrefixJoin,
+    qBm25, qOhlc, qAutocorr, qChiSquare, qConversionLag)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

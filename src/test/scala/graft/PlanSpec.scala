@@ -627,4 +627,52 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_count"),
       s"per-key counts must combine map-side before the exchange:\n$p")
   }
+
+  test("q_bm25: corpus scalars broadcast; doc window bounded; tf/df combine map-side") {
+    val p = plan("q_bm25")
+    // N and avgdl ride a single-row broadcast — a SortMergeJoin here
+    // would mean the corpus shuffles against a 1-row table.
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"corpus stats must broadcast:\n$p")
+    assert(p.contains("partial_count"),
+      s"tf/df must combine map-side:\n$p")
+  }
+
+  test("q_ohlc: both pick windows and the bar aggregate share one day-key exchange") {
+    val p = plan("q_ohlc")
+    assert(!p.contains("Join"), s"no join belongs here:\n$p")
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1,
+      s"open/close windows + OHLC agg must ride ONE (type, day) exchange, found $exchanges:\n$p")
+    val scans = p.linesIterator.count(_.contains("FileScan parquet"))
+    assert(scans == 1, s"events must be scanned once, found $scans:\n$p")
+  }
+
+  test("q_autocorr: corpus reduces to daily counts before any window; no join") {
+    val p = plan("q_autocorr")
+    assert(!p.contains("Join"), s"power sums need no join:\n$p")
+    assert(p.contains("partial_count"),
+      s"daily counts must combine map-side before the first exchange:\n$p")
+    val scans = p.linesIterator.count(_.contains("FileScan parquet"))
+    assert(scans == 1, s"events must be scanned once, found $scans:\n$p")
+  }
+
+  test("q_chi_square: dims broadcast into the grid; no corpus-keyed sort-merge") {
+    val p = plan("q_chi_square")
+    assert(!p.contains("SortMergeJoin"),
+      s"the bounded lang×source grid must broadcast:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"expected broadcast dim joins:\n$p")
+  }
+
+  test("q_conversion_lag: first-view window and first-purchase agg share the user exchange") {
+    val p = plan("q_conversion_lag")
+    assert(!p.contains("Join"), s"single-pass form must not join:\n$p")
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1,
+      s"window + groupBy must share ONE user_id exchange, found $exchanges:\n$p")
+    // The admission filter reaches the scan.
+    assert(p.contains("PushedFilters: [") && p.contains("In(event_type"),
+      s"event_type filter must push to parquet:\n$p")
+  }
 }
