@@ -105,4 +105,81 @@ object Graph {
     }
     ranks
   }
+
+  /** Triangle census of an undirected graph — node/edge/wedge counts,
+    * the exact triangle count, and the global clustering coefficient
+    * 3·T/W (the "how clique-y is this graph" number behind community
+    * detection and link-spam audits).
+    *
+    * `edges` must hold each undirected edge ONCE as `(u: bigint,
+    * v: bigint)` with `u < v` and no self-loops (caller dedups).
+    *
+    * Algorithm: degree-ordered orientation (the compact-forward /
+    * node-iterator-core scheme; Schank & Wagner, "Finding, Counting
+    * and Listing all Triangles in Large Graphs", WEA 2005). Each edge
+    * is oriented from its lower endpoint to its higher endpoint in
+    * the total order (degree, node-id); a triangle {a,b,c} then has
+    * EXACTLY one node with two out-edges (its orientation-minimum),
+    * so counting (wedge at s) ⋈ (closing oriented edge) counts each
+    * triangle once — no ×6 overcount, no post-hoc distinct. The
+    * orientation is the scale lever: out-degree is bounded by
+    * O(√(2m)) regardless of how skewed the raw degree distribution
+    * is (a hub of degree 10⁶ contributes wedges only through its
+    * LOW-degree incident edges), so the wedge self-join — the only
+    * superlinear step — is Σ outdeg² ≤ m·√(2m) instead of Σ deg²,
+    * and every step is an equi-join (shuffle on node/pair keys, no
+    * cartesian anywhere). All outputs are exact integers; the one
+    * float (3·T/W) is a single rounded division. */
+  def triangleStats(edgesIn: DataFrame,
+                    registry: CacheRegistry = CacheRegistry.global)
+      : DataFrame = {
+    // The edge list feeds four consumers (degree table, orientation
+    // join, closing-edge probe, edge count) and the oriented form
+    // three — persist both or the caller's edge build re-executes per
+    // consumer. Both are (long, long[, long]) rows: cache bytes are
+    // O(m), tiny next to the wedge join they amortize.
+    val edges = registry.track(edgesIn
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val deg = edges.select(col("u").as("node"))
+      .unionByName(edges.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("dg"))
+    val e = edges
+      .join(deg.select(col("node").as("u"), col("dg").as("du")), "u")
+      .join(deg.select(col("node").as("v"), col("dg").as("dv")), "v")
+    val uFirst = (col("du") < col("dv")) ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    // Oriented edge (s → t) with t's degree carried so wedge pairs can
+    // re-derive the SAME total order without another deg join.
+    val eo = registry.track(e.select(
+      when(uFirst, col("u")).otherwise(col("v")).as("s"),
+      when(uFirst, col("v")).otherwise(col("u")).as("t"),
+      when(uFirst, col("dv")).otherwise(col("du")).as("tdg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val bFirst = (col("e1.tdg") < col("e2.tdg")) ||
+      (col("e1.tdg") === col("e2.tdg") && col("e1.t") < col("e2.t"))
+    // Each unordered out-neighbor pair {b, c} once (e1.t < e2.t), then
+    // normalized into orientation order — the closing edge {b, c} is
+    // stored oriented low→high in the same (deg, id) order, so the
+    // triangle probe is a plain equi-join on (b, c).
+    val wedges = eo.as("e1").join(eo.as("e2"),
+        col("e1.s") === col("e2.s") && col("e1.t") < col("e2.t"))
+      .select(
+        when(bFirst, col("e1.t")).otherwise(col("e2.t")).as("b"),
+        when(bFirst, col("e2.t")).otherwise(col("e1.t")).as("c"))
+    val tri = wedges.join(
+      eo.select(col("s").as("b"), col("t").as("c")), Seq("b", "c"))
+    // Single-row aggregates compose via broadcast crossJoin (the
+    // q_bigram_pmi precedent) — no driver-side action.
+    val nodeSide = deg.agg(count(lit(1)).as("n_nodes"),
+      expr("sum((dg * (dg - 1)) div 2)").as("n_wedges"))
+    val edgeSide = edges.agg(count(lit(1)).as("n_edges"))
+    val triSide = tri.agg(count(lit(1)).as("n_triangles"))
+    nodeSide.crossJoin(broadcast(edgeSide)).crossJoin(broadcast(triSide))
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+        col("n_triangles"),
+        graft.functions.TextAnalysis.roundStable(
+          when(col("n_wedges") > 0,
+            lit(3.0) * col("n_triangles") / col("n_wedges")), 6)
+          .as("global_cc"))
+  }
 }

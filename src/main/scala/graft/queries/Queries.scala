@@ -4400,6 +4400,246 @@ object Queries {
         AS lag_sec
     FROM conv ORDER BY user_id"""))
 
+  /** Daily audience growth — active / new / returning users per day
+    * plus the cumulative user count, the top-line DAU decomposition
+    * every product dashboard opens with. The corpus reduces to
+    * distinct (user, day) pairs in the first exchange; first-seen days
+    * are one more user-keyed agg; everything after is day-level
+    * (bounded), including the single-partition running-sum window —
+    * the same "corpus shrinks before any global window" discipline as
+    * q_histogram. Integer outputs ⇒ exact parity. */
+  private val qUserGrowth = Q(
+    "q_user_growth",
+    (s, d) => {
+      // The user-day table feeds two different-keyed aggregations —
+      // persist it so the corpus is scanned ONCE (user-day pairs are
+      // two longs-equivalent per row; cache bytes ≪ the events scan
+      // they amortize). Released by the caller via CacheRegistry.
+      val ud = graft.operators.CacheRegistry.track(
+        t(s, d, "events")
+          .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val act = ud.groupBy("day").agg(count(lit(1)).as("active_users"))
+      val firstSeen = ud.groupBy("user_id").agg(min("day").as("day"))
+        .groupBy("day").agg(count(lit(1)).as("new_users"))
+      val w = Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      act.join(firstSeen, Seq("day"), "left")
+        .withColumn("new_users", coalesce(col("new_users"), lit(0L)))
+        .select(col("day"), col("active_users"), col("new_users"),
+          (col("active_users") - col("new_users")).as("returning_users"),
+          sum("new_users").over(w).as("cum_users"))
+        .orderBy("day")
+    },
+    Some("""WITH ud AS (
+      SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+      FROM events),
+    act AS (SELECT day, count(*) AS active_users FROM ud GROUP BY 1),
+    fs AS (SELECT user_id, min(day) AS day FROM ud GROUP BY 1),
+    nw AS (SELECT day, count(*) AS new_users FROM fs GROUP BY 1)
+    SELECT a.day, a.active_users, COALESCE(n.new_users, 0) AS new_users,
+      a.active_users - COALESCE(n.new_users, 0) AS returning_users,
+      CAST(sum(COALESCE(n.new_users, 0)) OVER (ORDER BY a.day
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        AS cum_users
+    FROM act a LEFT JOIN nw n USING (day) ORDER BY day"""))
+
+  /** Truncated exponentially-weighted moving average (α = 0.3, 7-day
+    * horizon) of each event type's daily count — the smoothed trend
+    * line behind alert thresholds. The frame is a FIXED 7 lags, so
+    * the weights are compile-time DECIMAL LITERALS (0.3·0.7^k spelled
+    * out digit-for-digit on both sides — pow(0.7, k) at runtime could
+    * differ in the last ulp between engines) and partial windows
+    * renormalize over the weights actually present. One exchange:
+    * day-level counts, then seven lag() columns over one
+    * (type ORDER BY day) sort. An unbounded EWMA needs a recursive
+    * scan (Structured Streaming state at 100 TB); the truncated form
+    * is within 0.7⁷ ≈ 8% of it and stays one window. */
+  private val qEwma = Q(
+    "q_ewma",
+    (s, d) => {
+      val daily = t(s, d, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+      val wts = Seq(0.3, 0.21, 0.147, 0.1029, 0.07203, 0.050421, 0.0352947)
+      val lags = (0 until 7).map(k =>
+        if (k == 0) col("n") else lag(col("n"), k).over(w))
+      val lagged = daily.withColumns(
+        (0 until 7).map(k => s"l$k").zip(lags).toMap)
+      val num = (0 until 7).map(k =>
+        when(col(s"l$k").isNotNull, lit(wts(k)) * col(s"l$k"))
+          .otherwise(lit(0.0))).reduce(_ + _)
+      val den = (0 until 7).map(k =>
+        when(col(s"l$k").isNotNull, lit(wts(k))).otherwise(lit(0.0)))
+        .reduce(_ + _)
+      lagged.select(col("event_type"), col("day"), col("n"),
+        TextAnalysis.roundStable(num / den, 4).as("ewma"))
+        .orderBy("event_type", "day")
+    },
+    Some("""WITH daily AS (
+      SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        count(*) AS n
+      FROM events GROUP BY 1, 2),
+    lagged AS (SELECT event_type, day, n,
+        lag(n, 1) OVER w AS l1, lag(n, 2) OVER w AS l2,
+        lag(n, 3) OVER w AS l3, lag(n, 4) OVER w AS l4,
+        lag(n, 5) OVER w AS l5, lag(n, 6) OVER w AS l6
+      FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day))
+    SELECT event_type, day, n,
+      floor((
+          (0.3 * n
+           + CASE WHEN l1 IS NOT NULL THEN 0.21 * l1 ELSE 0.0 END
+           + CASE WHEN l2 IS NOT NULL THEN 0.147 * l2 ELSE 0.0 END
+           + CASE WHEN l3 IS NOT NULL THEN 0.1029 * l3 ELSE 0.0 END
+           + CASE WHEN l4 IS NOT NULL THEN 0.07203 * l4 ELSE 0.0 END
+           + CASE WHEN l5 IS NOT NULL THEN 0.050421 * l5 ELSE 0.0 END
+           + CASE WHEN l6 IS NOT NULL THEN 0.0352947 * l6 ELSE 0.0 END)
+          / (0.3
+           + CASE WHEN l1 IS NOT NULL THEN 0.21 ELSE 0.0 END
+           + CASE WHEN l2 IS NOT NULL THEN 0.147 ELSE 0.0 END
+           + CASE WHEN l3 IS NOT NULL THEN 0.1029 ELSE 0.0 END
+           + CASE WHEN l4 IS NOT NULL THEN 0.07203 ELSE 0.0 END
+           + CASE WHEN l5 IS NOT NULL THEN 0.050421 ELSE 0.0 END
+           + CASE WHEN l6 IS NOT NULL THEN 0.0352947 ELSE 0.0 END))
+        * 10000.0 + 0.5) / 10000.0 AS ewma
+    FROM lagged ORDER BY event_type, day"""))
+
+  /** Triangle census of the co-purchase graph (parts sharing an order
+    * ≥ 2 times — the support threshold that separates signal edges
+    * from the one-off co-occurrence noise, same cut as
+    * q_event_pairs): [[Graph.triangleStats]]'s degree-ordered
+    * orientation bounds the wedge join at Σ outdeg² ≤ m·√(2m)
+    * regardless of degree skew. Pair generation is order-bounded
+    * (~lines² per order, never corpus²). The oracle counts the same
+    * triangles by the naive ordered triple join — tractable at gate
+    * SF, which is exactly why the Spark side must NOT use it. */
+  private val qTriangles = Q(
+    "q_triangles",
+    (s, d) => {
+      val pp = t(s, d, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val edges = pp.as("a").join(pp.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
+        .agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 2)
+        .select("u", "v")
+      Graph.triangleStats(edges)
+    },
+    Some("""WITH pp AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+    e AS (
+      SELECT a.pk AS u, b.pk AS v
+      FROM pp a JOIN pp b ON a.ok = b.ok AND a.pk < b.pk
+      GROUP BY 1, 2 HAVING count(*) >= 2),
+    deg AS (SELECT node, count(*) AS dg FROM
+      (SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e)
+      GROUP BY 1),
+    tri AS (SELECT count(*) AS n FROM e e1
+      JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+      JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v),
+    s AS (SELECT
+      (SELECT count(*) FROM deg) AS n_nodes,
+      (SELECT count(*) FROM e) AS n_edges,
+      (SELECT CAST(sum((dg * (dg - 1)) // 2) AS BIGINT) FROM deg)
+        AS n_wedges,
+      (SELECT n FROM tri) AS n_triangles)
+    SELECT n_nodes, n_edges, n_wedges, n_triangles,
+      CASE WHEN n_wedges > 0 THEN
+        floor(3.0 * n_triangles / n_wedges * 1000000.0 + 0.5) / 1000000.0
+      END AS global_cc
+    FROM s"""))
+
+  /** kNN majority-vote classification — label the 8 held-out query
+    * vectors by their 5 cosine-nearest neighbors' labels (the
+    * eval-time twin of q_label_centroids' training-time view; ties
+    * break to the smaller label). Reuses [[Similarity.bruteTopK]]'s
+    * broadcast-bounded scoring verbatim, so the neighbor list is
+    * rank-identical to q_ann_topk's by construction; the vote is a
+    * (query, label) count over 40 rows. At corpus scale the brute
+    * scorer swaps for the IVF/LSH index probes (q_ann_ivf,
+    * q_ann_quantized) with the vote unchanged. */
+  private val qKnnLabel = Q(
+    "q_knn_label",
+    (s, d) => {
+      val emb = t(s, d, "embeddings")
+      val nn = Similarity.bruteTopK(emb, col("vec_id") < 8, k = 5)
+      val votes = nn.join(
+          emb.select(col("vec_id").as("cand_id"), col("label")), "cand_id")
+        .groupBy("query_id", "label").agg(count(lit(1)).as("votes"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("votes").desc, col("label").asc)
+      votes.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .join(emb.select(col("vec_id").as("query_id"),
+          col("label").as("true_label")), "query_id")
+        .select(col("query_id"), col("label").as("pred_label"),
+          col("votes"), col("true_label").cast("int").as("true_label"))
+        .orderBy("query_id")
+    },
+    Some("""WITH m AS (
+      SELECT vec_id, label,
+        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+    w AS (SELECT vec_id, label, v,
+      sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM m),
+    q AS (SELECT * FROM w WHERE vec_id < 8),
+    sc AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS cand_id, c.label,
+        round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cos_sim
+      FROM q JOIN w c ON c.vec_id <> q.vec_id),
+    r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+      ORDER BY cos_sim DESC, cand_id ASC) AS rk FROM sc),
+    votes AS (
+      SELECT query_id, label, count(*) AS votes
+      FROM r WHERE rk <= 5 GROUP BY 1, 2),
+    top AS (SELECT *, row_number() OVER (PARTITION BY query_id
+      ORDER BY votes DESC, label ASC) AS rn FROM votes)
+    SELECT t.query_id, t.label AS pred_label,
+      CAST(t.votes AS BIGINT) AS votes, e.label AS true_label
+    FROM top t JOIN embeddings e ON e.vec_id = t.query_id
+    WHERE t.rn = 1 ORDER BY t.query_id"""))
+
+  /** Per-source language diversity — Shannon entropy (in nats, via the
+    * Σ o·ln(o) identity over integer cell counts, the q_token_entropy
+    * precedent) and the Simpson concentration index, which here is
+    * ENTIRELY integer until one final division (Σo² / tot²): the
+    * mix-auditing pass a curator runs per source before weighting
+    * (q_lang_divergence measures distance from the corpus mix; this
+    * measures within-source concentration). Cells are vocab-bounded;
+    * one corpus scan. */
+  private val qDiversity = Q(
+    "q_diversity",
+    (s, d) => t(s, d, "documents")
+      .groupBy("source", "lang").agg(count(lit(1)).as("o"))
+      .groupBy("source").agg(
+        sum("o").as("n_docs"),
+        count(lit(1)).as("n_langs"),
+        sum(col("o").cast("double") * log(col("o"))).as("ologo"),
+        sum(col("o") * col("o")).as("o2"))
+      .select(col("source"), col("n_docs"), col("n_langs"),
+        TextAnalysis.roundStable(
+          log(col("n_docs")) - col("ologo") / col("n_docs"), 6)
+          .as("shannon"),
+        TextAnalysis.roundStable(
+          col("o2").cast("double") / (col("n_docs") * col("n_docs")), 6)
+          .as("simpson"))
+      .orderBy("source"),
+    Some("""WITH c AS (
+      SELECT source, lang, count(*) AS o FROM documents GROUP BY 1, 2),
+    a AS (SELECT source, CAST(sum(o) AS BIGINT) AS n_docs,
+        count(*) AS n_langs, sum(o * ln(o)) AS ologo,
+        CAST(sum(o * o) AS BIGINT) AS o2
+      FROM c GROUP BY 1)
+    SELECT source, n_docs, n_langs,
+      floor((ln(n_docs) - ologo / n_docs) * 1000000.0 + 0.5) / 1000000.0
+        AS shannon,
+      floor((CAST(o2 AS DOUBLE) / (n_docs * n_docs)) * 1000000.0 + 0.5)
+        / 1000000.0 AS simpson
+    FROM a ORDER BY source"""))
+
   // ---------------------------------------------------------------------
 
   val all: Seq[Q] = Seq(
@@ -4433,7 +4673,8 @@ object Queries {
     qRunningDistinct, qTransition, qRfm, qClusterSizes, qRollingMedian,
     qStreak, qRollingStats, qDedupKeepBest, qWeekdayProfile,
     qNullProfile, qKeySkew, qPrefixJoin,
-    qBm25, qOhlc, qAutocorr, qChiSquare, qConversionLag)
+    qBm25, qOhlc, qAutocorr, qChiSquare, qConversionLag,
+    qUserGrowth, qEwma, qTriangles, qKnnLabel, qDiversity)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -89,4 +89,58 @@ class GraphSpec extends AnyFunSuite {
     assert(symTotal <= 1000000000L && symTotal > 999999900L,
       s"symmetric graph lost too much mass: $symTotal")
   }
+
+  /** Straight-line triangle reference: brute-force over all ordered
+    * triples. Written against the definition, not the operator. */
+  private def referenceTriangles(edges: Seq[(Long, Long)]): (Long, Long, Long) = {
+    val es = edges.toSet
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val deg = nodes.map(n =>
+      n -> edges.count(e => e._1 == n || e._2 == n).toLong).toMap
+    val wedges = deg.values.map(d => d * (d - 1) / 2).sum
+    def has(a: Long, b: Long) = es((math.min(a, b), math.max(a, b)))
+    val ids = nodes.sorted
+    var tri = 0L
+    for {
+      i <- ids.indices; j <- (i + 1) until ids.size
+      if has(ids(i), ids(j))
+      k <- (j + 1) until ids.size
+      if has(ids(i), ids(k)) && has(ids(j), ids(k))
+    } tri += 1
+    (nodes.size.toLong, wedges, tri)
+  }
+
+  private def triStats(edges: Seq[(Long, Long)], parts: Int): (Long, Long, Long, Long) =
+    try {
+      val r = Graph.triangleStats(edges.toDF("u", "v").repartition(parts))
+        .collect().head
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    } finally graft.operators.CacheRegistry.releaseAll()
+
+  test("triangle census matches brute force on crafted shapes") {
+    // K4 (4 triangles), a chain (0), a star (0), K4 + pendant.
+    val k4 = Seq((1L,2L),(1L,3L),(1L,4L),(2L,3L),(2L,4L),(3L,4L))
+    assert(triStats(k4, 2) == ((4L, 6L, 12L, 4L)))
+    val chain = Seq((1L,2L),(2L,3L),(3L,4L))
+    assert(triStats(chain, 1)._4 == 0L)
+    val star = (2L to 6L).map(l => (1L, l))
+    assert(triStats(star, 2)._4 == 0L)
+  }
+
+  test("triangle census matches brute force on random graphs at every partitioning") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 0 until 3) {
+      val n = 12 + trial * 8
+      val edges = (0 until n * 3).map { _ =>
+        val a = rnd.nextInt(n).toLong; val b = rnd.nextInt(n).toLong
+        (math.min(a, b), math.max(a, b))
+      }.filter { case (a, b) => a != b }.distinct
+      val (nn, nw, nt) = referenceTriangles(edges)
+      for (parts <- Seq(1, 4)) {
+        val (gn, ge, gw, gt) = triStats(edges, parts)
+        assert((gn, ge, gw, gt) == ((nn, edges.size.toLong, nw, nt)),
+          s"trial=$trial parts=$parts got=($gn,$ge,$gw,$gt) want=($nn,${edges.size},$nw,$nt)")
+      }
+    }
+  }
 }

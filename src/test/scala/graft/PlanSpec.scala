@@ -665,6 +665,60 @@ class PlanSpec extends AnyFunSuite {
       s"expected broadcast dim joins:\n$p")
   }
 
+  test("q_user_growth: corpus reduces to user-day pairs before the global window") {
+    try {
+      val p = plan("q_user_growth")
+      val single = p.linesIterator.filter(_.contains("SinglePartition")).toSeq
+      assert(single.nonEmpty, s"expected the day-level running-sum window:\n$p")
+      // Only day-grade rows may enter the single-partition exchange —
+      // never user-grade ones.
+      assert(!single.exists(l => l.contains("user_id")),
+        s"user-grade rows entered the global window:\n$p")
+      // Both aggregation branches read the CACHED user-day table, not
+      // the events scan.
+      assert(p.contains("InMemoryTableScan"),
+        s"user-day pairs must be cached, not re-scanned per branch:\n$p")
+    } finally graft.operators.CacheRegistry.global.releaseAll()
+  }
+
+  test("q_ewma: one ordered window serves all seven lags; no join") {
+    val p = plan("q_ewma")
+    assert(!p.contains("Join"), s"lag features must not join:\n$p")
+    val windows = p.linesIterator.count(_.contains("Window ["))
+    assert(windows == 1,
+      s"all lag columns must ride ONE window, found $windows:\n$p")
+    assert(p.contains("partial_count"),
+      s"daily counts must combine map-side:\n$p")
+  }
+
+  test("q_triangles: equi-joins only — no cartesian; edge list cached for its consumers") {
+    try {
+      val p = plan("q_triangles")
+      assert(!p.contains("CartesianProduct"),
+        s"triangle counting must never go cartesian:\n$p")
+      // The only BroadcastNestedLoopJoins allowed are the single-row
+      // summary crossJoins; the wedge join itself must be hash/merge.
+      assert(p.contains("InMemoryTableScan"),
+        s"the edge build must be cached, not re-run per consumer:\n$p")
+    } finally graft.operators.CacheRegistry.global.releaseAll()
+  }
+
+  test("q_knn_label: scoring rides the broadcast query side, vote is bounded") {
+    val p = plan("q_knn_label")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"the 8 query vectors must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+  }
+
+  test("q_diversity: aggregate-of-aggregates, one scan, map-side combined") {
+    val p = plan("q_diversity")
+    assert(!p.contains("Join"), s"no join belongs here:\n$p")
+    val scans = p.linesIterator.count(_.contains("FileScan parquet"))
+    assert(scans == 1, s"documents must be scanned once, found $scans:\n$p")
+    assert(p.contains("partial_count"),
+      s"cell counts must combine map-side:\n$p")
+  }
+
   test("q_conversion_lag: first-view window and first-purchase agg share the user exchange") {
     val p = plan("q_conversion_lag")
     assert(!p.contains("Join"), s"single-pass form must not join:\n$p")
