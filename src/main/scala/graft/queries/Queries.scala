@@ -4640,6 +4640,269 @@ object Queries {
         / 1000000.0 AS simpson
     FROM a ORDER BY source"""))
 
+  /** Benford first-digit audit of order totals — the classic
+    * fraud/synthetic-data screen (does the leading-digit distribution
+    * follow log10(1+1/d)?). First digit via floor→BIGINT→string (floor
+    * BEFORE the integer cast: Spark truncates a double→long cast,
+    * DuckDB ROUNDS it — floor() makes both engines see the same
+    * integer). Expected frequencies are the closed-form log10 terms;
+    * observed/expected and the per-digit chi-square contribution are
+    * single rounded float expressions over exact integer counts. One
+    * scan, 9-row output. */
+  private val qBenford = Q(
+    "q_benford",
+    (s, d) => {
+      val digits = t(s, d, "orders")
+        .filter(col("o_totalprice") >= 1.0)
+        .select(substring(floor(col("o_totalprice")).cast("long")
+          .cast("string"), 1, 1).cast("long").as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("observed"))
+      val tot = digits.agg(sum("observed").as("n"))
+      val expFreq = log10(lit(1.0) + lit(1.0) / col("digit"))
+      digits.crossJoin(broadcast(tot))
+        .withColumn("e", expFreq * col("n"))
+        .select(col("digit"), col("observed"),
+          TextAnalysis.roundStable(expFreq, 6).as("expected_freq"),
+          TextAnalysis.roundStable(
+            col("observed").cast("double") / col("n"), 6).as("observed_freq"),
+          TextAnalysis.roundStable(
+            (col("observed") - col("e")) * (col("observed") - col("e")) /
+              col("e"), 4).as("contrib"))
+        .orderBy("digit")
+    },
+    Some("""WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+          AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      FROM orders WHERE o_totalprice >= 1.0),
+    c AS (SELECT digit, count(*) AS observed FROM digits GROUP BY 1),
+    n AS (SELECT CAST(sum(observed) AS BIGINT) AS n FROM c)
+    SELECT digit, observed,
+      floor(log10(1.0 + 1.0 / digit) * 1000000.0 + 0.5) / 1000000.0
+        AS expected_freq,
+      floor((CAST(observed AS DOUBLE) / n.n) * 1000000.0 + 0.5) / 1000000.0
+        AS observed_freq,
+      floor((observed - log10(1.0 + 1.0 / digit) * n.n)
+          * (observed - log10(1.0 + 1.0 / digit) * n.n)
+          / (log10(1.0 + 1.0 / digit) * n.n) * 10000.0 + 0.5) / 10000.0
+        AS contrib
+    FROM c, n ORDER BY digit"""))
+
+  /** Daily tail-latency profile — p50/p95/p99/max of the event value
+    * per (type, day), the SLO dashboard's backbone. Exact percentiles
+    * over the day-bucketed groups (percentile ≡ quantile_cont, the
+    * q_quantile precedent; the corpus-scale swap is
+    * approx_percentile's KLL sketch, q_approx_quantile's subject).
+    * Group-bounded: one exchange on (type, day), map-side partial
+    * collection, 150-row output. */
+  private val qTailLatency = Q(
+    "q_tail_latency",
+    (s, d) => t(s, d, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"),
+        expr("percentile(value, 0.5D)").as("p50r"),
+        expr("percentile(value, 0.95D)").as("p95r"),
+        expr("percentile(value, 0.99D)").as("p99r"),
+        max("value").as("vmax"))
+      .select(col("event_type"), col("day"), col("n"),
+        TextAnalysis.roundStable(col("p50r"), 4).as("p50"),
+        TextAnalysis.roundStable(col("p95r"), 4).as("p95"),
+        TextAnalysis.roundStable(col("p99r"), 4).as("p99"),
+        col("vmax"))
+      .orderBy("event_type", "day"),
+    Some("""WITH e AS (
+      SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, value
+      FROM events)
+    SELECT event_type, day, count(*) AS n,
+      floor(quantile_cont(value, 0.5) * 10000.0 + 0.5) / 10000.0 AS p50,
+      floor(quantile_cont(value, 0.95) * 10000.0 + 0.5) / 10000.0 AS p95,
+      floor(quantile_cont(value, 0.99) * 10000.0 + 0.5) / 10000.0 AS p99,
+      max(value) AS vmax
+    FROM e GROUP BY 1, 2 ORDER BY event_type, day"""))
+
+  /** Revenue concentration (Pareto audit) — what share of total
+    * revenue do the top 1% / 10% of customers hold? Per-customer
+    * revenue is DECIMAL-summed (order-independent, the q_rfm
+    * precedent); the global rank comes from [[Ranking.globalRank]]'s
+    * value-histogram prefix sum — NO corpus-wide single-partition
+    * window, reproducible at any partitioning (the q_shard_assign
+    * precedent). Cutoffs are exact integer ceilings ((n+99) div 100 —
+    * no float ceil); shares are one final double division over
+    * DECIMAL-exact numerators. */
+  private val qPareto = Q(
+    "q_pareto",
+    (s, d) => {
+      val rev = t(s, d, "orders").groupBy("o_custkey")
+        .agg(sum(col("o_totalprice").cast("decimal(18,6)")).as("rev"))
+      val ranked = Ranking.globalRank(rev, col("rev"), col("o_custkey"),
+        valueAscending = false, rankName = "rn")
+      val n = rev.agg(count(lit(1)).as("n"))
+      ranked.crossJoin(broadcast(n))
+        .withColumn("k1", expr("(n + 99) div 100"))
+        .withColumn("k10", expr("(n + 9) div 10"))
+        .agg(
+          max("n").as("n_customers"),
+          sum("rev").as("tot"),
+          max("k1").as("top1_cnt"),
+          max("k10").as("top10_cnt"),
+          sum(when(col("rn") <= col("k1"), col("rev"))).as("r1"),
+          sum(when(col("rn") <= col("k10"), col("rev"))).as("r10"))
+        .select(col("n_customers"), col("top1_cnt"), col("top10_cnt"),
+          TextAnalysis.roundStable(col("tot").cast("double"), 2)
+            .as("total_rev"),
+          TextAnalysis.roundStable(
+            col("r1").cast("double") / col("tot").cast("double"), 6)
+            .as("top1_share"),
+          TextAnalysis.roundStable(
+            col("r10").cast("double") / col("tot").cast("double"), 6)
+            .as("top10_share"))
+    },
+    Some("""WITH rev AS (
+      SELECT o_custkey,
+        sum(CAST(o_totalprice AS DECIMAL(18,6))) AS rev
+      FROM orders GROUP BY 1),
+    ranked AS (SELECT o_custkey, rev, row_number() OVER (
+        ORDER BY rev DESC, o_custkey ASC) AS rn
+      FROM rev),
+    n AS (SELECT count(*) AS n FROM rev)
+    SELECT n.n AS n_customers,
+      (n.n + 99) // 100 AS top1_cnt,
+      (n.n + 9) // 10 AS top10_cnt,
+      floor(CAST(sum(rev) AS DOUBLE) * 100.0 + 0.5) / 100.0 AS total_rev,
+      floor(CAST(sum(CASE WHEN rn <= (n.n + 99) // 100 THEN rev END)
+            AS DOUBLE)
+          / CAST(sum(rev) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+        AS top1_share,
+      floor(CAST(sum(CASE WHEN rn <= (n.n + 9) // 10 THEN rev END)
+            AS DOUBLE)
+          / CAST(sum(rev) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+        AS top10_share
+    FROM ranked, n GROUP BY n.n"""))
+
+  /** Per-cohort lifetime value — signup-week cohorts × weeks-since-
+    * signup, cumulative purchase revenue per cohort member over age
+    * (q_retention's twin with money attached: retention counts who
+    * came back, LTV sums what they spent). Revenue is DECIMAL-summed
+    * (order-independent); the cumulative column is a window over the
+    * cohort×age aggregate (bounded: weeks², not events); per-member
+    * LTV divides by the FIXED cohort size (first-week headcount), one
+    * rounded division at the end. Two user-keyed exchanges (first-seen
+    * + join-back), then everything is cohort-grade. */
+  private val qCohortLtv = Q(
+    "q_cohort_ltv",
+    (s, d) => {
+      val e = t(s, d, "events")
+      val first = e.groupBy("user_id")
+        .agg(weekofyear(min(to_date(col("ts")))).as("w0"),
+          min(to_date(col("ts"))).as("d0"))
+      val sized = first.groupBy("w0").agg(count(lit(1)).as("cohort_users"))
+      val rev = e.filter(col("event_type") === "purchase")
+        .join(first, "user_id")
+        .groupBy(col("w0"),
+          (datediff(to_date(col("ts")), col("d0")) / lit(7))
+            .cast("long").as("age_week"))
+        .agg(sum(col("value").cast("decimal(18,6)")).as("wrev"))
+      val w = Window.partitionBy("w0").orderBy("age_week")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      rev.join(sized, "w0")
+        .withColumn("cum", sum("wrev").over(w))
+        .select(col("w0").as("cohort_week"), col("age_week"),
+          col("cohort_users"),
+          TextAnalysis.roundStable(col("wrev").cast("double"), 2)
+            .as("week_rev"),
+          TextAnalysis.roundStable(col("cum").cast("double"), 2)
+            .as("cum_rev"),
+          TextAnalysis.roundStable(
+            col("cum").cast("double") / col("cohort_users"), 4)
+            .as("ltv_per_user"))
+        .orderBy("cohort_week", "age_week")
+    },
+    Some("""WITH e AS (
+      SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS tts, value
+      FROM events),
+    f AS (SELECT user_id,
+        weekofyear(min(CAST(tts AS DATE))) AS w0,
+        min(CAST(tts AS DATE)) AS d0
+      FROM e GROUP BY 1),
+    sized AS (SELECT w0, count(*) AS cohort_users FROM f GROUP BY 1),
+    rev AS (
+      SELECT f.w0,
+        date_diff('day', f.d0, CAST(e.tts AS DATE)) // 7 AS age_week,
+        sum(CAST(e.value AS DECIMAL(18,6))) AS wrev
+      FROM e JOIN f USING (user_id)
+      WHERE e.event_type = 'purchase'
+      GROUP BY 1, 2),
+    c AS (SELECT w0, age_week, wrev,
+        sum(wrev) OVER (PARTITION BY w0 ORDER BY age_week
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM rev)
+    SELECT c.w0 AS cohort_week, CAST(c.age_week AS BIGINT) AS age_week,
+      s.cohort_users,
+      floor(CAST(c.wrev AS DOUBLE) * 100.0 + 0.5) / 100.0 AS week_rev,
+      floor(CAST(c.cum AS DOUBLE) * 100.0 + 0.5) / 100.0 AS cum_rev,
+      floor(CAST(c.cum AS DOUBLE) / s.cohort_users * 10000.0 + 0.5)
+        / 10000.0 AS ltv_per_user
+    FROM c JOIN sized s USING (w0) ORDER BY cohort_week, age_week"""))
+
+  /** Per-user session statistics — the layer on top of q_sessionize
+    * that dashboards actually read: session count, bounce count
+    * (single-event sessions), events-per-session and mean session
+    * duration. Session ids are the running sum of the gap>30min flag;
+    * the session-level AND user-level aggregates both cluster on
+    * user_id, so the whole query needs ONE user exchange (hash
+    * partitioning on user_id satisfies ClusteredDistribution for the
+    * (user, session) grouping too). Durations are integer
+    * microseconds floor-divided to seconds; the two means are single
+    * rounded divisions over exact integers. */
+  private val qSessionStats = Q(
+    "q_session_stats",
+    (s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val gapUs = unix_micros(col("ts")) -
+        unix_micros(lag(col("ts"), 1).over(w))
+      val sess = t(s, d, "events")
+        .withColumn("new_s", when(gapUs > 1800000000L, 1L).otherwise(0L))
+        .withColumn("sid", sum("new_s").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "sid")
+        .agg(count(lit(1)).as("n_ev"),
+          (unix_micros(max(col("ts"))) - unix_micros(min(col("ts"))))
+            .as("dur_us"))
+      sess.groupBy("user_id")
+        .agg(count(lit(1)).as("n_sessions"),
+          sum((col("n_ev") === 1).cast("long")).as("n_bounce"),
+          sum("n_ev").as("total_events"),
+          TextAnalysis.roundStable(
+            sum("n_ev").cast("double") / count(lit(1)), 4)
+            .as("events_per_session"),
+          TextAnalysis.roundStable(
+            (sum(expr("dur_us div 1000000")).cast("double")) /
+              count(lit(1)), 4).as("avg_duration_sec"))
+        .orderBy("user_id")
+    },
+    Some("""WITH e AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS tts
+      FROM events),
+    g AS (SELECT user_id, event_id, tts,
+        CASE WHEN epoch_us(tts) - epoch_us(lag(tts) OVER w) > 1800000000
+             THEN 1 ELSE 0 END AS new_s
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tts ASC, event_id ASC)),
+    sid AS (SELECT user_id, tts,
+        sum(new_s) OVER (PARTITION BY user_id ORDER BY tts ASC, event_id ASC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM g),
+    sess AS (SELECT user_id, sid, count(*) AS n_ev,
+        epoch_us(max(tts)) - epoch_us(min(tts)) AS dur_us
+      FROM sid GROUP BY 1, 2)
+    SELECT user_id, count(*) AS n_sessions,
+      CAST(sum(CASE WHEN n_ev = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounce,
+      CAST(sum(n_ev) AS BIGINT) AS total_events,
+      floor(CAST(sum(n_ev) AS DOUBLE) / count(*) * 10000.0 + 0.5)
+        / 10000.0 AS events_per_session,
+      floor(CAST(sum(dur_us // 1000000) AS DOUBLE) / count(*)
+        * 10000.0 + 0.5) / 10000.0 AS avg_duration_sec
+    FROM sess GROUP BY 1 ORDER BY user_id"""))
+
   // ---------------------------------------------------------------------
 
   val all: Seq[Q] = Seq(
@@ -4674,7 +4937,8 @@ object Queries {
     qStreak, qRollingStats, qDedupKeepBest, qWeekdayProfile,
     qNullProfile, qKeySkew, qPrefixJoin,
     qBm25, qOhlc, qAutocorr, qChiSquare, qConversionLag,
-    qUserGrowth, qEwma, qTriangles, qKnnLabel, qDiversity)
+    qUserGrowth, qEwma, qTriangles, qKnnLabel, qDiversity,
+    qBenford, qTailLatency, qPareto, qCohortLtv, qSessionStats)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -719,6 +719,56 @@ class PlanSpec extends AnyFunSuite {
       s"cell counts must combine map-side:\n$p")
   }
 
+  test("q_benford: admission filter pushed to the scan; totals broadcast") {
+    val p = plan("q_benford")
+    assert(p.contains("PushedFilters: [") &&
+      p.contains("GreaterThanOrEqual(o_totalprice"),
+      s"price filter must push to parquet:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"the 1-row total must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no shuffle join belongs here:\n$p")
+  }
+
+  test("q_tail_latency: one day-key exchange, percentiles partial-collected map-side") {
+    val p = plan("q_tail_latency")
+    assert(!p.contains("Join"), s"no join belongs here:\n$p")
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1,
+      s"expected one (type, day) exchange, found $exchanges:\n$p")
+    assert(p.contains("partial_percentile"),
+      s"percentile must partial-aggregate map-side:\n$p")
+  }
+
+  test("q_pareto: rank via value histogram — no customer-grade single-partition window") {
+    val p = plan("q_pareto")
+    val single = p.linesIterator.filter(_.contains("SinglePartition")).toSeq
+    // globalRank's only single-partition window is over the VALUE
+    // HISTOGRAM (distinct revenue values), never the customer rows:
+    // the histogram rows carry __rk_v/__rk_c, not o_custkey.
+    assert(!single.exists(_.contains("o_custkey")),
+      s"customer rows entered a single-partition exchange:\n$p")
+  }
+
+  test("q_cohort_ltv: cumulative window is cohort-grade, revenue summed in decimal") {
+    val p = plan("q_cohort_ltv")
+    // The running-sum window partitions by cohort week over the
+    // cohort×age aggregate — user- or event-grade rows must never
+    // enter a window.
+    val winLines = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(winLines.nonEmpty, s"expected the cumulative window:\n$p")
+    assert(!winLines.exists(_.contains("user_id")),
+      s"user-grade rows entered the window:\n$p")
+    assert(p.contains("sum(wrev"), s"revenue must aggregate before the window:\n$p")
+  }
+
+  test("q_session_stats: window, session agg and user agg share ONE user exchange") {
+    val p = plan("q_session_stats")
+    assert(!p.contains("Join"), s"no join belongs here:\n$p")
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1,
+      s"hash partitioning on user_id must serve the window AND both aggs, found $exchanges:\n$p")
+  }
+
   test("q_conversion_lag: first-view window and first-purchase agg share the user exchange") {
     val p = plan("q_conversion_lag")
     assert(!p.contains("Join"), s"single-pass form must not join:\n$p")
