@@ -4903,6 +4903,258 @@ object Queries {
         * 10000.0 + 0.5) / 10000.0 AS avg_duration_sec
     FROM sess GROUP BY 1 ORDER BY user_id"""))
 
+  /** Two-proportion A/B test — conversion lift and z-score between the
+    * two experiment arms (variant = JSON props.k mod 2, the
+    * q_json_extract parse path; success = purchase). The entire test
+    * reduces to FOUR integers in one conditional-aggregation pass
+    * (map-side combined, one scan, no join), so cross-engine parity is
+    * exact until the closing z expression — pooled variance, written
+    * as the identical IEEE tree on both sides. The 100 TB shape is
+    * the same four counters. */
+  private val qAbTest = Q(
+    "q_ab_test",
+    (s, d) => {
+      val e = t(s, d, "events")
+        .select(
+          (floor(get_json_object(col("props"), "$.k").try_cast("double"))
+            .cast("long") % 2).as("variant"),
+          (col("event_type") === "purchase").cast("long").as("success"))
+        .filter(col("variant").isNotNull)
+      val agg = e.agg(
+        sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("variant") === 0, col("success")).otherwise(0L)).as("s_a"),
+        sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("variant") === 1, col("success")).otherwise(0L)).as("s_b"))
+      val pa = col("s_a").cast("double") / col("n_a")
+      val pb = col("s_b").cast("double") / col("n_b")
+      val pool = (col("s_a") + col("s_b")).cast("double") /
+        (col("n_a") + col("n_b"))
+      val z = (pb - pa) / sqrt(pool * (lit(1.0) - pool) *
+        (lit(1.0) / col("n_a") + lit(1.0) / col("n_b")))
+      agg.select(col("n_a"), col("s_a"), col("n_b"), col("s_b"),
+        TextAnalysis.roundStable(pa, 6).as("p_a"),
+        TextAnalysis.roundStable(pb, 6).as("p_b"),
+        TextAnalysis.roundStable(pb - pa, 6).as("lift"),
+        TextAnalysis.roundStable(z, 4).as("z_score"))
+    },
+    Some("""WITH e AS (
+      SELECT CAST(FLOOR(TRY_CAST(json_extract_string(props, '$.k')
+          AS DOUBLE)) AS BIGINT) % 2 AS variant,
+        CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS success
+      FROM events
+      WHERE CAST(FLOOR(TRY_CAST(json_extract_string(props, '$.k')
+          AS DOUBLE)) AS BIGINT) IS NOT NULL),
+    a AS (SELECT
+        CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        CAST(sum(CASE WHEN variant = 0 THEN success ELSE 0 END) AS BIGINT) AS s_a,
+        CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        CAST(sum(CASE WHEN variant = 1 THEN success ELSE 0 END) AS BIGINT) AS s_b
+      FROM e)
+    SELECT n_a, s_a, n_b, s_b,
+      floor(CAST(s_a AS DOUBLE) / n_a * 1000000.0 + 0.5) / 1000000.0 AS p_a,
+      floor(CAST(s_b AS DOUBLE) / n_b * 1000000.0 + 0.5) / 1000000.0 AS p_b,
+      floor((CAST(s_b AS DOUBLE) / n_b - CAST(s_a AS DOUBLE) / n_a)
+        * 1000000.0 + 0.5) / 1000000.0 AS lift,
+      floor((CAST(s_b AS DOUBLE) / n_b - CAST(s_a AS DOUBLE) / n_a)
+          / sqrt((CAST(s_a + s_b AS DOUBLE) / (n_a + n_b))
+            * (1.0 - CAST(s_a + s_b AS DOUBLE) / (n_a + n_b))
+            * (1.0 / n_a + 1.0 / n_b))
+        * 10000.0 + 0.5) / 10000.0 AS z_score
+    FROM a"""))
+
+  /** Mutual information between language and source (in nats) with
+    * both marginal entropies — the information-theoretic sibling of
+    * q_chi_square's frequency test (chi-square asks "independent?";
+    * MI asks "how MANY bits does source leak about language?" — the
+    * redundancy signal corpus mixers weight by). Marginals via
+    * vocab-sized window sums over the observed cells; every log
+    * argument is a ratio of exact integers; the Σ(o/N)·ln(oN/(rt·ct))
+    * fold is the q_token_entropy float-sum precedent, rounded at 6dp.
+    * One scan, dimension-sized everything. */
+  private val qMutualInfo = Q(
+    "q_mutual_info",
+    (s, d) => {
+      val cells = t(s, d, "documents")
+        .groupBy("lang", "source").agg(count(lit(1)).as("o"))
+      val wl = Window.partitionBy("lang")
+      val ws = Window.partitionBy("source")
+      val wg = Window.partitionBy()
+      val withM = cells
+        .withColumn("rt", sum("o").over(wl))
+        .withColumn("ct", sum("o").over(ws))
+        .withColumn("n", sum("o").over(wg))
+      val mi = sum((col("o").cast("double") / col("n")) *
+        log((col("o").cast("double") * col("n")) /
+          (col("rt").cast("double") * col("ct"))))
+      // Marginal entropies from the SAME cell table: H = ln N − Σo·ln(o)/N
+      // over each marginal's distinct totals (cells collapse per lang /
+      // per source first — integer sums).
+      val hl = withM.groupBy("lang").agg(max("rt").as("m"), max("n").as("n"))
+        .agg((log(max("n")) -
+          sum(col("m").cast("double") * log(col("m"))) / max("n")).as("h"))
+      val hs = withM.groupBy("source").agg(max("ct").as("m"), max("n").as("n"))
+        .agg((log(max("n")) -
+          sum(col("m").cast("double") * log(col("m"))) / max("n")).as("h"))
+      withM.agg(max("n").as("n_docs"), count(lit(1)).as("n_cells"),
+          mi.as("mi_raw"))
+        .crossJoin(broadcast(hl.select(col("h").as("h_lang"))))
+        .crossJoin(broadcast(hs.select(col("h").as("h_source"))))
+        .select(col("n_docs"), col("n_cells"),
+          TextAnalysis.roundStable(col("mi_raw"), 6).as("mi_nats"),
+          TextAnalysis.roundStable(col("h_lang"), 6).as("h_lang"),
+          TextAnalysis.roundStable(col("h_source"), 6).as("h_source"))
+    },
+    Some("""WITH cells AS (
+      SELECT lang, source, count(*) AS o FROM documents GROUP BY 1, 2),
+    m AS (SELECT lang, source, o,
+        CAST(sum(o) OVER (PARTITION BY lang) AS BIGINT) AS rt,
+        CAST(sum(o) OVER (PARTITION BY source) AS BIGINT) AS ct,
+        CAST(sum(o) OVER () AS BIGINT) AS n
+      FROM cells),
+    mi AS (SELECT max(n) AS n_docs, count(*) AS n_cells,
+        sum((CAST(o AS DOUBLE) / n)
+          * ln((CAST(o AS DOUBLE) * n) / (CAST(rt AS DOUBLE) * ct)))
+          AS mi_raw
+      FROM m),
+    hl AS (SELECT ln(max(n)) - sum(CAST(m AS DOUBLE) * ln(m)) / max(n) AS h
+      FROM (SELECT lang, max(rt) AS m, max(n) AS n FROM m GROUP BY 1)),
+    hs AS (SELECT ln(max(n)) - sum(CAST(m AS DOUBLE) * ln(m)) / max(n) AS h
+      FROM (SELECT source, max(ct) AS m, max(n) AS n FROM m GROUP BY 1))
+    SELECT mi.n_docs, mi.n_cells,
+      floor(mi.mi_raw * 1000000.0 + 0.5) / 1000000.0 AS mi_nats,
+      floor(hl.h * 1000000.0 + 0.5) / 1000000.0 AS h_lang,
+      floor(hs.h * 1000000.0 + 0.5) / 1000000.0 AS h_source
+    FROM mi, hl, hs"""))
+
+  /** Product communities — connected components over the support≥3
+    * co-purchase graph (the market-basket analogue of the dedup
+    * clusters: q_event_pairs scores the edges, this names the
+    * communities), labeled by [[Dedup.connectedComponents]]'
+    * large-star/small-star contraction (O(log² n) rounds on any
+    * shape) with per-community size attached. The support threshold
+    * is load-bearing twice: it separates signal from one-off
+    * co-occurrence noise AND keeps the oracle's transitive closure
+    * polynomial (the support-2 graph at gate SF has a 1,860-node
+    * giant component → a 3.5M-row reachability table). */
+  private val qCopurchaseComponents = Q(
+    "q_copurchase_components",
+    (s, d) => {
+      val pp = t(s, d, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val edges = pp.as("a").join(pp.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .groupBy(col("a.pk").as("i"), col("b.pk").as("j"))
+        .agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 3)
+        .select("i", "j")
+      val cc = Dedup.connectedComponents(edges)
+      val w = Window.partitionBy("cluster_id")
+      cc.withColumn("csize", count(lit(1)).over(w))
+        .select(col("doc_id").as("part_id"), col("cluster_id"),
+          col("csize"))
+        .orderBy("part_id")
+    },
+    Some("""WITH RECURSIVE pp AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+    e AS (
+      SELECT a.pk AS i, b.pk AS j
+      FROM pp a JOIN pp b ON a.ok = b.ok AND a.pk < b.pk
+      GROUP BY 1, 2 HAVING count(*) >= 3),
+    sym AS (SELECT i AS v, j AS u FROM e
+            UNION ALL SELECT j AS v, i AS u FROM e),
+    reach AS (
+      SELECT v, u FROM sym
+      UNION
+      SELECT r.v, s.u FROM reach r JOIN sym s ON r.u = s.v
+        WHERE s.u <> r.v),
+    lab AS (
+      SELECT v AS part_id, least(v, min(u)) AS cluster_id
+      FROM reach GROUP BY v)
+    SELECT part_id, cluster_id,
+      count(*) OVER (PARTITION BY cluster_id) AS csize
+    FROM lab ORDER BY part_id"""))
+
+  /** Flesch-style readability per document — reading-ease from
+    * words/sentences/syllables, the lightweight quality gate next to
+    * q_quality_score's ratio gates (education-level filtering is a
+    * standard corpus-curation dimension). Syllables ≈ vowel-group
+    * count, words ≈ non-space runs, sentences ≈ periods+1 — all three
+    * are regexp COUNTS over the raw text (Spark regexp_count ≡
+    * DuckDB len(regexp_extract_all) on these metacharacter-free
+    * character classes), so the per-doc features are exact integers;
+    * the score is one shared float expression with decimal-literal
+    * coefficients. Map-only — no shuffle at all until the output
+    * sort. */
+  private val qReadability = Q(
+    "q_readability",
+    (s, d) => {
+      val txt = lower(col("text"))
+      val words = regexp_count(txt, lit("[^ ]+"))
+      val sents = regexp_count(txt, lit("\\.")) + lit(1)
+      val syll = regexp_count(txt, lit("[aeiouy]+"))
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          words.cast("long").as("n_words"),
+          sents.cast("long").as("n_sents"),
+          syll.cast("long").as("n_syll"))
+        .filter(col("n_words") > 0)
+        .withColumn("flesch", TextAnalysis.roundStable(
+          lit(206.835) -
+            lit(1.015) * (col("n_words").cast("double") / col("n_sents")) -
+            lit(84.6) * (col("n_syll").cast("double") / col("n_words")), 4))
+        .orderBy("doc_id")
+    },
+    Some("""WITH f AS (
+      SELECT doc_id,
+        len(regexp_extract_all(lower(text), '[^ ]+')) AS n_words,
+        len(regexp_extract_all(lower(text), '\.')) + 1 AS n_sents,
+        len(regexp_extract_all(lower(text), '[aeiouy]+')) AS n_syll
+      FROM documents)
+    SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+      CAST(n_sents AS BIGINT) AS n_sents, CAST(n_syll AS BIGINT) AS n_syll,
+      floor((206.835
+          - 1.015 * (CAST(n_words AS DOUBLE) / n_sents)
+          - 84.6 * (CAST(n_syll AS DOUBLE) / n_words))
+        * 10000.0 + 0.5) / 10000.0 AS flesch
+    FROM f WHERE n_words > 0 ORDER BY doc_id"""))
+
+  /** Top day-over-day movers — the 10 (type, day) cells with the
+    * largest absolute count change vs the previous day, the "what
+    * spiked?" triage query. Deltas are integer lag differences on the
+    * day-level aggregate (one ordered window per type); the global
+    * top-10 plans as TakeOrderedAndProject (bounded heap per
+    * partition — no full sort of the series, the q_results_topk
+    * discipline). Deterministic tiebreak (type, day) keeps the cut
+    * stable. */
+  private val qTopMovers = Q(
+    "q_top_movers",
+    (s, d) => {
+      val daily = t(s, d, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+      daily.withColumn("prev", lag(col("n"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .withColumn("delta", col("n") - col("prev"))
+        .withColumn("abs_delta", abs(col("delta")))
+        .orderBy(col("abs_delta").desc, col("event_type").asc,
+          col("day").asc)
+        .limit(10)
+        .select("event_type", "day", "n", "prev", "delta", "abs_delta")
+    },
+    Some("""WITH daily AS (
+      SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        count(*) AS n
+      FROM events GROUP BY 1, 2),
+    lagged AS (SELECT event_type, day, n,
+        lag(n, 1) OVER (PARTITION BY event_type ORDER BY day) AS prev
+      FROM daily)
+    SELECT event_type, day, n, prev, n - prev AS delta,
+      abs(n - prev) AS abs_delta
+    FROM lagged WHERE prev IS NOT NULL
+    ORDER BY abs_delta DESC, event_type ASC, day ASC LIMIT 10"""))
+
   // ---------------------------------------------------------------------
 
   val all: Seq[Q] = Seq(
@@ -4938,7 +5190,8 @@ object Queries {
     qNullProfile, qKeySkew, qPrefixJoin,
     qBm25, qOhlc, qAutocorr, qChiSquare, qConversionLag,
     qUserGrowth, qEwma, qTriangles, qKnnLabel, qDiversity,
-    qBenford, qTailLatency, qPareto, qCohortLtv, qSessionStats)
+    qBenford, qTailLatency, qPareto, qCohortLtv, qSessionStats,
+    qAbTest, qMutualInfo, qCopurchaseComponents, qReadability, qTopMovers)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

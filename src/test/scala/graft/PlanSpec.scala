@@ -769,6 +769,46 @@ class PlanSpec extends AnyFunSuite {
       s"hash partitioning on user_id must serve the window AND both aggs, found $exchanges:\n$p")
   }
 
+  test("q_ab_test: four counters in one conditional-agg pass — no join, one scan") {
+    val p = plan("q_ab_test")
+    assert(!p.contains("Join"), s"no join belongs here:\n$p")
+    val scans = p.linesIterator.count(_.contains("FileScan parquet"))
+    assert(scans == 1, s"events must be scanned once, found $scans:\n$p")
+    assert(p.contains("partial_sum"),
+      s"the four counters must combine map-side:\n$p")
+  }
+
+  test("q_mutual_info: windows run over the cell table, never corpus rows") {
+    val p = plan("q_mutual_info")
+    val single = p.linesIterator.filter(_.contains("SinglePartition")).toSeq
+    assert(single.nonEmpty, s"expected the cell-table marginal windows:\n$p")
+    assert(!single.exists(_.contains("doc_id")),
+      s"document rows entered a single-partition exchange:\n$p")
+  }
+
+  test("q_copurchase_components: equi-joins only through edge build and CC") {
+    val p = plan("q_copurchase_components")
+    assert(!p.contains("CartesianProduct"),
+      s"component labeling must never go cartesian:\n$p")
+  }
+
+  test("q_readability: map-only feature extraction — no shuffle before the output sort") {
+    val p = plan("q_readability")
+    assert(!p.contains("Join"), s"no join belongs here:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"per-doc regex counts must not shuffle:\n$p")
+    val scans = p.linesIterator.count(_.contains("FileScan parquet"))
+    assert(scans == 1, s"documents must be scanned once, found $scans:\n$p")
+  }
+
+  test("q_top_movers: global top-10 via TakeOrderedAndProject, no full sort") {
+    val p = plan("q_top_movers")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the movers cut must plan as a bounded heap:\n$p")
+    assert(p.contains("partial_count"),
+      s"daily counts must combine map-side:\n$p")
+  }
+
   test("q_conversion_lag: first-view window and first-purchase agg share the user exchange") {
     val p = plan("q_conversion_lag")
     assert(!p.contains("Join"), s"single-pass form must not join:\n$p")
