@@ -4514,20 +4514,32 @@ object Queries {
     * (~lines² per order, never corpus²). The oracle counts the same
     * triangles by the naive ordered triple join — tractable at gate
     * SF, which is exactly why the Spark side must NOT use it. */
+  /** Shared co-purchase edge build: baskets fold into per-order part
+    * SETS in ONE order-keyed exchange (map-side partial collect_set —
+    * never a self-join, which would shuffle the fact table twice and
+    * join it against itself), then pairs explode ROW-LOCALLY
+    * (order-bounded: ~lines² per basket, the q_event_pairs
+    * discipline) into the support count. The support filter rides the
+    * pair aggregate. */
+  private def copurchaseEdges(s: SparkSession, d: String,
+                              minSupport: Int,
+                              outA: String, outB: String): DataFrame = {
+    val baskets = t(s, d, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .groupBy("ok").agg(collect_set("pk").as("parts"))
+    baskets
+      .select(explode(col("parts")).as("a"), col("parts"))
+      .select(col("a"), explode(col("parts")).as("b"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("a").as(outA), col("b").as(outB))
+      .agg(count(lit(1)).as("w"))
+      .filter(col("w") >= minSupport)
+      .select(outA, outB)
+  }
+
   private val qTriangles = Q(
     "q_triangles",
-    (s, d) => {
-      val pp = t(s, d, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct()
-      val edges = pp.as("a").join(pp.as("b"),
-          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-        .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
-        .agg(count(lit(1)).as("w"))
-        .filter(col("w") >= 2)
-        .select("u", "v")
-      Graph.triangleStats(edges)
-    },
+    (s, d) => Graph.triangleStats(copurchaseEdges(s, d, 2, "u", "v")),
     Some("""WITH pp AS (
       SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
     e AS (
@@ -5039,16 +5051,7 @@ object Queries {
   private val qCopurchaseComponents = Q(
     "q_copurchase_components",
     (s, d) => {
-      val pp = t(s, d, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct()
-      val edges = pp.as("a").join(pp.as("b"),
-          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-        .groupBy(col("a.pk").as("i"), col("b.pk").as("j"))
-        .agg(count(lit(1)).as("w"))
-        .filter(col("w") >= 3)
-        .select("i", "j")
-      val cc = Dedup.connectedComponents(edges)
+      val cc = Dedup.connectedComponents(copurchaseEdges(s, d, 3, "i", "j"))
       val w = Window.partitionBy("cluster_id")
       cc.withColumn("csize", count(lit(1)).over(w))
         .select(col("doc_id").as("part_id"), col("cluster_id"),
@@ -5155,6 +5158,205 @@ object Queries {
     FROM lagged WHERE prev IS NOT NULL
     ORDER BY abs_delta DESC, event_type ASC, day ASC LIMIT 10"""))
 
+  /** Regional revenue rollup — the TPC-H Q5 join shape (fact ⋈ orders
+    * ⋈ customer ⋈ nation ⋈ region) that exercises the planner's
+    * broadcast-chain judgment: lineitem joins orders on the shuffled
+    * fact key ONCE, then every dimension hop (customer at gate SF is
+    * dimension-grade; nation/region always are) rides a broadcast —
+    * the plan a 100 TB star schema needs, where re-shuffling the fact
+    * table per dimension would dominate the query. Revenue
+    * ep·(1−disc) is computed in double (2+2-decimal inputs ⇒ the
+    * true product has ≤4 decimals, so the per-row decimal(18,6) cast
+    * is unambiguous on both engines) and DECIMAL-summed
+    * (order-independent). */
+  private val qRegionalRevenue = Q(
+    "q_regional_revenue",
+    (s, d) => {
+      val li = t(s, d, "lineitem")
+        .select(col("l_orderkey"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(18,6)").as("rev"))
+      val ord = t(s, d, "orders").select("o_orderkey", "o_custkey")
+      val cust = t(s, d, "customer").select("c_custkey", "c_nationkey")
+      val nat = t(s, d, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+      val reg = t(s, d, "region").select("r_regionkey", "r_name")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name").as("region"), col("n_name").as("nation"))
+        .agg(count(lit(1)).as("n_items"),
+          sum("rev").as("revd"))
+        .select(col("region"), col("nation"), col("n_items"),
+          TextAnalysis.roundStable(col("revd").cast("double"), 2)
+            .as("revenue"))
+        .orderBy("region", "nation")
+    },
+    Some("""SELECT r.r_name AS region, n.n_name AS nation,
+      count(*) AS n_items,
+      floor(CAST(sum(CAST(l.l_extendedprice * (1.0 - l.l_discount)
+          AS DECIMAL(18,6))) AS DOUBLE) * 100.0 + 0.5) / 100.0 AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY 1, 2 ORDER BY region, nation"""))
+
+  /** Discount lift — quantity response and forgone revenue per
+    * discount level (the TPC-H Q6 question asked properly: not one
+    * band, the whole curve). Discount levels are DISCRETE 2-decimal
+    * values: keying the groupBy on round(d·100) keeps the key integer
+    * (grouping raw doubles on equality is the cross-engine trap).
+    * Quantity and the ep·d forgone-revenue product are DECIMAL-summed;
+    * the means are single rounded divisions. One scan, map-side
+    * combined, |levels| rows. */
+  private val qDiscountLift = Q(
+    "q_discount_lift",
+    (s, d) => t(s, d, "lineitem")
+      .groupBy(floor(col("l_discount") * 100 + lit(0.5)).cast("long")
+        .as("disc_pct"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(18,6)")).as("qty"),
+        sum((col("l_extendedprice") * col("l_discount"))
+          .cast("decimal(18,6)")).as("forgone"))
+      .select(col("disc_pct"), col("n"),
+        TextAnalysis.roundStable(
+          col("qty").cast("double") / col("n"), 4).as("avg_qty"),
+        TextAnalysis.roundStable(col("forgone").cast("double"), 2)
+          .as("forgone_rev"))
+      .orderBy("disc_pct"),
+    Some("""SELECT CAST(floor(l_discount * 100 + 0.5) AS BIGINT)
+        AS disc_pct,
+      count(*) AS n,
+      floor(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+        / count(*) * 10000.0 + 0.5) / 10000.0 AS avg_qty,
+      floor(CAST(sum(CAST(l_extendedprice * l_discount
+          AS DECIMAL(18,6))) AS DOUBLE) * 100.0 + 0.5) / 100.0
+        AS forgone_rev
+    FROM lineitem GROUP BY 1 ORDER BY disc_pct"""))
+
+  /** Inter-purchase gap profile per user — the repeat-behavior
+    * signal behind churn models (long gaps → churn risk; q_streak
+    * counts consecutive days, this measures the spacing). One user
+    * exchange: purchase rows lag-diffed in integer seconds on the
+    * (user ORDER BY ts, id) window, then the same-keyed aggregate
+    * (exchange reuse, the q_session_stats discipline). Median gap is
+    * an exact percentile over integer seconds. */
+  private val qOrderGap = Q(
+    "q_order_gap",
+    (s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+      t(s, d, "events")
+        .filter(col("event_type") === "purchase")
+        .withColumn("gap_sec",
+          ((unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)))
+            / lit(1000000L)).cast("long"))
+        .filter(col("gap_sec").isNotNull)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_gaps"),
+          min("gap_sec").as("min_gap"),
+          max("gap_sec").as("max_gap"),
+          expr("percentile(gap_sec, 0.5D)").as("medr"))
+        .select(col("user_id"), col("n_gaps"), col("min_gap"),
+          col("max_gap"),
+          TextAnalysis.roundStable(col("medr"), 1).as("median_gap"))
+        .orderBy("user_id")
+    },
+    Some("""WITH p AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS tts
+      FROM events WHERE event_type = 'purchase'),
+    g AS (SELECT user_id,
+        (epoch_us(tts) - epoch_us(lag(tts) OVER (PARTITION BY user_id
+          ORDER BY tts ASC, event_id ASC))) // 1000000 AS gap_sec
+      FROM p)
+    SELECT user_id, count(*) AS n_gaps,
+      min(gap_sec) AS min_gap, max(gap_sec) AS max_gap,
+      floor(quantile_cont(gap_sec, 0.5) * 10.0 + 0.5) / 10.0 AS median_gap
+    FROM g WHERE gap_sec IS NOT NULL GROUP BY 1 ORDER BY user_id"""))
+
+  /** Anomalous days — days whose count sits more than 2σ from the
+    * type's mean daily count (the alert q_rolling_stats feeds locally,
+    * asked globally). Mean and variance come from INTEGER power sums
+    * (Σn, Σn², k — exact, order-free); each day's z-score is the
+    * identical IEEE expression both sides; the per-type stats row is
+    * a broadcast join back to the daily table (5 rows — never a
+    * shuffle of the series). Population σ (÷k), matching the oracle
+    * spelled the same way. */
+  private val qAnomalyDays = Q(
+    "q_anomaly_days",
+    (s, d) => {
+      val daily = t(s, d, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val stats = daily.groupBy("event_type")
+        .agg(count(lit(1)).as("k"), sum("n").as("sx"),
+          sum(col("n") * col("n")).as("sxx"))
+      val mean = col("sx").cast("double") / col("k")
+      val varp = (col("k") * col("sxx") - col("sx") * col("sx"))
+        .cast("double") / (col("k").cast("double") * col("k"))
+      val z = (col("n") - mean) / sqrt(varp)
+      daily.join(broadcast(stats), "event_type")
+        .filter(varp > 0 && abs(col("n") - mean) > lit(2.0) * sqrt(varp))
+        .select(col("event_type"), col("day"), col("n"),
+          TextAnalysis.roundStable(mean, 4).as("mean_n"),
+          TextAnalysis.roundStable(z, 4).as("z_score"))
+        .orderBy("event_type", "day")
+    },
+    Some("""WITH daily AS (
+      SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        count(*) AS n
+      FROM events GROUP BY 1, 2),
+    st AS (SELECT event_type, count(*) AS k,
+        CAST(sum(n) AS BIGINT) AS sx, CAST(sum(n * n) AS BIGINT) AS sxx
+      FROM daily GROUP BY 1)
+    SELECT d.event_type, d.day, d.n,
+      floor(CAST(sx AS DOUBLE) / k * 10000.0 + 0.5) / 10000.0 AS mean_n,
+      floor((d.n - CAST(sx AS DOUBLE) / k)
+          / sqrt(CAST(k * sxx - sx * sx AS DOUBLE)
+            / (CAST(k AS DOUBLE) * k))
+        * 10000.0 + 0.5) / 10000.0 AS z_score
+    FROM daily d JOIN st USING (event_type)
+    WHERE CAST(k * sxx - sx * sx AS DOUBLE) / (CAST(k AS DOUBLE) * k) > 0
+      AND abs(d.n - CAST(sx AS DOUBLE) / k)
+        > 2.0 * sqrt(CAST(k * sxx - sx * sx AS DOUBLE)
+          / (CAST(k AS DOUBLE) * k))
+    ORDER BY event_type, day"""))
+
+  /** Stratified k-fold assignment — deterministic 5-fold split
+    * balanced WITHIN each language (the eval-split builder next to
+    * q_shard_assign's size-balanced sharding and q_stratified_sample's
+    * rate sampling): fold = per-lang row_number mod 5, so every
+    * (lang, fold) cell holds ⌈/⌋ of the stratum. Output is the
+    * bounded audit table (lang × fold counts + min/max doc ids), not
+    * the corpus rows. The per-lang window sorts by doc_id — at corpus
+    * scale swap the row_number for [[Ranking.globalRank]]'s histogram
+    * rank per stratum (same fold arithmetic, no single-partition
+    * stratum sort). */
+  private val qKfold = Q(
+    "q_kfold",
+    (s, d) => {
+      val w = Window.partitionBy("lang").orderBy("doc_id")
+      t(s, d, "documents")
+        .select(col("doc_id"), col("lang"))
+        .withColumn("fold", (row_number().over(w) - 1) % 5)
+        .groupBy("lang", "fold")
+        .agg(count(lit(1)).as("n"),
+          min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+        .withColumn("fold", col("fold").cast("long"))
+        .orderBy("lang", "fold")
+    },
+    Some("""WITH f AS (
+      SELECT doc_id, lang,
+        (row_number() OVER (PARTITION BY lang ORDER BY doc_id) - 1) % 5
+          AS fold
+      FROM documents)
+    SELECT lang, CAST(fold AS BIGINT) AS fold, count(*) AS n,
+      min(doc_id) AS min_doc, max(doc_id) AS max_doc
+    FROM f GROUP BY 1, 2 ORDER BY lang, fold"""))
+
   // ---------------------------------------------------------------------
 
   val all: Seq[Q] = Seq(
@@ -5191,7 +5393,8 @@ object Queries {
     qBm25, qOhlc, qAutocorr, qChiSquare, qConversionLag,
     qUserGrowth, qEwma, qTriangles, qKnnLabel, qDiversity,
     qBenford, qTailLatency, qPareto, qCohortLtv, qSessionStats,
-    qAbTest, qMutualInfo, qCopurchaseComponents, qReadability, qTopMovers)
+    qAbTest, qMutualInfo, qCopurchaseComponents, qReadability, qTopMovers,
+    qRegionalRevenue, qDiscountLift, qOrderGap, qAnomalyDays, qKfold)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

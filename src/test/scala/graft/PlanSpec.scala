@@ -809,6 +809,52 @@ class PlanSpec extends AnyFunSuite {
       s"daily counts must combine map-side:\n$p")
   }
 
+  test("q_regional_revenue: one fact shuffle, every dimension hop broadcast") {
+    val p = plan("q_regional_revenue")
+    val bhj = p.linesIterator.count(_.contains("BroadcastHashJoin"))
+    assert(bhj >= 3,
+      s"customer/nation/region hops must broadcast (found $bhj BHJ):\n$p")
+    assert(!p.contains("SortMergeJoin") ||
+      !p.linesIterator.exists(l => l.contains("SortMergeJoin") && l.contains("c_custkey")),
+      s"dimension joins must not sort-merge:\n$p")
+  }
+
+  test("q_discount_lift: integer-keyed groupBy, map-side combined, one scan") {
+    val p = plan("q_discount_lift")
+    assert(!p.contains("Join"), s"no join belongs here:\n$p")
+    val scans = p.linesIterator.count(_.contains("FileScan parquet"))
+    assert(scans == 1, s"lineitem must be scanned once, found $scans:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"level sums must combine map-side:\n$p")
+  }
+
+  test("q_order_gap: lag window and gap aggregate share the user exchange") {
+    val p = plan("q_order_gap")
+    assert(!p.contains("Join"), s"no join belongs here:\n$p")
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1,
+      s"window + groupBy must share ONE user exchange, found $exchanges:\n$p")
+    assert(p.contains("PushedFilters: [") && p.contains("EqualTo(event_type,purchase"),
+      s"purchase filter must push to parquet:\n$p")
+  }
+
+  test("q_anomaly_days: per-type stats broadcast back — the series never re-shuffles") {
+    val p = plan("q_anomaly_days")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the 5-row stats table must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no shuffle join belongs here:\n$p")
+  }
+
+  test("q_kfold: stratum windows then cell aggregate — corpus text never shuffles") {
+    val p = plan("q_kfold")
+    // Only (doc_id, lang)-grade rows move; the scan reads just the
+    // two columns.
+    assert(p.contains("ReadSchema") && !p.contains("text"),
+      s"scan must read only doc_id/lang:\n$p")
+    assert(!p.contains("SinglePartition"),
+      s"folds are per-stratum — no global window belongs here:\n$p")
+  }
+
   test("q_conversion_lag: first-view window and first-purchase agg share the user exchange") {
     val p = plan("q_conversion_lag")
     assert(!p.contains("Join"), s"single-pass form must not join:\n$p")
