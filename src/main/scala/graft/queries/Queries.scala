@@ -5357,6 +5357,243 @@ object Queries {
       min(doc_id) AS min_doc, max(doc_id) AS max_doc
     FROM f GROUP BY 1, 2 ORDER BY lang, fold"""))
 
+  /** Recall@5 of the IVF probe against the exact brute-force baseline
+    * — the EVALUATION query an ANN index ships with (q_ann_topk and
+    * q_ann_ivf produce the rankings; this scores them, per query and
+    * exactly). A left join from the truth list to the probe list on
+    * (query, candidate) counts hits; recall is hits/k. Both sides are
+    * k-bounded per query, so the join moves 2·|queries|·k rows
+    * total — evaluation cost is independent of corpus size (the 100
+    * TB property an eval harness needs). */
+  private val qRecallAtK = Q(
+    "q_recall_at_k",
+    (s, d) => {
+      val emb = t(s, d, "embeddings")
+      val brute = Similarity.bruteTopK(emb, col("vec_id") < 8, k = 5)
+        .select(col("query_id"), col("cand_id"))
+      val ivf = Similarity.ivfTopK(emb, col("vec_id") < 8, k = 5,
+          cellBits = 8)
+        .select(col("query_id"), col("cand_id"), lit(1L).as("hit"))
+      brute.join(ivf, Seq("query_id", "cand_id"), "left")
+        .groupBy("query_id")
+        .agg(count(lit(1)).as("k"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+        .select(col("query_id"), col("k"), col("n_hits"),
+          TextAnalysis.roundStable(
+            col("n_hits").cast("double") / col("k"), 4).as("recall"))
+        .orderBy("query_id")
+    },
+    Some("""WITH m AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+    w AS (SELECT vec_id, v,
+      sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm,
+      (CASE WHEN v[1] >= 0 THEN 1 ELSE 0 END)
+      + (CASE WHEN v[2] >= 0 THEN 2 ELSE 0 END)
+      + (CASE WHEN v[3] >= 0 THEN 4 ELSE 0 END)
+      + (CASE WHEN v[4] >= 0 THEN 8 ELSE 0 END)
+      + (CASE WHEN v[5] >= 0 THEN 16 ELSE 0 END)
+      + (CASE WHEN v[6] >= 0 THEN 32 ELSE 0 END)
+      + (CASE WHEN v[7] >= 0 THEN 64 ELSE 0 END)
+      + (CASE WHEN v[8] >= 0 THEN 128 ELSE 0 END) AS cell
+      FROM m),
+    q AS (SELECT * FROM w WHERE vec_id < 8),
+    bs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+        round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cos_sim
+      FROM q JOIN w c ON c.vec_id <> q.vec_id),
+    br AS (SELECT query_id, cand_id FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+        ORDER BY cos_sim DESC, cand_id ASC) AS rk FROM bs) WHERE rk <= 5),
+    is_ AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+        round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cos_sim
+      FROM q JOIN w c ON c.cell = q.cell AND c.vec_id <> q.vec_id),
+    iv AS (SELECT query_id, cand_id, 1 AS hit FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+        ORDER BY cos_sim DESC, cand_id ASC) AS rk FROM is_) WHERE rk <= 5)
+    SELECT b.query_id AS query_id, count(*) AS k,
+      CAST(sum(COALESCE(iv.hit, 0)) AS BIGINT) AS n_hits,
+      floor(CAST(sum(COALESCE(iv.hit, 0)) AS DOUBLE) / count(*)
+        * 10000.0 + 0.5) / 10000.0 AS recall
+    FROM br b LEFT JOIN iv
+      ON iv.query_id = b.query_id AND iv.cand_id = b.cand_id
+    GROUP BY 1 ORDER BY b.query_id"""))
+
+  /** Per-label medoid over a deterministic 1-in-20 sample — the
+    * actual-member cluster representative (q_label_centroids' mean is
+    * not a member; the medoid is, which is what you hand to a human
+    * or use as a retrieval exemplar). Label-blocked all-pairs over
+    * the SAMPLE keeps the O(b²) pair count calibration-grade
+    * (the q_semdedup exact-twin discipline — at corpus scale the
+    * medoid is approximated against q_label_centroids' centroid
+    * instead); argmax-of-total-similarity picks by (score desc, id
+    * asc) via one label-bounded window. */
+  private val qMedoid = Q(
+    "q_medoid",
+    (s, d) => {
+      val emb = t(s, d, "embeddings").filter(col("vec_id") % 20 === 0)
+      val prepped = emb.select(col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+        .withColumn("nrm", sqrt(aggregate(col("v"), lit(0.0),
+          (acc, x) => acc + x * x)))
+      val sims = prepped.as("a").join(prepped.as("b"),
+          col("a.label") === col("b.label")
+            && col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.label").as("label"), col("a.vec_id").as("vec_id"),
+          (aggregate(zip_with(col("a.v"), col("b.v"), (x, y) => x * y),
+            lit(0.0), (acc, x) => acc + x) /
+            (col("a.nrm") * col("b.nrm"))).as("sim"))
+      val totals = sims.groupBy("label", "vec_id")
+        .agg(count(lit(1)).as("n_others"),
+          TextAnalysis.roundStable(sum("sim"), 6).as("total_sim"))
+      val w = Window.partitionBy("label")
+        .orderBy(col("total_sim").desc, col("vec_id").asc)
+      totals.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("label").cast("long").as("label"),
+          col("vec_id").as("medoid_id"), col("n_others"),
+          TextAnalysis.roundStable(
+            col("total_sim") / col("n_others"), 6).as("mean_sim"))
+        .orderBy("label")
+    },
+    Some("""WITH m AS (
+      SELECT vec_id, label,
+        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings WHERE vec_id % 20 = 0),
+    w AS (SELECT vec_id, label, v,
+      sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM m),
+    sims AS (
+      SELECT a.label, a.vec_id,
+        list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS sim
+      FROM w a JOIN w b ON a.label = b.label AND a.vec_id <> b.vec_id),
+    tot AS (SELECT label, vec_id, count(*) AS n_others,
+        floor(sum(sim) * 1000000.0 + 0.5) / 1000000.0 AS total_sim
+      FROM sims GROUP BY 1, 2),
+    r AS (SELECT *, row_number() OVER (PARTITION BY label
+        ORDER BY total_sim DESC, vec_id ASC) AS rn FROM tot)
+    SELECT CAST(label AS BIGINT) AS label, vec_id AS medoid_id, n_others,
+      floor(total_sim / n_others * 1000000.0 + 0.5) / 1000000.0
+        AS mean_sim
+    FROM r WHERE rn = 1 ORDER BY label"""))
+
+  /** Gini coefficient of customer revenue — the single-number
+    * inequality summary next to q_pareto's top-share cuts, via the
+    * rank-weighted identity G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n over
+    * ascending-ranked revenues. The rank is [[Ranking.globalRank]]'s
+    * histogram prefix sum (no corpus single-partition sort); both
+    * Σ(i·xᵢ) and Σx accumulate in DECIMAL (rank·revenue stays
+    * decimal), so the score is exact until one closing double
+    * expression. */
+  private val qGini = Q(
+    "q_gini",
+    (s, d) => {
+      val rev = t(s, d, "orders").groupBy("o_custkey")
+        .agg(sum(col("o_totalprice").cast("decimal(18,6)")).as("rev"))
+      val ranked = Ranking.globalRank(rev, col("rev"), col("o_custkey"),
+        valueAscending = true, rankName = "rn")
+      ranked.agg(count(lit(1)).as("n"),
+          sum("rev").as("sx"),
+          sum(col("rn") * col("rev")).as("sxi"))
+        .select(col("n"),
+          TextAnalysis.roundStable(col("sx").cast("double"), 2)
+            .as("total_rev"),
+          TextAnalysis.roundStable(
+            lit(2.0) * col("sxi").cast("double") /
+              (col("n") * col("sx").cast("double")) -
+              (col("n") + lit(1.0)) / col("n"), 6).as("gini"))
+    },
+    Some("""WITH rev AS (
+      SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,6))) AS rev
+      FROM orders GROUP BY 1),
+    ranked AS (SELECT rev, row_number() OVER (
+        ORDER BY rev ASC, o_custkey ASC) AS rn
+      FROM rev),
+    a AS (SELECT count(*) AS n,
+        sum(rev) AS sx, sum(rn * rev) AS sxi
+      FROM ranked)
+    SELECT n,
+      floor(CAST(sx AS DOUBLE) * 100.0 + 0.5) / 100.0 AS total_rev,
+      floor((2.0 * CAST(sxi AS DOUBLE) / (n * CAST(sx AS DOUBLE))
+          - (n + 1.0) / n) * 1000000.0 + 0.5) / 1000000.0 AS gini
+    FROM a"""))
+
+  /** Exponential freshness-decay score per event type — the trending
+    * metric (recent activity counts more, e^(−age/7) half-life ≈ 4.85
+    * days). The corpus folds to (type, day, n) first, so the float
+    * decay fold runs over the BOUNDED daily table (the
+    * q_token_entropy float-sum precedent); age comes from a broadcast
+    * single-row global max-day; one scan. */
+  private val qFreshnessDecay = Q(
+    "q_freshness_decay",
+    (s, d) => {
+      val daily = t(s, d, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val mx = daily.agg(max("day").as("dmax"))
+      daily.crossJoin(broadcast(mx))
+        .withColumn("age", datediff(col("dmax"), col("day")))
+        .groupBy("event_type")
+        .agg(sum("n").as("n_events"),
+          TextAnalysis.roundStable(
+            sum(col("n").cast("double") *
+              exp(-col("age").cast("double") / lit(7.0))), 4)
+            .as("fresh_score"))
+        .orderBy("event_type")
+    },
+    Some("""WITH daily AS (
+      SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        count(*) AS n
+      FROM events GROUP BY 1, 2),
+    mx AS (SELECT max(day) AS dmax FROM daily)
+    SELECT event_type, CAST(sum(n) AS BIGINT) AS n_events,
+      floor(sum(CAST(n AS DOUBLE)
+          * exp(-CAST(date_diff('day', day, dmax) AS DOUBLE) / 7.0))
+        * 10000.0 + 0.5) / 10000.0 AS fresh_score
+    FROM daily, mx GROUP BY 1 ORDER BY event_type"""))
+
+  /** Audience overlap matrix — pairwise Jaccard of the user sets
+    * behind each event type (q_event_pairs scores lift; this answers
+    * the segmentation question "are clickers and buyers the same
+    * people?"). Same one-scan discipline: per-user type sets fold in
+    * one exchange, pairs explode row-locally, marginals come from the
+    * SAME cached set table; Jaccard |∩|/(|a|+|b|−|∩|) is exact
+    * integers until one rounded division. */
+  private val qSegmentOverlap = Q(
+    "q_segment_overlap",
+    (s, d) => {
+      val sets = graft.operators.CacheRegistry.global.track(
+        t(s, d, "events").groupBy("user_id")
+          .agg(collect_set("event_type").as("types")).persist())
+      val pairs = sets
+        .select(explode(col("types")).as("a"), col("types"))
+        .select(col("a"), explode(col("types")).as("b"))
+        .filter(col("a") < col("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("n_both"))
+      val perType = sets.select(explode(col("types")).as("et"))
+        .groupBy("et").agg(count(lit(1)).as("n"))
+      pairs
+        .join(perType.select(col("et").as("a"), col("n").as("n_a")), "a")
+        .join(perType.select(col("et").as("b"), col("n").as("n_b")), "b")
+        .select(col("a"), col("b"), col("n_a"), col("n_b"), col("n_both"),
+          TextAnalysis.roundStable(
+            col("n_both").cast("double") /
+              (col("n_a") + col("n_b") - col("n_both")), 6).as("jaccard"))
+        .orderBy("a", "b")
+    },
+    Some("""WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+    pt AS (SELECT event_type, count(*) AS n FROM ut GROUP BY 1),
+    pr AS (SELECT a.event_type AS a, b.event_type AS b, count(*) AS n_both
+           FROM ut a JOIN ut b
+             ON a.user_id = b.user_id AND a.event_type < b.event_type
+           GROUP BY 1, 2)
+    SELECT pr.a, pr.b, pa.n AS n_a, pb.n AS n_b, pr.n_both,
+      floor(CAST(pr.n_both AS DOUBLE) / (pa.n + pb.n - pr.n_both)
+        * 1000000.0 + 0.5) / 1000000.0 AS jaccard
+    FROM pr JOIN pt pa ON pa.event_type = pr.a
+         JOIN pt pb ON pb.event_type = pr.b
+    ORDER BY a, b"""))
+
   // ---------------------------------------------------------------------
 
   val all: Seq[Q] = Seq(
@@ -5394,7 +5631,8 @@ object Queries {
     qUserGrowth, qEwma, qTriangles, qKnnLabel, qDiversity,
     qBenford, qTailLatency, qPareto, qCohortLtv, qSessionStats,
     qAbTest, qMutualInfo, qCopurchaseComponents, qReadability, qTopMovers,
-    qRegionalRevenue, qDiscountLift, qOrderGap, qAnomalyDays, qKfold)
+    qRegionalRevenue, qDiscountLift, qOrderGap, qAnomalyDays, qKfold,
+    qRecallAtK, qMedoid, qGini, qFreshnessDecay, qSegmentOverlap)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -855,6 +855,47 @@ class PlanSpec extends AnyFunSuite {
       s"folds are per-stratum — no global window belongs here:\n$p")
   }
 
+  test("q_recall_at_k: both rank lists broadcast-bounded; eval join is k-bounded") {
+    val p = plan("q_recall_at_k")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"the 8 query vectors must broadcast into both scorers:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+  }
+
+  test("q_medoid: pair join blocks on label equality — never cross-label") {
+    val p = plan("q_medoid")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"medoid pairs must meet on the label equi-key:\n$p")
+    // The sample predicate reaches the scan.
+    assert(p.contains("PushedFilters: ["), s"sample filter must push:\n$p")
+  }
+
+  test("q_gini: rank via value histogram — no customer-grade single-partition window") {
+    val p = plan("q_gini")
+    val single = p.linesIterator.filter(_.contains("SinglePartition")).toSeq
+    assert(!single.exists(_.contains("o_custkey")),
+      s"customer rows entered a single-partition exchange:\n$p")
+  }
+
+  test("q_freshness_decay: decay fold runs over the bounded daily table") {
+    val p = plan("q_freshness_decay")
+    assert(p.contains("partial_count"),
+      s"daily counts must combine map-side:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"the global max-day must broadcast:\n$p")
+    val scans = p.linesIterator.count(_.contains("FileScan parquet"))
+    assert(scans <= 2, s"events must not be re-scanned per consumer, found $scans:\n$p")
+  }
+
+  test("q_segment_overlap: per-user sets cached; pairs explode row-locally") {
+    try {
+      val p = plan("q_segment_overlap")
+      assert(p.contains("InMemoryTableScan"),
+        s"the per-user set table must be cached, not re-derived:\n$p")
+      assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    } finally graft.operators.CacheRegistry.global.releaseAll()
+  }
+
   test("q_conversion_lag: first-view window and first-purchase agg share the user exchange") {
     val p = plan("q_conversion_lag")
     assert(!p.contains("Join"), s"single-pass form must not join:\n$p")
