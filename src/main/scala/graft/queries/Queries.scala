@@ -5594,6 +5594,251 @@ object Queries {
          JOIN pt pb ON pb.event_type = pr.b
     ORDER BY a, b"""))
 
+  /** Daily-count OLS trend per event type — slope/intercept/R² of
+    * n ~ day_index, the "is this metric growing?" number behind every
+    * sparkline. Day index is the integer day offset from the type's
+    * first day, so ALL five power sums (k, Σx, Σy, Σxy, Σx², Σy²) are
+    * exact BIGINTs (the q_autocorr discipline); slope, intercept and
+    * R² are closing double expressions written identically on both
+    * sides. One exchange to the daily table, one to the per-type
+    * summary. Zero-variance series → NULL via the denominator guard. */
+  private val qTrend = Q(
+    "q_trend",
+    (s, d) => {
+      val daily = t(s, d, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val wmin = Window.partitionBy("event_type")
+      val idx = daily
+        .withColumn("x", datediff(col("day"), min("day").over(wmin))
+          .cast("long"))
+      val st = idx.groupBy("event_type").agg(
+        count(lit(1)).as("k"),
+        sum("x").as("sx"), sum("n").as("sy"),
+        sum(col("x") * col("n")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("n") * col("n")).as("syy"))
+      val dxx = (col("k") * col("sxx") - col("sx") * col("sx"))
+        .cast("double")
+      val dyy = (col("k") * col("syy") - col("sy") * col("sy"))
+        .cast("double")
+      val dxy = (col("k") * col("sxy") - col("sx") * col("sy"))
+        .cast("double")
+      val slope = dxy / dxx
+      st.select(col("event_type"), col("k").as("n_days"),
+          TextAnalysis.roundStable(when(dxx > 0, slope), 6).as("slope"),
+          TextAnalysis.roundStable(
+            when(dxx > 0,
+              (col("sy").cast("double") - slope * col("sx")) / col("k")),
+            4).as("intercept"),
+          TextAnalysis.roundStable(
+            when(dxx > 0 && dyy > 0, (dxy * dxy) / (dxx * dyy)), 6)
+            .as("r2"))
+        .orderBy("event_type")
+    },
+    Some("""WITH daily AS (
+      SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        count(*) AS n
+      FROM events GROUP BY 1, 2),
+    idx AS (SELECT event_type, n,
+        date_diff('day', min(day) OVER (PARTITION BY event_type), day)
+          AS x
+      FROM daily),
+    st AS (SELECT event_type, count(*) AS k,
+        CAST(sum(x) AS BIGINT) AS sx, CAST(sum(n) AS BIGINT) AS sy,
+        CAST(sum(x * n) AS BIGINT) AS sxy,
+        CAST(sum(x * x) AS BIGINT) AS sxx,
+        CAST(sum(n * n) AS BIGINT) AS syy
+      FROM idx GROUP BY 1)
+    SELECT event_type, k AS n_days,
+      CASE WHEN (k * sxx - sx * sx) > 0 THEN
+        floor(CAST(k * sxy - sx * sy AS DOUBLE)
+            / CAST(k * sxx - sx * sx AS DOUBLE) * 1000000.0 + 0.5)
+          / 1000000.0 END AS slope,
+      CASE WHEN (k * sxx - sx * sx) > 0 THEN
+        floor((CAST(sy AS DOUBLE)
+            - CAST(k * sxy - sx * sy AS DOUBLE)
+              / CAST(k * sxx - sx * sx AS DOUBLE) * sx) / k
+          * 10000.0 + 0.5) / 10000.0 END AS intercept,
+      CASE WHEN (k * sxx - sx * sx) > 0 AND (k * syy - sy * sy) > 0 THEN
+        floor((CAST(k * sxy - sx * sy AS DOUBLE)
+             * CAST(k * sxy - sx * sy AS DOUBLE))
+            / (CAST(k * sxx - sx * sx AS DOUBLE)
+             * CAST(k * syy - sy * sy AS DOUBLE)) * 1000000.0 + 0.5)
+          / 1000000.0 END AS r2
+    FROM st ORDER BY event_type"""))
+
+  /** Top event-path trigrams — the most common 3-step user journeys
+    * (funnel discovery, where q_funnel checks ONE known path). Each
+    * user's event sequence folds into ONE ordered array (deterministic
+    * (ts, event_id) sort INSIDE the aggregate via sorted structs —
+    * never a corpus window), trigrams explode row-locally from
+    * consecutive positions, and the global top-10 is
+    * TakeOrderedAndProject. The per-user array is session-bounded at
+    * 100 TB (cap long tails before collecting — q_chunk's
+    * discipline). */
+  private val qEventTrigrams = Q(
+    "q_event_trigrams",
+    (s, d) => {
+      val seqs = t(s, d, "events")
+        .groupBy("user_id")
+        .agg(array_sort(collect_list(struct(col("ts"), col("event_id"),
+          col("event_type")))).as("evs"))
+        .select(col("user_id"),
+          transform(col("evs"), e => e.getField("event_type")).as("path"))
+      // size >= 3 filter BEFORE the sequence: Spark's sequence(1, 0)
+      // is a DESCENDING [1, 0] (DuckDB's range(1, 1) is empty) — a
+      // short path would fabricate null trigrams.
+      val tri = seqs
+        .filter(size(col("path")) >= 3)
+        .select(explode(expr(
+          """transform(sequence(1, size(path) - 2),
+             i -> concat(path[i-1], '>', path[i], '>', path[i+1]))"""))
+          .as("trigram"))
+      tri.groupBy("trigram").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("trigram").asc)
+        .limit(10)
+    },
+    Some("""WITH seqs AS (
+      SELECT user_id,
+        list_transform(
+          list_sort(list((CAST(ts AS TIMESTAMP), event_id, event_type))),
+          e -> e[3]) AS path
+      FROM events GROUP BY 1),
+    tri AS (
+      SELECT unnest(list_transform(range(1, greatest(len(path) - 1, 1)),
+          i -> path[i] || '>' || path[i+1] || '>' || path[i+2]))
+        AS trigram
+      FROM seqs WHERE len(path) >= 3)
+    SELECT trigram, count(*) AS n FROM tri GROUP BY 1
+    ORDER BY n DESC, trigram ASC LIMIT 10"""))
+
+  /** Seasonal-naive forecast backtest — MAPE of "predict each day by
+    * the value 7 days earlier" per event type, the baseline every real
+    * forecast must beat (a model that can't beat lag-7 is noise).
+    * Integer lag pairs from one ordered window; MAPE is a float fold
+    * over the BOUNDED daily table (the established precedent) with
+    * exact-integer |n−p| numerators. Also reports bias (mean signed
+    * error) — the direction-of-drift diagnostic. */
+  private val qForecastMape = Q(
+    "q_forecast_mape",
+    (s, d) => {
+      val daily = t(s, d, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+      daily.withColumn("p", lag(col("n"), 7).over(w))
+        .filter(col("p").isNotNull && col("n") > 0)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"),
+          TextAnalysis.roundStable(
+            sum(abs(col("n") - col("p")).cast("double") / col("n")) /
+              count(lit(1)) * lit(100.0), 4).as("mape_pct"),
+          TextAnalysis.roundStable(
+            sum((col("n") - col("p")).cast("double")) / count(lit(1)), 4)
+            .as("bias"))
+        .orderBy("event_type")
+    },
+    Some("""WITH daily AS (
+      SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        count(*) AS n
+      FROM events GROUP BY 1, 2),
+    lagged AS (SELECT event_type, n,
+        lag(n, 7) OVER (PARTITION BY event_type ORDER BY day) AS p
+      FROM daily)
+    SELECT event_type, count(*) AS n_days,
+      floor(sum(CAST(abs(n - p) AS DOUBLE) / n) / count(*) * 100.0
+        * 10000.0 + 0.5) / 10000.0 AS mape_pct,
+      floor(sum(CAST(n - p AS DOUBLE)) / count(*) * 10000.0 + 0.5)
+        / 10000.0 AS bias
+    FROM lagged WHERE p IS NOT NULL AND n > 0
+    GROUP BY 1 ORDER BY event_type"""))
+
+  /** Winsorization audit — order-value stats before and after a p99
+    * cap (the outlier treatment every revenue metric pipeline applies;
+    * q_mad_outlier FLAGS outliers, this measures what capping them
+    * DOES to the aggregate). The p99 threshold is one exact percentile
+    * broadcast back; capped values sum in DECIMAL (per-row least()
+    * then cast — deterministic); the means are closing divisions.
+    * Shows the exact revenue mass the cap removes. */
+  private val qCapping = Q(
+    "q_capping",
+    (s, d) => {
+      val o = t(s, d, "orders").select(col("o_totalprice").as("v"))
+      val th = o.agg(expr("percentile(v, 0.99D)").as("p99"))
+      o.crossJoin(broadcast(th))
+        .agg(count(lit(1)).as("n"),
+          max("p99").as("p99r"),
+          sum(col("v").cast("decimal(18,6)")).as("sraw"),
+          sum(least(col("v"), col("p99")).cast("decimal(18,6)"))
+            .as("scap"),
+          sum((col("v") > col("p99")).cast("long")).as("n_capped"))
+        .select(col("n"), col("n_capped"),
+          TextAnalysis.roundStable(col("p99r"), 4).as("p99"),
+          TextAnalysis.roundStable(
+            col("sraw").cast("double") / col("n"), 4).as("mean_raw"),
+          TextAnalysis.roundStable(
+            col("scap").cast("double") / col("n"), 4).as("mean_capped"),
+          TextAnalysis.roundStable(
+            (col("sraw") - col("scap")).cast("double"), 2)
+            .as("mass_removed"))
+    },
+    Some("""WITH o AS (SELECT o_totalprice AS v FROM orders),
+    th AS (SELECT quantile_cont(v, 0.99) AS p99 FROM o),
+    a AS (SELECT count(*) AS n,
+        CAST(sum(CASE WHEN v > p99 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_capped,
+        max(p99) AS p99r,
+        sum(CAST(v AS DECIMAL(18,6))) AS sraw,
+        sum(CAST(least(v, p99) AS DECIMAL(18,6))) AS scap
+      FROM o, th)
+    SELECT n, n_capped,
+      floor(p99r * 10000.0 + 0.5) / 10000.0 AS p99,
+      floor(CAST(sraw AS DOUBLE) / n * 10000.0 + 0.5) / 10000.0
+        AS mean_raw,
+      floor(CAST(scap AS DOUBLE) / n * 10000.0 + 0.5) / 10000.0
+        AS mean_capped,
+      floor(CAST(sraw - scap AS DOUBLE) * 100.0 + 0.5) / 100.0
+        AS mass_removed
+    FROM a"""))
+
+  /** Vocabulary growth curve — new (first-seen) tokens per document-id
+    * decile of the corpus, the Heaps'-law audit that tells a tokenizer
+    * team when vocabulary saturates. First-occurrence is min(doc_id)
+    * per token (one tok-keyed exchange, map-side combined — never a
+    * corpus-ordered window); the decile fold uses integer width_bucket
+    * arithmetic over the broadcast max id. Integer outputs ⇒ exact. */
+  private val qVocabGrowth = Q(
+    "q_vocab_growth",
+    (s, d) => {
+      val firsts = t(s, d, "documents")
+        .select(col("doc_id"),
+          explode(split(lower(col("text")), " ")).as("tok"))
+        .groupBy("tok").agg(min("doc_id").as("first_doc"))
+      val mx = t(s, d, "documents").agg(max("doc_id").as("dmax"))
+      firsts.crossJoin(broadcast(mx))
+        .groupBy(least(expr("first_doc * 10 div (dmax + 1)"), lit(9L))
+          .as("decile"))
+        .agg(count(lit(1)).as("new_tokens"))
+        .withColumn("cum_vocab", sum("new_tokens").over(
+          Window.orderBy("decile")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .orderBy("decile")
+    },
+    Some("""WITH firsts AS (
+      SELECT tok, min(doc_id) AS first_doc FROM (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+        FROM documents)
+      GROUP BY 1),
+    mx AS (SELECT max(doc_id) AS dmax FROM documents),
+    dec AS (SELECT least((first_doc * 10) // (dmax + 1), 9) AS decile
+      FROM firsts, mx)
+    SELECT decile, count(*) AS new_tokens,
+      CAST(sum(count(*)) OVER (ORDER BY decile
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        AS cum_vocab
+    FROM dec GROUP BY 1 ORDER BY decile"""))
+
   // ---------------------------------------------------------------------
 
   val all: Seq[Q] = Seq(
@@ -5632,7 +5877,8 @@ object Queries {
     qBenford, qTailLatency, qPareto, qCohortLtv, qSessionStats,
     qAbTest, qMutualInfo, qCopurchaseComponents, qReadability, qTopMovers,
     qRegionalRevenue, qDiscountLift, qOrderGap, qAnomalyDays, qKfold,
-    qRecallAtK, qMedoid, qGini, qFreshnessDecay, qSegmentOverlap)
+    qRecallAtK, qMedoid, qGini, qFreshnessDecay, qSegmentOverlap,
+    qTrend, qEventTrigrams, qForecastMape, qCapping, qVocabGrowth)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -896,6 +896,47 @@ class PlanSpec extends AnyFunSuite {
     } finally graft.operators.CacheRegistry.global.releaseAll()
   }
 
+  test("q_trend: power sums over the daily table — no join, map-side combined") {
+    val p = plan("q_trend")
+    assert(!p.contains("Join"), s"OLS from power sums needs no join:\n$p")
+    assert(p.contains("partial_count"),
+      s"daily counts must combine map-side:\n$p")
+    val scans = p.linesIterator.count(_.contains("FileScan parquet"))
+    assert(scans == 1, s"events must be scanned once, found $scans:\n$p")
+  }
+
+  test("q_event_trigrams: sequences fold in the aggregate — no corpus window; top-10 is a bounded heap") {
+    val p = plan("q_event_trigrams")
+    assert(!p.contains("Window"),
+      s"per-user ordering must happen inside array_sort, not a window:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the top-10 cut must plan as a bounded heap:\n$p")
+  }
+
+  test("q_forecast_mape: one ordered window, no join") {
+    val p = plan("q_forecast_mape")
+    assert(!p.contains("Join"), s"no join belongs here:\n$p")
+    val windows = p.linesIterator.count(_.contains("windowspecdefinition"))
+    assert(windows >= 1, s"expected the lag-7 window:\n$p")
+  }
+
+  test("q_capping: threshold broadcast back; sums in decimal") {
+    val p = plan("q_capping")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"the p99 threshold must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no shuffle join belongs here:\n$p")
+  }
+
+  test("q_vocab_growth: first-seen via tok-keyed min agg — never a corpus-ordered window") {
+    val p = plan("q_vocab_growth")
+    assert(p.contains("partial_min"),
+      s"first-occurrence must combine map-side:\n$p")
+    val single = p.linesIterator.filter(_.contains("SinglePartition")).toSeq
+    // Only decile-grade rows enter the global running-sum window.
+    assert(!single.exists(_.contains("tok")),
+      s"token rows entered a single-partition exchange:\n$p")
+  }
+
   test("q_conversion_lag: first-view window and first-purchase agg share the user exchange") {
     val p = plan("q_conversion_lag")
     assert(!p.contains("Join"), s"single-pass form must not join:\n$p")
