@@ -5839,6 +5839,232 @@ object Queries {
         AS cum_vocab
     FROM dec GROUP BY 1 ORDER BY decile"""))
 
+  /** Last-touch revenue attribution — each purchase's value credited
+    * to the most recent PRECEDING non-purchase event type for that
+    * user (the marketing question "which channel gets the sale?").
+    * The carry-forward is last_value(ignoreNulls) over the user
+    * timeline — one ordered user window, no self-join, no as-of pass
+    * per channel; purchases with no preceding touch credit
+    * '(direct)'. Revenue sums in DECIMAL per channel. ONE user
+    * exchange end to end. */
+  private val qAttribution = Q(
+    "q_attribution",
+    (s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      t(s, d, "events")
+        .withColumn("touch", last(
+          when(col("event_type") =!= "purchase", col("event_type")),
+          ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .groupBy(coalesce(col("touch"), lit("(direct)")).as("channel"))
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(col("value").cast("decimal(18,6)")).as("revd"))
+        .select(col("channel"), col("n_purchases"),
+          TextAnalysis.roundStable(col("revd").cast("double"), 2)
+            .as("revenue"))
+        .orderBy("channel")
+    },
+    Some("""WITH e AS (
+      SELECT user_id, event_id, event_type, value,
+        CAST(ts AS TIMESTAMP) AS tts
+      FROM events),
+    tch AS (SELECT *,
+        last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+          IGNORE NULLS) OVER (PARTITION BY user_id
+            ORDER BY tts ASC, event_id ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+      FROM e)
+    SELECT COALESCE(touch, '(direct)') AS channel,
+      count(*) AS n_purchases,
+      floor(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+        * 100.0 + 0.5) / 100.0 AS revenue
+    FROM tch WHERE event_type = 'purchase'
+    GROUP BY 1 ORDER BY channel"""))
+
+  /** Dwell time per transition — mean/median seconds spent between
+    * consecutive events, keyed by the (from → to) pair (q_transition
+    * counts WHERE users go; this measures HOW LONG they linger on the
+    * way). Gaps are integer seconds from one ordered user window
+    * (lag on both type and ts); the per-pair aggregate is
+    * vocab²-bounded. Exact percentile over integer seconds. */
+  private val qDwellTime = Q(
+    "q_dwell_time",
+    (s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+      t(s, d, "events")
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .withColumn("gap_sec",
+          ((unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)))
+            / lit(1000000L)).cast("long"))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type").as("from_type"),
+          col("event_type").as("to_type"))
+        .agg(count(lit(1)).as("n"),
+          TextAnalysis.roundStable(
+            sum("gap_sec").cast("double") / count(lit(1)), 2)
+            .as("mean_sec"),
+          TextAnalysis.roundStable(
+            expr("percentile(gap_sec, 0.5D)"), 1).as("median_sec"))
+        .orderBy("from_type", "to_type")
+    },
+    Some("""WITH e AS (
+      SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS tts
+      FROM events),
+    g AS (SELECT event_type,
+        lag(event_type) OVER w AS prev_type,
+        (epoch_us(tts) - epoch_us(lag(tts) OVER w)) // 1000000 AS gap_sec
+      FROM e WINDOW w AS (PARTITION BY user_id
+        ORDER BY tts ASC, event_id ASC))
+    SELECT prev_type AS from_type, event_type AS to_type,
+      count(*) AS n,
+      floor(CAST(sum(gap_sec) AS DOUBLE) / count(*) * 100.0 + 0.5)
+        / 100.0 AS mean_sec,
+      floor(quantile_cont(gap_sec, 0.5) * 10.0 + 0.5) / 10.0
+        AS median_sec
+    FROM g WHERE prev_type IS NOT NULL
+    GROUP BY 1, 2 ORDER BY from_type, to_type"""))
+
+  /** Composition drift index — per day, the L1 distance between
+    * today's event-type mix and the mix 7 days earlier (the corpus
+    * monitoring alarm: "did the traffic composition shift?" — the
+    * same statistic data pipelines run over lang/source mixes between
+    * snapshots). Shares are exact integer cell/day-total pairs from
+    * ONE daily aggregate; the lag rides per-type ordered windows; the
+    * |Δshare| fold sums over ≤|types| terms per day. Day-level
+    * everything after the first exchange. */
+  private val qMixShift = Q(
+    "q_mix_shift",
+    (s, d) => {
+      val daily = t(s, d, "events")
+        .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val wd = Window.partitionBy("day")
+      val wt = Window.partitionBy("event_type").orderBy("day")
+      val withShares = daily
+        .withColumn("tot", sum("n").over(wd))
+        .withColumn("share", col("n").cast("double") / col("tot"))
+        .withColumn("prev_share", lag(col("share"), 7).over(wt))
+      withShares
+        .filter(col("prev_share").isNotNull)
+        .groupBy("day")
+        .agg(count(lit(1)).as("n_types"),
+          TextAnalysis.roundStable(
+            sum(abs(col("share") - col("prev_share"))), 6)
+            .as("l1_shift"))
+        .orderBy("day")
+    },
+    Some("""WITH daily AS (
+      SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, event_type,
+        count(*) AS n
+      FROM events GROUP BY 1, 2),
+    sh AS (SELECT day, event_type,
+        CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY day) AS share
+      FROM daily),
+    lg AS (SELECT day, share,
+        lag(share, 7) OVER (PARTITION BY event_type ORDER BY day)
+          AS prev_share
+      FROM sh)
+    SELECT day, count(*) AS n_types,
+      floor(sum(abs(share - prev_share)) * 1000000.0 + 0.5) / 1000000.0
+        AS l1_shift
+    FROM lg WHERE prev_share IS NOT NULL
+    GROUP BY 1 ORDER BY day"""))
+
+  /** Unit-price dispersion per part — coefficient of variation of the
+    * per-line unit price (extendedprice/quantity), the pricing-
+    * consistency audit (high CV = inconsistent pricing or data
+    * error; the detector feeding q_capping's treatment). Unit price
+    * is a per-row double (deterministic); moments accumulate in
+    * DECIMAL (order-free), so mean/std/cv are closing double
+    * expressions over exact sums. Top-20 most dispersed via bounded
+    * heap. Sample-σ (÷(n−1)); parts with one line are excluded by
+    * the n≥2 HAVING. */
+  private val qPriceDispersion = Q(
+    "q_price_dispersion",
+    (s, d) => {
+      val li = t(s, d, "lineitem")
+        .filter(col("l_quantity") > 0)
+        .select(col("l_partkey"),
+          (col("l_extendedprice") / col("l_quantity")).as("up"))
+      val agg = li.groupBy("l_partkey")
+        .agg(count(lit(1)).as("n"),
+          sum(col("up").cast("decimal(18,6)")).as("s1"),
+          sum((col("up") * col("up")).cast("decimal(18,6)")).as("s2"))
+        .filter(col("n") >= 2)
+      val mean = col("s1").cast("double") / col("n")
+      val varS = (col("n") * col("s2").cast("double") -
+        col("s1").cast("double") * col("s1").cast("double")) /
+        (col("n").cast("double") * (col("n") - lit(1)))
+      agg.select(col("l_partkey"), col("n"),
+          TextAnalysis.roundStable(mean, 4).as("mean_price"),
+          TextAnalysis.roundStable(
+            when(varS > 0, sqrt(varS) / mean).otherwise(lit(0.0)), 6)
+            .as("cv"))
+        .orderBy(col("cv").desc, col("l_partkey").asc)
+        .limit(20)
+    },
+    Some("""WITH up AS (
+      SELECT l_partkey, l_extendedprice / l_quantity AS up
+      FROM lineitem WHERE l_quantity > 0),
+    a AS (SELECT l_partkey, count(*) AS n,
+        sum(CAST(up AS DECIMAL(18,6))) AS s1,
+        sum(CAST(up * up AS DECIMAL(18,6))) AS s2
+      FROM up GROUP BY 1 HAVING count(*) >= 2)
+    SELECT l_partkey, n,
+      floor(CAST(s1 AS DOUBLE) / n * 10000.0 + 0.5) / 10000.0
+        AS mean_price,
+      CASE WHEN (n * CAST(s2 AS DOUBLE)
+            - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+            / (CAST(n AS DOUBLE) * (n - 1)) > 0 THEN
+        floor(sqrt((n * CAST(s2 AS DOUBLE)
+              - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+            / (CAST(n AS DOUBLE) * (n - 1)))
+          / (CAST(s1 AS DOUBLE) / n) * 1000000.0 + 0.5) / 1000000.0
+      ELSE 0.0 END AS cv
+    FROM a ORDER BY cv DESC, l_partkey ASC LIMIT 20"""))
+
+  /** Repeat-purchase profile — the loyalty funnel in one row: users
+    * with 1, 2-3, 4-9, 10+ purchases and the repeat rate (share of
+    * purchasers who bought again). One user-keyed count then a
+    * four-bucket conditional aggregate — two exchanges, the second
+    * over user-grade counts. All integers except the closing rate
+    * division. */
+  private val qRepeatRate = Q(
+    "q_repeat_rate",
+    (s, d) => t(s, d, "events")
+      .filter(col("event_type") === "purchase")
+      .groupBy("user_id").agg(count(lit(1)).as("np"))
+      .agg(count(lit(1)).as("n_buyers"),
+        sum((col("np") === 1).cast("long")).as("one_time"),
+        sum((col("np") >= 2 && col("np") <= 3).cast("long")).as("b2_3"),
+        sum((col("np") >= 4 && col("np") <= 9).cast("long")).as("b4_9"),
+        sum((col("np") >= 10).cast("long")).as("b10_plus"))
+      .select(col("n_buyers"), col("one_time"), col("b2_3"), col("b4_9"),
+        col("b10_plus"),
+        TextAnalysis.roundStable(
+          (col("n_buyers") - col("one_time")).cast("double") /
+            col("n_buyers"), 6).as("repeat_rate")),
+    Some("""WITH c AS (
+      SELECT user_id, count(*) AS np FROM events
+      WHERE event_type = 'purchase' GROUP BY 1),
+    a AS (SELECT count(*) AS n_buyers,
+        CAST(sum(CASE WHEN np = 1 THEN 1 ELSE 0 END) AS BIGINT)
+          AS one_time,
+        CAST(sum(CASE WHEN np BETWEEN 2 AND 3 THEN 1 ELSE 0 END)
+          AS BIGINT) AS b2_3,
+        CAST(sum(CASE WHEN np BETWEEN 4 AND 9 THEN 1 ELSE 0 END)
+          AS BIGINT) AS b4_9,
+        CAST(sum(CASE WHEN np >= 10 THEN 1 ELSE 0 END) AS BIGINT)
+          AS b10_plus
+      FROM c)
+    SELECT n_buyers, one_time, b2_3, b4_9, b10_plus,
+      floor(CAST(n_buyers - one_time AS DOUBLE) / n_buyers
+        * 1000000.0 + 0.5) / 1000000.0 AS repeat_rate
+    FROM a"""))
+
   // ---------------------------------------------------------------------
 
   val all: Seq[Q] = Seq(
@@ -5878,7 +6104,8 @@ object Queries {
     qAbTest, qMutualInfo, qCopurchaseComponents, qReadability, qTopMovers,
     qRegionalRevenue, qDiscountLift, qOrderGap, qAnomalyDays, qKfold,
     qRecallAtK, qMedoid, qGini, qFreshnessDecay, qSegmentOverlap,
-    qTrend, qEventTrigrams, qForecastMape, qCapping, qVocabGrowth)
+    qTrend, qEventTrigrams, qForecastMape, qCapping, qVocabGrowth,
+    qAttribution, qDwellTime, qMixShift, qPriceDispersion, qRepeatRate)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

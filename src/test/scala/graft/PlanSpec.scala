@@ -937,6 +937,50 @@ class PlanSpec extends AnyFunSuite {
       s"token rows entered a single-partition exchange:\n$p")
   }
 
+  test("q_attribution: carry-forward window — no self-join, no per-channel pass") {
+    val p = plan("q_attribution")
+    assert(!p.contains("Join"),
+      s"last-touch must be one window, not an as-of join per channel:\n$p")
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 2,
+      s"expected user window + channel agg only, found $exchanges exchanges:\n$p")
+  }
+
+  test("q_dwell_time: both lags ride one user window; pair agg is vocab-bounded") {
+    val p = plan("q_dwell_time")
+    assert(!p.contains("Join"), s"no join belongs here:\n$p")
+    val windows = p.linesIterator.count(_.contains("Window ["))
+    assert(windows == 1,
+      s"type and ts lags must share ONE window, found $windows:\n$p")
+  }
+
+  test("q_mix_shift: shares and lags over the daily aggregate only") {
+    val p = plan("q_mix_shift")
+    assert(!p.contains("Join"), s"no join belongs here:\n$p")
+    assert(p.contains("partial_count"),
+      s"daily cells must combine map-side:\n$p")
+    val scans = p.linesIterator.count(_.contains("FileScan parquet"))
+    assert(scans == 1, s"events must be scanned once, found $scans:\n$p")
+  }
+
+  test("q_price_dispersion: decimal moments map-side combined; top-20 is a bounded heap") {
+    val p = plan("q_price_dispersion")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the dispersion cut must plan as a bounded heap:\n$p")
+    assert(p.contains("partial_sum"),
+      s"per-part moments must combine map-side:\n$p")
+    assert(!p.contains("Join"), s"no join belongs here:\n$p")
+  }
+
+  test("q_repeat_rate: two stacked aggregates, one scan, pushed purchase filter") {
+    val p = plan("q_repeat_rate")
+    assert(!p.contains("Join"), s"no join belongs here:\n$p")
+    assert(p.contains("PushedFilters: [") && p.contains("EqualTo(event_type,purchase"),
+      s"purchase filter must push to parquet:\n$p")
+    val scans = p.linesIterator.count(_.contains("FileScan parquet"))
+    assert(scans == 1, s"events must be scanned once, found $scans:\n$p")
+  }
+
   test("q_conversion_lag: first-view window and first-purchase agg share the user exchange") {
     val p = plan("q_conversion_lag")
     assert(!p.contains("Join"), s"single-pass form must not join:\n$p")
