@@ -41,22 +41,35 @@ object Queries {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      // The generated events table stores ts as parquet TIMESTAMP(NANOS),
-      // which Spark's reader rejects. Read the raw INT64 nanos
-      // (legacy.parquet.nanosAsLong) and truncate to microseconds —
-      // identical to DuckDB's CAST(timestamp_ns AS TIMESTAMP), so the
-      // oracles cast too and both engines see the same instants.
-      // Integer `div` (not double /) — ns epochs exceed double's 53-bit
-      // exact-integer range.
-      // NB the flag is a SESSION conf (no per-read option exists): it
-      // stays set for the session's lifetime, so any LATER nanos-parquet
-      // read in the same session also surfaces raw longs instead of
+      // Generator-version tolerance: the events table has shipped with
+      // ts as parquet TIMESTAMP(NANOS) (early driver testdata) and as
+      // TIMESTAMP(MICROS, isAdjustedToUTC=false) (current). Branch on
+      // what the reader actually surfaces so every downstream query
+      // sees one canonical form — session-zone TIMESTAMP at µs
+      // precision, the same instants DuckDB's CAST(ts AS TIMESTAMP)
+      // yields on the same file:
+      //  - INT64 nanos (legacy.parquet.nanosAsLong): integer-div
+      //    truncate to µs. Integer `div`, not double / — ns epochs
+      //    exceed double's 53-bit exact range.
+      //  - TIMESTAMP_NTZ (µs, not UTC-adjusted): reinterpret in the
+      //    session zone (all graft sessions pin UTC), a no-op on the
+      //    stored micros.
+      // NB nanosAsLong is a SESSION conf (no per-read option): it stays
+      // set for the session's lifetime, so a LATER nanos-parquet read
+      // in the same session also surfaces raw longs instead of
       // erroring. Acceptable for the Verify/Bench/test sessions this
       // helper serves; a library user embedding these queries should
       // set the flag once at session build instead.
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      s.read.parquet(s"$dir/events.parquet")
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val raw = s.read.parquet(s"$dir/events.parquet")
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          raw.withColumn("ts",
+            col("ts").cast(org.apache.spark.sql.types.TimestampType))
+        case _ => raw
+      }
     } else s.read.parquet(s"$dir/$name.parquet")
 
   // ---------------------------------------------------------------------
@@ -6065,6 +6078,303 @@ object Queries {
         * 1000000.0 + 0.5) / 1000000.0 AS repeat_rate
     FROM a"""))
 
+  /** SCD Type-2 interval build — the CDC compaction twin of
+    * q_upsert_latest: instead of keeping the latest row per key, keep
+    * EVERY state change as a validity interval [ts, next_change_ts).
+    * Change rows survive a lag-vs-previous filter, then lead() over
+    * the SAME (partition, order) closes each interval — Spark plans
+    * both windows on ONE user exchange (the filter between them
+    * preserves the child distribution). The per-state rollup is
+    * vocab-bounded; durations are integer seconds so the mean is an
+    * exact-rounded integer ratio. Open intervals (no later change)
+    * surface as a count, not a NULL-duration crash. */
+  private val qScd2 = Q(
+    "q_scd2",
+    (s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val changes = t(s, d, "events")
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNull ||
+          col("prev_type") =!= col("event_type"))
+      val iv = changes
+        .withColumn("dur_sec",
+          ((unix_micros(lead(col("ts"), 1).over(w)) -
+            unix_micros(col("ts"))) / lit(1000000L)).cast("long"))
+      iv.groupBy(col("event_type").as("state"))
+        .agg(count(lit(1)).as("n_intervals"),
+          sum(col("dur_sec").isNull.cast("long")).as("open_iv"),
+          TextAnalysis.roundStable(
+            sum("dur_sec").cast("double") / count(col("dur_sec")), 2)
+            .as("mean_sec"),
+          max("dur_sec").as("max_sec"))
+        .orderBy("state")
+    },
+    Some("""WITH e AS (
+      SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS tts
+      FROM events),
+    c AS (SELECT *, lag(event_type) OVER w AS prev_type
+      FROM e WINDOW w AS (PARTITION BY user_id
+        ORDER BY tts ASC, event_id ASC)),
+    ch AS (SELECT * FROM c
+      WHERE prev_type IS NULL OR prev_type <> event_type),
+    iv AS (SELECT event_type,
+        (epoch_us(lead(tts) OVER w2) - epoch_us(tts)) // 1000000
+          AS dur_sec
+      FROM ch WINDOW w2 AS (PARTITION BY user_id
+        ORDER BY tts ASC, event_id ASC))
+    SELECT event_type AS state, count(*) AS n_intervals,
+      CAST(sum(CASE WHEN dur_sec IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        AS open_iv,
+      floor(CAST(sum(dur_sec) AS DOUBLE) / count(dur_sec) * 100.0 + 0.5)
+        / 100.0 AS mean_sec,
+      max(dur_sec) AS max_sec
+    FROM iv GROUP BY 1 ORDER BY state"""))
+
+  /** Two-sample Kolmogorov–Smirnov — are BUILDING-segment order
+    * totals drawn from the same distribution as everyone else's? The
+    * classic drift/balance test, made shuffle-cheap by binning totals
+    * into $1000 buckets first (the ECDF gap at bin boundaries — exact
+    * for binned data, the standard streaming KS compromise). The
+    * argmax search is EXACT integer arithmetic: d = |cumA·nB − cumB·nA|
+    * avoids comparing rounded floats, and the (d DESC, bucket ASC)
+    * order makes ties deterministic. Bin-grade everything after one
+    * fact-table aggregate; the totals row is a broadcast cross join. */
+  private val qKsTest = Q(
+    "q_ks_test",
+    (s, d) => {
+      val cust = t(s, d, "customer")
+        .select(col("c_custkey"),
+          (col("c_mktsegment") === "BUILDING").cast("long").as("isa"))
+      val bins = t(s, d, "orders")
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .groupBy(floor(col("o_totalprice") / 1000).cast("long")
+          .as("bucket"))
+        .agg(sum(col("isa")).as("a"), sum(lit(1L) - col("isa")).as("b"))
+      val wc = Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = bins.agg(sum("a").as("na"), sum("b").as("nb"))
+      bins
+        .withColumn("ca", sum("a").over(wc))
+        .withColumn("cb", sum("b").over(wc))
+        .crossJoin(broadcast(tot))
+        .withColumn("dint", abs(col("ca") * col("nb") -
+          col("cb") * col("na")))
+        .orderBy(col("dint").desc, col("bucket").asc)
+        .limit(1)
+        .select(col("bucket").as("at_bucket"),
+          col("na").as("n_a"), col("nb").as("n_b"),
+          TextAnalysis.roundStable(
+            col("dint").cast("double") /
+              (col("na") * col("nb")).cast("double"), 6).as("ks_stat"))
+    },
+    Some("""WITH c AS (
+      SELECT c_custkey,
+        CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS isa
+      FROM customer),
+    bins AS (SELECT CAST(floor(o_totalprice / 1000) AS BIGINT) AS bucket,
+        CAST(sum(isa) AS BIGINT) AS a,
+        CAST(sum(1 - isa) AS BIGINT) AS b
+      FROM orders JOIN c ON o_custkey = c_custkey GROUP BY 1),
+    cum AS (SELECT bucket,
+        CAST(sum(a) OVER w AS BIGINT) AS ca,
+        CAST(sum(b) OVER w AS BIGINT) AS cb
+      FROM bins WINDOW w AS (ORDER BY bucket
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    tot AS (SELECT CAST(sum(a) AS BIGINT) AS na,
+        CAST(sum(b) AS BIGINT) AS nb FROM bins)
+    SELECT bucket AS at_bucket, na AS n_a, nb AS n_b,
+      floor(CAST(abs(ca * nb - cb * na) AS DOUBLE)
+        / CAST(na * nb AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+        AS ks_stat
+    FROM cum, tot
+    ORDER BY abs(ca * nb - cb * na) DESC, bucket ASC LIMIT 1"""))
+
+  /** DAU/MAU stickiness — the engagement ratio product dashboards live
+    * on: per day, distinct active users over the calendar month's
+    * distinct users. One (user, day) dedup exchange feeds BOTH counts
+    * (day grain directly, month grain through a second cheap distinct
+    * over user-day rows — never re-reads events); the month table is
+    * ≤ a few dozen rows, so the join back to days is a broadcast.
+    * Counts are integers; the ratio is the only double. */
+  private val qStickiness = Q(
+    "q_stickiness",
+    (s, d) => {
+      val ud = t(s, d, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+        .distinct()
+      val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
+      val mau = ud
+        .select(col("user_id"), trunc(col("day"), "month").as("month"))
+        .distinct()
+        .groupBy("month").agg(count(lit(1)).as("mau"))
+      dau.join(broadcast(mau),
+          trunc(col("day"), "month") === col("month"))
+        .select(col("day"), col("dau"), col("mau"),
+          TextAnalysis.roundStable(
+            col("dau").cast("double") / col("mau"), 6).as("stickiness"))
+        .orderBy("day")
+    },
+    Some("""WITH ud AS (
+      SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+      FROM events),
+    dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY 1),
+    mau AS (SELECT date_trunc('month', day) AS month,
+        count(DISTINCT user_id) AS mau
+      FROM ud GROUP BY 1)
+    SELECT day, dau, mau,
+      floor(CAST(dau AS DOUBLE) / mau * 1000000.0 + 0.5) / 1000000.0
+        AS stickiness
+    FROM dau JOIN mau ON date_trunc('month', day) = month
+    ORDER BY day"""))
+
+  /** Lagged cross-correlation — does view volume predict purchase
+    * volume L days later? Pearson r between v(t−L) and p(t) for
+    * L ∈ [0, 8), the lead-indicator scan behind marketing-mix and
+    * capacity models. The daily series comes from ONE events
+    * aggregate; lag alignment is a DATE-key self-join against a
+    * broadcast 8-row lag table (join on day − L, NOT a row-offset
+    * window — row offsets silently mis-align across missing days).
+    * Power sums accumulate in DECIMAL(38,0) (day counts at 100 TB
+    * square past a BIGINT), Pearson closes per lag in doubles. */
+  private val qCrossCorr = Q(
+    "q_cross_corr",
+    (s, d) => {
+      val daily = graft.operators.CacheRegistry.global.track(
+        t(s, d, "events")
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(sum((col("event_type") === "view").cast("long")).as("v"),
+            sum((col("event_type") === "purchase").cast("long")).as("p"))
+          .persist())
+      val lags = s.range(0, 8).select(col("id").as("lag"))
+      val pairs = daily.select(col("day"), col("p"))
+        .crossJoin(broadcast(lags))
+        .join(daily.select(col("day").as("vday"), col("v")),
+          col("vday") === date_sub(col("day"), col("lag").cast("int")))
+      val st = pairs.groupBy("lag").agg(
+        count(lit(1)).as("k"),
+        sum(col("v").cast("decimal(38,0)")).as("sx"),
+        sum(col("p").cast("decimal(38,0)")).as("sy"),
+        sum((col("v") * col("p")).cast("decimal(38,0)")).as("sxy"),
+        sum((col("v") * col("v")).cast("decimal(38,0)")).as("sxx"),
+        sum((col("p") * col("p")).cast("decimal(38,0)")).as("syy"))
+      val dxx = (col("k") * col("sxx") - col("sx") * col("sx"))
+        .cast("double")
+      val dyy = (col("k") * col("syy") - col("sy") * col("sy"))
+        .cast("double")
+      val dxy = (col("k") * col("sxy") - col("sx") * col("sy"))
+        .cast("double")
+      st.select(col("lag"), col("k").as("n_days"),
+          TextAnalysis.roundStable(
+            when(dxx > 0 && dyy > 0, dxy / sqrt(dxx * dyy)), 6).as("r"))
+        .orderBy("lag")
+    },
+    Some("""WITH daily AS (
+      SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+          AS BIGINT) AS v,
+        CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+          AS BIGINT) AS p
+      FROM events GROUP BY 1),
+    lags AS (SELECT unnest(range(0, 8)) AS lag),
+    pr AS (SELECT l.lag, a.v, b.p
+      FROM daily b JOIN lags l ON true
+      JOIN daily a ON a.day = b.day - CAST(l.lag AS INTEGER)),
+    st AS (SELECT lag, count(*) AS k,
+        CAST(sum(CAST(v AS HUGEINT)) AS DOUBLE) AS sx,
+        CAST(sum(CAST(p AS HUGEINT)) AS DOUBLE) AS sy,
+        CAST(sum(CAST(v AS HUGEINT) * p) AS DOUBLE) AS sxy,
+        CAST(sum(CAST(v AS HUGEINT) * v) AS DOUBLE) AS sxx,
+        CAST(sum(CAST(p AS HUGEINT) * p) AS DOUBLE) AS syy
+      FROM pr GROUP BY 1)
+    SELECT lag, k AS n_days,
+      CASE WHEN (k * sxx - sx * sx) > 0 AND (k * syy - sy * sy) > 0 THEN
+        floor((k * sxy - sx * sy)
+            / sqrt((k * sxx - sx * sx) * (k * syy - sy * sy))
+          * 1000000.0 + 0.5) / 1000000.0 END AS r
+    FROM st ORDER BY lag"""))
+
+  /** Zipf-law fit — OLS slope of ln(freq) on ln(rank) over the top
+    * 1000 corpus terms (a healthy natural-language corpus sits near
+    * −1; a flat or cliff-y slope flags boilerplate or spam — the
+    * corpus-level twin of q_repetition_stats). Term counts are one
+    * hash aggregate + a 1000-row TakeOrdered; ranking and the log
+    * regression run on that bounded set (the single-partition window
+    * is vocab-top-k-sized, never corpus-sized). Both logs are
+    * quantized to 1e−4 BIGINTs per element BEFORE summing, so every
+    * OLS sum is exact integer arithmetic — no float-accumulation
+    * order dependence — and the determinant math stays well inside
+    * Long (k ≤ 1000, ln ≤ 14·10⁴). */
+  private val qZipf = Q(
+    "q_zipf",
+    (s, d) => {
+      val wr = Window.orderBy(col("cnt").desc, col("tok").asc)
+      val top = t(s, d, "documents")
+        .select(explode(split(lower(col("text")), " ")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("tok").asc)
+        .limit(1000)
+        .withColumn("rank", row_number().over(wr))
+        .select(
+          floor(log(col("rank").cast("double")) * 10000 + 0.5)
+            .cast("long").as("x"),
+          floor(log(col("cnt").cast("double")) * 10000 + 0.5)
+            .cast("long").as("y"))
+      val st = top.agg(count(lit(1)).as("k"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      val dxx = (col("k") * col("sxx") - col("sx") * col("sx"))
+        .cast("double")
+      val dyy = (col("k") * col("syy") - col("sy") * col("sy"))
+        .cast("double")
+      val dxy = (col("k") * col("sxy") - col("sx") * col("sy"))
+        .cast("double")
+      st.select(col("k").as("n_terms"),
+        TextAnalysis.roundStable(when(dxx > 0, dxy / dxx), 6).as("slope"),
+        TextAnalysis.roundStable(
+          when(dxx > 0,
+            (col("sy").cast("double") - (dxy / dxx) * col("sx")) /
+              col("k") / lit(10000.0)), 4).as("intercept"),
+        TextAnalysis.roundStable(
+          when(dxx > 0 && dyy > 0, (dxy * dxy) / (dxx * dyy)), 6)
+          .as("r2"))
+    },
+    Some("""WITH tk AS (
+      SELECT unnest(string_split(lower(text), ' ')) AS tok
+      FROM documents),
+    top AS (SELECT tok, count(*) AS cnt FROM tk GROUP BY 1
+      ORDER BY cnt DESC, tok ASC LIMIT 1000),
+    xy AS (SELECT
+        CAST(floor(ln(CAST(row_number() OVER (ORDER BY cnt DESC, tok ASC)
+          AS DOUBLE)) * 10000 + 0.5) AS BIGINT) AS x,
+        CAST(floor(ln(CAST(cnt AS DOUBLE)) * 10000 + 0.5) AS BIGINT) AS y
+      FROM top),
+    st AS (SELECT count(*) AS k,
+        CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        CAST(sum(x * y) AS BIGINT) AS sxy,
+        CAST(sum(x * x) AS BIGINT) AS sxx,
+        CAST(sum(y * y) AS BIGINT) AS syy
+      FROM xy)
+    SELECT k AS n_terms,
+      CASE WHEN (k * sxx - sx * sx) > 0 THEN
+        floor(CAST(k * sxy - sx * sy AS DOUBLE)
+            / CAST(k * sxx - sx * sx AS DOUBLE) * 1000000.0 + 0.5)
+          / 1000000.0 END AS slope,
+      CASE WHEN (k * sxx - sx * sx) > 0 THEN
+        floor((CAST(sy AS DOUBLE)
+            - CAST(k * sxy - sx * sy AS DOUBLE)
+              / CAST(k * sxx - sx * sx AS DOUBLE) * sx) / k / 10000.0
+          * 10000.0 + 0.5) / 10000.0 END AS intercept,
+      CASE WHEN (k * sxx - sx * sx) > 0 AND (k * syy - sy * sy) > 0 THEN
+        floor(CAST(k * sxy - sx * sy AS DOUBLE)
+            * CAST(k * sxy - sx * sy AS DOUBLE)
+            / (CAST(k * sxx - sx * sx AS DOUBLE)
+              * CAST(k * syy - sy * sy AS DOUBLE)) * 1000000.0 + 0.5)
+          / 1000000.0 END AS r2
+    FROM st"""))
+
   // ---------------------------------------------------------------------
 
   val all: Seq[Q] = Seq(
@@ -6105,7 +6415,8 @@ object Queries {
     qRegionalRevenue, qDiscountLift, qOrderGap, qAnomalyDays, qKfold,
     qRecallAtK, qMedoid, qGini, qFreshnessDecay, qSegmentOverlap,
     qTrend, qEventTrigrams, qForecastMape, qCapping, qVocabGrowth,
-    qAttribution, qDwellTime, qMixShift, qPriceDispersion, qRepeatRate)
+    qAttribution, qDwellTime, qMixShift, qPriceDispersion, qRepeatRate,
+    qScd2, qKsTest, qStickiness, qCrossCorr, qZipf)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -981,6 +981,63 @@ class PlanSpec extends AnyFunSuite {
     assert(scans == 1, s"events must be scanned once, found $scans:\n$p")
   }
 
+  test("q_scd2: change filter + interval close share ONE user exchange") {
+    val p = plan("q_scd2")
+    assert(!p.contains("Join"), s"no join belongs here:\n$p")
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 2,
+      s"lag/lead windows must share the user exchange (+state agg), found $exchanges:\n$p")
+    val windows = p.linesIterator.count(_.contains("Window ["))
+    assert(windows == 2,
+      s"expected exactly the change-detect and interval-close windows, found $windows:\n$p")
+  }
+
+  test("q_ks_test: integer argmax via bounded heap; totals broadcast; no cartesian blow-up") {
+    val p = plan("q_ks_test")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the argmax-1 must plan as a bounded heap:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the single-row totals must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"no cartesian product belongs here:\n$p")
+  }
+
+  test("q_stickiness: one user-day dedup feeds both grains; month join broadcasts") {
+    val p = plan("q_stickiness")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the month-grade MAU table must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"day-grade rows must never shuffle-join:\n$p")
+  }
+
+  test("q_cross_corr: daily series cached once; lag table broadcast; decimal power sums") {
+    val p = plan("q_cross_corr")
+    // NB the InMemoryRelation node re-displays its child FileScan, so
+    // count cache hits, not scan text: both join sides must read the
+    // cached daily table instead of re-aggregating events.
+    val hits = p.linesIterator.count(_.contains("InMemoryTableScan"))
+    assert(hits >= 2,
+      s"both sides of the lag join must reuse the cached daily table, found $hits hits:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"the 8-row lag explode must broadcast, not cartesian:\n$p")
+  }
+
+  test("q_zipf: corpus work ends at the top-1000 heap; regression runs on the bounded set") {
+    val p = plan("q_zipf")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the top-1000 cut must plan as a bounded heap:\n$p")
+    // The ranking window sits directly on TakeOrderedAndProject's
+    // single output partition — no Exchange SinglePartition needed,
+    // and the corpus-grade token rows never enter a window.
+    assert(!p.contains("Exchange SinglePartition"),
+      s"the heap output is already one partition — no exchange belongs here:\n$p")
+    val windows = p.linesIterator.count(_.contains("Window ["))
+    assert(windows == 1,
+      s"expected exactly the bounded ranking window, found $windows:\n$p")
+    assert(p.contains("partial_count"),
+      s"term counts must combine map-side:\n$p")
+  }
+
   test("q_conversion_lag: first-view window and first-purchase agg share the user exchange") {
     val p = plan("q_conversion_lag")
     assert(!p.contains("Join"), s"single-pass form must not join:\n$p")
