@@ -156,6 +156,49 @@ object Dedup {
     * (dropDuplicates + window). */
   private def pairsFromGramArrays(withDistinct: DataFrame, threshold: Double,
                                   registry: CacheRegistry): DataFrame = {
+    val common = commonCounts(withDistinct, registry)
+    val jac = col("com").cast("double") / (col("ca") + col("cb") - col("com"))
+    common
+      .filter(jac >= threshold)
+      // floor-form rounding: jaccard is a small-integer ratio, which
+      // lands on exact .5 decimal boundaries where round() diverges
+      // across engines (see TextAnalysis.roundStable).
+      .select(col("i"), col("j"),
+        graft.functions.TextAnalysis.roundStable(jac, 6).as("jaccard"))
+  }
+
+  /** Asymmetric near-dup pairs by shingle CONTAINMENT — |A∩B| over the
+    * SMALLER doc's gram set, ≥ threshold. Catches the duplication mode
+    * Jaccard structurally misses: a short document pasted inside a
+    * long one has |A∩B| ≈ |A| but a tiny union, so its Jaccard never
+    * clears a dedup threshold while its containment sits at ~1.0 (the
+    * boilerplate-inclusion / quote-expansion case in web corpora).
+    * Identical candidate pipeline to [[jaccardPairs]] — scan-side
+    * fused-distinct gram arrays, single-holder prune, gram-hash
+    * equi-join — only the closing score differs, so the 100 TB story
+    * (first shuffle = candidate join, hot-shingle skew mitigated by
+    * w and AQE) carries over unchanged. */
+  def containmentPairs(docs: DataFrame, w: Int = 5, threshold: Double = 0.9,
+                       registry: CacheRegistry = CacheRegistry.global): DataFrame = {
+    require(w >= 1, s"shingle width must be >= 1, got $w")
+    val common = commonCounts(
+      docs.select(col("doc_id"),
+        graft.plans.GraftFunctions.wordGramHashesDistinct(
+          lower(col("text")), w).as("d")),
+      registry)
+    val cont = col("com").cast("double") / least(col("ca"), col("cb"))
+    common
+      .filter(cont >= threshold)
+      .select(col("i"), col("j"),
+        graft.functions.TextAnalysis.roundStable(cont, 6).as("containment"))
+  }
+
+  /** Shared candidate stage of the exact-shingle pair family:
+    * (i, j, ca, cb, com) — distinct-gram cardinalities of both docs
+    * plus their exact intersection count, for every pair meeting on at
+    * least one gram hash. See the shape notes on the public callers. */
+  private def commonCounts(withDistinct: DataFrame,
+                           registry: CacheRegistry): DataFrame = {
     // Persisted because the prune and both join sides re-read it;
     // MEMORY_AND_DISK so a 100 TB run spills instead of OOMing.
     val sh = registry.track(withDistinct
@@ -169,19 +212,11 @@ object Dedup {
     val hot = sh.groupBy("s").agg(count(lit(1)).as("n"))
       .filter(col("n") >= 2).select("s")
     val sh2 = sh.join(hot, "s")
-    val common = sh2.as("a").join(sh2.as("b"),
+    sh2.as("a").join(sh2.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
         col("a.c").as("ca"), col("b.c").as("cb"))
       .agg(count(lit(1)).as("com"))
-    val jac = col("com").cast("double") / (col("ca") + col("cb") - col("com"))
-    common
-      .filter(jac >= threshold)
-      // floor-form rounding: jaccard is a small-integer ratio, which
-      // lands on exact .5 decimal boundaries where round() diverges
-      // across engines (see TextAnalysis.roundStable).
-      .select(col("i"), col("j"),
-        graft.functions.TextAnalysis.roundStable(jac, 6).as("jaccard"))
   }
 
   /** Exact-Jaccard refine of an LSH candidate pair set — the

@@ -182,4 +182,54 @@ object Graph {
             lit(3.0) * col("n_triangles") / col("n_wedges")), 6)
           .as("global_cc"))
   }
+
+  /** Per-node triangle participation — `(node, dg, tri)` for every
+    * node of the graph, `tri = 0` where none (the inputs of the LOCAL
+    * clustering coefficient 2·tri/(dg·(dg−1)), the per-node "how
+    * cliquish is my neighborhood" score behind spam-hub and community
+    * audits; [[triangleStats]] answers the same question globally).
+    *
+    * Same edge contract and Schank–Wagner degree-ordered orientation
+    * as [[triangleStats]] — the wedge self-join stays ≤ m·√(2m) under
+    * any skew — but each closed triangle keeps its THREE corners,
+    * which explode row-locally (3 rows per triangle, never a corpus
+    * re-shuffle) into a node-keyed count. The closing left join gives
+    * triangle-less nodes their zero instead of dropping them. */
+  def localTriangleCounts(edgesIn: DataFrame,
+                          registry: CacheRegistry = CacheRegistry.global)
+      : DataFrame = {
+    val edges = registry.track(edgesIn
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // Degrees feed the orientation join twice AND the final zero-fill
+    // join — persist, or the caller's edge build runs per consumer.
+    val deg = registry.track(edges.select(col("u").as("node"))
+      .unionByName(edges.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("dg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val e = edges
+      .join(deg.select(col("node").as("u"), col("dg").as("du")), "u")
+      .join(deg.select(col("node").as("v"), col("dg").as("dv")), "v")
+    val uFirst = (col("du") < col("dv")) ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    val eo = registry.track(e.select(
+      when(uFirst, col("u")).otherwise(col("v")).as("s"),
+      when(uFirst, col("v")).otherwise(col("u")).as("t"),
+      when(uFirst, col("dv")).otherwise(col("du")).as("tdg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val bFirst = (col("e1.tdg") < col("e2.tdg")) ||
+      (col("e1.tdg") === col("e2.tdg") && col("e1.t") < col("e2.t"))
+    val wedges = eo.as("e1").join(eo.as("e2"),
+        col("e1.s") === col("e2.s") && col("e1.t") < col("e2.t"))
+      .select(col("e1.s").as("a"),
+        when(bFirst, col("e1.t")).otherwise(col("e2.t")).as("b"),
+        when(bFirst, col("e2.t")).otherwise(col("e1.t")).as("c"))
+    val tri = wedges.join(
+      eo.select(col("s").as("b"), col("t").as("c")), Seq("b", "c"))
+    val tc = tri
+      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("tri"))
+    deg.join(tc, Seq("node"), "left")
+      .select(col("node"), col("dg"),
+        coalesce(col("tri"), lit(0L)).as("tri"))
+  }
 }

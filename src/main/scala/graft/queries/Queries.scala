@@ -6375,6 +6375,265 @@ object Queries {
           / 1000000.0 END AS r2
     FROM st"""))
 
+  /** CUSUM changepoint — the day where cumulative deviation from the
+    * series mean peaks (the level-shift detector behind "when did
+    * traffic change?", complementing q_anomaly_days' single-day
+    * spikes). The argmax statistic is EXACT: |T·cum_t − t·S| is pure
+    * BIGINT (multiplying CUSUM_t = cum_t − t·S/T through by T defers
+    * the one division past the argmax), so no float comparison
+    * decides the winner; ties break on the earlier day. Day-grade
+    * after one events aggregate: cumsum + index ride one bounded
+    * window, totals broadcast back, argmax is a 1-row heap. The last
+    * day is excluded (no "after" segment to compare). */
+  private val qChangepoint = Q(
+    "q_changepoint",
+    (s, d) => {
+      val daily = t(s, d, "events")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val wc = Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wi = Window.orderBy("day")
+      val cum = daily
+        .withColumn("cum", sum("n").over(wc))
+        .withColumn("t", row_number().over(wi).cast("long"))
+      val tot = daily.agg(count(lit(1)).as("bigT"), sum("n").as("s"))
+      cum.crossJoin(broadcast(tot))
+        .filter(col("t") < col("bigT"))
+        .withColumn("stat",
+          abs(col("bigT") * col("cum") - col("t") * col("s")))
+        .orderBy(col("stat").desc, col("day").asc)
+        .limit(1)
+        .select(col("day"),
+          TextAnalysis.roundStable(
+            col("stat").cast("double") / col("bigT"), 2).as("cusum"),
+          TextAnalysis.roundStable(
+            col("cum").cast("double") / col("t"), 2).as("mean_before"),
+          TextAnalysis.roundStable(
+            (col("s") - col("cum")).cast("double") /
+              (col("bigT") - col("t")), 2).as("mean_after"))
+    },
+    Some("""WITH daily AS (
+      SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, count(*) AS n
+      FROM events GROUP BY 1),
+    cum AS (SELECT day, n,
+        CAST(sum(n) OVER (ORDER BY day
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS cum,
+        CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t
+      FROM daily),
+    tot AS (SELECT count(*) AS bigT, CAST(sum(n) AS BIGINT) AS s
+      FROM daily)
+    SELECT day,
+      floor(CAST(abs(bigT * cum - t * s) AS DOUBLE) / bigT * 100.0 + 0.5)
+        / 100.0 AS cusum,
+      floor(CAST(cum AS DOUBLE) / t * 100.0 + 0.5) / 100.0
+        AS mean_before,
+      floor(CAST(s - cum AS DOUBLE) / (bigT - t) * 100.0 + 0.5) / 100.0
+        AS mean_after
+    FROM cum, tot WHERE t < bigT
+    ORDER BY abs(bigT * cum - t * s) DESC, day ASC LIMIT 1"""))
+
+  /** Asymmetric containment dedup — pairs where the SMALLER doc's
+    * 5-gram set is ≥90% inside the larger's ([[Dedup.containmentPairs]]:
+    * the doc-pasted-inside-doc mode Jaccard structurally misses).
+    * Shares q_near_dup's candidate machinery; the oracle recomputes
+    * containment from raw string shingles. */
+  private val qContainment = Q(
+    "q_containment",
+    (s, d) => Dedup.containmentPairs(t(s, d, "documents"), w = 5,
+        threshold = 0.9)
+      .orderBy("i", "j"),
+    Some("""WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id,
+        unnest(CASE WHEN len(t) >= 5
+          THEN list_transform(range(1, len(t) - 3),
+            i -> array_to_string(t[i:i+4], ' '))
+          ELSE []::VARCHAR[] END) AS s
+      FROM toks),
+    card AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY 1),
+    com AS (
+      SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS com
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT i, j,
+      floor(com * 1.0 / least(ca.c, cb.c) * 1000000.0 + 0.5) / 1000000.0
+        AS containment
+    FROM com
+    JOIN card ca ON ca.doc_id = i
+    JOIN card cb ON cb.doc_id = j
+    WHERE com * 1.0 / least(ca.c, cb.c) >= 0.9
+    ORDER BY i, j"""))
+
+  /** Local clustering coefficient — top-20 co-purchase parts by
+    * triangle participation, with 2·tri/(dg·(dg−1)) per node (the
+    * per-node cliquishness score; q_triangles is the same census
+    * globally). [[Graph.localTriangleCounts]] keeps the Schank–Wagner
+    * wedge bound (≤ m·√(2m) under any skew) and explodes each
+    * triangle's three corners row-locally; nodes without triangles
+    * keep coefficient 0 via the zero-fill join. The cut is a bounded
+    * heap on exact integers. */
+  private val qClusteringCoef = Q(
+    "q_clustering_coef",
+    (s, d) => Graph.localTriangleCounts(copurchaseEdges(s, d, 2, "u", "v"))
+      .select(col("node"), col("dg"), col("tri"),
+        TextAnalysis.roundStable(
+          when(col("dg") >= 2,
+            lit(2.0) * col("tri") / (col("dg") * (col("dg") - lit(1L))))
+            .otherwise(lit(0.0)), 6).as("local_cc"))
+      .orderBy(col("tri").desc, col("node").asc)
+      .limit(20),
+    Some("""WITH pp AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+    e AS (
+      SELECT a.pk AS u, b.pk AS v
+      FROM pp a JOIN pp b ON a.ok = b.ok AND a.pk < b.pk
+      GROUP BY 1, 2 HAVING count(*) >= 2),
+    deg AS (SELECT node, count(*) AS dg FROM
+      (SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e)
+      GROUP BY 1),
+    tr AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM e e1
+      JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+      JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v),
+    corners AS (SELECT unnest([a, b, c]) AS node FROM tr),
+    tc AS (SELECT node, count(*) AS tri FROM corners GROUP BY 1)
+    SELECT d.node, d.dg, CAST(coalesce(tc.tri, 0) AS BIGINT) AS tri,
+      CASE WHEN d.dg >= 2 THEN
+        floor(2.0 * coalesce(tc.tri, 0) / (d.dg * (d.dg - 1))
+          * 1000000.0 + 0.5) / 1000000.0
+      ELSE 0.0 END AS local_cc
+    FROM deg d LEFT JOIN tc ON tc.node = d.node
+    ORDER BY tri DESC, d.node ASC LIMIT 20"""))
+
+  /** New-vs-returning revenue split — per day, purchase revenue and
+    * purchaser counts split by whether the user is on their FIRST
+    * active day (the acquisition-vs-retention read of every growth
+    * dashboard). First-active-day is a user-keyed min aggregate;
+    * the flag join and the purchase stream meet user-keyed (both
+    * sides co-partition on user_id at scale — no broadcast needed,
+    * none assumed). Revenue sums in DECIMAL; the distinct purchaser
+    * counts are conditional count-distincts in ONE day aggregate. */
+  private val qNewVsReturning = Q(
+    "q_new_vs_returning",
+    (s, d) => {
+      val firsts = t(s, d, "events")
+        .groupBy("user_id").agg(min(to_date(col("ts"))).as("first_day"))
+      t(s, d, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), to_date(col("ts")).as("day"), col("value"))
+        .join(firsts, "user_id")
+        .withColumn("isnew", col("day") === col("first_day"))
+        .groupBy("day")
+        .agg(
+          countDistinct(when(col("isnew"), col("user_id")))
+            .as("new_buyers"),
+          countDistinct(when(!col("isnew"), col("user_id")))
+            .as("ret_buyers"),
+          sum(when(col("isnew"), col("value")).otherwise(lit(0.0))
+            .cast("decimal(18,6)")).as("nrev"),
+          sum(when(!col("isnew"), col("value")).otherwise(lit(0.0))
+            .cast("decimal(18,6)")).as("rrev"))
+        .select(col("day"), col("new_buyers"), col("ret_buyers"),
+          TextAnalysis.roundStable(col("nrev").cast("double"), 2)
+            .as("new_rev"),
+          TextAnalysis.roundStable(col("rrev").cast("double"), 2)
+            .as("ret_rev"))
+        .orderBy("day")
+    },
+    Some("""WITH f AS (
+      SELECT user_id, min(CAST(CAST(ts AS TIMESTAMP) AS DATE))
+        AS first_day
+      FROM events GROUP BY 1),
+    p AS (SELECT e.user_id,
+        CAST(CAST(e.ts AS TIMESTAMP) AS DATE) AS day, e.value,
+        CAST(CAST(e.ts AS TIMESTAMP) AS DATE) = f.first_day AS isnew
+      FROM events e JOIN f ON e.user_id = f.user_id
+      WHERE e.event_type = 'purchase')
+    SELECT day,
+      count(DISTINCT CASE WHEN isnew THEN user_id END) AS new_buyers,
+      count(DISTINCT CASE WHEN NOT isnew THEN user_id END) AS ret_buyers,
+      floor(CAST(sum(CAST(CASE WHEN isnew THEN value ELSE 0.0 END
+        AS DECIMAL(18,6))) AS DOUBLE) * 100.0 + 0.5) / 100.0 AS new_rev,
+      floor(CAST(sum(CAST(CASE WHEN NOT isnew THEN value ELSE 0.0 END
+        AS DECIMAL(18,6))) AS DOUBLE) * 100.0 + 0.5) / 100.0 AS ret_rev
+    FROM p GROUP BY 1 ORDER BY day"""))
+
+  /** Degree assortativity — Pearson correlation of endpoint degrees
+    * over the co-purchase edge list (Newman's r: do hubs link to hubs?
+    * Positive = social-network-like, negative = hub-and-spoke — which
+    * way a product graph leans decides whether degree-based sampling
+    * biases training data). Each undirected edge contributes both
+    * orientations, making the marginals symmetric by construction.
+    * Degrees are integers, so every power sum is exact (DECIMAL —
+    * hub degrees square past BIGINT at web scale); the degree
+    * attachments are node-keyed equi-joins that co-partition with
+    * the edge list. */
+  private val qAssortativity = Q(
+    "q_assortativity",
+    (s, d) => {
+      // The edge build feeds deg once and the symmetrized pair list
+      // twice — persist it or lineitem re-aggregates per consumer.
+      val edges = graft.operators.CacheRegistry.global.track(
+        copurchaseEdges(s, d, 2, "u", "v")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val deg = graft.operators.CacheRegistry.global.track(
+        edges.select(col("u").as("node"))
+          .unionByName(edges.select(col("v").as("node")))
+          .groupBy("node").agg(count(lit(1)).as("dg"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val both = edges.select(col("u").as("x"), col("v").as("y"))
+        .unionByName(edges.select(col("v").as("x"), col("u").as("y")))
+      val pairs = both
+        .join(deg.select(col("node").as("x"), col("dg").as("dx")), "x")
+        .join(deg.select(col("node").as("y"), col("dg").as("dy")), "y")
+      val st = pairs.agg(count(lit(1)).as("k"),
+        sum(col("dx").cast("decimal(38,0)")).as("sx"),
+        sum(col("dy").cast("decimal(38,0)")).as("sy"),
+        sum((col("dx") * col("dy")).cast("decimal(38,0)")).as("sxy"),
+        sum((col("dx") * col("dx")).cast("decimal(38,0)")).as("sxx"),
+        sum((col("dy") * col("dy")).cast("decimal(38,0)")).as("syy"))
+      val dxx = (col("k") * col("sxx") - col("sx") * col("sx"))
+        .cast("double")
+      val dyy = (col("k") * col("syy") - col("sy") * col("sy"))
+        .cast("double")
+      val dxy = (col("k") * col("sxy") - col("sx") * col("sy"))
+        .cast("double")
+      st.select((col("k") / lit(2)).cast("long").as("n_edges"),
+        TextAnalysis.roundStable(
+          when(dxx > 0 && dyy > 0, dxy / sqrt(dxx * dyy)), 6)
+          .as("assortativity"))
+    },
+    Some("""WITH pp AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+    e AS (
+      SELECT a.pk AS u, b.pk AS v
+      FROM pp a JOIN pp b ON a.ok = b.ok AND a.pk < b.pk
+      GROUP BY 1, 2 HAVING count(*) >= 2),
+    deg AS (SELECT node, count(*) AS dg FROM
+      (SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e)
+      GROUP BY 1),
+    bo AS (SELECT u AS x, v AS y FROM e
+      UNION ALL SELECT v AS x, u AS y FROM e),
+    pr AS (SELECT dx.dg AS dx, dy.dg AS dy
+      FROM bo b JOIN deg dx ON dx.node = b.x
+      JOIN deg dy ON dy.node = b.y),
+    st AS (SELECT count(*) AS k,
+        CAST(sum(CAST(dx AS HUGEINT)) AS DOUBLE) AS sx,
+        CAST(sum(CAST(dy AS HUGEINT)) AS DOUBLE) AS sy,
+        CAST(sum(CAST(dx AS HUGEINT) * dy) AS DOUBLE) AS sxy,
+        CAST(sum(CAST(dx AS HUGEINT) * dx) AS DOUBLE) AS sxx,
+        CAST(sum(CAST(dy AS HUGEINT) * dy) AS DOUBLE) AS syy
+      FROM pr)
+    SELECT CAST(k // 2 AS BIGINT) AS n_edges,
+      CASE WHEN (k * sxx - sx * sx) > 0 AND (k * syy - sy * sy) > 0 THEN
+        floor((k * sxy - sx * sy)
+            / sqrt((k * sxx - sx * sx) * (k * syy - sy * sy))
+          * 1000000.0 + 0.5) / 1000000.0 END AS assortativity
+    FROM st"""))
+
   // ---------------------------------------------------------------------
 
   val all: Seq[Q] = Seq(
@@ -6416,7 +6675,9 @@ object Queries {
     qRecallAtK, qMedoid, qGini, qFreshnessDecay, qSegmentOverlap,
     qTrend, qEventTrigrams, qForecastMape, qCapping, qVocabGrowth,
     qAttribution, qDwellTime, qMixShift, qPriceDispersion, qRepeatRate,
-    qScd2, qKsTest, qStickiness, qCrossCorr, qZipf)
+    qScd2, qKsTest, qStickiness, qCrossCorr, qZipf,
+    qChangepoint, qContainment, qClusteringCoef, qNewVsReturning,
+    qAssortativity)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -390,6 +390,43 @@ class DedupSpec extends AnyFunSuite {
     } finally reg.releaseAll()
   }
 
+  test("containmentPairs: finds doc-inside-doc that jaccard misses; dominates jaccard pairwise") {
+    val reg = new graft.operators.CacheRegistry
+    try {
+      import spark.implicits._
+      // A's 5 grams all sit inside B (A = B's prefix), but the union
+      // is twice the intersection: containment 1.0, jaccard 0.5 — the
+      // inclusion mode the asymmetric score exists for. C is disjoint.
+      val crafted = Seq(
+        (1L, "a b c d e f g h i"),
+        (2L, "a b c d e f g h i j k l m n o p q r"),
+        (3L, "q1 r1 s1 t1 u1 v1 w1 x1 y1")).toDF("doc_id", "text")
+      val cont = Dedup.containmentPairs(crafted, w = 5, threshold = 0.9,
+          registry = reg)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(cont.toSeq == Seq((1L, 2L, 1.0)), s"got ${cont.toSeq}")
+      val jac = Dedup.jaccardPairs(crafted, w = 5, threshold = 0.8,
+          registry = reg)
+        .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(jac.isEmpty,
+        s"jaccard at 0.8 must miss the inclusion pair, got ${jac.toSeq}")
+      // Pairwise dominance on the corpus: containment >= jaccard for
+      // every pair, so at the SAME threshold the jaccard pair set is a
+      // subset of the containment pair set.
+      val jc = Dedup.jaccardPairs(docs, w = 5, threshold = 0.8,
+          registry = reg)
+        .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1)))
+        .toSet
+      val cc = Dedup.containmentPairs(docs, w = 5, threshold = 0.8,
+          registry = reg)
+        .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1)))
+        .toSet
+      assert(jc.nonEmpty, "corpus must contain planted near-dups")
+      assert(jc.subsetOf(cc),
+        s"containment must dominate jaccard: missing ${(jc -- cc).take(3)}")
+    } finally reg.releaseAll()
+  }
+
   test("minhash clusters absorb every exact-Jaccard cluster (q_minhash_cluster contract)") {
     // The end-to-end LSH dedup decision must never split a true
     // near-dup cluster: for every exact Jaccard >= 0.8 pair, both docs

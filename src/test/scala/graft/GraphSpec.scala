@@ -127,6 +127,52 @@ class GraphSpec extends AnyFunSuite {
     assert(triStats(star, 2)._4 == 0L)
   }
 
+  /** Per-node triangle reference, written against the definition. */
+  private def referenceLocalTri(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val es = edges.toSet
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    def has(a: Long, b: Long) = es((math.min(a, b), math.max(a, b)))
+    val tri = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    for {
+      i <- nodes.indices; j <- (i + 1) until nodes.size
+      if has(nodes(i), nodes(j))
+      k <- (j + 1) until nodes.size
+      if has(nodes(i), nodes(k)) && has(nodes(j), nodes(k))
+    } { tri(nodes(i)) += 1; tri(nodes(j)) += 1; tri(nodes(k)) += 1 }
+    nodes.map(n => n -> tri(n)).toMap
+  }
+
+  test("localTriangleCounts matches brute force, zero-fills, across partitionings") {
+    val rnd = new scala.util.Random(11)
+    val cases = Seq(
+      // K4 + pendant: pendant node must appear with tri=0.
+      Seq((1L,2L),(1L,3L),(1L,4L),(2L,3L),(2L,4L),(3L,4L),(4L,5L))) ++
+      (0 until 2).map { trial =>
+        val n = 14 + trial * 6
+        (0 until n * 3).map { _ =>
+          val a = rnd.nextInt(n).toLong; val b = rnd.nextInt(n).toLong
+          (math.min(a, b), math.max(a, b))
+        }.filter { case (a, b) => a != b }.distinct
+      }
+    for (edges <- cases; parts <- Seq(1, 4)) {
+      val want = referenceLocalTri(edges)
+      val wantDeg = (edges.map(_._1) ++ edges.map(_._2))
+        .groupBy(identity).map { case (n, xs) => n -> xs.size.toLong }
+      val got =
+        try Graph.localTriangleCounts(
+            edges.toDF("u", "v").repartition(parts))
+          .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+          .toMap
+        finally graft.operators.CacheRegistry.releaseAll()
+      assert(got.keySet == want.keySet,
+        s"node set mismatch parts=$parts: ${got.keySet} vs ${want.keySet}")
+      for ((n, (dg, tri)) <- got) {
+        assert(dg == wantDeg(n), s"deg($n)=$dg want ${wantDeg(n)}")
+        assert(tri == want(n), s"tri($n)=$tri want ${want(n)}")
+      }
+    }
+  }
+
   test("triangle census matches brute force on random graphs at every partitioning") {
     val rnd = new scala.util.Random(7)
     for (trial <- 0 until 3) {

@@ -1038,6 +1038,58 @@ class PlanSpec extends AnyFunSuite {
       s"term counts must combine map-side:\n$p")
   }
 
+  test("q_changepoint: integer argmax via bounded heap; totals broadcast; one events scan") {
+    val p = plan("q_changepoint")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the argmax-1 must plan as a bounded heap:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the single-row totals must broadcast:\n$p")
+    val scans = p.linesIterator.count(_.contains("FileScan parquet"))
+    assert(scans == 2,
+      s"events feeds the daily agg and its totals only, found $scans scans:\n$p")
+  }
+
+  test("q_containment: same candidate shape as the jaccard family — no window, hashes-only shuffles") {
+    val p = plan("q_containment")
+    assert(!p.contains("Window"),
+      s"the shingle family never uses a window:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"candidates must meet on gram-hash equi-joins:\n$p")
+    assert(!p.linesIterator.exists(l =>
+        l.contains("Exchange") && l.contains("text#")),
+      s"raw text must never enter an exchange:\n$p")
+  }
+
+  test("q_clustering_coef: oriented wedge join — equi-joins only, bounded-heap cut") {
+    val p = plan("q_clustering_coef")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the top-20 cut must plan as a bounded heap:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"triangle closing must be equi-joins only:\n$p")
+    assert(p.contains("InMemoryTableScan"),
+      s"edge/oriented tables must come from the cache registry:\n$p")
+  }
+
+  test("q_new_vs_returning: user-keyed first-day join; one day-grade aggregate") {
+    val p = plan("q_new_vs_returning")
+    assert(p.contains("PushedFilters: [") &&
+      p.contains("EqualTo(event_type,purchase"),
+      s"purchase filter must push to parquet:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"the first-day attach must be an equi-join:\n$p")
+  }
+
+  test("q_assortativity: node-keyed degree joins; single-row closing aggregate") {
+    val p = plan("q_assortativity")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"degree attachment must be equi-joins:\n$p")
+    assert(p.contains("partial_sum"),
+      s"power sums must combine map-side:\n$p")
+    assert(!p.contains("Window"), s"no window belongs here:\n$p")
+  }
+
   test("q_conversion_lag: first-view window and first-purchase agg share the user exchange") {
     val p = plan("q_conversion_lag")
     assert(!p.contains("Join"), s"single-pass form must not join:\n$p")
