@@ -6634,6 +6634,239 @@ object Queries {
           * 1000000.0 + 0.5) / 1000000.0 END AS assortativity
     FROM st"""))
 
+  /** Rolling 7-day active users (WAU) per day — the sliding-window
+    * DISTINCT that q_stickiness' calendar-month MAU sidesteps. Sliding
+    * distinct has no algebraic merge, so the scalable exact form is
+    * the day-explode: each (user, day) activity row contributes to the
+    * 7 window-end days it falls in (a bounded ×7 map-side expansion of
+    * hashes, NOT a per-day rescan), then one distinct count per
+    * window-end day. Window ends are clipped to observed days via a
+    * broadcast day-list semi-join. The same shape scales to any small
+    * window k; for k in the hundreds you'd switch to sketches
+    * (q_approx_distinct's HLL) and accept the error bound. */
+  private val qRollingDau = Q(
+    "q_rolling_dau",
+    (s, d) => {
+      val ud = t(s, d, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+        .distinct()
+      val days = ud.select(col("day").as("wday")).distinct()
+      ud.select(col("user_id"),
+          explode(sequence(lit(0), lit(6))).as("i"), col("day"))
+        .select(col("user_id"), date_add(col("day"), col("i")).as("wday"))
+        .join(broadcast(days), "wday")
+        .groupBy("wday")
+        .agg(countDistinct("user_id").as("wau"))
+        .orderBy("wday")
+    },
+    Some("""WITH ud AS (
+      SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+      FROM events),
+    days AS (SELECT DISTINCT day AS wday FROM ud)
+    SELECT wday, count(DISTINCT user_id) AS wau
+    FROM days JOIN ud ON ud.day BETWEEN wday - 6 AND wday
+    GROUP BY 1 ORDER BY wday"""))
+
+  /** Cross-source duplication matrix — near-dup pair counts and mean
+    * similarity per (source, source) cell, the "which feeds overlap?"
+    * audit run before mixing corpus sources (high cross-cell mass ⇒
+    * double-counted content inflating a source's apparent size).
+    * Rides [[Dedup.jaccardPairs]]' candidate machinery; the source
+    * attach is a doc-keyed equi-join (co-partitions with the pair
+    * list at scale) and the cell rollup is |sources|²-bounded.
+    * Cells are order-normalized (least/greatest) so A→B and B→A
+    * land together. */
+  private val qCrossSourceDup = Q(
+    "q_cross_source_dup",
+    (s, d) => {
+      val src = t(s, d, "documents").select(col("doc_id"), col("source"))
+      Dedup.jaccardPairs(t(s, d, "documents"), w = 5, threshold = 0.8)
+        .join(src.select(col("doc_id").as("i"), col("source").as("si")), "i")
+        .join(src.select(col("doc_id").as("j"), col("source").as("sj")), "j")
+        .groupBy(least(col("si"), col("sj")).as("source_a"),
+          greatest(col("si"), col("sj")).as("source_b"))
+        .agg(count(lit(1)).as("n_pairs"),
+          TextAnalysis.roundStable(avg("jaccard"), 6).as("mean_jaccard"))
+        .orderBy("source_a", "source_b")
+    },
+    Some("""WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id,
+        unnest(CASE WHEN len(t) >= 5
+          THEN list_transform(range(1, len(t) - 3),
+            i -> array_to_string(t[i:i+4], ' '))
+          ELSE []::VARCHAR[] END) AS s
+      FROM toks),
+    card AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY 1),
+    com AS (
+      SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS com
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    pr AS (
+      SELECT i, j,
+        floor(com * 1.0 / (ca.c + cb.c - com) * 1000000.0 + 0.5)
+          / 1000000.0 AS jaccard
+      FROM com
+      JOIN card ca ON ca.doc_id = i
+      JOIN card cb ON cb.doc_id = j
+      WHERE com * 1.0 / (ca.c + cb.c - com) >= 0.8)
+    SELECT least(di.source, dj.source) AS source_a,
+      greatest(di.source, dj.source) AS source_b,
+      count(*) AS n_pairs,
+      floor(avg(jaccard) * 1000000.0 + 0.5) / 1000000.0 AS mean_jaccard
+    FROM pr
+    JOIN documents di ON di.doc_id = pr.i
+    JOIN documents dj ON dj.doc_id = pr.j
+    GROUP BY 1, 2 ORDER BY source_a, source_b"""))
+
+  /** Degree distribution of the co-purchase graph — log2-binned node
+    * counts with cumulative share (the heavy-tail check that decides
+    * whether degree-based sampling or salting is needed downstream;
+    * q_key_skew asks the same of join keys). The bin index is EXACT
+    * integer arithmetic — floor(log2(d)) computed as
+    * length(binary(d))−1, no float log near power-of-two boundaries
+    * — and the cumulative share rides the ≤64-row bin table. */
+  private val qDegreeDist = Q(
+    "q_degree_dist",
+    (s, d) => {
+      val edges = copurchaseEdges(s, d, 2, "u", "v")
+      // Degrees feed the bin histogram AND the node total — persist,
+      // or the edge build runs twice.
+      val deg = graft.operators.CacheRegistry.global.track(
+        edges.select(col("u").as("node"))
+          .unionByName(edges.select(col("v").as("node")))
+          .groupBy("node").agg(count(lit(1)).as("dg"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val bins = deg
+        .groupBy((length(bin(col("dg"))) - 1).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n_nodes"))
+      val wc = Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      bins
+        .withColumn("cum", sum("n_nodes").over(wc))
+        .crossJoin(broadcast(deg.agg(count(lit(1)).as("tot"))))
+        .select(col("bucket"),
+          pow(lit(2.0), col("bucket")).cast("long").as("lo"),
+          col("n_nodes"),
+          TextAnalysis.roundStable(
+            col("cum").cast("double") / col("tot"), 6).as("cum_share"))
+        .orderBy("bucket")
+    },
+    Some("""WITH pp AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+    e AS (
+      SELECT a.pk AS u, b.pk AS v
+      FROM pp a JOIN pp b ON a.ok = b.ok AND a.pk < b.pk
+      GROUP BY 1, 2 HAVING count(*) >= 2),
+    deg AS (SELECT node, count(*) AS dg FROM
+      (SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e)
+      GROUP BY 1),
+    bins AS (SELECT CAST(length(printf('%b', dg)) - 1 AS BIGINT)
+        AS bucket, count(*) AS n_nodes
+      FROM deg GROUP BY 1),
+    tot AS (SELECT count(*) AS tot FROM deg)
+    SELECT bucket, CAST(power(2, bucket) AS BIGINT) AS lo, n_nodes,
+      floor(CAST(sum(n_nodes) OVER (ORDER BY bucket
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        / tot * 1000000.0 + 0.5) / 1000000.0 AS cum_share
+    FROM bins, tot ORDER BY bucket"""))
+
+  /** Ship-lag SLA attainment by order priority — per priority: order
+    * lines, median lag days, and the share shipped within 30/60/90
+    * days of the order date (the ops scorecard; also the shape of any
+    * "p% of X within k units of Y" attainment report). The
+    * orders→lineitem attach is a big-big equi-join that co-partitions
+    * on the order key; per-priority everything is a 5-row aggregate of
+    * integer day-lags with conditional counts and one exact median. */
+  private val qSlaAttainment = Q(
+    "q_sla_attainment",
+    (s, d) => {
+      val o = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          col("o_orderdate"))
+      val l = t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_shipdate"))
+      o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .withColumn("lag_days",
+          datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate")))
+            .cast("long"))
+        .groupBy(col("o_orderpriority").as("priority"))
+        .agg(count(lit(1)).as("n_lines"),
+          TextAnalysis.roundStable(
+            expr("percentile(lag_days, 0.5D)"), 1).as("median_lag"),
+          TextAnalysis.roundStable(
+            sum((col("lag_days") <= 30).cast("long")).cast("double") /
+              count(lit(1)), 6).as("within_30"),
+          TextAnalysis.roundStable(
+            sum((col("lag_days") <= 60).cast("long")).cast("double") /
+              count(lit(1)), 6).as("within_60"),
+          TextAnalysis.roundStable(
+            sum((col("lag_days") <= 90).cast("long")).cast("double") /
+              count(lit(1)), 6).as("within_90"))
+        .orderBy("priority")
+    },
+    Some("""WITH j AS (
+      SELECT o_orderpriority AS priority,
+        date_diff('day', CAST(o_orderdate AS DATE),
+          CAST(l_shipdate AS DATE)) AS lag_days
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey)
+    SELECT priority, count(*) AS n_lines,
+      floor(quantile_cont(lag_days, 0.5) * 10.0 + 0.5) / 10.0
+        AS median_lag,
+      floor(CAST(sum(CASE WHEN lag_days <= 30 THEN 1 ELSE 0 END)
+          AS DOUBLE) / count(*) * 1000000.0 + 0.5) / 1000000.0
+        AS within_30,
+      floor(CAST(sum(CASE WHEN lag_days <= 60 THEN 1 ELSE 0 END)
+          AS DOUBLE) / count(*) * 1000000.0 + 0.5) / 1000000.0
+        AS within_60,
+      floor(CAST(sum(CASE WHEN lag_days <= 90 THEN 1 ELSE 0 END)
+          AS DOUBLE) / count(*) * 1000000.0 + 0.5) / 1000000.0
+        AS within_90
+    FROM j GROUP BY 1 ORDER BY priority"""))
+
+  /** Burstiness (Fano factor) of daily volume per event type —
+    * variance-to-mean of the daily counts (≈1 Poisson-like, ≫1 bursty:
+    * the dispersion diagnostic behind rate-limit sizing and the
+    * q_anomaly_days alarm threshold). Population variance from INTEGER
+    * power sums over the bounded daily table — exact, order-free; the
+    * peak-to-mean ratio rides the same row. */
+  private val qBurstiness = Q(
+    "q_burstiness",
+    (s, d) => {
+      val daily = t(s, d, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val st = daily.groupBy("event_type").agg(
+        count(lit(1)).as("k"), sum("n").as("sn"),
+        sum(col("n") * col("n")).as("snn"), max("n").as("mx"))
+      val mean = col("sn").cast("double") / col("k")
+      val varP = (col("k") * col("snn") - col("sn") * col("sn"))
+        .cast("double") / (col("k").cast("double") * col("k"))
+      st.select(col("event_type"), col("k").as("n_days"),
+          TextAnalysis.roundStable(mean, 2).as("mean_daily"),
+          TextAnalysis.roundStable(varP / mean, 4).as("fano"),
+          TextAnalysis.roundStable(col("mx") / mean, 4).as("peak_ratio"))
+        .orderBy("event_type")
+    },
+    Some("""WITH daily AS (
+      SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        count(*) AS n
+      FROM events GROUP BY 1, 2),
+    st AS (SELECT event_type, count(*) AS k,
+        CAST(sum(n) AS BIGINT) AS sn,
+        CAST(sum(n * n) AS BIGINT) AS snn,
+        max(n) AS mx
+      FROM daily GROUP BY 1)
+    SELECT event_type, k AS n_days,
+      floor(CAST(sn AS DOUBLE) / k * 100.0 + 0.5) / 100.0 AS mean_daily,
+      floor(CAST(k * snn - sn * sn AS DOUBLE)
+          / (CAST(k AS DOUBLE) * k) / (CAST(sn AS DOUBLE) / k)
+        * 10000.0 + 0.5) / 10000.0 AS fano,
+      floor(mx / (CAST(sn AS DOUBLE) / k) * 10000.0 + 0.5) / 10000.0
+        AS peak_ratio
+    FROM st ORDER BY event_type"""))
+
   // ---------------------------------------------------------------------
 
   val all: Seq[Q] = Seq(
@@ -6677,7 +6910,9 @@ object Queries {
     qAttribution, qDwellTime, qMixShift, qPriceDispersion, qRepeatRate,
     qScd2, qKsTest, qStickiness, qCrossCorr, qZipf,
     qChangepoint, qContainment, qClusteringCoef, qNewVsReturning,
-    qAssortativity)
+    qAssortativity,
+    qRollingDau, qCrossSourceDup, qDegreeDist, qSlaAttainment,
+    qBurstiness)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

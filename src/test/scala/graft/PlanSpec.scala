@@ -1090,6 +1090,51 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), s"no window belongs here:\n$p")
   }
 
+  test("q_rolling_dau: bounded day-explode, broadcast day clip, no per-day rescan") {
+    val p = plan("q_rolling_dau")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the day-list clip must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"no shuffle join belongs in the window clip:\n$p")
+    assert(!p.contains("Window"),
+      s"sliding distinct must use the day-explode, not a window:\n$p")
+  }
+
+  test("q_cross_source_dup: candidate machinery unchanged; source attach is doc-keyed") {
+    val p = plan("q_cross_source_dup")
+    assert(!p.contains("CartesianProduct"),
+      s"no cartesian belongs here:\n$p")
+    assert(!p.linesIterator.exists(l =>
+        l.contains("Exchange") && l.contains("text#")),
+      s"raw text must never enter an exchange:\n$p")
+  }
+
+  test("q_degree_dist: integer log2 bucketing, bounded bin window, broadcast total") {
+    val p = plan("q_degree_dist")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the single-row node total must broadcast:\n$p")
+    assert(!p.contains("log2") && !p.contains("LOG2"),
+      s"bucketing must be exact integer bin-length, not float log:\n$p")
+  }
+
+  test("q_sla_attainment: one order-key join, priority-grade aggregate") {
+    val p = plan("q_sla_attainment")
+    val joins = p.linesIterator.count(l =>
+      l.contains("SortMergeJoin") || l.contains("BroadcastHashJoin") ||
+        l.contains("ShuffledHashJoin"))
+    assert(joins == 1, s"exactly the orders-lineitem join, found $joins:\n$p")
+    assert(p.contains("partial_count"),
+      s"attainment counts must combine map-side:\n$p")
+  }
+
+  test("q_burstiness: integer power sums, no window, one events scan") {
+    val p = plan("q_burstiness")
+    assert(!p.contains("Join"), s"no join belongs here:\n$p")
+    assert(!p.contains("Window"), s"no window belongs here:\n$p")
+    val scans = p.linesIterator.count(_.contains("FileScan parquet"))
+    assert(scans == 1, s"events must be scanned once, found $scans:\n$p")
+  }
+
   test("q_conversion_lag: first-view window and first-purchase agg share the user exchange") {
     val p = plan("q_conversion_lag")
     assert(!p.contains("Join"), s"single-pass form must not join:\n$p")
