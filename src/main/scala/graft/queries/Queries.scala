@@ -6867,6 +6867,275 @@ object Queries {
         AS peak_ratio
     FROM st ORDER BY event_type"""))
 
+  /** Dedup impact report by source — what exact dedup would remove:
+    * per source, docs kept/removed (survivor = min doc_id per
+    * identical-token-set cluster, the q_cluster_sizes key with a
+    * decision attached) and the removed character mass share. The
+    * cluster key is a 128-bit digest, so every shuffle moves digests
+    * + counters, never text (projected away scan-side); the survivor
+    * join is digest-keyed. The per-source rollup is sources-bounded. */
+  private val qDedupImpact = Q(
+    "q_dedup_impact",
+    (s, d) => {
+      val key = md5(concat_ws(" ",
+        sort_array(array_distinct(split(col("text"), " ")))))
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          key.as("h"))
+      val survivors = docs.groupBy("h").agg(min("doc_id").as("keep_id"))
+      docs.join(survivors, "h")
+        .withColumn("removed", col("doc_id") =!= col("keep_id"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("removed").cast("long")).as("n_removed"),
+          sum("n_chars").as("chars_total"),
+          sum(when(col("removed"), col("n_chars")).otherwise(lit(0L)))
+            .as("chars_removed"))
+        .select(col("source"), col("n_docs"), col("n_removed"),
+          col("chars_total"),
+          TextAnalysis.roundStable(
+            col("chars_removed").cast("double") / col("chars_total"), 6)
+            .as("removed_share"))
+        .orderBy("source")
+    },
+    Some("""WITH k AS (
+      SELECT doc_id, source, n_chars,
+        md5(array_to_string(
+          list_sort(list_distinct(string_split(text, ' '))), ' ')) AS h
+      FROM documents),
+    sv AS (SELECT h, min(doc_id) AS keep_id FROM k GROUP BY 1)
+    SELECT source, count(*) AS n_docs,
+      CAST(sum(CASE WHEN doc_id <> keep_id THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_removed,
+      CAST(sum(n_chars) AS BIGINT) AS chars_total,
+      floor(CAST(sum(CASE WHEN doc_id <> keep_id THEN n_chars ELSE 0 END)
+          AS DOUBLE) / sum(n_chars) * 1000000.0 + 0.5) / 1000000.0
+        AS removed_share
+    FROM k JOIN sv USING (h)
+    GROUP BY 1 ORDER BY source"""))
+
+  /** N-gram novelty per document — the fraction of a doc's DISTINCT
+    * 5-grams first seen in an EARLIER doc (novelty = 1 − that), the
+    * per-doc memorization/freshness score streaming corpus builders
+    * order admission by (q_dup_ngram_frac counts duplicated mass
+    * symmetrically; this is the directional, arrival-ordered form).
+    * Grams enter as fused-distinct 64-bit hashes (map-only), the
+    * first-holder table is a gram-keyed min aggregate (map-side
+    * combined), and the verdict join moves hashes only. */
+  private val qNgramNovelty = Q(
+    "q_ngram_novelty",
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      val grams = Dedup.hashedShingleRowsDistinct(docs, 5)
+      val firsts = grams.groupBy("s").agg(min("doc_id").as("first_doc"))
+      val agg = grams.join(firsts, "s")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_distinct_grams"),
+          sum((col("first_doc") < col("doc_id")).cast("long"))
+            .as("seen_before"))
+      docs.select("doc_id").join(agg, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_distinct_grams"), lit(0L))
+            .as("n_distinct_grams"),
+          coalesce(col("seen_before"), lit(0L)).as("seen_before"),
+          when(coalesce(col("n_distinct_grams"), lit(0L)) === 0,
+            lit(null).cast("double"))
+            .otherwise(TextAnalysis.roundStable(
+              lit(1.0) - col("seen_before").cast("double") /
+                col("n_distinct_grams"), 6)).as("novelty"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+    g AS (
+      SELECT DISTINCT doc_id, unnest(CASE WHEN len(t) >= 5
+        THEN list_transform(range(1, len(t) - 3),
+          i -> array_to_string(t[i:i+4], ' '))
+        ELSE []::VARCHAR[] END) AS s
+      FROM toks),
+    f AS (SELECT s, min(doc_id) AS first_doc FROM g GROUP BY 1),
+    agg AS (
+      SELECT g.doc_id, count(*) AS n_distinct_grams,
+        CAST(sum(CASE WHEN first_doc < g.doc_id THEN 1 ELSE 0 END)
+          AS BIGINT) AS seen_before
+      FROM g JOIN f USING (s) GROUP BY 1)
+    SELECT d.doc_id,
+      coalesce(n_distinct_grams, 0) AS n_distinct_grams,
+      coalesce(seen_before, 0) AS seen_before,
+      CASE WHEN coalesce(n_distinct_grams, 0) = 0 THEN NULL
+           ELSE floor((1.0 - seen_before * 1.0 / n_distinct_grams)
+             * 1000000.0 + 0.5) / 1000000.0
+      END AS novelty
+    FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id
+    ORDER BY d.doc_id"""))
+
+  /** Per-language length profile — doc-length percentiles and the
+    * over-budget share per lang (the length-filter calibration read
+    * before setting a tokenizer truncation budget; q_gopher_filter
+    * applies gates, this measures where they'd bite). One lang-keyed
+    * aggregate of integer char counts: exact p10/p50/p90, mean as an
+    * integer ratio, and a conditional count — all in one pass. */
+  private val qLengthProfile = Q(
+    "q_length_profile",
+    (s, d) => t(s, d, "documents")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        TextAnalysis.roundStable(expr("percentile(n_chars, 0.1D)"), 1)
+          .as("p10"),
+        TextAnalysis.roundStable(expr("percentile(n_chars, 0.5D)"), 1)
+          .as("p50"),
+        TextAnalysis.roundStable(expr("percentile(n_chars, 0.9D)"), 1)
+          .as("p90"),
+        TextAnalysis.roundStable(
+          sum("n_chars").cast("double") / count(lit(1)), 2)
+          .as("mean_chars"),
+        TextAnalysis.roundStable(
+          sum((col("n_chars") > 400).cast("long")).cast("double") /
+            count(lit(1)), 6).as("over_400_share"))
+      .orderBy("lang"),
+    Some("""SELECT lang, count(*) AS n_docs,
+      floor(quantile_cont(n_chars, 0.1) * 10.0 + 0.5) / 10.0 AS p10,
+      floor(quantile_cont(n_chars, 0.5) * 10.0 + 0.5) / 10.0 AS p50,
+      floor(quantile_cont(n_chars, 0.9) * 10.0 + 0.5) / 10.0 AS p90,
+      floor(CAST(sum(n_chars) AS DOUBLE) / count(*) * 100.0 + 0.5)
+        / 100.0 AS mean_chars,
+      floor(CAST(sum(CASE WHEN n_chars > 400 THEN 1 ELSE 0 END)
+          AS DOUBLE) / count(*) * 1000000.0 + 0.5) / 1000000.0
+        AS over_400_share
+    FROM documents GROUP BY 1 ORDER BY lang"""))
+
+  /** Price elasticity per brand — OLS slope of ln(quantity) on
+    * ln(unit price) over order lines (the classic log-log demand
+    * curve; slope ≈ elasticity). Both logs are quantized to 1e−4
+    * BIGINTs per element before summing (the q_zipf discipline), so
+    * the per-brand OLS sums are exact integers — no float-accumulation
+    * order dependence across engines — and the closing expressions
+    * are identical IEEE ops. Brand-grade everything after one
+    * lineitem→part broadcast join. */
+  private val qPriceElasticity = Q(
+    "q_price_elasticity",
+    (s, d) => {
+      val li = t(s, d, "lineitem")
+        .filter(col("l_quantity") > 0)
+        .select(col("l_partkey"),
+          floor(log(col("l_extendedprice") / col("l_quantity")) * 10000
+            + 0.5).cast("long").as("x"),
+          floor(log(col("l_quantity")) * 10000 + 0.5).cast("long")
+            .as("y"))
+      val p = t(s, d, "part").select(col("p_partkey"), col("p_brand"))
+      val st = li.join(broadcast(p),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand").as("brand"))
+        .agg(count(lit(1)).as("k"),
+          sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+      val dxx = (col("k") * col("sxx") - col("sx") * col("sx"))
+        .cast("double")
+      val dyy = (col("k") * col("syy") - col("sy") * col("sy"))
+        .cast("double")
+      val dxy = (col("k") * col("sxy") - col("sx") * col("sy"))
+        .cast("double")
+      st.select(col("brand"), col("k").as("n_lines"),
+          TextAnalysis.roundStable(when(dxx > 0, dxy / dxx), 6)
+            .as("elasticity"),
+          TextAnalysis.roundStable(
+            when(dxx > 0 && dyy > 0, (dxy * dxy) / (dxx * dyy)), 6)
+            .as("r2"))
+        .orderBy("brand")
+    },
+    Some("""WITH li AS (
+      SELECT l_partkey,
+        CAST(floor(ln(l_extendedprice / l_quantity) * 10000 + 0.5)
+          AS BIGINT) AS x,
+        CAST(floor(ln(l_quantity) * 10000 + 0.5) AS BIGINT) AS y
+      FROM lineitem WHERE l_quantity > 0),
+    st AS (SELECT p_brand AS brand, count(*) AS k,
+        CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        CAST(sum(x * y) AS BIGINT) AS sxy,
+        CAST(sum(x * x) AS BIGINT) AS sxx,
+        CAST(sum(y * y) AS BIGINT) AS syy
+      FROM li JOIN part ON l_partkey = p_partkey GROUP BY 1)
+    SELECT brand, k AS n_lines,
+      CASE WHEN (k * sxx - sx * sx) > 0 THEN
+        floor(CAST(k * sxy - sx * sy AS DOUBLE)
+            / CAST(k * sxx - sx * sx AS DOUBLE) * 1000000.0 + 0.5)
+          / 1000000.0 END AS elasticity,
+      CASE WHEN (k * sxx - sx * sx) > 0 AND (k * syy - sy * sy) > 0 THEN
+        floor(CAST(k * sxy - sx * sy AS DOUBLE)
+            * CAST(k * sxy - sx * sy AS DOUBLE)
+            / (CAST(k * sxx - sx * sx AS DOUBLE)
+              * CAST(k * syy - sy * sy AS DOUBLE)) * 1000000.0 + 0.5)
+          / 1000000.0 END AS r2
+    FROM st ORDER BY brand"""))
+
+  /** ABC inventory classification — parts bucketed A/B/C by cumulative
+    * revenue share (≤80% / ≤95% / rest), the ops twin of q_pareto.
+    * The per-part prefix mass uses the [[Ranking.globalRank]]
+    * histogram scheme extended to MASS: a value-level histogram
+    * carries each revenue value's count and total mass, the
+    * unpartitioned window runs over the HISTOGRAM (distinct-value-
+    * sized, the documented globalRank contract), and each part's
+    * inclusive prefix = before-mass + in-value-rank × value — all
+    * DECIMAL. Class boundaries compare 5·prefix ≤ 4·total and
+    * 20·prefix ≤ 19·total — exact decimal integer-multiple
+    * comparisons, so no float decides a class. */
+  private val qAbcClass = Q(
+    "q_abc_class",
+    (s, d) => {
+      val rev = t(s, d, "lineitem")
+        .groupBy(col("l_partkey"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,6)")).as("rev"))
+      val hist = rev.groupBy("rev").agg(count(lit(1)).as("c"))
+      val offs = hist.withColumn("before",
+          coalesce(sum(col("rev") * col("c")).over(
+            Window.orderBy(col("rev").desc)
+              .rowsBetween(Window.unboundedPreceding, -1)),
+            lit(BigDecimal(0)).cast("decimal(38,6)")))
+        .drop("c")
+      val tot = rev.agg(sum("rev").as("tot"))
+      val ranked = rev.join(offs, "rev")
+        .withColumn("rn_v", row_number().over(
+          Window.partitionBy("rev").orderBy("l_partkey")).cast("long"))
+        .withColumn("prefix", col("before") + col("rn_v") * col("rev"))
+      ranked.crossJoin(broadcast(tot))
+        .withColumn("cls",
+          when(col("prefix") * 5 <= col("tot") * 4, lit("A"))
+            .when(col("prefix") * 20 <= col("tot") * 19, lit("B"))
+            .otherwise(lit("C")))
+        .groupBy("cls")
+        .agg(count(lit(1)).as("n_parts"), sum("rev").as("cls_rev"))
+        .crossJoin(broadcast(tot))
+        .select(col("cls"), col("n_parts"),
+          TextAnalysis.roundStable(col("cls_rev").cast("double"), 2)
+            .as("class_rev"),
+          TextAnalysis.roundStable(
+            col("cls_rev").cast("double") / col("tot").cast("double"), 6)
+            .as("rev_share"))
+        .orderBy("cls")
+    },
+    Some("""WITH rev AS (
+      SELECT l_partkey, sum(CAST(l_extendedprice AS DECIMAL(18,6)))
+        AS rev
+      FROM lineitem GROUP BY 1),
+    ranked AS (SELECT l_partkey, rev,
+        sum(rev) OVER (ORDER BY rev DESC, l_partkey ASC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prefix
+      FROM rev),
+    tot AS (SELECT sum(rev) AS tot FROM rev),
+    cls AS (SELECT
+        CASE WHEN prefix * 5 <= tot * 4 THEN 'A'
+             WHEN prefix * 20 <= tot * 19 THEN 'B'
+             ELSE 'C' END AS cls, rev, tot
+      FROM ranked, tot)
+    SELECT cls, count(*) AS n_parts,
+      floor(CAST(sum(rev) AS DOUBLE) * 100.0 + 0.5) / 100.0
+        AS class_rev,
+      floor(CAST(sum(rev) AS DOUBLE) / CAST(max(tot) AS DOUBLE)
+        * 1000000.0 + 0.5) / 1000000.0 AS rev_share
+    FROM cls GROUP BY 1 ORDER BY cls"""))
+
   // ---------------------------------------------------------------------
 
   val all: Seq[Q] = Seq(
@@ -6912,7 +7181,9 @@ object Queries {
     qChangepoint, qContainment, qClusteringCoef, qNewVsReturning,
     qAssortativity,
     qRollingDau, qCrossSourceDup, qDegreeDist, qSlaAttainment,
-    qBurstiness)
+    qBurstiness,
+    qDedupImpact, qNgramNovelty, qLengthProfile, qPriceElasticity,
+    qAbcClass)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

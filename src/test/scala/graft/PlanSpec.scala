@@ -1135,6 +1135,58 @@ class PlanSpec extends AnyFunSuite {
     assert(scans == 1, s"events must be scanned once, found $scans:\n$p")
   }
 
+  test("q_dedup_impact: digest-keyed shuffles, text never leaves the scan") {
+    val p = plan("q_dedup_impact")
+    assert(!p.linesIterator.exists(l =>
+        l.contains("Exchange") && l.contains("text#")),
+      s"raw text must never enter an exchange:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"the survivor attach must be an equi-join:\n$p")
+  }
+
+  test("q_ngram_novelty: hashes-only shuffles, first-holder min combines map-side") {
+    val p = plan("q_ngram_novelty")
+    assert(p.contains("partial_min"),
+      s"first-holder table must combine map-side:\n$p")
+    assert(!p.contains("Window"),
+      s"the shingle family never uses a window:\n$p")
+    assert(!p.linesIterator.exists(l =>
+        l.contains("Exchange") && l.contains("text#")),
+      s"raw text must never enter an exchange:\n$p")
+  }
+
+  test("q_length_profile: one scan, one lang aggregate, exact percentiles partial") {
+    val p = plan("q_length_profile")
+    assert(!p.contains("Join"), s"no join belongs here:\n$p")
+    assert(p.contains("partial_percentile"),
+      s"exact percentiles must combine map-side:\n$p")
+    val scans = p.linesIterator.count(_.contains("FileScan parquet"))
+    assert(scans == 1, s"documents must be scanned once, found $scans:\n$p")
+  }
+
+  test("q_price_elasticity: part dim broadcast; integer OLS sums map-side") {
+    val p = plan("q_price_elasticity")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the part dim must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"lineitem must not shuffle for the dim attach:\n$p")
+    assert(p.contains("partial_sum"),
+      s"OLS sums must combine map-side:\n$p")
+  }
+
+  test("q_abc_class: histogram-sized rank window, broadcast total, no corpus sort") {
+    val p = plan("q_abc_class")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the single-row total must broadcast:\n$p")
+    // The only unpartitioned window runs over the value histogram
+    // (globalRank contract); the per-part windows partition by value.
+    assert(p.contains("windowspecdefinition(rev"),
+      s"per-part ranking must partition by revenue value:\n$p")
+    val windows = p.linesIterator.count(_.contains("Window ["))
+    assert(windows == 2,
+      s"expected histogram-offset + in-value-rank windows only, found $windows:\n$p")
+  }
+
   test("q_conversion_lag: first-view window and first-purchase agg share the user exchange") {
     val p = plan("q_conversion_lag")
     assert(!p.contains("Join"), s"single-pass form must not join:\n$p")
