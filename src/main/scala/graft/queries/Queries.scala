@@ -7136,6 +7136,259 @@ object Queries {
         * 1000000.0 + 0.5) / 1000000.0 AS rev_share
     FROM cls GROUP BY 1 ORDER BY cls"""))
 
+  /** Weekday seasonality strength per event type — share of daily-
+    * count variance explained by weekday means (ANOVA R²: ≈0 no
+    * weekly rhythm, ≈1 pure weekly rhythm — decides whether forecasts
+    * and anomaly thresholds need weekday conditioning; q_weekday_
+    * profile shows the shape, this scores it). All inputs are INTEGER
+    * power sums — per-(type,weekday) k/Σn and per-type K/Σn/Σn² —
+    * and the closing Σ s²/k fold runs over exactly 7 weekday rows per
+    * type, rounded once. Day-grade after one events aggregate; the
+    * type totals broadcast back onto the 7-row groups. */
+  private val qSeasonalStrength = Q(
+    "q_seasonal_strength",
+    (s, d) => {
+      val daily = t(s, d, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("wd", weekday(col("day")).cast("long"))
+      val wdAgg = daily.groupBy("event_type", "wd")
+        .agg(count(lit(1)).as("kw"), sum("n").as("sw"))
+      val tyAgg = daily.groupBy("event_type")
+        .agg(count(lit(1)).as("k"), sum("n").as("sn"),
+          sum(col("n") * col("n")).as("snn"))
+      val ssb = sum(col("sw").cast("double") * col("sw") / col("kw")) -
+        col("sn").cast("double") * col("sn") / col("k")
+      val sst = col("snn").cast("double") -
+        col("sn").cast("double") * col("sn") / col("k")
+      wdAgg.join(broadcast(tyAgg), "event_type")
+        .groupBy(col("event_type"), col("k"), col("sn"), col("snn"))
+        .agg(TextAnalysis.roundStable(
+          when(sst > 0, ssb / sst), 6).as("strength"))
+        .select(col("event_type"), col("k").as("n_days"),
+          col("strength"))
+        .orderBy("event_type")
+    },
+    Some("""WITH daily AS (
+      SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        count(*) AS n
+      FROM events GROUP BY 1, 2),
+    dw AS (SELECT event_type, isodow(day) - 1 AS wd, n FROM daily),
+    wda AS (SELECT event_type, wd, count(*) AS kw,
+        CAST(sum(n) AS BIGINT) AS sw
+      FROM dw GROUP BY 1, 2),
+    tya AS (SELECT event_type, count(*) AS k,
+        CAST(sum(n) AS BIGINT) AS sn,
+        CAST(sum(n * n) AS BIGINT) AS snn
+      FROM daily GROUP BY 1)
+    SELECT w.event_type, k AS n_days,
+      CASE WHEN snn - CAST(sn AS DOUBLE) * sn / k > 0 THEN
+        floor((sum(CAST(sw AS DOUBLE) * sw / kw)
+            - CAST(sn AS DOUBLE) * sn / k)
+          / (snn - CAST(sn AS DOUBLE) * sn / k) * 1000000.0 + 0.5)
+          / 1000000.0 END AS strength
+    FROM wda w JOIN tya t ON w.event_type = t.event_type
+    GROUP BY 1, 2, sn, snn, k ORDER BY w.event_type"""))
+
+  /** Basket-size distribution — order line-count histogram with mean
+    * basket value per size (the order-shape profile behind picking
+    * batch sizes and co-purchase support thresholds). One order-keyed
+    * aggregate (count + DECIMAL value), then a size-bounded histogram
+    * — no join anywhere. */
+  private val qBasketSizeDist = Q(
+    "q_basket_size_dist",
+    (s, d) => t(s, d, "lineitem")
+      .groupBy("l_orderkey")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("l_extendedprice").cast("decimal(18,6)")).as("val"))
+      .groupBy("n_lines")
+      .agg(count(lit(1)).as("n_orders"), sum("val").as("sv"))
+      .withColumn("tot", sum("n_orders").over(Window.partitionBy()))
+      .select(col("n_lines"), col("n_orders"),
+        TextAnalysis.roundStable(
+          col("sv").cast("double") / col("n_orders"), 2)
+          .as("mean_value"),
+        TextAnalysis.roundStable(
+          col("n_orders").cast("double") / col("tot"), 6)
+          .as("order_share"))
+      .orderBy("n_lines"),
+    Some("""WITH o AS (
+      SELECT l_orderkey, count(*) AS n_lines,
+        sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS val
+      FROM lineitem GROUP BY 1),
+    h AS (SELECT n_lines, count(*) AS n_orders, sum(val) AS sv
+      FROM o GROUP BY 1)
+    SELECT n_lines, n_orders,
+      floor(CAST(sv AS DOUBLE) / n_orders * 100.0 + 0.5) / 100.0
+        AS mean_value,
+      floor(CAST(n_orders AS DOUBLE)
+          / CAST(sum(n_orders) OVER () AS BIGINT) * 1000000.0 + 0.5)
+        / 1000000.0 AS order_share
+    FROM h ORDER BY n_lines"""))
+
+  /** Language-ID evaluation — per-language precision/recall/F1 of the
+    * stopword-marker classifier against the labeled lang column (the
+    * metric layer over q_lang_id's confusion matrix; the shape of
+    * every classifier-eval report). Truth and prediction totals come
+    * from two rollups of the langs²-bounded confusion matrix joined
+    * back on the diagonal — integer counts, three closing divisions.
+    * F1 derives from the SAME rounded p/r both engines computed. */
+  private val qLangidEval = Q(
+    "q_langid_eval",
+    (s, d) => {
+      val conf = TextAnalysis.withLangPred(
+          t(s, d, "documents"), "text", Seq("doc_id"))
+        .groupBy(col("lang"), col("lang_pred"))
+        .agg(count(lit(1)).as("cnt"))
+      val truth = conf.groupBy("lang").agg(sum("cnt").as("n_true"))
+      val pred = conf.groupBy("lang_pred").agg(sum("cnt").as("n_pred"))
+      val diag = conf.filter(col("lang") === col("lang_pred"))
+        .select(col("lang"), col("cnt").as("n_correct"))
+      val p = col("n_correct").cast("double") / col("n_pred")
+      val r = col("n_correct").cast("double") / col("n_true")
+      truth
+        .join(diag, Seq("lang"), "left")
+        .join(pred.withColumnRenamed("lang_pred", "lang"),
+          Seq("lang"), "left")
+        .select(col("lang"), col("n_true"),
+          coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+          coalesce(col("n_correct"), lit(0L)).as("n_correct"),
+          TextAnalysis.roundStable(
+            when(col("n_pred") > 0,
+              coalesce(col("n_correct"), lit(0L)).cast("double") /
+                col("n_pred")), 6).as("precision"),
+          TextAnalysis.roundStable(
+            coalesce(col("n_correct"), lit(0L)).cast("double") /
+              col("n_true"), 6).as("recall"),
+          TextAnalysis.roundStable(
+            when(col("n_pred") > 0 && coalesce(col("n_correct"),
+                lit(0L)) > 0,
+              lit(2.0) * p * r / (p + r)).otherwise(lit(0.0)), 6)
+            .as("f1"))
+        .orderBy("lang")
+    },
+    Some("""WITH tk AS (
+      SELECT lang, string_split(lower(text), ' ') AS t FROM documents),
+    sc AS (SELECT lang,
+      len(list_filter(t, x -> x IN ('the','and','of','to','a','in','is'))) AS s_en,
+      len(list_filter(t, x -> x IN ('der','die','das','und','ist','ein'))) AS s_de,
+      len(list_filter(t, x -> x IN ('el','los','las','y','es','un'))) AS s_es,
+      len(list_filter(t, x -> x IN ('le','les','et','est','une','du'))) AS s_fr,
+      len(list_filter(t, x -> x IN ('de5','shi4','le5','zai4','he2'))) AS s_zh
+      FROM tk),
+    pm AS (SELECT lang, CASE
+      WHEN coalesce(greatest(s_en,s_de,s_es,s_fr,s_zh), 0) = 0 THEN 'und'
+      WHEN s_en >= greatest(s_de,s_es,s_fr,s_zh) THEN 'en'
+      WHEN s_de >= greatest(s_es,s_fr,s_zh) THEN 'de'
+      WHEN s_es >= greatest(s_fr,s_zh) THEN 'es'
+      WHEN s_fr >= s_zh THEN 'fr' ELSE 'zh' END AS lang_pred FROM sc),
+    conf AS (SELECT lang, lang_pred, count(*) AS cnt
+      FROM pm GROUP BY 1, 2),
+    tr AS (SELECT lang, CAST(sum(cnt) AS BIGINT) AS n_true
+      FROM conf GROUP BY 1),
+    pd AS (SELECT lang_pred AS lang, CAST(sum(cnt) AS BIGINT) AS n_pred
+      FROM conf GROUP BY 1),
+    dg AS (SELECT lang, cnt AS n_correct FROM conf
+      WHERE lang = lang_pred)
+    SELECT tr.lang, n_true,
+      coalesce(n_pred, 0) AS n_pred,
+      coalesce(n_correct, 0) AS n_correct,
+      CASE WHEN coalesce(n_pred, 0) > 0 THEN
+        floor(coalesce(n_correct, 0) * 1.0 / n_pred * 1000000.0 + 0.5)
+          / 1000000.0 END AS precision,
+      floor(coalesce(n_correct, 0) * 1.0 / n_true * 1000000.0 + 0.5)
+        / 1000000.0 AS recall,
+      CASE WHEN coalesce(n_pred, 0) > 0 AND coalesce(n_correct, 0) > 0
+        THEN floor(2.0 * (coalesce(n_correct, 0) * 1.0 / n_pred)
+            * (coalesce(n_correct, 0) * 1.0 / n_true)
+            / ((coalesce(n_correct, 0) * 1.0 / n_pred)
+              + (coalesce(n_correct, 0) * 1.0 / n_true))
+          * 1000000.0 + 0.5) / 1000000.0
+        ELSE 0.0 END AS f1
+    FROM tr LEFT JOIN dg ON dg.lang = tr.lang
+    LEFT JOIN pd ON pd.lang = tr.lang
+    ORDER BY tr.lang"""))
+
+  /** Order fill rate by month — share of orders whose EVERY line
+    * shipped within 30 days of the order date (the all-lines gate is
+    * a min over per-line flags: one order-keyed aggregate after a
+    * co-partitioned order-key join, then a month-bounded rollup —
+    * the standard "complete within SLA" two-level shape;
+    * q_sla_attainment scores lines, this scores whole orders). */
+  private val qOrderFillRate = Q(
+    "q_order_fill_rate",
+    (s, d) => {
+      val o = t(s, d, "orders")
+        .select(col("o_orderkey"), to_date(col("o_orderdate")).as("od"))
+      val l = t(s, d, "lineitem")
+        .select(col("l_orderkey"), to_date(col("l_shipdate")).as("sd"))
+      val perOrder = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderkey"), trunc(col("od"), "month").as("month"))
+        .agg(min((datediff(col("sd"), col("od")) <= 30).cast("long"))
+          .as("filled"))
+      perOrder.groupBy("month")
+        .agg(count(lit(1)).as("n_orders"),
+          sum("filled").as("n_filled"))
+        .select(col("month"), col("n_orders"), col("n_filled"),
+          TextAnalysis.roundStable(
+            col("n_filled").cast("double") / col("n_orders"), 6)
+            .as("fill_rate"))
+        .orderBy("month")
+    },
+    Some("""WITH po AS (
+      SELECT o_orderkey,
+        date_trunc('month', CAST(o_orderdate AS DATE)) AS month,
+        min(CASE WHEN date_diff('day', CAST(o_orderdate AS DATE),
+            CAST(l_shipdate AS DATE)) <= 30 THEN 1 ELSE 0 END) AS filled
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      GROUP BY 1, 2)
+    SELECT month, count(*) AS n_orders,
+      CAST(sum(filled) AS BIGINT) AS n_filled,
+      floor(CAST(sum(filled) AS DOUBLE) / count(*) * 1000000.0 + 0.5)
+        / 1000000.0 AS fill_rate
+    FROM po GROUP BY 1 ORDER BY month"""))
+
+  /** Embedding norm profile per label — count, mean/min/max and exact
+    * median of L2 norms (the health check before cosine ops: a
+    * degenerate or unnormalized label cluster shows up here first;
+    * q_label_centroids gives position, this gives magnitude). The
+    * per-row norm folds the array ROW-LOCALLY in fixed array order
+    * (deterministic IEEE both engines — the q_ann_topk contract),
+    * then quantizes to 1e−4 BIGINTs so every aggregate is exact
+    * integer arithmetic. */
+  private val qEmbedNorms = Q(
+    "q_embed_norms",
+    (s, d) => t(s, d, "embeddings")
+      .select(col("label"),
+        floor(sqrt(expr(
+          "aggregate(embedding, 0D, (a, x) -> a + CAST(x AS DOUBLE) * x)"))
+          * 10000 + 0.5).cast("long").as("nq"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        TextAnalysis.roundStable(
+          sum("nq").cast("double") / count(lit(1)) / 10000.0, 4)
+          .as("mean_norm"),
+        TextAnalysis.roundStable(
+          expr("percentile(nq, 0.5D)") / 10000.0, 4).as("median_norm"),
+        TextAnalysis.roundStable(min("nq") / lit(10000.0), 4)
+          .as("min_norm"),
+        TextAnalysis.roundStable(max("nq") / lit(10000.0), 4)
+          .as("max_norm"))
+      .orderBy("label"),
+    Some("""WITH n AS (
+      SELECT label,
+        CAST(floor(sqrt(list_sum(list_transform(embedding,
+          x -> CAST(x AS DOUBLE) * x))) * 10000 + 0.5) AS BIGINT) AS nq
+      FROM embeddings)
+    SELECT label, count(*) AS n_vecs,
+      floor(CAST(sum(nq) AS DOUBLE) / count(*) / 10000.0 * 10000.0
+        + 0.5) / 10000.0 AS mean_norm,
+      floor(quantile_cont(nq, 0.5) / 10000.0 * 10000.0 + 0.5) / 10000.0
+        AS median_norm,
+      floor(min(nq) / 10000.0 * 10000.0 + 0.5) / 10000.0 AS min_norm,
+      floor(max(nq) / 10000.0 * 10000.0 + 0.5) / 10000.0 AS max_norm
+    FROM n GROUP BY 1 ORDER BY label"""))
+
   // ---------------------------------------------------------------------
 
   val all: Seq[Q] = Seq(
@@ -7183,7 +7436,9 @@ object Queries {
     qRollingDau, qCrossSourceDup, qDegreeDist, qSlaAttainment,
     qBurstiness,
     qDedupImpact, qNgramNovelty, qLengthProfile, qPriceElasticity,
-    qAbcClass)
+    qAbcClass,
+    qSeasonalStrength, qBasketSizeDist, qLangidEval, qOrderFillRate,
+    qEmbedNorms)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -1187,6 +1187,52 @@ class PlanSpec extends AnyFunSuite {
       s"expected histogram-offset + in-value-rank windows only, found $windows:\n$p")
   }
 
+  test("q_seasonal_strength: type totals broadcast onto weekday groups; one events scan path") {
+    val p = plan("q_seasonal_strength")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the type-totals table must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"weekday groups must not shuffle-join:\n$p")
+    assert(!p.contains("Window"), s"no window belongs here:\n$p")
+  }
+
+  test("q_basket_size_dist: two stacked aggregates, no join, one scan") {
+    val p = plan("q_basket_size_dist")
+    assert(!p.contains("Join"), s"no join belongs here:\n$p")
+    val scans = p.linesIterator.count(_.contains("FileScan parquet"))
+    assert(scans == 1, s"lineitem must be scanned once, found $scans:\n$p")
+    assert(p.contains("partial_count"),
+      s"per-order counts must combine map-side:\n$p")
+  }
+
+  test("q_langid_eval: metric joins ride the langs-bounded confusion matrix") {
+    val p = plan("q_langid_eval")
+    assert(!p.contains("CartesianProduct"),
+      s"no cartesian belongs here:\n$p")
+    assert(!p.linesIterator.exists(l =>
+        l.contains("Exchange") && l.contains("text#")),
+      s"raw text must never enter an exchange:\n$p")
+  }
+
+  test("q_order_fill_rate: one order-key join, order-grade then month-grade aggregates") {
+    val p = plan("q_order_fill_rate")
+    val joins = p.linesIterator.count(l =>
+      l.contains("SortMergeJoin") || l.contains("BroadcastHashJoin") ||
+        l.contains("ShuffledHashJoin"))
+    assert(joins == 1, s"exactly the orders-lineitem join, found $joins:\n$p")
+    assert(!p.contains("Window"), s"no window belongs here:\n$p")
+  }
+
+  test("q_embed_norms: row-local norm fold, no embedding array in any exchange") {
+    val p = plan("q_embed_norms")
+    assert(!p.contains("Join"), s"no join belongs here:\n$p")
+    assert(!p.linesIterator.exists(l =>
+        l.contains("Exchange") && l.contains("embedding#")),
+      s"the embedding array must fold before any exchange:\n$p")
+    assert(p.contains("partial_percentile"),
+      s"the exact median must combine map-side:\n$p")
+  }
+
   test("q_conversion_lag: first-view window and first-purchase agg share the user exchange") {
     val p = plan("q_conversion_lag")
     assert(!p.contains("Join"), s"single-pass form must not join:\n$p")
