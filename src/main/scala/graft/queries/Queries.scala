@@ -7389,6 +7389,252 @@ object Queries {
       floor(max(nq) / 10000.0 * 10000.0 + 0.5) / 10000.0 AS max_norm
     FROM n GROUP BY 1 ORDER BY label"""))
 
+  /** Conditional next-event entropy per state — H(next | current) for
+    * each event type (how predictable is what follows? — the
+    * per-state refinement of q_mutual_info's global number and the
+    * sibling of q_transition's raw matrix). Counts come from ONE
+    * vocab²-bounded transition aggregate; the entropy fold
+    * H = log2(n) − Σ c·log2(c)/n runs over ≤|types| cells per state
+    * (the q_token_entropy algebraic form — integers until the final
+    * projection). One user-ordered window, then everything is
+    * vocab-grade. */
+  private val qTransitionEntropy = Q(
+    "q_transition_entropy",
+    (s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val trans = t(s, d, "events")
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("next_type"))
+        .agg(count(lit(1)).as("c"))
+      trans.groupBy("from_type")
+        .agg(sum("c").as("n"), count(lit(1)).as("n_next"),
+          sum(col("c").cast("double") * log2(col("c"))).as("clogc"))
+        .select(col("from_type"), col("n").as("n_transitions"),
+          col("n_next"),
+          TextAnalysis.roundStable(
+            log2(col("n")) - col("clogc") / col("n"), 6).as("entropy"))
+        .orderBy("from_type")
+    },
+    Some("""WITH e AS (
+      SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS tts
+      FROM events),
+    tr AS (SELECT event_type AS from_type,
+        lead(event_type) OVER (PARTITION BY user_id
+          ORDER BY tts ASC, event_id ASC) AS next_type
+      FROM e),
+    ct AS (SELECT from_type, next_type, count(*) AS c
+      FROM tr WHERE next_type IS NOT NULL GROUP BY 1, 2)
+    SELECT from_type, CAST(sum(c) AS BIGINT) AS n_transitions,
+      count(*) AS n_next,
+      floor((log2(CAST(sum(c) AS DOUBLE))
+          - sum(c * log2(CAST(c AS DOUBLE))) / sum(c))
+        * 1000000.0 + 0.5) / 1000000.0 AS entropy
+    FROM ct GROUP BY 1 ORDER BY from_type"""))
+
+  /** Month-over-month revenue bridge — ΔRevenue decomposed into a
+    * volume effect (Δquantity at last month's realized price) and a
+    * price/mix effect (the remainder), the standard FP&A waterfall.
+    * Monthly quantity and revenue are DECIMAL sums (order-free); the
+    * lag rides the months-bounded table; effects are closing double
+    * expressions. Month-grade after one lineitem aggregate. */
+  private val qRevenueBridge = Q(
+    "q_revenue_bridge",
+    (s, d) => {
+      val monthly = t(s, d, "lineitem")
+        .groupBy(trunc(to_date(col("l_shipdate")), "month").as("month"))
+        .agg(sum(col("l_quantity").cast("decimal(18,6)")).as("q"),
+          sum(col("l_extendedprice").cast("decimal(18,6)")).as("r"))
+      val wm = Window.orderBy("month")
+      val withLag = monthly
+        .withColumn("pq", lag(col("q"), 1).over(wm))
+        .withColumn("pr", lag(col("r"), 1).over(wm))
+        .filter(col("pq").isNotNull)
+      val volEff = (col("q") - col("pq")).cast("double") *
+        (col("pr").cast("double") / col("pq").cast("double"))
+      withLag.select(col("month"),
+          TextAnalysis.roundStable(col("r").cast("double"), 2)
+            .as("revenue"),
+          TextAnalysis.roundStable(
+            (col("r") - col("pr")).cast("double"), 2).as("delta_rev"),
+          TextAnalysis.roundStable(volEff, 2).as("volume_effect"),
+          TextAnalysis.roundStable(
+            (col("r") - col("pr")).cast("double") - volEff, 2)
+            .as("price_effect"))
+        .orderBy("month")
+    },
+    Some("""WITH m AS (
+      SELECT date_trunc('month', CAST(l_shipdate AS DATE)) AS month,
+        sum(CAST(l_quantity AS DECIMAL(18,6))) AS q,
+        sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS r
+      FROM lineitem GROUP BY 1),
+    lg AS (SELECT month, q, r,
+        lag(q) OVER (ORDER BY month) AS pq,
+        lag(r) OVER (ORDER BY month) AS pr
+      FROM m)
+    SELECT month,
+      floor(CAST(r AS DOUBLE) * 100.0 + 0.5) / 100.0 AS revenue,
+      floor(CAST(r - pr AS DOUBLE) * 100.0 + 0.5) / 100.0 AS delta_rev,
+      floor(CAST(q - pq AS DOUBLE) * (CAST(pr AS DOUBLE)
+          / CAST(pq AS DOUBLE)) * 100.0 + 0.5) / 100.0
+        AS volume_effect,
+      floor((CAST(r - pr AS DOUBLE) - CAST(q - pq AS DOUBLE)
+          * (CAST(pr AS DOUBLE) / CAST(pq AS DOUBLE))) * 100.0 + 0.5)
+        / 100.0 AS price_effect
+    FROM lg WHERE pq IS NOT NULL ORDER BY month"""))
+
+  /** Cart abandonment per day — users who viewed but did not purchase
+    * the same or next day (the leaky-funnel daily alarm; q_funnel
+    * measures the full path, this the first cliff). User-day flags
+    * come from one dedup aggregate; "purchase within a day" is an
+    * equi-join of the view-day table against purchase days shifted to
+    * BOTH matching offsets (0 and +1) — a 2× map-side explode of the
+    * small purchase-day side, never a range join. */
+  private val qCartAbandon = Q(
+    "q_cart_abandon",
+    (s, d) => {
+      val ud = t(s, d, "events")
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(
+          max((col("event_type") === "view").cast("long")).as("viewed"),
+          max((col("event_type") === "purchase").cast("long"))
+            .as("purchased"))
+      val viewDays = ud.filter(col("viewed") === 1)
+        .select(col("user_id"), col("day"))
+      val purchCover = ud.filter(col("purchased") === 1)
+        .select(col("user_id"),
+          explode(array(col("day"), date_sub(col("day"), 1)))
+            .as("day"))
+        .distinct()
+      viewDays
+        .join(purchCover.withColumn("hit", lit(1L)),
+          Seq("user_id", "day"), "left")
+        .groupBy("day")
+        .agg(count(lit(1)).as("n_viewers"),
+          sum(when(col("hit").isNull, 1L).otherwise(0L))
+            .as("n_abandoned"))
+        .select(col("day"), col("n_viewers"), col("n_abandoned"),
+          TextAnalysis.roundStable(
+            col("n_abandoned").cast("double") / col("n_viewers"), 6)
+            .as("abandon_rate"))
+        .orderBy("day")
+    },
+    Some("""WITH ud AS (
+      SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS viewed,
+        max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+          AS purchased
+      FROM events GROUP BY 1, 2),
+    vd AS (SELECT user_id, day FROM ud WHERE viewed = 1),
+    pc AS (SELECT DISTINCT user_id, pd AS day FROM (
+      SELECT user_id, unnest([day, day - 1]) AS pd
+      FROM ud WHERE purchased = 1)),
+    j AS (SELECT vd.user_id, vd.day,
+        CASE WHEN pc.user_id IS NULL THEN 1 ELSE 0 END AS abandoned
+      FROM vd LEFT JOIN pc ON pc.user_id = vd.user_id
+        AND pc.day = vd.day)
+    SELECT day, count(*) AS n_viewers,
+      CAST(sum(abandoned) AS BIGINT) AS n_abandoned,
+      floor(CAST(sum(abandoned) AS DOUBLE) / count(*) * 1000000.0
+        + 0.5) / 1000000.0 AS abandon_rate
+    FROM j GROUP BY 1 ORDER BY day"""))
+
+  /** Revenue concentration per brand — Herfindahl index over each
+    * brand's part-level revenue shares plus the top-part share (is a
+    * brand a one-hit wonder? — q_diversity's concentration read,
+    * applied within groups). Per-part revenue is a DECIMAL sum; the
+    * HHI numerator Σrᵢ² accumulates in DECIMAL(38,6) (exact,
+    * order-free — squares of 1e11-scaled decimals stay far inside 38
+    * digits); the one division closes in doubles. Brand grade after
+    * a broadcast dim attach. */
+  private val qBrandHhi = Q(
+    "q_brand_hhi",
+    (s, d) => {
+      val p = t(s, d, "part").select(col("p_partkey"), col("p_brand"))
+      val rev = t(s, d, "lineitem")
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand").as("brand"), col("l_partkey"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,6)")).as("r"))
+      rev.groupBy("brand")
+        .agg(count(lit(1)).as("n_parts"),
+          sum("r").as("tot"),
+          sum((col("r") * col("r")).cast("decimal(38,6)")).as("sq"),
+          max("r").as("mx"))
+        .select(col("brand"), col("n_parts"),
+          TextAnalysis.roundStable(col("tot").cast("double"), 2)
+            .as("brand_rev"),
+          TextAnalysis.roundStable(
+            col("sq").cast("double") /
+              (col("tot").cast("double") * col("tot").cast("double")),
+            6).as("hhi"),
+          TextAnalysis.roundStable(
+            col("mx").cast("double") / col("tot").cast("double"), 6)
+            .as("top_part_share"))
+        .orderBy("brand")
+    },
+    Some("""WITH rev AS (
+      SELECT p_brand AS brand, l_partkey,
+        sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS r
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY 1, 2)
+    SELECT brand, count(*) AS n_parts,
+      floor(CAST(sum(r) AS DOUBLE) * 100.0 + 0.5) / 100.0 AS brand_rev,
+      floor(CAST(sum(CAST(r * r AS DECIMAL(38,6))) AS DOUBLE)
+          / (CAST(sum(r) AS DOUBLE) * CAST(sum(r) AS DOUBLE))
+        * 1000000.0 + 0.5) / 1000000.0 AS hhi,
+      floor(CAST(max(r) AS DOUBLE) / CAST(sum(r) AS DOUBLE)
+        * 1000000.0 + 0.5) / 1000000.0 AS top_part_share
+    FROM rev GROUP BY 1 ORDER BY brand"""))
+
+  /** Lexical diversity per source — type-token ratio, Shannon entropy
+    * and integer-exact Simpson over each source's token counts (the
+    * per-feed boilerplate detector: low diversity = templated text;
+    * q_token_entropy scores docs, this scores feeds). Token counts
+    * are one (source, token) aggregate; the entropy/Simpson folds are
+    * source-vocab-bounded with integers until the closing projection
+    * (Simpson's Σc(c−1)/n(n−1) is EXACT — the q_diversity form). */
+  private val qLexicalDiversity = Q(
+    "q_lexical_diversity",
+    (s, d) => {
+      val tc = t(s, d, "documents")
+        .select(col("source"),
+          explode(split(lower(col("text")), " ")).as("tok"))
+        .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+      tc.groupBy("source")
+        .agg(sum("c").as("n_tokens"), count(lit(1)).as("n_types"),
+          sum(col("c").cast("double") * log2(col("c"))).as("clogc"),
+          sum(col("c") * (col("c") - 1)).as("cc1"))
+        .select(col("source"), col("n_tokens"), col("n_types"),
+          TextAnalysis.roundStable(
+            col("n_types").cast("double") / col("n_tokens"), 6)
+            .as("ttr"),
+          TextAnalysis.roundStable(
+            log2(col("n_tokens")) - col("clogc") / col("n_tokens"), 6)
+            .as("entropy"),
+          TextAnalysis.roundStable(
+            col("cc1").cast("double") /
+              (col("n_tokens").cast("double") *
+                (col("n_tokens") - lit(1)).cast("double")), 6)
+            .as("simpson"))
+        .orderBy("source")
+    },
+    Some("""WITH tk AS (
+      SELECT source, unnest(string_split(lower(text), ' ')) AS tok
+      FROM documents),
+    tc AS (SELECT source, tok, count(*) AS c FROM tk GROUP BY 1, 2)
+    SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+      count(*) AS n_types,
+      floor(count(*) * 1.0 / sum(c) * 1000000.0 + 0.5) / 1000000.0
+        AS ttr,
+      floor((log2(CAST(sum(c) AS DOUBLE))
+          - sum(c * log2(CAST(c AS DOUBLE))) / sum(c))
+        * 1000000.0 + 0.5) / 1000000.0 AS entropy,
+      floor(CAST(sum(c * (c - 1)) AS DOUBLE)
+          / (CAST(sum(c) AS DOUBLE) * (sum(c) - 1))
+        * 1000000.0 + 0.5) / 1000000.0 AS simpson
+    FROM tc GROUP BY 1 ORDER BY source"""))
+
   // ---------------------------------------------------------------------
 
   val all: Seq[Q] = Seq(
@@ -7438,7 +7684,9 @@ object Queries {
     qDedupImpact, qNgramNovelty, qLengthProfile, qPriceElasticity,
     qAbcClass,
     qSeasonalStrength, qBasketSizeDist, qLangidEval, qOrderFillRate,
-    qEmbedNorms)
+    qEmbedNorms,
+    qTransitionEntropy, qRevenueBridge, qCartAbandon, qBrandHhi,
+    qLexicalDiversity)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -1233,6 +1233,52 @@ class PlanSpec extends AnyFunSuite {
       s"the exact median must combine map-side:\n$p")
   }
 
+  test("q_transition_entropy: one user window, vocab-grade entropy fold") {
+    val p = plan("q_transition_entropy")
+    assert(!p.contains("Join"), s"no join belongs here:\n$p")
+    val windows = p.linesIterator.count(_.contains("Window ["))
+    assert(windows == 1, s"one user-ordered window only, found $windows:\n$p")
+    val scans = p.linesIterator.count(_.contains("FileScan parquet"))
+    assert(scans == 1, s"events must be scanned once, found $scans:\n$p")
+  }
+
+  test("q_revenue_bridge: month-grade lag window over one lineitem aggregate") {
+    val p = plan("q_revenue_bridge")
+    assert(!p.contains("Join"), s"no join belongs here:\n$p")
+    assert(p.contains("partial_sum"),
+      s"monthly decimal sums must combine map-side:\n$p")
+    val scans = p.linesIterator.count(_.contains("FileScan parquet"))
+    assert(scans == 1, s"lineitem must be scanned once, found $scans:\n$p")
+  }
+
+  test("q_cart_abandon: user-day equi-joins only, no range join") {
+    val p = plan("q_cart_abandon")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"the purchase-cover attach must be an equi-join:\n$p")
+    assert(!p.contains("Window"), s"no window belongs here:\n$p")
+  }
+
+  test("q_brand_hhi: broadcast dim, decimal squares combine map-side") {
+    val p = plan("q_brand_hhi")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the part dim must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"lineitem must not shuffle for the dim attach:\n$p")
+    assert(p.contains("partial_sum"),
+      s"revenue sums must combine map-side:\n$p")
+  }
+
+  test("q_lexical_diversity: two stacked aggregates, text stays at the scan") {
+    val p = plan("q_lexical_diversity")
+    assert(!p.contains("Join"), s"no join belongs here:\n$p")
+    assert(!p.linesIterator.exists(l =>
+        l.contains("Exchange") && l.contains("text#")),
+      s"raw text must never enter an exchange:\n$p")
+    assert(p.contains("partial_count"),
+      s"token counts must combine map-side:\n$p")
+  }
+
   test("q_conversion_lag: first-view window and first-purchase agg share the user exchange") {
     val p = plan("q_conversion_lag")
     assert(!p.contains("Join"), s"single-pass form must not join:\n$p")
