@@ -7635,6 +7635,206 @@ object Queries {
         * 1000000.0 + 0.5) / 1000000.0 AS simpson
     FROM tc GROUP BY 1 ORDER BY source"""))
 
+  /** Steps-to-first-purchase distribution — histogram of how many
+    * events precede a user's first purchase (the effort metric behind
+    * q_conversion_lag's time metric; long paths = friction). The
+    * per-user step count is a strictly-preceding running count read
+    * AT the first purchase row — one ordered user window + a
+    * first-purchase filter via running purchase count (no self-join,
+    * no per-user collect); the histogram is path-length-bounded. */
+  private val qPurchasePathLen = Q(
+    "q_purchase_path_len",
+    (s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val wPrev = w.rowsBetween(Window.unboundedPreceding, -1)
+      val firstP = t(s, d, "events")
+        .withColumn("nprev", count(lit(1)).over(wPrev))
+        .withColumn("prevP", sum(
+          (col("event_type") === "purchase").cast("long")).over(wPrev))
+        .filter(col("event_type") === "purchase" &&
+          coalesce(col("prevP"), lit(0L)) === 0)
+        .select(col("user_id"),
+          coalesce(col("nprev"), lit(0L)).as("steps"))
+      firstP.groupBy("steps")
+        .agg(count(lit(1)).as("n_users"))
+        .withColumn("tot", sum("n_users").over(Window.partitionBy()))
+        .select(col("steps"), col("n_users"),
+          TextAnalysis.roundStable(
+            col("n_users").cast("double") / col("tot"), 6)
+            .as("user_share"))
+        .orderBy("steps")
+    },
+    Some("""WITH e AS (
+      SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS tts
+      FROM events),
+    r AS (SELECT user_id, event_type,
+        count(*) OVER (PARTITION BY user_id ORDER BY tts ASC,
+          event_id ASC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+          AS nprev,
+        sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+          OVER (PARTITION BY user_id ORDER BY tts ASC, event_id ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prevp
+      FROM e),
+    fp AS (SELECT coalesce(nprev, 0) AS steps FROM r
+      WHERE event_type = 'purchase' AND coalesce(prevp, 0) = 0),
+    h AS (SELECT steps, count(*) AS n_users FROM fp GROUP BY 1)
+    SELECT steps, n_users,
+      floor(CAST(n_users AS DOUBLE)
+          / CAST(sum(n_users) OVER () AS BIGINT) * 1000000.0 + 0.5)
+        / 1000000.0 AS user_share
+    FROM h ORDER BY steps"""))
+
+  /** Weekend lift per event type — weekend vs weekday mean daily
+    * volume and value (the staffing/capacity split; q_seasonal_
+    * strength says IF weekday matters, this says the simplest HOW).
+    * Two-bucket conditional aggregate over the bounded daily table —
+    * integer counts, DECIMAL value, exact integer-ratio means and one
+    * closing lift division. */
+  private val qWeekendLift = Q(
+    "q_weekend_lift",
+    (s, d) => {
+      val daily = t(s, d, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,6)")).as("v"))
+        .withColumn("wk", (weekday(col("day")) >= 5).cast("long"))
+      daily.groupBy("event_type")
+        .agg(sum(when(col("wk") === 1, col("n"))).as("we_n"),
+          sum(when(col("wk") === 0, col("n"))).as("wd_n"),
+          sum(col("wk")).as("we_days"),
+          sum(lit(1L) - col("wk")).as("wd_days"))
+        .select(col("event_type"),
+          col("we_days"), col("wd_days"),
+          TextAnalysis.roundStable(
+            col("we_n").cast("double") / col("we_days"), 2)
+            .as("weekend_daily"),
+          TextAnalysis.roundStable(
+            col("wd_n").cast("double") / col("wd_days"), 2)
+            .as("weekday_daily"),
+          TextAnalysis.roundStable(
+            (col("we_n").cast("double") * col("wd_days")) /
+              (col("wd_n").cast("double") * col("we_days")), 4)
+            .as("lift"))
+        .orderBy("event_type")
+    },
+    Some("""WITH daily AS (
+      SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        count(*) AS n
+      FROM events GROUP BY 1, 2),
+    f AS (SELECT event_type, n,
+        CASE WHEN isodow(day) >= 6 THEN 1 ELSE 0 END AS wk
+      FROM daily),
+    a AS (SELECT event_type,
+        CAST(sum(CASE WHEN wk = 1 THEN n END) AS BIGINT) AS we_n,
+        CAST(sum(CASE WHEN wk = 0 THEN n END) AS BIGINT) AS wd_n,
+        CAST(sum(wk) AS BIGINT) AS we_days,
+        CAST(sum(1 - wk) AS BIGINT) AS wd_days
+      FROM f GROUP BY 1)
+    SELECT event_type, we_days, wd_days,
+      floor(CAST(we_n AS DOUBLE) / we_days * 100.0 + 0.5) / 100.0
+        AS weekend_daily,
+      floor(CAST(wd_n AS DOUBLE) / wd_days * 100.0 + 0.5) / 100.0
+        AS weekday_daily,
+      floor((CAST(we_n AS DOUBLE) * wd_days)
+          / (CAST(wd_n AS DOUBLE) * we_days) * 10000.0 + 0.5) / 10000.0
+        AS lift
+    FROM a ORDER BY event_type"""))
+
+  /** Order-value decile boundaries — the nine exact decile cut points
+    * of o_totalprice plus mean order value (the banding table feeding
+    * pricing tiers and q_percentile_norm-style curricula). One
+    * percentile-ARRAY aggregate (single pass, map-side combined),
+    * exploded to rows — never a corpus sort or rank. */
+  private val qValueDeciles = Q(
+    "q_value_deciles",
+    (s, d) => t(s, d, "orders")
+      .agg(expr("percentile(o_totalprice, " +
+        "array(0.1D,0.2D,0.3D,0.4D,0.5D,0.6D,0.7D,0.8D,0.9D))")
+        .as("ps"))
+      .select(posexplode(col("ps")).as(Seq("i", "v")))
+      .select(((col("i") + 1) * 10).cast("long").as("decile"),
+        TextAnalysis.roundStable(col("v"), 2).as("boundary"))
+      .orderBy("decile"),
+    Some("""WITH p AS (
+      SELECT unnest(quantile_cont(o_totalprice,
+          [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9])) AS v,
+        unnest(generate_series(1, 9)) AS i
+      FROM orders)
+    SELECT CAST(i * 10 AS BIGINT) AS decile,
+      floor(v * 100.0 + 0.5) / 100.0 AS boundary
+    FROM p ORDER BY decile"""))
+
+  /** Keyword-stuffing outliers — top-20 docs by single-token
+    * dominance (max token count over total tokens: ≈1 means one word
+    * repeated — the spam/SEO signal q_repetition_stats' gram view
+    * complements at the unigram level). Per-doc token counts are one
+    * aggregate; the dominance ratio is an exact integer pair; the cut
+    * is a bounded heap with doc_id tie-break. */
+  private val qKeywordStuffing = Q(
+    "q_keyword_stuffing",
+    (s, d) => t(s, d, "documents")
+      .select(col("doc_id"),
+        explode(split(lower(col("text")), " ")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_tokens"), max("c").as("max_c"))
+      .select(col("doc_id"), col("n_tokens"), col("max_c"),
+        TextAnalysis.roundStable(
+          col("max_c").cast("double") / col("n_tokens"), 6)
+          .as("dominance"))
+      .orderBy(col("dominance").desc, col("doc_id").asc)
+      .limit(20),
+    Some("""WITH tk AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+      FROM documents),
+    tc AS (SELECT doc_id, tok, count(*) AS c FROM tk GROUP BY 1, 2),
+    a AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        CAST(max(c) AS BIGINT) AS max_c
+      FROM tc GROUP BY 1)
+    SELECT doc_id, n_tokens, max_c,
+      floor(CAST(max_c AS DOUBLE) / n_tokens * 1000000.0 + 0.5)
+        / 1000000.0 AS dominance
+    FROM a ORDER BY dominance DESC, doc_id ASC LIMIT 20"""))
+
+  /** Returns rate by ship month — share of lines and revenue flagged
+    * 'R' (the quality-of-sales trend line; pairs with q_mix_shift for
+    * "did something break this month?"). One lineitem aggregate with
+    * conditional integer counts and DECIMAL revenue, month-bounded
+    * output. */
+  private val qReturnsRate = Q(
+    "q_returns_rate",
+    (s, d) => t(s, d, "lineitem")
+      .groupBy(trunc(to_date(col("l_shipdate")), "month").as("month"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum((col("l_returnflag") === "R").cast("long")).as("n_returned"),
+        sum(col("l_extendedprice").cast("decimal(18,6)")).as("rev"),
+        sum(when(col("l_returnflag") === "R",
+          col("l_extendedprice")).otherwise(lit(0.0))
+          .cast("decimal(18,6)")).as("rrev"))
+      .select(col("month"), col("n_lines"), col("n_returned"),
+        TextAnalysis.roundStable(
+          col("n_returned").cast("double") / col("n_lines"), 6)
+          .as("line_return_rate"),
+        TextAnalysis.roundStable(
+          col("rrev").cast("double") / col("rev").cast("double"), 6)
+          .as("rev_return_rate"))
+      .orderBy("month"),
+    Some("""SELECT date_trunc('month', CAST(l_shipdate AS DATE))
+        AS month,
+      count(*) AS n_lines,
+      CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+        AS BIGINT) AS n_returned,
+      floor(CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+          AS DOUBLE) / count(*) * 1000000.0 + 0.5) / 1000000.0
+        AS line_return_rate,
+      floor(CAST(sum(CAST(CASE WHEN l_returnflag = 'R'
+            THEN l_extendedprice ELSE 0.0 END AS DECIMAL(18,6)))
+          AS DOUBLE)
+          / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+        * 1000000.0 + 0.5) / 1000000.0 AS rev_return_rate
+    FROM lineitem GROUP BY 1 ORDER BY month"""))
+
   // ---------------------------------------------------------------------
 
   val all: Seq[Q] = Seq(
@@ -7686,7 +7886,9 @@ object Queries {
     qSeasonalStrength, qBasketSizeDist, qLangidEval, qOrderFillRate,
     qEmbedNorms,
     qTransitionEntropy, qRevenueBridge, qCartAbandon, qBrandHhi,
-    qLexicalDiversity)
+    qLexicalDiversity,
+    qPurchasePathLen, qWeekendLift, qValueDeciles, qKeywordStuffing,
+    qReturnsRate)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

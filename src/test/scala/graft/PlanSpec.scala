@@ -1279,6 +1279,53 @@ class PlanSpec extends AnyFunSuite {
       s"token counts must combine map-side:\n$p")
   }
 
+  test("q_purchase_path_len: both running counts share one user window; no self-join") {
+    val p = plan("q_purchase_path_len")
+    assert(!p.contains("Join"), s"no join belongs here:\n$p")
+    // Both running counts ride the SAME user exchange (Spark may split
+    // them into separate Window nodes, but they must not re-shuffle);
+    // the only other exchanges are histogram-grade.
+    val userEx = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("user_id"))
+    assert(userEx == 1,
+      s"running counts must share ONE user exchange, found $userEx:\n$p")
+  }
+
+  test("q_weekend_lift: two-bucket conditional agg over the daily table, no join") {
+    val p = plan("q_weekend_lift")
+    assert(!p.contains("Join"), s"no join belongs here:\n$p")
+    val scans = p.linesIterator.count(_.contains("FileScan parquet"))
+    assert(scans == 1, s"events must be scanned once, found $scans:\n$p")
+  }
+
+  test("q_value_deciles: one percentile-array pass, no sort, no window") {
+    val p = plan("q_value_deciles")
+    assert(p.contains("partial_percentile"),
+      s"the decile array must combine map-side:\n$p")
+    assert(!p.contains("Window"), s"no window belongs here:\n$p")
+    assert(!p.linesIterator.exists(l => l.contains("Sort ") &&
+      l.contains("o_totalprice")),
+      s"no corpus sort belongs here:\n$p")
+  }
+
+  test("q_keyword_stuffing: bounded heap cut, text stays at the scan") {
+    val p = plan("q_keyword_stuffing")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the top-20 cut must plan as a bounded heap:\n$p")
+    assert(!p.linesIterator.exists(l =>
+        l.contains("Exchange") && l.contains("text#")),
+      s"raw text must never enter an exchange:\n$p")
+  }
+
+  test("q_returns_rate: one scan, one aggregate, conditional sums map-side") {
+    val p = plan("q_returns_rate")
+    assert(!p.contains("Join"), s"no join belongs here:\n$p")
+    assert(p.contains("partial_sum"),
+      s"conditional sums must combine map-side:\n$p")
+    val scans = p.linesIterator.count(_.contains("FileScan parquet"))
+    assert(scans == 1, s"lineitem must be scanned once, found $scans:\n$p")
+  }
+
   test("q_conversion_lag: first-view window and first-purchase agg share the user exchange") {
     val p = plan("q_conversion_lag")
     assert(!p.contains("Join"), s"single-pass form must not join:\n$p")
