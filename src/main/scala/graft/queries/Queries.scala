@@ -7835,6 +7835,235 @@ object Queries {
         * 1000000.0 + 0.5) / 1000000.0 AS rev_return_rate
     FROM lineitem GROUP BY 1 ORDER BY month"""))
 
+  /** Hour-of-day traffic profile per event type — counts and share of
+    * the type's volume per hour (the intra-day twin of q_weekday_
+    * profile; sizes rate limits and batch windows). One aggregate to
+    * the 24×|types| grid; shares ride a type-partitioned window over
+    * that bounded grid. */
+  private val qHourlyProfile = Q(
+    "q_hourly_profile",
+    (s, d) => {
+      val g = t(s, d, "events")
+        .groupBy(col("event_type"), hour(col("ts")).cast("long").as("hr"))
+        .agg(count(lit(1)).as("n"))
+      g.withColumn("tot", sum("n").over(Window.partitionBy("event_type")))
+        .select(col("event_type"), col("hr"), col("n"),
+          TextAnalysis.roundStable(
+            col("n").cast("double") / col("tot"), 6).as("share"))
+        .orderBy("event_type", "hr")
+    },
+    Some("""WITH g AS (
+      SELECT event_type,
+        CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT) AS hr,
+        count(*) AS n
+      FROM events GROUP BY 1, 2)
+    SELECT event_type, hr, n,
+      floor(CAST(n AS DOUBLE)
+          / CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT)
+        * 1000000.0 + 0.5) / 1000000.0 AS share
+    FROM g ORDER BY event_type, hr"""))
+
+  /** Supplier-concentration risk — how many parts are single-sourced,
+    * and the revenue share riding the top supplier per part (the
+    * supply-chain fragility audit; the "one vendor away from a
+    * stockout" number). Per-(part, supplier) revenue is one
+    * co-grouped aggregate; per-part totals/max fold in a second
+    * part-keyed pass — both map-side combined; the closing report is
+    * one row. */
+  private val qSupplierShare = Q(
+    "q_supplier_share",
+    (s, d) => {
+      val ps = t(s, d, "lineitem")
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,6)")).as("r"))
+      val perPart = ps.groupBy("l_partkey")
+        .agg(count(lit(1)).as("n_supp"), sum("r").as("tot"),
+          max("r").as("mx"))
+      perPart.agg(count(lit(1)).as("n_parts"),
+          sum((col("n_supp") === 1).cast("long")).as("single_sourced"),
+          sum("tot").as("rev"),
+          sum(when(col("n_supp") === 1, col("tot"))
+            .otherwise(lit(0.0).cast("decimal(18,6)"))).as("srev"))
+        .select(col("n_parts"), col("single_sourced"),
+          TextAnalysis.roundStable(
+            col("single_sourced").cast("double") / col("n_parts"), 6)
+            .as("single_share"),
+          TextAnalysis.roundStable(
+            col("srev").cast("double") / col("rev").cast("double"), 6)
+            .as("single_rev_share"))
+    },
+    Some("""WITH ps AS (
+      SELECT l_partkey, l_suppkey,
+        sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS r
+      FROM lineitem GROUP BY 1, 2),
+    pp AS (SELECT l_partkey, count(*) AS n_supp, sum(r) AS tot
+      FROM ps GROUP BY 1)
+    SELECT count(*) AS n_parts,
+      CAST(sum(CASE WHEN n_supp = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        AS single_sourced,
+      floor(CAST(sum(CASE WHEN n_supp = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        / count(*) * 1000000.0 + 0.5) / 1000000.0 AS single_share,
+      floor(CAST(sum(CASE WHEN n_supp = 1 THEN tot ELSE 0 END)
+          AS DOUBLE)
+        / CAST(sum(tot) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+        AS single_rev_share
+    FROM pp"""))
+
+  /** Document-level token co-occurrence PMI — top-25 word pairs that
+    * appear in the same document far more often than chance
+    * (q_bigram_pmi's ADJACENCY constraint relaxed to the whole doc —
+    * the word-association signal topic models start from). Distinct
+    * (doc, token) pairs explode row-locally into per-doc pair sets
+    * (the q_event_pairs shape — never a token×token shuffle product);
+    * marginal doc frequencies broadcast back; PMI closes per pair.
+    * At web scale the df table is pruned to the top-k vocabulary
+    * first — here the vocabulary is bounded by construction. */
+  private val qCooccurPmi = Q(
+    "q_cooccur_pmi",
+    (s, d) => {
+      val dt = t(s, d, "documents")
+        .select(col("doc_id"),
+          array_distinct(split(lower(col("text")), " ")).as("toks"))
+      val pairs = dt
+        .select(col("doc_id"), explode(col("toks")).as("a"), col("toks"))
+        .select(col("a"), explode(col("toks")).as("b"))
+        .filter(col("a") < col("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("nab"))
+      val df = dt.select(explode(col("toks")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("df"))
+      val nDocs = dt.agg(count(lit(1)).as("nd"))
+      pairs
+        .join(broadcast(df.select(col("tok").as("a"),
+          col("df").as("da"))), "a")
+        .join(broadcast(df.select(col("tok").as("b"),
+          col("df").as("db"))), "b")
+        .crossJoin(broadcast(nDocs))
+        .filter(col("nab") >= 5)
+        .select(col("a"), col("b"), col("nab"),
+          TextAnalysis.roundStable(
+            log2(col("nab").cast("double") * col("nd") /
+              (col("da").cast("double") * col("db"))), 4).as("pmi"))
+        .orderBy(col("pmi").desc, col("a").asc, col("b").asc)
+        .limit(25)
+    },
+    Some("""WITH dt AS (
+      SELECT doc_id, list_distinct(string_split(lower(text), ' '))
+        AS toks
+      FROM documents),
+    pr AS (SELECT a, b, count(*) AS nab FROM (
+      SELECT doc_id, unnest(toks) AS a, toks FROM dt), LATERAL (
+        SELECT unnest(toks) AS b)
+      WHERE a < b GROUP BY 1, 2),
+    df AS (SELECT tok, count(*) AS df FROM (
+      SELECT unnest(toks) AS tok FROM dt) GROUP BY 1),
+    nd AS (SELECT count(*) AS nd FROM dt)
+    SELECT a, b, nab,
+      floor(log2(nab * 1.0 * nd / (da.df * 1.0 * db.df))
+        * 10000.0 + 0.5) / 10000.0 AS pmi
+    FROM pr
+    JOIN df da ON da.tok = a
+    JOIN df db ON db.tok = b, nd
+    WHERE nab >= 5
+    ORDER BY pmi DESC, a ASC, b ASC LIMIT 25"""))
+
+  /** Catalog coverage by brand — share of parts with at least one
+    * sale, plus revenue per active part (the dead-stock audit; the
+    * analytics face of q_join_anti's never-sold semantics). Sold
+    * parts fold from lineitem (part-keyed, map-side combined); the
+    * catalog side is the part dim; the left join + brand rollup is
+    * brand-bounded. */
+  private val qCatalogCoverage = Q(
+    "q_catalog_coverage",
+    (s, d) => {
+      val sold = t(s, d, "lineitem")
+        .groupBy(col("l_partkey"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,6)")).as("r"))
+      t(s, d, "part")
+        .select(col("p_partkey"), col("p_brand"))
+        .join(sold, col("p_partkey") === col("l_partkey"), "left")
+        .groupBy(col("p_brand").as("brand"))
+        .agg(count(lit(1)).as("n_parts"),
+          sum(col("r").isNotNull.cast("long")).as("n_active"),
+          sum(coalesce(col("r"), lit(0.0).cast("decimal(18,6)")))
+            .as("rev"))
+        .select(col("brand"), col("n_parts"), col("n_active"),
+          TextAnalysis.roundStable(
+            col("n_active").cast("double") / col("n_parts"), 6)
+            .as("active_share"),
+          TextAnalysis.roundStable(
+            when(col("n_active") > 0,
+              col("rev").cast("double") / col("n_active")), 2)
+            .as("rev_per_active"))
+        .orderBy("brand")
+    },
+    Some("""WITH sold AS (
+      SELECT l_partkey, sum(CAST(l_extendedprice AS DECIMAL(18,6)))
+        AS r
+      FROM lineitem GROUP BY 1)
+    SELECT p_brand AS brand, count(*) AS n_parts,
+      CAST(sum(CASE WHEN r IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_active,
+      floor(CAST(sum(CASE WHEN r IS NOT NULL THEN 1 ELSE 0 END)
+          AS DOUBLE) / count(*) * 1000000.0 + 0.5) / 1000000.0
+        AS active_share,
+      CASE WHEN sum(CASE WHEN r IS NOT NULL THEN 1 ELSE 0 END) > 0 THEN
+        floor(CAST(sum(coalesce(r, 0)) AS DOUBLE)
+            / sum(CASE WHEN r IS NOT NULL THEN 1 ELSE 0 END)
+          * 100.0 + 0.5) / 100.0 END AS rev_per_active
+    FROM part LEFT JOIN sold ON p_partkey = l_partkey
+    GROUP BY 1 ORDER BY brand"""))
+
+  /** Label separation matrix — pairwise cosine between label
+    * centroids (are the classes separable, or do two labels share a
+    * direction? — the sanity gate before q_knn_label-style
+    * classification). Centroids are per-(label, dim) averages rounded
+    * to 6 dp BEFORE the cosine (both engines compute the similarity
+    * from IDENTICAL rounded inputs — the float-sum caveat confined to
+    * one rounded stage, q_label_centroids' contract); the pair matrix
+    * is labels²-bounded, assembled row-locally from dim-sorted
+    * arrays. */
+  private val qLabelSeparation = Q(
+    "q_label_separation",
+    (s, d) => {
+      val cent = t(s, d, "embeddings")
+        .select(col("label"), posexplode(col("embedding"))
+          .as(Seq("dim", "x")))
+        .groupBy("label", "dim")
+        .agg(round(avg(col("x").cast("double")), 6).as("c"))
+      val vecs = cent.groupBy("label")
+        .agg(array_sort(collect_list(struct(col("dim"), col("c"))))
+          .as("sc"))
+        .select(col("label"),
+          expr("transform(sc, s -> s.c)").as("v"))
+      val dot = expr("aggregate(zip_with(a.v, b.v, (x, y) -> x * y), " +
+        "0D, (acc, x) -> acc + x)")
+      val nrm = (side: String) => sqrt(expr(
+        s"aggregate($side.v, 0D, (acc, x) -> acc + x * x)"))
+      vecs.as("a").join(vecs.as("b"),
+          col("a.label") < col("b.label"))
+        .select(col("a.label").as("label_a"),
+          col("b.label").as("label_b"),
+          TextAnalysis.roundStable(
+            dot / (nrm("a") * nrm("b")), 6).as("cos_sim"))
+        .orderBy("label_a", "label_b")
+    },
+    Some("""WITH c AS (
+      SELECT label, s.i AS dim, round(avg(s.v), 6) AS c
+      FROM (
+        SELECT label,
+          unnest(list_transform(embedding,
+            (x, i) -> {'i': i, 'v': CAST(x AS DOUBLE)})) AS s
+        FROM embeddings)
+      GROUP BY label, s.i),
+    v AS (SELECT label, list(c ORDER BY dim) AS v FROM c GROUP BY 1)
+    SELECT a.label AS label_a, b.label AS label_b,
+      floor(list_dot_product(a.v, b.v)
+          / (sqrt(list_dot_product(a.v, a.v))
+            * sqrt(list_dot_product(b.v, b.v))) * 1000000.0 + 0.5)
+        / 1000000.0 AS cos_sim
+    FROM v a JOIN v b ON a.label < b.label
+    ORDER BY label_a, label_b"""))
+
   // ---------------------------------------------------------------------
 
   val all: Seq[Q] = Seq(
@@ -7888,7 +8117,9 @@ object Queries {
     qTransitionEntropy, qRevenueBridge, qCartAbandon, qBrandHhi,
     qLexicalDiversity,
     qPurchasePathLen, qWeekendLift, qValueDeciles, qKeywordStuffing,
-    qReturnsRate)
+    qReturnsRate,
+    qHourlyProfile, qSupplierShare, qCooccurPmi, qCatalogCoverage,
+    qLabelSeparation)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

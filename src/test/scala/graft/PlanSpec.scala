@@ -1326,6 +1326,48 @@ class PlanSpec extends AnyFunSuite {
     assert(scans == 1, s"lineitem must be scanned once, found $scans:\n$p")
   }
 
+  test("q_hourly_profile: grid-bounded share window, one scan") {
+    val p = plan("q_hourly_profile")
+    assert(!p.contains("Join"), s"no join belongs here:\n$p")
+    val scans = p.linesIterator.count(_.contains("FileScan parquet"))
+    assert(scans == 1, s"events must be scanned once, found $scans:\n$p")
+  }
+
+  test("q_supplier_share: two stacked part-keyed aggregates, no join") {
+    val p = plan("q_supplier_share")
+    assert(!p.contains("Join"), s"no join belongs here:\n$p")
+    assert(p.contains("partial_sum"),
+      s"revenue sums must combine map-side:\n$p")
+  }
+
+  test("q_cooccur_pmi: row-local pair explode, broadcast marginals, bounded heap") {
+    val p = plan("q_cooccur_pmi")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the top-25 cut must plan as a bounded heap:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the df marginals must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"no shuffle join belongs in the marginal attach:\n$p")
+  }
+
+  test("q_catalog_coverage: sold side aggregates before the left join") {
+    val p = plan("q_catalog_coverage")
+    assert(!p.contains("CartesianProduct"),
+      s"the sold attach must be an equi-join:\n$p")
+    assert(p.contains("partial_sum"),
+      s"sold revenue must combine map-side:\n$p")
+  }
+
+  test("q_label_separation: labels-bounded pair join, arrays assembled row-locally") {
+    val p = plan("q_label_separation")
+    assert(!p.contains("CartesianProduct"),
+      s"the label pair join must not be a cartesian:\n$p")
+    // The only exchanges are (label, dim)- and label-grade.
+    assert(!p.linesIterator.exists(l =>
+        l.contains("Exchange") && l.contains("embedding#")),
+      s"the raw embedding array must never enter an exchange:\n$p")
+  }
+
   test("q_conversion_lag: first-view window and first-purchase agg share the user exchange") {
     val p = plan("q_conversion_lag")
     assert(!p.contains("Join"), s"single-pass form must not join:\n$p")
