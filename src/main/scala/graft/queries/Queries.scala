@@ -8064,6 +8064,271 @@ object Queries {
     FROM v a JOIN v b ON a.label < b.label
     ORDER BY label_a, label_b"""))
 
+  /** Duplicate-cluster source spread — do exact-dup clusters stay
+    * inside one feed or straddle several? (the exact-cluster twin of
+    * q_cross_source_dup's near-dup matrix; cross-feed clusters mean
+    * syndication, same-feed clusters mean re-crawls — different
+    * fixes). Digest-keyed cluster aggregate with a distinct-source
+    * count, then a bounded (size is small-integer) histogram. Only
+    * multi-doc clusters counted. */
+  private val qClusterSpread = Q(
+    "q_cluster_spread",
+    (s, d) => {
+      val key = md5(concat_ws(" ",
+        sort_array(array_distinct(split(col("text"), " ")))))
+      val clusters = t(s, d, "documents")
+        .select(col("source"), key.as("h"))
+        .groupBy("h")
+        .agg(count(lit(1)).as("sz"),
+          countDistinct("source").as("n_sources"))
+        .filter(col("sz") >= 2)
+      clusters.groupBy("n_sources")
+        .agg(count(lit(1)).as("n_clusters"),
+          sum("sz").as("n_docs"))
+        .withColumn("tot", sum("n_clusters").over(Window.partitionBy()))
+        .select(col("n_sources"), col("n_clusters"), col("n_docs"),
+          TextAnalysis.roundStable(
+            col("n_clusters").cast("double") / col("tot"), 6)
+            .as("cluster_share"))
+        .orderBy("n_sources")
+    },
+    Some("""WITH c AS (
+      SELECT md5(array_to_string(
+          list_sort(list_distinct(string_split(text, ' '))), ' ')) AS h,
+        count(*) AS sz, count(DISTINCT source) AS n_sources
+      FROM documents GROUP BY 1 HAVING count(*) >= 2),
+    g AS (SELECT n_sources, count(*) AS n_clusters,
+        CAST(sum(sz) AS BIGINT) AS n_docs
+      FROM c GROUP BY 1)
+    SELECT n_sources, n_clusters, n_docs,
+      floor(CAST(n_clusters AS DOUBLE)
+          / CAST(sum(n_clusters) OVER () AS BIGINT) * 1000000.0 + 0.5)
+        / 1000000.0 AS cluster_share
+    FROM g ORDER BY n_sources"""))
+
+  /** Engagement tiers — users bucketed by distinct active days
+    * (heavy ≥28 / regular 25–27 / light 23–24 / rare <23 — cuts
+    * placed at this corpus's activity quantiles), with each
+    * tier's mean events-per-active-day (the habit-strength
+    * segmentation growth dashboards key on; q_rfm is the revenue-
+    * weighted cousin on orders). One user-keyed aggregate (distinct
+    * days + event count), a tier CASE on integers, tier-bounded
+    * rollup with exact integer-ratio intensity. */
+  private val qLifecycleStages = Q(
+    "q_lifecycle_stages",
+    (s, d) => {
+      val u = t(s, d, "events")
+        .groupBy("user_id")
+        .agg(countDistinct(to_date(col("ts"))).as("active_days"),
+          count(lit(1)).as("n_events"))
+        .withColumn("tier",
+          when(col("active_days") >= 28, lit("1_heavy"))
+            .when(col("active_days") >= 25, lit("2_regular"))
+            .when(col("active_days") >= 23, lit("3_light"))
+            .otherwise(lit("4_rare")))
+      u.groupBy("tier")
+        .agg(count(lit(1)).as("n_users"),
+          sum("n_events").as("n_events"),
+          TextAnalysis.roundStable(
+            sum("n_events").cast("double") / sum("active_days"), 2)
+            .as("events_per_day"))
+        .withColumn("tot", sum("n_users").over(Window.partitionBy()))
+        .select(col("tier"), col("n_users"),
+          TextAnalysis.roundStable(
+            col("n_users").cast("double") / col("tot"), 6)
+            .as("user_share"),
+          col("n_events"), col("events_per_day"))
+        .orderBy("tier")
+    },
+    Some("""WITH u AS (
+      SELECT user_id,
+        count(DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE))
+          AS active_days,
+        count(*) AS n_events
+      FROM events GROUP BY 1),
+    st AS (SELECT n_events, active_days,
+        CASE
+          WHEN active_days >= 28 THEN '1_heavy'
+          WHEN active_days >= 25 THEN '2_regular'
+          WHEN active_days >= 23 THEN '3_light'
+          ELSE '4_rare' END AS tier
+      FROM u),
+    g AS (SELECT tier, count(*) AS n_users,
+        CAST(sum(n_events) AS BIGINT) AS n_events,
+        floor(CAST(sum(n_events) AS DOUBLE) / sum(active_days)
+          * 100.0 + 0.5) / 100.0 AS events_per_day
+      FROM st GROUP BY 1)
+    SELECT tier, n_users,
+      floor(CAST(n_users AS DOUBLE)
+          / CAST(sum(n_users) OVER () AS BIGINT) * 1000000.0 + 0.5)
+        / 1000000.0 AS user_share,
+      n_events, events_per_day
+    FROM g ORDER BY tier"""))
+
+  /** Spike days — days that are a LOCAL maximum (above both
+    * neighboring days) AND above the series mean (q_anomaly_days'
+    * σ-rule catches level outliers; this catches shape — the
+    * release-day / recurring-peak pattern). Neighbor comparison is
+    * two lags on the bounded daily table; the mean gate compares
+    * n·K > S in INTEGER arithmetic (no float threshold). */
+  private val qPeakDays = Q(
+    "q_peak_days",
+    (s, d) => {
+      val daily = t(s, d, "events")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val wd = Window.orderBy("day")
+      val tot = daily.agg(count(lit(1)).as("k"), sum("n").as("sn"))
+      daily
+        .withColumn("prev", lag(col("n"), 1).over(wd))
+        .withColumn("nxt", lead(col("n"), 1).over(wd))
+        .crossJoin(broadcast(tot))
+        .filter(col("prev").isNotNull && col("nxt").isNotNull &&
+          col("n") > col("prev") && col("n") > col("nxt") &&
+          col("n") * col("k") > col("sn"))
+        .select(col("day"), col("n"),
+          TextAnalysis.roundStable(
+            col("n") * col("k") / col("sn").cast("double"), 4)
+            .as("vs_mean"))
+        .orderBy("day")
+    },
+    Some("""WITH daily AS (
+      SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, count(*) AS n
+      FROM events GROUP BY 1),
+    lg AS (SELECT day, n,
+        lag(n) OVER (ORDER BY day) AS prev,
+        lead(n) OVER (ORDER BY day) AS nxt
+      FROM daily),
+    tot AS (SELECT count(*) AS k, CAST(sum(n) AS BIGINT) AS sn
+      FROM daily)
+    SELECT day, n,
+      floor(n * k / CAST(sn AS DOUBLE) * 10000.0 + 0.5) / 10000.0
+        AS vs_mean
+    FROM lg, tot
+    WHERE prev IS NOT NULL AND nxt IS NOT NULL
+      AND n > prev AND n > nxt AND n * k > sn
+    ORDER BY day"""))
+
+  /** Gram document-frequency histogram — log2-binned df of distinct
+    * 5-gram hashes (how boilerplate-heavy is the corpus at the gram
+    * level — the distribution behind q_dup_ngram_frac's per-doc
+    * number and the hot-shingle skew the dedup joins must survive).
+    * Fused-distinct hashes → gram-keyed df (map-side combined) →
+    * ≤64-bin histogram via the exact integer bin-length bucket. */
+  private val qGramDfHist = Q(
+    "q_gram_df_hist",
+    (s, d) => {
+      val df = Dedup.hashedShingleRowsDistinct(t(s, d, "documents"), 5)
+        .groupBy("s").agg(count(lit(1)).as("df"))
+      df.groupBy((length(bin(col("df"))) - 1).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n_grams"), sum("df").as("gram_mass"))
+        .withColumn("tot", sum("n_grams").over(Window.partitionBy()))
+        .select(col("bucket"),
+          pow(lit(2.0), col("bucket")).cast("long").as("df_lo"),
+          col("n_grams"), col("gram_mass"),
+          TextAnalysis.roundStable(
+            col("n_grams").cast("double") / col("tot"), 6)
+            .as("gram_share"))
+        .orderBy("bucket")
+    },
+    Some("""WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+    g AS (
+      SELECT DISTINCT doc_id, unnest(CASE WHEN len(t) >= 5
+        THEN list_transform(range(1, len(t) - 3),
+          i -> array_to_string(t[i:i+4], ' '))
+        ELSE []::VARCHAR[] END) AS s
+      FROM toks),
+    df AS (SELECT s, count(*) AS df FROM g GROUP BY 1),
+    h AS (SELECT CAST(length(printf('%b', df)) - 1 AS BIGINT)
+        AS bucket, count(*) AS n_grams, CAST(sum(df) AS BIGINT)
+        AS gram_mass
+      FROM df GROUP BY 1)
+    SELECT bucket, CAST(power(2, bucket) AS BIGINT) AS df_lo,
+      n_grams, gram_mass,
+      floor(CAST(n_grams AS DOUBLE)
+          / CAST(sum(n_grams) OVER () AS BIGINT) * 1000000.0 + 0.5)
+        / 1000000.0 AS gram_share
+    FROM h ORDER BY bucket"""))
+
+  /** Simplified silhouette per label — mean over vectors of
+    * (b − a)/max(a, b) with a = cosine distance to OWN label
+    * centroid, b = distance to the NEAREST other centroid (the
+    * clustering-quality score; q_label_separation compares centroids
+    * to each other, this asks whether the VECTORS agree). Centroids
+    * are rounded 6 dp first (identical inputs both engines), sorted
+    * into arrays, broadcast; every per-vector distance folds
+    * row-locally in fixed array order; per-vector silhouette is
+    * quantized to 1e−6 BIGINTs so the per-label mean is an exact
+    * integer ratio. */
+  private val qSilhouette = Q(
+    "q_silhouette",
+    (s, d) => {
+      val cent = t(s, d, "embeddings")
+        .select(col("label"), posexplode(col("embedding"))
+          .as(Seq("dim", "x")))
+        .groupBy("label", "dim")
+        .agg(round(avg(col("x").cast("double")), 6).as("c"))
+        .groupBy("label")
+        .agg(array_sort(collect_list(struct(col("dim"), col("c"))))
+          .as("sc"))
+        .select(col("label").as("clabel"),
+          expr("transform(sc, s -> s.c)").as("cv"))
+      val dist = expr(
+        "1.0D - aggregate(zip_with(ev, cv, (x, y) -> x * y), 0D, " +
+          "(acc, x) -> acc + x) / " +
+          "(sqrt(aggregate(ev, 0D, (acc, x) -> acc + x * x)) * " +
+          "sqrt(aggregate(cv, 0D, (acc, x) -> acc + x * x)))")
+      val perPair = t(s, d, "embeddings")
+        .select(col("vec_id"), col("label"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("ev"))
+        .crossJoin(broadcast(cent))
+        .select(col("vec_id"), col("label"), col("clabel"),
+          dist.as("dst"))
+      val perVec = perPair.groupBy("vec_id", "label")
+        .agg(min(when(col("label") === col("clabel"), col("dst")))
+          .as("a"),
+          min(when(col("label") =!= col("clabel"), col("dst"))).as("b"))
+        .select(col("label"),
+          floor((col("b") - col("a")) / greatest(col("a"), col("b"))
+            * 1000000 + 0.5).cast("long").as("silq"))
+      perVec.groupBy("label")
+        .agg(count(lit(1)).as("n_vecs"),
+          TextAnalysis.roundStable(
+            sum("silq").cast("double") / count(lit(1)) / 1000000.0, 4)
+            .as("mean_silhouette"))
+        .orderBy("label")
+    },
+    Some("""WITH c AS (
+      SELECT label AS clabel, s.i AS dim, round(avg(s.v), 6) AS c
+      FROM (
+        SELECT label,
+          unnest(list_transform(embedding,
+            (x, i) -> {'i': i, 'v': CAST(x AS DOUBLE)})) AS s
+        FROM embeddings)
+      GROUP BY clabel, s.i),
+    cv AS (SELECT clabel, list(c ORDER BY dim) AS cv FROM c GROUP BY 1),
+    ev AS (SELECT vec_id, label,
+        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+      FROM embeddings),
+    pp AS (SELECT vec_id, label, clabel,
+        1.0 - list_dot_product(ev, cv)
+          / (sqrt(list_dot_product(ev, ev))
+            * sqrt(list_dot_product(cv, cv))) AS dst
+      FROM ev, cv),
+    pv AS (SELECT vec_id, label,
+        min(CASE WHEN label = clabel THEN dst END) AS a,
+        min(CASE WHEN label <> clabel THEN dst END) AS b
+      FROM pp GROUP BY 1, 2),
+    sq AS (SELECT label,
+        CAST(floor((b - a) / greatest(a, b) * 1000000 + 0.5) AS BIGINT)
+          AS silq
+      FROM pv)
+    SELECT label, count(*) AS n_vecs,
+      floor(CAST(sum(silq) AS DOUBLE) / count(*) / 1000000.0
+        * 10000.0 + 0.5) / 10000.0 AS mean_silhouette
+    FROM sq GROUP BY 1 ORDER BY label"""))
+
   // ---------------------------------------------------------------------
 
   val all: Seq[Q] = Seq(
@@ -8119,7 +8384,9 @@ object Queries {
     qPurchasePathLen, qWeekendLift, qValueDeciles, qKeywordStuffing,
     qReturnsRate,
     qHourlyProfile, qSupplierShare, qCooccurPmi, qCatalogCoverage,
-    qLabelSeparation)
+    qLabelSeparation,
+    qClusterSpread, qLifecycleStages, qPeakDays, qGramDfHist,
+    qSilhouette)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -1368,6 +1368,46 @@ class PlanSpec extends AnyFunSuite {
       s"the raw embedding array must never enter an exchange:\n$p")
   }
 
+  test("q_cluster_spread: digest-keyed clusters, text stays at the scan") {
+    val p = plan("q_cluster_spread")
+    assert(!p.contains("Join"), s"no join belongs here:\n$p")
+    assert(!p.linesIterator.exists(l =>
+        l.contains("Exchange") && l.contains("text#")),
+      s"raw text must never enter an exchange:\n$p")
+  }
+
+  test("q_lifecycle_stages: one user aggregate, tier-bounded rollup, no join") {
+    val p = plan("q_lifecycle_stages")
+    assert(!p.contains("Join"), s"no join belongs here:\n$p")
+    val scans = p.linesIterator.count(_.contains("FileScan parquet"))
+    assert(scans == 1, s"events must be scanned once, found $scans:\n$p")
+  }
+
+  test("q_peak_days: integer mean gate, broadcast totals, day-grade lags") {
+    val p = plan("q_peak_days")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the single-row totals must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"no shuffle join belongs here:\n$p")
+  }
+
+  test("q_gram_df_hist: hashes-only shuffles, exact integer bucketing") {
+    val p = plan("q_gram_df_hist")
+    assert(!p.contains("log2") && !p.contains("LOG2"),
+      s"bucketing must be exact integer bin-length, not float log:\n$p")
+    assert(!p.linesIterator.exists(l =>
+        l.contains("Exchange") && l.contains("text#")),
+      s"raw text must never enter an exchange:\n$p")
+  }
+
+  test("q_silhouette: centroids broadcast; distances fold row-locally") {
+    val p = plan("q_silhouette")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the labels-bounded centroid table must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"vectors must never shuffle against centroids:\n$p")
+  }
+
   test("q_conversion_lag: first-view window and first-purchase agg share the user exchange") {
     val p = plan("q_conversion_lag")
     assert(!p.contains("Join"), s"single-pass form must not join:\n$p")
