@@ -68,6 +68,39 @@ object Ranking {
       .drop("__rk_v", "__rk_before")
   }
 
+  /** Global INCLUSIVE prefix sum of `mass` in (`value` ordered per
+    * `valueAscending`, then `tie` ascending) order — the per-row
+    * cumulative that Lorenz curves, ABC classes and quota cuts need,
+    * built with the same two-phase histogram scheme as [[globalRank]]
+    * (no corpus-wide single-partition window):
+    *
+    *   1. value histogram with per-value mass totals,
+    *   2. one unpartitioned window over the HISTOGRAM for the
+    *      before-this-value mass,
+    *   3. per-VALUE running mass by `tie` — parallelism = #distinct
+    *      values, the documented globalRank skew contract.
+    *
+    * (`value`,`tie`) MUST be a total order. Mass should be DECIMAL
+    * for exact, order-free accumulation. Output = input + `prefixName`
+    * (inclusive: a row's own mass is counted). */
+  def globalPrefixMass(df: DataFrame, value: Column, tie: Column,
+                       mass: Column, valueAscending: Boolean = false,
+                       prefixName: String = "prefix"): DataFrame = {
+    val in = df.withColumn("__pm_v", value).withColumn("__pm_m", mass)
+    val hist = in.groupBy("__pm_v").agg(sum("__pm_m").as("__pm_vm"))
+    val histOrder = if (valueAscending) col("__pm_v").asc else col("__pm_v").desc
+    val offsets = hist.withColumn("__pm_before",
+        sum("__pm_vm").over(Window.orderBy(histOrder)
+          .rowsBetween(Window.unboundedPreceding, -1)))
+      .drop("__pm_vm")
+    in.join(offsets, "__pm_v")
+      .withColumn(prefixName,
+        coalesce(col("__pm_before"), lit(0).cast("decimal(38,6)")) +
+          sum("__pm_m").over(Window.partitionBy("__pm_v").orderBy(tie)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("__pm_v", "__pm_m", "__pm_before")
+  }
+
   /** Balanced shard assignment by "snake" (boustrophedon) order:
     * rank docs by `value` DESC (largest first), then deal rank r to
     * shard `pos` on even passes and `k-1-pos` on odd passes

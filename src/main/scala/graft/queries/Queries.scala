@@ -7072,33 +7072,21 @@ object Queries {
 
   /** ABC inventory classification — parts bucketed A/B/C by cumulative
     * revenue share (≤80% / ≤95% / rest), the ops twin of q_pareto.
-    * The per-part prefix mass uses the [[Ranking.globalRank]]
-    * histogram scheme extended to MASS: a value-level histogram
-    * carries each revenue value's count and total mass, the
-    * unpartitioned window runs over the HISTOGRAM (distinct-value-
-    * sized, the documented globalRank contract), and each part's
-    * inclusive prefix = before-mass + in-value-rank × value — all
-    * DECIMAL. Class boundaries compare 5·prefix ≤ 4·total and
-    * 20·prefix ≤ 19·total — exact decimal integer-multiple
-    * comparisons, so no float decides a class. */
+    * The per-part inclusive prefix is [[Ranking.globalPrefixMass]]
+    * (the globalRank histogram scheme extended to MASS — value-level
+    * DECIMAL histogram window + per-value running sums, never a
+    * corpus-wide single-partition window). Class boundaries compare
+    * 5·prefix ≤ 4·total and 20·prefix ≤ 19·total — exact decimal
+    * integer-multiple comparisons, so no float decides a class. */
   private val qAbcClass = Q(
     "q_abc_class",
     (s, d) => {
       val rev = t(s, d, "lineitem")
         .groupBy(col("l_partkey"))
         .agg(sum(col("l_extendedprice").cast("decimal(18,6)")).as("rev"))
-      val hist = rev.groupBy("rev").agg(count(lit(1)).as("c"))
-      val offs = hist.withColumn("before",
-          coalesce(sum(col("rev") * col("c")).over(
-            Window.orderBy(col("rev").desc)
-              .rowsBetween(Window.unboundedPreceding, -1)),
-            lit(BigDecimal(0)).cast("decimal(38,6)")))
-        .drop("c")
       val tot = rev.agg(sum("rev").as("tot"))
-      val ranked = rev.join(offs, "rev")
-        .withColumn("rn_v", row_number().over(
-          Window.partitionBy("rev").orderBy("l_partkey")).cast("long"))
-        .withColumn("prefix", col("before") + col("rn_v") * col("rev"))
+      val ranked = Ranking.globalPrefixMass(rev, col("rev"),
+        col("l_partkey"), col("rev"))
       ranked.crossJoin(broadcast(tot))
         .withColumn("cls",
           when(col("prefix") * 5 <= col("tot") * 4, lit("A"))
@@ -8329,6 +8317,188 @@ object Queries {
         * 10000.0 + 0.5) / 10000.0 AS mean_silhouette
     FROM sq GROUP BY 1 ORDER BY label"""))
 
+  /** Lorenz curve — revenue share held by each customer decile,
+    * ranked richest-first (the curve behind q_gini's scalar; equality
+    * = flat 10% steps). Deciles come from [[Ranking.globalRank]]
+    * (histogram rank — no corpus sort) with an exact integer decile
+    * index; per-decile DECIMAL revenue rolls up to 10 rows, and the
+    * cumulative share rides that bounded table. */
+  private val qLorenz = Q(
+    "q_lorenz",
+    (s, d) => {
+      val rev = t(s, d, "orders").groupBy("o_custkey")
+        .agg(sum(col("o_totalprice").cast("decimal(18,6)")).as("rev"))
+      val n = rev.agg(count(lit(1)).as("n"))
+      val ranked = Ranking.globalRank(rev, col("rev"), col("o_custkey"),
+        valueAscending = false, rankName = "rn")
+      val dec = ranked.crossJoin(broadcast(n))
+        .withColumn("decile", expr("((rn - 1) * 10) div n + 1"))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n_customers"), sum("rev").as("drev"))
+      val tot = rev.agg(sum("rev").as("tot"))
+      dec
+        .withColumn("cum", sum("drev").over(Window.orderBy("decile")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .crossJoin(broadcast(tot))
+        .select(col("decile"), col("n_customers"),
+          TextAnalysis.roundStable(
+            col("drev").cast("double") / col("tot").cast("double"), 6)
+            .as("rev_share"),
+          TextAnalysis.roundStable(
+            col("cum").cast("double") / col("tot").cast("double"), 6)
+            .as("cum_share"))
+        .orderBy("decile")
+    },
+    Some("""WITH rev AS (
+      SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,6))) AS rev
+      FROM orders GROUP BY 1),
+    rk AS (SELECT rev, row_number() OVER (ORDER BY rev DESC,
+        o_custkey ASC) AS rn FROM rev),
+    n AS (SELECT count(*) AS n FROM rev),
+    dec AS (SELECT ((rn - 1) * 10) // n.n + 1 AS decile,
+        count(*) AS n_customers, sum(rev) AS drev
+      FROM rk, n GROUP BY 1),
+    tot AS (SELECT sum(rev) AS tot FROM rev)
+    SELECT decile, n_customers,
+      floor(CAST(drev AS DOUBLE) / CAST(tot AS DOUBLE)
+        * 1000000.0 + 0.5) / 1000000.0 AS rev_share,
+      floor(CAST(sum(drev) OVER (ORDER BY decile
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        / CAST(tot AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+        AS cum_share
+    FROM dec, tot ORDER BY decile"""))
+
+  /** Week-over-week growth per event type — volume growth rate
+    * chained across ISO weeks (q_top_movers day-grade, promoted to
+    * the reporting grain; q_trend fits one line, this shows each
+    * step — the corpus spans one calendar month, so week is the
+    * natural reporting grain). Week×type grid from one aggregate;
+    * the lag rides per-type ordered windows over the bounded grid;
+    * growth is one closing division on integers. */
+  private val qMomGrowth = Q(
+    "q_wow_growth",
+    (s, d) => {
+      val m = t(s, d, "events")
+        .groupBy(col("event_type"),
+          trunc(to_date(col("ts")), "week").as("week"))
+        .agg(count(lit(1)).as("n"))
+      val wt = Window.partitionBy("event_type").orderBy("week")
+      m.withColumn("prev", lag(col("n"), 1).over(wt))
+        .filter(col("prev").isNotNull)
+        .select(col("event_type"), col("week"), col("n"), col("prev"),
+          TextAnalysis.roundStable(
+            (col("n") - col("prev")).cast("double") / col("prev"), 6)
+            .as("growth"))
+        .orderBy("event_type", "week")
+    },
+    Some("""WITH m AS (
+      SELECT event_type,
+        date_trunc('week', CAST(CAST(ts AS TIMESTAMP) AS DATE))
+          AS week,
+        count(*) AS n
+      FROM events GROUP BY 1, 2),
+    lg AS (SELECT event_type, week, n,
+        lag(n) OVER (PARTITION BY event_type ORDER BY week) AS prev
+      FROM m)
+    SELECT event_type, week, n, prev,
+      floor(CAST(n - prev AS DOUBLE) / prev * 1000000.0 + 0.5)
+        / 1000000.0 AS growth
+    FROM lg WHERE prev IS NOT NULL
+    ORDER BY event_type, week"""))
+
+  /** Inter-arrival profile per event type — mean seconds between
+    * consecutive same-type events corpus-wide and the coefficient of
+    * variation (CV ≈ 1 Poisson, ≪1 scheduled, ≫1 bursty — the
+    * arrival-process fingerprint q_burstiness reads at day grain,
+    * measured at event grain). Gaps are integer seconds from one
+    * type-partitioned ordered window; moments are INTEGER power sums
+    * (gap² ≤ (30 d)² ≈ 6.7e12 — e.g. 1e6 gaps stay ~1e19... so the
+    * square sums accumulate in DECIMAL(38,0) to survive any scale);
+    * CV closes in doubles. */
+  private val qInterarrival = Q(
+    "q_interarrival",
+    (s, d) => {
+      val w = Window.partitionBy("event_type")
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val gaps = t(s, d, "events")
+        .withColumn("gap",
+          ((unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)))
+            / lit(1000000L)).cast("long"))
+        .filter(col("gap").isNotNull)
+      val st = gaps.groupBy("event_type").agg(
+        count(lit(1)).as("k"),
+        sum(col("gap").cast("decimal(38,0)")).as("sg"),
+        sum((col("gap") * col("gap")).cast("decimal(38,0)")).as("sgg"))
+      val mean = col("sg").cast("double") / col("k")
+      val varP = (col("k") * col("sgg") - col("sg") * col("sg"))
+        .cast("double") / (col("k").cast("double") * col("k"))
+      st.select(col("event_type"), col("k").as("n_gaps"),
+          TextAnalysis.roundStable(mean, 2).as("mean_gap_sec"),
+          TextAnalysis.roundStable(
+            when(mean > 0, sqrt(varP) / mean), 4).as("cv"))
+        .orderBy("event_type")
+    },
+    Some("""WITH e AS (
+      SELECT event_type, event_id, CAST(ts AS TIMESTAMP) AS tts
+      FROM events),
+    g AS (SELECT event_type,
+        (epoch_us(tts) - epoch_us(lag(tts) OVER (
+          PARTITION BY event_type ORDER BY tts ASC, event_id ASC)))
+          // 1000000 AS gap
+      FROM e),
+    st AS (SELECT event_type, count(*) AS k,
+        CAST(sum(CAST(gap AS HUGEINT)) AS DOUBLE) AS sg,
+        CAST(sum(CAST(gap AS HUGEINT) * gap) AS DOUBLE) AS sgg
+      FROM g WHERE gap IS NOT NULL GROUP BY 1)
+    SELECT event_type, k AS n_gaps,
+      floor(sg / k * 100.0 + 0.5) / 100.0 AS mean_gap_sec,
+      CASE WHEN sg / k > 0 THEN
+        floor(sqrt((k * sgg - sg * sg) / (CAST(k AS DOUBLE) * k))
+          / (sg / k) * 10000.0 + 0.5) / 10000.0 END AS cv
+    FROM st ORDER BY event_type"""))
+
+  /** First-touch revenue attribution — q_attribution's mirror: each
+    * purchase credits the EARLIEST preceding non-purchase touch (the
+    * "which channel acquired them?" counter-read to last-touch's
+    * "which channel closed?"). One first_value(IGNORE NULLS)
+    * carry-forward window on the same user exchange; comparing the
+    * two tables shows how much credit moves between models. */
+  private val qAttributionFirst = Q(
+    "q_attribution_first",
+    (s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      t(s, d, "events")
+        .withColumn("touch", first(
+          when(col("event_type") =!= "purchase", col("event_type")),
+          ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .groupBy(coalesce(col("touch"), lit("(direct)")).as("channel"))
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(col("value").cast("decimal(18,6)")).as("revd"))
+        .select(col("channel"), col("n_purchases"),
+          TextAnalysis.roundStable(col("revd").cast("double"), 2)
+            .as("revenue"))
+        .orderBy("channel")
+    },
+    Some("""WITH e AS (
+      SELECT user_id, event_id, event_type, value,
+        CAST(ts AS TIMESTAMP) AS tts
+      FROM events),
+    tch AS (SELECT *,
+        first_value(CASE WHEN event_type <> 'purchase' THEN event_type
+          END IGNORE NULLS) OVER (PARTITION BY user_id
+            ORDER BY tts ASC, event_id ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+      FROM e)
+    SELECT COALESCE(touch, '(direct)') AS channel,
+      count(*) AS n_purchases,
+      floor(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+        * 100.0 + 0.5) / 100.0 AS revenue
+    FROM tch WHERE event_type = 'purchase'
+    GROUP BY 1 ORDER BY channel"""))
+
   // ---------------------------------------------------------------------
 
   val all: Seq[Q] = Seq(
@@ -8386,7 +8556,8 @@ object Queries {
     qHourlyProfile, qSupplierShare, qCooccurPmi, qCatalogCoverage,
     qLabelSeparation,
     qClusterSpread, qLifecycleStages, qPeakDays, qGramDfHist,
-    qSilhouette)
+    qSilhouette,
+    qLorenz, qMomGrowth, qInterarrival, qAttributionFirst)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

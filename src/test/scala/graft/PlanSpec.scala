@@ -1180,8 +1180,8 @@ class PlanSpec extends AnyFunSuite {
       s"the single-row total must broadcast:\n$p")
     // The only unpartitioned window runs over the value histogram
     // (globalRank contract); the per-part windows partition by value.
-    assert(p.contains("windowspecdefinition(rev"),
-      s"per-part ranking must partition by revenue value:\n$p")
+    assert(p.contains("windowspecdefinition(__pm_v"),
+      s"per-part prefix must ride globalPrefixMass's per-value windows:\n$p")
     val windows = p.linesIterator.count(_.contains("Window ["))
     assert(windows == 2,
       s"expected histogram-offset + in-value-rank windows only, found $windows:\n$p")
@@ -1406,6 +1406,41 @@ class PlanSpec extends AnyFunSuite {
       s"the labels-bounded centroid table must broadcast:\n$p")
     assert(!p.contains("SortMergeJoin"),
       s"vectors must never shuffle against centroids:\n$p")
+  }
+
+  test("q_lorenz: histogram rank, decile-grade cumulative, broadcast totals") {
+    val p = plan("q_lorenz")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the single-row totals must broadcast:\n$p")
+    // globalRank's per-value windows, not a customer-grade
+    // SinglePartition rank.
+    assert(p.contains("windowspecdefinition(__rk_v"),
+      s"ranking must ride the histogram scheme:\n$p")
+  }
+
+  test("q_wow_growth: week-grade lags over one events aggregate") {
+    val p = plan("q_wow_growth")
+    assert(!p.contains("Join"), s"no join belongs here:\n$p")
+    val scans = p.linesIterator.count(_.contains("FileScan parquet"))
+    assert(scans == 1, s"events must be scanned once, found $scans:\n$p")
+  }
+
+  test("q_interarrival: one type-partitioned window, decimal power sums") {
+    val p = plan("q_interarrival")
+    assert(!p.contains("Join"), s"no join belongs here:\n$p")
+    val windows = p.linesIterator.count(_.contains("Window ["))
+    assert(windows == 1, s"one type window only, found $windows:\n$p")
+    assert(p.contains("partial_sum"),
+      s"power sums must combine map-side:\n$p")
+  }
+
+  test("q_attribution_first: mirror of q_attribution — one carry-forward window, no join") {
+    val p = plan("q_attribution_first")
+    assert(!p.contains("Join"),
+      s"first-touch must be one window, not an as-of join per channel:\n$p")
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 2,
+      s"expected user window + channel agg only, found $exchanges exchanges:\n$p")
   }
 
   test("q_conversion_lag: first-view window and first-purchase agg share the user exchange") {

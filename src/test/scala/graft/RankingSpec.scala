@@ -37,6 +37,41 @@ class RankingSpec extends AnyFunSuite {
     }
   }
 
+  test("globalPrefixMass equals the brute-force inclusive cumulative (property)") {
+    val gen = for {
+      n <- Gen.choose(1, 50)
+      vs <- Gen.listOfN(n, Gen.choose(0L, 6L))   // ties on purpose
+      ms <- Gen.listOfN(n, Gen.choose(0L, 99L))  // mass ≠ value
+      parts <- Gen.choose(1, 6)
+    } yield (vs.zip(ms).zipWithIndex.map { case ((v, m), i) =>
+      (i.toLong, v, m) }, parts)
+    (0 until 15).foreach { i =>
+      val (rows, parts) = gen.apply(Gen.Parameters.default, Seed(100L + i)).get
+      val df = rows.toDF("id", "v", "m").repartition(parts)
+      val got = Ranking.globalPrefixMass(df, col("v"), col("id"),
+          col("m").cast("decimal(18,6)"))
+        .select(col("id"), col("prefix").cast("double"))
+        .as[(Long, Double)].collect().toMap
+      // Reference: sort by (v desc, id asc), running inclusive sum.
+      var acc = 0.0
+      val want = rows.sortBy { case (id, v, _) => (-v, id) }
+        .map { case (id, _, m) => acc += m; id -> acc }.toMap
+      assert(got.keySet == want.keySet, s"seed $i ids")
+      for ((id, w) <- want)
+        assert(math.abs(got(id) - w) < 1e-6, s"seed $i id=$id ${got(id)} != $w")
+    }
+  }
+
+  test("globalPrefixMass has no corpus-sized single-partition window") {
+    val df = (1L to 200L).map(i => (i, i % 9, i % 13)).toDF("id", "v", "m")
+    val p = Ranking.globalPrefixMass(df, col("v"), col("id"),
+      col("m").cast("decimal(18,6)")).queryExecution.executedPlan.toString
+    // The only unpartitioned window runs over the 9-value histogram;
+    // per-row windows partition by the value column.
+    assert(p.contains("windowspecdefinition(__pm_v"),
+      s"per-row running sums must partition by value:\n$p")
+  }
+
   test("globalRank ascending order ranks smallest value first") {
     val df = Seq((1L, 30L), (2L, 10L), (3L, 20L)).toDF("id", "v")
     val got = Ranking.globalRank(df, col("v"), col("id"),
