@@ -193,6 +193,23 @@ object Dedup {
         graft.functions.TextAnalysis.roundStable(cont, 6).as("containment"))
   }
 
+  /** All candidate pairs (≥1 shared gram) with cardinalities and the
+    * exact intersection count — the raw surface behind
+    * [[jaccardPairs]]/[[containmentPairs]], exposed for threshold-
+    * sensitivity analysis (count pairs per similarity band BEFORE
+    * committing to a dedup threshold). Same pipeline, no similarity
+    * filter: output size = number of gram-sharing pairs, so callers
+    * aggregate it immediately rather than materializing it. */
+  def jaccardCandidates(docs: DataFrame, w: Int = 5,
+                        registry: CacheRegistry = CacheRegistry.global): DataFrame = {
+    require(w >= 1, s"shingle width must be >= 1, got $w")
+    commonCounts(
+      docs.select(col("doc_id"),
+        graft.plans.GraftFunctions.wordGramHashesDistinct(
+          lower(col("text")), w).as("d")),
+      registry)
+  }
+
   /** Shared candidate stage of the exact-shingle pair family:
     * (i, j, ca, cb, com) — distinct-gram cardinalities of both docs
     * plus their exact intersection count, for every pair meeting on at

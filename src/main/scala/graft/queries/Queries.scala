@@ -8499,6 +8499,226 @@ object Queries {
     FROM tch WHERE event_type = 'purchase'
     GROUP BY 1 ORDER BY channel"""))
 
+  /** Dedup threshold-sensitivity curve — candidate-pair counts per
+    * exact-Jaccard band (0.5–0.6 … 0.9–1.0), the tuning table read
+    * BEFORE committing to q_near_dup's 0.8 (a cliff between bands
+    * means the threshold is safe; a smear means it isn't).
+    * [[Dedup.jaccardCandidates]] exposes the shared candidate stage
+    * unfiltered; the band index is EXACT integer arithmetic
+    * ((10·com) div union — no float at the boundary) and the
+    * histogram folds immediately, so nothing pair-grade is ever
+    * materialized. */
+  private val qDedupThresholdCurve = Q(
+    "q_dedup_threshold_curve",
+    (s, d) => {
+      val cand = Dedup.jaccardCandidates(t(s, d, "documents"), w = 5)
+      cand
+        .withColumn("band",
+          expr("(com * 10) div (ca + cb - com)").cast("long"))
+        .filter(col("band") >= 5)
+        .groupBy("band")
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("i")).as("n_docs_i"))
+        .select(col("band"),
+          TextAnalysis.roundStable(col("band") / lit(10.0), 1)
+            .as("jaccard_lo"),
+          col("n_pairs"), col("n_docs_i"))
+        .orderBy("band")
+    },
+    Some("""WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id,
+        unnest(CASE WHEN len(t) >= 5
+          THEN list_transform(range(1, len(t) - 3),
+            i -> array_to_string(t[i:i+4], ' '))
+          ELSE []::VARCHAR[] END) AS s
+      FROM toks),
+    card AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY 1),
+    com AS (
+      SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS com
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    bd AS (SELECT i, (com * 10) // (ca.c + cb.c - com) AS band
+      FROM com
+      JOIN card ca ON ca.doc_id = i
+      JOIN card cb ON cb.doc_id = j)
+    SELECT band, band / 10.0 AS jaccard_lo,
+      count(*) AS n_pairs, count(DISTINCT i) AS n_docs_i
+    FROM bd WHERE band >= 5
+    GROUP BY 1 ORDER BY band"""))
+
+  /** Segment × priority affinity — observed/expected lift for every
+    * (market segment, order priority) cell (q_chi_square asks "is
+    * there dependence?", this shows WHERE). Broadcast dim attach,
+    * one cell aggregate, marginals via two windows over the
+    * segments×priorities-bounded grid, lift = n·N/(rowN·colN) exact
+    * integer inputs. */
+  private val qSegmentAffinity = Q(
+    "q_segment_affinity",
+    (s, d) => {
+      val c = t(s, d, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val cells = t(s, d, "orders")
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment").as("segment"),
+          col("o_orderpriority").as("priority"))
+        .agg(count(lit(1)).as("n"))
+      val wr = Window.partitionBy("segment")
+      val wc = Window.partitionBy("priority")
+      val wt = Window.partitionBy()
+      cells
+        .withColumn("rn", sum("n").over(wr))
+        .withColumn("cn", sum("n").over(wc))
+        .withColumn("tot", sum("n").over(wt))
+        .select(col("segment"), col("priority"), col("n"),
+          TextAnalysis.roundStable(
+            col("n").cast("double") * col("tot") /
+              (col("rn").cast("double") * col("cn")), 4).as("lift"))
+        .orderBy("segment", "priority")
+    },
+    Some("""WITH cells AS (
+      SELECT c_mktsegment AS segment, o_orderpriority AS priority,
+        count(*) AS n
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1, 2)
+    SELECT segment, priority, n,
+      floor(CAST(n AS DOUBLE)
+          * CAST(sum(n) OVER () AS BIGINT)
+          / (CAST(sum(n) OVER (PARTITION BY segment) AS DOUBLE)
+            * CAST(sum(n) OVER (PARTITION BY priority) AS BIGINT))
+        * 10000.0 + 0.5) / 10000.0 AS lift
+    FROM cells ORDER BY segment, priority"""))
+
+  /** Source × language composition — doc counts and within-source
+    * share per (source, lang) cell (the corpus-mix panel every
+    * multilingual pipeline monitors; q_mix_shift watches this drift
+    * over time, this is the snapshot). One aggregate to the bounded
+    * grid, share via a source-partitioned window. */
+  private val qSourceLangMix = Q(
+    "q_source_lang_mix",
+    (s, d) => {
+      val cells = t(s, d, "documents")
+        .groupBy("source", "lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("chars"))
+      cells
+        .withColumn("sn", sum("n_docs").over(Window.partitionBy("source")))
+        .select(col("source"), col("lang"), col("n_docs"), col("chars"),
+          TextAnalysis.roundStable(
+            col("n_docs").cast("double") / col("sn"), 6)
+            .as("source_share"))
+        .orderBy("source", "lang")
+    },
+    Some("""WITH cells AS (
+      SELECT source, lang, count(*) AS n_docs,
+        CAST(sum(n_chars) AS BIGINT) AS chars
+      FROM documents GROUP BY 1, 2)
+    SELECT source, lang, n_docs, chars,
+      floor(CAST(n_docs AS DOUBLE)
+          / CAST(sum(n_docs) OVER (PARTITION BY source) AS BIGINT)
+        * 1000000.0 + 0.5) / 1000000.0 AS source_share
+    FROM cells ORDER BY source, lang"""))
+
+  /** Percent-of-parent revenue rollup — nation revenue with its share
+    * of the region and the region's share of the world, in one table
+    * (the drill-down BI report; q_rollup gives the totals, this the
+    * ratios). Two broadcast dim hops to the bounded nation grid, then
+    * two windows over that grid — the fact table shuffles once. */
+  private val qShareOfParent = Q(
+    "q_share_of_parent",
+    (s, d) => {
+      val n = t(s, d, "nation")
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      val r = t(s, d, "region")
+        .select(col("r_regionkey"), col("r_name"))
+      val cust = t(s, d, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))
+      val rev = t(s, d, "orders")
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name").as("region"), col("n_name").as("nation"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,6)")).as("rev"))
+      rev
+        .withColumn("rrev", sum("rev").over(Window.partitionBy("region")))
+        .withColumn("tot", sum("rev").over(Window.partitionBy()))
+        .select(col("region"), col("nation"),
+          TextAnalysis.roundStable(col("rev").cast("double"), 2)
+            .as("nation_rev"),
+          TextAnalysis.roundStable(
+            col("rev").cast("double") / col("rrev").cast("double"), 6)
+            .as("share_of_region"),
+          TextAnalysis.roundStable(
+            col("rrev").cast("double") / col("tot").cast("double"), 6)
+            .as("region_share_of_total"))
+        .orderBy("region", "nation")
+    },
+    Some("""WITH rev AS (
+      SELECT r_name AS region, n_name AS nation,
+        sum(CAST(o_totalprice AS DECIMAL(18,6))) AS rev
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY 1, 2)
+    SELECT region, nation,
+      floor(CAST(rev AS DOUBLE) * 100.0 + 0.5) / 100.0 AS nation_rev,
+      floor(CAST(rev AS DOUBLE)
+          / CAST(sum(rev) OVER (PARTITION BY region) AS DOUBLE)
+        * 1000000.0 + 0.5) / 1000000.0 AS share_of_region,
+      floor(CAST(sum(rev) OVER (PARTITION BY region) AS DOUBLE)
+          / CAST(sum(rev) OVER () AS DOUBLE) * 1000000.0 + 0.5)
+        / 1000000.0 AS region_share_of_total
+    FROM rev ORDER BY region, nation"""))
+
+  /** Per-dimension embedding variance — which dimensions carry
+    * signal (a PCA-lite screen: near-zero-variance dims are dead
+    * weight for ANN and quantization; q_embed_norms profiles rows,
+    * this profiles columns). Values quantize to 1e−6 BIGINTs at the
+    * posexplode, so per-dim count/Σx/Σx² are exact integer sums
+    * (DECIMAL(38,0) — micro² sums pass 2⁶³ at corpus scale);
+    * variance closes in doubles over the 64-row dim table. */
+  private val qDimVariance = Q(
+    "q_dim_variance",
+    (s, d) => {
+      val st = t(s, d, "embeddings")
+        .select(posexplode(col("embedding")).as(Seq("pos", "x")))
+        // DuckDB's list_transform index is 1-based; posexplode is
+        // 0-based — align on 1-based (the q_label_centroids contract).
+        .select((col("pos") + 1).cast("long").as("dim"),
+          floor(col("x").cast("double") * 1000000 + 0.5).cast("long")
+            .as("xq"))
+        .groupBy("dim")
+        .agg(count(lit(1)).as("k"),
+          sum(col("xq").cast("decimal(38,0)")).as("sx"),
+          sum((col("xq") * col("xq")).cast("decimal(38,0)")).as("sxx"))
+      val varP = (col("k") * col("sxx") - col("sx") * col("sx"))
+        .cast("double") /
+        (col("k").cast("double") * col("k")) / lit(1e12)
+      st.select(col("dim"), col("k").as("n_vals"),
+          TextAnalysis.roundStable(
+            col("sx").cast("double") / col("k") / lit(1e6), 6)
+            .as("mean"),
+          TextAnalysis.roundStable(varP, 6).as("variance"))
+        .orderBy("dim")
+    },
+    Some("""WITH x AS (
+      SELECT CAST(s.i AS BIGINT) AS dim,
+        CAST(floor(s.v * 1000000 + 0.5) AS BIGINT) AS xq
+      FROM (
+        SELECT unnest(list_transform(embedding,
+          (x, i) -> {'i': i, 'v': CAST(x AS DOUBLE)})) AS s
+        FROM embeddings)),
+    st AS (SELECT dim, count(*) AS k,
+        CAST(sum(CAST(xq AS HUGEINT)) AS DOUBLE) AS sx,
+        CAST(sum(CAST(xq AS HUGEINT) * xq) AS DOUBLE) AS sxx
+      FROM x GROUP BY 1)
+    SELECT dim, k AS n_vals,
+      floor(sx / k / 1000000.0 * 1000000.0 + 0.5) / 1000000.0 AS mean,
+      floor((k * sxx - sx * sx) / (CAST(k AS DOUBLE) * k) / 1e12
+        * 1000000.0 + 0.5) / 1000000.0 AS variance
+    FROM st ORDER BY dim"""))
+
   // ---------------------------------------------------------------------
 
   val all: Seq[Q] = Seq(
@@ -8557,7 +8777,9 @@ object Queries {
     qLabelSeparation,
     qClusterSpread, qLifecycleStages, qPeakDays, qGramDfHist,
     qSilhouette,
-    qLorenz, qMomGrowth, qInterarrival, qAttributionFirst)
+    qLorenz, qMomGrowth, qInterarrival, qAttributionFirst,
+    qDedupThresholdCurve, qSegmentAffinity, qSourceLangMix,
+    qShareOfParent, qDimVariance)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

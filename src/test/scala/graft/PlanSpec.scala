@@ -1443,6 +1443,48 @@ class PlanSpec extends AnyFunSuite {
       s"expected user window + channel agg only, found $exchanges exchanges:\n$p")
   }
 
+  test("q_dedup_threshold_curve: candidate pipeline unchanged — no window, integer bands") {
+    val p = plan("q_dedup_threshold_curve")
+    assert(!p.contains("Window"),
+      s"the shingle family never uses a window:\n$p")
+    assert(!p.linesIterator.exists(l =>
+        l.contains("Exchange") && l.contains("text#")),
+      s"raw text must never enter an exchange:\n$p")
+  }
+
+  test("q_segment_affinity: broadcast dim, grid-bounded marginal windows") {
+    val p = plan("q_segment_affinity")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the customer dim must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"orders must not shuffle for the dim attach:\n$p")
+  }
+
+  test("q_source_lang_mix: one aggregate, one grid window, one scan") {
+    val p = plan("q_source_lang_mix")
+    assert(!p.contains("Join"), s"no join belongs here:\n$p")
+    val scans = p.linesIterator.count(_.contains("FileScan parquet"))
+    assert(scans == 1, s"documents must be scanned once, found $scans:\n$p")
+  }
+
+  test("q_share_of_parent: three broadcast dim hops, one fact aggregate") {
+    val p = plan("q_share_of_parent")
+    val bc = p.linesIterator.count(_.contains("BroadcastHashJoin"))
+    assert(bc == 3, s"expected 3 broadcast dim hops, found $bc:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the fact table must not shuffle for dims:\n$p")
+  }
+
+  test("q_dim_variance: quantized integer moments, no join, no array in exchanges") {
+    val p = plan("q_dim_variance")
+    assert(!p.contains("Join"), s"no join belongs here:\n$p")
+    assert(p.contains("partial_sum"),
+      s"per-dim moments must combine map-side:\n$p")
+    assert(!p.linesIterator.exists(l =>
+        l.contains("Exchange") && l.contains("embedding#")),
+      s"the embedding array must explode before any exchange:\n$p")
+  }
+
   test("q_conversion_lag: first-view window and first-purchase agg share the user exchange") {
     val p = plan("q_conversion_lag")
     assert(!p.contains("Join"), s"single-pass form must not join:\n$p")
