@@ -8719,6 +8719,279 @@ object Queries {
         * 1000000.0 + 0.5) / 1000000.0 AS variance
     FROM st ORDER BY dim"""))
 
+  /** Stratified-sample composition audit — per language: corpus
+    * share, the share q_stratified_sample's deterministic rule
+    * actually admits, and the bias between them (the check that a
+    * downsampling rule hits its target mix — q_mixture_sample's
+    * admission done, this is the verification report). Both
+    * compositions come from ONE documents scan path each
+    * (lang-bounded aggregates); the join is langs-bounded. */
+  private val qSampleBias = Q(
+    "q_sample_bias",
+    (s, d) => {
+      val w = Window.partitionBy("lang").orderBy("doc_id")
+      val docs = t(s, d, "documents")
+      val corpus = docs.groupBy("lang").agg(count(lit(1)).as("n_corpus"))
+      val sample = docs
+        .withColumn("rn", row_number().over(w))
+        .filter(when(col("lang") === "en", col("rn") % 4 === 0)
+          .otherwise(col("rn") % 2 === 0))
+        .groupBy("lang").agg(count(lit(1)).as("n_sample"))
+      val joined = corpus.join(sample, Seq("lang"), "left")
+        .withColumn("n_sample", coalesce(col("n_sample"), lit(0L)))
+      joined
+        .withColumn("ct", sum("n_corpus").over(Window.partitionBy()))
+        .withColumn("st", sum("n_sample").over(Window.partitionBy()))
+        .select(col("lang"), col("n_corpus"), col("n_sample"),
+          TextAnalysis.roundStable(
+            col("n_corpus").cast("double") / col("ct"), 6)
+            .as("corpus_share"),
+          TextAnalysis.roundStable(
+            col("n_sample").cast("double") / col("st"), 6)
+            .as("sample_share"),
+          TextAnalysis.roundStable(
+            col("n_sample").cast("double") / col("st") -
+              col("n_corpus").cast("double") / col("ct"), 6).as("bias"))
+        .orderBy("lang")
+    },
+    Some("""WITH corpus AS (
+      SELECT lang, count(*) AS n_corpus FROM documents GROUP BY 1),
+    smp AS (SELECT lang, count(*) AS n_sample FROM (
+        SELECT lang,
+          row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+        FROM documents)
+      WHERE CASE WHEN lang = 'en' THEN rn % 4 = 0 ELSE rn % 2 = 0 END
+      GROUP BY 1),
+    j AS (SELECT c.lang, n_corpus, coalesce(n_sample, 0) AS n_sample
+      FROM corpus c LEFT JOIN smp ON smp.lang = c.lang)
+    SELECT lang, n_corpus, n_sample,
+      floor(CAST(n_corpus AS DOUBLE)
+          / CAST(sum(n_corpus) OVER () AS BIGINT) * 1000000.0 + 0.5)
+        / 1000000.0 AS corpus_share,
+      floor(CAST(n_sample AS DOUBLE)
+          / CAST(sum(n_sample) OVER () AS BIGINT) * 1000000.0 + 0.5)
+        / 1000000.0 AS sample_share,
+      floor((CAST(n_sample AS DOUBLE)
+            / CAST(sum(n_sample) OVER () AS BIGINT)
+          - CAST(n_corpus AS DOUBLE)
+            / CAST(sum(n_corpus) OVER () AS BIGINT))
+        * 1000000.0 + 0.5) / 1000000.0 AS bias
+    FROM j ORDER BY lang"""))
+
+  /** Log-normal fit of purchase values per event type — μ and σ of
+    * ln(value) plus the implied median e^μ (heavy-tailed spend is
+    * log-normal more often than normal; the fit feeding q_capping's
+    * winsorization level). Logs quantize to 1e−4 BIGINTs per element
+    * (the q_zipf discipline) so μ/σ come from exact integer sums;
+    * e^μ is one closing transcendental from identical inputs (the
+    * q_freshness_decay contract). */
+  private val qLognormalFit = Q(
+    "q_lognormal_fit",
+    (s, d) => {
+      val st = t(s, d, "events")
+        .filter(col("value") > 0)
+        .select(col("event_type"),
+          floor(log(col("value")) * 10000 + 0.5).cast("long").as("y"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("k"), sum("y").as("sy"),
+          sum(col("y") * col("y")).as("syy"))
+      val mu = col("sy").cast("double") / col("k") / lit(10000.0)
+      val varQ = (col("k") * col("syy") - col("sy") * col("sy"))
+        .cast("double") / (col("k").cast("double") * col("k")) / lit(1e8)
+      st.select(col("event_type"), col("k").as("n_pos"),
+          TextAnalysis.roundStable(mu, 4).as("mu"),
+          TextAnalysis.roundStable(
+            when(varQ > 0, sqrt(varQ)).otherwise(lit(0.0)), 4)
+            .as("sigma"),
+          TextAnalysis.roundStable(exp(mu), 2).as("median_value"))
+        .orderBy("event_type")
+    },
+    Some("""WITH y AS (
+      SELECT event_type,
+        CAST(floor(ln(value) * 10000 + 0.5) AS BIGINT) AS y
+      FROM events WHERE value > 0),
+    st AS (SELECT event_type, count(*) AS k,
+        CAST(sum(y) AS BIGINT) AS sy,
+        CAST(sum(y * y) AS BIGINT) AS syy
+      FROM y GROUP BY 1)
+    SELECT event_type, k AS n_pos,
+      floor(CAST(sy AS DOUBLE) / k / 10000.0 * 10000.0 + 0.5)
+        / 10000.0 AS mu,
+      CASE WHEN (k * syy - sy * sy) > 0 THEN
+        floor(sqrt(CAST(k * syy - sy * sy AS DOUBLE)
+            / (CAST(k AS DOUBLE) * k) / 1e8) * 10000.0 + 0.5) / 10000.0
+        ELSE 0.0 END AS sigma,
+      floor(exp(CAST(sy AS DOUBLE) / k / 10000.0) * 100.0 + 0.5)
+        / 100.0 AS median_value
+    FROM st ORDER BY event_type"""))
+
+  /** Customer tier migration — order-frequency tier (vs the half's
+    * exact median) in 1995–97 crossed with the tier in 1998–2001
+    * (the churn-risk transition matrix; q_rfm scores one window, this
+    * compares two). Per-(user, half) counts are one aggregate;
+    * median thresholds per half broadcast back; the 2×2 matrix is
+    * bounded. Users absent from a half count as that half's low
+    * tier (frequency 0). */
+  private val qTierMigration = Q(
+    "q_tier_migration",
+    (s, d) => {
+      val o = t(s, d, "orders")
+        .select(col("o_custkey"),
+          (year(col("o_orderdate")) >= 1998).cast("int").as("half"))
+      val uh = o.groupBy("o_custkey").agg(
+        sum(when(col("half") === 0, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("half") === 1, 1L).otherwise(0L)).as("n2"))
+      val med = uh.agg(
+        expr("percentile(n1, 0.5D)").as("m1"),
+        expr("percentile(n2, 0.5D)").as("m2"))
+      uh.crossJoin(broadcast(med))
+        .select(
+          when(col("n1").cast("double") > col("m1"), lit("high"))
+            .otherwise(lit("low")).as("tier_early"),
+          when(col("n2").cast("double") > col("m2"), lit("high"))
+            .otherwise(lit("low")).as("tier_late"))
+        .groupBy("tier_early", "tier_late")
+        .agg(count(lit(1)).as("n_customers"))
+        .withColumn("tot",
+          sum("n_customers").over(Window.partitionBy()))
+        .select(col("tier_early"), col("tier_late"), col("n_customers"),
+          TextAnalysis.roundStable(
+            col("n_customers").cast("double") / col("tot"), 6)
+            .as("share"))
+        .orderBy("tier_early", "tier_late")
+    },
+    Some("""WITH uh AS (
+      SELECT o_custkey,
+        CAST(sum(CASE WHEN year(CAST(o_orderdate AS DATE)) < 1998
+          THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        CAST(sum(CASE WHEN year(CAST(o_orderdate AS DATE)) >= 1998
+          THEN 1 ELSE 0 END) AS BIGINT) AS n2
+      FROM orders GROUP BY 1),
+    med AS (SELECT quantile_cont(n1, 0.5) AS m1,
+        quantile_cont(n2, 0.5) AS m2 FROM uh),
+    tiers AS (SELECT
+        CASE WHEN n1 > m1 THEN 'high' ELSE 'low' END AS tier_early,
+        CASE WHEN n2 > m2 THEN 'high' ELSE 'low' END AS tier_late
+      FROM uh, med),
+    g AS (SELECT tier_early, tier_late, count(*) AS n_customers
+      FROM tiers GROUP BY 1, 2)
+    SELECT tier_early, tier_late, n_customers,
+      floor(CAST(n_customers AS DOUBLE)
+          / CAST(sum(n_customers) OVER () AS BIGINT) * 1000000.0 + 0.5)
+        / 1000000.0 AS share
+    FROM g ORDER BY tier_early, tier_late"""))
+
+  /** Growth accounting — every day's actives decomposed into new /
+    * retained / resurrected, plus churned (yesterday's actives who
+    * left), the canonical DAU ledger (dau_t = new + retained +
+    * resurrected; churned_t = dau_{t−1} − retained_t). Per-user
+    * previous-active-day is a lag on the (user, day) dedup table —
+    * one user exchange; the class rollup is day-bounded and churn
+    * closes from the day table's own lag. All integers. */
+  private val qGrowthAccounting = Q(
+    "q_growth_accounting",
+    (s, d) => {
+      // Repartition by user_id FIRST: hashpartitioning(user_id)
+      // satisfies the (user_id, day) dedup's ClusteredDistribution
+      // (subset rule) AND the per-user window — ONE exchange total
+      // (the q_session_stats trick).
+      val ud = t(s, d, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+        .repartition(col("user_id"))
+        .dropDuplicates("user_id", "day")
+      val wu = Window.partitionBy("user_id").orderBy("day")
+      val classed = ud
+        .withColumn("prev", lag(col("day"), 1).over(wu))
+        .withColumn("cls",
+          when(col("prev").isNull, lit("new"))
+            .when(datediff(col("day"), col("prev")) === 1,
+              lit("retained"))
+            .otherwise(lit("resurrected")))
+      val daily = classed.groupBy("day")
+        .agg(count(lit(1)).as("dau"),
+          sum((col("cls") === "new").cast("long")).as("new_u"),
+          sum((col("cls") === "retained").cast("long")).as("retained"),
+          sum((col("cls") === "resurrected").cast("long"))
+            .as("resurrected"))
+      val wd = Window.orderBy("day")
+      daily
+        .withColumn("prev_dau", lag(col("dau"), 1).over(wd))
+        .select(col("day"), col("dau"), col("new_u"), col("retained"),
+          col("resurrected"),
+          (col("prev_dau") - col("retained")).as("churned"))
+        .orderBy("day")
+    },
+    Some("""WITH ud AS (
+      SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE)
+        AS day
+      FROM events),
+    cl AS (SELECT day,
+        CASE WHEN lag(day) OVER w IS NULL THEN 'new'
+             WHEN date_diff('day', lag(day) OVER w, day) = 1
+               THEN 'retained'
+             ELSE 'resurrected' END AS cls
+      FROM ud WINDOW w AS (PARTITION BY user_id ORDER BY day)),
+    daily AS (SELECT day, count(*) AS dau,
+        CAST(sum(CASE WHEN cls = 'new' THEN 1 ELSE 0 END) AS BIGINT)
+          AS new_u,
+        CAST(sum(CASE WHEN cls = 'retained' THEN 1 ELSE 0 END)
+          AS BIGINT) AS retained,
+        CAST(sum(CASE WHEN cls = 'resurrected' THEN 1 ELSE 0 END)
+          AS BIGINT) AS resurrected
+      FROM cl GROUP BY 1)
+    SELECT day, dau, new_u, retained, resurrected,
+      lag(dau) OVER (ORDER BY day) - retained AS churned
+    FROM daily ORDER BY day"""))
+
+  /** Brand price positioning — each brand's mean unit price indexed
+    * to the catalog-wide mean (premium vs value positioning, the
+    * pricing twin of q_brand_hhi's concentration). Unit-price sums
+    * accumulate in DECIMAL per brand; the global mean derives from
+    * the SAME brand aggregates (sums of sums — no second fact scan)
+    * and broadcasts back; the index is one closing division. */
+  private val qBrandPricePosition = Q(
+    "q_brand_price_position",
+    (s, d) => {
+      val p = t(s, d, "part").select(col("p_partkey"), col("p_brand"))
+      // The brand table feeds the report AND the global mean — persist
+      // the 25-row aggregate or lineitem scans twice.
+      val b = graft.operators.CacheRegistry.global.track(
+        t(s, d, "lineitem")
+          .filter(col("l_quantity") > 0)
+          .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_brand").as("brand"))
+          .agg(count(lit(1)).as("n_lines"),
+            sum((col("l_extendedprice") / col("l_quantity"))
+              .cast("decimal(18,6)")).as("sup"))
+          .persist())
+      val g = b.agg(sum("sup").as("gs"), sum("n_lines").as("gn"))
+      b.crossJoin(broadcast(g))
+        .select(col("brand"), col("n_lines"),
+          TextAnalysis.roundStable(
+            col("sup").cast("double") / col("n_lines"), 4)
+            .as("mean_unit_price"),
+          TextAnalysis.roundStable(
+            (col("sup").cast("double") / col("n_lines")) /
+              (col("gs").cast("double") / col("gn")), 4)
+            .as("price_index"))
+        .orderBy("brand")
+    },
+    Some("""WITH b AS (
+      SELECT p_brand AS brand, count(*) AS n_lines,
+        sum(CAST(l_extendedprice / l_quantity AS DECIMAL(18,6)))
+          AS sup
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_quantity > 0 GROUP BY 1),
+    g AS (SELECT sum(sup) AS gs, CAST(sum(n_lines) AS BIGINT) AS gn
+      FROM b)
+    SELECT brand, n_lines,
+      floor(CAST(sup AS DOUBLE) / n_lines * 10000.0 + 0.5) / 10000.0
+        AS mean_unit_price,
+      floor((CAST(sup AS DOUBLE) / n_lines)
+          / (CAST(gs AS DOUBLE) / gn) * 10000.0 + 0.5) / 10000.0
+        AS price_index
+    FROM b, g ORDER BY brand"""))
+
   // ---------------------------------------------------------------------
 
   val all: Seq[Q] = Seq(
@@ -8779,7 +9052,9 @@ object Queries {
     qSilhouette,
     qLorenz, qMomGrowth, qInterarrival, qAttributionFirst,
     qDedupThresholdCurve, qSegmentAffinity, qSourceLangMix,
-    qShareOfParent, qDimVariance)
+    qShareOfParent, qDimVariance,
+    qSampleBias, qLognormalFit, qTierMigration, qGrowthAccounting,
+    qBrandPricePosition)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -1485,6 +1485,49 @@ class PlanSpec extends AnyFunSuite {
       s"the embedding array must explode before any exchange:\n$p")
   }
 
+  test("q_sample_bias: lang-bounded composition join, no cartesian") {
+    val p = plan("q_sample_bias")
+    assert(!p.contains("CartesianProduct"),
+      s"the composition join must be an equi-join:\n$p")
+    assert(!p.linesIterator.exists(l =>
+        l.contains("Exchange") && l.contains("text#")),
+      s"raw text must never enter an exchange:\n$p")
+  }
+
+  test("q_lognormal_fit: quantized integer moments, one scan, no join") {
+    val p = plan("q_lognormal_fit")
+    assert(!p.contains("Join"), s"no join belongs here:\n$p")
+    assert(p.contains("PushedFilters: [") &&
+      p.contains("GreaterThan(value,0"),
+      s"the value>0 filter must push to parquet:\n$p")
+  }
+
+  test("q_tier_migration: median thresholds broadcast; matrix is bounded") {
+    val p = plan("q_tier_migration")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the single-row medians must broadcast:\n$p")
+    assert(p.contains("partial_percentile"),
+      s"the medians must combine map-side:\n$p")
+  }
+
+  test("q_growth_accounting: one user exchange; churn from the day-table lag") {
+    val p = plan("q_growth_accounting")
+    assert(!p.contains("Join"), s"no join belongs here:\n$p")
+    val userEx = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("user_id"))
+    assert(userEx == 1,
+      s"the per-user lag must ride ONE user exchange, found $userEx:\n$p")
+  }
+
+  test("q_brand_price_position: global mean from cached brand sums — one fact pass") {
+    val p = plan("q_brand_price_position")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the part dim must broadcast:\n$p")
+    val hits = p.linesIterator.count(_.contains("InMemoryTableScan"))
+    assert(hits >= 2,
+      s"report and global mean must reuse the cached brand table, found $hits hits:\n$p")
+  }
+
   test("q_conversion_lag: first-view window and first-purchase agg share the user exchange") {
     val p = plan("q_conversion_lag")
     assert(!p.contains("Join"), s"single-pass form must not join:\n$p")
