@@ -8992,6 +8992,270 @@ object Queries {
         AS price_index
     FROM b, g ORDER BY brand"""))
 
+  /** Forecast model bake-off — seasonal-naive (lag-7) vs trailing
+    * 7-day mean, MAPE each and the per-type winner (the model-
+    * selection table q_forecast_mape's single-model report feeds
+    * into). Both predictors ride ONE type-ordered window over the
+    * bounded daily table (the mean from a strictly-preceding ROWS
+    * frame — no leakage); the winner compares the SAME rounded MAPEs
+    * both engines computed, so no hidden float decides it. */
+  private val qForecastCompare = Q(
+    "q_forecast_compare",
+    (s, d) => {
+      val daily = t(s, d, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+      val wma = w.rowsBetween(-7, -1)
+      val both = daily
+        .withColumn("pn", lag(col("n"), 7).over(w))
+        .withColumn("ms", sum("n").over(wma))
+        .withColumn("mc", count(lit(1)).over(wma))
+        .filter(col("pn").isNotNull && col("mc") === 7 && col("n") > 0)
+      val st = both.groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"),
+          TextAnalysis.roundStable(
+            sum(abs(col("n") - col("pn")).cast("double") / col("n")) /
+              count(lit(1)) * lit(100.0), 4).as("mape_naive"),
+          TextAnalysis.roundStable(
+            sum(abs(col("n") - col("ms") / lit(7.0)) / col("n")) /
+              count(lit(1)) * lit(100.0), 4).as("mape_ma7"))
+      st.select(col("event_type"), col("n_days"), col("mape_naive"),
+          col("mape_ma7"),
+          when(col("mape_naive") < col("mape_ma7"), lit("naive"))
+            .when(col("mape_ma7") < col("mape_naive"), lit("ma7"))
+            .otherwise(lit("tie")).as("winner"))
+        .orderBy("event_type")
+    },
+    Some("""WITH daily AS (
+      SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        count(*) AS n
+      FROM events GROUP BY 1, 2),
+    lagged AS (SELECT event_type, n,
+        lag(n, 7) OVER w AS pn,
+        sum(n) OVER (w ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+          AS ms,
+        count(*) OVER (w ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+          AS mc
+      FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+    st AS (SELECT event_type, count(*) AS n_days,
+        floor(sum(CAST(abs(n - pn) AS DOUBLE) / n) / count(*) * 100.0
+          * 10000.0 + 0.5) / 10000.0 AS mape_naive,
+        floor(sum(abs(n - ms / 7.0) / n) / count(*) * 100.0
+          * 10000.0 + 0.5) / 10000.0 AS mape_ma7
+      FROM lagged WHERE pn IS NOT NULL AND mc = 7 AND n > 0
+      GROUP BY 1)
+    SELECT event_type, n_days, mape_naive, mape_ma7,
+      CASE WHEN mape_naive < mape_ma7 THEN 'naive'
+           WHEN mape_ma7 < mape_naive THEN 'ma7'
+           ELSE 'tie' END AS winner
+    FROM st ORDER BY event_type"""))
+
+  /** Duplicate-vs-unique quality — mean quality score and char length
+    * of docs inside exact-dup clusters vs singletons (the empirical
+    * "duplicates are low-quality boilerplate" check that motivates
+    * dedup-before-quality-filter ordering). Digest-keyed cluster
+    * sizes join back on the digest; the two-row report folds integer
+    * counts and 4-dp-exact quality sums. */
+  private val qDupQuality = Q(
+    "q_dup_quality",
+    (s, d) => {
+      val key = md5(concat_ws(" ",
+        sort_array(array_distinct(split(col("text"), " ")))))
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          TextAnalysis.qualityScore(col("text")).as("q"), key.as("h"))
+      val sizes = docs.groupBy("h").agg(count(lit(1)).as("sz"))
+      docs.join(sizes, "h")
+        .withColumn("grp",
+          when(col("sz") >= 2, lit("duplicated")).otherwise(lit("unique")))
+        .groupBy("grp")
+        .agg(count(lit(1)).as("n_docs"),
+          TextAnalysis.roundStable(
+            sum("q") / count(lit(1)), 4).as("mean_quality"),
+          TextAnalysis.roundStable(
+            sum("n_chars").cast("double") / count(lit(1)), 2)
+            .as("mean_chars"))
+        .orderBy("grp")
+    },
+    Some("""WITH q AS (
+      SELECT doc_id, n_chars,
+        md5(array_to_string(
+          list_sort(list_distinct(string_split(text, ' '))), ' ')) AS h,
+        len(string_split(lower(text), ' ')) AS n_tok,
+        len(list_filter(string_split(lower(text), ' '),
+          x -> x IN ('the','and','of','to','a','in','is'))) AS n_stop,
+        len(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))
+          AS n_punct,
+        len(text) AS n_char
+      FROM documents),
+    sc AS (SELECT doc_id, n_chars, h,
+        floor((least(n_tok, 100) / 100.0 * 0.4
+          + (n_stop * 1.0 / n_tok) * 0.3
+          + (1.0 - n_punct * 1.0 / n_char) * 0.3)
+          * 10000.0 + 0.5) / 10000.0 AS q
+      FROM q),
+    sz AS (SELECT h, count(*) AS sz FROM sc GROUP BY 1),
+    g AS (SELECT CASE WHEN sz >= 2 THEN 'duplicated' ELSE 'unique' END
+        AS grp, q, n_chars
+      FROM sc JOIN sz USING (h))
+    SELECT grp, count(*) AS n_docs,
+      floor(sum(q) / count(*) * 10000.0 + 0.5) / 10000.0
+        AS mean_quality,
+      floor(CAST(sum(n_chars) AS DOUBLE) / count(*) * 100.0 + 0.5)
+        / 100.0 AS mean_chars
+    FROM g GROUP BY 1 ORDER BY grp"""))
+
+  /** Order-value bands per market segment — exact p25/p50/p75 and the
+    * IQR-normalized spread per segment (the per-segment pricing-tier
+    * read; q_value_deciles is the global banding). One broadcast dim
+    * attach, one segment aggregate with a percentile ARRAY — single
+    * pass, map-side combined. */
+  private val qSegmentValueBands = Q(
+    "q_segment_value_bands",
+    (s, d) => {
+      val c = t(s, d, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      t(s, d, "orders")
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment").as("segment"))
+        .agg(count(lit(1)).as("n_orders"),
+          expr("percentile(o_totalprice, array(0.25D, 0.5D, 0.75D))")
+            .as("ps"))
+        .select(col("segment"), col("n_orders"),
+          TextAnalysis.roundStable(col("ps").getItem(0), 2).as("p25"),
+          TextAnalysis.roundStable(col("ps").getItem(1), 2).as("p50"),
+          TextAnalysis.roundStable(col("ps").getItem(2), 2).as("p75"),
+          TextAnalysis.roundStable(
+            (col("ps").getItem(2) - col("ps").getItem(0)) /
+              col("ps").getItem(1), 4).as("iqr_ratio"))
+        .orderBy("segment")
+    },
+    Some("""WITH j AS (
+      SELECT c_mktsegment AS segment, o_totalprice
+      FROM orders JOIN customer ON o_custkey = c_custkey)
+    SELECT segment, count(*) AS n_orders,
+      floor(quantile_cont(o_totalprice, 0.25) * 100.0 + 0.5) / 100.0
+        AS p25,
+      floor(quantile_cont(o_totalprice, 0.5) * 100.0 + 0.5) / 100.0
+        AS p50,
+      floor(quantile_cont(o_totalprice, 0.75) * 100.0 + 0.5) / 100.0
+        AS p75,
+      floor((quantile_cont(o_totalprice, 0.75)
+          - quantile_cont(o_totalprice, 0.25))
+        / quantile_cont(o_totalprice, 0.5) * 10000.0 + 0.5) / 10000.0
+        AS iqr_ratio
+    FROM j GROUP BY 1 ORDER BY segment"""))
+
+  /** Centroid stability — per label, the cosine between centroids
+    * fitted on the even-id and odd-id halves of its vectors (the
+    * split-half reliability check: an unstable centroid means the
+    * label needs more data before q_knn_label/q_silhouette are
+    * trustworthy). Each half-centroid is a (label, dim) average
+    * rounded 6 dp (identical inputs both engines — the
+    * q_label_centroids contract); the cosine folds row-locally over
+    * dim-sorted arrays; labels-bounded everywhere after the
+    * per-dim aggregate. */
+  private val qCentroidStability = Q(
+    "q_centroid_stability",
+    (s, d) => {
+      val halves = t(s, d, "embeddings")
+        .select(col("label"), (col("vec_id") % 2).cast("int").as("half"),
+          posexplode(col("embedding")).as(Seq("dim", "x")))
+        .groupBy("label", "half", "dim")
+        .agg(round(avg(col("x").cast("double")), 6).as("c"))
+        .groupBy("label", "half")
+        .agg(array_sort(collect_list(struct(col("dim"), col("c"))))
+          .as("sc"))
+        .select(col("label"), col("half"),
+          expr("transform(sc, s -> s.c)").as("v"))
+      val dot = expr("aggregate(zip_with(a.v, b.v, (x, y) -> x * y), " +
+        "0D, (acc, x) -> acc + x)")
+      val nrm = (side: String) => sqrt(expr(
+        s"aggregate($side.v, 0D, (acc, x) -> acc + x * x)"))
+      halves.filter(col("half") === 0).as("a")
+        .join(halves.filter(col("half") === 1).as("b"),
+          col("a.label") === col("b.label"))
+        .select(col("a.label").as("label"),
+          TextAnalysis.roundStable(
+            dot / (nrm("a") * nrm("b")), 6).as("split_cosine"))
+        .orderBy("label")
+    },
+    Some("""WITH c AS (
+      SELECT label, vec_id % 2 AS half, s.i AS dim,
+        round(avg(s.v), 6) AS c
+      FROM (
+        SELECT label, vec_id,
+          unnest(list_transform(embedding,
+            (x, i) -> {'i': i, 'v': CAST(x AS DOUBLE)})) AS s
+        FROM embeddings)
+      GROUP BY label, half, s.i),
+    v AS (SELECT label, half, list(c ORDER BY dim) AS v
+      FROM c GROUP BY 1, 2)
+    SELECT a.label,
+      floor(list_dot_product(a.v, b.v)
+          / (sqrt(list_dot_product(a.v, a.v))
+            * sqrt(list_dot_product(b.v, b.v))) * 1000000.0 + 0.5)
+        / 1000000.0 AS split_cosine
+    FROM v a JOIN v b ON a.label = b.label
+      AND a.half = 0 AND b.half = 1
+    ORDER BY a.label"""))
+
+  /** Vocabulary coverage — share of corpus token MASS covered by the
+    * top-10 / top-100 / top-1000 terms (the tokenizer-budget curve:
+    * how big a vocab buys how much coverage; q_vocab_topk lists the
+    * head, this integrates it). Term counts rank on a vocab-sized
+    * single-partition window (the pinned q_vocab_topk contract);
+    * coverage cells are conditional integer sums against the
+    * broadcast total. */
+  private val qVocabCoverage = Q(
+    "q_vocab_coverage",
+    (s, d) => {
+      val tc = t(s, d, "documents")
+        .select(explode(split(lower(col("text")), " ")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      val wr = Window.orderBy(col("cnt").desc, col("tok").asc)
+      val ranked = tc.withColumn("rk", row_number().over(wr))
+      val tot = tc.agg(sum("cnt").as("tot"), count(lit(1)).as("n_vocab"))
+      ranked.crossJoin(broadcast(tot))
+        .groupBy("tot", "n_vocab")
+        .agg(
+          sum(when(col("rk") <= 10, col("cnt")).otherwise(lit(0L)))
+            .as("m10"),
+          sum(when(col("rk") <= 100, col("cnt")).otherwise(lit(0L)))
+            .as("m100"),
+          sum(when(col("rk") <= 1000, col("cnt")).otherwise(lit(0L)))
+            .as("m1000"))
+        .select(col("n_vocab"), col("tot").as("total_tokens"),
+          TextAnalysis.roundStable(
+            col("m10").cast("double") / col("tot"), 6).as("top10_cov"),
+          TextAnalysis.roundStable(
+            col("m100").cast("double") / col("tot"), 6)
+            .as("top100_cov"),
+          TextAnalysis.roundStable(
+            col("m1000").cast("double") / col("tot"), 6)
+            .as("top1000_cov"))
+    },
+    Some("""WITH tc AS (
+      SELECT tok, count(*) AS cnt FROM (
+        SELECT unnest(string_split(lower(text), ' ')) AS tok
+        FROM documents) GROUP BY 1),
+    rk AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, tok ASC)
+        AS rk FROM tc),
+    tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot,
+        count(*) AS n_vocab FROM tc)
+    SELECT n_vocab, tot AS total_tokens,
+      floor(CAST(sum(CASE WHEN rk <= 10 THEN cnt ELSE 0 END)
+          AS DOUBLE) / tot * 1000000.0 + 0.5) / 1000000.0
+        AS top10_cov,
+      floor(CAST(sum(CASE WHEN rk <= 100 THEN cnt ELSE 0 END)
+          AS DOUBLE) / tot * 1000000.0 + 0.5) / 1000000.0
+        AS top100_cov,
+      floor(CAST(sum(CASE WHEN rk <= 1000 THEN cnt ELSE 0 END)
+          AS DOUBLE) / tot * 1000000.0 + 0.5) / 1000000.0
+        AS top1000_cov
+    FROM rk, tot GROUP BY 1, 2"""))
+
   // ---------------------------------------------------------------------
 
   val all: Seq[Q] = Seq(
@@ -9054,7 +9318,9 @@ object Queries {
     qDedupThresholdCurve, qSegmentAffinity, qSourceLangMix,
     qShareOfParent, qDimVariance,
     qSampleBias, qLognormalFit, qTierMigration, qGrowthAccounting,
-    qBrandPricePosition)
+    qBrandPricePosition,
+    qForecastCompare, qDupQuality, qSegmentValueBands,
+    qCentroidStability, qVocabCoverage)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

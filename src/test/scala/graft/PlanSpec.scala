@@ -1528,6 +1528,48 @@ class PlanSpec extends AnyFunSuite {
       s"report and global mean must reuse the cached brand table, found $hits hits:\n$p")
   }
 
+  test("q_forecast_compare: both predictors ride one type window; no join") {
+    val p = plan("q_forecast_compare")
+    assert(!p.contains("Join"), s"no join belongs here:\n$p")
+    val scans = p.linesIterator.count(_.contains("FileScan parquet"))
+    assert(scans == 1, s"events must be scanned once, found $scans:\n$p")
+  }
+
+  test("q_dup_quality: digest-keyed size attach, text folds at the scan") {
+    val p = plan("q_dup_quality")
+    assert(!p.contains("CartesianProduct"),
+      s"the size attach must be an equi-join:\n$p")
+    assert(!p.linesIterator.exists(l =>
+        l.contains("Exchange") && l.contains("text#")),
+      s"raw text must never enter an exchange:\n$p")
+  }
+
+  test("q_segment_value_bands: broadcast dim, one percentile-array pass") {
+    val p = plan("q_segment_value_bands")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the customer dim must broadcast:\n$p")
+    assert(p.contains("partial_percentile"),
+      s"the band percentiles must combine map-side:\n$p")
+  }
+
+  test("q_centroid_stability: labels-bounded half join, arrays row-local") {
+    val p = plan("q_centroid_stability")
+    assert(!p.contains("CartesianProduct"),
+      s"the half join must be an equi-join:\n$p")
+    assert(!p.linesIterator.exists(l =>
+        l.contains("Exchange") && l.contains("embedding#")),
+      s"the raw embedding array must never enter an exchange:\n$p")
+  }
+
+  test("q_vocab_coverage: vocab-sized rank window, broadcast totals") {
+    val p = plan("q_vocab_coverage")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the single-row totals must broadcast:\n$p")
+    assert(!p.linesIterator.exists(l =>
+        l.contains("Exchange") && l.contains("text#")),
+      s"raw text must never enter an exchange:\n$p")
+  }
+
   test("q_conversion_lag: first-view window and first-purchase agg share the user exchange") {
     val p = plan("q_conversion_lag")
     assert(!p.contains("Join"), s"single-pass form must not join:\n$p")
