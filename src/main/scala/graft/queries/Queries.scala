@@ -9256,6 +9256,232 @@ object Queries {
         AS top1000_cov
     FROM rk, tot GROUP BY 1, 2"""))
 
+  /** Population Stability Index — distribution drift of purchase
+    * values between the month's first and second half, over $10
+    * bins (the model-monitoring drift score; q_ks_test is the
+    * hypothesis test, PSI is the magnitude dashboards alarm on:
+    * <0.1 stable, >0.25 shifted). Bin counts are one conditional
+    * aggregate; the Σ(p−q)·ln(p/q) fold runs over the bounded bin
+    * table with smoothed shares (+1 per cell — the standard zero
+    * guard) and closes rounded. */
+  private val qPsi = Q(
+    "q_psi",
+    (s, d) => {
+      val e = t(s, d, "events")
+        .filter(col("event_type") === "purchase")
+        .select(floor(col("value") / 10).cast("long").as("bin"),
+          (dayofmonth(col("ts")) > 15).cast("long").as("h2"))
+      val bins = e.groupBy("bin")
+        .agg(sum(lit(1L) - col("h2")).as("a"), sum(col("h2")).as("b"))
+      val tot = bins.agg(sum("a").as("ta"), sum("b").as("tb"),
+        count(lit(1)).as("nb"))
+      val p = (col("a") + 1).cast("double") / (col("ta") + col("nb"))
+      val q = (col("b") + 1).cast("double") / (col("tb") + col("nb"))
+      bins.crossJoin(broadcast(tot))
+        .select(((p - q) * log(p / q)).as("term"), col("ta"), col("tb"))
+        .groupBy("ta", "tb")
+        .agg(count(lit(1)).as("n_bins"),
+          TextAnalysis.roundStable(sum("term"), 6).as("psi"))
+        .select(col("ta").as("n_first_half"), col("tb").as("n_second_half"),
+          col("n_bins"), col("psi"))
+    },
+    Some("""WITH e AS (
+      SELECT CAST(floor(value / 10) AS BIGINT) AS bin,
+        CASE WHEN day(CAST(ts AS TIMESTAMP)) > 15 THEN 1 ELSE 0 END
+          AS h2
+      FROM events WHERE event_type = 'purchase'),
+    bins AS (SELECT bin, CAST(sum(1 - h2) AS BIGINT) AS a,
+        CAST(sum(h2) AS BIGINT) AS b
+      FROM e GROUP BY 1),
+    tot AS (SELECT CAST(sum(a) AS BIGINT) AS ta,
+        CAST(sum(b) AS BIGINT) AS tb, count(*) AS nb FROM bins)
+    SELECT ta AS n_first_half, tb AS n_second_half,
+      count(*) AS n_bins,
+      floor(sum(((a + 1) * 1.0 / (ta + nb) - (b + 1) * 1.0 / (tb + nb))
+          * ln(((a + 1) * 1.0 / (ta + nb))
+            / ((b + 1) * 1.0 / (tb + nb)))) * 1000000.0 + 0.5)
+        / 1000000.0 AS psi
+    FROM bins, tot GROUP BY 1, 2"""))
+
+  /** Rare-token exposure per doc — top-20 docs by share of tokens
+    * whose corpus document-frequency is ≤ 2 (the OOV-risk ranking:
+    * heavy rare-token docs inflate vocabulary and destabilize
+    * tokenizers; q_ngram_novelty is the gram-level cousin). Distinct
+    * (doc, token) pairs feed a token-keyed df aggregate (map-side
+    * combined); the verdict join moves tokens once; the cut is a
+    * bounded heap on an exact integer ratio. */
+  private val qRareTokenShare = Q(
+    "q_rare_token_share",
+    (s, d) => {
+      val dt = t(s, d, "documents")
+        .select(col("doc_id"),
+          explode(array_distinct(split(lower(col("text")), " ")))
+            .as("tok"))
+      val df = dt.groupBy("tok").agg(count(lit(1)).as("df"))
+      dt.join(df, "tok")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_types"),
+          sum((col("df") <= 2).cast("long")).as("n_rare"))
+        .select(col("doc_id"), col("n_types"), col("n_rare"),
+          TextAnalysis.roundStable(
+            col("n_rare").cast("double") / col("n_types"), 6)
+            .as("rare_share"))
+        .orderBy(col("rare_share").desc, col("doc_id").asc)
+        .limit(20)
+    },
+    Some("""WITH dt AS (
+      SELECT DISTINCT doc_id,
+        unnest(list_distinct(string_split(lower(text), ' '))) AS tok
+      FROM documents),
+    df AS (SELECT tok, count(*) AS df FROM dt GROUP BY 1),
+    a AS (SELECT doc_id, count(*) AS n_types,
+        CAST(sum(CASE WHEN df <= 2 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_rare
+      FROM dt JOIN df USING (tok) GROUP BY 1)
+    SELECT doc_id, n_types, n_rare,
+      floor(CAST(n_rare AS DOUBLE) / n_types * 1000000.0 + 0.5)
+        / 1000000.0 AS rare_share
+    FROM a ORDER BY rare_share DESC, doc_id ASC LIMIT 20"""))
+
+  /** Bot suspects — top-20 users by hour-of-day uniformity (high
+    * activity spread evenly over all 24 hours is machine-like; humans
+    * sleep — the abuse screen run before engagement metrics are
+    * trusted). Per-(user, hour) counts fold to per-user entropy via
+    * the q_token_entropy algebraic form (integers until the closing
+    * log2s); a minimum-volume gate keeps tiny users out; the cut is
+    * a bounded heap with entropy-then-id tie-break. */
+  private val qBotSuspects = Q(
+    "q_bot_suspects",
+    (s, d) => t(s, d, "events")
+      .groupBy(col("user_id"), hour(col("ts")).as("hr"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy("user_id")
+      .agg(sum("c").as("n_events"), count(lit(1)).as("n_hours"),
+        sum(col("c").cast("double") * log2(col("c"))).as("clogc"))
+      .filter(col("n_events") >= 48)
+      .select(col("user_id"), col("n_events"), col("n_hours"),
+        TextAnalysis.roundStable(
+          log2(col("n_events")) - col("clogc") / col("n_events"), 6)
+          .as("hour_entropy"))
+      .orderBy(col("hour_entropy").desc, col("user_id").asc)
+      .limit(20),
+    Some("""WITH uh AS (
+      SELECT user_id, hour(CAST(ts AS TIMESTAMP)) AS hr,
+        count(*) AS c
+      FROM events GROUP BY 1, 2),
+    a AS (SELECT user_id, CAST(sum(c) AS BIGINT) AS n_events,
+        count(*) AS n_hours,
+        sum(c * log2(CAST(c AS DOUBLE))) AS clogc
+      FROM uh GROUP BY 1 HAVING sum(c) >= 48)
+    SELECT user_id, n_events, n_hours,
+      floor((log2(CAST(n_events AS DOUBLE)) - clogc / n_events)
+        * 1000000.0 + 0.5) / 1000000.0 AS hour_entropy
+    FROM a ORDER BY hour_entropy DESC, user_id ASC LIMIT 20"""))
+
+  /** Nation trade balance — each nation's supply-side revenue (as
+    * supplier of shipped lines) vs demand-side revenue (as customer
+    * of orders) and the balance (TPC-H Q5's star, asked both ways at
+    * once). Two independent fact aggregates meet on the 25-row
+    * nation grid; every dim hop broadcasts; DECIMAL revenue. */
+  private val qNationBalance = Q(
+    "q_nation_balance",
+    (s, d) => {
+      val nat = t(s, d, "nation").select(col("n_nationkey"), col("n_name"))
+      val sup = t(s, d, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey"))
+      val cust = t(s, d, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))
+      val supply = t(s, d, "lineitem")
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_nationkey").as("nk"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,6)"))
+          .as("supply_rev"))
+      val demand = t(s, d, "orders")
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey").as("nk"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,6)"))
+          .as("demand_rev"))
+      broadcast(nat)
+        .join(supply, col("n_nationkey") === supply("nk"), "left")
+        .drop("nk")
+        .join(demand, col("n_nationkey") === demand("nk"), "left")
+        .select(col("n_name").as("nation"),
+          TextAnalysis.roundStable(
+            coalesce(col("supply_rev"), lit(0).cast("decimal(18,6)"))
+              .cast("double"), 2).as("supply_rev"),
+          TextAnalysis.roundStable(
+            coalesce(col("demand_rev"), lit(0).cast("decimal(18,6)"))
+              .cast("double"), 2).as("demand_rev"),
+          TextAnalysis.roundStable(
+            (coalesce(col("supply_rev"), lit(0).cast("decimal(18,6)")) -
+              coalesce(col("demand_rev"), lit(0).cast("decimal(18,6)")))
+              .cast("double"), 2).as("balance"))
+        .orderBy("nation")
+    },
+    Some("""WITH supply AS (
+      SELECT s_nationkey AS nk,
+        sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS supply_rev
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      GROUP BY 1),
+    demand AS (
+      SELECT c_nationkey AS nk,
+        sum(CAST(o_totalprice AS DECIMAL(18,6))) AS demand_rev
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1)
+    SELECT n_name AS nation,
+      floor(CAST(coalesce(supply_rev, 0) AS DOUBLE) * 100.0 + 0.5)
+        / 100.0 AS supply_rev,
+      floor(CAST(coalesce(demand_rev, 0) AS DOUBLE) * 100.0 + 0.5)
+        / 100.0 AS demand_rev,
+      floor(CAST(coalesce(supply_rev, 0) - coalesce(demand_rev, 0)
+          AS DOUBLE) * 100.0 + 0.5) / 100.0 AS balance
+    FROM nation
+    LEFT JOIN supply ON n_nationkey = supply.nk
+    LEFT JOIN demand ON n_nationkey = demand.nk
+    ORDER BY nation"""))
+
+  /** Order-priority composition drift by year — priority shares per
+    * order year and the L1 distance to the previous year (q_mix_shift
+    * at the reporting grain on ORDERS — the "did urgency creep up?"
+    * audit). Year×priority grid from one aggregate; shares and lags
+    * over the bounded grid; the |Δ| fold sums ≤5 terms per year. */
+  private val qPriorityDrift = Q(
+    "q_priority_drift",
+    (s, d) => {
+      val g = t(s, d, "orders")
+        .groupBy(year(col("o_orderdate")).cast("long").as("yr"),
+          col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+      val wy = Window.partitionBy("yr")
+      val wp = Window.partitionBy("o_orderpriority").orderBy("yr")
+      g.withColumn("share",
+          col("n").cast("double") / sum("n").over(wy))
+        .withColumn("prev_share", lag(col("share"), 1).over(wp))
+        .filter(col("prev_share").isNotNull)
+        .groupBy("yr")
+        .agg(count(lit(1)).as("n_priorities"),
+          TextAnalysis.roundStable(
+            sum(abs(col("share") - col("prev_share"))), 6)
+            .as("l1_drift"))
+        .orderBy("yr")
+    },
+    Some("""WITH g AS (
+      SELECT CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS yr,
+        o_orderpriority, count(*) AS n
+      FROM orders GROUP BY 1, 2),
+    sh AS (SELECT yr, o_orderpriority,
+        CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY yr) AS share
+      FROM g),
+    lg AS (SELECT yr, share,
+        lag(share) OVER (PARTITION BY o_orderpriority ORDER BY yr)
+          AS prev_share
+      FROM sh)
+    SELECT yr, count(*) AS n_priorities,
+      floor(sum(abs(share - prev_share)) * 1000000.0 + 0.5)
+        / 1000000.0 AS l1_drift
+    FROM lg WHERE prev_share IS NOT NULL
+    GROUP BY 1 ORDER BY yr"""))
+
   // ---------------------------------------------------------------------
 
   val all: Seq[Q] = Seq(
@@ -9320,7 +9546,9 @@ object Queries {
     qSampleBias, qLognormalFit, qTierMigration, qGrowthAccounting,
     qBrandPricePosition,
     qForecastCompare, qDupQuality, qSegmentValueBands,
-    qCentroidStability, qVocabCoverage)
+    qCentroidStability, qVocabCoverage,
+    qPsi, qRareTokenShare, qBotSuspects, qNationBalance,
+    qPriorityDrift)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

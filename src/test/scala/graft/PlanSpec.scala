@@ -1570,6 +1570,46 @@ class PlanSpec extends AnyFunSuite {
       s"raw text must never enter an exchange:\n$p")
   }
 
+  test("q_psi: pushed purchase filter, bin-bounded fold, broadcast totals") {
+    val p = plan("q_psi")
+    assert(p.contains("PushedFilters: [") &&
+      p.contains("EqualTo(event_type,purchase"),
+      s"purchase filter must push to parquet:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the single-row totals must broadcast:\n$p")
+  }
+
+  test("q_rare_token_share: token-keyed df combines map-side; bounded heap cut") {
+    val p = plan("q_rare_token_share")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the top-20 cut must plan as a bounded heap:\n$p")
+    assert(!p.linesIterator.exists(l =>
+        l.contains("Exchange") && l.contains("text#")),
+      s"raw text must never enter an exchange:\n$p")
+  }
+
+  test("q_bot_suspects: two stacked aggregates, bounded heap, no join") {
+    val p = plan("q_bot_suspects")
+    assert(!p.contains("Join"), s"no join belongs here:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the top-20 cut must plan as a bounded heap:\n$p")
+  }
+
+  test("q_nation_balance: both fact sides aggregate before the 25-row grid joins") {
+    val p = plan("q_nation_balance")
+    assert(!p.contains("CartesianProduct"),
+      s"the grid joins must be equi-joins:\n$p")
+    val bc = p.linesIterator.count(_.contains("BroadcastHashJoin"))
+    assert(bc >= 2, s"dim hops must broadcast, found $bc:\n$p")
+  }
+
+  test("q_priority_drift: grid-bounded shares and lags, one orders scan") {
+    val p = plan("q_priority_drift")
+    assert(!p.contains("Join"), s"no join belongs here:\n$p")
+    val scans = p.linesIterator.count(_.contains("FileScan parquet"))
+    assert(scans == 1, s"orders must be scanned once, found $scans:\n$p")
+  }
+
   test("q_conversion_lag: first-view window and first-purchase agg share the user exchange") {
     val p = plan("q_conversion_lag")
     assert(!p.contains("Join"), s"single-pass form must not join:\n$p")
