@@ -9482,6 +9482,204 @@ object Queries {
     FROM lg WHERE prev_share IS NOT NULL
     GROUP BY 1 ORDER BY yr"""))
 
+  /** Token length histogram — corpus token counts by character
+    * length, with cumulative share (the subword-budget profile: long
+    * tails mean a byte-level fallback will fire often; q_vocab_
+    * coverage sizes the vocab, this sizes the pieces). Lengths fold
+    * scan-side (explode → length — no strings shuffled, only the
+    * bounded length key); cumulative over the ≤100-row histogram. */
+  private val qTokenLenHist = Q(
+    "q_token_len_hist",
+    (s, d) => {
+      val h = t(s, d, "documents")
+        .select(explode(split(lower(col("text")), " ")).as("tok"))
+        .select(length(col("tok")).cast("long").as("len"))
+        .groupBy("len").agg(count(lit(1)).as("n_tokens"))
+      val wc = Window.orderBy("len")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      h.withColumn("cum", sum("n_tokens").over(wc))
+        .withColumn("tot", sum("n_tokens").over(Window.partitionBy()))
+        .select(col("len"), col("n_tokens"),
+          TextAnalysis.roundStable(
+            col("cum").cast("double") / col("tot"), 6).as("cum_share"))
+        .orderBy("len")
+    },
+    Some("""WITH h AS (
+      SELECT CAST(length(tok) AS BIGINT) AS len, count(*) AS n_tokens
+      FROM (SELECT unnest(string_split(lower(text), ' ')) AS tok
+        FROM documents) GROUP BY 1)
+    SELECT len, n_tokens,
+      floor(CAST(sum(n_tokens) OVER (ORDER BY len
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        / CAST(sum(n_tokens) OVER () AS BIGINT) * 1000000.0 + 0.5)
+        / 1000000.0 AS cum_share
+    FROM h ORDER BY len"""))
+
+  /** Sessions-per-user distribution — histogram of 30-minute-gap
+    * session counts (q_sessionize builds the sessions; this is the
+    * engagement-depth read of how many each user runs). Session
+    * starts are a 1-flag on the gap predicate over ONE user window;
+    * per-user session counts and the histogram are two cheap
+    * aggregates. All integers. */
+  private val qSessionCountDist = Q(
+    "q_session_count_dist",
+    (s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val starts = t(s, d, "events")
+        .withColumn("gap_us",
+          unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)))
+        .withColumn("is_start",
+          (col("gap_us").isNull ||
+            col("gap_us") > lit(1800L * 1000000L)).cast("long"))
+      val perUser = starts.groupBy("user_id")
+        .agg(sum("is_start").as("n_sessions"))
+      perUser.groupBy("n_sessions")
+        .agg(count(lit(1)).as("n_users"))
+        .withColumn("tot", sum("n_users").over(Window.partitionBy()))
+        .select(col("n_sessions"), col("n_users"),
+          TextAnalysis.roundStable(
+            col("n_users").cast("double") / col("tot"), 6)
+            .as("user_share"))
+        .orderBy("n_sessions")
+    },
+    Some("""WITH e AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS tts
+      FROM events),
+    g AS (SELECT user_id,
+        CASE WHEN lag(tts) OVER w IS NULL
+          OR epoch_us(tts) - epoch_us(lag(tts) OVER w)
+            > 1800 * 1000000 THEN 1 ELSE 0 END AS is_start
+      FROM e WINDOW w AS (PARTITION BY user_id
+        ORDER BY tts ASC, event_id ASC)),
+    pu AS (SELECT user_id, CAST(sum(is_start) AS BIGINT) AS n_sessions
+      FROM g GROUP BY 1),
+    h AS (SELECT n_sessions, count(*) AS n_users FROM pu GROUP BY 1)
+    SELECT n_sessions, n_users,
+      floor(CAST(n_users AS DOUBLE)
+          / CAST(sum(n_users) OVER () AS BIGINT) * 1000000.0 + 0.5)
+        / 1000000.0 AS user_share
+    FROM h ORDER BY n_sessions"""))
+
+  /** Re-order hazard curve — for each gap length d (days), the
+    * probability the next purchase lands exactly d days out GIVEN
+    * it hasn't happened yet: h(d) = n(gap=d) / n(gap≥d) (the
+    * discrete survival read behind win-back timing; q_order_gap
+    * reports per-user stats, this the corpus-level hazard). Gaps
+    * are one user window; the hazard denominator is a
+    * FROM-THE-TOP cumulative over the bounded gap-day histogram
+    * (reverse-ordered window), all integers until the division. */
+  private val qGapHazard = Q(
+    "q_gap_hazard",
+    (s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val gaps = t(s, d, "events")
+        .filter(col("event_type") === "purchase")
+        .withColumn("gap_d",
+          ((unix_micros(col("ts")) -
+            unix_micros(lag(col("ts"), 1).over(w))) /
+            lit(86400000000L)).cast("long"))
+        .filter(col("gap_d").isNotNull)
+      val h = gaps.groupBy("gap_d").agg(count(lit(1)).as("n"))
+      val wAtRisk = Window.orderBy(col("gap_d").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      h.withColumn("at_risk", sum("n").over(wAtRisk))
+        .select(col("gap_d"), col("n"), col("at_risk"),
+          TextAnalysis.roundStable(
+            col("n").cast("double") / col("at_risk"), 6).as("hazard"))
+        .orderBy("gap_d")
+    },
+    Some("""WITH p AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS tts
+      FROM events WHERE event_type = 'purchase'),
+    g AS (SELECT
+        (epoch_us(tts) - epoch_us(lag(tts) OVER (PARTITION BY user_id
+          ORDER BY tts ASC, event_id ASC))) // 86400000000 AS gap_d
+      FROM p),
+    h AS (SELECT gap_d, count(*) AS n FROM g
+      WHERE gap_d IS NOT NULL GROUP BY 1)
+    SELECT gap_d, n,
+      CAST(sum(n) OVER (ORDER BY gap_d DESC
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        AS at_risk,
+      floor(CAST(n AS DOUBLE)
+          / CAST(sum(n) OVER (ORDER BY gap_d DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) * 1000000.0 + 0.5) / 1000000.0 AS hazard
+    FROM h ORDER BY gap_d"""))
+
+  /** Quality vs length — mean quality score per character-length bin
+    * (the relationship every length filter implicitly assumes,
+    * measured: if quality plateaus, the cut is safe). Fixed 100-char
+    * bins keep the grouping exact integers; quality is the 4-dp
+    * deterministic score, so per-bin means are sums of identical
+    * values both engines. One scan, one bounded aggregate. */
+  private val qQualityVsLength = Q(
+    "q_quality_vs_length",
+    (s, d) => t(s, d, "documents")
+      .select((col("n_chars") / lit(100)).cast("long").as("len_bin"),
+        TextAnalysis.qualityScore(col("text")).as("q"))
+      .groupBy("len_bin")
+      .agg(count(lit(1)).as("n_docs"),
+        TextAnalysis.roundStable(sum("q") / count(lit(1)), 4)
+          .as("mean_quality"))
+      .orderBy("len_bin"),
+    Some("""WITH q AS (
+      SELECT n_chars // 100 AS len_bin,
+        len(string_split(lower(text), ' ')) AS n_tok,
+        len(list_filter(string_split(lower(text), ' '),
+          x -> x IN ('the','and','of','to','a','in','is'))) AS n_stop,
+        len(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))
+          AS n_punct,
+        len(text) AS n_char
+      FROM documents),
+    sc AS (SELECT len_bin,
+        floor((least(n_tok, 100) / 100.0 * 0.4
+          + (n_stop * 1.0 / n_tok) * 0.3
+          + (1.0 - n_punct * 1.0 / n_char) * 0.3)
+          * 10000.0 + 0.5) / 10000.0 AS q
+      FROM q)
+    SELECT CAST(len_bin AS BIGINT) AS len_bin, count(*) AS n_docs,
+      floor(sum(q) / count(*) * 10000.0 + 0.5) / 10000.0
+        AS mean_quality
+    FROM sc GROUP BY 1 ORDER BY len_bin"""))
+
+  /** Discount × priority interaction — mean line revenue per
+    * (discount level, order priority) cell (does discounting bite
+    * differently on urgent orders? — the two-factor read over
+    * q_discount_lift's one factor). The discount key is an exact
+    * integer (round(d·100), the q_discount_lift precedent); one
+    * co-partitioned order-key join, one bounded-grid aggregate with
+    * DECIMAL sums. */
+  private val qDiscountPriorityMatrix = Q(
+    "q_discount_priority_matrix",
+    (s, d) => {
+      val o = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      t(s, d, "lineitem")
+        .select(col("l_orderkey"),
+          round(col("l_discount") * 100).cast("long").as("disc_pct"),
+          col("l_extendedprice"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("disc_pct"), col("o_orderpriority").as("priority"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(col("l_extendedprice").cast("decimal(18,6)")).as("rev"))
+        .select(col("disc_pct"), col("priority"), col("n_lines"),
+          TextAnalysis.roundStable(
+            col("rev").cast("double") / col("n_lines"), 2)
+            .as("mean_rev"))
+        .orderBy("disc_pct", "priority")
+    },
+    Some("""WITH j AS (
+      SELECT CAST(round(l_discount * 100) AS BIGINT) AS disc_pct,
+        o_orderpriority AS priority, l_extendedprice
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+    SELECT disc_pct, priority, count(*) AS n_lines,
+      floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)))
+          AS DOUBLE) / count(*) * 100.0 + 0.5) / 100.0 AS mean_rev
+    FROM j GROUP BY 1, 2 ORDER BY disc_pct, priority"""))
+
   // ---------------------------------------------------------------------
 
   val all: Seq[Q] = Seq(
@@ -9548,7 +9746,9 @@ object Queries {
     qForecastCompare, qDupQuality, qSegmentValueBands,
     qCentroidStability, qVocabCoverage,
     qPsi, qRareTokenShare, qBotSuspects, qNationBalance,
-    qPriorityDrift)
+    qPriorityDrift,
+    qTokenLenHist, qSessionCountDist, qGapHazard, qQualityVsLength,
+    qDiscountPriorityMatrix)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

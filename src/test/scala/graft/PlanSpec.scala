@@ -1610,6 +1610,48 @@ class PlanSpec extends AnyFunSuite {
     assert(scans == 1, s"orders must be scanned once, found $scans:\n$p")
   }
 
+  test("q_token_len_hist: lengths fold scan-side, bounded histogram windows") {
+    val p = plan("q_token_len_hist")
+    assert(!p.contains("Join"), s"no join belongs here:\n$p")
+    assert(!p.linesIterator.exists(l =>
+        l.contains("Exchange") && (l.contains("text#") || l.contains("tok#"))),
+      s"neither text nor tokens may enter an exchange — only length keys:\n$p")
+  }
+
+  test("q_session_count_dist: session flags on one user window, two cheap aggregates") {
+    val p = plan("q_session_count_dist")
+    assert(!p.contains("Join"), s"no join belongs here:\n$p")
+    val userEx = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("user_id"))
+    assert(userEx == 1,
+      s"window and per-user agg must share ONE user exchange, found $userEx:\n$p")
+  }
+
+  test("q_gap_hazard: pushed purchase filter, bounded reverse cumulative") {
+    val p = plan("q_gap_hazard")
+    assert(p.contains("PushedFilters: [") &&
+      p.contains("EqualTo(event_type,purchase"),
+      s"purchase filter must push to parquet:\n$p")
+    assert(!p.contains("Join"), s"no join belongs here:\n$p")
+  }
+
+  test("q_quality_vs_length: one scan, bounded bin aggregate, quality folds scan-side") {
+    val p = plan("q_quality_vs_length")
+    assert(!p.contains("Join"), s"no join belongs here:\n$p")
+    val scans = p.linesIterator.count(_.contains("FileScan parquet"))
+    assert(scans == 1, s"documents must be scanned once, found $scans:\n$p")
+  }
+
+  test("q_discount_priority_matrix: one order-key join, bounded-grid aggregate") {
+    val p = plan("q_discount_priority_matrix")
+    val joins = p.linesIterator.count(l =>
+      l.contains("SortMergeJoin") || l.contains("BroadcastHashJoin") ||
+        l.contains("ShuffledHashJoin"))
+    assert(joins == 1, s"exactly the lineitem-orders join, found $joins:\n$p")
+    assert(p.contains("partial_sum"),
+      s"cell sums must combine map-side:\n$p")
+  }
+
   test("q_conversion_lag: first-view window and first-purchase agg share the user exchange") {
     val p = plan("q_conversion_lag")
     assert(!p.contains("Join"), s"single-pass form must not join:\n$p")
