@@ -9680,6 +9680,203 @@ object Queries {
           AS DOUBLE) / count(*) * 100.0 + 0.5) / 100.0 AS mean_rev
     FROM j GROUP BY 1, 2 ORDER BY disc_pct, priority"""))
 
+  /** Order seasonality — month-of-year volume pooled across years,
+    * with the seasonal index (share × 12; 1.0 = flat — the annual
+    * rhythm q_weekday_profile reads weekly). One aggregate to 12
+    * rows; index from exact integer counts. */
+  private val qOrderSeasonality = Q(
+    "q_order_seasonality",
+    (s, d) => {
+      val m = t(s, d, "orders")
+        .groupBy(month(col("o_orderdate")).cast("long").as("mo"))
+        .agg(count(lit(1)).as("n_orders"))
+      m.withColumn("tot", sum("n_orders").over(Window.partitionBy()))
+        .select(col("mo"), col("n_orders"),
+          TextAnalysis.roundStable(
+            col("n_orders").cast("double") * 12 / col("tot"), 4)
+            .as("seasonal_index"))
+        .orderBy("mo")
+    },
+    Some("""WITH m AS (
+      SELECT CAST(month(CAST(o_orderdate AS DATE)) AS BIGINT) AS mo,
+        count(*) AS n_orders
+      FROM orders GROUP BY 1)
+    SELECT mo, n_orders,
+      floor(CAST(n_orders AS DOUBLE) * 12
+          / CAST(sum(n_orders) OVER () AS BIGINT) * 10000.0 + 0.5)
+        / 10000.0 AS seasonal_index
+    FROM m ORDER BY mo"""))
+
+  /** Top suppliers by shipped revenue — the vendor league table with
+    * account balance attached (revenue concentrates per q_supplier_
+    * share; this names the heads). Lineitem aggregates by supplier
+    * key FIRST (map-side combined), then the bounded result joins
+    * the supplier dim broadcast; the cut is a bounded heap. */
+  private val qTopSuppliers = Q(
+    "q_top_suppliers",
+    (s, d) => {
+      val rev = t(s, d, "lineitem")
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(col("l_extendedprice").cast("decimal(18,6)")).as("rev"))
+      rev.join(broadcast(t(s, d, "supplier")
+          .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_name").as("supplier"), col("n_lines"),
+          TextAnalysis.roundStable(col("rev").cast("double"), 2)
+            .as("revenue"),
+          TextAnalysis.roundStable(col("s_acctbal"), 2).as("acctbal"))
+        .orderBy(col("revenue").desc, col("supplier").asc)
+        .limit(20)
+    },
+    Some("""WITH rev AS (
+      SELECT l_suppkey, count(*) AS n_lines,
+        sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS rev
+      FROM lineitem GROUP BY 1)
+    SELECT s_name AS supplier, n_lines,
+      floor(CAST(rev AS DOUBLE) * 100.0 + 0.5) / 100.0 AS revenue,
+      floor(s_acctbal * 100.0 + 0.5) / 100.0 AS acctbal
+    FROM rev JOIN supplier ON l_suppkey = s_suppkey
+    ORDER BY revenue DESC, supplier ASC LIMIT 20"""))
+
+  /** Near-dup degree distribution — how many ≥0.8 partners each
+    * involved doc has (degree 1 = simple pairs, high degree = a
+    * template family — decides whether q_dedup_keep_best's
+    * per-cluster survivor or a template rewrite is the right fix).
+    * Pairs from the shared exact machinery count BOTH endpoints
+    * (union of the two directions — never a second pair join);
+    * the degree histogram is bounded. */
+  private val qDupDegreeDist = Q(
+    "q_dup_degree_dist",
+    (s, d) => {
+      val pairs = Dedup.jaccardPairs(t(s, d, "documents"), w = 5,
+        threshold = 0.8)
+      val deg = pairs.select(col("i").as("doc"))
+        .unionByName(pairs.select(col("j").as("doc")))
+        .groupBy("doc").agg(count(lit(1)).as("degree"))
+      deg.groupBy("degree").agg(count(lit(1)).as("n_docs"))
+        .orderBy("degree")
+    },
+    Some("""WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id,
+        unnest(CASE WHEN len(t) >= 5
+          THEN list_transform(range(1, len(t) - 3),
+            i -> array_to_string(t[i:i+4], ' '))
+          ELSE []::VARCHAR[] END) AS s
+      FROM toks),
+    card AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY 1),
+    com AS (
+      SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS com
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    pr AS (SELECT i, j FROM com
+      JOIN card ca ON ca.doc_id = i
+      JOIN card cb ON cb.doc_id = j
+      WHERE com * 1.0 / (ca.c + cb.c - com) >= 0.8),
+    deg AS (SELECT doc, count(*) AS degree FROM (
+      SELECT i AS doc FROM pr UNION ALL SELECT j AS doc FROM pr)
+      GROUP BY 1)
+    SELECT degree, count(*) AS n_docs FROM deg
+    GROUP BY 1 ORDER BY degree"""))
+
+  /** Activity-decile × event-type mix — do heavy users behave
+    * differently, or just more? (composition by engagement decile —
+    * the segmentation read q_lifecycle_stages' tiers feed). Users
+    * rank by event count through [[Ranking.globalRank]] (histogram
+    * scheme — no corpus sort); the decile is exact integer
+    * arithmetic; the type mix joins user-keyed back to events and
+    * rolls up to the 10×|types| grid. */
+  private val qDecileTypeMix = Q(
+    "q_decile_type_mix",
+    (s, d) => {
+      val uc = t(s, d, "events")
+        .groupBy("user_id").agg(count(lit(1)).as("n"))
+      val n = uc.agg(count(lit(1)).as("nu"))
+      val ranked = Ranking.globalRank(uc, col("n"), col("user_id"),
+          valueAscending = false, rankName = "rn")
+        .crossJoin(broadcast(n))
+        .select(col("user_id"), expr("((rn - 1) * 10) div nu + 1")
+          .as("decile"))
+      t(s, d, "events")
+        .select(col("user_id"), col("event_type"))
+        .join(ranked, "user_id")
+        .groupBy("decile", "event_type")
+        .agg(count(lit(1)).as("n_events"))
+        .withColumn("dt", sum("n_events").over(
+          Window.partitionBy("decile")))
+        .select(col("decile"), col("event_type"), col("n_events"),
+          TextAnalysis.roundStable(
+            col("n_events").cast("double") / col("dt"), 6)
+            .as("share"))
+        .orderBy("decile", "event_type")
+    },
+    Some("""WITH uc AS (
+      SELECT user_id, count(*) AS n FROM events GROUP BY 1),
+    rk AS (SELECT user_id, row_number() OVER (ORDER BY n DESC,
+        user_id ASC) AS rn FROM uc),
+    nu AS (SELECT count(*) AS nu FROM uc),
+    dec AS (SELECT user_id, ((rn - 1) * 10) // nu.nu + 1 AS decile
+      FROM rk, nu),
+    g AS (SELECT decile, event_type, count(*) AS n_events
+      FROM events JOIN dec USING (user_id) GROUP BY 1, 2)
+    SELECT decile, event_type, n_events,
+      floor(CAST(n_events AS DOUBLE)
+          / CAST(sum(n_events) OVER (PARTITION BY decile) AS BIGINT)
+        * 1000000.0 + 0.5) / 1000000.0 AS share
+    FROM g ORDER BY decile, event_type"""))
+
+  /** Part size–price correlation — Pearson between p_size and
+    * p_retailprice plus per-size-bucket mean price (does bigger cost
+    * more? — the catalog sanity probe). Size is already an integer;
+    * price quantizes to 1e−2 BIGINTs per element, so every power sum
+    * is exact; one dim-table pass, one closing row. */
+  private val qSizePriceCorr = Q(
+    "q_size_price_corr",
+    (s, d) => {
+      val st = t(s, d, "part")
+        .select(col("p_size").cast("long").as("x"),
+          floor(col("p_retailprice") * 100 + 0.5).cast("long").as("y"))
+        .agg(count(lit(1)).as("k"),
+          sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+      val dxx = (col("k") * col("sxx") - col("sx") * col("sx"))
+        .cast("double")
+      val dyy = (col("k") * col("syy") - col("sy") * col("sy"))
+        .cast("double")
+      val dxy = (col("k") * col("sxy") - col("sx") * col("sy"))
+        .cast("double")
+      st.select(col("k").as("n_parts"),
+        TextAnalysis.roundStable(
+          when(dxx > 0 && dyy > 0, dxy / sqrt(dxx * dyy)), 6)
+          .as("corr"),
+        TextAnalysis.roundStable(
+          col("sy").cast("double") / col("k") / 100.0, 2)
+          .as("mean_price"))
+    },
+    Some("""WITH xy AS (
+      SELECT CAST(p_size AS BIGINT) AS x,
+        CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS y
+      FROM part),
+    st AS (SELECT count(*) AS k,
+        CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        CAST(sum(x * y) AS BIGINT) AS sxy,
+        CAST(sum(x * x) AS BIGINT) AS sxx,
+        CAST(sum(y * y) AS BIGINT) AS syy
+      FROM xy)
+    SELECT k AS n_parts,
+      CASE WHEN (k * sxx - sx * sx) > 0 AND (k * syy - sy * sy) > 0
+        THEN floor(CAST(k * sxy - sx * sy AS DOUBLE)
+            / sqrt(CAST(k * sxx - sx * sx AS DOUBLE)
+              * CAST(k * syy - sy * sy AS DOUBLE)) * 1000000.0 + 0.5)
+          / 1000000.0 END AS corr,
+      floor(CAST(sy AS DOUBLE) / k / 100.0 * 100.0 + 0.5) / 100.0
+        AS mean_price
+    FROM st"""))
+
   // ---------------------------------------------------------------------
 
   val all: Seq[Q] = Seq(
@@ -9748,7 +9945,9 @@ object Queries {
     qPsi, qRareTokenShare, qBotSuspects, qNationBalance,
     qPriorityDrift,
     qTokenLenHist, qSessionCountDist, qGapHazard, qQualityVsLength,
-    qDiscountPriorityMatrix)
+    qDiscountPriorityMatrix,
+    qOrderSeasonality, qTopSuppliers, qDupDegreeDist, qDecileTypeMix,
+    qSizePriceCorr)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -1652,6 +1652,48 @@ class PlanSpec extends AnyFunSuite {
       s"cell sums must combine map-side:\n$p")
   }
 
+  test("q_order_seasonality: 12-row grid, one scan, no join") {
+    val p = plan("q_order_seasonality")
+    assert(!p.contains("Join"), s"no join belongs here:\n$p")
+    val scans = p.linesIterator.count(_.contains("FileScan parquet"))
+    assert(scans == 1, s"orders must be scanned once, found $scans:\n$p")
+  }
+
+  test("q_top_suppliers: fact aggregates BEFORE the broadcast dim; bounded heap") {
+    val p = plan("q_top_suppliers")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the top-20 cut must plan as a bounded heap:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the supplier dim must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"lineitem must not shuffle for the dim attach:\n$p")
+  }
+
+  test("q_dup_degree_dist: one pair join (the candidate self-join), degrees from the union") {
+    val p = plan("q_dup_degree_dist")
+    assert(!p.contains("Window"),
+      s"the shingle family never uses a window:\n$p")
+    assert(!p.linesIterator.exists(l =>
+        l.contains("Exchange") && l.contains("text#")),
+      s"raw text must never enter an exchange:\n$p")
+  }
+
+  test("q_decile_type_mix: histogram rank, user-keyed mix join") {
+    val p = plan("q_decile_type_mix")
+    assert(p.contains("windowspecdefinition(__rk_v"),
+      s"ranking must ride the globalRank histogram scheme:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"the decile attach must be an equi-join:\n$p")
+  }
+
+  test("q_size_price_corr: single-pass integer moments on the dim table") {
+    val p = plan("q_size_price_corr")
+    assert(!p.contains("Join"), s"no join belongs here:\n$p")
+    assert(!p.contains("Window"), s"no window belongs here:\n$p")
+    assert(p.contains("partial_count"),
+      s"moments must combine map-side:\n$p")
+  }
+
   test("q_conversion_lag: first-view window and first-purchase agg share the user exchange") {
     val p = plan("q_conversion_lag")
     assert(!p.contains("Join"), s"single-pass form must not join:\n$p")
