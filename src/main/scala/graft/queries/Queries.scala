@@ -9877,6 +9877,186 @@ object Queries {
         AS mean_price
     FROM st"""))
 
+  /** Character-class composition per source — alpha / digit / space /
+    * punctuation shares of each feed's raw bytes (the encoding-health
+    * profile run before any text op; a punctuation spike means markup
+    * leaked past extraction). Per-doc class counts are regexp_replace
+    * lengths computed scan-side (integers); the source rollup divides
+    * exact sums once per class. */
+  private val qCharclassProfile = Q(
+    "q_charclass_profile",
+    (s, d) => {
+      val txt = lower(col("text"))
+      val counts = t(s, d, "documents")
+        .select(col("source"),
+          length(col("text")).cast("long").as("n_char"),
+          (length(col("text")) -
+            length(regexp_replace(txt, "[a-z]", ""))).cast("long")
+            .as("n_alpha"),
+          (length(col("text")) -
+            length(regexp_replace(txt, "[0-9]", ""))).cast("long")
+            .as("n_digit"),
+          (length(col("text")) -
+            length(regexp_replace(txt, " ", ""))).cast("long")
+            .as("n_space"))
+      counts.groupBy("source")
+        .agg(sum("n_char").as("chars"),
+          sum("n_alpha").as("a"), sum("n_digit").as("g"),
+          sum("n_space").as("sp"))
+        .select(col("source"), col("chars"),
+          TextAnalysis.roundStable(
+            col("a").cast("double") / col("chars"), 6).as("alpha_share"),
+          TextAnalysis.roundStable(
+            col("g").cast("double") / col("chars"), 6).as("digit_share"),
+          TextAnalysis.roundStable(
+            col("sp").cast("double") / col("chars"), 6)
+            .as("space_share"),
+          TextAnalysis.roundStable(
+            (col("chars") - col("a") - col("g") - col("sp"))
+              .cast("double") / col("chars"), 6).as("other_share"))
+        .orderBy("source")
+    },
+    Some("""WITH c AS (
+      SELECT source, len(text) AS n_char,
+        len(text) - len(regexp_replace(lower(text), '[a-z]', '', 'g'))
+          AS n_alpha,
+        len(text) - len(regexp_replace(lower(text), '[0-9]', '', 'g'))
+          AS n_digit,
+        len(text) - len(replace(lower(text), ' ', '')) AS n_space
+      FROM documents),
+    g AS (SELECT source, CAST(sum(n_char) AS BIGINT) AS chars,
+        CAST(sum(n_alpha) AS BIGINT) AS a,
+        CAST(sum(n_digit) AS BIGINT) AS dg,
+        CAST(sum(n_space) AS BIGINT) AS sp
+      FROM c GROUP BY 1)
+    SELECT source, chars,
+      floor(CAST(a AS DOUBLE) / chars * 1000000.0 + 0.5) / 1000000.0
+        AS alpha_share,
+      floor(CAST(dg AS DOUBLE) / chars * 1000000.0 + 0.5) / 1000000.0
+        AS digit_share,
+      floor(CAST(sp AS DOUBLE) / chars * 1000000.0 + 0.5) / 1000000.0
+        AS space_share,
+      floor(CAST(chars - a - dg - sp AS DOUBLE) / chars
+        * 1000000.0 + 0.5) / 1000000.0 AS other_share
+    FROM g ORDER BY source"""))
+
+  /** Account balance vs order activity — Pearson between a customer's
+    * acctbal and their order count, plus per-balance-sign activity
+    * means (does credit standing predict engagement? — the CRM
+    * hypothesis probe). Order counts fold customer-keyed first; the
+    * dim attach is a co-partitioned equi-join; balances quantize to
+    * 1e−2 BIGINTs so every moment is exact. */
+  private val qBalanceActivityCorr = Q(
+    "q_balance_activity_corr",
+    (s, d) => {
+      val oc = t(s, d, "orders")
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
+      val j = t(s, d, "customer")
+        .select(col("c_custkey"),
+          floor(col("c_acctbal") * 100 + 0.5).cast("long").as("balq"))
+        .join(oc, col("c_custkey") === col("o_custkey"), "left")
+        .withColumn("n", coalesce(col("n"), lit(0L)))
+      val st = j.agg(count(lit(1)).as("k"),
+        sum("balq").as("sx"), sum("n").as("sy"),
+        sum(col("balq") * col("n")).as("sxy"),
+        sum((col("balq") * col("balq")).cast("decimal(38,0)")).as("sxx"),
+        sum(col("n") * col("n")).as("syy"),
+        sum(when(col("balq") < 0, col("n"))).as("neg_n"),
+        sum((col("balq") < 0).cast("long")).as("neg_k"))
+      // Closing arithmetic in doubles — sx·sx would overflow Long at
+      // corpus scale (Σbalq ~ 1e10 ⇒ square ~ 1e20); the oracle
+      // spells the identical CAST-to-DOUBLE combination.
+      val kd = col("k").cast("double")
+      val sxd = col("sx").cast("double")
+      val syd = col("sy").cast("double")
+      val dxx = kd * col("sxx").cast("double") - sxd * sxd
+      val dyy = kd * col("syy").cast("double") - syd * syd
+      val dxy = kd * col("sxy").cast("double") - sxd * syd
+      st.select(col("k").as("n_customers"),
+        TextAnalysis.roundStable(
+          when(dxx > 0 && dyy > 0, dxy / sqrt(dxx * dyy)), 6)
+          .as("corr"),
+        TextAnalysis.roundStable(
+          when(col("neg_k") > 0,
+            col("neg_n").cast("double") / col("neg_k")), 2)
+          .as("neg_bal_mean_orders"),
+        TextAnalysis.roundStable(
+          when(col("k") > col("neg_k"),
+            (col("sy") - coalesce(col("neg_n"), lit(0L))).cast("double")
+              / (col("k") - col("neg_k"))), 2)
+          .as("pos_bal_mean_orders"))
+    },
+    Some("""WITH oc AS (
+      SELECT o_custkey, count(*) AS n FROM orders GROUP BY 1),
+    j AS (SELECT CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS balq,
+        coalesce(n, 0) AS n
+      FROM customer LEFT JOIN oc ON c_custkey = o_custkey),
+    st AS (SELECT count(*) AS k,
+        CAST(sum(balq) AS BIGINT) AS sx, CAST(sum(n) AS BIGINT) AS sy,
+        CAST(sum(balq * n) AS BIGINT) AS sxy,
+        CAST(sum(CAST(balq AS HUGEINT) * balq) AS DOUBLE) AS sxx,
+        CAST(sum(n * n) AS BIGINT) AS syy,
+        CAST(sum(CASE WHEN balq < 0 THEN n END) AS BIGINT) AS neg_n,
+        CAST(sum(CASE WHEN balq < 0 THEN 1 ELSE 0 END) AS BIGINT)
+          AS neg_k
+      FROM j)
+    SELECT k AS n_customers,
+      CASE WHEN (k * sxx - CAST(sx AS DOUBLE) * sx) > 0
+          AND (k * syy - sy * sy) > 0 THEN
+        floor((k * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+            / sqrt((k * sxx - CAST(sx AS DOUBLE) * sx)
+              * CAST(k * syy - sy * sy AS DOUBLE)) * 1000000.0 + 0.5)
+          / 1000000.0 END AS corr,
+      CASE WHEN neg_k > 0 THEN
+        floor(CAST(neg_n AS DOUBLE) / neg_k * 100.0 + 0.5) / 100.0
+        END AS neg_bal_mean_orders,
+      CASE WHEN k > neg_k THEN
+        floor(CAST(sy - coalesce(neg_n, 0) AS DOUBLE) / (k - neg_k)
+          * 100.0 + 0.5) / 100.0 END AS pos_bal_mean_orders
+    FROM st"""))
+
+  /** Dedup keeper bias — mean character length of the kept (min
+    * doc_id) vs removed docs inside exact-dup clusters (a POLICY
+    * audit: min-id keep is arrival-order; if removed docs average
+    * longer, the policy discards content and q_dedup_keep_best's
+    * max_by(length) is the better survivor rule). Digest-keyed
+    * survivor attach, two-row integer report. */
+  private val qKeeperBias = Q(
+    "q_keeper_bias",
+    (s, d) => {
+      val key = md5(concat_ws(" ",
+        sort_array(array_distinct(split(col("text"), " ")))))
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("n_chars"), key.as("h"))
+      val cl = docs.groupBy("h")
+        .agg(count(lit(1)).as("sz"), min("doc_id").as("keep_id"))
+        .filter(col("sz") >= 2)
+      docs.join(cl, "h")
+        .withColumn("role",
+          when(col("doc_id") === col("keep_id"), lit("kept"))
+            .otherwise(lit("removed")))
+        .groupBy("role")
+        .agg(count(lit(1)).as("n_docs"),
+          TextAnalysis.roundStable(
+            sum("n_chars").cast("double") / count(lit(1)), 2)
+            .as("mean_chars"))
+        .orderBy("role")
+    },
+    Some("""WITH k AS (
+      SELECT doc_id, n_chars,
+        md5(array_to_string(
+          list_sort(list_distinct(string_split(text, ' '))), ' ')) AS h
+      FROM documents),
+    cl AS (SELECT h, count(*) AS sz, min(doc_id) AS keep_id
+      FROM k GROUP BY 1 HAVING count(*) >= 2)
+    SELECT CASE WHEN doc_id = keep_id THEN 'kept' ELSE 'removed' END
+        AS role,
+      count(*) AS n_docs,
+      floor(CAST(sum(n_chars) AS DOUBLE) / count(*) * 100.0 + 0.5)
+        / 100.0 AS mean_chars
+    FROM k JOIN cl USING (h)
+    GROUP BY 1 ORDER BY role"""))
+
   // ---------------------------------------------------------------------
 
   val all: Seq[Q] = Seq(
@@ -9947,7 +10127,8 @@ object Queries {
     qTokenLenHist, qSessionCountDist, qGapHazard, qQualityVsLength,
     qDiscountPriorityMatrix,
     qOrderSeasonality, qTopSuppliers, qDupDegreeDist, qDecileTypeMix,
-    qSizePriceCorr)
+    qSizePriceCorr,
+    qCharclassProfile, qBalanceActivityCorr, qKeeperBias)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

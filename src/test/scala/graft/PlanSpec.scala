@@ -1694,6 +1694,31 @@ class PlanSpec extends AnyFunSuite {
       s"moments must combine map-side:\n$p")
   }
 
+  test("q_charclass_profile: class counts fold scan-side, one aggregate") {
+    val p = plan("q_charclass_profile")
+    assert(!p.contains("Join"), s"no join belongs here:\n$p")
+    assert(!p.linesIterator.exists(l =>
+        l.contains("Exchange") && l.contains("text#")),
+      s"raw text must never enter an exchange:\n$p")
+  }
+
+  test("q_balance_activity_corr: counts fold before the customer join; single closing row") {
+    val p = plan("q_balance_activity_corr")
+    assert(!p.contains("CartesianProduct"),
+      s"the activity attach must be an equi-join:\n$p")
+    assert(p.contains("partial_count"),
+      s"order counts must combine map-side:\n$p")
+  }
+
+  test("q_keeper_bias: digest-keyed survivor attach, text stays at the scan") {
+    val p = plan("q_keeper_bias")
+    assert(!p.contains("CartesianProduct"),
+      s"the survivor attach must be an equi-join:\n$p")
+    assert(!p.linesIterator.exists(l =>
+        l.contains("Exchange") && l.contains("text#")),
+      s"raw text must never enter an exchange:\n$p")
+  }
+
   test("q_conversion_lag: first-view window and first-purchase agg share the user exchange") {
     val p = plan("q_conversion_lag")
     assert(!p.contains("Join"), s"single-pass form must not join:\n$p")
