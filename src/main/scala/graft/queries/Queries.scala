@@ -10057,6 +10057,132 @@ object Queries {
     FROM k JOIN cl USING (h)
     GROUP BY 1 ORDER BY role"""))
 
+  /** Document-length Gini — inequality of character mass across docs
+    * (a skewed corpus means a few giants dominate token budgets and
+    * shard packing; q_gini reads the same statistic over customer
+    * revenue). Rank-weighted identity over [[Ranking.globalRank]]
+    * (histogram scheme — no corpus sort), exact integer Σi·xᵢ in
+    * DECIMAL, one closing expression. */
+  private val qDocLenGini = Q(
+    "q_doc_len_gini",
+    (s, d) => {
+      val lens = t(s, d, "documents")
+        .select(col("doc_id"), col("n_chars"))
+      val ranked = Ranking.globalRank(lens, col("n_chars"),
+        col("doc_id"), valueAscending = true, rankName = "rn")
+      ranked.agg(count(lit(1)).as("n"),
+          sum(col("n_chars").cast("decimal(38,0)")).as("sx"),
+          sum((col("rn") * col("n_chars")).cast("decimal(38,0)"))
+            .as("sxi"))
+        .select(col("n").as("n_docs"),
+          col("sx").cast("long").as("total_chars"),
+          TextAnalysis.roundStable(
+            lit(2.0) * col("sxi").cast("double") /
+              (col("n") * col("sx").cast("double")) -
+              (col("n") + lit(1.0)) / col("n"), 6).as("gini"))
+    },
+    Some("""WITH ranked AS (
+      SELECT n_chars, row_number() OVER (
+        ORDER BY n_chars ASC, doc_id ASC) AS rn
+      FROM documents),
+    a AS (SELECT count(*) AS n,
+        CAST(sum(CAST(n_chars AS HUGEINT)) AS BIGINT) AS sx,
+        CAST(sum(CAST(rn AS HUGEINT) * n_chars) AS DOUBLE) AS sxi
+      FROM ranked)
+    SELECT n AS n_docs, sx AS total_chars,
+      floor((2.0 * sxi / (n * CAST(sx AS DOUBLE))
+          - (n + 1.0) / n) * 1000000.0 + 0.5) / 1000000.0 AS gini
+    FROM a"""))
+
+  /** Basket size by market segment — mean lines and mean order value
+    * per segment (do BUILDING customers order bigger? — the segment
+    * read over q_basket_size_dist's global histogram). Per-order
+    * aggregates fold on the order key FIRST, then the bounded result
+    * joins orders→customer broadcast dims; the segment rollup divides
+    * exact sums. */
+  private val qSegmentBasket = Q(
+    "q_segment_basket",
+    (s, d) => {
+      val perOrder = t(s, d, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(col("l_extendedprice").cast("decimal(18,6)")).as("val"))
+      val c = t(s, d, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      perOrder
+        .join(t(s, d, "orders").select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment").as("segment"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum("n_lines").as("tl"), sum("val").as("tv"))
+        .select(col("segment"), col("n_orders"),
+          TextAnalysis.roundStable(
+            col("tl").cast("double") / col("n_orders"), 4)
+            .as("mean_lines"),
+          TextAnalysis.roundStable(
+            col("tv").cast("double") / col("n_orders"), 2)
+            .as("mean_value"))
+        .orderBy("segment")
+    },
+    Some("""WITH po AS (
+      SELECT l_orderkey, count(*) AS n_lines,
+        sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS val
+      FROM lineitem GROUP BY 1)
+    SELECT c_mktsegment AS segment, count(*) AS n_orders,
+      floor(CAST(sum(n_lines) AS DOUBLE) / count(*) * 10000.0 + 0.5)
+        / 10000.0 AS mean_lines,
+      floor(CAST(sum(val) AS DOUBLE) / count(*) * 100.0 + 0.5) / 100.0
+        AS mean_value
+    FROM po
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    GROUP BY 1 ORDER BY segment"""))
+
+  /** Top part types by revenue — the category league table with line
+    * counts and revenue share (the merchandising rollup; q_top_
+    * suppliers names vendors, this names categories). Fact aggregates
+    * by part key first, the part dim broadcasts, the type rollup is
+    * types-bounded, the cut is a bounded heap. */
+  private val qTypeRevenueTopk = Q(
+    "q_type_revenue_topk",
+    (s, d) => {
+      val rev = t(s, d, "lineitem")
+        .groupBy(col("l_partkey"))
+        .agg(count(lit(1)).as("nl"),
+          sum(col("l_extendedprice").cast("decimal(18,6)")).as("r"))
+      val byType = rev
+        .join(broadcast(t(s, d, "part")
+          .select(col("p_partkey"), col("p_type"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_type").as("part_type"))
+        .agg(sum("nl").as("n_lines"), sum("r").as("rev"))
+      val tot = byType.agg(sum("rev").as("tot"))
+      byType.crossJoin(broadcast(tot))
+        .select(col("part_type"), col("n_lines"),
+          TextAnalysis.roundStable(col("rev").cast("double"), 2)
+            .as("revenue"),
+          TextAnalysis.roundStable(
+            col("rev").cast("double") / col("tot").cast("double"), 6)
+            .as("rev_share"))
+        .orderBy(col("revenue").desc, col("part_type").asc)
+        .limit(10)
+    },
+    Some("""WITH rev AS (
+      SELECT l_partkey, count(*) AS nl,
+        sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS r
+      FROM lineitem GROUP BY 1),
+    bt AS (SELECT p_type AS part_type,
+        CAST(sum(nl) AS BIGINT) AS n_lines, sum(r) AS rev
+      FROM rev JOIN part ON l_partkey = p_partkey GROUP BY 1),
+    tot AS (SELECT sum(rev) AS tot FROM bt)
+    SELECT part_type, n_lines,
+      floor(CAST(rev AS DOUBLE) * 100.0 + 0.5) / 100.0 AS revenue,
+      floor(CAST(rev AS DOUBLE) / CAST(tot AS DOUBLE)
+        * 1000000.0 + 0.5) / 1000000.0 AS rev_share
+    FROM bt, tot
+    ORDER BY revenue DESC, part_type ASC LIMIT 10"""))
+
   // ---------------------------------------------------------------------
 
   val all: Seq[Q] = Seq(
@@ -10128,7 +10254,8 @@ object Queries {
     qDiscountPriorityMatrix,
     qOrderSeasonality, qTopSuppliers, qDupDegreeDist, qDecileTypeMix,
     qSizePriceCorr,
-    qCharclassProfile, qBalanceActivityCorr, qKeeperBias)
+    qCharclassProfile, qBalanceActivityCorr, qKeeperBias,
+    qDocLenGini, qSegmentBasket, qTypeRevenueTopk)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -1719,6 +1719,33 @@ class PlanSpec extends AnyFunSuite {
       s"raw text must never enter an exchange:\n$p")
   }
 
+  test("q_doc_len_gini: histogram rank, single closing row, no corpus sort") {
+    val p = plan("q_doc_len_gini")
+    assert(p.contains("windowspecdefinition(__rk_v"),
+      s"ranking must ride the globalRank histogram scheme:\n$p")
+    assert(!p.linesIterator.exists(l =>
+        l.contains("Exchange") && l.contains("text#")),
+      s"raw text must never enter an exchange:\n$p")
+  }
+
+  test("q_segment_basket: per-order aggregate BEFORE the dim joins") {
+    val p = plan("q_segment_basket")
+    assert(!p.contains("CartesianProduct"),
+      s"the dim attaches must be equi-joins:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the customer dim must broadcast:\n$p")
+  }
+
+  test("q_type_revenue_topk: fact aggregates first, broadcast dim, bounded heap") {
+    val p = plan("q_type_revenue_topk")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the top-10 cut must plan as a bounded heap:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the part dim must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the aggregated fact side must not shuffle for the dim:\n$p")
+  }
+
   test("q_conversion_lag: first-view window and first-purchase agg share the user exchange") {
     val p = plan("q_conversion_lag")
     assert(!p.contains("Join"), s"single-pass form must not join:\n$p")
