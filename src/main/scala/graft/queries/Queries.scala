@@ -10183,6 +10183,128 @@ object Queries {
     FROM bt, tot
     ORDER BY revenue DESC, part_type ASC LIMIT 10"""))
 
+  /** Repeat-order loyalty per market segment — share of customers
+    * with 2+ orders and mean orders per customer (q_repeat_rate's
+    * funnel cut by segment: WHERE does loyalty live?). Customer
+    * order counts fold customer-keyed first, the segment dim
+    * broadcasts, the rollup is segments-bounded integers. */
+  private val qSegmentLoyalty = Q(
+    "q_segment_loyalty",
+    (s, d) => {
+      val oc = t(s, d, "orders")
+        .groupBy("o_custkey").agg(count(lit(1)).as("n"))
+      val c = t(s, d, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      oc.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment").as("segment"))
+        .agg(count(lit(1)).as("n_buyers"),
+          sum((col("n") >= 2).cast("long")).as("repeaters"),
+          sum("n").as("orders"))
+        .select(col("segment"), col("n_buyers"),
+          TextAnalysis.roundStable(
+            col("repeaters").cast("double") / col("n_buyers"), 6)
+            .as("repeat_rate"),
+          TextAnalysis.roundStable(
+            col("orders").cast("double") / col("n_buyers"), 2)
+            .as("orders_per_buyer"))
+        .orderBy("segment")
+    },
+    Some("""WITH oc AS (
+      SELECT o_custkey, count(*) AS n FROM orders GROUP BY 1)
+    SELECT c_mktsegment AS segment, count(*) AS n_buyers,
+      floor(CAST(sum(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+        / count(*) * 1000000.0 + 0.5) / 1000000.0 AS repeat_rate,
+      floor(CAST(sum(n) AS DOUBLE) / count(*) * 100.0 + 0.5) / 100.0
+        AS orders_per_buyer
+    FROM oc JOIN customer ON o_custkey = c_custkey
+    GROUP BY 1 ORDER BY segment"""))
+
+  /** Duplicated-gram mass per language — each language's share of
+    * 5-gram occurrences that are corpus-duplicated (df ≥ 2), the
+    * per-lang redundancy read over q_dup_ngram_frac's per-doc number
+    * (a high-dup language means its sources syndicate — dedup pays
+    * off most there). Hashed grams with multiplicity, gram-keyed df,
+    * lang attach doc-keyed, lang-bounded rollup — hashes-only
+    * shuffles throughout. */
+  private val qLangDupRate = Q(
+    "q_lang_dup_rate",
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      val grams = Dedup.hashedShingleRows(docs, 5)
+      val perDoc = grams.groupBy("doc_id", "s")
+        .agg(count(lit(1)).as("c"))
+      val df = perDoc.groupBy("s").agg(count(lit(1)).as("df"))
+      val agg = perDoc.join(df, "s")
+        .groupBy("doc_id")
+        .agg(sum("c").as("n_grams"),
+          sum(when(col("df") >= 2, col("c")).otherwise(lit(0L)))
+            .as("dup_grams"))
+      agg.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_grams").as("grams"),
+          sum("dup_grams").as("dup"))
+        .select(col("lang"), col("n_docs"), col("grams"),
+          TextAnalysis.roundStable(
+            col("dup").cast("double") / col("grams"), 6)
+            .as("dup_share"))
+        .orderBy("lang")
+    },
+    Some("""WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+    g AS (
+      SELECT doc_id, unnest(CASE WHEN len(t) >= 5
+        THEN list_transform(range(1, len(t) - 3),
+          i -> array_to_string(t[i:i+4], ' '))
+        ELSE []::VARCHAR[] END) AS s
+      FROM toks),
+    pg AS (SELECT doc_id, s, count(*) AS c FROM g GROUP BY 1, 2),
+    df AS (SELECT s, count(*) AS df FROM pg GROUP BY 1),
+    agg AS (
+      SELECT pg.doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+        CAST(sum(CASE WHEN df >= 2 THEN c ELSE 0 END) AS BIGINT)
+          AS dup_grams
+      FROM pg JOIN df USING (s) GROUP BY 1)
+    SELECT lang, count(*) AS n_docs,
+      CAST(sum(n_grams) AS BIGINT) AS grams,
+      floor(CAST(sum(dup_grams) AS DOUBLE) / sum(n_grams)
+        * 1000000.0 + 0.5) / 1000000.0 AS dup_share
+    FROM agg JOIN documents USING (doc_id)
+    GROUP BY 1 ORDER BY lang"""))
+
+  /** Lifetime-value bands — exact p25/p50/p75/p90 of per-user total
+    * purchase value (the LTV banding that sets spend tiers;
+    * q_cohort_ltv tracks the curve over age, this the terminal
+    * distribution). User sums fold user-keyed in DECIMAL; ONE
+    * percentile-array aggregate over the user-grade table closes
+    * it. */
+  private val qUserLtvBands = Q(
+    "q_user_ltv_bands",
+    (s, d) => {
+      val ltv = t(s, d, "events")
+        .filter(col("event_type") === "purchase")
+        .groupBy("user_id")
+        .agg(sum(col("value").cast("decimal(18,6)")).as("v"))
+        .select(col("v").cast("double").as("ltv"))
+      ltv.agg(count(lit(1)).as("n_buyers"),
+          expr("percentile(ltv, array(0.25D, 0.5D, 0.75D, 0.9D))")
+            .as("ps"))
+        .select(col("n_buyers"),
+          TextAnalysis.roundStable(col("ps").getItem(0), 2).as("p25"),
+          TextAnalysis.roundStable(col("ps").getItem(1), 2).as("p50"),
+          TextAnalysis.roundStable(col("ps").getItem(2), 2).as("p75"),
+          TextAnalysis.roundStable(col("ps").getItem(3), 2).as("p90"))
+    },
+    Some("""WITH ltv AS (
+      SELECT CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS ltv
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id)
+    SELECT count(*) AS n_buyers,
+      floor(quantile_cont(ltv, 0.25) * 100.0 + 0.5) / 100.0 AS p25,
+      floor(quantile_cont(ltv, 0.5) * 100.0 + 0.5) / 100.0 AS p50,
+      floor(quantile_cont(ltv, 0.75) * 100.0 + 0.5) / 100.0 AS p75,
+      floor(quantile_cont(ltv, 0.9) * 100.0 + 0.5) / 100.0 AS p90
+    FROM ltv"""))
+
   // ---------------------------------------------------------------------
 
   val all: Seq[Q] = Seq(
@@ -10255,7 +10377,8 @@ object Queries {
     qOrderSeasonality, qTopSuppliers, qDupDegreeDist, qDecileTypeMix,
     qSizePriceCorr,
     qCharclassProfile, qBalanceActivityCorr, qKeeperBias,
-    qDocLenGini, qSegmentBasket, qTypeRevenueTopk)
+    qDocLenGini, qSegmentBasket, qTypeRevenueTopk,
+    qSegmentLoyalty, qLangDupRate, qUserLtvBands)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -1746,6 +1746,33 @@ class PlanSpec extends AnyFunSuite {
       s"the aggregated fact side must not shuffle for the dim:\n$p")
   }
 
+  test("q_segment_loyalty: counts fold before the broadcast dim") {
+    val p = plan("q_segment_loyalty")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the customer dim must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the aggregated counts must not shuffle for the dim:\n$p")
+  }
+
+  test("q_lang_dup_rate: hashes-only shuffles through the df pipeline") {
+    val p = plan("q_lang_dup_rate")
+    assert(!p.contains("Window"),
+      s"the shingle family never uses a window:\n$p")
+    assert(!p.linesIterator.exists(l =>
+        l.contains("Exchange") && l.contains("text#")),
+      s"raw text must never enter an exchange:\n$p")
+  }
+
+  test("q_user_ltv_bands: user-keyed decimal sums, one percentile-array pass") {
+    val p = plan("q_user_ltv_bands")
+    assert(!p.contains("Join"), s"no join belongs here:\n$p")
+    assert(p.contains("partial_percentile"),
+      s"the band percentiles must combine map-side:\n$p")
+    assert(p.contains("PushedFilters: [") &&
+      p.contains("EqualTo(event_type,purchase"),
+      s"purchase filter must push to parquet:\n$p")
+  }
+
   test("q_conversion_lag: first-view window and first-purchase agg share the user exchange") {
     val p = plan("q_conversion_lag")
     assert(!p.contains("Join"), s"single-pass form must not join:\n$p")
