@@ -24,6 +24,48 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Support-weighted co-purchase edge list from an order-lines fact
+    * table — `(u, v, w)` with `u < v`, `w` = number of orders whose
+    * baskets contain both parts, `w >= minSupport`. Baskets fold into
+    * per-order part SETS in ONE order-keyed exchange (map-side partial
+    * collect_set — never a fact-table self-join, which would shuffle
+    * the corpus twice and join it against itself); pairs then explode
+    * ROW-LOCALLY (order-bounded: ~lines² per basket), and the support
+    * filter rides the pair aggregate. This is the shared substrate of
+    * the whole graph query family (triangles, clustering coefficient,
+    * assortativity, degree distribution, components). */
+  def copurchaseEdgeList(lineitem: DataFrame,
+                         minSupport: Int = 2): DataFrame = {
+    require(minSupport >= 1, s"minSupport must be >= 1, got $minSupport")
+    lineitem
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .groupBy("ok").agg(collect_set("pk").as("parts"))
+      .select(explode(col("parts")).as("a"), col("parts"))
+      .select(col("a"), explode(col("parts")).as("b"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("a").as("u"), col("b").as("v"))
+      .agg(count(lit(1)).as("w"))
+      .filter(col("w") >= minSupport)
+  }
+
+  /** Materialize [[copurchaseEdgeList]] as a bucketed catalog table —
+    * the [[graft.operators.Dedup.writeMinhashIndex]] pattern applied
+    * to the graph family. At 100 TB you would never re-derive a
+    * trillion-edge list per query: the edge build (the fact-table
+    * aggregate + pair explode) runs ONCE, and every consumer reads
+    * `(u, v, w)` rows bucketed by `u`, so u-keyed joins/aggregates
+    * plan with zero Exchange on the edge side (pinned in
+    * ScaleOpsSpec) and per-query cost drops to a thin bucketed scan
+    * plus the query's own work. The weight column is kept so one
+    * index serves every support threshold >= the build's
+    * (`w >= k` filters are a row-group-prunable scan predicate, and
+    * support-k edges are exactly the `w >= k` subset). */
+  def writeCopurchaseIndex(lineitem: DataFrame, table: String,
+                           minSupport: Int = 2,
+                           nBuckets: Int = 16): Unit =
+    graft.sources.Warehouse.writeBucketed(
+      copurchaseEdgeList(lineitem, minSupport), table, "u", nBuckets)
+
   /** Fixed-iteration PageRank over a directed edge list
     * (`src: bigint, dst: bigint`; caller dedups if edge multiplicity
     * is not intended — multi-edges weight the transition).

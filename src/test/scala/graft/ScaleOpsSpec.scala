@@ -315,6 +315,35 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(scanned.contains(1), s"expected 1 selected partition, got $scanned")
   }
 
+  test("materialized co-purchase edge index: u-keyed work is Exchange-free, contents equal the direct build") {
+    // The graph family's shared substrate (q_triangles /
+    // q_clustering_coef / q_assortativity / q_degree_dist /
+    // q_copurchase_components): built ONCE, bucketed by u, so (a)
+    // u-keyed aggregates/joins plan without shuffling the edge side
+    // and (b) every support threshold >= the build's is a filter over
+    // the same table — no per-query edge rebuild.
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    graft.operators.Graph.writeCopurchaseIndex(li, "cp_edge_idx",
+      minSupport = 2, nBuckets = 4)
+    try {
+      val agg = spark.table("cp_edge_idx").groupBy("u")
+        .agg(sum("w").as("tw"), count(lit(1)).as("n"))
+      val plan = agg.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"u-keyed aggregate over the bucketed edge index must not shuffle:\n$plan")
+      def asSet(df: org.apache.spark.sql.DataFrame) =
+        df.select("u", "v", "w").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val direct2 = asSet(graft.operators.Graph.copurchaseEdgeList(li, 2))
+      assert(direct2.nonEmpty, "fixture produced no support-2 edges")
+      assert(asSet(spark.table("cp_edge_idx")) == direct2)
+      // One index serves every higher threshold: the w>=3 filter over
+      // the support-2 index is exactly the direct support-3 build.
+      val direct3 = asSet(graft.operators.Graph.copurchaseEdgeList(li, 3))
+      assert(asSet(spark.table("cp_edge_idx").filter(col("w") >= 3)) == direct3)
+    } finally spark.sql("DROP TABLE IF EXISTS cp_edge_idx")
+  }
+
   test("schema evolution survives the partitioned layout (mergeSchema)") {
     val dir = Files.createTempDirectory("graft-wh2").toString
     Warehouse.appendPartitioned(
