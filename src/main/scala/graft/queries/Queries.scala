@@ -2126,6 +2126,53 @@ object Queries {
       strlen(text) - strlen(replace(text, ' ', '')) AS cnt_space
     FROM documents ORDER BY media_id"""))
 
+  /** REAL media-container round trip: each document deterministically
+    * becomes a spec-faithful PNG / JPEG / GIF / BMP header
+    * ([[Multimodal.ImageHeaders]] — real CRC-32s, real JFIF APP0
+    * walk-past segment) whose dimensions derive from (doc_id,
+    * n_chars); [[Multimodal.ImageCodec]] then parses format + width
+    * + height BACK from the raw bytes by the public container specs
+    * (big-endian IHDR u32s, SOFn marker walk, little-endian GIF/BMP
+    * fields). The oracle states the dimensions in closed form, so any
+    * byte-arithmetic error on either the encode or the decode side
+    * breaks the hash. Encode→decode is ONE mapPartitions pass —
+    * map-only, zero shuffle, the media bytes never leave their
+    * executor (the 100 TB contract for multimodal columns). Widths
+    * run to 1000 and heights to 800, exercising the multi-byte paths
+    * of all four layouts. */
+  private val qMediaDims = Q(
+    "q_media_dims",
+    (s, d) => {
+      import s.implicits._
+      t(s, d, "documents")
+        .select(col("doc_id"), col("n_chars"))
+        .as[(Long, Long)]
+        .map { case (id, nc) =>
+          val w = (1 + id % 1000).toInt
+          val h = (1 + nc % 800).toInt
+          val bytes = (id % 4) match {
+            case 0 => Multimodal.ImageHeaders.png(w, h)
+            case 1 => Multimodal.ImageHeaders.jpeg(w, h)
+            case 2 => Multimodal.ImageHeaders.gif(w, h)
+            case _ => Multimodal.ImageHeaders.bmp(w, h)
+          }
+          val m = Multimodal.decode("image", bytes)
+          (id, m.format, m.width, m.height, m.nBytes)
+        }
+        .toDF("doc_id", "format", "width", "height", "n_bytes")
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+      CASE CAST(doc_id % 4 AS INT)
+        WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/jpeg'
+        WHEN 2 THEN 'image/gif' ELSE 'image/bmp' END AS format,
+      CAST(1 + doc_id % 1000 AS INT) AS width,
+      CAST(1 + n_chars % 800 AS INT) AS height,
+      CAST(CASE CAST(doc_id % 4 AS INT)
+        WHEN 0 THEN 45 WHEN 1 THEN 35 WHEN 2 THEN 14 ELSE 54 END
+        AS BIGINT) AS n_bytes
+    FROM documents ORDER BY doc_id"""))
+
   /** O24 upload admission as an oracle-checked query: a deterministic
     * request workload derived from `documents` (every combination of
     * good/bad suffix, edit/view/no share, sanitizable names) validated
@@ -10328,7 +10375,8 @@ object Queries {
     qRepetitionStats, qDomainStats, qTfidf, qFuzzyMatch,
     qNearDup, qNearDupChar, qDedupCluster, qMinhashCluster,
     qDedupMinhash, qDedupSimhash, qEmbedNearDup,
-    qAnnTopk, qAnnIvf, qMediaFeatures, qQuantile, qApproxQuantile,
+    qAnnTopk, qAnnIvf, qMediaFeatures, qMediaDims, qQuantile,
+    qApproxQuantile,
     qWindowFuncs, qAsofJoin, qRangeJoin, qTextSearch, qLabelCentroids,
     qStratifiedSample, qClassWeights, qMixtureSample, qHeavyHitters,
     qUploadAdmission,
