@@ -467,6 +467,53 @@ object Dedup {
         j => xxhash64(j, hash(slice(col("sig"), j * r + 1, lit(r)))))).as("bkey"))
   }
 
+  /** Per-doc CHAR-GRAM MinHash signature — the char twin of
+    * [[minHashSignatures]]: the fused native expression
+    * ([[graft.plans.CharMinHashSigs]]) rolls the n-char polynomial
+    * hash and folds each gram into the k minima in one scan-side
+    * pass, so signing is map-only (zero shuffle) and streaming-safe.
+    * Docs shorter than n chars have no grams, hence no signature
+    * row. */
+  def charMinHashSignatures(docs: DataFrame, n: Int = 20, k: Int = 32,
+                            registry: CacheRegistry = CacheRegistry.global): DataFrame =
+    registry.track(docs.select(col("doc_id"),
+      graft.plans.GraftFunctions.charMinHashSigs(lower(col("text")), n, k).as("sig"))
+      .filter(col("sig").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  /** Char-gram banded near-dup DECISION — the scale path of
+    * [[charJaccardPairs]], completing the chain the word-gram family
+    * already has (banding prunes, exact refine decides): char MinHash
+    * banding proposes candidates (b bands of k/b rows over the
+    * signature — the only corpus-sized exchange carries (doc_id,
+    * bkey) 16 B rows), then each candidate pair joins the two docs'
+    * DISTINCT char-gram hash arrays and the TRUE char-n-gram Jaccard
+    * is computed row-locally, keeping pairs >= threshold. Precision
+    * exact by construction; recall = banding recall (DedupSpec pins
+    * candidates ⊇ exact char pairs on the test corpus, so the output
+    * EQUALS [[charJaccardPairs]] there — the exact pipeline's
+    * all-gram equi-join is what this path never pays). */
+  def charBandedDupPairs(docs: DataFrame, n: Int = 20, k: Int = 32,
+                         bands: Int = 8, threshold: Double = 0.8,
+                         registry: CacheRegistry = CacheRegistry.global): DataFrame = {
+    require(k % bands == 0, s"signature length $k must divide into $bands bands")
+    val sb = minhashBandRows(charMinHashSignatures(docs, n, k, registry), k, bands)
+    val cand = sb.as("a").join(sb.as("b"),
+        col("a.bkey") === col("b.bkey") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .dropDuplicates("i", "j")
+    // Persisted: both refine sides read the gram arrays — an
+    // unpersisted plan would run the corpus-wide char hashing twice.
+    val grams = registry.track(docs.select(col("doc_id"),
+      graft.plans.GraftFunctions.charGramHashesDistinct(
+        lower(col("text")), n).as("d"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    refineJoin(cand,
+      grams.select(col("doc_id").as("i"), col("d").as("di")),
+      grams.select(col("doc_id").as("j"), col("d").as("dj")),
+      threshold)
+  }
+
   /** INCREMENTAL dedup decision — the shape a production pipeline runs
     * every ingest epoch: a (small) delta of new documents is checked
     * against the (huge) existing corpus, and only cross pairs

@@ -388,7 +388,23 @@ object ExprHelpers {
     * such docs); null in → null out. */
   def minHashSigs(s: UTF8String, w: Int, k: Int): ArrayData = {
     if (s == null) return null
-    val grams = wordGramLongs(s, w)
+    sigsFromGramLongs(wordGramLongs(s, w), k)
+  }
+
+  /** [[minHashSigs]] over CHARACTER n-grams — same k-minima fold,
+    * [[charGramLongs]] as the gram stream (duplicates are harmless:
+    * min is idempotent, so the non-distinct one-pass generator is the
+    * right input). Shorter than n chars → NULL, mirroring the word
+    * form's no-grams contract. */
+  def charMinHashSigs(s: UTF8String, n: Int, k: Int): ArrayData = {
+    if (s == null) return null
+    sigsFromGramLongs(charGramLongs(s, n), k)
+  }
+
+  /** Shared k-minima fold of both signature forms: gram hash folded by
+    * pmod into [0, P), then min over (h·a_i + b_i) mod P per i.
+    * h < P and a_i < P keep h·a_i + b_i < 2^62 — no overflow. */
+  private def sigsFromGramLongs(grams: Array[Long], k: Int): ArrayData = {
     if (grams.length == 0) return null
     val (as, bs) = minHashCoefArrays(k)
     val out = new Array[Long](k)
@@ -694,6 +710,38 @@ case class MinHashSigs(child: Expression, w: Int, k: Int) extends UnaryExpressio
     """)
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSigs =
+    copy(child = newChild)
+}
+
+/** [[MinHashSigs]] over character n-grams (see
+  * [[ExprHelpers.charMinHashSigs]]) — the signer behind the char-gram
+  * dedup family's banded scale path. Same nullability contract: text
+  * shorter than n chars has no grams, hence NULL signature. */
+case class CharMinHashSigs(child: Expression, n: Int, k: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType && n >= 1 && k >= 1)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"char_minhash_sigs expects (STRING, n >= 1, k >= 1), got ${child.dataType.sql}, n=$n, k=$k")
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else ExprHelpers.charMinHashSigs(v.asInstanceOf[UTF8String], n, k)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      org.apache.spark.sql.catalyst.util.ArrayData ${ev.value}_r =
+        graft.plans.ExprHelpers.charMinHashSigs($c, $n, $k);
+      if (${ev.value}_r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ${ev.value}_r; }
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): CharMinHashSigs =
     copy(child = newChild)
 }
 
@@ -1169,6 +1217,11 @@ object GraftFunctions {
   def minHashSigs(c: Column, w: Int, k: Int): Column =
     GraftSqlBridge.column(MinHashSigs(GraftSqlBridge.expression(c), w, k))
 
+  /** Fused map-only char-gram MinHash signature (see
+    * [[CharMinHashSigs]]). */
+  def charMinHashSigs(c: Column, n: Int, k: Int): Column =
+    GraftSqlBridge.column(CharMinHashSigs(GraftSqlBridge.expression(c), n, k))
+
   /** Fused map-only SimHash bands (see [[SimHashBands]]). */
   def simHashBands(c: Column): Column =
     GraftSqlBridge.column(SimHashBands(GraftSqlBridge.expression(c)))
@@ -1238,6 +1291,9 @@ object GraftFunctions {
     "minhash_sigs" -> { es =>
       MinHashSigs(es.head, literalInt(es(1), "minhash_sigs"),
         literalInt(es(2), "minhash_sigs")) },
+    "char_minhash_sigs" -> { es =>
+      CharMinHashSigs(es.head, literalInt(es(1), "char_minhash_sigs"),
+        literalInt(es(2), "char_minhash_sigs")) },
     "simhash_bands" -> { es => SimHashBands(es.head) },
     "misra_gries_keys" -> { es =>
       MisraGriesKeys(es.head, literalInt(es(1), "misra_gries_keys")) },

@@ -1613,6 +1613,61 @@ object Queries {
     FROM lab JOIN sizes USING (cluster_id)
     ORDER BY lab.doc_id"""))
 
+  /** CHAR-GRAM banded dedup clustering — the scale twin q_near_dup_char's
+    * scaladoc promised in prose, now an oracle-checked query: char-20-gram
+    * MinHash banding → exact char-Jaccard refine
+    * ([[Dedup.charBandedDupPairs]]) → connected components with sizes
+    * and canonical flags. Oracle-valid for the same reason as
+    * q_minhash_cluster: banding recall over exact ≥0.8 char pairs is 1
+    * on this corpus (DedupSpec pins candidates ⊇ exact pairs), so the
+    * refine output equals the exact pipeline's and the DuckDB closure
+    * over the exact char-substring pairs reproduces the labels. At
+    * 100 TB this path signs map-only and shuffles 16 B band rows,
+    * where the exact pipeline shuffles the full gram stream. */
+  private val qCharhashCluster = Q(
+    "q_charhash_cluster",
+    (s, d) => {
+      val pairs = Dedup.charBandedDupPairs(t(s, d, "documents"),
+        n = 20, threshold = 0.8).select("i", "j")
+      val cc = Dedup.connectedComponents(pairs)
+      val w = Window.partitionBy("cluster_id")
+      cc.withColumn("csize", count(lit(1)).over(w))
+        .select(col("doc_id"), col("cluster_id"), col("csize"),
+          (col("doc_id") === col("cluster_id")).as("is_canonical"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH RECURSIVE sh AS (
+      SELECT DISTINCT doc_id,
+        unnest(CASE WHEN len(text) >= 20
+          THEN list_transform(range(1, len(text) - 18),
+            i -> substr(lower(text), i, 20))
+          ELSE []::VARCHAR[] END) AS s
+      FROM documents),
+    card AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY 1),
+    com AS (
+      SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS com
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    pairs AS (
+      SELECT i, j FROM com
+      JOIN card ca ON ca.doc_id = i
+      JOIN card cb ON cb.doc_id = j
+      WHERE com * 1.0 / (ca.c + cb.c - com) >= 0.8),
+    sym AS (SELECT i AS v, j AS u FROM pairs
+            UNION ALL SELECT j AS v, i AS u FROM pairs),
+    reach AS (
+      SELECT v, u FROM sym
+      UNION
+      SELECT r.v, s2.u FROM reach r JOIN sym s2 ON r.u = s2.v),
+    lab AS (
+      SELECT v AS doc_id, least(v, min(u)) AS cluster_id
+      FROM reach GROUP BY v),
+    sizes AS (SELECT cluster_id, count(*) AS csize FROM lab GROUP BY 1)
+    SELECT lab.doc_id, lab.cluster_id, sizes.csize,
+      lab.doc_id = lab.cluster_id AS is_canonical
+    FROM lab JOIN sizes USING (cluster_id)
+    ORDER BY lab.doc_id"""))
+
   /** SimHash-64 pairs with hamming ≤ 3 via 2×32-bit bands with
     * single-bit multiprobe (n²/2^32 collisions per band — see
     * Dedup.simHashPairs). No oracle (xxhash64 is engine-specific);
@@ -10374,6 +10429,7 @@ object Queries {
     qFingerprint, qPiiRedact,
     qRepetitionStats, qDomainStats, qTfidf, qFuzzyMatch,
     qNearDup, qNearDupChar, qDedupCluster, qMinhashCluster,
+    qCharhashCluster,
     qDedupMinhash, qDedupSimhash, qEmbedNearDup,
     qAnnTopk, qAnnIvf, qMediaFeatures, qMediaDims, qQuantile,
     qApproxQuantile,

@@ -358,6 +358,66 @@ class DedupSpec extends AnyFunSuite {
     } finally reg.releaseAll()
   }
 
+  test("charBandedDupPairs equals the exact char-Jaccard pair set (q_charhash_cluster contract)") {
+    // The char twin of the jaccardRefinePairs pin: char-gram banding
+    // recall over exact >= 0.8 char-20-gram pairs is 1 on this corpus
+    // AND the exact refine kills every sub-threshold candidate, so the
+    // banded path's output EQUALS the exact pipeline's — values
+    // included. This is what makes q_charhash_cluster oracle-valid.
+    val reg = new graft.operators.CacheRegistry
+    try {
+      val exact = Dedup.charJaccardPairs(docs, n = 20, threshold = 0.8,
+          registry = reg).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val banded = Dedup.charBandedDupPairs(docs, n = 20, threshold = 0.8,
+          registry = reg).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(exact.nonEmpty, "corpus must contain planted char near-dups")
+      assert(banded == exact,
+        s"banded != exact: extra=${(banded -- exact).take(3)} " +
+          s"missing=${(exact -- banded).take(3)}")
+    } finally reg.releaseAll()
+  }
+
+  test("fused CharMinHashSigs equals the compositional k-min form, value for value") {
+    // The char signer must reproduce min over (pmod(gram,P)*a+b mod P)
+    // of the DISTINCT char-gram hashes (min is idempotent, so the
+    // non-distinct stream folds to the same minima) — computed here
+    // compositionally from charGramHashesDistinct + higher-order
+    // array ops, a fully independent path through different
+    // expressions. Also exercises the SQL registration.
+    val P = Dedup.MinHashP
+    val coefs = Dedup.minHashCoefs(8)
+    val gramArr = graft.plans.GraftFunctions.charGramHashesDistinct(
+      lower(col("text")), 20)
+    val refCols = coefs.map { case (a, b) =>
+      array_min(transform(gramArr,
+        g => pmod(pmod(g, lit(P)) * a + b, lit(P))))
+    }
+    val ref = docs.select(col("doc_id"), array(refCols: _*).as("sig"))
+      .filter(size(gramArr) > 0)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val reg = new graft.operators.CacheRegistry
+    try {
+      val fused = Dedup.charMinHashSignatures(docs, n = 20, k = 8,
+          registry = reg)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      assert(fused.nonEmpty && fused == ref,
+        s"fused != reference: sizes ${fused.size}/${ref.size}")
+      graft.plans.GraftFunctions.register(spark)
+      docs.createOrReplaceTempView("cmh_docs")
+      val sql = spark.sql(
+        """SELECT doc_id, char_minhash_sigs(lower(text), 20, 8) AS sig
+           FROM cmh_docs WHERE char_minhash_sigs(lower(text), 20, 8) IS NOT NULL""")
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      assert(sql == ref, "SQL-registered form diverges")
+    } finally {
+      reg.releaseAll()
+      spark.catalog.dropTempView("cmh_docs")
+      ()
+    }
+  }
+
   test("prefixFilterPairs equals the exact pair set, values included") {
     // The prefix-filtering principle promises EXACT recall (smallest
     // shared gram sits in both prefixes — proof in the scaladoc) and
