@@ -99,6 +99,60 @@ object Similarity {
       s"cellBits in [1,16] (2^cellBits directories), got $cellBits")
     prep(embeddings).withColumn("cell", cellId(col("v"), cellBits))
       .write.mode("overwrite").partitionBy("cell").parquet(path)
+    // Quantizer parameters ride WITH the index: an append or rebuild
+    // that silently used different cellBits would put vectors in the
+    // wrong cells — probes would then prune them away and lose recall
+    // with no error anywhere. The sidecar makes the contract checkable.
+    writeMetaSidecar(embeddings.sparkSession, path, cellBits)
+  }
+
+  /** INCREMENTAL index maintenance — the epoch-ingest path
+    * [[writeIvfIndex]] alone lacks (the MinHash index's
+    * `incrementalDupPairsIndexed` precedent): quantize ONLY the delta
+    * with the index's own recorded cellBits and dynamic-partition
+    * append it, so exactly the delta's cells gain files and every
+    * untouched `cell=` directory — at 100 TB, almost all of them — is
+    * never listed, read, or rewritten. Probes need no rebuild and no
+    * re-open: the very next [[ivfTopKIndexed]] read sees old + new
+    * vectors, still under dynamic partition pruning (pinned in
+    * ScaleOpsSpec). cellBits is read from the sidecar the build wrote;
+    * a missing sidecar fails loudly rather than risking a
+    * wrong-quantizer append. */
+  def appendIvf(delta: DataFrame, path: String): Unit = {
+    val spark = delta.sparkSession
+    val cellBits = readMetaSidecar(spark, path).getOrElse(
+      throw new IllegalStateException(
+        s"appendIvf: no $MetaFile under $path — not a writeIvfIndex " +
+          "layout (or a pre-sidecar index; rebuild it)"))
+    prep(delta).withColumn("cell", cellId(col("v"), cellBits))
+      .write.mode("append").partitionBy("cell").parquet(path)
+  }
+
+  private val MetaFile = "_graft_ivf.json"
+
+  private def writeMetaSidecar(spark: org.apache.spark.sql.SparkSession,
+                               path: String, cellBits: Int): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path, MetaFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(s"""{"cellBits":$cellBits}""".getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** The index's recorded quantizer width, if the sidecar exists. */
+  def readMetaSidecar(spark: org.apache.spark.sql.SparkSession,
+                      path: String): Option[Int] = {
+    val p = new org.apache.hadoop.fs.Path(path, MetaFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      // One integer field; a hand-rolled parse avoids a JSON dep.
+      val m = "\"cellBits\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(txt)
+      m.map(_.group(1).toInt)
+    }
   }
 
   /** [[ivfTopK]] over a [[writeIvfIndex]] layout. The probe joins the

@@ -1,0 +1,44 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.StreamingQuery
+import graft.operators.Similarity
+
+/** ANN-index-on-ingest: keep a [[Similarity.writeIvfIndex]] layout
+  * current as vectors stream in — the micro-batch twin of
+  * [[Similarity.appendIvf]], completing the incremental story the
+  * MinHash index already has ([[DedupOnIngest]]).
+  *
+  * Why this streams cleanly: an IVF append is a pure per-row function
+  * of (vector, the index's recorded quantizer) — no aggregation state,
+  * no dependence on other in-flight vectors — so it is BATCH-SPLIT
+  * INVARIANT: any partitioning of the same vectors into micro-batches
+  * yields the same index contents (pinned in EventStreamsSpec), and
+  * each micro-batch touches only its own vectors' `cell=` directories.
+  * Probes ([[Similarity.ivfTopKIndexed]]) see appended vectors on
+  * their next read with dynamic partition pruning intact — no rebuild,
+  * no reader restart.
+  *
+  * Delivery is per-batch atomic parquet append: a retried batch can
+  * re-append (at-least-once). Vectors are deterministic per vec_id, so
+  * downstream consumers dedup on vec_id where exactly-once matters;
+  * the epoch-boundary compaction/rebuild is the usual hygiene pass.
+  * Cells that accrete many micro-batch files are exactly the
+  * small-files case [[graft.sources.Warehouse.compactSmallFiles]]
+  * exists for — run it per hot `cell=` directory from the janitor. */
+object AnnIngest {
+
+  /** Start the streaming append: `vectors` (a STREAMING DataFrame with
+    * vec_id, embedding) → per-batch [[Similarity.appendIvf]] into the
+    * index at `indexPath` (which must already exist — the quantizer
+    * parameters come from its sidecar). Caller configures the
+    * trigger/termination on the returned query. */
+  def start(vectors: DataFrame, indexPath: String,
+            checkpointPath: String): StreamingQuery =
+    vectors.writeStream
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        Similarity.appendIvf(batch, indexPath)
+      }
+      .start()
+}

@@ -355,6 +355,43 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("ann-ingest: streamed IVF appends equal the batch index at any micro-batch split") {
+    // Batch-split invariance of AnnIngest: appends are per-row pure
+    // (vector, recorded quantizer), so streaming the delta in two
+    // micro-batches must leave the index probe-identical to the
+    // all-at-once build over base+delta.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ann-idx")
+      .toString + "/idx"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ann-ck").toString
+    val base = emb.filter(col("vec_id") % 2 === 0)
+    graft.operators.Similarity.writeIvfIndex(base, dir, cellBits = 4)
+    val deltaRows = emb.filter(col("vec_id") % 2 === 1)
+      .select("vec_id", "embedding").as[(Long, Array[Float])]
+      .collect().sortBy(_._1)
+    val (b1, b2) = deltaRows.splitAt(deltaRows.length / 2)
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = graft.streaming.AnnIngest.start(
+      input.toDF().toDF("vec_id", "embedding"), dir, ckpt)
+    try {
+      input.addData(b1.toSeq: _*); q.processAllAvailable()
+      input.addData(b2.toSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+    def rset(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "cand_id", "cos_sim", "rk").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+        .toSet
+    val streamed = rset(graft.operators.Similarity.ivfTopKIndexed(
+      spark, dir, col("vec_id") < 8, k = 5))
+    val batch = rset(graft.operators.Similarity.ivfTopK(
+      emb, col("vec_id") < 8, k = 5, cellBits = 4))
+    assert(batch.nonEmpty && streamed == batch,
+      s"streamed index probe != batch, e.g. ${(streamed -- batch).take(3)}")
+  }
+
   test("dedup-on-ingest: streaming stamps equal the batch decision at any micro-batch split") {
     // The batch-split-invariance contract of DedupOnIngest: the
     // incremental decision is a per-row function of (doc, base index),

@@ -218,6 +218,66 @@ class ScaleOpsSpec extends AnyFunSuite {
       "indexed probe must equal the in-memory IVF results")
   }
 
+  test("appendIvf touches only the delta's cells; probe sees old+new under DPP") {
+    val dir = Files.createTempDirectory("graft-ivf-app").toString + "/idx"
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val base = emb.filter(col("vec_id") % 2 === 0)
+    graft.operators.Similarity.writeIvfIndex(base, dir, cellBits = 4)
+    // Delta restricted to ONE cell, so 15 of the 16 cell directories
+    // must come through the append byte-untouched.
+    val deltaAll = emb.filter(col("vec_id") % 2 === 1)
+    val targetCell = deltaAll.select(
+        graft.operators.Similarity.cellId(col("embedding"), 4).as("c"))
+      .head().getLong(0)
+    val delta = deltaAll.filter(
+      graft.operators.Similarity.cellId(col("embedding"), 4) === targetCell)
+    def fileSet(cellDir: java.nio.file.Path) = {
+      val l = Files.list(cellDir)
+      try l.iterator().asScala.map(p =>
+        p.getFileName.toString -> Files.size(p)).toSet
+      finally l.close()
+    }
+    def cellListings() = {
+      val l = Files.list(java.nio.file.Paths.get(dir))
+      try l.iterator().asScala
+        .filter(_.getFileName.toString.startsWith("cell="))
+        .map(p => p.getFileName.toString -> fileSet(p)).toMap
+      finally l.close()
+    }
+    val before = cellListings()
+    graft.operators.Similarity.appendIvf(delta, dir)
+    val after = cellListings()
+    val touched = after.keySet.filter(c =>
+      before.get(c) != Some(after(c)))
+    assert(touched == Set(s"cell=$targetCell"),
+      s"append must only touch the delta's cell, touched: $touched")
+    (before.keySet - s"cell=$targetCell").foreach { c =>
+      assert(before(c) == after(c), s"untouched cell $c changed")
+    }
+    // The post-append probe equals the in-memory IVF over base+delta
+    // and still plans with dynamic partition pruning.
+    val probe = graft.operators.Similarity.ivfTopKIndexed(
+      spark, dir, col("vec_id") < 8, k = 5)
+    assert(probe.queryExecution.executedPlan.toString
+      .toLowerCase.contains("dynamicpruning"))
+    def rset(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "cand_id", "cos_sim", "rk").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+        .toSet
+    val want = rset(graft.operators.Similarity.ivfTopK(
+      base.unionByName(delta), col("vec_id") < 8, k = 5, cellBits = 4))
+    assert(want.nonEmpty && rset(probe) == want,
+      "post-append probe must equal in-memory IVF over base+delta")
+    // A directory without the quantizer sidecar must refuse the append
+    // (wrong-cellBits appends would silently lose recall).
+    val bare = Files.createTempDirectory("graft-ivf-bare").toString + "/idx"
+    base.limit(4).select(col("vec_id"), col("embedding").as("v"))
+      .write.parquet(bare)
+    intercept[IllegalStateException] {
+      graft.operators.Similarity.appendIvf(delta, bare)
+    }
+  }
+
   test("compactSmallFiles: fewer files, identical rows, idempotent") {
     val dir = Files.createTempDirectory("graft-compact").toString + "/t"
     spark.range(0, 10000).select(col("id"), (col("id") * 3).as("v"))
