@@ -43,15 +43,31 @@ import org.apache.spark.sql.functions._
   */
 object Ranking {
 
+  /** NULL rank values are FORBIDDEN, and loudly: the histogram join
+    * below is a plain equi-join, under which a NULL value's rows would
+    * not match any histogram bucket and silently VANISH from the
+    * output — a dropped-rows bug masquerading as success. This guard
+    * makes the contract runtime-checked at ~zero cost: assert_true is
+    * a codegen'd per-row conditional that fails the job with this
+    * message on the first NULL instead. (Callers with genuinely
+    * nullable values choose their own policy first: filter the NULLs
+    * out, or coalesce them to a sentinel that slots into the total
+    * order.) */
+  private def nonNullOrFail(c: Column, op: String): Column =
+    when(assert_true(c.isNotNull,
+      lit(s"$op: NULL rank value — (value, tie) must be a total order " +
+        "over NON-NULL values; filter or coalesce NULLs first")).isNull, c)
+
   /** Global 1-based dense row rank by (`value` ordered per
     * `valueAscending`, then `tie` ascending). (`value`,`tie`) MUST be
     * a total order over the input (`tie` unique) — that is what makes
-    * rank = histogram-offset + within-value rank exact.
+    * rank = histogram-offset + within-value rank exact. `value` must
+    * be NON-NULL per row (runtime-enforced, see [[nonNullOrFail]]).
     * Output = input columns + `rn`. */
   def globalRank(df: DataFrame, value: Column, tie: Column,
                  valueAscending: Boolean = false,
                  rankName: String = "rn"): DataFrame = {
-    val in = df.withColumn("__rk_v", value)
+    val in = df.withColumn("__rk_v", nonNullOrFail(value, "globalRank"))
     val hist = in.groupBy("__rk_v").agg(count(lit(1)).as("__rk_c"))
     val histOrder = if (valueAscending) col("__rk_v").asc else col("__rk_v").desc
     val offsets = hist
@@ -80,13 +96,16 @@ object Ranking {
     *   3. per-VALUE running mass by `tie` — parallelism = #distinct
     *      values, the documented globalRank skew contract.
     *
-    * (`value`,`tie`) MUST be a total order. Mass should be DECIMAL
-    * for exact, order-free accumulation. Output = input + `prefixName`
-    * (inclusive: a row's own mass is counted). */
+    * (`value`,`tie`) MUST be a total order and `value` NON-NULL per
+    * row (runtime-enforced, see [[nonNullOrFail]] — a NULL would
+    * otherwise silently drop its row at the histogram join). Mass
+    * should be DECIMAL for exact, order-free accumulation. Output =
+    * input + `prefixName` (inclusive: a row's own mass is counted). */
   def globalPrefixMass(df: DataFrame, value: Column, tie: Column,
                        mass: Column, valueAscending: Boolean = false,
                        prefixName: String = "prefix"): DataFrame = {
-    val in = df.withColumn("__pm_v", value).withColumn("__pm_m", mass)
+    val in = df.withColumn("__pm_v", nonNullOrFail(value, "globalPrefixMass"))
+      .withColumn("__pm_m", mass)
     val hist = in.groupBy("__pm_v").agg(sum("__pm_m").as("__pm_vm"))
     val histOrder = if (valueAscending) col("__pm_v").asc else col("__pm_v").desc
     val offsets = hist.withColumn("__pm_before",

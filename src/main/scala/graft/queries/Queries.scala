@@ -4650,8 +4650,18 @@ object Queries {
     // keeps this correct across test suites that each build their own
     // SparkSession in one JVM.
     Queries.synchronized {
-      if (!s.catalog.tableExists(table))
+      if (!s.catalog.tableExists(table)) {
+        // The in-memory catalog dies with the JVM but the managed
+        // table's warehouse directory does not — and saveAsTable
+        // refuses to create a managed table over an existing location.
+        // A location without a catalog entry is by definition stale
+        // output of a previous process: remove it, then build.
+        val loc = new org.apache.hadoop.fs.Path(
+          s.sessionState.conf.warehousePath, table.toLowerCase)
+        val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(loc)) fs.delete(loc, true)
         Graph.writeCopurchaseIndex(t(s, d, "lineitem"), table)
+      }
     }
     s.table(table).filter(col("w") >= minSupport)
       .select(col("u").as(outA), col("v").as(outB))
@@ -6343,7 +6353,11 @@ object Queries {
     * broadcast 8-row lag table (join on day − L, NOT a row-offset
     * window — row offsets silently mis-align across missing days).
     * Power sums accumulate in DECIMAL(38,0) (day counts at 100 TB
-    * square past a BIGINT), Pearson closes per lag in doubles. */
+    * square past a BIGINT) — with one FACTOR cast to decimal BEFORE
+    * the multiply, since a long·long product wraps silently in
+    * non-ANSI Spark before any cast could widen it (the same
+    * discipline at every power-sum site in this file). Pearson closes
+    * per lag in doubles. */
   private val qCrossCorr = Q(
     "q_cross_corr",
     (s, d) => {
@@ -6362,9 +6376,9 @@ object Queries {
         count(lit(1)).as("k"),
         sum(col("v").cast("decimal(38,0)")).as("sx"),
         sum(col("p").cast("decimal(38,0)")).as("sy"),
-        sum((col("v") * col("p")).cast("decimal(38,0)")).as("sxy"),
-        sum((col("v") * col("v")).cast("decimal(38,0)")).as("sxx"),
-        sum((col("p") * col("p")).cast("decimal(38,0)")).as("syy"))
+        sum((col("v").cast("decimal(38,0)") * col("p"))).as("sxy"),
+        sum((col("v").cast("decimal(38,0)") * col("v"))).as("sxx"),
+        sum((col("p").cast("decimal(38,0)") * col("p"))).as("syy"))
       val dxx = (col("k") * col("sxx") - col("sx") * col("sx"))
         .cast("double")
       val dyy = (col("k") * col("syy") - col("sy") * col("sy"))
@@ -6699,9 +6713,9 @@ object Queries {
       val st = pairs.agg(count(lit(1)).as("k"),
         sum(col("dx").cast("decimal(38,0)")).as("sx"),
         sum(col("dy").cast("decimal(38,0)")).as("sy"),
-        sum((col("dx") * col("dy")).cast("decimal(38,0)")).as("sxy"),
-        sum((col("dx") * col("dx")).cast("decimal(38,0)")).as("sxx"),
-        sum((col("dy") * col("dy")).cast("decimal(38,0)")).as("syy"))
+        sum((col("dx").cast("decimal(38,0)") * col("dy"))).as("sxy"),
+        sum((col("dx").cast("decimal(38,0)") * col("dx"))).as("sxx"),
+        sum((col("dy").cast("decimal(38,0)") * col("dy"))).as("syy"))
       val dxx = (col("k") * col("sxx") - col("sx") * col("sx"))
         .cast("double")
       val dyy = (col("k") * col("syy") - col("sy") * col("sy"))
@@ -8535,7 +8549,7 @@ object Queries {
       val st = gaps.groupBy("event_type").agg(
         count(lit(1)).as("k"),
         sum(col("gap").cast("decimal(38,0)")).as("sg"),
-        sum((col("gap") * col("gap")).cast("decimal(38,0)")).as("sgg"))
+        sum((col("gap").cast("decimal(38,0)") * col("gap"))).as("sgg"))
       val mean = col("sg").cast("double") / col("k")
       val varP = (col("k") * col("sgg") - col("sg") * col("sg"))
         .cast("double") / (col("k").cast("double") * col("k"))
@@ -8798,7 +8812,7 @@ object Queries {
         .groupBy("dim")
         .agg(count(lit(1)).as("k"),
           sum(col("xq").cast("decimal(38,0)")).as("sx"),
-          sum((col("xq") * col("xq")).cast("decimal(38,0)")).as("sxx"))
+          sum((col("xq").cast("decimal(38,0)") * col("xq"))).as("sxx"))
       val varP = (col("k") * col("sxx") - col("sx") * col("sx"))
         .cast("double") /
         (col("k").cast("double") * col("k")) / lit(1e12)
@@ -10066,7 +10080,7 @@ object Queries {
       val st = j.agg(count(lit(1)).as("k"),
         sum("balq").as("sx"), sum("n").as("sy"),
         sum(col("balq") * col("n")).as("sxy"),
-        sum((col("balq") * col("balq")).cast("decimal(38,0)")).as("sxx"),
+        sum((col("balq").cast("decimal(38,0)") * col("balq"))).as("sxx"),
         sum(col("n") * col("n")).as("syy"),
         sum(when(col("balq") < 0, col("n"))).as("neg_n"),
         sum((col("balq") < 0).cast("long")).as("neg_k"))
@@ -10179,7 +10193,7 @@ object Queries {
         col("doc_id"), valueAscending = true, rankName = "rn")
       ranked.agg(count(lit(1)).as("n"),
           sum(col("n_chars").cast("decimal(38,0)")).as("sx"),
-          sum((col("rn") * col("n_chars")).cast("decimal(38,0)"))
+          sum((col("rn").cast("decimal(38,0)") * col("n_chars")))
             .as("sxi"))
         .select(col("n").as("n_docs"),
           col("sx").cast("long").as("total_chars"),

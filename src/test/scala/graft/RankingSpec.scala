@@ -109,6 +109,32 @@ class RankingSpec extends AnyFunSuite {
       s"shard totals too spread: $byShard")
   }
 
+  test("NULL rank values fail loudly instead of silently dropping rows") {
+    // The histogram equi-join would never match a NULL value — before
+    // the guard, such rows simply vanished from the output. Now the
+    // first NULL fails the job with an explanatory message.
+    val withNull = Seq((1L, Some(10L)), (2L, None), (3L, Some(5L)))
+      .toDF("id", "v")
+    val e = intercept[Exception] {
+      Ranking.globalRank(withNull, col("v"), col("id")).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("NULL rank value")),
+      s"expected the loud NULL guard, got: $e")
+    val e2 = intercept[Exception] {
+      Ranking.globalPrefixMass(withNull, col("v"), col("id"),
+        col("v").cast("decimal(38,6)")).collect()
+    }
+    assert(messages(e2).exists(_.contains("NULL rank value")))
+    // Non-null inputs are unaffected.
+    val ok = Ranking.globalRank(withNull.filter(col("v").isNotNull),
+      col("v"), col("id")).select("id", "rn").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ok == Map(1L -> 1L, 3L -> 2L))
+  }
+
   test("globalRank has no single-partition corpus-sized window") {
     // The contract that makes this operator 100 TB-credible: the only
     // unpartitioned window runs over the VALUE HISTOGRAM. A
