@@ -111,12 +111,28 @@ object Clean {
     "dd-MMM-yyyy" -> "^\\d{1,2}-[A-Za-z]{3}-\\d{4}$",
     "d-MMM-yyyy" -> "^\\d{1,2}-[A-Za-z]{3}-\\d{4}$",
     "dd-MMMM-yyyy" -> "^\\d{1,2}-[A-Za-z]{4,}-\\d{4}$",
-    "d-MMMM-yyyy" -> "^\\d{1,2}-[A-Za-z]{4,}-\\d{4}$")
+    "d-MMMM-yyyy" -> "^\\d{1,2}-[A-Za-z]{4,}-\\d{4}$",
+    // Round-6 tail: abbreviated month WITH comma ("Jan 5, 2021" — the
+    // MMMM guards matched it but the full-month format then failed to
+    // parse), and day-first prose ("3 March 2021", which ordinal
+    // stripping also feeds from "3rd March 2021").
+    "MMM dd, yyyy" -> "^[A-Za-z]+ \\d{1,2}, \\d{4}$",
+    "MMM d, yyyy" -> "^[A-Za-z]+ \\d{1,2}, \\d{4}$",
+    "dd MMMM yyyy" -> "^\\d{1,2} [A-Za-z]{4,} \\d{4}$",
+    "d MMMM yyyy" -> "^\\d{1,2} [A-Za-z]{4,} \\d{4}$",
+    "dd MMM yyyy" -> "^\\d{1,2} [A-Za-z]{3} \\d{4}$",
+    "d MMM yyyy" -> "^\\d{1,2} [A-Za-z]{3} \\d{4}$")
 
   /** O12: fuzzy date cast over the declared format subset
-    * (main.py:241-247) — first format that parses wins; NULL otherwise. */
+    * (main.py:241-247) — first format that parses wins; NULL otherwise.
+    * Ordinal day suffixes ("3rd March 2021", "March 3rd, 2021") are
+    * normalized away BEFORE the format chain — a digit-anchored
+    * word-boundary replace (capture-group form, NOT lookbehind, so the
+    * DuckDB/RE2 oracle can state the identical rewrite) that is a
+    * no-op on every suffix-free string. */
   def parseFuzzyDate(c: Column): Column = {
-    val s = nullNormalize(trim(c))
+    val s = regexp_replace(nullNormalize(trim(c)),
+      "(\\d)(st|nd|rd|th)\\b", "$1")
     coalesce(DateFormatGuards.map { case (f, re) =>
       when(s.rlike(re), try_to_timestamp(s, lit(f)))
     }: _*).cast("date")

@@ -194,15 +194,31 @@ object Queries {
     FROM p ORDER BY event_id"""))
 
   /** O12 (main.py:241-247): declared-subset fuzzy date parse over
-    * strings synthesized from orders.o_orderdate. */
+    * strings synthesized from orders.o_orderdate — including the
+    * round-6 tail: abbreviated month with comma ("Jan 5, 2021") and
+    * BOTH ordinal-suffix prose forms ("3rd March 2021",
+    * "March 3rd, 2021"), which the parser normalizes with the same
+    * digit-anchored suffix strip the oracle states in RE2. */
   private val qParseDate = Q(
     "q_parse_date",
     (s, d) => {
-      val raw = when(col("o_orderkey") % 6 === 0, date_format(col("o_orderdate"), "yyyy-MM-dd"))
-        .when(col("o_orderkey") % 6 === 1, date_format(col("o_orderdate"), "MM/dd/yyyy"))
-        .when(col("o_orderkey") % 6 === 2, date_format(col("o_orderdate"), "MMMM dd, yyyy"))
-        .when(col("o_orderkey") % 6 === 3, date_format(col("o_orderdate"), "dd-MMM-yyyy"))
-        .when(col("o_orderkey") % 6 === 4, date_format(col("o_orderdate"), "MMMM dd yyyy"))
+      val dayN = dayofmonth(col("o_orderdate"))
+      val suffix = when(dayN.isin(1, 21, 31), lit("st"))
+        .when(dayN.isin(2, 22), lit("nd"))
+        .when(dayN.isin(3, 23), lit("rd"))
+        .otherwise(lit("th"))
+      val arm = col("o_orderkey") % 9
+      val raw = when(arm === 0, date_format(col("o_orderdate"), "yyyy-MM-dd"))
+        .when(arm === 1, date_format(col("o_orderdate"), "MM/dd/yyyy"))
+        .when(arm === 2, date_format(col("o_orderdate"), "MMMM dd, yyyy"))
+        .when(arm === 3, date_format(col("o_orderdate"), "dd-MMM-yyyy"))
+        .when(arm === 4, date_format(col("o_orderdate"), "MMMM dd yyyy"))
+        .when(arm === 5, date_format(col("o_orderdate"), "MMM d, yyyy"))
+        .when(arm === 6, concat(dayN.cast("string"), suffix, lit(" "),
+          date_format(col("o_orderdate"), "MMMM yyyy")))
+        .when(arm === 7, concat(date_format(col("o_orderdate"), "MMMM "),
+          dayN.cast("string"), suffix, lit(", "),
+          date_format(col("o_orderdate"), "yyyy")))
         .otherwise(lit("not a date"))
       t(s, d, "orders")
         .select(col("o_orderkey"), raw.as("raw"))
@@ -211,22 +227,39 @@ object Queries {
     },
     Some("""WITH m AS (
       SELECT o_orderkey,
-        CASE CAST(o_orderkey % 6 AS INT)
+        CASE CAST(o_orderkey % 9 AS INT)
           WHEN 0 THEN strftime(o_orderdate, '%Y-%m-%d')
           WHEN 1 THEN strftime(o_orderdate, '%m/%d/%Y')
           WHEN 2 THEN strftime(o_orderdate, '%B %d, %Y')
           WHEN 3 THEN strftime(o_orderdate, '%d-%b-%Y')
           WHEN 4 THEN strftime(o_orderdate, '%B %d %Y')
+          WHEN 5 THEN strftime(o_orderdate, '%b %-d, %Y')
+          WHEN 6 THEN strftime(o_orderdate, '%-d') ||
+            CASE WHEN day(o_orderdate) IN (1, 21, 31) THEN 'st'
+                 WHEN day(o_orderdate) IN (2, 22) THEN 'nd'
+                 WHEN day(o_orderdate) IN (3, 23) THEN 'rd'
+                 ELSE 'th' END || strftime(o_orderdate, ' %B %Y')
+          WHEN 7 THEN strftime(o_orderdate, '%B %-d') ||
+            CASE WHEN day(o_orderdate) IN (1, 21, 31) THEN 'st'
+                 WHEN day(o_orderdate) IN (2, 22) THEN 'nd'
+                 WHEN day(o_orderdate) IN (3, 23) THEN 'rd'
+                 ELSE 'th' END || strftime(o_orderdate, ', %Y')
           ELSE 'not a date' END AS raw
-      FROM orders)
+      FROM orders),
+    st AS (
+      SELECT o_orderkey, raw,
+        regexp_replace(raw, '(\d)(st|nd|rd|th)\b', '\1', 'g') AS stripped
+      FROM m)
     SELECT o_orderkey, raw,
       CAST(COALESCE(
-        TRY_STRPTIME(raw, '%Y-%m-%d'),
-        TRY_STRPTIME(raw, '%m/%d/%Y'),
-        TRY_STRPTIME(raw, '%B %d, %Y'),
-        TRY_STRPTIME(raw, '%d-%b-%Y'),
-        TRY_STRPTIME(raw, '%B %d %Y')) AS DATE) AS parsed
-    FROM m ORDER BY o_orderkey"""))
+        TRY_STRPTIME(stripped, '%Y-%m-%d'),
+        TRY_STRPTIME(stripped, '%m/%d/%Y'),
+        TRY_STRPTIME(stripped, '%B %d, %Y'),
+        TRY_STRPTIME(stripped, '%d-%b-%Y'),
+        TRY_STRPTIME(stripped, '%B %d %Y'),
+        TRY_STRPTIME(stripped, '%b %d, %Y'),
+        TRY_STRPTIME(stripped, '%d %B %Y')) AS DATE) AS parsed
+    FROM st ORDER BY o_orderkey"""))
 
   /** O13 (main.py:224-225): sentinel → NULL normalization, counted. */
   private val qNullNormalize = Q(

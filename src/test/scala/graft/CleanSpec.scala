@@ -60,6 +60,23 @@ class CleanSpec extends AnyFunSuite {
     assert(got.map(Option(_).map(_.toString).orNull) == exp)
   }
 
+  test("parseFuzzyDate: round-6 tail (abbrev month with comma, ordinal suffixes)") {
+    val got = runStr(Clean.parseFuzzyDate,
+      Seq("Jan 5, 2024", "Jan 15, 2024", "Sep 5, 2024",
+        "3rd March 2021", "1st May 2021", "22nd January 2021",
+        "March 3rd, 2021", "May 1st, 2021", "January 22nd, 2021",
+        "4th July 2021", "12th August 2021",
+        // Suffix without a date around it must stay unparseable, and a
+        // mid-word 'st' must not be stripped ("1study" is not "1udy").
+        "3rd place 2021", "1study"))
+    val exp = Seq("2024-01-05", "2024-01-15", "2024-09-05",
+      "2021-03-03", "2021-05-01", "2021-01-22",
+      "2021-03-03", "2021-05-01", "2021-01-22",
+      "2021-07-04", "2021-08-12",
+      null, null)
+    assert(got.map(Option(_).map(_.toString).orNull) == exp)
+  }
+
   test("nullNormalize: sentinels → NULL, others pass through (B.2)") {
     val got = runStr(Clean.nullNormalize, Seq("", "N/A", "---", "ok", null))
     assert(got == Seq(null, null, null, "ok", null))
