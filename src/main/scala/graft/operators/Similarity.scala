@@ -128,6 +128,35 @@ object Similarity {
       .write.mode("append").partitionBy("cell").parquet(path)
   }
 
+  /** Compaction janitor for an IVF index accreting streaming appends:
+    * every micro-batch writes one file per task per touched cell, so a
+    * hot cell accumulates KB-scale files and probe scans pay per-file
+    * open/footer cost ([[AnnIngest]]'s documented hygiene debt). This
+    * runs [[graft.sources.Warehouse.compactSmallFiles]] over each
+    * `cell=` directory independently — cells are physically disjoint,
+    * so compaction never touches rows outside the cell, concurrent
+    * appends to OTHER cells are unaffected, and a racing append to the
+    * compacted cell itself survives untouched (the compactSmallFiles
+    * listing contract). Returns (cell, filesBefore, filesAfter) per
+    * cell; no-op cells report equal counts. Run from the index's
+    * single janitor, per the compactSmallFiles crash-recovery
+    * contract. */
+  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                      path: String,
+                      targetBytes: Long = 128L * 1024 * 1024)
+      : Seq[(String, Int, Int)] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
+      .sortBy(_.getPath.getName)
+      .map { cell =>
+        val (before, after) = graft.sources.Warehouse.compactSmallFiles(
+          spark, cell.getPath.toString, targetBytes)
+        (cell.getPath.getName, before, after)
+      }
+  }
+
   private val MetaFile = "_graft_ivf.json"
 
   private def writeMetaSidecar(spark: org.apache.spark.sql.SparkSession,

@@ -318,6 +318,39 @@ class ScaleOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("compactIvfIndex: per-cell compaction, probe results identical") {
+    // Simulate streaming accretion: many tiny appends → compact →
+    // file counts drop per cell, probe results are byte-identical,
+    // the quantizer sidecar and DPP survive.
+    val dir = Files.createTempDirectory("graft-ivfc").toString + "/idx"
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    graft.operators.Similarity.writeIvfIndex(
+      emb.filter(col("vec_id") % 4 === 0), dir, cellBits = 3)
+    (1 to 3).foreach { m =>
+      graft.operators.Similarity.appendIvf(
+        emb.filter(col("vec_id") % 4 === m), dir)
+    }
+    def rset() = graft.operators.Similarity.ivfTopKIndexed(
+        spark, dir, col("vec_id") < 8, k = 5)
+      .select("query_id", "cand_id", "cos_sim", "rk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toSet
+    val before = rset()
+    val report = graft.operators.Similarity.compactIvfIndex(spark, dir)
+    assert(report.nonEmpty, "expected cell directories")
+    assert(report.exists { case (_, b, a) => a < b },
+      s"no cell actually compacted: $report")
+    report.foreach { case (c, b, a) =>
+      assert(a <= b, s"$c grew: $b -> $a")
+    }
+    assert(rset() == before, "probe results changed across compaction")
+    assert(graft.operators.Similarity.readMetaSidecar(spark, dir)
+      .contains(3), "quantizer sidecar lost")
+    // Appends still work post-compaction (layout and sidecar intact).
+    graft.operators.Similarity.appendIvf(
+      emb.filter(col("vec_id") % 4 === 0).limit(1), dir)
+  }
+
   test("compactSmallFiles: fewer files, identical rows, idempotent") {
     val dir = Files.createTempDirectory("graft-compact").toString + "/t"
     spark.range(0, 10000).select(col("id"), (col("id") * 3).as("v"))
