@@ -3272,6 +3272,51 @@ object Queries {
       o_totalprice AS price
     FROM r WHERE rnk <= 3 ORDER BY o_orderpriority, rnk"""))
 
+  /** Weighted sampling WITHOUT replacement per stratum — the
+    * Efraimidis–Spirakis one-pass scheme (Inf. Proc. Letters 97(5),
+    * 2006): each row draws u ∈ (0,1) and the k largest u^(1/w) per
+    * group are the sample, exactly equivalent to sequential weighted
+    * draws without replacement. This is THE distributed corpus
+    * sampler (length-weighted doc selection, importance-weighted
+    * mixture cuts): one scan, and because the selection key is
+    * per-row, the per-group top-k is a single bounded-heap
+    * TypedImperativeAggregate (the q_group_topk expression) — map-side
+    * combined, no per-group window sort, nothing corpus-sized
+    * shuffles. Determinism discipline: u comes from an integer mix of
+    * doc_id both engines state identically, and the monotone
+    * transform ln(u)/w replaces u^(1/w) (same order, better float
+    * behavior), quantized at 1e-8 into a BIGINT key — the established
+    * quantized-ln parity contract (q_zipf, q_price_elasticity), with
+    * doc_id tiebreak. Weight = n_chars (length-weighted). */
+  private val qWeightedSample = Q(
+    "q_weighted_sample",
+    (s, d) => {
+      val u = (((col("doc_id") * 2654435761L) % 1000003L) + 1L)
+        .cast("double") / 1000004.0
+      val key = floor(log(u) / greatest(col("n_chars"), lit(1L))
+        * 100000000.0).cast("long")
+      t(s, d, "documents")
+        .select(col("doc_id"), col("lang"), key.as("k"))
+        .groupBy("lang")
+        .agg(graft.plans.GraftFunctions.topKByScore(
+          col("k").cast("double"), col("doc_id"), 10).as("top"))
+        .select(col("lang"), posexplode(col("top")).as(Seq("i", "e")))
+        .select(col("lang"), (col("i") + 1).cast("long").as("rnk"),
+          col("e.id").as("doc_id"), col("e.score").cast("long").as("es_key"))
+        .orderBy("lang", "rnk")
+    },
+    Some("""WITH k AS (
+      SELECT doc_id, lang,
+        CAST(floor(ln((((doc_id * 2654435761) % 1000003) + 1) / 1000004.0)
+          / greatest(n_chars, 1) * 100000000.0) AS BIGINT) AS k
+      FROM documents),
+    r AS (SELECT lang, doc_id, k,
+      ROW_NUMBER() OVER (PARTITION BY lang
+        ORDER BY k DESC, doc_id ASC) AS rnk
+      FROM k)
+    SELECT lang, CAST(rnk AS BIGINT) AS rnk, doc_id, k AS es_key
+    FROM r WHERE rnk <= 10 ORDER BY lang, rnk"""))
+
   /** Two-phase Bloom decontamination — q_decontaminate_flag's
     * semantics under the eval-set-outgrows-broadcast constraint: phase
     * 1 is a map-only probe of a ~12-bits-per-gram Bloom filter (5-6x
@@ -10505,7 +10550,8 @@ object Queries {
     qAnnTopk, qAnnIvf, qMediaFeatures, qMediaDims, qQuantile,
     qApproxQuantile,
     qWindowFuncs, qAsofJoin, qRangeJoin, qTextSearch, qLabelCentroids,
-    qStratifiedSample, qClassWeights, qMixtureSample, qHeavyHitters,
+    qStratifiedSample, qClassWeights, qMixtureSample, qWeightedSample,
+    qHeavyHitters,
     qUploadAdmission,
     qDecontaminate, qDecontaminateFlag, qSeqPack, qUnigramLogprob,
     qSemDedup, qSemDedupLsh,

@@ -376,6 +376,20 @@ class PlanSpec extends AnyFunSuite {
       s"the whole point is NO per-group window sort:\n$p")
   }
 
+  test("q_weighted_sample: bounded-heap sampler, no window, key folds scan-side") {
+    // Efraimidis-Spirakis per-stratum sampling must plan as the
+    // map-side-combined heap aggregate — the property that makes a
+    // weighted corpus cut one scan at 100 TB — never as a per-group
+    // window sort over the corpus.
+    val p = plan("q_weighted_sample")
+    assert(p.contains("ObjectHashAggregate") && p.contains("partial_top_k_by"),
+      s"sampler must be the map-side-combined heap aggregate:\n$p")
+    assert(!p.contains("Window"),
+      s"no per-group window sort in the sampling path:\n$p")
+    // Only the 3 needed columns reach the scan.
+    assert(!p.contains("text"), s"scan reads unneeded text column:\n$p")
+  }
+
   test("q_bloom_decontaminate: map-only bloom gate, candidate joins equi-only") {
     val p = plan("q_bloom_decontaminate")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
