@@ -225,6 +225,54 @@ object Graph {
           .as("global_cc"))
   }
 
+  /** Multi-source BFS hop distance over an undirected edge list —
+    * `(node, hops)` = fewest edges from ANY seed, for every node
+    * within `maxHops` (unreached nodes are absent). The "blast
+    * radius" primitive: which products sit within k links of a
+    * recalled part, which documents within k dup-links of a
+    * known-bad source.
+    *
+    * Level-synchronous frontier expansion (the standard distributed
+    * BFS): per hop, ONLY the newly-discovered frontier joins the
+    * (symmetrized) edge list — one src-keyed equi-join plus one
+    * min-hop aggregate per level, so the shuffle bytes per level are
+    * O(frontier·avg_degree), never corpus-sized, and `maxHops` bounds
+    * the rounds. With the edge table bucketed by its source column
+    * (the materialized co-purchase/trade index layout) the edge side
+    * joins pre-partitioned. The distance table re-aggregates with
+    * min() each level, so a node reached by two levels keeps the
+    * smaller — exact BFS semantics regardless of join order; lineage
+    * is cut per level (localCheckpoint) to keep analysis linear in
+    * `maxHops`. */
+  def bfsHops(edges: DataFrame, seeds: DataFrame, maxHops: Int,
+              registry: CacheRegistry = CacheRegistry.global): DataFrame = {
+    require(maxHops >= 0 && maxHops <= 64,
+      s"bfsHops: maxHops must be in [0, 64], got $maxHops")
+    val sym = registry.track(
+      edges.select(col("u").as("src"), col("v").as("dst"))
+        .unionByName(edges.select(col("v").as("src"), col("u").as("dst")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    var dist = seeds.select(col("node"), lit(0L).as("hops"))
+      .localCheckpoint(true)
+    var frontier = dist
+    var h = 1
+    while (h <= maxHops) {
+      val next = frontier.join(sym, col("node") === col("src"))
+        .select(col("dst").as("node"), lit(h.toLong).as("hops"))
+        .distinct()
+      // New frontier = discovered-this-level minus already-known;
+      // dist keeps the min hop per node.
+      frontier = next.join(dist.select(col("node").as("seen")),
+          col("node") === col("seen"), "left_anti")
+        .localCheckpoint(true)
+      dist = dist.unionByName(frontier)
+        .groupBy("node").agg(min("hops").as("hops"))
+        .localCheckpoint(true)
+      h += 1
+    }
+    dist
+  }
+
   /** Per-node triangle participation — `(node, dg, tri)` for every
     * node of the graph, `tri = 0` where none (the inputs of the LOCAL
     * clustering coefficient 2·tri/(dg·(dg−1)), the per-node "how

@@ -5310,6 +5310,44 @@ object Queries {
       count(*) OVER (PARTITION BY cluster_id) AS csize
     FROM lab ORDER BY part_id"""))
 
+  /** Multi-source BFS blast radius over the support-3 co-purchase
+    * graph — hop distance (≤ 3) from the seed set {parts ≡ 0 mod 100
+    * present in the graph} to every reachable part, with per-hop
+    * counts riding along. [[Graph.bfsHops]] expands level-
+    * synchronously (per hop: frontier ⋈ edges + min-agg, shuffle
+    * bytes O(frontier·degree)), reading the MATERIALIZED bucketed
+    * edge index the rest of the graph family shares. The oracle walks
+    * the same graph with a hop-bounded recursive CTE (terminates:
+    * hops strictly increases to the bound) and takes min hops per
+    * node. */
+  private val qBfsHops = Q(
+    "q_bfs_hops",
+    (s, d) => {
+      val edges = copurchaseEdges(s, d, 3, "u", "v")
+      val nodes = edges.select(col("u").as("node"))
+        .unionByName(edges.select(col("v").as("node"))).distinct()
+      val seeds = nodes.filter(pmod(col("node"), lit(100)) === 0)
+      Graph.bfsHops(edges, seeds, maxHops = 3)
+        .orderBy("node")
+    },
+    Some("""WITH RECURSIVE pp AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+    e AS (
+      SELECT a.pk AS u, b.pk AS v
+      FROM pp a JOIN pp b ON a.ok = b.ok AND a.pk < b.pk
+      GROUP BY 1, 2 HAVING count(*) >= 3),
+    sym AS (SELECT u AS src, v AS dst FROM e
+            UNION ALL SELECT v AS src, u AS dst FROM e),
+    nodes AS (SELECT DISTINCT src AS node FROM sym),
+    seeds AS (SELECT node FROM nodes WHERE node % 100 = 0),
+    walk(node, hops) AS (
+      SELECT node, 0 FROM seeds
+      UNION ALL
+      SELECT s.dst, w.hops + 1 FROM walk w
+      JOIN sym s ON s.src = w.node WHERE w.hops < 3)
+    SELECT node, CAST(min(hops) AS BIGINT) AS hops
+    FROM walk GROUP BY node ORDER BY node"""))
+
   /** Flesch-style readability per document — reading-ease from
     * words/sentences/syllables, the lightweight quality gate next to
     * q_quality_score's ratio gates (education-level filtering is a
@@ -10567,6 +10605,7 @@ object Queries {
     qBm25, qOhlc, qAutocorr, qChiSquare, qConversionLag,
     qUserGrowth, qEwma, qTriangles, qKnnLabel, qDiversity,
     qBenford, qTailLatency, qPareto, qCohortLtv, qSessionStats,
+    qBfsHops,
     qAbTest, qMutualInfo, qCopurchaseComponents, qReadability, qTopMovers,
     qRegionalRevenue, qDiscountLift, qOrderGap, qAnomalyDays, qKfold,
     qRecallAtK, qMedoid, qGini, qFreshnessDecay, qSegmentOverlap,

@@ -189,4 +189,51 @@ class GraphSpec extends AnyFunSuite {
       }
     }
   }
+
+  /** Straight-line BFS reference: plain queue, scala Maps, no Spark.
+    * Written against the definition, not the operator code. */
+  private def referenceBfs(edges: Seq[(Long, Long)], seeds: Seq[Long],
+                           maxHops: Int): Map[Long, Long] = {
+    val adj = (edges ++ edges.map(e => (e._2, e._1)))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2) }
+    var dist = seeds.map(_ -> 0L).toMap
+    var frontier = seeds.toSet
+    for (h <- 1 to maxHops) {
+      val next = frontier.flatMap(n => adj.getOrElse(n, Nil))
+        .diff(dist.keySet)
+      dist = dist ++ next.map(_ -> h.toLong)
+      frontier = next
+    }
+    dist
+  }
+
+  test("bfsHops matches the reference on chains, forks, and random graphs") {
+    def run(edges: Seq[(Long, Long)], seeds: Seq[Long], maxHops: Int) = {
+      val reg = new graft.operators.CacheRegistry
+      try Graph.bfsHops(edges.toDF("u", "v"), seeds.toDF("node"), maxHops,
+          reg).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      finally reg.releaseAll()
+    }
+    // Chain 0-1-2-3-4-5: hop cap cuts the tail; two seeds take min.
+    val chain = (0L until 5L).map(i => (i, i + 1))
+    assert(run(chain, Seq(0L), 3) ==
+      Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L))
+    assert(run(chain, Seq(0L, 5L), 2) ==
+      Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 5L -> 0L, 4L -> 1L, 3L -> 2L))
+    // maxHops=0 returns exactly the seeds.
+    assert(run(chain, Seq(2L), 0) == Map(2L -> 0L))
+    // Random graphs, several shapes/seeds, vs the reference.
+    val rnd = new scala.util.Random(1234)
+    for (trial <- 1 to 3) {
+      val n = 30 + trial * 20
+      val edges = (1 to n * 2).map { _ =>
+        val a = rnd.nextInt(n).toLong; val b = rnd.nextInt(n).toLong
+        (math.min(a, b), math.max(a, b))
+      }.filter(e => e._1 != e._2).distinct
+      val seeds = Seq(0L, (n / 2).toLong)
+      val want = referenceBfs(edges, seeds, 4)
+      val got = run(edges, seeds, 4)
+      assert(got == want, s"trial=$trial: ${got.size} vs ${want.size}")
+    }
+  }
 }
