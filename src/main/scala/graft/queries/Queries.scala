@@ -544,6 +544,32 @@ object Queries {
     FROM orders JOIN customer ON o_custkey = c_custkey
     GROUP BY 1 ORDER BY c_mktsegment"""))
 
+  /** UNPIVOT (melt) — q_pivot's inverse, completing the reshaping
+    * pair: the part dim's (retailprice, size) measure columns fold
+    * into long-form (metric, value) rows via Dataset.unpivot, which
+    * plans as a row-local Expand (each input row fans to its measure
+    * rows in place — NO shuffle, no join; the only exchange is the
+    * output sort). The wide→long melt is the standard prep step
+    * feeding per-metric aggregation/normalization pipelines. DuckDB
+    * UNPIVOT oracle. */
+  private val qUnpivot = Q(
+    "q_unpivot",
+    (s, d) => t(s, d, "part")
+      .filter(col("p_partkey") < 200)
+      .select(col("p_partkey"),
+        col("p_retailprice").cast("double").as("retailprice"),
+        col("p_size").cast("double").as("size"))
+      .unpivot(Array(col("p_partkey")),
+        Array(col("retailprice"), col("size")), "metric", "value")
+      .orderBy("p_partkey", "metric"),
+    Some("""WITH w AS (
+      SELECT p_partkey, CAST(p_retailprice AS DOUBLE) AS retailprice,
+        CAST(p_size AS DOUBLE) AS size
+      FROM part WHERE p_partkey < 200)
+    SELECT p_partkey, metric, value
+    FROM (UNPIVOT w ON retailprice, size INTO NAME metric VALUE value)
+    ORDER BY p_partkey, metric"""))
+
   /** Shuffled equi inner join orders ⋈ customer (fact-to-dim where the
     * dim is too big to broadcast at full scale → sort-merge/shuffled
     * hash on o_custkey; AQE picks at runtime). */
@@ -10572,7 +10598,7 @@ object Queries {
     qResultsTopk, qIngestFilter, qSanitizeIdent, qParseNumber, qParseDate,
     qNullNormalize, qInferType, qJsonExtract, qSchemaEvolution,
     qProjFilter, qAggGroup, qDistinct, qApproxDistinct, qRollup, qCube,
-    qGroupingSets, qPivot,
+    qGroupingSets, qPivot, qUnpivot,
     qJoinHash, qJoinBroadcast, qJoinOuter, qJoinSemi, qJoinAnti,
     qSkewJoin, qScalarSubquery, qConditionalAgg, qHistogram, qMode,
     qArrayAgg, qBigramPmi,
