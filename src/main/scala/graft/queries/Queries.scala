@@ -1047,6 +1047,57 @@ object Queries {
         AS quality
     FROM q ORDER BY doc_id"""))
 
+  /** 2-D Pareto frontier (skyline) over (length, quality) — the docs
+    * no other doc strictly beats on BOTH axes, the corpus-curation
+    * "keep the efficient frontier" cut (longer AND higher-quality
+    * dominates). The naive skyline is an all-pairs dominance
+    * anti-join (corpus², the first thing to die at scale); this is
+    * the HISTOGRAM form: per-length max quality (one aggregate,
+    * distinct-length-sized), one window over that histogram for the
+    * strictly-longer prefix max (single-partition over ~#lengths,
+    * the globalRank discipline — never over the corpus), then a
+    * length-keyed join back; a doc survives iff no longer doc's max
+    * quality strictly exceeds its own. Quality is compared as the
+    * EXACT 0-10000 integer both engines derive identically (the
+    * q_quality_score formula pre-division), so dominance decisions
+    * can never flip on a float ulp. */
+  private val qSkyline = Q(
+    "q_skyline",
+    (s, d) => {
+      val qi = floor(TextAnalysis.qualityScore(col("text")) * 10000.0
+        + 0.5).cast("long")
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("n_chars"), qi.as("quality_q"))
+      val hist = docs.groupBy("n_chars").agg(max("quality_q").as("mq"))
+      val off = hist.withColumn("pmax",
+        max("mq").over(Window.orderBy(col("n_chars").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)))
+        .select("n_chars", "pmax")
+      docs.join(off, "n_chars")
+        .filter(col("pmax").isNull || col("quality_q") >= col("pmax"))
+        .select("doc_id", "n_chars", "quality_q")
+        .orderBy("doc_id")
+    },
+    Some("""WITH q AS (
+      SELECT doc_id, n_chars,
+        CAST(floor((least(len(string_split(lower(text), ' ')), 100) / 100.0 * 0.4
+          + (len(list_filter(string_split(lower(text), ' '),
+              x -> x IN ('the','and','of','to','a','in','is')))
+             * 1.0 / len(string_split(lower(text), ' '))) * 0.3
+          + (1.0 - len(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))
+             * 1.0 / len(text)) * 0.3) * 10000.0 + 0.5) AS BIGINT)
+          AS quality_q
+      FROM documents),
+    hist AS (SELECT n_chars, max(quality_q) AS mq FROM q GROUP BY 1),
+    off AS (SELECT n_chars,
+      max(mq) OVER (ORDER BY n_chars DESC
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+      FROM hist)
+    SELECT doc_id, q.n_chars, quality_q
+    FROM q JOIN off ON q.n_chars = off.n_chars
+    WHERE pmax IS NULL OR quality_q >= pmax
+    ORDER BY doc_id"""))
+
   /** Token counting: whitespace tokens, regex (BPE-ish) tokens, and
     * type-token ratio. */
   private val qTokenCount = Q(
@@ -10605,7 +10656,7 @@ object Queries {
     qWindowRank, qWindowRunning, qWindowRange, qTopkGlobal, qSetOps,
     qTumblingWindow, qSlidingWindow, qSessionize,
     qDedupExact, qTextStats, qMultimodalJoin, qSimilarityTopk,
-    qLangId, qQualityScore, qTokenCount, qVocabTopk, qTokenEntropy,
+    qLangId, qQualityScore, qSkyline, qTokenCount, qVocabTopk, qTokenEntropy,
     qFingerprint, qPiiRedact,
     qRepetitionStats, qDomainStats, qTfidf, qFuzzyMatch,
     qNearDup, qNearDupChar, qDedupCluster, qMinhashCluster,
