@@ -376,6 +376,29 @@ class PlanSpec extends AnyFunSuite {
       s"the whole point is NO per-group window sort:\n$p")
   }
 
+  test("q_unpivot: row-local Expand, only the output sort exchanges") {
+    val p = plan("q_unpivot")
+    assert(p.contains("Expand"),
+      s"unpivot must plan as the row-local Expand:\n$p")
+    // The melt itself moves nothing; the single exchange is the
+    // final ORDER BY's range partitioning.
+    assert(p.split("Exchange").length - 1 <= 1,
+      s"expected at most the sort exchange:\n$p")
+    assert(p.contains("PushedFilters"), s"partkey filter not pushed:\n$p")
+  }
+
+  test("q_skyline: the only single-partition window runs over the length histogram") {
+    // The skyline must reduce to the histogram form — a
+    // SinglePartition window whose child carries (n_chars, mq), never
+    // the corpus rows (doc_id would appear in its schema otherwise).
+    val p = plan("q_skyline")
+    val single = p.linesIterator.filter(_.contains("SinglePartition")).toSeq
+    assert(single.nonEmpty, s"expected the histogram prefix-max window:\n$p")
+    assert(!p.linesIterator.exists(l =>
+        l.contains("SinglePartition") && l.contains("doc_id")),
+      s"corpus rows entered a single-partition exchange:\n$p")
+  }
+
   test("q_weighted_sample: bounded-heap sampler, no window, key folds scan-side") {
     // Efraimidis-Spirakis per-stratum sampling must plan as the
     // map-side-combined heap aggregate — the property that makes a
