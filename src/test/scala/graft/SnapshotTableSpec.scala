@@ -1,0 +1,122 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.sources.SnapshotTable
+
+/** Manifest-committed table format: atomic commits, snapshot
+  * isolation, time travel, race-free compaction, vacuum with the
+  * in-flight-append age guard. */
+class SnapshotTableSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+    df.select("id").collect().map(_.getLong(0)).toSet
+
+  test("append/read roundtrip, versions advance, time travel pins the snapshot") {
+    val dir = Files.createTempDirectory("graft-snap").toString + "/t"
+    assert(SnapshotTable.latestVersion(spark, dir).isEmpty)
+    val v0 = SnapshotTable.append(spark.range(0, 10).toDF(), dir)
+    val v1 = SnapshotTable.append(spark.range(10, 25).toDF(), dir)
+    assert(v0 == 0L && v1 == 1L)
+    assert(ids(SnapshotTable.read(spark, dir)) == (0L until 25L).toSet)
+    // Time travel: version 0 is exactly the first append, forever —
+    // even after later commits.
+    assert(ids(SnapshotTable.read(spark, dir, Some(0L))) == (0L until 10L).toSet)
+    intercept[java.io.IOException] {
+      SnapshotTable.read(spark, Files.createTempDirectory("graft-snap-e")
+        .toString + "/none")
+    }
+  }
+
+  test("concurrent appends both commit (optimistic retry), no rows lost") {
+    val dir = Files.createTempDirectory("graft-snap-c").toString + "/t"
+    SnapshotTable.append(spark.range(0, 5).toDF(), dir)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val fs = (1 to 4).map { i =>
+      Future(SnapshotTable.append(
+        spark.range(100L * i, 100L * i + 10).toDF(), dir))
+    }
+    val versions = fs.map(Await.result(_, Duration.Inf))
+    // All four landed on distinct versions and every row is visible.
+    assert(versions.toSet.size == 4)
+    val want = (0L until 5L).toSet ++
+      (1 to 4).flatMap(i => 100L * i until 100L * i + 10)
+    assert(ids(SnapshotTable.read(spark, dir)) == want)
+  }
+
+  test("uncommitted data files are invisible; vacuum retires them after the age floor") {
+    val dir = Files.createTempDirectory("graft-snap-o").toString + "/t"
+    SnapshotTable.append(spark.range(0, 10).toDF(), dir)
+    // A crashed append: data written, manifest never committed.
+    spark.range(500, 510).toDF().write
+      .parquet(s"$dir/data/orphan-batch")
+    assert(ids(SnapshotTable.read(spark, dir)) == (0L until 10L).toSet,
+      "orphan files must be invisible to readers")
+    // Young orphans survive vacuum (could be an in-flight append)...
+    assert(SnapshotTable.vacuum(spark, dir, keepVersions = 2,
+      minAgeMs = 60000) == 0)
+    // ...but past the age floor they are retired.
+    assert(SnapshotTable.vacuum(spark, dir, keepVersions = 2,
+      minAgeMs = 0) > 0)
+    assert(ids(SnapshotTable.read(spark, dir)) == (0L until 10L).toSet)
+  }
+
+  test("compact: new snapshot, identical rows, old version readable until vacuum") {
+    val dir = Files.createTempDirectory("graft-snap-k").toString + "/t"
+    (0 until 6).foreach { i =>
+      SnapshotTable.append(
+        spark.range(10L * i, 10L * i + 10).repartition(3).toDF(), dir)
+    }
+    val preVersion = SnapshotTable.latestVersion(spark, dir).get
+    val preFiles = SnapshotTable.manifestFiles(spark, dir, preVersion)
+    assert(preFiles.size >= 12, s"fixture too few files: ${preFiles.size}")
+    val v = SnapshotTable.compact(spark, dir).get
+    val postFiles = SnapshotTable.manifestFiles(spark, dir, v)
+    assert(postFiles.size < preFiles.size)
+    assert(ids(SnapshotTable.read(spark, dir)) == (0L until 60L).toSet)
+    // Snapshot isolation: the pre-compaction version still reads its
+    // own files — compaction swapped nothing under it.
+    assert(ids(SnapshotTable.read(spark, dir, Some(preVersion))) ==
+      (0L until 60L).toSet)
+    // Re-compacting a compact table is a no-op.
+    assert(SnapshotTable.compact(spark, dir).isEmpty)
+    // Vacuum to the latest version only: superseded files deleted,
+    // latest still fully readable.
+    assert(SnapshotTable.vacuum(spark, dir, keepVersions = 1,
+      minAgeMs = 0) > 0)
+    assert(ids(SnapshotTable.read(spark, dir)) == (0L until 60L).toSet)
+  }
+
+  test("compact races a concurrent appender: every committed row survives") {
+    // Real concurrency: one thread compacts while another appends.
+    // Whatever interleave the scheduler picks, the final snapshot must
+    // contain the union of all committed rows — the re-base path in
+    // compact's commit loop is what carries a concurrently-appended
+    // file forward instead of dropping it.
+    val dir = Files.createTempDirectory("graft-snap-r").toString + "/t"
+    (0 until 6).foreach { i =>
+      SnapshotTable.append(
+        spark.range(10L * i, 10L * i + 10).repartition(3).toDF(), dir)
+    }
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val appender = Future {
+      (0 until 3).map { i =>
+        SnapshotTable.append(
+          spark.range(1000L + 10 * i, 1010L + 10 * i).toDF(), dir)
+      }
+    }
+    val compactor = Future { SnapshotTable.compact(spark, dir) }
+    Await.result(appender, Duration.Inf)
+    Await.result(compactor, Duration.Inf)
+    val want = (0L until 60L).toSet ++ (1000L until 1030L).toSet
+    assert(ids(SnapshotTable.read(spark, dir)) == want,
+      "a committed append was lost across a racing compaction")
+  }
+}
