@@ -61,16 +61,33 @@ object SnapshotTable {
     if (vs.isEmpty) None else Some(vs.max)
   }
 
-  /** The file list of a version (relative paths). */
-  def manifestFiles(spark: SparkSession, dir: String, v: Long): Seq[String] = {
+  private def manifestText(spark: SparkSession, dir: String, v: Long): String = {
     val f = fs(spark, dir)
     val in = f.open(manifestPath(dir, v))
-    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
     finally in.close()
+  }
+
+  /** The file list of a version (relative paths). */
+  def manifestFiles(spark: SparkSession, dir: String, v: Long): Seq[String] = {
+    val txt = manifestText(spark, dir, v)
     // One string array; hand-rolled parse keeps the zero-dep rule.
+    // The slice to the files bracket keeps the txns section's strings
+    // out of the match.
     "\"([^\"]+)\"".r.findAllMatchIn(
       txt.substring(txt.indexOf('['), txt.indexOf(']') + 1))
       .map(_.group(1)).toSeq
+  }
+
+  /** Highest committed transaction version per writer app id (the
+    * exactly-once ledger [[transactionalAppend]] checks). */
+  def manifestTxns(spark: SparkSession, dir: String, v: Long): Map[String, Long] = {
+    val txt = manifestText(spark, dir, v)
+    val i = txt.indexOf("\"txns\":{")
+    if (i < 0) return Map.empty
+    val seg = txt.substring(i + 8, txt.indexOf('}', i))
+    "\"([^\"]+)\":(-?\\d+)".r.findAllMatchIn(seg)
+      .map(m => m.group(1) -> m.group(2).toLong).toMap
   }
 
   /** Serializes same-JVM committers. Commit atomicity rests on a
@@ -89,13 +106,17 @@ object SnapshotTable {
     * written to a hidden temp file, then renamed into place — a
     * reader can never observe a partially-written manifest. */
   private def tryCommit(spark: SparkSession, dir: String, v: Long,
-                        files: Seq[String]): Boolean = commitLock.synchronized {
+                        files: Seq[String],
+                        txns: Map[String, Long] = Map.empty): Boolean =
+      commitLock.synchronized {
     val f = fs(spark, dir)
     f.mkdirs(manifestDir(dir))
     val target = manifestPath(dir, v)
     if (f.exists(target)) return false
+    val txnBody = txns.toSeq.sorted
+      .map { case (a, tv) => "\"" + a + "\":" + tv }.mkString("{", ",", "}")
     val body = files.sorted.map(p => "\"" + p + "\"")
-      .mkString(s"""{"version":$v,"files":[""", ",", "]}")
+      .mkString(s"""{"version":$v,"txns":$txnBody,"files":[""", ",", "]}")
     val tmp = new Path(manifestDir(dir),
       s".v$v.${java.util.UUID.randomUUID()}.tmp")
     val out = f.create(tmp, false)
@@ -124,12 +145,58 @@ object SnapshotTable {
     while (attempt < maxRetries) {
       val base = latestVersion(spark, dir)
       val prev = base.map(manifestFiles(spark, dir, _)).getOrElse(Nil)
+      val txns = base.map(manifestTxns(spark, dir, _)).getOrElse(Map.empty)
       val v = base.getOrElse(-1L) + 1
-      if (tryCommit(spark, dir, v, prev ++ added)) return v
+      if (tryCommit(spark, dir, v, prev ++ added, txns)) return v
       attempt += 1 // lost the race: re-read the new latest and retry
     }
     throw new java.io.IOException(
       s"append: lost the commit race $maxRetries times under $dir")
+  }
+
+  /** EXACTLY-ONCE append for replayable writers (the Structured
+    * Streaming foreachBatch contract): the manifest carries a
+    * per-`appId` high-water transaction version, and a commit whose
+    * `txnVersion` is not strictly above the recorded one is a NO-OP
+    * (returns None, its data files left as vacuumable orphans). A
+    * retried micro-batch therefore lands its rows exactly once no
+    * matter how many times the batch replays — the idempotent-sink
+    * half of Structured Streaming's end-to-end guarantee, which the
+    * plain parquet `mode("append")` sinks in this repo explicitly
+    * lack (their contract is at-least-once + downstream dedup).
+    * Monotonicity check and commit happen under the same optimistic
+    * loop, so two replays racing each other still commit once. */
+  def transactionalAppend(df: DataFrame, dir: String, appId: String,
+                          txnVersion: Long,
+                          maxRetries: Int = 20): Option[Long] = {
+    require(appId.nonEmpty, "transactionalAppend: appId must be non-empty")
+    val spark = df.sparkSession
+    val f = fs(spark, dir)
+    // Cheap pre-check saves the data write on the common replay path;
+    // the authoritative check re-runs inside the commit loop.
+    val pre = latestVersion(spark, dir)
+      .map(manifestTxns(spark, dir, _)).getOrElse(Map.empty)
+    if (pre.getOrElse(appId, Long.MinValue) >= txnVersion) return None
+    val batch = java.util.UUID.randomUUID().toString
+    val batchDir = new Path(dir, s"data/$batch")
+    df.write.parquet(batchDir.toString)
+    val added = f.listStatus(batchDir).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(s => s"data/$batch/${s.getPath.getName}")
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val base = latestVersion(spark, dir)
+      val prev = base.map(manifestFiles(spark, dir, _)).getOrElse(Nil)
+      val txns = base.map(manifestTxns(spark, dir, _)).getOrElse(Map.empty)
+      if (txns.getOrElse(appId, Long.MinValue) >= txnVersion)
+        return None // a racing replay won; our files stay orphaned
+      val v = base.getOrElse(-1L) + 1
+      if (tryCommit(spark, dir, v, prev ++ added,
+          txns + (appId -> txnVersion))) return Some(v)
+      attempt += 1
+    }
+    throw new java.io.IOException(
+      s"transactionalAppend: lost the commit race $maxRetries times under $dir")
   }
 
   /** Read a snapshot: the latest by default, or a pinned `version`
@@ -178,9 +245,11 @@ object SnapshotTable {
       val cur = latestVersion(spark, dir).get
       val curFiles = manifestFiles(spark, dir, cur)
       // Re-base: keep files that appeared after our read; drop only
-      // the ones we actually rewrote.
+      // the ones we actually rewrote. The txn ledger carries forward
+      // untouched — compaction commits no writer transaction.
       val next = curFiles.filterNot(old.toSet) ++ rewritten
-      if (tryCommit(spark, dir, cur + 1, next)) return Some(cur + 1)
+      if (tryCommit(spark, dir, cur + 1, next,
+          manifestTxns(spark, dir, cur))) return Some(cur + 1)
       attempt += 1
     }
     throw new java.io.IOException(

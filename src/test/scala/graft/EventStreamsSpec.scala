@@ -355,6 +355,30 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("snapshot sink: streamed batches land exactly once, replay is a no-op") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-ssnk")
+      .toString + "/t"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ssnk-ck").toString
+    val input = MemoryStream[Long]
+    val q = graft.streaming.SnapshotSink.start(
+      input.toDF().toDF("id"), dir, ckpt, appId = "events-v1")
+    try {
+      input.addData(0L until 10L: _*); q.processAllAvailable()
+      input.addData(10L until 25L: _*); q.processAllAvailable()
+    } finally q.stop()
+    def got() = graft.sources.SnapshotTable.read(spark, dir)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(got().sorted == (0L until 25L))
+    // Simulate the foreachBatch replay a checkpoint recovery performs:
+    // re-commit batch 0's data with its original batch id — must be a
+    // manifest no-op, no duplicate rows.
+    assert(graft.sources.SnapshotTable.transactionalAppend(
+      (0L until 10L).toDF("id"), dir, "events-v1", 0L).isEmpty)
+    assert(got().sorted == (0L until 25L), "replayed batch duplicated rows")
+  }
+
   test("ann-ingest: streamed IVF appends equal the batch index at any micro-batch split") {
     // Batch-split invariance of AnnIngest: appends are per-row pure
     // (vector, recorded quantizer), so streaming the delta in two

@@ -92,6 +92,43 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(ids(SnapshotTable.read(spark, dir)) == (0L until 60L).toSet)
   }
 
+  test("transactionalAppend: replayed batches are no-ops, racing replays commit once") {
+    val dir = Files.createTempDirectory("graft-snap-t").toString + "/t"
+    assert(SnapshotTable.transactionalAppend(
+      spark.range(0, 10).toDF(), dir, "app1", 0L).contains(0L))
+    // Exact replay of batch 0: no-op, rows unchanged.
+    assert(SnapshotTable.transactionalAppend(
+      spark.range(0, 10).toDF(), dir, "app1", 0L).isEmpty)
+    assert(ids(SnapshotTable.read(spark, dir)) == (0L until 10L).toSet)
+    // Next batch commits; a stale lower version after it is also a no-op.
+    assert(SnapshotTable.transactionalAppend(
+      spark.range(10, 20).toDF(), dir, "app1", 1L).nonEmpty)
+    assert(SnapshotTable.transactionalAppend(
+      spark.range(0, 10).toDF(), dir, "app1", 0L).isEmpty)
+    // A DIFFERENT app id has its own ledger.
+    assert(SnapshotTable.transactionalAppend(
+      spark.range(100, 105).toDF(), dir, "app2", 0L).nonEmpty)
+    assert(ids(SnapshotTable.read(spark, dir)) ==
+      ((0L until 20L) ++ (100L until 105L)).toSet)
+    // Racing replays of the SAME batch: exactly one commits.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val replays = (1 to 4).map { _ =>
+      Future(SnapshotTable.transactionalAppend(
+        spark.range(200, 210).toDF(), dir, "app1", 2L))
+    }.map(Await.result(_, Duration.Inf))
+    assert(replays.count(_.nonEmpty) == 1,
+      s"exactly one racing replay must commit, got $replays")
+    assert(ids(SnapshotTable.read(spark, dir)) ==
+      ((0L until 20L) ++ (100L until 105L) ++ (200L until 210L)).toSet)
+    // The loser's orphan files exist until vacuumed; vacuum keeps the
+    // committed rows intact.
+    SnapshotTable.vacuum(spark, dir, keepVersions = 1, minAgeMs = 0)
+    assert(ids(SnapshotTable.read(spark, dir)) ==
+      ((0L until 20L) ++ (100L until 105L) ++ (200L until 210L)).toSet)
+  }
+
   test("compact races a concurrent appender: every committed row survives") {
     // Real concurrency: one thread compacts while another appends.
     // Whatever interleave the scheduler picks, the final snapshot must
