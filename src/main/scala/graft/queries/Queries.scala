@@ -10644,8 +10644,127 @@ object Queries {
     FROM ltv"""))
 
   // ---------------------------------------------------------------------
+  // SnapshotTable end-to-end (manifest-committed format through the
+  // oracle gate): each builds a real snapshot table in a fresh temp
+  // dir, runs a table-level operation (MERGE / DELETE / stats-pruned
+  // read), and returns a result whose oracle is the equivalent ANSI
+  // SQL over the base parquet — so the differential check covers the
+  // whole commit/rewrite/skipping machinery, not just the query plan.
+  // The temp table is left for the OS tmp reaper: the returned
+  // DataFrame lazily scans it, so deleting eagerly would break the
+  // caller's execution.
+  // ---------------------------------------------------------------------
+
+  private def snapTmp(): String =
+    java.nio.file.Files.createTempDirectory("graft-q-snap").toString + "/t"
+
+  /** MERGE upsert through [[graft.sources.SnapshotTable.merge]]: the
+    * customer table becomes a snapshot table; a CDC-style source sets
+    * each 1995-Q1 purchaser's balance to its max order price (max —
+    * not sum — so the merged value is an exact stored double on both
+    * engines); the final table must equal the oracle's LEFT JOIN +
+    * COALESCE view of the same update. Copy-on-write: only files
+    * holding a matched key are rewritten. */
+  private val qSnapshotMerge = Q(
+    "q_snapshot_merge",
+    (s, d) => {
+      val dir = snapTmp()
+      val base = t(s, d, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+          col("c_mktsegment"))
+      graft.sources.SnapshotTable.append(base, dir)
+      val updates = t(s, d, "orders")
+        .filter(col("o_orderdate") >= lit("1995-01-01") &&
+          col("o_orderdate") < lit("1995-04-01"))
+        .groupBy(col("o_custkey").as("c_custkey"))
+        .agg(max(col("o_totalprice")).as("new_bal"))
+      val source = base.join(updates, "c_custkey")
+        .select(col("c_custkey"), col("c_name"),
+          col("new_bal").as("c_acctbal"), col("c_mktsegment"))
+      graft.sources.SnapshotTable.merge(s, dir, source, Seq("c_custkey"))
+      graft.sources.SnapshotTable.read(s, dir)
+        .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+        .orderBy("c_custkey")
+    },
+    Some("""WITH u AS (
+      SELECT o_custkey AS c_custkey, max(o_totalprice) AS new_bal
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        AND o_orderdate < TIMESTAMP '1995-04-01'
+      GROUP BY 1)
+    SELECT c.c_custkey, c.c_name,
+      coalesce(u.new_bal, c.c_acctbal) AS c_acctbal, c.c_mktsegment
+    FROM customer c LEFT JOIN u USING (c_custkey)
+    ORDER BY c_custkey"""))
+
+  /** Row-level DELETE through
+    * [[graft.sources.SnapshotTable.deleteWhere]]: snapshot the orders
+    * projection, copy-on-write delete every finished ('F') order, and
+    * summarize what remains. The oracle states the delete as a plain
+    * WHERE — the table after DELETE x must read exactly like the base
+    * table filtered by NOT x. */
+  private val qSnapshotDelete = Q(
+    "q_snapshot_delete",
+    (s, d) => {
+      val dir = snapTmp()
+      graft.sources.SnapshotTable.append(
+        t(s, d, "orders").select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_orderpriority"), col("o_totalprice")),
+        dir)
+      graft.sources.SnapshotTable.deleteWhere(s, dir,
+        col("o_orderstatus") === "F")
+      graft.sources.SnapshotTable.read(s, dir)
+        .groupBy(col("o_orderpriority").as("priority"))
+        .agg(count(lit(1)).as("n"),
+          TextAnalysis.roundStable(max(col("o_totalprice")), 2)
+            .as("max_price"))
+        .orderBy("priority")
+    },
+    Some("""SELECT o_orderpriority AS priority, count(*) AS n,
+      floor(max(o_totalprice) * 100.0 + 0.5) / 100.0 AS max_price
+    FROM orders WHERE o_orderstatus <> 'F'
+    GROUP BY 1 ORDER BY priority"""))
+
+  /** Manifest-stats data skipping through
+    * [[graft.sources.SnapshotTable.readWhere]]: three yearly appends
+    * (each with o_orderdate file stats) give the table disjoint
+    * per-file date ranges, so the 1995 range read opens only that
+    * year's files — the Delta/Iceberg skipping path end to end, with
+    * the result checked against the oracle's plain range filter.
+    * (File-count selectivity itself is pinned in SnapshotTableSpec;
+    * an oracle can only see the rows.) */
+  private val qSnapshotPrune = Q(
+    "q_snapshot_prune",
+    (s, d) => {
+      val dir = snapTmp()
+      val orders = t(s, d, "orders").select(col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"))
+      Seq(1994, 1995, 1996).foreach { y =>
+        graft.sources.SnapshotTable.append(
+          orders.filter(year(col("o_orderdate")) === y),
+          dir, statsCols = Seq("o_orderdate"))
+      }
+      graft.sources.SnapshotTable.readWhere(s, dir, "o_orderdate",
+          java.sql.Timestamp.valueOf("1995-01-01 00:00:00"),
+          java.sql.Timestamp.valueOf("1995-12-31 23:59:59"))
+        .groupBy(month(col("o_orderdate")).cast("long").as("mo"))
+        .agg(count(lit(1)).as("n"),
+          TextAnalysis.roundStable(max(col("o_totalprice")), 2)
+            .as("max_price"))
+        .orderBy("mo")
+    },
+    Some("""SELECT CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS mo,
+      count(*) AS n,
+      floor(max(o_totalprice) * 100.0 + 0.5) / 100.0 AS max_price
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+      AND o_orderdate <= TIMESTAMP '1995-12-31 23:59:59'
+    GROUP BY 1 ORDER BY mo"""))
+
+  // ---------------------------------------------------------------------
 
   val all: Seq[Q] = Seq(
+    qSnapshotMerge, qSnapshotDelete, qSnapshotPrune,
     qResultsTopk, qIngestFilter, qSanitizeIdent, qParseNumber, qParseDate,
     qNullNormalize, qInferType, qJsonExtract, qSchemaEvolution,
     qProjFilter, qAggGroup, qDistinct, qApproxDistinct, qRollup, qCube,

@@ -1,7 +1,9 @@
 package graft.sources
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, input_file_name, lit, max, min, not}
+import org.apache.spark.sql.types._
 
 /** Minimal manifest-committed table format — the consistency layer the
   * plain-directory warehouse documents itself as lacking
@@ -32,11 +34,26 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     Readers of older versions keep reading the old files
   *     ([[snapshot]] time travel) until [[vacuum]] retires them —
   *     compaction can never race a reader.
+  *   - **File-level column stats → data skipping.** An append may
+  *     record per-file min/max for chosen columns in the manifest;
+  *     [[readWhere]] then opens ONLY the files whose range intersects
+  *     the predicate. At 100 TB this is the difference between a
+  *     full-table scan and touching a handful of files — the
+  *     manifest-stats pruning layer of the public Delta/Iceberg
+  *     designs, one level ABOVE parquet's row-group pruning (which
+  *     still applies inside each opened file). Pruning is effective
+  *     when file ranges are disjoint: [[compact]] takes `clusterBy`
+  *     columns and range-repartitions the rewrite so they are.
+  *   - **Row-level DELETE and MERGE are copy-on-write**: only the
+  *     files that actually contain affected rows are rewritten; all
+  *     other files carry forward untouched. Both detect write-write
+  *     conflicts (a touched file vanishing from the current manifest
+  *     means a concurrent compaction/delete rewrote it) and fail
+  *     loudly rather than resurrect rows.
   *
-  * Deliberately out of scope (and documented as such): column-level
-  * stats/pruning inside a snapshot (parquet footers still provide
-  * row-group pruning), schema evolution metadata (pair with
-  * [[graft.catalog.Catalog]]), and multi-table transactions. */
+  * Deliberately out of scope (and documented as such): schema
+  * evolution metadata (pair with [[graft.catalog.Catalog]]) and
+  * multi-table transactions. */
 object SnapshotTable {
 
   private def fs(spark: SparkSession, dir: String): FileSystem =
@@ -45,6 +62,21 @@ object SnapshotTable {
   private def manifestDir(dir: String) = new Path(dir, "_manifests")
   private def manifestPath(dir: String, v: Long) =
     new Path(manifestDir(dir), s"v$v.json")
+
+  /** Per-file, per-column [min,max] with a comparison-domain tag:
+    * `num` (all numerics — compared as BigDecimal), `str` (raw string,
+    * lexical), `date` (epoch day), `ts` (epoch micros). Values are
+    * stored as strings in the manifest; a value that fails to parse in
+    * its domain (e.g. a NaN min) simply makes the file un-prunable —
+    * stats can only ever SKIP a file that provably has no matching
+    * row, never hide one. */
+  final case class ColStat(tag: String, min: String, max: String)
+
+  /** Manifest JSON is written and parsed with Jackson (ships with
+    * Spark) — file paths are machine-generated but stat min/max of
+    * string columns carry arbitrary user text, which hand-rolled
+    * escaping would get wrong. */
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
   /** Latest committed version, or None for an empty/uninitialized
     * table. One directory listing of `_manifests/` — never of the
@@ -61,33 +93,58 @@ object SnapshotTable {
     if (vs.isEmpty) None else Some(vs.max)
   }
 
-  private def manifestText(spark: SparkSession, dir: String, v: Long): String = {
+  private def manifestNode(spark: SparkSession, dir: String,
+                           v: Long): com.fasterxml.jackson.databind.JsonNode = {
     val f = fs(spark, dir)
     val in = f.open(manifestPath(dir, v))
-    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
     finally in.close()
+    mapper.readTree(txt)
   }
 
   /** The file list of a version (relative paths). */
   def manifestFiles(spark: SparkSession, dir: String, v: Long): Seq[String] = {
-    val txt = manifestText(spark, dir, v)
-    // One string array; hand-rolled parse keeps the zero-dep rule.
-    // The slice to the files bracket keeps the txns section's strings
-    // out of the match.
-    "\"([^\"]+)\"".r.findAllMatchIn(
-      txt.substring(txt.indexOf('['), txt.indexOf(']') + 1))
-      .map(_.group(1)).toSeq
+    val files = manifestNode(spark, dir, v).get("files")
+    if (files == null) Seq.empty
+    else (0 until files.size).map(files.get(_).asText)
   }
 
   /** Highest committed transaction version per writer app id (the
     * exactly-once ledger [[transactionalAppend]] checks). */
   def manifestTxns(spark: SparkSession, dir: String, v: Long): Map[String, Long] = {
-    val txt = manifestText(spark, dir, v)
-    val i = txt.indexOf("\"txns\":{")
-    if (i < 0) return Map.empty
-    val seg = txt.substring(i + 8, txt.indexOf('}', i))
-    "\"([^\"]+)\":(-?\\d+)".r.findAllMatchIn(seg)
-      .map(m => m.group(1) -> m.group(2).toLong).toMap
+    val t = manifestNode(spark, dir, v).get("txns")
+    if (t == null) Map.empty
+    else {
+      val it = t.fieldNames()
+      val b = Map.newBuilder[String, Long]
+      while (it.hasNext) { val k = it.next(); b += k -> t.get(k).asLong }
+      b.result()
+    }
+  }
+
+  /** Per-file column stats of a version (file → column → ColStat).
+    * Files or columns without recorded stats are absent — and treated
+    * as un-prunable by [[readWhere]]. */
+  def manifestStats(spark: SparkSession, dir: String,
+                    v: Long): Map[String, Map[String, ColStat]] = {
+    val s = manifestNode(spark, dir, v).get("stats")
+    if (s == null) return Map.empty
+    val b = Map.newBuilder[String, Map[String, ColStat]]
+    val files = s.fieldNames()
+    while (files.hasNext) {
+      val file = files.next()
+      val fileNode = s.get(file)
+      val cb = Map.newBuilder[String, ColStat]
+      val cols = fileNode.fieldNames()
+      while (cols.hasNext) {
+        val c = cols.next(); val a = fileNode.get(c)
+        if (a != null && a.size == 3)
+          cb += c -> ColStat(a.get(0).asText, a.get(1).asText,
+            a.get(2).asText)
+      }
+      b += file -> cb.result()
+    }
+    b.result()
   }
 
   /** Serializes same-JVM committers. Commit atomicity rests on a
@@ -107,16 +164,39 @@ object SnapshotTable {
     * reader can never observe a partially-written manifest. */
   private def tryCommit(spark: SparkSession, dir: String, v: Long,
                         files: Seq[String],
-                        txns: Map[String, Long] = Map.empty): Boolean =
-      commitLock.synchronized {
+                        txns: Map[String, Long] = Map.empty,
+                        stats: Map[String, Map[String, ColStat]] = Map.empty
+                       ): Boolean = commitLock.synchronized {
     val f = fs(spark, dir)
     f.mkdirs(manifestDir(dir))
     val target = manifestPath(dir, v)
     if (f.exists(target)) return false
-    val txnBody = txns.toSeq.sorted
-      .map { case (a, tv) => "\"" + a + "\":" + tv }.mkString("{", ",", "}")
-    val body = files.sorted.map(p => "\"" + p + "\"")
-      .mkString(s"""{"version":$v,"txns":$txnBody,"files":[""", ",", "]}")
+    val root = new java.util.LinkedHashMap[String, Object]()
+    root.put("version", java.lang.Long.valueOf(v))
+    val tj = new java.util.LinkedHashMap[String, Object]()
+    txns.toSeq.sortBy(_._1).foreach { case (a, tv) =>
+      tj.put(a, java.lang.Long.valueOf(tv)) }
+    root.put("txns", tj)
+    val fj = new java.util.ArrayList[String]()
+    files.sorted.foreach(fj.add)
+    root.put("files", fj)
+    // Only stats of committed files: a retry loop may carry a stats
+    // map from a superseded read — intersect, never invent.
+    val keep = stats.view.filterKeys(files.toSet).toMap
+    if (keep.nonEmpty) {
+      val sj = new java.util.LinkedHashMap[String, Object]()
+      keep.toSeq.sortBy(_._1).foreach { case (file, cols) =>
+        val cj = new java.util.LinkedHashMap[String, Object]()
+        cols.toSeq.sortBy(_._1).foreach { case (c, st) =>
+          val a = new java.util.ArrayList[String]()
+          a.add(st.tag); a.add(st.min); a.add(st.max)
+          cj.put(c, a)
+        }
+        sj.put(file, cj)
+      }
+      root.put("stats", sj)
+    }
+    val body = mapper.writeValueAsString(root)
     val tmp = new Path(manifestDir(dir),
       s".v$v.${java.util.UUID.randomUUID()}.tmp")
     val out = f.create(tmp, false)
@@ -127,31 +207,145 @@ object SnapshotTable {
     ok
   }
 
+  // ------------------------------------------------------------------
+  // Column stats (data skipping)
+  // ------------------------------------------------------------------
+
+  /** Comparison-domain tag for a stats-eligible type; None = the
+    * column type carries no file-skipping stats (complex/binary). */
+  private def statTag(dt: DataType): Option[String] = dt match {
+    case ByteType | ShortType | IntegerType | LongType | FloatType |
+         DoubleType | _: DecimalType => Some("num")
+    case StringType => Some("str")
+    case DateType => Some("date")
+    case TimestampType | TimestampNTZType => Some("ts")
+    case _ => None
+  }
+
+  /** Canonical stored form of a min/max value in its tag domain. */
+  private def statStr(tag: String, v: Any): String = (tag, v) match {
+    case ("date", d: java.sql.Date) => d.toLocalDate.toEpochDay.toString
+    case ("date", d: java.time.LocalDate) => d.toEpochDay.toString
+    case ("ts", t: java.sql.Timestamp) =>
+      (t.getTime * 1000L + (t.getNanos / 1000) % 1000).toString
+    case ("ts", t: java.time.LocalDateTime) =>
+      (t.toInstant(java.time.ZoneOffset.UTC).getEpochSecond * 1000000L +
+        t.getNano / 1000).toString
+    case ("ts", t: java.time.Instant) =>
+      (t.getEpochSecond * 1000000L + t.getNano / 1000).toString
+    case (_, x) => x.toString
+  }
+
+  /** A user-supplied predicate bound, canonicalized into `tag`'s
+    * domain; None = not canonicalizable → caller must include the
+    * file (pruning stays conservative). */
+  private def canonBound(tag: String, v: Any): Option[String] =
+    scala.util.Try {
+      tag match {
+        case "str" => v.toString
+        case "num" => new java.math.BigDecimal(v.toString).toString
+        case "date" => v match {
+          case d: java.sql.Date => d.toLocalDate.toEpochDay.toString
+          case d: java.time.LocalDate => d.toEpochDay.toString
+          case s: String => java.time.LocalDate.parse(s).toEpochDay.toString
+          case n: Number => n.toString
+        }
+        case "ts" => v match {
+          case t: java.sql.Timestamp => statStr("ts", t)
+          case t: java.time.Instant => statStr("ts", t)
+          case s: String => statStr("ts", java.sql.Timestamp.valueOf(s))
+          case n: Number => n.toString
+        }
+      }
+    }.toOption
+
+  /** Domain compare of two stored stat strings; None on parse failure
+    * (→ un-prunable). */
+  private def statCompare(tag: String, a: String, b: String): Option[Int] =
+    scala.util.Try {
+      if (tag == "str") a.compareTo(b)
+      else new java.math.BigDecimal(a).compareTo(new java.math.BigDecimal(b))
+    }.toOption
+
+  /** Relative `data/<batch>/<file>` path from an absolute scan URI. */
+  private def relFromUri(uri: String): String = {
+    val i = uri.lastIndexOf("/data/")
+    require(i >= 0, s"not a table data path: $uri")
+    uri.substring(i + 1)
+  }
+
+  /** Per-file min/max of `statsCols` for every parquet file under
+    * `batchDir` — ONE column-pruned scan of the freshly written batch,
+    * aggregated per input file. The collect is file-count-bounded
+    * control-plane (one row per written file). */
+  private def computeStats(spark: SparkSession, batchDir: Path,
+                           statsCols: Seq[String]
+                          ): Map[String, Map[String, ColStat]] = {
+    if (statsCols.isEmpty) return Map.empty
+    val df = spark.read.parquet(batchDir.toString)
+    val typed = statsCols.distinct
+      .filter(df.columns.contains)
+      .flatMap(c => statTag(df.schema(c).dataType).map(c -> _))
+    if (typed.isEmpty) return Map.empty
+    val aggs = typed.flatMap { case (c, _) =>
+      Seq(min(col(c)).as(s"__mn_$c"), max(col(c)).as(s"__mx_$c")) }
+    val rows = df.groupBy(input_file_name().as("__f"))
+      .agg(aggs.head, aggs.tail: _*).collect()
+    rows.flatMap { r =>
+      val rel = relFromUri(r.getString(0))
+      val cols = typed.flatMap { case (c, tag) =>
+        val mn = r.getAs[Any](s"__mn_$c"); val mx = r.getAs[Any](s"__mx_$c")
+        if (mn == null || mx == null) None
+        else Some(c -> ColStat(tag, statStr(tag, mn), statStr(tag, mx)))
+      }.toMap
+      if (cols.isEmpty) None else Some(rel -> cols)
+    }.toMap
+  }
+
+  // ------------------------------------------------------------------
+  // Writes
+  // ------------------------------------------------------------------
+
   /** Append `df` as a new snapshot: write data files under a unique
     * subdir of `data/`, then commit previous files + new files with
-    * the optimistic retry loop. Returns the committed version. */
-  def append(df: DataFrame, dir: String, maxRetries: Int = 20): Long = {
+    * the optimistic retry loop. `statsCols` names columns whose
+    * per-file min/max land in the manifest for [[readWhere]] skipping.
+    * Returns the committed version. */
+  def append(df: DataFrame, dir: String, statsCols: Seq[String] = Nil,
+             maxRetries: Int = 20): Long = {
+    val spark = df.sparkSession
+    val (added, addedStats) = writeBatch(df, dir, statsCols)
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val base = latestVersion(spark, dir)
+      val prev = base.map(manifestFiles(spark, dir, _)).getOrElse(Nil)
+      val txns = base.map(manifestTxns(spark, dir, _)).getOrElse(Map.empty)
+      val stats = base.map(manifestStats(spark, dir, _)).getOrElse(Map.empty)
+      val v = base.getOrElse(-1L) + 1
+      if (tryCommit(spark, dir, v, prev ++ added, txns, stats ++ addedStats))
+        return v
+      attempt += 1 // lost the race: re-read the new latest and retry
+    }
+    throw new java.io.IOException(
+      s"append: lost the commit race $maxRetries times under $dir")
+  }
+
+  /** Write `df` into a fresh unique batch dir; return (relative file
+    * paths, their stats). No two writers can collide on data paths,
+    * so data writes need no coordination at all. */
+  private def writeBatch(df: DataFrame, dir: String,
+                         statsCols: Seq[String]
+                        ): (Seq[String], Map[String, Map[String, ColStat]]) = {
     val spark = df.sparkSession
     val f = fs(spark, dir)
-    // Unique batch subdir: no two writers can collide on data paths,
-    // so data writes need no coordination at all.
     val batch = java.util.UUID.randomUUID().toString
     val batchDir = new Path(dir, s"data/$batch")
     df.write.parquet(batchDir.toString)
     val added = f.listStatus(batchDir).toSeq
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
       .map(s => s"data/$batch/${s.getPath.getName}")
-    var attempt = 0
-    while (attempt < maxRetries) {
-      val base = latestVersion(spark, dir)
-      val prev = base.map(manifestFiles(spark, dir, _)).getOrElse(Nil)
-      val txns = base.map(manifestTxns(spark, dir, _)).getOrElse(Map.empty)
-      val v = base.getOrElse(-1L) + 1
-      if (tryCommit(spark, dir, v, prev ++ added, txns)) return v
-      attempt += 1 // lost the race: re-read the new latest and retry
-    }
-    throw new java.io.IOException(
-      s"append: lost the commit race $maxRetries times under $dir")
+    val stats = computeStats(spark, batchDir, statsCols)
+    (added, stats)
   }
 
   /** EXACTLY-ONCE append for replayable writers (the Structured
@@ -167,37 +361,36 @@ object SnapshotTable {
     * Monotonicity check and commit happen under the same optimistic
     * loop, so two replays racing each other still commit once. */
   def transactionalAppend(df: DataFrame, dir: String, appId: String,
-                          txnVersion: Long,
+                          txnVersion: Long, statsCols: Seq[String] = Nil,
                           maxRetries: Int = 20): Option[Long] = {
     require(appId.nonEmpty, "transactionalAppend: appId must be non-empty")
     val spark = df.sparkSession
-    val f = fs(spark, dir)
     // Cheap pre-check saves the data write on the common replay path;
     // the authoritative check re-runs inside the commit loop.
     val pre = latestVersion(spark, dir)
       .map(manifestTxns(spark, dir, _)).getOrElse(Map.empty)
     if (pre.getOrElse(appId, Long.MinValue) >= txnVersion) return None
-    val batch = java.util.UUID.randomUUID().toString
-    val batchDir = new Path(dir, s"data/$batch")
-    df.write.parquet(batchDir.toString)
-    val added = f.listStatus(batchDir).toSeq
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-      .map(s => s"data/$batch/${s.getPath.getName}")
+    val (added, addedStats) = writeBatch(df, dir, statsCols)
     var attempt = 0
     while (attempt < maxRetries) {
       val base = latestVersion(spark, dir)
       val prev = base.map(manifestFiles(spark, dir, _)).getOrElse(Nil)
       val txns = base.map(manifestTxns(spark, dir, _)).getOrElse(Map.empty)
+      val stats = base.map(manifestStats(spark, dir, _)).getOrElse(Map.empty)
       if (txns.getOrElse(appId, Long.MinValue) >= txnVersion)
         return None // a racing replay won; our files stay orphaned
       val v = base.getOrElse(-1L) + 1
       if (tryCommit(spark, dir, v, prev ++ added,
-          txns + (appId -> txnVersion))) return Some(v)
+          txns + (appId -> txnVersion), stats ++ addedStats)) return Some(v)
       attempt += 1
     }
     throw new java.io.IOException(
       s"transactionalAppend: lost the commit race $maxRetries times under $dir")
   }
+
+  // ------------------------------------------------------------------
+  // Reads
+  // ------------------------------------------------------------------
 
   /** Read a snapshot: the latest by default, or a pinned `version`
     * (time travel). The scan reads EXACTLY the manifest's files — a
@@ -213,6 +406,53 @@ object SnapshotTable {
     else spark.read.parquet(files.map(p => s"$dir/$p"): _*)
   }
 
+  /** The manifest-level file-pruning decision for
+    * `column BETWEEN lower AND upper` (inclusive): returns (files to
+    * open, total files in the snapshot). A file is skipped only when
+    * its recorded [min,max] provably misses the bound's domain; files
+    * or columns without stats — and bounds that do not canonicalize —
+    * are always kept. Exposed separately so specs (and operators) can
+    * pin how many files a predicate actually touches. */
+  def pruneFiles(spark: SparkSession, dir: String, column: String,
+                 lower: Any, upper: Any,
+                 version: Option[Long] = None): (Seq[String], Int) = {
+    val v = version.orElse(latestVersion(spark, dir)).getOrElse(
+      throw new java.io.IOException(s"pruneFiles: no committed version under $dir"))
+    val files = manifestFiles(spark, dir, v)
+    val stats = manifestStats(spark, dir, v)
+    val selected = files.filter { file =>
+      stats.get(file).flatMap(_.get(column)) match {
+        case None => true
+        case Some(st) =>
+          (for {
+            lo <- canonBound(st.tag, lower)
+            hi <- canonBound(st.tag, upper)
+            cMaxLo <- statCompare(st.tag, st.max, lo)
+            cMinHi <- statCompare(st.tag, st.min, hi)
+          } yield cMaxLo >= 0 && cMinHi <= 0).getOrElse(true)
+      }
+    }
+    (selected, files.length)
+  }
+
+  /** Range read with manifest-stats file skipping: opens only the
+    * files [[pruneFiles]] selects, then applies the exact residual
+    * `column BETWEEN lower AND upper` filter (stats skip whole files;
+    * the filter — pushed into the parquet scan by Catalyst — decides
+    * rows, so the result is identical to filtering a full [[read]]). */
+  def readWhere(spark: SparkSession, dir: String, column: String,
+                lower: Any, upper: Any,
+                version: Option[Long] = None): DataFrame = {
+    val (selected, _) = pruneFiles(spark, dir, column, lower, upper, version)
+    val residual = col(column) >= lit(lower) && col(column) <= lit(upper)
+    if (selected.isEmpty) read(spark, dir, version).filter(lit(false))
+    else spark.read.parquet(selected.map(p => s"$dir/$p"): _*).filter(residual)
+  }
+
+  // ------------------------------------------------------------------
+  // Maintenance
+  // ------------------------------------------------------------------
+
   /** Compact the CURRENT snapshot's small files into ~targetBytes
     * files, committed as a new version whose manifest drops the
     * superseded files and adds the rewritten ones. Old versions stay
@@ -220,9 +460,18 @@ object SnapshotTable {
     * If an append commits concurrently, the commit loop re-bases:
     * files added since the compaction read are carried forward
     * unchanged — only the files actually rewritten are swapped out.
-    * Returns the new version, or None when already compact. */
+    *
+    * `clusterBy` range-repartitions + sorts the rewrite on the given
+    * columns, making per-file ranges (near-)disjoint so that
+    * [[readWhere]] pruning on those columns becomes effective — the
+    * clustering half of the data-skipping story. File stats are
+    * recomputed for the rewritten files over every column the current
+    * manifest already tracks (plus `clusterBy`), so skipping survives
+    * compaction. Returns the new version, or None when already
+    * compact. */
   def compact(spark: SparkSession, dir: String,
               targetBytes: Long = 128L * 1024 * 1024,
+              clusterBy: Seq[String] = Nil,
               maxRetries: Int = 20): Option[Long] = {
     require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
     val f = fs(spark, dir)
@@ -232,14 +481,22 @@ object SnapshotTable {
     if (old.isEmpty) return None
     val totalBytes = old.map(p => f.getFileStatus(new Path(dir, p)).getLen).sum
     val nTarget = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
-    if (old.length <= nTarget) return None
+    if (old.length <= nTarget && clusterBy.isEmpty) return None
+    val trackedCols =
+      (manifestStats(spark, dir, base).values.flatMap(_.keys).toSeq ++
+        clusterBy).distinct
     val batch = java.util.UUID.randomUUID().toString
     val batchDir = new Path(dir, s"data/$batch")
-    spark.read.parquet(old.map(p => s"$dir/$p"): _*)
-      .coalesce(nTarget).write.parquet(batchDir.toString)
+    val src = spark.read.parquet(old.map(p => s"$dir/$p"): _*)
+    val laid =
+      if (clusterBy.isEmpty) src.coalesce(nTarget)
+      else src.repartitionByRange(nTarget, clusterBy.map(col): _*)
+        .sortWithinPartitions(clusterBy.map(col): _*)
+    laid.write.parquet(batchDir.toString)
     val rewritten = f.listStatus(batchDir).toSeq
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
       .map(s => s"data/$batch/${s.getPath.getName}")
+    val rewrittenStats = computeStats(spark, batchDir, trackedCols)
     var attempt = 0
     while (attempt < maxRetries) {
       val cur = latestVersion(spark, dir).get
@@ -249,7 +506,9 @@ object SnapshotTable {
       // untouched — compaction commits no writer transaction.
       val next = curFiles.filterNot(old.toSet) ++ rewritten
       if (tryCommit(spark, dir, cur + 1, next,
-          manifestTxns(spark, dir, cur))) return Some(cur + 1)
+          manifestTxns(spark, dir, cur),
+          manifestStats(spark, dir, cur) ++ rewrittenStats))
+        return Some(cur + 1)
       attempt += 1
     }
     throw new java.io.IOException(
@@ -297,5 +556,113 @@ object SnapshotTable {
       if (f.exists(p)) f.delete(p, false)
     }
     deleted
+  }
+
+  // ------------------------------------------------------------------
+  // Row-level operations (copy-on-write)
+  // ------------------------------------------------------------------
+
+  /** Columns the current manifest tracks stats for — rewrites keep
+    * tracking them so data skipping survives row-level ops. */
+  private def trackedStatsCols(spark: SparkSession, dir: String,
+                               v: Long): Seq[String] =
+    manifestStats(spark, dir, v).values.flatMap(_.keys).toSeq.distinct
+
+  /** The current snapshot with a `__file` column carrying each row's
+    * manifest-relative data path. */
+  private def withFile(spark: SparkSession, dir: String, v: Long): DataFrame = {
+    val files = manifestFiles(spark, dir, v)
+    spark.read.parquet(files.map(p => s"$dir/$p"): _*)
+      .withColumn("__file", input_file_name())
+  }
+
+  /** Copy-on-write row DELETE: rewrites ONLY the files that contain a
+    * matching row (found via one `input_file_name()` scan), commits a
+    * snapshot dropping them and adding their filtered rewrites; every
+    * untouched file carries forward by reference. Returns the new
+    * version, or None when nothing matched (no commit at all).
+    *
+    * Concurrency: an append racing the commit re-bases fine; but if a
+    * TOUCHED file vanishes from the current manifest (a concurrent
+    * compact/delete/merge rewrote it), committing would resurrect its
+    * deleted rows — that is a genuine write-write conflict and this
+    * throws ConcurrentModificationException, the same surface Delta's
+    * conflict checker gives. The touched-file collect is
+    * file-count-bounded control plane. */
+  def deleteWhere(spark: SparkSession, dir: String, condition: Column,
+                  maxRetries: Int = 20): Option[Long] = {
+    val base = latestVersion(spark, dir).getOrElse(
+      throw new java.io.IOException(s"deleteWhere: no committed version under $dir"))
+    if (manifestFiles(spark, dir, base).isEmpty) return None
+    val touched = withFile(spark, dir, base)
+      .filter(condition).select("__file").distinct().collect()
+      .map(r => relFromUri(r.getString(0))).toSeq.sorted
+    if (touched.isEmpty) return None
+    val survivors = spark.read
+      .parquet(touched.map(p => s"$dir/$p"): _*).filter(not(condition))
+    commitRewrite(spark, dir, touched, survivors,
+      trackedStatsCols(spark, dir, base), maxRetries, "deleteWhere")
+  }
+
+  /** Copy-on-write MERGE (upsert): for key-matched rows the source row
+    * replaces the target row; unmatched source rows are inserted.
+    * Only files containing a matched key are rewritten (matched via a
+    * key semi-join against one `input_file_name()` scan — at 100 TB
+    * this is what makes a small CDC batch cheap: the untouched bulk of
+    * the table is never read past its stats, let alone rewritten).
+    * `source` must be key-unique (the classic MERGE precondition —
+    * enforced, failing loudly on duplicate keys) and schema-compatible
+    * (union by name). Returns the committed version. */
+  def merge(spark: SparkSession, dir: String, source: DataFrame,
+            keys: Seq[String], maxRetries: Int = 20): Long = {
+    require(keys.nonEmpty, "merge: at least one key column required")
+    val base = latestVersion(spark, dir).getOrElse(
+      throw new java.io.IOException(s"merge: no committed version under $dir"))
+    val dupKeys = source.groupBy(keys.map(col): _*)
+      .count().filter(col("count") > 1).limit(1).collect()
+    require(dupKeys.isEmpty,
+      s"merge: source has duplicate keys, e.g. ${dupKeys.head.mkString(",")}")
+    val srcKeys = source.select(keys.map(col): _*).distinct()
+    val touched =
+      if (manifestFiles(spark, dir, base).isEmpty) Seq.empty[String]
+      else withFile(spark, dir, base)
+        .join(srcKeys, keys, "left_semi").select("__file").distinct().collect()
+        .map(r => relFromUri(r.getString(0))).toSeq.sorted
+    val rewrite =
+      if (touched.isEmpty) source
+      else spark.read.parquet(touched.map(p => s"$dir/$p"): _*)
+        .join(srcKeys, keys, "left_anti")
+        .unionByName(source)
+    commitRewrite(spark, dir, touched, rewrite,
+      trackedStatsCols(spark, dir, base), maxRetries, "merge").getOrElse(
+      throw new IllegalStateException("merge: rewrite commit returned no version"))
+  }
+
+  /** Shared commit path for row-level rewrites: write `rewrite` as a
+    * new batch, then commit current-files − touched + new, with the
+    * touched-file conflict guard. */
+  private def commitRewrite(spark: SparkSession, dir: String,
+                            touched: Seq[String], rewrite: DataFrame,
+                            statsCols: Seq[String], maxRetries: Int,
+                            op: String): Option[Long] = {
+    val (added, addedStats) = writeBatch(rewrite, dir, statsCols)
+    val touchedSet = touched.toSet
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val cur = latestVersion(spark, dir).get
+      val curFiles = manifestFiles(spark, dir, cur)
+      val missing = touched.filterNot(curFiles.toSet)
+      if (missing.nonEmpty)
+        throw new java.util.ConcurrentModificationException(
+          s"$op: touched files rewritten concurrently: ${missing.take(3).mkString(", ")}")
+      val next = curFiles.filterNot(touchedSet) ++ added
+      if (tryCommit(spark, dir, cur + 1, next,
+          manifestTxns(spark, dir, cur),
+          (manifestStats(spark, dir, cur) -- touched) ++ addedStats))
+        return Some(cur + 1)
+      attempt += 1
+    }
+    throw new java.io.IOException(
+      s"$op: lost the commit race $maxRetries times under $dir")
   }
 }

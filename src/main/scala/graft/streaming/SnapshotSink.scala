@@ -22,11 +22,12 @@ import graft.sources.SnapshotTable
 object SnapshotSink {
 
   def start(df: DataFrame, tableDir: String, checkpointPath: String,
-            appId: String): StreamingQuery =
+            appId: String, statsCols: Seq[String] = Nil): StreamingQuery =
     df.writeStream
       .option("checkpointLocation", checkpointPath)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        SnapshotTable.transactionalAppend(batch, tableDir, appId, batchId)
+        SnapshotTable.transactionalAppend(batch, tableDir, appId, batchId,
+          statsCols)
         ()
       }
       .start()

@@ -129,6 +129,127 @@ class SnapshotTableSpec extends AnyFunSuite {
       ((0L until 20L) ++ (100L until 105L) ++ (200L until 210L)).toSet)
   }
 
+  test("file stats: readWhere prunes to intersecting files, result == full-scan filter") {
+    val dir = Files.createTempDirectory("graft-snap-s").toString + "/t"
+    // Four appends with DISJOINT id ranges → per-file [min,max] are
+    // disjoint and a narrow predicate must open one file.
+    (0 until 4).foreach { i =>
+      SnapshotTable.append(
+        spark.range(100L * i, 100L * i + 100).toDF()
+          .withColumn("k", format_string("k%05d", $"id"))
+          .coalesce(1),
+        dir, statsCols = Seq("id", "k"))
+    }
+    val (sel, total) = SnapshotTable.pruneFiles(spark, dir, "id", 120L, 180L)
+    assert(total == 4 && sel.size == 1,
+      s"expected 1-of-4 files for a one-batch range, got ${sel.size}/$total")
+    assert(ids(SnapshotTable.readWhere(spark, dir, "id", 120L, 180L)) ==
+      ids(SnapshotTable.read(spark, dir).filter($"id".between(120, 180))))
+    // String-domain stats prune lexically.
+    val (selK, _) = SnapshotTable.pruneFiles(spark, dir, "k", "k00250", "k00260")
+    assert(selK.size == 1)
+    // A column with NO stats never prunes (conservative).
+    val (selNone, _) =
+      SnapshotTable.pruneFiles(spark, dir, "nonexistent", 0, 1)
+    assert(selNone.size == total)
+    // A range matching nothing still returns the right (empty) result.
+    assert(ids(SnapshotTable.readWhere(spark, dir, "id", 5000L, 6000L)).isEmpty)
+  }
+
+  test("clusterBy compaction turns an unprunable layout into a prunable one") {
+    val dir = Files.createTempDirectory("graft-snap-z").toString + "/t"
+    // Round-robin appends: every file spans the FULL id range, so
+    // stats exist but prune nothing.
+    (0 until 4).foreach { i =>
+      SnapshotTable.append(
+        spark.range(0, 400).filter($"id" % 4 === i).coalesce(1).toDF(),
+        dir, statsCols = Seq("id"))
+    }
+    val (pre, preTotal) = SnapshotTable.pruneFiles(spark, dir, "id", 10L, 20L)
+    assert(pre.size == preTotal, "interleaved layout must be unprunable")
+    // Range-cluster on id into ~4 files: ranges become disjoint.
+    val bytes = SnapshotTable.manifestFiles(spark, dir,
+      SnapshotTable.latestVersion(spark, dir).get)
+      .map(p => new java.io.File(s"$dir/$p").length).sum
+    val v = SnapshotTable.compact(spark, dir, targetBytes = bytes / 4 + 1,
+      clusterBy = Seq("id")).get
+    val (post, postTotal) = SnapshotTable.pruneFiles(spark, dir, "id", 10L, 20L)
+    assert(postTotal >= 2 && post.size < postTotal,
+      s"clustered layout must prune: ${post.size}/$postTotal")
+    assert(ids(SnapshotTable.readWhere(spark, dir, "id", 10L, 20L)) ==
+      (10L to 20L).toSet)
+    assert(ids(SnapshotTable.read(spark, dir, Some(v))) == (0L until 400L).toSet)
+  }
+
+  test("deleteWhere rewrites only touched files; time travel keeps deleted rows") {
+    val dir = Files.createTempDirectory("graft-snap-d").toString + "/t"
+    (0 until 4).foreach { i =>
+      SnapshotTable.append(
+        spark.range(100L * i, 100L * i + 100).coalesce(1).toDF(),
+        dir, statsCols = Seq("id"))
+    }
+    val preV = SnapshotTable.latestVersion(spark, dir).get
+    val preFiles = SnapshotTable.manifestFiles(spark, dir, preV)
+    // Delete a range inside batch 1 only.
+    val v = SnapshotTable.deleteWhere(spark, dir,
+      $"id".between(150, 159)).get
+    assert(ids(SnapshotTable.read(spark, dir)) ==
+      (0L until 400L).toSet -- (150L to 159L))
+    // Untouched files carried by REFERENCE: 3 of the 4 originals
+    // remain in the new manifest verbatim.
+    val postFiles = SnapshotTable.manifestFiles(spark, dir, v).toSet
+    assert(preFiles.count(postFiles.contains) == 3,
+      "deleteWhere must not rewrite files without matching rows")
+    // Snapshot isolation: the pre-delete version still has every row.
+    assert(ids(SnapshotTable.read(spark, dir, Some(preV))) ==
+      (0L until 400L).toSet)
+    // Stats survive the rewrite: a narrow read still prunes.
+    val (sel, total) = SnapshotTable.pruneFiles(spark, dir, "id", 320L, 330L)
+    assert(sel.size < total)
+    // Nothing matched → no commit at all.
+    assert(SnapshotTable.deleteWhere(spark, dir, $"id" > 10000).isEmpty)
+    assert(SnapshotTable.latestVersion(spark, dir).get == v)
+  }
+
+  test("merge upserts matched keys, inserts new ones, rewrites only touched files") {
+    val dir = Files.createTempDirectory("graft-snap-m").toString + "/t"
+    (0 until 3).foreach { i =>
+      SnapshotTable.append(
+        spark.range(100L * i, 100L * i + 100).toDF()
+          .withColumn("v", lit("old")).coalesce(1),
+        dir, statsCols = Seq("id"))
+    }
+    val preV = SnapshotTable.latestVersion(spark, dir).get
+    val preFiles = SnapshotTable.manifestFiles(spark, dir, preV)
+    // Source: update two ids in batch 0, insert two new ids.
+    val source = Seq((5L, "new"), (7L, "new"), (900L, "ins"), (901L, "ins"))
+      .toDF("id", "v")
+    SnapshotTable.merge(spark, dir, source, Seq("id"))
+    val got = SnapshotTable.read(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.size == 302)
+    assert(got(5L) == "new" && got(7L) == "new")
+    assert(got(900L) == "ins" && got(901L) == "ins")
+    assert(got(6L) == "old" && got(150L) == "old")
+    // Only batch 0's file was rewritten; batches 1-2 carried forward.
+    val postFiles = SnapshotTable.manifestFiles(spark, dir,
+      SnapshotTable.latestVersion(spark, dir).get).toSet
+    assert(preFiles.count(postFiles.contains) == 2,
+      "merge must not rewrite files without matched keys")
+    // Pre-merge snapshot unchanged.
+    assert(SnapshotTable.read(spark, dir, Some(preV))
+      .filter($"v" =!= "old").count() == 0)
+    // Duplicate-key source fails loudly (classic MERGE precondition).
+    intercept[IllegalArgumentException] {
+      SnapshotTable.merge(spark, dir,
+        Seq((1L, "a"), (1L, "b")).toDF("id", "v"), Seq("id"))
+    }
+    // Insert-only merge into the same table works (no touched files).
+    SnapshotTable.merge(spark, dir,
+      Seq((950L, "ins2")).toDF("id", "v"), Seq("id"))
+    assert(ids(SnapshotTable.read(spark, dir)).contains(950L))
+  }
+
   test("compact races a concurrent appender: every committed row survives") {
     // Real concurrency: one thread compacts while another appends.
     // Whatever interleave the scheduler picks, the final snapshot must
