@@ -1080,6 +1080,131 @@ final class TopKHeap(val k: Int) {
   }
 }
 
+/** Fixed-size Bloom filter over the child STRING key — the per-file
+  * membership summary behind [[graft.sources.SnapshotTable]]'s
+  * point-lookup file skipping (the public Delta bloom-index idea:
+  * min/max stats cannot prune an equality probe on a high-cardinality
+  * UNSORTED key, a per-file Bloom filter can). `mBits` bits (multiple
+  * of 64), `kProbes` probes by double hashing:
+  * `h_i = (h1 + i*h2) mod m` with `h1 = xxh64(key, SEED1)`,
+  * `h2 = xxh64(key, SEED2) | 1` — the driver-side probe
+  * (`SnapshotTable.bloomMightContain`) recomputes the identical
+  * positions with the same XXH64, so build/probe parity holds by
+  * construction, not by cross-engine luck.
+  *
+  * Buffer: `long[m/64]` (fixed, group-count-bounded memory); update is
+  * O(k) bit-sets; merge is bitwise OR — commutative and associative,
+  * so the result is partitioning- and merge-order-INDEPENDENT (the
+  * property that makes the manifest entry deterministic). Eval packs
+  * big-endian into BinaryType. NULL keys are skipped (a NULL never
+  * matches an equality probe). */
+case class BloomFilterBits(
+    child: Expression,
+    mBits: Int,
+    kProbes: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends org.apache.spark.sql.catalyst.expressions.aggregate
+    .TypedImperativeAggregate[Array[Long]] {
+
+  require(mBits >= 64 && mBits % 64 == 0 && mBits <= (1 << 26),
+    s"bloom_filter_bits: mBits must be a multiple of 64 in [64, 2^26], got $mBits")
+  require(kProbes >= 1 && kProbes <= 16,
+    s"bloom_filter_bits: kProbes must be in [1, 16], got $kProbes")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"bloom_filter_bits requires a STRING key, got ${child.dataType.sql}")
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = "bloom_filter_bits"
+
+  override def createAggregationBuffer(): Array[Long] =
+    new Array[Long](mBits / 64)
+
+  override def update(buf: Array[Long],
+      input: org.apache.spark.sql.catalyst.InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val key = v.asInstanceOf[UTF8String]
+      val h1 = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUTF8String(key, BloomFilterBits.Seed1)
+      val h2 = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUTF8String(key, BloomFilterBits.Seed2) | 1L
+      var i = 0
+      while (i < kProbes) {
+        val p = java.lang.Long.remainderUnsigned(h1 + i * h2, mBits).toInt
+        buf(p >>> 6) |= 1L << (p & 63)
+        i += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < b1.length) { b1(i) |= b2(i); i += 1 }
+    b1
+  }
+
+  override def eval(buf: Array[Long]): Any = {
+    val bytes = new Array[Byte](buf.length * 8)
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    var i = 0
+    while (i < buf.length) { bb.putLong(buf(i)); i += 1 }
+    bytes
+  }
+
+  override def serialize(buf: Array[Long]): Array[Byte] =
+    eval(buf).asInstanceOf[Array[Byte]]
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val buf = new Array[Long](bytes.length / 8)
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    var i = 0
+    while (i < buf.length) { buf(i) = bb.getLong(); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): BloomFilterBits =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BloomFilterBits =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): BloomFilterBits =
+    copy(child = newChildren.head)
+}
+
+object BloomFilterBits {
+  /** Build/probe hash seeds — part of the on-disk contract: a bitset
+    * committed to a manifest is only probeable with these. */
+  val Seed1: Long = 0x9747b28cL
+  val Seed2: Long = 0x243f6a88L
+
+  /** Driver-side membership probe of an [[eval]]-packed bitset; MUST
+    * mirror [[update]]'s position arithmetic exactly. */
+  def mightContain(bits: Array[Byte], key: String, kProbes: Int): Boolean = {
+    val mBits = bits.length * 8
+    val u = UTF8String.fromString(key)
+    val h1 = org.apache.spark.sql.catalyst.expressions.XXH64
+      .hashUTF8String(u, Seed1)
+    val h2 = org.apache.spark.sql.catalyst.expressions.XXH64
+      .hashUTF8String(u, Seed2) | 1L
+    var i = 0
+    while (i < kProbes) {
+      val p = java.lang.Long.remainderUnsigned(h1 + i * h2, mBits).toInt
+      // Bit (p & 63) from the LSB of word (p >>> 6), packed big-endian:
+      // the LSB lives in the word's LAST byte.
+      val byteIdx = ((p >>> 6) << 3) + (7 - ((p & 63) >>> 3))
+      if ((bits(byteIdx) & (1 << (p & 7))) == 0) return false
+      i += 1
+    }
+    true
+  }
+}
+
 /** Per-group top-k WITHOUT a window sort: the aggregate form of
   * `row_number() OVER (PARTITION BY g ORDER BY score DESC, id) <= k`.
   * The window form shuffles and SORTS every row of every group; this
@@ -1238,6 +1363,13 @@ object GraftFunctions {
     GraftSqlBridge.column(
       MisraGriesKeys(GraftSqlBridge.expression(c), k).toAggregateExpression())
 
+  /** Aggregate: fixed-size Bloom bitset over a STRING key (see
+    * [[BloomFilterBits]]). */
+  def bloomFilterBits(c: Column, mBits: Int, kProbes: Int): Column =
+    GraftSqlBridge.column(
+      BloomFilterBits(GraftSqlBridge.expression(c), mBits, kProbes)
+        .toAggregateExpression())
+
   /** `array<long>` ∩ Bloom filter ≠ ∅ (see [[BloomLongsContainAny]]);
     * the [[Bloom]] MUST come from [[ExprHelpers.bloomBuild]] (via the
     * building wrapper, e.g. Decontaminate.bloomBits). */
@@ -1298,7 +1430,10 @@ object GraftFunctions {
     "misra_gries_keys" -> { es =>
       MisraGriesKeys(es.head, literalInt(es(1), "misra_gries_keys")) },
     "top_k_by" -> { es =>
-      TopKByScore(es.head, es(1), literalInt(es(2), "top_k_by")) })
+      TopKByScore(es.head, es(1), literalInt(es(2), "top_k_by")) },
+    "bloom_filter_bits" -> { es =>
+      BloomFilterBits(es.head, literalInt(es(1), "bloom_filter_bits"),
+        literalInt(es(2), "bloom_filter_bits")) })
 
   /** Register the SQL functions into an existing session (the
     * runtime-registration path; config-time wiring is

@@ -10761,10 +10761,40 @@ object Queries {
       AND o_orderdate <= TIMESTAMP '1995-12-31 23:59:59'
     GROUP BY 1 ORDER BY mo"""))
 
+  /** Bloom-index point lookup through
+    * [[graft.sources.SnapshotTable.readWhereEq]]: four INTERLEAVED
+    * appends (o_orderkey % 4) make every file's min/max span the whole
+    * key range — range stats prune nothing — while each append also
+    * records a per-file Bloom bitset, so the equality probe opens only
+    * the owning file (the O19 metadata point-get shape at table
+    * scale; selectivity pinned in SnapshotTableSpec). The probe key is
+    * max(o_orderkey) — one 1-row control-plane aggregate. */
+  private val qSnapshotLookup = Q(
+    "q_snapshot_lookup",
+    (s, d) => {
+      val dir = snapTmp()
+      val orders = t(s, d, "orders").select(col("o_orderkey"),
+        col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
+      (0 until 4).foreach { i =>
+        graft.sources.SnapshotTable.append(
+          orders.filter(pmod(col("o_orderkey"), lit(4)) === i),
+          dir, statsCols = Seq("o_orderkey"), bloomCols = Seq("o_orderkey"))
+      }
+      val k = orders.agg(max("o_orderkey")).head.getLong(0)
+      graft.sources.SnapshotTable.readWhereEq(s, dir, "o_orderkey", k)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"))
+        .orderBy("o_orderkey")
+    },
+    Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+    FROM orders
+    WHERE o_orderkey = (SELECT max(o_orderkey) FROM orders)
+    ORDER BY o_orderkey"""))
+
   // ---------------------------------------------------------------------
 
   val all: Seq[Q] = Seq(
-    qSnapshotMerge, qSnapshotDelete, qSnapshotPrune,
+    qSnapshotMerge, qSnapshotDelete, qSnapshotPrune, qSnapshotLookup,
     qResultsTopk, qIngestFilter, qSanitizeIdent, qParseNumber, qParseDate,
     qNullNormalize, qInferType, qJsonExtract, qSchemaEvolution,
     qProjFilter, qAggGroup, qDistinct, qApproxDistinct, qRollup, qCube,

@@ -50,10 +50,19 @@ import org.apache.spark.sql.types._
   *     conflicts (a touched file vanishing from the current manifest
   *     means a concurrent compaction/delete rewrote it) and fail
   *     loudly rather than resurrect rows.
+  *   - **Bloom point-lookup skipping**: per-file Bloom bitsets (an
+  *     append-time native aggregate) let [[readWhereEq]] prune an
+  *     equality probe on a high-cardinality unsorted key that min/max
+  *     stats cannot touch.
+  *   - **Manifest-recorded schema with add-column evolution**: new
+  *     columns append (type conflicts refused before any data write);
+  *     reads apply the unified schema so pre-evolution files
+  *     NULL-backfill, and time travel reads each version under ITS
+  *     schema.
   *
-  * Deliberately out of scope (and documented as such): schema
-  * evolution metadata (pair with [[graft.catalog.Catalog]]) and
-  * multi-table transactions. */
+  * Deliberately out of scope (and documented as such): multi-table
+  * transactions, and column renames/drops (add-column only — the
+  * reference-O16 contract). */
 object SnapshotTable {
 
   private def fs(spark: SparkSession, dir: String): FileSystem =
@@ -147,6 +156,76 @@ object SnapshotTable {
     b.result()
   }
 
+  /** Per-file Bloom bitsets of a version (file → column → packed
+    * bitset): the point-lookup skipping summary — min/max stats
+    * cannot prune an equality probe on a high-cardinality UNSORTED
+    * key; a per-file Bloom filter can ([[pruneFilesEq]]). Stored
+    * base64 in the manifest — right for moderate file counts; at
+    * very large file counts the same bitsets would move to per-batch
+    * sidecar files (the Delta bloom-index layout), with the manifest
+    * holding pointers. */
+  def manifestBlooms(spark: SparkSession, dir: String,
+                     v: Long): Map[String, Map[String, Array[Byte]]] = {
+    val s = manifestNode(spark, dir, v).get("blooms")
+    if (s == null) return Map.empty
+    val b = Map.newBuilder[String, Map[String, Array[Byte]]]
+    val files = s.fieldNames()
+    while (files.hasNext) {
+      val file = files.next()
+      val fileNode = s.get(file)
+      val cb = Map.newBuilder[String, Array[Byte]]
+      val cols = fileNode.fieldNames()
+      while (cols.hasNext) {
+        val c = cols.next()
+        cb += c -> java.util.Base64.getDecoder.decode(fileNode.get(c).asText)
+      }
+      b += file -> cb.result()
+    }
+    b.result()
+  }
+
+  /** The table schema a version's manifest records (absent on
+    * pre-evolution manifests → readers fall back to parquet
+    * inference over the snapshot's files). */
+  def manifestSchema(spark: SparkSession, dir: String,
+                     v: Long): Option[StructType] = {
+    val n = manifestNode(spark, dir, v).get("schema")
+    if (n == null) None
+    else Some(DataType.fromJson(n.toString).asInstanceOf[StructType])
+  }
+
+  /** Add-column schema evolution (the [[graft.catalog.Catalog]] /
+    * reference-O16 discipline, enforced at the table-format layer):
+    * every existing column keeps its type — a same-name type conflict
+    * fails loudly — and genuinely new columns append. Everything is
+    * marked nullable: rows in pre-evolution files surface NULL for
+    * columns their file predates, and an append may itself omit
+    * existing columns (its rows read NULL there). */
+  private def evolveSchema(prev: StructType, next: StructType): StructType = {
+    val prevNames = prev.fields.map(f => f.name -> f.dataType).toMap
+    next.fields.foreach { f =>
+      prevNames.get(f.name).foreach { pt =>
+        require(pt.catalogString == f.dataType.catalogString,
+          s"schema evolution: column ${f.name} arrives as " +
+            s"${f.dataType.simpleString} but the table holds ${pt.simpleString}")
+      }
+    }
+    StructType((prev.fields ++
+      next.fields.filterNot(f => prevNames.contains(f.name)))
+      .map(_.copy(nullable = true)))
+  }
+
+  /** Read exactly `files` (relative paths), under the table schema
+    * when the manifest records one — an explicit schema makes parquet
+    * surface NULL for columns a file predates, which is what lets one
+    * scan span an evolving file population. */
+  private def readFiles(spark: SparkSession, dir: String,
+                        files: Seq[String],
+                        schema: Option[StructType]): DataFrame = {
+    val paths = files.map(p => s"$dir/$p")
+    schema.map(spark.read.schema(_)).getOrElse(spark.read).parquet(paths: _*)
+  }
+
   /** Serializes same-JVM committers. Commit atomicity rests on a
     * rename-that-fails-if-destination-exists — which HDFS-class
     * stores give and the LOCAL filesystem does NOT (Hadoop's local
@@ -165,7 +244,9 @@ object SnapshotTable {
   private def tryCommit(spark: SparkSession, dir: String, v: Long,
                         files: Seq[String],
                         txns: Map[String, Long] = Map.empty,
-                        stats: Map[String, Map[String, ColStat]] = Map.empty
+                        stats: Map[String, Map[String, ColStat]] = Map.empty,
+                        schema: Option[StructType] = None,
+                        blooms: Map[String, Map[String, Array[Byte]]] = Map.empty
                        ): Boolean = commitLock.synchronized {
     val f = fs(spark, dir)
     f.mkdirs(manifestDir(dir))
@@ -173,6 +254,7 @@ object SnapshotTable {
     if (f.exists(target)) return false
     val root = new java.util.LinkedHashMap[String, Object]()
     root.put("version", java.lang.Long.valueOf(v))
+    schema.foreach(st => root.put("schema", mapper.readTree(st.json)))
     val tj = new java.util.LinkedHashMap[String, Object]()
     txns.toSeq.sortBy(_._1).foreach { case (a, tv) =>
       tj.put(a, java.lang.Long.valueOf(tv)) }
@@ -195,6 +277,18 @@ object SnapshotTable {
         sj.put(file, cj)
       }
       root.put("stats", sj)
+    }
+    val keepBlooms = blooms.view.filterKeys(files.toSet).toMap
+    if (keepBlooms.nonEmpty) {
+      val bj = new java.util.LinkedHashMap[String, Object]()
+      keepBlooms.toSeq.sortBy(_._1).foreach { case (file, cols) =>
+        val cj = new java.util.LinkedHashMap[String, Object]()
+        cols.toSeq.sortBy(_._1).foreach { case (c, bits) =>
+          cj.put(c, java.util.Base64.getEncoder.encodeToString(bits))
+        }
+        bj.put(file, cj)
+      }
+      root.put("blooms", bj)
     }
     val body = mapper.writeValueAsString(root)
     val tmp = new Path(manifestDir(dir),
@@ -302,6 +396,42 @@ object SnapshotTable {
     }.toMap
   }
 
+  /** Bloom sizing — part of the on-disk contract (a committed bitset
+    * is only probeable at the same m and k). 16384 bits / 6 probes:
+    * ~2 KB per (file, column), FPR ≈ 2% at ~2000 distinct keys per
+    * file; size m up with file row counts (FPR only ever costs a
+    * wasted file open, never a missed row). */
+  private val BloomBits = 16384
+  private val BloomProbes = 6
+
+  /** Per-file Bloom bitsets of `bloomCols` over the freshly written
+    * batch — same one-scan shape as [[computeStats]]. The key is the
+    * column CAST TO STRING: type-agnostic and exactly reproducible on
+    * the probe side via `value.toString` (integral and string keys —
+    * the point-lookup types — render identically). */
+  private def computeBlooms(spark: SparkSession, batchDir: Path,
+                            bloomCols: Seq[String]
+                           ): Map[String, Map[String, Array[Byte]]] = {
+    if (bloomCols.isEmpty) return Map.empty
+    val df = spark.read.parquet(batchDir.toString)
+    val present = bloomCols.distinct.filter(df.columns.contains)
+    if (present.isEmpty) return Map.empty
+    val aggs = present.map { c =>
+      graft.plans.GraftFunctions.bloomFilterBits(
+        col(c).cast("string"), BloomBits, BloomProbes).as(s"__bf_$c") }
+    val rows = df.groupBy(input_file_name().as("__f"))
+      .agg(aggs.head, aggs.tail: _*).collect()
+    rows.map { r =>
+      relFromUri(r.getString(0)) ->
+        present.map(c => c -> r.getAs[Array[Byte]](s"__bf_$c")).toMap
+    }.toMap
+  }
+
+  /** Driver-side probe of a manifest bitset (see
+    * [[graft.plans.BloomFilterBits.mightContain]]). */
+  private def bloomMightContain(bits: Array[Byte], value: Any): Boolean =
+    graft.plans.BloomFilterBits.mightContain(bits, value.toString, BloomProbes)
+
   // ------------------------------------------------------------------
   // Writes
   // ------------------------------------------------------------------
@@ -312,17 +442,28 @@ object SnapshotTable {
     * per-file min/max land in the manifest for [[readWhere]] skipping.
     * Returns the committed version. */
   def append(df: DataFrame, dir: String, statsCols: Seq[String] = Nil,
-             maxRetries: Int = 20): Long = {
+             bloomCols: Seq[String] = Nil, maxRetries: Int = 20): Long = {
     val spark = df.sparkSession
-    val (added, addedStats) = writeBatch(df, dir, statsCols)
+    // Pre-flight evolution check BEFORE the data write: a type
+    // conflict must not cost a doomed batch (the authoritative check
+    // re-runs against whatever manifest the commit loop lands on).
+    latestVersion(spark, dir).flatMap(manifestSchema(spark, dir, _))
+      .foreach(evolveSchema(_, df.schema))
+    val (added, addedStats, addedBlooms) =
+      writeBatch(df, dir, statsCols, bloomCols)
     var attempt = 0
     while (attempt < maxRetries) {
       val base = latestVersion(spark, dir)
       val prev = base.map(manifestFiles(spark, dir, _)).getOrElse(Nil)
       val txns = base.map(manifestTxns(spark, dir, _)).getOrElse(Map.empty)
       val stats = base.map(manifestStats(spark, dir, _)).getOrElse(Map.empty)
+      val blooms = base.map(manifestBlooms(spark, dir, _)).getOrElse(Map.empty)
+      val unified = base.flatMap(manifestSchema(spark, dir, _))
+        .map(evolveSchema(_, df.schema))
+        .getOrElse(evolveSchema(new StructType(), df.schema))
       val v = base.getOrElse(-1L) + 1
-      if (tryCommit(spark, dir, v, prev ++ added, txns, stats ++ addedStats))
+      if (tryCommit(spark, dir, v, prev ++ added, txns, stats ++ addedStats,
+          Some(unified), blooms ++ addedBlooms))
         return v
       attempt += 1 // lost the race: re-read the new latest and retry
     }
@@ -334,8 +475,10 @@ object SnapshotTable {
     * paths, their stats). No two writers can collide on data paths,
     * so data writes need no coordination at all. */
   private def writeBatch(df: DataFrame, dir: String,
-                         statsCols: Seq[String]
-                        ): (Seq[String], Map[String, Map[String, ColStat]]) = {
+                         statsCols: Seq[String],
+                         bloomCols: Seq[String] = Nil
+                        ): (Seq[String], Map[String, Map[String, ColStat]],
+                            Map[String, Map[String, Array[Byte]]]) = {
     val spark = df.sparkSession
     val f = fs(spark, dir)
     val batch = java.util.UUID.randomUUID().toString
@@ -345,7 +488,8 @@ object SnapshotTable {
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
       .map(s => s"data/$batch/${s.getPath.getName}")
     val stats = computeStats(spark, batchDir, statsCols)
-    (added, stats)
+    val blooms = computeBlooms(spark, batchDir, bloomCols)
+    (added, stats, blooms)
   }
 
   /** EXACTLY-ONCE append for replayable writers (the Structured
@@ -362,6 +506,7 @@ object SnapshotTable {
     * loop, so two replays racing each other still commit once. */
   def transactionalAppend(df: DataFrame, dir: String, appId: String,
                           txnVersion: Long, statsCols: Seq[String] = Nil,
+                          bloomCols: Seq[String] = Nil,
                           maxRetries: Int = 20): Option[Long] = {
     require(appId.nonEmpty, "transactionalAppend: appId must be non-empty")
     val spark = df.sparkSession
@@ -370,18 +515,24 @@ object SnapshotTable {
     val pre = latestVersion(spark, dir)
       .map(manifestTxns(spark, dir, _)).getOrElse(Map.empty)
     if (pre.getOrElse(appId, Long.MinValue) >= txnVersion) return None
-    val (added, addedStats) = writeBatch(df, dir, statsCols)
+    val (added, addedStats, addedBlooms) =
+      writeBatch(df, dir, statsCols, bloomCols)
     var attempt = 0
     while (attempt < maxRetries) {
       val base = latestVersion(spark, dir)
       val prev = base.map(manifestFiles(spark, dir, _)).getOrElse(Nil)
       val txns = base.map(manifestTxns(spark, dir, _)).getOrElse(Map.empty)
       val stats = base.map(manifestStats(spark, dir, _)).getOrElse(Map.empty)
+      val blooms = base.map(manifestBlooms(spark, dir, _)).getOrElse(Map.empty)
       if (txns.getOrElse(appId, Long.MinValue) >= txnVersion)
         return None // a racing replay won; our files stay orphaned
+      val unified = base.flatMap(manifestSchema(spark, dir, _))
+        .map(evolveSchema(_, df.schema))
+        .getOrElse(evolveSchema(new StructType(), df.schema))
       val v = base.getOrElse(-1L) + 1
       if (tryCommit(spark, dir, v, prev ++ added,
-          txns + (appId -> txnVersion), stats ++ addedStats)) return Some(v)
+          txns + (appId -> txnVersion), stats ++ addedStats,
+          Some(unified), blooms ++ addedBlooms)) return Some(v)
       attempt += 1
     }
     throw new java.io.IOException(
@@ -402,8 +553,12 @@ object SnapshotTable {
     val v = version.orElse(latestVersion(spark, dir)).getOrElse(
       throw new java.io.IOException(s"read: no committed version under $dir"))
     val files = manifestFiles(spark, dir, v)
-    if (files.isEmpty) spark.emptyDataFrame
-    else spark.read.parquet(files.map(p => s"$dir/$p"): _*)
+    val schema = manifestSchema(spark, dir, v)
+    if (files.isEmpty)
+      schema.map(st => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st))
+        .getOrElse(spark.emptyDataFrame)
+    else readFiles(spark, dir, files, schema)
   }
 
   /** The manifest-level file-pruning decision for
@@ -446,7 +601,50 @@ object SnapshotTable {
     val (selected, _) = pruneFiles(spark, dir, column, lower, upper, version)
     val residual = col(column) >= lit(lower) && col(column) <= lit(upper)
     if (selected.isEmpty) read(spark, dir, version).filter(lit(false))
-    else spark.read.parquet(selected.map(p => s"$dir/$p"): _*).filter(residual)
+    else {
+      val v = version.orElse(latestVersion(spark, dir)).get
+      readFiles(spark, dir, selected, manifestSchema(spark, dir, v))
+        .filter(residual)
+    }
+  }
+
+  /** Point-lookup file pruning for `column = value`: a file is opened
+    * only if BOTH summaries allow it — its min/max range contains the
+    * value (when stats exist) AND its Bloom bitset reports
+    * might-contain (when a bloom exists). Files with neither summary
+    * are always kept. Returns (files to open, total). */
+  def pruneFilesEq(spark: SparkSession, dir: String, column: String,
+                   value: Any,
+                   version: Option[Long] = None): (Seq[String], Int) = {
+    val v = version.orElse(latestVersion(spark, dir)).getOrElse(
+      throw new java.io.IOException(
+        s"pruneFilesEq: no committed version under $dir"))
+    val (rangeKept, total) =
+      pruneFiles(spark, dir, column, value, value, Some(v))
+    val blooms = manifestBlooms(spark, dir, v)
+    val selected = rangeKept.filter { file =>
+      blooms.get(file).flatMap(_.get(column)) match {
+        case None => true
+        case Some(bits) => bloomMightContain(bits, value)
+      }
+    }
+    (selected, total)
+  }
+
+  /** Equality read with manifest Bloom + stats file skipping: opens
+    * only the files [[pruneFilesEq]] selects, then applies the exact
+    * `column = value` residual — identical result to filtering a full
+    * [[read]], at point-lookup cost (the O19 metadata-get shape at
+    * table scale). */
+  def readWhereEq(spark: SparkSession, dir: String, column: String,
+                  value: Any, version: Option[Long] = None): DataFrame = {
+    val (selected, _) = pruneFilesEq(spark, dir, column, value, version)
+    if (selected.isEmpty) read(spark, dir, version).filter(lit(false))
+    else {
+      val v = version.orElse(latestVersion(spark, dir)).get
+      readFiles(spark, dir, selected, manifestSchema(spark, dir, v))
+        .filter(col(column) === lit(value))
+    }
   }
 
   // ------------------------------------------------------------------
@@ -485,9 +683,11 @@ object SnapshotTable {
     val trackedCols =
       (manifestStats(spark, dir, base).values.flatMap(_.keys).toSeq ++
         clusterBy).distinct
+    val trackedBlooms =
+      manifestBlooms(spark, dir, base).values.flatMap(_.keys).toSeq.distinct
     val batch = java.util.UUID.randomUUID().toString
     val batchDir = new Path(dir, s"data/$batch")
-    val src = spark.read.parquet(old.map(p => s"$dir/$p"): _*)
+    val src = readFiles(spark, dir, old, manifestSchema(spark, dir, base))
     val laid =
       if (clusterBy.isEmpty) src.coalesce(nTarget)
       else src.repartitionByRange(nTarget, clusterBy.map(col): _*)
@@ -497,6 +697,7 @@ object SnapshotTable {
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
       .map(s => s"data/$batch/${s.getPath.getName}")
     val rewrittenStats = computeStats(spark, batchDir, trackedCols)
+    val rewrittenBlooms = computeBlooms(spark, batchDir, trackedBlooms)
     var attempt = 0
     while (attempt < maxRetries) {
       val cur = latestVersion(spark, dir).get
@@ -507,7 +708,9 @@ object SnapshotTable {
       val next = curFiles.filterNot(old.toSet) ++ rewritten
       if (tryCommit(spark, dir, cur + 1, next,
           manifestTxns(spark, dir, cur),
-          manifestStats(spark, dir, cur) ++ rewrittenStats))
+          manifestStats(spark, dir, cur) ++ rewrittenStats,
+          manifestSchema(spark, dir, cur),
+          manifestBlooms(spark, dir, cur) ++ rewrittenBlooms))
         return Some(cur + 1)
       attempt += 1
     }
@@ -568,13 +771,16 @@ object SnapshotTable {
                                v: Long): Seq[String] =
     manifestStats(spark, dir, v).values.flatMap(_.keys).toSeq.distinct
 
+  private def trackedBloomCols(spark: SparkSession, dir: String,
+                               v: Long): Seq[String] =
+    manifestBlooms(spark, dir, v).values.flatMap(_.keys).toSeq.distinct
+
   /** The current snapshot with a `__file` column carrying each row's
     * manifest-relative data path. */
-  private def withFile(spark: SparkSession, dir: String, v: Long): DataFrame = {
-    val files = manifestFiles(spark, dir, v)
-    spark.read.parquet(files.map(p => s"$dir/$p"): _*)
+  private def withFile(spark: SparkSession, dir: String, v: Long): DataFrame =
+    readFiles(spark, dir, manifestFiles(spark, dir, v),
+      manifestSchema(spark, dir, v))
       .withColumn("__file", input_file_name())
-  }
 
   /** Copy-on-write row DELETE: rewrites ONLY the files that contain a
     * matching row (found via one `input_file_name()` scan), commits a
@@ -598,10 +804,12 @@ object SnapshotTable {
       .filter(condition).select("__file").distinct().collect()
       .map(r => relFromUri(r.getString(0))).toSeq.sorted
     if (touched.isEmpty) return None
-    val survivors = spark.read
-      .parquet(touched.map(p => s"$dir/$p"): _*).filter(not(condition))
+    val survivors =
+      readFiles(spark, dir, touched, manifestSchema(spark, dir, base))
+        .filter(not(condition))
     commitRewrite(spark, dir, touched, survivors,
-      trackedStatsCols(spark, dir, base), maxRetries, "deleteWhere")
+      trackedStatsCols(spark, dir, base),
+      trackedBloomCols(spark, dir, base), maxRetries, "deleteWhere")
   }
 
   /** Copy-on-write MERGE (upsert): for key-matched rows the source row
@@ -614,28 +822,59 @@ object SnapshotTable {
     * enforced, failing loudly on duplicate keys) and schema-compatible
     * (union by name). Returns the committed version. */
   def merge(spark: SparkSession, dir: String, source: DataFrame,
-            keys: Seq[String], maxRetries: Int = 20): Long = {
+            keys: Seq[String], maxRetries: Int = 20): Long =
+    mergeImpl(spark, dir, source, keys, None, maxRetries).getOrElse(
+      throw new IllegalStateException("merge: rewrite commit returned no version"))
+
+  /** EXACTLY-ONCE MERGE for replayable writers — [[merge]] under the
+    * same per-appId transaction ledger as [[transactionalAppend]]: a
+    * replayed (appId, txnVersion) is a manifest no-op (None, data
+    * files left as vacuumable orphans), so a Structured Streaming
+    * foreachBatch CDC apply lands each micro-batch's upsert exactly
+    * once across checkpoint-recovery replays
+    * ([[graft.streaming.SnapshotSink.startMerge]] is the sink twin).
+    * Batches must be applied in batch-id order per app — which the
+    * ledger's monotonicity enforces for free. */
+  def transactionalMerge(spark: SparkSession, dir: String,
+                         source: DataFrame, keys: Seq[String],
+                         appId: String, txnVersion: Long,
+                         maxRetries: Int = 20): Option[Long] = {
+    require(appId.nonEmpty, "transactionalMerge: appId must be non-empty")
+    val pre = latestVersion(spark, dir)
+      .map(manifestTxns(spark, dir, _)).getOrElse(Map.empty)
+    if (pre.getOrElse(appId, Long.MinValue) >= txnVersion) return None
+    mergeImpl(spark, dir, source, keys, Some(appId -> txnVersion), maxRetries)
+  }
+
+  private def mergeImpl(spark: SparkSession, dir: String, source: DataFrame,
+                        keys: Seq[String], txn: Option[(String, Long)],
+                        maxRetries: Int): Option[Long] = {
     require(keys.nonEmpty, "merge: at least one key column required")
-    val base = latestVersion(spark, dir).getOrElse(
-      throw new java.io.IOException(s"merge: no committed version under $dir"))
+    // An uninitialized table is a valid merge target: everything
+    // inserts (what a streaming CDC apply's FIRST micro-batch needs).
+    val base = latestVersion(spark, dir)
     val dupKeys = source.groupBy(keys.map(col): _*)
       .count().filter(col("count") > 1).limit(1).collect()
     require(dupKeys.isEmpty,
       s"merge: source has duplicate keys, e.g. ${dupKeys.head.mkString(",")}")
     val srcKeys = source.select(keys.map(col): _*).distinct()
-    val touched =
-      if (manifestFiles(spark, dir, base).isEmpty) Seq.empty[String]
-      else withFile(spark, dir, base)
-        .join(srcKeys, keys, "left_semi").select("__file").distinct().collect()
-        .map(r => relFromUri(r.getString(0))).toSeq.sorted
+    val touched = base match {
+      case Some(v) if manifestFiles(spark, dir, v).nonEmpty =>
+        withFile(spark, dir, v)
+          .join(srcKeys, keys, "left_semi").select("__file").distinct()
+          .collect().map(r => relFromUri(r.getString(0))).toSeq.sorted
+      case _ => Seq.empty[String]
+    }
     val rewrite =
       if (touched.isEmpty) source
-      else spark.read.parquet(touched.map(p => s"$dir/$p"): _*)
+      else readFiles(spark, dir, touched,
+          base.flatMap(manifestSchema(spark, dir, _)))
         .join(srcKeys, keys, "left_anti")
         .unionByName(source)
     commitRewrite(spark, dir, touched, rewrite,
-      trackedStatsCols(spark, dir, base), maxRetries, "merge").getOrElse(
-      throw new IllegalStateException("merge: rewrite commit returned no version"))
+      base.map(trackedStatsCols(spark, dir, _)).getOrElse(Nil),
+      base.map(trackedBloomCols(spark, dir, _)).getOrElse(Nil),
+      maxRetries, "merge", txn)
   }
 
   /** Shared commit path for row-level rewrites: write `rewrite` as a
@@ -643,23 +882,39 @@ object SnapshotTable {
     * touched-file conflict guard. */
   private def commitRewrite(spark: SparkSession, dir: String,
                             touched: Seq[String], rewrite: DataFrame,
-                            statsCols: Seq[String], maxRetries: Int,
-                            op: String): Option[Long] = {
-    val (added, addedStats) = writeBatch(rewrite, dir, statsCols)
+                            statsCols: Seq[String],
+                            bloomCols: Seq[String], maxRetries: Int,
+                            op: String,
+                            txn: Option[(String, Long)] = None
+                           ): Option[Long] = {
+    val (added, addedStats, addedBlooms) =
+      writeBatch(rewrite, dir, statsCols, bloomCols)
     val touchedSet = touched.toSet
     var attempt = 0
     while (attempt < maxRetries) {
-      val cur = latestVersion(spark, dir).get
-      val curFiles = manifestFiles(spark, dir, cur)
+      val cur = latestVersion(spark, dir)
+      val curFiles = cur.map(manifestFiles(spark, dir, _)).getOrElse(Nil)
+      val curTxns = cur.map(manifestTxns(spark, dir, _)).getOrElse(Map.empty)
+      txn.foreach { case (appId, tv) =>
+        if (curTxns.getOrElse(appId, Long.MinValue) >= tv)
+          return None // a racing replay won; our files stay orphaned
+      }
       val missing = touched.filterNot(curFiles.toSet)
       if (missing.nonEmpty)
         throw new java.util.ConcurrentModificationException(
           s"$op: touched files rewritten concurrently: ${missing.take(3).mkString(", ")}")
+      val schema = Some(cur.flatMap(manifestSchema(spark, dir, _))
+        .map(evolveSchema(_, rewrite.schema))
+        .getOrElse(evolveSchema(new StructType(), rewrite.schema)))
       val next = curFiles.filterNot(touchedSet) ++ added
-      if (tryCommit(spark, dir, cur + 1, next,
-          manifestTxns(spark, dir, cur),
-          (manifestStats(spark, dir, cur) -- touched) ++ addedStats))
-        return Some(cur + 1)
+      if (tryCommit(spark, dir, cur.getOrElse(-1L) + 1, next,
+          txn.fold(curTxns)(curTxns + _),
+          (cur.map(manifestStats(spark, dir, _)).getOrElse(Map.empty)
+            -- touched) ++ addedStats,
+          schema,
+          (cur.map(manifestBlooms(spark, dir, _)).getOrElse(Map.empty)
+            -- touched) ++ addedBlooms))
+        return Some(cur.getOrElse(-1L) + 1)
       attempt += 1
     }
     throw new java.io.IOException(

@@ -31,4 +31,23 @@ object SnapshotSink {
         ()
       }
       .start()
+
+  /** EXACTLY-ONCE streaming UPSERT (CDC apply): each micro-batch is a
+    * keyed [[SnapshotTable.transactionalMerge]] with the batch id as
+    * the transaction version — matched keys are replaced, new keys
+    * inserted, only files holding a matched key rewritten, and a
+    * replayed batch is a manifest no-op. The stream's per-batch rows
+    * must be key-unique (merge's classic precondition; aggregate
+    * upstream — e.g. latest-per-key via max_by — when the raw feed
+    * can repeat a key within one trigger). */
+  def startMerge(df: DataFrame, tableDir: String, checkpointPath: String,
+                 appId: String, keys: Seq[String]): StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        SnapshotTable.transactionalMerge(batch.sparkSession, tableDir,
+          batch, keys, appId, batchId)
+        ()
+      }
+      .start()
 }

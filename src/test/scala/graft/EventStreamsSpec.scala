@@ -379,6 +379,32 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(got().sorted == (0L until 25L), "replayed batch duplicated rows")
   }
 
+  test("snapshot merge sink: streaming CDC upsert is last-write-wins and exactly-once") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-smrg")
+      .toString + "/t"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-smrg-ck").toString
+    val input = MemoryStream[(Long, String)]
+    val q = graft.streaming.SnapshotSink.startMerge(
+      input.toDF().toDF("id", "v"), dir, ckpt, appId = "cdc-v1",
+      keys = Seq("id"))
+    try {
+      // Batch 0 inserts; batch 1 overwrites id=1 and inserts id=5.
+      input.addData((1L, "a"), (2L, "b")); q.processAllAvailable()
+      input.addData((1L, "a2"), (5L, "e")); q.processAllAvailable()
+    } finally q.stop()
+    def got() = graft.sources.SnapshotTable.read(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got() == Map(1L -> "a2", 2L -> "b", 5L -> "e"))
+    // Checkpoint-recovery replay of batch 1: manifest no-op — the
+    // stale values must NOT overwrite, and no rows duplicate.
+    assert(graft.sources.SnapshotTable.transactionalMerge(spark, dir,
+      Seq((1L, "STALE"), (5L, "STALE")).toDF("id", "v"), Seq("id"),
+      "cdc-v1", 1L).isEmpty)
+    assert(got() == Map(1L -> "a2", 2L -> "b", 5L -> "e"))
+  }
+
   test("ann-ingest: streamed IVF appends equal the batch index at any micro-batch split") {
     // Batch-split invariance of AnnIngest: appends are per-row pure
     // (vector, recorded quantizer), so streaming the delta in two

@@ -250,6 +250,91 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(ids(SnapshotTable.read(spark, dir)).contains(950L))
   }
 
+  test("bloom skipping: equality probes prune files min/max stats cannot") {
+    val dir = Files.createTempDirectory("graft-snap-b").toString + "/t"
+    // Interleaved appends: every file's [min,max] spans the whole id
+    // range — range stats are useless for a point lookup here; the
+    // per-file Bloom bitset is what prunes.
+    (0 until 4).foreach { i =>
+      SnapshotTable.append(
+        spark.range(0, 400).filter($"id" % 4 === i).coalesce(1).toDF(),
+        dir, statsCols = Seq("id"), bloomCols = Seq("id"))
+    }
+    // Range pruning keeps all 4; bloom pruning opens exactly the one
+    // file whose batch holds the key (121 % 4 == 1).
+    val (rangeSel, total) = SnapshotTable.pruneFiles(spark, dir, "id", 121L, 121L)
+    assert(rangeSel.size == total && total == 4)
+    val (sel, _) = SnapshotTable.pruneFilesEq(spark, dir, "id", 121L)
+    assert(sel.size == 1, s"bloom must prune to the owning file, got ${sel.size}")
+    assert(ids(SnapshotTable.readWhereEq(spark, dir, "id", 121L)) == Set(121L))
+    // Absent key: every bloom says no — zero files opened, empty result.
+    val (selAbsent, _) = SnapshotTable.pruneFilesEq(spark, dir, "id", 5000L)
+    assert(selAbsent.isEmpty)
+    assert(ids(SnapshotTable.readWhereEq(spark, dir, "id", 5000L)).isEmpty)
+    // Blooms are recomputed on copy-on-write: after deleting the key,
+    // the rewritten file's bitset no longer claims it.
+    SnapshotTable.deleteWhere(spark, dir, $"id" === 121L)
+    val (selAfter, _) = SnapshotTable.pruneFilesEq(spark, dir, "id", 121L)
+    assert(selAfter.isEmpty,
+      s"rewritten file's bloom must drop the deleted key, kept $selAfter")
+    assert(ids(SnapshotTable.readWhereEq(spark, dir, "id", 121L)).isEmpty)
+    // A neighbouring key in the SAME original batch still resolves.
+    assert(ids(SnapshotTable.readWhereEq(spark, dir, "id", 125L)) == Set(125L))
+  }
+
+  test("schema evolution: added columns NULL-backfill, type conflicts fail loudly") {
+    val dir = Files.createTempDirectory("graft-snap-e2").toString + "/t"
+    SnapshotTable.append(spark.range(0, 5).toDF(), dir)
+    // Add-column append: old rows surface NULL for the new column.
+    SnapshotTable.append(
+      spark.range(5, 10).toDF().withColumn("tag", lit("new")), dir)
+    val cur = SnapshotTable.read(spark, dir)
+    assert(cur.columns.toSeq == Seq("id", "tag"))
+    assert(cur.filter($"tag".isNull).count() == 5)
+    assert(cur.filter($"tag" === "new").count() == 5)
+    // An append MISSING an existing column: its rows read NULL there.
+    SnapshotTable.append(
+      spark.range(0, 3).select(($"id" + 100).as("id2")).toDF(), dir)
+    val withMissing = SnapshotTable.read(spark, dir)
+    assert(withMissing.columns.toSeq == Seq("id", "tag", "id2"))
+    assert(withMissing.filter($"id".isNull).count() == 3)
+    // Time travel reads the OLD schema: v0 has only id.
+    assert(SnapshotTable.read(spark, dir, Some(0L)).columns.toSeq == Seq("id"))
+    // Same-name different-type append is refused BEFORE writing data.
+    intercept[IllegalArgumentException] {
+      SnapshotTable.append(
+        spark.range(0, 1).select($"id", lit(7).as("tag")), dir)
+    }
+    // Compaction materializes the unified schema; rows and shape hold.
+    SnapshotTable.compact(spark, dir, targetBytes = 1L << 30)
+    val post = SnapshotTable.read(spark, dir)
+    assert(post.columns.toSeq == Seq("id", "tag", "id2") &&
+      post.count() == 13)
+  }
+
+  test("transactionalMerge: exactly-once CDC apply, replays are no-ops") {
+    val dir = Files.createTempDirectory("graft-snap-tm").toString + "/t"
+    // First batch initializes the table (insert-only merge).
+    assert(SnapshotTable.transactionalMerge(spark, dir,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"), Seq("id"),
+      "cdc-1", 0L).contains(0L))
+    // Replay of batch 0: manifest no-op.
+    assert(SnapshotTable.transactionalMerge(spark, dir,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"), Seq("id"),
+      "cdc-1", 0L).isEmpty)
+    // Batch 1 upserts one key, inserts another.
+    assert(SnapshotTable.transactionalMerge(spark, dir,
+      Seq((2L, "b2"), (3L, "c")).toDF("id", "v"), Seq("id"),
+      "cdc-1", 1L).nonEmpty)
+    // Stale replay of batch 0 after batch 1: still a no-op.
+    assert(SnapshotTable.transactionalMerge(spark, dir,
+      Seq((1L, "STALE"), (2L, "STALE")).toDF("id", "v"), Seq("id"),
+      "cdc-1", 0L).isEmpty)
+    val got = SnapshotTable.read(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "a", 2L -> "b2", 3L -> "c"))
+  }
+
   test("compact races a concurrent appender: every committed row survives") {
     // Real concurrency: one thread compacts while another appends.
     // Whatever interleave the scheduler picks, the final snapshot must
