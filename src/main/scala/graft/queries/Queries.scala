@@ -10791,10 +10791,56 @@ object Queries {
     WHERE o_orderkey = (SELECT max(o_orderkey) FROM orders)
     ORDER BY o_orderkey"""))
 
+  /** CDC change feed through
+    * [[graft.sources.SnapshotTable.changeFeed]]: snapshot customer,
+    * MERGE the 1995-Q1 max-order-price update, then read the v0→v1
+    * feed. Copy-on-write confines the diff to rewritten files, and
+    * rewritten-but-identical rows cancel in the multiset difference —
+    * so the feed is EXACTLY the delete+insert pair of every customer
+    * whose balance actually changed, which the oracle states as a
+    * plain join + UNION ALL over the base tables. */
+  private val qSnapshotChanges = Q(
+    "q_snapshot_changes",
+    (s, d) => {
+      val dir = snapTmp()
+      val base = t(s, d, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+          col("c_mktsegment"))
+      graft.sources.SnapshotTable.append(base, dir)
+      val updates = t(s, d, "orders")
+        .filter(col("o_orderdate") >= lit("1995-01-01") &&
+          col("o_orderdate") < lit("1995-04-01"))
+        .groupBy(col("o_custkey").as("c_custkey"))
+        .agg(max(col("o_totalprice")).as("new_bal"))
+      val source = base.join(updates, "c_custkey")
+        .select(col("c_custkey"), col("c_name"),
+          col("new_bal").as("c_acctbal"), col("c_mktsegment"))
+      graft.sources.SnapshotTable.merge(s, dir, source, Seq("c_custkey"))
+      graft.sources.SnapshotTable.changeFeed(s, dir, 0L, 1L)
+        .select(col("c_custkey"), col("c_acctbal"), col("_change"))
+        .orderBy("c_custkey", "_change")
+    },
+    Some("""WITH u AS (
+      SELECT o_custkey AS c_custkey, max(o_totalprice) AS new_bal
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        AND o_orderdate < TIMESTAMP '1995-04-01'
+      GROUP BY 1),
+    ch AS (
+      SELECT c.c_custkey, c.c_acctbal AS old_bal, u.new_bal
+      FROM customer c JOIN u USING (c_custkey)
+      WHERE u.new_bal <> c.c_acctbal)
+    SELECT c_custkey, c_acctbal, _change FROM (
+      SELECT c_custkey, new_bal AS c_acctbal, 'insert' AS _change FROM ch
+      UNION ALL
+      SELECT c_custkey, old_bal AS c_acctbal, 'delete' AS _change FROM ch)
+    ORDER BY c_custkey, _change"""))
+
   // ---------------------------------------------------------------------
 
   val all: Seq[Q] = Seq(
     qSnapshotMerge, qSnapshotDelete, qSnapshotPrune, qSnapshotLookup,
+    qSnapshotChanges,
     qResultsTopk, qIngestFilter, qSanitizeIdent, qParseNumber, qParseDate,
     qNullNormalize, qInferType, qJsonExtract, qSchemaEvolution,
     qProjFilter, qAggGroup, qDistinct, qApproxDistinct, qRollup, qCube,

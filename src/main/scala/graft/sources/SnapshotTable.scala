@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, input_file_name, lit, max, min, not}
+import org.apache.spark.sql.functions.{coalesce, col, greatest, input_file_name, least, lit, max, min, not, shiftleft, shiftright}
 import org.apache.spark.sql.types._
 
 /** Minimal manifest-committed table format — the consistency layer the
@@ -647,6 +647,42 @@ object SnapshotTable {
     }
   }
 
+  /** Row-level CHANGE FEED between two committed versions — the CDC
+    * read side of the format. Because every write is copy-on-write,
+    * files carried forward by reference cancel exactly: the diff is
+    * confined to files DROPPED from `fromVersion` and files ADDED by
+    * `toVersion`, so the cost is bounded by what actually changed,
+    * never by table size (at 100 TB, a small MERGE's feed reads a few
+    * files, not the table). Within those files the multiset difference
+    * (`exceptAll` both ways) yields exact row-level changes: an
+    * `_change='insert'` row per added row, `_change='delete'` per
+    * removed row — an update surfaces as its delete+insert pair, and
+    * rewritten-but-identical rows (the untouched remainder of a
+    * touched file) cancel out. Both sides read under `toVersion`'s
+    * schema, so feeds spanning a schema evolution NULL-backfill the
+    * old side. */
+  def changeFeed(spark: SparkSession, dir: String,
+                 fromVersion: Long, toVersion: Long): DataFrame = {
+    require(fromVersion <= toVersion,
+      s"changeFeed: fromVersion $fromVersion > toVersion $toVersion")
+    val fromFiles = manifestFiles(spark, dir, fromVersion)
+    val toFiles = manifestFiles(spark, dir, toVersion)
+    val schema = manifestSchema(spark, dir, toVersion)
+    val dropped = fromFiles.filterNot(toFiles.toSet)
+    val added = toFiles.filterNot(fromFiles.toSet)
+    def side(files: Seq[String]): DataFrame =
+      if (files.nonEmpty) readFiles(spark, dir, files, schema)
+      else schema.map(st => spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st))
+        .getOrElse(read(spark, dir, Some(toVersion)).filter(lit(false)))
+    val oldRows = side(dropped)
+    val newRows = side(added)
+    newRows.exceptAll(oldRows)
+      .withColumn("_change", lit("insert"))
+      .unionByName(oldRows.exceptAll(newRows)
+        .withColumn("_change", lit("delete")))
+  }
+
   // ------------------------------------------------------------------
   // Maintenance
   // ------------------------------------------------------------------
@@ -662,16 +698,28 @@ object SnapshotTable {
     * `clusterBy` range-repartitions + sorts the rewrite on the given
     * columns, making per-file ranges (near-)disjoint so that
     * [[readWhere]] pruning on those columns becomes effective — the
-    * clustering half of the data-skipping story. File stats are
-    * recomputed for the rewritten files over every column the current
-    * manifest already tracks (plus `clusterBy`), so skipping survives
+    * clustering half of the data-skipping story. `zOrderBy` (mutually
+    * exclusive; 2-3 NUMERIC columns) instead lays files along a
+    * Z-curve: each column linearly min/max-scales to a 16-bit rank
+    * (one 1-row aggregate, broadcast into the scan — the scale-true
+    * rank proxy; `repartitionByRange` on the z-value then absorbs
+    * z-skew by sampling, the RangePartitioner discipline), ranks
+    * bit-interleave round-robin, and the rewrite range-partitions on
+    * that z-value — every output file covers a small hyper-rectangle,
+    * so [[readWhere]] prunes on EVERY z-ordered column at once (the
+    * public OPTIMIZE ZORDER idea). File stats are recomputed for the
+    * rewritten files over every column the current manifest already
+    * tracks (plus the layout columns), so skipping survives
     * compaction. Returns the new version, or None when already
     * compact. */
   def compact(spark: SparkSession, dir: String,
               targetBytes: Long = 128L * 1024 * 1024,
               clusterBy: Seq[String] = Nil,
+              zOrderBy: Seq[String] = Nil,
               maxRetries: Int = 20): Option[Long] = {
     require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    require(clusterBy.isEmpty || zOrderBy.isEmpty,
+      "compact: clusterBy and zOrderBy are mutually exclusive")
     val f = fs(spark, dir)
     val base = latestVersion(spark, dir).getOrElse(
       throw new java.io.IOException(s"compact: no committed version under $dir"))
@@ -679,17 +727,25 @@ object SnapshotTable {
     if (old.isEmpty) return None
     val totalBytes = old.map(p => f.getFileStatus(new Path(dir, p)).getLen).sum
     val nTarget = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
-    if (old.length <= nTarget && clusterBy.isEmpty) return None
+    if (old.length <= nTarget && clusterBy.isEmpty && zOrderBy.isEmpty)
+      return None
     val trackedCols =
       (manifestStats(spark, dir, base).values.flatMap(_.keys).toSeq ++
-        clusterBy).distinct
+        clusterBy ++ zOrderBy).distinct
     val trackedBlooms =
       manifestBlooms(spark, dir, base).values.flatMap(_.keys).toSeq.distinct
     val batch = java.util.UUID.randomUUID().toString
     val batchDir = new Path(dir, s"data/$batch")
     val src = readFiles(spark, dir, old, manifestSchema(spark, dir, base))
     val laid =
-      if (clusterBy.isEmpty) src.coalesce(nTarget)
+      if (zOrderBy.nonEmpty) {
+        val z = zValue(src, zOrderBy)
+        src.withColumn("__z", z)
+          .repartitionByRange(nTarget, col("__z"))
+          .sortWithinPartitions("__z")
+          .drop("__z")
+      }
+      else if (clusterBy.isEmpty) src.coalesce(nTarget)
       else src.repartitionByRange(nTarget, clusterBy.map(col): _*)
         .sortWithinPartitions(clusterBy.map(col): _*)
     laid.write.parquet(batchDir.toString)
@@ -716,6 +772,42 @@ object SnapshotTable {
     }
     throw new java.io.IOException(
       s"compact: lost the commit race $maxRetries times under $dir")
+  }
+
+  /** The interleaved-bit z-value of `cols` over `src`'s value ranges —
+    * composed entirely from built-in bit expressions (shiftleft/
+    * shiftright/&/|), so the whole computation stays inside
+    * whole-stage codegen; bit i of column j's 16-bit rank lands at
+    * output bit `i*k + j`. NULLs rank 0 (sort together at the curve's
+    * origin). */
+  private def zValue(src: DataFrame, cols: Seq[String]): Column = {
+    val k = cols.length
+    require(k >= 2 && k <= 3, s"zOrderBy takes 2-3 columns, got $k")
+    cols.foreach { c =>
+      require(src.schema(c).dataType.isInstanceOf[NumericType],
+        s"zOrderBy column $c must be numeric, got " +
+          src.schema(c).dataType.simpleString)
+    }
+    // One 1-row bounds aggregate — control plane, broadcast into the
+    // scan as literals.
+    val aggCols = cols.flatMap(c => Seq(
+      min(col(c).cast("double")).as(s"__mn_$c"),
+      max(col(c).cast("double")).as(s"__mx_$c")))
+    val bRow = src.agg(aggCols.head, aggCols.tail: _*).head()
+    def bound(name: String): Double = {
+      val v = bRow.getAs[java.lang.Double](name)
+      if (v == null) 0.0 else v.doubleValue()
+    }
+    val ranks = cols.map { c =>
+      val mn = bound(s"__mn_$c"); val mx = bound(s"__mx_$c")
+      val span = if (mx > mn) mx - mn else 1.0
+      coalesce(least(greatest(
+        ((col(c).cast("double") - lit(mn)) / lit(span) * 65535.0)
+          .cast("long"), lit(0L)), lit(65535L)), lit(0L))
+    }
+    val terms = for { j <- 0 until k; i <- 0 until 16 } yield
+      shiftleft(shiftright(ranks(j), i).bitwiseAND(lit(1L)), i * k + j)
+    terms.reduce(_ bitwiseOR _)
   }
 
   /** Retire data files referenced by NO manifest among the latest

@@ -282,6 +282,66 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(ids(SnapshotTable.readWhereEq(spark, dir, "id", 125L)) == Set(125L))
   }
 
+  test("changeFeed: exact row-level deltas from changed files only") {
+    val dir = Files.createTempDirectory("graft-snap-cf").toString + "/t"
+    (0 until 3).foreach { i =>
+      SnapshotTable.append(
+        spark.range(100L * i, 100L * i + 100).toDF()
+          .withColumn("v", lit("old")).coalesce(1), dir)
+    }
+    // v3 = MERGE updating two keys in two different files.
+    SnapshotTable.merge(spark, dir,
+      Seq((5L, "new"), (150L, "new")).toDF("id", "v"), Seq("id"))
+    def feed(a: Long, b: Long) = SnapshotTable.changeFeed(spark, dir, a, b)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    // Rewritten-but-identical rows cancel: the feed is EXACTLY the
+    // update's delete+insert pairs, nothing from the 198 carried rows.
+    assert(feed(2, 3) == Set(
+      (5L, "new", "insert"), (150L, "new", "insert"),
+      (5L, "old", "delete"), (150L, "old", "delete")))
+    // v4 = DELETE of a contiguous slice.
+    SnapshotTable.deleteWhere(spark, dir, $"id".between(200, 204))
+    assert(feed(3, 4) == (200L to 204L).map(i => (i, "old", "delete")).toSet)
+    // Spanning feed composes both changes; empty span is empty.
+    assert(feed(2, 4).size == 9)
+    assert(feed(4, 4).isEmpty)
+  }
+
+  test("zOrder compaction: one layout serves range predicates on BOTH columns") {
+    val dir = Files.createTempDirectory("graft-snap-zo").toString + "/t"
+    // 64x64 grid appended interleaved on id%4: every file spans the
+    // full range of BOTH x and y — nothing prunes.
+    (0 until 4).foreach { i =>
+      SnapshotTable.append(
+        spark.range(0, 4096).filter($"id" % 4 === i)
+          .select(($"id" % 64).as("x"), ($"id" / 64).cast("long").as("y"))
+          .coalesce(1),
+        dir, statsCols = Seq("x", "y"))
+    }
+    val (preX, preTotal) = SnapshotTable.pruneFiles(spark, dir, "x", 0L, 7L)
+    val (preY, _) = SnapshotTable.pruneFiles(spark, dir, "y", 0L, 7L)
+    assert(preX.size == preTotal && preY.size == preTotal)
+    val bytes = SnapshotTable.manifestFiles(spark, dir,
+      SnapshotTable.latestVersion(spark, dir).get)
+      .map(p => new java.io.File(s"$dir/$p").length).sum
+    SnapshotTable.compact(spark, dir, targetBytes = bytes / 16 + 1,
+      zOrderBy = Seq("x", "y"))
+    val (postX, totalX) = SnapshotTable.pruneFiles(spark, dir, "x", 0L, 7L)
+    val (postY, totalY) = SnapshotTable.pruneFiles(spark, dir, "y", 0L, 7L)
+    assert(totalX >= 8, s"expected a multi-file layout, got $totalX")
+    assert(postX.size <= totalX / 2 && postY.size <= totalY / 2,
+      s"z-layout must prune both dims: x ${postX.size}/$totalX, " +
+        s"y ${postY.size}/$totalY")
+    // Results identical to the full-scan filters.
+    def setOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(setOf(SnapshotTable.readWhere(spark, dir, "x", 0L, 7L)) ==
+      setOf(SnapshotTable.read(spark, dir).filter($"x".between(0, 7))))
+    assert(setOf(SnapshotTable.readWhere(spark, dir, "y", 0L, 7L)) ==
+      setOf(SnapshotTable.read(spark, dir).filter($"y".between(0, 7))))
+    assert(SnapshotTable.read(spark, dir).count() == 4096)
+  }
+
   test("schema evolution: added columns NULL-backfill, type conflicts fail loudly") {
     val dir = Files.createTempDirectory("graft-snap-e2").toString + "/t"
     SnapshotTable.append(spark.range(0, 5).toDF(), dir)
