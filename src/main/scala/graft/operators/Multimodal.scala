@@ -8,12 +8,16 @@ import org.apache.spark.sql.functions._
   * the bytes are only ever touched inside batched per-partition
   * decoders, never row-at-a-time on the driver.
   *
-  * The actual media codecs are NOT part of the engine (and the image/
-  * audio libraries are not in this build); [[StubCodec]] is the
-  * clearly-marked deterministic stand-in. Everything around it —
-  * schema, Dataset encoders, mapPartitions batch shape, partition
-  * sizing notes — is the real 100 TB plumbing: a production codec
-  * drops in by replacing one function.
+  * Codec reality, by layer: container HEADERS parse for real across
+  * PNG/JPEG/GIF/BMP ([[ImageCodec]]); PIXELS decode/resample/encode
+  * for real for PNG's 8-bit gray/RGB profile via the pure-JDK
+  * [[PngCodec]] (zlib inflate + spec §9 unfiltering); only the
+  * codecs that genuinely need native media libraries absent from
+  * this build (JPEG DCT, video demux, audio PCM) remain behind the
+  * clearly-marked deterministic [[StubCodec]]. Everything around
+  * them — schema, Dataset encoders, mapPartitions batch shape,
+  * partition sizing notes — is the real 100 TB plumbing: a further
+  * production codec drops in by replacing one function.
   *
   * Scale notes: media rows are large (MBs); keep
   * spark.sql.files.maxPartitionBytes at its default 128 MB so a
@@ -194,10 +198,12 @@ object Multimodal {
   def decode(kind: String, content: Array[Byte]): MediaMeta =
     ImageCodec.sniff(content).getOrElse(StubCodec.decode(kind, content))
 
-  /** STUB CODEC — deterministic stand-in for full pixel decode (DCT /
-    * inflate are out of scope; container HEADERS are parsed for real
-    * by [[ImageCodec]]). Fabricates plausible metadata from the byte
-    * length so tests are reproducible without media libraries. */
+  /** STUB CODEC — deterministic stand-in for the pixel decodes that
+    * genuinely need native libraries (JPEG DCT, video demux, audio
+    * PCM). Container HEADERS are parsed for real by [[ImageCodec]];
+    * PNG pixels decode for real via [[PngCodec]]. Fabricates
+    * plausible metadata from the byte length so tests stay
+    * reproducible for the remaining formats. */
   object StubCodec {
     def decode(kind: String, content: Array[Byte]): MediaMeta = {
       val n = content.length
@@ -242,15 +248,31 @@ object Multimodal {
       }
   }
 
-  /** Distributed resize: every media row through the (stub) codec's
+  /** Full pixel decode where the JDK can do it for real: PNG payloads
+    * in the supported profile (8-bit gray/RGB, non-interlaced) inflate
+    * + unfilter through [[PngCodec]]; anything else is None. */
+  def decodePixels(content: Array[Byte]): Option[PngCodec.Image] =
+    PngCodec.decode(content)
+
+  /** Distributed resize: every media row through the codec's
     * resample, batched per partition — map-only, zero shuffle; the
-    * bytes never leave the executor. */
+    * bytes never leave the executor. PNG payloads take the REAL path
+    * (inflate → unfilter → integer box-average resample → re-encode,
+    * [[PngCodec]]); everything else falls back to the documented
+    * [[StubCodec]] byte-truncation stand-in. */
   def resized(media: Dataset[MediaRow], w: Int, h: Int): Dataset[MediaRow] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions(_.map { row =>
-      val (m2, b2) = StubCodec.resize(row.meta, row.content, w, h)
-      MediaRow(row.media_id, m2, b2)
+      PngCodec.decode(row.content) match {
+        case Some(img) =>
+          val bytes = PngCodec.encode(PngCodec.resizeBox(img, w, h))
+          MediaRow(row.media_id,
+            MediaMeta("image", "image/png", w, h, bytes.length.toLong), bytes)
+        case None =>
+          val (m2, b2) = StubCodec.resize(row.meta, row.content, w, h)
+          MediaRow(row.media_id, m2, b2)
+      }
     })
   }
 

@@ -2338,6 +2338,60 @@ object Queries {
         AS BIGINT) AS n_bytes
     FROM documents ORDER BY doc_id"""))
 
+  /** REAL pixel pipeline end-to-end: each document deterministically
+    * becomes a 32x16 grayscale gradient PNG — pixel(x,y) =
+    * (7x + 11y + doc_id) mod 256 — encoded by [[graft.operators.PngCodec]]
+    * with real per-row filter selection + zlib deflate; the
+    * distributed [[Multimodal.resized]] operator then takes its real
+    * path (inflate → unfilter → exact integer 2x2 box-average →
+    * re-encode), and a final decode sums the resampled pixels. The
+    * oracle states the identical floor-average arithmetic in closed
+    * form over `range()` — so a bug anywhere in filter math, inflate
+    * framing, or the box resample breaks the hash. Both legs are one
+    * batched mapPartitions each: map-only, zero shuffle, pixel
+    * buffers never leave their executor (the multimodal 100 TB
+    * contract; generalizes reference main.py:759-817's binary
+    * handling). */
+  private val qMediaResize = Q(
+    "q_media_resize",
+    (s, d) => {
+      import s.implicits._
+      import graft.operators.PngCodec
+      val media = t(s, d, "documents")
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          val src = PngCodec.Image(32, 16, 1,
+            Array.tabulate(32 * 16) { i =>
+              val x = i % 32; val y = i / 32
+              ((x * 7 + y * 11 + id) % 256).toByte
+            })
+          Multimodal.MediaRow(id,
+            Multimodal.MediaMeta("image", "image/png", 32, 16, 0L),
+            PngCodec.encode(src))
+        }
+      Multimodal.resized(media, 16, 8)
+        .map { row =>
+          val img = PngCodec.decode(row.content).getOrElse(
+            throw new IllegalStateException(
+              s"resized PNG failed to decode for media ${row.media_id}"))
+          var sum = 0L
+          img.pixels.foreach(b => sum += (b & 0xff))
+          (row.media_id, img.width, img.height, sum)
+        }
+        .toDF("doc_id", "width", "height", "px_sum")
+        .orderBy("doc_id")
+    },
+    Some("""SELECT d.doc_id, 16 AS width, 8 AS height,
+      CAST(SUM((
+          (2*tx.x*7     + 2*ty.y*11     + d.doc_id) % 256
+        + ((2*tx.x+1)*7 + 2*ty.y*11     + d.doc_id) % 256
+        + (2*tx.x*7     + (2*ty.y+1)*11 + d.doc_id) % 256
+        + ((2*tx.x+1)*7 + (2*ty.y+1)*11 + d.doc_id) % 256) // 4) AS BIGINT)
+        AS px_sum
+    FROM documents d, range(16) tx(x), range(8) ty(y)
+    GROUP BY d.doc_id
+    ORDER BY d.doc_id"""))
+
   /** O24 upload admission as an oracle-checked query: a deterministic
     * request workload derived from `documents` (every combination of
     * good/bad suffix, edit/view/no share, sanitizable names) validated
@@ -10857,7 +10911,7 @@ object Queries {
     qNearDup, qNearDupChar, qDedupCluster, qMinhashCluster,
     qCharhashCluster,
     qDedupMinhash, qDedupSimhash, qEmbedNearDup,
-    qAnnTopk, qAnnIvf, qMediaFeatures, qMediaDims, qQuantile,
+    qAnnTopk, qAnnIvf, qMediaFeatures, qMediaDims, qMediaResize, qQuantile,
     qApproxQuantile,
     qWindowFuncs, qAsofJoin, qRangeJoin, qTextSearch, qLabelCentroids,
     qStratifiedSample, qClassWeights, qMixtureSample, qWeightedSample,
