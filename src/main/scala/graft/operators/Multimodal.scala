@@ -192,11 +192,16 @@ object Multimodal {
   }
 
   /** Decode media metadata: REAL header parsing where the bytes are a
-    * recognized container ([[ImageCodec.sniff]] — PNG/JPEG/GIF/BMP by
-    * public spec), deterministic [[StubCodec]] fallback for everything
-    * else (the text-as-bytes fixture, unknown formats). */
+    * recognized container — PNG/JPEG/GIF/BMP via [[ImageCodec.sniff]],
+    * YUV4MPEG2 streams via [[Y4mCodec]] (genuine frame dimensions) —
+    * deterministic [[StubCodec]] fallback for everything else (the
+    * text-as-bytes fixture, unknown formats). */
   def decode(kind: String, content: Array[Byte]): MediaMeta =
-    ImageCodec.sniff(content).getOrElse(StubCodec.decode(kind, content))
+    ImageCodec.sniff(content)
+      .orElse(Y4mCodec.decode(content).map(v =>
+        MediaMeta("video", "video/y4m", v.width, v.height,
+          content.length.toLong)))
+      .getOrElse(StubCodec.decode(kind, content))
 
   /** STUB CODEC — deterministic stand-in for the pixel decodes that
     * genuinely need native libraries (JPEG DCT, video demux, audio
@@ -279,15 +284,24 @@ object Multimodal {
   final case class Frame(media_id: Long, frame_idx: Int, frame: Array[Byte])
 
   /** Distributed frame sampling: one media row fans out to its kept
-    * frames (video → keyframe extraction shape). Output rows are
-    * small; downstream per-frame work partitions freely. */
+    * frames (video → keyframe extraction shape). Y4M payloads take
+    * the REAL path — [[Y4mCodec]] demuxes actual planar frames from
+    * the container and every `stride`-th is kept (frameSize comes
+    * from the stream header, the argument is ignored); other payloads
+    * fall back to the documented fixed-window [[StubCodec]]. Output
+    * rows are small; downstream per-frame work partitions freely. */
   def sampledFrames(media: Dataset[MediaRow], frameSize: Int,
                     stride: Int): Dataset[Frame] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.flatMap { row =>
-      StubCodec.sampleFrames(row.content, frameSize, stride)
-        .zipWithIndex.map { case (f, i) => Frame(row.media_id, i, f) }
+      val frames = Y4mCodec.decode(row.content) match {
+        case Some(v) =>
+          v.frames.zipWithIndex
+            .collect { case (f, i) if i % stride == 0 => f }
+        case None => StubCodec.sampleFrames(row.content, frameSize, stride)
+      }
+      frames.zipWithIndex.map { case (f, i) => Frame(row.media_id, i, f) }
     }
   }
 

@@ -2392,6 +2392,94 @@ object Queries {
     GROUP BY d.doc_id
     ORDER BY d.doc_id"""))
 
+  /** REAL audio pipeline end-to-end: each document deterministically
+    * becomes a 1024-sample mono 16-bit PCM clip — sample(i) =
+    * ((37 i^2 + 13 i + 101 doc_id) mod 4001) - 2000 —
+    * encoded as a spec-faithful RIFF/WAVE buffer by
+    * [[graft.operators.WavCodec]], decoded back (chunk walk, PCM16
+    * LE), decimated 2:1 (exact frame selection, the deterministic
+    * resample contract), and reduced to exact integer stats. The
+    * oracle states the kept samples (source index 2j) in closed form,
+    * so any byte-layout or sample-slicing error breaks the hash.
+    * Map-only: one mapPartitions leg, zero shuffle. */
+  private val qAudioStats = Q(
+    "q_audio_stats",
+    (s, d) => {
+      import s.implicits._
+      import graft.operators.WavCodec
+      t(s, d, "documents")
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          val clip = WavCodec.Clip(48000, 1,
+            Array.tabulate(1024) { i =>
+              val v = (i.toLong * i * 37 + 13L * i + 101L * id) % 4001 - 2000
+              v.toShort
+            })
+          val bytes = WavCodec.encode(clip)
+          val back = WavCodec.decode(bytes).getOrElse(
+            throw new IllegalStateException(s"WAV round trip failed for $id"))
+          val (frames, peak, sumSq) = WavCodec.stats(WavCodec.decimate(back, 2))
+          (id, frames, peak, sumSq)
+        }
+        .toDF("doc_id", "n_frames", "peak", "sum_sq")
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, CAST(512 AS BIGINT) AS n_frames,
+      CAST(MAX(ABS(v)) AS BIGINT) AS peak,
+      CAST(SUM(v*v) AS BIGINT) AS sum_sq
+    FROM (
+      SELECT d.doc_id,
+        ((2*j.i)*(2*j.i)*37 + 13*(2*j.i) + 101*d.doc_id) % 4001 - 2000 AS v
+      FROM documents d, range(512) j(i))
+    GROUP BY doc_id
+    ORDER BY doc_id"""))
+
+  /** REAL video pipeline end-to-end: each document deterministically
+    * becomes a 12-frame 8x8 C444 YUV4MPEG2 stream — Y(x,y,f) =
+    * (x + 3y + 7f + doc_id) mod 256 — muxed by
+    * [[graft.operators.Y4mCodec]]; the distributed
+    * [[Multimodal.sampledFrames]] operator takes its real path
+    * (header parse + FRAME demux, stride-3 keyframe-style selection:
+    * source frames 0,3,6,9), and each kept frame's Y plane is summed.
+    * The oracle states the kept frames (source index 3g) in closed
+    * form. The demux leg is map-only; the per-doc reduce is one
+    * 32-partition hash aggregate. */
+  private val qFrameSample = Q(
+    "q_frame_sample",
+    (s, d) => {
+      import s.implicits._
+      import graft.operators.Y4mCodec
+      val media = t(s, d, "documents")
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          val frames = (0 until 12).map { f =>
+            val y = Array.tabulate(64) { i =>
+              ((i % 8 + 3 * (i / 8) + 7L * f + id) % 256).toByte }
+            val u = Array.tabulate(64)(i => ((i % 8 + i / 8 + 2 * f) % 256).toByte)
+            val v = Array.tabulate(64)(i => (((i % 8) * 2 + f) % 256).toByte)
+            y ++ u ++ v
+          }
+          Multimodal.MediaRow(id,
+            Multimodal.MediaMeta("video", "video/y4m", 8, 8, 0L),
+            Y4mCodec.encode(Y4mCodec.Video(8, 8, 25, 1, "C444", frames)))
+        }
+      Multimodal.sampledFrames(media, frameSize = 192, stride = 3)
+        .map { fr =>
+          var sum = 0L; var i = 0
+          while (i < 64) { sum += fr.frame(i) & 0xff; i += 1 }
+          (fr.media_id, sum)
+        }
+        .toDF("doc_id", "fy")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_frames"), sum(col("fy")).as("y_sum"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT d.doc_id, CAST(4 AS BIGINT) AS n_frames,
+      CAST(SUM((xx.x + 3*yy.y + 21*g.f + d.doc_id) % 256) AS BIGINT) AS y_sum
+    FROM documents d, range(4) g(f), range(8) xx(x), range(8) yy(y)
+    GROUP BY d.doc_id
+    ORDER BY d.doc_id"""))
+
   /** O24 upload admission as an oracle-checked query: a deterministic
     * request workload derived from `documents` (every combination of
     * good/bad suffix, edit/view/no share, sanitizable names) validated
@@ -10911,7 +10999,8 @@ object Queries {
     qNearDup, qNearDupChar, qDedupCluster, qMinhashCluster,
     qCharhashCluster,
     qDedupMinhash, qDedupSimhash, qEmbedNearDup,
-    qAnnTopk, qAnnIvf, qMediaFeatures, qMediaDims, qMediaResize, qQuantile,
+    qAnnTopk, qAnnIvf, qMediaFeatures, qMediaDims, qMediaResize,
+    qAudioStats, qFrameSample, qQuantile,
     qApproxQuantile,
     qWindowFuncs, qAsofJoin, qRangeJoin, qTextSearch, qLabelCentroids,
     qStratifiedSample, qClassWeights, qMixtureSample, qWeightedSample,
