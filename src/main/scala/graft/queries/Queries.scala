@@ -10978,11 +10978,67 @@ object Queries {
       SELECT c_custkey, old_bal AS c_acctbal, 'delete' AS _change FROM ch)
     ORDER BY c_custkey, _change"""))
 
+  /** Exactly-once CDC replication through
+    * [[graft.sources.SnapshotTable.replicate]]: snapshot customer as
+    * the source table, replicate (bootstrap = full snapshot), then
+    * MERGE the 1995-Q1 max-order-price update and DELETE one segment
+    * upstream, replicate again (incremental — reads only the change
+    * feed, rewrites only affected destination files, advances the
+    * ledger cursor in the same commit), and a THIRD replicate must
+    * no-op (cursor current). The destination's final state is read
+    * back; the oracle states it as the update+filter view of the base
+    * tables — so a lost delete, a double-applied insert, or a stale
+    * cursor all break the hash. */
+  private val qSnapshotReplicate = Q(
+    "q_snapshot_replicate",
+    (s, d) => {
+      val src = snapTmp(); val dst = snapTmp()
+      val base = t(s, d, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+          col("c_mktsegment"))
+      graft.sources.SnapshotTable.append(base, src)
+      val r1 = graft.sources.SnapshotTable.replicate(
+        s, src, dst, Seq("c_custkey"), "rep")
+      require(r1.nonEmpty, "bootstrap replicate must apply")
+      val updates = t(s, d, "orders")
+        .filter(col("o_orderdate") >= lit("1995-01-01") &&
+          col("o_orderdate") < lit("1995-04-01"))
+        .groupBy(col("o_custkey").as("c_custkey"))
+        .agg(max(col("o_totalprice")).as("new_bal"))
+      val source = base.join(updates, "c_custkey")
+        .select(col("c_custkey"), col("c_name"),
+          col("new_bal").as("c_acctbal"), col("c_mktsegment"))
+      graft.sources.SnapshotTable.merge(s, src, source, Seq("c_custkey"))
+      graft.sources.SnapshotTable.deleteWhere(s, src,
+        col("c_mktsegment") === lit("MACHINERY"))
+      val r2 = graft.sources.SnapshotTable.replicate(
+        s, src, dst, Seq("c_custkey"), "rep")
+      require(r2.nonEmpty, "incremental replicate must apply")
+      val r3 = graft.sources.SnapshotTable.replicate(
+        s, src, dst, Seq("c_custkey"), "rep")
+      require(r3.isEmpty, "current replica must no-op")
+      graft.sources.SnapshotTable.read(s, dst)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+          col("c_mktsegment"))
+        .orderBy("c_custkey")
+    },
+    Some("""WITH u AS (
+      SELECT o_custkey AS c_custkey, max(o_totalprice) AS new_bal
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        AND o_orderdate < TIMESTAMP '1995-04-01'
+      GROUP BY 1)
+    SELECT c.c_custkey, c.c_name,
+      COALESCE(u.new_bal, c.c_acctbal) AS c_acctbal, c.c_mktsegment
+    FROM customer c LEFT JOIN u USING (c_custkey)
+    WHERE c.c_mktsegment <> 'MACHINERY'
+    ORDER BY c.c_custkey"""))
+
   // ---------------------------------------------------------------------
 
   val all: Seq[Q] = Seq(
     qSnapshotMerge, qSnapshotDelete, qSnapshotPrune, qSnapshotLookup,
-    qSnapshotChanges,
+    qSnapshotChanges, qSnapshotReplicate,
     qResultsTopk, qIngestFilter, qSanitizeIdent, qParseNumber, qParseDate,
     qNullNormalize, qInferType, qJsonExtract, qSchemaEvolution,
     qProjFilter, qAggGroup, qDistinct, qApproxDistinct, qRollup, qCube,

@@ -969,6 +969,117 @@ object SnapshotTable {
       maxRetries, "merge", txn)
   }
 
+  /** Apply a CDC batch — rows tagged by a `_change` column with
+    * 'insert' / 'delete' (exactly [[changeFeed]]'s shape) — in ONE
+    * copy-on-write commit: inserts upsert by key, deletes whose key
+    * has no accompanying insert remove the row (an update's
+    * delete+insert pair collapses to its upsert). Because removal,
+    * upsert, and the optional transaction-ledger advance land in a
+    * single manifest commit, a replayed apply is all-or-nothing —
+    * the primitive [[replicate]] builds exactly-once replication on.
+    * Insert rows must be key-unique per batch (enforced). Only files
+    * containing an affected key are rewritten. Returns the committed
+    * version; None when the batch is empty or a racing replay already
+    * applied this (appId, txnVersion). */
+  def applyChanges(spark: SparkSession, dir: String, changes: DataFrame,
+                   keys: Seq[String], txn: Option[(String, Long)] = None,
+                   maxRetries: Int = 20): Option[Long] = {
+    require(keys.nonEmpty, "applyChanges: at least one key column required")
+    require(changes.columns.contains("_change"),
+      "applyChanges: changes must carry a _change column (insert|delete)")
+    txn.foreach { case (appId, tv) =>
+      val pre = latestVersion(spark, dir)
+        .map(manifestTxns(spark, dir, _)).getOrElse(Map.empty)
+      if (pre.getOrElse(appId, Long.MinValue) >= tv) return None
+    }
+    val inserts = changes.filter(col("_change") === "insert").drop("_change")
+    val dupKeys = inserts.groupBy(keys.map(col): _*)
+      .count().filter(col("count") > 1).limit(1).collect()
+    require(dupKeys.isEmpty,
+      s"applyChanges: duplicate insert keys, e.g. ${dupKeys.head.mkString(",")}")
+    val insertKeys = inserts.select(keys.map(col): _*).distinct()
+    // Pure deletes: delete-side keys with no insert half.
+    val deleteKeys = changes.filter(col("_change") === "delete")
+      .select(keys.map(col): _*).distinct()
+      .join(insertKeys, keys, "left_anti")
+    val affectedKeys = insertKeys.unionByName(deleteKeys)
+    if (affectedKeys.isEmpty) return None
+    val base = latestVersion(spark, dir)
+    val touched = base match {
+      case Some(v) if manifestFiles(spark, dir, v).nonEmpty =>
+        withFile(spark, dir, v)
+          .join(affectedKeys, keys, "left_semi").select("__file").distinct()
+          .collect().map(r => relFromUri(r.getString(0))).toSeq.sorted
+      case _ => Seq.empty[String]
+    }
+    val rewrite =
+      if (touched.isEmpty) inserts
+      else readFiles(spark, dir, touched,
+          base.flatMap(manifestSchema(spark, dir, _)))
+        .join(affectedKeys, keys, "left_anti")
+        .unionByName(inserts, allowMissingColumns = true)
+    commitRewrite(spark, dir, touched, rewrite,
+      base.map(trackedStatsCols(spark, dir, _)).getOrElse(Nil),
+      base.map(trackedBloomCols(spark, dir, _)).getOrElse(Nil),
+      maxRetries, "applyChanges", txn)
+  }
+
+  /** EXACTLY-ONCE incremental table-to-table replication: advance the
+    * destination to the source's latest snapshot by consuming ONLY
+    * the change feed since the last applied source version — the
+    * destination's own transaction ledger IS the cursor (the source
+    * version lands as `txnVersion` in the same commit as the row
+    * changes, so cursor and data can never disagree; a crashed or
+    * replayed run re-applies as a manifest no-op). The incremental
+    * cost is bounded by what changed: [[changeFeed]] reads only
+    * dropped+added files, [[applyChanges]] rewrites only files
+    * holding affected keys — at 100 TB a small upstream MERGE
+    * replicates in a few file reads and one small rewrite, never a
+    * table scan.
+    *
+    * First call (no cursor) bootstraps: the full source snapshot
+    * applies as inserts. `keys` name the source's row identity
+    * (key-unique tables); an EMPTY `keys` selects append-only mode —
+    * the feed must then contain no deletes (violations throw) and
+    * rows land via [[transactionalAppend]], right for event/fact
+    * streams. Returns (appliedSourceVersion, newDstVersion), or None
+    * when the destination is already current.
+    *
+    * The cursor's source version must still have its manifest (the
+    * [[vacuum]] `keepVersions` window): a replica lagging past the
+    * source's vacuum horizon must re-bootstrap into a fresh
+    * destination — the same contract as any log-shipping consumer. */
+  def replicate(spark: SparkSession, srcDir: String, dstDir: String,
+                keys: Seq[String], appId: String,
+                maxRetries: Int = 20): Option[(Long, Long)] = {
+    require(appId.nonEmpty, "replicate: appId must be non-empty")
+    val srcV = latestVersion(spark, srcDir).getOrElse(
+      throw new java.io.IOException(
+        s"replicate: no committed version under $srcDir"))
+    val cursor = latestVersion(spark, dstDir)
+      .map(manifestTxns(spark, dstDir, _)).getOrElse(Map.empty)
+      .get(appId)
+    if (cursor.exists(_ >= srcV)) return None
+    val feed = cursor match {
+      case Some(c) => changeFeed(spark, srcDir, c, srcV)
+      case None => read(spark, srcDir, Some(srcV))
+        .withColumn("_change", lit("insert"))
+    }
+    if (keys.nonEmpty)
+      applyChanges(spark, dstDir, feed, keys, Some(appId -> srcV), maxRetries)
+        .map(srcV -> _)
+    else {
+      // Append-only mode: deletes are a contract violation, not a skip.
+      val rows = feed.filter(col("_change") === "delete").limit(1).collect()
+      require(rows.isEmpty,
+        s"replicate: append-only mode (empty keys) but the source feed " +
+          s"contains deletes under $srcDir")
+      transactionalAppend(feed.filter(col("_change") === "insert")
+          .drop("_change"), dstDir, appId, srcV, maxRetries = maxRetries)
+        .map(srcV -> _)
+    }
+  }
+
   /** Shared commit path for row-level rewrites: write `rewrite` as a
     * new batch, then commit current-files − touched + new, with the
     * touched-file conflict guard. */

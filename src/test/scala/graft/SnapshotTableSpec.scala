@@ -342,6 +342,85 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(SnapshotTable.read(spark, dir).count() == 4096)
   }
 
+  test("applyChanges: one-commit CDC apply — upserts, pure deletes, update collapse") {
+    val dir = Files.createTempDirectory("graft-snap-ac").toString + "/t"
+    SnapshotTable.append(
+      spark.range(0, 10).toDF().withColumn("v", lit("base")), dir)
+    // update 3 (delete+insert pair), pure-delete 7, fresh insert 100.
+    val changes = Seq(
+      (3L, "base", "delete"), (3L, "upd", "insert"),
+      (7L, "base", "delete"),
+      (100L, "new", "insert")).toDF("id", "v", "_change")
+    val v = SnapshotTable.applyChanges(spark, dir, changes, Seq("id"),
+      txn = Some("cdc" -> 1L))
+    assert(v.contains(1L))
+    val rows = SnapshotTable.read(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.keySet == ((0L until 10L).toSet - 7L + 100L))
+    assert(rows(3L) == "upd" && rows(100L) == "new" && rows(0L) == "base")
+    // Replay of the same (appId, txnVersion) is a manifest no-op.
+    assert(SnapshotTable.applyChanges(spark, dir, changes, Seq("id"),
+      txn = Some("cdc" -> 1L)).isEmpty)
+    assert(SnapshotTable.latestVersion(spark, dir).contains(1L))
+    // Duplicate insert keys fail loudly.
+    intercept[IllegalArgumentException] {
+      SnapshotTable.applyChanges(spark, dir,
+        Seq((1L, "a", "insert"), (1L, "b", "insert"))
+          .toDF("id", "v", "_change"), Seq("id"))
+    }
+  }
+
+  test("replicate: exactly-once CDC pipe, ledger cursor, incremental files only") {
+    val src = Files.createTempDirectory("graft-snap-rs").toString + "/s"
+    val dst = Files.createTempDirectory("graft-snap-rd").toString + "/d"
+    (0 until 3).foreach { i =>
+      SnapshotTable.append(
+        spark.range(100L * i, 100L * i + 100).toDF()
+          .withColumn("v", lit("old")).coalesce(1), src)
+    }
+    def dump(dir: String) = SnapshotTable.read(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    // Bootstrap: full snapshot lands; cursor = src v2.
+    val Some((sv1, dv1)) = SnapshotTable.replicate(spark, src, dst, Seq("id"), "rep")
+    assert(sv1 == 2L && dump(dst) == dump(src))
+    // Already current → no-op.
+    assert(SnapshotTable.replicate(spark, src, dst, Seq("id"), "rep").isEmpty)
+    // Upstream MERGE + DELETE; replica advances incrementally.
+    SnapshotTable.merge(spark, src,
+      Seq((5L, "new"), (250L, "new")).toDF("id", "v"), Seq("id"))
+    SnapshotTable.deleteWhere(spark, src, $"id".between(150, 154))
+    val Some((sv2, dv2)) = SnapshotTable.replicate(spark, src, dst, Seq("id"), "rep")
+    assert(sv2 == 4L && dv2 > dv1)
+    assert(dump(dst) == dump(src))
+    // The incremental apply only rewrote affected files: the dst
+    // change between dv1 and dv2 is exactly the upstream delta.
+    val delta = SnapshotTable.changeFeed(spark, dst, dv1, dv2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(delta == Set(
+      (5L, "new", "insert"), (250L, "new", "insert"),
+      (5L, "old", "delete"), (250L, "old", "delete")) ++
+      (150L to 154L).map(i => (i, "old", "delete")).toSet)
+    // A replayed incremental run (same cursor) is a no-op.
+    assert(SnapshotTable.replicate(spark, src, dst, Seq("id"), "rep").isEmpty)
+  }
+
+  test("replicate append-only mode: inserts stream through, deletes refuse") {
+    val src = Files.createTempDirectory("graft-snap-ra").toString + "/s"
+    val dst = Files.createTempDirectory("graft-snap-rb").toString + "/d"
+    SnapshotTable.append(spark.range(0, 50).toDF(), src)
+    val Some((v1, _)) = SnapshotTable.replicate(spark, src, dst, Nil, "evt")
+    assert(v1 == 0L)
+    SnapshotTable.append(spark.range(50, 80).toDF(), src)
+    val Some((v2, _)) = SnapshotTable.replicate(spark, src, dst, Nil, "evt")
+    assert(v2 == 1L)
+    assert(ids(SnapshotTable.read(spark, dst)) == (0L until 80L).toSet)
+    // A delete upstream breaks the append-only contract loudly.
+    SnapshotTable.deleteWhere(spark, src, $"id" === 10L)
+    intercept[IllegalArgumentException] {
+      SnapshotTable.replicate(spark, src, dst, Nil, "evt")
+    }
+  }
+
   test("schema evolution: added columns NULL-backfill, type conflicts fail loudly") {
     val dir = Files.createTempDirectory("graft-snap-e2").toString + "/t"
     SnapshotTable.append(spark.range(0, 5).toDF(), dir)
