@@ -10978,6 +10978,30 @@ object Queries {
       SELECT c_custkey, old_bal AS c_acctbal, 'delete' AS _change FROM ch)
     ORDER BY c_custkey, _change"""))
 
+  /** Hidden partitioning through
+    * [[graft.sources.SnapshotTable.appendPartitioned]]: orders lands
+    * partitioned by o_orderpriority (the hive writer over duplicated
+    * routing columns guarantees single-valued files; per-file
+    * min==max stats make pruning exact, no path parsing), then an
+    * equality read of one priority must open only that priority's
+    * files (SnapshotTableSpec pins the file counts) and return
+    * exactly the plain-filter result the oracle states. */
+  private val qSnapshotPartition = Q(
+    "q_snapshot_partition",
+    (s, d) => {
+      val dir = snapTmp()
+      graft.sources.SnapshotTable.appendPartitioned(
+        t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice"), col("o_orderpriority")),
+        dir, Seq("o_orderpriority"))
+      graft.sources.SnapshotTable.readWhereEq(
+          s, dir, "o_orderpriority", "1-URGENT")
+        .orderBy("o_orderkey")
+    },
+    Some("""SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+    FROM orders WHERE o_orderpriority = '1-URGENT'
+    ORDER BY o_orderkey"""))
+
   /** Exactly-once CDC replication through
     * [[graft.sources.SnapshotTable.replicate]]: snapshot customer as
     * the source table, replicate (bootstrap = full snapshot), then
@@ -11038,7 +11062,7 @@ object Queries {
 
   val all: Seq[Q] = Seq(
     qSnapshotMerge, qSnapshotDelete, qSnapshotPrune, qSnapshotLookup,
-    qSnapshotChanges, qSnapshotReplicate,
+    qSnapshotChanges, qSnapshotReplicate, qSnapshotPartition,
     qResultsTopk, qIngestFilter, qSanitizeIdent, qParseNumber, qParseDate,
     qNullNormalize, qInferType, qJsonExtract, qSchemaEvolution,
     qProjFilter, qAggGroup, qDistinct, qApproxDistinct, qRollup, qCube,

@@ -451,6 +451,19 @@ object SnapshotTable {
       .foreach(evolveSchema(_, df.schema))
     val (added, addedStats, addedBlooms) =
       writeBatch(df, dir, statsCols, bloomCols)
+    commitAppend(spark, dir, df.schema, added, addedStats, addedBlooms,
+      maxRetries, "append")
+  }
+
+  /** The optimistic append commit loop, shared by every
+    * already-written-batch committer: union the current file list
+    * with `added`, carry txns/stats/blooms forward, evolve the
+    * schema, retry on a lost race. */
+  private def commitAppend(spark: SparkSession, dir: String,
+                           dfSchema: StructType, added: Seq[String],
+                           addedStats: Map[String, Map[String, ColStat]],
+                           addedBlooms: Map[String, Map[String, Array[Byte]]],
+                           maxRetries: Int, op: String): Long = {
     var attempt = 0
     while (attempt < maxRetries) {
       val base = latestVersion(spark, dir)
@@ -459,8 +472,8 @@ object SnapshotTable {
       val stats = base.map(manifestStats(spark, dir, _)).getOrElse(Map.empty)
       val blooms = base.map(manifestBlooms(spark, dir, _)).getOrElse(Map.empty)
       val unified = base.flatMap(manifestSchema(spark, dir, _))
-        .map(evolveSchema(_, df.schema))
-        .getOrElse(evolveSchema(new StructType(), df.schema))
+        .map(evolveSchema(_, dfSchema))
+        .getOrElse(evolveSchema(new StructType(), dfSchema))
       val v = base.getOrElse(-1L) + 1
       if (tryCommit(spark, dir, v, prev ++ added, txns, stats ++ addedStats,
           Some(unified), blooms ++ addedBlooms))
@@ -468,7 +481,65 @@ object SnapshotTable {
       attempt += 1 // lost the race: re-read the new latest and retry
     }
     throw new java.io.IOException(
-      s"append: lost the commit race $maxRetries times under $dir")
+      s"$op: lost the commit race $maxRetries times under $dir")
+  }
+
+  /** Partition-disciplined append — HIDDEN partitioning (the public
+    * Iceberg idea): readers prune through per-file stats in the
+    * manifest, never through path parsing. The write routes rows with
+    * the hive writer over DUPLICATED partition columns (`__pv_<c>`),
+    * which guarantees every data file holds EXACTLY ONE value
+    * combination of `partitionBy` — while the REAL columns stay in
+    * the data files, so reads (which always open explicit file lists,
+    * ignoring directory names) need no partition-column
+    * reconstruction, and the per-file min==max stats make
+    * [[readWhere]]/[[readWhereEq]] on a partition column prune to
+    * exactly the owning files. Later appends may partition
+    * differently — pruning stays per-file-true regardless, the
+    * renaming-free partition-evolution story hive layouts can't give.
+    * One file per partition value per append: size the partition
+    * granularity (date/bucket) accordingly, and re-coarsen accreted
+    * appends with [[compact]]`(clusterBy = partitionBy)`. */
+  def appendPartitioned(df: DataFrame, dir: String,
+                        partitionBy: Seq[String],
+                        statsCols: Seq[String] = Nil,
+                        bloomCols: Seq[String] = Nil,
+                        maxRetries: Int = 20): Long = {
+    require(partitionBy.nonEmpty,
+      "appendPartitioned: at least one partition column required")
+    partitionBy.foreach { c =>
+      require(df.columns.contains(c), s"appendPartitioned: no such column $c")
+      require(statTag(df.schema(c).dataType).nonEmpty,
+        s"appendPartitioned: column $c (${df.schema(c).dataType.simpleString})" +
+          " cannot carry pruning stats")
+    }
+    val spark = df.sparkSession
+    latestVersion(spark, dir).flatMap(manifestSchema(spark, dir, _))
+      .foreach(evolveSchema(_, df.schema))
+    val f = fs(spark, dir)
+    val batch = java.util.UUID.randomUUID().toString
+    val batchDir = new Path(dir, s"data/$batch")
+    val routed = partitionBy.foldLeft(df)((d, c) =>
+      d.withColumn(s"__pv_$c", col(c)))
+    routed.write.partitionBy(partitionBy.map(c => s"__pv_$c"): _*)
+      .parquet(batchDir.toString)
+    val added = listParquetRec(f, batchDir).map(p => relFromUri(p.toString))
+    val stats = computeStats(spark, batchDir,
+      (partitionBy ++ statsCols).distinct)
+    val blooms = computeBlooms(spark, batchDir, bloomCols)
+    commitAppend(spark, dir, df.schema, added, stats, blooms, maxRetries,
+      "appendPartitioned")
+  }
+
+  private def listParquetRec(f: FileSystem, p: Path): Seq[Path] = {
+    val it = f.listFiles(p, true)
+    val b = Seq.newBuilder[Path]
+    while (it.hasNext) {
+      val s = it.next()
+      if (s.isFile && s.getPath.getName.endsWith(".parquet"))
+        b += s.getPath
+    }
+    b.result()
   }
 
   /** Write `df` into a fresh unique batch dir; return (relative file

@@ -342,6 +342,44 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(SnapshotTable.read(spark, dir).count() == 4096)
   }
 
+  test("appendPartitioned: hidden partitioning — single-valued files, exact pruning") {
+    val dir = Files.createTempDirectory("graft-snap-hp").toString + "/t"
+    val df = spark.range(0, 400).toDF()
+      .withColumn("day", ($"id" % 8).cast("int"))
+      .withColumn("v", concat(lit("r"), $"id"))
+    SnapshotTable.appendPartitioned(df, dir, Seq("day"))
+    val v0 = SnapshotTable.latestVersion(spark, dir).get
+    // Every data file holds exactly one day (min == max in stats).
+    val stats = SnapshotTable.manifestStats(spark, dir, v0)
+    val files = SnapshotTable.manifestFiles(spark, dir, v0)
+    assert(files.nonEmpty && files.forall(stats.contains))
+    files.foreach { f =>
+      val st = stats(f)("day")
+      assert(st.min == st.max, s"$f spans days ${st.min}..${st.max}")
+    }
+    // Equality read prunes to exactly the owning files; rows intact
+    // (partition column kept IN the data — no path reconstruction).
+    val (sel, total) = SnapshotTable.pruneFilesEq(spark, dir, "day", 3)
+    assert(total == files.size && sel.size * 8 <= total + 7,
+      s"day=3 should own ~1/8 of files: ${sel.size}/$total")
+    sel.foreach(f => assert(stats(f)("day").min == "3"))
+    val got = SnapshotTable.readWhereEq(spark, dir, "day", 3)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got == (0L until 400L).filter(_ % 8 == 3).toSet)
+    // Partition evolution: a later append partitioned DIFFERENTLY
+    // coexists; pruning stays per-file-true for both populations.
+    SnapshotTable.appendPartitioned(
+      spark.range(400, 430).toDF()
+        .withColumn("day", lit(99).cast("int"))
+        .withColumn("v", concat(lit("r"), $"id")),
+      dir, Seq("v"), statsCols = Seq("day")) // partitioned by v now, not day
+    assert(ids(SnapshotTable.read(spark, dir)) == (0L until 430L).toSet)
+    val (sel99, _) = SnapshotTable.pruneFilesEq(spark, dir, "day", 3)
+    assert(sel99.toSet == sel.toSet,
+      "day=3 pruning unaffected by the day-less second append? " +
+        s"${sel99.size} vs ${sel.size}")
+  }
+
   test("applyChanges: one-commit CDC apply — upserts, pure deletes, update collapse") {
     val dir = Files.createTempDirectory("graft-snap-ac").toString + "/t"
     SnapshotTable.append(
