@@ -11002,6 +11002,69 @@ object Queries {
     FROM orders WHERE o_orderpriority = '1-URGENT'
     ORDER BY o_orderkey"""))
 
+  /** Distributed BPE tokenizer TRAINING (no oracle — iterative merge
+    * selection is not SQL-expressible; BpeSpec pins the whole
+    * pipeline bit-identical against a single-threaded reference
+    * implementation, and the result is partitioning-independent by
+    * construction: exact Long pair counts + lexicographic argmax
+    * tie-break). One corpus-sized word-count shuffle collapses the
+    * corpus to a vocabulary table; each merge is then a
+    * map-side-combined pair count over that cached table plus a 1-row
+    * argmax collect (control plane). The output is the learned merge
+    * table in rank order. Ten merges here — the per-merge cost is
+    * flat in corpus size (vocabulary-sized jobs), so the iteration
+    * count is purely the vocabulary budget. */
+  private val qBpeTrain = Q(
+    "q_bpe_train",
+    (s, d) => {
+      import s.implicits._
+      graft.operators.Bpe.train(t(s, d, "documents"), "text", 10)
+        .zipWithIndex
+        .map { case ((l, r), i) => (i.toLong, l, r) }
+        .toDF("rank", "left", "right")
+        .orderBy("rank")
+    },
+    None)
+
+  /** Z-order layout through
+    * [[graft.sources.SnapshotTable.compact]]`(zOrderBy)`: orders
+    * lands in an interleaved (unprunable) layout, compaction lays
+    * files along the (o_custkey, o_totalprice) Z-curve — 16-bit
+    * linear ranks bit-interleaved entirely in built-in shift/mask
+    * expressions — and the SAME layout then serves a range read on
+    * EACH dimension (SnapshotTableSpec pins the two-dimensional file
+    * pruning; here both reads' results are oracle-checked against
+    * the plain filters). */
+  private val qSnapshotZorder = Q(
+    "q_snapshot_zorder",
+    (s, d) => {
+      val dir = snapTmp()
+      val src = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      // Interleaved appends: every file spans both full ranges.
+      (0 until 3).foreach { i =>
+        graft.sources.SnapshotTable.append(
+          src.filter(pmod(col("o_orderkey"), lit(3)) === i).coalesce(1),
+          dir, statsCols = Seq("o_custkey", "o_totalprice"))
+      }
+      graft.sources.SnapshotTable.compact(s, dir, targetBytes = 64L * 1024,
+        zOrderBy = Seq("o_custkey", "o_totalprice"))
+      val lowKeys = graft.sources.SnapshotTable.readWhere(
+          s, dir, "o_custkey", 1L, 200L)
+        .select(col("o_orderkey"), lit("by_custkey").as("probe"))
+      val bigOrders = graft.sources.SnapshotTable.readWhere(
+          s, dir, "o_totalprice", 300000.0, 500000.0)
+        .select(col("o_orderkey"), lit("by_price").as("probe"))
+      lowKeys.unionByName(bigOrders).orderBy("probe", "o_orderkey")
+    },
+    Some("""SELECT o_orderkey, probe FROM (
+      SELECT o_orderkey, 'by_custkey' AS probe FROM orders
+      WHERE o_custkey BETWEEN 1 AND 200
+      UNION ALL
+      SELECT o_orderkey, 'by_price' AS probe FROM orders
+      WHERE o_totalprice BETWEEN 300000 AND 500000)
+    ORDER BY probe, o_orderkey"""))
+
   /** Exactly-once CDC replication through
     * [[graft.sources.SnapshotTable.replicate]]: snapshot customer as
     * the source table, replicate (bootstrap = full snapshot), then
@@ -11063,6 +11126,7 @@ object Queries {
   val all: Seq[Q] = Seq(
     qSnapshotMerge, qSnapshotDelete, qSnapshotPrune, qSnapshotLookup,
     qSnapshotChanges, qSnapshotReplicate, qSnapshotPartition,
+    qSnapshotZorder, qBpeTrain,
     qResultsTopk, qIngestFilter, qSanitizeIdent, qParseNumber, qParseDate,
     qNullNormalize, qInferType, qJsonExtract, qSchemaEvolution,
     qProjFilter, qAggGroup, qDistinct, qApproxDistinct, qRollup, qCube,
