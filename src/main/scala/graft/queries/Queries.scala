@@ -11002,6 +11002,82 @@ object Queries {
     FROM orders WHERE o_orderpriority = '1-URGENT'
     ORDER BY o_orderkey"""))
 
+  /** The end-to-end corpus CURATION FUNNEL — the trillion-token
+    * pipeline's attrition report, composed from the shipped stage
+    * primitives: Gopher-style structural gates
+    * (TextAnalysis.gopherReject), the integer quality score at
+    * threshold 0.6 (compared as the exact 0-10000 integer both
+    * engines derive identically — the q_skyline discipline, so a
+    * float ulp can never flip a keep decision), then exact dedup
+    * keep-first-by-id among survivors. One scan computes every
+    * per-doc flag; the only corpus-keyed exchange is the dedup
+    * hash-group of stage-2 survivors (32-byte digests, text never
+    * shuffles); each funnel row is a map-side-combined aggregate of
+    * the same flagged scan. Oracle restates all three gates in SQL. */
+  private val qCorpusFunnel = Q(
+    "q_corpus_funnel",
+    (s, d) => {
+      val base = t(s, d, "documents")
+        .select(col("doc_id"), col("text"),
+          size(split(lower(col("text")), " ")).cast("long").as("n_tokens"),
+          TextAnalysis.gopherReject(col("text")).isNull.as("g"),
+          (floor(TextAnalysis.qualityScore(col("text")) * 10000.0 + 0.5)
+            .cast("long") >= 6000L).as("q"))
+      val gq = base.filter(col("g") && col("q"))
+      val keepers = gq.groupBy(sha2(col("text"), 256).as("h"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select("doc_id")
+      val deduped = gq.join(keepers, Seq("doc_id"), "left_semi")
+      def stage(rank: Int, name: String, df: DataFrame): DataFrame =
+        df.agg(count(lit(1)).as("n_docs"),
+            coalesce(sum(col("n_tokens")), lit(0L)).as("n_tokens"))
+          .select(lit(rank.toLong).as("stage_rank"), lit(name).as("stage"),
+            col("n_docs"), col("n_tokens"))
+      stage(0, "all", base)
+        .unionByName(stage(1, "gopher", base.filter(col("g"))))
+        .unionByName(stage(2, "quality", gq))
+        .unionByName(stage(3, "dedup", deduped))
+        .orderBy("stage_rank")
+    },
+    Some("""WITH m AS (
+      SELECT doc_id, text,
+        CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens,
+        CAST(len(replace(text, ' ', '')) AS BIGINT) AS nonspace,
+        CAST(len(list_filter(string_split(lower(text), ' '),
+          tk -> tk IN ('the', 'a', 'of', 'to', 'and'))) AS BIGINT) AS g_stop,
+        CAST(len(list_filter(string_split(lower(text), ' '),
+          x -> x IN ('the','and','of','to','a','in','is'))) AS BIGINT) AS q_stop,
+        CAST(len(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS BIGINT)
+          AS n_punct,
+        CAST(len(text) AS BIGINT) AS n_char
+      FROM documents),
+    f AS (
+      SELECT doc_id, text, n_tokens,
+        (n_tokens >= 15 AND n_tokens <= 90
+          AND nonspace >= 2 * n_tokens AND nonspace <= 12 * n_tokens
+          AND g_stop * 50 >= n_tokens) AS g,
+        (floor((least(n_tokens, 100) / 100.0 * 0.4
+          + (q_stop * 1.0 / n_tokens) * 0.3
+          + (1.0 - n_punct * 1.0 / n_char) * 0.3) * 10000.0 + 0.5)
+          >= 6000) AS q
+      FROM m),
+    ded AS (
+      SELECT min(doc_id) AS doc_id FROM f WHERE g AND q
+      GROUP BY sha256(text))
+    SELECT * FROM (
+      SELECT CAST(0 AS BIGINT) AS stage_rank, 'all' AS stage,
+        count(*) AS n_docs, COALESCE(sum(n_tokens), 0) AS n_tokens FROM f
+      UNION ALL
+      SELECT 1, 'gopher', count(*), COALESCE(sum(n_tokens), 0)
+      FROM f WHERE g
+      UNION ALL
+      SELECT 2, 'quality', count(*), COALESCE(sum(n_tokens), 0)
+      FROM f WHERE g AND q
+      UNION ALL
+      SELECT 3, 'dedup', count(*), COALESCE(sum(n_tokens), 0)
+      FROM f WHERE doc_id IN (SELECT doc_id FROM ded))
+    ORDER BY stage_rank"""))
+
   /** Distributed BPE tokenizer TRAINING (no oracle — iterative merge
     * selection is not SQL-expressible; BpeSpec pins the whole
     * pipeline bit-identical against a single-threaded reference
@@ -11126,7 +11202,7 @@ object Queries {
   val all: Seq[Q] = Seq(
     qSnapshotMerge, qSnapshotDelete, qSnapshotPrune, qSnapshotLookup,
     qSnapshotChanges, qSnapshotReplicate, qSnapshotPartition,
-    qSnapshotZorder, qBpeTrain,
+    qSnapshotZorder, qBpeTrain, qCorpusFunnel,
     qResultsTopk, qIngestFilter, qSanitizeIdent, qParseNumber, qParseDate,
     qNullNormalize, qInferType, qJsonExtract, qSchemaEvolution,
     qProjFilter, qAggGroup, qDistinct, qApproxDistinct, qRollup, qCube,
