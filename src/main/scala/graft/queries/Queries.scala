@@ -11023,20 +11023,36 @@ object Queries {
           TextAnalysis.gopherReject(col("text")).isNull.as("g"),
           (floor(TextAnalysis.qualityScore(col("text")) * 10000.0 + 0.5)
             .cast("long") >= 6000L).as("q"))
-      val gq = base.filter(col("g") && col("q"))
-      val keepers = gq.groupBy(sha2(col("text"), 256).as("h"))
+      // Two corpus passes total, not one per stage: pass 1 derives the
+      // dedup keepers (digests only shuffle); pass 2 joins the keeper
+      // flag back (doc_id-keyed semi-shape) and folds ALL FOUR funnel
+      // rows out of ONE aggregation — conditional sums per stage, then
+      // a row-local explode to (stage, counts) rows. At 100 TB the
+      // extra 3 scans the naive union-of-aggregates form pays are the
+      // whole cost; this shape never reads a document twice per stage.
+      val keepers = base.filter(col("g") && col("q"))
+        .groupBy(sha2(col("text"), 256).as("h"))
         .agg(min(col("doc_id")).as("doc_id"))
-        .select("doc_id")
-      val deduped = gq.join(keepers, Seq("doc_id"), "left_semi")
-      def stage(rank: Int, name: String, df: DataFrame): DataFrame =
-        df.agg(count(lit(1)).as("n_docs"),
-            coalesce(sum(col("n_tokens")), lit(0L)).as("n_tokens"))
-          .select(lit(rank.toLong).as("stage_rank"), lit(name).as("stage"),
-            col("n_docs"), col("n_tokens"))
-      stage(0, "all", base)
-        .unionByName(stage(1, "gopher", base.filter(col("g"))))
-        .unionByName(stage(2, "quality", gq))
-        .unionByName(stage(3, "dedup", deduped))
+        .select(col("doc_id"), lit(true).as("k"))
+      val flagged = base.join(keepers, Seq("doc_id"), "left")
+      def pair(cond: Column, tag: String) = Seq(
+        count(when(cond, 1)).as(s"d_$tag"),
+        coalesce(sum(when(cond, col("n_tokens"))), lit(0L)).as(s"t_$tag"))
+      val aggs = pair(lit(true), "all") ++ pair(col("g"), "g") ++
+        pair(col("g") && col("q"), "gq") ++ pair(col("k").isNotNull, "ded")
+      val one = flagged.agg(aggs.head, aggs.tail: _*)
+      one.select(explode(array(
+          struct(lit(0L).as("stage_rank"), lit("all").as("stage"),
+            col("d_all").as("n_docs"), col("t_all").as("n_tokens")),
+          struct(lit(1L).as("stage_rank"), lit("gopher").as("stage"),
+            col("d_g").as("n_docs"), col("t_g").as("n_tokens")),
+          struct(lit(2L).as("stage_rank"), lit("quality").as("stage"),
+            col("d_gq").as("n_docs"), col("t_gq").as("n_tokens")),
+          struct(lit(3L).as("stage_rank"), lit("dedup").as("stage"),
+            col("d_ded").as("n_docs"), col("t_ded").as("n_tokens"))))
+          .as("s"))
+        .select(col("s.stage_rank").as("stage_rank"), col("s.stage").as("stage"),
+          col("s.n_docs").as("n_docs"), col("s.n_tokens").as("n_tokens"))
         .orderBy("stage_rank")
     },
     Some("""WITH m AS (

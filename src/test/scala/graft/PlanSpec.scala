@@ -1820,4 +1820,24 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("PushedFilters: [") && p.contains("In(event_type"),
       s"event_type filter must push to parquet:\n$p")
   }
+
+  test("q_corpus_funnel: two corpus scans, one funnel aggregation, no per-stage re-reads") {
+    val p = plan("q_corpus_funnel")
+    // Pass 1 (keeper digests) + pass 2 (flagged fold) — the naive
+    // union-of-four-aggregates form reads documents five times.
+    val scans = p.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("documents"))
+    assert(scans == 2, s"expected exactly 2 documents scans, got $scans:\n$p")
+    // All four funnel rows come out of ONE aggregation + a row-local
+    // reshape: a single pair of final/partial HashAggregates past the
+    // keeper join, and no Union of aggregates.
+    assert(!p.contains("Union"), s"per-stage union re-appeared:\n$p")
+    assert(p.contains("Generate explode"),
+      s"funnel reshape must be the row-local explode:\n$p")
+    // The dedup exchange moves digests, never text: no Exchange row
+    // may carry the text column.
+    assert(!p.linesIterator.exists(l =>
+        l.contains("Exchange") && l.contains("text#")),
+      s"document text entered an exchange:\n$p")
+  }
 }
