@@ -442,6 +442,61 @@ class EventStreamsSpec extends AnyFunSuite {
       s"streamed index probe != batch, e.g. ${(streamed -- batch).take(3)}")
   }
 
+  test("curation stream: gates + dedup + exactly-once snapshot landing, split-invariant") {
+    // The full streaming curation pipeline: gopher/quality gates +
+    // incremental dedup against a base index, survivors landed
+    // exactly-once in a SnapshotTable. The kept set must equal the
+    // batch-computed expectation regardless of micro-batch split, and
+    // a REPLAYED batch (same appId + txn version) must be a no-op.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    implicit val sqlCtx = spark.sqlContext
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val isDelta = pmod(col("doc_id"), lit(5)) === 4
+    val table = java.nio.file.Files.createTempDirectory("graft-cur-t")
+      .toString + "/t"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-cur-ck").toString
+    val reg = new graft.operators.CacheRegistry
+    try {
+      graft.operators.Dedup.writeMinhashIndex(docs.filter(!isDelta),
+        "cur_idx", nBuckets = 4, registry = reg)
+      val deltaRows = docs.filter(isDelta).select("doc_id", "text")
+        .as[(Long, String)].collect().sortBy(_._1)
+      val (b1, b2) = deltaRows.splitAt(deltaRows.length / 2)
+      val input = MemoryStream[(Long, String)]
+      val q = graft.streaming.CurationStream.start(spark,
+        input.toDF().toDF("doc_id", "text"), "cur_idx", table, ckpt, "cur")
+      try {
+        input.addData(b1.toSeq: _*); q.processAllAvailable()
+        input.addData(b2.toSeq: _*); q.processAllAvailable()
+      } finally q.stop()
+      val landed = graft.sources.SnapshotTable.read(spark, table)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val expect = graft.streaming.CurationStream.stampBatch(spark,
+          docs.filter(isDelta), "cur_idx", registry = reg)
+        .filter(col("keep")).select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(expect.nonEmpty && expect.size < deltaRows.length,
+        "fixture must exercise both keeps and rejects")
+      assert(landed == expect,
+        s"stream != batch keep set, e.g. ${(landed diff expect).take(3)} / " +
+          s"${(expect diff landed).take(3)}")
+      // Exactly-once: re-landing batch 1 under its already-committed
+      // txn version is a manifest no-op.
+      val vBefore = graft.sources.SnapshotTable.latestVersion(spark, table)
+      val replay = graft.streaming.CurationStream.stampBatch(spark,
+          b1.toSeq.toDF("doc_id", "text"), "cur_idx", registry = reg)
+        .filter(col("keep")).select("doc_id", "text")
+      assert(graft.sources.SnapshotTable.transactionalAppend(
+        replay, table, "cur", 0L).isEmpty)
+      assert(graft.sources.SnapshotTable.latestVersion(spark, table) == vBefore)
+    } finally {
+      reg.releaseAll()
+      spark.sql("DROP TABLE IF EXISTS cur_idx")
+      spark.sql("DROP TABLE IF EXISTS cur_idx_grams")
+    }
+  }
+
   test("dedup-on-ingest: streaming stamps equal the batch decision at any micro-batch split") {
     // The batch-split-invariance contract of DedupOnIngest: the
     // incremental decision is a per-row function of (doc, base index),
