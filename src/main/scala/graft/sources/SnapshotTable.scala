@@ -679,6 +679,31 @@ object SnapshotTable {
     }
   }
 
+  /** Conjunctive multi-predicate read: `AND` of
+    * `column BETWEEN lower AND upper` bounds. File pruning is the
+    * INTERSECTION of the per-column stats decisions (a file survives
+    * only if every predicate's range intersects its stats — exactly
+    * how a Z-ordered layout pays off on several columns at once), and
+    * the full conjunction applies as the residual row filter. Result
+    * identical to filtering a full [[read]]. */
+  def readWhereAll(spark: SparkSession, dir: String,
+                   bounds: Seq[(String, Any, Any)],
+                   version: Option[Long] = None): DataFrame = {
+    require(bounds.nonEmpty, "readWhereAll: at least one predicate required")
+    val v = version.orElse(latestVersion(spark, dir)).getOrElse(
+      throw new java.io.IOException(
+        s"readWhereAll: no committed version under $dir"))
+    val selected = bounds
+      .map { case (c, lo, hi) => pruneFiles(spark, dir, c, lo, hi, Some(v))._1.toSet }
+      .reduce(_ intersect _)
+    val residual = bounds
+      .map { case (c, lo, hi) => col(c) >= lit(lo) && col(c) <= lit(hi) }
+      .reduce(_ && _)
+    if (selected.isEmpty) read(spark, dir, Some(v)).filter(lit(false))
+    else readFiles(spark, dir, selected.toSeq.sorted,
+      manifestSchema(spark, dir, v)).filter(residual)
+  }
+
   /** Point-lookup file pruning for `column = value`: a file is opened
     * only if BOTH summaries allow it — its min/max range contains the
     * value (when stats exist) AND its Bloom bitset reports

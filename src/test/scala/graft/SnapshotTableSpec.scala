@@ -459,6 +459,37 @@ class SnapshotTableSpec extends AnyFunSuite {
     }
   }
 
+  test("readWhereAll: conjunctive pruning intersects per-column decisions") {
+    val dir = Files.createTempDirectory("graft-snap-ma").toString + "/t"
+    // Z-ordered 64x64 grid: per-file hyper-rectangles on both dims.
+    (0 until 4).foreach { i =>
+      SnapshotTable.append(
+        spark.range(0, 4096).filter($"id" % 4 === i)
+          .select(($"id" % 64).as("x"), ($"id" / 64).cast("long").as("y"))
+          .coalesce(1),
+        dir, statsCols = Seq("x", "y"))
+    }
+    val bytes = SnapshotTable.manifestFiles(spark, dir,
+      SnapshotTable.latestVersion(spark, dir).get)
+      .map(p => new java.io.File(s"$dir/$p").length).sum
+    SnapshotTable.compact(spark, dir, targetBytes = bytes / 16 + 1,
+      zOrderBy = Seq("x", "y"))
+    val both = SnapshotTable.readWhereAll(spark, dir,
+      Seq(("x", 0L, 7L), ("y", 0L, 7L)))
+    assert(both.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      (for { x <- 0L to 7L; y <- 0L to 7L } yield (x, y)).toSet)
+    // The conjunction opens no more files than either single-column
+    // prune — the intersection property.
+    val (fx, _) = SnapshotTable.pruneFiles(spark, dir, "x", 0L, 7L)
+    val (fy, _) = SnapshotTable.pruneFiles(spark, dir, "y", 0L, 7L)
+    val inter = fx.toSet intersect fy.toSet
+    assert(inter.size <= math.min(fx.size, fy.size))
+    assert(inter.nonEmpty && inter.size < fx.size + fy.size)
+    // Disjoint conjunction → empty result, zero-file scan path.
+    assert(SnapshotTable.readWhereAll(spark, dir,
+      Seq(("x", 0L, 3L), ("x", 60L, 63L))).isEmpty)
+  }
+
   test("schema evolution: added columns NULL-backfill, type conflicts fail loudly") {
     val dir = Files.createTempDirectory("graft-snap-e2").toString + "/t"
     SnapshotTable.append(spark.range(0, 5).toDF(), dir)
