@@ -1,0 +1,131 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, LongType, IntegerType, StructField, StructType}
+
+/** Distributed k-means for IVF coarse quantization — the TRAINED
+  * alternative to [[Similarity.cellId]]'s sign-pattern quantizer (the
+  * public Lloyd's algorithm, the centroid layer of every IVF ANN
+  * index). Everything runs in EXACT INTEGER arithmetic so the result
+  * is bit-identical under any partitioning — the property that makes
+  * an oracle-checked query possible at all:
+  *
+  *   - vectors quantize once to per-dimension Longs
+  *     (`round(x * 65536)` — 16 fractional bits);
+  *   - assignment distance is an exact Long sum of squared integer
+  *     diffs (64 dims × (2^18)^2 ≈ 2^42, far inside Long), computed
+  *     by built-in `zip_with` + `aggregate` HOFs — codegen, no UDFs;
+  *   - ties break on (distance, centroid id) lexicographically via a
+  *     struct MIN aggregate — order-independent;
+  *   - centroid updates are exact integer sums + truncating division
+  *     (the one deliberate deviation from float Lloyd's: a rounding
+  *     scheme both engines and every partitioning agree on).
+  *
+  * Scale shape: per iteration, ONE broadcast of k×d integers joins
+  * the corpus map-only (k small — 256-4096 cells in production), one
+  * (vec_id)-keyed argmin aggregate, one (cid, dim)-keyed sum — all
+  * map-side combining; the k×d collect per iteration is control
+  * plane. Iteration count is fixed (production IVF trains on a
+  * SAMPLE then assigns the full corpus once — the same functions
+  * compose that way here: train on a sampled df, `assign` the full
+  * one). */
+object Kmeans {
+
+  /** 16-fractional-bit integer quantization of a float/double vector
+    * column. */
+  def quantize(v: Column): Column =
+    transform(v, x => round(x * 65536.0).cast("long"))
+
+  private def centroidDf(spark: SparkSession,
+                         centroids: Array[Array[Long]]): DataFrame = {
+    val rows = centroids.zipWithIndex.map { case (c, i) =>
+      org.apache.spark.sql.Row(i, c.toSeq)
+    }
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        java.util.Arrays.asList(rows: _*)),
+      StructType(Seq(StructField("cid", IntegerType, nullable = false),
+        StructField("cv", ArrayType(LongType), nullable = false))))
+  }
+
+  private def sqDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, x) => acc + x)
+
+  /** Assign every row of `quantized` (vec_id, qv) to its nearest
+    * centroid: broadcast k rows, exact integer argmin with (dist,
+    * cid) tie-break. Output (vec_id, qv, cid). */
+  def assign(quantized: DataFrame,
+             centroids: Array[Array[Long]]): DataFrame = {
+    val spark = quantized.sparkSession
+    quantized.crossJoin(broadcast(centroidDf(spark, centroids)))
+      .select(col("vec_id"), col("qv"),
+        struct(sqDist(col("qv"), col("cv")).as("dist"),
+          col("cid").as("cid")).as("dc"))
+      .groupBy("vec_id")
+      .agg(min(col("dc")).as("m"), first(col("qv")).as("qv"))
+      .select(col("vec_id"), col("qv"), col("m.cid").as("cid"))
+  }
+
+  /** Train `k` centroids with `iters` exact-integer Lloyd rounds.
+    * Init = the vectors of the k smallest vec_ids (deterministic; a
+    * production trainer would k-means++ on a sample — init choice
+    * only affects quality, never the determinism contract). Empty
+    * cells keep their previous centroid. Returns the centroid matrix
+    * (index = cell id). */
+  def train(embeddings: DataFrame, k: Int, iters: Int,
+            vecCol: String = "embedding"): Array[Array[Long]] = {
+    require(k >= 1 && iters >= 1, s"need k>=1, iters>=1: k=$k iters=$iters")
+    val quantized = embeddings
+      .select(col("vec_id"), quantize(col(vecCol)).as("qv"))
+      .cache()
+    try {
+      var centroids = quantized.orderBy("vec_id").limit(k)
+        .collect().map(_.getSeq[Long](1).toArray)
+      require(centroids.length == k,
+        s"need at least $k vectors to seed $k cells, got ${centroids.length}")
+      var it = 0
+      while (it < iters) {
+        // (cid, dim)-keyed exact sums; truncating integer mean.
+        val sums = assign(quantized, centroids)
+          .select(col("cid"), posexplode(col("qv")).as(Seq("dim", "x")))
+          .groupBy("cid", "dim")
+          .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+          .collect()
+        val next = centroids.map(_.clone())
+        sums.foreach { r =>
+          next(r.getInt(0))(r.getInt(1)) = r.getLong(2) / r.getLong(3)
+        }
+        centroids = next
+        it += 1
+      }
+      centroids
+    } finally { quantized.unpersist(); () }
+  }
+
+  /** IVF probe with the trained quantizer, exact within the cell:
+    * queries (selected by `queryPred` over vec_id) scan ONLY their
+    * own cell, integer distances, per-query argmin with (dist, id)
+    * tie-break. Identical vectors land in identical cells by
+    * construction, so planted exact twins are always found — the
+    * property the oracle-checked query pins. */
+  def ivfTopOne(embeddings: DataFrame, centroids: Array[Array[Long]],
+                queryPred: Column, vecCol: String = "embedding"): DataFrame = {
+    val assigned = assign(
+      embeddings.select(col("vec_id"), quantize(col(vecCol)).as("qv")),
+      centroids)
+    val queries = broadcast(assigned.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("qv").as("quv"),
+        col("cid").as("qcid")))
+    assigned.join(queries,
+        col("cid") === col("qcid") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"),
+        struct(sqDist(col("qv"), col("quv")).as("dist"),
+          col("vec_id").as("cand_id")).as("dc"))
+      .groupBy("query_id")
+      .agg(min(col("dc")).as("m"))
+      .select(col("query_id"), col("m.cand_id").as("match_id"),
+        col("m.dist").as("dist"))
+  }
+}

@@ -11002,6 +11002,34 @@ object Queries {
     FROM orders WHERE o_orderpriority = '1-URGENT'
     ORDER BY o_orderkey"""))
 
+  /** ANN with a TRAINED IVF quantizer
+    * ([[graft.operators.Kmeans]] — integer-exact distributed Lloyd's,
+    * bit-identical under any partitioning): 50 exact twins are
+    * planted into the embedding corpus, 8 cells train for 3 rounds,
+    * and each planted query probes ONLY its own cell. Identical
+    * vectors quantize identically and therefore always share a cell,
+    * so every twin must come back as the integer-distance-0 top-1 —
+    * the planted-twin discipline (q_semdedup_lsh) that turns an
+    * iterative-training ANN path into an oracle-checked row: the
+    * oracle states the twin map in closed form. Training collects
+    * only k×d integers per round (control plane); the probe
+    * broadcasts queries and scans 1/k of the corpus. */
+  private val qAnnKmeans = Q(
+    "q_ann_kmeans",
+    (s, d) => {
+      val base = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val planted = base.filter(col("vec_id") < 50)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      val corpus = base.unionByName(planted)
+      val cents = graft.operators.Kmeans.train(corpus, 8, 3)
+      graft.operators.Kmeans.ivfTopOne(corpus, cents,
+          col("vec_id") >= 1000000L)
+        .orderBy("query_id")
+    },
+    Some("""SELECT vec_id + 1000000 AS query_id, vec_id AS match_id,
+      CAST(0 AS BIGINT) AS dist
+    FROM embeddings WHERE vec_id < 50 ORDER BY query_id"""))
+
   /** The end-to-end corpus CURATION FUNNEL — the trillion-token
     * pipeline's attrition report, composed from the shipped stage
     * primitives: Gopher-style structural gates
@@ -11218,7 +11246,7 @@ object Queries {
   val all: Seq[Q] = Seq(
     qSnapshotMerge, qSnapshotDelete, qSnapshotPrune, qSnapshotLookup,
     qSnapshotChanges, qSnapshotReplicate, qSnapshotPartition,
-    qSnapshotZorder, qBpeTrain, qCorpusFunnel,
+    qSnapshotZorder, qBpeTrain, qCorpusFunnel, qAnnKmeans,
     qResultsTopk, qIngestFilter, qSanitizeIdent, qParseNumber, qParseDate,
     qNullNormalize, qInferType, qJsonExtract, qSchemaEvolution,
     qProjFilter, qAggGroup, qDistinct, qApproxDistinct, qRollup, qCube,
