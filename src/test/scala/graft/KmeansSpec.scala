@@ -62,6 +62,16 @@ class KmeansSpec extends AnyFunSuite {
     }
   }
 
+  test("probe plan: queries broadcast, no sort-merge join, no corpus window") {
+    val cents = Kmeans.train(emb, 8, 1)
+    val p = Kmeans.ivfTopOne(emb, cents, col("vec_id") < 10)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"query side must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"probe must not sort-merge:\n$p")
+    assert(!p.contains("Window"), s"argmin is an aggregate, not a window:\n$p")
+  }
+
   test("k exceeding distinct vectors fails loudly; empty cells keep centroids") {
     intercept[IllegalArgumentException] {
       Kmeans.train(emb.limit(3), 8, 1)
