@@ -33,9 +33,15 @@ import org.apache.spark.sql.types.{ArrayType, LongType, IntegerType, StructField
 object Kmeans {
 
   /** 16-fractional-bit integer quantization of a float/double vector
-    * column. */
+    * column. A NULL vector fails the job loudly (codegen'd per-row
+    * assert — the Ranking.globalRank discipline): a silent
+    * null-distance would otherwise let rows vanish from argmin
+    * aggregates instead of surfacing the bad input. */
   def quantize(v: Column): Column =
-    transform(v, x => round(x * 65536.0).cast("long"))
+    when(assert_true(v.isNotNull,
+        lit("Kmeans: NULL embedding vector — filter or impute NULLs " +
+          "before training/assignment")).isNull,
+      transform(v, x => round(x * 65536.0).cast("long")))
 
   private def centroidDf(spark: SparkSession,
                          centroids: Array[Array[Long]]): DataFrame = {

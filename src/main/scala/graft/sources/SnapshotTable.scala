@@ -1083,6 +1083,13 @@ object SnapshotTable {
     require(keys.nonEmpty, "applyChanges: at least one key column required")
     require(changes.columns.contains("_change"),
       "applyChanges: changes must carry a _change column (insert|delete)")
+    // Unknown tags fail loudly — a mistyped 'update' row silently
+    // vanishing from the apply would be a data-loss bug, not a skip.
+    val badTag = changes
+      .filter(!col("_change").isin("insert", "delete")).limit(1).collect()
+    require(badTag.isEmpty,
+      s"applyChanges: unknown _change tag in e.g. ${badTag.headOption.orNull}" +
+        " — only insert|delete are defined")
     txn.foreach { case (appId, tv) =>
       val pre = latestVersion(spark, dir)
         .map(manifestTxns(spark, dir, _)).getOrElse(Map.empty)

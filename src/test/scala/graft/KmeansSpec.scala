@@ -76,6 +76,14 @@ class KmeansSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Kmeans.train(emb.limit(3), 8, 1)
     }
+    // NULL embeddings fail the job loudly (no silent argmin dropout).
+    val withNull = Seq((0L, Array(1f, 2f)), (1L, null: Array[Float]),
+      (2L, Array(3f, 4f))).toDF("vec_id", "embedding")
+    val e = intercept[Exception] { Kmeans.train(withNull, 2, 1) }
+    assert(e.getMessage != null &&
+      (e.getMessage.contains("NULL embedding") ||
+        e.getCause != null && e.getCause.getMessage.contains("NULL embedding")),
+      s"unexpected failure: $e")
     // Two far clusters + k=3 seeded inside them: at least one cell
     // ends empty and must keep its previous centroid (no NaN/zero
     // poisoning).

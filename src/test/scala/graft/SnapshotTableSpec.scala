@@ -406,6 +406,12 @@ class SnapshotTableSpec extends AnyFunSuite {
         Seq((1L, "a", "insert"), (1L, "b", "insert"))
           .toDF("id", "v", "_change"), Seq("id"))
     }
+    // Unknown _change tags fail loudly (a typo'd 'update' must not
+    // silently vanish from the apply).
+    intercept[IllegalArgumentException] {
+      SnapshotTable.applyChanges(spark, dir,
+        Seq((2L, "x", "update")).toDF("id", "v", "_change"), Seq("id"))
+    }
   }
 
   test("replicate: exactly-once CDC pipe, ledger cursor, incremental files only") {
