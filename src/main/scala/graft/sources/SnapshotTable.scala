@@ -222,7 +222,9 @@ object SnapshotTable {
   private def readFiles(spark: SparkSession, dir: String,
                         files: Seq[String],
                         schema: Option[StructType]): DataFrame = {
-    val paths = files.map(p => s"$dir/$p")
+    // Relative entries live under THIS table; absolute entries are a
+    // shallow clone's references into its source table.
+    val paths = files.map(p => if (p.startsWith("data/")) s"$dir/$p" else p)
     schema.map(spark.read.schema(_)).getOrElse(spark.read).parquet(paths: _*)
   }
 
@@ -361,11 +363,16 @@ object SnapshotTable {
       else new java.math.BigDecimal(a).compareTo(new java.math.BigDecimal(b))
     }.toOption
 
-  /** Relative `data/<batch>/<file>` path from an absolute scan URI. */
-  private def relFromUri(uri: String): String = {
-    val i = uri.lastIndexOf("/data/")
-    require(i >= 0, s"not a table data path: $uri")
-    uri.substring(i + 1)
+  /** Canonical manifest key for a data file: files under THIS table's
+    * `data/` store relative (`data/<batch>/...` — survives moving the
+    * table directory); anything else (a [[shallowClone]]'s references
+    * into its source table) stores as the scheme-less absolute path.
+    * `input_file_name()` URIs and `Path.toString` forms normalize to
+    * the same key through `Path.toUri.getPath`. */
+  private def manifestKey(dir: String, uri: String): String = {
+    val p = new Path(uri).toUri.getPath
+    val prefix = new Path(dir).toUri.getPath + "/data/"
+    if (p.startsWith(prefix)) "data/" + p.stripPrefix(prefix) else p
   }
 
   /** Per-file min/max of `statsCols` for every parquet file under
@@ -385,8 +392,9 @@ object SnapshotTable {
       Seq(min(col(c)).as(s"__mn_$c"), max(col(c)).as(s"__mx_$c")) }
     val rows = df.groupBy(input_file_name().as("__f"))
       .agg(aggs.head, aggs.tail: _*).collect()
+    val tableDir = batchDir.getParent.getParent.toString
     rows.flatMap { r =>
-      val rel = relFromUri(r.getString(0))
+      val rel = manifestKey(tableDir, r.getString(0))
       val cols = typed.flatMap { case (c, tag) =>
         val mn = r.getAs[Any](s"__mn_$c"); val mx = r.getAs[Any](s"__mx_$c")
         if (mn == null || mx == null) None
@@ -421,8 +429,9 @@ object SnapshotTable {
         col(c).cast("string"), BloomBits, BloomProbes).as(s"__bf_$c") }
     val rows = df.groupBy(input_file_name().as("__f"))
       .agg(aggs.head, aggs.tail: _*).collect()
+    val tableDir = batchDir.getParent.getParent.toString
     rows.map { r =>
-      relFromUri(r.getString(0)) ->
+      manifestKey(tableDir, r.getString(0)) ->
         present.map(c => c -> r.getAs[Array[Byte]](s"__bf_$c")).toMap
     }.toMap
   }
@@ -523,7 +532,7 @@ object SnapshotTable {
       d.withColumn(s"__pv_$c", col(c)))
     routed.write.partitionBy(partitionBy.map(c => s"__pv_$c"): _*)
       .parquet(batchDir.toString)
-    val added = listParquetRec(f, batchDir).map(p => relFromUri(p.toString))
+    val added = listParquetRec(f, batchDir).map(p => manifestKey(dir, p.toString))
     val stats = computeStats(spark, batchDir,
       (partitionBy ++ statsCols).distinct)
     val blooms = computeBlooms(spark, batchDir, bloomCols)
@@ -906,6 +915,48 @@ object SnapshotTable {
     terms.reduce(_ bitwiseOR _)
   }
 
+  /** ZERO-COPY SHALLOW CLONE — table branching, the public Delta
+    * `CLONE`/Iceberg-snapshot idea: the clone's v0 manifest references
+    * the source's CURRENT data files by absolute path (no bytes move,
+    * any table size clones in one manifest write), with stats, blooms
+    * and schema carried over, so pruning works immediately. From then
+    * on the clone is a fully independent table: appends land under its
+    * own `data/`; copy-on-write DELETE/MERGE on cloned rows rewrite
+    * the touched foreign file INTO the clone and drop the reference —
+    * the branch diverges without ever mutating the source. Cloning a
+    * clone re-uses whatever references the source holds.
+    *
+    * Lifecycle contract (same as the public shallow-clone designs): a
+    * clone pins nothing in the source — [[vacuum]] on the SOURCE can
+    * retire files the clone still references once the source's own
+    * manifests drop them (after a source compact/delete). Shallow
+    * clones are for short-lived branches (experiments, dev, what-if
+    * DELETE/MERGE runs); promote to an independent table by
+    * [[compact]]-ing the clone, which rewrites every referenced byte
+    * into the clone's own `data/`. */
+  def shallowClone(spark: SparkSession, srcDir: String,
+                   dstDir: String): Long = {
+    val v = latestVersion(spark, srcDir).getOrElse(
+      throw new java.io.IOException(
+        s"shallowClone: no committed version under $srcDir"))
+    require(latestVersion(spark, dstDir).isEmpty,
+      s"shallowClone: destination $dstDir already has commits")
+    def absolutize(e: String): String =
+      if (e.startsWith("data/"))
+        new Path(new Path(srcDir), e).toUri.getPath
+      else e // clone-of-clone: already absolute
+    val files = manifestFiles(spark, srcDir, v).map(absolutize)
+    val stats = manifestStats(spark, srcDir, v)
+      .map { case (k, cs) => absolutize(k) -> cs }
+    val blooms = manifestBlooms(spark, srcDir, v)
+      .map { case (k, bs) => absolutize(k) -> bs }
+    val schema = manifestSchema(spark, srcDir, v)
+    if (!tryCommit(spark, dstDir, 0L, files, Map.empty, stats, schema, blooms))
+      throw new java.io.IOException(
+        s"shallowClone: destination $dstDir committed concurrently")
+    0L
+  }
+
   /** Retire data files referenced by NO manifest among the latest
     * `keepVersions` (orphans from crashed appends included), and drop
     * the manifests older than that window. Time travel shrinks to the
@@ -929,18 +980,34 @@ object SnapshotTable {
     if (!f.exists(dataRoot)) return 0
     val cutoff = System.currentTimeMillis() - minAgeMs
     var deleted = 0
-    f.listStatus(dataRoot).foreach { sub =>
-      if (sub.isDirectory) {
-        f.listStatus(sub.getPath).foreach { df =>
-          val rel = s"data/${sub.getPath.getName}/${df.getPath.getName}"
-          if (df.isFile && !referenced.contains(rel)
-              && df.getModificationTime <= cutoff) {
-            if (f.delete(df.getPath, false)) deleted += 1
-          }
+    // Recursive walk: appendPartitioned nests partition directories
+    // under the batch dir, so a two-level listing would silently leak
+    // partitioned orphans forever. Only files under OUR data/ are
+    // candidates; a shallowClone's foreign absolute references are
+    // never touched (they are not under this listing), and our files
+    // a clone references ARE still referenced by our own kept
+    // manifests — the clone-vs-source-vacuum contract is documented
+    // on [[shallowClone]].
+    val it = f.listFiles(dataRoot, true)
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.isFile) {
+        val key = manifestKey(dir, st.getPath.toString)
+        if (!referenced.contains(key) && st.getModificationTime <= cutoff) {
+          if (f.delete(st.getPath, false)) deleted += 1
         }
-        if (f.listStatus(sub.getPath).isEmpty) f.delete(sub.getPath, false)
       }
     }
+    def pruneEmptyDirs(p: Path): Boolean = { // true = now empty+removed
+      val children = f.listStatus(p)
+      val allGone = children.forall { c =>
+        c.isDirectory && pruneEmptyDirs(c.getPath)
+      }
+      if (allGone && children.nonEmpty || children.isEmpty) {
+        if (p != dataRoot) f.delete(p, false) else false
+      } else false
+    }
+    pruneEmptyDirs(dataRoot)
     // Old manifests: anything before the keep window.
     (0L until keepFrom).foreach { v =>
       val p = manifestPath(dir, v)
@@ -990,7 +1057,7 @@ object SnapshotTable {
     if (manifestFiles(spark, dir, base).isEmpty) return None
     val touched = withFile(spark, dir, base)
       .filter(condition).select("__file").distinct().collect()
-      .map(r => relFromUri(r.getString(0))).toSeq.sorted
+      .map(r => manifestKey(dir, r.getString(0))).toSeq.sorted
     if (touched.isEmpty) return None
     val survivors =
       readFiles(spark, dir, touched, manifestSchema(spark, dir, base))
@@ -1050,7 +1117,7 @@ object SnapshotTable {
       case Some(v) if manifestFiles(spark, dir, v).nonEmpty =>
         withFile(spark, dir, v)
           .join(srcKeys, keys, "left_semi").select("__file").distinct()
-          .collect().map(r => relFromUri(r.getString(0))).toSeq.sorted
+          .collect().map(r => manifestKey(dir, r.getString(0))).toSeq.sorted
       case _ => Seq.empty[String]
     }
     val rewrite =
@@ -1112,7 +1179,7 @@ object SnapshotTable {
       case Some(v) if manifestFiles(spark, dir, v).nonEmpty =>
         withFile(spark, dir, v)
           .join(affectedKeys, keys, "left_semi").select("__file").distinct()
-          .collect().map(r => relFromUri(r.getString(0))).toSeq.sorted
+          .collect().map(r => manifestKey(dir, r.getString(0))).toSeq.sorted
       case _ => Seq.empty[String]
     }
     val rewrite =

@@ -380,6 +380,71 @@ class SnapshotTableSpec extends AnyFunSuite {
         s"${sel99.size} vs ${sel.size}")
   }
 
+  test("shallowClone: zero-copy branch — diverges via CoW, promote via compact") {
+    val src = Files.createTempDirectory("graft-snap-cs").toString + "/s"
+    val dst = Files.createTempDirectory("graft-snap-cd").toString + "/d"
+    (0 until 3).foreach { i =>
+      SnapshotTable.append(
+        spark.range(100L * i, 100L * i + 100).toDF()
+          .withColumn("v", lit("src")).coalesce(1),
+        src, statsCols = Seq("id"))
+    }
+    SnapshotTable.shallowClone(spark, src, dst)
+    // Zero bytes moved: the clone's data/ does not even exist yet.
+    assert(!new java.io.File(s"$dst/data").exists)
+    assert(ids(SnapshotTable.read(spark, dst)) == (0L until 300L).toSet)
+    // Stats carried: pruning works immediately on the clone.
+    val (sel, total) = SnapshotTable.pruneFiles(spark, dst, "id", 0L, 50L)
+    assert(total == 3 && sel.size == 1, s"${sel.size}/$total")
+    // The branch diverges; the source never changes.
+    SnapshotTable.append(spark.range(900, 910).toDF()
+      .withColumn("v", lit("branch")), dst)
+    SnapshotTable.deleteWhere(spark, dst, $"id".between(0, 4))
+    assert(ids(SnapshotTable.read(spark, dst)) ==
+      ((5L until 300L) ++ (900L until 910L)).toSet)
+    assert(ids(SnapshotTable.read(spark, src)) == (0L until 300L).toSet)
+    // CoW pulled ONLY the touched foreign file into the clone: the
+    // other two source files remain referenced by absolute path.
+    val vd = SnapshotTable.latestVersion(spark, dst).get
+    val foreign = SnapshotTable.manifestFiles(spark, dst, vd)
+      .filterNot(_.startsWith("data/"))
+    assert(foreign.size == 2, s"expected 2 foreign refs, got $foreign")
+    // Promote: compact rewrites every byte into the clone's own data/.
+    SnapshotTable.compact(spark, dst, targetBytes = 1L << 30)
+    val vp = SnapshotTable.latestVersion(spark, dst).get
+    assert(SnapshotTable.manifestFiles(spark, dst, vp)
+      .forall(_.startsWith("data/")), "promotion must localize all refs")
+    assert(ids(SnapshotTable.read(spark, dst)) ==
+      ((5L until 300L) ++ (900L until 910L)).toSet)
+    // A non-empty destination refuses.
+    intercept[IllegalArgumentException] {
+      SnapshotTable.shallowClone(spark, src, dst)
+    }
+  }
+
+  test("vacuum reaches partitioned (nested) orphans after compaction") {
+    val dir = Files.createTempDirectory("graft-snap-vp").toString + "/t"
+    SnapshotTable.appendPartitioned(
+      spark.range(0, 100).toDF().withColumn("day", ($"id" % 4).cast("int")),
+      dir, Seq("day"))
+    def nestedParquets() = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles.toSeq.flatMap(walk)
+        else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+      walk(new java.io.File(s"$dir/data"))
+    }
+    val before = nestedParquets().size
+    assert(before >= 4, s"partitioned layout expected, got $before files")
+    SnapshotTable.compact(spark, dir, targetBytes = 1L << 30)
+    // Keep only the compacted version; the nested partition files are
+    // now orphans and must actually be deleted (a two-level vacuum
+    // walk would leak them forever).
+    val n = SnapshotTable.vacuum(spark, dir, keepVersions = 1, minAgeMs = 0L)
+    assert(n >= before, s"vacuum deleted $n < $before nested orphans")
+    assert(nestedParquets().size < before)
+    assert(SnapshotTable.read(spark, dir).count() == 100)
+  }
+
   test("applyChanges: one-commit CDC apply — upserts, pure deletes, update collapse") {
     val dir = Files.createTempDirectory("graft-snap-ac").toString + "/t"
     SnapshotTable.append(
