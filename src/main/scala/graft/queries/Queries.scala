@@ -11185,6 +11185,38 @@ object Queries {
       WHERE o_totalprice BETWEEN 300000 AND 500000)
     ORDER BY probe, o_orderkey"""))
 
+  /** Zero-copy branching through
+    * [[graft.sources.SnapshotTable.shallowClone]]: part snapshots
+    * once, the clone is ONE manifest write (no data bytes move), a
+    * copy-on-write DELETE then diverges the branch — and the output
+    * reads BOTH tables, so the oracle pins simultaneously that the
+    * branch dropped exactly the small parts and that the source is
+    * byte-for-byte untouched (the clone-isolation contract). */
+  private val qSnapshotClone = Q(
+    "q_snapshot_clone",
+    (s, d) => {
+      val src = snapTmp(); val branch = snapTmp()
+      graft.sources.SnapshotTable.append(
+        t(s, d, "part").select(col("p_partkey"), col("p_size"),
+          col("p_retailprice")), src)
+      graft.sources.SnapshotTable.shallowClone(s, src, branch)
+      graft.sources.SnapshotTable.deleteWhere(s, branch,
+        col("p_size") <= 10)
+      val a = graft.sources.SnapshotTable.read(s, branch)
+        .select(lit("branch").as("side"), col("p_partkey"), col("p_size"),
+          col("p_retailprice"))
+      val b = graft.sources.SnapshotTable.read(s, src)
+        .select(lit("source").as("side"), col("p_partkey"), col("p_size"),
+          col("p_retailprice"))
+      a.unionByName(b).orderBy("side", "p_partkey")
+    },
+    Some("""SELECT side, p_partkey, p_size, p_retailprice FROM (
+      SELECT 'branch' AS side, p_partkey, p_size, p_retailprice
+      FROM part WHERE p_size > 10
+      UNION ALL
+      SELECT 'source' AS side, p_partkey, p_size, p_retailprice FROM part)
+    ORDER BY side, p_partkey"""))
+
   /** Exactly-once CDC replication through
     * [[graft.sources.SnapshotTable.replicate]]: snapshot customer as
     * the source table, replicate (bootstrap = full snapshot), then
@@ -11246,7 +11278,7 @@ object Queries {
   val all: Seq[Q] = Seq(
     qSnapshotMerge, qSnapshotDelete, qSnapshotPrune, qSnapshotLookup,
     qSnapshotChanges, qSnapshotReplicate, qSnapshotPartition,
-    qSnapshotZorder, qBpeTrain, qCorpusFunnel, qAnnKmeans,
+    qSnapshotZorder, qSnapshotClone, qBpeTrain, qCorpusFunnel, qAnnKmeans,
     qResultsTopk, qIngestFilter, qSanitizeIdent, qParseNumber, qParseDate,
     qNullNormalize, qInferType, qJsonExtract, qSchemaEvolution,
     qProjFilter, qAggGroup, qDistinct, qApproxDistinct, qRollup, qCube,
