@@ -82,6 +82,34 @@ class MediaCodecsSpec extends AnyFunSuite {
     assert(WavCodec.decimate(stereo, 1).samples.toSeq == stereo.samples.toSeq)
   }
 
+  test("property: random clips round-trip; decimation == reference slice (seeded gen)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val gen = for {
+      ch <- Gen.oneOf(1, 2)
+      frames <- Gen.chooseNum(1, 700)
+      rate <- Gen.oneOf(8000, 16000, 44100, 48000)
+      factor <- Gen.oneOf(1, 2, 4)
+      seed <- Gen.chooseNum(0L, Long.MaxValue / 2)
+    } yield (ch, frames, rate, factor, seed)
+    val cases = (0 until 50)
+      .flatMap(i => gen.apply(Gen.Parameters.default, Seed(i.toLong)))
+    assert(cases.size >= 40)
+    cases.foreach { case (ch, frames, rate, factor, seed) =>
+      val clip = WavCodec.Clip(rate, ch,
+        Array.tabulate(frames * ch)(i => mix(seed + i).toShort))
+      val back = WavCodec.decode(WavCodec.encode(clip)).getOrElse(
+        fail(s"decode failed ch=$ch n=$frames"))
+      assert(back.samples.toSeq == clip.samples.toSeq &&
+        back.sampleRate == rate && back.channels == ch)
+      val dec = WavCodec.decimate(clip, factor)
+      val ref = (0 until frames by factor).flatMap(f =>
+        (0 until ch).map(c => clip.samples(f * ch + c)))
+      assert(dec.samples.toSeq == ref, s"decimate ch=$ch n=$frames x$factor")
+      assert(dec.sampleRate == rate / factor)
+    }
+  }
+
   // ---------------------------------------------------------------- Y4M
 
   private def vid(w: Int, h: Int, n: Int, cs: String,

@@ -167,6 +167,33 @@ class PngCodecSpec extends AnyFunSuite {
     assert(one.pixels.map(_ & 0xff).toSeq == Seq(25, 115, 215))
   }
 
+  test("property: random images round-trip across random sizes (seeded gen)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val gen = for {
+      w <- Gen.chooseNum(1, 97)
+      h <- Gen.chooseNum(1, 61)
+      ch <- Gen.oneOf(1, 3)
+      seed <- Gen.chooseNum(0L, Long.MaxValue / 2)
+    } yield (w, h, ch, seed)
+    val cases = (0 until 60)
+      .flatMap(i => gen.apply(Gen.Parameters.default, Seed(i.toLong)))
+    assert(cases.size >= 50)
+    cases.foreach { case (w, h, ch, seed) =>
+      val src = img(w, h, ch, seed)
+      val back = PngCodec.decode(PngCodec.encode(src))
+        .getOrElse(fail(s"decode failed ${w}x$h ch=$ch seed=$seed"))
+      assert(back.pixels.toSeq == src.pixels.toSeq,
+        s"round trip ${w}x$h ch=$ch seed=$seed")
+      // Resize never crashes and lands the exact target geometry for
+      // arbitrary (including non-divisor) targets.
+      val rw = 1 + (seed % w).toInt; val rh = 1 + (seed % h).toInt
+      val r = PngCodec.resizeBox(src, rw, rh)
+      assert(r.width == rw && r.height == rh &&
+        r.pixels.length == rw * rh * ch)
+    }
+  }
+
   test("Multimodal.resized takes the real PNG path end-to-end") {
     val spark = SparkTestBase.spark
     import spark.implicits._
