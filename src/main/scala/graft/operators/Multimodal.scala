@@ -253,11 +253,14 @@ object Multimodal {
       }
   }
 
-  /** Full pixel decode where the JDK can do it for real: PNG payloads
-    * in the supported profile (8-bit gray/RGB, non-interlaced) inflate
-    * + unfilter through [[PngCodec]]; anything else is None. */
+  /** Full pixel decode where pure JVM arithmetic can do it for real:
+    * PNG payloads (8-bit gray/RGB, non-interlaced) inflate + unfilter
+    * through [[PngCodec]]; GIF payloads LZW-decode through
+    * [[GifCodec]] (first frame, palette-resolved RGB); anything else
+    * is None. */
   def decodePixels(content: Array[Byte]): Option[PngCodec.Image] =
     PngCodec.decode(content)
+      .orElse(GifCodec.decode(content).map(_.frames.head))
 
   /** Distributed resize: every media row through the codec's
     * resample, batched per partition — map-only, zero shuffle; the
@@ -285,20 +288,24 @@ object Multimodal {
 
   /** Distributed frame sampling: one media row fans out to its kept
     * frames (video → keyframe extraction shape). Y4M payloads take
-    * the REAL path — [[Y4mCodec]] demuxes actual planar frames from
-    * the container and every `stride`-th is kept (frameSize comes
-    * from the stream header, the argument is ignored); other payloads
-    * fall back to the documented fixed-window [[StubCodec]]. Output
-    * rows are small; downstream per-frame work partitions freely. */
+    * the REAL demux path ([[Y4mCodec]] planar frames), animated GIFs
+    * take the REAL decode path ([[GifCodec]] LZW → RGB frames) —
+    * every `stride`-th frame kept, frameSize coming from the
+    * container (the argument is ignored); other payloads fall back
+    * to the documented fixed-window [[StubCodec]]. Output rows are
+    * small; downstream per-frame work partitions freely. */
   def sampledFrames(media: Dataset[MediaRow], frameSize: Int,
                     stride: Int): Dataset[Frame] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.flatMap { row =>
-      val frames = Y4mCodec.decode(row.content) match {
-        case Some(v) =>
-          v.frames.zipWithIndex
-            .collect { case (f, i) if i % stride == 0 => f }
+      val real: Option[Seq[Array[Byte]]] =
+        Y4mCodec.decode(row.content).map(_.frames)
+          .orElse(GifCodec.decode(row.content)
+            .map(_.frames.map(_.pixels))) // animated GIF: RGB planes
+      val frames = real match {
+        case Some(fs) => fs.zipWithIndex
+          .collect { case (f, i) if i % stride == 0 => f }
         case None => StubCodec.sampleFrames(row.content, frameSize, stride)
       }
       frames.zipWithIndex.map { case (f, i) => Frame(row.media_id, i, f) }

@@ -2392,6 +2392,51 @@ object Queries {
     GROUP BY d.doc_id
     ORDER BY d.doc_id"""))
 
+  /** REAL GIF pixel pipeline: each document becomes a 16x8
+    * palette-indexed GIF — index(x,y) = (3x + 5y + doc_id) mod 64
+    * over a 64-gray palette — LZW-compressed for real by
+    * [[graft.operators.GifCodec]] (variable-width codes, real bit
+    * packing); decode LZW-expands + palette-resolves to RGB, the
+    * integer box resample halves it, and the resampled pixels sum.
+    * All three channels carry the index value, so the sum is exactly
+    * 3x the closed-form gray sum the oracle states — any LZW bit
+    * error, palette mix-up, or resample slip breaks the hash.
+    * Map-only, zero shuffle. */
+  private val qMediaGif = Q(
+    "q_media_gif",
+    (s, d) => {
+      import s.implicits._
+      import graft.operators.{GifCodec, PngCodec}
+      val palette = Array.tabulate(64)(k => Array(k, k, k))
+      t(s, d, "documents")
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          val idx = Array.tabulate[Byte](16 * 8) { i =>
+            val x = i % 16; val y = i / 16
+            ((x * 3 + y * 5 + id) % 64).toByte
+          }
+          val bytes = GifCodec.encode(16, 8, palette, Seq(idx))
+          val img = Multimodal.decodePixels(bytes).getOrElse(
+            throw new IllegalStateException(s"GIF decode failed for $id"))
+          val half = PngCodec.resizeBox(img, 8, 4)
+          var sum = 0L
+          half.pixels.foreach(b => sum += (b & 0xff))
+          (id, half.width, half.height, sum)
+        }
+        .toDF("doc_id", "width", "height", "px_sum")
+        .orderBy("doc_id")
+    },
+    Some("""SELECT d.doc_id, 8 AS width, 4 AS height,
+      CAST(3 * SUM((
+          (2*tx.x*3     + 2*ty.y*5     + d.doc_id) % 64
+        + ((2*tx.x+1)*3 + 2*ty.y*5     + d.doc_id) % 64
+        + (2*tx.x*3     + (2*ty.y+1)*5 + d.doc_id) % 64
+        + ((2*tx.x+1)*3 + (2*ty.y+1)*5 + d.doc_id) % 64) // 4) AS BIGINT)
+        AS px_sum
+    FROM documents d, range(8) tx(x), range(4) ty(y)
+    GROUP BY d.doc_id
+    ORDER BY d.doc_id"""))
+
   /** REAL audio pipeline end-to-end: each document deterministically
     * becomes a 1024-sample mono 16-bit PCM clip — sample(i) =
     * ((37 i^2 + 13 i + 101 doc_id) mod 4001) - 2000 —
@@ -11296,7 +11341,7 @@ object Queries {
     qCharhashCluster,
     qDedupMinhash, qDedupSimhash, qEmbedNearDup,
     qAnnTopk, qAnnIvf, qMediaFeatures, qMediaDims, qMediaResize,
-    qAudioStats, qFrameSample, qQuantile,
+    qMediaGif, qAudioStats, qFrameSample, qQuantile,
     qApproxQuantile,
     qWindowFuncs, qAsofJoin, qRangeJoin, qTextSearch, qLabelCentroids,
     qStratifiedSample, qClassWeights, qMixtureSample, qWeightedSample,
