@@ -253,26 +253,31 @@ object Multimodal {
       }
   }
 
-  /** Full pixel decode where pure JVM arithmetic can do it for real:
-    * PNG payloads (8-bit gray/RGB, non-interlaced) inflate + unfilter
-    * through [[PngCodec]]; GIF payloads LZW-decode through
-    * [[GifCodec]] (first frame, palette-resolved RGB); anything else
-    * is None. */
+  /** Full pixel decode, exact codecs first: PNG (inflate + unfilter,
+    * [[PngCodec]]) and GIF (LZW, [[GifCodec]]) are bit-exact and
+    * spec-pinned; everything else — JPEG, TIFF, WBMP — falls through
+    * to the JDK's own ImageIO readers ([[ImageIoCodec]], public Java
+    * SE API, with the documented lossy-format determinism caveat).
+    * None only when no codec claims the bytes. */
   def decodePixels(content: Array[Byte]): Option[PngCodec.Image] =
     PngCodec.decode(content)
       .orElse(GifCodec.decode(content).map(_.frames.head))
+      .orElse(ImageIoCodec.decode(content))
 
   /** Distributed resize: every media row through the codec's
     * resample, batched per partition — map-only, zero shuffle; the
-    * bytes never leave the executor. PNG payloads take the REAL path
-    * (inflate → unfilter → integer box-average resample → re-encode,
-    * [[PngCodec]]); everything else falls back to the documented
+    * bytes never leave the executor. Any decodable raster takes the
+    * REAL path ([[decodePixels]]: exact PNG/GIF codecs, then the
+    * JDK's ImageIO readers for JPEG/TIFF) through the integer
+    * box-average resample; output re-encodes as PNG regardless of
+    * input format (the lossless normalization a pipeline wants after
+    * a resample). Undecodable payloads fall back to the documented
     * [[StubCodec]] byte-truncation stand-in. */
   def resized(media: Dataset[MediaRow], w: Int, h: Int): Dataset[MediaRow] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions(_.map { row =>
-      PngCodec.decode(row.content) match {
+      decodePixels(row.content) match {
         case Some(img) =>
           val bytes = PngCodec.encode(PngCodec.resizeBox(img, w, h))
           MediaRow(row.media_id,
