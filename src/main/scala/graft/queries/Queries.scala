@@ -2479,6 +2479,58 @@ object Queries {
     GROUP BY doc_id
     ORDER BY doc_id"""))
 
+  /** REAL spectral analysis: each document becomes a 64-sample mono
+    * square wave — half-period 4<<(doc_id%3), amplitude
+    * 500+doc_id%500 — encoded/decoded through the real WAV codec and
+    * transformed by the radix-2 FFT ([[graft.operators.Dsp]]); the
+    * one-sided power spectrum NORMALIZES BY amplitude² before the
+    * 4 dp rounding — raw powers reach ~4e9 where engine float paths
+    * differ by more than the rounding step, but the normalized
+    * spectrum collapses to 99 fixed constants (33 bins × 3 period
+    * classes, ≤ 4096) whose distance from every rounding boundary
+    * DspSpec verifies explicitly (> 1e-6), so the cross-engine hash
+    * can never flip. The oracle computes the DFT directly as
+    * closed-form cos/sin sums over the same integer signal, so a
+    * butterfly indexing error, bit-reversal slip, or twiddle sign
+    * flip breaks the hash. Map-only; 33 bins per doc. */
+  private val qAudioSpectrum = Q(
+    "q_audio_spectrum",
+    (s, d) => {
+      import s.implicits._
+      import graft.operators.{Dsp, WavCodec}
+      t(s, d, "documents")
+        .select(col("doc_id")).as[Long]
+        .flatMap { id =>
+          val hp = 4 << (id % 3).toInt
+          val amp = (500 + id % 500).toInt
+          val clip = WavCodec.Clip(8000, 1,
+            Array.tabulate(64)(i =>
+              (if ((i / hp) % 2 == 0) amp else -amp).toShort))
+          val back = WavCodec.decode(WavCodec.encode(clip)).getOrElse(
+            throw new IllegalStateException(s"WAV round trip failed for $id"))
+          val a2 = amp.toDouble * amp
+          Dsp.powerSpectrum(back, 64).zipWithIndex.map { case (p, k) =>
+            (id, k.toLong, math.floor(p / a2 * 10000.0 + 0.5) / 10000.0)
+          }
+        }
+        .toDF("doc_id", "bin", "power_norm")
+        .orderBy("doc_id", "bin")
+    },
+    Some("""SELECT d.doc_id, b.k AS bin,
+      floor((
+        POWER(SUM((CASE WHEN ((i.i // (CASE CAST(d.doc_id % 3 AS INT)
+              WHEN 0 THEN 4 WHEN 1 THEN 8 ELSE 16 END)) % 2) = 0
+            THEN 1 ELSE -1 END)
+          * COS(2 * PI() * b.k * i.i / 64.0)), 2)
+      + POWER(SUM((CASE WHEN ((i.i // (CASE CAST(d.doc_id % 3 AS INT)
+              WHEN 0 THEN 4 WHEN 1 THEN 8 ELSE 16 END)) % 2) = 0
+            THEN 1 ELSE -1 END)
+          * SIN(2 * PI() * b.k * i.i / 64.0)), 2)) * 10000.0 + 0.5) / 10000.0
+        AS power_norm
+    FROM documents d, range(33) b(k), range(64) i(i)
+    GROUP BY d.doc_id, b.k
+    ORDER BY d.doc_id, bin"""))
+
   /** REAL video pipeline end-to-end: each document deterministically
     * becomes a 12-frame 8x8 C444 YUV4MPEG2 stream — Y(x,y,f) =
     * (x + 3y + 7f + doc_id) mod 256 — muxed by
@@ -11341,7 +11393,7 @@ object Queries {
     qCharhashCluster,
     qDedupMinhash, qDedupSimhash, qEmbedNearDup,
     qAnnTopk, qAnnIvf, qMediaFeatures, qMediaDims, qMediaResize,
-    qMediaGif, qAudioStats, qFrameSample, qQuantile,
+    qMediaGif, qAudioStats, qAudioSpectrum, qFrameSample, qQuantile,
     qApproxQuantile,
     qWindowFuncs, qAsofJoin, qRangeJoin, qTextSearch, qLabelCentroids,
     qStratifiedSample, qClassWeights, qMixtureSample, qWeightedSample,
