@@ -2392,6 +2392,36 @@ object Queries {
     GROUP BY d.doc_id
     ORDER BY d.doc_id"""))
 
+  /** REAL PDF pipeline — the reference's actual input format
+    * (main.py:759-817 accepts only `.pdf`): every document's text is
+    * wrapped in a spec-valid PDF by [[graft.operators.PdfCodec]]
+    * (COS objects, real xref byte offsets, literal-string escaping,
+    * Flate-compressed content streams for even doc_ids) and the shown
+    * text extracted BACK from the raw bytes (object scan, stream
+    * inflate, Tj/TJ parsing with the full escape table). The oracle
+    * is simply the source table: the hash matches only if every
+    * document survives the container byte-for-byte — any escaping,
+    * framing, xref, or inflate slip corrupts some document. Map-only,
+    * zero shuffle. */
+  private val qPdfExtract = Q(
+    "q_pdf_extract",
+    (s, d) => {
+      import s.implicits._
+      import graft.operators.PdfCodec
+      t(s, d, "documents")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) =>
+          val pdf = PdfCodec.encode(Seq(Seq(text)), compress = id % 2 == 0)
+          val runs = PdfCodec.extractText(pdf).getOrElse(
+            throw new IllegalStateException(s"PDF extract failed for $id"))
+          (id, runs.mkString("\n"), pdf.length.toLong)
+        }
+        .toDF("doc_id", "text", "n_pdf_bytes")
+        .select(col("doc_id"), col("text"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, text FROM documents ORDER BY doc_id"""))
+
   /** REAL GIF pixel pipeline: each document becomes a 16x8
     * palette-indexed GIF — index(x,y) = (3x + 5y + doc_id) mod 64
     * over a 64-gray palette — LZW-compressed for real by
@@ -11393,7 +11423,8 @@ object Queries {
     qCharhashCluster,
     qDedupMinhash, qDedupSimhash, qEmbedNearDup,
     qAnnTopk, qAnnIvf, qMediaFeatures, qMediaDims, qMediaResize,
-    qMediaGif, qAudioStats, qAudioSpectrum, qFrameSample, qQuantile,
+    qMediaGif, qAudioStats, qAudioSpectrum, qFrameSample, qPdfExtract,
+    qQuantile,
     qApproxQuantile,
     qWindowFuncs, qAsofJoin, qRangeJoin, qTextSearch, qLabelCentroids,
     qStratifiedSample, qClassWeights, qMixtureSample, qWeightedSample,
