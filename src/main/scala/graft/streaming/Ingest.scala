@@ -52,6 +52,23 @@ object Ingest {
 
   /** Typed value cast for one KPI (O11/O12/O13 dispatch, the
     * reference's convert_value_for_bq, main.py:219-250). */
+  /** Content normalization before extraction — the reference flow is
+    * PDF → model (main.py:694-713 ships the PDF bytes); ours is
+    * PDF → TEXT → extractor, with the real
+    * [[graft.operators.PdfCodec]] doing the text layer: payloads that
+    * are PDFs in the codec's profile extract to their shown text
+    * (UTF-8 bytes); out-of-profile PDFs and every non-PDF payload
+    * pass through untouched, so the deterministic/RPC extractors see
+    * exactly what they did before for all existing fixtures. */
+  private[streaming] def pdfTextNormalized(content: Array[Byte]): Array[Byte] =
+    if (content.length >= 5 && content(0) == '%' && content(1) == 'P' &&
+        content(2) == 'D' && content(3) == 'F' && content(4) == '-')
+      graft.operators.PdfCodec.extractText(content)
+        .map(_.mkString("\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .getOrElse(content)
+    else content
+
   private def castKpi(raw: org.apache.spark.sql.Column, logicalType: String) =
     logicalType match {
       case "number" => Clean.parseMessyNumber(raw)
@@ -107,7 +124,8 @@ object Ingest {
       subset.mapPartitions { it =>
         it.grouped(chunk).flatMap { rows =>
           val docs = rows.map(r =>
-            (r.getString(nameIdx), r.getAs[Array[Byte]](contentIdx)))
+            (r.getString(nameIdx),
+              pdfTextNormalized(r.getAs[Array[Byte]](contentIdx))))
           val maps = extractor.extractAll(docs, keys)
           // Defend the row count against a misbehaving extractAll
           // override: a short result must degrade the TAIL rows to

@@ -111,6 +111,42 @@ class IngestSpec extends AnyFunSuite {
     assert(t3.select("row_id").distinct().count() == 2)
   }
 
+  test("a REAL PDF payload ingests through the codec text layer (reference flow)") {
+    // The reference accepts only .pdf uploads and has the model read
+    // the PDF; our flow is PDF → PdfCodec text layer → extractor. A
+    // genuine Flate-compressed PDF whose shown text is the key=value
+    // document must land EXACTLY like its plain-text twin — same
+    // typed KPIs — while non-PDF payloads are untouched by the
+    // normalization.
+    val root = Files.createTempDirectory("graft-ingest-pdf").toString
+    val master = DeterministicExtractor.discover("master.pdf",
+      "Total=$10\nStatus=Active".getBytes(StandardCharsets.UTF_8))
+    val meta = Catalog.train("u1", "f1", "pdf docs", master)
+    val catalog = Catalog.empty.add(meta)
+    val pdfBytes = graft.operators.PdfCodec.encode(
+      Seq(Seq("Total=$1,234.50", "Status=Closed")), compress = true)
+    assert(new String(pdfBytes, 0, 5, StandardCharsets.ISO_8859_1) == "%PDF-")
+    val target = Paths.get(root, "landing/incoming/u1/f1/batch/real.pdf")
+    Files.createDirectories(target.getParent)
+    Files.write(target, pdfBytes)
+    // A text twin in the same batch: identical extraction expected.
+    write(s"$root/landing", "incoming/u1/f1/batch/twin.pdf",
+      "Total=$1,234.50\nStatus=Closed")
+    Ingest.start(spark, s"$root/landing", s"$root/warehouse",
+      s"$root/processed", s"$root/checkpoint", catalog,
+      DeterministicExtractor).awaitTermination()
+    val rows = Ingest.readTable(spark, s"$root/warehouse", meta)
+      .orderBy("file_name").collect()
+    assert(rows.length == 2)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("kpi_total") == 1234.5, r.getString(
+        r.fieldIndex("file_name")))
+      assert(r.getAs[String]("kpi_status") == "Closed")
+    }
+    assert(rows.map(_.getAs[String]("file_name")).toSeq ==
+      Seq("real.pdf", "twin.pdf"))
+  }
+
   test("volume: 300 files, 3 folders, bounded micro-batches, no dups") {
     val root = Files.createTempDirectory("graft-ingest-vol").toString
     val folders = Seq("f1", "f2", "f3")
