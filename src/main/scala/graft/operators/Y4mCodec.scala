@@ -56,6 +56,26 @@ object Y4mCodec {
     o.toByteArray
   }
 
+  /** Header-only dimension sniff — O(header), no frame copies; the
+    * cheap form `media_dims`-style scans want. None on bad magic or
+    * missing/invalid W/H. */
+  def sniffDims(bytes: Array[Byte]): Option[(Int, Int)] = {
+    val magic = "YUV4MPEG2 ".getBytes("US-ASCII")
+    if (bytes.length < magic.length ||
+        !magic.indices.forall(i => bytes(i) == magic(i))) return None
+    val nl = bytes.indexOf('\n'.toByte)
+    if (nl < 0) return None
+    var w = -1; var h = -1
+    new String(bytes, 0, nl, "US-ASCII").split(' ').drop(1).foreach { p =>
+      if (p.nonEmpty) p.head match {
+        case 'W' => w = p.tail.toIntOption.getOrElse(-1)
+        case 'H' => h = p.tail.toIntOption.getOrElse(-1)
+        case _ => ()
+      }
+    }
+    if (w > 0 && h > 0) Some((w, h)) else None
+  }
+
   /** Parse + demux. None for a bad magic, missing W/H, out-of-profile
     * colorspace, a malformed FRAME marker, or a truncated final
     * frame. */

@@ -19,6 +19,27 @@ object ExprHelpers {
   private val NumericPattern = java.util.regex.Pattern
     .compile("[+-]?(\\d+(\\.\\d*)?|\\.\\d+)([eE][+-]?\\d+)?")
 
+  /** [[PdfText]]: shown-text runs joined with newlines; null when the
+    * bytes are not a parseable PDF in the codec's profile. */
+  def pdfText(content: Array[Byte]): UTF8String =
+    graft.operators.PdfCodec.extractText(content) match {
+      case Some(runs) => UTF8String.fromString(runs.mkString("\n"))
+      case None => null
+    }
+
+  /** [[MediaDims]]: (format, width, height) from the real container
+    * header parsers; null for unrecognized bytes. */
+  def mediaDims(content: Array[Byte]): org.apache.spark.sql.catalyst.InternalRow =
+    graft.operators.Multimodal.ImageCodec.sniff(content)
+      .map(m => (m.format, m.width, m.height))
+      .orElse(graft.operators.Y4mCodec.sniffDims(content)
+        .map { case (w, h) => ("video/y4m", w, h) }) match {
+      case Some((f, w, h)) =>
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](UTF8String.fromString(f), w, h))
+      case None => null
+    }
+
   /** The RE2 \s class [ \t\n\f\r] — NOT Java's \s (which adds \x0B)
     * and NOT Character.isWhitespace: the DuckDB oracle strips with
     * RE2's \s, so the native form, the composed Clean.parseMessyNumber
@@ -566,6 +587,68 @@ case class ParseMessyNumber(child: Expression) extends UnaryExpression {
     })
 
   override protected def withNewChildInternal(newChild: Expression): ParseMessyNumber =
+    copy(child = newChild)
+}
+
+/** SQL surface for the pure-JVM PDF text layer: `pdf_text(binary)`
+  * extracts the shown text of a PDF in [[graft.operators.PdfCodec]]'s
+  * profile (runs joined with newlines), NULL for anything
+  * unparseable — the scan-side building block for `SELECT
+  * pdf_text(content) FROM uploads`-style corpus queries, map-only at
+  * any scale. */
+case class PdfText(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"pdf_text expects BINARY, got ${child.dataType.sql}")
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else ExprHelpers.pdfText(v.asInstanceOf[Array[Byte]])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+        ${ev.value} = graft.plans.ExprHelpers.pdfText($c);
+        if (${ev.value} == null) { ${ev.isNull} = true; }
+      """)
+
+  override protected def withNewChildInternal(newChild: Expression): PdfText =
+    copy(child = newChild)
+}
+
+/** SQL surface for the container-header codec:
+  * `media_dims(binary)` → STRUCT(format, width, height) via the real
+  * PNG/JPEG/GIF/BMP header parsers plus the Y4M stream header, NULL
+  * for unrecognized bytes — typed media metadata straight off a scan
+  * of raw payloads. */
+case class MediaDims(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("format", StringType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false)))
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"media_dims expects BINARY, got ${child.dataType.sql}")
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else ExprHelpers.mediaDims(v.asInstanceOf[Array[Byte]])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+        ${ev.value} = graft.plans.ExprHelpers.mediaDims($c);
+        if (${ev.value} == null) { ${ev.isNull} = true; }
+      """)
+
+  override protected def withNewChildInternal(newChild: Expression): MediaDims =
     copy(child = newChild)
 }
 
@@ -1411,6 +1494,8 @@ object GraftFunctions {
 
   private[plans] val registrations: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "parse_messy_number" -> { es => ParseMessyNumber(es.head) },
+    "pdf_text" -> { es => PdfText(es.head) },
+    "media_dims" -> { es => MediaDims(es.head) },
     "dot_product_float" -> { es => DotProductFloat(es.head, es(1)) },
     "char_gram_hashes" -> { es =>
       CharGramHashes(es.head, literalInt(es(1), "char_gram_hashes"),

@@ -57,4 +57,38 @@ class SqlSurfaceSpec extends AnyFunSuite {
     val total = spark.table("documents").count()
     assert(r.getLong(0) == total)
   }
+
+  test("pdf_text and media_dims run as native SQL over binary payloads") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val rows = Seq(
+      (1L, graft.operators.PdfCodec.encode(
+        Seq(Seq("hello from (a) PDF")), compress = true)),
+      (2L, graft.operators.Multimodal.ImageHeaders.png(640, 480)),
+      (3L, "just text".getBytes("UTF-8")))
+      .toDF("id", "content")
+    rows.createOrReplaceTempView("uploads")
+    val out = spark.sql("""
+      SELECT id, pdf_text(content) AS txt,
+             media_dims(content).format AS fmt,
+             media_dims(content).width AS w
+      FROM uploads ORDER BY id""").collect()
+    assert(out(0).getString(1) == "hello from (a) PDF" && out(0).isNullAt(2))
+    assert(out(1).isNullAt(1) && out(1).getString(2) == "image/png" &&
+      out(1).getInt(3) == 640)
+    assert(out(2).isNullAt(1) && out(2).isNullAt(2))
+    // Type errors are analysis-time, not runtime.
+    val e = intercept[Exception] { spark.sql("SELECT pdf_text('s')").collect() }
+    assert(e.getMessage.contains("BINARY") ||
+      e.getMessage.contains("pdf_text"))
+    // And Y4M headers sniff through media_dims.
+    val y4m = graft.operators.Y4mCodec.encode(graft.operators.Y4mCodec.Video(
+      8, 6, 25, 1, "C444", Seq(Array.fill[Byte](144)(0))))
+    val vy = Seq((9L, y4m)).toDF("id", "content")
+    vy.createOrReplaceTempView("vids")
+    val rv = spark.sql(
+      "SELECT media_dims(content).format, media_dims(content).height " +
+        "FROM vids").first()
+    assert(rv.getString(0) == "video/y4m" && rv.getInt(1) == 6)
+  }
 }
