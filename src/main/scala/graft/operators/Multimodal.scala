@@ -198,8 +198,10 @@ object Multimodal {
     * text-as-bytes fixture, unknown formats). */
   def decode(kind: String, content: Array[Byte]): MediaMeta =
     ImageCodec.sniff(content)
-      .orElse(Y4mCodec.decode(content).map(v =>
-        MediaMeta("video", "video/y4m", v.width, v.height,
+      .orElse(Y4mCodec.sniffDims(content).map { case (w, h) =>
+        MediaMeta("video", "video/y4m", w, h, content.length.toLong) })
+      .orElse(Mp4Meta.sniff(content).map(m =>
+        MediaMeta("video", "video/mp4", m.width, m.height,
           content.length.toLong)))
       .getOrElse(StubCodec.decode(kind, content))
 

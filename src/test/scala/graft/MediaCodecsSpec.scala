@@ -160,6 +160,29 @@ class MediaCodecsSpec extends AnyFunSuite {
     assert(Y4mCodec.decode(junkFrame).isEmpty)
   }
 
+  test("MP4 box-tree metadata sniffs for real; malformed trees reject") {
+    import graft.operators.Mp4Meta
+    val bytes = Mp4Meta.encode(1920, 1080, durationMs = 90500)
+    val m = Mp4Meta.sniff(bytes).getOrElse(fail("sniff failed"))
+    assert(m.width == 1920 && m.height == 1080 && m.durationMs == 90500)
+    // Multimodal.decode picks it up as real video metadata.
+    val meta = Multimodal.decode("video", bytes)
+    assert(meta.format == "video/mp4" && meta.width == 1920 &&
+      meta.height == 1080)
+    // Odd timescale: duration converts through it.
+    val b2 = Mp4Meta.encode(640, 360, durationMs = 2000, timescale = 90000)
+    assert(Mp4Meta.sniff(b2).get.durationMs == 2000)
+    // Truncations and bad framing reject.
+    Seq(4, 11, 30, bytes.length - 3).foreach { n =>
+      assert(Mp4Meta.sniff(bytes.take(n)).isEmpty, s"truncated at $n")
+    }
+    val notFtyp = bytes.clone(); notFtyp(4) = 'x'
+    assert(Mp4Meta.sniff(notFtyp).isEmpty)
+    // A box claiming a size beyond the buffer rejects (no overread).
+    val lying = bytes.clone(); lying(0) = 0x7f
+    assert(Mp4Meta.sniff(lying).isEmpty)
+  }
+
   test("sampledFrames takes the real Y4M demux path; stub preserved for others") {
     val spark = SparkTestBase.spark
     import spark.implicits._
