@@ -81,6 +81,23 @@ class PdfCodecSpec extends AnyFunSuite {
     assert(PdfCodec.textOps("BT ((((( Tj ET".getBytes).isEmpty)
   }
 
+  test("adversarial text containing PDF keywords round-trips (direct-Length jump)") {
+    // Uncompressed content streams carry raw text: a document whose
+    // TEXT contains stream/endstream/dict tokens would derail a naive
+    // keyword scanner. The direct /Length jump skips stream data
+    // entirely, so these stay inert.
+    val nasty = Seq(
+      "x >> stream",
+      "endstream endobj << /Length 3 >>",
+      "7 0 obj stream endstream trailer startxref",
+      "<< /Filter /FlateDecode >> stream")
+    for (compress <- Seq(false, true)) {
+      val bytes = PdfCodec.encode(Seq(nasty), compress)
+      assert(PdfCodec.extractText(bytes).contains(nasty),
+        s"compress=$compress")
+    }
+  }
+
   test("corpus round trip: every document's text survives a PDF container") {
     val spark = SparkTestBase.spark
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
