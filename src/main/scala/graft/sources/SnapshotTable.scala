@@ -59,6 +59,25 @@ import org.apache.spark.sql.types._
   *     reads apply the unified schema so pre-evolution files
   *     NULL-backfill, and time travel reads each version under ITS
   *     schema.
+  *   - **Hidden partitioning** ([[appendPartitioned]]): the hive
+  *     writer over duplicated routing columns guarantees
+  *     single-valued files; partition pruning is exact through the
+  *     ordinary stats path — no path parsing, renaming-free
+  *     partition evolution.
+  *   - **Layout maintenance**: [[compact]] with `clusterBy`
+  *     (range-disjoint files) or `zOrderBy` (one interleaved-bit
+  *     layout serving range predicates on every z-ordered column at
+  *     once); [[readWhereAll]] intersects per-column pruning for
+  *     conjunctive predicates.
+  *   - **CDC**: [[changeFeed]] (exact row-level deltas confined to
+  *     changed files), [[applyChanges]] (delete+upsert of a tagged
+  *     batch in ONE commit), and [[replicate]] (exactly-once
+  *     table-to-table pipe — the destination's transaction ledger is
+  *     the cursor, advanced in the same commit as the rows).
+  *   - **Zero-copy branching** ([[shallowClone]]): any-size tables
+  *     branch in one manifest write, diverge copy-on-write, and
+  *     promote to independence via [[compact]]; [[vacuum]] never
+  *     touches foreign references (lifecycle caveat on the method).
   *
   * Deliberately out of scope (and documented as such): multi-table
   * transactions, and column renames/drops (add-column only — the
