@@ -72,10 +72,18 @@ object Bpe {
   }
 
   /** Train `numMerges` BPE merges over the corpus. Returns the merge
-    * rules in rank order. */
-  def train(docs: DataFrame, textCol: String,
-            numMerges: Int): Seq[(String, String)] = {
+    * rules in rank order. `maxWordChars` is the production scale
+    * guard every real trainer carries: the per-word fold is
+    * O(length²) per merge, so one pathological megabyte-long
+    * "word" (minified code, base64 blobs — no whitespace) would
+    * dominate the whole iteration; longer words are excluded from
+    * TRAINING (statistics loss is negligible — they are by
+    * definition near-unique) while encoding still handles any
+    * length. */
+  def train(docs: DataFrame, textCol: String, numMerges: Int,
+            maxWordChars: Int = 512): Seq[(String, String)] = {
     require(numMerges >= 1, s"numMerges must be >= 1: $numMerges")
+    require(maxWordChars >= 2, s"maxWordChars must be >= 2: $maxWordChars")
     val spark = docs.sparkSession
     // localCheckpoint (not cache) at EVERY step: each merge nests
     // another fold expression, and 20+ levels of generated aggregate
@@ -83,6 +91,7 @@ object Bpe {
     // checkpointing materializes the vocabulary AND truncates the
     // plan, keeping every iteration's tree one fold deep.
     var vocab = wordWeights(docs, textCol)
+      .filter(length(col("w")) <= maxWordChars)
       .select(split(col("w"), "").as("syms"), col("cnt"))
       .repartition(32)
       .localCheckpoint()

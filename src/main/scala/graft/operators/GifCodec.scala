@@ -159,8 +159,16 @@ object GifCodec {
              frameIndices: Seq[Array[Byte]]): Array[Byte] = {
     require(palette.nonEmpty && palette.length <= 256, "palette 1..256")
     require(frameIndices.nonEmpty, "at least one frame")
-    frameIndices.foreach(f => require(f.length == width * height,
-      s"frame has ${f.length} indices, expected ${width * height}"))
+    frameIndices.zipWithIndex.foreach { case (f, fi) =>
+      require(f.length == width * height,
+        s"frame $fi has ${f.length} indices, expected ${width * height}")
+      var k = 0
+      while (k < f.length) {
+        require((f(k) & 0xff) < palette.length,
+          s"frame $fi index ${f(k) & 0xff} outside palette of ${palette.length}")
+        k += 1
+      }
+    }
     var palBits = 1
     while ((1 << palBits) < palette.length) palBits += 1
     val palSize = 1 << palBits

@@ -91,7 +91,8 @@ object Mp4Meta {
         case _ => true // ftyp/mdat/free: skip
       }
     })
-    if (!ok || timescale <= 0 || duration < 0 || w <= 0 || h <= 0) None
+    if (!ok || timescale <= 0 || duration < 0 || w <= 0 || h <= 0 ||
+        duration > Long.MaxValue / 1000L) None
     else Some(Meta(w, h, duration * 1000L / timescale))
   }
 

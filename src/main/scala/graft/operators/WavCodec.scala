@@ -44,6 +44,8 @@ object WavCodec {
     * `data`, 16-bit little-endian samples. Byte-exact given the same
     * clip — no entropy coder involved. */
   def encode(clip: Clip): Array[Byte] = {
+    require(clip.samples.length <= (Int.MaxValue - 64) / 2,
+      s"clip too large to serialize: ${clip.samples.length} samples")
     val dataBytes = clip.samples.length * 2
     val o = new java.io.ByteArrayOutputStream(44 + dataBytes)
     o.write("RIFF".getBytes("US-ASCII"))

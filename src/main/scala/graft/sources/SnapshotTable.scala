@@ -1250,7 +1250,14 @@ object SnapshotTable {
       .get(appId)
     if (cursor.exists(_ >= srcV)) return None
     val feed = cursor match {
-      case Some(c) => changeFeed(spark, srcDir, c, srcV)
+      case Some(c) =>
+        try changeFeed(spark, srcDir, c, srcV)
+        catch { case e: java.io.FileNotFoundException =>
+          throw new java.io.IOException(
+            s"replicate: cursor version $c of $srcDir is beyond the " +
+              "source's vacuum horizon (its manifest is gone) — " +
+              "re-bootstrap into a fresh destination", e)
+        }
       case None => read(spark, srcDir, Some(srcV))
         .withColumn("_change", lit("insert"))
     }
