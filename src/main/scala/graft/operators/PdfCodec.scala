@@ -148,9 +148,21 @@ object PdfCodec {
         // group disambiguates (a bare negative lookahead would let
         // "/Length 120 0 R" backtrack into matching "12").
         val lenR = """/Length\s+(\d+)(\s+\d+\s+R)?""".r
-        val end = lenR.findFirstMatchIn(dict) match {
-          case Some(m) if m.group(2) == null => ds + m.group(1).toInt
-          case _ => // indirect /Length: fall back to endstream scan
+        // Direct lengths parse as Long with an in-bounds guard: a
+        // 10+-digit or overflowing /Length in a crafted file must
+        // degrade to the endstream scan, never throw out of the
+        // malformed-input→None contract.
+        val directLen: Option[Long] = lenR.findFirstMatchIn(dict) match {
+          case Some(m) if m.group(2) == null =>
+            scala.util.Try(m.group(1).toLong).toOption
+              // Subtraction form: ds + len would itself overflow for
+              // len near Long.MaxValue; bytes.length - ds cannot.
+              .filter(len => len >= 0 && len <= (bytes.length - ds).toLong)
+          case _ => None
+        }
+        val end = directLen match {
+          case Some(len) => ds + len.toInt
+          case None => // indirect or implausible /Length: endstream scan
             val e = find(bytes, "endstream", ds)
             if (e < 0) return None
             var ee = e // strip one trailing EOL

@@ -11237,15 +11237,19 @@ object Queries {
       GROUP BY sha256(text))
     SELECT * FROM (
       SELECT CAST(0 AS BIGINT) AS stage_rank, 'all' AS stage,
-        count(*) AS n_docs, COALESCE(sum(n_tokens), 0) AS n_tokens FROM f
+        count(*) AS n_docs,
+        CAST(COALESCE(sum(n_tokens), 0) AS BIGINT) AS n_tokens FROM f
       UNION ALL
-      SELECT 1, 'gopher', count(*), COALESCE(sum(n_tokens), 0)
+      SELECT 1, 'gopher', count(*),
+        CAST(COALESCE(sum(n_tokens), 0) AS BIGINT)
       FROM f WHERE g
       UNION ALL
-      SELECT 2, 'quality', count(*), COALESCE(sum(n_tokens), 0)
+      SELECT 2, 'quality', count(*),
+        CAST(COALESCE(sum(n_tokens), 0) AS BIGINT)
       FROM f WHERE g AND q
       UNION ALL
-      SELECT 3, 'dedup', count(*), COALESCE(sum(n_tokens), 0)
+      SELECT 3, 'dedup', count(*),
+        CAST(COALESCE(sum(n_tokens), 0) AS BIGINT)
       FROM f WHERE doc_id IN (SELECT doc_id FROM ded))
     ORDER BY stage_rank"""))
 

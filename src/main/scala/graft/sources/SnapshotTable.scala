@@ -375,10 +375,28 @@ object SnapshotTable {
     }.toOption
 
   /** Domain compare of two stored stat strings; None on parse failure
-    * (→ un-prunable). */
+    * (→ un-prunable). String bounds compare by UNSIGNED UTF-8 byte
+    * order — Spark's min/max over strings is UTF8String binary order
+    * (code-POINT order), while Java's String.compareTo is UTF-16
+    * code-UNIT order; the two diverge for strings mixing
+    * supplementary characters with [U+E000, U+FFFF]. A mismatched
+    * comparator here would let pruneFiles skip a file that contains
+    * matching rows — silent wrong results — so the probe must use the
+    * same order the stored bounds were computed in. */
   private def statCompare(tag: String, a: String, b: String): Option[Int] =
     scala.util.Try {
-      if (tag == "str") a.compareTo(b)
+      if (tag == "str") {
+        val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val n = math.min(x.length, y.length)
+        var i = 0
+        var r = 0
+        while (r == 0 && i < n) {
+          r = java.lang.Integer.compare(x(i) & 0xff, y(i) & 0xff)
+          i += 1
+        }
+        if (r != 0) r else java.lang.Integer.compare(x.length, y.length)
+      }
       else new java.math.BigDecimal(a).compareTo(new java.math.BigDecimal(b))
     }.toOption
 
@@ -431,16 +449,34 @@ object SnapshotTable {
   private val BloomBits = 16384
   private val BloomProbes = 6
 
+  /** Only string and integral columns may carry Bloom bitsets: for
+    * exactly these types, the build side's `CAST(col AS STRING)` and
+    * the probe side's JVM `value.toString` render identically. Other
+    * types (timestamp/date/decimal/floating) have diverging renderings
+    * (e.g. java.sql.Timestamp.toString appends ".0" where Spark's cast
+    * does not), which would make the probe FALSE-NEGATIVE — silently
+    * skipping files that contain matching rows. */
+  private def bloomEligible(dt: DataType): Boolean = dt match {
+    case StringType | ByteType | ShortType | IntegerType | LongType => true
+    case _ => false
+  }
+
   /** Per-file Bloom bitsets of `bloomCols` over the freshly written
     * batch — same one-scan shape as [[computeStats]]. The key is the
-    * column CAST TO STRING: type-agnostic and exactly reproducible on
-    * the probe side via `value.toString` (integral and string keys —
-    * the point-lookup types — render identically). */
+    * column CAST TO STRING: exactly reproducible on the probe side via
+    * `value.toString` for the [[bloomEligible]] (string/integral)
+    * point-lookup types, which are REQUIRED at build time. */
   private def computeBlooms(spark: SparkSession, batchDir: Path,
                             bloomCols: Seq[String]
                            ): Map[String, Map[String, Array[Byte]]] = {
     if (bloomCols.isEmpty) return Map.empty
     val df = spark.read.parquet(batchDir.toString)
+    bloomCols.distinct.filter(df.columns.contains).foreach { c =>
+      require(bloomEligible(df.schema(c).dataType),
+        s"bloomCols: column $c (${df.schema(c).dataType.simpleString}) is " +
+          "not bloom-eligible; only string and integral key columns probe " +
+          "consistently (build casts to string, probe renders via toString)")
+    }
     val present = bloomCols.distinct.filter(df.columns.contains)
     if (present.isEmpty) return Map.empty
     val aggs = present.map { c =>
@@ -1148,7 +1184,10 @@ object SnapshotTable {
     commitRewrite(spark, dir, touched, rewrite,
       base.map(trackedStatsCols(spark, dir, _)).getOrElse(Nil),
       base.map(trackedBloomCols(spark, dir, _)).getOrElse(Nil),
-      maxRetries, "merge", txn)
+      maxRetries, "merge", txn,
+      keyConflict = Some((
+        base.map(manifestFiles(spark, dir, _)).getOrElse(Nil).toSet,
+        keys, srcKeys)))
   }
 
   /** Apply a CDC batch — rows tagged by a `_change` column with
@@ -1171,8 +1210,12 @@ object SnapshotTable {
       "applyChanges: changes must carry a _change column (insert|delete)")
     // Unknown tags fail loudly — a mistyped 'update' row silently
     // vanishing from the apply would be a data-loss bug, not a skip.
+    // The guard must be NULL-safe: `!isin(...)` evaluates to NULL for
+    // a NULL tag, which a plain filter drops — NULL-tagged rows would
+    // sail past the guard, match neither branch below, and vanish.
     val badTag = changes
-      .filter(!col("_change").isin("insert", "delete")).limit(1).collect()
+      .filter(col("_change").isNull ||
+        !col("_change").isin("insert", "delete")).limit(1).collect()
     require(badTag.isEmpty,
       s"applyChanges: unknown _change tag in e.g. ${badTag.headOption.orNull}" +
         " — only insert|delete are defined")
@@ -1210,7 +1253,10 @@ object SnapshotTable {
     commitRewrite(spark, dir, touched, rewrite,
       base.map(trackedStatsCols(spark, dir, _)).getOrElse(Nil),
       base.map(trackedBloomCols(spark, dir, _)).getOrElse(Nil),
-      maxRetries, "applyChanges", txn)
+      maxRetries, "applyChanges", txn,
+      keyConflict = Some((
+        base.map(manifestFiles(spark, dir, _)).getOrElse(Nil).toSet,
+        keys, affectedKeys)))
   }
 
   /** EXACTLY-ONCE incremental table-to-table replication: advance the
@@ -1278,17 +1324,29 @@ object SnapshotTable {
 
   /** Shared commit path for row-level rewrites: write `rewrite` as a
     * new batch, then commit current-files − touched + new, with the
-    * touched-file conflict guard. */
-  private def commitRewrite(spark: SparkSession, dir: String,
+    * touched-file conflict guard. `keyConflict = (baseFiles, keys,
+    * srcKeys)` additionally guards KEY-level write-write races: two
+    * concurrent MERGEs upserting the same not-yet-present key both
+    * see touched = [] (the key is in neither's base snapshot), so the
+    * vanished-file check alone would let both commit their insert and
+    * silently duplicate the key. Before committing, any file ADDED to
+    * the manifest since our base read is probed for rows matching the
+    * operation's keys; a hit throws ConcurrentModificationException
+    * (same surface as Delta's conflict checker). The probe reads only
+    * the concurrently-added files — zero cost on the no-race path. */
+  private[graft] def commitRewrite(spark: SparkSession, dir: String,
                             touched: Seq[String], rewrite: DataFrame,
                             statsCols: Seq[String],
                             bloomCols: Seq[String], maxRetries: Int,
                             op: String,
-                            txn: Option[(String, Long)] = None
+                            txn: Option[(String, Long)] = None,
+                            keyConflict: Option[(Set[String], Seq[String],
+                              DataFrame)] = None
                            ): Option[Long] = {
     val (added, addedStats, addedBlooms) =
       writeBatch(rewrite, dir, statsCols, bloomCols)
     val touchedSet = touched.toSet
+    val addedSet = added.toSet
     var attempt = 0
     while (attempt < maxRetries) {
       val cur = latestVersion(spark, dir)
@@ -1302,6 +1360,19 @@ object SnapshotTable {
       if (missing.nonEmpty)
         throw new java.util.ConcurrentModificationException(
           s"$op: touched files rewritten concurrently: ${missing.take(3).mkString(", ")}")
+      keyConflict.foreach { case (baseFiles, keys, srcKeys) =>
+        val newSinceBase = curFiles
+          .filterNot(baseFiles).filterNot(addedSet).filterNot(touchedSet)
+        if (newSinceBase.nonEmpty) {
+          val clash = readFiles(spark, dir, newSinceBase,
+              cur.flatMap(manifestSchema(spark, dir, _)))
+            .join(srcKeys, keys, "left_semi").limit(1).collect()
+          if (clash.nonEmpty)
+            throw new java.util.ConcurrentModificationException(
+              s"$op: a concurrent commit added rows for key " +
+                s"${clash.head.mkString(",")} — committing would duplicate it")
+        }
+      }
       val schema = Some(cur.flatMap(manifestSchema(spark, dir, _))
         .map(evolveSchema(_, rewrite.schema))
         .getOrElse(evolveSchema(new StructType(), rewrite.schema)))

@@ -81,6 +81,25 @@ class PdfCodecSpec extends AnyFunSuite {
     assert(PdfCodec.textOps("BT ((((( Tj ET".getBytes).isEmpty)
   }
 
+  test("oversized or overflowing /Length degrades to the endstream scan, never throws") {
+    // A crafted 10+-digit /Length used to throw NumberFormatException
+    // out of toInt, and a large-but-parsing value could overflow the
+    // ds+len addition into a negative end that slipped the bounds
+    // guard. Both must now fall back to the endstream scan (the
+    // indirect-/Length path) and still extract the text.
+    val ascii = new String(
+      PdfCodec.encode(Seq(Seq("payload")), compress = false), "ISO-8859-1")
+    val lenR = """/Length (\d+)""".r
+    assert(lenR.findFirstIn(ascii).nonEmpty)
+    for (bad <- Seq("99999999999999999999", // > Long.MaxValue digits
+                    "9223372036854775807",  // Long.MaxValue: ds+len overflows
+                    "2147480000")) {        // fits Int but exceeds buffer
+      val hacked = lenR.replaceFirstIn(ascii, s"/Length $bad")
+      assert(PdfCodec.extractText(hacked.getBytes("ISO-8859-1"))
+        .contains(Seq("payload")), s"/Length $bad")
+    }
+  }
+
   test("adversarial text containing PDF keywords round-trips (direct-Length jump)") {
     // Uncompressed content streams carry raw text: a document whose
     // TEXT contains stream/endstream/dict tokens would derail a naive

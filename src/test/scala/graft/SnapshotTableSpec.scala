@@ -706,4 +706,93 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(ids(SnapshotTable.read(spark, dir)) == want,
       "a committed append was lost across a racing compaction")
   }
+
+  test("bloomCols reject non-string/integral key columns at append time") {
+    // The bloom build hashes CAST(col AS STRING) while the probe
+    // hashes value.toString — renderings that diverge for timestamps
+    // (java.sql.Timestamp.toString appends '.0'), doubles, decimals.
+    // A diverging pair would FALSE-NEGATIVE the probe and silently
+    // skip files with matching rows, so ineligible types must refuse
+    // loudly at build time.
+    val dir = Files.createTempDirectory("graft-snap-bt").toString + "/t"
+    val df = spark.range(0, 10).toDF()
+      .withColumn("ts", current_timestamp())
+      .withColumn("d", col("id").cast("double"))
+    intercept[IllegalArgumentException] {
+      SnapshotTable.append(df, dir + "1", bloomCols = Seq("ts"))
+    }
+    intercept[IllegalArgumentException] {
+      SnapshotTable.append(df, dir + "2", bloomCols = Seq("d"))
+    }
+    // String and integral keys stay accepted and probeable.
+    val v = SnapshotTable.append(df.withColumn("s", concat(lit("k"), col("id"))),
+      dir + "3", bloomCols = Seq("id", "s"))
+    assert(v == 0L)
+    assert(ids(SnapshotTable.readWhereEq(spark, dir + "3", "id", 7L)) == Set(7L))
+    assert(SnapshotTable.readWhereEq(spark, dir + "3", "s", "k7").count() == 1L)
+  }
+
+  test("string stat pruning uses UTF-8 byte order (supplementary chars vs BMP-high)") {
+    // Spark's min/max over strings is UTF8String binary order (code
+    // POINTS); Java's String.compareTo is UTF-16 code UNITS. For a
+    // file whose bounds are [FULLWIDTH A (U+FF21), 😀 (U+1F600)], a
+    // code-unit probe of FULLWIDTH Z (U+FF5A) compares ABOVE the
+    // surrogate-led max and would skip the file even though the row
+    // is inside it. The fixed comparator must keep the file.
+    val dir = Files.createTempDirectory("graft-snap-u8").toString + "/t"
+    val rows = Seq("Ａ", "ｚ", new String(Character.toChars(0x1F600)))
+      .zipWithIndex.map { case (s, i) => (i.toLong, s) }
+    SnapshotTable.append(rows.toDF("id", "v").coalesce(1), dir,
+      statsCols = Seq("v"))
+    val got = SnapshotTable.readWhereEq(spark, dir, "v", "ｚ")
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(1L),
+      "UTF-16 code-unit stat compare pruned a file containing the row")
+    // Range probe through the same bounds.
+    assert(SnapshotTable.readWhere(spark, dir, "v", "Ａ", "ｚ")
+      .count() == 2L)
+  }
+
+  test("concurrent merges inserting the same absent key: second commit fails loudly") {
+    // Both mergers read a base where key 99 is absent → touched = []
+    // for both → the vanished-file guard alone would let both commit
+    // their insert and silently duplicate the key. Simulated
+    // deterministically: merge A commits normally; merge B replays
+    // A's race position via commitRewrite with B's pre-A base file
+    // set and key-conflict guard — it must throw, not commit.
+    val dir = Files.createTempDirectory("graft-snap-kc").toString + "/t"
+    SnapshotTable.append(Seq((1L, "a")).toDF("id", "v"), dir)
+    val baseFiles = SnapshotTable.manifestFiles(spark, dir, 0L).toSet
+    // Merge A lands key 99.
+    SnapshotTable.merge(spark, dir, Seq((99L, "A")).toDF("id", "v"), Seq("id"))
+    // Merge B, which had read version 0 (key 99 absent, touched = []).
+    val srcB = Seq((99L, "B")).toDF("id", "v")
+    intercept[java.util.ConcurrentModificationException] {
+      SnapshotTable.commitRewrite(spark, dir, Seq.empty, srcB,
+        Nil, Nil, maxRetries = 5, op = "merge",
+        keyConflict = Some((baseFiles, Seq("id"),
+          srcB.select("id").distinct())))
+    }
+    // The table still holds exactly one row for key 99, at A's value.
+    val got = SnapshotTable.read(spark, dir).filter(col("id") === 99L)
+      .collect().map(_.getString(1)).toSeq
+    assert(got == Seq("A"))
+    // A non-conflicting key away from the race commits fine.
+    val srcC = Seq((100L, "C")).toDF("id", "v")
+    assert(SnapshotTable.commitRewrite(spark, dir, Seq.empty, srcC,
+      Nil, Nil, maxRetries = 5, op = "merge",
+      keyConflict = Some((baseFiles, Seq("id"),
+        srcC.select("id").distinct()))).nonEmpty)
+  }
+
+  test("applyChanges rejects NULL _change tags instead of dropping the rows") {
+    val dir = Files.createTempDirectory("graft-snap-nc").toString + "/t"
+    SnapshotTable.append(Seq((1L, "a")).toDF("id", "v"), dir)
+    val changes = Seq((2L, "b", "insert"), (3L, "c", null))
+      .toDF("id", "v", "_change")
+    val e = intercept[IllegalArgumentException] {
+      SnapshotTable.applyChanges(spark, dir, changes, Seq("id"))
+    }
+    assert(e.getMessage.contains("unknown _change tag"))
+  }
 }
