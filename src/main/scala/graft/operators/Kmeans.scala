@@ -55,9 +55,47 @@ object Kmeans {
         StructField("cv", ArrayType(LongType), nullable = false))))
   }
 
-  private def sqDist(a: Column, b: Column): Column =
+  private[operators] def sqDist(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
       lit(0L), (acc, x) => acc + x)
+
+  /** The trained centroid matrix as ONE plan literal (`typedLit` of
+    * array<array<long>> — a single Literal node holding ArrayData, so
+    * k×d integers never explode the expression tree the way k×d
+    * `lit()` nodes would). */
+  private def centroidLit(centroids: Array[Array[Long]]): Column =
+    typedLit(centroids.map(_.toSeq).toSeq)
+
+  /** Per-cell (distance, cid) structs for a quantized vector — struct
+    * order is lexicographic, so array_min/array_sort over this IS the
+    * (dist, cid)-tie-broken argmin/ranking [[assign]] computes. */
+  private def cellDists(qv: Column,
+                        centroids: Array[Array[Long]]): Column =
+    transform(centroidLit(centroids),
+      (cv, i) => struct(sqDist(qv, cv).as("dist"), i.cast("int").as("cid")))
+
+  /** EXPRESSION-level nearest-centroid assignment — [[assign]] as a
+    * pure per-row Column, no crossJoin, no groupBy, no shuffle: the
+    * shape an INDEX BUILD and a streaming append need (assignment is
+    * embarrassingly parallel; the aggregate form exists for training,
+    * where the same rows then feed centroid updates). Bit-identical
+    * to [[assign]]'s cid by construction: same exact integer
+    * distances, same (dist, cid) lexicographic tie-break (pinned in
+    * TrainedIvfSpec). */
+  def cellIdExpr(qv: Column, centroids: Array[Array[Long]]): Column =
+    array_min(cellDists(qv, centroids)).getField("cid")
+
+  /** The `probes` nearest cells of a quantized vector, nearest first
+    * — the multi-probe read side of a trained IVF index (probing
+    * P > 1 cells is where a trained quantizer buys its recall at a
+    * fixed scan budget). Deterministic: exact integer distances,
+    * (dist, cid) tie-break. */
+  def nearestCellsExpr(qv: Column, centroids: Array[Array[Long]],
+                       probes: Int): Column = {
+    require(probes >= 1, s"probes >= 1, got $probes")
+    transform(slice(array_sort(cellDists(qv, centroids)), 1, probes),
+      s => s.getField("cid"))
+  }
 
   /** Assign every row of `quantized` (vec_id, qv) to its nearest
     * centroid: broadcast k rows, exact integer argmin with (dist,

@@ -106,26 +106,53 @@ object Similarity {
     writeMetaSidecar(embeddings.sparkSession, path, cellBits)
   }
 
+  /** TRAINED-quantizer IVF index — [[writeIvfIndex]] with
+    * [[Kmeans.train]]'s centroids as the coarse quantizer instead of
+    * the deterministic sign pattern (the production IVF shape: cells
+    * follow the data's actual cluster structure, so equal-budget
+    * probes recall more — pinned in TrainedIvfSpec). Assignment is
+    * the pure per-row [[Kmeans.cellIdExpr]] — map-only, no shuffle,
+    * the same expression the append path replays. The full centroid
+    * matrix rides in the sidecar: probes and appends reconstruct the
+    * EXACT quantizer from the index directory alone, so a
+    * wrong-quantizer append remains structurally impossible. */
+  def writeIvfIndexTrained(embeddings: DataFrame, path: String,
+                           centroids: Array[Array[Long]]): Unit = {
+    require(centroids.nonEmpty && centroids.forall(_.length == centroids.head.length),
+      "writeIvfIndexTrained: centroids must be a non-empty rectangular matrix")
+    prep(embeddings)
+      .withColumn("cell", Kmeans.cellIdExpr(Kmeans.quantize(col("v")), centroids))
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+    writeTrainedSidecar(embeddings.sparkSession, path, centroids)
+  }
+
   /** INCREMENTAL index maintenance — the epoch-ingest path
     * [[writeIvfIndex]] alone lacks (the MinHash index's
     * `incrementalDupPairsIndexed` precedent): quantize ONLY the delta
-    * with the index's own recorded cellBits and dynamic-partition
+    * with the index's own recorded quantizer and dynamic-partition
     * append it, so exactly the delta's cells gain files and every
     * untouched `cell=` directory — at 100 TB, almost all of them — is
     * never listed, read, or rewritten. Probes need no rebuild and no
     * re-open: the very next [[ivfTopKIndexed]] read sees old + new
     * vectors, still under dynamic partition pruning (pinned in
-    * ScaleOpsSpec). cellBits is read from the sidecar the build wrote;
-    * a missing sidecar fails loudly rather than risking a
+    * ScaleOpsSpec). The quantizer (sign-pattern cellBits OR the full
+    * trained centroid matrix) is read from the sidecar the build
+    * wrote; a missing sidecar fails loudly rather than risking a
     * wrong-quantizer append. */
   def appendIvf(delta: DataFrame, path: String): Unit = {
     val spark = delta.sparkSession
-    val cellBits = readMetaSidecar(spark, path).getOrElse(
-      throw new IllegalStateException(
-        s"appendIvf: no $MetaFile under $path — not a writeIvfIndex " +
-          "layout (or a pre-sidecar index; rebuild it)"))
-    prep(delta).withColumn("cell", cellId(col("v"), cellBits))
-      .write.mode("append").partitionBy("cell").parquet(path)
+    val assigned = readQuantizer(spark, path) match {
+      case Some(SignQuantizer(cellBits)) =>
+        prep(delta).withColumn("cell", cellId(col("v"), cellBits))
+      case Some(TrainedQuantizer(cents)) =>
+        prep(delta).withColumn("cell",
+          Kmeans.cellIdExpr(Kmeans.quantize(col("v")), cents))
+      case None =>
+        throw new IllegalStateException(
+          s"appendIvf: no $MetaFile under $path — not a writeIvfIndex " +
+            "layout (or a pre-sidecar index; rebuild it)")
+    }
+    assigned.write.mode("append").partitionBy("cell").parquet(path)
   }
 
   /** Compaction janitor for an IVF index accreting streaming appends:
@@ -159,29 +186,106 @@ object Similarity {
 
   private val MetaFile = "_graft_ivf.json"
 
+  /** The quantizer an index directory was built with — reconstructed
+    * entirely from the sidecar, so probes and appends can never drift
+    * from the build. */
+  sealed trait IvfQuantizer
+  case class SignQuantizer(cellBits: Int) extends IvfQuantizer
+  case class TrainedQuantizer(centroids: Array[Array[Long]]) extends IvfQuantizer
+
   private def writeMetaSidecar(spark: org.apache.spark.sql.SparkSession,
-                               path: String, cellBits: Int): Unit = {
+                               path: String, cellBits: Int): Unit =
+    writeSidecarText(spark, path, s"""{"cellBits":$cellBits}""")
+
+  /** Trained-quantizer sidecar: the FULL centroid matrix rides with
+    * the index (k×d longs — control-plane-sized for production k of
+    * 256-4096 cells). Flat `;`/`,`-encoded matrix inside one JSON
+    * string field keeps the hand-rolled no-dependency parse trivial
+    * on the read side. */
+  private def writeTrainedSidecar(spark: org.apache.spark.sql.SparkSession,
+                                  path: String,
+                                  centroids: Array[Array[Long]]): Unit = {
+    val flat = centroids.map(_.mkString(",")).mkString(";")
+    writeSidecarText(spark, path,
+      s"""{"quantizer":"kmeans","k":${centroids.length},""" +
+        s""""dim":${centroids.head.length},"scale":65536,""" +
+        s""""centroids":"$flat"}""")
+  }
+
+  private def writeSidecarText(spark: org.apache.spark.sql.SparkSession,
+                               path: String, text: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(path, MetaFile)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(p, true)
-    try out.write(s"""{"cellBits":$cellBits}""".getBytes("UTF-8"))
+    try out.write(text.getBytes("UTF-8"))
     finally out.close()
   }
 
-  /** The index's recorded quantizer width, if the sidecar exists. */
-  def readMetaSidecar(spark: org.apache.spark.sql.SparkSession,
-                      path: String): Option[Int] = {
+  private def readSidecarText(spark: org.apache.spark.sql.SparkSession,
+                              path: String): Option[String] = {
     val p = new org.apache.hadoop.fs.Path(path, MetaFile)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) None
     else {
       val in = fs.open(p)
-      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
-      // One integer field; a hand-rolled parse avoids a JSON dep.
-      val m = "\"cellBits\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(txt)
-      m.map(_.group(1).toInt)
+      Some(try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close())
     }
+  }
+
+  /** The index's recorded quantizer, if the sidecar exists. */
+  def readQuantizer(spark: org.apache.spark.sql.SparkSession,
+                    path: String): Option[IvfQuantizer] =
+    readSidecarText(spark, path).map { txt =>
+      "\"centroids\"\\s*:\\s*\"([^\"]*)\"".r.findFirstMatchIn(txt) match {
+        case Some(m) =>
+          TrainedQuantizer(m.group(1).split(';')
+            .map(_.split(',').map(_.toLong)))
+        case None =>
+          val bits = "\"cellBits\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(txt)
+            .getOrElse(throw new IllegalStateException(
+              s"$MetaFile under $path parses as neither sign-pattern " +
+                "nor trained quantizer")).group(1).toInt
+          SignQuantizer(bits)
+      }
+    }
+
+  /** The index's recorded sign-quantizer width, if the sidecar exists
+    * and records one (the pre-trained-quantizer surface, kept for
+    * existing callers). */
+  def readMetaSidecar(spark: org.apache.spark.sql.SparkSession,
+                      path: String): Option[Int] =
+    readQuantizer(spark, path).collect { case SignQuantizer(b) => b }
+
+  /** MULTI-PROBE top-k over a [[writeIvfIndexTrained]] layout — the
+    * production ANN read path: each query ranks the sidecar's
+    * centroids (control-plane k), scans its `probes` nearest cells
+    * under dynamic partition pruning, and takes exact cosine top-k
+    * within them. `probes` is the recall/cost dial: cells are
+    * physical partitions, so the scan budget is exactly the probed
+    * cells' bytes — at 100 TB, probes/k of the index. Scoring and
+    * (cos_sim, cand_id) tie-break are [[scoredTopK]]'s, identical to
+    * every other search variant. */
+  def ivfTopKIndexedTrained(spark: org.apache.spark.sql.SparkSession,
+                            path: String, queryPred: Column,
+                            k: Int = 5, probes: Int = 1): DataFrame = {
+    val cents = readQuantizer(spark, path) match {
+      case Some(TrainedQuantizer(c)) => c
+      case Some(_: SignQuantizer) => throw new IllegalStateException(
+        s"ivfTopKIndexedTrained: $path records a sign-pattern quantizer " +
+          "— probe it with ivfTopKIndexed (multi-probe is the trained " +
+          "quantizer's read path)")
+      case None => throw new IllegalStateException(
+        s"ivfTopKIndexedTrained: no $MetaFile under $path")
+    }
+    val base = spark.read.parquet(path)
+    val queries = broadcast(base.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"),
+        explode(Kmeans.nearestCellsExpr(
+          Kmeans.quantize(col("v")), cents, probes)).as("qcell")))
+    scoredTopK(base, queries,
+      col("cell") === col("qcell") && col("vec_id") =!= col("query_id"), k)
   }
 
   /** [[ivfTopK]] over a [[writeIvfIndex]] layout. The probe joins the

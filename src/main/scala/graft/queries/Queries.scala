@@ -11157,6 +11157,41 @@ object Queries {
       CAST(0 AS BIGINT) AS dist
     FROM embeddings WHERE vec_id < 50 ORDER BY query_id"""))
 
+  /** The PRODUCTION trained-IVF path end to end: train the k-means
+    * coarse quantizer ([[graft.operators.Kmeans.train]]), build the
+    * physical index with it
+    * ([[graft.operators.Similarity.writeIvfIndexTrained]] — cells =
+    * trained centroids as partition directories, the full centroid
+    * matrix in the sidecar), then answer queries through the
+    * multi-probe read ([[graft.operators.Similarity
+    * .ivfTopKIndexedTrained]] — dynamic partition pruning over the
+    * probed cells). Planted exact twins make it oracle-checkable: an
+    * identical vector lands in an identical cell by construction
+    * (exact integer assignment), so single-probe top-1 is the twin at
+    * cosine 1.0. q_ann_kmeans pins the quantizer math; THIS pins the
+    * materialized index + sidecar + probe pipeline a user actually
+    * runs. */
+  private val qAnnTrained = Q(
+    "q_ann_trained",
+    (s, d) => {
+      val base = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val planted = base.filter(col("vec_id") < 50)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      val corpus = base.unionByName(planted)
+      val cents = graft.operators.Kmeans.train(corpus, 8, 3)
+      val dir = java.nio.file.Files.createTempDirectory("graft-q-ivf")
+        .toString + "/idx"
+      graft.operators.Similarity.writeIvfIndexTrained(corpus, dir, cents)
+      graft.operators.Similarity.ivfTopKIndexedTrained(s, dir,
+          col("vec_id") >= 1000000L, k = 1, probes = 1)
+        .select(col("query_id"), col("cand_id").as("match_id"),
+          col("cos_sim"))
+        .orderBy("query_id")
+    },
+    Some("""SELECT vec_id + 1000000 AS query_id, vec_id AS match_id,
+      CAST(1.0 AS DOUBLE) AS cos_sim
+    FROM embeddings WHERE vec_id < 50 ORDER BY query_id"""))
+
   /** The end-to-end corpus CURATION FUNNEL — the trillion-token
     * pipeline's attrition report, composed from the shipped stage
     * primitives: Gopher-style structural gates
@@ -11410,6 +11445,7 @@ object Queries {
     qSnapshotMerge, qSnapshotDelete, qSnapshotPrune, qSnapshotLookup,
     qSnapshotChanges, qSnapshotReplicate, qSnapshotPartition,
     qSnapshotZorder, qSnapshotClone, qBpeTrain, qCorpusFunnel, qAnnKmeans,
+    qAnnTrained,
     qResultsTopk, qIngestFilter, qSanitizeIdent, qParseNumber, qParseDate,
     qNullNormalize, qInferType, qJsonExtract, qSchemaEvolution,
     qProjFilter, qAggGroup, qDistinct, qApproxDistinct, qRollup, qCube,
