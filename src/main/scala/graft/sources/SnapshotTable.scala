@@ -124,23 +124,70 @@ object SnapshotTable {
   private def manifestNode(spark: SparkSession, dir: String,
                            v: Long): com.fasterxml.jackson.databind.JsonNode = {
     val f = fs(spark, dir)
-    val in = f.open(manifestPath(dir, v))
+    val p = manifestPath(dir, v)
+    if (!f.exists(p))
+      throw new java.io.IOException(
+        s"manifest v$v missing under $dir — vacuumed past the time-travel " +
+          "horizon, or the table directory was modified out of band")
+    val in = f.open(p)
     val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
     finally in.close()
     mapper.readTree(txt)
   }
 
-  /** The file list of a version (relative paths). */
-  def manifestFiles(spark: SparkSession, dir: String, v: Long): Seq[String] = {
-    val files = manifestNode(spark, dir, v).get("files")
-    if (files == null) Seq.empty
-    else (0 until files.size).map(files.get(_).asText)
+  /** The fully-resolved table state at one version. Immutable once
+    * committed, hence cacheable. `bloomRefs` points at the per-batch
+    * Bloom SIDECAR file each data file's bitsets live in (the
+    * Delta-bloom-index layout — bitsets never ride inside manifests);
+    * `legacyBlooms` holds inline bitsets from pre-sidecar manifests. */
+  private final case class TableState(
+      files: Seq[String],
+      txns: Map[String, Long],
+      stats: Map[String, Map[String, ColStat]],
+      bloomRefs: Map[String, String],
+      bloomCols: Seq[String],
+      legacyBlooms: Map[String, Map[String, Array[Byte]]],
+      schema: Option[StructType])
+
+  /** Bounded cache of resolved states — states are immutable, so the
+    * only concern is size. Keyed by (table dir, version). */
+  private val stateCache =
+    new java.util.LinkedHashMap[(String, Long), TableState](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Long), TableState]): Boolean =
+        size() > 48
+    }
+
+  /** Resolve the state at version `v`: read manifests BACKWARD from v
+    * to the nearest full (checkpoint-form) manifest, then replay the
+    * delta chain forward — the Delta-log checkpoint+delta model. A
+    * full manifest is written every [[CheckpointEvery]] commits (and
+    * at v0), so the chain is at most CheckpointEvery deltas long and
+    * a COMMIT only ever writes O(batch) bytes, not O(table). */
+  private def stateOf(spark: SparkSession, dir: String,
+                      v: Long): TableState = {
+    val key = (new Path(dir).toUri.getPath, v)
+    stateCache.synchronized {
+      val hit = stateCache.get(key)
+      if (hit != null) return hit
+    }
+    val node = manifestNode(spark, dir, v)
+    val st =
+      if (node.get("files") != null || v == 0L) fullState(node)
+      else deltaState(stateOf(spark, dir, v - 1), node)
+    stateCache.synchronized { stateCache.put(key, st); () }
+    st
   }
 
-  /** Highest committed transaction version per writer app id (the
-    * exactly-once ledger [[transactionalAppend]] checks). */
-  def manifestTxns(spark: SparkSession, dir: String, v: Long): Map[String, Long] = {
-    val t = manifestNode(spark, dir, v).get("txns")
+  private def strSeq(n: com.fasterxml.jackson.databind.JsonNode,
+                     field: String): Seq[String] = {
+    val a = n.get(field)
+    if (a == null) Seq.empty else (0 until a.size).map(a.get(_).asText)
+  }
+
+  private def txnsOf(n: com.fasterxml.jackson.databind.JsonNode
+                    ): Map[String, Long] = {
+    val t = n.get("txns")
     if (t == null) Map.empty
     else {
       val it = t.fieldNames()
@@ -150,12 +197,9 @@ object SnapshotTable {
     }
   }
 
-  /** Per-file column stats of a version (file → column → ColStat).
-    * Files or columns without recorded stats are absent — and treated
-    * as un-prunable by [[readWhere]]. */
-  def manifestStats(spark: SparkSession, dir: String,
-                    v: Long): Map[String, Map[String, ColStat]] = {
-    val s = manifestNode(spark, dir, v).get("stats")
+  private def statsOf(n: com.fasterxml.jackson.databind.JsonNode
+                     ): Map[String, Map[String, ColStat]] = {
+    val s = n.get("stats")
     if (s == null) return Map.empty
     val b = Map.newBuilder[String, Map[String, ColStat]]
     val files = s.fieldNames()
@@ -175,17 +219,24 @@ object SnapshotTable {
     b.result()
   }
 
-  /** Per-file Bloom bitsets of a version (file → column → packed
-    * bitset): the point-lookup skipping summary — min/max stats
-    * cannot prune an equality probe on a high-cardinality UNSORTED
-    * key; a per-file Bloom filter can ([[pruneFilesEq]]). Stored
-    * base64 in the manifest — right for moderate file counts; at
-    * very large file counts the same bitsets would move to per-batch
-    * sidecar files (the Delta bloom-index layout), with the manifest
-    * holding pointers. */
-  def manifestBlooms(spark: SparkSession, dir: String,
-                     v: Long): Map[String, Map[String, Array[Byte]]] = {
-    val s = manifestNode(spark, dir, v).get("blooms")
+  private def bloomRefsOf(n: com.fasterxml.jackson.databind.JsonNode
+                         ): Map[String, String] = {
+    val s = n.get("bloomrefs")
+    if (s == null) return Map.empty
+    val it = s.fieldNames()
+    val b = Map.newBuilder[String, String]
+    while (it.hasNext) { val k = it.next(); b += k -> s.get(k).asText }
+    b.result()
+  }
+
+  private def legacyBloomsOf(n: com.fasterxml.jackson.databind.JsonNode
+                            ): Map[String, Map[String, Array[Byte]]] =
+    bloomMapOf(n.get("blooms"))
+
+  /** Parse a {file: {col: base64}} node (a bloom sidecar's root, or a
+    * legacy manifest's inline "blooms" object). */
+  private def bloomMapOf(s: com.fasterxml.jackson.databind.JsonNode
+                        ): Map[String, Map[String, Array[Byte]]] = {
     if (s == null) return Map.empty
     val b = Map.newBuilder[String, Map[String, Array[Byte]]]
     val files = s.fieldNames()
@@ -203,14 +254,158 @@ object SnapshotTable {
     b.result()
   }
 
+  private def schemaOf(n: com.fasterxml.jackson.databind.JsonNode
+                      ): Option[StructType] = {
+    val s = n.get("schema")
+    if (s == null) None
+    else Some(DataType.fromJson(s.toString).asInstanceOf[StructType])
+  }
+
+  private def fullState(n: com.fasterxml.jackson.databind.JsonNode
+                       ): TableState = {
+    val legacy = legacyBloomsOf(n)
+    val refs = bloomRefsOf(n)
+    val cols = strSeq(n, "bloomcols") match {
+      case Seq() => legacy.values.flatMap(_.keys).toSeq.distinct
+      case cs => cs
+    }
+    // A delta-form v0 (never written by this code, but a truncated
+    // chain must fail loudly, not silently read half a table).
+    if (n.get("files") == null && strSeq(n, "removes").nonEmpty)
+      throw new java.io.IOException(
+        "manifest v0 is delta-form with removes — corrupt chain")
+    TableState(
+      files = if (n.get("files") != null) strSeq(n, "files")
+              else strSeq(n, "adds"),
+      txns = txnsOf(n), stats = statsOf(n), bloomRefs = refs,
+      bloomCols = cols, legacyBlooms = legacy, schema = schemaOf(n))
+  }
+
+  private def deltaState(parent: TableState,
+                         n: com.fasterxml.jackson.databind.JsonNode
+                        ): TableState = {
+    val adds = strSeq(n, "adds")
+    val removes = strSeq(n, "removes").toSet
+    TableState(
+      files = parent.files.filterNot(removes) ++ adds,
+      txns = txnsOf(n), // full ledger rides in every manifest (small)
+      stats = (parent.stats -- removes) ++ statsOf(n),
+      bloomRefs = (parent.bloomRefs -- removes) ++ bloomRefsOf(n),
+      bloomCols = strSeq(n, "bloomcols") match {
+        case Seq() => parent.bloomCols
+        case cs => cs
+      },
+      legacyBlooms = parent.legacyBlooms -- removes,
+      schema = schemaOf(n).orElse(parent.schema))
+  }
+
+  /** The file list of a version (relative paths). */
+  def manifestFiles(spark: SparkSession, dir: String, v: Long): Seq[String] =
+    stateOf(spark, dir, v).files
+
+  /** Highest committed transaction version per writer app id (the
+    * exactly-once ledger [[transactionalAppend]] checks). */
+  def manifestTxns(spark: SparkSession, dir: String, v: Long): Map[String, Long] =
+    stateOf(spark, dir, v).txns
+
+  /** Per-file column stats of a version (file → column → ColStat).
+    * Files or columns without recorded stats are absent — and treated
+    * as un-prunable by [[readWhere]]. */
+  def manifestStats(spark: SparkSession, dir: String,
+                    v: Long): Map[String, Map[String, ColStat]] =
+    stateOf(spark, dir, v).stats
+
+  /** Per-file Bloom bitsets of a version (file → column → packed
+    * bitset): the point-lookup skipping summary — min/max stats
+    * cannot prune an equality probe on a high-cardinality UNSORTED
+    * key; a per-file Bloom filter can ([[pruneFilesEq]]). Bitsets
+    * live in per-batch SIDECAR files under `_blooms/` (the public
+    * Delta bloom-index layout) with the manifest holding only
+    * path-sized pointers — at 100 TB file counts the bitsets would
+    * otherwise dominate every manifest write. This accessor
+    * materializes the WHOLE map (sidecars included) for
+    * inspection/specs; the probe path ([[pruneFilesEq]]) loads only
+    * the sidecars of files that survive range pruning. */
+  def manifestBlooms(spark: SparkSession, dir: String,
+                     v: Long): Map[String, Map[String, Array[Byte]]] = {
+    val st = stateOf(spark, dir, v)
+    val bySidecar = st.bloomRefs.groupBy(_._2)
+    val fromSidecars = bySidecar.flatMap { case (ref, fileRefs) =>
+      val side = loadBloomSidecar(spark, dir, ref)
+      fileRefs.keys.flatMap(f => sidecarLookup(side, f, ref).map(f -> _))
+    }
+    st.legacyBlooms ++ fromSidecars
+  }
+
+  /** Find `file`'s entry in a sidecar. A shallow clone absolutizes
+    * both the file key and the sidecar ref, but the sidecar's OWN
+    * keys stay source-relative — so an absolute miss retries under
+    * the source-relative key derived from the ref's location. */
+  private def sidecarLookup(side: Map[String, Map[String, Array[Byte]]],
+                            file: String,
+                            ref: String): Option[Map[String, Array[Byte]]] =
+    side.get(file).orElse {
+      if (ref.startsWith("_blooms/")) None
+      else {
+        val srcDir = new Path(ref).getParent.getParent // …/_blooms/x.json
+        val prefix = srcDir.toUri.getPath + "/data/"
+        if (file.startsWith(prefix))
+          side.get("data/" + file.stripPrefix(prefix))
+        else None
+      }
+    }
+
   /** The table schema a version's manifest records (absent on
     * pre-evolution manifests → readers fall back to parquet
     * inference over the snapshot's files). */
   def manifestSchema(spark: SparkSession, dir: String,
-                     v: Long): Option[StructType] = {
-    val n = manifestNode(spark, dir, v).get("schema")
-    if (n == null) None
-    else Some(DataType.fromJson(n.toString).asInstanceOf[StructType])
+                     v: Long): Option[StructType] =
+    stateOf(spark, dir, v).schema
+
+  // ------------------------------------------------------------------
+  // Bloom sidecars
+  // ------------------------------------------------------------------
+
+  /** Write one batch's bitsets as `_blooms/<batch>.json`
+    * ({file: {col: base64}}), returning the per-file refs the
+    * manifest records. Sidecars are immutable once written, named by
+    * the batch UUID — no commit races. */
+  private def writeBloomSidecar(spark: SparkSession, dir: String,
+                                batch: String,
+                                blooms: Map[String, Map[String, Array[Byte]]]
+                               ): Map[String, String] = {
+    if (blooms.isEmpty) return Map.empty
+    val rel = s"_blooms/$batch.json"
+    val root = new java.util.LinkedHashMap[String, Object]()
+    blooms.toSeq.sortBy(_._1).foreach { case (file, cols) =>
+      val cj = new java.util.LinkedHashMap[String, Object]()
+      cols.toSeq.sortBy(_._1).foreach { case (c, bits) =>
+        cj.put(c, java.util.Base64.getEncoder.encodeToString(bits))
+      }
+      root.put(file, cj)
+    }
+    val p = new Path(dir, rel)
+    val f = fs(spark, dir)
+    f.mkdirs(p.getParent)
+    val out = f.create(p, false)
+    try out.write(mapper.writeValueAsString(root).getBytes("UTF-8"))
+    finally out.close()
+    blooms.keys.map(_ -> rel).toMap
+  }
+
+  /** Load one sidecar (relative ref under this table, or a shallow
+    * clone's absolute ref into its source table). */
+  private def loadBloomSidecar(spark: SparkSession, dir: String,
+                               ref: String
+                              ): Map[String, Map[String, Array[Byte]]] = {
+    val p = if (ref.startsWith("_blooms/")) new Path(dir, ref)
+            else new Path(ref)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(p)) return Map.empty // vacuumed sidecar: un-probeable, kept
+    val in = f.open(p)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    bloomMapOf(mapper.readTree(txt))
   }
 
   /** Add-column schema evolution (the [[graft.catalog.Catalog]] /
@@ -258,60 +453,37 @@ object SnapshotTable {
     * and cross-process local commits remain best-effort. */
   private val commitLock = new Object
 
-  /** Try to commit `files` as version `v`. True iff this writer won
-    * the publish race for v<N>. Content-atomic: the body is fully
-    * written to a hidden temp file, then renamed into place — a
-    * reader can never observe a partially-written manifest. */
+  /** A full (checkpoint-form) manifest is written every this-many
+    * commits; every other commit is a DELTA (adds/removes only). The
+    * dial between commit cost (O(batch) for deltas) and read-side
+    * replay length (≤ CheckpointEvery manifest reads, amortized away
+    * by the state cache). */
+  private val CheckpointEvery = 10L
+
+  /** Try to commit the COMPLETE target state (`files`, `stats`,
+    * `bloomRefs`) as version `v`. True iff this writer won the
+    * publish race for v<N>. What lands on disk is a DELTA against
+    * v-1 (adds/removes + adds' stats/bloom refs — O(batch) bytes)
+    * except every [[CheckpointEvery]]-th version and v0, which write
+    * the full checkpoint form; readers reconstruct via [[stateOf]].
+    * Content-atomic: the body is fully written to a hidden temp file,
+    * then renamed into place — a reader can never observe a
+    * partially-written manifest. */
   private def tryCommit(spark: SparkSession, dir: String, v: Long,
                         files: Seq[String],
                         txns: Map[String, Long] = Map.empty,
                         stats: Map[String, Map[String, ColStat]] = Map.empty,
                         schema: Option[StructType] = None,
-                        blooms: Map[String, Map[String, Array[Byte]]] = Map.empty
+                        bloomRefs: Map[String, String] = Map.empty,
+                        bloomCols: Seq[String] = Nil
                        ): Boolean = commitLock.synchronized {
     val f = fs(spark, dir)
     f.mkdirs(manifestDir(dir))
     val target = manifestPath(dir, v)
     if (f.exists(target)) return false
-    val root = new java.util.LinkedHashMap[String, Object]()
-    root.put("version", java.lang.Long.valueOf(v))
-    schema.foreach(st => root.put("schema", mapper.readTree(st.json)))
-    val tj = new java.util.LinkedHashMap[String, Object]()
-    txns.toSeq.sortBy(_._1).foreach { case (a, tv) =>
-      tj.put(a, java.lang.Long.valueOf(tv)) }
-    root.put("txns", tj)
-    val fj = new java.util.ArrayList[String]()
-    files.sorted.foreach(fj.add)
-    root.put("files", fj)
-    // Only stats of committed files: a retry loop may carry a stats
-    // map from a superseded read — intersect, never invent.
-    val keep = stats.view.filterKeys(files.toSet).toMap
-    if (keep.nonEmpty) {
-      val sj = new java.util.LinkedHashMap[String, Object]()
-      keep.toSeq.sortBy(_._1).foreach { case (file, cols) =>
-        val cj = new java.util.LinkedHashMap[String, Object]()
-        cols.toSeq.sortBy(_._1).foreach { case (c, st) =>
-          val a = new java.util.ArrayList[String]()
-          a.add(st.tag); a.add(st.min); a.add(st.max)
-          cj.put(c, a)
-        }
-        sj.put(file, cj)
-      }
-      root.put("stats", sj)
-    }
-    val keepBlooms = blooms.view.filterKeys(files.toSet).toMap
-    if (keepBlooms.nonEmpty) {
-      val bj = new java.util.LinkedHashMap[String, Object]()
-      keepBlooms.toSeq.sortBy(_._1).foreach { case (file, cols) =>
-        val cj = new java.util.LinkedHashMap[String, Object]()
-        cols.toSeq.sortBy(_._1).foreach { case (c, bits) =>
-          cj.put(c, java.util.Base64.getEncoder.encodeToString(bits))
-        }
-        bj.put(file, cj)
-      }
-      root.put("blooms", bj)
-    }
-    val body = mapper.writeValueAsString(root)
+    val full = v == 0L || v % CheckpointEvery == 0L
+    val body = manifestBody(spark, dir, v, full, files, txns, stats,
+      schema, bloomRefs, bloomCols)
     val tmp = new Path(manifestDir(dir),
       s".v$v.${java.util.UUID.randomUUID()}.tmp")
     val out = f.create(tmp, false)
@@ -320,6 +492,73 @@ object SnapshotTable {
     catch { case _: java.io.IOException => false }
     if (!ok) f.delete(tmp, false)
     ok
+  }
+
+  /** Serialize a manifest body — full checkpoint form, or a delta
+    * against the (already committed, hence stable) state at v-1. */
+  private def manifestBody(spark: SparkSession, dir: String, v: Long,
+                           full: Boolean, files: Seq[String],
+                           txns: Map[String, Long],
+                           stats: Map[String, Map[String, ColStat]],
+                           schema: Option[StructType],
+                           bloomRefs: Map[String, String],
+                           bloomCols: Seq[String]): String = {
+    val root = new java.util.LinkedHashMap[String, Object]()
+    root.put("version", java.lang.Long.valueOf(v))
+    schema.foreach(st => root.put("schema", mapper.readTree(st.json)))
+    val tj = new java.util.LinkedHashMap[String, Object]()
+    txns.toSeq.sortBy(_._1).foreach { case (a, tv) =>
+      tj.put(a, java.lang.Long.valueOf(tv)) }
+    root.put("txns", tj)
+    val fileSet = files.toSet
+    // Only stats/refs of committed files: a retry loop may carry maps
+    // from a superseded read — intersect, never invent.
+    def putStats(m: Map[String, Map[String, ColStat]]): Unit =
+      if (m.nonEmpty) {
+        val sj = new java.util.LinkedHashMap[String, Object]()
+        m.toSeq.sortBy(_._1).foreach { case (file, cols) =>
+          val cj = new java.util.LinkedHashMap[String, Object]()
+          cols.toSeq.sortBy(_._1).foreach { case (c, st) =>
+            val a = new java.util.ArrayList[String]()
+            a.add(st.tag); a.add(st.min); a.add(st.max)
+            cj.put(c, a)
+          }
+          sj.put(file, cj)
+        }
+        root.put("stats", sj)
+      }
+    def putRefs(m: Map[String, String]): Unit =
+      if (m.nonEmpty) {
+        val bj = new java.util.LinkedHashMap[String, Object]()
+        m.toSeq.sortBy(_._1).foreach { case (file, ref) => bj.put(file, ref) }
+        root.put("bloomrefs", bj)
+      }
+    if (bloomCols.nonEmpty) {
+      val cj = new java.util.ArrayList[String]()
+      bloomCols.distinct.sorted.foreach(cj.add)
+      root.put("bloomcols", cj)
+    }
+    if (full) {
+      val fj = new java.util.ArrayList[String]()
+      files.sorted.foreach(fj.add)
+      root.put("files", fj)
+      putStats(stats.view.filterKeys(fileSet).toMap)
+      putRefs(bloomRefs.view.filterKeys(fileSet).toMap)
+    } else {
+      val parent = stateOf(spark, dir, v - 1)
+      val parentSet = parent.files.toSet
+      val adds = files.filterNot(parentSet)
+      val removes = parent.files.filterNot(fileSet)
+      val aj = new java.util.ArrayList[String]()
+      adds.sorted.foreach(aj.add)
+      root.put("adds", aj)
+      val rj = new java.util.ArrayList[String]()
+      removes.sorted.foreach(rj.add)
+      root.put("removes", rj)
+      putStats(stats.view.filterKeys(adds.toSet).toMap)
+      putRefs(bloomRefs.view.filterKeys(adds.toSet).toMap)
+    }
+    mapper.writeValueAsString(root)
   }
 
   // ------------------------------------------------------------------
@@ -513,34 +752,37 @@ object SnapshotTable {
     // re-runs against whatever manifest the commit loop lands on).
     latestVersion(spark, dir).flatMap(manifestSchema(spark, dir, _))
       .foreach(evolveSchema(_, df.schema))
-    val (added, addedStats, addedBlooms) =
+    val (added, addedStats, addedRefs) =
       writeBatch(df, dir, statsCols, bloomCols)
-    commitAppend(spark, dir, df.schema, added, addedStats, addedBlooms,
-      maxRetries, "append")
+    commitAppend(spark, dir, df.schema, added, addedStats, addedRefs,
+      bloomCols, maxRetries, "append")
   }
 
   /** The optimistic append commit loop, shared by every
     * already-written-batch committer: union the current file list
-    * with `added`, carry txns/stats/blooms forward, evolve the
+    * with `added`, carry txns/stats/bloom refs forward, evolve the
     * schema, retry on a lost race. */
   private def commitAppend(spark: SparkSession, dir: String,
                            dfSchema: StructType, added: Seq[String],
                            addedStats: Map[String, Map[String, ColStat]],
-                           addedBlooms: Map[String, Map[String, Array[Byte]]],
+                           addedRefs: Map[String, String],
+                           addedBloomCols: Seq[String],
                            maxRetries: Int, op: String): Long = {
     var attempt = 0
     while (attempt < maxRetries) {
       val base = latestVersion(spark, dir)
-      val prev = base.map(manifestFiles(spark, dir, _)).getOrElse(Nil)
-      val txns = base.map(manifestTxns(spark, dir, _)).getOrElse(Map.empty)
-      val stats = base.map(manifestStats(spark, dir, _)).getOrElse(Map.empty)
-      val blooms = base.map(manifestBlooms(spark, dir, _)).getOrElse(Map.empty)
-      val unified = base.flatMap(manifestSchema(spark, dir, _))
+      val st = base.map(stateOf(spark, dir, _))
+      val prev = st.map(_.files).getOrElse(Nil)
+      val txns = st.map(_.txns).getOrElse(Map.empty)
+      val stats = st.map(_.stats).getOrElse(Map.empty)
+      val refs = st.map(_.bloomRefs).getOrElse(Map.empty)
+      val bcols = (st.map(_.bloomCols).getOrElse(Nil) ++ addedBloomCols).distinct
+      val unified = st.flatMap(_.schema)
         .map(evolveSchema(_, dfSchema))
         .getOrElse(evolveSchema(new StructType(), dfSchema))
       val v = base.getOrElse(-1L) + 1
       if (tryCommit(spark, dir, v, prev ++ added, txns, stats ++ addedStats,
-          Some(unified), blooms ++ addedBlooms))
+          Some(unified), refs ++ addedRefs, bcols))
         return v
       attempt += 1 // lost the race: re-read the new latest and retry
     }
@@ -590,9 +832,10 @@ object SnapshotTable {
     val added = listParquetRec(f, batchDir).map(p => manifestKey(dir, p.toString))
     val stats = computeStats(spark, batchDir,
       (partitionBy ++ statsCols).distinct)
-    val blooms = computeBlooms(spark, batchDir, bloomCols)
-    commitAppend(spark, dir, df.schema, added, stats, blooms, maxRetries,
-      "appendPartitioned")
+    val refs = writeBloomSidecar(spark, dir, batch,
+      computeBlooms(spark, batchDir, bloomCols))
+    commitAppend(spark, dir, df.schema, added, stats, refs, bloomCols,
+      maxRetries, "appendPartitioned")
   }
 
   private def listParquetRec(f: FileSystem, p: Path): Seq[Path] = {
@@ -613,7 +856,7 @@ object SnapshotTable {
                          statsCols: Seq[String],
                          bloomCols: Seq[String] = Nil
                         ): (Seq[String], Map[String, Map[String, ColStat]],
-                            Map[String, Map[String, Array[Byte]]]) = {
+                            Map[String, String]) = {
     val spark = df.sparkSession
     val f = fs(spark, dir)
     val batch = java.util.UUID.randomUUID().toString
@@ -623,8 +866,11 @@ object SnapshotTable {
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
       .map(s => s"data/$batch/${s.getPath.getName}")
     val stats = computeStats(spark, batchDir, statsCols)
-    val blooms = computeBlooms(spark, batchDir, bloomCols)
-    (added, stats, blooms)
+    // Bitsets land in the batch's sidecar file; the manifest only ever
+    // carries the path-sized refs.
+    val refs = writeBloomSidecar(spark, dir, batch,
+      computeBlooms(spark, batchDir, bloomCols))
+    (added, stats, refs)
   }
 
   /** EXACTLY-ONCE append for replayable writers (the Structured
@@ -650,24 +896,26 @@ object SnapshotTable {
     val pre = latestVersion(spark, dir)
       .map(manifestTxns(spark, dir, _)).getOrElse(Map.empty)
     if (pre.getOrElse(appId, Long.MinValue) >= txnVersion) return None
-    val (added, addedStats, addedBlooms) =
+    val (added, addedStats, addedRefs) =
       writeBatch(df, dir, statsCols, bloomCols)
     var attempt = 0
     while (attempt < maxRetries) {
       val base = latestVersion(spark, dir)
-      val prev = base.map(manifestFiles(spark, dir, _)).getOrElse(Nil)
-      val txns = base.map(manifestTxns(spark, dir, _)).getOrElse(Map.empty)
-      val stats = base.map(manifestStats(spark, dir, _)).getOrElse(Map.empty)
-      val blooms = base.map(manifestBlooms(spark, dir, _)).getOrElse(Map.empty)
+      val st = base.map(stateOf(spark, dir, _))
+      val prev = st.map(_.files).getOrElse(Nil)
+      val txns = st.map(_.txns).getOrElse(Map.empty)
+      val stats = st.map(_.stats).getOrElse(Map.empty)
+      val refs = st.map(_.bloomRefs).getOrElse(Map.empty)
+      val bcols = (st.map(_.bloomCols).getOrElse(Nil) ++ bloomCols).distinct
       if (txns.getOrElse(appId, Long.MinValue) >= txnVersion)
         return None // a racing replay won; our files stay orphaned
-      val unified = base.flatMap(manifestSchema(spark, dir, _))
+      val unified = st.flatMap(_.schema)
         .map(evolveSchema(_, df.schema))
         .getOrElse(evolveSchema(new StructType(), df.schema))
       val v = base.getOrElse(-1L) + 1
       if (tryCommit(spark, dir, v, prev ++ added,
           txns + (appId -> txnVersion), stats ++ addedStats,
-          Some(unified), blooms ++ addedBlooms)) return Some(v)
+          Some(unified), refs ++ addedRefs, bcols)) return Some(v)
       attempt += 1
     }
     throw new java.io.IOException(
@@ -781,7 +1029,18 @@ object SnapshotTable {
         s"pruneFilesEq: no committed version under $dir"))
     val (rangeKept, total) =
       pruneFiles(spark, dir, column, value, value, Some(v))
-    val blooms = manifestBlooms(spark, dir, v)
+    // Sidecar-lazy probe: load only the sidecars of files that
+    // survived range pruning — a point lookup on a well-clustered
+    // table reads O(selected files) bloom bytes, not O(table).
+    val st = stateOf(spark, dir, v)
+    val rangeSet = rangeKept.toSet
+    val neededRefs = st.bloomRefs.view.filterKeys(rangeSet).toMap
+    val bySidecar = neededRefs.groupBy(_._2)
+    val blooms = st.legacyBlooms ++ bySidecar.flatMap {
+      case (ref, fileRefs) =>
+        val side = loadBloomSidecar(spark, dir, ref)
+        fileRefs.keys.flatMap(f => sidecarLookup(side, f, ref).map(f -> _))
+    }
     val selected = rangeKept.filter { file =>
       blooms.get(file).flatMap(_.get(column)) match {
         case None => true
@@ -892,8 +1151,7 @@ object SnapshotTable {
     val trackedCols =
       (manifestStats(spark, dir, base).values.flatMap(_.keys).toSeq ++
         clusterBy ++ zOrderBy).distinct
-    val trackedBlooms =
-      manifestBlooms(spark, dir, base).values.flatMap(_.keys).toSeq.distinct
+    val trackedBlooms = stateOf(spark, dir, base).bloomCols
     val batch = java.util.UUID.randomUUID().toString
     val batchDir = new Path(dir, s"data/$batch")
     val src = readFiles(spark, dir, old, manifestSchema(spark, dir, base))
@@ -913,20 +1171,22 @@ object SnapshotTable {
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
       .map(s => s"data/$batch/${s.getPath.getName}")
     val rewrittenStats = computeStats(spark, batchDir, trackedCols)
-    val rewrittenBlooms = computeBlooms(spark, batchDir, trackedBlooms)
+    val rewrittenRefs = writeBloomSidecar(spark, dir, batch,
+      computeBlooms(spark, batchDir, trackedBlooms))
     var attempt = 0
     while (attempt < maxRetries) {
       val cur = latestVersion(spark, dir).get
-      val curFiles = manifestFiles(spark, dir, cur)
+      val curSt = stateOf(spark, dir, cur)
       // Re-base: keep files that appeared after our read; drop only
       // the ones we actually rewrote. The txn ledger carries forward
       // untouched — compaction commits no writer transaction.
-      val next = curFiles.filterNot(old.toSet) ++ rewritten
+      val next = curSt.files.filterNot(old.toSet) ++ rewritten
       if (tryCommit(spark, dir, cur + 1, next,
-          manifestTxns(spark, dir, cur),
-          manifestStats(spark, dir, cur) ++ rewrittenStats,
-          manifestSchema(spark, dir, cur),
-          manifestBlooms(spark, dir, cur) ++ rewrittenBlooms))
+          curSt.txns,
+          curSt.stats ++ rewrittenStats,
+          curSt.schema,
+          curSt.bloomRefs ++ rewrittenRefs,
+          curSt.bloomCols))
         return Some(cur + 1)
       attempt += 1
     }
@@ -1000,13 +1260,20 @@ object SnapshotTable {
       if (e.startsWith("data/"))
         new Path(new Path(srcDir), e).toUri.getPath
       else e // clone-of-clone: already absolute
-    val files = manifestFiles(spark, srcDir, v).map(absolutize)
-    val stats = manifestStats(spark, srcDir, v)
-      .map { case (k, cs) => absolutize(k) -> cs }
-    val blooms = manifestBlooms(spark, srcDir, v)
-      .map { case (k, bs) => absolutize(k) -> bs }
-    val schema = manifestSchema(spark, srcDir, v)
-    if (!tryCommit(spark, dstDir, 0L, files, Map.empty, stats, schema, blooms))
+    def absolutizeRef(r: String): String =
+      if (r.startsWith("_blooms/"))
+        new Path(new Path(srcDir), r).toUri.getPath
+      else r
+    val st = stateOf(spark, srcDir, v)
+    val files = st.files.map(absolutize)
+    val stats = st.stats.map { case (k, cs) => absolutize(k) -> cs }
+    // Bloom SIDECARS reference-carry exactly like data files: the
+    // clone's refs point (absolutely) into the source's `_blooms/`
+    // until a compact/rewrite gives the clone its own.
+    val refs = st.bloomRefs
+      .map { case (k, r) => absolutize(k) -> absolutizeRef(r) }
+    if (!tryCommit(spark, dstDir, 0L, files, Map.empty, stats, st.schema,
+        refs, st.bloomCols))
       throw new java.io.IOException(
         s"shallowClone: destination $dstDir committed concurrently")
     0L
@@ -1063,10 +1330,58 @@ object SnapshotTable {
       } else false
     }
     pruneEmptyDirs(dataRoot)
-    // Old manifests: anything before the keep window.
+    // Before the pre-window manifests go, the window's OLDEST version
+    // must become self-contained: a delta-form manifest at keepFrom
+    // would need the very chain being deleted to reconstruct. Rewrite
+    // it in full checkpoint form (equivalent state, so any reader sees
+    // the same snapshot; janitor-only op per this method's contract).
+    if (keepFrom > 0L) {
+      val st = stateOf(spark, dir, keepFrom)
+      val node = manifestNode(spark, dir, keepFrom)
+      if (node.get("files") == null) {
+        val body = manifestBody(spark, dir, keepFrom, full = true,
+          st.files, st.txns, st.stats, st.schema, st.bloomRefs, st.bloomCols)
+        val tmp = new Path(manifestDir(dir),
+          s".v$keepFrom.${java.util.UUID.randomUUID()}.ckpt.tmp")
+        val out = f.create(tmp, false)
+        try out.write(body.getBytes("UTF-8")) finally out.close()
+        commitLock.synchronized {
+          f.delete(manifestPath(dir, keepFrom), false)
+          if (!f.rename(tmp, manifestPath(dir, keepFrom)))
+            throw new java.io.IOException(
+              s"vacuum: failed to checkpoint manifest v$keepFrom under $dir")
+        }
+      }
+    }
+    // Old manifests: anything before the keep window. Cached states
+    // below the horizon are dropped too — a vacuumed version must
+    // fail loudly, not serve stale file lists whose data is gone.
     (0L until keepFrom).foreach { v =>
       val p = manifestPath(dir, v)
       if (f.exists(p)) f.delete(p, false)
+    }
+    val dirKey = new Path(dir).toUri.getPath
+    stateCache.synchronized {
+      val it = stateCache.keySet.iterator()
+      while (it.hasNext) {
+        val (d, v) = it.next()
+        if (d == dirKey && v < keepFrom) it.remove()
+      }
+    }
+    // Bloom sidecars referenced by NO kept manifest are orphans too
+    // (crashed appends, vacuumed batches). Age-guarded like data
+    // files: a written-not-yet-committed sidecar must survive.
+    val bloomRoot = new Path(dir, "_blooms")
+    if (f.exists(bloomRoot)) {
+      val keptRefs = (keepFrom to latest)
+        .filter(v => f.exists(manifestPath(dir, v)))
+        .flatMap(v => stateOf(spark, dir, v).bloomRefs.values).toSet
+      f.listStatus(bloomRoot).foreach { s =>
+        val rel = s"_blooms/${s.getPath.getName}"
+        if (s.isFile && !keptRefs.contains(rel) &&
+            s.getModificationTime <= cutoff)
+          f.delete(s.getPath, false)
+      }
     }
     deleted
   }
@@ -1083,7 +1398,7 @@ object SnapshotTable {
 
   private def trackedBloomCols(spark: SparkSession, dir: String,
                                v: Long): Seq[String] =
-    manifestBlooms(spark, dir, v).values.flatMap(_.keys).toSeq.distinct
+    stateOf(spark, dir, v).bloomCols
 
   /** The current snapshot with a `__file` column carrying each row's
     * manifest-relative data path. */
@@ -1343,15 +1658,16 @@ object SnapshotTable {
                             keyConflict: Option[(Set[String], Seq[String],
                               DataFrame)] = None
                            ): Option[Long] = {
-    val (added, addedStats, addedBlooms) =
+    val (added, addedStats, addedRefs) =
       writeBatch(rewrite, dir, statsCols, bloomCols)
     val touchedSet = touched.toSet
     val addedSet = added.toSet
     var attempt = 0
     while (attempt < maxRetries) {
       val cur = latestVersion(spark, dir)
-      val curFiles = cur.map(manifestFiles(spark, dir, _)).getOrElse(Nil)
-      val curTxns = cur.map(manifestTxns(spark, dir, _)).getOrElse(Map.empty)
+      val curSt = cur.map(stateOf(spark, dir, _))
+      val curFiles = curSt.map(_.files).getOrElse(Nil)
+      val curTxns = curSt.map(_.txns).getOrElse(Map.empty)
       txn.foreach { case (appId, tv) =>
         if (curTxns.getOrElse(appId, Long.MinValue) >= tv)
           return None // a racing replay won; our files stay orphaned
@@ -1365,7 +1681,7 @@ object SnapshotTable {
           .filterNot(baseFiles).filterNot(addedSet).filterNot(touchedSet)
         if (newSinceBase.nonEmpty) {
           val clash = readFiles(spark, dir, newSinceBase,
-              cur.flatMap(manifestSchema(spark, dir, _)))
+              curSt.flatMap(_.schema))
             .join(srcKeys, keys, "left_semi").limit(1).collect()
           if (clash.nonEmpty)
             throw new java.util.ConcurrentModificationException(
@@ -1373,17 +1689,17 @@ object SnapshotTable {
                 s"${clash.head.mkString(",")} — committing would duplicate it")
         }
       }
-      val schema = Some(cur.flatMap(manifestSchema(spark, dir, _))
+      val schema = Some(curSt.flatMap(_.schema)
         .map(evolveSchema(_, rewrite.schema))
         .getOrElse(evolveSchema(new StructType(), rewrite.schema)))
       val next = curFiles.filterNot(touchedSet) ++ added
       if (tryCommit(spark, dir, cur.getOrElse(-1L) + 1, next,
           txn.fold(curTxns)(curTxns + _),
-          (cur.map(manifestStats(spark, dir, _)).getOrElse(Map.empty)
-            -- touched) ++ addedStats,
+          (curSt.map(_.stats).getOrElse(Map.empty) -- touched) ++ addedStats,
           schema,
-          (cur.map(manifestBlooms(spark, dir, _)).getOrElse(Map.empty)
-            -- touched) ++ addedBlooms))
+          (curSt.map(_.bloomRefs).getOrElse(Map.empty) -- touched)
+            ++ addedRefs,
+          (curSt.map(_.bloomCols).getOrElse(Nil) ++ bloomCols).distinct))
         return Some(cur.getOrElse(-1L) + 1)
       attempt += 1
     }

@@ -1,6 +1,7 @@
 package graft
 
 import java.nio.file.Files
+import scala.jdk.CollectionConverters._
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 import graft.sources.SnapshotTable
@@ -783,6 +784,103 @@ class SnapshotTableSpec extends AnyFunSuite {
       Nil, Nil, maxRetries = 5, op = "merge",
       keyConflict = Some((baseFiles, Seq("id"),
         srcC.select("id").distinct()))).nonEmpty)
+  }
+
+  test("delta manifests: a commit writes O(batch) bytes, checkpoints every 10th") {
+    // 25 single-file appends. v0/v10/v20 are full checkpoint-form
+    // manifests (complete file list); every other commit is a DELTA
+    // carrying only its own adds — so commit cost stays flat as the
+    // table grows, the property that keeps 100 TB commit latency
+    // bounded. Readers replay checkpoint+deltas transparently.
+    val dir = Files.createTempDirectory("graft-snap-dm").toString + "/t"
+    (0 until 25).foreach { i =>
+      SnapshotTable.append(
+        spark.range(10L * i, 10L * i + 10).coalesce(1).toDF(), dir,
+        statsCols = Seq("id"))
+    }
+    def manifest(v: Long) = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "_manifests", s"v$v.json")), "UTF-8")
+    // Checkpoint cadence.
+    Seq(0L, 10L, 20L).foreach(v =>
+      assert(manifest(v).contains("\"files\""), s"v$v must be full"))
+    Seq(5L, 15L, 24L).foreach { v =>
+      assert(!manifest(v).contains("\"files\""), s"v$v must be a delta")
+      assert(manifest(v).contains("\"adds\""))
+    }
+    // O(batch): a late delta is no bigger than an early one (+slack),
+    // while the checkpoint grows with the table — the asymmetry IS
+    // the design.
+    val d4 = manifest(4L).length; val d24 = manifest(24L).length
+    assert(d24 <= d4 + 200,
+      s"delta size grew with table size: v4=$d4 bytes, v24=$d24 bytes")
+    assert(manifest(20L).length > 4 * d24,
+      "checkpoint should dwarf a delta on a 20-file table")
+    // Replay correctness: latest and mid-chain time travel both exact.
+    assert(ids(SnapshotTable.read(spark, dir)) == (0L until 250L).toSet)
+    assert(ids(SnapshotTable.read(spark, dir, Some(13L))) ==
+      (0L until 140L).toSet)
+    // Stats survived the delta chain: pruning still works.
+    val (sel, total) = SnapshotTable.pruneFiles(spark, dir, "id", 55L, 55L)
+    assert(total == 25 && sel.size == 1)
+  }
+
+  test("vacuum across a delta chain: horizon checkpointed, window readable, below throws") {
+    val dir = Files.createTempDirectory("graft-snap-vd").toString + "/t"
+    (0 until 15).foreach { i =>
+      SnapshotTable.append(
+        spark.range(10L * i, 10L * i + 10).coalesce(1).toDF(), dir)
+    }
+    // keepVersions=3 keeps v12..v14 — v12 is a DELTA whose chain
+    // roots at the v10 checkpoint, which vacuum is about to delete:
+    // it must first rewrite v12 in self-contained checkpoint form.
+    SnapshotTable.vacuum(spark, dir, keepVersions = 3, minAgeMs = 0L)
+    val kept = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "_manifests", "v12.json")), "UTF-8")
+    assert(kept.contains("\"files\""),
+      "vacuum must checkpoint the oldest kept version before deleting its chain")
+    assert(ids(SnapshotTable.read(spark, dir)) == (0L until 150L).toSet)
+    assert(ids(SnapshotTable.read(spark, dir, Some(12L))) ==
+      (0L until 130L).toSet)
+    intercept[java.io.IOException] {
+      SnapshotTable.read(spark, dir, Some(5L))
+    }
+  }
+
+  test("bloom sidecars: clone carries refs, vacuum GCs orphans, probes survive both") {
+    val src = Files.createTempDirectory("graft-snap-bs").toString + "/s"
+    (0 until 3).foreach { i =>
+      SnapshotTable.append(
+        spark.range(0, 300).filter($"id" % 3 === i).coalesce(1).toDF(),
+        src, statsCols = Seq("id"), bloomCols = Seq("id"))
+    }
+    // The bitsets live in _blooms/ sidecars, not the manifest.
+    val latest = SnapshotTable.latestVersion(spark, src).get
+    val mtext = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(src, "_manifests", s"v$latest.json")), "UTF-8")
+    assert(mtext.contains("\"bloomrefs\"") && !mtext.contains("\"blooms\""))
+    assert(java.nio.file.Files.list(
+      java.nio.file.Paths.get(src, "_blooms")).iterator().asScala
+      .count(_.getFileName.toString.endsWith(".json")) == 3)
+    // A clone probes through the SOURCE's sidecars (absolute refs).
+    val dst = Files.createTempDirectory("graft-snap-bs2").toString + "/c"
+    SnapshotTable.shallowClone(spark, src, dst)
+    val (sel, total) = SnapshotTable.pruneFilesEq(spark, dst, "id", 121L)
+    assert(total == 3 && sel.size == 1,
+      s"clone bloom probe must prune through source sidecars, got ${sel.size}")
+    assert(ids(SnapshotTable.readWhereEq(spark, dst, "id", 121L)) == Set(121L))
+    // Rewrite one file on the SOURCE, then vacuum: the superseded
+    // batch's sidecar becomes orphaned once its manifests age out;
+    // probes against the live snapshot keep working.
+    SnapshotTable.deleteWhere(spark, src, $"id" === 121L)
+    SnapshotTable.vacuum(spark, src, keepVersions = 1, minAgeMs = 0L)
+    val (after, _) = SnapshotTable.pruneFilesEq(spark, src, "id", 122L)
+    assert(after.size == 1)
+    assert(ids(SnapshotTable.readWhereEq(spark, src, "id", 122L)) == Set(122L))
+    val sidecars = java.nio.file.Files.list(
+      java.nio.file.Paths.get(src, "_blooms")).iterator().asScala
+      .count(_.getFileName.toString.endsWith(".json"))
+    assert(sidecars == 3, // 2 surviving originals + the rewrite's
+      s"orphan sidecar should be GC'd, found $sidecars")
   }
 
   test("applyChanges rejects NULL _change tags instead of dropping the rows") {
