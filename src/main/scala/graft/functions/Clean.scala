@@ -93,34 +93,25 @@ object Clean {
     * guard that matches but fails to parse yields NULL and coalesce
     * moves on, exactly like the unguarded chain. */
   private val DateFormatGuards: Seq[(String, String)] = Seq(
+    // Each single-letter day/month pattern ("d", "M") accepts 1-2
+    // digits in Spark's CORRECTED parser, so it SUBSUMES its
+    // double-letter twin ("dd", "MM") — the historical dd/MM variants
+    // (rounds 5-6 carried both) parse the same values on 2-digit
+    // input and only the single-letter form parses 1-digit input, so
+    // keeping just the subsuming form halves the parse attempts per
+    // matched row with bit-identical results. "yyyy-MM-dd" stays
+    // strict deliberately (the declared-subset contract: "2021-3-5"
+    // is NOT a recognized date; its guard hit parse-fails to NULL).
     "yyyy-MM-dd" -> "^\\d{4}-\\d{1,2}-\\d{1,2}$",
     "yyyy/M/d" -> "^\\d{4}/\\d{1,2}/\\d{1,2}$",
-    "MM/dd/yyyy" -> "^\\d{1,2}/\\d{1,2}/\\d{4}$",
     "M/d/yyyy" -> "^\\d{1,2}/\\d{1,2}/\\d{4}$",
-    "MMMM dd, yyyy" -> "^[A-Za-z]+ \\d{1,2}, \\d{4}$",
     "MMMM d, yyyy" -> "^[A-Za-z]+ \\d{1,2}, \\d{4}$",
-    "MMM dd yyyy" -> "^[A-Za-z]+ \\d{1,2} \\d{4}$",
-    "MMM d yyyy" -> "^[A-Za-z]+ \\d{1,2} \\d{4}$",
-    // Round-5 tail: full month name without comma, and dd-Mon-yyyy
-    // (both abbreviated and full month). Still the declared-subset
-    // contract — first format whose guard matches AND parses wins;
-    // a guard hit that fails to parse falls through (the `when`
-    // yields NULL and coalesce continues).
-    "MMMM dd yyyy" -> "^[A-Za-z]+ \\d{1,2} \\d{4}$",
-    "MMMM d yyyy" -> "^[A-Za-z]+ \\d{1,2} \\d{4}$",
-    "dd-MMM-yyyy" -> "^\\d{1,2}-[A-Za-z]{3}-\\d{4}$",
-    "d-MMM-yyyy" -> "^\\d{1,2}-[A-Za-z]{3}-\\d{4}$",
-    "dd-MMMM-yyyy" -> "^\\d{1,2}-[A-Za-z]{4,}-\\d{4}$",
-    "d-MMMM-yyyy" -> "^\\d{1,2}-[A-Za-z]{4,}-\\d{4}$",
-    // Round-6 tail: abbreviated month WITH comma ("Jan 5, 2021" — the
-    // MMMM guards matched it but the full-month format then failed to
-    // parse), and day-first prose ("3 March 2021", which ordinal
-    // stripping also feeds from "3rd March 2021").
-    "MMM dd, yyyy" -> "^[A-Za-z]+ \\d{1,2}, \\d{4}$",
     "MMM d, yyyy" -> "^[A-Za-z]+ \\d{1,2}, \\d{4}$",
-    "dd MMMM yyyy" -> "^\\d{1,2} [A-Za-z]{4,} \\d{4}$",
+    "MMM d yyyy" -> "^[A-Za-z]+ \\d{1,2} \\d{4}$",
+    "MMMM d yyyy" -> "^[A-Za-z]+ \\d{1,2} \\d{4}$",
+    "d-MMM-yyyy" -> "^\\d{1,2}-[A-Za-z]{3}-\\d{4}$",
+    "d-MMMM-yyyy" -> "^\\d{1,2}-[A-Za-z]{4,}-\\d{4}$",
     "d MMMM yyyy" -> "^\\d{1,2} [A-Za-z]{4,} \\d{4}$",
-    "dd MMM yyyy" -> "^\\d{1,2} [A-Za-z]{3} \\d{4}$",
     "d MMM yyyy" -> "^\\d{1,2} [A-Za-z]{3} \\d{4}$")
 
   /** O12: fuzzy date cast over the declared format subset
@@ -129,12 +120,37 @@ object Clean {
     * normalized away BEFORE the format chain — a digit-anchored
     * word-boundary replace (capture-group form, NOT lookbehind, so the
     * DuckDB/RE2 oracle can state the identical rewrite) that is a
-    * no-op on every suffix-free string. */
+    * no-op on every suffix-free string.
+    *
+    * Cost shape (the round-7 close of the "native expression?"
+    * question): the per-row work is guard regex tests + parse
+    * attempts. The guard PATTERNS are mutually exclusive by
+    * construction (digit-led vs alpha-led, comma vs space vs dash
+    * separators), so formats sharing a guard fold into ONE rlike test
+    * feeding their parse chain — at most 9 distinct regex tests per
+    * row instead of 18, with bit-identical results: a string matches
+    * at most one group, and within the group the original format
+    * order is preserved. The remaining per-row cost is Spark's own
+    * try_to_timestamp (already native + codegen'd); hand-rolling the
+    * date grammar as a custom expression would have to reproduce
+    * Spark's exact parser semantics (lenient-mode month names, era
+    * handling) to stay oracle-identical — all risk, no codegen win,
+    * so the grouped-guard composed form is final. */
   def parseFuzzyDate(c: Column): Column = {
     val s = regexp_replace(nullNormalize(trim(c)),
       "(\\d)(st|nd|rd|th)\\b", "$1")
-    coalesce(DateFormatGuards.map { case (f, re) =>
-      when(s.rlike(re), try_to_timestamp(s, lit(f)))
+    // Group formats by identical guard regex, preserving first-format
+    // precedence (guards are mutually exclusive, so inter-group order
+    // is immaterial; intra-group order is kept).
+    val grouped = DateFormatGuards.zipWithIndex
+      .groupBy { case ((_, re), _) => re }
+      .toSeq
+      .sortBy { case (_, members) => members.map(_._2).min }
+      .map { case (re, members) =>
+        re -> members.sortBy(_._2).map { case ((f, _), _) => f } }
+    coalesce(grouped.map { case (re, formats) =>
+      when(s.rlike(re),
+        coalesce(formats.map(f => try_to_timestamp(s, lit(f))): _*))
     }: _*).cast("date")
   }
 }
