@@ -11335,6 +11335,41 @@ object Queries {
     },
     None)
 
+  /** The SnapshotTable SQL READ SURFACE end to end
+    * ([[graft.sources.SnapshotSql]]): snapshot the orders projection
+    * (with o_orderkey stats and an o_custkey Bloom), register it as a
+    * view, and answer a plain `spark.sql` SELECT whose WHERE prunes
+    * files through the manifest — the custom FileIndex receives the
+    * pushed data filters and opens only stats/Bloom-surviving files
+    * (SnapshotSqlSpec pins the file counts; results are exactly the
+    * base table's, which is what the oracle states). This is the
+    * "table format users can query" claim made checkable: same SQL,
+    * same answer, manifest-pruned scan. */
+  private val qSnapshotSql = Q(
+    "q_snapshot_sql",
+    (s, d) => {
+      val dir = snapTmp()
+      graft.sources.SnapshotTable.append(
+        t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice")),
+        dir, statsCols = Seq("o_orderkey"), bloomCols = Seq("o_custkey"))
+      graft.sources.SnapshotTable.compact(s, dir,
+        clusterBy = Seq("o_orderkey"))
+      graft.sources.SnapshotSql.register(s, "q_snap_sql_orders", dir)
+      s.sql("""SELECT o_custkey,
+          count(*) AS n,
+          CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) * 100 AS BIGINT)
+            AS cents
+        FROM q_snap_sql_orders
+        WHERE o_orderkey >= 1000 AND o_orderkey <= 3000
+        GROUP BY o_custkey ORDER BY o_custkey""")
+    },
+    Some("""SELECT o_custkey, count(*) AS n,
+      CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) * 100 AS BIGINT) AS cents
+    FROM orders
+    WHERE o_orderkey >= 1000 AND o_orderkey <= 3000
+    GROUP BY o_custkey ORDER BY o_custkey"""))
+
   /** Z-order layout through
     * [[graft.sources.SnapshotTable.compact]]`(zOrderBy)`: orders
     * lands in an interleaved (unprunable) layout, compaction lays
@@ -11467,7 +11502,7 @@ object Queries {
   val all: Seq[Q] = Seq(
     qSnapshotMerge, qSnapshotDelete, qSnapshotPrune, qSnapshotLookup,
     qSnapshotChanges, qSnapshotReplicate, qSnapshotPartition,
-    qSnapshotZorder, qSnapshotClone, qBpeTrain, qBpeTrainBatched,
+    qSnapshotZorder, qSnapshotClone, qSnapshotSql, qBpeTrain, qBpeTrainBatched,
     qCorpusFunnel, qAnnKmeans, qAnnTrained,
     qResultsTopk, qIngestFilter, qSanitizeIdent, qParseNumber, qParseDate,
     qNullNormalize, qInferType, qJsonExtract, qSchemaEvolution,

@@ -1,0 +1,173 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, EqualTo,
+  Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual,
+  Literal}
+import org.apache.spark.sql.catalyst.types.DataTypeUtils
+import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation,
+  LogicalRelation, PartitionDirectory}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.types.StructType
+
+/** The SQL read surface of [[SnapshotTable]] — the difference between
+  * a table format and a table format users can QUERY: register a
+  * snapshot as a view and `spark.sql("SELECT … WHERE …")` gets
+  * manifest-level data skipping (min/max stats AND Bloom point-lookup
+  * pruning) before Spark's parquet reader ever lists a file.
+  *
+  * Architecture (the public Delta-on-Spark pattern): a custom
+  * [[FileIndex]] is the pluggable file-LISTING layer of Spark's
+  * native parquet relation. [[SnapshotFileIndex.listFiles]] receives
+  * the query's pushed data filters as Catalyst expressions, prunes
+  * the pinned snapshot's manifest file list through the SAME
+  * [[SnapshotTable.pruneFiles]]/[[SnapshotTable.pruneFilesEq]]
+  * decisions the programmatic readers use, and hands Spark only the
+  * surviving files. Everything downstream — column pruning,
+  * row-group skipping, whole-stage codegen — is Spark's
+  * battle-tested parquet scan; pruning here is file-level and
+  * conservative, and Spark still applies the full residual filter,
+  * so results are exactly `read(...).filter(...)`.
+  *
+  * The snapshot is PINNED at registration (the version captured when
+  * the view was created): a concurrent append/compact/vacuum is
+  * invisible to the view — the same snapshot-isolation contract as
+  * [[SnapshotTable.read]]. Re-register to advance. */
+object SnapshotSql {
+
+  /** Build a DataFrame over a snapshot whose scans prune through the
+    * manifest. `version` pins time travel (default: latest). */
+  def dataFrame(spark: SparkSession, dir: String,
+                version: Option[Long] = None): DataFrame = {
+    val v = version.orElse(SnapshotTable.latestVersion(spark, dir)).getOrElse(
+      throw new java.io.IOException(s"SnapshotSql: no committed version under $dir"))
+    val schema = SnapshotTable.manifestSchema(spark, dir, v).getOrElse(
+      SnapshotTable.read(spark, dir, Some(v)).schema)
+    val index = new SnapshotFileIndex(spark, dir, v, schema)
+    val relation = HadoopFsRelation(index, new StructType(), schema, None,
+      new ParquetFileFormat(), Map.empty)(spark)
+    val plan = LogicalRelation(relation,
+      DataTypeUtils.toAttributes(schema), None, isStreaming = false, None)
+    org.apache.spark.sql.GraftSqlBridge.ofRows(spark, plan)
+  }
+
+  /** Register the current (or pinned) snapshot as a temp view, so
+    * plain `spark.sql` queries read it with manifest pruning. Returns
+    * the pinned version. */
+  def register(spark: SparkSession, name: String, dir: String,
+               version: Option[Long] = None): Long = {
+    val v = version.orElse(SnapshotTable.latestVersion(spark, dir)).getOrElse(
+      throw new java.io.IOException(s"SnapshotSql: no committed version under $dir"))
+    dataFrame(spark, dir, Some(v)).createOrReplaceTempView(name)
+    v
+  }
+}
+
+/** Manifest-backed [[FileIndex]] over one pinned snapshot version.
+  * Thread-safety: the pruning inputs are immutable snapshot state;
+  * `lastDecision` is advisory observability for specs. */
+final class SnapshotFileIndex(spark: SparkSession, dir: String, version: Long,
+                              schema: StructType) extends FileIndex {
+
+  private val fs = new Path(dir)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Manifest-relative key → FileStatus, resolved once at pin time
+    * (one driver-side status per file — the same control-plane cost
+    * every manifest reader pays; at scale the manifest would also
+    * carry file sizes to skip even this). */
+  private val statuses: Map[String, FileStatus] = {
+    SnapshotTable.manifestFiles(spark, dir, version).map { key =>
+      val p = if (key.startsWith("data/")) new Path(dir, key) else new Path(key)
+      key -> fs.getFileStatus(p)
+    }.toMap
+  }
+
+  /** (selected, total) of the most recent listFiles pruning decision —
+    * the observability hook PlanSpec pins file-level skipping on. */
+  @volatile var lastDecision: (Int, Int) = (-1, -1)
+
+  override def rootPaths: Seq[Path] = Seq(new Path(dir))
+  override def partitionSchema: StructType = new StructType()
+  override def inputFiles: Array[String] =
+    statuses.values.map(_.getPath.toString).toArray
+  override def refresh(): Unit = () // pinned snapshot: nothing to refresh
+  override def sizeInBytes: Long = statuses.values.map(_.getLen).sum
+
+  override def listFiles(partitionFilters: Seq[Expression],
+                         dataFilters: Seq[Expression]
+                        ): Seq[PartitionDirectory] = {
+    // Conjunctive bound extraction: each top-level conjunct that is a
+    // simple <attr> <op> <literal> comparison prunes independently and
+    // the selections intersect; anything else is ignored (kept files,
+    // never dropped — pruning stays conservative, Spark applies the
+    // full residual).
+    val conjuncts = dataFilters.flatMap(splitAnd)
+    var selected: Set[String] = statuses.keySet
+    conjuncts.foreach {
+      case Eq(c, v) =>
+        selected = selected.intersect(
+          SnapshotTable.pruneFilesEq(spark, dir, c, v, Some(version))._1.toSet)
+      case Range(c, lo, hi) =>
+        selected = selected.intersect(SnapshotTable.pruneFilesBounds(
+          spark, dir, c, lo, hi, Some(version))._1.toSet)
+      case _ => () // unrecognized shape: never prunes
+    }
+    lastDecision = (selected.size, statuses.size)
+    Seq(PartitionDirectory(InternalRow.empty,
+      selected.toSeq.sorted.map(statuses).toArray[FileStatus]))
+  }
+
+  private def splitAnd(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitAnd(l) ++ splitAnd(r)
+    case other => Seq(other)
+  }
+
+  /** `<attr> = <literal>` in either order. */
+  private object Eq {
+    def unapply(e: Expression): Option[(String, Any)] = e match {
+      case EqualTo(a: Attribute, Literal(v, _)) if v != null =>
+        Some(a.name -> toScala(v))
+      case EqualTo(Literal(v, _), a: Attribute) if v != null =>
+        Some(a.name -> toScala(v))
+      case _ => None
+    }
+  }
+
+  /** `<attr> <cmp> <literal>` (either order) as an inclusive bound —
+    * strict comparisons keep the inclusive bound (conservative: at
+    * worst one extra file kept, never one wrongly skipped). */
+  private object Range {
+    def unapply(e: Expression): Option[(String, Option[Any], Option[Any])] =
+      e match {
+        case GreaterThanOrEqual(a: Attribute, Literal(v, _)) if v != null =>
+          Some((a.name, Some(toScala(v)), None))
+        case GreaterThan(a: Attribute, Literal(v, _)) if v != null =>
+          Some((a.name, Some(toScala(v)), None))
+        case LessThanOrEqual(a: Attribute, Literal(v, _)) if v != null =>
+          Some((a.name, None, Some(toScala(v))))
+        case LessThan(a: Attribute, Literal(v, _)) if v != null =>
+          Some((a.name, None, Some(toScala(v))))
+        case GreaterThanOrEqual(Literal(v, _), a: Attribute) if v != null =>
+          Some((a.name, None, Some(toScala(v))))
+        case GreaterThan(Literal(v, _), a: Attribute) if v != null =>
+          Some((a.name, None, Some(toScala(v))))
+        case LessThanOrEqual(Literal(v, _), a: Attribute) if v != null =>
+          Some((a.name, Some(toScala(v)), None))
+        case LessThan(Literal(v, _), a: Attribute) if v != null =>
+          Some((a.name, Some(toScala(v)), None))
+        case _ => None
+      }
+  }
+
+  /** Catalyst literal values → the JVM types the pruning canon
+    * understands (UTF8String → String; Decimal → BigDecimal; date/ts
+    * internal ints/longs pass through canonBound's Number arm). */
+  private def toScala(v: Any): Any = v match {
+    case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+    case d: org.apache.spark.sql.types.Decimal => d.toJavaBigDecimal
+    case other => other
+  }
+}

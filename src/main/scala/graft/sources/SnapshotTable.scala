@@ -953,7 +953,15 @@ object SnapshotTable {
     * pin how many files a predicate actually touches. */
   def pruneFiles(spark: SparkSession, dir: String, column: String,
                  lower: Any, upper: Any,
-                 version: Option[Long] = None): (Seq[String], Int) = {
+                 version: Option[Long] = None): (Seq[String], Int) =
+    pruneFilesBounds(spark, dir, column, Some(lower), Some(upper), version)
+
+  /** [[pruneFiles]] with OPEN sides: None on a side never excludes a
+    * file on that side — `column >= v` prunes as (Some(v), None).
+    * The shape [[SnapshotSql]]'s one-sided SQL predicates need. */
+  def pruneFilesBounds(spark: SparkSession, dir: String, column: String,
+                       lower: Option[Any], upper: Option[Any],
+                       version: Option[Long] = None): (Seq[String], Int) = {
     val v = version.orElse(latestVersion(spark, dir)).getOrElse(
       throw new java.io.IOException(s"pruneFiles: no committed version under $dir"))
     val files = manifestFiles(spark, dir, v)
@@ -962,12 +970,19 @@ object SnapshotTable {
       stats.get(file).flatMap(_.get(column)) match {
         case None => true
         case Some(st) =>
-          (for {
-            lo <- canonBound(st.tag, lower)
-            hi <- canonBound(st.tag, upper)
-            cMaxLo <- statCompare(st.tag, st.max, lo)
-            cMinHi <- statCompare(st.tag, st.min, hi)
-          } yield cMaxLo >= 0 && cMinHi <= 0).getOrElse(true)
+          val okLo = lower.forall { l =>
+            (for {
+              lo <- canonBound(st.tag, l)
+              cMaxLo <- statCompare(st.tag, st.max, lo)
+            } yield cMaxLo >= 0).getOrElse(true)
+          }
+          val okHi = upper.forall { h =>
+            (for {
+              hi <- canonBound(st.tag, h)
+              cMinHi <- statCompare(st.tag, st.min, hi)
+            } yield cMinHi <= 0).getOrElse(true)
+          }
+          okLo && okHi
       }
     }
     (selected, files.length)
