@@ -257,6 +257,77 @@ object Similarity {
                       path: String): Option[Int] =
     readQuantizer(spark, path).collect { case SignQuantizer(b) => b }
 
+  /** Initialize an EXACTLY-ONCE streaming ANN index: a
+    * [[graft.sources.SnapshotTable]] whose rows are (vec_id, v, nrm,
+    * cell) hidden-partitioned by cell, with the trained quantizer in
+    * the index sidecar. Appends go through the table's transaction
+    * ledger ([[appendIvfSnapshot]]) so replayed micro-batches are
+    * manifest no-ops — the at-least-once caveat the plain
+    * [[appendIvf]] layout carries is closed here. */
+  def initIvfSnapshot(spark: org.apache.spark.sql.SparkSession,
+                      dir: String,
+                      centroids: Array[Array[Long]]): Unit = {
+    require(centroids.nonEmpty && centroids.forall(_.length == centroids.head.length),
+      "initIvfSnapshot: centroids must be a non-empty rectangular matrix")
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).mkdirs(p)
+    writeTrainedSidecar(spark, dir, centroids)
+  }
+
+  /** EXACTLY-ONCE delta append into an [[initIvfSnapshot]] table:
+    * quantize the delta with the sidecar's recorded centroids,
+    * transactionally append partitioned by cell. A replayed
+    * (appId, txnVersion) returns None and changes nothing — the
+    * Structured Streaming foreachBatch contract
+    * ([[graft.streaming.AnnIngest.startExactlyOnce]] is the sink). */
+  def appendIvfSnapshot(delta: DataFrame, dir: String,
+                        appId: String, txnVersion: Long): Option[Long] = {
+    val spark = delta.sparkSession
+    val cents = readQuantizer(spark, dir) match {
+      case Some(TrainedQuantizer(c)) => c
+      case other => throw new IllegalStateException(
+        s"appendIvfSnapshot: $dir is not an initIvfSnapshot layout " +
+          s"(quantizer: $other)")
+    }
+    val assigned = prep(delta)
+      .withColumn("cell", Kmeans.cellIdExpr(Kmeans.quantize(col("v")), cents))
+    graft.sources.SnapshotTable.transactionalAppendPartitioned(
+      assigned, dir, partitionBy = Seq("cell"), appId, txnVersion)
+  }
+
+  /** Multi-probe top-k over an [[initIvfSnapshot]] table: query rows
+    * rank the sidecar centroids; the DISTINCT probed cells (a
+    * |queries|×probes-bounded control-plane set) resolve to files
+    * through the manifest's per-file cell stats — hidden
+    * partitioning makes min==max per file, so the probe opens
+    * EXACTLY the owning files, no directory listing, no runtime
+    * filter. Same scoring/tie-break as every other search variant;
+    * snapshot isolation comes free from the manifest read. */
+  def ivfTopKSnapshot(spark: org.apache.spark.sql.SparkSession,
+                      dir: String, queryPred: Column,
+                      k: Int = 5, probes: Int = 1): DataFrame = {
+    val cents = readQuantizer(spark, dir) match {
+      case Some(TrainedQuantizer(c)) => c
+      case other => throw new IllegalStateException(
+        s"ivfTopKSnapshot: $dir is not an initIvfSnapshot layout " +
+          s"(quantizer: $other)")
+    }
+    val table = graft.sources.SnapshotTable.read(spark, dir)
+    val queries = table.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"),
+        explode(Kmeans.nearestCellsExpr(
+          Kmeans.quantize(col("v")), cents, probes)).as("qcell"))
+    val probeCells = queries.select("qcell").distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    val base = probeCells
+      .map(c => graft.sources.SnapshotTable.readWhereEq(spark, dir, "cell", c))
+      .reduceOption(_ unionByName _)
+      .getOrElse(table.filter(lit(false)))
+    scoredTopK(base, broadcast(queries),
+      col("cell") === col("qcell") && col("vec_id") =!= col("query_id"), k)
+  }
+
   /** MULTI-PROBE top-k over a [[writeIvfIndexTrained]] layout — the
     * production ANN read path: each query ranks the sidecar's
     * centroids (control-plane k), scans its `probes` nearest cells

@@ -755,7 +755,7 @@ object SnapshotTable {
     val (added, addedStats, addedRefs) =
       writeBatch(df, dir, statsCols, bloomCols)
     commitAppend(spark, dir, df.schema, added, addedStats, addedRefs,
-      bloomCols, maxRetries, "append")
+      bloomCols, maxRetries, "append").get // non-txn append never no-ops
   }
 
   /** The optimistic append commit loop, shared by every
@@ -767,13 +767,18 @@ object SnapshotTable {
                            addedStats: Map[String, Map[String, ColStat]],
                            addedRefs: Map[String, String],
                            addedBloomCols: Seq[String],
-                           maxRetries: Int, op: String): Long = {
+                           maxRetries: Int, op: String,
+                           txn: Option[(String, Long)] = None): Option[Long] = {
     var attempt = 0
     while (attempt < maxRetries) {
       val base = latestVersion(spark, dir)
       val st = base.map(stateOf(spark, dir, _))
       val prev = st.map(_.files).getOrElse(Nil)
       val txns = st.map(_.txns).getOrElse(Map.empty)
+      txn.foreach { case (appId, tv) =>
+        if (txns.getOrElse(appId, Long.MinValue) >= tv)
+          return None // a racing replay won; our files stay orphaned
+      }
       val stats = st.map(_.stats).getOrElse(Map.empty)
       val refs = st.map(_.bloomRefs).getOrElse(Map.empty)
       val bcols = (st.map(_.bloomCols).getOrElse(Nil) ++ addedBloomCols).distinct
@@ -781,9 +786,10 @@ object SnapshotTable {
         .map(evolveSchema(_, dfSchema))
         .getOrElse(evolveSchema(new StructType(), dfSchema))
       val v = base.getOrElse(-1L) + 1
-      if (tryCommit(spark, dir, v, prev ++ added, txns, stats ++ addedStats,
+      if (tryCommit(spark, dir, v, prev ++ added,
+          txn.fold(txns)(txns + _), stats ++ addedStats,
           Some(unified), refs ++ addedRefs, bcols))
-        return v
+        return Some(v)
       attempt += 1 // lost the race: re-read the new latest and retry
     }
     throw new java.io.IOException(
@@ -835,7 +841,57 @@ object SnapshotTable {
     val refs = writeBloomSidecar(spark, dir, batch,
       computeBlooms(spark, batchDir, bloomCols))
     commitAppend(spark, dir, df.schema, added, stats, refs, bloomCols,
-      maxRetries, "appendPartitioned")
+      maxRetries, "appendPartitioned").get // non-txn append never no-ops
+  }
+
+  /** EXACTLY-ONCE [[appendPartitioned]] — the transactional-ledger
+    * twin ([[transactionalAppend]]'s contract) for partitioned
+    * layouts: a replayed (appId, txnVersion) is a manifest no-op
+    * (None; its data files stay as vacuumable orphans), so a
+    * Structured Streaming foreachBatch that routes rows into
+    * partition-disciplined files lands each micro-batch exactly once
+    * across checkpoint-recovery replays. The shape the streaming ANN
+    * index needs: cells as hidden partitions, replays no-ops. */
+  def transactionalAppendPartitioned(df: DataFrame, dir: String,
+                                     partitionBy: Seq[String],
+                                     appId: String, txnVersion: Long,
+                                     statsCols: Seq[String] = Nil,
+                                     bloomCols: Seq[String] = Nil,
+                                     maxRetries: Int = 20): Option[Long] = {
+    require(appId.nonEmpty,
+      "transactionalAppendPartitioned: appId must be non-empty")
+    require(partitionBy.nonEmpty,
+      "transactionalAppendPartitioned: at least one partition column required")
+    val spark = df.sparkSession
+    // Cheap pre-check saves the data write on the common replay path;
+    // the authoritative check re-runs inside the commit loop.
+    val pre = latestVersion(spark, dir)
+      .map(manifestTxns(spark, dir, _)).getOrElse(Map.empty)
+    if (pre.getOrElse(appId, Long.MinValue) >= txnVersion) return None
+    partitionBy.foreach { c =>
+      require(df.columns.contains(c),
+        s"transactionalAppendPartitioned: no such column $c")
+      require(statTag(df.schema(c).dataType).nonEmpty,
+        s"transactionalAppendPartitioned: column $c " +
+          s"(${df.schema(c).dataType.simpleString}) cannot carry pruning stats")
+    }
+    latestVersion(spark, dir).flatMap(manifestSchema(spark, dir, _))
+      .foreach(evolveSchema(_, df.schema))
+    val f = fs(spark, dir)
+    val batch = java.util.UUID.randomUUID().toString
+    val batchDir = new Path(dir, s"data/$batch")
+    val routed = partitionBy.foldLeft(df)((d, c) =>
+      d.withColumn(s"__pv_$c", col(c)))
+    routed.write.partitionBy(partitionBy.map(c => s"__pv_$c"): _*)
+      .parquet(batchDir.toString)
+    val added = listParquetRec(f, batchDir).map(p => manifestKey(dir, p.toString))
+    val stats = computeStats(spark, batchDir,
+      (partitionBy ++ statsCols).distinct)
+    val refs = writeBloomSidecar(spark, dir, batch,
+      computeBlooms(spark, batchDir, bloomCols))
+    commitAppend(spark, dir, df.schema, added, stats, refs, bloomCols,
+      maxRetries, "transactionalAppendPartitioned",
+      txn = Some(appId -> txnVersion))
   }
 
   private def listParquetRec(f: FileSystem, p: Path): Seq[Path] = {

@@ -41,4 +41,28 @@ object AnnIngest {
         Similarity.appendIvf(batch, indexPath)
       }
       .start()
+
+  /** EXACTLY-ONCE streaming ANN ingest — [[start]]'s at-least-once
+    * caveat closed: the index is a
+    * [[graft.sources.SnapshotTable]] ([[Similarity.initIvfSnapshot]]
+    * layout) and each micro-batch lands through
+    * [[Similarity.appendIvfSnapshot]] under the table's per-appId
+    * transaction ledger with batchId as the transaction version — a
+    * checkpoint-recovery replay of any micro-batch is a manifest
+    * no-op (its rewritten data files stay as vacuumable orphans), so
+    * the index holds each vector exactly once with NO downstream
+    * dedup requirement. Probes ([[Similarity.ivfTopKSnapshot]]) are
+    * snapshot-isolated manifest reads pruned to the probed cells.
+    * EventStreamsSpec pins replay no-ops and batch-split
+    * invariance. */
+  def startExactlyOnce(vectors: DataFrame, tableDir: String,
+                       appId: String,
+                       checkpointPath: String): StreamingQuery =
+    vectors.writeStream
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        Similarity.appendIvfSnapshot(batch, tableDir, appId, batchId)
+        ()
+      }
+      .start()
 }

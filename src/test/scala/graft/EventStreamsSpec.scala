@@ -545,4 +545,69 @@ class EventStreamsSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS doi_idx_grams")
     }
   }
+
+  test("ann-ingest exactly-once: snapshot-ledgered IVF — replays are no-ops, probe exact") {
+    // The streaming ANN index through the SnapshotTable transaction
+    // ledger: micro-batches land exactly once (a replayed batchId is
+    // a manifest no-op), and the multi-probe snapshot read over all
+    // cells equals brute force over exactly the streamed vectors.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ann-eo")
+      .toString + "/t"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ann-eock").toString
+    val cents = graft.operators.Kmeans.train(emb, 8, 2)
+    graft.operators.Similarity.initIvfSnapshot(spark, dir, cents)
+    val rows = emb.select("vec_id", "embedding").as[(Long, Array[Float])]
+      .collect().sortBy(_._1)
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = graft.streaming.AnnIngest.startExactlyOnce(
+      input.toDF().toDF("vec_id", "embedding"), dir, "ann-eo", ckpt)
+    try {
+      input.addData(b1.toSeq: _*); q.processAllAvailable()
+      input.addData(b2.toSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+    val vBefore = graft.sources.SnapshotTable.latestVersion(spark, dir).get
+    val nBefore = graft.sources.SnapshotTable.read(spark, dir).count()
+    assert(nBefore == rows.length.toLong)
+    // Checkpoint-recovery replay of micro-batch 0: manifest no-op.
+    val replay = b1.toSeq.toDF("vec_id", "embedding")
+    assert(graft.operators.Similarity
+      .appendIvfSnapshot(replay, dir, "ann-eo", 0L).isEmpty)
+    assert(graft.sources.SnapshotTable.latestVersion(spark, dir)
+      .contains(vBefore))
+    assert(graft.sources.SnapshotTable.read(spark, dir).count() == nBefore)
+    // A NEW transaction version still lands (the ledger is per-app
+    // monotone, not frozen) — and is itself replay-proof.
+    val extra = Seq((5000000L, rows.head._2)).toDF("vec_id", "embedding")
+    assert(graft.operators.Similarity
+      .appendIvfSnapshot(extra, dir, "ann-eo", 99L).nonEmpty)
+    assert(graft.operators.Similarity
+      .appendIvfSnapshot(extra, dir, "ann-eo", 99L).isEmpty)
+    // Probing every cell over the snapshot equals brute force over
+    // exactly the landed vectors (streamed + the one extra).
+    def rset(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "cand_id", "cos_sim", "rk").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+        .toSet
+    val got = rset(graft.operators.Similarity.ivfTopKSnapshot(
+      spark, dir, col("vec_id") < 8, k = 5, probes = cents.length))
+    val want = rset(graft.operators.Similarity.bruteTopK(
+      emb.select(col("vec_id"), col("embedding"))
+        .unionByName(extra), col("vec_id") < 8, k = 5))
+    assert(want.nonEmpty && got == want,
+      s"snapshot probe != brute force, e.g. ${(got -- want).take(3)}")
+    // Single-probe is manifest-pruned: strictly fewer files open than
+    // the full table holds (hidden partitioning: min==max per file).
+    val (sel, tot) = graft.sources.SnapshotTable.pruneFilesEq(
+      spark, dir, "cell",
+      graft.operators.Kmeans.assign(
+        emb.limit(1).select(col("vec_id"),
+          graft.operators.Kmeans.quantize(col("embedding")).as("qv")),
+        cents).select("cid").head().getInt(0))
+    assert(sel.size < tot, s"cell probe should prune files: $sel of $tot")
+  }
 }
