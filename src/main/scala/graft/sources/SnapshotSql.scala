@@ -74,14 +74,19 @@ final class SnapshotFileIndex(spark: SparkSession, dir: String, version: Long,
   private val fs = new Path(dir)
     .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** Manifest-relative key → FileStatus, resolved once at pin time
-    * (one driver-side status per file — the same control-plane cost
-    * every manifest reader pays; at scale the manifest would also
-    * carry file sizes to skip even this). */
+  /** Manifest-relative key → FileStatus, built from the MANIFEST's
+    * recorded per-file sizes — zero filesystem RPCs on the planning
+    * path (the manifest-only-planning property object stores need;
+    * modification time is irrelevant to a pinned-snapshot read and
+    * stamps 0). Files a pre-sizes writer committed fall back to one
+    * getFileStatus each. */
   private val statuses: Map[String, FileStatus] = {
+    val sizes = SnapshotTable.manifestSizes(spark, dir, version)
     SnapshotTable.manifestFiles(spark, dir, version).map { key =>
       val p = if (key.startsWith("data/")) new Path(dir, key) else new Path(key)
-      key -> fs.getFileStatus(p)
+      key -> sizes.get(key)
+        .map(len => new FileStatus(len, false, 1, len, 0L, p))
+        .getOrElse(fs.getFileStatus(p))
     }.toMap
   }
 

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{coalesce, col, greatest, input_file_name, least, lit, max, min, not, shiftleft, shiftright}
 import org.apache.spark.sql.types._
@@ -147,7 +147,8 @@ object SnapshotTable {
       bloomRefs: Map[String, String],
       bloomCols: Seq[String],
       legacyBlooms: Map[String, Map[String, Array[Byte]]],
-      schema: Option[StructType])
+      schema: Option[StructType],
+      sizes: Map[String, Long])
 
   /** Bounded cache of resolved states — states are immutable, so the
     * only concern is size. Keyed by (table dir, version). */
@@ -254,6 +255,18 @@ object SnapshotTable {
     b.result()
   }
 
+  private def sizesOf(n: com.fasterxml.jackson.databind.JsonNode
+                     ): Map[String, Long] = {
+    val t = n.get("sizes")
+    if (t == null) Map.empty
+    else {
+      val it = t.fieldNames()
+      val b = Map.newBuilder[String, Long]
+      while (it.hasNext) { val k = it.next(); b += k -> t.get(k).asLong }
+      b.result()
+    }
+  }
+
   private def schemaOf(n: com.fasterxml.jackson.databind.JsonNode
                       ): Option[StructType] = {
     val s = n.get("schema")
@@ -278,7 +291,8 @@ object SnapshotTable {
       files = if (n.get("files") != null) strSeq(n, "files")
               else strSeq(n, "adds"),
       txns = txnsOf(n), stats = statsOf(n), bloomRefs = refs,
-      bloomCols = cols, legacyBlooms = legacy, schema = schemaOf(n))
+      bloomCols = cols, legacyBlooms = legacy, schema = schemaOf(n),
+      sizes = sizesOf(n))
   }
 
   private def deltaState(parent: TableState,
@@ -296,7 +310,8 @@ object SnapshotTable {
         case cs => cs
       },
       legacyBlooms = parent.legacyBlooms -- removes,
-      schema = schemaOf(n).orElse(parent.schema))
+      schema = schemaOf(n).orElse(parent.schema),
+      sizes = (parent.sizes -- removes) ++ sizesOf(n))
   }
 
   /** The file list of a version (relative paths). */
@@ -361,6 +376,14 @@ object SnapshotTable {
   def manifestSchema(spark: SparkSession, dir: String,
                      v: Long): Option[StructType] =
     stateOf(spark, dir, v).schema
+
+  /** Per-file byte sizes a version's manifest records (absent for
+    * files committed by pre-r7 writers) — what lets planners build
+    * their file listing from the manifest alone, with zero
+    * per-file filesystem RPCs. */
+  def manifestSizes(spark: SparkSession, dir: String,
+                    v: Long): Map[String, Long] =
+    stateOf(spark, dir, v).sizes
 
   // ------------------------------------------------------------------
   // Bloom sidecars
@@ -475,7 +498,8 @@ object SnapshotTable {
                         stats: Map[String, Map[String, ColStat]] = Map.empty,
                         schema: Option[StructType] = None,
                         bloomRefs: Map[String, String] = Map.empty,
-                        bloomCols: Seq[String] = Nil
+                        bloomCols: Seq[String] = Nil,
+                        sizes: Map[String, Long] = Map.empty
                        ): Boolean = commitLock.synchronized {
     val f = fs(spark, dir)
     f.mkdirs(manifestDir(dir))
@@ -483,7 +507,7 @@ object SnapshotTable {
     if (f.exists(target)) return false
     val full = v == 0L || v % CheckpointEvery == 0L
     val body = manifestBody(spark, dir, v, full, files, txns, stats,
-      schema, bloomRefs, bloomCols)
+      schema, bloomRefs, bloomCols, sizes)
     val tmp = new Path(manifestDir(dir),
       s".v$v.${java.util.UUID.randomUUID()}.tmp")
     val out = f.create(tmp, false)
@@ -502,7 +526,8 @@ object SnapshotTable {
                            stats: Map[String, Map[String, ColStat]],
                            schema: Option[StructType],
                            bloomRefs: Map[String, String],
-                           bloomCols: Seq[String]): String = {
+                           bloomCols: Seq[String],
+                           sizes: Map[String, Long]): String = {
     val root = new java.util.LinkedHashMap[String, Object]()
     root.put("version", java.lang.Long.valueOf(v))
     schema.foreach(st => root.put("schema", mapper.readTree(st.json)))
@@ -533,6 +558,16 @@ object SnapshotTable {
         m.toSeq.sortBy(_._1).foreach { case (file, ref) => bj.put(file, ref) }
         root.put("bloomrefs", bj)
       }
+    // Per-file byte sizes: planners (SnapshotFileIndex, compact) read
+    // them from the manifest instead of paying one filesystem RPC per
+    // file — the manifest-only-planning property object stores need.
+    def putSizes(m: Map[String, Long]): Unit =
+      if (m.nonEmpty) {
+        val zj = new java.util.LinkedHashMap[String, Object]()
+        m.toSeq.sortBy(_._1).foreach { case (file, n) =>
+          zj.put(file, java.lang.Long.valueOf(n)) }
+        root.put("sizes", zj)
+      }
     if (bloomCols.nonEmpty) {
       val cj = new java.util.ArrayList[String]()
       bloomCols.distinct.sorted.foreach(cj.add)
@@ -544,6 +579,7 @@ object SnapshotTable {
       root.put("files", fj)
       putStats(stats.view.filterKeys(fileSet).toMap)
       putRefs(bloomRefs.view.filterKeys(fileSet).toMap)
+      putSizes(sizes.view.filterKeys(fileSet).toMap)
     } else {
       val parent = stateOf(spark, dir, v - 1)
       val parentSet = parent.files.toSet
@@ -557,6 +593,7 @@ object SnapshotTable {
       root.put("removes", rj)
       putStats(stats.view.filterKeys(adds.toSet).toMap)
       putRefs(bloomRefs.view.filterKeys(adds.toSet).toMap)
+      putSizes(sizes.view.filterKeys(adds.toSet).toMap)
     }
     mapper.writeValueAsString(root)
   }
@@ -752,10 +789,11 @@ object SnapshotTable {
     // re-runs against whatever manifest the commit loop lands on).
     latestVersion(spark, dir).flatMap(manifestSchema(spark, dir, _))
       .foreach(evolveSchema(_, df.schema))
-    val (added, addedStats, addedRefs) =
+    val (added, addedStats, addedRefs, addedSizes) =
       writeBatch(df, dir, statsCols, bloomCols)
     commitAppend(spark, dir, df.schema, added, addedStats, addedRefs,
-      bloomCols, maxRetries, "append").get // non-txn append never no-ops
+      bloomCols, maxRetries, "append",
+      addedSizes = addedSizes).get // non-txn append never no-ops
   }
 
   /** The optimistic append commit loop, shared by every
@@ -768,7 +806,9 @@ object SnapshotTable {
                            addedRefs: Map[String, String],
                            addedBloomCols: Seq[String],
                            maxRetries: Int, op: String,
-                           txn: Option[(String, Long)] = None): Option[Long] = {
+                           txn: Option[(String, Long)] = None,
+                           addedSizes: Map[String, Long] = Map.empty
+                          ): Option[Long] = {
     var attempt = 0
     while (attempt < maxRetries) {
       val base = latestVersion(spark, dir)
@@ -788,7 +828,8 @@ object SnapshotTable {
       val v = base.getOrElse(-1L) + 1
       if (tryCommit(spark, dir, v, prev ++ added,
           txn.fold(txns)(txns + _), stats ++ addedStats,
-          Some(unified), refs ++ addedRefs, bcols))
+          Some(unified), refs ++ addedRefs, bcols,
+          st.map(_.sizes).getOrElse(Map.empty) ++ addedSizes))
         return Some(v)
       attempt += 1 // lost the race: re-read the new latest and retry
     }
@@ -835,13 +876,17 @@ object SnapshotTable {
       d.withColumn(s"__pv_$c", col(c)))
     routed.write.partitionBy(partitionBy.map(c => s"__pv_$c"): _*)
       .parquet(batchDir.toString)
-    val added = listParquetRec(f, batchDir).map(p => manifestKey(dir, p.toString))
+    val listed = listParquetRec(f, batchDir)
+    val added = listed.map(st => manifestKey(dir, st.getPath.toString))
+    val sizes = listed.map(st =>
+      manifestKey(dir, st.getPath.toString) -> st.getLen).toMap
     val stats = computeStats(spark, batchDir,
       (partitionBy ++ statsCols).distinct)
     val refs = writeBloomSidecar(spark, dir, batch,
       computeBlooms(spark, batchDir, bloomCols))
     commitAppend(spark, dir, df.schema, added, stats, refs, bloomCols,
-      maxRetries, "appendPartitioned").get // non-txn append never no-ops
+      maxRetries, "appendPartitioned",
+      addedSizes = sizes).get // non-txn append never no-ops
   }
 
   /** EXACTLY-ONCE [[appendPartitioned]] — the transactional-ledger
@@ -884,23 +929,26 @@ object SnapshotTable {
       d.withColumn(s"__pv_$c", col(c)))
     routed.write.partitionBy(partitionBy.map(c => s"__pv_$c"): _*)
       .parquet(batchDir.toString)
-    val added = listParquetRec(f, batchDir).map(p => manifestKey(dir, p.toString))
+    val listed = listParquetRec(f, batchDir)
+    val added = listed.map(st => manifestKey(dir, st.getPath.toString))
+    val sizes = listed.map(st =>
+      manifestKey(dir, st.getPath.toString) -> st.getLen).toMap
     val stats = computeStats(spark, batchDir,
       (partitionBy ++ statsCols).distinct)
     val refs = writeBloomSidecar(spark, dir, batch,
       computeBlooms(spark, batchDir, bloomCols))
     commitAppend(spark, dir, df.schema, added, stats, refs, bloomCols,
       maxRetries, "transactionalAppendPartitioned",
-      txn = Some(appId -> txnVersion))
+      txn = Some(appId -> txnVersion), addedSizes = sizes)
   }
 
-  private def listParquetRec(f: FileSystem, p: Path): Seq[Path] = {
+  private def listParquetRec(f: FileSystem, p: Path): Seq[FileStatus] = {
     val it = f.listFiles(p, true)
-    val b = Seq.newBuilder[Path]
+    val b = Seq.newBuilder[FileStatus]
     while (it.hasNext) {
       val s = it.next()
       if (s.isFile && s.getPath.getName.endsWith(".parquet"))
-        b += s.getPath
+        b += s
     }
     b.result()
   }
@@ -912,21 +960,23 @@ object SnapshotTable {
                          statsCols: Seq[String],
                          bloomCols: Seq[String] = Nil
                         ): (Seq[String], Map[String, Map[String, ColStat]],
-                            Map[String, String]) = {
+                            Map[String, String], Map[String, Long]) = {
     val spark = df.sparkSession
     val f = fs(spark, dir)
     val batch = java.util.UUID.randomUUID().toString
     val batchDir = new Path(dir, s"data/$batch")
     df.write.parquet(batchDir.toString)
-    val added = f.listStatus(batchDir).toSeq
+    val listed = f.listStatus(batchDir).toSeq
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-      .map(s => s"data/$batch/${s.getPath.getName}")
+    val added = listed.map(s => s"data/$batch/${s.getPath.getName}")
+    val sizes = listed.map(s =>
+      s"data/$batch/${s.getPath.getName}" -> s.getLen).toMap
     val stats = computeStats(spark, batchDir, statsCols)
     // Bitsets land in the batch's sidecar file; the manifest only ever
     // carries the path-sized refs.
     val refs = writeBloomSidecar(spark, dir, batch,
       computeBlooms(spark, batchDir, bloomCols))
-    (added, stats, refs)
+    (added, stats, refs, sizes)
   }
 
   /** EXACTLY-ONCE append for replayable writers (the Structured
@@ -952,7 +1002,7 @@ object SnapshotTable {
     val pre = latestVersion(spark, dir)
       .map(manifestTxns(spark, dir, _)).getOrElse(Map.empty)
     if (pre.getOrElse(appId, Long.MinValue) >= txnVersion) return None
-    val (added, addedStats, addedRefs) =
+    val (added, addedStats, addedRefs, addedSizes) =
       writeBatch(df, dir, statsCols, bloomCols)
     var attempt = 0
     while (attempt < maxRetries) {
@@ -971,7 +1021,8 @@ object SnapshotTable {
       val v = base.getOrElse(-1L) + 1
       if (tryCommit(spark, dir, v, prev ++ added,
           txns + (appId -> txnVersion), stats ++ addedStats,
-          Some(unified), refs ++ addedRefs, bcols)) return Some(v)
+          Some(unified), refs ++ addedRefs, bcols,
+          st.map(_.sizes).getOrElse(Map.empty) ++ addedSizes)) return Some(v)
       attempt += 1
     }
     throw new java.io.IOException(
@@ -1215,7 +1266,11 @@ object SnapshotTable {
       throw new java.io.IOException(s"compact: no committed version under $dir"))
     val old = manifestFiles(spark, dir, base)
     if (old.isEmpty) return None
-    val totalBytes = old.map(p => f.getFileStatus(new Path(dir, p)).getLen).sum
+    val baseSizes = stateOf(spark, dir, base).sizes
+    // Manifest sizes when recorded (every writer since r7); RPC
+    // fallback per legacy file.
+    val totalBytes = old.map(p => baseSizes.getOrElse(p,
+      f.getFileStatus(new Path(dir, p)).getLen)).sum
     val nTarget = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
     if (old.length <= nTarget && clusterBy.isEmpty && zOrderBy.isEmpty)
       return None
@@ -1241,6 +1296,10 @@ object SnapshotTable {
     val rewritten = f.listStatus(batchDir).toSeq
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
       .map(s => s"data/$batch/${s.getPath.getName}")
+    val rewrittenList = f.listStatus(batchDir).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+    val rewrittenSizes = rewrittenList.map(st =>
+      s"data/$batch/${st.getPath.getName}" -> st.getLen).toMap
     val rewrittenStats = computeStats(spark, batchDir, trackedCols)
     val rewrittenRefs = writeBloomSidecar(spark, dir, batch,
       computeBlooms(spark, batchDir, trackedBlooms))
@@ -1257,7 +1316,8 @@ object SnapshotTable {
           curSt.stats ++ rewrittenStats,
           curSt.schema,
           curSt.bloomRefs ++ rewrittenRefs,
-          curSt.bloomCols))
+          curSt.bloomCols,
+          curSt.sizes ++ rewrittenSizes))
         return Some(cur + 1)
       attempt += 1
     }
@@ -1343,8 +1403,9 @@ object SnapshotTable {
     // until a compact/rewrite gives the clone its own.
     val refs = st.bloomRefs
       .map { case (k, r) => absolutize(k) -> absolutizeRef(r) }
+    val sizes = st.sizes.map { case (k, n) => absolutize(k) -> n }
     if (!tryCommit(spark, dstDir, 0L, files, Map.empty, stats, st.schema,
-        refs, st.bloomCols))
+        refs, st.bloomCols, sizes))
       throw new java.io.IOException(
         s"shallowClone: destination $dstDir committed concurrently")
     0L
@@ -1411,7 +1472,8 @@ object SnapshotTable {
       val node = manifestNode(spark, dir, keepFrom)
       if (node.get("files") == null) {
         val body = manifestBody(spark, dir, keepFrom, full = true,
-          st.files, st.txns, st.stats, st.schema, st.bloomRefs, st.bloomCols)
+          st.files, st.txns, st.stats, st.schema, st.bloomRefs, st.bloomCols,
+          st.sizes)
         val tmp = new Path(manifestDir(dir),
           s".v$keepFrom.${java.util.UUID.randomUUID()}.ckpt.tmp")
         val out = f.create(tmp, false)
@@ -1729,7 +1791,7 @@ object SnapshotTable {
                             keyConflict: Option[(Set[String], Seq[String],
                               DataFrame)] = None
                            ): Option[Long] = {
-    val (added, addedStats, addedRefs) =
+    val (added, addedStats, addedRefs, addedSizes) =
       writeBatch(rewrite, dir, statsCols, bloomCols)
     val touchedSet = touched.toSet
     val addedSet = added.toSet
@@ -1770,7 +1832,8 @@ object SnapshotTable {
           schema,
           (curSt.map(_.bloomRefs).getOrElse(Map.empty) -- touched)
             ++ addedRefs,
-          (curSt.map(_.bloomCols).getOrElse(Nil) ++ bloomCols).distinct))
+          (curSt.map(_.bloomCols).getOrElse(Nil) ++ bloomCols).distinct,
+          (curSt.map(_.sizes).getOrElse(Map.empty) -- touched) ++ addedSizes))
         return Some(cur.getOrElse(-1L) + 1)
       attempt += 1
     }

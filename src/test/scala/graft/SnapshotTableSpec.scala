@@ -883,6 +883,30 @@ class SnapshotTableSpec extends AnyFunSuite {
       s"orphan sidecar should be GC'd, found $sidecars")
   }
 
+  test("manifest records per-file sizes: planners need zero filesystem RPCs") {
+    val dir = Files.createTempDirectory("graft-snap-sz").toString + "/t"
+    (0 until 3).foreach { i =>
+      SnapshotTable.append(
+        spark.range(100L * i, 100L * i + 100).coalesce(1).toDF(), dir)
+    }
+    SnapshotTable.deleteWhere(spark, dir, $"id" === 50L)
+    val v = SnapshotTable.latestVersion(spark, dir).get
+    val files = SnapshotTable.manifestFiles(spark, dir, v)
+    val sizes = SnapshotTable.manifestSizes(spark, dir, v)
+    assert(sizes.keySet == files.toSet,
+      "every live file (original and rewritten) must carry a size")
+    files.foreach { k =>
+      val actual = java.nio.file.Files.size(
+        java.nio.file.Paths.get(dir, k))
+      assert(sizes(k) == actual, s"$k: manifest ${sizes(k)} != disk $actual")
+    }
+    // Sizes survive the delta-chain replay AND a clone (absolutized).
+    val dst = Files.createTempDirectory("graft-snap-szc").toString + "/c"
+    SnapshotTable.shallowClone(spark, dir, dst)
+    assert(SnapshotTable.manifestSizes(spark, dst, 0L).values.toSeq.sorted ==
+      sizes.values.toSeq.sorted)
+  }
+
   test("applyChanges rejects NULL _change tags instead of dropping the rows") {
     val dir = Files.createTempDirectory("graft-snap-nc").toString + "/t"
     SnapshotTable.append(Seq((1L, "a")).toDF("id", "v"), dir)
