@@ -11335,6 +11335,83 @@ object Queries {
     },
     None)
 
+  /** Copy-on-write UPDATE through
+    * [[graft.sources.SnapshotTable.updateWhere]] — the last corner of
+    * the CRUD surface (the public `UPDATE t SET … WHERE …` shape):
+    * archive every finished high-value order (re-priority + halve the
+    * price; halving is exact in binary floating point, so the doubles
+    * compare bit-equal cross-engine). SET expressions evaluate
+    * against the PRE-update row by contract; the oracle states the
+    * same update as CASE expressions over the base table — the table
+    * after UPDATE must read exactly like that view. */
+  private val qSnapshotUpdate = Q(
+    "q_snapshot_update",
+    (s, d) => {
+      val dir = snapTmp()
+      graft.sources.SnapshotTable.append(
+        t(s, d, "orders").select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_orderpriority"), col("o_totalprice")), dir)
+      val cond = col("o_orderstatus") === "F" &&
+        col("o_totalprice") > 150000.0
+      graft.sources.SnapshotTable.updateWhere(s, dir, cond, Seq(
+        "o_orderpriority" -> lit("0-ARCHIVED"),
+        "o_totalprice" -> (col("o_totalprice") * 0.5)))
+      graft.sources.SnapshotTable.read(s, dir)
+        .select("o_orderkey", "o_orderstatus", "o_orderpriority",
+          "o_totalprice")
+        .orderBy("o_orderkey")
+    },
+    Some("""SELECT o_orderkey, o_orderstatus,
+      CASE WHEN o_orderstatus = 'F' AND o_totalprice > 150000.0
+        THEN '0-ARCHIVED' ELSE o_orderpriority END AS o_orderpriority,
+      CASE WHEN o_orderstatus = 'F' AND o_totalprice > 150000.0
+        THEN o_totalprice * 0.5 ELSE o_totalprice END AS o_totalprice
+    FROM orders ORDER BY o_orderkey"""))
+
+  /** The commit AUDIT LOG
+    * ([[graft.sources.SnapshotTable.history]] — the public DESCRIBE
+    * HISTORY shape) over a fully scripted operation sequence: every
+    * writer records its operation name in the manifest it commits,
+    * and the log derives per-version added/removed/live file counts
+    * from the manifest chain alone. The file counts are structural
+    * (explicit coalesce/repartition on every write), so the expected
+    * log is a closed-form table the oracle states literally. */
+  private val qSnapshotHistory = Q(
+    "q_snapshot_history",
+    (s, d) => {
+      val dir = snapTmp()
+      val cust = t(s, d, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      graft.sources.SnapshotTable.append(
+        cust.filter(col("c_custkey") % 2 === 0).coalesce(1), dir)
+      graft.sources.SnapshotTable.append(
+        cust.filter(col("c_custkey") % 2 === 1).repartition(3), dir)
+      graft.sources.SnapshotTable.deleteWhere(s, dir,
+        col("c_custkey") === 2L)
+      graft.sources.SnapshotTable.merge(s, dir,
+        cust.filter(col("c_custkey") === 1L)
+          .select(col("c_custkey"), lit("UPDATED").as("c_name"),
+            col("c_acctbal")).coalesce(1),
+        Seq("c_custkey"))
+      graft.sources.SnapshotTable.compact(s, dir,
+        targetBytes = 1L << 40)
+      graft.sources.SnapshotTable.history(s, dir)
+        .select("version", "op", "n_added", "n_removed", "n_files")
+        .orderBy("version")
+    },
+    Some("""SELECT CAST(version AS BIGINT) AS version, op,
+      CAST(n_added AS BIGINT) AS n_added,
+      CAST(n_removed AS BIGINT) AS n_removed,
+      CAST(n_files AS BIGINT) AS n_files
+    FROM (VALUES
+      (0, 'append', 1, 0, 1),
+      (1, 'append', 3, 0, 4),
+      (2, 'deleteWhere', 1, 1, 4),
+      (3, 'merge', 2, 1, 5),
+      (4, 'compact', 1, 5, 1))
+      AS t(version, op, n_added, n_removed, n_files)
+    ORDER BY version"""))
+
   /** The SnapshotTable SQL READ SURFACE end to end
     * ([[graft.sources.SnapshotSql]]): snapshot the orders projection
     * (with o_orderkey stats and an o_custkey Bloom), register it as a
@@ -11502,7 +11579,8 @@ object Queries {
   val all: Seq[Q] = Seq(
     qSnapshotMerge, qSnapshotDelete, qSnapshotPrune, qSnapshotLookup,
     qSnapshotChanges, qSnapshotReplicate, qSnapshotPartition,
-    qSnapshotZorder, qSnapshotClone, qSnapshotSql, qBpeTrain, qBpeTrainBatched,
+    qSnapshotZorder, qSnapshotClone, qSnapshotSql, qSnapshotUpdate,
+    qSnapshotHistory, qBpeTrain, qBpeTrainBatched,
     qCorpusFunnel, qAnnKmeans, qAnnTrained,
     qResultsTopk, qIngestFilter, qSanitizeIdent, qParseNumber, qParseDate,
     qNullNormalize, qInferType, qJsonExtract, qSchemaEvolution,

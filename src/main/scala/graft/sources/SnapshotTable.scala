@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{coalesce, col, greatest, input_file_name, least, lit, max, min, not, shiftleft, shiftright}
+import org.apache.spark.sql.functions.{coalesce, col, greatest, input_file_name, least, lit, max, min, not, shiftleft, shiftright, when}
 import org.apache.spark.sql.types._
 
 /** Minimal manifest-committed table format — the consistency layer the
@@ -385,6 +385,35 @@ object SnapshotTable {
                     v: Long): Map[String, Long] =
     stateOf(spark, dir, v).sizes
 
+  /** Commit AUDIT LOG (the public DESCRIBE HISTORY shape): one row per
+    * surviving manifest — (version, op, files added, files removed,
+    * live file count, live bytes). Driver-side over the manifest
+    * chain (control plane; bounded by the vacuum window), surfaced as
+    * a DataFrame so it composes with SQL. Vacuumed versions are
+    * simply absent — the log is exactly as durable as time travel. */
+  def history(spark: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val latest = latestVersion(spark, dir).getOrElse(
+      throw new java.io.IOException(s"history: no committed version under $dir"))
+    val f = fs(spark, dir)
+    val rows = (0L to latest)
+      .filter(v => f.exists(manifestPath(dir, v)))
+      .map { v =>
+        val st = stateOf(spark, dir, v)
+        val op = Option(manifestNode(spark, dir, v).get("op"))
+          .map(_.asText).getOrElse("commit")
+        val prevFiles =
+          if (v == 0L || !f.exists(manifestPath(dir, v - 1))) Set.empty[String]
+          else stateOf(spark, dir, v - 1).files.toSet
+        val cur = st.files.toSet
+        (v, op,
+          (cur -- prevFiles).size.toLong, (prevFiles -- cur).size.toLong,
+          st.files.length.toLong, st.sizes.values.sum)
+      }
+    import spark.implicits._
+    rows.toDF("version", "op", "n_added", "n_removed", "n_files",
+      "total_bytes")
+  }
+
   // ------------------------------------------------------------------
   // Bloom sidecars
   // ------------------------------------------------------------------
@@ -499,7 +528,8 @@ object SnapshotTable {
                         schema: Option[StructType] = None,
                         bloomRefs: Map[String, String] = Map.empty,
                         bloomCols: Seq[String] = Nil,
-                        sizes: Map[String, Long] = Map.empty
+                        sizes: Map[String, Long] = Map.empty,
+                        op: String = "commit"
                        ): Boolean = commitLock.synchronized {
     val f = fs(spark, dir)
     f.mkdirs(manifestDir(dir))
@@ -507,7 +537,7 @@ object SnapshotTable {
     if (f.exists(target)) return false
     val full = v == 0L || v % CheckpointEvery == 0L
     val body = manifestBody(spark, dir, v, full, files, txns, stats,
-      schema, bloomRefs, bloomCols, sizes)
+      schema, bloomRefs, bloomCols, sizes, op)
     val tmp = new Path(manifestDir(dir),
       s".v$v.${java.util.UUID.randomUUID()}.tmp")
     val out = f.create(tmp, false)
@@ -527,9 +557,11 @@ object SnapshotTable {
                            schema: Option[StructType],
                            bloomRefs: Map[String, String],
                            bloomCols: Seq[String],
-                           sizes: Map[String, Long]): String = {
+                           sizes: Map[String, Long],
+                           op: String = "commit"): String = {
     val root = new java.util.LinkedHashMap[String, Object]()
     root.put("version", java.lang.Long.valueOf(v))
+    root.put("op", op)
     schema.foreach(st => root.put("schema", mapper.readTree(st.json)))
     val tj = new java.util.LinkedHashMap[String, Object]()
     txns.toSeq.sortBy(_._1).foreach { case (a, tv) =>
@@ -829,7 +861,7 @@ object SnapshotTable {
       if (tryCommit(spark, dir, v, prev ++ added,
           txn.fold(txns)(txns + _), stats ++ addedStats,
           Some(unified), refs ++ addedRefs, bcols,
-          st.map(_.sizes).getOrElse(Map.empty) ++ addedSizes))
+          st.map(_.sizes).getOrElse(Map.empty) ++ addedSizes, op))
         return Some(v)
       attempt += 1 // lost the race: re-read the new latest and retry
     }
@@ -1022,7 +1054,8 @@ object SnapshotTable {
       if (tryCommit(spark, dir, v, prev ++ added,
           txns + (appId -> txnVersion), stats ++ addedStats,
           Some(unified), refs ++ addedRefs, bcols,
-          st.map(_.sizes).getOrElse(Map.empty) ++ addedSizes)) return Some(v)
+          st.map(_.sizes).getOrElse(Map.empty) ++ addedSizes,
+          "transactionalAppend")) return Some(v)
       attempt += 1
     }
     throw new java.io.IOException(
@@ -1317,7 +1350,7 @@ object SnapshotTable {
           curSt.schema,
           curSt.bloomRefs ++ rewrittenRefs,
           curSt.bloomCols,
-          curSt.sizes ++ rewrittenSizes))
+          curSt.sizes ++ rewrittenSizes, "compact"))
         return Some(cur + 1)
       attempt += 1
     }
@@ -1405,7 +1438,7 @@ object SnapshotTable {
       .map { case (k, r) => absolutize(k) -> absolutizeRef(r) }
     val sizes = st.sizes.map { case (k, n) => absolutize(k) -> n }
     if (!tryCommit(spark, dstDir, 0L, files, Map.empty, stats, st.schema,
-        refs, st.bloomCols, sizes))
+        refs, st.bloomCols, sizes, "clone"))
       throw new java.io.IOException(
         s"shallowClone: destination $dstDir committed concurrently")
     0L
@@ -1471,9 +1504,11 @@ object SnapshotTable {
       val st = stateOf(spark, dir, keepFrom)
       val node = manifestNode(spark, dir, keepFrom)
       if (node.get("files") == null) {
+        val origOp = Option(node.get("op")).map(_.asText)
+          .getOrElse("commit")
         val body = manifestBody(spark, dir, keepFrom, full = true,
           st.files, st.txns, st.stats, st.schema, st.bloomRefs, st.bloomCols,
-          st.sizes)
+          st.sizes, origOp)
         val tmp = new Path(manifestDir(dir),
           s".v$keepFrom.${java.util.UUID.randomUUID()}.ckpt.tmp")
         val out = f.create(tmp, false)
@@ -1568,6 +1603,52 @@ object SnapshotTable {
     commitRewrite(spark, dir, touched, survivors,
       trackedStatsCols(spark, dir, base),
       trackedBloomCols(spark, dir, base), maxRetries, "deleteWhere")
+  }
+
+  /** Copy-on-write row UPDATE — the remaining corner of the CRUD
+    * surface ([[deleteWhere]]/[[merge]]'s sibling, the public
+    * `UPDATE t SET c = expr WHERE cond` shape): rewrites ONLY the
+    * files containing a matching row; within them, matched rows take
+    * the SET expressions (evaluated against the pre-update row, as
+    * SQL UPDATE defines) and unmatched rows carry byte-unchanged.
+    * SET columns must already exist (add-column evolution is
+    * [[append]]'s job; a typo'd SET column must not silently fork the
+    * schema). Same conflict surface as deleteWhere: a touched file
+    * rewritten concurrently throws ConcurrentModificationException.
+    * Returns the new version, or None when nothing matched. */
+  def updateWhere(spark: SparkSession, dir: String, condition: Column,
+                  set: Seq[(String, Column)],
+                  maxRetries: Int = 20): Option[Long] = {
+    require(set.nonEmpty, "updateWhere: at least one SET column required")
+    val base = latestVersion(spark, dir).getOrElse(
+      throw new java.io.IOException(s"updateWhere: no committed version under $dir"))
+    val schema = manifestSchema(spark, dir, base)
+    schema.foreach { st =>
+      set.foreach { case (c, _) =>
+        require(st.fieldNames.contains(c),
+          s"updateWhere: SET column $c does not exist (columns: " +
+            s"${st.fieldNames.mkString(", ")})")
+      }
+    }
+    if (manifestFiles(spark, dir, base).isEmpty) return None
+    val touched = withFile(spark, dir, base)
+      .filter(condition).select("__file").distinct().collect()
+      .map(r => manifestKey(dir, r.getString(0))).toSeq.sorted
+    if (touched.isEmpty) return None
+    val src = readFiles(spark, dir, touched, schema)
+    // All SET expressions see the PRE-update row: project them in one
+    // select, not a fold of withColumn (which would let later SETs
+    // read earlier SETs' outputs — not SQL UPDATE semantics).
+    val setMap = set.toMap
+    val rewritten = src.select(src.columns.map { c =>
+      setMap.get(c) match {
+        case Some(v) => when(condition, v).otherwise(col(c)).as(c)
+        case None => col(c)
+      }
+    }: _*)
+    commitRewrite(spark, dir, touched, rewritten,
+      trackedStatsCols(spark, dir, base),
+      trackedBloomCols(spark, dir, base), maxRetries, "updateWhere")
   }
 
   /** Copy-on-write MERGE (upsert): for key-matched rows the source row
@@ -1833,7 +1914,8 @@ object SnapshotTable {
           (curSt.map(_.bloomRefs).getOrElse(Map.empty) -- touched)
             ++ addedRefs,
           (curSt.map(_.bloomCols).getOrElse(Nil) ++ bloomCols).distinct,
-          (curSt.map(_.sizes).getOrElse(Map.empty) -- touched) ++ addedSizes))
+          (curSt.map(_.sizes).getOrElse(Map.empty) -- touched) ++ addedSizes,
+          op))
         return Some(cur.getOrElse(-1L) + 1)
       attempt += 1
     }

@@ -883,6 +883,46 @@ class SnapshotTableSpec extends AnyFunSuite {
       s"orphan sidecar should be GC'd, found $sidecars")
   }
 
+  test("updateWhere: CoW semantics, pre-update RHS, touched-files-only, typo rejection") {
+    val dir = Files.createTempDirectory("graft-snap-up").toString + "/t"
+    // Two files on disjoint key ranges; the update hits only file 1.
+    SnapshotTable.append(
+      (0L until 10L).map(i => (i, i * 10, "x")).toDF("id", "a", "tag")
+        .coalesce(1), dir, statsCols = Seq("id"))
+    SnapshotTable.append(
+      (10L until 20L).map(i => (i, i * 10, "x")).toDF("id", "a", "tag")
+        .coalesce(1), dir, statsCols = Seq("id"))
+    val before = SnapshotTable.manifestFiles(spark, dir, 1L).toSet
+    // SET expressions see the PRE-update row: swap-style update where
+    // `a` is set from `id` and `tag` is set from the OLD `a` — if SETs
+    // leaked into each other the tag would read the new a.
+    val v = SnapshotTable.updateWhere(spark, dir,
+      $"id" >= 5L && $"id" < 8L,
+      Seq("a" -> ($"id" + 1000L), "tag" -> concat(lit("was"), $"a")))
+    assert(v.contains(2L))
+    val after = SnapshotTable.manifestFiles(spark, dir, 2L).toSet
+    // Only the touched file swapped; the untouched file carried over.
+    assert((before -- after).size == 1 && (after -- before).size == 1)
+    val got = SnapshotTable.read(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2)))
+      .toMap
+    (0L until 20L).foreach { i =>
+      if (i >= 5L && i < 8L)
+        assert(got(i) == (i + 1000L, s"was${i * 10}"), s"id $i: ${got(i)}")
+      else assert(got(i) == (i * 10, "x"), s"id $i: ${got(i)}")
+    }
+    // Time travel still shows the pre-update rows.
+    assert(SnapshotTable.read(spark, dir, Some(1L))
+      .filter($"id" === 5L).head().getLong(1) == 50L)
+    // No match → no commit; typo'd SET column → loud failure.
+    assert(SnapshotTable.updateWhere(spark, dir, $"id" === 999L,
+      Seq("a" -> lit(0L))).isEmpty)
+    intercept[IllegalArgumentException] {
+      SnapshotTable.updateWhere(spark, dir, $"id" === 1L,
+        Seq("nope" -> lit(0L)))
+    }
+  }
+
   test("manifest records per-file sizes: planners need zero filesystem RPCs") {
     val dir = Files.createTempDirectory("graft-snap-sz").toString + "/t"
     (0 until 3).foreach { i =>
