@@ -1,0 +1,161 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** PRODUCT QUANTIZATION (Jégou et al. 2011, the public IVF-PQ
+  * design every billion-vector ANN system descends from): vectors
+  * compress to `m` small codes — one nearest-codebook-entry id per
+  * length-`d/m` subspace — and search runs over the CODES via
+  * asymmetric distance computation (ADC): the query precomputes one
+  * m×k lookup table of exact subspace distances, and each
+  * candidate's distance is m table lookups + adds, never touching
+  * the original vector.
+  *
+  * Why this is THE 100 TB ANN memory story: float vectors at d=64
+  * are 256 B/row; m=8 byte-codes are 8 B/row — a 32× compression
+  * that turns a petabyte-scale vector corpus into something a
+  * cluster holds in memory and scans at cache speed. Composes with
+  * the IVF cell layout ([[Similarity]]): cells prune WHICH codes are
+  * scanned, PQ compresses the scan itself.
+  *
+  * Determinism discipline (the [[Kmeans]] contract, inherited
+  * wholesale): subspace codebooks are trained by the exact-integer
+  * distributed Lloyd's ([[Kmeans.train]] per subspace — bit-identical
+  * under any partitioning), encoding is an exact-integer argmin with
+  * (dist, id) tie-break, and ADC distances are exact Long sums of
+  * exact integer subspace distances — so every result is
+  * bit-identical across partitionings and runs, which is what lets
+  * PqSpec pin the whole pipeline against a driver-side reference.
+  * All expressions are built-in HOFs over ONE `typedLit` codebook
+  * literal — no UDFs, no shuffle in encode, broadcast-only probe. */
+object Pq {
+
+  /** Train per-subspace codebooks: split `d` dims into `m`
+    * equal-width subspaces, run the exact-integer Lloyd's on each.
+    * Returns codebooks(s)(j) = the j-th codeword (length d/m, 16-bit
+    * fixed-point Longs) of subspace s. `m` sequential vocabulary-
+    * sized trainings — production trains on a sample; the full
+    * corpus then encodes in one map-only pass. */
+  def train(embeddings: DataFrame, m: Int, k: Int, iters: Int,
+            vecCol: String = "embedding"): Array[Array[Array[Long]]] = {
+    require(m >= 1 && k >= 2 && iters >= 1, s"bad PQ config: m=$m k=$k iters=$iters")
+    val d = embeddings.select(size(col(vecCol))).head().getInt(0)
+    require(d % m == 0, s"PQ: dim $d must divide into m=$m subspaces")
+    val dsub = d / m
+    (0 until m).toArray.map { s =>
+      Kmeans.train(
+        embeddings.select(col("vec_id"),
+          slice(col(vecCol), s * dsub + 1, dsub).as("__sub")),
+        k, iters, vecCol = "__sub")
+    }
+  }
+
+  private def cbLit(codebooks: Array[Array[Array[Long]]]): Column =
+    typedLit(codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+
+  private def dsubOf(codebooks: Array[Array[Array[Long]]]): Int =
+    codebooks.head.head.length
+
+  /** Encode a QUANTIZED vector (16-bit fixed-point Longs — the
+    * [[Kmeans.quantize]] domain) to its m codes: per subspace, the
+    * exact-integer argmin codeword id with (dist, id) tie-break.
+    * Pure per-row expression — the corpus encodes map-only. */
+  def encodeExpr(qv: Column, codebooks: Array[Array[Array[Long]]]): Column = {
+    val dsub = dsubOf(codebooks)
+    transform(cbLit(codebooks), (cb, s) =>
+      array_min(transform(cb, (cv, j) =>
+        struct(Kmeans.sqDist(slice(qv, s * dsub + lit(1), lit(dsub)), cv)
+            .as("dist"),
+          j.cast("int").as("cid")))).getField("cid"))
+  }
+
+  /** The query's ADC lookup table: luts(s)(j) = exact squared integer
+    * distance from the query's subspace s to codeword j. One
+    * expression per QUERY row (control-plane-sized output: m×k
+    * Longs). */
+  def adcLutExpr(qv: Column, codebooks: Array[Array[Array[Long]]]): Column = {
+    val dsub = dsubOf(codebooks)
+    transform(cbLit(codebooks), (cb, s) =>
+      transform(cb, cv =>
+        Kmeans.sqDist(slice(qv, s * dsub + lit(1), lit(dsub)), cv)))
+  }
+
+  /** ADC distance of a codes row against a query's LUT: m lookups +
+    * adds — the hot-path expression the whole design exists for. */
+  def adcDistExpr(codes: Column, lut: Column): Column =
+    aggregate(zip_with(codes, lut, (c, l) => element_at(l, c + 1)),
+      lit(0L), (acc, x) => acc + x)
+
+  /** Materialize the PQ index: (vec_id, codes) — m ints per vector,
+    * the 32×-smaller scan target — plus the codebook sidecar so
+    * probes and appends reconstruct the exact quantizer from the
+    * index directory alone (the [[Similarity]] sidecar contract). */
+  def writePqIndex(embeddings: DataFrame, path: String,
+                   codebooks: Array[Array[Array[Long]]],
+                   vecCol: String = "embedding"): Unit = {
+    embeddings
+      .select(col("vec_id"),
+        encodeExpr(Kmeans.quantize(col(vecCol)), codebooks).as("codes"))
+      .write.mode("overwrite").parquet(path)
+    writeCodebookSidecar(embeddings.sparkSession, path, codebooks)
+  }
+
+  /** ADC top-k over a [[writePqIndex]] layout: queries (selected out
+    * of `embeddings` by `queryPred`) build their LUTs as expressions,
+    * broadcast, and every candidate's distance is m lookups — the
+    * codes scan is the only data-sized read. Returns (query_id,
+    * cand_id, adc_dist, rk) with (dist asc, cand_id asc) ranking —
+    * deterministic, so PqSpec can pin it bit-exactly. */
+  def pqTopK(spark: SparkSession, path: String, embeddings: DataFrame,
+             queryPred: Column, k: Int = 5,
+             vecCol: String = "embedding"): DataFrame = {
+    val codebooks = readCodebookSidecar(spark, path).getOrElse(
+      throw new IllegalStateException(
+        s"pqTopK: no codebook sidecar under $path — not a writePqIndex layout"))
+    val queries = broadcast(embeddings.filter(queryPred)
+      .select(col("vec_id").as("query_id"),
+        adcLutExpr(Kmeans.quantize(col(vecCol)), codebooks).as("lut")))
+    val scored = spark.read.parquet(path).join(queries,
+        col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("cand_id"),
+        adcDistExpr(col("codes"), col("lut")).as("adc_dist"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adc_dist").asc, col("cand_id").asc)
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+  }
+
+  private val MetaFile = "_graft_pq.json"
+
+  private def writeCodebookSidecar(spark: SparkSession, path: String,
+                                   codebooks: Array[Array[Array[Long]]]): Unit = {
+    // Flat text matrix (subspaces by '|', codewords by ';', dims by
+    // ','): trivial no-dependency parse, the Similarity sidecar
+    // discipline.
+    val flat = codebooks.map(_.map(_.mkString(",")).mkString(";"))
+      .mkString("|")
+    val body = s"""{"quantizer":"pq","m":${codebooks.length},""" +
+      s""""k":${codebooks.head.length},"dsub":${dsubOf(codebooks)},""" +
+      s""""scale":65536,"codebooks":"$flat"}"""
+    val p = new org.apache.hadoop.fs.Path(path, MetaFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** The index's recorded codebooks, if the sidecar exists. */
+  def readCodebookSidecar(spark: SparkSession, path: String
+                         ): Option[Array[Array[Array[Long]]]] = {
+    val p = new org.apache.hadoop.fs.Path(path, MetaFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    "\"codebooks\"\\s*:\\s*\"([^\"]*)\"".r.findFirstMatchIn(txt).map { m =>
+      m.group(1).split('|').map(_.split(';').map(_.split(',').map(_.toLong)))
+    }
+  }
+}

@@ -11335,6 +11335,50 @@ object Queries {
     },
     None)
 
+  /** PRODUCT QUANTIZATION end to end ([[graft.operators.Pq]] — the
+    * public IVF-PQ compression layer: vectors → m per-subspace
+    * codebook ids, search via asymmetric distance lookups that never
+    * touch the original vector). Oracle-checkable through a
+    * mathematical invariant rather than planted-twin top-1 identity
+    * (code collisions make exact ranks quantizer-dependent): a
+    * planted twin SHARES the query's codes, and per subspace the
+    * query's own code minimizes its LUT entry — so the twin's ADC
+    * distance IS the global minimum over every code combination.
+    * The query re-derives that as data (twin ADC == top-1 ADC per
+    * planted query) through the real pipeline — train → materialized
+    * codes index + sidecar → LUT broadcast → ADC scan — and the
+    * oracle states the theorem: TRUE for every planted query. Any
+    * break in encoding, sidecar round trip, LUT math, or ranking
+    * falsifies a row. PqSpec additionally pins bit-identity vs a
+    * driver reference and the compression/recall envelope. */
+  private val qAnnPq = Q(
+    "q_ann_pq",
+    (s, d) => {
+      val base = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val planted = base.filter(col("vec_id") < 50)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      val corpus = base.unionByName(planted)
+      // Twin minimality holds for ANY codebooks, so the training
+      // budget is the demo-sized one (m×iters drives the job count).
+      val cbs = graft.operators.Pq.train(corpus, m = 4, k = 8, iters = 1)
+      val dir = java.nio.file.Files.createTempDirectory("graft-q-pq")
+        .toString + "/idx"
+      graft.operators.Pq.writePqIndex(corpus, dir, cbs)
+      val scored = graft.operators.Pq.pqTopK(s, dir, corpus,
+        col("vec_id") >= 1000000L, k = Int.MaxValue)
+      val best = scored.filter(col("rk") === 1)
+        .select(col("query_id"), col("adc_dist").as("best_dist"))
+      val twin = scored
+        .filter(col("cand_id") === col("query_id") - 1000000L)
+        .select(col("query_id"), col("adc_dist").as("twin_dist"))
+      best.join(twin, "query_id")
+        .select(col("query_id"),
+          (col("twin_dist") === col("best_dist")).as("twin_minimal"))
+        .orderBy("query_id")
+    },
+    Some("""SELECT vec_id + 1000000 AS query_id, TRUE AS twin_minimal
+    FROM embeddings WHERE vec_id < 50 ORDER BY query_id"""))
+
   /** Copy-on-write UPDATE through
     * [[graft.sources.SnapshotTable.updateWhere]] — the last corner of
     * the CRUD surface (the public `UPDATE t SET … WHERE …` shape):
@@ -11580,7 +11624,7 @@ object Queries {
     qSnapshotMerge, qSnapshotDelete, qSnapshotPrune, qSnapshotLookup,
     qSnapshotChanges, qSnapshotReplicate, qSnapshotPartition,
     qSnapshotZorder, qSnapshotClone, qSnapshotSql, qSnapshotUpdate,
-    qSnapshotHistory, qBpeTrain, qBpeTrainBatched,
+    qSnapshotHistory, qAnnPq, qBpeTrain, qBpeTrainBatched,
     qCorpusFunnel, qAnnKmeans, qAnnTrained,
     qResultsTopk, qIngestFilter, qSanitizeIdent, qParseNumber, qParseDate,
     qNullNormalize, qInferType, qJsonExtract, qSchemaEvolution,
