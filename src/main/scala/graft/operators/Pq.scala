@@ -127,7 +127,86 @@ object Pq {
       .filter(col("rk") <= k)
   }
 
+  /** IVF×PQ — the composed production layout (the actual
+    * billion-vector design the two pieces exist for): rows are
+    * (vec_id, codes) PARTITIONED BY the trained coarse cell, with
+    * BOTH quantizers in sidecars. A probe prunes to its nearest-P
+    * cell directories (physical partition pruning) and ADC-scans only
+    * those cells' CODES — at 100 TB that is probes/k of a 32×-
+    * compressed table, the two multiplicative reductions this module
+    * and [[Similarity]] each provide alone. */
+  def writeIvfPqIndex(embeddings: DataFrame, path: String,
+                      centroids: Array[Array[Long]],
+                      codebooks: Array[Array[Array[Long]]],
+                      vecCol: String = "embedding"): Unit = {
+    val qv = Kmeans.quantize(col(vecCol))
+    embeddings
+      .select(col("vec_id"),
+        encodeExpr(qv, codebooks).as("codes"),
+        Kmeans.cellIdExpr(qv, centroids).as("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+    writeCodebookSidecar(embeddings.sparkSession, path, codebooks)
+    writeCellSidecar(embeddings.sparkSession, path, centroids)
+  }
+
+  /** Multi-probe ADC top-k over a [[writeIvfPqIndex]] layout: each
+    * query ranks the coarse centroids (sidecar), scans its `probes`
+    * nearest cells under dynamic partition pruning, and ranks
+    * candidates by ADC distance — same (dist, cand_id) tie-break as
+    * [[pqTopK]]. Probing every cell degrades exactly to [[pqTopK]]
+    * over the whole codes table (the exactness anchor PqSpec pins). */
+  def ivfPqTopK(spark: SparkSession, path: String, embeddings: DataFrame,
+                queryPred: Column, k: Int = 5, probes: Int = 1,
+                vecCol: String = "embedding"): DataFrame = {
+    val codebooks = readCodebookSidecar(spark, path).getOrElse(
+      throw new IllegalStateException(
+        s"ivfPqTopK: no codebook sidecar under $path"))
+    val centroids = readCellSidecar(spark, path).getOrElse(
+      throw new IllegalStateException(
+        s"ivfPqTopK: no cell sidecar under $path — not a writeIvfPqIndex layout"))
+    val qv = Kmeans.quantize(col(vecCol))
+    val queries = broadcast(embeddings.filter(queryPred)
+      .select(col("vec_id").as("query_id"),
+        adcLutExpr(qv, codebooks).as("lut"),
+        explode(Kmeans.nearestCellsExpr(qv, centroids, probes)).as("qcell")))
+    val scored = spark.read.parquet(path).join(queries,
+        col("cell") === col("qcell") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("cand_id"),
+        adcDistExpr(col("codes"), col("lut")).as("adc_dist"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adc_dist").asc, col("cand_id").asc)
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+  }
+
   private val MetaFile = "_graft_pq.json"
+  private val CellMetaFile = "_graft_ivfpq_cells.json"
+
+  private def writeCellSidecar(spark: SparkSession, path: String,
+                               centroids: Array[Array[Long]]): Unit = {
+    val flat = centroids.map(_.mkString(",")).mkString(";")
+    val body = s"""{"quantizer":"kmeans","k":${centroids.length},""" +
+      s""""dim":${centroids.head.length},"scale":65536,""" +
+      s""""centroids":"$flat"}"""
+    val p = new org.apache.hadoop.fs.Path(path, CellMetaFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** The index's recorded coarse cells, if the sidecar exists. */
+  def readCellSidecar(spark: SparkSession, path: String
+                     ): Option[Array[Array[Long]]] = {
+    val p = new org.apache.hadoop.fs.Path(path, CellMetaFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    "\"centroids\"\\s*:\\s*\"([^\"]*)\"".r.findFirstMatchIn(txt).map { m =>
+      m.group(1).split(';').map(_.split(',').map(_.toLong))
+    }
+  }
 
   private def writeCodebookSidecar(spark: SparkSession, path: String,
                                    codebooks: Array[Array[Array[Long]]]): Unit = {

@@ -11379,6 +11379,43 @@ object Queries {
     Some("""SELECT vec_id + 1000000 AS query_id, TRUE AS twin_minimal
     FROM embeddings WHERE vec_id < 50 ORDER BY query_id"""))
 
+  /** The COMPOSED production ANN layout — IVF×PQ
+    * ([[graft.operators.Pq.writeIvfPqIndex]]): codes partitioned by
+    * trained coarse cell, so a probe reads probes/k of a 32×-
+    * compressed table (the two multiplicative reductions at once).
+    * Same twin-minimality oracle as q_ann_pq, but through the
+    * composed index with a SINGLE cell probe: an identical twin lands
+    * in the query's own cell (exact-integer assignment) AND shares
+    * its codes, so even one probe must surface the global-minimum ADC
+    * distance — any break in cell assignment, partition pruning,
+    * either sidecar, or the ADC scan falsifies a row. */
+  private val qAnnIvfPq = Q(
+    "q_ann_ivfpq",
+    (s, d) => {
+      val base = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val planted = base.filter(col("vec_id") < 50)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      val corpus = base.unionByName(planted)
+      val cents = graft.operators.Kmeans.train(corpus, 8, 1)
+      val cbs = graft.operators.Pq.train(corpus, m = 2, k = 8, iters = 1)
+      val dir = java.nio.file.Files.createTempDirectory("graft-q-ivfpq")
+        .toString + "/idx"
+      graft.operators.Pq.writeIvfPqIndex(corpus, dir, cents, cbs)
+      val scored = graft.operators.Pq.ivfPqTopK(s, dir, corpus,
+        col("vec_id") >= 1000000L, k = Int.MaxValue, probes = 1)
+      val best = scored.filter(col("rk") === 1)
+        .select(col("query_id"), col("adc_dist").as("best_dist"))
+      val twin = scored
+        .filter(col("cand_id") === col("query_id") - 1000000L)
+        .select(col("query_id"), col("adc_dist").as("twin_dist"))
+      best.join(twin, "query_id")
+        .select(col("query_id"),
+          (col("twin_dist") === col("best_dist")).as("twin_minimal"))
+        .orderBy("query_id")
+    },
+    Some("""SELECT vec_id + 1000000 AS query_id, TRUE AS twin_minimal
+    FROM embeddings WHERE vec_id < 50 ORDER BY query_id"""))
+
   /** Copy-on-write UPDATE through
     * [[graft.sources.SnapshotTable.updateWhere]] — the last corner of
     * the CRUD surface (the public `UPDATE t SET … WHERE …` shape):
@@ -11624,7 +11661,7 @@ object Queries {
     qSnapshotMerge, qSnapshotDelete, qSnapshotPrune, qSnapshotLookup,
     qSnapshotChanges, qSnapshotReplicate, qSnapshotPartition,
     qSnapshotZorder, qSnapshotClone, qSnapshotSql, qSnapshotUpdate,
-    qSnapshotHistory, qAnnPq, qBpeTrain, qBpeTrainBatched,
+    qSnapshotHistory, qAnnPq, qAnnIvfPq, qBpeTrain, qBpeTrainBatched,
     qCorpusFunnel, qAnnKmeans, qAnnTrained,
     qResultsTopk, qIngestFilter, qSanitizeIdent, qParseNumber, qParseDate,
     qNullNormalize, qInferType, qJsonExtract, qSchemaEvolution,

@@ -102,6 +102,56 @@ class PqSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF-PQ: DPP-pruned cells, all-cells probe degrades to plain PQ, twin minimal") {
+    import spark.implicits._
+    val base = emb.select(col("vec_id"), col("embedding"))
+    val planted = base.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    val corpus = base.unionByName(planted)
+    val cents = Kmeans.train(corpus, 8, 2)
+    val cbs = Pq.train(corpus, m = 8, k = 8, iters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq")
+      .toString + "/idx"
+    Pq.writeIvfPqIndex(corpus, dir, cents, cbs)
+    // Physical layout + DPP on the probe.
+    import scala.jdk.CollectionConverters._
+    val listing = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+    try assert(listing.iterator().asScala
+      .exists(_.getFileName.toString.startsWith("cell=")))
+    finally listing.close()
+    val probe = Pq.ivfPqTopK(spark, dir, corpus,
+      col("vec_id") >= 1000000L, k = 3, probes = 1)
+    assert(probe.queryExecution.executedPlan.toString
+      .toLowerCase.contains("dynamicpruning"))
+    // All-cells probe == plain PQ over the whole codes table.
+    val pqDir = java.nio.file.Files.createTempDirectory("graft-ivfpq-f")
+      .toString + "/idx"
+    Pq.writePqIndex(corpus, pqDir, cbs)
+    def rset(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "cand_id", "adc_dist", "rk").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+    val all = rset(Pq.ivfPqTopK(spark, dir, corpus,
+      col("vec_id") >= 1000000L, k = 3, probes = cents.length))
+    val plain = rset(Pq.pqTopK(spark, pqDir, corpus,
+      col("vec_id") >= 1000000L, k = 3))
+    assert(plain.nonEmpty && all == plain)
+    // Single-probe twin minimality: the twin lands in the query's own
+    // cell (identical vector -> identical cell), so even one probe
+    // must surface a candidate at the twin's (minimal) ADC distance.
+    val top1 = probe.filter(col("rk") === 1)
+      .select("query_id", "adc_dist").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val raw = corpus.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    (0L until 10L).foreach { i =>
+      val q = quantizeRef(raw(i + 1000000L))
+      val want = adcRef(q, encodeRef(q, cbs), cbs)
+      assert(top1(i + 1000000L) == want,
+        s"query ${i + 1000000L}: top-1 adc ${top1(i + 1000000L)} != twin $want")
+    }
+  }
+
   test("PQ compresses the scan target and still recalls against brute force") {
     val cbs = Pq.train(emb, m = 16, k = 16, iters = 3)
     val dir = java.nio.file.Files.createTempDirectory("graft-pq-r")
