@@ -149,6 +149,53 @@ object StressProbe {
           .filter(col("rn") <= 10)
       }
     }
+    // ANN family at 1M vectors (synthetic 64-dim, deterministic
+    // hash-derived floats — sf0.1 only carries 2k embeddings, far too
+    // small to show slopes): quantizers train on a 2% SAMPLE (the
+    // production pattern), the full corpus assigns/encodes map-only.
+    // The multiplicative story: brute = full float scan; trained IVF
+    // = 1/64 of it; PQ = full scan over 32×-smaller codes; IVF×PQ =
+    // both at once.
+    locally {
+      import graft.operators.{Kmeans, Pq, Similarity}
+      val synth = spark.range(1000000L).select(col("id").as("vec_id"),
+          expr("transform(sequence(0, 63), p -> " +
+            "CAST(pmod(xxhash64(id * 64 + p), 2000) / 1000.0 - 1.0 AS FLOAT))")
+            .as("embedding"))
+        .repartition(32)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      println(s"[stress] ann corpus: ${synth.count()} vectors")
+      val sample = synth.filter(pmod(col("vec_id"), lit(50)) === 0)
+      val pred = col("vec_id") < 8
+      timeNoop("ann_brute_cosine_1m")(
+        Similarity.bruteTopK(synth, pred, k = 5))
+      var t0 = System.nanoTime()
+      val cents = Kmeans.train(sample, 64, 2)
+      println(f"[stress] ann_kmeans_train_64c_2it_20k: ${(System.nanoTime()-t0)/1e9}%.1fs")
+      val ivfDir = java.nio.file.Files.createTempDirectory("stress-ivf")
+        .toString + "/idx"
+      t0 = System.nanoTime()
+      Similarity.writeIvfIndexTrained(synth, ivfDir, cents)
+      println(f"[stress] ann_ivf_build_1m: ${(System.nanoTime()-t0)/1e9}%.1fs")
+      timeNoop("ann_ivf_probe1_of_64")(
+        Similarity.ivfTopKIndexedTrained(spark, ivfDir, pred, k = 5))
+      t0 = System.nanoTime()
+      val cbs = Pq.train(sample, m = 8, k = 16, iters = 2)
+      println(f"[stress] ann_pq_train_8x16_2it_20k: ${(System.nanoTime()-t0)/1e9}%.1fs")
+      val pqDir = java.nio.file.Files.createTempDirectory("stress-pq")
+        .toString + "/idx"
+      t0 = System.nanoTime()
+      Pq.writePqIndex(synth, pqDir, cbs)
+      println(f"[stress] ann_pq_encode_1m: ${(System.nanoTime()-t0)/1e9}%.1fs")
+      timeNoop("ann_pq_adc_full_scan_1m")(
+        Pq.pqTopK(spark, pqDir, synth, pred, k = 5))
+      val ivfpqDir = java.nio.file.Files.createTempDirectory("stress-ivfpq")
+        .toString + "/idx"
+      Pq.writeIvfPqIndex(synth, ivfpqDir, cents, cbs)
+      timeNoop("ann_ivfpq_probe4_of_64")(
+        Pq.ivfPqTopK(spark, ivfpqDir, synth, pred, k = 5, probes = 4))
+      synth.unpersist()
+    }
     spark.stop()
   }
 }
