@@ -63,7 +63,7 @@ object Kmeans {
     * array<array<long>> — a single Literal node holding ArrayData, so
     * k×d integers never explode the expression tree the way k×d
     * `lit()` nodes would). */
-  private def centroidLit(centroids: Array[Array[Long]]): Column =
+  private[operators] def centroidLit(centroids: Array[Array[Long]]): Column =
     typedLit(centroids.map(_.toSeq).toSeq)
 
   /** Per-cell (distance, cid) structs for a quantized vector — struct
@@ -83,6 +83,15 @@ object Kmeans {
     * distances, same (dist, cid) lexicographic tie-break (pinned in
     * TrainedIvfSpec). */
   def cellIdExpr(qv: Column, centroids: Array[Array[Long]]): Column =
+    graft.plans.GraftFunctions.nearestCellId(qv, centroids)
+
+  /** The pre-native HOF form of [[cellIdExpr]], kept as the
+    * independent twin ExpressionSpec pins the native expression
+    * against: the HOF chain exercises Spark's own array_min/transform
+    * machinery, so agreement is evidence, not tautology. Not a hot
+    * path — it re-evaluates `qv` once per centroid lambda. */
+  private[graft] def cellIdExprHof(qv: Column,
+                                   centroids: Array[Array[Long]]): Column =
     array_min(cellDists(qv, centroids)).getField("cid")
 
   /** The `probes` nearest cells of a quantized vector, nearest first
@@ -93,9 +102,15 @@ object Kmeans {
   def nearestCellsExpr(qv: Column, centroids: Array[Array[Long]],
                        probes: Int): Column = {
     require(probes >= 1, s"probes >= 1, got $probes")
+    graft.plans.GraftFunctions.nearestCellIds(qv, centroids, probes)
+  }
+
+  /** HOF twin of [[nearestCellsExpr]] (see [[cellIdExprHof]]). */
+  private[graft] def nearestCellsExprHof(qv: Column,
+                                         centroids: Array[Array[Long]],
+                                         probes: Int): Column =
     transform(slice(array_sort(cellDists(qv, centroids)), 1, probes),
       s => s.getField("cid"))
-  }
 
   /** Assign every row of `quantized` (vec_id, qv) to its nearest
     * centroid: broadcast k rows, exact integer argmin with (dist,
@@ -119,10 +134,19 @@ object Kmeans {
     * cells keep their previous centroid. Returns the centroid matrix
     * (index = cell id). */
   def train(embeddings: DataFrame, k: Int, iters: Int,
-            vecCol: String = "embedding"): Array[Array[Long]] = {
+            vecCol: String = "embedding"): Array[Array[Long]] =
+    trainQuantized(
+      embeddings.select(col("vec_id"), quantize(col(vecCol)).as("qv")),
+      k, iters)
+
+  /** [[train]] over ALREADY-QUANTIZED long vectors — the entry point
+    * residual-PQ training needs (residuals live in the quantized
+    * integer domain already; running them through [[quantize]] again
+    * would re-scale by 2^16). Input: (vec_id, qv: array<long>). */
+  def trainQuantized(input: DataFrame, k: Int, iters: Int): Array[Array[Long]] = {
     require(k >= 1 && iters >= 1, s"need k>=1, iters>=1: k=$k iters=$iters")
-    val quantized = embeddings
-      .select(col("vec_id"), quantize(col(vecCol)).as("qv"))
+    val quantized = input
+      .select(col("vec_id"), col("qv"))
       .cache()
     try {
       var centroids = quantized.orderBy("vec_id").limit(k)

@@ -62,7 +62,15 @@ object Pq {
     * [[Kmeans.quantize]] domain) to its m codes: per subspace, the
     * exact-integer argmin codeword id with (dist, id) tie-break.
     * Pure per-row expression — the corpus encodes map-only. */
-  def encodeExpr(qv: Column, codebooks: Array[Array[Array[Long]]]): Column = {
+  def encodeExpr(qv: Column, codebooks: Array[Array[Array[Long]]]): Column =
+    graft.plans.GraftFunctions.pqEncode(qv, codebooks)
+
+  /** The pre-native HOF encode, kept as the independent twin
+    * ExpressionSpec pins [[encodeExpr]] against (the [[Kmeans
+    * .cellIdExprHof]] pattern). ~m×k×dsub interpreted lambda element
+    * invocations per row — never the hot path. */
+  private[graft] def encodeExprHof(qv: Column,
+                                   codebooks: Array[Array[Array[Long]]]): Column = {
     val dsub = dsubOf(codebooks)
     transform(cbLit(codebooks), (cb, s) =>
       array_min(transform(cb, (cv, j) =>
@@ -83,8 +91,14 @@ object Pq {
   }
 
   /** ADC distance of a codes row against a query's LUT: m lookups +
-    * adds — the hot-path expression the whole design exists for. */
+    * adds — the hot-path expression the whole design exists for.
+    * Native codegen form ([[graft.plans.AdcDistance]]); the HOF twin
+    * below is the ExpressionSpec cross-check. */
   def adcDistExpr(codes: Column, lut: Column): Column =
+    graft.plans.GraftFunctions.adcDistance(codes, lut)
+
+  /** HOF twin of [[adcDistExpr]] (spec cross-check only). */
+  private[graft] def adcDistExprHof(codes: Column, lut: Column): Column =
     aggregate(zip_with(codes, lut, (c, l) => element_at(l, c + 1)),
       lit(0L), (acc, x) => acc + x)
 

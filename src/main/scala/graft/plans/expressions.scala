@@ -552,6 +552,191 @@ object ExprHelpers {
     }
     java.lang.Double.valueOf(acc)
   }
+
+  /** [[NearestCellId]]: exact-integer argmin over the centroid matrix
+    * with (dist, cid) tie-break — one tight loop instead of the
+    * k-lambda `array_min(transform(struct(sqDist...)))` chain, whose
+    * per-element interpreted lambdas cost k×d invocations PER ROW (and
+    * re-evaluate the child quantize subtree per centroid). Arithmetic
+    * is plain Java long, the same wraparound the HOF form gets, so the
+    * two are bit-identical (pinned in TrainedIvfSpec/ExpressionSpec).
+    * Null elements / dimension mismatches fail loudly — in the HOF
+    * form they null out the distance and corrupt the argmin silently,
+    * which is strictly worse for an index build. */
+  def nearestCellId(qv: ArrayData, cents: Array[Array[Long]]): Int = {
+    var best = 0L
+    var bestCid = -1
+    var c = 0
+    while (c < cents.length) {
+      val acc = cellSqDist(qv, cents(c))
+      if (bestCid < 0 || acc < best) { best = acc; bestCid = c }
+      c += 1
+    }
+    bestCid
+  }
+
+  /** [[NearestCellIds]]: the `probes` nearest cell ids, nearest first,
+    * under the same exact (dist, cid) total order as [[nearestCellId]]
+    * — the native form of `slice(array_sort(cellDists), 1, probes)`.
+    * Selection over the k-sized distance table (probes ≤ k always in
+    * practice; k is the 64-ish coarse cell count, not the corpus). */
+  def nearestCellIds(qv: ArrayData, cents: Array[Array[Long]],
+                     probes: Int): ArrayData = {
+    val k = cents.length
+    val dists = new Array[Long](k)
+    var c = 0
+    while (c < k) { dists(c) = cellSqDist(qv, cents(c)); c += 1 }
+    val p = if (probes < k) probes else k
+    val out = new Array[Int](p)
+    val taken = new Array[Boolean](k)
+    var r = 0
+    while (r < p) {
+      var best = 0L
+      var bestCid = -1
+      c = 0
+      while (c < k) {
+        if (!taken(c) && (bestCid < 0 || dists(c) < best)) {
+          best = dists(c); bestCid = c
+        }
+        c += 1
+      }
+      taken(bestCid) = true
+      out(r) = bestCid
+      r += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
+
+  /** [[PqEncode]]: per-subspace exact-integer argmin codeword ids —
+    * the native form of the m×k nested-transform encode, which at
+    * m=8, k=16, d=64 costs ~1k interpreted lambda element invocations
+    * per row (the measured 100×-slower-than-scan encode pass). */
+  def pqEncode(qv: ArrayData, cbs: Array[Array[Array[Long]]]): ArrayData = {
+    val m = cbs.length
+    val dsub = cbs(0)(0).length
+    if (qv.numElements() != m * dsub)
+      throw new IllegalArgumentException(
+        s"pq_encode: vector dim ${qv.numElements()} != m*dsub = ${m * dsub}")
+    val codes = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      val cb = cbs(s)
+      val base = s * dsub
+      var best = 0L
+      var bestId = -1
+      var j = 0
+      while (j < cb.length) {
+        val cw = cb(j)
+        var acc = 0L
+        var i = 0
+        while (i < dsub) {
+          if (qv.isNullAt(base + i))
+            throw new IllegalArgumentException(
+              s"pq_encode: NULL element at dim ${base + i} — quantize " +
+                "non-null vectors only")
+          val diff = qv.getLong(base + i) - cw(i)
+          acc += diff * diff
+          i += 1
+        }
+        if (bestId < 0 || acc < best) { best = acc; bestId = j }
+        j += 1
+      }
+      codes(s) = bestId
+      s += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(codes)
+  }
+
+  /** [[IvfPqResidualEncode]]: the fused coarse-assign → residual →
+    * PQ-encode pass of the Jégou et al. IVF-ADC design (codes encode
+    * x − c(cell), not x — the codebooks only have to cover the
+    * within-cell spread, which is what buys residual PQ its recall).
+    * One loop, no residual array materialized: the subspace distances
+    * read (qv[i] − cv[i] − cw[i])² directly. Returns
+    * struct(cell: int, codes: array<int>); same exact-integer (dist,
+    * id) argmin contract as [[nearestCellId]] + [[pqEncode]], pinned
+    * against that composed form in PqSpec. */
+  def ivfPqResidualEncode(qv: ArrayData, cents: Array[Array[Long]],
+                          cbs: Array[Array[Array[Long]]]
+                         ): org.apache.spark.sql.catalyst.InternalRow = {
+    val cell = nearestCellId(qv, cents)
+    val cv = cents(cell)
+    val m = cbs.length
+    val dsub = cbs(0)(0).length
+    if (qv.numElements() != m * dsub)
+      throw new IllegalArgumentException(
+        s"ivfpq_residual_encode: vector dim ${qv.numElements()} != " +
+          s"m*dsub = ${m * dsub}")
+    val codes = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      val cb = cbs(s)
+      val base = s * dsub
+      var best = 0L
+      var bestId = -1
+      var j = 0
+      while (j < cb.length) {
+        val cw = cb(j)
+        var acc = 0L
+        var i = 0
+        while (i < dsub) {
+          val diff = qv.getLong(base + i) - cv(base + i) - cw(i)
+          acc += diff * diff
+          i += 1
+        }
+        if (bestId < 0 || acc < best) { best = acc; bestId = j }
+        j += 1
+      }
+      codes(s) = bestId
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](cell,
+        org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+          .fromPrimitiveArray(codes)))
+  }
+
+  /** [[AdcDistance]]: m lookups + adds — the ADC scan's per-candidate
+    * hot path. Mirrors the `aggregate(zip_with(codes, lut,
+    * element_at))` form's null semantics: any length mismatch or
+    * out-of-range code yields NULL (non-ANSI element_at), never a
+    * wrong sum. */
+  def adcDist(codes: ArrayData, lut: ArrayData): java.lang.Long = {
+    val m = codes.numElements()
+    if (lut.numElements() != m) return null
+    var acc = 0L
+    var s = 0
+    while (s < m) {
+      if (codes.isNullAt(s) || lut.isNullAt(s)) return null
+      val row = lut.getArray(s)
+      val c = codes.getInt(s)
+      if (c < 0 || c >= row.numElements() || row.isNullAt(c)) return null
+      acc += row.getLong(c)
+      s += 1
+    }
+    java.lang.Long.valueOf(acc)
+  }
+
+  private def cellSqDist(qv: ArrayData, cv: Array[Long]): Long = {
+    val d = qv.numElements()
+    if (cv.length != d)
+      throw new IllegalArgumentException(
+        s"nearest_cell: vector dim $d != centroid dim ${cv.length}")
+    var acc = 0L
+    var i = 0
+    while (i < d) {
+      if (qv.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"nearest_cell: NULL element at dim $i — quantize non-null " +
+            "vectors only")
+      val diff = qv.getLong(i) - cv(i)
+      acc += diff * diff
+      i += 1
+    }
+    acc
+  }
 }
 
 /** Native Catalyst form of the O11 messy-number cast (SURVEY.md §7.5's
@@ -1392,6 +1577,185 @@ case class TopKByScore(
     copy(score = newChildren.head, id = newChildren(1))
 }
 
+/** Native nearest-centroid assignment over a TRAINED centroid matrix
+  * (carried as a referenced object, one copy per task, not a per-row
+  * literal walk): the IVF index build / append / streaming-ingest hot
+  * path. Bit-identical to the `array_min(transform(...))` HOF form and
+  * to [[graft.operators.Kmeans.assign]] — same exact integer squared
+  * distances (same Long wraparound), same (dist, cid) tie-break —
+  * pinned in TrainedIvfSpec + ExpressionSpec. The HOF form at k=64,
+  * d=64 paid ~4k interpreted lambda element invocations per row AND
+  * re-evaluated the child quantize subtree once per centroid; this is
+  * one child eval + one fused loop (measured ~20× on the 1M-vector
+  * build in StressProbe). */
+case class NearestCellId(child: Expression, cents: Array[Array[Long]])
+  extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = child.nullable
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) if cents.nonEmpty => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"nearest_cell_id expects ARRAY<BIGINT> + non-empty centroids, got ${other.sql}")
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else ExprHelpers.nearestCellId(v.asInstanceOf[ArrayData], cents)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroids", cents, "long[][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.ExprHelpers.nearestCellId($c, $ref);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCellId =
+    copy(child = newChild)
+}
+
+/** The `probes` nearest cell ids, nearest first — the multi-probe read
+  * side of a trained IVF index, native form of
+  * `transform(slice(array_sort(cellDists), 1, probes), _.cid)`. Same
+  * exact (dist, cid) total order as [[NearestCellId]]; output length
+  * min(probes, k) exactly like the HOF slice. */
+case class NearestCellIds(child: Expression, cents: Array[Array[Long]],
+                          probes: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) if cents.nonEmpty && probes >= 1 =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"nearest_cell_ids expects ARRAY<BIGINT> + non-empty centroids + " +
+        s"probes >= 1, got ${other.sql}, probes=$probes")
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else ExprHelpers.nearestCellIds(v.asInstanceOf[ArrayData], cents, probes)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroids", cents, "long[][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.ExprHelpers.nearestCellIds($c, $ref, $probes);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCellIds =
+    copy(child = newChild)
+}
+
+/** Native PQ encode: m per-subspace argmin codeword ids in one fused
+  * pass — the corpus-sized map of the PQ/IVF×PQ index builds. Same
+  * exact-integer (dist, id) argmin as the m×k nested-transform HOF
+  * form (pinned in PqSpec/ExpressionSpec), without its ~m×k×dsub
+  * interpreted lambda invocations per row. */
+case class PqEncode(child: Expression, cbs: Array[Array[Array[Long]]])
+  extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _)
+        if cbs.nonEmpty && cbs.forall(_.nonEmpty) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"pq_encode expects ARRAY<BIGINT> + non-empty codebooks, got ${other.sql}")
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else ExprHelpers.pqEncode(v.asInstanceOf[ArrayData], cbs)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("codebooks", cbs, "long[][][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.ExprHelpers.pqEncode($c, $ref);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqEncode =
+    copy(child = newChild)
+}
+
+/** Fused coarse-assign → residual → PQ-encode (see
+  * [[ExprHelpers.ivfPqResidualEncode]]): struct(cell, codes) in one
+  * pass — the corpus-sized map of the residual IVF×PQ index build.
+  * Both quantizer matrices ride as referenced objects. */
+case class IvfPqResidualEncode(child: Expression,
+                               cents: Array[Array[Long]],
+                               cbs: Array[Array[Array[Long]]])
+  extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("cell", IntegerType, nullable = false),
+    StructField("codes", ArrayType(IntegerType, containsNull = false),
+      nullable = false)))
+  override def nullable: Boolean = child.nullable
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _)
+        if cents.nonEmpty && cbs.nonEmpty && cbs.forall(_.nonEmpty) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"ivfpq_residual_encode expects ARRAY<BIGINT> + non-empty " +
+        s"centroids/codebooks, got ${other.sql}")
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else ExprHelpers.ivfPqResidualEncode(v.asInstanceOf[ArrayData], cents, cbs)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val centsRef = ctx.addReferenceObj("centroids", cents, "long[][]")
+    val cbsRef = ctx.addReferenceObj("codebooks", cbs, "long[][][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.ExprHelpers.ivfPqResidualEncode($c, $centsRef, $cbsRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): IvfPqResidualEncode =
+    copy(child = newChild)
+}
+
+/** Native ADC distance: candidate codes × query LUT in m lookups —
+  * the per-candidate hot path of every PQ probe (the scan the 32×
+  * compression exists to make cheap must not then burn its win on
+  * interpreted lambdas). NULL on any length mismatch / out-of-range
+  * code, mirroring the `aggregate(zip_with(element_at))` form. */
+case class AdcDistance(left: Expression, right: Expression)
+  extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(IntegerType, _), ArrayType(ArrayType(LongType, _), _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"adc_distance expects (ARRAY<INT>, ARRAY<ARRAY<BIGINT>>), got ${l.sql}, ${r.sql}")
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val l = left.eval(input)
+    val r = right.eval(input)
+    if (l == null || r == null) null
+    else ExprHelpers.adcDist(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (l, r) => {
+      s"""
+        java.lang.Long ${ev.value}_r = graft.plans.ExprHelpers.adcDist($l, $r);
+        if (${ev.value}_r == null) { ${ev.isNull} = true; }
+        else { ${ev.value} = ${ev.value}_r.longValue(); }
+      """
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): AdcDistance =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column-level and SQL-level entry points for the native expressions. */
 object GraftFunctions {
 
@@ -1459,6 +1823,25 @@ object GraftFunctions {
   def bloomLongsContainAny(c: Column, bloom: Bloom): Column =
     GraftSqlBridge.column(
       BloomLongsContainAny(GraftSqlBridge.expression(c), bloom))
+
+  /** Native nearest-centroid assignment (see [[NearestCellId]]). */
+  def nearestCellId(qv: Column, cents: Array[Array[Long]]): Column =
+    GraftSqlBridge.column(NearestCellId(GraftSqlBridge.expression(qv), cents))
+
+  /** Native multi-probe cell ranking (see [[NearestCellIds]]). */
+  def nearestCellIds(qv: Column, cents: Array[Array[Long]],
+                     probes: Int): Column =
+    GraftSqlBridge.column(
+      NearestCellIds(GraftSqlBridge.expression(qv), cents, probes))
+
+  /** Native PQ encode (see [[PqEncode]]). */
+  def pqEncode(qv: Column, cbs: Array[Array[Array[Long]]]): Column =
+    GraftSqlBridge.column(PqEncode(GraftSqlBridge.expression(qv), cbs))
+
+  /** Native ADC distance (see [[AdcDistance]]). */
+  def adcDistance(codes: Column, lut: Column): Column =
+    GraftSqlBridge.column(AdcDistance(
+      GraftSqlBridge.expression(codes), GraftSqlBridge.expression(lut)))
 
   /** Aggregate: exact per-group top-k as a bounded heap (see
     * [[TopKByScore]]). */

@@ -478,4 +478,68 @@ class ExpressionSpec extends AnyFunSuite {
       lit(null).cast("array<bigint>"), bloom).as("r")).collect()(0)
     assert(nullIn.isNullAt(0), "null array must yield null, not false")
   }
+
+  // ANN native expressions vs their HOF twins: the twins exercise
+  // Spark's own transform/array_min/array_sort/aggregate machinery,
+  // so agreement on real embeddings is independent evidence that the
+  // fused loops preserve the exact-integer (dist, id) contract.
+
+  private def annQuantized = {
+    import graft.operators.Kmeans
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), Kmeans.quantize(col("embedding")).as("qv"))
+  }
+
+  test("NearestCellId / NearestCellIds ≡ HOF argmin/ranking on real embeddings") {
+    import graft.operators.Kmeans
+    val cents = Kmeans.train(
+      spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet"), 8, 2)
+    val rows = annQuantized.select(col("vec_id"),
+        Kmeans.cellIdExpr(col("qv"), cents).as("native"),
+        Kmeans.cellIdExprHof(col("qv"), cents).as("hof"),
+        Kmeans.nearestCellsExpr(col("qv"), cents, 3).as("native_p"),
+        Kmeans.nearestCellsExprHof(col("qv"), cents, 3).as("hof_p"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getInt(1) == r.getInt(2), s"vec ${r.getLong(0)}: cid mismatch")
+      assert(r.getSeq[Int](3) == r.getSeq[Int](4),
+        s"vec ${r.getLong(0)}: probe ranking mismatch")
+    }
+    // probes > k clamps to k, exactly like the HOF slice
+    val clamped = annQuantized.limit(5).select(
+      Kmeans.nearestCellsExpr(col("qv"), cents, 99).as("p")).collect()
+    clamped.foreach(r => assert(r.getSeq[Int](0).length == cents.length))
+  }
+
+  test("PqEncode / AdcDistance ≡ HOF twins on real embeddings") {
+    import graft.operators.{Kmeans, Pq}
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cbs = Pq.train(emb, m = 4, k = 8, iters = 2)
+    val q = annQuantized
+    val enc = q.select(col("vec_id"),
+        Pq.encodeExpr(col("qv"), cbs).as("native"),
+        Pq.encodeExprHof(col("qv"), cbs).as("hof"))
+      .collect()
+    assert(enc.nonEmpty)
+    enc.foreach(r => assert(r.getSeq[Int](1) == r.getSeq[Int](2),
+      s"vec ${r.getLong(0)}: codes mismatch"))
+    // ADC: every (codes, lut) pairing from two sample queries
+    val luts = q.limit(2).select(Pq.adcLutExpr(col("qv"), cbs).as("lut"))
+    val dists = q.select(Pq.encodeExpr(col("qv"), cbs).as("codes"))
+      .crossJoin(broadcast(luts))
+      .select(Pq.adcDistExpr(col("codes"), col("lut")).as("native"),
+        Pq.adcDistExprHof(col("codes"), col("lut")).as("hof"))
+      .collect()
+    assert(dists.nonEmpty)
+    dists.foreach(r => assert(r.getLong(0) == r.getLong(1), "adc mismatch"))
+    // null-propagation edges mirror the HOF form
+    val edgeDf = spark.sql(
+      """SELECT array(0, 9) AS codes, array(array(1L, 2L), array(3L)) AS lut
+         UNION ALL SELECT array(0), array(array(1L, 2L), array(3L))
+         UNION ALL SELECT CAST(NULL AS ARRAY<INT>), array(array(1L))""")
+      .select(Pq.adcDistExpr(col("codes"), col("lut")).as("n")).collect()
+    assert(edgeDf.forall(_.isNullAt(0)),
+      "out-of-range code / length mismatch / null codes must all yield NULL")
+  }
 }
