@@ -52,6 +52,35 @@ object Pq {
     }
   }
 
+  /** Train per-subspace codebooks on RESIDUALS x − c(cell) against a
+    * trained coarse quantizer — the Jégou et al. IVF-ADC layout: the
+    * codebooks only have to cover the within-cell spread, not the
+    * whole-space spread, which is where residual PQ's recall edge
+    * comes from. Residuals live in the quantized integer domain
+    * (difference of two exact longs), so training goes through
+    * [[Kmeans.trainQuantized]] — re-quantizing would re-scale. */
+  def trainResidual(embeddings: DataFrame, centroids: Array[Array[Long]],
+                    m: Int, k: Int, iters: Int,
+                    vecCol: String = "embedding"): Array[Array[Array[Long]]] = {
+    require(m >= 1 && k >= 2 && iters >= 1,
+      s"bad PQ config: m=$m k=$k iters=$iters")
+    val d = embeddings.select(size(col(vecCol))).head().getInt(0)
+    require(d % m == 0, s"PQ: dim $d must divide into m=$m subspaces")
+    val dsub = d / m
+    val qv = Kmeans.quantize(col(vecCol))
+    val rq = zip_with(qv,
+      element_at(Kmeans.centroidLit(centroids),
+        graft.plans.GraftFunctions.nearestCellId(qv, centroids) + lit(1)),
+      (x, c) => x - c)
+    val residuals = embeddings.select(col("vec_id"), rq.as("rqv"))
+    (0 until m).toArray.map { s =>
+      Kmeans.trainQuantized(
+        residuals.select(col("vec_id"),
+          slice(col("rqv"), s * dsub + 1, dsub).as("qv")),
+        k, iters)
+    }
+  }
+
   private def cbLit(codebooks: Array[Array[Array[Long]]]): Column =
     typedLit(codebooks.map(_.map(_.toSeq).toSeq).toSeq)
 
@@ -152,15 +181,28 @@ object Pq {
   def writeIvfPqIndex(embeddings: DataFrame, path: String,
                       centroids: Array[Array[Long]],
                       codebooks: Array[Array[Array[Long]]],
-                      vecCol: String = "embedding"): Unit = {
+                      vecCol: String = "embedding",
+                      residual: Boolean = false): Unit = {
     val qv = Kmeans.quantize(col(vecCol))
-    embeddings
-      .select(col("vec_id"),
-        encodeExpr(qv, codebooks).as("codes"),
-        Kmeans.cellIdExpr(qv, centroids).as("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(path)
+    val encoded =
+      if (residual) {
+        // Fused assign → residual → encode ([[graft.plans
+        // .IvfPqResidualEncode]]); `codebooks` MUST come from
+        // [[trainResidual]] against the SAME centroids — the sidecar
+        // records the pairing so probes can't mix schemes.
+        val enc = graft.plans.GraftFunctions
+          .ivfPqResidualEncode(qv, centroids, codebooks).as("enc")
+        embeddings.select(col("vec_id"), enc)
+          .select(col("vec_id"), col("enc.codes").as("codes"),
+            col("enc.cell").as("cell"))
+      } else {
+        embeddings.select(col("vec_id"),
+          encodeExpr(qv, codebooks).as("codes"),
+          Kmeans.cellIdExpr(qv, centroids).as("cell"))
+      }
+    encoded.write.mode("overwrite").partitionBy("cell").parquet(path)
     writeCodebookSidecar(embeddings.sparkSession, path, codebooks)
-    writeCellSidecar(embeddings.sparkSession, path, centroids)
+    writeCellSidecar(embeddings.sparkSession, path, centroids, residual)
   }
 
   /** Multi-probe ADC top-k over a [[writeIvfPqIndex]] layout: each
@@ -168,7 +210,11 @@ object Pq {
     * nearest cells under dynamic partition pruning, and ranks
     * candidates by ADC distance — same (dist, cand_id) tie-break as
     * [[pqTopK]]. Probing every cell degrades exactly to [[pqTopK]]
-    * over the whole codes table (the exactness anchor PqSpec pins). */
+    * over the whole codes table (the exactness anchor PqSpec pins).
+    * Dispatches on the sidecar's recorded encoding: a residual index
+    * gets per-(query, probed-cell) residual LUTs — same scan shape,
+    * the LUT table is queries × probes rows of m×k longs, still
+    * broadcast-bounded. */
   def ivfPqTopK(spark: SparkSession, path: String, embeddings: DataFrame,
                 queryPred: Column, k: Int = 5, probes: Int = 1,
                 vecCol: String = "embedding"): DataFrame = {
@@ -179,10 +225,28 @@ object Pq {
       throw new IllegalStateException(
         s"ivfPqTopK: no cell sidecar under $path — not a writeIvfPqIndex layout"))
     val qv = Kmeans.quantize(col(vecCol))
-    val queries = broadcast(embeddings.filter(queryPred)
-      .select(col("vec_id").as("query_id"),
-        adcLutExpr(qv, codebooks).as("lut"),
-        explode(Kmeans.nearestCellsExpr(qv, centroids, probes)).as("qcell")))
+    val queries = broadcast(
+      if (readCellResidualFlag(spark, path)) {
+        // Residual ADC: each probed cell gets its OWN LUT, built from
+        // the query's residual against THAT cell's centroid — the
+        // LUT is keyed (query, qcell), still control-plane sized
+        // (queries × probes rows of m×k longs).
+        embeddings.filter(queryPred)
+          .select(col("vec_id").as("query_id"), qv.as("quv"),
+            explode(Kmeans.nearestCellsExpr(qv, centroids, probes))
+              .as("qcell"))
+          .select(col("query_id"), col("qcell"),
+            adcLutExpr(zip_with(col("quv"),
+                element_at(Kmeans.centroidLit(centroids),
+                  col("qcell") + lit(1)),
+                (x, c) => x - c), codebooks).as("lut"))
+      } else {
+        embeddings.filter(queryPred)
+          .select(col("vec_id").as("query_id"),
+            adcLutExpr(qv, codebooks).as("lut"),
+            explode(Kmeans.nearestCellsExpr(qv, centroids, probes))
+              .as("qcell"))
+      })
     val scored = spark.read.parquet(path).join(queries,
         col("cell") === col("qcell") && col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("cand_id"),
@@ -197,11 +261,13 @@ object Pq {
   private val CellMetaFile = "_graft_ivfpq_cells.json"
 
   private def writeCellSidecar(spark: SparkSession, path: String,
-                               centroids: Array[Array[Long]]): Unit = {
+                               centroids: Array[Array[Long]],
+                               residual: Boolean): Unit = {
     val flat = centroids.map(_.mkString(",")).mkString(";")
+    val enc = if (residual) "residual" else "raw"
     val body = s"""{"quantizer":"kmeans","k":${centroids.length},""" +
       s""""dim":${centroids.head.length},"scale":65536,""" +
-      s""""centroids":"$flat"}"""
+      s""""encoding":"$enc","centroids":"$flat"}"""
     val p = new org.apache.hadoop.fs.Path(path, CellMetaFile)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(p, true)
@@ -220,6 +286,19 @@ object Pq {
     "\"centroids\"\\s*:\\s*\"([^\"]*)\"".r.findFirstMatchIn(txt).map { m =>
       m.group(1).split(';').map(_.split(',').map(_.toLong))
     }
+  }
+
+  /** Whether the index's codes encode residuals (x − c(cell)) rather
+    * than raw vectors. Pre-residual sidecars lack the field → raw,
+    * so old indexes keep probing exactly as built. */
+  def readCellResidualFlag(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path, CellMetaFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return false
+    val in = fs.open(p)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    txt.contains("\"encoding\":\"residual\"")
   }
 
   private def writeCodebookSidecar(spark: SparkSession, path: String,

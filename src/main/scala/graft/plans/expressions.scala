@@ -1838,6 +1838,12 @@ object GraftFunctions {
   def pqEncode(qv: Column, cbs: Array[Array[Array[Long]]]): Column =
     GraftSqlBridge.column(PqEncode(GraftSqlBridge.expression(qv), cbs))
 
+  /** Fused residual IVF×PQ encode (see [[IvfPqResidualEncode]]). */
+  def ivfPqResidualEncode(qv: Column, cents: Array[Array[Long]],
+                          cbs: Array[Array[Array[Long]]]): Column =
+    GraftSqlBridge.column(
+      IvfPqResidualEncode(GraftSqlBridge.expression(qv), cents, cbs))
+
   /** Native ADC distance (see [[AdcDistance]]). */
   def adcDistance(codes: Column, lut: Column): Column =
     GraftSqlBridge.column(AdcDistance(

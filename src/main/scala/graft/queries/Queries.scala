@@ -11416,6 +11416,47 @@ object Queries {
     Some("""SELECT vec_id + 1000000 AS query_id, TRUE AS twin_minimal
     FROM embeddings WHERE vec_id < 50 ORDER BY query_id"""))
 
+  /** RESIDUAL IVF×PQ ([[graft.operators.Pq.trainResidual]] +
+    * `writeIvfPqIndex(residual = true)`) — the full Jégou et al.
+    * IVF-ADC design: codes encode x − c(cell) so the codebooks cover
+    * only within-cell spread, and each probed cell gets its own
+    * residual LUT. Twin minimality still closes the oracle: an
+    * identical twin lands in the query's cell (exact assignment),
+    * therefore shares its residual, therefore its codes — and per
+    * subspace the query's own residual code minimizes its per-cell
+    * LUT entry, so the twin's residual-ADC distance is the global
+    * minimum. Exercises the fused native encode, the sidecar encoding
+    * flag, per-(query, cell) LUT build, and DPP single-probe scan —
+    * any break falsifies a row. */
+  private val qAnnIvfPqRes = Q(
+    "q_ann_ivfpq_res",
+    (s, d) => {
+      val base = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val planted = base.filter(col("vec_id") < 50)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      val corpus = base.unionByName(planted)
+      val cents = graft.operators.Kmeans.train(corpus, 8, 1)
+      val cbs = graft.operators.Pq.trainResidual(corpus, cents,
+        m = 2, k = 8, iters = 1)
+      val dir = java.nio.file.Files.createTempDirectory("graft-q-ivfpqr")
+        .toString + "/idx"
+      graft.operators.Pq.writeIvfPqIndex(corpus, dir, cents, cbs,
+        residual = true)
+      val scored = graft.operators.Pq.ivfPqTopK(s, dir, corpus,
+        col("vec_id") >= 1000000L, k = Int.MaxValue, probes = 1)
+      val best = scored.filter(col("rk") === 1)
+        .select(col("query_id"), col("adc_dist").as("best_dist"))
+      val twin = scored
+        .filter(col("cand_id") === col("query_id") - 1000000L)
+        .select(col("query_id"), col("adc_dist").as("twin_dist"))
+      best.join(twin, "query_id")
+        .select(col("query_id"),
+          (col("twin_dist") === col("best_dist")).as("twin_minimal"))
+        .orderBy("query_id")
+    },
+    Some("""SELECT vec_id + 1000000 AS query_id, TRUE AS twin_minimal
+    FROM embeddings WHERE vec_id < 50 ORDER BY query_id"""))
+
   /** Copy-on-write UPDATE through
     * [[graft.sources.SnapshotTable.updateWhere]] — the last corner of
     * the CRUD surface (the public `UPDATE t SET … WHERE …` shape):
@@ -11661,7 +11702,8 @@ object Queries {
     qSnapshotMerge, qSnapshotDelete, qSnapshotPrune, qSnapshotLookup,
     qSnapshotChanges, qSnapshotReplicate, qSnapshotPartition,
     qSnapshotZorder, qSnapshotClone, qSnapshotSql, qSnapshotUpdate,
-    qSnapshotHistory, qAnnPq, qAnnIvfPq, qBpeTrain, qBpeTrainBatched,
+    qSnapshotHistory, qAnnPq, qAnnIvfPq, qAnnIvfPqRes, qBpeTrain,
+    qBpeTrainBatched,
     qCorpusFunnel, qAnnKmeans, qAnnTrained,
     qResultsTopk, qIngestFilter, qSanitizeIdent, qParseNumber, qParseDate,
     qNullNormalize, qInferType, qJsonExtract, qSchemaEvolution,

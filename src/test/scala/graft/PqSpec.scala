@@ -203,4 +203,60 @@ class PqSpec extends AnyFunSuite {
     val recall = pq.intersect(bruteTop).size.toDouble / bruteTop.size
     assert(recall >= 0.4, s"PQ recall@10 collapsed: $recall")
   }
+
+  private def nearestCellRef(qv: Array[Long],
+                             cents: Array[Array[Long]]): Int =
+    cents.zipWithIndex.map { case (cv, i) =>
+      (cv.zip(qv).map { case (a, b) => (a - b) * (a - b) }.sum, i)
+    }.min._2
+
+  test("residual IVF-PQ: fused encode == driver reference, twin minimal at one probe") {
+    val base = emb.select(col("vec_id"), col("embedding"))
+    val planted = base.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    val corpus = base.unionByName(planted)
+    val cents = Kmeans.train(corpus, 8, 2)
+    val cbs = Pq.trainResidual(corpus, cents, m = 8, k = 8, iters = 2)
+    assert(cbs.length == 8 && cbs.forall(_.length == 8))
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq-res")
+      .toString + "/idx"
+    Pq.writeIvfPqIndex(corpus, dir, cents, cbs, residual = true)
+    // The sidecar records the encoding; a raw index stays raw.
+    assert(Pq.readCellResidualFlag(spark, dir))
+    // Fused (cell, codes) == driver reference: assign, subtract the
+    // cell centroid, PQ-encode the residual.
+    val raw = corpus.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val rows = spark.read.parquet(dir)
+      .select("vec_id", "cell", "codes").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2).toArray))
+    assert(rows.length == raw.size)
+    rows.foreach { case (id, cell, codes) =>
+      val qv = quantizeRef(raw(id))
+      val wantCell = nearestCellRef(qv, cents)
+      assert(cell == wantCell, s"vec $id: cell $cell != $wantCell")
+      val res = qv.zip(cents(wantCell)).map { case (x, c) => x - c }
+      val wantCodes = encodeRef(res, cbs)
+      assert(codes.sameElements(wantCodes),
+        s"vec $id: ${codes.toSeq} != ${wantCodes.toSeq}")
+    }
+    // Single-probe twin minimality through the residual probe path:
+    // the twin shares the query's cell AND its residual codes, so one
+    // probe must surface the global-minimum residual-ADC distance.
+    val probe = Pq.ivfPqTopK(spark, dir, corpus,
+      col("vec_id") >= 1000000L, k = 3, probes = 1)
+    assert(probe.queryExecution.executedPlan.toString
+      .toLowerCase.contains("dynamicpruning"))
+    val top1 = probe.filter(col("rk") === 1)
+      .select("query_id", "adc_dist").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L until 10L).foreach { i =>
+      val qv = quantizeRef(raw(i + 1000000L))
+      val cell = nearestCellRef(qv, cents)
+      val res = qv.zip(cents(cell)).map { case (x, c) => x - c }
+      val want = adcRef(res, encodeRef(res, cbs), cbs)
+      assert(top1(i + 1000000L) == want,
+        s"query ${i + 1000000L}: top-1 adc ${top1(i + 1000000L)} != twin $want")
+    }
+  }
 }
