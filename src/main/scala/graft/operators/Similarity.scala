@@ -291,8 +291,13 @@ object Similarity {
     }
     val assigned = prep(delta)
       .withColumn("cell", Kmeans.cellIdExpr(Kmeans.quantize(col("v")), cents))
+    // vec_id stats + Bloom refs per file: [[ivfTopKSnapshotIds]]
+    // resolves query rows by id through manifest pruning instead of a
+    // full table scan — at 100 TB the query lookup must not cost a
+    // corpus read.
     graft.sources.SnapshotTable.transactionalAppendPartitioned(
-      assigned, dir, partitionBy = Seq("cell"), appId, txnVersion)
+      assigned, dir, partitionBy = Seq("cell"), appId, txnVersion,
+      statsCols = Seq("vec_id"), bloomCols = Seq("vec_id"))
   }
 
   /** Multi-probe top-k over an [[initIvfSnapshot]] table: query rows
@@ -313,7 +318,39 @@ object Similarity {
           s"(quantizer: $other)")
     }
     val table = graft.sources.SnapshotTable.read(spark, dir)
-    val queries = table.filter(queryPred)
+    snapshotProbe(spark, dir, cents, table.filter(queryPred), k, probes)
+  }
+
+  /** [[ivfTopKSnapshot]] with the query rows resolved BY ID through
+    * manifest pruning: each id opens only its owning files (per-file
+    * vec_id min/max + the Bloom sidecars [[appendIvfSnapshot]]
+    * records), so the query lookup costs O(query files), not a corpus
+    * scan — the missing piece that made the predicate form's
+    * `table.filter(queryPred)` the one full read left in the snapshot
+    * ANN path. Ids are the control-plane-sized query set by
+    * construction (they feed a broadcast either way). */
+  def ivfTopKSnapshotIds(spark: org.apache.spark.sql.SparkSession,
+                         dir: String, queryIds: Seq[Long],
+                         k: Int = 5, probes: Int = 1): DataFrame = {
+    require(queryIds.nonEmpty, "ivfTopKSnapshotIds: empty query id set")
+    val cents = readQuantizer(spark, dir) match {
+      case Some(TrainedQuantizer(c)) => c
+      case other => throw new IllegalStateException(
+        s"ivfTopKSnapshotIds: $dir is not an initIvfSnapshot layout " +
+          s"(quantizer: $other)")
+    }
+    val qrows = queryIds.distinct.sorted
+      .map(id =>
+        graft.sources.SnapshotTable.readWhereEq(spark, dir, "vec_id", id))
+      .reduce(_ unionByName _)
+    snapshotProbe(spark, dir, cents, qrows, k, probes)
+  }
+
+  private def snapshotProbe(spark: org.apache.spark.sql.SparkSession,
+                            dir: String, cents: Array[Array[Long]],
+                            queryRows: DataFrame,
+                            k: Int, probes: Int): DataFrame = {
+    val queries = queryRows
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qn"),
         explode(Kmeans.nearestCellsExpr(
@@ -323,7 +360,8 @@ object Similarity {
     val base = probeCells
       .map(c => graft.sources.SnapshotTable.readWhereEq(spark, dir, "cell", c))
       .reduceOption(_ unionByName _)
-      .getOrElse(table.filter(lit(false)))
+      .getOrElse(graft.sources.SnapshotTable.read(spark, dir)
+        .filter(lit(false)))
     scoredTopK(base, broadcast(queries),
       col("cell") === col("qcell") && col("vec_id") =!= col("query_id"), k)
   }

@@ -609,5 +609,15 @@ class EventStreamsSpec extends AnyFunSuite {
           graft.operators.Kmeans.quantize(col("embedding")).as("qv")),
         cents).select("cid").head().getInt(0))
     assert(sel.size < tot, s"cell probe should prune files: $sel of $tot")
+    // Id-resolved query lookup: same results as the predicate form,
+    // and the query rows are found through vec_id stats/Bloom pruning
+    // (strictly fewer files than the table holds), not a full scan.
+    val gotIds = rset(graft.operators.Similarity.ivfTopKSnapshotIds(
+      spark, dir, (0L until 8L).toSeq, k = 5, probes = cents.length))
+    assert(gotIds == want, "id-resolved probe != predicate probe")
+    val (qSel, qTot) = graft.sources.SnapshotTable.pruneFilesEq(
+      spark, dir, "vec_id", 0L)
+    assert(qSel.size < qTot,
+      s"vec_id lookup should prune files: ${qSel.size} of $qTot")
   }
 }
