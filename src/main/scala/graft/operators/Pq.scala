@@ -205,6 +205,41 @@ object Pq {
     writeCellSidecar(embeddings.sparkSession, path, centroids, residual)
   }
 
+  /** INCREMENTAL IVF×PQ maintenance (the [[Similarity.appendIvf]]
+    * precedent): encode ONLY the delta with the index's own recorded
+    * quantizers — coarse cells, codebooks AND the encoding scheme all
+    * come from the sidecars, so an append can never mix raw codes
+    * into a residual index — and dynamic-partition append it: exactly
+    * the delta's cells gain files, untouched `cell=` directories are
+    * never listed or rewritten, and the next [[ivfPqTopK]] sees
+    * old + new codes under the same pruning. At-least-once like
+    * appendIvf; the exactly-once path is the SnapshotTable ledger. */
+  def appendIvfPq(delta: DataFrame, path: String,
+                  vecCol: String = "embedding"): Unit = {
+    val spark = delta.sparkSession
+    val codebooks = readCodebookSidecar(spark, path).getOrElse(
+      throw new IllegalStateException(
+        s"appendIvfPq: no codebook sidecar under $path"))
+    val centroids = readCellSidecar(spark, path).getOrElse(
+      throw new IllegalStateException(
+        s"appendIvfPq: no cell sidecar under $path — not a " +
+          "writeIvfPqIndex layout"))
+    val qv = Kmeans.quantize(col(vecCol))
+    val encoded =
+      if (readCellResidualFlag(spark, path)) {
+        val enc = graft.plans.GraftFunctions
+          .ivfPqResidualEncode(qv, centroids, codebooks).as("enc")
+        delta.select(col("vec_id"), enc)
+          .select(col("vec_id"), col("enc.codes").as("codes"),
+            col("enc.cell").as("cell"))
+      } else {
+        delta.select(col("vec_id"),
+          encodeExpr(qv, codebooks).as("codes"),
+          Kmeans.cellIdExpr(qv, centroids).as("cell"))
+      }
+    encoded.write.mode("append").partitionBy("cell").parquet(path)
+  }
+
   /** Multi-probe ADC top-k over a [[writeIvfPqIndex]] layout: each
     * query ranks the coarse centroids (sidecar), scans its `probes`
     * nearest cells under dynamic partition pruning, and ranks

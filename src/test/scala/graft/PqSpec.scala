@@ -259,4 +259,33 @@ class PqSpec extends AnyFunSuite {
         s"query ${i + 1000000L}: top-1 adc ${top1(i + 1000000L)} != twin $want")
     }
   }
+
+  test("appendIvfPq: delta-encoded append == full rebuild, scheme from the sidecar") {
+    val base = emb.select(col("vec_id"), col("embedding"))
+    val half = base.filter(col("vec_id") % 2 === 0)
+    val delta = base.filter(col("vec_id") % 2 === 1)
+    val cents = Kmeans.train(base, 8, 2)
+    for (residual <- Seq(false, true)) {
+      val cbs =
+        if (residual) Pq.trainResidual(base, cents, m = 8, k = 8, iters = 2)
+        else Pq.train(base, m = 8, k = 8, iters = 2)
+      val inc = java.nio.file.Files.createTempDirectory("graft-ivfpq-app")
+        .toString + "/idx"
+      Pq.writeIvfPqIndex(half, inc, cents, cbs, residual = residual)
+      Pq.appendIvfPq(delta, inc)
+      val full = java.nio.file.Files.createTempDirectory("graft-ivfpq-fl")
+        .toString + "/idx"
+      Pq.writeIvfPqIndex(base, full, cents, cbs, residual = residual)
+      def rset(df: org.apache.spark.sql.DataFrame) =
+        df.select("query_id", "cand_id", "adc_dist", "rk").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+          .toSet
+      val got = rset(Pq.ivfPqTopK(spark, inc, base,
+        col("vec_id") < 8, k = 3, probes = cents.length))
+      val want = rset(Pq.ivfPqTopK(spark, full, base,
+        col("vec_id") < 8, k = 3, probes = cents.length))
+      assert(want.nonEmpty && got == want,
+        s"residual=$residual: incremental index != rebuilt index")
+    }
+  }
 }
