@@ -292,6 +292,40 @@ object Pq {
       .filter(col("rk") <= k)
   }
 
+  /** Two-stage retrieval — the standard production search stack over
+    * an IVF×PQ index: the ADC scan shortlists `shortlist` candidates
+    * per query from the probed cells' CODES (never touching a float
+    * vector), then ONLY the shortlist joins back to raw vectors for
+    * an exact cosine re-rank under [[Similarity.scoredTopK]]'s
+    * rounding/tie-break discipline — so results are comparable
+    * row-for-row with every other search variant. At 100 TB the
+    * re-rank fetch is queries×shortlist rows against the raw table
+    * (broadcast-semi-join in one map-only pass here; a SnapshotTable
+    * with a vec_id Bloom turns it into point lookups). EXACTNESS
+    * ANCHOR (the oracle-closing degenerate case): probing every cell
+    * with an unbounded shortlist makes stage 1 a full pass-through,
+    * so the output must equal [[Similarity.bruteTopK]] exactly —
+    * independent of quantizer quality. */
+  def ivfPqTopKRerank(spark: SparkSession, path: String,
+                      embeddings: DataFrame, queryPred: Column,
+                      k: Int = 5, probes: Int = 1, shortlist: Int = 50,
+                      vecCol: String = "embedding"): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
+    val adc = ivfPqTopK(spark, path, embeddings, queryPred,
+      k = shortlist, probes = probes, vecCol = vecCol)
+    val sl = broadcast(adc.select(col("query_id").as("sl_qid"),
+      col("cand_id").as("sl_cid")))
+    val base = Similarity.prep(
+      embeddings.select(col("vec_id"), col(vecCol).as("embedding")))
+    val cands = base.join(sl, col("vec_id") === col("sl_cid"))
+      .select(col("sl_qid"), col("vec_id"), col("v"), col("nrm"))
+    val queries = broadcast(base.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn")))
+    Similarity.scoredTopK(cands, queries,
+      col("sl_qid") === col("query_id"), k)
+  }
+
   private val MetaFile = "_graft_pq.json"
   private val CellMetaFile = "_graft_ivfpq_cells.json"
 

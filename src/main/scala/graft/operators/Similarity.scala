@@ -30,7 +30,7 @@ object Similarity {
 
   /** Corpus + precomputed norm (float vectors kept as-is; all
     * arithmetic accumulates in double inside the expression). */
-  private def prep(embeddings: DataFrame): DataFrame =
+  private[operators] def prep(embeddings: DataFrame): DataFrame =
     embeddings.select(col("vec_id"), col("embedding").as("v"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
 
@@ -38,7 +38,7 @@ object Similarity {
     * `joinCond`, 6-dp-rounded cosine with vec_id tiebreak (one rounding
     * discipline for every search variant — deterministic across
     * engines and partitionings), per-query top-k via one window. */
-  private def scoredTopK(base: DataFrame, queries: DataFrame,
+  private[operators] def scoredTopK(base: DataFrame, queries: DataFrame,
                          joinCond: Column, k: Int): DataFrame = {
     val scored = base.join(queries, joinCond)
       .select(col("query_id"), col("vec_id").as("cand_id"),

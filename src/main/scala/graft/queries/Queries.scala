@@ -11457,6 +11457,48 @@ object Queries {
     Some("""SELECT vec_id + 1000000 AS query_id, TRUE AS twin_minimal
     FROM embeddings WHERE vec_id < 50 ORDER BY query_id"""))
 
+  /** TWO-STAGE RETRIEVAL ([[graft.operators.Pq.ivfPqTopKRerank]] —
+    * ADC shortlist over the residual IVF×PQ codes, then exact cosine
+    * re-rank of only the shortlist): the standard production search
+    * stack. Oracle closed through the EXACTNESS ANCHOR: probing every
+    * cell with an unbounded shortlist makes stage 1 a pass-through,
+    * so the full pipeline — trained coarse cells, residual encode,
+    * sidecar round trips, per-cell LUTs, ADC ranking, raw-vector
+    * fetch join, exact re-rank — must reproduce plain brute-force
+    * cosine top-5 bit-for-bit against the same SQL the q_ann_topk
+    * oracle states. Any drift anywhere in the index machinery
+    * surfaces as a row diff. */
+  private val qAnnRerank = Q(
+    "q_ann_rerank",
+    (s, d) => {
+      val corpus = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val cents = graft.operators.Kmeans.train(corpus, 8, 1)
+      val cbs = graft.operators.Pq.trainResidual(corpus, cents,
+        m = 2, k = 8, iters = 1)
+      val dir = java.nio.file.Files.createTempDirectory("graft-q-rrk")
+        .toString + "/idx"
+      graft.operators.Pq.writeIvfPqIndex(corpus, dir, cents, cbs,
+        residual = true)
+      graft.operators.Pq.ivfPqTopKRerank(s, dir, corpus,
+        col("vec_id") < 8, k = 5, probes = cents.length,
+        shortlist = Int.MaxValue)
+        .orderBy("query_id", "rk")
+    },
+    Some("""WITH m AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+    w AS (SELECT vec_id, v,
+      sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM m),
+    q AS (SELECT * FROM w WHERE vec_id < 8),
+    sc AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+        round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cos_sim
+      FROM q JOIN w c ON c.vec_id <> q.vec_id),
+    r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+      ORDER BY cos_sim DESC, cand_id ASC) AS rk FROM sc)
+    SELECT query_id, cand_id, cos_sim, rk FROM r
+    WHERE rk <= 5 ORDER BY query_id, rk"""))
+
   /** Copy-on-write UPDATE through
     * [[graft.sources.SnapshotTable.updateWhere]] — the last corner of
     * the CRUD surface (the public `UPDATE t SET … WHERE …` shape):
@@ -11702,8 +11744,8 @@ object Queries {
     qSnapshotMerge, qSnapshotDelete, qSnapshotPrune, qSnapshotLookup,
     qSnapshotChanges, qSnapshotReplicate, qSnapshotPartition,
     qSnapshotZorder, qSnapshotClone, qSnapshotSql, qSnapshotUpdate,
-    qSnapshotHistory, qAnnPq, qAnnIvfPq, qAnnIvfPqRes, qBpeTrain,
-    qBpeTrainBatched,
+    qSnapshotHistory, qAnnPq, qAnnIvfPq, qAnnIvfPqRes, qAnnRerank,
+    qBpeTrain, qBpeTrainBatched,
     qCorpusFunnel, qAnnKmeans, qAnnTrained,
     qResultsTopk, qIngestFilter, qSanitizeIdent, qParseNumber, qParseDate,
     qNullNormalize, qInferType, qJsonExtract, qSchemaEvolution,
