@@ -183,26 +183,33 @@ object Pq {
                       codebooks: Array[Array[Array[Long]]],
                       vecCol: String = "embedding",
                       residual: Boolean = false): Unit = {
-    val qv = Kmeans.quantize(col(vecCol))
-    val encoded =
-      if (residual) {
-        // Fused assign → residual → encode ([[graft.plans
-        // .IvfPqResidualEncode]]); `codebooks` MUST come from
-        // [[trainResidual]] against the SAME centroids — the sidecar
-        // records the pairing so probes can't mix schemes.
-        val enc = graft.plans.GraftFunctions
-          .ivfPqResidualEncode(qv, centroids, codebooks).as("enc")
-        embeddings.select(col("vec_id"), enc)
-          .select(col("vec_id"), col("enc.codes").as("codes"),
-            col("enc.cell").as("cell"))
-      } else {
-        embeddings.select(col("vec_id"),
-          encodeExpr(qv, codebooks).as("codes"),
-          Kmeans.cellIdExpr(qv, centroids).as("cell"))
-      }
-    encoded.write.mode("overwrite").partitionBy("cell").parquet(path)
+    encodeRows(embeddings, centroids, codebooks, residual, vecCol)
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
     writeCodebookSidecar(embeddings.sparkSession, path, codebooks)
     writeCellSidecar(embeddings.sparkSession, path, centroids, residual)
+  }
+
+  /** The ONE encode used by every IVF×PQ writer (build, append,
+    * snapshot append): (vec_id, codes, cell) from the recorded
+    * quantizer pair. Residual → the fused
+    * [[graft.plans.IvfPqResidualEncode]]; `codebooks` MUST then come
+    * from [[trainResidual]] against the SAME centroids — the sidecar
+    * records the pairing so probes can't mix schemes. */
+  private def encodeRows(df: DataFrame, centroids: Array[Array[Long]],
+                         codebooks: Array[Array[Array[Long]]],
+                         residual: Boolean, vecCol: String): DataFrame = {
+    val qv = Kmeans.quantize(col(vecCol))
+    if (residual) {
+      val enc = graft.plans.GraftFunctions
+        .ivfPqResidualEncode(qv, centroids, codebooks).as("enc")
+      df.select(col("vec_id"), enc)
+        .select(col("vec_id"), col("enc.codes").as("codes"),
+          col("enc.cell").as("cell"))
+    } else {
+      df.select(col("vec_id"),
+        encodeExpr(qv, codebooks).as("codes"),
+        Kmeans.cellIdExpr(qv, centroids).as("cell"))
+    }
   }
 
   /** INCREMENTAL IVF×PQ maintenance (the [[Similarity.appendIvf]]
@@ -224,20 +231,108 @@ object Pq {
       throw new IllegalStateException(
         s"appendIvfPq: no cell sidecar under $path — not a " +
           "writeIvfPqIndex layout"))
+    encodeRows(delta, centroids, codebooks,
+        readCellResidualFlag(spark, path), vecCol)
+      .write.mode("append").partitionBy("cell").parquet(path)
+  }
+
+  /** The IVF×PQ codes index AS a [[graft.sources.SnapshotTable]] —
+    * the [[Similarity.initIvfSnapshot]] discipline for the compressed
+    * layout: cells are hidden partitions (per-file min==max stats
+    * resolve a probed cell to exactly its owning files, no listing),
+    * vec_id carries stats+Bloom refs, and appends ride the per-appId
+    * transaction ledger so streaming ingest is EXACTLY-ONCE
+    * ([[graft.streaming.AnnIngest.startExactlyOncePq]]). Both
+    * quantizers + the encoding scheme live in the sidecars from init
+    * time — a wrong-quantizer append is structurally impossible. */
+  def initIvfPqSnapshot(spark: SparkSession, dir: String,
+                        centroids: Array[Array[Long]],
+                        codebooks: Array[Array[Array[Long]]],
+                        residual: Boolean = false): Unit = {
+    require(centroids.nonEmpty &&
+      centroids.forall(_.length == centroids.head.length),
+      "initIvfPqSnapshot: centroids must be a non-empty rectangular matrix")
+    require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty),
+      "initIvfPqSnapshot: codebooks must be non-empty")
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).mkdirs(p)
+    writeCodebookSidecar(spark, dir, codebooks)
+    writeCellSidecar(spark, dir, centroids, residual)
+  }
+
+  /** EXACTLY-ONCE delta append into an [[initIvfPqSnapshot]] table:
+    * encode the delta with the sidecars' recorded quantizers,
+    * transactionally append partitioned by cell. A replayed
+    * (appId, txnVersion) returns None and changes nothing. */
+  def appendIvfPqSnapshot(delta: DataFrame, dir: String,
+                          appId: String, txnVersion: Long,
+                          vecCol: String = "embedding"): Option[Long] = {
+    val spark = delta.sparkSession
+    val codebooks = readCodebookSidecar(spark, dir).getOrElse(
+      throw new IllegalStateException(
+        s"appendIvfPqSnapshot: no codebook sidecar under $dir — init " +
+          "with initIvfPqSnapshot first"))
+    val centroids = readCellSidecar(spark, dir).getOrElse(
+      throw new IllegalStateException(
+        s"appendIvfPqSnapshot: no cell sidecar under $dir"))
+    graft.sources.SnapshotTable.transactionalAppendPartitioned(
+      encodeRows(delta, centroids, codebooks,
+        readCellResidualFlag(spark, dir), vecCol),
+      dir, partitionBy = Seq("cell"), appId, txnVersion,
+      statsCols = Seq("vec_id"), bloomCols = Seq("vec_id"))
+  }
+
+  /** Multi-probe ADC top-k over an [[initIvfPqSnapshot]] table.
+    * `queries` supplies RAW query vectors (vec_id, embedding) — the
+    * codes table cannot reconstruct vectors, so the query source is
+    * external by contract (typically the raw corpus SnapshotTable,
+    * id-resolved through ITS vec_id Bloom). Probed cells resolve to
+    * files via per-file min==max stats; snapshot isolation comes free
+    * from the manifest read. Same scoring/tie-break as [[ivfPqTopK]];
+    * probing every cell equals the plain index probe exactly. */
+  def ivfPqTopKSnapshot(spark: SparkSession, dir: String,
+                        queries: DataFrame, k: Int = 5, probes: Int = 1,
+                        vecCol: String = "embedding"): DataFrame = {
+    val codebooks = readCodebookSidecar(spark, dir).getOrElse(
+      throw new IllegalStateException(
+        s"ivfPqTopKSnapshot: no codebook sidecar under $dir"))
+    val centroids = readCellSidecar(spark, dir).getOrElse(
+      throw new IllegalStateException(
+        s"ivfPqTopKSnapshot: no cell sidecar under $dir"))
+    val residual = readCellResidualFlag(spark, dir)
     val qv = Kmeans.quantize(col(vecCol))
-    val encoded =
-      if (readCellResidualFlag(spark, path)) {
-        val enc = graft.plans.GraftFunctions
-          .ivfPqResidualEncode(qv, centroids, codebooks).as("enc")
-        delta.select(col("vec_id"), enc)
-          .select(col("vec_id"), col("enc.codes").as("codes"),
-            col("enc.cell").as("cell"))
+    val qdf =
+      if (residual) {
+        queries
+          .select(col("vec_id").as("query_id"), qv.as("quv"),
+            explode(Kmeans.nearestCellsExpr(qv, centroids, probes))
+              .as("qcell"))
+          .select(col("query_id"), col("qcell"),
+            adcLutExpr(zip_with(col("quv"),
+                element_at(Kmeans.centroidLit(centroids),
+                  col("qcell") + lit(1)),
+                (x, c) => x - c), codebooks).as("lut"))
       } else {
-        delta.select(col("vec_id"),
-          encodeExpr(qv, codebooks).as("codes"),
-          Kmeans.cellIdExpr(qv, centroids).as("cell"))
+        queries.select(col("vec_id").as("query_id"),
+          adcLutExpr(qv, codebooks).as("lut"),
+          explode(Kmeans.nearestCellsExpr(qv, centroids, probes))
+            .as("qcell"))
       }
-    encoded.write.mode("append").partitionBy("cell").parquet(path)
+    val probeCells = qdf.select("qcell").distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    val base = probeCells
+      .map(c => graft.sources.SnapshotTable.readWhereEq(spark, dir, "cell", c))
+      .reduceOption(_ unionByName _)
+      .getOrElse(graft.sources.SnapshotTable.read(spark, dir)
+        .filter(lit(false)))
+    val scored = base.join(broadcast(qdf),
+        col("cell") === col("qcell") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("cand_id"),
+        adcDistExpr(col("codes"), col("lut")).as("adc_dist"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adc_dist").asc, col("cand_id").asc)
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
   }
 
   /** Multi-probe ADC top-k over a [[writeIvfPqIndex]] layout: each

@@ -65,4 +65,22 @@ object AnnIngest {
         ()
       }
       .start()
+
+  /** [[startExactlyOnce]] for the COMPRESSED index: micro-batches
+    * encode through the [[graft.operators.Pq.initIvfPqSnapshot]]
+    * table's recorded quantizer pair and land via the same
+    * transaction-ledger discipline — each vector's CODES exist in the
+    * index exactly once no matter how many times a batch replays.
+    * Same batch-split invariance argument: encoding is a pure per-row
+    * function of (vector, sidecar quantizers). */
+  def startExactlyOncePq(vectors: DataFrame, tableDir: String,
+                         appId: String,
+                         checkpointPath: String): StreamingQuery =
+    vectors.writeStream
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Pq.appendIvfPqSnapshot(batch, tableDir, appId, batchId)
+        ()
+      }
+      .start()
 }

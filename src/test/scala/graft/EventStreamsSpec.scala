@@ -620,4 +620,62 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(qSel.size < qTot,
       s"vec_id lookup should prune files: ${qSel.size} of $qTot")
   }
+
+  test("pq-ingest exactly-once: snapshot-ledgered IVF-PQ codes — replays no-op, probe == plain index") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = graft.operators.Kmeans.train(emb, 8, 2)
+    val cbs = graft.operators.Pq.trainResidual(emb, cents, m = 8, k = 8,
+      iters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq-eo")
+      .toString + "/t"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-pq-eock")
+      .toString
+    graft.operators.Pq.initIvfPqSnapshot(spark, dir, cents, cbs,
+      residual = true)
+    val rows = emb.select("vec_id", "embedding").as[(Long, Array[Float])]
+      .collect().sortBy(_._1)
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = graft.streaming.AnnIngest.startExactlyOncePq(
+      input.toDF().toDF("vec_id", "embedding"), dir, "pq-eo", ckpt)
+    try {
+      input.addData(b1.toSeq: _*); q.processAllAvailable()
+      input.addData(b2.toSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+    val vBefore = graft.sources.SnapshotTable.latestVersion(spark, dir).get
+    assert(graft.sources.SnapshotTable.read(spark, dir).count()
+      == rows.length.toLong)
+    // Replay of micro-batch 0 is a manifest no-op.
+    assert(graft.operators.Pq.appendIvfPqSnapshot(
+      b1.toSeq.toDF("vec_id", "embedding"), dir, "pq-eo", 0L).isEmpty)
+    assert(graft.sources.SnapshotTable.latestVersion(spark, dir)
+      .contains(vBefore))
+    // All-cells snapshot probe == the plain writeIvfPqIndex probe over
+    // the same vectors and quantizers (the streamed codes are
+    // bit-identical to a batch build).
+    val full = java.nio.file.Files.createTempDirectory("graft-pq-eofl")
+      .toString + "/idx"
+    graft.operators.Pq.writeIvfPqIndex(emb, full, cents, cbs,
+      residual = true)
+    def rset(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "cand_id", "adc_dist", "rk").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+    val got = rset(graft.operators.Pq.ivfPqTopKSnapshot(spark, dir,
+      emb.filter(col("vec_id") < 8), k = 5, probes = cents.length))
+    val want = rset(graft.operators.Pq.ivfPqTopK(spark, full, emb,
+      col("vec_id") < 8, k = 5, probes = cents.length))
+    assert(want.nonEmpty && got == want,
+      "snapshot codes probe != plain index probe")
+    // A single probed cell resolves through stats: fewer files open
+    // than the table holds.
+    val oneCell = graft.sources.SnapshotTable.pruneFilesEq(
+      spark, dir, "cell",
+      spark.read.parquet(full).select("cell").head().getInt(0))
+    assert(oneCell._1.size < oneCell._2,
+      s"cell probe should prune files: ${oneCell._1.size} of ${oneCell._2}")
+  }
 }
