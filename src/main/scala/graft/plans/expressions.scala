@@ -558,11 +558,14 @@ object ExprHelpers {
     * k-lambda `array_min(transform(struct(sqDist...)))` chain, whose
     * per-element interpreted lambdas cost k×d invocations PER ROW (and
     * re-evaluate the child quantize subtree per centroid). Arithmetic
-    * is plain Java long, the same wraparound the HOF form gets, so the
-    * two are bit-identical (pinned in TrainedIvfSpec/ExpressionSpec).
-    * Null elements / dimension mismatches fail loudly — in the HOF
-    * form they null out the distance and corrupt the argmin silently,
-    * which is strictly worse for an index build. */
+    * is OVERFLOW-CHECKED Java long (Math.*Exact — JIT intrinsics, the
+    * never-taken overflow branch is free): in-range inputs are
+    * bit-identical to the HOF form (pinned in TrainedIvfSpec/
+    * ExpressionSpec), and overflow throws exactly like the HOF chain
+    * under Spark's default ANSI mode — never a silently wrapped
+    * argmin. Null elements / dimension mismatches fail loudly too —
+    * in the HOF form they null out the distance and corrupt the
+    * argmin silently, which is strictly worse for an index build. */
   def nearestCellId(qv: ArrayData, cents: Array[Array[Long]]): Int = {
     var best = 0L
     var bestCid = -1
@@ -635,8 +638,8 @@ object ExprHelpers {
             throw new IllegalArgumentException(
               s"pq_encode: NULL element at dim ${base + i} — quantize " +
                 "non-null vectors only")
-          val diff = qv.getLong(base + i) - cw(i)
-          acc += diff * diff
+          val diff = Math.subtractExact(qv.getLong(base + i), cw(i))
+          acc = Math.addExact(acc, Math.multiplyExact(diff, diff))
           i += 1
         }
         if (bestId < 0 || acc < best) { best = acc; bestId = j }
@@ -682,8 +685,9 @@ object ExprHelpers {
         var acc = 0L
         var i = 0
         while (i < dsub) {
-          val diff = qv.getLong(base + i) - cv(base + i) - cw(i)
-          acc += diff * diff
+          val diff = Math.subtractExact(
+            Math.subtractExact(qv.getLong(base + i), cv(base + i)), cw(i))
+          acc = Math.addExact(acc, Math.multiplyExact(diff, diff))
           i += 1
         }
         if (bestId < 0 || acc < best) { best = acc; bestId = j }
@@ -713,7 +717,7 @@ object ExprHelpers {
       val row = lut.getArray(s)
       val c = codes.getInt(s)
       if (c < 0 || c >= row.numElements() || row.isNullAt(c)) return null
-      acc += row.getLong(c)
+      acc = Math.addExact(acc, row.getLong(c))
       s += 1
     }
     java.lang.Long.valueOf(acc)
@@ -731,8 +735,8 @@ object ExprHelpers {
         throw new IllegalArgumentException(
           s"nearest_cell: NULL element at dim $i — quantize non-null " +
             "vectors only")
-      val diff = qv.getLong(i) - cv(i)
-      acc += diff * diff
+      val diff = Math.subtractExact(qv.getLong(i), cv(i))
+      acc = Math.addExact(acc, Math.multiplyExact(diff, diff))
       i += 1
     }
     acc

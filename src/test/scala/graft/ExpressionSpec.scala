@@ -512,6 +512,63 @@ class ExpressionSpec extends AnyFunSuite {
     clamped.foreach(r => assert(r.getSeq[Int](0).length == cents.length))
   }
 
+  test("ANN kernels ≡ HOF twins on random in-range vectors; overflow fails loudly") {
+    import graft.operators.{Kmeans, Pq}
+    // In-range: random vectors far beyond the quantize domain but
+    // below overflow (|x| < 2^30 → dist sums < 2^63) must rank
+    // bit-identically to the HOF chains.
+    val rnd = new scala.util.Random(41)
+    def vec(d: Int): Array[Long] =
+      Array.fill(d)((rnd.nextLong() >> 34) + rnd.nextInt(100) - 50)
+    val d = 8
+    val cents = Array.fill(6)(vec(d))
+    val cbs = Array.fill(2)(Array.fill(4)(vec(d / 2)))
+    val rows = (0 until 200).map(i => (i.toLong, vec(d).toSeq))
+    val df = rows.toDF("vec_id", "qv")
+      .select(col("vec_id"), col("qv").cast("array<bigint>").as("qv"))
+    val got = df.select(col("vec_id"),
+        Kmeans.cellIdExpr(col("qv"), cents).as("n_cid"),
+        Kmeans.cellIdExprHof(col("qv"), cents).as("h_cid"),
+        Kmeans.nearestCellsExpr(col("qv"), cents, 4).as("n_p"),
+        Kmeans.nearestCellsExprHof(col("qv"), cents, 4).as("h_p"),
+        Pq.encodeExpr(col("qv"), cbs).as("n_codes"),
+        Pq.encodeExprHof(col("qv"), cbs).as("h_codes"))
+      .collect()
+    assert(got.length == 200)
+    got.foreach { r =>
+      assert(r.getInt(1) == r.getInt(2), s"vec ${r.getLong(0)}: argmin diverged")
+      assert(r.getSeq[Int](3) == r.getSeq[Int](4), s"vec ${r.getLong(0)}: ranking diverged")
+      assert(r.getSeq[Int](5) == r.getSeq[Int](6), s"vec ${r.getLong(0)}: codes diverged")
+    }
+    // ADC agreement on in-range LUTs.
+    val luts = (0 until 20).map(i =>
+      (i, Seq(Seq.fill(4)(math.abs(rnd.nextLong()) >> 4),
+        Seq.fill(4)(math.abs(rnd.nextLong()) >> 4))))
+      .toDF("lid", "lut")
+      .select(col("lid"), col("lut").cast("array<array<bigint>>").as("lut"))
+    val codesDf = (0 until 50).map(i =>
+      (i, Seq(rnd.nextInt(4), rnd.nextInt(4)))).toDF("cid", "codes")
+      .select(col("cid"), col("codes").cast("array<int>").as("codes"))
+    val adc = codesDf.crossJoin(broadcast(luts))
+      .select(Pq.adcDistExpr(col("codes"), col("lut")).as("n"),
+        Pq.adcDistExprHof(col("codes"), col("lut")).as("h"))
+      .collect()
+    assert(adc.nonEmpty)
+    adc.foreach(r => assert(r.getLong(0) == r.getLong(1), "adc diverged"))
+    // OVERFLOW fails loudly (the HOF chain throws under Spark's
+    // default ANSI mode; the fused kernels must never silently wrap
+    // an argmin instead — Math.*Exact in ExprHelpers).
+    val big = Seq((0L, Seq.fill(d)(Long.MaxValue / 2))).toDF("vec_id", "qv")
+      .select(col("qv").cast("array<bigint>").as("qv"))
+    val ex = intercept[Exception] {
+      big.select(Kmeans.cellIdExpr(col("qv"), cents)).collect()
+    }
+    def rootCauses(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).toSeq
+    assert(rootCauses(ex).exists(_.isInstanceOf[ArithmeticException]),
+      s"expected ArithmeticException in cause chain, got $ex")
+  }
+
   test("PqEncode / AdcDistance ≡ HOF twins on real embeddings") {
     import graft.operators.{Kmeans, Pq}
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
