@@ -677,5 +677,19 @@ class EventStreamsSpec extends AnyFunSuite {
       spark.read.parquet(full).select("cell").head().getInt(0))
     assert(oneCell._1.size < oneCell._2,
       s"cell probe should prune files: ${oneCell._1.size} of ${oneCell._2}")
+    // Janitor pass: micro-batch appends accrete files per cell;
+    // cell-clustered compaction must shrink the file count without
+    // changing a single probe row (stats recomputed on the rewritten
+    // files keep pruning range-exact).
+    val filesBefore = oneCell._2
+    assert(graft.sources.SnapshotTable.compact(spark, dir,
+      clusterBy = Seq("cell")).nonEmpty)
+    val afterProbe = rset(graft.operators.Pq.ivfPqTopKSnapshot(spark, dir,
+      emb.filter(col("vec_id") < 8), k = 5, probes = cents.length))
+    assert(afterProbe == want, "compaction changed probe results")
+    val (_, filesAfter) = graft.sources.SnapshotTable.pruneFilesEq(
+      spark, dir, "cell", 0)
+    assert(filesAfter < filesBefore,
+      s"compaction should shrink the file count: $filesAfter vs $filesBefore")
   }
 }
