@@ -113,8 +113,17 @@ object Kmeans {
       s => s.getField("cid"))
 
   /** Assign every row of `quantized` (vec_id, qv) to its nearest
-    * centroid: broadcast k rows, exact integer argmin with (dist,
-    * cid) tie-break. Output (vec_id, qv, cid). */
+    * centroid via the AGGREGATE form: broadcast k centroid rows,
+    * crossJoin, exact integer argmin with (dist, cid) tie-break
+    * through min-of-struct. Output (vec_id, qv, cid).
+    *
+    * This is the INDEPENDENT TWIN the specs pin [[cellIdExpr]]
+    * against (TrainedIvfSpec/KmeansSpec) — it reaches the same argmin
+    * through Spark's own join + aggregate machinery, so agreement is
+    * evidence. Production paths (training iterations, [[ivfTopOne]],
+    * every index build) use the native [[cellIdExpr]] projection:
+    * map-only, no crossJoin row blow-up, no per-vec_id re-aggregation
+    * shuffle. */
   def assign(quantized: DataFrame,
              centroids: Array[Array[Long]]): DataFrame = {
     val spark = quantized.sparkSession
@@ -156,8 +165,13 @@ object Kmeans {
       var it = 0
       while (it < iters) {
         // (cid, dim)-keyed exact sums; truncating integer mean.
-        val sums = assign(quantized, centroids)
-          .select(col("cid"), posexplode(col("qv")).as(Seq("dim", "x")))
+        // Assignment is the native map-only argmin (bit-identical to
+        // the aggregate [[assign]] twin by the spec pins): the
+        // per-iteration cost is ONE projection + the k×d-keyed sum —
+        // no crossJoin row blow-up, no per-vec_id shuffle.
+        val sums = quantized
+          .select(cellIdExpr(col("qv"), centroids).as("cid"),
+            posexplode(col("qv")).as(Seq("dim", "x")))
           .groupBy("cid", "dim")
           .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
           .collect()
@@ -180,9 +194,9 @@ object Kmeans {
     * property the oracle-checked query pins. */
   def ivfTopOne(embeddings: DataFrame, centroids: Array[Array[Long]],
                 queryPred: Column, vecCol: String = "embedding"): DataFrame = {
-    val assigned = assign(
-      embeddings.select(col("vec_id"), quantize(col(vecCol)).as("qv")),
-      centroids)
+    val assigned = embeddings
+      .select(col("vec_id"), quantize(col(vecCol)).as("qv"))
+      .withColumn("cid", cellIdExpr(col("qv"), centroids))
     val queries = broadcast(assigned.filter(queryPred)
       .select(col("vec_id").as("query_id"), col("qv").as("quv"),
         col("cid").as("qcid")))
