@@ -39,7 +39,20 @@ object Pq {
     * sized trainings — production trains on a sample; the full
     * corpus then encodes in one map-only pass. */
   def train(embeddings: DataFrame, m: Int, k: Int, iters: Int,
-            vecCol: String = "embedding"): Array[Array[Array[Long]]] = {
+            vecCol: String = "embedding"): Array[Array[Array[Long]]] =
+    trainJointQuantized(
+      embeddings.select(col("vec_id"),
+        Kmeans.quantize(col(vecCol)).as("qv")),
+      m, k, iters)
+
+  /** The pre-joint SEQUENTIAL trainer — m independent [[Kmeans]]
+    * trainings over sliced views, m×iters Spark jobs. Kept as the
+    * independent twin PqSpec pins [[train]] against (per-subspace
+    * Lloyd's is independent, so joint and sequential are bit-identical
+    * by construction — the pin makes that checkable, not assumed). */
+  private[graft] def trainSequential(embeddings: DataFrame, m: Int, k: Int,
+                                     iters: Int, vecCol: String = "embedding"
+                                    ): Array[Array[Array[Long]]] = {
     require(m >= 1 && k >= 2 && iters >= 1, s"bad PQ config: m=$m k=$k iters=$iters")
     val d = embeddings.select(size(col(vecCol))).head().getInt(0)
     require(d % m == 0, s"PQ: dim $d must divide into m=$m subspaces")
@@ -52,16 +65,82 @@ object Pq {
     }
   }
 
+  /** JOINT Lloyd's over all m subspaces at once — ONE job per
+    * iteration instead of m×iters: assignments for every subspace
+    * come from a single [[graft.plans.PqEncode]] pass (per-subspace
+    * argmin is independent, so this is bit-identical to the
+    * sequential per-subspace trainer — pinned in PqSpec), and the
+    * update is one (s, cid, dim)-keyed exact sum whose output is
+    * control-plane sized (m×k×dsub = k×d longs). Seeds are the k
+    * smallest vec_ids' vectors sliced per subspace — the exact
+    * [[Kmeans.trainQuantized]] seeding rule, row-for-row. Input:
+    * (vec_id, qv) in the quantized long domain (so [[trainResidual]]
+    * can feed residuals directly). */
+  private def trainJointQuantized(quantized0: DataFrame, m: Int, k: Int,
+                                  iters: Int): Array[Array[Array[Long]]] = {
+    require(m >= 1 && k >= 2 && iters >= 1, s"bad PQ config: m=$m k=$k iters=$iters")
+    val quantized = quantized0.cache()
+    try {
+      val head = quantized.orderBy("vec_id").limit(k)
+        .collect().map(_.getSeq[Long](1).toArray)
+      require(head.length == k,
+        s"need at least $k vectors to seed $k codewords, got ${head.length}")
+      val d = head.head.length
+      require(d % m == 0, s"PQ: dim $d must divide into m=$m subspaces")
+      val dsub = d / m
+      var cbs = (0 until m).toArray.map(s =>
+        head.map(_.slice(s * dsub, s * dsub + dsub)))
+      var it = 0
+      while (it < iters) {
+        val sums = quantized
+          .select(col("qv"),
+            posexplode(graft.plans.GraftFunctions.pqEncode(col("qv"), cbs))
+              .as(Seq("s", "cid")))
+          .select(col("s"), col("cid"),
+            posexplode(slice(col("qv"), col("s") * dsub + 1, lit(dsub)))
+              .as(Seq("dim", "x")))
+          .groupBy("s", "cid", "dim")
+          .agg(sum(col("x")).as("sm"), count(lit(1)).as("n"))
+          .collect()
+        // Truncating integer mean; empty cells keep their previous
+        // codeword — both exactly the Kmeans.trainQuantized rules.
+        val next = cbs.map(_.map(_.clone()))
+        sums.foreach { r =>
+          next(r.getInt(0))(r.getInt(1))(r.getInt(2)) =
+            r.getLong(3) / r.getLong(4)
+        }
+        cbs = next
+        it += 1
+      }
+      cbs
+    } finally { quantized.unpersist(); () }
+  }
+
   /** Train per-subspace codebooks on RESIDUALS x − c(cell) against a
     * trained coarse quantizer — the Jégou et al. IVF-ADC layout: the
     * codebooks only have to cover the within-cell spread, not the
     * whole-space spread, which is where residual PQ's recall edge
     * comes from. Residuals live in the quantized integer domain
-    * (difference of two exact longs), so training goes through
-    * [[Kmeans.trainQuantized]] — re-quantizing would re-scale. */
+    * (difference of two exact longs), so training stays in the long
+    * domain (re-quantizing would re-scale) — one joint Lloyd pass per
+    * iteration over all m subspaces, like [[train]]. */
   def trainResidual(embeddings: DataFrame, centroids: Array[Array[Long]],
                     m: Int, k: Int, iters: Int,
                     vecCol: String = "embedding"): Array[Array[Array[Long]]] = {
+    val qv = Kmeans.quantize(col(vecCol))
+    val rq = zip_with(qv,
+      element_at(Kmeans.centroidLit(centroids),
+        graft.plans.GraftFunctions.nearestCellId(qv, centroids) + lit(1)),
+      (x, c) => x - c)
+    trainJointQuantized(embeddings.select(col("vec_id"), rq.as("qv")),
+      m, k, iters)
+  }
+
+  /** Sequential twin of [[trainResidual]] (see [[trainSequential]]). */
+  private[graft] def trainResidualSequential(
+      embeddings: DataFrame, centroids: Array[Array[Long]],
+      m: Int, k: Int, iters: Int,
+      vecCol: String = "embedding"): Array[Array[Array[Long]]] = {
     require(m >= 1 && k >= 2 && iters >= 1,
       s"bad PQ config: m=$m k=$k iters=$iters")
     val d = embeddings.select(size(col(vecCol))).head().getInt(0)

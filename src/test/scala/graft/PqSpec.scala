@@ -204,6 +204,31 @@ class PqSpec extends AnyFunSuite {
     assert(recall >= 0.4, s"PQ recall@10 collapsed: $recall")
   }
 
+  test("joint trainer == sequential per-subspace trainer, bit-identical (raw and residual)") {
+    // Per-subspace Lloyd's is independent, so one joint PqEncode pass
+    // per iteration must reproduce the m-sequential-trainings result
+    // exactly: same seeds (k smallest vec_ids, sliced), same
+    // truncating integer means, same empty-cell rule.
+    val joint = Pq.train(emb, m = 8, k = 8, iters = 3)
+    val seq = Pq.trainSequential(emb, m = 8, k = 8, iters = 3)
+    assert(joint.length == seq.length)
+    joint.zip(seq).zipWithIndex.foreach { case ((j, s), sub) =>
+      j.zip(s).zipWithIndex.foreach { case ((jc, sc), cw) =>
+        assert(jc.sameElements(sc),
+          s"subspace $sub codeword $cw: ${jc.toSeq} != ${sc.toSeq}")
+      }
+    }
+    val cents = Kmeans.train(emb, 8, 2)
+    val jointR = Pq.trainResidual(emb, cents, m = 8, k = 8, iters = 3)
+    val seqR = Pq.trainResidualSequential(emb, cents, m = 8, k = 8, iters = 3)
+    jointR.zip(seqR).zipWithIndex.foreach { case ((j, s), sub) =>
+      j.zip(s).zipWithIndex.foreach { case ((jc, sc), cw) =>
+        assert(jc.sameElements(sc),
+          s"residual subspace $sub codeword $cw: ${jc.toSeq} != ${sc.toSeq}")
+      }
+    }
+  }
+
   private def nearestCellRef(qv: Array[Long],
                              cents: Array[Array[Long]]): Int =
     cents.zipWithIndex.map { case (cv, i) =>
