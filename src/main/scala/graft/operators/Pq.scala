@@ -22,22 +22,25 @@ import org.apache.spark.sql.expressions.Window
   *
   * Determinism discipline (the [[Kmeans]] contract, inherited
   * wholesale): subspace codebooks are trained by the exact-integer
-  * distributed Lloyd's ([[Kmeans.train]] per subspace — bit-identical
-  * under any partitioning), encoding is an exact-integer argmin with
-  * (dist, id) tie-break, and ADC distances are exact Long sums of
-  * exact integer subspace distances — so every result is
-  * bit-identical across partitionings and runs, which is what lets
-  * PqSpec pin the whole pipeline against a driver-side reference.
-  * All expressions are built-in HOFs over ONE `typedLit` codebook
-  * literal — no UDFs, no shuffle in encode, broadcast-only probe. */
+  * distributed Lloyd's (one JOINT pass per iteration over all m
+  * subspaces — bit-identical under any partitioning AND to the
+  * m-sequential-trainings twin, both pinned), encoding is an
+  * exact-integer argmin with (dist, id) tie-break, and ADC distances
+  * are exact Long sums of exact integer subspace distances — so every
+  * result is bit-identical across partitionings and runs, which is
+  * what lets PqSpec pin the whole pipeline against a driver-side
+  * reference. The hot paths (encode, ADC, cell assignment) are native
+  * codegen'd kernels ([[graft.plans.PqEncode]] and friends) with HOF
+  * twins kept for spec cross-checks — no UDFs, no shuffle in encode,
+  * broadcast-only probe. */
 object Pq {
 
   /** Train per-subspace codebooks: split `d` dims into `m`
-    * equal-width subspaces, run the exact-integer Lloyd's on each.
+    * equal-width subspaces, run the exact-integer Lloyd's on all of
+    * them JOINTLY — one job per iteration ([[trainJointQuantized]]).
     * Returns codebooks(s)(j) = the j-th codeword (length d/m, 16-bit
-    * fixed-point Longs) of subspace s. `m` sequential vocabulary-
-    * sized trainings — production trains on a sample; the full
-    * corpus then encodes in one map-only pass. */
+    * fixed-point Longs) of subspace s. Production trains on a sample;
+    * the full corpus then encodes in one map-only pass. */
   def train(embeddings: DataFrame, m: Int, k: Int, iters: Int,
             vecCol: String = "embedding"): Array[Array[Array[Long]]] =
     trainJointQuantized(
