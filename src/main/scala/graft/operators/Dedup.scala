@@ -860,12 +860,38 @@ object Dedup {
     * (vec_id, band0..band{numBands-1}, v, nrm) — one row per vector,
     * band values as longs. See [[cosineLshPairs]] for the hyperplane
     * derivation. */
-  private def lshBands(embeddings: DataFrame, bandBits: Int,
+  private[graft] def lshBands(embeddings: DataFrame, bandBits: Int,
                        numBands: Int): DataFrame = {
     require(bandBits >= 1 && bandBits <= 32, s"bandBits in [1,32], got $bandBits")
     require(bandBits * numBands <= 64,
       s"bandBits*numBands <= 64 (one xxhash64 of the dimension index " +
         s"supplies the hyperplane signs), got ${bandBits * numBands}")
+    // Map-only: the native [[graft.plans.LshBandSigns]] kernel signs
+    // each vector in one per-row loop — where the aggregate twin
+    // below pays a d-row posexplode, a (bandBits×numBands)-sum
+    // groupBy shuffle and a join back PER CORPUS PASS. Bit-identical
+    // (DedupSpec pins it against the twin).
+    val bands = graft.plans.GraftFunctions.lshBandSigns(
+      col("v"), bandBits, numBands)
+    embeddings
+      .select(col("vec_id"), col("embedding").as("v"))
+      .withColumn("nrm",
+        sqrt(graft.plans.GraftFunctions.dotProductFloat(col("v"), col("v"))))
+      .withColumn("__bands", bands)
+      .select(
+        col("vec_id") +:
+          (0 until numBands).map(j =>
+            element_at(col("__bands"), j + 1).as(s"band$j")) :+
+          col("v") :+ col("nrm"): _*)
+  }
+
+  /** The pre-native AGGREGATE signer — posexplode → per-bit
+    * conditional sums → bit packing → join back. Kept purely as the
+    * independent twin DedupSpec pins [[lshBands]] against: it reaches
+    * the same signatures through Spark's own explode/agg machinery.
+    * Never a hot path. */
+  private[graft] def lshBandsAgg(embeddings: DataFrame, bandBits: Int,
+                                 numBands: Int): DataFrame = {
     val nBits = bandBits * numBands
     val base = embeddings
       .select(col("vec_id"), col("embedding").as("v"))

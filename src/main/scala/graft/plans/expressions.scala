@@ -702,6 +702,51 @@ object ExprHelpers {
           .fromPrimitiveArray(codes)))
   }
 
+  /** [[LshBandSigns]]: the random-hyperplane LSH signature of one
+    * embedding — numBands band values, each bandBits sign bits of
+    * Rademacher (±1) projections — in ONE per-row loop. The composed
+    * form pays a d-row posexplode, a 64-conditional-sum groupBy
+    * shuffle AND a join back per corpus pass (the "expensive step"
+    * Dedup.writeLshIndex documents); this is map-only. Bit-identical
+    * to that form: hyperplane b's coefficient for dimension pos is
+    * bit b of xxhash64(pos) (same seed-42 XXH64), contributions sum
+    * in pos order as doubles (the aggregate's partial-sum order for
+    * rows exploded from one input row), null elements are skipped
+    * (sum-over-null semantics), and the sign test is `> 0`. */
+  def lshBandValues(v: ArrayData, bandBits: Int, numBands: Int): ArrayData = {
+    val nBits = bandBits * numBands
+    val sums = new Array[Double](nBits)
+    val d = v.numElements()
+    var i = 0
+    while (i < d) {
+      if (!v.isNullAt(i)) {
+        val x = v.getFloat(i).toDouble
+        val h = org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashLong(i.toLong, 42L)
+        var b = 0
+        while (b < nBits) {
+          sums(b) += (if (((h >>> b) & 1L) == 1L) x else -x)
+          b += 1
+        }
+      }
+      i += 1
+    }
+    val bands = new Array[Long](numBands)
+    var j = 0
+    while (j < numBands) {
+      var acc = 0L
+      var kk = 0
+      while (kk < bandBits) {
+        if (sums(j * bandBits + kk) > 0) acc |= (1L << kk)
+        kk += 1
+      }
+      bands(j) = acc
+      j += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(bands)
+  }
+
   /** [[AdcDistance]]: m lookups + adds — the ADC scan's per-candidate
     * hot path. Mirrors the `aggregate(zip_with(codes, lut,
     * element_at))` form's null semantics: any length mismatch or
@@ -1723,6 +1768,39 @@ case class IvfPqResidualEncode(child: Expression,
     copy(child = newChild)
 }
 
+/** Map-only random-hyperplane LSH signing (see
+  * [[ExprHelpers.lshBandValues]]): array of numBands band values per
+  * embedding row — the corpus-pass kernel of the cosine near-dup
+  * index family. */
+case class LshBandSigns(child: Expression, bandBits: Int, numBands: Int)
+  extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _)
+        if bandBits >= 1 && bandBits <= 32 && numBands >= 1 &&
+          bandBits * numBands <= 64 =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"lsh_band_signs expects ARRAY<FLOAT> with 1 <= bandBits <= 32, " +
+        s"bandBits*numBands <= 64, got ${other.sql}, " +
+        s"bandBits=$bandBits, numBands=$numBands")
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else ExprHelpers.lshBandValues(v.asInstanceOf[ArrayData], bandBits, numBands)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.ExprHelpers.lshBandValues($c, $bandBits, $numBands);")
+
+  override protected def withNewChildInternal(newChild: Expression): LshBandSigns =
+    copy(child = newChild)
+}
+
 /** Native ADC distance: candidate codes × query LUT in m lookups —
   * the per-candidate hot path of every PQ probe (the scan the 32×
   * compression exists to make cheap must not then burn its win on
@@ -1847,6 +1925,11 @@ object GraftFunctions {
                           cbs: Array[Array[Array[Long]]]): Column =
     GraftSqlBridge.column(
       IvfPqResidualEncode(GraftSqlBridge.expression(qv), cents, cbs))
+
+  /** Map-only LSH band signing (see [[LshBandSigns]]). */
+  def lshBandSigns(v: Column, bandBits: Int, numBands: Int): Column =
+    GraftSqlBridge.column(
+      LshBandSigns(GraftSqlBridge.expression(v), bandBits, numBands))
 
   /** Native ADC distance (see [[AdcDistance]]). */
   def adcDistance(codes: Column, lut: Column): Column =

@@ -656,4 +656,31 @@ class DedupSpec extends AnyFunSuite {
       }
     } finally reg.releaseAll()
   }
+
+  test("native LSH band signing == aggregate twin, bit-identical per band") {
+    // The map-only LshBandSigns kernel must reproduce the
+    // posexplode -> per-bit conditional sum -> bit-pack pipeline
+    // exactly: same seed-42 xxhash64 coefficients, same pos-order
+    // double summation, same `> 0` sign test.
+    import org.apache.spark.sql.functions.col
+    val emb = SparkTestBase.spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    for ((bandBits, numBands) <- Seq((8, 8), (16, 4), (4, 16), (1, 64))) {
+      val cols = Seq(col("vec_id")) ++
+        (0 until numBands).map(j => col(s"band$j"))
+      val native = graft.operators.Dedup
+        .lshBands(emb, bandBits, numBands).select(cols: _*).collect()
+        .map(r => r.getLong(0) -> (1 until numBands + 1).map(r.getLong))
+        .toMap
+      val agg = graft.operators.Dedup
+        .lshBandsAgg(emb, bandBits, numBands).select(cols: _*).collect()
+        .map(r => r.getLong(0) -> (1 until numBands + 1).map(r.getLong))
+        .toMap
+      assert(native.nonEmpty && native.keySet == agg.keySet)
+      native.foreach { case (id, bands) =>
+        assert(bands == agg(id),
+          s"($bandBits,$numBands) vec $id: $bands != ${agg(id)}")
+      }
+    }
+  }
 }
