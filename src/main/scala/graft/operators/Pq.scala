@@ -242,14 +242,52 @@ object Pq {
     val queries = broadcast(embeddings.filter(queryPred)
       .select(col("vec_id").as("query_id"),
         adcLutExpr(Kmeans.quantize(col(vecCol)), codebooks).as("lut")))
-    val scored = spark.read.parquet(path).join(queries,
+    rankByAdc(spark.read.parquet(path).join(queries,
         col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("cand_id"),
-        adcDistExpr(col("codes"), col("lut")).as("adc_dist"))
+        adcDistExpr(col("codes"), col("lut")).as("adc_dist")), k)
+  }
+
+  /** The ONE ADC ranking discipline every probe shares: (adc_dist
+    * ASC NULLS LAST, cand_id ASC) under one window. NULLS LAST is
+    * load-bearing: [[adcDistExpr]] yields NULL exactly when codes and
+    * LUT shapes mismatch (a mixed-quantizer index — corruption), and
+    * Spark's plain `asc` sorts NULLS FIRST, which would hand the
+    * corrupt rows rank 1..k and push every real candidate out. */
+  private def rankByAdc(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("query_id")
-      .orderBy(col("adc_dist").asc, col("cand_id").asc)
+      .orderBy(col("adc_dist").asc_nulls_last, col("cand_id").asc)
     scored.withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)
+  }
+
+  /** The ONE query-side LUT table builder for cell-probed layouts:
+    * (query_id, qcell, lut) — residual indexes get a per-(query,
+    * probed-cell) LUT from the query's residual against THAT cell's
+    * centroid; raw indexes one cell-independent LUT per query. Either
+    * way queries × probes rows of m×k longs — broadcast-bounded. */
+  private def buildQueryLuts(queries: DataFrame,
+                             centroids: Array[Array[Long]],
+                             codebooks: Array[Array[Array[Long]]],
+                             probes: Int, residual: Boolean,
+                             vecCol: String): DataFrame = {
+    val qv = Kmeans.quantize(col(vecCol))
+    if (residual) {
+      queries
+        .select(col("vec_id").as("query_id"), qv.as("quv"),
+          explode(Kmeans.nearestCellsExpr(qv, centroids, probes))
+            .as("qcell"))
+        .select(col("query_id"), col("qcell"),
+          adcLutExpr(zip_with(col("quv"),
+              element_at(Kmeans.centroidLit(centroids),
+                col("qcell") + lit(1)),
+              (x, c) => x - c), codebooks).as("lut"))
+    } else {
+      queries.select(col("vec_id").as("query_id"),
+        adcLutExpr(qv, codebooks).as("lut"),
+        explode(Kmeans.nearestCellsExpr(qv, centroids, probes))
+          .as("qcell"))
+    }
   }
 
   /** IVF×PQ — the composed production layout (the actual
@@ -265,6 +303,9 @@ object Pq {
                       codebooks: Array[Array[Array[Long]]],
                       vecCol: String = "embedding",
                       residual: Boolean = false): Unit = {
+    require(centroids.nonEmpty &&
+      centroids.head.length == codebooks.length * dsubOf(codebooks),
+      s"writeIvfPqIndex: centroid dim != m*dsub — quantizer pair mismatch")
     encodeRows(embeddings, centroids, codebooks, residual, vecCol)
       .write.mode("overwrite").partitionBy("cell").parquet(path)
     writeCodebookSidecar(embeddings.sparkSession, path, codebooks)
@@ -309,12 +350,8 @@ object Pq {
     val codebooks = readCodebookSidecar(spark, path).getOrElse(
       throw new IllegalStateException(
         s"appendIvfPq: no codebook sidecar under $path"))
-    val centroids = readCellSidecar(spark, path).getOrElse(
-      throw new IllegalStateException(
-        s"appendIvfPq: no cell sidecar under $path — not a " +
-          "writeIvfPqIndex layout"))
-    encodeRows(delta, centroids, codebooks,
-        readCellResidualFlag(spark, path), vecCol)
+    val (centroids, residual) = readCellMeta(spark, path, "appendIvfPq")
+    encodeRows(delta, centroids, codebooks, residual, vecCol)
       .write.mode("append").partitionBy("cell").parquet(path)
   }
 
@@ -336,6 +373,18 @@ object Pq {
       "initIvfPqSnapshot: centroids must be a non-empty rectangular matrix")
     require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty),
       "initIvfPqSnapshot: codebooks must be non-empty")
+    // The quantizer pair must agree on the vector dimension — a
+    // mismatch would only surface later as per-row encode failures.
+    require(centroids.head.length == codebooks.length * dsubOf(codebooks),
+      s"initIvfPqSnapshot: centroid dim ${centroids.head.length} != " +
+        s"m*dsub = ${codebooks.length * dsubOf(codebooks)}")
+    // Re-keying a populated table would make every committed row's
+    // codes decode against the wrong quantizer — refuse, don't
+    // silently overwrite the sidecars.
+    if (graft.sources.SnapshotTable.latestVersion(spark, dir).nonEmpty)
+      throw new IllegalStateException(
+        s"initIvfPqSnapshot: $dir already holds committed codes — " +
+          "re-keying an index requires a rebuild into a fresh directory")
     val p = new org.apache.hadoop.fs.Path(dir)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).mkdirs(p)
     writeCodebookSidecar(spark, dir, codebooks)
@@ -354,12 +403,10 @@ object Pq {
       throw new IllegalStateException(
         s"appendIvfPqSnapshot: no codebook sidecar under $dir — init " +
           "with initIvfPqSnapshot first"))
-    val centroids = readCellSidecar(spark, dir).getOrElse(
-      throw new IllegalStateException(
-        s"appendIvfPqSnapshot: no cell sidecar under $dir"))
+    val (centroids, residual) = readCellMeta(spark, dir,
+      "appendIvfPqSnapshot")
     graft.sources.SnapshotTable.transactionalAppendPartitioned(
-      encodeRows(delta, centroids, codebooks,
-        readCellResidualFlag(spark, dir), vecCol),
+      encodeRows(delta, centroids, codebooks, residual, vecCol),
       dir, partitionBy = Seq("cell"), appId, txnVersion,
       statsCols = Seq("vec_id"), bloomCols = Seq("vec_id"))
   }
@@ -378,43 +425,27 @@ object Pq {
     val codebooks = readCodebookSidecar(spark, dir).getOrElse(
       throw new IllegalStateException(
         s"ivfPqTopKSnapshot: no codebook sidecar under $dir"))
-    val centroids = readCellSidecar(spark, dir).getOrElse(
-      throw new IllegalStateException(
-        s"ivfPqTopKSnapshot: no cell sidecar under $dir"))
-    val residual = readCellResidualFlag(spark, dir)
-    val qv = Kmeans.quantize(col(vecCol))
-    val qdf =
-      if (residual) {
-        queries
-          .select(col("vec_id").as("query_id"), qv.as("quv"),
-            explode(Kmeans.nearestCellsExpr(qv, centroids, probes))
-              .as("qcell"))
-          .select(col("query_id"), col("qcell"),
-            adcLutExpr(zip_with(col("quv"),
-                element_at(Kmeans.centroidLit(centroids),
-                  col("qcell") + lit(1)),
-                (x, c) => x - c), codebooks).as("lut"))
-      } else {
-        queries.select(col("vec_id").as("query_id"),
-          adcLutExpr(qv, codebooks).as("lut"),
-          explode(Kmeans.nearestCellsExpr(qv, centroids, probes))
-            .as("qcell"))
-      }
+    val (centroids, residual) = readCellMeta(spark, dir, "ivfPqTopKSnapshot")
+    // Pin ONE committed version across the whole probe: the cell
+    // reads below must all see the same manifest — resolving
+    // latestVersion per readWhereEq would let a concurrent append
+    // commit mid-probe and tear the snapshot.
+    val v = graft.sources.SnapshotTable.latestVersion(spark, dir)
+    val qdf = buildQueryLuts(
+      queries.select(col("vec_id"), col(vecCol).as("embedding")),
+      centroids, codebooks, probes, residual, "embedding")
     val probeCells = qdf.select("qcell").distinct()
       .collect().map(_.getInt(0)).toSeq.sorted
     val base = probeCells
-      .map(c => graft.sources.SnapshotTable.readWhereEq(spark, dir, "cell", c))
+      .map(c => graft.sources.SnapshotTable.readWhereEq(
+        spark, dir, "cell", c, version = v))
       .reduceOption(_ unionByName _)
-      .getOrElse(graft.sources.SnapshotTable.read(spark, dir)
+      .getOrElse(graft.sources.SnapshotTable.read(spark, dir, version = v)
         .filter(lit(false)))
-    val scored = base.join(broadcast(qdf),
+    rankByAdc(base.join(broadcast(qdf),
         col("cell") === col("qcell") && col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("cand_id"),
-        adcDistExpr(col("codes"), col("lut")).as("adc_dist"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("adc_dist").asc, col("cand_id").asc)
-    scored.withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= k)
+        adcDistExpr(col("codes"), col("lut")).as("adc_dist")), k)
   }
 
   /** Multi-probe ADC top-k over a [[writeIvfPqIndex]] layout: each
@@ -433,40 +464,15 @@ object Pq {
     val codebooks = readCodebookSidecar(spark, path).getOrElse(
       throw new IllegalStateException(
         s"ivfPqTopK: no codebook sidecar under $path"))
-    val centroids = readCellSidecar(spark, path).getOrElse(
-      throw new IllegalStateException(
-        s"ivfPqTopK: no cell sidecar under $path — not a writeIvfPqIndex layout"))
-    val qv = Kmeans.quantize(col(vecCol))
-    val queries = broadcast(
-      if (readCellResidualFlag(spark, path)) {
-        // Residual ADC: each probed cell gets its OWN LUT, built from
-        // the query's residual against THAT cell's centroid — the
-        // LUT is keyed (query, qcell), still control-plane sized
-        // (queries × probes rows of m×k longs).
-        embeddings.filter(queryPred)
-          .select(col("vec_id").as("query_id"), qv.as("quv"),
-            explode(Kmeans.nearestCellsExpr(qv, centroids, probes))
-              .as("qcell"))
-          .select(col("query_id"), col("qcell"),
-            adcLutExpr(zip_with(col("quv"),
-                element_at(Kmeans.centroidLit(centroids),
-                  col("qcell") + lit(1)),
-                (x, c) => x - c), codebooks).as("lut"))
-      } else {
-        embeddings.filter(queryPred)
-          .select(col("vec_id").as("query_id"),
-            adcLutExpr(qv, codebooks).as("lut"),
-            explode(Kmeans.nearestCellsExpr(qv, centroids, probes))
-              .as("qcell"))
-      })
-    val scored = spark.read.parquet(path).join(queries,
+    val (centroids, residual) = readCellMeta(spark, path, "ivfPqTopK")
+    val queries = broadcast(buildQueryLuts(
+      embeddings.filter(queryPred).select(col("vec_id"),
+        col(vecCol).as("embedding")),
+      centroids, codebooks, probes, residual, "embedding"))
+    rankByAdc(spark.read.parquet(path).join(queries,
         col("cell") === col("qcell") && col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("cand_id"),
-        adcDistExpr(col("codes"), col("lut")).as("adc_dist"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("adc_dist").asc, col("cand_id").asc)
-    scored.withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= k)
+        adcDistExpr(col("codes"), col("lut")).as("adc_dist")), k)
   }
 
   /** Two-stage retrieval — the standard production search stack over
@@ -532,6 +538,28 @@ object Pq {
     "\"centroids\"\\s*:\\s*\"([^\"]*)\"".r.findFirstMatchIn(txt).map { m =>
       m.group(1).split(';').map(_.split(',').map(_.toLong))
     }
+  }
+
+  /** Centroids + residual flag in ONE sidecar read — the internal
+    * accessor every probe/append uses ([[readCellSidecar]] +
+    * [[readCellResidualFlag]] separately would re-open and re-parse
+    * the same file: two object-store round trips per call). */
+  private def readCellMeta(spark: SparkSession, path: String,
+                           caller: String): (Array[Array[Long]], Boolean) = {
+    val p = new org.apache.hadoop.fs.Path(path, CellMetaFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p))
+      throw new IllegalStateException(
+        s"$caller: no $CellMetaFile under $path — not a writeIvfPqIndex " +
+          "layout")
+    val in = fs.open(p)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    val cents = "\"centroids\"\\s*:\\s*\"([^\"]*)\"".r.findFirstMatchIn(txt)
+      .map(m => m.group(1).split(';').map(_.split(',').map(_.toLong)))
+      .getOrElse(throw new IllegalStateException(
+        s"$caller: malformed $CellMetaFile under $path"))
+    (cents, txt.contains("\"encoding\":\"residual\""))
   }
 
   /** Whether the index's codes encode residuals (x − c(cell)) rather

@@ -269,6 +269,13 @@ object Similarity {
                       centroids: Array[Array[Long]]): Unit = {
     require(centroids.nonEmpty && centroids.forall(_.length == centroids.head.length),
       "initIvfSnapshot: centroids must be a non-empty rectangular matrix")
+    // Re-keying a populated table silently mis-cells every future
+    // append against the rows already committed — refuse (the
+    // [[graft.operators.Pq.initIvfPqSnapshot]] guard).
+    if (graft.sources.SnapshotTable.latestVersion(spark, dir).nonEmpty)
+      throw new IllegalStateException(
+        s"initIvfSnapshot: $dir already holds committed vectors — " +
+          "re-keying an index requires a rebuild into a fresh directory")
     val p = new org.apache.hadoop.fs.Path(dir)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).mkdirs(p)
     writeTrainedSidecar(spark, dir, centroids)
@@ -317,8 +324,9 @@ object Similarity {
         s"ivfTopKSnapshot: $dir is not an initIvfSnapshot layout " +
           s"(quantizer: $other)")
     }
-    val table = graft.sources.SnapshotTable.read(spark, dir)
-    snapshotProbe(spark, dir, cents, table.filter(queryPred), k, probes)
+    val v = graft.sources.SnapshotTable.latestVersion(spark, dir)
+    val table = graft.sources.SnapshotTable.read(spark, dir, version = v)
+    snapshotProbe(spark, dir, cents, table.filter(queryPred), k, probes, v)
   }
 
   /** [[ivfTopKSnapshot]] with the query rows resolved BY ID through
@@ -339,17 +347,24 @@ object Similarity {
         s"ivfTopKSnapshotIds: $dir is not an initIvfSnapshot layout " +
           s"(quantizer: $other)")
     }
+    // ONE pinned version across the per-id lookups AND the cell
+    // scans: resolving latestVersion per readWhereEq would let a
+    // concurrent ledgered append commit mid-probe and tear the
+    // snapshot (id A from version v, id B and the cells from v+1) —
+    // and re-run the manifest/Bloom prune state load N times over.
+    val v = graft.sources.SnapshotTable.latestVersion(spark, dir)
     val qrows = queryIds.distinct.sorted
-      .map(id =>
-        graft.sources.SnapshotTable.readWhereEq(spark, dir, "vec_id", id))
+      .map(id => graft.sources.SnapshotTable.readWhereEq(
+        spark, dir, "vec_id", id, version = v))
       .reduce(_ unionByName _)
-    snapshotProbe(spark, dir, cents, qrows, k, probes)
+    snapshotProbe(spark, dir, cents, qrows, k, probes, v)
   }
 
   private def snapshotProbe(spark: org.apache.spark.sql.SparkSession,
                             dir: String, cents: Array[Array[Long]],
                             queryRows: DataFrame,
-                            k: Int, probes: Int): DataFrame = {
+                            k: Int, probes: Int,
+                            version: Option[Long]): DataFrame = {
     val queries = queryRows
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qn"),
@@ -358,10 +373,11 @@ object Similarity {
     val probeCells = queries.select("qcell").distinct()
       .collect().map(_.getInt(0)).toSeq.sorted
     val base = probeCells
-      .map(c => graft.sources.SnapshotTable.readWhereEq(spark, dir, "cell", c))
+      .map(c => graft.sources.SnapshotTable.readWhereEq(
+        spark, dir, "cell", c, version = version))
       .reduceOption(_ unionByName _)
-      .getOrElse(graft.sources.SnapshotTable.read(spark, dir)
-        .filter(lit(false)))
+      .getOrElse(graft.sources.SnapshotTable
+        .read(spark, dir, version = version).filter(lit(false)))
     scoredTopK(base, broadcast(queries),
       col("cell") === col("qcell") && col("vec_id") =!= col("query_id"), k)
   }

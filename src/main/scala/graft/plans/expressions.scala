@@ -1630,9 +1630,11 @@ case class TopKByScore(
   * (carried as a referenced object, one copy per task, not a per-row
   * literal walk): the IVF index build / append / streaming-ingest hot
   * path. Bit-identical to the `array_min(transform(...))` HOF form and
-  * to [[graft.operators.Kmeans.assign]] — same exact integer squared
-  * distances (same Long wraparound), same (dist, cid) tie-break —
-  * pinned in TrainedIvfSpec + ExpressionSpec. The HOF form at k=64,
+  * to [[graft.operators.Kmeans.assign]] on in-range inputs — same
+  * exact integer squared distances, same (dist, cid) tie-break —
+  * pinned in TrainedIvfSpec + ExpressionSpec; on Long overflow it
+  * FAILS LOUDLY (Math.*Exact) exactly as the HOF chain does under
+  * Spark's default ANSI mode, never a silently wrapped argmin. The HOF form at k=64,
   * d=64 paid ~4k interpreted lambda element invocations per row AND
   * re-evaluated the child quantize subtree once per centroid; this is
   * one child eval + one fused loop (measured ~20× on the 1M-vector

@@ -1620,15 +1620,23 @@ object SnapshotTable {
                   set: Seq[(String, Column)],
                   maxRetries: Int = 20): Option[Long] = {
     require(set.nonEmpty, "updateWhere: at least one SET column required")
+    // SQL UPDATE rejects duplicate assignments; set.toMap below would
+    // otherwise silently keep only the last one.
+    require(set.map(_._1).distinct.length == set.length,
+      s"updateWhere: duplicate SET columns: " +
+        s"${set.map(_._1).diff(set.map(_._1).distinct).distinct.mkString(", ")}")
     val base = latestVersion(spark, dir).getOrElse(
       throw new java.io.IOException(s"updateWhere: no committed version under $dir"))
     val schema = manifestSchema(spark, dir, base)
-    schema.foreach { st =>
-      set.foreach { case (c, _) =>
-        require(st.fieldNames.contains(c),
-          s"updateWhere: SET column $c does not exist (columns: " +
-            s"${st.fieldNames.mkString(", ")})")
-      }
+    // Typo'd-SET guard must hold on pre-schema-recording manifests
+    // too (schema == None): fall back to the table's read schema —
+    // otherwise a misspelled column silently no-ops the update.
+    val fieldNames = schema.map(_.fieldNames.toSeq)
+      .getOrElse(read(spark, dir, Some(base)).columns.toSeq)
+    set.foreach { case (c, _) =>
+      require(fieldNames.contains(c),
+        s"updateWhere: SET column $c does not exist (columns: " +
+          s"${fieldNames.mkString(", ")})")
     }
     if (manifestFiles(spark, dir, base).isEmpty) return None
     val touched = withFile(spark, dir, base)
