@@ -1996,7 +1996,10 @@ object GraftFunctions {
       TopKByScore(es.head, es(1), literalInt(es(2), "top_k_by")) },
     "bloom_filter_bits" -> { es =>
       BloomFilterBits(es.head, literalInt(es(1), "bloom_filter_bits"),
-        literalInt(es(2), "bloom_filter_bits")) })
+        literalInt(es(2), "bloom_filter_bits")) },
+    "lsh_band_signs" -> { es =>
+      LshBandSigns(es.head, literalInt(es(1), "lsh_band_signs"),
+        literalInt(es(2), "lsh_band_signs")) })
 
   /** Register the SQL functions into an existing session (the
     * runtime-registration path; config-time wiring is

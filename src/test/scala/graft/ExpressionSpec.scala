@@ -79,6 +79,15 @@ class ExpressionSpec extends AnyFunSuite {
         "parquet.`/root/testdata/sf0.001/documents.parquet`").collect()
     }
     assert(e.getMessage.contains("n must be a literal integer"), e.getMessage)
+    // lsh_band_signs from SQL == the Column form on a real embedding.
+    val lsh = spark.sql(
+      "SELECT lsh_band_signs(embedding, 8, 8) AS s, embedding FROM " +
+        "parquet.`/root/testdata/sf0.001/embeddings.parquet` LIMIT 3")
+      .select(col("s"),
+        GraftFunctions.lshBandSigns(col("embedding"), 8, 8).as("c"))
+      .collect()
+    assert(lsh.nonEmpty)
+    lsh.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
   }
 
   test("native expression type errors are analysis-time, not runtime") {
