@@ -682,5 +682,25 @@ class DedupSpec extends AnyFunSuite {
           s"($bandBits,$numBands) vec $id: $bands != ${agg(id)}")
       }
     }
+    // The signing is now a pure projection: no Exchange anywhere in
+    // its plan (the aggregate twin pays a groupBy shuffle + a join).
+    val plan = graft.operators.Dedup.lshBands(emb, 8, 8)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"map-only signing must not shuffle:\n$plan")
+    // Null elements are SKIPPED, exactly like sum-over-null in the
+    // aggregate twin (not read as zeroed slots, not nulling the row).
+    import SparkTestBase.spark.implicits._
+    val withNull = Seq(
+      (1L, Seq(Some(1.5f), None, Some(-2.0f))),
+      (2L, Seq(Some(1.5f), Some(0.0f), Some(-2.0f))))
+      .toDF("vec_id", "embedding")
+    val n = graft.operators.Dedup.lshBands(withNull, 8, 8)
+      .select(col("vec_id"), col("band0"), col("band7")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val a = graft.operators.Dedup.lshBandsAgg(withNull, 8, 8)
+      .select(col("vec_id"), col("band0"), col("band7")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(n == a, s"null-element divergence: $n vs $a")
   }
 }
