@@ -15,21 +15,24 @@ import org.apache.spark.sql.types.{ArrayType, LongType, IntegerType, StructField
   *     (`round(x * 65536)` — 16 fractional bits);
   *   - assignment distance is an exact Long sum of squared integer
   *     diffs (64 dims × (2^18)^2 ≈ 2^42, far inside Long), computed
-  *     by built-in `zip_with` + `aggregate` HOFs — codegen, no UDFs;
-  *   - ties break on (distance, centroid id) lexicographically via a
-  *     struct MIN aggregate — order-independent;
+  *     by the fused native argmin kernel
+  *     ([[graft.plans.NearestCellId]] — overflow fails loudly, never
+  *     wraps); the `zip_with`+`aggregate` HOF forms survive as the
+  *     independent spec twins ([[assign]], [[cellIdExprHof]]);
+  *   - ties break on (distance, centroid id) lexicographically —
+  *     order-independent in both forms;
   *   - centroid updates are exact integer sums + truncating division
   *     (the one deliberate deviation from float Lloyd's: a rounding
   *     scheme both engines and every partitioning agree on).
   *
-  * Scale shape: per iteration, ONE broadcast of k×d integers joins
-  * the corpus map-only (k small — 256-4096 cells in production), one
-  * (vec_id)-keyed argmin aggregate, one (cid, dim)-keyed sum — all
-  * map-side combining; the k×d collect per iteration is control
-  * plane. Iteration count is fixed (production IVF trains on a
+  * Scale shape: per iteration, the centroid matrix rides to tasks as
+  * ONE referenced object (k small — 256-4096 cells in production),
+  * assignment is a MAP-ONLY projection, and the only shuffle is the
+  * (cid, dim)-keyed sum — map-side combining, k×d control-plane
+  * collect. Iteration count is fixed (production IVF trains on a
   * SAMPLE then assigns the full corpus once — the same functions
-  * compose that way here: train on a sampled df, `assign` the full
-  * one). */
+  * compose that way here: train on a sampled df, assign the full
+  * one with [[cellIdExpr]]). */
 object Kmeans {
 
   /** 16-fractional-bit integer quantization of a float/double vector
