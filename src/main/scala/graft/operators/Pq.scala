@@ -522,8 +522,7 @@ object Pq {
       s""""encoding":"$enc","centroids":"$flat"}"""
     val p = new org.apache.hadoop.fs.Path(path, CellMetaFile)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, true)
-    try out.write(body.getBytes("UTF-8")) finally out.close()
+    graft.sources.TableIO.atomicWriteText(fs, p, body)
   }
 
   /** The index's recorded coarse cells, if the sidecar exists. */
@@ -587,8 +586,7 @@ object Pq {
       s""""scale":65536,"codebooks":"$flat"}"""
     val p = new org.apache.hadoop.fs.Path(path, MetaFile)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, true)
-    try out.write(body.getBytes("UTF-8")) finally out.close()
+    graft.sources.TableIO.atomicWriteText(fs, p, body)
   }
 
   /** The index's recorded codebooks, if the sidecar exists. */

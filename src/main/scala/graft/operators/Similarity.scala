@@ -216,9 +216,7 @@ object Similarity {
                                path: String, text: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(path, MetaFile)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, true)
-    try out.write(text.getBytes("UTF-8"))
-    finally out.close()
+    graft.sources.TableIO.atomicWriteText(fs, p, text)
   }
 
   private def readSidecarText(spark: org.apache.spark.sql.SparkSession,

@@ -150,13 +150,21 @@ object SnapshotTable {
       schema: Option[StructType],
       sizes: Map[String, Long])
 
-  /** Bounded cache of resolved states — states are immutable, so the
-    * only concern is size. Keyed by (table dir, version). */
+  /** Bounded cache of resolved states — a COMMITTED manifest is
+    * immutable, so the only size concern would be capacity; but a
+    * table directory deleted and recreated at the same path (or a
+    * vacuum checkpoint-rewrite of the oldest kept manifest) replaces
+    * the manifest FILE, and a (dir, version) key would keep serving
+    * the pre-replacement state. The key therefore carries the
+    * manifest file's (modificationTime, length) fingerprint: a
+    * replaced v<N>.json forms a new key and can never be served from
+    * the old entry (the stale entry just ages out of the LRU). */
   private val stateCache =
-    new java.util.LinkedHashMap[(String, Long), TableState](64, 0.75f, true) {
+    new java.util.LinkedHashMap[(String, Long, Long, Long), TableState](
+        64, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[(String, Long), TableState]): Boolean =
-        size() > 48
+          e: java.util.Map.Entry[(String, Long, Long, Long), TableState]
+         ): Boolean = size() > 48
     }
 
   /** Resolve the state at version `v`: read manifests BACKWARD from v
@@ -167,7 +175,14 @@ object SnapshotTable {
     * a COMMIT only ever writes O(batch) bytes, not O(table). */
   private def stateOf(spark: SparkSession, dir: String,
                       v: Long): TableState = {
-    val key = (new Path(dir).toUri.getPath, v)
+    val fst = try fs(spark, dir).getFileStatus(manifestPath(dir, v))
+    catch { case _: java.io.FileNotFoundException =>
+      throw new java.io.IOException(
+        s"manifest v$v missing under $dir — vacuumed past the time-travel " +
+          "horizon, or the table directory was modified out of band")
+    }
+    val key = (new Path(dir).toUri.getPath, v,
+      fst.getModificationTime, fst.getLen)
     stateCache.synchronized {
       val hit = stateCache.get(key)
       if (hit != null) return hit
@@ -395,15 +410,32 @@ object SnapshotTable {
     val latest = latestVersion(spark, dir).getOrElse(
       throw new java.io.IOException(s"history: no committed version under $dir"))
     val f = fs(spark, dir)
+    // One ASCENDING pass carrying the previous version's state: each
+    // manifest is read exactly once (op and delta come from the same
+    // node), and nothing routes through the global LRU state cache —
+    // a per-version stateOf chain here would thrash it on tables with
+    // more surviving versions than the cache holds, costing
+    // O(versions × CheckpointEvery) manifest reads. The first
+    // surviving manifest is always full-form (v0, or vacuum's
+    // checkpoint rewrite of the oldest kept version); stateOf stays
+    // as a fallback for a chain that violates that.
+    var prev: Option[(Long, TableState)] = None
     val rows = (0L to latest)
       .filter(v => f.exists(manifestPath(dir, v)))
       .map { v =>
-        val st = stateOf(spark, dir, v)
-        val op = Option(manifestNode(spark, dir, v).get("op"))
-          .map(_.asText).getOrElse("commit")
-        val prevFiles =
-          if (v == 0L || !f.exists(manifestPath(dir, v - 1))) Set.empty[String]
-          else stateOf(spark, dir, v - 1).files.toSet
+        val node = manifestNode(spark, dir, v)
+        val st =
+          if (node.get("files") != null || v == 0L) fullState(node)
+          else prev match {
+            case Some((pv, ps)) if pv == v - 1 => deltaState(ps, node)
+            case _ => stateOf(spark, dir, v)
+          }
+        val op = Option(node.get("op")).map(_.asText).getOrElse("commit")
+        val prevFiles = prev match {
+          case Some((pv, ps)) if pv == v - 1 => ps.files.toSet
+          case _ => Set.empty[String]
+        }
+        prev = Some((v, st))
         val cur = st.files.toSet
         (v, op,
           (cur -- prevFiles).size.toLong, (prevFiles -- cur).size.toLong,
@@ -775,17 +807,29 @@ object SnapshotTable {
     * `value.toString` for the [[bloomEligible]] (string/integral)
     * point-lookup types, which are REQUIRED at build time. */
   private def computeBlooms(spark: SparkSession, batchDir: Path,
-                            bloomCols: Seq[String]
+                            bloomCols: Seq[String],
+                            strict: Boolean = true
                            ): Map[String, Map[String, Array[Byte]]] = {
     if (bloomCols.isEmpty) return Map.empty
     val df = spark.read.parquet(batchDir.toString)
-    bloomCols.distinct.filter(df.columns.contains).foreach { c =>
-      require(bloomEligible(df.schema(c).dataType),
+    // strict (user-supplied bloomCols on a NEW write): an ineligible
+    // column is a caller error — fail loudly. Non-strict (rewrite
+    // paths re-tracking a table's RECORDED bloom columns): a legacy
+    // manifest may track a column the eligibility rules have since
+    // rejected; drop it rather than wedge every compact/delete/merge
+    // of a pre-r7 table.
+    val (ok, dropped) = bloomCols.distinct.filter(df.columns.contains)
+      .partition(c => bloomEligible(df.schema(c).dataType))
+    dropped.foreach { c =>
+      require(!strict,
         s"bloomCols: column $c (${df.schema(c).dataType.simpleString}) is " +
           "not bloom-eligible; only string and integral key columns probe " +
           "consistently (build casts to string, probe renders via toString)")
+      // (non-strict) un-track: the column simply stops carrying
+      // bitsets for the rewritten files — pruning degrades,
+      // correctness does not.
     }
-    val present = bloomCols.distinct.filter(df.columns.contains)
+    val present = ok
     if (present.isEmpty) return Map.empty
     val aggs = present.map { c =>
       graft.plans.GraftFunctions.bloomFilterBits(
@@ -990,7 +1034,8 @@ object SnapshotTable {
     * so data writes need no coordination at all. */
   private def writeBatch(df: DataFrame, dir: String,
                          statsCols: Seq[String],
-                         bloomCols: Seq[String] = Nil
+                         bloomCols: Seq[String] = Nil,
+                         strictBlooms: Boolean = true
                         ): (Seq[String], Map[String, Map[String, ColStat]],
                             Map[String, String], Map[String, Long]) = {
     val spark = df.sparkSession
@@ -1007,7 +1052,7 @@ object SnapshotTable {
     // Bitsets land in the batch's sidecar file; the manifest only ever
     // carries the path-sized refs.
     val refs = writeBloomSidecar(spark, dir, batch,
-      computeBlooms(spark, batchDir, bloomCols))
+      computeBlooms(spark, batchDir, bloomCols, strictBlooms))
     (added, stats, refs, sizes)
   }
 
@@ -1334,8 +1379,11 @@ object SnapshotTable {
     val rewrittenSizes = rewrittenList.map(st =>
       s"data/$batch/${st.getPath.getName}" -> st.getLen).toMap
     val rewrittenStats = computeStats(spark, batchDir, trackedCols)
+    // strict=false: trackedBlooms is the table's RECORDED column list,
+    // which on a pre-r7 table may include since-rejected types —
+    // compaction must complete, dropping those bitsets, not throw.
     val rewrittenRefs = writeBloomSidecar(spark, dir, batch,
-      computeBlooms(spark, batchDir, trackedBlooms))
+      computeBlooms(spark, batchDir, trackedBlooms, strict = false))
     var attempt = 0
     while (attempt < maxRetries) {
       val cur = latestVersion(spark, dir).get
@@ -1514,10 +1562,20 @@ object SnapshotTable {
         val out = f.create(tmp, false)
         try out.write(body.getBytes("UTF-8")) finally out.close()
         commitLock.synchronized {
-          f.delete(manifestPath(dir, keepFrom), false)
-          if (!f.rename(tmp, manifestPath(dir, keepFrom)))
-            throw new java.io.IOException(
-              s"vacuum: failed to checkpoint manifest v$keepFrom under $dir")
+          // Rename OVER the target first (POSIX/local rename
+          // overwrites in place — no instant at which v<keepFrom> is
+          // missing for a concurrent reader, who takes no lock).
+          // Filesystems whose rename refuses an existing destination
+          // (HDFS-class) fall back to delete+rename — the only
+          // remaining (store-imposed) window.
+          val direct = try f.rename(tmp, manifestPath(dir, keepFrom))
+          catch { case _: java.io.IOException => false }
+          if (!direct) {
+            f.delete(manifestPath(dir, keepFrom), false)
+            if (!f.rename(tmp, manifestPath(dir, keepFrom)))
+              throw new java.io.IOException(
+                s"vacuum: failed to checkpoint manifest v$keepFrom under $dir")
+          }
         }
       }
     }
@@ -1532,7 +1590,7 @@ object SnapshotTable {
     stateCache.synchronized {
       val it = stateCache.keySet.iterator()
       while (it.hasNext) {
-        val (d, v) = it.next()
+        val (d, v, _, _) = it.next()
         if (d == dirKey && v < keepFrom) it.remove()
       }
     }
@@ -1880,8 +1938,11 @@ object SnapshotTable {
                             keyConflict: Option[(Set[String], Seq[String],
                               DataFrame)] = None
                            ): Option[Long] = {
+    // strictBlooms=false: bloomCols here is the table's RECORDED
+    // tracking list — legacy ineligible entries drop, never wedge a
+    // row-level op on a pre-r7 table.
     val (added, addedStats, addedRefs, addedSizes) =
-      writeBatch(rewrite, dir, statsCols, bloomCols)
+      writeBatch(rewrite, dir, statsCols, bloomCols, strictBlooms = false)
     val touchedSet = touched.toSet
     val addedSet = added.toSet
     var attempt = 0

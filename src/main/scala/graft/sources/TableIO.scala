@@ -20,6 +20,32 @@ object TableIO {
 
   val Formats: Seq[String] = Seq("parquet", "orc", "json", "csv")
 
+  /** Content-atomic small-file write (index sidecars, metadata): the
+    * body lands fully in a hidden temp name, then RENAMES into place —
+    * a reader racing a rebuild sees the old content or the new,
+    * never a truncated prefix (a cleanly truncated matrix string can
+    * parse as a SHORTER valid matrix and probe with the wrong
+    * quantizer — silent wrong neighbors, not a loud parse error).
+    * POSIX/local rename overwrites in place; filesystems whose rename
+    * refuses an existing destination fall back to delete+rename. */
+  def atomicWriteText(fs: org.apache.hadoop.fs.FileSystem,
+                      target: org.apache.hadoop.fs.Path,
+                      text: String): Unit = {
+    val tmp = new org.apache.hadoop.fs.Path(target.getParent,
+      s".${target.getName}.${java.util.UUID.randomUUID()}.tmp")
+    val out = fs.create(tmp, false)
+    try out.write(text.getBytes("UTF-8")) finally out.close()
+    val direct = try fs.rename(tmp, target)
+    catch { case _: java.io.IOException => false }
+    if (!direct) {
+      fs.delete(target, false)
+      if (!fs.rename(tmp, target)) {
+        fs.delete(tmp, false)
+        throw new java.io.IOException(s"atomicWriteText: rename to $target failed")
+      }
+    }
+  }
+
   def write(df: DataFrame, path: String, format: String,
             mode: String = "overwrite"): Unit = {
     val w = df.write.mode(mode).format(format)

@@ -947,6 +947,47 @@ class SnapshotTableSpec extends AnyFunSuite {
       sizes.values.toSeq.sorted)
   }
 
+  test("a table rebuilt at the same path is never served from the state cache") {
+    val dir = Files.createTempDirectory("graft-snap-rb").toString + "/t"
+    SnapshotTable.append(spark.range(0, 5).toDF(), dir)
+    assert(ids(SnapshotTable.read(spark, dir)) == (0L until 5L).toSet)
+    // Drop the WHOLE table directory and recreate a different table at
+    // the same path — the cache key's manifest-file fingerprint
+    // (mtime, length) must make the old v0 state unreachable.
+    val f = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(f.delete(new org.apache.hadoop.fs.Path(dir), true))
+    SnapshotTable.append(
+      Seq((100L, "rebuilt"), (200L, "table")).toDF("id", "name"), dir)
+    val re = SnapshotTable.read(spark, dir)
+    assert(re.columns.toSet == Set("id", "name"))
+    assert(ids(re) == Set(100L, 200L))
+  }
+
+  test("rewrite paths drop a legacy ineligible bloom column instead of wedging") {
+    val dir = Files.createTempDirectory("graft-snap-lb").toString + "/t"
+    SnapshotTable.append(
+      Seq((1L, 1.5), (2L, 2.5), (3L, 3.5)).toDF("id", "d"), dir,
+      statsCols = Seq("id"))
+    val base = SnapshotTable.latestVersion(spark, dir).get
+    val touched = SnapshotTable.manifestFiles(spark, dir, base)
+    val rewrite = SnapshotTable.read(spark, dir).filter($"id" =!= 2L)
+    // A pre-r7 manifest may RECORD a bloom column the eligibility
+    // rules now reject (here: double). The rewrite path re-tracks
+    // recorded columns non-strictly — it must complete (dropping the
+    // bitsets), not throw the append-time require.
+    val v = SnapshotTable.commitRewrite(spark, dir, touched, rewrite,
+      statsCols = Seq("id"), bloomCols = Seq("d"), maxRetries = 20,
+      op = "legacyRewrite")
+    assert(v.nonEmpty)
+    assert(ids(SnapshotTable.read(spark, dir)) == Set(1L, 3L))
+    // And compact() of the table now tracking "d" completes too.
+    SnapshotTable.append(
+      Seq((4L, 4.5), (5L, 5.5)).toDF("id", "d"), dir, statsCols = Seq("id"))
+    SnapshotTable.compact(spark, dir, clusterBy = Seq("id"))
+    assert(ids(SnapshotTable.read(spark, dir)) == Set(1L, 3L, 4L, 5L))
+  }
+
   test("applyChanges rejects NULL _change tags instead of dropping the rows") {
     val dir = Files.createTempDirectory("graft-snap-nc").toString + "/t"
     SnapshotTable.append(Seq((1L, "a")).toDF("id", "v"), dir)
