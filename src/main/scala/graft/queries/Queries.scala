@@ -11611,6 +11611,92 @@ object Queries {
     WHERE o_orderkey >= 1000 AND o_orderkey <= 3000
     GROUP BY o_custkey ORDER BY o_custkey"""))
 
+  /** The registered `format("graft")` connector
+    * ([[graft.sources.GraftDataSource]], service-loaded by short
+    * name): `df.write.format("graft")` commits through the manifest
+    * (ErrorIfExists then Append here), `spark.read.format("graft")`
+    * reads through the manifest-pruned parquet relation, and
+    * `option("versionAsOf", v)` time-travels — the output unions the
+    * latest snapshot's per-brand rollup with version 0's, so the
+    * oracle pins both the two-commit final state AND that v0 still
+    * reads as exactly the first write. */
+  private val qSnapshotFormat = Q(
+    "q_snapshot_format",
+    (s, d) => {
+      val dir = snapTmp()
+      val src = t(s, d, "part")
+        .select(col("p_partkey"), col("p_brand"), col("p_size"),
+          col("p_retailprice"))
+      src.filter(col("p_size") <= 25).write.format("graft")
+        .option("statsCols", "p_partkey,p_size")
+        .mode("errorifexists").save(dir)
+      src.filter(col("p_size") > 25).write.format("graft")
+        .option("statsCols", "p_partkey,p_size")
+        .mode("append").save(dir)
+      def rollup(df: DataFrame, probe: String): DataFrame =
+        df.groupBy(col("p_brand"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("p_retailprice").cast("decimal(18,6)") * 100)
+              .cast("long").as("cents"))
+          .select(lit(probe).as("probe"), col("p_brand"), col("n"),
+            col("cents"))
+      rollup(s.read.format("graft").load(dir), "latest")
+        .unionByName(rollup(
+          s.read.format("graft").option("versionAsOf", "0").load(dir), "v0"))
+        .orderBy("probe", "p_brand")
+    },
+    Some("""SELECT probe, p_brand, n, cents FROM (
+      SELECT 'latest' AS probe, p_brand, count(*) AS n,
+        CAST(sum(CAST(p_retailprice AS DECIMAL(18,6)) * 100) AS BIGINT)
+          AS cents
+      FROM part GROUP BY p_brand
+      UNION ALL
+      SELECT 'v0' AS probe, p_brand, count(*) AS n,
+        CAST(sum(CAST(p_retailprice AS DECIMAL(18,6)) * 100) AS BIGINT)
+          AS cents
+      FROM part WHERE p_size <= 25 GROUP BY p_brand)
+    ORDER BY probe, p_brand"""))
+
+  /** The table-to-table STREAMING pipe through the registered
+    * connector: `readStream.format("graft")` (manifest versions as
+    * offsets — initial snapshot, then exactly the files each commit
+    * appended) into `writeStream.format("graft")` (exactly-once
+    * ledgered appends keyed on appId+batchId). Two source commits
+    * land across two micro-batches; the destination must hold every
+    * source row exactly once — the oracle is the plain rollup of the
+    * same source rows. */
+  private val qSnapshotStream = Q(
+    "q_snapshot_stream",
+    (s, d) => {
+      val src = snapTmp(); val dst = snapTmp()
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft-q-stream-ck").toString
+      val base = t(s, d, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      graft.sources.SnapshotTable.append(
+        base.filter(pmod(col("c_custkey"), lit(2)) === 0), src)
+      val q = s.readStream.format("graft").load(src)
+        .writeStream.format("graft")
+        .option("checkpointLocation", ckpt)
+        .option("appId", "q-snapshot-stream")
+        .start(dst)
+      try {
+        q.processAllAvailable()
+        graft.sources.SnapshotTable.append(
+          base.filter(pmod(col("c_custkey"), lit(2)) === 1), src)
+        q.processAllAvailable()
+      } finally q.stop()
+      s.read.format("graft").load(dst)
+        .groupBy(col("c_mktsegment").as("segment"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("c_acctbal").cast("decimal(18,6)") * 100)
+            .cast("long").as("cents"))
+        .orderBy("segment")
+    },
+    Some("""SELECT c_mktsegment AS segment, count(*) AS n,
+      CAST(sum(CAST(c_acctbal AS DECIMAL(18,6)) * 100) AS BIGINT) AS cents
+    FROM customer GROUP BY 1 ORDER BY segment"""))
+
   /** Z-order layout through
     * [[graft.sources.SnapshotTable.compact]]`(zOrderBy)`: orders
     * lands in an interleaved (unprunable) layout, compaction lays
@@ -11744,7 +11830,7 @@ object Queries {
     qSnapshotMerge, qSnapshotDelete, qSnapshotPrune, qSnapshotLookup,
     qSnapshotChanges, qSnapshotReplicate, qSnapshotPartition,
     qSnapshotZorder, qSnapshotClone, qSnapshotSql, qSnapshotUpdate,
-    qSnapshotHistory, qAnnPq, qAnnIvfPq, qAnnIvfPqRes, qAnnRerank,
+    qSnapshotHistory, qSnapshotFormat, qSnapshotStream, qAnnPq, qAnnIvfPq, qAnnIvfPqRes, qAnnRerank,
     qBpeTrain, qBpeTrainBatched,
     qCorpusFunnel, qAnnKmeans, qAnnTrained,
     qResultsTopk, qIngestFilter, qSanitizeIdent, qParseNumber, qParseDate,

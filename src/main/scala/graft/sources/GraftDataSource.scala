@@ -1,0 +1,304 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.{DataFrame, SQLContext, SaveMode, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+import org.apache.spark.sql.catalyst.types.DataTypeUtils
+import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation,
+  LogicalRelation, PartitionDirectory}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.streaming.{Offset, Sink, Source}
+import org.apache.spark.sql.execution.streaming.runtime.{LongOffset,
+  SerializedOffset}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider,
+  DataSourceRegister, RelationProvider, StreamSinkProvider,
+  StreamSourceProvider}
+import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.types.StructType
+
+/** `format("graft")` — the [[SnapshotTable]] format as a registered
+  * Spark data source, all four directions:
+  *
+  *   - `spark.read.format("graft").load(dir)` — batch read of the
+  *     latest (or `option("versionAsOf", v)`) snapshot through the
+  *     manifest-pruned parquet relation ([[SnapshotSql]]'s
+  *     [[SnapshotFileIndex]]: min/max + Bloom file skipping BEFORE
+  *     Spark lists a file, then Spark's native vectorized parquet
+  *     scan).
+  *   - `df.write.format("graft").mode(...).save(dir)` — Append maps
+  *     to [[SnapshotTable.append]], Overwrite to the atomic
+  *     [[SnapshotTable.overwrite]] REPLACE commit;
+  *     `option("statsCols"/"bloomCols", "a,b")` records skipping
+  *     metadata.
+  *   - `spark.readStream.format("graft").load(dir)` — the table as a
+  *     STREAMING SOURCE: offsets are manifest versions, the first
+  *     batch is the full pinned snapshot (or
+  *     `option("startingVersion", v)` to begin at a commit), each
+  *     subsequent micro-batch is exactly the files the commits in
+  *     `(lastOffset, latest]` appended. Append-shaped commits only:
+  *     a commit that REMOVED files (delete/update/merge/compact) is
+  *     a contract violation that fails loudly unless
+  *     `option("ignoreChanges", "true")` accepts re-emitted rewrites
+  *     — the public Delta streaming-source surface.
+  *   - `df.writeStream.format("graft").option("appId", id)` — the
+  *     table as an EXACTLY-ONCE streaming sink:
+  *     [[SnapshotTable.transactionalAppend]] with `txnVersion =
+  *     batchId`, so checkpoint-recovery replays are manifest no-ops.
+  *
+  * V1 provider interfaces on purpose (the public Delta-connector
+  * layering): a [[HadoopFsRelation]] IS a `BaseRelation`, which
+  * routes the batch path through Spark's battle-tested parquet scan
+  * with our file listing underneath it — re-implementing a parquet
+  * reader behind the DSv2 `PartitionReaderFactory` would discard
+  * vectorization and codegen for no semantic gain. */
+final class GraftDataSource extends RelationProvider
+    with CreatableRelationProvider with StreamSourceProvider
+    with StreamSinkProvider with DataSourceRegister {
+  import GraftDataSource._
+
+  override def shortName(): String = "graft"
+
+  // ---- batch read ---------------------------------------------------
+  override def createRelation(sqlContext: SQLContext,
+                              parameters: Map[String, String]
+                             ): BaseRelation =
+    SnapshotSql.relation(sqlContext.sparkSession, pathOf(parameters),
+      parameters.get("versionAsOf").map(_.toLong))._1
+
+  // ---- batch write --------------------------------------------------
+  override def createRelation(sqlContext: SQLContext, mode: SaveMode,
+                              parameters: Map[String, String],
+                              data: DataFrame): BaseRelation = {
+    val spark = sqlContext.sparkSession
+    val dir = pathOf(parameters)
+    val stats = csvOpt(parameters, "statsCols")
+    val blooms = csvOpt(parameters, "bloomCols")
+    val exists = SnapshotTable.latestVersion(spark, dir).isDefined
+    mode match {
+      case SaveMode.Append =>
+        SnapshotTable.append(data, dir, stats, blooms)
+      case SaveMode.Overwrite =>
+        SnapshotTable.overwrite(data, dir, stats, blooms)
+      case SaveMode.ErrorIfExists =>
+        if (exists) throw new IllegalStateException(
+          s"graft: table already exists under $dir (mode ErrorIfExists)")
+        SnapshotTable.append(data, dir, stats, blooms)
+      case SaveMode.Ignore =>
+        if (!exists) SnapshotTable.append(data, dir, stats, blooms)
+    }
+    createRelation(sqlContext, parameters)
+  }
+
+  // ---- streaming source --------------------------------------------
+  override def sourceSchema(sqlContext: SQLContext,
+                            schema: Option[StructType], providerName: String,
+                            parameters: Map[String, String]
+                           ): (String, StructType) = {
+    val dir = pathOf(parameters)
+    (s"graft[$dir]",
+      schema.getOrElse(tableSchema(sqlContext.sparkSession, dir)))
+  }
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+                            schema: Option[StructType], providerName: String,
+                            parameters: Map[String, String]): Source = {
+    val spark = sqlContext.sparkSession
+    val dir = pathOf(parameters)
+    new GraftStreamSource(spark, dir,
+      schema.getOrElse(tableSchema(spark, dir)),
+      startingVersion = parameters.get("startingVersion").map(_.toLong),
+      ignoreChanges = parameters.get("ignoreChanges").exists(_.toBoolean))
+  }
+
+  // ---- streaming sink -----------------------------------------------
+  override def createSink(sqlContext: SQLContext,
+                          parameters: Map[String, String],
+                          partitionColumns: Seq[String],
+                          outputMode: OutputMode): Sink = {
+    require(outputMode == OutputMode.Append(),
+      s"graft sink supports Append output mode only, got $outputMode " +
+        "(aggregation results route through foreachBatch + merge — " +
+        "see graft.streaming.SnapshotSink.startMerge)")
+    val dir = pathOf(parameters)
+    // The exactly-once ledger needs a per-QUERY writer identity: two
+    // queries sharing an appId would collide on batchIds and silently
+    // no-op each other. No query id exists at createSink time, so the
+    // identity must come from the one per-query stable input the user
+    // already has: an explicit appId, or the checkpoint location.
+    val appId = parameters.get("appId")
+      .orElse(parameters.get("checkpointLocation")
+        .map(p => s"graft-sink:${new Path(p).toUri.getPath}"))
+      .getOrElse(throw new IllegalArgumentException(
+        "graft sink: set option(\"appId\", <stable writer id>) (or a " +
+          "checkpointLocation to derive one) — the exactly-once ledger " +
+          "keys on it"))
+    new GraftStreamSink(sqlContext.sparkSession, dir, appId,
+      csvOpt(parameters, "statsCols"), csvOpt(parameters, "bloomCols"),
+      partitionColumns)
+  }
+}
+
+object GraftDataSource {
+  private def pathOf(parameters: Map[String, String]): String =
+    parameters.getOrElse("path", throw new IllegalArgumentException(
+      "graft: no path — use .load(dir) / .save(dir) / .start(dir)"))
+
+  private def csvOpt(parameters: Map[String, String],
+                     key: String): Seq[String] =
+    parameters.get(key).toSeq.flatMap(_.split(',')).map(_.trim)
+      .filter(_.nonEmpty)
+
+  private def tableSchema(spark: SparkSession, dir: String): StructType = {
+    val v = SnapshotTable.latestVersion(spark, dir).getOrElse(
+      throw new java.io.IOException(
+        s"graft: no committed version under $dir — streaming reads need " +
+          "an initialized table (commit an empty append to start one)"))
+    SnapshotTable.manifestSchema(spark, dir, v)
+      .getOrElse(SnapshotTable.read(spark, dir, Some(v)).schema)
+  }
+}
+
+/** The SnapshotTable streaming SOURCE: manifest versions ARE the
+  * offsets (a committed version is immutable, so replay of any
+  * `(start, end]` range is deterministic — exactly the
+  * replayable-source half of Structured Streaming's exactly-once
+  * contract; the ledgered sink is the other half). Batches are
+  * planned as native parquet relations over exactly the committed
+  * files — the scan itself is Spark's vectorized reader. */
+final class GraftStreamSource(spark: SparkSession, dir: String,
+                              override val schema: StructType,
+                              startingVersion: Option[Long],
+                              ignoreChanges: Boolean) extends Source {
+
+  override def getOffset: Option[Offset] =
+    SnapshotTable.latestVersion(spark, dir).map(LongOffset(_))
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val to = versionOf(end)
+    start.map(versionOf) match {
+      case Some(from) => changesBetween(from, to)
+      case None => startingVersion match {
+        // startingVersion = v: begin the stream AT commit v (skip the
+        // initial-snapshot read) — the catch-up-from-a-known-point
+        // shape. The whole range must still be inside the vacuum
+        // retention window, or this fails loudly.
+        case Some(sv) => changesBetween(sv - 1, to)
+        case None =>
+          filesAsBatch(SnapshotTable.manifestFiles(spark, dir, to),
+            SnapshotTable.manifestSizes(spark, dir, to))
+      }
+    }
+  }
+
+  /** Rows appended by the commits in `(from, to]`. Append-shaped
+    * commits emit their added files verbatim; a commit that removed
+    * files is a rewrite (delete/update/merge/compact) — contract
+    * violation unless `ignoreChanges`, under which its added files
+    * are re-emitted (the documented Delta `ignoreChanges` duplicate
+    * semantics) and files both added AND removed inside the range are
+    * skipped (their content is superseded within the very range). */
+  private def changesBetween(from: Long, to: Long): DataFrame = {
+    val deltas = SnapshotTable.versionDeltas(spark, dir, from, to)
+    deltas.filter(_.removes.nonEmpty).foreach { d =>
+      if (!ignoreChanges) throw new IllegalStateException(
+        s"graft streaming source: version ${d.version} (op=${d.op}) " +
+          s"removed ${d.removes.length} file(s) — the source requires an " +
+          "append-only table. Set option(\"ignoreChanges\",\"true\") to " +
+          "re-emit rewritten files (may duplicate rows), or consume " +
+          "row-level deltas via SnapshotTable.changeFeed + foreachBatch.")
+    }
+    val removedInRange = deltas.flatMap(_.removes).toSet
+    val files = deltas.flatMap(_.adds).filterNot(removedInRange)
+    filesAsBatch(files, SnapshotTable.manifestSizes(spark, dir, to))
+  }
+
+  /** A micro-batch over exactly `files`, planned like
+    * FileStreamSource plans its batches: a parquet
+    * [[HadoopFsRelation]] over a fixed file list, marked
+    * `isStreaming = true` so the incremental planner owns it. Reads
+    * pin the SOURCE's schema: files written after a mid-stream
+    * add-column evolution project down; pre-evolution files
+    * NULL-backfill. */
+  private def filesAsBatch(files: Seq[String],
+                           sizes: Map[String, Long]): DataFrame = {
+    val attrs = DataTypeUtils.toAttributes(schema)
+    val plan =
+      if (files.isEmpty) LocalRelation(attrs, Nil, isStreaming = true)
+      else {
+        val index = new ExactFilesIndex(spark, dir, files, sizes)
+        val rel = HadoopFsRelation(index, new StructType(), schema, None,
+          new ParquetFileFormat(), Map.empty)(spark)
+        LogicalRelation(rel, attrs, None, isStreaming = true, None)
+      }
+    org.apache.spark.sql.GraftSqlBridge.ofRows(spark, plan)
+  }
+
+  private def versionOf(o: Offset): Long = o match {
+    case l: LongOffset => l.offset
+    case s: SerializedOffset => s.json.trim.toLong
+    case other => other.json.trim.toLong
+  }
+
+  override def stop(): Unit = ()
+
+  override def toString: String = s"GraftStreamSource[$dir]"
+}
+
+/** The SnapshotTable streaming SINK: each micro-batch lands through
+  * the transactional ledger with `txnVersion = batchId` — a replayed
+  * batch after checkpoint recovery is a manifest no-op, completing
+  * the end-to-end exactly-once pair with [[GraftStreamSource]]. */
+final class GraftStreamSink(spark: SparkSession, dir: String, appId: String,
+                            statsCols: Seq[String], bloomCols: Seq[String],
+                            partitionBy: Seq[String]) extends Sink {
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    // Re-anchor: the passed-in frame carries the micro-batch's
+    // incremental query execution — wrapping its executed RDD yields
+    // a plain batch frame computed exactly once (the standard V1-sink
+    // discipline; calling .write on `data` directly would re-plan it).
+    val batch = org.apache.spark.sql.GraftSqlBridge.dataFrameOfInternalRows(
+      spark, data.queryExecution.toRdd, data.schema)
+    if (partitionBy.nonEmpty)
+      SnapshotTable.transactionalAppendPartitioned(batch, dir, partitionBy,
+        appId, batchId, statsCols, bloomCols)
+    else
+      SnapshotTable.transactionalAppend(batch, dir, appId, batchId,
+        statsCols, bloomCols)
+  }
+
+  override def toString: String = s"GraftStreamSink[$dir]"
+}
+
+/** [[FileIndex]] over an exact, pre-resolved file list — the
+  * micro-batch planning shape (no pruning: a batch IS its files).
+  * Statuses build from manifest-recorded sizes where present — zero
+  * per-file filesystem RPCs — with a getFileStatus fallback for
+  * legacy files. */
+private[sources] final class ExactFilesIndex(spark: SparkSession, dir: String,
+                                             files: Seq[String],
+                                             sizes: Map[String, Long]
+                                            ) extends FileIndex {
+  private val fs = new Path(dir)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private val statuses: Array[FileStatus] = files.sorted.map { key =>
+    val p = if (key.startsWith("data/")) new Path(dir, key) else new Path(key)
+    sizes.get(key)
+      .map(len => new FileStatus(len, false, 1, len, 0L, p))
+      .getOrElse(fs.getFileStatus(p))
+  }.toArray
+
+  override def rootPaths: Seq[Path] = Seq(new Path(dir))
+  override def partitionSchema: StructType = new StructType()
+  override def inputFiles: Array[String] =
+    statuses.map(_.getPath.toString)
+  override def refresh(): Unit = ()
+  override def sizeInBytes: Long = statuses.map(_.getLen).sum
+  override def listFiles(partitionFilters: Seq[Expression],
+                         dataFilters: Seq[Expression]
+                        ): Seq[PartitionDirectory] =
+    Seq(PartitionDirectory(InternalRow.empty, statuses))
+}

@@ -37,18 +37,29 @@ import org.apache.spark.sql.types.StructType
   * [[SnapshotTable.read]]. Re-register to advance. */
 object SnapshotSql {
 
-  /** Build a DataFrame over a snapshot whose scans prune through the
-    * manifest. `version` pins time travel (default: latest). */
-  def dataFrame(spark: SparkSession, dir: String,
-                version: Option[Long] = None): DataFrame = {
+  /** The manifest-pruned parquet relation over a pinned snapshot —
+    * shared by [[dataFrame]] (temp-view surface) and
+    * [[GraftDataSource]] (`spark.read.format("graft")` surface; a
+    * HadoopFsRelation IS a V1 BaseRelation, the public
+    * Delta-connector layering). */
+  private[sources] def relation(spark: SparkSession, dir: String,
+                                version: Option[Long]
+                               ): (HadoopFsRelation, StructType, Long) = {
     val v = version.orElse(SnapshotTable.latestVersion(spark, dir)).getOrElse(
       throw new java.io.IOException(s"SnapshotSql: no committed version under $dir"))
     val schema = SnapshotTable.manifestSchema(spark, dir, v).getOrElse(
       SnapshotTable.read(spark, dir, Some(v)).schema)
     val index = new SnapshotFileIndex(spark, dir, v, schema)
-    val relation = HadoopFsRelation(index, new StructType(), schema, None,
-      new ParquetFileFormat(), Map.empty)(spark)
-    val plan = LogicalRelation(relation,
+    (HadoopFsRelation(index, new StructType(), schema, None,
+      new ParquetFileFormat(), Map.empty)(spark), schema, v)
+  }
+
+  /** Build a DataFrame over a snapshot whose scans prune through the
+    * manifest. `version` pins time travel (default: latest). */
+  def dataFrame(spark: SparkSession, dir: String,
+                version: Option[Long] = None): DataFrame = {
+    val (rel, schema, _) = relation(spark, dir, version)
+    val plan = LogicalRelation(rel,
       DataTypeUtils.toAttributes(schema), None, isStreaming = false, None)
     org.apache.spark.sql.GraftSqlBridge.ofRows(spark, plan)
   }

@@ -446,6 +446,48 @@ object SnapshotTable {
       "total_bytes")
   }
 
+  /** Per-version (op, added files, removed files) over
+    * `(fromExclusive, to]` — the commit-granular delta walk the
+    * streaming source consumes. One manifest read per version (same
+    * ascending-carry discipline as [[history]]); every version in the
+    * range must still exist (a vacuumed manifest fails loudly — a
+    * stream restarted past the retention horizon must not silently
+    * skip data). */
+  private[graft] final case class VersionDelta(
+      version: Long, op: String, adds: Seq[String], removes: Seq[String])
+
+  private[graft] def versionDeltas(spark: SparkSession, dir: String,
+                                   fromExclusive: Long, to: Long
+                                  ): Seq[VersionDelta] = {
+    if (fromExclusive >= to) return Seq.empty
+    var prev: Option[(Long, TableState)] = None
+    (math.max(0L, fromExclusive) to to).flatMap { v =>
+      val node = manifestNode(spark, dir, v)
+      val op = Option(node.get("op")).map(_.asText).getOrElse("commit")
+      val st =
+        if (node.get("files") != null || v == 0L) fullState(node)
+        else prev match {
+          case Some((pv, ps)) if pv == v - 1 => deltaState(ps, node)
+          case _ => stateOf(spark, dir, v)
+        }
+      val out =
+        if (v <= fromExclusive) None
+        else {
+          val prevFiles = prev match {
+            case Some((pv, ps)) if pv == v - 1 => ps.files.toSet
+            case _ if v == 0L => Set.empty[String]
+            case _ => stateOf(spark, dir, v - 1).files.toSet
+          }
+          val cur = st.files
+          Some(VersionDelta(v, op,
+            cur.filterNot(prevFiles).sorted,
+            prevFiles.diff(cur.toSet).toSeq.sorted))
+        }
+      prev = Some((v, st))
+      out
+    }
+  }
+
   // ------------------------------------------------------------------
   // Bloom sidecars
   // ------------------------------------------------------------------
@@ -870,6 +912,35 @@ object SnapshotTable {
     commitAppend(spark, dir, df.schema, added, addedStats, addedRefs,
       bloomCols, maxRetries, "append",
       addedSizes = addedSizes).get // non-txn append never no-ops
+  }
+
+  /** Atomic REPLACE: commit a snapshot containing ONLY `df`'s freshly
+    * written files — the table-format form of `mode("overwrite")`.
+    * One commit, so readers see the old table or the new, never a
+    * mixture; superseded versions stay time-travelable until
+    * [[vacuum]] (an overwrite is a logical replace, not a physical
+    * delete). The schema REPLACES too (an overwrite is a new table
+    * body; add-column evolution is [[append]]'s contract), and the
+    * txn ledger carries forward so exactly-once writers survive an
+    * interleaved rebuild. */
+  def overwrite(df: DataFrame, dir: String, statsCols: Seq[String] = Nil,
+                bloomCols: Seq[String] = Nil, maxRetries: Int = 20): Long = {
+    val spark = df.sparkSession
+    val (added, addedStats, addedRefs, addedSizes) =
+      writeBatch(df, dir, statsCols, bloomCols)
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val base = latestVersion(spark, dir)
+      val txns = base.map(stateOf(spark, dir, _).txns).getOrElse(Map.empty)
+      val v = base.getOrElse(-1L) + 1
+      if (tryCommit(spark, dir, v, added, txns, addedStats,
+          Some(StructType(df.schema.fields.map(_.copy(nullable = true)))),
+          addedRefs, bloomCols, addedSizes, "overwrite"))
+        return v
+      attempt += 1
+    }
+    throw new java.io.IOException(
+      s"overwrite: lost the commit race $maxRetries times under $dir")
   }
 
   /** The optimistic append commit loop, shared by every

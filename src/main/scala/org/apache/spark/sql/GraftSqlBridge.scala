@@ -19,4 +19,19 @@ object GraftSqlBridge {
              plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
             ): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** DataFrame over already-computed InternalRows
+    * (`internalCreateDataFrame` is `private[sql]`) — what a V1
+    * streaming Sink needs to RE-ANCHOR the micro-batch DataFrame it
+    * receives: calling write actions directly on the passed-in frame
+    * would re-trigger its (streaming-incremental) query execution;
+    * wrapping its executed RDD gives a plain batch frame computed
+    * exactly once. */
+  def dataFrameOfInternalRows(spark: SparkSession,
+                              rows: org.apache.spark.rdd.RDD[
+                                org.apache.spark.sql.catalyst.InternalRow],
+                              schema: org.apache.spark.sql.types.StructType
+                             ): DataFrame =
+    spark.asInstanceOf[classic.SparkSession]
+      .internalCreateDataFrame(rows, schema, isStreaming = false)
 }

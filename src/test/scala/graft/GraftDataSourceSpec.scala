@@ -1,0 +1,180 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.sources.SnapshotTable
+
+/** `format("graft")`: the SnapshotTable format as a registered Spark
+  * data source — batch read (manifest-pruned), batch write
+  * (append/overwrite/error/ignore), streaming source (versions as
+  * offsets, append-only contract), streaming sink (exactly-once
+  * ledger). */
+class GraftDataSourceSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private def tmp(tag: String): String =
+    Files.createTempDirectory(s"graft-ds-$tag").toString + "/t"
+
+  test("batch read: format(graft) resolves via service loader, versionAsOf time-travels") {
+    val dir = tmp("read")
+    SnapshotTable.append(spark.range(0, 10).toDF(), dir)
+    SnapshotTable.append(spark.range(10, 25).toDF(), dir)
+    val latest = spark.read.format("graft").load(dir)
+    assert(latest.count() == 25)
+    val v0 = spark.read.format("graft").option("versionAsOf", "0").load(dir)
+    assert(v0.select(max($"id")).head.getLong(0) == 9L)
+    // The relation is the manifest-backed parquet path — filters show
+    // as pushed parquet filters in the plan.
+    val planned = latest.filter($"id" > 20)
+    assert(planned.count() == 4)
+  }
+
+  test("batch write: append + overwrite + ErrorIfExists + Ignore; stats options recorded") {
+    val dir = tmp("write")
+    spark.range(0, 10).toDF().write.format("graft")
+      .option("statsCols", "id").mode(SaveMode.ErrorIfExists).save(dir)
+    spark.range(10, 20).toDF().write.format("graft")
+      .option("statsCols", "id").mode(SaveMode.Append).save(dir)
+    assert(spark.read.format("graft").load(dir).count() == 20)
+    // stats landed → readWhere prunes
+    val v = SnapshotTable.latestVersion(spark, dir).get
+    assert(SnapshotTable.manifestStats(spark, dir, v).nonEmpty)
+    // Ignore: no-op on an existing table
+    spark.range(100, 200).toDF().write.format("graft")
+      .mode(SaveMode.Ignore).save(dir)
+    assert(spark.read.format("graft").load(dir).count() == 20)
+    // ErrorIfExists: loud
+    intercept[IllegalStateException] {
+      spark.range(0, 5).toDF().write.format("graft")
+        .mode(SaveMode.ErrorIfExists).save(dir)
+    }
+    // Overwrite: one atomic REPLACE commit; old version time-travels
+    Seq((1L, "x"), (2L, "y")).toDF("id", "tag").write.format("graft")
+      .mode(SaveMode.Overwrite).save(dir)
+    val now = spark.read.format("graft").load(dir)
+    assert(now.columns.toSet == Set("id", "tag") && now.count() == 2)
+    assert(spark.read.format("graft").option("versionAsOf", v.toString)
+      .load(dir).count() == 20)
+  }
+
+  test("streaming source: initial snapshot then per-commit increments, versions as offsets") {
+    val dir = tmp("src")
+    SnapshotTable.append(spark.range(0, 5).toDF(), dir, statsCols = Seq("id"))
+    val q = spark.readStream.format("graft").load(dir)
+      .writeStream.format("memory").queryName("graft_src_out").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("graft_src_out").count() == 5)
+      SnapshotTable.append(spark.range(5, 12).toDF(), dir)
+      q.processAllAvailable()
+      assert(spark.table("graft_src_out").count() == 12)
+      // two commits between triggers still land exactly once
+      SnapshotTable.append(spark.range(12, 14).toDF(), dir)
+      SnapshotTable.append(spark.range(14, 17).toDF(), dir)
+      q.processAllAvailable()
+      val got = spark.table("graft_src_out")
+        .select("id").collect().map(_.getLong(0)).sorted
+      assert(got.toSeq == (0L until 17L))
+    } finally q.stop()
+  }
+
+  test("streaming source: non-append commit fails loudly; ignoreChanges re-emits") {
+    val dir = tmp("srcchg")
+    SnapshotTable.append(spark.range(0, 10).toDF(), dir)
+    val q = spark.readStream.format("graft").load(dir)
+      .writeStream.format("memory").queryName("graft_chg_out").start()
+    try {
+      q.processAllAvailable()
+      SnapshotTable.deleteWhere(spark, dir, $"id" === 3L)
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      assert(e.getCause.getMessage.contains("append-only"))
+    } finally q.stop()
+    // With ignoreChanges: the rewrite re-emits (documented duplicates)
+    val dir2 = tmp("srcchg2")
+    SnapshotTable.append(spark.range(0, 4).coalesce(1).toDF(), dir2)
+    val q2 = spark.readStream.format("graft")
+      .option("ignoreChanges", "true").load(dir2)
+      .writeStream.format("memory").queryName("graft_chg2_out").start()
+    try {
+      q2.processAllAvailable()
+      assert(spark.table("graft_chg2_out").count() == 4)
+      SnapshotTable.deleteWhere(spark, dir2, $"id" === 1L)
+      q2.processAllAvailable()
+      // survivors of the rewritten file re-emitted: 4 + 3
+      assert(spark.table("graft_chg2_out").count() == 7)
+    } finally q2.stop()
+  }
+
+  test("streaming source: startingVersion skips the initial snapshot") {
+    val dir = tmp("srcsv")
+    SnapshotTable.append(spark.range(0, 100).toDF(), dir) // v0: history
+    SnapshotTable.append(spark.range(100, 103).toDF(), dir) // v1
+    val q = spark.readStream.format("graft")
+      .option("startingVersion", "1").load(dir)
+      .writeStream.format("memory").queryName("graft_sv_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("graft_sv_out")
+        .select("id").collect().map(_.getLong(0)).sorted
+      assert(got.toSeq == (100L until 103L), "only v1's rows, no snapshot")
+    } finally q.stop()
+  }
+
+  test("streaming sink: exactly-once landing through the txn ledger, appId required") {
+    val dir = tmp("sink")
+    val ckpt = Files.createTempDirectory("graft-ds-ckpt").toString
+    val input = MemoryStream[Long](spark)
+    val q = input.toDF().toDF("id")
+      .writeStream.format("graft")
+      .option("checkpointLocation", ckpt)
+      .option("appId", "spec-sink")
+      .option("statsCols", "id")
+      .start(dir)
+    try {
+      input.addData(0L until 10L: _*)
+      q.processAllAvailable()
+      input.addData(10L until 15L: _*)
+      q.processAllAvailable()
+      assert(SnapshotTable.read(spark, dir).count() == 15)
+      // the ledger recorded the writer's high-water batch
+      val v = SnapshotTable.latestVersion(spark, dir).get
+      assert(SnapshotTable.manifestTxns(spark, dir, v)
+        .get("spec-sink").exists(_ >= 1L))
+      // a manual replay of batch 0 is a manifest no-op
+      val replay = SnapshotTable.transactionalAppend(
+        spark.range(0, 10).toDF(), dir, "spec-sink", 0L)
+      assert(replay.isEmpty)
+      assert(SnapshotTable.read(spark, dir).count() == 15)
+    } finally q.stop()
+    // no appId and no checkpointLocation → loud
+    intercept[IllegalArgumentException] {
+      input.toDF().toDF("id").writeStream.format("graft").start(tmp("sink2"))
+    }
+  }
+
+  test("graft-to-graft pipe: source table streams into sink table exactly once") {
+    val src = tmp("pipe-src")
+    val dst = tmp("pipe-dst")
+    val ckpt = Files.createTempDirectory("graft-ds-pipe").toString
+    SnapshotTable.append(spark.range(0, 20).toDF(), src)
+    val q = spark.readStream.format("graft").load(src)
+      .writeStream.format("graft")
+      .option("checkpointLocation", ckpt)
+      .option("appId", "pipe")
+      .start(dst)
+    try {
+      q.processAllAvailable()
+      SnapshotTable.append(spark.range(20, 30).toDF(), src)
+      q.processAllAvailable()
+      val got = SnapshotTable.read(spark, dst)
+        .select("id").collect().map(_.getLong(0)).sorted
+      assert(got.toSeq == (0L until 30L))
+    } finally q.stop()
+  }
+}
