@@ -11697,6 +11697,46 @@ object Queries {
       CAST(sum(CAST(c_acctbal AS DECIMAL(18,6)) * 100) AS BIGINT) AS cents
     FROM customer GROUP BY 1 ORDER BY segment"""))
 
+  /** Incrementally-maintained materialized aggregate view
+    * ([[graft.sources.MaterializedAgg]]): per-customer order
+    * count + exact DECIMAL spend, created over half the orders, then
+    * advanced by DELTA PROPAGATION through two source commits — an
+    * append (second half) and a copy-on-write DELETE of every 'F'
+    * order. Each refresh reads ONLY the files those commits touched
+    * and rewrites only view files holding changed keys; the oracle
+    * states what a full recomputation over the FINAL source would
+    * say — incremental must equal recompute, including groups whose
+    * last order died (absent rows, not zero rows). */
+  private val qSnapshotMatview = Q(
+    "q_snapshot_matview",
+    (s, d) => {
+      val src = snapTmp(); val view = snapTmp()
+      val base = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"))
+      graft.sources.SnapshotTable.append(
+        base.filter(pmod(col("o_orderkey"), lit(2)) === 0), src)
+      graft.sources.MaterializedAgg.create(s, src, view, Seq("o_custkey"),
+        Seq(graft.sources.MaterializedAgg.AggSpec("n", "", "count"),
+          graft.sources.MaterializedAgg.AggSpec("spend", "o_totalprice",
+            "sum_decimal")),
+        "q-matview")
+      graft.sources.SnapshotTable.append(
+        base.filter(pmod(col("o_orderkey"), lit(2)) === 1), src)
+      graft.sources.MaterializedAgg.refresh(s, view)
+      graft.sources.SnapshotTable.deleteWhere(s, src,
+        col("o_orderstatus") === "F")
+      graft.sources.MaterializedAgg.refresh(s, view)
+      graft.sources.MaterializedAgg.read(s, view)
+        .select(col("o_custkey"), col("n"),
+          (col("spend") * 100).cast("long").as("cents"))
+        .orderBy("o_custkey")
+    },
+    Some("""SELECT o_custkey, count(*) AS n,
+      CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) * 100 AS BIGINT) AS cents
+    FROM orders WHERE o_orderstatus <> 'F'
+    GROUP BY o_custkey ORDER BY o_custkey"""))
+
   /** Z-order layout through
     * [[graft.sources.SnapshotTable.compact]]`(zOrderBy)`: orders
     * lands in an interleaved (unprunable) layout, compaction lays
@@ -11830,7 +11870,7 @@ object Queries {
     qSnapshotMerge, qSnapshotDelete, qSnapshotPrune, qSnapshotLookup,
     qSnapshotChanges, qSnapshotReplicate, qSnapshotPartition,
     qSnapshotZorder, qSnapshotClone, qSnapshotSql, qSnapshotUpdate,
-    qSnapshotHistory, qSnapshotFormat, qSnapshotStream, qAnnPq, qAnnIvfPq, qAnnIvfPqRes, qAnnRerank,
+    qSnapshotHistory, qSnapshotFormat, qSnapshotStream, qSnapshotMatview, qAnnPq, qAnnIvfPq, qAnnIvfPqRes, qAnnRerank,
     qBpeTrain, qBpeTrainBatched,
     qCorpusFunnel, qAnnKmeans, qAnnTrained,
     qResultsTopk, qIngestFilter, qSanitizeIdent, qParseNumber, qParseDate,

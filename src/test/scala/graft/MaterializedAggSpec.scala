@@ -1,0 +1,104 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.sources.{MaterializedAgg, SnapshotTable}
+import graft.sources.MaterializedAgg.AggSpec
+
+/** Incrementally-maintained aggregate views: after EVERY refresh the
+  * view must be row-identical to a full recomputation over the
+  * source's current snapshot — across appends, deletes, updates,
+  * group birth/death, compaction no-ops, and replayed refreshes. */
+class MaterializedAggSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private def tmp(tag: String): String =
+    Files.createTempDirectory(s"graft-mv-$tag").toString + "/t"
+
+  private val aggs = Seq(
+    AggSpec("n", "", "count"),
+    AggSpec("total", "v", "sum_long"),
+    AggSpec("amount", "d", "sum_decimal"))
+
+  private def recompute(src: String): DataFrame =
+    SnapshotTable.read(spark, src).groupBy("k")
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum($"v"), lit(0L)).cast("long").as("total"),
+        coalesce(sum($"d".cast("decimal(38,6)")), lit(0).cast("decimal(38,6)"))
+          .cast("decimal(38,6)").as("amount"))
+
+  private def assertMatches(view: String, src: String): Unit = {
+    val got = MaterializedAgg.read(spark, view).orderBy("k").collect().toSeq
+    val want = recompute(src).orderBy("k").collect().toSeq
+    assert(got == want)
+  }
+
+  private def rows(xs: (String, Long, Double)*): DataFrame =
+    xs.toDF("k", "v", "d")
+
+  test("create + refresh track appends, deletes, updates, and group death exactly") {
+    val src = tmp("src"); val view = tmp("view")
+    SnapshotTable.append(rows(("a", 1L, 1.5), ("a", 2L, 0.25),
+      ("b", 10L, 3.0)), src)
+    val v0 = MaterializedAgg.create(spark, src, view, Seq("k"), aggs, "mv1")
+    assert(v0 == 0L)
+    assertMatches(view, src)
+    // append: existing group grows, new group born
+    SnapshotTable.append(rows(("b", 5L, 1.0), ("c", 7L, 2.5)), src)
+    assert(MaterializedAgg.refresh(spark, view).contains(1L))
+    assertMatches(view, src)
+    // delete: group "a" dies entirely, "b" shrinks
+    SnapshotTable.deleteWhere(spark, src, $"k" === "a" || $"v" === 5L)
+    MaterializedAgg.refresh(spark, view)
+    assertMatches(view, src)
+    assert(!MaterializedAgg.read(spark, view).collect()
+      .exists(_.getString(0) == "a"), "dead group must leave the view")
+    // update: delete+insert pair nets into the deltas
+    SnapshotTable.updateWhere(spark, src, $"k" === "c",
+      Seq("v" -> lit(100L)))
+    MaterializedAgg.refresh(spark, view)
+    assertMatches(view, src)
+  }
+
+  test("refresh is exactly-once: replays and already-current calls are no-ops") {
+    val src = tmp("src2"); val view = tmp("view2")
+    SnapshotTable.append(rows(("x", 1L, 1.0)), src)
+    MaterializedAgg.create(spark, src, view, Seq("k"), aggs, "mv2")
+    assert(MaterializedAgg.refresh(spark, view).isEmpty, "already current")
+    SnapshotTable.append(rows(("x", 2L, 2.0)), src)
+    assert(MaterializedAgg.refresh(spark, view).contains(1L))
+    // replayed refresh at the same source head: no-op, view unchanged
+    assert(MaterializedAgg.refresh(spark, view).isEmpty)
+    assertMatches(view, src)
+    val nVersions = SnapshotTable.latestVersion(spark, view).get
+    assert(MaterializedAgg.refresh(spark, view).isEmpty)
+    assert(SnapshotTable.latestVersion(spark, view).get == nVersions,
+      "a no-op refresh must not commit")
+  }
+
+  test("compaction-only source commits advance the cursor without touching groups") {
+    val src = tmp("src3"); val view = tmp("view3")
+    SnapshotTable.append(rows(("p", 1L, 1.0)).coalesce(1), src)
+    SnapshotTable.append(rows(("q", 2L, 2.0)).coalesce(1), src)
+    MaterializedAgg.create(spark, src, view, Seq("k"), aggs, "mv3")
+    SnapshotTable.compact(spark, src)
+    val srcV = SnapshotTable.latestVersion(spark, src).get
+    assert(MaterializedAgg.refresh(spark, view).contains(srcV))
+    assertMatches(view, src)
+    // cursor advanced: the next refresh is a clean no-op (it does NOT
+    // re-diff across the compaction)
+    assert(MaterializedAgg.refresh(spark, view).isEmpty)
+  }
+
+  test("second create under the same viewId fails loudly") {
+    val src = tmp("src4"); val view = tmp("view4")
+    SnapshotTable.append(rows(("z", 1L, 0.5)), src)
+    MaterializedAgg.create(spark, src, view, Seq("k"), aggs, "mv4")
+    intercept[IllegalStateException] {
+      MaterializedAgg.create(spark, src, view, Seq("k"), aggs, "mv4")
+    }
+  }
+}
