@@ -11737,6 +11737,104 @@ object Queries {
     FROM orders WHERE o_orderstatus <> 'F'
     GROUP BY o_custkey ORDER BY o_custkey"""))
 
+  /** Trained model-based quality scoring, closed form
+    * ([[graft.operators.LinearModel.ridgeFit]]): a ridge probe of a
+    * binary relevance target (label ≤ 4) on the first two embedding
+    * coordinates, quantized to integers at a power-of-two scale so
+    * every sufficient statistic is an EXACT integer sum — the oracle
+    * rebuilds the identical normal equations in HUGEINT and solves
+    * the same 3×3 Cramer determinants in SQL, so the trained weights
+    * (and every per-row score) match bit-for-bit across engines.
+    * The probe is one distributed aggregate + a map-only scoring
+    * pass — the 100 TB shape of "fit a linear quality filter, score
+    * the corpus". */
+  private val qQualityProbe = Q(
+    "q_quality_probe",
+    (s, d) => {
+      val f = t(s, d, "embeddings").select(
+        col("vec_id"),
+        floor(col("embedding").getItem(0).cast("double") * 4096)
+          .cast("long").as("x1"),
+        floor(col("embedding").getItem(1).cast("double") * 4096)
+          .cast("long").as("x2"),
+        when(col("label") <= 4, 1L).otherwise(0L).as("y"))
+      val w = graft.operators.LinearModel.ridgeFit(
+        f, Seq(col("x1"), col("x2")), col("y"), lambda = 1L)
+      f.select(col("vec_id"),
+        TextAnalysis.roundStable(graft.operators.LinearModel.scoreExpr(
+          w, Seq(col("x1"), col("x2"))), 6).as("score"))
+        .orderBy("vec_id")
+    },
+    Some("""WITH f AS (
+      SELECT vec_id,
+        CAST(floor(CAST(embedding[1] AS DOUBLE) * 4096) AS BIGINT) AS x1,
+        CAST(floor(CAST(embedding[2] AS DOUBLE) * 4096) AS BIGINT) AS x2,
+        CASE WHEN label <= 4 THEN 1 ELSE 0 END AS y
+      FROM embeddings),
+    g AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n,
+        CAST(sum(x1) AS HUGEINT) AS s1, CAST(sum(x2) AS HUGEINT) AS s2,
+        CAST(sum(x1*x1) AS HUGEINT) AS s11,
+        CAST(sum(x1*x2) AS HUGEINT) AS s12,
+        CAST(sum(x2*x2) AS HUGEINT) AS s22,
+        CAST(sum(y) AS HUGEINT) AS b0, CAST(sum(x1*y) AS HUGEINT) AS b1,
+        CAST(sum(x2*y) AS HUGEINT) AS b2
+      FROM f),
+    m AS (
+      SELECT n + 1 AS a00, s1 AS a01, s2 AS a02,
+             s1 AS a10, s11 + 1 AS a11, s12 AS a12,
+             s2 AS a20, s12 AS a21, s22 + 1 AS a22,
+             b0, b1, b2 FROM g),
+    w AS (
+      SELECT
+        CAST(a00*(a11*a22 - a12*a21) - a01*(a10*a22 - a12*a20)
+           + a02*(a10*a21 - a11*a20) AS DOUBLE) AS det,
+        CAST(b0*(a11*a22 - a12*a21) - a01*(b1*a22 - a12*b2)
+           + a02*(b1*a21 - a11*b2) AS DOUBLE) AS det0,
+        CAST(a00*(b1*a22 - a12*b2) - b0*(a10*a22 - a12*a20)
+           + a02*(a10*b2 - b1*a20) AS DOUBLE) AS det1,
+        CAST(a00*(a11*b2 - b1*a21) - a01*(a10*b2 - b1*a20)
+           + b0*(a10*a21 - a11*a20) AS DOUBLE) AS det2
+      FROM m)
+    SELECT vec_id,
+      floor((det0/det + det1/det * x1 + det2/det * x2) * 1000000 + 0.5)
+        / 1000000 AS score
+    FROM f, w ORDER BY vec_id"""))
+
+  /** Trained model-based quality scoring, iterative
+    * ([[graft.operators.LinearModel.logisticFit]]): a binary logistic
+    * classifier over the full 64-dim quantized embedding (+ constant
+    * intercept element), trained by deterministic fixed-point
+    * full-batch gradient descent — integer weight state, exact
+    * integer gradient sums, so the trajectory is bit-identical under
+    * any partitioning (LinearModelSpec pins distributed ==
+    * single-threaded). Output: the trained scaled weights plus the
+    * exact correct-classification count — all integers. No SQL
+    * oracle (iterative training, the BPE contract); declared
+    * no-oracle. */
+  private val qQualityClassifier = Q(
+    "q_quality_classifier",
+    (s, d) => {
+      val f = t(s, d, "embeddings").select(
+        col("vec_id"),
+        concat(
+          transform(col("embedding"),
+            e => floor(e.cast("double") * 4096).cast("long")),
+          array(lit(1L))).as("x"),
+        when(col("label") <= 4, 1L).otherwise(0L).as("y"))
+      val w = graft.operators.LinearModel.logisticFit(
+        f, col("x"), col("y"), dim = 65, iters = 10, lrNum = 1L,
+        lrShift = 6)
+      val nCorrect = f.withColumn("p",
+          graft.operators.LinearModel.logisticScoreExpr(w, col("x")))
+        .filter((col("p") >= 0.5) === (col("y") === 1L)).count()
+      val spark = s
+      import spark.implicits._
+      (w.zipWithIndex.map { case (wj, j) => (j.toLong, wj) } :+
+        (-1L, nCorrect)).toSeq.toDF("idx", "w_scaled").orderBy("idx")
+    },
+    None)
+
   /** Z-order layout through
     * [[graft.sources.SnapshotTable.compact]]`(zOrderBy)`: orders
     * lands in an interleaved (unprunable) layout, compaction lays
@@ -11870,7 +11968,8 @@ object Queries {
     qSnapshotMerge, qSnapshotDelete, qSnapshotPrune, qSnapshotLookup,
     qSnapshotChanges, qSnapshotReplicate, qSnapshotPartition,
     qSnapshotZorder, qSnapshotClone, qSnapshotSql, qSnapshotUpdate,
-    qSnapshotHistory, qSnapshotFormat, qSnapshotStream, qSnapshotMatview, qAnnPq, qAnnIvfPq, qAnnIvfPqRes, qAnnRerank,
+    qSnapshotHistory, qSnapshotFormat, qSnapshotStream, qSnapshotMatview,
+    qQualityProbe, qQualityClassifier, qAnnPq, qAnnIvfPq, qAnnIvfPqRes, qAnnRerank,
     qBpeTrain, qBpeTrainBatched,
     qCorpusFunnel, qAnnKmeans, qAnnTrained,
     qResultsTopk, qIngestFilter, qSanitizeIdent, qParseNumber, qParseDate,
