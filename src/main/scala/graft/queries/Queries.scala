@@ -11737,6 +11737,61 @@ object Queries {
     FROM orders WHERE o_orderstatus <> 'F'
     GROUP BY o_custkey ORDER BY o_custkey"""))
 
+  /** Merge-on-read DELETE through
+    * [[graft.sources.SnapshotTable.deleteWhereMor]]: two composing
+    * deletion-vector commits (every 'F' order, then every order above
+    * a price cut) mask rows WITHOUT rewriting a byte of data — the
+    * read side applies the vectors as a broadcast anti-join on
+    * `_metadata.row_index` — and a clustering [[compact]] then
+    * MATERIALIZES the deletes and purges the vectors. The final
+    * rollup must equal the oracle's plain double-WHERE view of the
+    * same deletes, pinning the whole MoR lifecycle (vector write →
+    * composed masking → purge) against an engine that never saw a
+    * vector. */
+  private val qSnapshotMor = Q(
+    "q_snapshot_mor",
+    (s, d) => {
+      val dir = snapTmp()
+      graft.sources.SnapshotTable.append(
+        t(s, d, "orders").select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_orderpriority"), col("o_totalprice")),
+        dir, statsCols = Seq("o_orderkey"))
+      graft.sources.SnapshotTable.deleteWhereMor(s, dir,
+        col("o_orderstatus") === "F")
+      graft.sources.SnapshotTable.deleteWhereMor(s, dir,
+        col("o_totalprice") > 300000.0)
+      val masked = graft.sources.SnapshotTable.read(s, dir)
+        .groupBy(col("o_orderpriority").as("priority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,6)") * 100)
+            .cast("long").as("cents"))
+        .select(lit("mor").as("phase"), col("priority"), col("n"),
+          col("cents"))
+      graft.sources.SnapshotTable.compact(s, dir,
+        clusterBy = Seq("o_orderkey"))
+      val purged = graft.sources.SnapshotTable.read(s, dir)
+        .groupBy(col("o_orderpriority").as("priority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,6)") * 100)
+            .cast("long").as("cents"))
+        .select(lit("purged").as("phase"), col("priority"), col("n"),
+          col("cents"))
+      masked.unionByName(purged).orderBy("phase", "priority")
+    },
+    Some("""WITH live AS (
+      SELECT o_orderpriority AS priority, o_totalprice FROM orders
+      WHERE o_orderstatus <> 'F' AND o_totalprice <= 300000),
+    r AS (
+      SELECT priority, count(*) AS n,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,6)) * 100) AS BIGINT)
+          AS cents
+      FROM live GROUP BY priority)
+    SELECT phase, priority, n, cents FROM (
+      SELECT 'mor' AS phase, * FROM r
+      UNION ALL
+      SELECT 'purged' AS phase, * FROM r)
+    ORDER BY phase, priority"""))
+
   /** Trained model-based quality scoring, closed form
     * ([[graft.operators.LinearModel.ridgeFit]]): a ridge probe of a
     * binary relevance target (label ≤ 4) on the first two embedding
@@ -11969,7 +12024,7 @@ object Queries {
     qSnapshotChanges, qSnapshotReplicate, qSnapshotPartition,
     qSnapshotZorder, qSnapshotClone, qSnapshotSql, qSnapshotUpdate,
     qSnapshotHistory, qSnapshotFormat, qSnapshotStream, qSnapshotMatview,
-    qQualityProbe, qQualityClassifier, qAnnPq, qAnnIvfPq, qAnnIvfPqRes, qAnnRerank,
+    qSnapshotMor, qQualityProbe, qQualityClassifier, qAnnPq, qAnnIvfPq, qAnnIvfPqRes, qAnnRerank,
     qBpeTrain, qBpeTrainBatched,
     qCorpusFunnel, qAnnKmeans, qAnnTrained,
     qResultsTopk, qIngestFilter, qSanitizeIdent, qParseNumber, qParseDate,

@@ -186,6 +186,13 @@ final class GraftStreamSource(spark: SparkSession, dir: String,
         // retention window, or this fails loudly.
         case Some(sv) => changesBetween(sv - 1, to)
         case None =>
+          // Initial snapshot is planned as a raw file relation — it
+          // cannot anti-join merge-on-read deletion vectors, so a
+          // DV'd snapshot must compact (purge) before streaming.
+          require(SnapshotTable.manifestDvRefs(spark, dir, to).isEmpty,
+            s"graft streaming source: snapshot v$to of $dir carries " +
+              "merge-on-read deletion vectors; run SnapshotTable.compact " +
+              "before streaming the initial snapshot")
           filesAsBatch(SnapshotTable.manifestFiles(spark, dir, to),
             SnapshotTable.manifestSizes(spark, dir, to))
       }
@@ -201,14 +208,16 @@ final class GraftStreamSource(spark: SparkSession, dir: String,
     * skipped (their content is superseded within the very range). */
   private def changesBetween(from: Long, to: Long): DataFrame = {
     val deltas = SnapshotTable.versionDeltas(spark, dir, from, to)
-    deltas.filter(_.removes.nonEmpty).foreach { d =>
-      if (!ignoreChanges) throw new IllegalStateException(
-        s"graft streaming source: version ${d.version} (op=${d.op}) " +
-          s"removed ${d.removes.length} file(s) — the source requires an " +
-          "append-only table. Set option(\"ignoreChanges\",\"true\") to " +
-          "re-emit rewritten files (may duplicate rows), or consume " +
-          "row-level deltas via SnapshotTable.changeFeed + foreachBatch.")
-    }
+    deltas.filter(d => d.removes.nonEmpty || d.dvChanged.nonEmpty)
+      .foreach { d =>
+        if (!ignoreChanges) throw new IllegalStateException(
+          s"graft streaming source: version ${d.version} (op=${d.op}) " +
+            s"removed ${d.removes.length} file(s) and advanced deletion " +
+            s"vectors on ${d.dvChanged.length} — the source requires an " +
+            "append-only table. Set option(\"ignoreChanges\",\"true\") to " +
+            "re-emit rewritten files (may duplicate rows), or consume " +
+            "row-level deltas via SnapshotTable.changeFeed + foreachBatch.")
+      }
     val removedInRange = deltas.flatMap(_.removes).toSet
     val files = deltas.flatMap(_.adds).filterNot(removedInRange)
     filesAsBatch(files, SnapshotTable.manifestSizes(spark, dir, to))

@@ -47,6 +47,14 @@ object SnapshotSql {
                                ): (HadoopFsRelation, StructType, Long) = {
     val v = version.orElse(SnapshotTable.latestVersion(spark, dir)).getOrElse(
       throw new java.io.IOException(s"SnapshotSql: no committed version under $dir"))
+    // The FileIndex surface is pure file LISTING — it has no hook to
+    // anti-join merge-on-read deletion vectors, so serving a DV'd
+    // snapshot here would silently resurrect deleted rows. Loud stop;
+    // compact() purges the vectors and re-enables the SQL surface.
+    require(SnapshotTable.manifestDvRefs(spark, dir, v).isEmpty,
+      s"SnapshotSql: snapshot v$v of $dir carries merge-on-read deletion " +
+        "vectors; run SnapshotTable.compact to materialize them (or read " +
+        "via SnapshotTable.read, which applies vectors)")
     val schema = SnapshotTable.manifestSchema(spark, dir, v).getOrElse(
       SnapshotTable.read(spark, dir, Some(v)).schema)
     val index = new SnapshotFileIndex(spark, dir, v, schema)

@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{coalesce, col, greatest, input_file_name, least, lit, max, min, not, shiftleft, shiftright, when}
+import org.apache.spark.sql.functions.{broadcast, coalesce, col, concat, greatest, input_file_name, least, lit, max, min, not, regexp_replace, shiftleft, shiftright, when}
 import org.apache.spark.sql.types._
 
 /** Minimal manifest-committed table format — the consistency layer the
@@ -148,7 +148,8 @@ object SnapshotTable {
       bloomCols: Seq[String],
       legacyBlooms: Map[String, Map[String, Array[Byte]]],
       schema: Option[StructType],
-      sizes: Map[String, Long])
+      sizes: Map[String, Long],
+      dvRefs: Map[String, String] = Map.empty)
 
   /** Bounded cache of resolved states — a COMMITTED manifest is
     * immutable, so the only size concern would be capacity; but a
@@ -236,8 +237,16 @@ object SnapshotTable {
   }
 
   private def bloomRefsOf(n: com.fasterxml.jackson.databind.JsonNode
-                         ): Map[String, String] = {
-    val s = n.get("bloomrefs")
+                         ): Map[String, String] =
+    refMapOf(n, "bloomrefs")
+
+  private def dvRefsOf(n: com.fasterxml.jackson.databind.JsonNode
+                      ): Map[String, String] =
+    refMapOf(n, "dvrefs")
+
+  private def refMapOf(n: com.fasterxml.jackson.databind.JsonNode,
+                       field: String): Map[String, String] = {
+    val s = n.get(field)
     if (s == null) return Map.empty
     val it = s.fieldNames()
     val b = Map.newBuilder[String, String]
@@ -307,7 +316,7 @@ object SnapshotTable {
               else strSeq(n, "adds"),
       txns = txnsOf(n), stats = statsOf(n), bloomRefs = refs,
       bloomCols = cols, legacyBlooms = legacy, schema = schemaOf(n),
-      sizes = sizesOf(n))
+      sizes = sizesOf(n), dvRefs = dvRefsOf(n))
   }
 
   private def deltaState(parent: TableState,
@@ -326,7 +335,11 @@ object SnapshotTable {
       },
       legacyBlooms = parent.legacyBlooms -- removes,
       schema = schemaOf(n).orElse(parent.schema),
-      sizes = (parent.sizes -- removes) ++ sizesOf(n))
+      sizes = (parent.sizes -- removes) ++ sizesOf(n),
+      // deletion-vector refs: delta entries REPLACE per file (a MoR
+      // delete supersedes the file's previous vector); removed files
+      // drop theirs with the file.
+      dvRefs = (parent.dvRefs -- removes) ++ dvRefsOf(n))
   }
 
   /** The file list of a version (relative paths). */
@@ -400,6 +413,14 @@ object SnapshotTable {
                     v: Long): Map[String, Long] =
     stateOf(spark, dir, v).sizes
 
+  /** Per-file deletion-vector refs of a version (file → `_dv/<batch>`
+    * sidecar, or a clone's absolute ref) — nonEmpty means the
+    * snapshot carries merge-on-read deletes that every row-level read
+    * must apply. */
+  def manifestDvRefs(spark: SparkSession, dir: String,
+                     v: Long): Map[String, String] =
+    stateOf(spark, dir, v).dvRefs
+
   /** Commit AUDIT LOG (the public DESCRIBE HISTORY shape): one row per
     * surviving manifest — (version, op, files added, files removed,
     * live file count, live bytes). Driver-side over the manifest
@@ -454,7 +475,8 @@ object SnapshotTable {
     * stream restarted past the retention horizon must not silently
     * skip data). */
   private[graft] final case class VersionDelta(
-      version: Long, op: String, adds: Seq[String], removes: Seq[String])
+      version: Long, op: String, adds: Seq[String], removes: Seq[String],
+      dvChanged: Seq[String] = Nil)
 
   private[graft] def versionDeltas(spark: SparkSession, dir: String,
                                    fromExclusive: Long, to: Long
@@ -473,15 +495,21 @@ object SnapshotTable {
       val out =
         if (v <= fromExclusive) None
         else {
-          val prevFiles = prev match {
-            case Some((pv, ps)) if pv == v - 1 => ps.files.toSet
-            case _ if v == 0L => Set.empty[String]
-            case _ => stateOf(spark, dir, v - 1).files.toSet
+          val (prevFiles, prevDv) = prev match {
+            case Some((pv, ps)) if pv == v - 1 => (ps.files.toSet, ps.dvRefs)
+            case _ if v == 0L => (Set.empty[String], Map.empty[String, String])
+            case _ =>
+              val ps = stateOf(spark, dir, v - 1)
+              (ps.files.toSet, ps.dvRefs)
           }
           val cur = st.files
           Some(VersionDelta(v, op,
             cur.filterNot(prevFiles).sorted,
-            prevFiles.diff(cur.toSet).toSeq.sorted))
+            prevFiles.diff(cur.toSet).toSeq.sorted,
+            // carried files whose deletion vector moved: a MoR delete
+            // changed rows without changing the file list
+            cur.filter(f => prevFiles.contains(f) &&
+              prevDv.get(f) != st.dvRefs.get(f)).sorted))
         }
       prev = Some((v, st))
       out
@@ -568,6 +596,80 @@ object SnapshotTable {
     schema.map(spark.read.schema(_)).getOrElse(spark.read).parquet(paths: _*)
   }
 
+  // ------------------------------------------------------------------
+  // Deletion vectors (merge-on-read deletes)
+  // ------------------------------------------------------------------
+
+  /** The manifest key of a scanned row's physical file, as a Column —
+    * the scan-side twin of [[manifestKey]], computed from
+    * `_metadata.file_path` entirely in builtin string expressions so
+    * deletion-vector application stays inside codegen. */
+  private def fileKeyExpr(dir: String, fp: Column): Column = {
+    val prefix = new Path(dir).toUri.getPath + "/data/"
+    val p = regexp_replace(fp, "^[a-zA-Z][a-zA-Z0-9+.\\-]*:(//)?", "")
+    when(p.startsWith(prefix),
+      concat(lit("data/"), p.substr(lit(prefix.length + 1),
+        lit(Int.MaxValue)))).otherwise(p)
+  }
+
+  private def resolveDvRef(dir: String, ref: String): String =
+    if (ref.startsWith("_dv/")) new Path(dir, ref).toString else ref
+
+  /** The deletion-vector rows covering `files` —
+    * (`__dv_file` manifest key, `__dv_rowidx` in-file row position) —
+    * loading ONLY the sidecars those files' refs name. A foreign
+    * (clone-absolute) sidecar stores source-relative keys; they are
+    * absolutized against the ref's own location so a clone's reads
+    * honor the source's vectors. None when no covered file carries a
+    * vector. */
+  private def dvRows(spark: SparkSession, dir: String,
+                     dvRefs: Map[String, String],
+                     files: Seq[String]): Option[DataFrame] = {
+    val relevant = dvRefs.view.filterKeys(files.toSet).toMap
+    if (relevant.isEmpty) return None
+    val frames = relevant.values.toSeq.distinct.map { ref =>
+      val df = spark.read.parquet(resolveDvRef(dir, ref))
+        .select(col("file").as("__dv_file"),
+          col("row_index").as("__dv_rowidx"))
+      if (ref.startsWith("_dv/")) df
+      else {
+        val srcDir = new Path(ref).getParent.getParent.toUri.getPath
+        df.withColumn("__dv_file",
+          when(col("__dv_file").startsWith("data/"),
+            concat(lit(s"$srcDir/"), col("__dv_file")))
+            .otherwise(col("__dv_file")))
+      }
+    }
+    Some(frames.reduce(_ unionByName _).distinct())
+  }
+
+  /** [[readFiles]] with each file's deletion vector applied: rows
+    * whose (file, row position) appear in a covering vector are
+    * filtered out by a BROADCAST anti-join on
+    * `_metadata.row_index` — vectors are deleted-row-count-sized,
+    * orders of magnitude under the data they mask (that asymmetry is
+    * the whole point of merge-on-read). Files without a vector pass
+    * through untouched; a snapshot with no vectors at all is exactly
+    * [[readFiles]]. */
+  private def readFilesWithDv(spark: SparkSession, dir: String,
+                              files: Seq[String],
+                              schema: Option[StructType],
+                              dvRefs: Map[String, String]): DataFrame = {
+    val base = readFiles(spark, dir, files, schema)
+    dvRows(spark, dir, dvRefs, files) match {
+      case None => base
+      case Some(dv) =>
+        val cols = base.columns.map(col)
+        base.select(cols :+
+            fileKeyExpr(dir, col("_metadata.file_path")).as("__dv_fp") :+
+            col("_metadata.row_index").as("__dv_ri"): _*)
+          .join(broadcast(dv),
+            col("__dv_fp") === col("__dv_file") &&
+              col("__dv_ri") === col("__dv_rowidx"), "left_anti")
+          .select(cols: _*)
+    }
+  }
+
   /** Serializes same-JVM committers. Commit atomicity rests on a
     * rename-that-fails-if-destination-exists — which HDFS-class
     * stores give and the LOCAL filesystem does NOT (Hadoop's local
@@ -603,7 +705,8 @@ object SnapshotTable {
                         bloomRefs: Map[String, String] = Map.empty,
                         bloomCols: Seq[String] = Nil,
                         sizes: Map[String, Long] = Map.empty,
-                        op: String = "commit"
+                        op: String = "commit",
+                        dvRefs: Map[String, String] = Map.empty
                        ): Boolean = commitLock.synchronized {
     val f = fs(spark, dir)
     f.mkdirs(manifestDir(dir))
@@ -611,7 +714,7 @@ object SnapshotTable {
     if (f.exists(target)) return false
     val full = v == 0L || v % CheckpointEvery == 0L
     val body = manifestBody(spark, dir, v, full, files, txns, stats,
-      schema, bloomRefs, bloomCols, sizes, op)
+      schema, bloomRefs, bloomCols, sizes, op, dvRefs)
     val tmp = new Path(manifestDir(dir),
       s".v$v.${java.util.UUID.randomUUID()}.tmp")
     val out = f.create(tmp, false)
@@ -632,7 +735,8 @@ object SnapshotTable {
                            bloomRefs: Map[String, String],
                            bloomCols: Seq[String],
                            sizes: Map[String, Long],
-                           op: String = "commit"): String = {
+                           op: String = "commit",
+                           dvRefs: Map[String, String] = Map.empty): String = {
     val root = new java.util.LinkedHashMap[String, Object]()
     root.put("version", java.lang.Long.valueOf(v))
     root.put("op", op)
@@ -658,12 +762,13 @@ object SnapshotTable {
         }
         root.put("stats", sj)
       }
-    def putRefs(m: Map[String, String]): Unit =
+    def putRefMap(field: String, m: Map[String, String]): Unit =
       if (m.nonEmpty) {
         val bj = new java.util.LinkedHashMap[String, Object]()
         m.toSeq.sortBy(_._1).foreach { case (file, ref) => bj.put(file, ref) }
-        root.put("bloomrefs", bj)
+        root.put(field, bj)
       }
+    def putRefs(m: Map[String, String]): Unit = putRefMap("bloomrefs", m)
     // Per-file byte sizes: planners (SnapshotFileIndex, compact) read
     // them from the manifest instead of paying one filesystem RPC per
     // file — the manifest-only-planning property object stores need.
@@ -686,6 +791,7 @@ object SnapshotTable {
       putStats(stats.view.filterKeys(fileSet).toMap)
       putRefs(bloomRefs.view.filterKeys(fileSet).toMap)
       putSizes(sizes.view.filterKeys(fileSet).toMap)
+      putRefMap("dvrefs", dvRefs.view.filterKeys(fileSet).toMap)
     } else {
       val parent = stateOf(spark, dir, v - 1)
       val parentSet = parent.files.toSet
@@ -700,6 +806,11 @@ object SnapshotTable {
       putStats(stats.view.filterKeys(adds.toSet).toMap)
       putRefs(bloomRefs.view.filterKeys(adds.toSet).toMap)
       putSizes(sizes.view.filterKeys(adds.toSet).toMap)
+      // dv refs in a delta are per-file OVERRIDES — record exactly
+      // the entries that changed vs the parent (new files' vectors
+      // and MoR-superseded vectors of carried files).
+      putRefMap("dvrefs", dvRefs.view.filterKeys(fileSet)
+        .filter { case (f, r) => !parent.dvRefs.get(f).contains(r) }.toMap)
     }
     mapper.writeValueAsString(root)
   }
@@ -976,7 +1087,8 @@ object SnapshotTable {
       if (tryCommit(spark, dir, v, prev ++ added,
           txn.fold(txns)(txns + _), stats ++ addedStats,
           Some(unified), refs ++ addedRefs, bcols,
-          st.map(_.sizes).getOrElse(Map.empty) ++ addedSizes, op))
+          st.map(_.sizes).getOrElse(Map.empty) ++ addedSizes, op,
+          st.map(_.dvRefs).getOrElse(Map.empty)))
         return Some(v)
       attempt += 1 // lost the race: re-read the new latest and retry
     }
@@ -1171,7 +1283,8 @@ object SnapshotTable {
           txns + (appId -> txnVersion), stats ++ addedStats,
           Some(unified), refs ++ addedRefs, bcols,
           st.map(_.sizes).getOrElse(Map.empty) ++ addedSizes,
-          "transactionalAppend")) return Some(v)
+          "transactionalAppend",
+          st.map(_.dvRefs).getOrElse(Map.empty))) return Some(v)
       attempt += 1
     }
     throw new java.io.IOException(
@@ -1197,7 +1310,7 @@ object SnapshotTable {
       schema.map(st => spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st))
         .getOrElse(spark.emptyDataFrame)
-    else readFiles(spark, dir, files, schema)
+    else readFilesWithDv(spark, dir, files, schema, stateOf(spark, dir, v).dvRefs)
   }
 
   /** The manifest-level file-pruning decision for
@@ -1257,7 +1370,8 @@ object SnapshotTable {
     if (selected.isEmpty) read(spark, dir, version).filter(lit(false))
     else {
       val v = version.orElse(latestVersion(spark, dir)).get
-      readFiles(spark, dir, selected, manifestSchema(spark, dir, v))
+      readFilesWithDv(spark, dir, selected, manifestSchema(spark, dir, v),
+        stateOf(spark, dir, v).dvRefs)
         .filter(residual)
     }
   }
@@ -1283,8 +1397,9 @@ object SnapshotTable {
       .map { case (c, lo, hi) => col(c) >= lit(lo) && col(c) <= lit(hi) }
       .reduce(_ && _)
     if (selected.isEmpty) read(spark, dir, Some(v)).filter(lit(false))
-    else readFiles(spark, dir, selected.toSeq.sorted,
-      manifestSchema(spark, dir, v)).filter(residual)
+    else readFilesWithDv(spark, dir, selected.toSeq.sorted,
+      manifestSchema(spark, dir, v), stateOf(spark, dir, v).dvRefs)
+      .filter(residual)
   }
 
   /** Point-lookup file pruning for `column = value`: a file is opened
@@ -1332,7 +1447,8 @@ object SnapshotTable {
     if (selected.isEmpty) read(spark, dir, version).filter(lit(false))
     else {
       val v = version.orElse(latestVersion(spark, dir)).get
-      readFiles(spark, dir, selected, manifestSchema(spark, dir, v))
+      readFilesWithDv(spark, dir, selected, manifestSchema(spark, dir, v),
+        stateOf(spark, dir, v).dvRefs)
         .filter(col(column) === lit(value))
     }
   }
@@ -1355,18 +1471,28 @@ object SnapshotTable {
                  fromVersion: Long, toVersion: Long): DataFrame = {
     require(fromVersion <= toVersion,
       s"changeFeed: fromVersion $fromVersion > toVersion $toVersion")
-    val fromFiles = manifestFiles(spark, dir, fromVersion)
-    val toFiles = manifestFiles(spark, dir, toVersion)
+    val fromSt = stateOf(spark, dir, fromVersion)
+    val toSt = stateOf(spark, dir, toVersion)
+    val fromFiles = fromSt.files
+    val toFiles = toSt.files
     val schema = manifestSchema(spark, dir, toVersion)
     val dropped = fromFiles.filterNot(toFiles.toSet)
     val added = toFiles.filterNot(fromFiles.toSet)
-    def side(files: Seq[String]): DataFrame =
-      if (files.nonEmpty) readFiles(spark, dir, files, schema)
+    // A merge-on-read delete changes rows WITHOUT changing the file
+    // list: carried files whose deletion-vector ref differs between
+    // the two versions join both sides — old content under the FROM
+    // vector, new under the TO vector — and the multiset difference
+    // surfaces exactly the newly-masked rows as deletes.
+    val fromSet = fromFiles.toSet
+    val dvChanged = toFiles.filter(f =>
+      fromSet.contains(f) && fromSt.dvRefs.get(f) != toSt.dvRefs.get(f))
+    def side(files: Seq[String], refs: Map[String, String]): DataFrame =
+      if (files.nonEmpty) readFilesWithDv(spark, dir, files, schema, refs)
       else schema.map(st => spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st))
         .getOrElse(read(spark, dir, Some(toVersion)).filter(lit(false)))
-    val oldRows = side(dropped)
-    val newRows = side(added)
+    val oldRows = side(dropped ++ dvChanged, fromSt.dvRefs)
+    val newRows = side(added ++ dvChanged, toSt.dvRefs)
     newRows.exceptAll(oldRows)
       .withColumn("_change", lit("insert"))
       .unionByName(oldRows.exceptAll(newRows)
@@ -1429,7 +1555,11 @@ object SnapshotTable {
     val trackedBlooms = stateOf(spark, dir, base).bloomCols
     val batch = java.util.UUID.randomUUID().toString
     val batchDir = new Path(dir, s"data/$batch")
-    val src = readFiles(spark, dir, old, manifestSchema(spark, dir, base))
+    // Deletion vectors applied: the rewrite MATERIALIZES merge-on-read
+    // deletes — compaction is also the vector-purge operation.
+    val baseDv = stateOf(spark, dir, base).dvRefs
+    val src = readFilesWithDv(spark, dir, old,
+      manifestSchema(spark, dir, base), baseDv)
     val laid =
       if (zOrderBy.nonEmpty) {
         val z = zValue(src, zOrderBy)
@@ -1459,6 +1589,13 @@ object SnapshotTable {
     while (attempt < maxRetries) {
       val cur = latestVersion(spark, dir).get
       val curSt = stateOf(spark, dir, cur)
+      // A deletion vector advanced on a compacted file since our read
+      // would be silently dropped by the rewrite — conflict, loudly.
+      val dvMoved = old.filter(f => curSt.dvRefs.get(f) != baseDv.get(f))
+      if (dvMoved.nonEmpty)
+        throw new java.util.ConcurrentModificationException(
+          s"compact: deletion vectors advanced concurrently on " +
+            s"${dvMoved.take(3).mkString(", ")}")
       // Re-base: keep files that appeared after our read; drop only
       // the ones we actually rewrote. The txn ledger carries forward
       // untouched — compaction commits no writer transaction.
@@ -1469,7 +1606,8 @@ object SnapshotTable {
           curSt.schema,
           curSt.bloomRefs ++ rewrittenRefs,
           curSt.bloomCols,
-          curSt.sizes ++ rewrittenSizes, "compact"))
+          curSt.sizes ++ rewrittenSizes, "compact",
+          curSt.dvRefs -- old))
         return Some(cur + 1)
       attempt += 1
     }
@@ -1544,20 +1682,23 @@ object SnapshotTable {
         new Path(new Path(srcDir), e).toUri.getPath
       else e // clone-of-clone: already absolute
     def absolutizeRef(r: String): String =
-      if (r.startsWith("_blooms/"))
+      if (r.startsWith("_blooms/") || r.startsWith("_dv/"))
         new Path(new Path(srcDir), r).toUri.getPath
       else r
     val st = stateOf(spark, srcDir, v)
     val files = st.files.map(absolutize)
     val stats = st.stats.map { case (k, cs) => absolutize(k) -> cs }
-    // Bloom SIDECARS reference-carry exactly like data files: the
-    // clone's refs point (absolutely) into the source's `_blooms/`
-    // until a compact/rewrite gives the clone its own.
+    // Bloom and deletion-vector SIDECARS reference-carry exactly like
+    // data files: the clone's refs point (absolutely) into the
+    // source's `_blooms/` / `_dv/` until a compact/rewrite gives the
+    // clone its own.
     val refs = st.bloomRefs
+      .map { case (k, r) => absolutize(k) -> absolutizeRef(r) }
+    val dvRefs = st.dvRefs
       .map { case (k, r) => absolutize(k) -> absolutizeRef(r) }
     val sizes = st.sizes.map { case (k, n) => absolutize(k) -> n }
     if (!tryCommit(spark, dstDir, 0L, files, Map.empty, stats, st.schema,
-        refs, st.bloomCols, sizes, "clone"))
+        refs, st.bloomCols, sizes, "clone", dvRefs))
       throw new java.io.IOException(
         s"shallowClone: destination $dstDir committed concurrently")
     0L
@@ -1627,7 +1768,7 @@ object SnapshotTable {
           .getOrElse("commit")
         val body = manifestBody(spark, dir, keepFrom, full = true,
           st.files, st.txns, st.stats, st.schema, st.bloomRefs, st.bloomCols,
-          st.sizes, origOp)
+          st.sizes, origOp, st.dvRefs)
         val tmp = new Path(manifestDir(dir),
           s".v$keepFrom.${java.util.UUID.randomUUID()}.ckpt.tmp")
         val out = f.create(tmp, false)
@@ -1680,6 +1821,22 @@ object SnapshotTable {
           f.delete(s.getPath, false)
       }
     }
+    // Deletion-vector sidecars (parquet DIRECTORIES under _dv/): same
+    // orphan rule — superseded vectors (a later MoR delete replaced
+    // the file's ref) and vectors of vacuumed versions GC once no
+    // kept manifest references them.
+    val dvRoot = new Path(dir, "_dv")
+    if (f.exists(dvRoot)) {
+      val keptDvRefs = (keepFrom to latest)
+        .filter(v => f.exists(manifestPath(dir, v)))
+        .flatMap(v => stateOf(spark, dir, v).dvRefs.values).toSet
+      f.listStatus(dvRoot).foreach { s =>
+        val rel = s"_dv/${s.getPath.getName}"
+        if (s.isDirectory && !keptDvRefs.contains(rel) &&
+            s.getModificationTime <= cutoff)
+          f.delete(s.getPath, true)
+      }
+    }
     deleted
   }
 
@@ -1697,12 +1854,28 @@ object SnapshotTable {
                                v: Long): Seq[String] =
     stateOf(spark, dir, v).bloomCols
 
-  /** The current snapshot with a `__file` column carrying each row's
-    * manifest-relative data path. */
-  private def withFile(spark: SparkSession, dir: String, v: Long): DataFrame =
-    readFiles(spark, dir, manifestFiles(spark, dir, v),
-      manifestSchema(spark, dir, v))
-      .withColumn("__file", input_file_name())
+  /** The current snapshot (deletion vectors applied — a row-level op
+    * must never see, match, or rewrite a MoR-deleted row) with a
+    * `__file` column carrying each row's manifest key and
+    * `__row_index` its in-file position. Both are computed at the
+    * SCAN (from `_metadata`) because a post-join `input_file_name()`
+    * is undefined. */
+  private def withFile(spark: SparkSession, dir: String, v: Long): DataFrame = {
+    val st = stateOf(spark, dir, v)
+    val schema = manifestSchema(spark, dir, v)
+    val base = readFiles(spark, dir, st.files, schema)
+    val cols = base.columns.map(col)
+    val keyed = base.select(cols :+
+      fileKeyExpr(dir, col("_metadata.file_path")).as("__file") :+
+      col("_metadata.row_index").as("__row_index"): _*)
+    val live = dvRows(spark, dir, st.dvRefs, st.files) match {
+      case None => keyed
+      case Some(dv) => keyed.join(broadcast(dv),
+        col("__file") === col("__dv_file") &&
+          col("__row_index") === col("__dv_rowidx"), "left_anti")
+    }
+    live.select(cols :+ col("__file") :+ col("__row_index"): _*)
+  }
 
   /** Copy-on-write row DELETE: rewrites ONLY the files that contain a
     * matching row (found via one `input_file_name()` scan), commits a
@@ -1726,12 +1899,15 @@ object SnapshotTable {
       .filter(condition).select("__file").distinct().collect()
       .map(r => manifestKey(dir, r.getString(0))).toSeq.sorted
     if (touched.isEmpty) return None
+    val baseDv = stateOf(spark, dir, base).dvRefs
     val survivors =
-      readFiles(spark, dir, touched, manifestSchema(spark, dir, base))
+      readFilesWithDv(spark, dir, touched, manifestSchema(spark, dir, base),
+        baseDv)
         .filter(not(condition))
     commitRewrite(spark, dir, touched, survivors,
       trackedStatsCols(spark, dir, base),
-      trackedBloomCols(spark, dir, base), maxRetries, "deleteWhere")
+      trackedBloomCols(spark, dir, base), maxRetries, "deleteWhere",
+      baseDv = baseDv)
   }
 
   /** Copy-on-write row UPDATE — the remaining corner of the CRUD
@@ -1772,7 +1948,8 @@ object SnapshotTable {
       .filter(condition).select("__file").distinct().collect()
       .map(r => manifestKey(dir, r.getString(0))).toSeq.sorted
     if (touched.isEmpty) return None
-    val src = readFiles(spark, dir, touched, schema)
+    val baseDv = stateOf(spark, dir, base).dvRefs
+    val src = readFilesWithDv(spark, dir, touched, schema, baseDv)
     // All SET expressions see the PRE-update row: project them in one
     // select, not a fold of withColumn (which would let later SETs
     // read earlier SETs' outputs — not SQL UPDATE semantics).
@@ -1785,7 +1962,80 @@ object SnapshotTable {
     }: _*)
     commitRewrite(spark, dir, touched, rewritten,
       trackedStatsCols(spark, dir, base),
-      trackedBloomCols(spark, dir, base), maxRetries, "updateWhere")
+      trackedBloomCols(spark, dir, base), maxRetries, "updateWhere",
+      baseDv = baseDv)
+  }
+
+  /** MERGE-ON-READ row DELETE — the write-cheap sibling of
+    * [[deleteWhere]]: instead of rewriting every file that holds a
+    * matching row (CoW — write cost proportional to TOUCHED BYTES),
+    * commit a DELETION VECTOR per affected file (the matched rows'
+    * in-file positions, a parquet sidecar under `_dv/`) and leave
+    * every data byte in place — write cost proportional to DELETED
+    * ROWS. Readers apply the vectors as a broadcast anti-join on
+    * `_metadata.row_index` ([[readFilesWithDv]]); [[compact]] is the
+    * purge: its rewrite materializes the deletes and retires the
+    * vectors. The CoW/MoR trade is the public Delta/Iceberg one —
+    * MoR wins when deletes are small and frequent (GDPR erasure,
+    * streaming retractions) against huge files; CoW wins for bulk
+    * deletes that would mask most of a file anyway.
+    *
+    * Vectors COMPOSE: a second MoR delete unions its positions with
+    * the file's existing vector into a fresh sidecar (the manifest's
+    * per-file ref replaces — old sidecars become vacuumable once out
+    * of the retention window). Conflicts are loud: a concurrently
+    * rewritten file, or a concurrently advanced vector on an
+    * affected file, throws ConcurrentModificationException. Returns
+    * the committed version; None when nothing matched. */
+  def deleteWhereMor(spark: SparkSession, dir: String, condition: Column,
+                     maxRetries: Int = 20): Option[Long] = {
+    val base = latestVersion(spark, dir).getOrElse(
+      throw new java.io.IOException(
+        s"deleteWhereMor: no committed version under $dir"))
+    val baseSt = stateOf(spark, dir, base)
+    if (baseSt.files.isEmpty) return None
+    // Matches among LIVE rows only (existing vectors applied): a
+    // row already masked must not land in the new vector twice.
+    val matches = withFile(spark, dir, base)
+      .filter(condition)
+      .select(col("__file").as("file"), col("__row_index").as("row_index"))
+    val affected = matches.select("file").distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+    if (affected.isEmpty) return None
+    // Cumulative vector per affected file: previous positions ∪ new.
+    val prior = dvRows(spark, dir, baseSt.dvRefs, affected)
+      .map(_.filter(col("__dv_file").isin(affected: _*))
+        .select(col("__dv_file").as("file"),
+          col("__dv_rowidx").as("row_index")))
+    val vector = prior.map(matches.unionByName(_).distinct())
+      .getOrElse(matches)
+    val batch = java.util.UUID.randomUUID().toString
+    val ref = s"_dv/$batch"
+    vector.write.parquet(new Path(dir, ref).toString)
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val cur = latestVersion(spark, dir).get
+      val curSt = stateOf(spark, dir, cur)
+      val missing = affected.filterNot(curSt.files.toSet)
+      if (missing.nonEmpty)
+        throw new java.util.ConcurrentModificationException(
+          s"deleteWhereMor: affected files rewritten concurrently: " +
+            missing.take(3).mkString(", "))
+      val dvMoved = affected.filter(f =>
+        curSt.dvRefs.get(f) != baseSt.dvRefs.get(f))
+      if (dvMoved.nonEmpty)
+        throw new java.util.ConcurrentModificationException(
+          s"deleteWhereMor: deletion vectors advanced concurrently on " +
+            s"${dvMoved.take(3).mkString(", ")}")
+      if (tryCommit(spark, dir, cur + 1, curSt.files, curSt.txns,
+          curSt.stats, curSt.schema, curSt.bloomRefs, curSt.bloomCols,
+          curSt.sizes, "deleteMor",
+          curSt.dvRefs ++ affected.map(_ -> ref)))
+        return Some(cur + 1)
+      attempt += 1
+    }
+    throw new java.io.IOException(
+      s"deleteWhereMor: lost the commit race $maxRetries times under $dir")
   }
 
   /** Copy-on-write MERGE (upsert): for key-matched rows the source row
@@ -1841,10 +2091,11 @@ object SnapshotTable {
           .collect().map(r => manifestKey(dir, r.getString(0))).toSeq.sorted
       case _ => Seq.empty[String]
     }
+    val baseDv = base.map(stateOf(spark, dir, _).dvRefs).getOrElse(Map.empty)
     val rewrite =
       if (touched.isEmpty) source
-      else readFiles(spark, dir, touched,
-          base.flatMap(manifestSchema(spark, dir, _)))
+      else readFilesWithDv(spark, dir, touched,
+          base.flatMap(manifestSchema(spark, dir, _)), baseDv)
         .join(srcKeys, keys, "left_anti")
         .unionByName(source)
     commitRewrite(spark, dir, touched, rewrite,
@@ -1853,7 +2104,8 @@ object SnapshotTable {
       maxRetries, "merge", txn,
       keyConflict = Some((
         base.map(manifestFiles(spark, dir, _)).getOrElse(Nil).toSet,
-        keys, srcKeys)))
+        keys, srcKeys)),
+      baseDv = baseDv)
   }
 
   /** Apply a CDC batch — rows tagged by a `_change` column with
@@ -1910,10 +2162,11 @@ object SnapshotTable {
           .collect().map(r => manifestKey(dir, r.getString(0))).toSeq.sorted
       case _ => Seq.empty[String]
     }
+    val baseDv = base.map(stateOf(spark, dir, _).dvRefs).getOrElse(Map.empty)
     val rewrite =
       if (touched.isEmpty) inserts
-      else readFiles(spark, dir, touched,
-          base.flatMap(manifestSchema(spark, dir, _)))
+      else readFilesWithDv(spark, dir, touched,
+          base.flatMap(manifestSchema(spark, dir, _)), baseDv)
         .join(affectedKeys, keys, "left_anti")
         .unionByName(inserts, allowMissingColumns = true)
     commitRewrite(spark, dir, touched, rewrite,
@@ -1922,7 +2175,8 @@ object SnapshotTable {
       maxRetries, "applyChanges", txn,
       keyConflict = Some((
         base.map(manifestFiles(spark, dir, _)).getOrElse(Nil).toSet,
-        keys, affectedKeys)))
+        keys, affectedKeys)),
+      baseDv = baseDv)
   }
 
   /** EXACTLY-ONCE incremental table-to-table replication: advance the
@@ -2007,7 +2261,8 @@ object SnapshotTable {
                             op: String,
                             txn: Option[(String, Long)] = None,
                             keyConflict: Option[(Set[String], Seq[String],
-                              DataFrame)] = None
+                              DataFrame)] = None,
+                            baseDv: Map[String, String] = Map.empty
                            ): Option[Long] = {
     // strictBlooms=false: bloomCols here is the table's RECORDED
     // tracking list — legacy ineligible entries drop, never wedge a
@@ -2030,6 +2285,16 @@ object SnapshotTable {
       if (missing.nonEmpty)
         throw new java.util.ConcurrentModificationException(
           s"$op: touched files rewritten concurrently: ${missing.take(3).mkString(", ")}")
+      // A deletion vector committed on a touched file AFTER our base
+      // read means our rewrite (built from the base vector state)
+      // would resurrect those freshly-deleted rows — same write-write
+      // conflict as a vanished file, same loud surface.
+      val dvMoved = touched.filter(f =>
+        curSt.map(_.dvRefs).getOrElse(Map.empty).get(f) != baseDv.get(f))
+      if (dvMoved.nonEmpty)
+        throw new java.util.ConcurrentModificationException(
+          s"$op: deletion vectors advanced concurrently on touched " +
+            s"files: ${dvMoved.take(3).mkString(", ")}")
       keyConflict.foreach { case (baseFiles, keys, srcKeys) =>
         val newSinceBase = curFiles
           .filterNot(baseFiles).filterNot(addedSet).filterNot(touchedSet)
@@ -2055,7 +2320,10 @@ object SnapshotTable {
             ++ addedRefs,
           (curSt.map(_.bloomCols).getOrElse(Nil) ++ bloomCols).distinct,
           (curSt.map(_.sizes).getOrElse(Map.empty) -- touched) ++ addedSizes,
-          op))
+          op,
+          // rewritten files physically exclude their masked rows, so
+          // their vectors retire with them
+          curSt.map(_.dvRefs).getOrElse(Map.empty) -- touched))
         return Some(cur.getOrElse(-1L) + 1)
       attempt += 1
     }
