@@ -11737,6 +11737,52 @@ object Queries {
     FROM orders WHERE o_orderstatus <> 'F'
     GROUP BY o_custkey ORDER BY o_custkey"""))
 
+  /** Min/max in an incrementally-maintained view
+    * ([[graft.sources.MaterializedAgg]] kinds `min`/`max` — the
+    * SEMI-decomposable aggregates): per-priority min/max/count of
+    * order price, created over half the orders, advanced through an
+    * append (inserts fold via least/greatest — no recompute) and then
+    * a DELETE of every order above the stored per-group maxima's
+    * range (an extremum RETRACTION for every group — the refresh must
+    * recompute exactly the affected groups from the source, by
+    * broadcast semi-join). Oracle = full recompute over the final
+    * source state; a stale retained maximum or an unrecomputed group
+    * hash-fails. */
+  private val qMatviewMinmax = Q(
+    "q_matview_minmax",
+    (s, d) => {
+      val src = snapTmp(); val view = snapTmp()
+      val base = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          col("o_totalprice"))
+      graft.sources.SnapshotTable.append(
+        base.filter(pmod(col("o_orderkey"), lit(2)) === 0), src)
+      graft.sources.MaterializedAgg.create(s, src, view,
+        Seq("o_orderpriority"),
+        Seq(graft.sources.MaterializedAgg.AggSpec("n", "", "count"),
+          graft.sources.MaterializedAgg.AggSpec("lo", "o_totalprice", "min"),
+          graft.sources.MaterializedAgg.AggSpec("hi", "o_totalprice", "max")),
+        "q-matview-minmax")
+      graft.sources.SnapshotTable.append(
+        base.filter(pmod(col("o_orderkey"), lit(2)) === 1), src)
+      graft.sources.MaterializedAgg.refresh(s, view)
+      graft.sources.SnapshotTable.deleteWhere(s, src,
+        col("o_totalprice") > 200000.0)
+      graft.sources.MaterializedAgg.refresh(s, view)
+      graft.sources.MaterializedAgg.read(s, view)
+        .select(col("o_orderpriority").as("priority"), col("n"),
+          (col("lo").cast("decimal(18,6)") * 100).cast("long").as("lo_cents"),
+          (col("hi").cast("decimal(18,6)") * 100).cast("long").as("hi_cents"))
+        .orderBy("priority")
+    },
+    Some("""SELECT o_orderpriority AS priority, count(*) AS n,
+      CAST(CAST(min(o_totalprice) AS DECIMAL(18,6)) * 100 AS BIGINT)
+        AS lo_cents,
+      CAST(CAST(max(o_totalprice) AS DECIMAL(18,6)) * 100 AS BIGINT)
+        AS hi_cents
+    FROM orders WHERE o_totalprice <= 200000
+    GROUP BY 1 ORDER BY priority"""))
+
   /** Merge-on-read DELETE through
     * [[graft.sources.SnapshotTable.deleteWhereMor]]: two composing
     * deletion-vector commits (every 'F' order, then every order above
@@ -11791,6 +11837,112 @@ object Queries {
       UNION ALL
       SELECT 'purged' AS phase, * FROM r)
     ORDER BY phase, priority"""))
+
+  /** The DV-aware QUERY surfaces over a merge-on-read snapshot: the
+    * same twice-vectored table read through (a) a registered SQL temp
+    * view ([[graft.sources.SnapshotSql.register]] — the manifest-
+    * pruned FileIndex relation with the vector anti-join applied ON
+    * TOP, filters still pushing through to file pruning) and (b)
+    * `spark.read.format("graft")` (the [[graft.sources
+    * .DvMaskedRelation]] scan path with a pushed filter). Both phases
+    * must equal the oracle's plain double-WHERE view — pinning that
+    * NO query surface can resurrect a masked row. */
+  private val qSnapshotMorSql = Q(
+    "q_snapshot_mor_sql",
+    (s, d) => {
+      val dir = snapTmp()
+      graft.sources.SnapshotTable.append(
+        t(s, d, "orders").select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_orderpriority"), col("o_totalprice")),
+        dir, statsCols = Seq("o_orderkey"))
+      graft.sources.SnapshotTable.deleteWhereMor(s, dir,
+        col("o_orderstatus") === "F")
+      graft.sources.SnapshotTable.deleteWhereMor(s, dir,
+        col("o_totalprice") > 300000.0)
+      graft.sources.SnapshotSql.register(s, "q_mor_sql_view", dir)
+      val viaSql = s.sql(
+        """SELECT 'sql' AS phase, o_orderpriority AS priority,
+             count(*) AS n,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,6)) * 100) AS BIGINT)
+               AS cents
+           FROM q_mor_sql_view GROUP BY o_orderpriority""")
+      val viaFormat = s.read.format("graft").load(dir)
+        .filter(col("o_orderkey") >= 0L) // pushed through DvMaskedRelation
+        .groupBy(col("o_orderpriority").as("priority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,6)") * 100)
+            .cast("long").as("cents"))
+        .select(lit("format").as("phase"), col("priority"), col("n"),
+          col("cents"))
+      viaSql.unionByName(viaFormat).orderBy("phase", "priority")
+    },
+    Some("""WITH live AS (
+      SELECT o_orderpriority AS priority, o_totalprice FROM orders
+      WHERE o_orderstatus <> 'F' AND o_totalprice <= 300000),
+    r AS (
+      SELECT priority, count(*) AS n,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,6)) * 100) AS BIGINT)
+          AS cents
+      FROM live GROUP BY priority)
+    SELECT phase, priority, n, cents FROM (
+      SELECT 'format' AS phase, * FROM r
+      UNION ALL
+      SELECT 'sql' AS phase, * FROM r)
+    ORDER BY phase, priority"""))
+
+  /** Row-level CDC STREAMING
+    * (`readStream.format("graft").option("readChangeFeed","true")`,
+    * [[graft.sources.GraftCdfStreamSource]]): a snapshot table
+    * advances through an append and a merge-on-read DELETE while a
+    * streaming query pipes its exact row-level change feed — each row
+    * stamped `_change` (insert/delete) and `_commit_version` — into a
+    * SECOND snapshot table through the exactly-once ledgered sink.
+    * The landed ledger is then aggregated per (commit, change kind):
+    * the oracle reconstructs the same history from the base table
+    * (v0 = even-key inserts, v1 = odd-key inserts, v2 = every 'F'
+    * order deleted), so duplicated, dropped, or mis-stamped change
+    * rows all hash-fail. */
+  private val qSnapshotCdf = Q(
+    "q_snapshot_cdf",
+    (s, d) => {
+      val src = snapTmp(); val dst = snapTmp()
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft-q-cdf-ck").toString
+      val base = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      graft.sources.SnapshotTable.append(
+        base.filter(pmod(col("o_orderkey"), lit(2)) === 0), src) // v0
+      val q = s.readStream.format("graft")
+        .option("readChangeFeed", "true").load(src)
+        .writeStream.format("graft")
+        .option("checkpointLocation", ckpt)
+        .option("appId", "q-snapshot-cdf")
+        .start(dst)
+      try {
+        q.processAllAvailable()
+        graft.sources.SnapshotTable.append(
+          base.filter(pmod(col("o_orderkey"), lit(2)) === 1), src) // v1
+        graft.sources.SnapshotTable.deleteWhereMor(s, src,
+          col("o_orderstatus") === "F") // v2
+        q.processAllAvailable()
+      } finally q.stop()
+      graft.sources.SnapshotTable.read(s, dst)
+        .groupBy(col("_commit_version").as("v"), col("_change").as("change"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,6)") * 100)
+            .cast("long").as("cents"))
+        .orderBy("v", "change")
+    },
+    Some("""SELECT CAST(v AS BIGINT) AS v, change, count(*) AS n,
+      CAST(sum(CAST(o_totalprice AS DECIMAL(18,6)) * 100) AS BIGINT) AS cents
+    FROM (
+      SELECT 0 AS v, 'insert' AS change, o_totalprice FROM orders
+        WHERE o_orderkey % 2 = 0
+      UNION ALL
+      SELECT 1, 'insert', o_totalprice FROM orders WHERE o_orderkey % 2 = 1
+      UNION ALL
+      SELECT 2, 'delete', o_totalprice FROM orders WHERE o_orderstatus = 'F')
+    GROUP BY v, change ORDER BY v, change"""))
 
   /** Trained model-based quality scoring, closed form
     * ([[graft.operators.LinearModel.ridgeFit]]): a ridge probe of a
@@ -12024,7 +12176,8 @@ object Queries {
     qSnapshotChanges, qSnapshotReplicate, qSnapshotPartition,
     qSnapshotZorder, qSnapshotClone, qSnapshotSql, qSnapshotUpdate,
     qSnapshotHistory, qSnapshotFormat, qSnapshotStream, qSnapshotMatview,
-    qSnapshotMor, qQualityProbe, qQualityClassifier, qAnnPq, qAnnIvfPq, qAnnIvfPqRes, qAnnRerank,
+    qSnapshotMor, qSnapshotMorSql, qSnapshotCdf, qMatviewMinmax,
+    qQualityProbe, qQualityClassifier, qAnnPq, qAnnIvfPq, qAnnIvfPqRes, qAnnRerank,
     qBpeTrain, qBpeTrainBatched,
     qCorpusFunnel, qAnnKmeans, qAnnTrained,
     qResultsTopk, qIngestFilter, qSanitizeIdent, qParseNumber, qParseDate,

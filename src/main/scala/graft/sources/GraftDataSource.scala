@@ -13,10 +13,15 @@ import org.apache.spark.sql.execution.streaming.{Offset, Sink, Source}
 import org.apache.spark.sql.execution.streaming.runtime.{LongOffset,
   SerializedOffset}
 import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider,
-  DataSourceRegister, RelationProvider, StreamSinkProvider,
-  StreamSourceProvider}
+  DataSourceRegister, PrunedFilteredScan, RelationProvider,
+  StreamSinkProvider, StreamSourceProvider}
 import org.apache.spark.sql.streaming.OutputMode
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{LongType, StringType, StructField,
+  StructType}
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, Row}
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.{sources => sf}
 
 /** `format("graft")` — the [[SnapshotTable]] format as a registered
   * Spark data source, all four directions:
@@ -63,9 +68,18 @@ final class GraftDataSource extends RelationProvider
   // ---- batch read ---------------------------------------------------
   override def createRelation(sqlContext: SQLContext,
                               parameters: Map[String, String]
-                             ): BaseRelation =
-    SnapshotSql.relation(sqlContext.sparkSession, pathOf(parameters),
-      parameters.get("versionAsOf").map(_.toLong))._1
+                             ): BaseRelation = {
+    val spark = sqlContext.sparkSession
+    val dir = pathOf(parameters)
+    val version = parameters.get("versionAsOf").map(_.toLong)
+    val (rel, schema, v) = SnapshotSql.relation(spark, dir, version)
+    // A DV'd snapshot cannot be served as a bare file relation (the
+    // scan would resurrect masked rows); route it through a scan
+    // relation that runs the DV-applied frame — same manifest-pruned
+    // parquet scan underneath, plus the broadcast anti-join.
+    if (SnapshotTable.manifestDvRefs(spark, dir, v).isEmpty) rel
+    else new DvMaskedRelation(spark, dir, v, schema)
+  }
 
   // ---- batch write --------------------------------------------------
   override def createRelation(sqlContext: SQLContext, mode: SaveMode,
@@ -97,8 +111,9 @@ final class GraftDataSource extends RelationProvider
                             parameters: Map[String, String]
                            ): (String, StructType) = {
     val dir = pathOf(parameters)
+    val base = schema.getOrElse(tableSchema(sqlContext.sparkSession, dir))
     (s"graft[$dir]",
-      schema.getOrElse(tableSchema(sqlContext.sparkSession, dir)))
+      if (cdfMode(parameters)) GraftCdfStreamSource.cdfSchema(base) else base)
   }
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
@@ -106,9 +121,15 @@ final class GraftDataSource extends RelationProvider
                             parameters: Map[String, String]): Source = {
     val spark = sqlContext.sparkSession
     val dir = pathOf(parameters)
-    new GraftStreamSource(spark, dir,
+    val startingVersion = parameters.get("startingVersion").map(_.toLong)
+    if (cdfMode(parameters))
+      new GraftCdfStreamSource(spark, dir,
+        GraftCdfStreamSource.cdfSchema(
+          schema.map(GraftCdfStreamSource.stripCdfColumns)
+            .getOrElse(tableSchema(spark, dir))), startingVersion)
+    else new GraftStreamSource(spark, dir,
       schema.getOrElse(tableSchema(spark, dir)),
-      startingVersion = parameters.get("startingVersion").map(_.toLong),
+      startingVersion = startingVersion,
       ignoreChanges = parameters.get("ignoreChanges").exists(_.toBoolean))
   }
 
@@ -141,6 +162,9 @@ final class GraftDataSource extends RelationProvider
 }
 
 object GraftDataSource {
+  private def cdfMode(parameters: Map[String, String]): Boolean =
+    parameters.get("readChangeFeed").exists(_.toBoolean)
+
   private def pathOf(parameters: Map[String, String]): String =
     parameters.getOrElse("path", throw new IllegalArgumentException(
       "graft: no path — use .load(dir) / .save(dir) / .start(dir)"))
@@ -186,15 +210,15 @@ final class GraftStreamSource(spark: SparkSession, dir: String,
         // retention window, or this fails loudly.
         case Some(sv) => changesBetween(sv - 1, to)
         case None =>
-          // Initial snapshot is planned as a raw file relation — it
-          // cannot anti-join merge-on-read deletion vectors, so a
-          // DV'd snapshot must compact (purge) before streaming.
-          require(SnapshotTable.manifestDvRefs(spark, dir, to).isEmpty,
-            s"graft streaming source: snapshot v$to of $dir carries " +
-              "merge-on-read deletion vectors; run SnapshotTable.compact " +
-              "before streaming the initial snapshot")
-          filesAsBatch(SnapshotTable.manifestFiles(spark, dir, to),
-            SnapshotTable.manifestSizes(spark, dir, to))
+          // Initial snapshot: the streaming file relation anti-joins
+          // any merge-on-read deletion vectors as a stream-static
+          // left-anti join (a supported incremental shape; the static
+          // side is the broadcast, deleted-row-count-sized vector
+          // set), so a DV'd snapshot streams its LIVE rows exactly.
+          val files = SnapshotTable.manifestFiles(spark, dir, to)
+          SnapshotTable.dvMaskOver(spark, dir,
+            SnapshotTable.manifestDvRefs(spark, dir, to), files,
+            filesAsBatch(files, SnapshotTable.manifestSizes(spark, dir, to)))
       }
     }
   }
@@ -205,7 +229,11 @@ final class GraftStreamSource(spark: SparkSession, dir: String,
     * violation unless `ignoreChanges`, under which its added files
     * are re-emitted (the documented Delta `ignoreChanges` duplicate
     * semantics) and files both added AND removed inside the range are
-    * skipped (their content is superseded within the very range). */
+    * skipped (their content is superseded within the very range).
+    * Emitted files carry the `to`-version deletion-vector mask, so
+    * rows already MoR-deleted by the end of the range never enter the
+    * stream (re-emission can still duplicate, per the contract; a
+    * duplicate-free row-level view is `option("readChangeFeed")`). */
   private def changesBetween(from: Long, to: Long): DataFrame = {
     val deltas = SnapshotTable.versionDeltas(spark, dir, from, to)
     deltas.filter(d => d.removes.nonEmpty || d.dvChanged.nonEmpty)
@@ -216,11 +244,13 @@ final class GraftStreamSource(spark: SparkSession, dir: String,
             s"vectors on ${d.dvChanged.length} — the source requires an " +
             "append-only table. Set option(\"ignoreChanges\",\"true\") to " +
             "re-emit rewritten files (may duplicate rows), or consume " +
-            "row-level deltas via SnapshotTable.changeFeed + foreachBatch.")
+            "row-level deltas via option(\"readChangeFeed\",\"true\").")
       }
     val removedInRange = deltas.flatMap(_.removes).toSet
     val files = deltas.flatMap(_.adds).filterNot(removedInRange)
-    filesAsBatch(files, SnapshotTable.manifestSizes(spark, dir, to))
+    SnapshotTable.dvMaskOver(spark, dir,
+      SnapshotTable.manifestDvRefs(spark, dir, to), files,
+      filesAsBatch(files, SnapshotTable.manifestSizes(spark, dir, to)))
   }
 
   /** A micro-batch over exactly `files`, planned like
@@ -279,6 +309,140 @@ final class GraftStreamSink(spark: SparkSession, dir: String, appId: String,
   }
 
   override def toString: String = s"GraftStreamSink[$dir]"
+}
+
+/** The row-level CDC streaming source —
+  * `spark.readStream.format("graft").option("readChangeFeed","true")`:
+  * each micro-batch is the EXACT row-level delta of the manifest
+  * versions in `(lastOffset, latest]`, one
+  * [[SnapshotTable.changeFeed]] step per commit, stamped with
+  * `_change` (insert/delete) and `_commit_version`. Rewrites
+  * (delete/update/merge/compact) that the plain source refuses are
+  * first-class here: only the rows that actually changed flow, and a
+  * merge-on-read deletion-vector commit surfaces exactly its masked
+  * rows as deletes. Without `startingVersion` the first batch is the
+  * initial snapshot (vectors applied) as inserts at the pinned
+  * version — the public Delta CDF streaming surface.
+  *
+  * Each batch's change computation (parquet scans + DV anti-joins +
+  * multiset set-ops) is planned to its RDD lineage at getBatch time
+  * and re-anchored as a streaming frame — no job runs until the
+  * micro-batch executes, and a committed version's delta is immutable
+  * so checkpoint-recovery replays are deterministic. */
+final class GraftCdfStreamSource(spark: SparkSession, dir: String,
+                                 override val schema: StructType,
+                                 startingVersion: Option[Long]
+                                ) extends Source {
+  import GraftCdfStreamSource._
+
+  override def getOffset: Option[Offset] =
+    SnapshotTable.latestVersion(spark, dir).map(LongOffset(_))
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val to = versionOf(end)
+    val batch = start.map(versionOf) match {
+      case Some(from) => changes(from, to)
+      case None => startingVersion match {
+        case Some(sv) => changes(sv - 1, to)
+        case None =>
+          // Initial snapshot as inserts at the pinned version —
+          // read() applies any deletion vectors.
+          withCdfColumns(SnapshotTable.read(spark, dir, Some(to)), to)
+      }
+    }
+    org.apache.spark.sql.GraftSqlBridge.streamingDataFrameOfInternalRows(
+      spark, batch.queryExecution.toRdd, batch.schema)
+  }
+
+  /** Per-commit row deltas over `(from, to]`, each one changeFeed
+    * step so `_commit_version` is exact. A micro-batch range is a
+    * handful of commits (the trigger cadence), so the union stays
+    * driver-bounded. */
+  private def changes(from: Long, to: Long): DataFrame =
+    (from + 1 to to).map { v =>
+      val step = SnapshotTable.changeFeed(spark, dir, v - 1, v)
+      val dataCols = step.columns.filterNot(_ == "_change")
+      step.select(dataCols.map(col) :+ col("_change") :+
+        lit(v).cast(LongType).as("_commit_version"): _*)
+    }.reduce(_ unionByName _)
+
+  private def versionOf(o: Offset): Long = o match {
+    case l: LongOffset => l.offset
+    case s: SerializedOffset => s.json.trim.toLong
+    case other => other.json.trim.toLong
+  }
+
+  override def stop(): Unit = ()
+
+  override def toString: String = s"GraftCdfStreamSource[$dir]"
+}
+
+object GraftCdfStreamSource {
+  /** Table schema + the two CDF metadata columns. */
+  private[sources] def cdfSchema(base: StructType): StructType =
+    StructType(stripCdfColumns(base).fields :+
+      StructField("_change", StringType, nullable = false) :+
+      StructField("_commit_version", LongType, nullable = false))
+
+  /** A user-supplied schema may already carry the CDF columns (e.g.
+    * round-tripped from sourceSchema) — strip before re-appending. */
+  private[sources] def stripCdfColumns(s: StructType): StructType =
+    StructType(s.fields.filterNot(f =>
+      f.name == "_change" || f.name == "_commit_version"))
+
+  private def withCdfColumns(df: DataFrame, v: Long): DataFrame =
+    df.select(df.columns.map(col) :+ lit("insert").as("_change") :+
+      lit(v).cast(LongType).as("_commit_version"): _*)
+}
+
+/** The batch-read relation for a snapshot that carries merge-on-read
+  * deletion vectors: a bare [[HadoopFsRelation]] would resurrect
+  * masked rows, so `format("graft")` routes DV'd snapshots through
+  * this [[PrunedFilteredScan]] — buildScan runs the SAME
+  * manifest-pruned [[SnapshotSql.dataFrame]] (vectorized parquet scan
+  * + broadcast DV anti-join), with the pushed columns projected and
+  * the pushable filters applied INSIDE the frame so they still reach
+  * [[SnapshotFileIndex]] pruning and the parquet row-group filters.
+  * All filters are declared unhandled (Spark re-applies the full
+  * residual — pushing here is pruning-only, never a correctness
+  * dependency), and rows hand over as InternalRows
+  * (`needConversion = false`) to skip a per-row conversion. */
+final class DvMaskedRelation(spark: SparkSession, dir: String, v: Long,
+                             override val schema: StructType
+                            ) extends BaseRelation with PrunedFilteredScan {
+
+  override def sqlContext: SQLContext = spark.sqlContext
+  override def needConversion: Boolean = false
+  override def unhandledFilters(filters: Array[sf.Filter]): Array[sf.Filter] =
+    filters
+
+  override def buildScan(requiredColumns: Array[String],
+                         filters: Array[sf.Filter]): RDD[Row] = {
+    var df = SnapshotSql.dataFrame(spark, dir, Some(v))
+    filters.flatMap(filterColumn).foreach(c => df = df.where(c))
+    val projected = df.select(requiredColumns.map(col).toSeq: _*)
+    projected.queryExecution.toRdd.asInstanceOf[RDD[Row]]
+  }
+
+  /** Best-effort V1-filter → Column translation for scan pruning;
+    * unrecognized shapes are simply not pushed (Spark applies the
+    * full predicate above this scan regardless). */
+  private def filterColumn(f: sf.Filter): Option[Column] = f match {
+    case sf.EqualTo(a, v1) => Some(col(a) === lit(v1))
+    case sf.GreaterThan(a, v1) => Some(col(a) > lit(v1))
+    case sf.GreaterThanOrEqual(a, v1) => Some(col(a) >= lit(v1))
+    case sf.LessThan(a, v1) => Some(col(a) < lit(v1))
+    case sf.LessThanOrEqual(a, v1) => Some(col(a) <= lit(v1))
+    case sf.In(a, vs) => Some(col(a).isin(vs.toSeq: _*))
+    case sf.IsNull(a) => Some(col(a).isNull)
+    case sf.IsNotNull(a) => Some(col(a).isNotNull)
+    case sf.StringStartsWith(a, p) => Some(col(a).startsWith(p))
+    case sf.And(l, r) => for {lc <- filterColumn(l); rc <- filterColumn(r)}
+      yield lc && rc
+    case _ => None
+  }
+
+  override def toString: String = s"DvMaskedRelation[$dir@v$v]"
 }
 
 /** [[FileIndex]] over an exact, pre-resolved file list — the

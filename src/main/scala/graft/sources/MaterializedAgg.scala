@@ -27,28 +27,35 @@ import org.apache.spark.sql.types.DecimalType
   * [[SnapshotTable.replicate]] exactly-once discipline, applied to
   * aggregation instead of replication).
   *
-  * Supported aggregates are the ones that are DECOMPOSABLE under
-  * both insert and delete — `count`, `sum_long` (exact integer ring)
-  * and `sum_decimal` (exact DECIMAL(38,6) ring, the cross-engine-
-  * reproducible way to sum money/doubles). avg derives as sum/count
-  * at read time. min/max are deliberately absent: they are not
-  * delta-maintainable under deletes (a retracted minimum forces a
-  * per-group recompute) — callers who need them recompute those
-  * groups from the source, which is a different cost contract and
-  * should look different in code.
+  * Fully-decomposable aggregates — `count`, `sum_long` (exact
+  * integer ring) and `sum_decimal` (exact DECIMAL(38,6) ring, the
+  * cross-engine-reproducible way to sum money/doubles) — maintain by
+  * pure delta arithmetic; avg derives as sum/count at read time.
+  * `min`/`max` are SEMI-decomposable: inserts fold in place
+  * (`least`/`greatest` with the stored extremum), but a delete that
+  * reaches the stored extremum retracts it, and the new extremum is
+  * not in the delta — those groups (and ONLY those groups: a delete
+  * strictly inside the stored range can never change min/max) are
+  * recomputed from the source's current snapshot, restricted by a
+  * broadcast semi-join on the affected keys. That is a deliberately
+  * different cost contract — O(source scan ∩ affected keys) instead
+  * of O(delta) — and it is paid only on extremum-retracting deletes.
   *
   * Scale shape per refresh: O(changed source files) read + O(view)
-  * join + O(touched view files) rewritten. The view itself is
+  * join + O(touched view files) rewritten (+ the recompute term above
+  * when a min/max extremum is retracted). The view itself is
   * group-cardinality-sized — the join against current rows is the
   * small side of the refresh by construction. */
 object MaterializedAgg {
 
   /** One maintained aggregate: `outCol` in the view, computed from
     * source column `srcCol` (ignored for count) by `kind` ∈
-    * count | sum_long | sum_decimal. */
+    * count | sum_long | sum_decimal | min | max. */
   final case class AggSpec(outCol: String, srcCol: String, kind: String) {
-    require(Seq("count", "sum_long", "sum_decimal").contains(kind),
-      s"AggSpec $outCol: unknown kind $kind (count|sum_long|sum_decimal)")
+    require(Seq("count", "sum_long", "sum_decimal", "min", "max")
+      .contains(kind),
+      s"AggSpec $outCol: unknown kind $kind " +
+        "(count|sum_long|sum_decimal|min|max)")
   }
 
   /** Hidden live-row count per group — how [[refresh]] knows a group
@@ -71,6 +78,8 @@ object MaterializedAgg {
         coalesce(sum(col(c)), lit(0L)).cast("long").as(out)
       case AggSpec(out, c, "sum_decimal") =>
         coalesce(sum(col(c).cast(Dec)), lit(0).cast(Dec)).cast(Dec).as(out)
+      case AggSpec(out, c, "min") => min(col(c)).as(out)
+      case AggSpec(out, c, "max") => max(col(c)).as(out)
     } :+ count(lit(1)).as(CountCol)
     src.groupBy(keys.map(col): _*).agg(cols.head, cols.tail: _*)
   }
@@ -121,24 +130,50 @@ object MaterializedAgg {
     // delta in the SAME exact ring as the stored aggregate (long /
     // DECIMAL(38,6)) — incremental must be bit-equal to recompute.
     val sign = when(col("_change") === "insert", lit(1L)).otherwise(lit(-1L))
-    val deltaCols = meta.aggs.map {
-      case AggSpec(out, _, "count") => sum(sign).as(s"_d_$out")
-      case AggSpec(out, c, "sum_long") =>
-        coalesce(sum(col(c) * sign), lit(0L)).cast("long").as(s"_d_$out")
-      case AggSpec(out, c, "sum_decimal") =>
+    val isIns = col("_change") === "insert"
+    val deltaCols = meta.aggs.flatMap {
+      case AggSpec(out, _, "count") => Seq(sum(sign).as(s"_d_$out"))
+      case AggSpec(out, c, "sum_long") => Seq(
+        coalesce(sum(col(c) * sign), lit(0L)).cast("long").as(s"_d_$out"))
+      case AggSpec(out, c, "sum_decimal") => Seq(
         coalesce(sum(col(c).cast(Dec) * sign), lit(0).cast(Dec)).cast(Dec)
-          .as(s"_d_$out")
+          .as(s"_d_$out"))
+      // min/max split the delta by side: the inserted-side extremum
+      // folds into the stored value; the deleted-side extremum decides
+      // (post-join, against the stored value) whether the group's
+      // extremum was retracted and a recompute is owed.
+      case AggSpec(out, c, "min") => Seq(
+        min(when(isIns, col(c))).as(s"_i_$out"),
+        min(when(!isIns, col(c))).as(s"_x_$out"))
+      case AggSpec(out, c, "max") => Seq(
+        max(when(isIns, col(c))).as(s"_i_$out"),
+        max(when(!isIns, col(c))).as(s"_x_$out"))
     } :+ sum(sign).as(s"_d_$CountCol")
+    val touched = meta.aggs.map {
+      case AggSpec(out, _, "min" | "max") =>
+        col(s"_i_$out").isNotNull || col(s"_x_$out").isNotNull
+      case AggSpec(out, _, _) => col(s"_d_$out") =!= 0
+    }
     val delta = feed.groupBy(meta.keys.map(col): _*)
       .agg(deltaCols.head, deltaCols.tail: _*)
       // All-zero delta rows (a rewrite that re-landed identical rows)
       // would still CoW-touch their view files — drop them.
-      .filter(meta.aggs.map(a => col(s"_d_${a.outCol}") =!= 0)
-        .foldLeft(col(s"_d_$CountCol") =!= 0)(_ || _))
+      .filter(touched.foldLeft(col(s"_d_$CountCol") =!= 0)(_ || _))
     val cur = SnapshotTable.read(spark, dstDir, Some(dstV))
     // delta ⟕ current: absent current row = a brand-new group.
     val joined = delta.join(cur, meta.keys, "left")
     val newN = coalesce(col(CountCol), lit(0L)) + col(s"_d_$CountCol")
+    // A deleted value at-or-beyond the stored extremum (or a delete
+    // against a NULL-extremum group) may have retracted it — the new
+    // extremum is NOT derivable from the delta, so the group owes a
+    // recompute. Strictly-inside deletes provably cannot change
+    // min/max and stay on the pure-delta path.
+    val retracted = meta.aggs.collect {
+      case AggSpec(out, _, "min") => col(s"_x_$out").isNotNull &&
+        (col(out).isNull || col(s"_x_$out") <= col(out))
+      case AggSpec(out, _, "max") => col(s"_x_$out").isNotNull &&
+        (col(out).isNull || col(s"_x_$out") >= col(out))
+    }.reduceOption(_ || _).getOrElse(lit(false))
     val newAggs = meta.aggs.map {
       case AggSpec(out, _, "count") =>
         (coalesce(col(out), lit(0L)) + col(s"_d_$out")).as(out)
@@ -147,11 +182,34 @@ object MaterializedAgg {
       case AggSpec(out, _, "sum_decimal") =>
         (coalesce(col(out), lit(0).cast(Dec)) + col(s"_d_$out")).cast(Dec)
           .as(out)
+      // least/greatest skip NULLs: a brand-new group takes the
+      // inserted extremum; an insert-free delta keeps the stored one.
+      case AggSpec(out, _, "min") => least(col(out), col(s"_i_$out")).as(out)
+      case AggSpec(out, _, "max") =>
+        greatest(col(out), col(s"_i_$out")).as(out)
     }
-    val batch = joined.select(
+    def toBatch(df: DataFrame): DataFrame = df.select(
       (meta.keys.map(col) ++ newAggs :+ newN.cast("long").as(CountCol) :+
         when(newN > 0, lit("insert")).otherwise(lit("delete"))
           .as("_change")): _*)
+    val hasMinMax = meta.aggs.exists(a => Seq("min", "max").contains(a.kind))
+    // Dead groups need no recompute — they become delete rows
+    // regardless of what the retracted extremum was.
+    val affected = joined.filter(retracted && newN > 0)
+    val batch =
+      if (!hasMinMax || affected.isEmpty) toBatch(joined)
+      else {
+        val affKeys = affected.select(meta.keys.map(col): _*).distinct()
+        val rec = aggregate(
+          SnapshotTable.read(spark, meta.srcDir, Some(srcV))
+            .join(broadcast(affKeys), meta.keys, "left_semi"),
+          meta.keys, meta.aggs)
+        toBatch(joined.filter(!(retracted && newN > 0)))
+          .unionByName(rec.withColumn("_change", lit("insert"))
+            .select(meta.keys.map(col) ++
+              meta.aggs.map(a => col(a.outCol)) :+ col(CountCol) :+
+              col("_change"): _*))
+      }
     // A negative live count means the feed and the view disagree —
     // fail loudly, never "repair" silently.
     val bad = batch.filter(col(CountCol) < 0).limit(1).collect()

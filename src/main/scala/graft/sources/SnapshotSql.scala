@@ -47,14 +47,6 @@ object SnapshotSql {
                                ): (HadoopFsRelation, StructType, Long) = {
     val v = version.orElse(SnapshotTable.latestVersion(spark, dir)).getOrElse(
       throw new java.io.IOException(s"SnapshotSql: no committed version under $dir"))
-    // The FileIndex surface is pure file LISTING — it has no hook to
-    // anti-join merge-on-read deletion vectors, so serving a DV'd
-    // snapshot here would silently resurrect deleted rows. Loud stop;
-    // compact() purges the vectors and re-enables the SQL surface.
-    require(SnapshotTable.manifestDvRefs(spark, dir, v).isEmpty,
-      s"SnapshotSql: snapshot v$v of $dir carries merge-on-read deletion " +
-        "vectors; run SnapshotTable.compact to materialize them (or read " +
-        "via SnapshotTable.read, which applies vectors)")
     val schema = SnapshotTable.manifestSchema(spark, dir, v).getOrElse(
       SnapshotTable.read(spark, dir, Some(v)).schema)
     val index = new SnapshotFileIndex(spark, dir, v, schema)
@@ -63,13 +55,23 @@ object SnapshotSql {
   }
 
   /** Build a DataFrame over a snapshot whose scans prune through the
-    * manifest. `version` pins time travel (default: latest). */
+    * manifest. `version` pins time travel (default: latest). A
+    * snapshot carrying merge-on-read deletion vectors gets them
+    * applied ON TOP of the pruned relation (a broadcast anti-join on
+    * `_metadata.row_index` — [[SnapshotTable.dvMaskOver]]): filters a
+    * query pushes against the view still reach
+    * [[SnapshotFileIndex.listFiles]] through the anti-join's left
+    * side, so manifest pruning and vector masking compose. */
   def dataFrame(spark: SparkSession, dir: String,
                 version: Option[Long] = None): DataFrame = {
-    val (rel, schema, _) = relation(spark, dir, version)
+    val (rel, schema, v) = relation(spark, dir, version)
     val plan = LogicalRelation(rel,
       DataTypeUtils.toAttributes(schema), None, isStreaming = false, None)
-    org.apache.spark.sql.GraftSqlBridge.ofRows(spark, plan)
+    val base = org.apache.spark.sql.GraftSqlBridge.ofRows(spark, plan)
+    val dvRefs = SnapshotTable.manifestDvRefs(spark, dir, v)
+    if (dvRefs.isEmpty) base
+    else SnapshotTable.dvMaskOver(spark, dir, dvRefs,
+      SnapshotTable.manifestFiles(spark, dir, v), base)
   }
 
   /** Register the current (or pinned) snapshot as a temp view, so

@@ -643,19 +643,23 @@ object SnapshotTable {
     Some(frames.reduce(_ unionByName _).distinct())
   }
 
-  /** [[readFiles]] with each file's deletion vector applied: rows
-    * whose (file, row position) appear in a covering vector are
-    * filtered out by a BROADCAST anti-join on
-    * `_metadata.row_index` — vectors are deleted-row-count-sized,
-    * orders of magnitude under the data they mask (that asymmetry is
-    * the whole point of merge-on-read). Files without a vector pass
-    * through untouched; a snapshot with no vectors at all is exactly
-    * [[readFiles]]. */
-  private def readFilesWithDv(spark: SparkSession, dir: String,
-                              files: Seq[String],
-                              schema: Option[StructType],
-                              dvRefs: Map[String, String]): DataFrame = {
-    val base = readFiles(spark, dir, files, schema)
+  /** Apply the deletion vectors covering `files` to ANY frame whose
+    * scan exposes `_metadata` (a parquet file relation — programmatic
+    * [[readFiles]], [[SnapshotFileIndex]] SQL relations, and
+    * streaming micro-batch file relations alike): rows whose
+    * (file, row position) appear in a covering vector are filtered
+    * out by a BROADCAST anti-join on `_metadata.row_index` — vectors
+    * are deleted-row-count-sized, orders of magnitude under the data
+    * they mask (that asymmetry is the whole point of merge-on-read).
+    * Files without a vector pass through untouched; no covering
+    * vector at all returns `base` unchanged. For a STREAMING `base`
+    * this is a stream-static left-anti join (a supported shape), so
+    * the SQL/format and streaming surfaces honor vectors instead of
+    * refusing DV'd snapshots. */
+  private[sources] def dvMaskOver(spark: SparkSession, dir: String,
+                                  dvRefs: Map[String, String],
+                                  files: Seq[String],
+                                  base: DataFrame): DataFrame =
     dvRows(spark, dir, dvRefs, files) match {
       case None => base
       case Some(dv) =>
@@ -668,7 +672,16 @@ object SnapshotTable {
               col("__dv_ri") === col("__dv_rowidx"), "left_anti")
           .select(cols: _*)
     }
-  }
+
+  /** [[readFiles]] with each file's deletion vector applied (see
+    * [[dvMaskOver]]); a snapshot with no vectors is exactly
+    * [[readFiles]]. */
+  private def readFilesWithDv(spark: SparkSession, dir: String,
+                              files: Seq[String],
+                              schema: Option[StructType],
+                              dvRefs: Map[String, String]): DataFrame =
+    dvMaskOver(spark, dir, dvRefs, files,
+      readFiles(spark, dir, files, schema))
 
   /** Serializes same-JVM committers. Commit atomicity rests on a
     * rename-that-fails-if-destination-exists — which HDFS-class

@@ -34,4 +34,18 @@ object GraftSqlBridge {
                              ): DataFrame =
     spark.asInstanceOf[classic.SparkSession]
       .internalCreateDataFrame(rows, schema, isStreaming = false)
+
+  /** The STREAMING-marked twin — what a V1 streaming Source needs to
+    * return a micro-batch whose rows come from an arbitrary batch
+    * plan (e.g. a change-feed computation with joins and set ops):
+    * the batch plan is planned to its RDD lineage at getBatch time
+    * (no job runs yet) and re-anchored as a streaming LogicalRDD the
+    * incremental planner accepts. */
+  def streamingDataFrameOfInternalRows(spark: SparkSession,
+                                       rows: org.apache.spark.rdd.RDD[
+                                         org.apache.spark.sql.catalyst.InternalRow],
+                                       schema: org.apache.spark.sql.types.StructType
+                                      ): DataFrame =
+    spark.asInstanceOf[classic.SparkSession]
+      .internalCreateDataFrame(rows, schema, isStreaming = true)
 }

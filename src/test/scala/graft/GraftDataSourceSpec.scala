@@ -158,6 +158,102 @@ class GraftDataSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("batch read + SQL view over a DV'd snapshot apply deletion vectors") {
+    val dir = tmp("dvread")
+    SnapshotTable.append(spark.range(0, 20).toDF(), dir,
+      statsCols = Seq("id"))
+    SnapshotTable.deleteWhereMor(spark, dir, $"id" < 5L)
+    SnapshotTable.deleteWhereMor(spark, dir, $"id" === 17L)
+    // format("graft") routes through DvMaskedRelation: live rows only
+    val got = spark.read.format("graft").load(dir)
+    assert(got.count() == 14)
+    assert(got.select(min($"id")).head.getLong(0) == 5L)
+    // pruning filters and projections flow into the inner frame
+    assert(got.filter($"id" >= 10L).count() == 9)
+    assert(got.filter($"id" === 17L).count() == 0, "masked row stays dead under a pushed filter")
+    // the SQL-view surface masks identically
+    graft.sources.SnapshotSql.register(spark, "dv_view", dir)
+    val viaSql = spark.sql(
+      "SELECT count(*) AS n, min(id) AS lo FROM dv_view WHERE id < 18").head
+    assert(viaSql.getLong(0) == 12L && viaSql.getLong(1) == 5L)
+    // both agree with the programmatic reader
+    assert(got.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      SnapshotTable.read(spark, dir).select("id").collect()
+        .map(_.getLong(0)).sorted.toSeq)
+  }
+
+  test("streaming source: DV'd initial snapshot streams live rows only") {
+    val dir = tmp("dvstream")
+    SnapshotTable.append(spark.range(0, 10).toDF(), dir)
+    SnapshotTable.deleteWhereMor(spark, dir, $"id" % 2 === 0L)
+    val q = spark.readStream.format("graft").load(dir)
+      .writeStream.format("memory").queryName("graft_dv_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("graft_dv_out")
+        .select("id").collect().map(_.getLong(0)).sorted
+      assert(got.toSeq == Seq(1L, 3L, 5L, 7L, 9L))
+      // later appends still flow (and carry the latest mask)
+      SnapshotTable.append(spark.range(10, 13).toDF(), dir)
+      q.processAllAvailable()
+      assert(spark.table("graft_dv_out").count() == 8)
+    } finally q.stop()
+  }
+
+  test("readChangeFeed streaming: initial snapshot then exact row-level deltas incl. MoR deletes") {
+    val dir = tmp("cdf")
+    SnapshotTable.append(spark.range(0, 10).toDF().coalesce(1), dir) // v0
+    val q = spark.readStream.format("graft")
+      .option("readChangeFeed", "true").load(dir)
+      .writeStream.format("memory").queryName("graft_cdf_out").start()
+    try {
+      q.processAllAvailable()
+      val snap = spark.table("graft_cdf_out").collect()
+      assert(snap.length == 10 &&
+        snap.forall(r => r.getAs[String]("_change") == "insert" &&
+          r.getAs[Long]("_commit_version") == 0L))
+      // v1: plain append → 3 inserts stamped v1
+      SnapshotTable.append(spark.range(10, 13).toDF(), dir)
+      q.processAllAvailable()
+      val afterV1 = spark.table("graft_cdf_out")
+        .filter($"_commit_version" === 1L).collect()
+      assert(afterV1.map(_.getAs[Long]("id")).sorted.toSeq ==
+        Seq(10L, 11L, 12L) &&
+        afterV1.forall(_.getAs[String]("_change") == "insert"))
+      // v2: merge-on-read delete → EXACTLY the masked rows as deletes
+      SnapshotTable.deleteWhereMor(spark, dir, $"id".isin(2L, 11L))
+      // v3: copy-on-write delete (file rewrite) → only the dead row
+      SnapshotTable.deleteWhere(spark, dir, $"id" === 5L)
+      q.processAllAvailable()
+      val v2 = spark.table("graft_cdf_out")
+        .filter($"_commit_version" === 2L).collect()
+      assert(v2.map(r => (r.getAs[Long]("id"),
+        r.getAs[String]("_change"))).sorted.toSeq ==
+        Seq((2L, "delete"), (11L, "delete")))
+      val v3 = spark.table("graft_cdf_out")
+        .filter($"_commit_version" === 3L).collect()
+      assert(v3.map(r => (r.getAs[Long]("id"),
+        r.getAs[String]("_change"))).sorted.toSeq == Seq((5L, "delete")))
+    } finally q.stop()
+  }
+
+  test("readChangeFeed streaming: startingVersion begins at a commit, skipping the snapshot") {
+    val dir = tmp("cdfsv")
+    SnapshotTable.append(spark.range(0, 100).toDF(), dir) // v0: history
+    SnapshotTable.append(spark.range(100, 102).toDF(), dir) // v1
+    val q = spark.readStream.format("graft")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", "1").load(dir)
+      .writeStream.format("memory").queryName("graft_cdfsv_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("graft_cdfsv_out").collect()
+      assert(got.map(_.getAs[Long]("id")).sorted.toSeq == Seq(100L, 101L) &&
+        got.forall(r => r.getAs[String]("_change") == "insert" &&
+          r.getAs[Long]("_commit_version") == 1L))
+    } finally q.stop()
+  }
+
   test("graft-to-graft pipe: source table streams into sink table exactly once") {
     val src = tmp("pipe-src")
     val dst = tmp("pipe-dst")

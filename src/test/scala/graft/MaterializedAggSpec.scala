@@ -93,6 +93,60 @@ class MaterializedAggSpec extends AnyFunSuite {
     assert(MaterializedAgg.refresh(spark, view).isEmpty)
   }
 
+  private val mmAggs = Seq(
+    AggSpec("n", "", "count"),
+    AggSpec("lo", "v", "min"),
+    AggSpec("hi", "v", "max"),
+    AggSpec("total", "v", "sum_long"))
+
+  private def recomputeMm(src: String): DataFrame =
+    SnapshotTable.read(spark, src).groupBy("k")
+      .agg(count(lit(1)).as("n"), min($"v").as("lo"), max($"v").as("hi"),
+        coalesce(sum($"v"), lit(0L)).cast("long").as("total"))
+
+  private def assertMmMatches(view: String, src: String): Unit = {
+    val got = MaterializedAgg.read(spark, view).orderBy("k").collect().toSeq
+    val want = recomputeMm(src).orderBy("k").collect().toSeq
+    assert(got == want)
+  }
+
+  test("min/max views: inserts fold in place; extremum-retracting deletes recompute exactly") {
+    val src = tmp("srcmm"); val view = tmp("viewmm")
+    SnapshotTable.append(rows(("a", 5L, 0.0), ("a", 9L, 0.0),
+      ("b", 3L, 0.0)), src)
+    MaterializedAgg.create(spark, src, view, Seq("k"), mmAggs, "mvmm")
+    assertMmMatches(view, src)
+    // inserts only: new global max for "a", new group "c"
+    SnapshotTable.append(rows(("a", 20L, 0.0), ("c", 7L, 0.0)), src)
+    MaterializedAgg.refresh(spark, view)
+    assertMmMatches(view, src)
+    // strictly-inside delete: min/max both survive on the delta path
+    SnapshotTable.deleteWhere(spark, src, $"k" === "a" && $"v" === 9L)
+    MaterializedAgg.refresh(spark, view)
+    assertMmMatches(view, src)
+    // extremum retraction: the stored max of "a" (20) dies — recompute
+    // must surface 5 as the new max
+    SnapshotTable.deleteWhere(spark, src, $"k" === "a" && $"v" === 20L)
+    MaterializedAgg.refresh(spark, view)
+    assertMmMatches(view, src)
+    assert(MaterializedAgg.read(spark, view).filter($"k" === "a")
+      .select("lo", "hi").head match {
+        case r => r.getLong(0) == 5L && r.getLong(1) == 5L
+      })
+    // retraction + simultaneous insert in one commit range: update
+    // moves "c" 7 → 2 (min retracted AND a new candidate arrives)
+    SnapshotTable.updateWhere(spark, src, $"k" === "c", Seq("v" -> lit(2L)))
+    MaterializedAgg.refresh(spark, view)
+    assertMmMatches(view, src)
+    // group death via retraction: deleting "b"'s only row emits a
+    // delete, never a recomputed empty group
+    SnapshotTable.deleteWhere(spark, src, $"k" === "b")
+    MaterializedAgg.refresh(spark, view)
+    assertMmMatches(view, src)
+    assert(!MaterializedAgg.read(spark, view).collect()
+      .exists(_.getString(0) == "b"))
+  }
+
   test("second create under the same viewId fails loudly") {
     val src = tmp("src4"); val view = tmp("view4")
     SnapshotTable.append(rows(("z", 1L, 0.5)), src)

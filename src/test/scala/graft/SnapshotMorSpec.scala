@@ -110,14 +110,16 @@ class SnapshotMorSpec extends AnyFunSuite {
       .head.getLong(0) == expect.size)
   }
 
-  test("SQL/FileIndex surface refuses a DV'd snapshot (no silent resurrection)") {
+  test("SQL/FileIndex surface masks a DV'd snapshot (no silent resurrection)") {
     val dir = tmp("guard")
     SnapshotTable.append(spark.range(0, 10).toDF(), dir)
     SnapshotTable.deleteWhereMor(spark, dir, $"id" === 1L)
-    intercept[IllegalArgumentException] {
-      SnapshotSql.register(spark, "mor_guarded", dir)
-    }
-    // programmatic read path stays correct meanwhile
+    // the SQL view applies the vector on top of the pruned relation —
+    // identical to the programmatic read path
+    SnapshotSql.register(spark, "mor_guarded", dir)
+    val viaSql = spark.sql("SELECT id FROM mor_guarded")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(viaSql == (0L until 10L).filterNot(_ == 1L))
     assert(!ids(SnapshotTable.read(spark, dir)).contains(1L))
   }
 
