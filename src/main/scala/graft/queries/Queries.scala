@@ -11752,36 +11752,35 @@ object Queries {
     "q_matview_minmax",
     (s, d) => {
       val src = snapTmp(); val view = snapTmp()
-      val base = t(s, d, "orders")
-        .select(col("o_orderkey"), col("o_orderpriority"),
-          col("o_totalprice"))
+      val base = t(s, d, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
       graft.sources.SnapshotTable.append(
-        base.filter(pmod(col("o_orderkey"), lit(2)) === 0), src)
+        base.filter(pmod(col("c_custkey"), lit(2)) === 0), src)
       graft.sources.MaterializedAgg.create(s, src, view,
-        Seq("o_orderpriority"),
+        Seq("c_mktsegment"),
         Seq(graft.sources.MaterializedAgg.AggSpec("n", "", "count"),
-          graft.sources.MaterializedAgg.AggSpec("lo", "o_totalprice", "min"),
-          graft.sources.MaterializedAgg.AggSpec("hi", "o_totalprice", "max")),
+          graft.sources.MaterializedAgg.AggSpec("lo", "c_acctbal", "min"),
+          graft.sources.MaterializedAgg.AggSpec("hi", "c_acctbal", "max")),
         "q-matview-minmax")
       graft.sources.SnapshotTable.append(
-        base.filter(pmod(col("o_orderkey"), lit(2)) === 1), src)
+        base.filter(pmod(col("c_custkey"), lit(2)) === 1), src)
       graft.sources.MaterializedAgg.refresh(s, view)
       graft.sources.SnapshotTable.deleteWhere(s, src,
-        col("o_totalprice") > 200000.0)
+        col("c_acctbal") > 5000.0)
       graft.sources.MaterializedAgg.refresh(s, view)
       graft.sources.MaterializedAgg.read(s, view)
-        .select(col("o_orderpriority").as("priority"), col("n"),
+        .select(col("c_mktsegment").as("segment"), col("n"),
           (col("lo").cast("decimal(18,6)") * 100).cast("long").as("lo_cents"),
           (col("hi").cast("decimal(18,6)") * 100).cast("long").as("hi_cents"))
-        .orderBy("priority")
+        .orderBy("segment")
     },
-    Some("""SELECT o_orderpriority AS priority, count(*) AS n,
-      CAST(CAST(min(o_totalprice) AS DECIMAL(18,6)) * 100 AS BIGINT)
+    Some("""SELECT c_mktsegment AS segment, count(*) AS n,
+      CAST(CAST(min(c_acctbal) AS DECIMAL(18,6)) * 100 AS BIGINT)
         AS lo_cents,
-      CAST(CAST(max(o_totalprice) AS DECIMAL(18,6)) * 100 AS BIGINT)
+      CAST(CAST(max(c_acctbal) AS DECIMAL(18,6)) * 100 AS BIGINT)
         AS hi_cents
-    FROM orders WHERE o_totalprice <= 200000
-    GROUP BY 1 ORDER BY priority"""))
+    FROM customer WHERE c_acctbal <= 5000
+    GROUP BY 1 ORDER BY segment"""))
 
   /** Merge-on-read DELETE through
     * [[graft.sources.SnapshotTable.deleteWhereMor]]: two composing

@@ -357,9 +357,13 @@ final class GraftCdfStreamSource(spark: SparkSession, dir: String,
   /** Per-commit row deltas over `(from, to]`, each one changeFeed
     * step so `_commit_version` is exact. A micro-batch range is a
     * handful of commits (the trigger cadence), so the union stays
-    * driver-bounded. */
+    * driver-bounded. An empty range (a startingVersion at or beyond
+    * the head — the commit-notification shape) is an empty batch. */
   private def changes(from: Long, to: Long): DataFrame =
-    (from + 1 to to).map { v =>
+    if (to <= from)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else (from + 1 to to).map { v =>
       val step = SnapshotTable.changeFeed(spark, dir, v - 1, v)
       val dataCols = step.columns.filterNot(_ == "_change")
       step.select(dataCols.map(col) :+ col("_change") :+

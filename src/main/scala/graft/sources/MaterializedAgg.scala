@@ -154,11 +154,17 @@ object MaterializedAgg {
         col(s"_i_$out").isNotNull || col(s"_x_$out").isNotNull
       case AggSpec(out, _, _) => col(s"_d_$out") =!= 0
     }
+    // PERSISTED: the refresh takes several actions over what follows
+    // (retraction probe, sanity check, emptiness, the CoW landing —
+    // and applyChanges takes more internally); without a cache each
+    // one would re-run the change-feed scan + its set-op shuffles.
+    // The delta is group-cardinality-bounded — tiny by construction.
     val delta = feed.groupBy(meta.keys.map(col): _*)
       .agg(deltaCols.head, deltaCols.tail: _*)
       // All-zero delta rows (a rewrite that re-landed identical rows)
       // would still CoW-touch their view files — drop them.
       .filter(touched.foldLeft(col(s"_d_$CountCol") =!= 0)(_ || _))
+      .persist()
     val cur = SnapshotTable.read(spark, dstDir, Some(dstV))
     // delta ⟕ current: absent current row = a brand-new group.
     val joined = delta.join(cur, meta.keys, "left")
@@ -196,45 +202,90 @@ object MaterializedAgg {
     // Dead groups need no recompute — they become delete rows
     // regardless of what the retracted extremum was.
     val affected = joined.filter(retracted && newN > 0)
-    val batch =
-      if (!hasMinMax || affected.isEmpty) toBatch(joined)
-      else {
-        val affKeys = affected.select(meta.keys.map(col): _*).distinct()
-        val rec = aggregate(
-          SnapshotTable.read(spark, meta.srcDir, Some(srcV))
-            .join(broadcast(affKeys), meta.keys, "left_semi"),
-          meta.keys, meta.aggs)
-        toBatch(joined.filter(!(retracted && newN > 0)))
-          .unionByName(rec.withColumn("_change", lit("insert"))
-            .select(meta.keys.map(col) ++
-              meta.aggs.map(a => col(a.outCol)) :+ col(CountCol) :+
-              col("_change"): _*))
+    try {
+      val batch = (
+        if (!hasMinMax || affected.isEmpty) toBatch(joined)
+        else {
+          val affKeys = affected.select(meta.keys.map(col): _*).distinct()
+          val rec = aggregate(
+            SnapshotTable.read(spark, meta.srcDir, Some(srcV))
+              .join(broadcast(affKeys), meta.keys, "left_semi"),
+            meta.keys, meta.aggs)
+          toBatch(joined.filter(!(retracted && newN > 0)))
+            .unionByName(rec.withColumn("_change", lit("insert"))
+              .select(meta.keys.map(col) ++
+                meta.aggs.map(a => col(a.outCol)) :+ col(CountCol) :+
+                col("_change"): _*))
+        }).persist()
+      // A negative live count means the feed and the view disagree —
+      // fail loudly, never "repair" silently.
+      val bad = batch.filter(col(CountCol) < 0).limit(1).collect()
+      require(bad.isEmpty,
+        s"MaterializedAgg.refresh: negative group count (e.g. " +
+          s"${bad.headOption.orNull}) — view out of sync with source feed")
+      if (batch.isEmpty) {
+        // Source commits with no net row changes (compaction, identical
+        // rewrites): still ADVANCE the cursor — otherwise every later
+        // refresh re-diffs across the same compaction boundary, reading
+        // its dropped+added files again and again. An empty ledgered
+        // append is one tiny commit.
+        SnapshotTable.transactionalAppend(cur.limit(0), dstDir,
+          meta.viewId, srcV, statsCols = meta.keys)
+      } else {
+        SnapshotTable.applyChanges(spark, dstDir, batch, meta.keys,
+          txn = Some(meta.viewId -> srcV))
       }
-    // A negative live count means the feed and the view disagree —
-    // fail loudly, never "repair" silently.
-    val bad = batch.filter(col(CountCol) < 0).limit(1).collect()
-    require(bad.isEmpty,
-      s"MaterializedAgg.refresh: negative group count (e.g. " +
-        s"${bad.headOption.orNull}) — view out of sync with source feed")
-    if (batch.isEmpty) {
-      // Source commits with no net row changes (compaction, identical
-      // rewrites): still ADVANCE the cursor — otherwise every later
-      // refresh re-diffs across the same compaction boundary, reading
-      // its dropped+added files again and again. An empty ledgered
-      // append is one tiny commit.
-      SnapshotTable.transactionalAppend(cur.limit(0), dstDir,
-        meta.viewId, srcV, statsCols = meta.keys)
-    } else {
-      SnapshotTable.applyChanges(spark, dstDir, batch, meta.keys,
-        txn = Some(meta.viewId -> srcV))
-    }
-    Some(srcV)
+      batch.unpersist(false)
+      Some(srcV)
+    } finally delta.unpersist(false)
   }
 
   /** The view as users read it (the hidden live-count column
     * dropped). */
   def read(spark: SparkSession, dstDir: String): DataFrame =
     SnapshotTable.read(spark, dstDir).drop(CountCol)
+
+  /** CONTINUOUS maintenance: a Structured Streaming query that
+    * watches the source table's commits and [[refresh]]es the view
+    * once per micro-batch — the always-fresh materialized view, with
+    * zero new consistency machinery.
+    *
+    * The stream (the source's `readChangeFeed` mode, which tolerates
+    * every commit shape — deletes, updates, compactions) is used as a
+    * commit NOTIFICATION channel: the batch function never touches
+    * the micro-batch frame, so its change rows are planned but never
+    * executed; the refresh re-derives the row-level delta between the
+    * view's ledger cursor and the source head itself. All
+    * exactly-once guarantees therefore come from the view's
+    * transaction ledger, NOT the stream checkpoint — overlapping
+    * triggers, checkpoint-recovery replays, and a concurrent manual
+    * [[refresh]] are all manifest no-ops, and the stream can run with
+    * a throwaway checkpoint. Stop the query to stop maintenance;
+    * the view stays valid at whatever cursor it reached. */
+  def startContinuous(spark: SparkSession, dstDir: String,
+                      checkpointDir: String,
+                      trigger: org.apache.spark.sql.streaming.Trigger =
+                        org.apache.spark.sql.streaming.Trigger
+                          .ProcessingTime(0L)
+                     ): org.apache.spark.sql.streaming.StreamingQuery = {
+    val meta = readMeta(spark, dstDir)
+    val srcV = SnapshotTable.latestVersion(spark, meta.srcDir).getOrElse(0L)
+    spark.readStream.format("graft")
+      .option("readChangeFeed", "true")
+      // Start AT the head: the notification channel needs no history
+      // (refresh's cursor, not the stream offset, decides what to
+      // apply) — and this skips planning the initial-snapshot batch.
+      .option("startingVersion", (srcV + 1).toString)
+      .load(meta.srcDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (_: DataFrame, _: Long) =>
+        refresh(spark, dstDir); ()
+      }
+      .trigger(trigger)
+      .queryName(s"graft-matview[${meta.viewId}]")
+      .start()
+  }
 
   // ---- view-definition sidecar --------------------------------------
 

@@ -1504,12 +1504,27 @@ object SnapshotTable {
       else schema.map(st => spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st))
         .getOrElse(read(spark, dir, Some(toVersion)).filter(lit(false)))
-    val oldRows = side(dropped ++ dvChanged, fromSt.dvRefs)
-    val newRows = side(added ++ dvChanged, toSt.dvRefs)
-    newRows.exceptAll(oldRows)
-      .withColumn("_change", lit("insert"))
-      .unionByName(oldRows.exceptAll(newRows)
-        .withColumn("_change", lit("delete")))
+    val oldFiles = dropped ++ dvChanged
+    val newFiles = added ++ dvChanged
+    val oldRows = side(oldFiles, fromSt.dvRefs)
+    val newRows = side(newFiles, toSt.dvRefs)
+    // The multiset difference needs its two exceptAll shuffles only
+    // when BOTH sides carry rows. A pure append (old side statically
+    // empty — the overwhelmingly common commit) is its added rows
+    // verbatim, map-only; a pure removal is symmetric. The empty
+    // frames above are RDD-backed, which PropagateEmptyRelation can't
+    // see through — so short-circuit here, not in the optimizer.
+    if (oldFiles.isEmpty && newFiles.isEmpty)
+      newRows.withColumn("_change", lit("insert")).filter(lit(false))
+    else if (oldFiles.isEmpty)
+      newRows.withColumn("_change", lit("insert"))
+    else if (newFiles.isEmpty)
+      oldRows.withColumn("_change", lit("delete"))
+    else
+      newRows.exceptAll(oldRows)
+        .withColumn("_change", lit("insert"))
+        .unionByName(oldRows.exceptAll(newRows)
+          .withColumn("_change", lit("delete")))
   }
 
   // ------------------------------------------------------------------

@@ -147,6 +147,32 @@ class MaterializedAggSpec extends AnyFunSuite {
       .exists(_.getString(0) == "b"))
   }
 
+  test("startContinuous: the commit stream keeps the view fresh through appends, deletes, MoR deletes") {
+    val src = tmp("srcct"); val view = tmp("viewct")
+    val ckpt = Files.createTempDirectory("graft-mv-ckpt").toString
+    SnapshotTable.append(rows(("a", 1L, 1.0), ("b", 2L, 2.0)), src)
+    MaterializedAgg.create(spark, src, view, Seq("k"), aggs, "mvct")
+    val q = MaterializedAgg.startContinuous(spark, view, ckpt)
+    try {
+      q.processAllAvailable() // empty-range first batch: view untouched
+      assertMatches(view, src)
+      SnapshotTable.append(rows(("a", 3L, 3.0), ("c", 4L, 4.0)), src)
+      q.processAllAvailable()
+      assertMatches(view, src)
+      // a rewrite commit (CoW delete) flows through the CDF stream
+      SnapshotTable.deleteWhere(spark, src, $"k" === "b")
+      // and a merge-on-read delete too
+      SnapshotTable.deleteWhereMor(spark, src, $"v" === 3L)
+      q.processAllAvailable()
+      assertMatches(view, src)
+      assert(!MaterializedAgg.read(spark, view).collect()
+        .exists(_.getString(0) == "b"))
+      // a concurrent manual refresh is a no-op, never a double-apply
+      assert(MaterializedAgg.refresh(spark, view).isEmpty)
+      assertMatches(view, src)
+    } finally q.stop()
+  }
+
   test("second create under the same viewId fails loudly") {
     val src = tmp("src4"); val view = tmp("view4")
     SnapshotTable.append(rows(("z", 1L, 0.5)), src)
