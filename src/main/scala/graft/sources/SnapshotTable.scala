@@ -78,6 +78,15 @@ import org.apache.spark.sql.types._
   *     branch in one manifest write, diverge copy-on-write, and
   *     promote to independence via [[compact]]; [[vacuum]] never
   *     touches foreign references (lifecycle caveat on the method).
+  *   - **O(batch) commits at every size** — delta manifests between
+  *     checkpoints, and above [[SegmentInlineMax]] files the
+  *     checkpoints themselves go SEGMENTED (the public Iceberg
+  *     manifest-list design): per-file maps live in immutable
+  *     segment files, unchanged segments are referenced as-is across
+  *     checkpoint generations, and only the batch + churn is ever
+  *     rewritten (smallest segments fold into the new one to bound
+  *     segment count). At 100 TB file counts the manifest write no
+  *     longer scales with the table.
   *
   * Deliberately out of scope (and documented as such): multi-table
   * transactions, and column renames/drops (add-column only — the
@@ -139,7 +148,14 @@ object SnapshotTable {
     * committed, hence cacheable. `bloomRefs` points at the per-batch
     * Bloom SIDECAR file each data file's bitsets live in (the
     * Delta-bloom-index layout — bitsets never ride inside manifests);
-    * `legacyBlooms` holds inline bitsets from pre-sidecar manifests. */
+    * `legacyBlooms` holds inline bitsets from pre-sidecar manifests.
+    * `segments` records the SEGMENTED checkpoint composition this
+    * state was resolved through (segment file name → its file list,
+    * carried unchanged through deltas) — what lets the NEXT
+    * checkpoint writer reuse unchanged segments; `dvDirty` accumulates
+    * the files whose deletion-vector ref was overridden by a delta
+    * since that checkpoint (their segment entries are stale and the
+    * segment must be rewritten at the next checkpoint). */
   private final case class TableState(
       files: Seq[String],
       txns: Map[String, Long],
@@ -149,7 +165,9 @@ object SnapshotTable {
       legacyBlooms: Map[String, Map[String, Array[Byte]]],
       schema: Option[StructType],
       sizes: Map[String, Long],
-      dvRefs: Map[String, String] = Map.empty)
+      dvRefs: Map[String, String] = Map.empty,
+      segments: Seq[(String, Seq[String])] = Nil,
+      dvDirty: Set[String] = Set.empty)
 
   /** Bounded cache of resolved states — a COMMITTED manifest is
     * immutable, so the only size concern would be capacity; but a
@@ -190,7 +208,9 @@ object SnapshotTable {
     }
     val node = manifestNode(spark, dir, v)
     val st =
-      if (node.get("files") != null || v == 0L) fullState(node)
+      if (node.get("files") != null || node.get("segments") != null ||
+          v == 0L)
+        fullState(spark, dir, node)
       else deltaState(stateOf(spark, dir, v - 1), node)
     stateCache.synchronized { stateCache.put(key, st); () }
     st
@@ -298,9 +318,68 @@ object SnapshotTable {
     else Some(DataType.fromJson(s.toString).asInstanceOf[StructType])
   }
 
-  private def fullState(n: com.fasterxml.jackson.databind.JsonNode
+  /** One parsed checkpoint segment — the per-file maps of a slice of
+    * the table. Segment files (`_manifests/seg-v<N>-<uuid>.json`) are
+    * immutable once referenced (writers only ever create NEW segment
+    * names), so the cache key is just (dir, name). */
+  private final case class Segment(
+      files: Seq[String],
+      stats: Map[String, Map[String, ColStat]],
+      bloomRefs: Map[String, String],
+      sizes: Map[String, Long],
+      dvRefs: Map[String, String])
+
+  private val segmentCache =
+    new java.util.LinkedHashMap[(String, String), Segment](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, String), Segment]): Boolean =
+        size() > 48
+    }
+
+  private def loadSegment(spark: SparkSession, dir: String,
+                          name: String): Segment = {
+    val key = (new Path(dir).toUri.getPath, name)
+    segmentCache.synchronized {
+      val hit = segmentCache.get(key)
+      if (hit != null) return hit
+    }
+    val f = fs(spark, dir)
+    val p = new Path(manifestDir(dir), name)
+    if (!f.exists(p))
+      throw new java.io.IOException(
+        s"checkpoint segment $name missing under $dir — vacuumed past " +
+          "the horizon, or the table directory was modified out of band")
+    val in = f.open(p)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    val n = mapper.readTree(txt)
+    val seg = Segment(strSeq(n, "files"), statsOf(n), bloomRefsOf(n),
+      sizesOf(n), dvRefsOf(n))
+    segmentCache.synchronized { segmentCache.put(key, seg); () }
+    seg
+  }
+
+  private def fullState(spark: SparkSession, dir: String,
+                        n: com.fasterxml.jackson.databind.JsonNode
                        ): TableState = {
     val legacy = legacyBloomsOf(n)
+    // SEGMENTED checkpoint: the per-file maps live in referenced
+    // segment files; the manifest itself is O(segments) small.
+    if (n.get("segments") != null) {
+      val names = strSeq(n, "segments")
+      val segs = names.map(nm => nm -> loadSegment(spark, dir, nm))
+      return TableState(
+        files = segs.flatMap(_._2.files),
+        txns = txnsOf(n),
+        stats = segs.iterator.flatMap(_._2.stats).toMap,
+        bloomRefs = segs.iterator.flatMap(_._2.bloomRefs).toMap,
+        bloomCols = strSeq(n, "bloomcols"),
+        legacyBlooms = legacy,
+        schema = schemaOf(n),
+        sizes = segs.iterator.flatMap(_._2.sizes).toMap,
+        dvRefs = segs.iterator.flatMap(_._2.dvRefs).toMap,
+        segments = segs.map { case (nm, s) => nm -> s.files })
+    }
     val refs = bloomRefsOf(n)
     val cols = strSeq(n, "bloomcols") match {
       case Seq() => legacy.values.flatMap(_.keys).toSeq.distinct
@@ -324,6 +403,7 @@ object SnapshotTable {
                         ): TableState = {
     val adds = strSeq(n, "adds")
     val removes = strSeq(n, "removes").toSet
+    val dvOverrides = dvRefsOf(n)
     TableState(
       files = parent.files.filterNot(removes) ++ adds,
       txns = txnsOf(n), // full ledger rides in every manifest (small)
@@ -339,7 +419,11 @@ object SnapshotTable {
       // deletion-vector refs: delta entries REPLACE per file (a MoR
       // delete supersedes the file's previous vector); removed files
       // drop theirs with the file.
-      dvRefs = (parent.dvRefs -- removes) ++ dvRefsOf(n))
+      dvRefs = (parent.dvRefs -- removes) ++ dvOverrides,
+      // segment composition rides through deltas untouched; overridden
+      // vectors mark their files' segment entries stale.
+      segments = parent.segments,
+      dvDirty = parent.dvDirty ++ dvOverrides.keySet)
   }
 
   /** The file list of a version (relative paths). */
@@ -446,7 +530,8 @@ object SnapshotTable {
       .map { v =>
         val node = manifestNode(spark, dir, v)
         val st =
-          if (node.get("files") != null || v == 0L) fullState(node)
+          if (node.get("files") != null || node.get("segments") != null ||
+              v == 0L) fullState(spark, dir, node)
           else prev match {
             case Some((pv, ps)) if pv == v - 1 => deltaState(ps, node)
             case _ => stateOf(spark, dir, v)
@@ -487,7 +572,8 @@ object SnapshotTable {
       val node = manifestNode(spark, dir, v)
       val op = Option(node.get("op")).map(_.asText).getOrElse("commit")
       val st =
-        if (node.get("files") != null || v == 0L) fullState(node)
+        if (node.get("files") != null || node.get("segments") != null ||
+            v == 0L) fullState(spark, dir, node)
         else prev match {
           case Some((pv, ps)) if pv == v - 1 => deltaState(ps, node)
           case _ => stateOf(spark, dir, v)
@@ -701,6 +787,62 @@ object SnapshotTable {
     * by the state cache). */
   private val CheckpointEvery = 10L
 
+  /** Checkpoints at or below this many files inline the complete
+    * per-file maps (one self-contained JSON — simplest to read and
+    * debug, and every small table stays in the format it always had);
+    * above it they write SEGMENTED form. */
+  private[sources] val SegmentInlineMax = 256
+
+  /** Bound on a segmented checkpoint's segment-file count; crossing
+    * it folds the smallest reusable segments into the commit's new
+    * segment (log-structured merge, amortized O(batch·log)). */
+  private val MaxSegments = 16
+
+  /** Write one immutable checkpoint segment (content-atomic:
+    * tmp + rename) holding the per-file maps of exactly `segFiles`.
+    * Written BEFORE the manifest CAS — a lost commit race leaves an
+    * orphan segment that [[vacuum]] age-GCs, never a dangling
+    * reference. Returns the segment file name. */
+  private def writeSegment(spark: SparkSession, dir: String, v: Long,
+                           segFiles: Seq[String],
+                           stats: Map[String, Map[String, ColStat]],
+                           bloomRefs: Map[String, String],
+                           sizes: Map[String, Long],
+                           dvRefs: Map[String, String]): String = {
+    val segSet = segFiles.toSet
+    val root = new java.util.LinkedHashMap[String, Object]()
+    val fj = new java.util.ArrayList[String]()
+    segFiles.foreach(fj.add)
+    root.put("files", fj)
+    def putMap[A](field: String, m: Map[String, A])(js: A => Object): Unit = {
+      val restricted = m.view.filterKeys(segSet).toMap
+      if (restricted.nonEmpty) {
+        val o = new java.util.LinkedHashMap[String, Object]()
+        restricted.toSeq.sortBy(_._1).foreach { case (k, x) =>
+          o.put(k, js(x)) }
+        root.put(field, o)
+      }
+    }
+    putMap("stats", stats) { cols =>
+      val cj = new java.util.LinkedHashMap[String, Object]()
+      cols.toSeq.sortBy(_._1).foreach { case (c, st) =>
+        val a = new java.util.ArrayList[String]()
+        a.add(st.tag); a.add(st.min); a.add(st.max)
+        cj.put(c, a)
+      }
+      cj
+    }
+    putMap("bloomrefs", bloomRefs)(r => r)
+    putMap("sizes", sizes)(n => java.lang.Long.valueOf(n))
+    putMap("dvrefs", dvRefs)(r => r)
+    val name = s"seg-v$v-${java.util.UUID.randomUUID()}.json"
+    val f = fs(spark, dir)
+    f.mkdirs(manifestDir(dir))
+    TableIO.atomicWriteText(f, new Path(manifestDir(dir), name),
+      mapper.writeValueAsString(root))
+    name
+  }
+
   /** Try to commit the COMPLETE target state (`files`, `stats`,
     * `bloomRefs`) as version `v`. True iff this writer won the
     * publish race for v<N>. What lands on disk is a DELTA against
@@ -797,7 +939,47 @@ object SnapshotTable {
       bloomCols.distinct.sorted.foreach(cj.add)
       root.put("bloomcols", cj)
     }
-    if (full) {
+    if (full && files.size > SegmentInlineMax) {
+      // SEGMENTED checkpoint — the 100 TB commit-cost answer (the
+      // public Iceberg manifest-list design): the checkpoint
+      // references immutable SEGMENT files instead of inlining the
+      // complete per-file maps. Segments of the previous checkpoint
+      // whose files all survive (and carry no overridden deletion
+      // vector) are referenced AS-IS — zero bytes rewritten; only the
+      // batch's new files plus the survivors of broken segments land
+      // in one new segment. A commit's manifest write is therefore
+      // O(batch + churn), never O(table). Segment count is bounded by
+      // folding the smallest reusable segments into the new one
+      // (log-structured merging — amortized O(batch·log) bytes).
+      val parent =
+        if (v == 0L) None
+        else scala.util.Try(stateOf(spark, dir, v - 1)).toOption
+      val parentSegs = parent.map(_.segments).getOrElse(Nil)
+      val dirty = parent.map(p => p.dvDirty ++
+        files.filter(f => dvRefs.get(f) != p.dvRefs.get(f)))
+        .getOrElse(Set.empty[String])
+      var keep = parentSegs.filter { case (_, segFiles) =>
+        segFiles.nonEmpty &&
+          segFiles.forall(f => fileSet(f) && !dirty(f)) }
+      val covered = keep.iterator.flatMap(_._2).toSet
+      var fold = files.filterNot(covered)
+      while (keep.size + 1 > MaxSegments) {
+        val smallest = keep.minBy { case (nm, fs2) => (fs2.size, nm) }
+        keep = keep.filterNot(_ == smallest)
+        fold = fold ++ smallest._2
+      }
+      val segNames = keep.map(_._1) ++ (
+        if (fold.nonEmpty)
+          Seq(writeSegment(spark, dir, v, fold.sorted,
+            stats.view.filterKeys(fileSet).toMap,
+            bloomRefs.view.filterKeys(fileSet).toMap,
+            sizes.view.filterKeys(fileSet).toMap,
+            dvRefs.view.filterKeys(fileSet).toMap))
+        else Nil)
+      val sj = new java.util.ArrayList[String]()
+      segNames.foreach(sj.add)
+      root.put("segments", sj)
+    } else if (full) {
       val fj = new java.util.ArrayList[String]()
       files.sorted.foreach(fj.add)
       root.put("files", fj)
@@ -1791,7 +1973,10 @@ object SnapshotTable {
     if (keepFrom > 0L) {
       val st = stateOf(spark, dir, keepFrom)
       val node = manifestNode(spark, dir, keepFrom)
-      if (node.get("files") == null) {
+      // A segmented checkpoint is already self-contained (its
+      // segments are kept by the segment GC below) — only delta-form
+      // manifests need the rewrite.
+      if (node.get("files") == null && node.get("segments") == null) {
         val origOp = Option(node.get("op")).map(_.asText)
           .getOrElse("commit")
         val body = manifestBody(spark, dir, keepFrom, full = true,
@@ -1833,6 +2018,21 @@ object SnapshotTable {
         val (d, v, _, _) = it.next()
         if (d == dirKey && v < keepFrom) it.remove()
       }
+    }
+    // Checkpoint SEGMENTS referenced by no kept manifest are orphans
+    // (superseded by later checkpoints' folds, lost commit races,
+    // vacuumed versions). Age-guarded: a segment written by an
+    // in-flight checkpoint that has not CAS'd its manifest yet must
+    // survive. Segment names are UUID-fresh, so a kept reference can
+    // never be confused with an orphan.
+    val keptSegs = (keepFrom to latest)
+      .filter(v => f.exists(manifestPath(dir, v)))
+      .flatMap(v => stateOf(spark, dir, v).segments.map(_._1)).toSet
+    f.listStatus(manifestDir(dir)).foreach { s =>
+      val nm = s.getPath.getName
+      if (s.isFile && nm.startsWith("seg-") && nm.endsWith(".json") &&
+          !keptSegs.contains(nm) && s.getModificationTime <= cutoff)
+        f.delete(s.getPath, false)
     }
     // Bloom sidecars referenced by NO kept manifest are orphans too
     // (crashed appends, vacuumed batches). Age-guarded like data
