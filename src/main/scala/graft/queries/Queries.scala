@@ -11782,6 +11782,63 @@ object Queries {
     FROM customer WHERE c_acctbal <= 5000
     GROUP BY 1 ORDER BY segment"""))
 
+  /** Maintained MOMENTS in an incrementally-maintained view
+    * ([[graft.sources.MaterializedAgg]] kind `sum_sq_long` — exact
+    * integer sum-of-squares in the DECIMAL(38,0) ring): per-language
+    * (count, Σchars, Σchars²) over documents, created on half the
+    * corpus, advanced through an append and a DELETE of every long
+    * document — all on the PURE-DELTA path (squares subtract exactly;
+    * no recompute branch exists for moments, unlike min/max). Average
+    * and population stddev then DERIVE at read time from the triple
+    * (`sq/n − (s/n)²` — the maintainable-moments identity), so the
+    * "stddev per group over 100 TB, refreshed hourly" query costs
+    * O(changed files) per refresh and O(groups) per read. Oracle =
+    * the same moments recomputed from scratch over the final state;
+    * the divisions run on exact integer inputs so the doubles are a
+    * fixed IEEE sequence on both engines (4-dp floor for safety). */
+  private val qMatviewStats = Q(
+    "q_matview_stats",
+    (s, d) => {
+      val src = snapTmp(); val view = snapTmp()
+      val base = t(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      graft.sources.SnapshotTable.append(
+        base.filter(pmod(col("doc_id"), lit(2)) === 0), src)
+      graft.sources.MaterializedAgg.create(s, src, view, Seq("lang"),
+        Seq(graft.sources.MaterializedAgg.AggSpec("n", "", "count"),
+          graft.sources.MaterializedAgg.AggSpec("s", "n_chars", "sum_long"),
+          graft.sources.MaterializedAgg.AggSpec("sq", "n_chars",
+            "sum_sq_long")),
+        "q-matview-stats")
+      graft.sources.SnapshotTable.append(
+        base.filter(pmod(col("doc_id"), lit(2)) === 1), src)
+      graft.sources.MaterializedAgg.refresh(s, view)
+      graft.sources.SnapshotTable.deleteWhere(s, src, col("n_chars") > 400L)
+      graft.sources.MaterializedAgg.refresh(s, view)
+      val nD = col("n").cast("double")
+      val mean = col("s").cast("double") / nD
+      val varP = greatest(
+        col("sq").cast("double") / nD - mean * mean, lit(0.0))
+      graft.sources.MaterializedAgg.read(s, view)
+        .select(col("lang"), col("n"), col("s"),
+          TextAnalysis.round4Stable(mean).as("avg_chars"),
+          TextAnalysis.round4Stable(sqrt(varP)).as("sd_chars"))
+        .orderBy("lang")
+    },
+    Some("""WITH m AS (
+      SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS s,
+        sum(CAST(n_chars AS HUGEINT) * CAST(n_chars AS HUGEINT)) AS sq
+      FROM documents WHERE n_chars <= 400 GROUP BY lang)
+    SELECT lang, n, s,
+      floor((CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) * 10000.0 + 0.5)
+        / 10000.0 AS avg_chars,
+      floor(sqrt(greatest(
+          CAST(sq AS DOUBLE) / CAST(n AS DOUBLE)
+            - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+              * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)), 0.0))
+        * 10000.0 + 0.5) / 10000.0 AS sd_chars
+    FROM m ORDER BY lang"""))
+
   /** Merge-on-read DELETE through
     * [[graft.sources.SnapshotTable.deleteWhereMor]]: two composing
     * deletion-vector commits (every 'F' order, then every order above
@@ -12176,6 +12233,7 @@ object Queries {
     qSnapshotZorder, qSnapshotClone, qSnapshotSql, qSnapshotUpdate,
     qSnapshotHistory, qSnapshotFormat, qSnapshotStream, qSnapshotMatview,
     qSnapshotMor, qSnapshotMorSql, qSnapshotCdf, qMatviewMinmax,
+    qMatviewStats,
     qQualityProbe, qQualityClassifier, qAnnPq, qAnnIvfPq, qAnnIvfPqRes, qAnnRerank,
     qBpeTrain, qBpeTrainBatched,
     qCorpusFunnel, qAnnKmeans, qAnnTrained,

@@ -28,9 +28,15 @@ import org.apache.spark.sql.types.DecimalType
   * aggregation instead of replication).
   *
   * Fully-decomposable aggregates — `count`, `sum_long` (exact
-  * integer ring) and `sum_decimal` (exact DECIMAL(38,6) ring, the
-  * cross-engine-reproducible way to sum money/doubles) — maintain by
-  * pure delta arithmetic; avg derives as sum/count at read time.
+  * integer ring), `sum_decimal` (exact DECIMAL(38,6) ring, the
+  * cross-engine-reproducible way to sum money/doubles) and
+  * `sum_sq_long` (exact sum of squares of an integer column, in the
+  * DECIMAL(38,0) ring so a 100-TB-table's squares can't overflow) —
+  * maintain by pure delta arithmetic; avg derives as sum/count at
+  * read time, and population variance/stddev derive from the
+  * (count, sum_long, sum_sq_long) triple as `sq/n − (s/n)²` — the
+  * classic maintainable-moments trick, so a stddev view needs no
+  * recompute path at all.
   * `min`/`max` are SEMI-decomposable: inserts fold in place
   * (`least`/`greatest` with the stored extremum), but a delete that
   * reaches the stored extremum retracts it, and the new extremum is
@@ -52,10 +58,10 @@ object MaterializedAgg {
     * source column `srcCol` (ignored for count) by `kind` ∈
     * count | sum_long | sum_decimal | min | max. */
   final case class AggSpec(outCol: String, srcCol: String, kind: String) {
-    require(Seq("count", "sum_long", "sum_decimal", "min", "max")
-      .contains(kind),
+    require(Seq("count", "sum_long", "sum_decimal", "sum_sq_long",
+      "min", "max").contains(kind),
       s"AggSpec $outCol: unknown kind $kind " +
-        "(count|sum_long|sum_decimal|min|max)")
+        "(count|sum_long|sum_decimal|sum_sq_long|min|max)")
   }
 
   /** Hidden live-row count per group — how [[refresh]] knows a group
@@ -66,6 +72,12 @@ object MaterializedAgg {
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
   private val Dec = DecimalType(38, 6)
+  // sum_sq_long's ring: squares computed exactly in DECIMAL(18,0) ×
+  // DECIMAL(18,0) → DECIMAL(37,0) (stays under Spark's 38-digit cap —
+  // NO precision-loss adjustment fires), summed as DECIMAL(38,0).
+  private val Dec0 = DecimalType(38, 0)
+  private val D18 = DecimalType(18, 0)
+  private def sq(c: Column): Column = (c.cast(D18) * c.cast(D18)).cast(Dec0)
 
   /** Full-build aggregation — also the refresh's oracle twin in
     * specs: after any refresh, the view must equal this over the
@@ -78,6 +90,8 @@ object MaterializedAgg {
         coalesce(sum(col(c)), lit(0L)).cast("long").as(out)
       case AggSpec(out, c, "sum_decimal") =>
         coalesce(sum(col(c).cast(Dec)), lit(0).cast(Dec)).cast(Dec).as(out)
+      case AggSpec(out, c, "sum_sq_long") =>
+        coalesce(sum(sq(col(c))), lit(0).cast(Dec0)).cast(Dec0).as(out)
       case AggSpec(out, c, "min") => min(col(c)).as(out)
       case AggSpec(out, c, "max") => max(col(c)).as(out)
     } :+ count(lit(1)).as(CountCol)
@@ -138,6 +152,11 @@ object MaterializedAgg {
       case AggSpec(out, c, "sum_decimal") => Seq(
         coalesce(sum(col(c).cast(Dec) * sign), lit(0).cast(Dec)).cast(Dec)
           .as(s"_d_$out"))
+      // Squares are sign-flipped AFTER squaring (the square of a
+      // deleted value subtracts), keeping the whole delta in Dec0.
+      case AggSpec(out, c, "sum_sq_long") => Seq(
+        coalesce(sum(when(isIns, sq(col(c))).otherwise(-sq(col(c)))),
+          lit(0).cast(Dec0)).cast(Dec0).as(s"_d_$out"))
       // min/max split the delta by side: the inserted-side extremum
       // folds into the stored value; the deleted-side extremum decides
       // (post-join, against the stored value) whether the group's
@@ -187,6 +206,9 @@ object MaterializedAgg {
         (coalesce(col(out), lit(0L)) + col(s"_d_$out")).cast("long").as(out)
       case AggSpec(out, _, "sum_decimal") =>
         (coalesce(col(out), lit(0).cast(Dec)) + col(s"_d_$out")).cast(Dec)
+          .as(out)
+      case AggSpec(out, _, "sum_sq_long") =>
+        (coalesce(col(out), lit(0).cast(Dec0)) + col(s"_d_$out")).cast(Dec0)
           .as(out)
       // least/greatest skip NULLs: a brand-new group takes the
       // inserted extremum; an insert-free delta keeps the stored one.

@@ -147,6 +147,49 @@ class MaterializedAggSpec extends AnyFunSuite {
       .exists(_.getString(0) == "b"))
   }
 
+  test("sum_sq_long moments view: variance derives exactly through appends, deletes, updates") {
+    val src = tmp("srcsq"); val view = tmp("viewsq")
+    SnapshotTable.append(rows(("a", 3L, 0.0), ("a", 5L, 0.0),
+      ("b", 10L, 0.0), ("b", 14L, 0.0)), src)
+    val sqAggs = Seq(AggSpec("n", "", "count"),
+      AggSpec("s", "v", "sum_long"), AggSpec("sq", "v", "sum_sq_long"))
+    MaterializedAgg.create(spark, src, view, Seq("k"), sqAggs, "mvsq")
+    def recomputeSq() = SnapshotTable.read(spark, src).groupBy("k")
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum($"v"), lit(0L)).cast("long").as("s"),
+        coalesce(sum(($"v".cast("decimal(18,0)") * $"v".cast("decimal(18,0)"))
+          .cast("decimal(38,0)")), lit(0).cast("decimal(38,0)"))
+          .cast("decimal(38,0)").as("sq"))
+    def check(): Unit = {
+      val got = MaterializedAgg.read(spark, view).orderBy("k").collect().toSeq
+      val want = recomputeSq().orderBy("k").collect().toSeq
+      assert(got == want)
+      // the derived population variance must equal Spark's var_pop
+      val derived = MaterializedAgg.read(spark, view)
+        .select($"k", ($"sq".cast("double") / $"n" -
+          ($"s".cast("double") / $"n") * ($"s".cast("double") / $"n"))
+          .as("vp")).orderBy("k").collect()
+        .map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val direct = SnapshotTable.read(spark, src).groupBy("k")
+        .agg(var_pop($"v").as("vp")).collect()
+        .map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(derived.keySet == direct.keySet)
+      derived.foreach { case (k, v) =>
+        assert(math.abs(v - direct(k)) < 1e-9, s"var_pop mismatch for $k") }
+    }
+    check()
+    SnapshotTable.append(rows(("a", 7L, 0.0), ("c", 2L, 0.0)), src)
+    MaterializedAgg.refresh(spark, view)
+    check()
+    SnapshotTable.deleteWhere(spark, src, $"k" === "a" && $"v" === 5L)
+    MaterializedAgg.refresh(spark, view)
+    check()
+    SnapshotTable.updateWhere(spark, src, $"k" === "b" && $"v" === 14L,
+      Seq("v" -> lit(100L)))
+    MaterializedAgg.refresh(spark, view)
+    check()
+  }
+
   test("startContinuous: the commit stream keeps the view fresh through appends, deletes, MoR deletes") {
     val src = tmp("srcct"); val view = tmp("viewct")
     val ckpt = Files.createTempDirectory("graft-mv-ckpt").toString
