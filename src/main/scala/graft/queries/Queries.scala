@@ -11782,6 +11782,40 @@ object Queries {
     FROM customer WHERE c_acctbal <= 5000
     GROUP BY 1 ORDER BY segment"""))
 
+  /** BUCKETED snapshot tables ([[graft.sources.SnapshotTable
+    * .appendBucketed]]): customer and orders land bucketed on their
+    * custkey with matching bucket counts — rows routed by Spark's own
+    * bucket function, file names carrying Spark-parseable bucket ids,
+    * the layout committed in the manifest — and the fact⋈fact join
+    * through the [[graft.sources.SnapshotSql]] surface then plans
+    * with ZERO Exchange (pinned in SnapshotBucketSpec; at 100 TB this
+    * is the difference between re-shuffling both tables per query and
+    * reading co-located files). The oracle is the plain join: the
+    * co-location claim must change nothing about the answer. */
+  private val qSnapshotBucket = Q(
+    "q_snapshot_bucket",
+    (s, d) => {
+      val ca = snapTmp(); val oa = snapTmp()
+      graft.sources.SnapshotTable.appendBucketed(
+        t(s, d, "customer").select(col("c_custkey"), col("c_mktsegment")),
+        ca, Seq("c_custkey"), numBuckets = 8, sortBy = Seq("c_custkey"))
+      graft.sources.SnapshotTable.appendBucketed(
+        t(s, d, "orders").select(col("o_custkey"), col("o_totalprice")),
+        oa, Seq("o_custkey"), numBuckets = 8, sortBy = Seq("o_custkey"))
+      graft.sources.SnapshotSql.dataFrame(s, ca)
+        .join(graft.sources.SnapshotSql.dataFrame(s, oa),
+          col("c_custkey") === col("o_custkey"))
+        .groupBy(col("c_mktsegment").as("segment"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,6)") * 100)
+            .cast("long").as("cents"))
+        .orderBy("segment")
+    },
+    Some("""SELECT c_mktsegment AS segment, count(*) AS n,
+      CAST(sum(CAST(o_totalprice AS DECIMAL(18,6)) * 100) AS BIGINT) AS cents
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    GROUP BY 1 ORDER BY segment"""))
+
   /** Maintained MOMENTS in an incrementally-maintained view
     * ([[graft.sources.MaterializedAgg]] kind `sum_sq_long` — exact
     * integer sum-of-squares in the DECIMAL(38,0) ring): per-language
@@ -12233,7 +12267,7 @@ object Queries {
     qSnapshotZorder, qSnapshotClone, qSnapshotSql, qSnapshotUpdate,
     qSnapshotHistory, qSnapshotFormat, qSnapshotStream, qSnapshotMatview,
     qSnapshotMor, qSnapshotMorSql, qSnapshotCdf, qMatviewMinmax,
-    qMatviewStats,
+    qMatviewStats, qSnapshotBucket,
     qQualityProbe, qQualityClassifier, qAnnPq, qAnnIvfPq, qAnnIvfPqRes, qAnnRerank,
     qBpeTrain, qBpeTrainBatched,
     qCorpusFunnel, qAnnKmeans, qAnnTrained,

@@ -50,7 +50,15 @@ object SnapshotSql {
     val schema = SnapshotTable.manifestSchema(spark, dir, v).getOrElse(
       SnapshotTable.read(spark, dir, Some(v)).schema)
     val index = new SnapshotFileIndex(spark, dir, v, schema)
-    (HadoopFsRelation(index, new StructType(), schema, None,
+    // A manifest-recorded bucketing claim becomes Spark's BucketSpec:
+    // FileSourceScanExec then reports HashPartitioning(cols, n) and a
+    // join/agg on the bucket columns plans with ZERO Exchange. The
+    // claim is only ever present when every live file was written by
+    // appendBucketed under this exact spec (see BucketLayout).
+    val bucketSpec = SnapshotTable.manifestBucket(spark, dir, v).map(b =>
+      org.apache.spark.sql.catalyst.catalog.BucketSpec(
+        b.numBuckets, b.cols, b.sortCols))
+    (HadoopFsRelation(index, new StructType(), schema, bucketSpec,
       new ParquetFileFormat(), Map.empty)(spark), schema, v)
   }
 

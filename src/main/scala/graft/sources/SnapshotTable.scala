@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{broadcast, coalesce, col, concat, greatest, input_file_name, least, lit, max, min, not, regexp_replace, shiftleft, shiftright, when}
+import org.apache.spark.sql.functions.{broadcast, coalesce, col, concat, greatest, hash, input_file_name, least, lit, max, min, not, pmod, regexp_replace, shiftleft, shiftright, when}
 import org.apache.spark.sql.types._
 
 /** Minimal manifest-committed table format — the consistency layer the
@@ -167,7 +167,19 @@ object SnapshotTable {
       sizes: Map[String, Long],
       dvRefs: Map[String, String] = Map.empty,
       segments: Seq[(String, Seq[String])] = Nil,
-      dvDirty: Set[String] = Set.empty)
+      dvDirty: Set[String] = Set.empty,
+      bucket: Option[BucketLayout] = None)
+
+  /** A table-wide bucketing CLAIM: every data file of the version was
+    * written by [[appendBucketed]] with this spec — file names carry
+    * Spark-parseable bucket ids, and each file holds exactly the rows
+    * whose `pmod(hash(cols), n)` equals its id (Spark's own
+    * HashPartitioning.partitionIdExpression). The claim is recorded
+    * per-manifest and CLEARS on any commit that does not re-assert it
+    * (plain appends, CoW rewrites, compaction) — a stale claim could
+    * silently co-locate a join wrong, so absence is always safe. */
+  final case class BucketLayout(numBuckets: Int, cols: Seq[String],
+                                sortCols: Seq[String])
 
   /** Bounded cache of resolved states — a COMMITTED manifest is
     * immutable, so the only size concern would be capacity; but a
@@ -299,6 +311,14 @@ object SnapshotTable {
     b.result()
   }
 
+  private def bucketOf(n: com.fasterxml.jackson.databind.JsonNode
+                      ): Option[BucketLayout] = {
+    val b = n.get("bucket")
+    if (b == null) None
+    else Some(BucketLayout(b.get("n").asInt, strSeq(b, "cols"),
+      strSeq(b, "sort")))
+  }
+
   private def sizesOf(n: com.fasterxml.jackson.databind.JsonNode
                      ): Map[String, Long] = {
     val t = n.get("sizes")
@@ -378,7 +398,8 @@ object SnapshotTable {
         schema = schemaOf(n),
         sizes = segs.iterator.flatMap(_._2.sizes).toMap,
         dvRefs = segs.iterator.flatMap(_._2.dvRefs).toMap,
-        segments = segs.map { case (nm, s) => nm -> s.files })
+        segments = segs.map { case (nm, s) => nm -> s.files },
+        bucket = bucketOf(n))
     }
     val refs = bloomRefsOf(n)
     val cols = strSeq(n, "bloomcols") match {
@@ -395,7 +416,7 @@ object SnapshotTable {
               else strSeq(n, "adds"),
       txns = txnsOf(n), stats = statsOf(n), bloomRefs = refs,
       bloomCols = cols, legacyBlooms = legacy, schema = schemaOf(n),
-      sizes = sizesOf(n), dvRefs = dvRefsOf(n))
+      sizes = sizesOf(n), dvRefs = dvRefsOf(n), bucket = bucketOf(n))
   }
 
   private def deltaState(parent: TableState,
@@ -423,7 +444,11 @@ object SnapshotTable {
       // segment composition rides through deltas untouched; overridden
       // vectors mark their files' segment entries stale.
       segments = parent.segments,
-      dvDirty = parent.dvDirty ++ dvOverrides.keySet)
+      dvDirty = parent.dvDirty ++ dvOverrides.keySet,
+      // The bucketing claim never inherits: each commit must
+      // re-assert it (appendBucketed does) or the table is no longer
+      // uniformly bucketed and the claim clears.
+      bucket = bucketOf(n))
   }
 
   /** The file list of a version (relative paths). */
@@ -504,6 +529,14 @@ object SnapshotTable {
   def manifestDvRefs(spark: SparkSession, dir: String,
                      v: Long): Map[String, String] =
     stateOf(spark, dir, v).dvRefs
+
+  /** The version's bucketing claim ([[BucketLayout]]), if every data
+    * file was written by [[appendBucketed]] under one spec. The SQL
+    * read surfaces turn this into Spark's `BucketSpec`, so joins and
+    * aggregations on the bucket columns skip their Exchange. */
+  def manifestBucket(spark: SparkSession, dir: String,
+                     v: Long): Option[BucketLayout] =
+    stateOf(spark, dir, v).bucket
 
   /** Commit AUDIT LOG (the public DESCRIBE HISTORY shape): one row per
     * surviving manifest — (version, op, files added, files removed,
@@ -861,7 +894,8 @@ object SnapshotTable {
                         bloomCols: Seq[String] = Nil,
                         sizes: Map[String, Long] = Map.empty,
                         op: String = "commit",
-                        dvRefs: Map[String, String] = Map.empty
+                        dvRefs: Map[String, String] = Map.empty,
+                        bucket: Option[BucketLayout] = None
                        ): Boolean = commitLock.synchronized {
     val f = fs(spark, dir)
     f.mkdirs(manifestDir(dir))
@@ -869,7 +903,7 @@ object SnapshotTable {
     if (f.exists(target)) return false
     val full = v == 0L || v % CheckpointEvery == 0L
     val body = manifestBody(spark, dir, v, full, files, txns, stats,
-      schema, bloomRefs, bloomCols, sizes, op, dvRefs)
+      schema, bloomRefs, bloomCols, sizes, op, dvRefs, bucket)
     val tmp = new Path(manifestDir(dir),
       s".v$v.${java.util.UUID.randomUUID()}.tmp")
     val out = f.create(tmp, false)
@@ -891,11 +925,25 @@ object SnapshotTable {
                            bloomCols: Seq[String],
                            sizes: Map[String, Long],
                            op: String = "commit",
-                           dvRefs: Map[String, String] = Map.empty): String = {
+                           dvRefs: Map[String, String] = Map.empty,
+                           bucket: Option[BucketLayout] = None): String = {
     val root = new java.util.LinkedHashMap[String, Object]()
     root.put("version", java.lang.Long.valueOf(v))
     root.put("op", op)
     schema.foreach(st => root.put("schema", mapper.readTree(st.json)))
+    bucket.foreach { b =>
+      val bj = new java.util.LinkedHashMap[String, Object]()
+      bj.put("n", java.lang.Integer.valueOf(b.numBuckets))
+      val cj = new java.util.ArrayList[String]()
+      b.cols.foreach(cj.add)
+      bj.put("cols", cj)
+      if (b.sortCols.nonEmpty) {
+        val sj = new java.util.ArrayList[String]()
+        b.sortCols.foreach(sj.add)
+        bj.put("sort", sj)
+      }
+      root.put("bucket", bj)
+    }
     val tj = new java.util.LinkedHashMap[String, Object]()
     txns.toSeq.sortBy(_._1).foreach { case (a, tv) =>
       tj.put(a, java.lang.Long.valueOf(tv)) }
@@ -1260,12 +1308,19 @@ object SnapshotTable {
                            addedBloomCols: Seq[String],
                            maxRetries: Int, op: String,
                            txn: Option[(String, Long)] = None,
-                           addedSizes: Map[String, Long] = Map.empty
+                           addedSizes: Map[String, Long] = Map.empty,
+                           bucket: Option[BucketLayout] = None
                           ): Option[Long] = {
     var attempt = 0
     while (attempt < maxRetries) {
       val base = latestVersion(spark, dir)
       val st = base.map(stateOf(spark, dir, _))
+      // A bucketing claim only survives the commit if whatever table
+      // state this attempt lands on still supports it (empty, or
+      // bucketed with the SAME spec) — a racing unbucketed writer
+      // degrades the claim instead of corrupting co-location.
+      val effBucket = bucket.filter(b =>
+        st.forall(s => s.files.isEmpty || s.bucket.contains(b)))
       val prev = st.map(_.files).getOrElse(Nil)
       val txns = st.map(_.txns).getOrElse(Map.empty)
       txn.foreach { case (appId, tv) =>
@@ -1283,7 +1338,7 @@ object SnapshotTable {
           txn.fold(txns)(txns + _), stats ++ addedStats,
           Some(unified), refs ++ addedRefs, bcols,
           st.map(_.sizes).getOrElse(Map.empty) ++ addedSizes, op,
-          st.map(_.dvRefs).getOrElse(Map.empty)))
+          st.map(_.dvRefs).getOrElse(Map.empty), effBucket))
         return Some(v)
       attempt += 1 // lost the race: re-read the new latest and retry
     }
@@ -1341,6 +1396,88 @@ object SnapshotTable {
     commitAppend(spark, dir, df.schema, added, stats, refs, bloomCols,
       maxRetries, "appendPartitioned",
       addedSizes = sizes).get // non-txn append never no-ops
+  }
+
+  /** BUCKETED append — the shuffle-elimination layout (the public
+    * Spark bucketing design, committed through the manifest instead
+    * of a metastore): rows route to `numBuckets` files by Spark's OWN
+    * bucket function (`pmod(hash(cols), n)` — exactly
+    * `HashPartitioning.partitionIdExpression`, so the claim is
+    * byte-compatible with Spark's bucketed read path), file names
+    * carry the bucket id in Spark's parseable `_NNNNN` form, and the
+    * manifest records the [[BucketLayout]]. The SQL surfaces
+    * ([[SnapshotSql]] views, `format("graft")`) then hand Spark a
+    * `BucketSpec`: a join of two tables bucketed the same way on the
+    * join key — or a groupBy on the bucket columns — runs with ZERO
+    * Exchange, the difference between re-shuffling 100 TB per query
+    * and reading co-located files. `sortBy` additionally sorts rows
+    * within each bucket file (elides the SortMergeJoin sorts while
+    * each bucket holds one file; degrades to a re-sort, never a
+    * shuffle, after further appends).
+    *
+    * Later [[appendBucketed]] calls with the SAME spec preserve the
+    * claim (buckets accrete one file per append — reads group them);
+    * any other commit clears it (see [[BucketLayout]]). Appending
+    * bucketed to a non-empty differently-bucketed (or unbucketed)
+    * table is rejected up front. */
+  def appendBucketed(df: DataFrame, dir: String, bucketBy: Seq[String],
+                     numBuckets: Int, sortBy: Seq[String] = Nil,
+                     statsCols: Seq[String] = Nil,
+                     bloomCols: Seq[String] = Nil,
+                     maxRetries: Int = 20): Long = {
+    require(bucketBy.nonEmpty, "appendBucketed: bucket columns required")
+    require(numBuckets > 0 && numBuckets <= 100000,
+      s"appendBucketed: numBuckets $numBuckets out of range")
+    (bucketBy ++ sortBy).foreach { c =>
+      require(df.columns.contains(c), s"appendBucketed: no such column $c") }
+    val spark = df.sparkSession
+    val layout = BucketLayout(numBuckets, bucketBy, sortBy)
+    latestVersion(spark, dir).foreach { v =>
+      manifestSchema(spark, dir, v).foreach(evolveSchema(_, df.schema))
+      val cur = stateOf(spark, dir, v)
+      require(cur.files.isEmpty || cur.bucket.contains(layout),
+        s"appendBucketed: table under $dir is not bucketed as $layout " +
+          s"(found ${cur.bucket.orNull}) — overwrite or compact first")
+    }
+    val f = fs(spark, dir)
+    val batch = java.util.UUID.randomUUID().toString
+    val batchDir = new Path(dir, s"data/$batch")
+    // Spark's bucket id, computed by Spark's own expressions: all rows
+    // of a bucket land in ONE task (repartition on the id), so the
+    // write emits exactly one file per non-empty bucket per append.
+    val bk = pmod(hash(bucketBy.map(col): _*), lit(numBuckets))
+    val routed = df.withColumn("__bk", bk)
+      .repartition(numBuckets, col("__bk"))
+      .sortWithinPartitions(("__bk" +: sortBy).map(col): _*)
+    routed.write.partitionBy("__bk").parquet(batchDir.toString)
+    // Flatten `__bk=K/part-*.parquet` → `part-*_0000K.<ext>` at the
+    // batch root — the `.*_(\d+)(?:\..*)?$` name form BucketingUtils
+    // parses the bucket id from on the read side.
+    for (d <- f.listStatus(batchDir) if d.isDirectory &&
+         d.getPath.getName.startsWith("__bk=")) {
+      val id = d.getPath.getName.stripPrefix("__bk=").toInt
+      for (s <- f.listStatus(d.getPath)
+           if s.isFile && s.getPath.getName.endsWith(".parquet")) {
+        val name = s.getPath.getName
+        val dot = name.indexOf('.')
+        val renamed = name.substring(0, dot) + f"_$id%05d" +
+          name.substring(dot)
+        if (!f.rename(s.getPath, new Path(batchDir, renamed)))
+          throw new java.io.IOException(
+            s"appendBucketed: rename failed for ${s.getPath}")
+      }
+      f.delete(d.getPath, true)
+    }
+    val listed = listParquetRec(f, batchDir)
+    val added = listed.map(st => manifestKey(dir, st.getPath.toString))
+    val sizes = listed.map(st =>
+      manifestKey(dir, st.getPath.toString) -> st.getLen).toMap
+    val stats = computeStats(spark, batchDir, statsCols)
+    val refs = writeBloomSidecar(spark, dir, batch,
+      computeBlooms(spark, batchDir, bloomCols))
+    commitAppend(spark, dir, df.schema, added, stats, refs, bloomCols,
+      maxRetries, "appendBucketed", addedSizes = sizes,
+      bucket = Some(layout)).get // non-txn append never no-ops
   }
 
   /** EXACTLY-ONCE [[appendPartitioned]] — the transactional-ledger
