@@ -11782,6 +11782,37 @@ object Queries {
     FROM customer WHERE c_acctbal <= 5000
     GROUP BY 1 ORDER BY segment"""))
 
+  /** LIVE SQL views ([[graft.sources.SnapshotSql.registerLive]]):
+    * the view registered ONCE over the half-loaded table, then read
+    * AFTER two more commits (an append and a CoW delete) with no
+    * re-registration — every query re-resolves the table head at
+    * scan-build time (one pinned version per SQL execution). The
+    * oracle states the final table contents; a stale (pinned-at-
+    * registration) read would miss the second half and resurrect the
+    * deleted rows. */
+  private val qSnapshotLive = Q(
+    "q_snapshot_live",
+    (s, d) => {
+      val dir = snapTmp()
+      val base = t(s, d, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey"), col("s_acctbal"))
+      graft.sources.SnapshotTable.append(
+        base.filter(pmod(col("s_suppkey"), lit(2)) === 0), dir)
+      graft.sources.SnapshotSql.registerLive(s, "q_live_view", dir)
+      graft.sources.SnapshotTable.append(
+        base.filter(pmod(col("s_suppkey"), lit(2)) === 1), dir)
+      graft.sources.SnapshotTable.deleteWhere(s, dir,
+        col("s_acctbal") < 0.0)
+      s.sql("""SELECT s_nationkey, count(*) AS n,
+          CAST(sum(CAST(s_acctbal AS DECIMAL(18,6)) * 100) AS BIGINT)
+            AS cents
+        FROM q_live_view GROUP BY s_nationkey ORDER BY s_nationkey""")
+    },
+    Some("""SELECT s_nationkey, count(*) AS n,
+      CAST(sum(CAST(s_acctbal AS DECIMAL(18,6)) * 100) AS BIGINT) AS cents
+    FROM supplier WHERE s_acctbal >= 0
+    GROUP BY s_nationkey ORDER BY s_nationkey"""))
+
   /** BUCKETED snapshot tables ([[graft.sources.SnapshotTable
     * .appendBucketed]]): customer and orders land bucketed on their
     * custkey with matching bucket counts — rows routed by Spark's own
@@ -12267,7 +12298,7 @@ object Queries {
     qSnapshotZorder, qSnapshotClone, qSnapshotSql, qSnapshotUpdate,
     qSnapshotHistory, qSnapshotFormat, qSnapshotStream, qSnapshotMatview,
     qSnapshotMor, qSnapshotMorSql, qSnapshotCdf, qMatviewMinmax,
-    qMatviewStats, qSnapshotBucket,
+    qMatviewStats, qSnapshotBucket, qSnapshotLive,
     qQualityProbe, qQualityClassifier, qAnnPq, qAnnIvfPq, qAnnIvfPqRes, qAnnRerank,
     qBpeTrain, qBpeTrainBatched,
     qCorpusFunnel, qAnnKmeans, qAnnTrained,

@@ -92,6 +92,123 @@ object SnapshotSql {
     dataFrame(spark, dir, Some(v)).createOrReplaceTempView(name)
     v
   }
+
+  /** A LIVE (auto-advancing) frame over the table: every query
+    * re-resolves the LATEST committed version at scan-build time — no
+    * re-registration after commits. Within one query execution all
+    * scans of the table pin the SAME version (memoized per Spark SQL
+    * execution id), so even a self-join over a concurrently-committing
+    * table reads one consistent snapshot — per-query snapshot
+    * isolation, read-committed across queries. The scan itself is the
+    * same manifest-pruned parquet relation (+ DV masking) as
+    * [[dataFrame]], with pushed columns/filters applied inside.
+    *
+    * The SCHEMA is captured at registration (the add-column-only
+    * evolution contract means later versions can only widen; a live
+    * view keeps serving its registration-time columns — re-register
+    * to surface new ones). */
+  def dataFrameLive(spark: SparkSession, dir: String): DataFrame = {
+    val v = SnapshotTable.latestVersion(spark, dir).getOrElse(
+      throw new java.io.IOException(
+        s"SnapshotSql: no committed version under $dir"))
+    val schema = SnapshotTable.manifestSchema(spark, dir, v).getOrElse(
+      SnapshotTable.read(spark, dir, Some(v)).schema)
+    val rel = new LiveSnapshotRelation(spark, dir, schema)
+    val plan = LogicalRelation(rel,
+      DataTypeUtils.toAttributes(schema), None, isStreaming = false, None)
+    org.apache.spark.sql.GraftSqlBridge.ofRows(spark, plan)
+  }
+
+  /** [[register]]'s live twin: a temp view that always reads the
+    * table's head — `spark.sql` over a table that other writers keep
+    * committing to, with no REFRESH/re-register step. */
+  def registerLive(spark: SparkSession, name: String, dir: String): Unit =
+    dataFrameLive(spark, dir).createOrReplaceTempView(name)
+}
+
+/** The relation behind [[SnapshotSql.registerLive]]: version
+  * resolution deferred to buildScan, memoized per SQL execution so
+  * one query's scans agree ([[LiveSnapshotRelation.pinnedVersion]]).
+  * Filter/column pushdown follow [[DvMaskedRelation]]'s discipline:
+  * pushable filters re-apply INSIDE the inner frame (reaching
+  * [[SnapshotFileIndex]] file pruning and parquet row-group filters),
+  * everything is declared unhandled so Spark keeps the full residual,
+  * and rows hand over as InternalRows (`needConversion = false`). */
+final class LiveSnapshotRelation(spark: SparkSession, dir: String,
+                                 override val schema: StructType
+                                ) extends org.apache.spark.sql.sources.BaseRelation
+    with org.apache.spark.sql.sources.PrunedFilteredScan {
+  import org.apache.spark.sql.{sources => sf}
+
+  override def sqlContext: org.apache.spark.sql.SQLContext = spark.sqlContext
+  override def needConversion: Boolean = false
+  override def unhandledFilters(filters: Array[sf.Filter]): Array[sf.Filter] =
+    filters
+  // Re-resolved per call: planners read this for broadcast decisions,
+  // and a live view's size is the head's size.
+  override def sizeInBytes: Long =
+    SnapshotTable.latestVersion(spark, dir)
+      .map(v => SnapshotTable.manifestSizes(spark, dir, v).values.sum)
+      .getOrElse(0L)
+
+  private def pinnedVersion(): Long = {
+    val latest = SnapshotTable.latestVersion(spark, dir).getOrElse(
+      throw new java.io.IOException(
+        s"live view: no committed version under $dir"))
+    val execId = spark.sparkContext
+      .getLocalProperty("spark.sql.execution.id")
+    if (execId == null) latest
+    else LiveSnapshotRelation.pins.synchronized {
+      val key = (new org.apache.hadoop.fs.Path(dir).toUri.getPath, execId)
+      val hit = LiveSnapshotRelation.pins.get(key)
+      if (hit != null) hit.longValue
+      else { LiveSnapshotRelation.pins.put(key, latest); latest }
+    }
+  }
+
+  override def buildScan(requiredColumns: Array[String],
+                         filters: Array[sf.Filter]
+                        ): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
+    var df = SnapshotSql.dataFrame(spark, dir, Some(pinnedVersion()))
+    filters.flatMap(filterColumn).foreach(c => df = df.where(c))
+    val projected = df.select(requiredColumns.map(
+      org.apache.spark.sql.functions.col).toSeq: _*)
+    projected.queryExecution.toRdd
+      .asInstanceOf[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]
+  }
+
+  private def filterColumn(f: sf.Filter
+                          ): Option[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions.{col, lit}
+    f match {
+      case sf.EqualTo(a, v1) => Some(col(a) === lit(v1))
+      case sf.GreaterThan(a, v1) => Some(col(a) > lit(v1))
+      case sf.GreaterThanOrEqual(a, v1) => Some(col(a) >= lit(v1))
+      case sf.LessThan(a, v1) => Some(col(a) < lit(v1))
+      case sf.LessThanOrEqual(a, v1) => Some(col(a) <= lit(v1))
+      case sf.In(a, vs) => Some(col(a).isin(vs.toSeq: _*))
+      case sf.IsNull(a) => Some(col(a).isNull)
+      case sf.IsNotNull(a) => Some(col(a).isNotNull)
+      case sf.StringStartsWith(a, p) => Some(col(a).startsWith(p))
+      case sf.And(l, r) => for { lc <- filterColumn(l); rc <- filterColumn(r) }
+        yield lc && rc
+      case _ => None
+    }
+  }
+
+  override def toString: String = s"LiveSnapshotRelation[$dir]"
+}
+
+object LiveSnapshotRelation {
+  /** (table path, SQL execution id) → pinned version. Bounded LRU —
+    * executions are transient, entries just age out. */
+  private val pins =
+    new java.util.LinkedHashMap[(String, String), java.lang.Long](
+        128, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, String), java.lang.Long]
+         ): Boolean = size() > 96
+    }
 }
 
 /** Manifest-backed [[FileIndex]] over one pinned snapshot version.

@@ -97,4 +97,35 @@ class SnapshotSqlSpec extends AnyFunSuite {
     assert(spark.sql("SELECT count(*) AS n FROM snap_sql_e")
       .collect().head.getLong(0) == 5L)
   }
+
+  test("live view auto-advances across commits; pinned view stays put; DV masks apply") {
+    val dir = Files.createTempDirectory("graft-sql-live").toString + "/t"
+    SnapshotTable.append(
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"), dir)
+    SnapshotSql.register(spark, "live_pinned", dir)   // pins v0
+    SnapshotSql.registerLive(spark, "live_head", dir) // follows head
+    assert(spark.sql("SELECT count(*) AS n FROM live_head")
+      .collect().head.getLong(0) == 2L)
+    // append: the live view sees it with NO re-registration; the
+    // pinned view does not
+    SnapshotTable.append(Seq((3L, "c"), (4L, "d")).toDF("id", "v"), dir)
+    assert(spark.sql("SELECT count(*) FROM live_head")
+      .collect().head.getLong(0) == 4L)
+    assert(spark.sql("SELECT count(*) FROM live_pinned")
+      .collect().head.getLong(0) == 2L)
+    // pushed filter through the live relation returns exact rows
+    assert(spark.sql("SELECT v FROM live_head WHERE id = 3")
+      .collect().map(_.getString(0)).toSeq == Seq("c"))
+    // a merge-on-read delete is visible immediately (DV mask rides
+    // inside the live scan)
+    SnapshotTable.deleteWhereMor(spark, dir, $"id" === 2L)
+    assert(spark.sql("SELECT count(*) FROM live_head")
+      .collect().head.getLong(0) == 3L)
+    // CoW delete too, and a self-join of the live view agrees with
+    // itself (both scans pin the same version inside one execution)
+    SnapshotTable.deleteWhere(spark, dir, $"id" === 4L)
+    val selfJoin = spark.sql(
+      """SELECT count(*) FROM live_head a JOIN live_head b USING (id)""")
+    assert(selfJoin.collect().head.getLong(0) == 2L)
+  }
 }
