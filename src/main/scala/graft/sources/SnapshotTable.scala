@@ -1442,17 +1442,35 @@ object SnapshotTable {
     val f = fs(spark, dir)
     val batch = java.util.UUID.randomUUID().toString
     val batchDir = new Path(dir, s"data/$batch")
-    // Spark's bucket id, computed by Spark's own expressions: all rows
-    // of a bucket land in ONE task (repartition on the id), so the
-    // write emits exactly one file per non-empty bucket per append.
-    val bk = pmod(hash(bucketBy.map(col): _*), lit(numBuckets))
+    writeBucketedBatch(df, f, batchDir, layout)
+    val listed = listParquetRec(f, batchDir)
+    val added = listed.map(st => manifestKey(dir, st.getPath.toString))
+    val sizes = listed.map(st =>
+      manifestKey(dir, st.getPath.toString) -> st.getLen).toMap
+    val stats = computeStats(spark, batchDir, statsCols)
+    val refs = writeBloomSidecar(spark, dir, batch,
+      computeBlooms(spark, batchDir, bloomCols))
+    commitAppend(spark, dir, df.schema, added, stats, refs, bloomCols,
+      maxRetries, "appendBucketed", addedSizes = sizes,
+      bucket = Some(layout)).get // non-txn append never no-ops
+  }
+
+  /** The bucketed data write shared by [[appendBucketed]] and
+    * [[compact]]`(bucketBy=…)`: rows route to `layout.numBuckets`
+    * files by Spark's bucket id (`pmod(hash(cols), n)` — all rows of
+    * a bucket land in ONE task, so the write emits exactly one file
+    * per non-empty bucket), written through the hive layout writer
+    * and then flattened to `part-*_0000K.<ext>` names at the batch
+    * root — the `.*_(\d+)(?:\..*)?$` form BucketingUtils parses the
+    * bucket id from on the read side. */
+  private def writeBucketedBatch(df: DataFrame, f: FileSystem,
+                                 batchDir: Path,
+                                 layout: BucketLayout): Unit = {
+    val bk = pmod(hash(layout.cols.map(col): _*), lit(layout.numBuckets))
     val routed = df.withColumn("__bk", bk)
-      .repartition(numBuckets, col("__bk"))
-      .sortWithinPartitions(("__bk" +: sortBy).map(col): _*)
+      .repartition(layout.numBuckets, col("__bk"))
+      .sortWithinPartitions(("__bk" +: layout.sortCols).map(col): _*)
     routed.write.partitionBy("__bk").parquet(batchDir.toString)
-    // Flatten `__bk=K/part-*.parquet` → `part-*_0000K.<ext>` at the
-    // batch root — the `.*_(\d+)(?:\..*)?$` name form BucketingUtils
-    // parses the bucket id from on the read side.
     for (d <- f.listStatus(batchDir) if d.isDirectory &&
          d.getPath.getName.startsWith("__bk=")) {
       val id = d.getPath.getName.stripPrefix("__bk=").toInt
@@ -1464,20 +1482,10 @@ object SnapshotTable {
           name.substring(dot)
         if (!f.rename(s.getPath, new Path(batchDir, renamed)))
           throw new java.io.IOException(
-            s"appendBucketed: rename failed for ${s.getPath}")
+            s"bucketed write: rename failed for ${s.getPath}")
       }
       f.delete(d.getPath, true)
     }
-    val listed = listParquetRec(f, batchDir)
-    val added = listed.map(st => manifestKey(dir, st.getPath.toString))
-    val sizes = listed.map(st =>
-      manifestKey(dir, st.getPath.toString) -> st.getLen).toMap
-    val stats = computeStats(spark, batchDir, statsCols)
-    val refs = writeBloomSidecar(spark, dir, batch,
-      computeBlooms(spark, batchDir, bloomCols))
-    commitAppend(spark, dir, df.schema, added, stats, refs, bloomCols,
-      maxRetries, "appendBucketed", addedSizes = sizes,
-      bucket = Some(layout)).get // non-txn append never no-ops
   }
 
   /** EXACTLY-ONCE [[appendPartitioned]] — the transactional-ledger
@@ -1870,7 +1878,12 @@ object SnapshotTable {
     * bit-interleave round-robin, and the rewrite range-partitions on
     * that z-value — every output file covers a small hyper-rectangle,
     * so [[readWhere]] prunes on EVERY z-ordered column at once (the
-    * public OPTIMIZE ZORDER idea). File stats are recomputed for the
+    * public OPTIMIZE ZORDER idea). `bucketBy`+`numBuckets` (mutually
+    * exclusive with both) instead rewrites the table through the
+    * BUCKETED writer and asserts the [[BucketLayout]] claim — the
+    * in-place conversion of an existing table to the zero-Exchange
+    * join layout ([[appendBucketed]]'s contract, without a second
+    * copy). File stats are recomputed for the
     * rewritten files over every column the current manifest already
     * tracks (plus the layout columns), so skipping survives
     * compaction. Returns the new version, or None when already
@@ -1879,10 +1892,17 @@ object SnapshotTable {
               targetBytes: Long = 128L * 1024 * 1024,
               clusterBy: Seq[String] = Nil,
               zOrderBy: Seq[String] = Nil,
+              bucketBy: Seq[String] = Nil,
+              numBuckets: Int = 0,
+              bucketSortBy: Seq[String] = Nil,
               maxRetries: Int = 20): Option[Long] = {
     require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
-    require(clusterBy.isEmpty || zOrderBy.isEmpty,
-      "compact: clusterBy and zOrderBy are mutually exclusive")
+    require(Seq(clusterBy, zOrderBy, bucketBy).count(_.nonEmpty) <= 1,
+      "compact: clusterBy, zOrderBy and bucketBy are mutually exclusive")
+    require(bucketBy.isEmpty == (numBuckets == 0),
+      "compact: bucketBy and numBuckets go together")
+    require(bucketBy.nonEmpty || bucketSortBy.isEmpty,
+      "compact: bucketSortBy requires bucketBy")
     val f = fs(spark, dir)
     val base = latestVersion(spark, dir).getOrElse(
       throw new java.io.IOException(s"compact: no committed version under $dir"))
@@ -1894,11 +1914,12 @@ object SnapshotTable {
     val totalBytes = old.map(p => baseSizes.getOrElse(p,
       f.getFileStatus(new Path(dir, p)).getLen)).sum
     val nTarget = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
-    if (old.length <= nTarget && clusterBy.isEmpty && zOrderBy.isEmpty)
+    if (old.length <= nTarget && clusterBy.isEmpty && zOrderBy.isEmpty &&
+        bucketBy.isEmpty)
       return None
     val trackedCols =
       (manifestStats(spark, dir, base).values.flatMap(_.keys).toSeq ++
-        clusterBy ++ zOrderBy).distinct
+        clusterBy ++ zOrderBy ++ bucketBy ++ bucketSortBy).distinct
     val trackedBlooms = stateOf(spark, dir, base).bloomCols
     val batch = java.util.UUID.randomUUID().toString
     val batchDir = new Path(dir, s"data/$batch")
@@ -1907,18 +1928,29 @@ object SnapshotTable {
     val baseDv = stateOf(spark, dir, base).dvRefs
     val src = readFilesWithDv(spark, dir, old,
       manifestSchema(spark, dir, base), baseDv)
-    val laid =
-      if (zOrderBy.nonEmpty) {
-        val z = zValue(src, zOrderBy)
-        src.withColumn("__z", z)
-          .repartitionByRange(nTarget, col("__z"))
-          .sortWithinPartitions("__z")
-          .drop("__z")
-      }
-      else if (clusterBy.isEmpty) src.coalesce(nTarget)
-      else src.repartitionByRange(nTarget, clusterBy.map(col): _*)
-        .sortWithinPartitions(clusterBy.map(col): _*)
-    laid.write.parquet(batchDir.toString)
+    val bucketLayout = if (bucketBy.isEmpty) None
+      else Some(BucketLayout(numBuckets, bucketBy, bucketSortBy))
+    bucketLayout match {
+      // BUCKETING compaction — the in-place conversion TO (or re-
+      // establishment of) a bucketed layout: the full rewrite routes
+      // through the bucketed writer, and the commit (re-)asserts the
+      // claim — how an existing 100 TB table earns zero-Exchange
+      // joins without a second copy.
+      case Some(bl) => writeBucketedBatch(src, f, batchDir, bl)
+      case None =>
+        val laid =
+          if (zOrderBy.nonEmpty) {
+            val z = zValue(src, zOrderBy)
+            src.withColumn("__z", z)
+              .repartitionByRange(nTarget, col("__z"))
+              .sortWithinPartitions("__z")
+              .drop("__z")
+          }
+          else if (clusterBy.isEmpty) src.coalesce(nTarget)
+          else src.repartitionByRange(nTarget, clusterBy.map(col): _*)
+            .sortWithinPartitions(clusterBy.map(col): _*)
+        laid.write.parquet(batchDir.toString)
+    }
     val rewritten = f.listStatus(batchDir).toSeq
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
       .map(s => s"data/$batch/${s.getPath.getName}")
@@ -1947,6 +1979,12 @@ object SnapshotTable {
       // the ones we actually rewrote. The txn ledger carries forward
       // untouched — compaction commits no writer transaction.
       val next = curSt.files.filterNot(old.toSet) ++ rewritten
+      // The bucketing claim only holds when the rewrite IS the whole
+      // table — files a concurrent writer landed since our read are
+      // carried forward unbucketed, so the claim degrades to None
+      // (and any prior claim clears: this rewrite renamed files).
+      val effBucket = bucketLayout.filter(_ =>
+        next.toSet == rewritten.toSet)
       if (tryCommit(spark, dir, cur + 1, next,
           curSt.txns,
           curSt.stats ++ rewrittenStats,
@@ -1954,7 +1992,7 @@ object SnapshotTable {
           curSt.bloomRefs ++ rewrittenRefs,
           curSt.bloomCols,
           curSt.sizes ++ rewrittenSizes, "compact",
-          curSt.dvRefs -- old))
+          curSt.dvRefs -- old, effBucket))
         return Some(cur + 1)
       attempt += 1
     }

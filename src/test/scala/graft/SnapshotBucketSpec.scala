@@ -114,6 +114,42 @@ class SnapshotBucketSpec extends AnyFunSuite {
     assert(SnapshotTable.read(spark, dir2).count() == 90)
   }
 
+  test("compact(bucketBy) converts an existing table in place; plain compact clears the claim") {
+    val dir = tmp("conv")
+    val df = spark.range(0, 600)
+      .select(col("id").as("k"), (col("id") % 11).as("v"))
+    // plain appends: unbucketed table
+    SnapshotTable.append(df.filter(col("k") < 300), dir)
+    SnapshotTable.append(df.filter(col("k") >= 300), dir)
+    assert(SnapshotTable.manifestBucket(spark, dir,
+      SnapshotTable.latestVersion(spark, dir).get).isEmpty)
+    // in-place conversion
+    val v = SnapshotTable.compact(spark, dir,
+      bucketBy = Seq("k"), numBuckets = 4).get
+    assert(SnapshotTable.manifestBucket(spark, dir, v)
+      .contains(BucketLayout(4, Seq("k"), Nil)))
+    assert(SnapshotTable.read(spark, dir).count() == 600)
+    // bucketed appends now accrete on the converted table
+    SnapshotTable.appendBucketed(
+      spark.range(600, 700).select(col("id").as("k"),
+        (col("id") % 11).as("v")), dir, Seq("k"), 4)
+    assert(SnapshotTable.manifestBucket(spark, dir, v + 1).nonEmpty)
+    // zero-Exchange groupBy through the SQL surface post-conversion
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val agg = SnapshotSql.dataFrame(spark, dir).groupBy("k")
+        .agg(count(lit(1)).as("n"))
+      assert(agg.count() == 700)
+      assert(!agg.queryExecution.executedPlan.toString.contains("Exchange"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    // a plain (size-driven) compact rewrites names — claim must clear
+    val v2 = SnapshotTable.compact(spark, dir).getOrElse(
+      fail("plain compact of a 5-file table must rewrite"))
+    assert(SnapshotTable.manifestBucket(spark, dir, v2).isEmpty)
+    assert(SnapshotTable.read(spark, dir).count() == 700)
+  }
+
   test("bucketed join result equals the plain join (hash claim is truthful end to end)") {
     val a = tmp("ra"); val b = tmp("rb")
     val left = spark.range(0, 400)
