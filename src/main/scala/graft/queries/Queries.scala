@@ -11904,6 +11904,170 @@ object Queries {
         * 10000.0 + 0.5) / 10000.0 AS sd_chars
     FROM m ORDER BY lang"""))
 
+  /** RESTORE through [[graft.sources.SnapshotTable.restore]] — the
+    * rollback-as-commit surface (`RESTORE TABLE … VERSION AS OF`):
+    * orders land in two appends, a CoW DELETE drops every 'F' order,
+    * and restore(v1) reinstates the pre-delete state in ONE manifest
+    * write with zero data movement. The output reads BOTH the
+    * restored head (must equal the full table — the delete undone)
+    * and, via time travel, the deleted state (must still exist — a
+    * restore preserves history rather than erasing it), so the oracle
+    * pins the rollback and the retained lineage at once. */
+  private val qSnapshotRestore = Q(
+    "q_snapshot_restore",
+    (s, d) => {
+      val dir = snapTmp()
+      val base = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_orderpriority"), col("o_totalprice"))
+      graft.sources.SnapshotTable.append(
+        base.filter(pmod(col("o_orderkey"), lit(2)) === 0), dir)  // v0
+      graft.sources.SnapshotTable.append(
+        base.filter(pmod(col("o_orderkey"), lit(2)) === 1), dir)  // v1
+      val deletedV = graft.sources.SnapshotTable.deleteWhere(s, dir,
+        col("o_orderstatus") === "F").get                         // v2
+      graft.sources.SnapshotTable.restore(s, dir, 1L)             // v3
+      def rollup(df: DataFrame, phase: String) = df
+        .groupBy(col("o_orderpriority").as("priority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,6)") * 100)
+            .cast("long").as("cents"))
+        .select(lit(phase).as("phase"), col("priority"), col("n"),
+          col("cents"))
+      rollup(graft.sources.SnapshotTable.read(s, dir), "restored")
+        .unionByName(rollup(
+          graft.sources.SnapshotTable.read(s, dir, Some(deletedV)),
+          "deleted"))
+        .orderBy("phase", "priority")
+    },
+    Some("""SELECT phase, priority, n, cents FROM (
+      SELECT 'restored' AS phase, o_orderpriority AS priority,
+        count(*) AS n,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,6)) * 100) AS BIGINT)
+          AS cents
+      FROM orders GROUP BY 2
+      UNION ALL
+      SELECT 'deleted' AS phase, o_orderpriority AS priority,
+        count(*) AS n,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,6)) * 100) AS BIGINT)
+          AS cents
+      FROM orders WHERE o_orderstatus <> 'F' GROUP BY 2)
+    ORDER BY phase, priority"""))
+
+  /** Merge-on-read UPDATE through
+    * [[graft.sources.SnapshotTable.updateWhereMor]]: every urgent
+    * order is updated (status → 'U', price doubled — an exact
+    * power-of-two IEEE op on both engines) by MASKING the old rows
+    * with a deletion vector and landing the updated forms as NEW
+    * files in the same commit — write cost ∝ matched rows. Phase 1
+    * reads through the composed vector+new-file state; a clustering
+    * [[compact]] then MATERIALIZES the update and purges the vectors;
+    * phase 2 must read identically. Oracle = the plain CASE view. */
+  private val qSnapshotMorUpdate = Q(
+    "q_snapshot_mor_update",
+    (s, d) => {
+      val dir = snapTmp()
+      graft.sources.SnapshotTable.append(
+        t(s, d, "orders").select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_orderpriority"), col("o_totalprice")),
+        dir, statsCols = Seq("o_orderkey"))
+      graft.sources.SnapshotTable.updateWhereMor(s, dir,
+        col("o_orderpriority") === "1-URGENT",
+        Seq("o_orderstatus" -> lit("U"),
+          "o_totalprice" -> (col("o_totalprice") * 2)))
+      // read() pins its version's file list + vectors at CALL time
+      // (and compact never deletes data files — vacuum does), so the
+      // pre-compact frame stays valid when executed after it.
+      def rollup(phase: String) = graft.sources.SnapshotTable
+        .read(s, dir)
+        .groupBy(col("o_orderstatus").as("status"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,6)") * 100)
+            .cast("long").as("cents"))
+        .select(lit(phase).as("phase"), col("status"), col("n"),
+          col("cents"))
+      val masked = rollup("mor")
+      graft.sources.SnapshotTable.compact(s, dir,
+        clusterBy = Seq("o_orderkey"))
+      masked.unionByName(rollup("purged")).orderBy("phase", "status")
+    },
+    Some("""WITH upd AS (
+      SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 'U'
+                  ELSE o_orderstatus END AS status,
+             CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice * 2
+                  ELSE o_totalprice END AS price
+      FROM orders),
+    r AS (
+      SELECT status, count(*) AS n,
+        CAST(sum(CAST(price AS DECIMAL(18,6)) * 100) AS BIGINT) AS cents
+      FROM upd GROUP BY status)
+    SELECT phase, status, n, cents FROM (
+      SELECT 'mor' AS phase, * FROM r
+      UNION ALL
+      SELECT 'purged' AS phase, * FROM r)
+    ORDER BY phase, status"""))
+
+  /** SCOPED compaction through
+    * [[graft.sources.SnapshotTable.compactWhere]] and
+    * [[graft.sources.SnapshotTable.binPackSmall]] — the `OPTIMIZE …
+    * WHERE` surface: three disjoint-keyrange appends, a MoR delete in
+    * the low range, then compactWhere over the low range (must
+    * materialize exactly the in-scope vectors and pack the in-scope
+    * files, carrying the rest forward by reference — SnapshotOpsSpec
+    * pins the file identity) and binPackSmall (folds every
+    * sub-threshold file). One rollup per phase: the scoped rewrites
+    * must change NOTHING about the answer while the oracle's plain
+    * filtered view pins that masked rows stay dead through both. */
+  private val qSnapshotCompactWhere = Q(
+    "q_snapshot_compactwhere",
+    (s, d) => {
+      val dir = snapTmp()
+      val base = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          col("o_totalprice"))
+      // non-empty at every gate SF (sf0.001 orderkeys span 1..6000)
+      val cut1 = 2000L; val cut2 = 4000L
+      graft.sources.SnapshotTable.append(
+        base.filter(col("o_orderkey") < cut1), dir,
+        statsCols = Seq("o_orderkey"))
+      graft.sources.SnapshotTable.append(
+        base.filter(col("o_orderkey") >= cut1 &&
+          col("o_orderkey") < cut2), dir)
+      graft.sources.SnapshotTable.append(
+        base.filter(col("o_orderkey") >= cut2), dir)
+      graft.sources.SnapshotTable.deleteWhereMor(s, dir,
+        col("o_orderkey") < cut1 && col("o_totalprice") > 150000.0)
+      def rollup(phase: String) = graft.sources.SnapshotTable
+        .read(s, dir)
+        .groupBy(col("o_orderpriority").as("priority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,6)") * 100)
+            .cast("long").as("cents"))
+        .select(lit(phase).as("phase"), col("priority"), col("n"),
+          col("cents"))
+      // read() pins file lists at call time (q_snapshot_mor_update's
+      // discipline), so the pre-rewrite frame executes correctly later.
+      val scoped = rollup("scoped")
+      graft.sources.SnapshotTable.compactWhere(s, dir, "o_orderkey",
+        0L, cut1 - 1)
+      graft.sources.SnapshotTable.binPackSmall(s, dir,
+        smallerThanBytes = 64L * 1024 * 1024)
+      scoped.unionByName(rollup("packed")).orderBy("phase", "priority")
+    },
+    Some("""WITH live AS (
+      SELECT o_orderpriority AS priority, o_totalprice FROM orders
+      WHERE NOT (o_orderkey < 2000 AND o_totalprice > 150000)),
+    r AS (
+      SELECT priority, count(*) AS n,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,6)) * 100) AS BIGINT)
+          AS cents
+      FROM live GROUP BY priority)
+    SELECT phase, priority, n, cents FROM (
+      SELECT 'scoped' AS phase, * FROM r
+      UNION ALL
+      SELECT 'packed' AS phase, * FROM r)
+    ORDER BY phase, priority"""))
+
   /** Merge-on-read DELETE through
     * [[graft.sources.SnapshotTable.deleteWhereMor]]: two composing
     * deletion-vector commits (every 'F' order, then every order above
@@ -12299,6 +12463,7 @@ object Queries {
     qSnapshotHistory, qSnapshotFormat, qSnapshotStream, qSnapshotMatview,
     qSnapshotMor, qSnapshotMorSql, qSnapshotCdf, qMatviewMinmax,
     qMatviewStats, qSnapshotBucket, qSnapshotLive,
+    qSnapshotRestore, qSnapshotMorUpdate, qSnapshotCompactWhere,
     qQualityProbe, qQualityClassifier, qAnnPq, qAnnIvfPq, qAnnIvfPqRes, qAnnRerank,
     qBpeTrain, qBpeTrainBatched,
     qCorpusFunnel, qAnnKmeans, qAnnTrained,

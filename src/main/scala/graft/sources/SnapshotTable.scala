@@ -425,6 +425,7 @@ object SnapshotTable {
     val adds = strSeq(n, "adds")
     val removes = strSeq(n, "removes").toSet
     val dvOverrides = dvRefsOf(n)
+    val dvRemoves = strSeq(n, "dvremoves").toSet
     TableState(
       files = parent.files.filterNot(removes) ++ adds,
       txns = txnsOf(n), // full ledger rides in every manifest (small)
@@ -439,12 +440,13 @@ object SnapshotTable {
       sizes = (parent.sizes -- removes) ++ sizesOf(n),
       // deletion-vector refs: delta entries REPLACE per file (a MoR
       // delete supersedes the file's previous vector); removed files
-      // drop theirs with the file.
-      dvRefs = (parent.dvRefs -- removes) ++ dvOverrides,
+      // drop theirs with the file; explicit dvremoves (restore to a
+      // pre-vector version) drop a CARRIED file's vector.
+      dvRefs = (parent.dvRefs -- removes -- dvRemoves) ++ dvOverrides,
       // segment composition rides through deltas untouched; overridden
-      // vectors mark their files' segment entries stale.
+      // (or dropped) vectors mark their files' segment entries stale.
       segments = parent.segments,
-      dvDirty = parent.dvDirty ++ dvOverrides.keySet,
+      dvDirty = parent.dvDirty ++ dvOverrides.keySet ++ dvRemoves,
       // The bucketing claim never inherits: each commit must
       // re-assert it (appendBucketed does) or the table is no longer
       // uniformly bucketed and the claim clears.
@@ -1054,6 +1056,16 @@ object SnapshotTable {
       // and MoR-superseded vectors of carried files).
       putRefMap("dvrefs", dvRefs.view.filterKeys(fileSet)
         .filter { case (f, r) => !parent.dvRefs.get(f).contains(r) }.toMap)
+      // A CARRIED file whose vector is DROPPED (restore to a
+      // pre-vector version) needs an explicit remove record — an
+      // override map alone can't say "no vector anymore".
+      val dvRemoves = parent.files.filter(f => fileSet(f) &&
+        parent.dvRefs.contains(f) && !dvRefs.contains(f)).sorted
+      if (dvRemoves.nonEmpty) {
+        val dj = new java.util.ArrayList[String]()
+        dvRemoves.foreach(dj.add)
+        root.put("dvremoves", dj)
+      }
     }
     mapper.writeValueAsString(root)
   }
@@ -1248,10 +1260,40 @@ object SnapshotTable {
   // Writes
   // ------------------------------------------------------------------
 
+  /** The caller's stats/bloom column lists unioned with the table's
+    * already-TRACKED ones (filtered to columns the batch actually
+    * carries): stats and Bloom tracking are TABLE POLICY, not
+    * per-call options — one writer that forgets `statsCols` must not
+    * silently strip file-skipping from every file it lands (at 100 TB
+    * that's an unprunable stripe in the middle of the table, invisible
+    * until someone profiles the scans). Caller-passed bloom columns
+    * keep the strict eligibility check here (a typo fails loudly);
+    * the downstream compute runs non-strict so INHERITED legacy
+    * columns degrade instead of wedging the append. */
+  private def inheritTracking(spark: SparkSession, dir: String,
+                              df: DataFrame, statsCols: Seq[String],
+                              bloomCols: Seq[String])
+      : (Seq[String], Seq[String]) = {
+    bloomCols.filter(df.columns.contains).foreach { c =>
+      require(bloomEligible(df.schema(c).dataType),
+        s"bloomCols: column $c (${df.schema(c).dataType.simpleString}) is " +
+          "not bloom-eligible; only string and integral key columns probe " +
+          "consistently (build casts to string, probe renders via toString)")
+    }
+    val base = latestVersion(spark, dir)
+    val fields = df.schema.fieldNames.toSet
+    val ts = base.map(trackedStatsCols(spark, dir, _)).getOrElse(Nil)
+    val tb = base.map(trackedBloomCols(spark, dir, _)).getOrElse(Nil)
+    ((statsCols ++ ts.filter(fields)).distinct,
+      (bloomCols ++ tb.filter(fields)).distinct)
+  }
+
   /** Append `df` as a new snapshot: write data files under a unique
     * subdir of `data/`, then commit previous files + new files with
     * the optimistic retry loop. `statsCols` names columns whose
-    * per-file min/max land in the manifest for [[readWhere]] skipping.
+    * per-file min/max land in the manifest for [[readWhere]] skipping
+    * — and tracking INHERITS: columns any prior commit tracked are
+    * tracked for this batch too (see [[inheritTracking]]).
     * Returns the committed version. */
   def append(df: DataFrame, dir: String, statsCols: Seq[String] = Nil,
              bloomCols: Seq[String] = Nil, maxRetries: Int = 20): Long = {
@@ -1261,10 +1303,11 @@ object SnapshotTable {
     // re-runs against whatever manifest the commit loop lands on).
     latestVersion(spark, dir).flatMap(manifestSchema(spark, dir, _))
       .foreach(evolveSchema(_, df.schema))
+    val (sCols, bCols) = inheritTracking(spark, dir, df, statsCols, bloomCols)
     val (added, addedStats, addedRefs, addedSizes) =
-      writeBatch(df, dir, statsCols, bloomCols)
+      writeBatch(df, dir, sCols, bCols, strictBlooms = false)
     commitAppend(spark, dir, df.schema, added, addedStats, addedRefs,
-      bloomCols, maxRetries, "append",
+      bCols, maxRetries, "append",
       addedSizes = addedSizes).get // non-txn append never no-ops
   }
 
@@ -1378,6 +1421,7 @@ object SnapshotTable {
     val spark = df.sparkSession
     latestVersion(spark, dir).flatMap(manifestSchema(spark, dir, _))
       .foreach(evolveSchema(_, df.schema))
+    val (sCols, bCols) = inheritTracking(spark, dir, df, statsCols, bloomCols)
     val f = fs(spark, dir)
     val batch = java.util.UUID.randomUUID().toString
     val batchDir = new Path(dir, s"data/$batch")
@@ -1390,10 +1434,10 @@ object SnapshotTable {
     val sizes = listed.map(st =>
       manifestKey(dir, st.getPath.toString) -> st.getLen).toMap
     val stats = computeStats(spark, batchDir,
-      (partitionBy ++ statsCols).distinct)
+      (partitionBy ++ sCols).distinct)
     val refs = writeBloomSidecar(spark, dir, batch,
-      computeBlooms(spark, batchDir, bloomCols))
-    commitAppend(spark, dir, df.schema, added, stats, refs, bloomCols,
+      computeBlooms(spark, batchDir, bCols, strict = false))
+    commitAppend(spark, dir, df.schema, added, stats, refs, bCols,
       maxRetries, "appendPartitioned",
       addedSizes = sizes).get // non-txn append never no-ops
   }
@@ -1439,6 +1483,7 @@ object SnapshotTable {
         s"appendBucketed: table under $dir is not bucketed as $layout " +
           s"(found ${cur.bucket.orNull}) — overwrite or compact first")
     }
+    val (sCols, bCols) = inheritTracking(spark, dir, df, statsCols, bloomCols)
     val f = fs(spark, dir)
     val batch = java.util.UUID.randomUUID().toString
     val batchDir = new Path(dir, s"data/$batch")
@@ -1447,10 +1492,10 @@ object SnapshotTable {
     val added = listed.map(st => manifestKey(dir, st.getPath.toString))
     val sizes = listed.map(st =>
       manifestKey(dir, st.getPath.toString) -> st.getLen).toMap
-    val stats = computeStats(spark, batchDir, statsCols)
+    val stats = computeStats(spark, batchDir, sCols)
     val refs = writeBloomSidecar(spark, dir, batch,
-      computeBlooms(spark, batchDir, bloomCols))
-    commitAppend(spark, dir, df.schema, added, stats, refs, bloomCols,
+      computeBlooms(spark, batchDir, bCols, strict = false))
+    commitAppend(spark, dir, df.schema, added, stats, refs, bCols,
       maxRetries, "appendBucketed", addedSizes = sizes,
       bucket = Some(layout)).get // non-txn append never no-ops
   }
@@ -1532,11 +1577,12 @@ object SnapshotTable {
     val added = listed.map(st => manifestKey(dir, st.getPath.toString))
     val sizes = listed.map(st =>
       manifestKey(dir, st.getPath.toString) -> st.getLen).toMap
+    val (sCols, bCols) = inheritTracking(spark, dir, df, statsCols, bloomCols)
     val stats = computeStats(spark, batchDir,
-      (partitionBy ++ statsCols).distinct)
+      (partitionBy ++ sCols).distinct)
     val refs = writeBloomSidecar(spark, dir, batch,
-      computeBlooms(spark, batchDir, bloomCols))
-    commitAppend(spark, dir, df.schema, added, stats, refs, bloomCols,
+      computeBlooms(spark, batchDir, bCols, strict = false))
+    commitAppend(spark, dir, df.schema, added, stats, refs, bCols,
       maxRetries, "transactionalAppendPartitioned",
       txn = Some(appId -> txnVersion), addedSizes = sizes)
   }
@@ -1602,8 +1648,9 @@ object SnapshotTable {
     val pre = latestVersion(spark, dir)
       .map(manifestTxns(spark, dir, _)).getOrElse(Map.empty)
     if (pre.getOrElse(appId, Long.MinValue) >= txnVersion) return None
+    val (sCols, bCols) = inheritTracking(spark, dir, df, statsCols, bloomCols)
     val (added, addedStats, addedRefs, addedSizes) =
-      writeBatch(df, dir, statsCols, bloomCols)
+      writeBatch(df, dir, sCols, bCols, strictBlooms = false)
     var attempt = 0
     while (attempt < maxRetries) {
       val base = latestVersion(spark, dir)
@@ -1612,7 +1659,7 @@ object SnapshotTable {
       val txns = st.map(_.txns).getOrElse(Map.empty)
       val stats = st.map(_.stats).getOrElse(Map.empty)
       val refs = st.map(_.bloomRefs).getOrElse(Map.empty)
-      val bcols = (st.map(_.bloomCols).getOrElse(Nil) ++ bloomCols).distinct
+      val bcols = (st.map(_.bloomCols).getOrElse(Nil) ++ bCols).distinct
       if (txns.getOrElse(appId, Long.MinValue) >= txnVersion)
         return None // a racing replay won; our files stay orphaned
       val unified = st.flatMap(_.schema)
@@ -2000,6 +2047,91 @@ object SnapshotTable {
       s"compact: lost the commit race $maxRetries times under $dir")
   }
 
+  /** SCOPED compaction — the public `OPTIMIZE … WHERE` shape: rewrite
+    * ONLY the files whose recorded `column` stats overlap
+    * `[lower, upper]`, bin-packed to `targetBytes`; every file outside
+    * the range carries forward untouched by reference. At 100 TB this
+    * is the only compaction anyone actually runs — "optimize
+    * yesterday's partition" touches yesterday's gigabytes, never the
+    * table's history. Files without a recorded stat for `column`
+    * conservatively join the candidate set (they MIGHT hold in-range
+    * rows — skipping them could leave masked-row or small-file debt
+    * invisible to the caller). Deletion vectors on rewritten files
+    * materialize and retire; the bucket claim clears (a partial
+    * rewrite can't re-assert a whole-table layout). Returns the new
+    * version, or None when the scope has nothing to gain (already ≤
+    * the packed file count and vector-free). */
+  def compactWhere(spark: SparkSession, dir: String, column: String,
+                   lower: Any, upper: Any,
+                   targetBytes: Long = 128L * 1024 * 1024,
+                   maxRetries: Int = 20): Option[Long] = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val base = latestVersion(spark, dir).getOrElse(
+      throw new java.io.IOException(
+        s"compactWhere: no committed version under $dir"))
+    val (candidates, _) =
+      pruneFiles(spark, dir, column, lower, upper, Some(base))
+    compactFiles(spark, dir, base, candidates.sorted, targetBytes,
+      "compactWhere", maxRetries)
+  }
+
+  /** Small-file bin-packing — the streaming-ingest janitor: rewrite
+    * ONLY the files below `smallerThanBytes`, packed to `targetBytes`;
+    * every right-sized file carries forward by reference. Micro-batch
+    * sinks accrete thousands of kilobyte files per day — this folds
+    * them into scan-efficient files for the cost of the small files
+    * alone, where a full [[compact]] would re-copy the terabytes that
+    * are already well-laid-out. Same DV-materialization and
+    * claim-clearing semantics as [[compactWhere]]. */
+  def binPackSmall(spark: SparkSession, dir: String,
+                   smallerThanBytes: Long,
+                   targetBytes: Long = 128L * 1024 * 1024,
+                   maxRetries: Int = 20): Option[Long] = {
+    require(smallerThanBytes > 0,
+      s"smallerThanBytes must be positive, got $smallerThanBytes")
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val base = latestVersion(spark, dir).getOrElse(
+      throw new java.io.IOException(
+        s"binPackSmall: no committed version under $dir"))
+    val st = stateOf(spark, dir, base)
+    val f = fs(spark, dir)
+    val candidates = st.files.filter { p =>
+      st.sizes.getOrElse(p,
+        f.getFileStatus(new Path(dir, p)).getLen) < smallerThanBytes
+    }.sorted
+    compactFiles(spark, dir, base, candidates, targetBytes,
+      "binPackSmall", maxRetries)
+  }
+
+  /** The shared scoped-rewrite kernel of [[compactWhere]] and
+    * [[binPackSmall]]: bin-pack `candidates` (live rows only — their
+    * deletion vectors apply and retire) into ceil(bytes/targetBytes)
+    * files and commit through [[commitRewrite]], which carries every
+    * non-candidate file forward and supplies the full conflict
+    * surface (a candidate rewritten or re-vectored concurrently
+    * throws). No-op (None) when the candidates are already at or
+    * under the packed count with no vectors to materialize. */
+  private def compactFiles(spark: SparkSession, dir: String, base: Long,
+                           candidates: Seq[String], targetBytes: Long,
+                           op: String, maxRetries: Int): Option[Long] = {
+    if (candidates.isEmpty) return None
+    val st = stateOf(spark, dir, base)
+    val f = fs(spark, dir)
+    val totalBytes = candidates.map(p => st.sizes.getOrElse(p,
+      f.getFileStatus(new Path(dir, p)).getLen)).sum
+    val nTarget =
+      math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
+    if (candidates.length <= nTarget &&
+        !candidates.exists(st.dvRefs.contains))
+      return None
+    val src = readFilesWithDv(spark, dir, candidates,
+      manifestSchema(spark, dir, base), st.dvRefs).coalesce(nTarget)
+    commitRewrite(spark, dir, candidates, src,
+      trackedStatsCols(spark, dir, base),
+      trackedBloomCols(spark, dir, base), maxRetries, op,
+      baseDv = st.dvRefs)
+  }
+
   /** The interleaved-bit z-value of `cols` over `src`'s value ranges —
     * composed entirely from built-in bit expressions (shiftleft/
     * shiftright/&/|), so the whole computation stays inside
@@ -2087,6 +2219,59 @@ object SnapshotTable {
       throw new java.io.IOException(
         s"shallowClone: destination $dstDir committed concurrently")
     0L
+  }
+
+  /** RESTORE the table to a prior version's contents as a NEW commit
+    * (the public `RESTORE TABLE … VERSION AS OF` shape): ONE manifest
+    * write reinstating `toVersion`'s complete state — files, stats,
+    * Bloom refs, deletion vectors, schema, bucket claim — with zero
+    * data movement (at 100 TB an accidental table-wide DELETE undoes
+    * in milliseconds, not a rewrite). History is preserved: a restore
+    * is itself a versioned, restorable commit, and [[changeFeed]]
+    * surfaces it as the exact row-level diff (files dropped since the
+    * target re-add; files added since drop).
+    *
+    * The CURRENT head's transaction ledger carries forward, NOT the
+    * target's: a streaming writer's replayed (appId, txnVersion) must
+    * stay a manifest no-op after the rollback, or the restore would
+    * re-admit every ledgered batch since the target a second time.
+    * Files the target references that the head no longer does are the
+    * only ones [[vacuum]] could have retired — each is
+    * existence-checked and a vacuumed-away file fails loudly BEFORE
+    * any commit. Returns the new version; None when the head already
+    * reads identically to the target (same files, same vectors). */
+  def restore(spark: SparkSession, dir: String, toVersion: Long,
+              maxRetries: Int = 20): Option[Long] = {
+    val f = fs(spark, dir)
+    val target = stateOf(spark, dir, toVersion) // throws once vacuumed
+    val targetSchema = manifestSchema(spark, dir, toVersion)
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val cur = latestVersion(spark, dir).getOrElse(
+        throw new java.io.IOException(
+          s"restore: no committed version under $dir"))
+      require(toVersion <= cur,
+        s"restore: target v$toVersion is beyond the head v$cur")
+      val curSt = stateOf(spark, dir, cur)
+      if (curSt.files.toSet == target.files.toSet &&
+          curSt.dvRefs == target.dvRefs) return None
+      val gone = target.files.filterNot(curSt.files.toSet)
+        .filterNot { p =>
+          f.exists(if (p.startsWith("data/")) new Path(dir, p)
+                   else new Path(p))
+        }
+      if (gone.nonEmpty) throw new java.io.IOException(
+        s"restore: v$toVersion data files already vacuumed: " +
+          gone.take(3).mkString(", "))
+      if (tryCommit(spark, dir, cur + 1, target.files, curSt.txns,
+          target.stats, targetSchema, target.bloomRefs,
+          target.bloomCols, target.sizes, "restore", target.dvRefs,
+          target.bucket))
+        return Some(cur + 1)
+      attempt += 1
+    }
+    throw new java.io.IOException(
+      s"restore: lost the commit race $maxRetries times under $dir")
   }
 
   /** Retire data files referenced by NO manifest among the latest
@@ -2439,6 +2624,98 @@ object SnapshotTable {
     }
     throw new java.io.IOException(
       s"deleteWhereMor: lost the commit race $maxRetries times under $dir")
+  }
+
+  /** MERGE-ON-READ row UPDATE — [[updateWhere]]'s write-cheap sibling
+    * (the Delta DV-update design): matched rows are MASKED by a
+    * deletion vector on their current files while their UPDATED forms
+    * (SET expressions over the pre-update row) land as NEW files —
+    * one commit, write cost proportional to MATCHED ROWS, not touched
+    * bytes. At 100 TB, updating a handful of rows scattered across
+    * thousand-file terabytes costs kilobytes of vector plus one small
+    * data file, where CoW would rewrite every touched gigabyte.
+    * Readers see the update immediately (vectors apply on every read
+    * path); [[changeFeed]] surfaces it as exact delete+insert pairs
+    * (dv-advanced files re-diff, new files are inserts), so
+    * [[MaterializedAgg]] maintenance keeps working; [[compact]]
+    * materializes the masks away. Same SET-column guards as
+    * [[updateWhere]], same conflict surface as [[deleteWhereMor]]
+    * (concurrently rewritten or re-vectored affected files throw).
+    * The bucket claim clears (the new files aren't bucket-routed).
+    * Returns the committed version; None when nothing matched. */
+  def updateWhereMor(spark: SparkSession, dir: String, condition: Column,
+                     set: Seq[(String, Column)],
+                     maxRetries: Int = 20): Option[Long] = {
+    require(set.nonEmpty, "updateWhereMor: at least one SET column required")
+    require(set.map(_._1).distinct.length == set.length,
+      s"updateWhereMor: duplicate SET columns: " +
+        s"${set.map(_._1).diff(set.map(_._1).distinct).distinct.mkString(", ")}")
+    val base = latestVersion(spark, dir).getOrElse(
+      throw new java.io.IOException(
+        s"updateWhereMor: no committed version under $dir"))
+    val baseSt = stateOf(spark, dir, base)
+    if (baseSt.files.isEmpty) return None
+    val schema = manifestSchema(spark, dir, base)
+    val fieldNames = schema.map(_.fieldNames.toSeq)
+      .getOrElse(read(spark, dir, Some(base)).columns.toSeq)
+    set.foreach { case (c, _) =>
+      require(fieldNames.contains(c),
+        s"updateWhereMor: SET column $c does not exist (columns: " +
+          s"${fieldNames.mkString(", ")})")
+    }
+    // Matches among LIVE rows only, carrying their physical positions.
+    val matches = withFile(spark, dir, base).filter(condition)
+    val positions = matches.select(col("__file").as("file"),
+      col("__row_index").as("row_index"))
+    val affected = positions.select("file").distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+    if (affected.isEmpty) return None
+    // The updated forms: every row here matched, so the SET columns
+    // project unconditionally — all against the PRE-update row.
+    val setMap = set.toMap
+    val updated = matches.select(fieldNames.map(c =>
+      setMap.get(c).map(_.as(c)).getOrElse(col(c))): _*)
+    val (added, addedStats, addedRefs, addedSizes) =
+      writeBatch(updated, dir, trackedStatsCols(spark, dir, base),
+        trackedBloomCols(spark, dir, base), strictBlooms = false)
+    // Cumulative vector per affected file: previous positions ∪ new.
+    val prior = dvRows(spark, dir, baseSt.dvRefs, affected)
+      .map(_.filter(col("__dv_file").isin(affected: _*))
+        .select(col("__dv_file").as("file"),
+          col("__dv_rowidx").as("row_index")))
+    val vector = prior.map(positions.unionByName(_).distinct())
+      .getOrElse(positions)
+    val batch = java.util.UUID.randomUUID().toString
+    val ref = s"_dv/$batch"
+    vector.write.parquet(new Path(dir, ref).toString)
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val cur = latestVersion(spark, dir).get
+      val curSt = stateOf(spark, dir, cur)
+      val missing = affected.filterNot(curSt.files.toSet)
+      if (missing.nonEmpty)
+        throw new java.util.ConcurrentModificationException(
+          s"updateWhereMor: affected files rewritten concurrently: " +
+            missing.take(3).mkString(", "))
+      val dvMoved = affected.filter(f =>
+        curSt.dvRefs.get(f) != baseSt.dvRefs.get(f))
+      if (dvMoved.nonEmpty)
+        throw new java.util.ConcurrentModificationException(
+          s"updateWhereMor: deletion vectors advanced concurrently on " +
+            s"${dvMoved.take(3).mkString(", ")}")
+      val nextSchema = Some(curSt.schema
+        .map(evolveSchema(_, updated.schema))
+        .getOrElse(evolveSchema(new StructType(), updated.schema)))
+      if (tryCommit(spark, dir, cur + 1, curSt.files ++ added,
+          curSt.txns, curSt.stats ++ addedStats, nextSchema,
+          curSt.bloomRefs ++ addedRefs, curSt.bloomCols,
+          curSt.sizes ++ addedSizes, "updateMor",
+          curSt.dvRefs ++ affected.map(_ -> ref)))
+        return Some(cur + 1)
+      attempt += 1
+    }
+    throw new java.io.IOException(
+      s"updateWhereMor: lost the commit race $maxRetries times under $dir")
   }
 
   /** Copy-on-write MERGE (upsert): for key-matched rows the source row

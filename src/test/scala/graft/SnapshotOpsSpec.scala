@@ -1,0 +1,176 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.sources.SnapshotTable
+
+/** Round-8 table operations: RESTORE (rollback as a new commit),
+  * merge-on-read UPDATE (vector-mask + new-file append in one
+  * commit), and scoped compaction (compactWhere / binPackSmall —
+  * rewrite only the files in scope, carry everything else forward
+  * by reference). */
+class SnapshotOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private def tmp(tag: String): String =
+    Files.createTempDirectory(s"graft-ops-$tag").toString + "/t"
+
+  private def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+    df.select("id").collect().map(_.getLong(0)).toSet
+
+  test("restore: rollback reinstates a prior version's exact contents as a new commit") {
+    val dir = tmp("restore")
+    SnapshotTable.append(spark.range(0, 50).toDF(), dir,
+      statsCols = Seq("id"))                                  // v0
+    SnapshotTable.append(spark.range(50, 100).toDF(), dir)    // v1
+    SnapshotTable.deleteWhere(spark, dir, $"id" % 2 === 0L)   // v2
+    val v = SnapshotTable.restore(spark, dir, 1L).get
+    assert(v == 3L)
+    // contents == v1 exactly, including the file list (zero data moved)
+    assert(ids(SnapshotTable.read(spark, dir)) == (0L until 100L).toSet)
+    assert(SnapshotTable.manifestFiles(spark, dir, v).toSet ==
+      SnapshotTable.manifestFiles(spark, dir, 1L).toSet)
+    // history: the rollback is itself a versioned commit
+    val ops = SnapshotTable.history(spark, dir)
+      .select("version", "op").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(ops(3L) == "restore")
+    // the deleted state is still time-travelable
+    assert(ids(SnapshotTable.read(spark, dir, Some(2L))) ==
+      (0L until 100L).filter(_ % 2 == 1).toSet)
+    // restoring to the just-restored (identical) state is a no-op
+    assert(SnapshotTable.restore(spark, dir, 1L).isEmpty)
+    // a target with no committed manifest fails loudly
+    intercept[java.io.IOException] {
+      SnapshotTable.restore(spark, dir, 99L)
+    }
+  }
+
+  test("restore: deletion vectors roll back and the txn ledger carries forward") {
+    val dir = tmp("restore-dv")
+    SnapshotTable.append(spark.range(0, 40).toDF(), dir)      // v0
+    assert(SnapshotTable.transactionalAppend(
+      spark.range(40, 60).toDF(), dir, "app", 7L).nonEmpty)   // v1
+    SnapshotTable.deleteWhereMor(spark, dir, $"id" < 10L)     // v2 (vector)
+    val v = SnapshotTable.restore(spark, dir, 1L).get
+    // masked rows are back (the pre-vector dvRefs state is reinstated)
+    assert(ids(SnapshotTable.read(spark, dir)) == (0L until 60L).toSet)
+    assert(SnapshotTable.manifestDvRefs(spark, dir, v).isEmpty)
+    // ledger survived the rollback: the replayed batch stays a no-op
+    assert(SnapshotTable.transactionalAppend(
+      spark.range(999, 1100).toDF(), dir, "app", 7L).isEmpty)
+    assert(ids(SnapshotTable.read(spark, dir)) == (0L until 60L).toSet)
+  }
+
+  test("updateWhereMor: masked old rows + new-file updates in one commit, equals CoW") {
+    val cow = tmp("upd-cow"); val mor = tmp("upd-mor")
+    val data = spark.range(0, 120).toDF()
+      .withColumn("status", lit("open"))
+      .withColumn("amount", ($"id" * 3L).cast("long"))
+    SnapshotTable.append(data, cow)
+    SnapshotTable.append(data, mor)
+    val filesBefore = SnapshotTable.manifestFiles(spark, mor, 0L).toSet
+    SnapshotTable.updateWhere(spark, cow, $"id" % 10 === 4L,
+      Seq("status" -> lit("closed"), "amount" -> ($"amount" + 1000L)))
+    val v = SnapshotTable.updateWhereMor(spark, mor, $"id" % 10 === 4L,
+      Seq("status" -> lit("closed"), "amount" -> ($"amount" + 1000L))).get
+    // MoR kept every original file (masked, not rewritten) and added new
+    val filesAfter = SnapshotTable.manifestFiles(spark, mor, v).toSet
+    assert(filesBefore.subsetOf(filesAfter) && filesAfter != filesBefore)
+    assert(SnapshotTable.manifestDvRefs(spark, mor, v).nonEmpty)
+    // identical result to the CoW twin
+    def snap(d: String) = SnapshotTable.read(spark, d)
+      .select("id", "status", "amount").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(snap(mor) == snap(cow))
+    // updating rows that don't exist is a no-op; typo'd SET refuses
+    assert(SnapshotTable.updateWhereMor(spark, mor, $"id" === -1L,
+      Seq("status" -> lit("x"))).isEmpty)
+    intercept[IllegalArgumentException] {
+      SnapshotTable.updateWhereMor(spark, mor, $"id" === 1L,
+        Seq("statsu" -> lit("x")))
+    }
+  }
+
+  test("updateWhereMor: compaction materializes the update and purges vectors") {
+    val dir = tmp("upd-purge")
+    SnapshotTable.append(spark.range(0, 80).toDF()
+      .withColumn("v", lit(0L)), dir)
+    SnapshotTable.updateWhereMor(spark, dir, $"id" >= 70L,
+      Seq("v" -> lit(1L)))
+    // a second MoR update composes with the first file's vector
+    SnapshotTable.updateWhereMor(spark, dir, $"id" < 5L,
+      Seq("v" -> lit(2L)))
+    val expect = (0L until 80L).map(i =>
+      (i, if (i >= 70) 1L else if (i < 5) 2L else 0L)).toSet
+    def snap() = SnapshotTable.read(spark, dir).select("id", "v")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(snap() == expect)
+    val cv = SnapshotTable.compact(spark, dir).get
+    assert(SnapshotTable.manifestDvRefs(spark, dir, cv).isEmpty)
+    assert(snap() == expect)
+  }
+
+  test("compactWhere rewrites only the in-scope files; out-of-scope carry forward by reference") {
+    val dir = tmp("scoped")
+    // three appends with disjoint id ranges → disjoint per-file stats
+    SnapshotTable.append(spark.range(0, 100).repartition(3).toDF(), dir,
+      statsCols = Seq("id"))
+    SnapshotTable.append(spark.range(100, 200).repartition(3).toDF(), dir)
+    SnapshotTable.append(spark.range(200, 300).repartition(3).toDF(), dir)
+    val before = SnapshotTable.manifestFiles(spark, dir, 2L)
+    val (outOfScope, _) =
+      SnapshotTable.pruneFiles(spark, dir, "id", 200L, 299L, Some(2L))
+    val v = SnapshotTable.compactWhere(spark, dir, "id", 0L, 199L,
+      maxRetries = 20).get
+    val after = SnapshotTable.manifestFiles(spark, dir, v)
+    // the last range's files survive under their exact names
+    assert(outOfScope.toSet.subsetOf(after.toSet))
+    // the in-scope six files packed down (fewer files than before)
+    assert(after.length < before.length)
+    assert(ids(SnapshotTable.read(spark, dir)) == (0L until 300L).toSet)
+    // stats survive the scoped rewrite: pruning still works
+    val (sel, tot) = SnapshotTable.pruneFiles(spark, dir, "id", 250L, 260L)
+    assert(sel.length < tot)
+    // an already-packed scope is a no-op
+    assert(SnapshotTable.compactWhere(spark, dir, "id", 200L, 299L,
+      targetBytes = 1L).isEmpty)
+  }
+
+  test("compactWhere materializes in-scope deletion vectors only") {
+    val dir = tmp("scoped-dv")
+    SnapshotTable.append(spark.range(0, 100).coalesce(1).toDF(), dir,
+      statsCols = Seq("id"))
+    SnapshotTable.append(spark.range(100, 200).coalesce(1).toDF(), dir)
+    SnapshotTable.deleteWhereMor(spark, dir, $"id" === 5L || $"id" === 150L)
+    val v = SnapshotTable.compactWhere(spark, dir, "id", 0L, 99L).get
+    val dv = SnapshotTable.manifestDvRefs(spark, dir, v)
+    // the out-of-scope file keeps its vector; the in-scope one purged
+    assert(dv.size == 1)
+    assert(ids(SnapshotTable.read(spark, dir)) ==
+      ((0L until 200L).toSet - 5L - 150L))
+  }
+
+  test("binPackSmall folds only sub-threshold files") {
+    val dir = tmp("binpack")
+    // one big file, then five tiny ones
+    SnapshotTable.append(spark.range(0, 200000).coalesce(1).toDF(), dir)
+    for (i <- 0 until 5)
+      SnapshotTable.append(
+        spark.range(300000L + i, 300001L + i).coalesce(1).toDF(), dir)
+    val vBefore = SnapshotTable.latestVersion(spark, dir).get
+    val sizes = SnapshotTable.manifestSizes(spark, dir, vBefore)
+    val big = sizes.maxBy(_._2)._1
+    val threshold = sizes(big) // everything strictly below the big file
+    val v = SnapshotTable.binPackSmall(spark, dir, threshold).get
+    val after = SnapshotTable.manifestFiles(spark, dir, v)
+    // the big file survived by name; the five small ones became one
+    assert(after.contains(big))
+    assert(after.length == 2)
+    assert(SnapshotTable.read(spark, dir).count() == 200005L)
+    // immediately re-running has nothing to gain
+    assert(SnapshotTable.binPackSmall(spark, dir, threshold).isEmpty)
+  }
+}
