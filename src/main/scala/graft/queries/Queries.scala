@@ -11904,6 +11904,54 @@ object Queries {
         * 10000.0 + 0.5) / 10000.0 AS sd_chars
     FROM m ORDER BY lang"""))
 
+  /** CHECK constraints through
+    * [[graft.sources.SnapshotTable.addConstraint]] — manifest-recorded
+    * table policy enforced BEFORE data lands: under a price-cap
+    * constraint a violating batch is REFUSED (asserted — the rows
+    * must not land), a conforming batch lands, and after
+    * [[graft.sources.SnapshotTable.dropConstraint]] the previously
+    * refused rows land too. Final state = every order exactly once,
+    * so the oracle (the plain full-table rollup) bites from both
+    * sides: enforcement that silently let the bad batch through
+    * would double rows; enforcement that wrongly refused the good
+    * batches would drop them. */
+  private val qSnapshotConstraint = Q(
+    "q_snapshot_constraint",
+    (s, d) => {
+      val dir = snapTmp()
+      val base = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          col("o_totalprice"))
+      val cap = 300000.0
+      graft.sources.SnapshotTable.append(
+        base.filter(pmod(col("o_orderkey"), lit(2)) === 0 &&
+          col("o_totalprice") <= cap), dir)
+      graft.sources.SnapshotTable.addConstraint(s, dir, "price_cap",
+        s"o_totalprice <= $cap")
+      val refused = try {
+        graft.sources.SnapshotTable.append(
+          base.filter(col("o_totalprice") > cap), dir)
+        false
+      } catch { case _: IllegalArgumentException => true }
+      require(refused, "constraint failed to refuse a violating batch")
+      graft.sources.SnapshotTable.append(
+        base.filter(pmod(col("o_orderkey"), lit(2)) === 1 &&
+          col("o_totalprice") <= cap), dir)
+      graft.sources.SnapshotTable.dropConstraint(s, dir, "price_cap")
+      graft.sources.SnapshotTable.append(
+        base.filter(col("o_totalprice") > cap), dir)
+      graft.sources.SnapshotTable.read(s, dir)
+        .groupBy(col("o_orderpriority").as("priority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,6)") * 100)
+            .cast("long").as("cents"))
+        .orderBy("priority")
+    },
+    Some("""SELECT o_orderpriority AS priority, count(*) AS n,
+      CAST(sum(CAST(o_totalprice AS DECIMAL(18,6)) * 100) AS BIGINT)
+        AS cents
+    FROM orders GROUP BY 1 ORDER BY priority"""))
+
   /** RESTORE through [[graft.sources.SnapshotTable.restore]] — the
     * rollback-as-commit surface (`RESTORE TABLE … VERSION AS OF`):
     * orders land in two appends, a CoW DELETE drops every 'F' order,
@@ -12464,6 +12512,7 @@ object Queries {
     qSnapshotMor, qSnapshotMorSql, qSnapshotCdf, qMatviewMinmax,
     qMatviewStats, qSnapshotBucket, qSnapshotLive,
     qSnapshotRestore, qSnapshotMorUpdate, qSnapshotCompactWhere,
+    qSnapshotConstraint,
     qQualityProbe, qQualityClassifier, qAnnPq, qAnnIvfPq, qAnnIvfPqRes, qAnnRerank,
     qBpeTrain, qBpeTrainBatched,
     qCorpusFunnel, qAnnKmeans, qAnnTrained,

@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{broadcast, coalesce, col, concat, greatest, hash, input_file_name, least, lit, max, min, not, pmod, regexp_replace, shiftleft, shiftright, when}
+import org.apache.spark.sql.functions.{broadcast, coalesce, col, concat, expr, greatest, hash, input_file_name, least, lit, max, min, not, pmod, regexp_replace, shiftleft, shiftright, when}
 import org.apache.spark.sql.types._
 
 /** Minimal manifest-committed table format — the consistency layer the
@@ -168,7 +168,8 @@ object SnapshotTable {
       dvRefs: Map[String, String] = Map.empty,
       segments: Seq[(String, Seq[String])] = Nil,
       dvDirty: Set[String] = Set.empty,
-      bucket: Option[BucketLayout] = None)
+      bucket: Option[BucketLayout] = None,
+      constraints: Map[String, String] = Map.empty)
 
   /** A table-wide bucketing CLAIM: every data file of the version was
     * written by [[appendBucketed]] with this spec — file names carry
@@ -399,7 +400,8 @@ object SnapshotTable {
         sizes = segs.iterator.flatMap(_._2.sizes).toMap,
         dvRefs = segs.iterator.flatMap(_._2.dvRefs).toMap,
         segments = segs.map { case (nm, s) => nm -> s.files },
-        bucket = bucketOf(n))
+        bucket = bucketOf(n),
+        constraints = refMapOf(n, "constraints"))
     }
     val refs = bloomRefsOf(n)
     val cols = strSeq(n, "bloomcols") match {
@@ -416,7 +418,8 @@ object SnapshotTable {
               else strSeq(n, "adds"),
       txns = txnsOf(n), stats = statsOf(n), bloomRefs = refs,
       bloomCols = cols, legacyBlooms = legacy, schema = schemaOf(n),
-      sizes = sizesOf(n), dvRefs = dvRefsOf(n), bucket = bucketOf(n))
+      sizes = sizesOf(n), dvRefs = dvRefsOf(n), bucket = bucketOf(n),
+      constraints = refMapOf(n, "constraints"))
   }
 
   private def deltaState(parent: TableState,
@@ -450,7 +453,12 @@ object SnapshotTable {
       // The bucketing claim never inherits: each commit must
       // re-assert it (appendBucketed does) or the table is no longer
       // uniformly bucketed and the claim clears.
-      bucket = bucketOf(n))
+      bucket = bucketOf(n),
+      // CHECK constraints DO inherit (they are table policy): a delta
+      // carries the field only when the set changed — present-but-
+      // empty means an explicit clear.
+      constraints = if (n.get("constraints") != null)
+        refMapOf(n, "constraints") else parent.constraints)
   }
 
   /** The file list of a version (relative paths). */
@@ -897,15 +905,23 @@ object SnapshotTable {
                         sizes: Map[String, Long] = Map.empty,
                         op: String = "commit",
                         dvRefs: Map[String, String] = Map.empty,
-                        bucket: Option[BucketLayout] = None
+                        bucket: Option[BucketLayout] = None,
+                        constraints: Option[Map[String, String]] = None
                        ): Boolean = commitLock.synchronized {
     val f = fs(spark, dir)
     f.mkdirs(manifestDir(dir))
     val target = manifestPath(dir, v)
     if (f.exists(target)) return false
     val full = v == 0L || v % CheckpointEvery == 0L
+    // None = inherit the parent's constraint set (constraints are
+    // table policy — only addConstraint/dropConstraint pass Some).
+    val effConstraints = constraints.getOrElse(
+      if (v == 0L) Map.empty[String, String]
+      else scala.util.Try(stateOf(spark, dir, v - 1).constraints)
+        .getOrElse(Map.empty[String, String]))
     val body = manifestBody(spark, dir, v, full, files, txns, stats,
-      schema, bloomRefs, bloomCols, sizes, op, dvRefs, bucket)
+      schema, bloomRefs, bloomCols, sizes, op, dvRefs, bucket,
+      effConstraints)
     val tmp = new Path(manifestDir(dir),
       s".v$v.${java.util.UUID.randomUUID()}.tmp")
     val out = f.create(tmp, false)
@@ -928,7 +944,9 @@ object SnapshotTable {
                            sizes: Map[String, Long],
                            op: String = "commit",
                            dvRefs: Map[String, String] = Map.empty,
-                           bucket: Option[BucketLayout] = None): String = {
+                           bucket: Option[BucketLayout] = None,
+                           constraints: Map[String, String] = Map.empty
+                          ): String = {
     val root = new java.util.LinkedHashMap[String, Object]()
     root.put("version", java.lang.Long.valueOf(v))
     root.put("op", op)
@@ -989,6 +1007,12 @@ object SnapshotTable {
       bloomCols.distinct.sorted.foreach(cj.add)
       root.put("bloomcols", cj)
     }
+    def putConstraints(m: Map[String, String]): Unit = {
+      val cj = new java.util.LinkedHashMap[String, Object]()
+      m.toSeq.sortBy(_._1).foreach { case (nm, sql) => cj.put(nm, sql) }
+      root.put("constraints", cj)
+    }
+    if (full) { if (constraints.nonEmpty) putConstraints(constraints) }
     if (full && files.size > SegmentInlineMax) {
       // SEGMENTED checkpoint — the 100 TB commit-cost answer (the
       // public Iceberg manifest-list design): the checkpoint
@@ -1066,6 +1090,10 @@ object SnapshotTable {
         dvRemoves.foreach(dj.add)
         root.put("dvremoves", dj)
       }
+      // constraints in a delta only when the set CHANGED — a
+      // present-but-empty object is an explicit clear, absence
+      // inherits (see deltaState).
+      if (constraints != parent.constraints) putConstraints(constraints)
     }
     mapper.writeValueAsString(root)
   }
@@ -1303,6 +1331,7 @@ object SnapshotTable {
     // re-runs against whatever manifest the commit loop lands on).
     latestVersion(spark, dir).flatMap(manifestSchema(spark, dir, _))
       .foreach(evolveSchema(_, df.schema))
+    enforceConstraints(spark, dir, df, "append")
     val (sCols, bCols) = inheritTracking(spark, dir, df, statsCols, bloomCols)
     val (added, addedStats, addedRefs, addedSizes) =
       writeBatch(df, dir, sCols, bCols, strictBlooms = false)
@@ -1323,6 +1352,7 @@ object SnapshotTable {
   def overwrite(df: DataFrame, dir: String, statsCols: Seq[String] = Nil,
                 bloomCols: Seq[String] = Nil, maxRetries: Int = 20): Long = {
     val spark = df.sparkSession
+    enforceConstraints(spark, dir, df, "overwrite")
     val (added, addedStats, addedRefs, addedSizes) =
       writeBatch(df, dir, statsCols, bloomCols)
     var attempt = 0
@@ -1421,6 +1451,7 @@ object SnapshotTable {
     val spark = df.sparkSession
     latestVersion(spark, dir).flatMap(manifestSchema(spark, dir, _))
       .foreach(evolveSchema(_, df.schema))
+    enforceConstraints(spark, dir, df, "appendPartitioned")
     val (sCols, bCols) = inheritTracking(spark, dir, df, statsCols, bloomCols)
     val f = fs(spark, dir)
     val batch = java.util.UUID.randomUUID().toString
@@ -1483,6 +1514,7 @@ object SnapshotTable {
         s"appendBucketed: table under $dir is not bucketed as $layout " +
           s"(found ${cur.bucket.orNull}) — overwrite or compact first")
     }
+    enforceConstraints(spark, dir, df, "appendBucketed")
     val (sCols, bCols) = inheritTracking(spark, dir, df, statsCols, bloomCols)
     val f = fs(spark, dir)
     val batch = java.util.UUID.randomUUID().toString
@@ -1566,6 +1598,8 @@ object SnapshotTable {
     }
     latestVersion(spark, dir).flatMap(manifestSchema(spark, dir, _))
       .foreach(evolveSchema(_, df.schema))
+    enforceConstraints(spark, dir, df, "transactionalAppendPartitioned")
+    val (sCols, bCols) = inheritTracking(spark, dir, df, statsCols, bloomCols)
     val f = fs(spark, dir)
     val batch = java.util.UUID.randomUUID().toString
     val batchDir = new Path(dir, s"data/$batch")
@@ -1577,7 +1611,6 @@ object SnapshotTable {
     val added = listed.map(st => manifestKey(dir, st.getPath.toString))
     val sizes = listed.map(st =>
       manifestKey(dir, st.getPath.toString) -> st.getLen).toMap
-    val (sCols, bCols) = inheritTracking(spark, dir, df, statsCols, bloomCols)
     val stats = computeStats(spark, batchDir,
       (partitionBy ++ sCols).distinct)
     val refs = writeBloomSidecar(spark, dir, batch,
@@ -1648,6 +1681,7 @@ object SnapshotTable {
     val pre = latestVersion(spark, dir)
       .map(manifestTxns(spark, dir, _)).getOrElse(Map.empty)
     if (pre.getOrElse(appId, Long.MinValue) >= txnVersion) return None
+    enforceConstraints(spark, dir, df, "transactionalAppend")
     val (sCols, bCols) = inheritTracking(spark, dir, df, statsCols, bloomCols)
     val (added, addedStats, addedRefs, addedSizes) =
       writeBatch(df, dir, sCols, bCols, strictBlooms = false)
@@ -2221,6 +2255,104 @@ object SnapshotTable {
     0L
   }
 
+  /** The CHECK constraints recorded at version `v` (name → SQL
+    * expression). */
+  def manifestConstraints(spark: SparkSession, dir: String,
+                          v: Long): Map[String, String] =
+    stateOf(spark, dir, v).constraints
+
+  /** Record a CHECK constraint (the public `ALTER TABLE … ADD
+    * CONSTRAINT … CHECK (expr)` shape): `exprSql` must hold — SQL
+    * CHECK semantics, violated only when the expression evaluates to
+    * FALSE; NULL passes — for every CURRENT row (validated here with
+    * one scan) and for every batch any future commit lands (enforced
+    * in the write paths BEFORE data lands, so a bad batch costs
+    * nothing and corrupts nothing). Constraints are table policy:
+    * they inherit through every commit until [[dropConstraint]].
+    * At 100 TB this is the difference between quarantining a bad
+    * producer at its first batch and discovering a month of NULL keys
+    * during a join investigation. Returns the committed version. */
+  def addConstraint(spark: SparkSession, dir: String, name: String,
+                    exprSql: String, maxRetries: Int = 20): Long = {
+    require(name.nonEmpty, "addConstraint: name must be non-empty")
+    val base = latestVersion(spark, dir).getOrElse(
+      throw new java.io.IOException(
+        s"addConstraint: no committed version under $dir"))
+    // Parse errors AND existing-data violations surface here, before
+    // any manifest changes.
+    val bad = read(spark, dir, Some(base))
+      .filter(not(coalesce(expr(exprSql), lit(true)))).limit(1).collect()
+    if (bad.nonEmpty) throw new IllegalArgumentException(
+      s"addConstraint: existing rows violate $name ($exprSql), e.g. " +
+        bad.head.mkString(","))
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val cur = latestVersion(spark, dir).get
+      val st = stateOf(spark, dir, cur)
+      require(!st.constraints.contains(name),
+        s"addConstraint: constraint $name already exists " +
+          s"(${st.constraints(name)})")
+      if (tryCommit(spark, dir, cur + 1, st.files, st.txns, st.stats,
+          st.schema, st.bloomRefs, st.bloomCols, st.sizes,
+          "addConstraint", st.dvRefs, st.bucket,
+          Some(st.constraints + (name -> exprSql))))
+        return cur + 1
+      attempt += 1
+    }
+    throw new java.io.IOException(
+      s"addConstraint: lost the commit race $maxRetries times under $dir")
+  }
+
+  /** Drop a recorded CHECK constraint. Returns the committed
+    * version. */
+  def dropConstraint(spark: SparkSession, dir: String, name: String,
+                     maxRetries: Int = 20): Long = {
+    val base = latestVersion(spark, dir).getOrElse(
+      throw new java.io.IOException(
+        s"dropConstraint: no committed version under $dir"))
+    require(stateOf(spark, dir, base).constraints.contains(name),
+      s"dropConstraint: no such constraint $name")
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val cur = latestVersion(spark, dir).get
+      val st = stateOf(spark, dir, cur)
+      if (tryCommit(spark, dir, cur + 1, st.files, st.txns, st.stats,
+          st.schema, st.bloomRefs, st.bloomCols, st.sizes,
+          "dropConstraint", st.dvRefs, st.bucket,
+          Some(st.constraints - name)))
+        return cur + 1
+      attempt += 1
+    }
+    throw new java.io.IOException(
+      s"dropConstraint: lost the commit race $maxRetries times under $dir")
+  }
+
+  /** Enforce the table's recorded CHECK constraints on a batch (or a
+    * rewrite that can introduce new values) BEFORE it lands: one
+    * violation-probe action per constraint, each a `LIMIT 1` over the
+    * batch — zero cost when the table records none. SQL CHECK
+    * semantics: a row violates only when the expression is FALSE
+    * (NULL passes); a constraint whose columns the batch doesn't
+    * carry resolves against the NULL backfill, i.e. passes (caught as
+    * the analysis error it raises on the batch frame). */
+  private def enforceConstraints(spark: SparkSession, dir: String,
+                                 df: DataFrame, op: String): Unit = {
+    val cs = latestVersion(spark, dir)
+      .map(stateOf(spark, dir, _).constraints).getOrElse(Map.empty)
+    if (cs.isEmpty) return
+    cs.toSeq.sortBy(_._1).foreach { case (name, sql) =>
+      val bad =
+        try df.filter(not(coalesce(expr(sql), lit(true)))).limit(1).collect()
+        catch {
+          case _: org.apache.spark.sql.AnalysisException =>
+            Array.empty[org.apache.spark.sql.Row]
+        }
+      if (bad.nonEmpty) throw new IllegalArgumentException(
+        s"$op: CHECK constraint $name ($sql) violated, e.g. row " +
+          bad.head.mkString(","))
+    }
+  }
+
   /** RESTORE the table to a prior version's contents as a NEW commit
     * (the public `RESTORE TABLE … VERSION AS OF` shape): ONE manifest
     * write reinstating `toVersion`'s complete state — files, stats,
@@ -2339,9 +2471,13 @@ object SnapshotTable {
       if (node.get("files") == null && node.get("segments") == null) {
         val origOp = Option(node.get("op")).map(_.asText)
           .getOrElse("commit")
+        // The rewrite must carry the COMPLETE state — including the
+        // bucket claim and CHECK constraints, which the original
+        // delta-form manifest asserted/inherited; omitting either
+        // would silently strip table policy at the keepFrom version.
         val body = manifestBody(spark, dir, keepFrom, full = true,
           st.files, st.txns, st.stats, st.schema, st.bloomRefs, st.bloomCols,
-          st.sizes, origOp, st.dvRefs)
+          st.sizes, origOp, st.dvRefs, st.bucket, st.constraints)
         val tmp = new Path(manifestDir(dir),
           s".v$keepFrom.${java.util.UUID.randomUUID()}.ckpt.tmp")
         val out = f.create(tmp, false)
@@ -2548,6 +2684,7 @@ object SnapshotTable {
         case None => col(c)
       }
     }: _*)
+    enforceConstraints(spark, dir, rewritten, "updateWhere")
     commitRewrite(spark, dir, touched, rewritten,
       trackedStatsCols(spark, dir, base),
       trackedBloomCols(spark, dir, base), maxRetries, "updateWhere",
@@ -2675,6 +2812,7 @@ object SnapshotTable {
     val setMap = set.toMap
     val updated = matches.select(fieldNames.map(c =>
       setMap.get(c).map(_.as(c)).getOrElse(col(c))): _*)
+    enforceConstraints(spark, dir, updated, "updateWhereMor")
     val (added, addedStats, addedRefs, addedSizes) =
       writeBatch(updated, dir, trackedStatsCols(spark, dir, base),
         trackedBloomCols(spark, dir, base), strictBlooms = false)
@@ -2759,6 +2897,9 @@ object SnapshotTable {
     // An uninitialized table is a valid merge target: everything
     // inserts (what a streaming CDC apply's FIRST micro-batch needs).
     val base = latestVersion(spark, dir)
+    // Only SOURCE rows introduce new values — carried rows were
+    // validated when they landed.
+    enforceConstraints(spark, dir, source, "merge")
     val dupKeys = source.groupBy(keys.map(col): _*)
       .count().filter(col("count") > 1).limit(1).collect()
     require(dupKeys.isEmpty,
@@ -2823,6 +2964,8 @@ object SnapshotTable {
       if (pre.getOrElse(appId, Long.MinValue) >= tv) return None
     }
     val inserts = changes.filter(col("_change") === "insert").drop("_change")
+    // Only the insert half introduces new values.
+    enforceConstraints(spark, dir, inserts, "applyChanges")
     val dupKeys = inserts.groupBy(keys.map(col): _*)
       .count().filter(col("count") > 1).limit(1).collect()
     require(dupKeys.isEmpty,
