@@ -352,9 +352,24 @@ object Bpe {
     * actually batches; not part of the result contract). */
   @volatile var lastIterations: Int = 0
 
+  /** Tokenize a CORPUS with trained merges — the production step
+    * after [[train]]/[[trainBatched]]: one map-only scan emits each
+    * document's full token stream (`array<string>`) through the
+    * native [[graft.plans.BpeEncodeTokens]] expression (merges ride
+    * once per task as a referenced object; zero shuffle, zero state,
+    * so the cost of tokenizing 100 TB is exactly the cost of reading
+    * it). Lowercasing and `\s+` word-splitting match [[wordWeights]]
+    * (the training-side tokenization), and the per-word semantics are
+    * bit-identical to [[encode]], the driver reference (pinned in
+    * BpeSpec). */
+  def encodeCorpus(text: org.apache.spark.sql.Column,
+                   merges: Seq[(String, String)]): org.apache.spark.sql.Column =
+    graft.plans.GraftFunctions.bpeEncodeTokens(lower(text), merges)
+
   /** Tokenize one word with trained merges, rank order — the
     * driver-side reference encoder (specs + spot checks; bulk corpus
-    * tokenization would apply the same folds column-wise). */
+    * tokenization applies the same pass column-wise via
+    * [[encodeCorpus]]). */
   def encode(word: String, merges: Seq[(String, String)]): Seq[String] = {
     var syms = word.map(_.toString)
     merges.foreach { case (l, r) =>

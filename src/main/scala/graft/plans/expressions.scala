@@ -534,6 +534,68 @@ object ExprHelpers {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** Distributed BPE tokenizer APPLY (the corpus-scale counterpart of
+    * [[graft.operators.Bpe.encode]], the driver reference whose
+    * per-word semantics this replicates exactly): whitespace-split
+    * the (pre-lowercased) text — split on the RE2/Java `\s` class
+    * [ \t\n\f\r], empty tokens dropped, matching
+    * `Bpe.wordWeights`'s `split(lower(text), "\\s+")` — then encode
+    * each word by applying the trained merges in RANK ORDER, each
+    * merge one left-to-right non-overlapping pass with the
+    * prev-reset pairing discipline, and concatenate the per-word
+    * token streams. Map-only: tokenizing 100 TB is one scan — no
+    * shuffle, no state, merges ride once per task as a referenced
+    * object. `flat` is the merge list flattened [l0,r0,l1,r1,…].
+    * Null → null; no words → empty array. */
+  def bpeEncodeTokens(s: UTF8String, flat: Array[String]): ArrayData = {
+    if (s == null) return null
+    val str = s.toString
+    val n = str.length
+    def isWs(c: Char): Boolean =
+      c == ' ' || c == '\t' || c == '\n' || c == '\u000B' ||
+        c == '\f' || c == '\r'
+    val out = scala.collection.mutable.ArrayBuffer.empty[AnyRef]
+    var i = 0
+    while (i < n) {
+      while (i < n && isWs(str.charAt(i))) i += 1
+      val start = i
+      while (i < n && !isWs(str.charAt(i))) i += 1
+      if (i > start) {
+        var syms: Array[String] = {
+          val a = new Array[String](i - start)
+          var k = 0
+          while (k < a.length) {
+            a(k) = String.valueOf(str.charAt(start + k)); k += 1
+          }
+          a
+        }
+        var m = 0
+        while (m < flat.length && syms.length > 1) {
+          val l = flat(m); val r = flat(m + 1)
+          val buf = new scala.collection.mutable.ArrayBuffer[String](
+            syms.length)
+          var prev: String = null
+          var j = 0
+          while (j < syms.length) {
+            val x = syms(j)
+            if (prev == null) prev = x
+            else if (prev == l && x == r) { buf += (l + r); prev = null }
+            else { buf += prev; prev = x }
+            j += 1
+          }
+          if (prev != null) buf += prev
+          syms = buf.toArray
+          m += 2
+        }
+        var k = 0
+        while (k < syms.length) {
+          out += UTF8String.fromString(syms(k)); k += 1
+        }
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
   /** Dot product over two float arrays, accumulated in double,
     * left-to-right (same fold order as the HOF form and the DuckDB
     * oracle). Null arrays, length mismatches AND null ELEMENTS yield
@@ -1110,6 +1172,42 @@ case class WordGrams(child: Expression, w: Int) extends UnaryExpression {
       s"${ev.value} = graft.plans.ExprHelpers.wordGrams($c, $w);")
 
   override protected def withNewChildInternal(newChild: Expression): WordGrams =
+    copy(child = newChild)
+}
+
+/** Corpus-scale BPE tokenizer application (see
+  * [[ExprHelpers.bpeEncodeTokens]]): (pre-lowercased) text → the full
+  * token stream under a trained merge list — the PRODUCTION step
+  * after [[graft.operators.Bpe.train]], where the whole corpus
+  * tokenizes in one map-only scan. The flattened merge pairs ride
+  * once as a referenced object in interpreted and generated code
+  * alike (the [[SortedLongsContainAny]] discipline) — never
+  * serialized per row, never a literal in the generated source (so
+  * one janino compile serves every merge list). */
+case class BpeEncodeTokens(child: Expression, flatMerges: Array[String])
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType && flatMerges.length % 2 == 0)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"bpe_encode expects (STRING, flattened merge pairs), got " +
+        s"${child.dataType.sql}, ${flatMerges.length} flat entries")
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else ExprHelpers.bpeEncodeTokens(v.asInstanceOf[UTF8String], flatMerges)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeMerges", flatMerges, "java.lang.String[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.ExprHelpers.bpeEncodeTokens($c, $ref);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeEncodeTokens =
     copy(child = newChild)
 }
 
@@ -1868,6 +1966,12 @@ object GraftFunctions {
 
   def wordGrams(c: Column, w: Int): Column =
     GraftSqlBridge.column(WordGrams(GraftSqlBridge.expression(c), w))
+
+  /** Distributed tokenizer APPLY: (pre-lowercased) text → BPE token
+    * stream under `merges` (see [[BpeEncodeTokens]]). */
+  def bpeEncodeTokens(c: Column, merges: Seq[(String, String)]): Column =
+    GraftSqlBridge.column(BpeEncodeTokens(GraftSqlBridge.expression(c),
+      merges.flatMap(p => Seq(p._1, p._2)).toArray))
 
   /** Fused map-only MinHash signature (see [[MinHashSigs]]). */
   def minHashSigs(c: Column, w: Int, k: Int): Column =

@@ -11904,6 +11904,45 @@ object Queries {
         * 10000.0 + 0.5) / 10000.0 AS sd_chars
     FROM m ORDER BY lang"""))
 
+  /** Corpus BPE tokenization through
+    * [[graft.operators.Bpe.encodeCorpus]] — the PRODUCTION tokenizer
+    * apply (one map-only scan, merges ride as a task constant, zero
+    * shuffle until the histogram): the whole corpus encodes under a
+    * FIXED rank-ordered merge list, then the token histogram's top 25.
+    * The oracle restates BPE itself in SQL via a delimiter encoding:
+    * symbols joined by DOUBLE spaces, each merge = one `replace()` of
+    * `' l  r '` with `' lr '` — leftmost non-overlapping scanning
+    * that consumes ONE space from each side's double gap, which
+    * reproduces the reference pass's prev-reset pairing exactly (the
+    * single-space encoding would eat the next pair's boundary). An
+    * engine-side deviation in merge ORDER, pairing discipline, or
+    * word splitting flips token counts and fails the hash. */
+  private val qBpeEncode = Q(
+    "q_bpe_encode",
+    (s, d) => {
+      val merges = Seq("e" -> "r", "t" -> "h", "th" -> "e", "a" -> "n",
+        "i" -> "n", "o" -> "n", "an" -> "d")
+      t(s, d, "documents")
+        .select(explode(
+          graft.operators.Bpe.encodeCorpus(col("text"), merges)).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("tok").asc).limit(25)
+    },
+    Some("""WITH words AS (
+      SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS w
+      FROM documents),
+    enc AS (
+      SELECT replace(replace(replace(replace(replace(replace(replace(
+        '  ' || regexp_replace(w, '(.)', '\1  ', 'g'),
+        ' e  r ', ' er '), ' t  h ', ' th '), ' th  e ', ' the '),
+        ' a  n ', ' an '), ' i  n ', ' in '), ' o  n ', ' on '),
+        ' an  d ', ' and ') AS s
+      FROM words WHERE length(w) > 0),
+    toks AS (
+      SELECT unnest(string_split_regex(trim(s), ' +')) AS tok FROM enc)
+    SELECT tok, count(*) AS n FROM toks WHERE length(tok) > 0
+    GROUP BY tok ORDER BY n DESC, tok LIMIT 25"""))
+
   /** CHECK constraints through
     * [[graft.sources.SnapshotTable.addConstraint]] — manifest-recorded
     * table policy enforced BEFORE data lands: under a price-cap
@@ -12512,7 +12551,7 @@ object Queries {
     qSnapshotMor, qSnapshotMorSql, qSnapshotCdf, qMatviewMinmax,
     qMatviewStats, qSnapshotBucket, qSnapshotLive,
     qSnapshotRestore, qSnapshotMorUpdate, qSnapshotCompactWhere,
-    qSnapshotConstraint,
+    qSnapshotConstraint, qBpeEncode,
     qQualityProbe, qQualityClassifier, qAnnPq, qAnnIvfPq, qAnnIvfPqRes, qAnnRerank,
     qBpeTrain, qBpeTrainBatched,
     qCorpusFunnel, qAnnKmeans, qAnnTrained,

@@ -1,6 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.col
 import graft.operators.Bpe
 
 /** Distributed BPE training pinned bit-identical against a
@@ -135,5 +136,27 @@ class BpeSpec extends AnyFunSuite {
     val theToks = Bpe.encode("the", learned)
     assert(theToks.mkString == "the", "tokens must spell the word")
     assert(theToks.size < 3, s"'the' (most frequent) should merge: $theToks")
+  }
+
+  test("encodeCorpus == driver reference per word, for trained merges") {
+    val docs = (corpus ++ Seq("  Mixed  CASE\twith\ntabs  ", "", "a"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val learned = Bpe.train(docs, "text", 15)
+    val got = docs
+      .select(col("doc_id"), Bpe.encodeCorpus(col("text"), learned).as("toks"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val want = (corpus ++ Seq("  Mixed  CASE\twith\ntabs  ", "", "a"))
+      .zipWithIndex.map { case (t, i) =>
+        i.toLong -> t.toLowerCase.split("\\s+").filter(_.nonEmpty)
+          .flatMap(w => Bpe.encode(w, learned)).toSeq
+      }.toMap
+    assert(got == want)
+    // empty doc → empty token array (not null)
+    assert(got(corpus.length + 1L).isEmpty)
+    // map-only: encoding the corpus plans with zero Exchange
+    val plan = docs.select(Bpe.encodeCorpus(col("text"), learned))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
   }
 }
