@@ -11904,6 +11904,59 @@ object Queries {
         * 10000.0 + 0.5) / 10000.0 AS sd_chars
     FROM m ORDER BY lang"""))
 
+  /** `TIMESTAMP AS OF` time travel through
+    * [[graft.sources.SnapshotTable.readAsOf]]: manifests stamp their
+    * commit wall-clock, [[graft.sources.SnapshotTable.commitTimeline]]
+    * adjusts the stamps monotonic (max(prev+1, own) — the public
+    * Delta discipline, so clock skew can't run history backwards),
+    * and a timestamp resolves to the latest version at or before it.
+    * Customers land in two commits and a CoW delete follows; the
+    * output reads the table AS OF each commit's own adjusted instant
+    * — first half, full table, post-delete — so a resolution that's
+    * off by even one version flips a phase's rows and fails the
+    * hash. */
+  private val qSnapshotTimetravel = Q(
+    "q_snapshot_timetravel",
+    (s, d) => {
+      val dir = snapTmp()
+      val base = t(s, d, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      graft.sources.SnapshotTable.append(
+        base.filter(pmod(col("c_custkey"), lit(2)) === 0), dir)  // v0
+      graft.sources.SnapshotTable.append(
+        base.filter(pmod(col("c_custkey"), lit(2)) === 1), dir)  // v1
+      graft.sources.SnapshotTable.deleteWhere(s, dir,
+        col("c_acctbal") < 0.0)                                  // v2
+      val tl = graft.sources.SnapshotTable.commitTimeline(s, dir).toMap
+      def rollup(v: Long, phase: String) = graft.sources.SnapshotTable
+        .readAsOf(s, dir, tl(v))
+        .groupBy(col("c_mktsegment").as("segment"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("c_acctbal").cast("decimal(18,6)") * 100)
+            .cast("long").as("cents"))
+        .select(lit(phase).as("phase"), col("segment"), col("n"),
+          col("cents"))
+      rollup(0L, "half").unionByName(rollup(1L, "full"))
+        .unionByName(rollup(2L, "deleted"))
+        .orderBy("phase", "segment")
+    },
+    Some("""SELECT phase, segment, n, cents FROM (
+      SELECT 'half' AS phase, c_mktsegment AS segment, count(*) AS n,
+        CAST(sum(CAST(c_acctbal AS DECIMAL(18,6)) * 100) AS BIGINT)
+          AS cents
+      FROM customer WHERE c_custkey % 2 = 0 GROUP BY 2
+      UNION ALL
+      SELECT 'full' AS phase, c_mktsegment AS segment, count(*) AS n,
+        CAST(sum(CAST(c_acctbal AS DECIMAL(18,6)) * 100) AS BIGINT)
+          AS cents
+      FROM customer GROUP BY 2
+      UNION ALL
+      SELECT 'deleted' AS phase, c_mktsegment AS segment, count(*) AS n,
+        CAST(sum(CAST(c_acctbal AS DECIMAL(18,6)) * 100) AS BIGINT)
+          AS cents
+      FROM customer WHERE c_acctbal >= 0 GROUP BY 2)
+    ORDER BY phase, segment"""))
+
   /** Corpus BPE tokenization through
     * [[graft.operators.Bpe.encodeCorpus]] — the PRODUCTION tokenizer
     * apply (one map-only scan, merges ride as a task constant, zero
@@ -12551,7 +12604,7 @@ object Queries {
     qSnapshotMor, qSnapshotMorSql, qSnapshotCdf, qMatviewMinmax,
     qMatviewStats, qSnapshotBucket, qSnapshotLive,
     qSnapshotRestore, qSnapshotMorUpdate, qSnapshotCompactWhere,
-    qSnapshotConstraint, qBpeEncode,
+    qSnapshotConstraint, qBpeEncode, qSnapshotTimetravel,
     qQualityProbe, qQualityClassifier, qAnnPq, qAnnIvfPq, qAnnIvfPqRes, qAnnRerank,
     qBpeTrain, qBpeTrainBatched,
     qCorpusFunnel, qAnnKmeans, qAnnTrained,

@@ -71,7 +71,18 @@ final class GraftDataSource extends RelationProvider
                              ): BaseRelation = {
     val spark = sqlContext.sparkSession
     val dir = pathOf(parameters)
+    require(!(parameters.contains("versionAsOf") &&
+      parameters.contains("timestampAsOf")),
+      "graft: versionAsOf and timestampAsOf are mutually exclusive")
+    // timestampAsOf: epoch millis, or any literal
+    // java.sql.Timestamp.valueOf accepts (yyyy-[m]m-[d]d hh:mm:ss[.f]),
+    // resolved against the monotonicity-adjusted commit timeline.
     val version = parameters.get("versionAsOf").map(_.toLong)
+      .orElse(parameters.get("timestampAsOf").map { t =>
+        val millis = scala.util.Try(t.toLong).getOrElse(
+          java.sql.Timestamp.valueOf(t).getTime)
+        SnapshotTable.versionAtTimestamp(spark, dir, millis)
+      })
     val (rel, schema, v) = SnapshotSql.relation(spark, dir, version)
     // A DV'd snapshot cannot be served as a bare file relation (the
     // scan would resurrect masked rows); route it through a scan

@@ -587,13 +587,65 @@ object SnapshotTable {
         prev = Some((v, st))
         val cur = st.files.toSet
         (v, op,
+          Option(node.get("ts")).map(t => java.lang.Long.valueOf(t.asLong))
+            .orNull.asInstanceOf[java.lang.Long],
           (cur -- prevFiles).size.toLong, (prevFiles -- cur).size.toLong,
           st.files.length.toLong, st.sizes.values.sum)
       }
     import spark.implicits._
-    rows.toDF("version", "op", "n_added", "n_removed", "n_files",
-      "total_bytes")
+    rows.toDF("version", "op", "commit_ts", "n_added", "n_removed",
+      "n_files", "total_bytes")
   }
+
+  /** The raw commit wall-clock of version `v` (epoch millis); None for
+    * manifests stamped before timestamps existed. */
+  def manifestCommitTime(spark: SparkSession, dir: String,
+                         v: Long): Option[Long] =
+    Option(manifestNode(spark, dir, v).get("ts")).map(_.asLong)
+
+  /** The surviving versions with their MONOTONICITY-ADJUSTED commit
+    * times — the public Delta discipline: `adj(v) = max(adj(v-1)+1,
+    * ts(v))`, so clock skew between committers (or a re-stamped
+    * manifest) can never make history run backwards; a legacy
+    * manifest with no stamp inherits `adj(prev)+1` (unknown-age
+    * history sorts as old as possible). This is the timeline
+    * `TIMESTAMP AS OF` resolves against. One manifest read per
+    * surviving version — control plane. */
+  def commitTimeline(spark: SparkSession, dir: String): Seq[(Long, Long)] = {
+    val latest = latestVersion(spark, dir).getOrElse(
+      throw new java.io.IOException(
+        s"commitTimeline: no committed version under $dir"))
+    val f = fs(spark, dir)
+    var adj = Long.MinValue
+    (0L to latest)
+      .filter(v => f.exists(manifestPath(dir, v)))
+      .map { v =>
+        val raw = Option(manifestNode(spark, dir, v).get("ts"))
+          .map(_.asLong).getOrElse(Long.MinValue)
+        adj = math.max(adj + 1, raw)
+        v -> adj
+      }
+  }
+
+  /** Resolve `TIMESTAMP AS OF tsMillis`: the LATEST version whose
+    * adjusted commit time is at or before the target. Throws when the
+    * target predates the oldest surviving version ([[vacuum]] may
+    * have retired older history — resolving to it silently would read
+    * the wrong snapshot). */
+  def versionAtTimestamp(spark: SparkSession, dir: String,
+                         tsMillis: Long): Long = {
+    val tl = commitTimeline(spark, dir)
+    val at = tl.filter(_._2 <= tsMillis)
+    if (at.isEmpty) throw new java.io.IOException(
+      s"versionAtTimestamp: $tsMillis predates the oldest surviving " +
+        s"version (v${tl.head._1} at ${tl.head._2}) under $dir")
+    at.last._1
+  }
+
+  /** [[read]] at `TIMESTAMP AS OF` (see [[versionAtTimestamp]]). */
+  def readAsOf(spark: SparkSession, dir: String,
+               tsMillis: Long): DataFrame =
+    read(spark, dir, Some(versionAtTimestamp(spark, dir, tsMillis)))
 
   /** Per-version (op, added files, removed files) over
     * `(fromExclusive, to]` — the commit-granular delta walk the
@@ -945,10 +997,18 @@ object SnapshotTable {
                            op: String = "commit",
                            dvRefs: Map[String, String] = Map.empty,
                            bucket: Option[BucketLayout] = None,
-                           constraints: Map[String, String] = Map.empty
+                           constraints: Map[String, String] = Map.empty,
+                           tsOverride: Option[Long] = None
                           ): String = {
     val root = new java.util.LinkedHashMap[String, Object]()
     root.put("version", java.lang.Long.valueOf(v))
+    // Commit wall-clock — what TIMESTAMP AS OF resolves against
+    // (monotonicity-adjusted at read time, see [[commitTimeline]]).
+    // tsOverride preserves the ORIGINAL stamp when vacuum rewrites
+    // the keepFrom manifest in checkpoint form: a re-stamp would make
+    // the oldest version read as the newest and corrupt resolution.
+    root.put("ts", java.lang.Long.valueOf(
+      tsOverride.getOrElse(System.currentTimeMillis())))
     root.put("op", op)
     schema.foreach(st => root.put("schema", mapper.readTree(st.json)))
     bucket.foreach { b =>
@@ -2477,7 +2537,8 @@ object SnapshotTable {
         // would silently strip table policy at the keepFrom version.
         val body = manifestBody(spark, dir, keepFrom, full = true,
           st.files, st.txns, st.stats, st.schema, st.bloomRefs, st.bloomCols,
-          st.sizes, origOp, st.dvRefs, st.bucket, st.constraints)
+          st.sizes, origOp, st.dvRefs, st.bucket, st.constraints,
+          tsOverride = Option(node.get("ts")).map(_.asLong))
         val tmp = new Path(manifestDir(dir),
           s".v$keepFrom.${java.util.UUID.randomUUID()}.ckpt.tmp")
         val out = f.create(tmp, false)

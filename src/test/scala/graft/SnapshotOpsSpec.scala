@@ -153,6 +153,42 @@ class SnapshotOpsSpec extends AnyFunSuite {
       ((0L until 200L).toSet - 5L - 150L))
   }
 
+  test("timestampAsOf: adjusted timeline resolves each version; stamps survive vacuum") {
+    val dir = tmp("ts")
+    SnapshotTable.append(spark.range(0, 20).toDF(), dir)     // v0
+    SnapshotTable.append(spark.range(20, 40).toDF(), dir)    // v1
+    SnapshotTable.deleteWhere(spark, dir, $"id" < 5L)        // v2
+    val tl = SnapshotTable.commitTimeline(spark, dir)
+    assert(tl.map(_._1) == Seq(0L, 1L, 2L))
+    // strictly increasing even for same-millisecond commits
+    assert(tl.sliding(2).forall { case Seq(a, b) => b._2 > a._2 })
+    // each version's own adjusted instant resolves to it; one tick
+    // before v1 resolves to v0
+    assert(SnapshotTable.versionAtTimestamp(spark, dir, tl(1)._2) == 1L)
+    assert(SnapshotTable.versionAtTimestamp(spark, dir, tl(1)._2 - 1) == 0L)
+    assert(SnapshotTable.versionAtTimestamp(spark, dir,
+      System.currentTimeMillis() + 60000) == 2L)
+    assert(ids(SnapshotTable.readAsOf(spark, dir, tl(0)._2)) ==
+      (0L until 20L).toSet)
+    // pre-creation timestamps fail loudly
+    intercept[java.io.IOException] {
+      SnapshotTable.versionAtTimestamp(spark, dir, tl(0)._2 - 1000)
+    }
+    // the format("graft") surface resolves the same way
+    val viaFormat = spark.read.format("graft")
+      .option("timestampAsOf", tl(1)._2.toString).load(dir)
+    assert(ids(viaFormat) == (0L until 40L).toSet)
+    // history carries the raw stamps
+    val hist = SnapshotTable.history(spark, dir)
+      .select("version", "commit_ts").collect()
+    assert(hist.length == 3 && hist.forall(!_.isNullAt(1)))
+    // vacuum's checkpoint rewrite preserves the ORIGINAL stamp: the
+    // adjusted timeline of surviving versions is unchanged
+    SnapshotTable.vacuum(spark, dir, keepVersions = 2, minAgeMs = 0L)
+    val tl2 = SnapshotTable.commitTimeline(spark, dir)
+    assert(tl2 == tl.filter(_._1 >= 1L))
+  }
+
   test("binPackSmall folds only sub-threshold files") {
     val dir = tmp("binpack")
     // one big file, then five tiny ones
