@@ -132,7 +132,17 @@ final class GraftDataSource extends RelationProvider
                             parameters: Map[String, String]): Source = {
     val spark = sqlContext.sparkSession
     val dir = pathOf(parameters)
+    require(!(parameters.contains("startingVersion") &&
+      parameters.contains("startingTimestamp")),
+      "graft: startingVersion and startingTimestamp are mutually exclusive")
+    // startingTimestamp resolves through the same adjusted commit
+    // timeline as timestampAsOf (epoch millis or a timestamp literal).
     val startingVersion = parameters.get("startingVersion").map(_.toLong)
+      .orElse(parameters.get("startingTimestamp").map { t =>
+        val millis = scala.util.Try(t.toLong).getOrElse(
+          java.sql.Timestamp.valueOf(t).getTime)
+        SnapshotTable.versionAtTimestamp(spark, dir, millis)
+      })
     if (cdfMode(parameters))
       new GraftCdfStreamSource(spark, dir,
         GraftCdfStreamSource.cdfSchema(

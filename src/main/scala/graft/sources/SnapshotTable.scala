@@ -130,6 +130,17 @@ object SnapshotTable {
     if (vs.isEmpty) None else Some(vs.max)
   }
 
+  /** Reader features THIS code understands. A manifest written by a
+    * newer engine lists the features its resolution depends on
+    * (`"features"`); an entry outside this set means silently reading
+    * would misinterpret the table (e.g. a reader that doesn't apply
+    * deletion vectors would resurrect deleted rows) — so the read
+    * fails loudly instead. The public Delta/Iceberg
+    * protocol-versioning idea reduced to a feature list: plain old
+    * manifests carry no list and every reader accepts them. */
+  private val SupportedFeatures = Set(
+    "dv", "dvremoves", "constraints", "segments", "bucket")
+
   private def manifestNode(spark: SparkSession, dir: String,
                            v: Long): com.fasterxml.jackson.databind.JsonNode = {
     val f = fs(spark, dir)
@@ -141,7 +152,14 @@ object SnapshotTable {
     val in = f.open(p)
     val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
     finally in.close()
-    mapper.readTree(txt)
+    val node = mapper.readTree(txt)
+    val unknown = strSeq(node, "features").filterNot(SupportedFeatures)
+    if (unknown.nonEmpty)
+      throw new java.io.IOException(
+        s"manifest v$v under $dir requires reader features this engine " +
+          s"does not implement: ${unknown.mkString(", ")} — written by a " +
+          "newer writer; upgrade before reading")
+    node
   }
 
   /** The fully-resolved table state at one version. Immutable once
@@ -1154,6 +1172,17 @@ object SnapshotTable {
       // present-but-empty object is an explicit clear, absence
       // inherits (see deltaState).
       if (constraints != parent.constraints) putConstraints(constraints)
+    }
+    // Stamp exactly the reader features this manifest's resolution
+    // depends on (see [[SupportedFeatures]]); a plain manifest stays
+    // list-free and readable by every release.
+    val feats = Seq("segments", "dvrefs", "dvremoves", "constraints",
+      "bucket").filter(root.containsKey)
+      .map { case "dvrefs" => "dv"; case k => k }
+    if (feats.nonEmpty) {
+      val fj = new java.util.ArrayList[String]()
+      feats.foreach(fj.add)
+      root.put("features", fj)
     }
     mapper.writeValueAsString(root)
   }

@@ -126,6 +126,35 @@ class GraftDataSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming source: startingTimestamp resolves through the commit timeline") {
+    val dir = tmp("srcst")
+    SnapshotTable.append(spark.range(0, 100).toDF(), dir) // v0: history
+    SnapshotTable.append(spark.range(100, 103).toDF(), dir) // v1
+    val tl = SnapshotTable.commitTimeline(spark, dir).toMap
+    val q = spark.readStream.format("graft")
+      .option("startingTimestamp", tl(1L).toString).load(dir)
+      .writeStream.format("memory").queryName("graft_st_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("graft_st_out")
+        .select("id").collect().map(_.getLong(0)).sorted
+      assert(got.toSeq == (100L until 103L), "only v1's rows, no snapshot")
+    } finally q.stop()
+    // both options together refuse (the failure surfaces on the
+    // stream thread, so await it)
+    val bad = spark.readStream.format("graft")
+      .option("startingVersion", "1")
+      .option("startingTimestamp", "0").load(dir)
+      .writeStream.format("memory").queryName("graft_st_bad").start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try bad.processAllAvailable()
+      finally bad.stop()
+      bad.awaitTermination()
+    }
+    assert(e.getMessage.contains("mutually exclusive") ||
+      Option(e.getCause).exists(_.getMessage.contains("mutually exclusive")))
+  }
+
   test("streaming sink: exactly-once landing through the txn ledger, appId required") {
     val dir = tmp("sink")
     val ckpt = Files.createTempDirectory("graft-ds-ckpt").toString

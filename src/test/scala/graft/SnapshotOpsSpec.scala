@@ -189,6 +189,32 @@ class SnapshotOpsSpec extends AnyFunSuite {
     assert(tl2 == tl.filter(_._1 >= 1L))
   }
 
+  test("reader-feature guard: future manifests fail loudly; current ones stamp their features") {
+    val dir = tmp("feat")
+    SnapshotTable.append(spark.range(0, 10).toDF(), dir)
+    SnapshotTable.deleteWhereMor(spark, dir, $"id" === 3L)
+    // this manifest depends on deletion vectors — it must say so
+    val f = new org.apache.hadoop.fs.Path(dir, "_manifests/v1.json")
+    val hfs = f.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val txt = {
+      val in = hfs.open(f)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    }
+    assert(txt.contains("\"features\"") && txt.contains("\"dv\""))
+    // a manifest from a newer writer with an unknown required feature
+    // refuses to resolve instead of silently misreading
+    val future = new org.apache.hadoop.fs.Path(dir, "_manifests/v2.json")
+    val out = hfs.create(future, false)
+    out.write(("""{"version":2,"op":"append","adds":[],"removes":[],""" +
+      """"features":["column-mapping"]}""").getBytes("UTF-8"))
+    out.close()
+    val e = intercept[java.io.IOException] {
+      SnapshotTable.read(spark, dir).count()
+    }
+    assert(e.getMessage.contains("column-mapping"))
+  }
+
   test("binPackSmall folds only sub-threshold files") {
     val dir = tmp("binpack")
     // one big file, then five tiny ones
