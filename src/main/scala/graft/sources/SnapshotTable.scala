@@ -2311,10 +2311,14 @@ object SnapshotTable {
     * [[compact]]-ing the clone, which rewrites every referenced byte
     * into the clone's own `data/`. */
   def shallowClone(spark: SparkSession, srcDir: String,
-                   dstDir: String): Long = {
-    val v = latestVersion(spark, srcDir).getOrElse(
+                   dstDir: String, versionAsOf: Option[Long] = None): Long = {
+    // versionAsOf: branch from table HISTORY (the public
+    // `CLONE … VERSION AS OF` shape) — an experiment forks from last
+    // week's snapshot in one manifest write; the clone's own lifecycle
+    // is independent of what the source committed since.
+    val v = versionAsOf.getOrElse(latestVersion(spark, srcDir).getOrElse(
       throw new java.io.IOException(
-        s"shallowClone: no committed version under $srcDir"))
+        s"shallowClone: no committed version under $srcDir")))
     require(latestVersion(spark, dstDir).isEmpty,
       s"shallowClone: destination $dstDir already has commits")
     def absolutize(e: String): String =
@@ -2505,6 +2509,39 @@ object SnapshotTable {
     * floor are deleted — pick it longer than any plausible
     * write-to-commit gap (the Delta retention discipline). Returns
     * the number of data files deleted. */
+  /** READ-ONLY [[vacuum]] preview — what the same (keepVersions,
+    * minAgeMs) run would retire, without touching anything: (data
+    * files eligible for deletion, manifests below the keep window).
+    * The dry run every retention change gets pointed at first — at
+    * 100 TB a mis-set keepVersions is the difference between "freed
+    * some orphans" and "destroyed a month of time travel". */
+  def vacuumPreview(spark: SparkSession, dir: String, keepVersions: Int = 2,
+                    minAgeMs: Long = 60L * 60 * 1000): (Int, Int) = {
+    require(keepVersions >= 1, s"keepVersions must be >= 1, got $keepVersions")
+    val f = fs(spark, dir)
+    val latest = latestVersion(spark, dir).getOrElse(return (0, 0))
+    val keepFrom = math.max(0L, latest - (keepVersions - 1))
+    val referenced = (keepFrom to latest)
+      .filter(v => f.exists(manifestPath(dir, v)))
+      .flatMap(v => manifestFiles(spark, dir, v)).toSet
+    val dataRoot = new Path(dir, "data")
+    val cutoff = System.currentTimeMillis() - minAgeMs
+    var files = 0
+    if (f.exists(dataRoot)) {
+      val it = f.listFiles(dataRoot, true)
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.isFile &&
+            !referenced.contains(manifestKey(dir, st.getPath.toString)) &&
+            st.getModificationTime <= cutoff)
+          files += 1
+      }
+    }
+    val manifests = (0L until keepFrom)
+      .count(v => f.exists(manifestPath(dir, v)))
+    (files, manifests)
+  }
+
   def vacuum(spark: SparkSession, dir: String, keepVersions: Int = 2,
              minAgeMs: Long = 60L * 60 * 1000): Int = {
     require(keepVersions >= 1, s"keepVersions must be >= 1, got $keepVersions")

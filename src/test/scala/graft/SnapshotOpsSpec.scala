@@ -189,6 +189,28 @@ class SnapshotOpsSpec extends AnyFunSuite {
     assert(tl2 == tl.filter(_._1 >= 1L))
   }
 
+  test("clone VERSION AS OF branches from history; vacuumPreview is read-only and exact") {
+    val dir = tmp("cv")
+    SnapshotTable.append(spark.range(0, 30).toDF(), dir)    // v0
+    SnapshotTable.append(spark.range(30, 60).toDF(), dir)   // v1
+    SnapshotTable.deleteWhere(spark, dir, $"id" < 10L)      // v2
+    // branch from v1: pre-delete contents, source untouched
+    val branch = tmp("cv-branch")
+    SnapshotTable.shallowClone(spark, dir, branch, versionAsOf = Some(1L))
+    assert(ids(SnapshotTable.read(spark, branch)) == (0L until 60L).toSet)
+    assert(ids(SnapshotTable.read(spark, dir)) == (10L until 60L).toSet)
+    // preview matches what vacuum then actually does, and mutates nothing
+    val before = SnapshotTable.history(spark, dir).count()
+    val (pf, pm) = SnapshotTable.vacuumPreview(spark, dir,
+      keepVersions = 1, minAgeMs = 0L)
+    assert(pm == 2) // v0, v1 below the keep window
+    assert(SnapshotTable.history(spark, dir).count() == before)
+    val deleted = SnapshotTable.vacuum(spark, dir,
+      keepVersions = 1, minAgeMs = 0L)
+    assert(deleted == pf, s"preview said $pf files, vacuum deleted $deleted")
+    assert(ids(SnapshotTable.read(spark, dir)) == (10L until 60L).toSet)
+  }
+
   test("reader-feature guard: future manifests fail loudly; current ones stamp their features") {
     val dir = tmp("feat")
     SnapshotTable.append(spark.range(0, 10).toDF(), dir)
