@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.{MaterializedAgg, SnapshotTable}
+import graft.functions.TextAnalysis
+
+/** A MATERIALIZED inverted index for BM25 retrieval, built entirely
+  * from this repo's own table format — the production counterpart of
+  * the full-scan `q_bm25` scorer (tokenization and scoring formula
+  * identical, so the index is differentially checkable against it):
+  *
+  *   - `<dir>/postings` — one SnapshotTable of (term, doc_id, tf, dl)
+  *     rows, DENORMALIZED with the document length so a query never
+  *     joins back to a per-document table. Each build/append batch is
+  *     range-partitioned by term and term-sorted, and the table
+  *     tracks per-file term min/max stats AND term Bloom bitsets —
+  *     a k-term query opens only the posting files that might hold
+  *     its terms ([[SnapshotTable.readWhereEqAny]]), never the index.
+  *   - `<dir>/doclen` — (g=0, doc_id, dl), the corpus-scalar feed.
+  *   - `<dir>/stats` — a [[MaterializedAgg]] view over doclen
+  *     (count + Σdl grouped by the constant g): N and total tokens as
+  *     a ONE-ROW table maintained incrementally, so query-time corpus
+  *     scalars cost one tiny read, not a corpus scan.
+  *
+  * Document frequency is NOT materialized: df(term) = the row count
+  * of the term's postings, already in hand after pruning — exact at
+  * every index size, and immune to the incremental-df staleness
+  * every materialized-idf design fights. Incremental ingest =
+  * [[append]] (new postings/doclen files + one matview refresh);
+  * doc_ids must be new (re-adding a document is the caller's dedup
+  * problem, same as every public search engine's upsert story).
+  *
+  * 100 TB shape: a query touches k Bloom probes + O(matching posting
+  * files) + a one-row scalar read; the corpus itself is never
+  * scanned. */
+object Bm25Index {
+  private def postingsDir(dir: String) = s"$dir/postings"
+  private def doclenDir(dir: String) = s"$dir/doclen"
+  private def statsDir(dir: String) = s"$dir/stats"
+  private val ViewId = "bm25-stats"
+
+  /** (term, doc_id, tf, dl) for a doc batch — `q_bm25`'s tokenization
+    * verbatim: split on single space, EMPTY tokens kept (they are
+    * tokens in the exploded form too). */
+  private def postingsOf(docs: DataFrame, idCol: String,
+                         textCol: String): DataFrame = {
+    val tf = docs.select(col(idCol).cast("long").as("doc_id"),
+        explode(split(lower(col(textCol)), " ")).as("term"))
+      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy("doc_id").agg(sum("tf").cast("long").as("dl"))
+    tf.join(dl, "doc_id").select("term", "doc_id", "tf", "dl")
+  }
+
+  /** Build the index (first call) or extend it with a new doc batch
+    * (later calls): postings land term-range-partitioned and
+    * term-sorted so per-file term stats are disjoint and pruning is
+    * sharp; the scalar view is created on first build and refreshed
+    * after every append. `shards` bounds the files per batch. */
+  def append(docs: DataFrame, dir: String, idCol: String = "doc_id",
+             textCol: String = "text", shards: Int = 8): Unit = {
+    val spark = docs.sparkSession
+    val posts = postingsOf(docs, idCol, textCol)
+      .repartitionByRange(shards, col("term"))
+      .sortWithinPartitions("term", "doc_id")
+    SnapshotTable.append(posts, postingsDir(dir),
+      statsCols = Seq("term"), bloomCols = Seq("term"))
+    val dl = posts.groupBy("doc_id").agg(max("dl").as("dl"))
+      .select(lit(0L).as("g"), col("doc_id"), col("dl"))
+    SnapshotTable.append(dl, doclenDir(dir))
+    if (SnapshotTable.latestVersion(spark, statsDir(dir)).isEmpty)
+      MaterializedAgg.create(spark, doclenDir(dir), statsDir(dir),
+        Seq("g"),
+        Seq(MaterializedAgg.AggSpec("n", "", "count"),
+          MaterializedAgg.AggSpec("tottok", "dl", "sum_long")),
+        ViewId)
+    else MaterializedAgg.refresh(spark, statsDir(dir))
+  }
+
+  /** Top-`k` documents for `terms` by summed BM25 (k1=1.2, b=0.75 —
+    * `q_bm25`'s exact per-(doc, term) expression incl. its 6-dp
+    * rounding; the rounded per-term scores are then EXACT
+    * DECIMAL(18,6) values, summed in the decimal ring so the total is
+    * aggregation-order-free — a double sum here would make top-k
+    * boundaries partitioning-dependent). Touches ONLY the pruned
+    * posting files and the one-row scalar view; df comes exact from
+    * the pruned rows themselves. */
+  def search(spark: SparkSession, dir: String, terms: Seq[String],
+             k: Int): DataFrame = {
+    require(terms.nonEmpty, "Bm25Index.search: at least one term")
+    require(k > 0, s"Bm25Index.search: k must be positive, got $k")
+    val posts = SnapshotTable.readWhereEqAny(
+      spark, postingsDir(dir), "term", terms.distinct)
+    // one-row control-plane read of the maintained corpus scalars
+    val sRow = MaterializedAgg.read(spark, statsDir(dir)).collect().head
+    val n = sRow.getAs[Long]("n")
+    val tottok = sRow.getAs[Long]("tottok")
+    val dfreq = posts.groupBy("term").agg(count(lit(1)).as("df"))
+    val idf = log(lit(1.0) + (lit(n) - col("df") + lit(0.5)) /
+      (col("df") + lit(0.5)))
+    val perTerm = TextAnalysis.roundStable(
+      idf * (col("tf") * lit(2.2)) /
+        (col("tf") + lit(1.2) *
+          (lit(0.25) + lit(0.75) * col("dl") / (lit(tottok) / lit(n)))),
+      6)
+    posts.join(broadcast(dfreq), "term")
+      .withColumn("s", perTerm)
+      .groupBy("doc_id")
+      .agg(sum(col("s").cast("decimal(18,6)"))
+        .cast("double").as("score")) // exact 6-dp decimal → double
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+}

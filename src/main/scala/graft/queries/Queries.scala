@@ -11904,6 +11904,54 @@ object Queries {
         * 10000.0 + 0.5) / 10000.0 AS sd_chars
     FROM m ORDER BY lang"""))
 
+  /** MATERIALIZED BM25 retrieval through
+    * [[graft.operators.Bm25Index]] — the inverted index as a
+    * composition of this engine's own primitives: term-clustered
+    * Bloom'd posting SnapshotTables (a k-term query opens only its
+    * terms' files), document length DENORMALIZED into the postings
+    * (no per-doc join at query time), corpus scalars as a ONE-ROW
+    * [[graft.sources.MaterializedAgg]] view. Built on half the corpus
+    * and EXTENDED with the other half (postings append + matview
+    * refresh), so the oracle — the q_bm25 full-scan scorer summed
+    * per doc over the fixed query terms — pins the incremental build
+    * AND the pruned query path against an engine that scans
+    * everything. Rounded per-term scores sum in DECIMAL: top-k
+    * boundaries are aggregation-order-free. */
+  private val qTextIndex = Q(
+    "q_text_index",
+    (s, d) => {
+      val dir = snapTmp()
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      graft.operators.Bm25Index.append(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0), dir)
+      graft.operators.Bm25Index.append(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 1), dir)
+      graft.operators.Bm25Index.search(s, dir,
+        Seq("spark", "merge", "window", "vector"), 10)
+    },
+    Some("""WITH toks AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+      FROM documents),
+    tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+    dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+    dfreq AS (SELECT tok, count(*) AS df FROM tf
+      WHERE tok IN ('spark', 'merge', 'window', 'vector') GROUP BY 1),
+    stats AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS tottok
+      FROM dl),
+    scored AS (
+      SELECT t.doc_id,
+        floor(ln(1.0 + (s.n - f.df + 0.5) / (f.df + 0.5))
+            * (t.tf * 2.2)
+            / (t.tf + 1.2 * (0.25 + 0.75 * l.dl / (s.tottok / s.n)))
+          * 1000000.0 + 0.5) / 1000000.0 AS s1
+      FROM tf t JOIN dl l USING (doc_id) JOIN dfreq f USING (tok), stats s
+      WHERE t.tok IN ('spark', 'merge', 'window', 'vector'))
+    SELECT doc_id,
+      CAST(CAST(sum(CAST(s1 AS DECIMAL(18,6))) AS DECIMAL(18,6))
+        AS DOUBLE) AS score
+    FROM scored GROUP BY doc_id
+    ORDER BY score DESC, doc_id LIMIT 10"""))
+
   /** `TIMESTAMP AS OF` time travel through
     * [[graft.sources.SnapshotTable.readAsOf]]: manifests stamp their
     * commit wall-clock, [[graft.sources.SnapshotTable.commitTimeline]]
@@ -12604,7 +12652,7 @@ object Queries {
     qSnapshotMor, qSnapshotMorSql, qSnapshotCdf, qMatviewMinmax,
     qMatviewStats, qSnapshotBucket, qSnapshotLive,
     qSnapshotRestore, qSnapshotMorUpdate, qSnapshotCompactWhere,
-    qSnapshotConstraint, qBpeEncode, qSnapshotTimetravel,
+    qSnapshotConstraint, qBpeEncode, qSnapshotTimetravel, qTextIndex,
     qQualityProbe, qQualityClassifier, qAnnPq, qAnnIvfPq, qAnnIvfPqRes, qAnnRerank,
     qBpeTrain, qBpeTrainBatched,
     qCorpusFunnel, qAnnKmeans, qAnnTrained,

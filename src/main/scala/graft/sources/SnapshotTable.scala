@@ -1912,6 +1912,29 @@ object SnapshotTable {
       .filter(residual)
   }
 
+  /** Multi-value point lookup — `column IN (values)` with Bloom +
+    * stats file skipping: the opened set is the UNION of each value's
+    * [[pruneFilesEq]] decision, the residual an `isin`. The probe
+    * shape of an inverted-index query: k terms open only the posting
+    * files that might hold them, never the table. (Each value probes
+    * sidecars independently — fine for the handful of values a point
+    * query carries; a large IN-list belongs in a semi-join.) */
+  def readWhereEqAny(spark: SparkSession, dir: String, column: String,
+                     values: Seq[Any],
+                     version: Option[Long] = None): DataFrame = {
+    require(values.nonEmpty, "readWhereEqAny: at least one value required")
+    val v = version.orElse(latestVersion(spark, dir)).getOrElse(
+      throw new java.io.IOException(
+        s"readWhereEqAny: no committed version under $dir"))
+    val selected = values
+      .flatMap(x => pruneFilesEq(spark, dir, column, x, Some(v))._1)
+      .distinct.sorted
+    if (selected.isEmpty) read(spark, dir, Some(v)).filter(lit(false))
+    else readFilesWithDv(spark, dir, selected,
+      manifestSchema(spark, dir, v), stateOf(spark, dir, v).dvRefs)
+      .filter(col(column).isin(values: _*))
+  }
+
   /** Point-lookup file pruning for `column = value`: a file is opened
     * only if BOTH summaries allow it — its min/max range contains the
     * value (when stats exist) AND its Bloom bitset reports

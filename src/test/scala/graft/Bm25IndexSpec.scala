@@ -1,0 +1,76 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Bm25Index
+import graft.sources.SnapshotTable
+
+/** The materialized BM25 index: incremental build == one-shot build,
+  * query pruning opens only the matching terms' posting files, and
+  * results are partitioning-independent (decimal score sums). */
+class Bm25IndexSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private def tmp(tag: String): String =
+    Files.createTempDirectory(s"graft-bm25-$tag").toString + "/ix"
+
+  private val docs = Seq(
+    (0L, "spark join merge table"),
+    (1L, "spark spark spark window"),
+    (2L, "merge sort filter row column"),
+    (3L, "window window vector vector vector"),
+    (4L, "the a of and or but"),
+    (5L, "spark merge window vector"),
+    (6L, "table scan batch stream"),
+    (7L, "vector vector spark"))
+
+  private def results(dir: String, terms: Seq[String], k: Int) =
+    Bm25Index.search(spark, dir, terms, k).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+
+  test("incremental build equals one-shot build, any input partitioning") {
+    val oneShot = tmp("one"); val inc = tmp("inc")
+    val df = docs.toDF("doc_id", "text")
+    Bm25Index.append(df, oneShot)
+    Bm25Index.append(df.filter($"doc_id" < 4L).repartition(5), inc)
+    Bm25Index.append(df.filter($"doc_id" >= 4L).repartition(3), inc)
+    val terms = Seq("spark", "vector")
+    val a = results(oneShot, terms, 8)
+    val b = results(inc, terms, 8)
+    assert(a == b, s"\none-shot: $a\nincremental: $b")
+    // the top doc for {spark, vector} mentions both heavily
+    assert(a.head._1 == 5L || a.head._1 == 7L)
+    // every result doc actually contains a query term
+    val expectDocs = docs.filter(d => terms.exists(d._2.split(" ").contains))
+      .map(_._1).toSet
+    assert(a.map(_._1).toSet == expectDocs)
+  }
+
+  test("query pruning opens only the matching terms' posting files") {
+    val dir = tmp("prune")
+    Bm25Index.append(docs.toDF("doc_id", "text"), dir, shards = 4)
+    val (sel, tot) = SnapshotTable.pruneFilesEq(
+      spark, s"$dir/postings", "term", "vector")
+    assert(tot >= 3, s"expected multiple posting shards, got $tot")
+    assert(sel.length < tot,
+      s"term probe must prune posting files ($sel of $tot)")
+    // a term that doesn't exist opens nothing (bloom + stats agree)
+    val (none, _) = SnapshotTable.pruneFilesEq(
+      spark, s"$dir/postings", "term", "zzzznotaterm")
+    assert(none.isEmpty)
+  }
+
+  test("corpus scalars ride the maintained one-row view") {
+    val dir = tmp("stats")
+    Bm25Index.append(docs.take(4).toDF("doc_id", "text"), dir)
+    Bm25Index.append(docs.drop(4).toDF("doc_id", "text"), dir)
+    val s = graft.sources.MaterializedAgg.read(spark, s"$dir/stats")
+      .collect()
+    assert(s.length == 1)
+    val totalToks = docs.map(_._2.split(" ", -1).length.toLong).sum
+    assert(s.head.getAs[Long]("n") == 8L)
+    assert(s.head.getAs[Long]("tottok") == totalToks)
+  }
+}
