@@ -441,9 +441,15 @@ final class DvMaskedRelation(spark: SparkSession, dir: String, v: Long,
   override def unhandledFilters(filters: Array[sf.Filter]): Array[sf.Filter] =
     filters
 
+  /** Resolved once per relation — v is pinned, so the DV-masked frame
+    * is stable; repeated buildScan calls (Spark may plan a relation
+    * more than once) reuse it instead of re-resolving manifest
+    * state. */
+  private lazy val baseDf = SnapshotSql.dataFrame(spark, dir, Some(v))
+
   override def buildScan(requiredColumns: Array[String],
                          filters: Array[sf.Filter]): RDD[Row] = {
-    var df = SnapshotSql.dataFrame(spark, dir, Some(v))
+    var df = baseDf
     filters.flatMap(filterColumn).foreach(c => df = df.where(c))
     val projected = df.select(requiredColumns.map(col).toSeq: _*)
     projected.queryExecution.toRdd.asInstanceOf[RDD[Row]]

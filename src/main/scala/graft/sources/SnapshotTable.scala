@@ -2483,6 +2483,12 @@ object SnapshotTable {
     * target's: a streaming writer's replayed (appId, txnVersion) must
     * stay a manifest no-op after the rollback, or the restore would
     * re-admit every ledgered batch since the target a second time.
+    * Corollary (shared with the public RESTORE designs): batches
+    * landed after the target — including one committed CONCURRENTLY
+    * with this restore (the retry loop re-bases and still reinstates
+    * the target file set) — are undone and will NOT re-land on
+    * replay; a restore serializes after every commit it observes,
+    * and undoing them is exactly its contract.
     * Files the target references that the head no longer does are the
     * only ones [[vacuum]] could have retired — each is
     * existence-checked and a vacuumed-away file fails loudly BEFORE
