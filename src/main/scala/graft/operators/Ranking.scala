@@ -141,4 +141,31 @@ object Ranking {
       .withColumn("shard",
         when(m < k, m).otherwise(lit(2 * k - 1) - m).cast("long"))
   }
+
+  /** Reciprocal-rank fusion — the standard multi-retriever combiner
+    * (dense ANN list ⊕ sparse BM25 list ⊕ …): each input carries
+    * (`idCol`, `rankCol` 1-based); an id's fused score is
+    * Σ over the lists that ranked it of floor(10⁹ / (c + rank)) —
+    * RRF's rational 1/(c+rank) scaled to an EXACT integer per term,
+    * so fused totals are aggregation-order-free and cross-engine
+    * bit-stable (a double Σ here would make top-k boundaries
+    * partitioning-dependent). Rank lists are k-bounded by
+    * construction, so the union + groupBy is candidate-sized — the
+    * fusion costs nothing next to the retrievers. Output:
+    * (idCol, n_lists, rrf_ppb), top `k` by (rrf_ppb desc, id asc). */
+  def rrfFuse(lists: Seq[DataFrame], idCol: String, rankCol: String,
+              k: Int, c: Int = 60): DataFrame = {
+    require(lists.nonEmpty, "rrfFuse: at least one ranked list")
+    require(k >= 1 && c >= 0, s"rrfFuse: bad k=$k / c=$c")
+    val scored = lists.map(df => df.select(col(idCol),
+      // small-int double division is exact; floor matches the
+      // oracle's identical expression
+      floor(lit(1000000000.0) / (lit(c) + col(rankCol)))
+        .cast("long").as("__rrf")))
+    scored.reduce(_ unionByName _)
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_lists"), sum(col("__rrf")).as("rrf_ppb"))
+      .orderBy(col("rrf_ppb").desc, col(idCol).asc)
+      .limit(k)
+  }
 }

@@ -11952,6 +11952,90 @@ object Queries {
     FROM scored GROUP BY doc_id
     ORDER BY score DESC, doc_id LIMIT 10"""))
 
+  /** HYBRID retrieval — the production search stack's last stage:
+    * a dense list (cosine-vs-query top-20 over embeddings,
+    * q_similarity_topk's exact rounded scorer) and a sparse list
+    * (BM25 top-20 through the [[graft.operators.Bm25Index]] pruned
+    * index) fuse by reciprocal-rank fusion
+    * ([[graft.operators.Ranking.rrfFuse]]) under the multimodal
+    * doc_id = vec_id contract. RRF's 1/(c+rank) terms are scaled to
+    * exact integers (floor(1e9/(60+r))), so the fused top-10 is
+    * bit-stable cross-engine; the oracle restates both retrievers
+    * AND the fusion in SQL — a rank flip anywhere in either leg
+    * reorders the fusion and fails the hash. */
+  private val qHybridSearch = Q(
+    "q_hybrid_search",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val dir = snapTmp()
+      graft.operators.Bm25Index.append(
+        t(s, d, "documents").select(col("doc_id"), col("text")), dir)
+      val sparse = graft.operators.Bm25Index.search(s, dir,
+        Seq("join", "filter", "batch"), 20)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id").asc)))
+        .select(col("doc_id").as("id"), col("rank"))
+      val dot = aggregate(col("embedding"), lit(0.0),
+        (acc, x) => acc + x.cast("double"))
+      val sq = aggregate(col("embedding"), lit(0.0),
+        (acc, x) => acc + x.cast("double") * x.cast("double"))
+      val dense = t(s, d, "embeddings")
+        .select(col("vec_id"),
+          round(dot / (sqrt(sq) * sqrt(lit(64.0))), 6).as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id").asc).limit(20)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("cos_sim").desc, col("vec_id").asc)))
+        .select(col("vec_id").as("id"), col("rank"))
+      graft.operators.Ranking.rrfFuse(Seq(dense, sparse), "id", "rank",
+        k = 10)
+    },
+    Some("""WITH dns AS (
+      SELECT vec_id AS id, row_number() OVER (
+          ORDER BY cos_sim DESC, vec_id ASC) AS r
+      FROM (
+        SELECT vec_id,
+          round(
+            list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)))
+            / (sqrt(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+               * sqrt(64.0)), 6) AS cos_sim
+        FROM embeddings ORDER BY cos_sim DESC, vec_id ASC LIMIT 20)),
+    toks AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+      FROM documents),
+    tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+    dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+    dfreq AS (SELECT tok, count(*) AS df FROM tf
+      WHERE tok IN ('join', 'filter', 'batch') GROUP BY 1),
+    stats AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS tottok
+      FROM dl),
+    bm AS (
+      SELECT doc_id, CAST(CAST(sum(CAST(s1 AS DECIMAL(18,6)))
+          AS DECIMAL(18,6)) AS DOUBLE) AS score
+      FROM (
+        SELECT t.doc_id,
+          floor(ln(1.0 + (s.n - f.df + 0.5) / (f.df + 0.5))
+              * (t.tf * 2.2)
+              / (t.tf + 1.2 * (0.25 + 0.75 * l.dl / (s.tottok / s.n)))
+            * 1000000.0 + 0.5) / 1000000.0 AS s1
+        FROM tf t JOIN dl l USING (doc_id) JOIN dfreq f USING (tok),
+          stats s
+        WHERE t.tok IN ('join', 'filter', 'batch'))
+      GROUP BY doc_id),
+    sprs AS (
+      SELECT doc_id AS id, row_number() OVER (
+          ORDER BY score DESC, doc_id ASC) AS r
+      FROM (SELECT * FROM bm ORDER BY score DESC, doc_id LIMIT 20)),
+    unioned AS (
+      SELECT id, CAST(floor(1000000000.0 / (60 + r)) AS BIGINT) AS t
+      FROM dns
+      UNION ALL
+      SELECT id, CAST(floor(1000000000.0 / (60 + r)) AS BIGINT) AS t
+      FROM sprs)
+    SELECT id, count(*) AS n_lists, CAST(sum(t) AS BIGINT) AS rrf_ppb
+    FROM unioned GROUP BY id
+    ORDER BY rrf_ppb DESC, id ASC LIMIT 10"""))
+
   /** `TIMESTAMP AS OF` time travel through
     * [[graft.sources.SnapshotTable.readAsOf]]: manifests stamp their
     * commit wall-clock, [[graft.sources.SnapshotTable.commitTimeline]]
@@ -12653,6 +12737,7 @@ object Queries {
     qMatviewStats, qSnapshotBucket, qSnapshotLive,
     qSnapshotRestore, qSnapshotMorUpdate, qSnapshotCompactWhere,
     qSnapshotConstraint, qBpeEncode, qSnapshotTimetravel, qTextIndex,
+    qHybridSearch,
     qQualityProbe, qQualityClassifier, qAnnPq, qAnnIvfPq, qAnnIvfPqRes, qAnnRerank,
     qBpeTrain, qBpeTrainBatched,
     qCorpusFunnel, qAnnKmeans, qAnnTrained,

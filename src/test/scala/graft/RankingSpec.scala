@@ -152,4 +152,21 @@ class RankingSpec extends AnyFunSuite {
     assert(!single.exists(_.contains("[id")),
       s"corpus rows entered a single-partition exchange:\n$plan")
   }
+
+  test("rrfFuse: exact integer RRF, both-lists ids outrank single-list ids") {
+    import spark.implicits._
+    // dense ranks: ids 1..4; sparse ranks: 3,4,5,6 — 3 and 4 in both
+    val dense = Seq((1L, 1), (2L, 2), (3L, 3), (4L, 4)).toDF("id", "rank")
+    val sparse = Seq((3L, 1), (4L, 2), (5L, 3), (6L, 4)).toDF("id", "rank")
+    val got = Ranking.rrfFuse(Seq(dense, sparse), "id", "rank", k = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    def t(r: Int) = 1000000000L / (60 + r)
+    val want = Map(
+      1L -> (1L, t(1)), 2L -> (1L, t(2)),
+      3L -> (2L, t(3) + t(1)), 4L -> (2L, t(4) + t(2)),
+      5L -> (1L, t(3)), 6L -> (1L, t(4)))
+    got.foreach { case (id, n, s) => assert((n, s) == want(id), s"id $id") }
+    // fusion order: both-lists ids first, then by best single rank
+    assert(got.map(_._1).toSeq == Seq(3L, 4L, 1L, 2L, 5L, 6L))
+  }
 }
