@@ -77,6 +77,53 @@ object Bm25Index {
     else MaterializedAgg.refresh(spark, statsDir(dir))
   }
 
+  /** EXACTLY-ONCE [[append]] for replayable writers (the streaming
+    * contract): postings and doclen each land under their own
+    * per-`appId` transaction ledger with `txnVersion` as the batch
+    * version, so a replayed micro-batch is a manifest no-op on
+    * whichever sub-table already holds it — a crash BETWEEN the two
+    * commits converges on retry (each table exactly-once). Queries
+    * stay correct throughout: df is computed exact from the postings
+    * actually read, and the scalar view's cursor advances
+    * monotonically — a momentarily-behind N is ordinary async-stats
+    * lag, never wrong postings. */
+  def appendTxn(docs: DataFrame, dir: String, appId: String,
+                txnVersion: Long, idCol: String = "doc_id",
+                textCol: String = "text", shards: Int = 8): Unit = {
+    val spark = docs.sparkSession
+    val posts = postingsOf(docs, idCol, textCol)
+      .repartitionByRange(shards, col("term"))
+      .sortWithinPartitions("term", "doc_id")
+    SnapshotTable.transactionalAppend(posts, postingsDir(dir), appId,
+      txnVersion, statsCols = Seq("term"), bloomCols = Seq("term"))
+    val dl = posts.groupBy("doc_id").agg(max("dl").as("dl"))
+      .select(lit(0L).as("g"), col("doc_id"), col("dl"))
+    SnapshotTable.transactionalAppend(dl, doclenDir(dir), appId, txnVersion)
+    if (SnapshotTable.latestVersion(spark, statsDir(dir)).isEmpty)
+      MaterializedAgg.create(spark, doclenDir(dir), statsDir(dir),
+        Seq("g"),
+        Seq(MaterializedAgg.AggSpec("n", "", "count"),
+          MaterializedAgg.AggSpec("tottok", "dl", "sum_long")),
+        ViewId)
+    else MaterializedAgg.refresh(spark, statsDir(dir))
+  }
+
+  /** Streaming search-index maintenance: each micro-batch of
+    * documents tokenizes, scores and lands through [[appendTxn]]'s
+    * ledger discipline (txnVersion = batchId) — checkpoint-recovery
+    * replays are index no-ops, so the index holds each document's
+    * postings exactly once with no downstream dedup. */
+  def startIndexing(docs: DataFrame, dir: String, appId: String,
+                    checkpointPath: String
+                   ): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        appendTxn(batch, dir, appId, batchId)
+        ()
+      }
+      .start()
+
   /** Top-`k` documents for `terms` by summed BM25 (k1=1.2, b=0.75 —
     * `q_bm25`'s exact per-(doc, term) expression incl. its 6-dp
     * rounding; the rounded per-term scores are then EXACT

@@ -62,6 +62,35 @@ class Bm25IndexSpec extends AnyFunSuite {
     assert(none.isEmpty)
   }
 
+  test("exactly-once indexing: replayed batches are index no-ops, stream == batch") {
+    val batchIx = tmp("b"); val streamIx = tmp("s")
+    val df = docs.toDF("doc_id", "text")
+    Bm25Index.append(df, batchIx)
+    // a streaming run over the same docs in two micro-batches
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val ckpt = Files.createTempDirectory("graft-bm25-ckpt").toString
+    val q = Bm25Index.startIndexing(
+      in.toDF().toDF("doc_id", "text"), streamIx, "bm25-spec", ckpt)
+    try {
+      in.addData(docs.take(4): _*); q.processAllAvailable()
+      in.addData(docs.drop(4): _*); q.processAllAvailable()
+    } finally q.stop()
+    val terms = Seq("spark", "vector", "merge")
+    assert(results(streamIx, terms, 8) == results(batchIx, terms, 8))
+    // REPLAY both micro-batches by hand: every surface unchanged
+    val before = (
+      SnapshotTable.latestVersion(spark, s"$streamIx/postings"),
+      SnapshotTable.latestVersion(spark, s"$streamIx/doclen"),
+      results(streamIx, terms, 8))
+    Bm25Index.appendTxn(df.filter($"doc_id" < 4L), streamIx, "bm25-spec", 0L)
+    Bm25Index.appendTxn(df.filter($"doc_id" >= 4L), streamIx, "bm25-spec", 1L)
+    assert((SnapshotTable.latestVersion(spark, s"$streamIx/postings"),
+      SnapshotTable.latestVersion(spark, s"$streamIx/doclen"),
+      results(streamIx, terms, 8)) == before)
+  }
+
   test("corpus scalars ride the maintained one-row view") {
     val dir = tmp("stats")
     Bm25Index.append(docs.take(4).toDF("doc_id", "text"), dir)
