@@ -58,16 +58,32 @@ object Bm25Index {
     * sharp; the scalar view is created on first build and refreshed
     * after every append. `shards` bounds the files per batch. */
   def append(docs: DataFrame, dir: String, idCol: String = "doc_id",
-             textCol: String = "text", shards: Int = 8): Unit = {
+             textCol: String = "text", shards: Int = 8): Unit =
+    appendImpl(docs, dir, idCol, textCol, shards, txn = None)
+
+  /** The one indexing body behind [[append]] and [[appendTxn]] — the
+    * two index forms must never diverge (tokenization, layout, and
+    * the stats-view spec are all load-bearing for the q_bm25
+    * differential check), so only the COMMIT discipline varies. */
+  private def appendImpl(docs: DataFrame, dir: String, idCol: String,
+                         textCol: String, shards: Int,
+                         txn: Option[(String, Long)]): Unit = {
     val spark = docs.sparkSession
     val posts = postingsOf(docs, idCol, textCol)
       .repartitionByRange(shards, col("term"))
       .sortWithinPartitions("term", "doc_id")
-    SnapshotTable.append(posts, postingsDir(dir),
-      statsCols = Seq("term"), bloomCols = Seq("term"))
     val dl = posts.groupBy("doc_id").agg(max("dl").as("dl"))
       .select(lit(0L).as("g"), col("doc_id"), col("dl"))
-    SnapshotTable.append(dl, doclenDir(dir))
+    txn match {
+      case Some((appId, tv)) =>
+        SnapshotTable.transactionalAppend(posts, postingsDir(dir), appId,
+          tv, statsCols = Seq("term"), bloomCols = Seq("term"))
+        SnapshotTable.transactionalAppend(dl, doclenDir(dir), appId, tv)
+      case None =>
+        SnapshotTable.append(posts, postingsDir(dir),
+          statsCols = Seq("term"), bloomCols = Seq("term"))
+        SnapshotTable.append(dl, doclenDir(dir))
+    }
     if (SnapshotTable.latestVersion(spark, statsDir(dir)).isEmpty)
       MaterializedAgg.create(spark, doclenDir(dir), statsDir(dir),
         Seq("g"),
@@ -89,24 +105,9 @@ object Bm25Index {
     * lag, never wrong postings. */
   def appendTxn(docs: DataFrame, dir: String, appId: String,
                 txnVersion: Long, idCol: String = "doc_id",
-                textCol: String = "text", shards: Int = 8): Unit = {
-    val spark = docs.sparkSession
-    val posts = postingsOf(docs, idCol, textCol)
-      .repartitionByRange(shards, col("term"))
-      .sortWithinPartitions("term", "doc_id")
-    SnapshotTable.transactionalAppend(posts, postingsDir(dir), appId,
-      txnVersion, statsCols = Seq("term"), bloomCols = Seq("term"))
-    val dl = posts.groupBy("doc_id").agg(max("dl").as("dl"))
-      .select(lit(0L).as("g"), col("doc_id"), col("dl"))
-    SnapshotTable.transactionalAppend(dl, doclenDir(dir), appId, txnVersion)
-    if (SnapshotTable.latestVersion(spark, statsDir(dir)).isEmpty)
-      MaterializedAgg.create(spark, doclenDir(dir), statsDir(dir),
-        Seq("g"),
-        Seq(MaterializedAgg.AggSpec("n", "", "count"),
-          MaterializedAgg.AggSpec("tottok", "dl", "sum_long")),
-        ViewId)
-    else MaterializedAgg.refresh(spark, statsDir(dir))
-  }
+                textCol: String = "text", shards: Int = 8): Unit =
+    appendImpl(docs, dir, idCol, textCol, shards,
+      txn = Some(appId -> txnVersion))
 
   /** Streaming search-index maintenance: each micro-batch of
     * documents tokenizes, scores and lands through [[appendTxn]]'s

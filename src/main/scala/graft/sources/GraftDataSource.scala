@@ -136,12 +136,17 @@ final class GraftDataSource extends RelationProvider
       parameters.contains("startingTimestamp")),
       "graft: startingVersion and startingTimestamp are mutually exclusive")
     // startingTimestamp resolves through the same adjusted commit
-    // timeline as timestampAsOf (epoch millis or a timestamp literal).
+    // timeline as timestampAsOf (epoch millis or a timestamp literal)
+    // but with START semantics — the EARLIEST version at or after the
+    // instant (AS-OF's latest-at-or-before would replay a commit made
+    // BEFORE the requested start). Before the first commit → start at
+    // v0; after the head → only future commits.
     val startingVersion = parameters.get("startingVersion").map(_.toLong)
       .orElse(parameters.get("startingTimestamp").map { t =>
         val millis = scala.util.Try(t.toLong).getOrElse(
           java.sql.Timestamp.valueOf(t).getTime)
-        SnapshotTable.versionAtTimestamp(spark, dir, millis)
+        val tl = SnapshotTable.commitTimeline(spark, dir)
+        tl.find(_._2 >= millis).map(_._1).getOrElse(tl.last._1 + 1)
       })
     if (cdfMode(parameters))
       new GraftCdfStreamSource(spark, dir,

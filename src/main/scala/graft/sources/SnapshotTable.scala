@@ -1016,17 +1016,24 @@ object SnapshotTable {
                            dvRefs: Map[String, String] = Map.empty,
                            bucket: Option[BucketLayout] = None,
                            constraints: Map[String, String] = Map.empty,
-                           tsOverride: Option[Long] = None
+                           tsOverride: Option[Long] = None,
+                           stampTs: Boolean = true
                           ): String = {
     val root = new java.util.LinkedHashMap[String, Object]()
     root.put("version", java.lang.Long.valueOf(v))
     // Commit wall-clock — what TIMESTAMP AS OF resolves against
     // (monotonicity-adjusted at read time, see [[commitTimeline]]).
     // tsOverride preserves the ORIGINAL stamp when vacuum rewrites
-    // the keepFrom manifest in checkpoint form: a re-stamp would make
-    // the oldest version read as the newest and corrupt resolution.
-    root.put("ts", java.lang.Long.valueOf(
-      tsOverride.getOrElse(System.currentTimeMillis())))
+    // the keepFrom manifest in checkpoint form — and a rewrite of a
+    // LEGACY stampless manifest must stay stampless (stampTs = false):
+    // stamping it "now" would adjust every later version past the
+    // vacuum time and corrupt historical resolution.
+    tsOverride match {
+      case Some(t) => root.put("ts", java.lang.Long.valueOf(t))
+      case None if stampTs =>
+        root.put("ts", java.lang.Long.valueOf(System.currentTimeMillis()))
+      case None => // legacy rewrite: omit, commitTimeline floors it
+    }
     root.put("op", op)
     schema.foreach(st => root.put("schema", mapper.readTree(st.json)))
     bucket.foreach { b =>
@@ -1175,10 +1182,16 @@ object SnapshotTable {
     }
     // Stamp exactly the reader features this manifest's resolution
     // depends on (see [[SupportedFeatures]]); a plain manifest stays
-    // list-free and readable by every release.
-    val feats = Seq("segments", "dvrefs", "dvremoves", "constraints",
-      "bucket").filter(root.containsKey)
-      .map { case "dvrefs" => "dv"; case k => k }
+    // list-free and readable by every release. "dv" must key off the
+    // EFFECTIVE refs, not the root key — a segmented checkpoint's
+    // vectors live inside segment files (a segments-capable but
+    // DV-unaware reader would otherwise pass the guard and resurrect
+    // masked rows).
+    val usesDv = root.containsKey("dvrefs") ||
+      (full && dvRefs.view.filterKeys(fileSet).nonEmpty)
+    val feats = Seq("segments", "dvremoves", "constraints",
+      "bucket").filter(root.containsKey) ++
+      (if (usesDv) Seq("dv") else Nil)
     if (feats.nonEmpty) {
       val fj = new java.util.ArrayList[String]()
       feats.foreach(fj.add)
@@ -1420,13 +1433,14 @@ object SnapshotTable {
     // re-runs against whatever manifest the commit loop lands on).
     latestVersion(spark, dir).flatMap(manifestSchema(spark, dir, _))
       .foreach(evolveSchema(_, df.schema))
-    enforceConstraints(spark, dir, df, "append")
+    val vcs = enforceConstraints(spark, dir, df, "append")
     val (sCols, bCols) = inheritTracking(spark, dir, df, statsCols, bloomCols)
     val (added, addedStats, addedRefs, addedSizes) =
       writeBatch(df, dir, sCols, bCols, strictBlooms = false)
     commitAppend(spark, dir, df.schema, added, addedStats, addedRefs,
       bCols, maxRetries, "append",
-      addedSizes = addedSizes).get // non-txn append never no-ops
+      addedSizes = addedSizes,
+      validatedConstraints = vcs).get // non-txn append never no-ops
   }
 
   /** Atomic REPLACE: commit a snapshot containing ONLY `df`'s freshly
@@ -1441,17 +1455,24 @@ object SnapshotTable {
   def overwrite(df: DataFrame, dir: String, statsCols: Seq[String] = Nil,
                 bloomCols: Seq[String] = Nil, maxRetries: Int = 20): Long = {
     val spark = df.sparkSession
-    enforceConstraints(spark, dir, df, "overwrite")
+    var validated = enforceConstraints(spark, dir, df, "overwrite")
+    // table POLICY (tracked stats/bloom columns) survives a replace,
+    // same as constraints do — one overwrite must not strip pruning
+    val (sCols, bCols) = inheritTracking(spark, dir, df, statsCols, bloomCols)
     val (added, addedStats, addedRefs, addedSizes) =
-      writeBatch(df, dir, statsCols, bloomCols)
+      writeBatch(df, dir, sCols, bCols, strictBlooms = false)
     var attempt = 0
     while (attempt < maxRetries) {
       val base = latestVersion(spark, dir)
-      val txns = base.map(stateOf(spark, dir, _).txns).getOrElse(Map.empty)
+      val st = base.map(stateOf(spark, dir, _))
+      val txns = st.map(_.txns).getOrElse(Map.empty)
+      validated = recheckConstraints(spark, dir,
+        st.map(_.constraints).getOrElse(Map.empty), validated,
+        added, Some(df.schema), "overwrite")
       val v = base.getOrElse(-1L) + 1
       if (tryCommit(spark, dir, v, added, txns, addedStats,
           Some(StructType(df.schema.fields.map(_.copy(nullable = true)))),
-          addedRefs, bloomCols, addedSizes, "overwrite"))
+          addedRefs, bCols, addedSizes, "overwrite"))
         return v
       attempt += 1
     }
@@ -1471,8 +1492,11 @@ object SnapshotTable {
                            maxRetries: Int, op: String,
                            txn: Option[(String, Long)] = None,
                            addedSizes: Map[String, Long] = Map.empty,
-                           bucket: Option[BucketLayout] = None
+                           bucket: Option[BucketLayout] = None,
+                           validatedConstraints: Map[String, String] =
+                             Map.empty
                           ): Option[Long] = {
+    var validated = validatedConstraints
     var attempt = 0
     while (attempt < maxRetries) {
       val base = latestVersion(spark, dir)
@@ -1495,6 +1519,10 @@ object SnapshotTable {
       val unified = st.flatMap(_.schema)
         .map(evolveSchema(_, dfSchema))
         .getOrElse(evolveSchema(new StructType(), dfSchema))
+      // a concurrently-added constraint must gate THIS batch too
+      validated = recheckConstraints(spark, dir,
+        st.map(_.constraints).getOrElse(Map.empty), validated,
+        added, Some(unified), op)
       val v = base.getOrElse(-1L) + 1
       if (tryCommit(spark, dir, v, prev ++ added,
           txn.fold(txns)(txns + _), stats ++ addedStats,
@@ -1540,7 +1568,7 @@ object SnapshotTable {
     val spark = df.sparkSession
     latestVersion(spark, dir).flatMap(manifestSchema(spark, dir, _))
       .foreach(evolveSchema(_, df.schema))
-    enforceConstraints(spark, dir, df, "appendPartitioned")
+    val vcs = enforceConstraints(spark, dir, df, "appendPartitioned")
     val (sCols, bCols) = inheritTracking(spark, dir, df, statsCols, bloomCols)
     val f = fs(spark, dir)
     val batch = java.util.UUID.randomUUID().toString
@@ -1558,8 +1586,8 @@ object SnapshotTable {
     val refs = writeBloomSidecar(spark, dir, batch,
       computeBlooms(spark, batchDir, bCols, strict = false))
     commitAppend(spark, dir, df.schema, added, stats, refs, bCols,
-      maxRetries, "appendPartitioned",
-      addedSizes = sizes).get // non-txn append never no-ops
+      maxRetries, "appendPartitioned", addedSizes = sizes,
+      validatedConstraints = vcs).get // non-txn append never no-ops
   }
 
   /** BUCKETED append — the shuffle-elimination layout (the public
@@ -1603,7 +1631,7 @@ object SnapshotTable {
         s"appendBucketed: table under $dir is not bucketed as $layout " +
           s"(found ${cur.bucket.orNull}) — overwrite or compact first")
     }
-    enforceConstraints(spark, dir, df, "appendBucketed")
+    val vcs = enforceConstraints(spark, dir, df, "appendBucketed")
     val (sCols, bCols) = inheritTracking(spark, dir, df, statsCols, bloomCols)
     val f = fs(spark, dir)
     val batch = java.util.UUID.randomUUID().toString
@@ -1618,7 +1646,8 @@ object SnapshotTable {
       computeBlooms(spark, batchDir, bCols, strict = false))
     commitAppend(spark, dir, df.schema, added, stats, refs, bCols,
       maxRetries, "appendBucketed", addedSizes = sizes,
-      bucket = Some(layout)).get // non-txn append never no-ops
+      bucket = Some(layout),
+      validatedConstraints = vcs).get // non-txn append never no-ops
   }
 
   /** The bucketed data write shared by [[appendBucketed]] and
@@ -1687,7 +1716,8 @@ object SnapshotTable {
     }
     latestVersion(spark, dir).flatMap(manifestSchema(spark, dir, _))
       .foreach(evolveSchema(_, df.schema))
-    enforceConstraints(spark, dir, df, "transactionalAppendPartitioned")
+    val vcs =
+      enforceConstraints(spark, dir, df, "transactionalAppendPartitioned")
     val (sCols, bCols) = inheritTracking(spark, dir, df, statsCols, bloomCols)
     val f = fs(spark, dir)
     val batch = java.util.UUID.randomUUID().toString
@@ -1706,7 +1736,8 @@ object SnapshotTable {
       computeBlooms(spark, batchDir, bCols, strict = false))
     commitAppend(spark, dir, df.schema, added, stats, refs, bCols,
       maxRetries, "transactionalAppendPartitioned",
-      txn = Some(appId -> txnVersion), addedSizes = sizes)
+      txn = Some(appId -> txnVersion), addedSizes = sizes,
+      validatedConstraints = vcs)
   }
 
   private def listParquetRec(f: FileSystem, p: Path): Seq[FileStatus] = {
@@ -1770,7 +1801,7 @@ object SnapshotTable {
     val pre = latestVersion(spark, dir)
       .map(manifestTxns(spark, dir, _)).getOrElse(Map.empty)
     if (pre.getOrElse(appId, Long.MinValue) >= txnVersion) return None
-    enforceConstraints(spark, dir, df, "transactionalAppend")
+    var validated = enforceConstraints(spark, dir, df, "transactionalAppend")
     val (sCols, bCols) = inheritTracking(spark, dir, df, statsCols, bloomCols)
     val (added, addedStats, addedRefs, addedSizes) =
       writeBatch(df, dir, sCols, bCols, strictBlooms = false)
@@ -1788,6 +1819,9 @@ object SnapshotTable {
       val unified = st.flatMap(_.schema)
         .map(evolveSchema(_, df.schema))
         .getOrElse(evolveSchema(new StructType(), df.schema))
+      validated = recheckConstraints(spark, dir,
+        st.map(_.constraints).getOrElse(Map.empty), validated,
+        added, Some(unified), "transactionalAppend")
       val v = base.getOrElse(-1L) + 1
       if (tryCommit(spark, dir, v, prev ++ added,
           txns + (appId -> txnVersion), stats ++ addedStats,
@@ -2452,10 +2486,17 @@ object SnapshotTable {
     * carry resolves against the NULL backfill, i.e. passes (caught as
     * the analysis error it raises on the batch frame). */
   private def enforceConstraints(spark: SparkSession, dir: String,
-                                 df: DataFrame, op: String): Unit = {
+                                 df: DataFrame,
+                                 op: String): Map[String, String] = {
     val cs = latestVersion(spark, dir)
       .map(stateOf(spark, dir, _).constraints).getOrElse(Map.empty)
-    if (cs.isEmpty) return
+    enforceConstraintSet(cs, df, op)
+    cs // the VALIDATED set — commit loops re-check against it when a
+       // concurrent addConstraint rebases them onto a stricter head
+  }
+
+  private def enforceConstraintSet(cs: Map[String, String], df: DataFrame,
+                                   op: String): Unit =
     cs.toSeq.sortBy(_._1).foreach { case (name, sql) =>
       val bad =
         try df.filter(not(coalesce(expr(sql), lit(true)))).limit(1).collect()
@@ -2467,6 +2508,24 @@ object SnapshotTable {
         s"$op: CHECK constraint $name ($sql) violated, e.g. row " +
           bad.head.mkString(","))
     }
+
+  /** The commit-loop side of constraint enforcement: when the head
+    * this attempt rebases onto records constraints the caller did NOT
+    * validate against (a concurrent [[addConstraint]] won the race),
+    * re-probe the ALREADY-WRITTEN batch files against exactly the new
+    * entries — otherwise the rebase would land rows the table's own
+    * policy forbids. Returns the now-validated set. Costs nothing on
+    * the common no-race path (set equality short-circuit). */
+  private def recheckConstraints(spark: SparkSession, dir: String,
+                                 cur: Map[String, String],
+                                 validated: Map[String, String],
+                                 added: Seq[String],
+                                 schema: Option[StructType],
+                                 op: String): Map[String, String] = {
+    val fresh = cur.filter { case (k, sql) => !validated.get(k).contains(sql) }
+    if (fresh.nonEmpty && added.nonEmpty)
+      enforceConstraintSet(fresh, readFiles(spark, dir, added, schema), op)
+    validated ++ fresh
   }
 
   /** RESTORE the table to a prior version's contents as a NEW commit
@@ -2630,10 +2689,14 @@ object SnapshotTable {
         // bucket claim and CHECK constraints, which the original
         // delta-form manifest asserted/inherited; omitting either
         // would silently strip table policy at the keepFrom version.
+        val origTs = Option(node.get("ts")).map(_.asLong)
         val body = manifestBody(spark, dir, keepFrom, full = true,
           st.files, st.txns, st.stats, st.schema, st.bloomRefs, st.bloomCols,
           st.sizes, origOp, st.dvRefs, st.bucket, st.constraints,
-          tsOverride = Option(node.get("ts")).map(_.asLong))
+          tsOverride = origTs,
+          // a legacy stampless manifest stays stampless — see
+          // manifestBody's ts discipline
+          stampTs = origTs.isDefined)
         val tmp = new Path(manifestDir(dir),
           s".v$keepFrom.${java.util.UUID.randomUUID()}.ckpt.tmp")
         val out = f.create(tmp, false)
@@ -2840,11 +2903,11 @@ object SnapshotTable {
         case None => col(c)
       }
     }: _*)
-    enforceConstraints(spark, dir, rewritten, "updateWhere")
+    val vcs = enforceConstraints(spark, dir, rewritten, "updateWhere")
     commitRewrite(spark, dir, touched, rewritten,
       trackedStatsCols(spark, dir, base),
       trackedBloomCols(spark, dir, base), maxRetries, "updateWhere",
-      baseDv = baseDv)
+      baseDv = baseDv, checkConstraints = Some(vcs))
   }
 
   /** MERGE-ON-READ row DELETE — the write-cheap sibling of
@@ -2877,9 +2940,13 @@ object SnapshotTable {
     if (baseSt.files.isEmpty) return None
     // Matches among LIVE rows only (existing vectors applied): a
     // row already masked must not land in the new vector twice.
+    // Persisted: the affected-files collect and the vector write both
+    // consume it — uncached each re-runs the scan + DV anti-join.
     val matches = withFile(spark, dir, base)
       .filter(condition)
       .select(col("__file").as("file"), col("__row_index").as("row_index"))
+      .persist()
+    try {
     val affected = matches.select("file").distinct()
       .collect().map(_.getString(0)).toSeq.sorted
     if (affected.isEmpty) return None
@@ -2917,6 +2984,7 @@ object SnapshotTable {
     }
     throw new java.io.IOException(
       s"deleteWhereMor: lost the commit race $maxRetries times under $dir")
+    } finally matches.unpersist(false)
   }
 
   /** MERGE-ON-READ row UPDATE — [[updateWhere]]'s write-cheap sibling
@@ -2956,8 +3024,14 @@ object SnapshotTable {
         s"updateWhereMor: SET column $c does not exist (columns: " +
           s"${fieldNames.mkString(", ")})")
     }
-    // Matches among LIVE rows only, carrying their physical positions.
-    val matches = withFile(spark, dir, base).filter(condition)
+    // Matches among LIVE rows only, carrying their physical
+    // positions. PERSISTED: the affected-files collect, the new-file
+    // write, the vector write and any constraint probes all derive
+    // from this frame — uncached, each would re-run the full
+    // scan + DV anti-join, betraying the op's write-cost-∝-matched-
+    // rows pitch.
+    val matches = withFile(spark, dir, base).filter(condition).persist()
+    try {
     val positions = matches.select(col("__file").as("file"),
       col("__row_index").as("row_index"))
     val affected = positions.select("file").distinct()
@@ -2968,7 +3042,7 @@ object SnapshotTable {
     val setMap = set.toMap
     val updated = matches.select(fieldNames.map(c =>
       setMap.get(c).map(_.as(c)).getOrElse(col(c))): _*)
-    enforceConstraints(spark, dir, updated, "updateWhereMor")
+    var validated = enforceConstraints(spark, dir, updated, "updateWhereMor")
     val (added, addedStats, addedRefs, addedSizes) =
       writeBatch(updated, dir, trackedStatsCols(spark, dir, base),
         trackedBloomCols(spark, dir, base), strictBlooms = false)
@@ -3000,6 +3074,8 @@ object SnapshotTable {
       val nextSchema = Some(curSt.schema
         .map(evolveSchema(_, updated.schema))
         .getOrElse(evolveSchema(new StructType(), updated.schema)))
+      validated = recheckConstraints(spark, dir, curSt.constraints,
+        validated, added, nextSchema, "updateWhereMor")
       if (tryCommit(spark, dir, cur + 1, curSt.files ++ added,
           curSt.txns, curSt.stats ++ addedStats, nextSchema,
           curSt.bloomRefs ++ addedRefs, curSt.bloomCols,
@@ -3010,6 +3086,7 @@ object SnapshotTable {
     }
     throw new java.io.IOException(
       s"updateWhereMor: lost the commit race $maxRetries times under $dir")
+    } finally matches.unpersist(false)
   }
 
   /** Copy-on-write MERGE (upsert): for key-matched rows the source row
@@ -3055,7 +3132,7 @@ object SnapshotTable {
     val base = latestVersion(spark, dir)
     // Only SOURCE rows introduce new values — carried rows were
     // validated when they landed.
-    enforceConstraints(spark, dir, source, "merge")
+    val vcs = enforceConstraints(spark, dir, source, "merge")
     val dupKeys = source.groupBy(keys.map(col): _*)
       .count().filter(col("count") > 1).limit(1).collect()
     require(dupKeys.isEmpty,
@@ -3082,7 +3159,7 @@ object SnapshotTable {
       keyConflict = Some((
         base.map(manifestFiles(spark, dir, _)).getOrElse(Nil).toSet,
         keys, srcKeys)),
-      baseDv = baseDv)
+      baseDv = baseDv, checkConstraints = Some(vcs))
   }
 
   /** Apply a CDC batch — rows tagged by a `_change` column with
@@ -3121,7 +3198,7 @@ object SnapshotTable {
     }
     val inserts = changes.filter(col("_change") === "insert").drop("_change")
     // Only the insert half introduces new values.
-    enforceConstraints(spark, dir, inserts, "applyChanges")
+    val vcs = enforceConstraints(spark, dir, inserts, "applyChanges")
     val dupKeys = inserts.groupBy(keys.map(col): _*)
       .count().filter(col("count") > 1).limit(1).collect()
     require(dupKeys.isEmpty,
@@ -3155,7 +3232,7 @@ object SnapshotTable {
       keyConflict = Some((
         base.map(manifestFiles(spark, dir, _)).getOrElse(Nil).toSet,
         keys, affectedKeys)),
-      baseDv = baseDv)
+      baseDv = baseDv, checkConstraints = Some(vcs))
   }
 
   /** EXACTLY-ONCE incremental table-to-table replication: advance the
@@ -3241,7 +3318,9 @@ object SnapshotTable {
                             txn: Option[(String, Long)] = None,
                             keyConflict: Option[(Set[String], Seq[String],
                               DataFrame)] = None,
-                            baseDv: Map[String, String] = Map.empty
+                            baseDv: Map[String, String] = Map.empty,
+                            checkConstraints: Option[Map[String, String]] =
+                              None
                            ): Option[Long] = {
     // strictBlooms=false: bloomCols here is the table's RECORDED
     // tracking list — legacy ineligible entries drop, never wedge a
@@ -3250,6 +3329,9 @@ object SnapshotTable {
       writeBatch(rewrite, dir, statsCols, bloomCols, strictBlooms = false)
     val touchedSet = touched.toSet
     val addedSet = added.toSet
+    // None = this op introduces no new values (delete/compaction);
+    // Some(v) = the set the caller validated — recheck on rebase.
+    var validated = checkConstraints
     var attempt = 0
     while (attempt < maxRetries) {
       val cur = latestVersion(spark, dir)
@@ -3290,6 +3372,9 @@ object SnapshotTable {
       val schema = Some(curSt.flatMap(_.schema)
         .map(evolveSchema(_, rewrite.schema))
         .getOrElse(evolveSchema(new StructType(), rewrite.schema)))
+      validated = validated.map(v => recheckConstraints(spark, dir,
+        curSt.map(_.constraints).getOrElse(Map.empty), v,
+        added, schema, op))
       val next = curFiles.filterNot(touchedSet) ++ added
       if (tryCommit(spark, dir, cur.getOrElse(-1L) + 1, next,
           txn.fold(curTxns)(curTxns + _),

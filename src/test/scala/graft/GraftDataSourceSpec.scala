@@ -140,6 +140,15 @@ class GraftDataSourceSpec extends AnyFunSuite {
         .select("id").collect().map(_.getLong(0)).sorted
       assert(got.toSeq == (100L until 103L), "only v1's rows, no snapshot")
     } finally q.stop()
+    // START semantics are at-or-AFTER: an instant before the first
+    // commit starts from v0 (where AS-OF resolution would throw)
+    val q0 = spark.readStream.format("graft")
+      .option("startingTimestamp", (tl(0L) - 1000L).toString).load(dir)
+      .writeStream.format("memory").queryName("graft_st_all").start()
+    try {
+      q0.processAllAvailable()
+      assert(spark.table("graft_st_all").count() == 103L)
+    } finally q0.stop()
     // both options together refuse (the failure surfaces on the
     // stream thread, so await it)
     val bad = spark.readStream.format("graft")

@@ -237,6 +237,36 @@ class SnapshotOpsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("column-mapping"))
   }
 
+  test("vacuum's rewrite keeps a legacy stampless manifest stampless") {
+    val dir = tmp("legacy-ts")
+    SnapshotTable.append(spark.range(0, 10).toDF(), dir)   // v0
+    SnapshotTable.append(spark.range(10, 20).toDF(), dir)  // v1
+    SnapshotTable.append(spark.range(20, 30).toDF(), dir)  // v2
+    // simulate a pre-timestamp manifest at the future keepFrom (v1)
+    val p = new org.apache.hadoop.fs.Path(dir, "_manifests/v1.json")
+    val hfs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = {
+      val in = hfs.open(p)
+      try mapper.readTree(in) finally in.close()
+    }.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    node.remove("ts")
+    hfs.delete(p, false)
+    val out = hfs.create(p, false)
+    try out.write(mapper.writeValueAsBytes(node)) finally out.close()
+    SnapshotTable.vacuum(spark, dir, keepVersions = 2, minAgeMs = 0L)
+    // the checkpoint-form rewrite of v1 must NOT have stamped "now" —
+    // that would adjust v2 past the vacuum instant and break
+    // historical resolution
+    assert(SnapshotTable.manifestCommitTime(spark, dir, 1L).isEmpty)
+    val tl = SnapshotTable.commitTimeline(spark, dir)
+    assert(tl.map(_._1) == Seq(1L, 2L))
+    assert(tl(1)._2 > tl(0)._2)
+    // v2's real stamp still resolves
+    assert(SnapshotTable.versionAtTimestamp(spark, dir, tl(1)._2) == 2L)
+    assert(SnapshotTable.read(spark, dir).count() == 30)
+  }
+
   test("binPackSmall folds only sub-threshold files") {
     val dir = tmp("binpack")
     // one big file, then five tiny ones
