@@ -2516,7 +2516,7 @@ object SnapshotTable {
     * entries — otherwise the rebase would land rows the table's own
     * policy forbids. Returns the now-validated set. Costs nothing on
     * the common no-race path (set equality short-circuit). */
-  private def recheckConstraints(spark: SparkSession, dir: String,
+  private[graft] def recheckConstraints(spark: SparkSession, dir: String,
                                  cur: Map[String, String],
                                  validated: Map[String, String],
                                  added: Seq[String],

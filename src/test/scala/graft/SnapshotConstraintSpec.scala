@@ -95,6 +95,32 @@ class SnapshotConstraintSpec extends AnyFunSuite {
     }
   }
 
+  test("commit-loop recheck gates a batch against a concurrently added constraint") {
+    // recheckConstraints is what every commit loop calls after
+    // rebasing: simulate the race directly — a batch validated
+    // against an EMPTY set meets a head that now records a
+    // constraint its rows violate.
+    val dir = tmp("race")
+    SnapshotTable.append(spark.range(0, 10).toDF(), dir)
+    val files = SnapshotTable.manifestFiles(spark, dir, 0L)
+    val schema = SnapshotTable.manifestSchema(spark, dir, 0L)
+    val cs = Map("bounded" -> "id < 5")
+    // nothing validated yet → the written files re-probe and refuse
+    val e = intercept[IllegalArgumentException] {
+      SnapshotTable.recheckConstraints(spark, dir, cs, Map.empty,
+        files, schema, "append")
+    }
+    assert(e.getMessage.contains("bounded"))
+    // already-validated identical set → no re-probe, passes through
+    assert(SnapshotTable.recheckConstraints(spark, dir, cs, cs,
+      files, schema, "append") == cs)
+    // a conforming batch against a fresh constraint validates and
+    // returns the merged set
+    val ok = Map("nonneg" -> "id >= 0")
+    assert(SnapshotTable.recheckConstraints(spark, dir, ok, Map.empty,
+      files, schema, "append") == ok)
+  }
+
   test("constraints and bucket claims survive vacuum's checkpoint rewrite") {
     val dir = tmp("vac")
     val df = spark.range(0, 100)
