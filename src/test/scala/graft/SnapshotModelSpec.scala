@@ -1,0 +1,130 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.sources.SnapshotTable
+
+/** MODEL-BASED differential stress of the table format: a seeded
+  * random sequence of the full row-level op surface (append, CoW and
+  * MoR delete/update, merge, compaction in all three scopes, restore)
+  * runs against an in-memory reference model, with the table read
+  * back and compared after EVERY committed op — the cross-op
+  * interaction net (an op pair that corrupts state shows up within a
+  * few dozen steps; the dvremoves gap restore exposed is exactly the
+  * class this hunts). Time travel is checked against the model's own
+  * per-version history, which restore also draws targets from. */
+class SnapshotModelSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft-model").toString + "/t"
+
+  private def snap(dir: String, v: Option[Long] = None): Map[Long, Long] =
+    SnapshotTable.read(spark, dir, v).select("id", "v").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("40 random ops: table == model after every commit, history == model history") {
+    val dir = tmp()
+    val rng = new scala.util.Random(20260815L)
+    var model = Map.empty[Long, Long]
+    var history = Map.empty[Long, Map[Long, Long]] // version -> model
+    var nextId = 0L
+
+    def freshBatch(n: Int): Seq[(Long, Long)] = {
+      val b = (0 until n).map(i => (nextId + i, rng.nextInt(1000).toLong))
+      nextId += n
+      b
+    }
+    def record(v: Long): Unit = history += v -> model
+
+    // v0 seed
+    val seed = freshBatch(40)
+    SnapshotTable.append(seed.toDF("id", "v"), dir, statsCols = Seq("id"))
+    model = seed.toMap
+    record(0L)
+
+    for (step <- 1 to 40) {
+      val opPick = rng.nextInt(10)
+      val committed: Option[Long] = opPick match {
+        case 0 | 1 => // plain append of fresh rows
+          val b = freshBatch(5 + rng.nextInt(10))
+          SnapshotTable.append(b.toDF("id", "v"), dir)
+          model ++= b
+          SnapshotTable.latestVersion(spark, dir)
+        case 2 => // CoW delete by value band
+          val cut = rng.nextInt(1000).toLong
+          val r = SnapshotTable.deleteWhere(spark, dir, $"v" < cut)
+          if (r.nonEmpty) model = model.filter(_._2 >= cut)
+          r
+        case 3 => // MoR delete by id stripe
+          val m = 2 + rng.nextInt(5)
+          val r = SnapshotTable.deleteWhereMor(spark, dir,
+            pmod($"id", lit(m.toLong)) === 0L)
+          if (r.nonEmpty) model = model.filter(_._1 % m != 0)
+          r
+        case 4 => // CoW update
+          val cut = rng.nextInt(1000).toLong
+          val r = SnapshotTable.updateWhere(spark, dir, $"v" >= cut,
+            Seq("v" -> ($"v" + 10000L)))
+          if (r.nonEmpty) model = model.map { case (k, v) =>
+            k -> (if (v >= cut) v + 10000L else v) }
+          r
+        case 5 => // MoR update
+          val m = 2 + rng.nextInt(4)
+          val r = SnapshotTable.updateWhereMor(spark, dir,
+            pmod($"id", lit(m.toLong)) === 1L, Seq("v" -> lit(777L)))
+          if (r.nonEmpty) model = model.map { case (k, v) =>
+            k -> (if (k % m == 1) 777L else v) }
+          r
+        case 6 => // merge: updates to existing ids + fresh inserts
+          val existing = rng.shuffle(model.keys.toSeq)
+            .take(math.min(4, model.size)).map(k => (k, 5555L))
+          val fresh = freshBatch(3)
+          val src = (existing ++ fresh).distinct
+          if (src.isEmpty) None
+          else {
+            val v = SnapshotTable.merge(spark, dir,
+              src.toDF("id", "v"), Seq("id"))
+            model = model ++ src
+            Some(v)
+          }
+        case 7 => // compaction in one of three scopes (model no-op)
+          rng.nextInt(3) match {
+            case 0 => SnapshotTable.compact(spark, dir)
+            case 1 => SnapshotTable.compactWhere(spark, dir, "id",
+              0L, nextId / 2)
+            case 2 => SnapshotTable.binPackSmall(spark, dir,
+              smallerThanBytes = 1L << 20)
+          }
+        case 8 => // restore to a random recorded version
+          val targets = history.keys.toSeq.sorted.takeRight(8)
+          val target = targets(rng.nextInt(targets.length))
+          val r = SnapshotTable.restore(spark, dir, target)
+          if (r.nonEmpty) model = history(target)
+          r
+        case 9 => // no-op probes: reads must not change anything
+          val (sel, tot) = SnapshotTable.pruneFiles(spark, dir, "id",
+            0L, nextId)
+          assert(sel.length <= tot)
+          None
+      }
+      committed.foreach(record)
+      val got = snap(dir)
+      assert(got == model,
+        s"step $step (op $opPick, v $committed): table/model diverged\n" +
+          s"only-table: ${(got.toSet -- model.toSet).take(5)}\n" +
+          s"only-model: ${(model.toSet -- got.toSet).take(5)}")
+    }
+
+    // time travel: every 7th recorded version reads as its model did
+    history.keys.toSeq.sorted.zipWithIndex.filter(_._2 % 7 == 0)
+      .foreach { case (v, _) =>
+        assert(snap(dir, Some(v)) == history(v), s"time travel to v$v")
+      }
+    // history() walks the full chain without error
+    assert(SnapshotTable.history(spark, dir).count() ==
+      SnapshotTable.latestVersion(spark, dir).get + 1)
+  }
+}
