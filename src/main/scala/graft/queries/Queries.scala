@@ -11952,6 +11952,47 @@ object Queries {
     FROM scored GROUP BY doc_id
     ORDER BY score DESC, doc_id LIMIT 10"""))
 
+  /** Metadata-only COUNT(*) through
+    * [[graft.sources.SnapshotTable.countRows]]: every data file's
+    * footer row count rides the manifest stats as the reserved
+    * `__rows` pseudo-column, so COUNT(*) folds the manifest instead
+    * of scanning 100 TB — and stays EXACT through copy-on-write and
+    * merge-on-read deletes (masked positions subtract from the dv
+    * sidecars). Three phases (post-append via time travel, post-CoW,
+    * post-MoR), each count computed WITHOUT touching a data file;
+    * the oracle's plain SQL counts bite if any op family's
+    * bookkeeping drifts by even one row. */
+  private val qSnapshotCount = Q(
+    "q_snapshot_count",
+    (s, d) => {
+      val dir = snapTmp()
+      graft.sources.SnapshotTable.append(
+        t(s, d, "orders").select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice")), dir)
+      val v0 = graft.sources.SnapshotTable.latestVersion(s, dir).get
+      graft.sources.SnapshotTable.deleteWhere(s, dir,
+        col("o_orderstatus") === "F")
+      val v1 = graft.sources.SnapshotTable.latestVersion(s, dir).get
+      graft.sources.SnapshotTable.deleteWhereMor(s, dir,
+        col("o_totalprice") > 300000.0)
+      import s.implicits._
+      Seq(
+        ("appended",
+          graft.sources.SnapshotTable.countRows(s, dir, Some(v0))),
+        ("cow", graft.sources.SnapshotTable.countRows(s, dir, Some(v1))),
+        ("mor", graft.sources.SnapshotTable.countRows(s, dir)))
+        .toDF("phase", "n").orderBy("phase")
+    },
+    Some("""SELECT phase, n FROM (
+      SELECT 'appended' AS phase, count(*) AS n FROM orders
+      UNION ALL
+      SELECT 'cow' AS phase, count(*) AS n FROM orders
+      WHERE o_orderstatus <> 'F'
+      UNION ALL
+      SELECT 'mor' AS phase, count(*) AS n FROM orders
+      WHERE o_orderstatus <> 'F' AND o_totalprice <= 300000)
+    ORDER BY phase"""))
+
   /** HYBRID retrieval — the production search stack's last stage:
     * a dense list (cosine-vs-query top-20 over embeddings,
     * q_similarity_topk's exact rounded scorer) and a sparse list
@@ -12737,7 +12778,7 @@ object Queries {
     qMatviewStats, qSnapshotBucket, qSnapshotLive,
     qSnapshotRestore, qSnapshotMorUpdate, qSnapshotCompactWhere,
     qSnapshotConstraint, qBpeEncode, qSnapshotTimetravel, qTextIndex,
-    qHybridSearch,
+    qHybridSearch, qSnapshotCount,
     qQualityProbe, qQualityClassifier, qAnnPq, qAnnIvfPq, qAnnIvfPqRes, qAnnRerank,
     qBpeTrain, qBpeTrainBatched,
     qCorpusFunnel, qAnnKmeans, qAnnTrained,

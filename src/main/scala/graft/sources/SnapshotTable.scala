@@ -615,6 +615,33 @@ object SnapshotTable {
       "n_files", "total_bytes")
   }
 
+  /** EXACT metadata-only COUNT(*): Σ per-file [[RowsCol]] footer
+    * counts − Σ deletion-vector masked positions. At 100 TB this is
+    * the difference between an instant manifest fold and an
+    * hour-long scan. Files written before counts existed (legacy) are
+    * counted by scanning JUST those files; vectors are exact by
+    * construction (each sidecar row is one masked live position), so
+    * the result equals `read().count()` bit-for-bit — pinned in
+    * SnapshotOpsSpec and oracle-checked by q_snapshot_count. */
+  def countRows(spark: SparkSession, dir: String,
+                version: Option[Long] = None): Long = {
+    val v = version.orElse(latestVersion(spark, dir)).getOrElse(
+      throw new java.io.IOException(
+        s"countRows: no committed version under $dir"))
+    val st = stateOf(spark, dir, v)
+    if (st.files.isEmpty) return 0L
+    val (counted, uncounted) = st.files.partition(f =>
+      st.stats.get(f).exists(_.contains(RowsCol)))
+    val base = counted.iterator
+      .map(f => st.stats(f)(RowsCol).min.toLong).sum +
+      (if (uncounted.isEmpty) 0L
+       else readFiles(spark, dir, uncounted,
+         manifestSchema(spark, dir, v)).count())
+    val masked = dvRows(spark, dir, st.dvRefs, st.files)
+      .map(_.count()).getOrElse(0L)
+    base - masked
+  }
+
   /** The raw commit wall-clock of version `v` (epoch millis); None for
     * manifests stamped before timestamps existed. */
   def manifestCommitTime(spark: SparkSession, dir: String,
@@ -1290,6 +1317,44 @@ object SnapshotTable {
     if (p.startsWith(prefix)) "data/" + p.stripPrefix(prefix) else p
   }
 
+  /** Reserved per-file stats pseudo-column carrying the file's ROW
+    * COUNT (min == max == count, tag "num"): counts ride the existing
+    * stats plumbing — delta manifests, segmented checkpoints,
+    * rewrites, restore, clone — with zero new manifest machinery, and
+    * [[countRows]] answers COUNT(*) from metadata alone. Real columns
+    * can never collide (Spark rejects leading-__ names nowhere, but
+    * the stats tracking filters to batch columns, and the name is
+    * documented reserved). */
+  private[graft] val RowsCol = "__rows"
+
+  /** Per-file row counts from the parquet FOOTERS of freshly written
+    * files — driver-side metadata reads (no executor job, no data
+    * pages): the count every parquet file already carries. Shaped as
+    * [[RowsCol]] pseudo-stats for direct merging into a batch's stats
+    * map. */
+  private def footerRowCounts(spark: SparkSession, dir: String,
+                              statuses: Seq[FileStatus]
+                             ): Map[String, Map[String, ColStat]] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    statuses.map { st =>
+      val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf))
+      val cnt = try rd.getRecordCount finally rd.close()
+      manifestKey(dir, st.getPath.toString) ->
+        Map(RowsCol -> ColStat("num", cnt.toString, cnt.toString))
+    }.toMap
+  }
+
+  /** Outer per-file merge of a batch's column stats with its
+    * [[RowsCol]] counts (computeStats drops stat-less files; counts
+    * cover every file). */
+  private def withRowCounts(stats: Map[String, Map[String, ColStat]],
+                            rows: Map[String, Map[String, ColStat]]
+                           ): Map[String, Map[String, ColStat]] =
+    (stats.keySet ++ rows.keySet).iterator.map(f =>
+      f -> (stats.getOrElse(f, Map.empty) ++ rows.getOrElse(f, Map.empty))
+    ).toMap
+
   /** Per-file min/max of `statsCols` for every parquet file under
     * `batchDir` — ONE column-pruned scan of the freshly written batch,
     * aggregated per input file. The collect is file-count-bounded
@@ -1581,8 +1646,9 @@ object SnapshotTable {
     val added = listed.map(st => manifestKey(dir, st.getPath.toString))
     val sizes = listed.map(st =>
       manifestKey(dir, st.getPath.toString) -> st.getLen).toMap
-    val stats = computeStats(spark, batchDir,
-      (partitionBy ++ sCols).distinct)
+    val stats = withRowCounts(computeStats(spark, batchDir,
+      (partitionBy ++ sCols).distinct),
+      footerRowCounts(spark, dir, listed))
     val refs = writeBloomSidecar(spark, dir, batch,
       computeBlooms(spark, batchDir, bCols, strict = false))
     commitAppend(spark, dir, df.schema, added, stats, refs, bCols,
@@ -1641,7 +1707,8 @@ object SnapshotTable {
     val added = listed.map(st => manifestKey(dir, st.getPath.toString))
     val sizes = listed.map(st =>
       manifestKey(dir, st.getPath.toString) -> st.getLen).toMap
-    val stats = computeStats(spark, batchDir, sCols)
+    val stats = withRowCounts(computeStats(spark, batchDir, sCols),
+      footerRowCounts(spark, dir, listed))
     val refs = writeBloomSidecar(spark, dir, batch,
       computeBlooms(spark, batchDir, bCols, strict = false))
     commitAppend(spark, dir, df.schema, added, stats, refs, bCols,
@@ -1730,8 +1797,9 @@ object SnapshotTable {
     val added = listed.map(st => manifestKey(dir, st.getPath.toString))
     val sizes = listed.map(st =>
       manifestKey(dir, st.getPath.toString) -> st.getLen).toMap
-    val stats = computeStats(spark, batchDir,
-      (partitionBy ++ sCols).distinct)
+    val stats = withRowCounts(computeStats(spark, batchDir,
+      (partitionBy ++ sCols).distinct),
+      footerRowCounts(spark, dir, listed))
     val refs = writeBloomSidecar(spark, dir, batch,
       computeBlooms(spark, batchDir, bCols, strict = false))
     commitAppend(spark, dir, df.schema, added, stats, refs, bCols,
@@ -1770,7 +1838,8 @@ object SnapshotTable {
     val added = listed.map(s => s"data/$batch/${s.getPath.getName}")
     val sizes = listed.map(s =>
       s"data/$batch/${s.getPath.getName}" -> s.getLen).toMap
-    val stats = computeStats(spark, batchDir, statsCols)
+    val stats = withRowCounts(computeStats(spark, batchDir, statsCols),
+      footerRowCounts(spark, dir, listed))
     // Bitsets land in the batch's sidecar file; the manifest only ever
     // carries the path-sized refs.
     val refs = writeBloomSidecar(spark, dir, batch,
@@ -2185,7 +2254,9 @@ object SnapshotTable {
       .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
     val rewrittenSizes = rewrittenList.map(st =>
       s"data/$batch/${st.getPath.getName}" -> st.getLen).toMap
-    val rewrittenStats = computeStats(spark, batchDir, trackedCols)
+    val rewrittenStats = withRowCounts(
+      computeStats(spark, batchDir, trackedCols),
+      footerRowCounts(spark, dir, rewrittenList))
     // strict=false: trackedBlooms is the table's RECORDED column list,
     // which on a pre-r7 table may include since-rejected types —
     // compaction must complete, dropping those bitsets, not throw.

@@ -211,6 +211,46 @@ class SnapshotOpsSpec extends AnyFunSuite {
     assert(ids(SnapshotTable.read(spark, dir)) == (10L until 60L).toSet)
   }
 
+  test("countRows: exact metadata-only COUNT(*) through every row-level op") {
+    val dir = tmp("count")
+    def check(): Unit =
+      assert(SnapshotTable.countRows(spark, dir) ==
+        SnapshotTable.read(spark, dir).count())
+    SnapshotTable.append(spark.range(0, 500).repartition(4).toDF(), dir)
+    check()
+    SnapshotTable.append(spark.range(500, 700).toDF(), dir); check()
+    SnapshotTable.deleteWhere(spark, dir, $"id" % 7 === 0L); check()
+    SnapshotTable.deleteWhereMor(spark, dir, $"id" % 11 === 3L); check()
+    SnapshotTable.updateWhereMor(spark, dir, $"id" < 20L,
+      Seq("id" -> ($"id" + 100000L))); check()
+    SnapshotTable.compact(spark, dir); check()
+    val preRestore = SnapshotTable.latestVersion(spark, dir).get
+    SnapshotTable.restore(spark, dir, 1L)
+    assert(SnapshotTable.countRows(spark, dir) == 700L)
+    // version-pinned counts too
+    assert(SnapshotTable.countRows(spark, dir, Some(preRestore)) ==
+      SnapshotTable.read(spark, dir, Some(preRestore)).count())
+    // LEGACY fallback: a table whose v0 manifest (always full-form)
+    // is stripped of stats — no file carries a count, countRows must
+    // scan those files and still be exact
+    val dir2 = tmp("count-legacy")
+    SnapshotTable.append(spark.range(0, 77).toDF(), dir2,
+      statsCols = Seq("id"))
+    val p = new org.apache.hadoop.fs.Path(dir2, "_manifests/v0.json")
+    val hfs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = {
+      val in = hfs.open(p)
+      try mapper.readTree(in) finally in.close()
+    }.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    assert(node.has("stats"))
+    node.remove("stats")
+    hfs.delete(p, false)
+    val out = hfs.create(p, false)
+    try out.write(mapper.writeValueAsBytes(node)) finally out.close()
+    assert(SnapshotTable.countRows(spark, dir2) == 77L)
+  }
+
   test("reader-feature guard: future manifests fail loudly; current ones stamp their features") {
     val dir = tmp("feat")
     SnapshotTable.append(spark.range(0, 10).toDF(), dir)
