@@ -1446,6 +1446,64 @@ object SnapshotTable {
     }.toMap
   }
 
+  /** [[computeStats]] + [[computeBlooms]] fused into ONE scan of the
+    * freshly written batch: both are per-input-file aggregations over
+    * the same files, so computing them separately pays a second full
+    * read of every byte just written — on a stats+Bloom table that
+    * second pass is pure waste on every append and every CoW rewrite.
+    * The fused plan aggregates min/max and bitsets in one
+    * groupBy(input_file_name); semantics (type filtering, bloom
+    * eligibility, strictness) are exactly the two helpers', which
+    * remain for single-summary callers. */
+  private def batchSummaries(spark: SparkSession, batchDir: Path,
+                             statsCols: Seq[String],
+                             bloomCols: Seq[String],
+                             strictBlooms: Boolean
+                            ): (Map[String, Map[String, ColStat]],
+                                Map[String, Map[String, Array[Byte]]]) = {
+    if (statsCols.isEmpty || bloomCols.isEmpty)
+      return (computeStats(spark, batchDir, statsCols),
+        computeBlooms(spark, batchDir, bloomCols, strictBlooms))
+    val df = spark.read.parquet(batchDir.toString)
+    val typed = statsCols.distinct
+      .filter(df.columns.contains)
+      .flatMap(c => statTag(df.schema(c).dataType).map(c -> _))
+    val (bOk, bDropped) = bloomCols.distinct.filter(df.columns.contains)
+      .partition(c => bloomEligible(df.schema(c).dataType))
+    bDropped.foreach { c =>
+      require(!strictBlooms,
+        s"bloomCols: column $c (${df.schema(c).dataType.simpleString}) is " +
+          "not bloom-eligible; only string and integral key columns probe " +
+          "consistently (build casts to string, probe renders via toString)")
+    }
+    if (typed.isEmpty && bOk.isEmpty) return (Map.empty, Map.empty)
+    val aggs =
+      typed.flatMap { case (c, _) =>
+        Seq(min(col(c)).as(s"__mn_$c"), max(col(c)).as(s"__mx_$c")) } ++
+      bOk.map { c =>
+        graft.plans.GraftFunctions.bloomFilterBits(
+          col(c).cast("string"), BloomBits, BloomProbes).as(s"__bf_$c") }
+    val rows = df.groupBy(input_file_name().as("__f"))
+      .agg(aggs.head, aggs.tail: _*).collect()
+    val tableDir = batchDir.getParent.getParent.toString
+    val stats = rows.flatMap { r =>
+      val rel = manifestKey(tableDir, r.getString(0))
+      val cols = typed.flatMap { case (c, tag) =>
+        val mn = r.getAs[Any](s"__mn_$c"); val mx = r.getAs[Any](s"__mx_$c")
+        if (mn == null || mx == null) None
+        else Some(c -> ColStat(tag, statStr(tag, mn), statStr(tag, mx)))
+      }.toMap
+      if (cols.isEmpty) None else Some(rel -> cols)
+    }.toMap
+    val blooms =
+      if (bOk.isEmpty) Map.empty[String, Map[String, Array[Byte]]]
+      else rows.map { r =>
+        manifestKey(tableDir, r.getString(0)) ->
+          bOk.map(c => c -> r.getAs[Array[Byte]](s"__bf_$c")).toMap
+      }.toMap
+    (stats, blooms)
+  }
+
   /** Driver-side probe of a manifest bitset (see
     * [[graft.plans.BloomFilterBits.mightContain]]). */
   private def bloomMightContain(bits: Array[Byte], value: Any): Boolean =
@@ -1646,11 +1704,10 @@ object SnapshotTable {
     val added = listed.map(st => manifestKey(dir, st.getPath.toString))
     val sizes = listed.map(st =>
       manifestKey(dir, st.getPath.toString) -> st.getLen).toMap
-    val stats = withRowCounts(computeStats(spark, batchDir,
-      (partitionBy ++ sCols).distinct),
-      footerRowCounts(spark, dir, listed))
-    val refs = writeBloomSidecar(spark, dir, batch,
-      computeBlooms(spark, batchDir, bCols, strict = false))
+    val (colStats, blooms) = batchSummaries(spark, batchDir,
+      (partitionBy ++ sCols).distinct, bCols, strictBlooms = false)
+    val stats = withRowCounts(colStats, footerRowCounts(spark, dir, listed))
+    val refs = writeBloomSidecar(spark, dir, batch, blooms)
     commitAppend(spark, dir, df.schema, added, stats, refs, bCols,
       maxRetries, "appendPartitioned", addedSizes = sizes,
       validatedConstraints = vcs).get // non-txn append never no-ops
@@ -1707,10 +1764,10 @@ object SnapshotTable {
     val added = listed.map(st => manifestKey(dir, st.getPath.toString))
     val sizes = listed.map(st =>
       manifestKey(dir, st.getPath.toString) -> st.getLen).toMap
-    val stats = withRowCounts(computeStats(spark, batchDir, sCols),
-      footerRowCounts(spark, dir, listed))
-    val refs = writeBloomSidecar(spark, dir, batch,
-      computeBlooms(spark, batchDir, bCols, strict = false))
+    val (colStats, blooms) = batchSummaries(spark, batchDir, sCols,
+      bCols, strictBlooms = false)
+    val stats = withRowCounts(colStats, footerRowCounts(spark, dir, listed))
+    val refs = writeBloomSidecar(spark, dir, batch, blooms)
     commitAppend(spark, dir, df.schema, added, stats, refs, bCols,
       maxRetries, "appendBucketed", addedSizes = sizes,
       bucket = Some(layout),
@@ -1797,11 +1854,10 @@ object SnapshotTable {
     val added = listed.map(st => manifestKey(dir, st.getPath.toString))
     val sizes = listed.map(st =>
       manifestKey(dir, st.getPath.toString) -> st.getLen).toMap
-    val stats = withRowCounts(computeStats(spark, batchDir,
-      (partitionBy ++ sCols).distinct),
-      footerRowCounts(spark, dir, listed))
-    val refs = writeBloomSidecar(spark, dir, batch,
-      computeBlooms(spark, batchDir, bCols, strict = false))
+    val (colStats, blooms) = batchSummaries(spark, batchDir,
+      (partitionBy ++ sCols).distinct, bCols, strictBlooms = false)
+    val stats = withRowCounts(colStats, footerRowCounts(spark, dir, listed))
+    val refs = writeBloomSidecar(spark, dir, batch, blooms)
     commitAppend(spark, dir, df.schema, added, stats, refs, bCols,
       maxRetries, "transactionalAppendPartitioned",
       txn = Some(appId -> txnVersion), addedSizes = sizes,
@@ -1838,12 +1894,12 @@ object SnapshotTable {
     val added = listed.map(s => s"data/$batch/${s.getPath.getName}")
     val sizes = listed.map(s =>
       s"data/$batch/${s.getPath.getName}" -> s.getLen).toMap
-    val stats = withRowCounts(computeStats(spark, batchDir, statsCols),
-      footerRowCounts(spark, dir, listed))
+    val (colStats, blooms) =
+      batchSummaries(spark, batchDir, statsCols, bloomCols, strictBlooms)
+    val stats = withRowCounts(colStats, footerRowCounts(spark, dir, listed))
     // Bitsets land in the batch's sidecar file; the manifest only ever
     // carries the path-sized refs.
-    val refs = writeBloomSidecar(spark, dir, batch,
-      computeBlooms(spark, batchDir, bloomCols, strictBlooms))
+    val refs = writeBloomSidecar(spark, dir, batch, blooms)
     (added, stats, refs, sizes)
   }
 
@@ -2254,14 +2310,14 @@ object SnapshotTable {
       .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
     val rewrittenSizes = rewrittenList.map(st =>
       s"data/$batch/${st.getPath.getName}" -> st.getLen).toMap
-    val rewrittenStats = withRowCounts(
-      computeStats(spark, batchDir, trackedCols),
-      footerRowCounts(spark, dir, rewrittenList))
     // strict=false: trackedBlooms is the table's RECORDED column list,
     // which on a pre-r7 table may include since-rejected types —
     // compaction must complete, dropping those bitsets, not throw.
-    val rewrittenRefs = writeBloomSidecar(spark, dir, batch,
-      computeBlooms(spark, batchDir, trackedBlooms, strict = false))
+    val (rwStats, rwBlooms) = batchSummaries(spark, batchDir,
+      trackedCols, trackedBlooms, strictBlooms = false)
+    val rewrittenStats = withRowCounts(rwStats,
+      footerRowCounts(spark, dir, rewrittenList))
+    val rewrittenRefs = writeBloomSidecar(spark, dir, batch, rwBlooms)
     var attempt = 0
     while (attempt < maxRetries) {
       val cur = latestVersion(spark, dir).get
