@@ -127,4 +127,77 @@ class SnapshotModelSpec extends AnyFunSuite {
     assert(SnapshotTable.history(spark, dir).count() ==
       SnapshotTable.latestVersion(spark, dir).get + 1)
   }
+
+  test("25 random ops with vacuum and clone: horizons respected, branches diverge correctly") {
+    val dir = tmp()
+    val rng = new scala.util.Random(8150815L)
+    var model = Map.empty[Long, Long]
+    var history = Map.empty[Long, Map[Long, Long]]
+    var nextId = 0L
+    def freshBatch(n: Int): Seq[(Long, Long)] = {
+      val b = (0 until n).map(i => (nextId + i, rng.nextInt(1000).toLong))
+      nextId += n
+      b
+    }
+    val seed = freshBatch(30)
+    SnapshotTable.append(seed.toDF("id", "v"), dir, statsCols = Seq("id"))
+    model = seed.toMap
+    history += 0L -> model
+
+    for (step <- 1 to 25) {
+      val opPick = rng.nextInt(9)
+      val committed: Option[Long] = opPick match {
+        case 0 | 1 | 2 =>
+          val b = freshBatch(4 + rng.nextInt(6))
+          SnapshotTable.append(b.toDF("id", "v"), dir)
+          model ++= b
+          SnapshotTable.latestVersion(spark, dir)
+        case 3 =>
+          val m = 2 + rng.nextInt(5)
+          val r = SnapshotTable.deleteWhereMor(spark, dir,
+            pmod($"id", lit(m.toLong)) === 0L)
+          if (r.nonEmpty) model = model.filter(_._1 % m != 0)
+          r
+        case 4 =>
+          val cut = rng.nextInt(1000).toLong
+          val r = SnapshotTable.updateWhere(spark, dir, $"v" < cut,
+            Seq("v" -> ($"v" + 20000L)))
+          if (r.nonEmpty) model = model.map { case (k, v) =>
+            k -> (if (v < cut) v + 20000L else v) }
+          r
+        case 5 => // restore within the surviving horizon only
+          val targets = history.keys.toSeq.sorted
+          val target = targets(rng.nextInt(targets.length))
+          val r = SnapshotTable.restore(spark, dir, target)
+          if (r.nonEmpty) model = history(target)
+          r
+        case 6 => // vacuum: history shrinks to the keep window
+          val latest = SnapshotTable.latestVersion(spark, dir).get
+          SnapshotTable.vacuum(spark, dir, keepVersions = 6, minAgeMs = 0L)
+          val keepFrom = math.max(0L, latest - 5)
+          history = history.filter(_._1 >= keepFrom)
+          None
+        case 7 =>
+          SnapshotTable.compact(spark, dir)
+        case 8 => // branch: clone a random surviving version, diverge,
+          // and prove the source never notices
+          val targets = history.keys.toSeq.sorted
+          val target = targets(rng.nextInt(targets.length))
+          val branch = tmp()
+          SnapshotTable.shallowClone(spark, dir, branch,
+            versionAsOf = Some(target))
+          assert(snap(branch) == history(target),
+            s"step $step: clone of v$target diverged from its model")
+          SnapshotTable.deleteWhere(spark, branch, lit(true))
+          assert(snap(branch).isEmpty)
+          None
+      }
+      committed.foreach(v => history += v -> model)
+      assert(snap(dir) == model, s"step $step (op $opPick) diverged")
+    }
+    // every surviving recorded version still time-travels correctly
+    history.toSeq.sortBy(_._1).takeRight(4).foreach { case (v, m) =>
+      assert(snap(dir, Some(v)) == m, s"time travel to v$v")
+    }
+  }
 }
