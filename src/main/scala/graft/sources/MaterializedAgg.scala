@@ -173,20 +173,18 @@ object MaterializedAgg {
         col(s"_i_$out").isNotNull || col(s"_x_$out").isNotNull
       case AggSpec(out, _, _) => col(s"_d_$out") =!= 0
     }
-    // PERSISTED: the refresh takes several actions over what follows
-    // (retraction probe, sanity check, emptiness, the CoW landing —
-    // and applyChanges takes more internally); without a cache each
-    // one would re-run the change-feed scan + its set-op shuffles.
-    // The delta is group-cardinality-bounded — tiny by construction.
     val delta = feed.groupBy(meta.keys.map(col): _*)
       .agg(deltaCols.head, deltaCols.tail: _*)
       // All-zero delta rows (a rewrite that re-landed identical rows)
       // would still CoW-touch their view files — drop them.
       .filter(touched.foldLeft(col(s"_d_$CountCol") =!= 0)(_ || _))
-      .persist()
     val cur = SnapshotTable.read(spark, dstDir, Some(dstV))
     // delta ⟕ current: absent current row = a brand-new group.
-    val joined = delta.join(cur, meta.keys, "left")
+    // PERSISTED: the refresh probes this frame and then lands it (and
+    // applyChanges scans it several more times internally); without a
+    // cache each pass would re-run the change-feed scan, its set-op
+    // shuffles AND the view join. Group-cardinality-bounded — tiny.
+    val joined = delta.join(cur, meta.keys, "left").persist()
     val newN = coalesce(col(CountCol), lit(0L)) + col(s"_d_$CountCol")
     // A deleted value at-or-beyond the stored extremum (or a delete
     // against a NULL-extremum group) may have retracted it — the new
@@ -221,31 +219,30 @@ object MaterializedAgg {
         when(newN > 0, lit("insert")).otherwise(lit("delete"))
           .as("_change")): _*)
     val hasMinMax = meta.aggs.exists(a => Seq("min", "max").contains(a.kind))
-    // Dead groups need no recompute — they become delete rows
-    // regardless of what the retracted extremum was.
-    val affected = joined.filter(retracted && newN > 0)
     try {
-      val batch = (
-        if (!hasMinMax || affected.isEmpty) toBatch(joined)
-        else {
-          val affKeys = affected.select(meta.keys.map(col): _*).distinct()
-          val rec = aggregate(
-            SnapshotTable.read(spark, meta.srcDir, Some(srcV))
-              .join(broadcast(affKeys), meta.keys, "left_semi"),
-            meta.keys, meta.aggs)
-          toBatch(joined.filter(!(retracted && newN > 0)))
-            .unionByName(rec.withColumn("_change", lit("insert"))
-              .select(meta.keys.map(col) ++
-                meta.aggs.map(a => col(a.outCol)) :+ col(CountCol) :+
-                col("_change"): _*))
-        }).persist()
-      // A negative live count means the feed and the view disagree —
-      // fail loudly, never "repair" silently.
-      val bad = batch.filter(col(CountCol) < 0).limit(1).collect()
-      require(bad.isEmpty,
-        s"MaterializedAgg.refresh: negative group count (e.g. " +
-          s"${bad.headOption.orNull}) — view out of sync with source feed")
-      if (batch.isEmpty) {
+      // ONE probe job over the cached join decides everything the
+      // refresh needs to know — emptiness (cursor-only advance),
+      // retraction count (does a recompute leg exist at all), and the
+      // sanity check (negative live counts = feed/view divergence).
+      // These were three separate actions, each re-running the join.
+      val retAlive = retracted && newN > 0
+      val p = joined.agg(
+        count(lit(1)).as("_n"),
+        coalesce(sum(when(retAlive, 1L).otherwise(0L)), lit(0L)).as("_aff"),
+        coalesce(sum(when(newN < 0, 1L).otherwise(0L)), lit(0L)).as("_bad")
+      ).collect()(0)
+      val (nRows, nAff, nBad) = (p.getLong(0), p.getLong(1), p.getLong(2))
+      if (nBad > 0) {
+        // A negative live count means the feed and the view disagree —
+        // fail loudly, never "repair" silently. (Example fetch only on
+        // this rare path.)
+        val bad = toBatch(joined).filter(col(CountCol) < 0).limit(1)
+          .collect()
+        require(bad.isEmpty,
+          s"MaterializedAgg.refresh: negative group count (e.g. " +
+            s"${bad.headOption.orNull}) — view out of sync with source feed")
+      }
+      if (nRows == 0L) {
         // Source commits with no net row changes (compaction, identical
         // rewrites): still ADVANCE the cursor — otherwise every later
         // refresh re-diffs across the same compaction boundary, reading
@@ -254,12 +251,34 @@ object MaterializedAgg {
         SnapshotTable.transactionalAppend(cur.limit(0), dstDir,
           meta.viewId, srcV, statsCols = meta.keys)
       } else {
-        SnapshotTable.applyChanges(spark, dstDir, batch, meta.keys,
+        // Dead groups need no recompute — they become delete rows
+        // regardless of what the retracted extremum was.
+        val needRecompute = hasMinMax && nAff > 0L
+        val batch =
+          if (!needRecompute) toBatch(joined)
+          else {
+            val affKeys = joined.filter(retAlive)
+              .select(meta.keys.map(col): _*).distinct()
+            val rec = aggregate(
+              SnapshotTable.read(spark, meta.srcDir, Some(srcV))
+                .join(broadcast(affKeys), meta.keys, "left_semi"),
+              meta.keys, meta.aggs)
+            toBatch(joined.filter(!retAlive))
+              .unionByName(rec.withColumn("_change", lit("insert"))
+                .select(meta.keys.map(col) ++
+                  meta.aggs.map(a => col(a.outCol)) :+ col(CountCol) :+
+                  col("_change"): _*))
+          }
+        // The recompute leg re-scans affected source files per pass —
+        // cache it; the pure-delta leg is a projection over the cached
+        // join and needs no second cache.
+        if (needRecompute) batch.persist()
+        try SnapshotTable.applyChanges(spark, dstDir, batch, meta.keys,
           txn = Some(meta.viewId -> srcV))
+        finally if (needRecompute) batch.unpersist(false)
       }
-      batch.unpersist(false)
       Some(srcV)
-    } finally delta.unpersist(false)
+    } finally joined.unpersist(false)
   }
 
   /** The view as users read it (the hidden live-count column

@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{broadcast, coalesce, col, concat, expr, greatest, hash, input_file_name, least, lit, max, min, not, pmod, regexp_replace, shiftleft, shiftright, when}
+import org.apache.spark.sql.functions.{broadcast, coalesce, col, concat, count, expr, greatest, hash, input_file_name, least, lit, max, min, not, pmod, regexp_replace, shiftleft, shiftright, sum, when}
 import org.apache.spark.sql.types._
 
 /** Minimal manifest-committed table format — the consistency layer the
@@ -3307,36 +3307,53 @@ object SnapshotTable {
     require(keys.nonEmpty, "applyChanges: at least one key column required")
     require(changes.columns.contains("_change"),
       "applyChanges: changes must carry a _change column (insert|delete)")
-    // Unknown tags fail loudly — a mistyped 'update' row silently
-    // vanishing from the apply would be a data-loss bug, not a skip.
-    // The guard must be NULL-safe: `!isin(...)` evaluates to NULL for
-    // a NULL tag, which a plain filter drops — NULL-tagged rows would
-    // sail past the guard, match neither branch below, and vanish.
-    val badTag = changes
-      .filter(col("_change").isNull ||
-        !col("_change").isin("insert", "delete")).limit(1).collect()
-    require(badTag.isEmpty,
-      s"applyChanges: unknown _change tag in e.g. ${badTag.headOption.orNull}" +
-        " — only insert|delete are defined")
+    // Ledger pre-check FIRST: a replayed batch must be a no-op without
+    // even scanning the change frame.
     txn.foreach { case (appId, tv) =>
       val pre = latestVersion(spark, dir)
         .map(manifestTxns(spark, dir, _)).getOrElse(Map.empty)
       if (pre.getOrElse(appId, Long.MinValue) >= tv) return None
     }
+    // ONE probe job validates the batch — bad-tag count, max insert
+    // multiplicity per key, affected-key count — replacing three
+    // separate actions (tag scan, duplicate scan, emptiness), each of
+    // which re-ran the caller's whole change plan. Example rows for
+    // the error messages are fetched only on the (rare) failure paths.
+    // The tag guard must be NULL-safe: `!isin(...)` evaluates to NULL
+    // for a NULL tag — a mistyped or NULL tag silently vanishing from
+    // the apply would be a data-loss bug, not a skip.
+    val badTagC = col("_change").isNull ||
+      !col("_change").isin("insert", "delete")
+    val probe = changes.groupBy(keys.map(col): _*)
+      .agg(
+        sum(when(col("_change") === "insert", 1L).otherwise(0L)).as("_ni"),
+        sum(when(badTagC, 1L).otherwise(0L)).as("_nb"))
+      .agg(coalesce(sum(col("_nb")), lit(0L)),
+        coalesce(max(col("_ni")), lit(0L)), count(lit(1)))
+      .collect()(0)
+    if (probe.getLong(0) > 0) {
+      val badTag = changes.filter(badTagC).limit(1).collect()
+      require(badTag.isEmpty,
+        s"applyChanges: unknown _change tag in e.g. " +
+          s"${badTag.headOption.orNull} — only insert|delete are defined")
+    }
     val inserts = changes.filter(col("_change") === "insert").drop("_change")
+    if (probe.getLong(1) > 1) {
+      val dupKeys = inserts.groupBy(keys.map(col): _*)
+        .count().filter(col("count") > 1).limit(1).collect()
+      require(dupKeys.isEmpty,
+        s"applyChanges: duplicate insert keys, e.g. " +
+          s"${dupKeys.head.mkString(",")}")
+    }
+    if (probe.getLong(2) == 0) return None
     // Only the insert half introduces new values.
     val vcs = enforceConstraints(spark, dir, inserts, "applyChanges")
-    val dupKeys = inserts.groupBy(keys.map(col): _*)
-      .count().filter(col("count") > 1).limit(1).collect()
-    require(dupKeys.isEmpty,
-      s"applyChanges: duplicate insert keys, e.g. ${dupKeys.head.mkString(",")}")
     val insertKeys = inserts.select(keys.map(col): _*).distinct()
     // Pure deletes: delete-side keys with no insert half.
     val deleteKeys = changes.filter(col("_change") === "delete")
       .select(keys.map(col): _*).distinct()
       .join(insertKeys, keys, "left_anti")
     val affectedKeys = insertKeys.unionByName(deleteKeys)
-    if (affectedKeys.isEmpty) return None
     val base = latestVersion(spark, dir)
     val touched = base match {
       case Some(v) if manifestFiles(spark, dir, v).nonEmpty =>
