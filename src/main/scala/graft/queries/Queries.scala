@@ -12267,6 +12267,81 @@ object Queries {
       FROM orders WHERE o_orderstatus <> 'F' GROUP BY 2)
     ORDER BY phase, priority"""))
 
+  /** Column mapping through
+    * [[graft.sources.SnapshotTable.renameColumn]] /
+    * [[graft.sources.SnapshotTable.dropColumn]] — metadata-only
+    * RENAME/DROP COLUMN (the public Delta column-mapping design):
+    * data files keep stable PHYSICAL names, one manifest commit moves
+    * the logical name, so a 100 TB table renames with zero rewrite.
+    * The query renames `o_totalprice`→`price`, DROPS
+    * `o_orderstatus`, then RE-ADDS the same logical name in a fresh
+    * append — the re-added column must take a fresh physical name so
+    * the dropped bytes never resurrect (pre-drop rows read NULL: the
+    * oracle's `with_status` counts pin exactly which rows carry a
+    * status). A time-traveled phase reads the pre-rename version
+    * under its ORIGINAL names, pinning per-version schema service. */
+  private val qSnapshotColmap = Q(
+    "q_snapshot_colmap",
+    (s, d) => {
+      val dir = snapTmp()
+      val base = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_orderpriority"), col("o_totalprice"))
+      graft.sources.SnapshotTable.append(
+        base.filter(pmod(col("o_orderkey"), lit(2)) === 0), dir,
+        statsCols = Seq("o_orderkey"))                              // v0
+      graft.sources.SnapshotTable.append(
+        base.filter(pmod(col("o_orderkey"), lit(2)) === 1), dir)    // v1
+      graft.sources.SnapshotTable.renameColumn(s, dir,
+        "o_totalprice", "price")                                    // v2
+      graft.sources.SnapshotTable.dropColumn(s, dir, "o_orderstatus") // v3
+      // re-ADD the dropped logical name under shifted keys: it must
+      // land under a FRESH physical name — the retired bytes stay
+      // dead (every pre-drop row reads a NULL status below).
+      graft.sources.SnapshotTable.append(
+        base.filter(pmod(col("o_orderkey"), lit(100)) === 0)
+          .select((col("o_orderkey") + 1000000000L).as("o_orderkey"),
+            col("o_orderpriority"),
+            col("o_totalprice").as("price"), col("o_orderstatus")),
+        dir)                                                        // v4
+      def rollup(df: DataFrame, phase: String, price: String) = df
+        .groupBy(col("o_orderpriority").as("priority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col(price).cast("decimal(18,6)") * 100)
+            .cast("long").as("cents"),
+          count(col("o_orderstatus")).as("with_status"))
+        .select(lit(phase).as("phase"), col("priority"), col("n"),
+          col("cents"), col("with_status"))
+      rollup(graft.sources.SnapshotTable.read(s, dir), "head", "price")
+        .unionByName(rollup(
+          graft.sources.SnapshotTable.read(s, dir, Some(1L)), "pre",
+          "o_totalprice"))
+        .orderBy("phase", "priority")
+    },
+    Some("""WITH readd AS (
+      SELECT o_orderpriority, o_totalprice, o_orderstatus
+      FROM orders WHERE o_orderkey % 100 = 0),
+    head AS (
+      SELECT o_orderpriority, o_totalprice,
+        CAST(NULL AS VARCHAR) AS o_orderstatus FROM orders
+      UNION ALL
+      SELECT o_orderpriority, o_totalprice, o_orderstatus FROM readd)
+    SELECT phase, priority, n, cents, with_status FROM (
+      SELECT 'head' AS phase, o_orderpriority AS priority,
+        count(*) AS n,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,6)) * 100) AS BIGINT)
+          AS cents,
+        count(o_orderstatus) AS with_status
+      FROM head GROUP BY 2
+      UNION ALL
+      SELECT 'pre' AS phase, o_orderpriority AS priority,
+        count(*) AS n,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,6)) * 100) AS BIGINT)
+          AS cents,
+        count(o_orderstatus) AS with_status
+      FROM orders GROUP BY 2)
+    ORDER BY phase, priority"""))
+
   /** Merge-on-read UPDATE through
     * [[graft.sources.SnapshotTable.updateWhereMor]]: every urgent
     * order is updated (status → 'U', price doubled — an exact
@@ -12776,7 +12851,8 @@ object Queries {
     qSnapshotHistory, qSnapshotFormat, qSnapshotStream, qSnapshotMatview,
     qSnapshotMor, qSnapshotMorSql, qSnapshotCdf, qMatviewMinmax,
     qMatviewStats, qSnapshotBucket, qSnapshotLive,
-    qSnapshotRestore, qSnapshotMorUpdate, qSnapshotCompactWhere,
+    qSnapshotRestore, qSnapshotColmap, qSnapshotMorUpdate,
+    qSnapshotCompactWhere,
     qSnapshotConstraint, qBpeEncode, qSnapshotTimetravel, qTextIndex,
     qHybridSearch, qSnapshotCount,
     qQualityProbe, qQualityClassifier, qAnnPq, qAnnIvfPq, qAnnIvfPqRes, qAnnRerank,

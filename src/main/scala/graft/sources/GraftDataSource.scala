@@ -85,10 +85,13 @@ final class GraftDataSource extends RelationProvider
       })
     val (rel, schema, v) = SnapshotSql.relation(spark, dir, version)
     // A DV'd snapshot cannot be served as a bare file relation (the
-    // scan would resurrect masked rows); route it through a scan
-    // relation that runs the DV-applied frame — same manifest-pruned
-    // parquet scan underneath, plus the broadcast anti-join.
-    if (SnapshotTable.manifestDvRefs(spark, dir, v).isEmpty) rel
+    // scan would resurrect masked rows), and neither can a
+    // column-mapped one (the bare relation's schema is the PHYSICAL
+    // scan schema); both route through a scan relation that runs the
+    // fully-resolved frame — same manifest-pruned parquet scan
+    // underneath, plus the anti-join / logical rename.
+    if (SnapshotTable.manifestDvRefs(spark, dir, v).isEmpty &&
+        SnapshotTable.manifestColMap(spark, dir, v).isEmpty) rel
     else new DvMaskedRelation(spark, dir, v, schema)
   }
 
@@ -242,9 +245,8 @@ final class GraftStreamSource(spark: SparkSession, dir: String,
           // side is the broadcast, deleted-row-count-sized vector
           // set), so a DV'd snapshot streams its LIVE rows exactly.
           val files = SnapshotTable.manifestFiles(spark, dir, to)
-          SnapshotTable.dvMaskOver(spark, dir,
-            SnapshotTable.manifestDvRefs(spark, dir, to), files,
-            filesAsBatch(files, SnapshotTable.manifestSizes(spark, dir, to)))
+          filesAsBatch(files, SnapshotTable.manifestSizes(spark, dir, to),
+            to)
       }
     }
   }
@@ -274,9 +276,7 @@ final class GraftStreamSource(spark: SparkSession, dir: String,
       }
     val removedInRange = deltas.flatMap(_.removes).toSet
     val files = deltas.flatMap(_.adds).filterNot(removedInRange)
-    SnapshotTable.dvMaskOver(spark, dir,
-      SnapshotTable.manifestDvRefs(spark, dir, to), files,
-      filesAsBatch(files, SnapshotTable.manifestSizes(spark, dir, to)))
+    filesAsBatch(files, SnapshotTable.manifestSizes(spark, dir, to), to)
   }
 
   /** A micro-batch over exactly `files`, planned like
@@ -287,17 +287,45 @@ final class GraftStreamSource(spark: SparkSession, dir: String,
     * add-column evolution project down; pre-evolution files
     * NULL-backfill. */
   private def filesAsBatch(files: Seq[String],
-                           sizes: Map[String, Long]): DataFrame = {
-    val attrs = DataTypeUtils.toAttributes(schema)
+                           sizes: Map[String, Long],
+                           atVersion: Long): DataFrame = {
+    // Under an active column mapping the files carry PHYSICAL names:
+    // scan physically, rename to the stream's captured (logical)
+    // schema on top (a projection keeps the plan streaming). A column
+    // of the captured schema renamed away mid-stream cannot be
+    // resolved — fail loudly; restarting the stream re-captures.
+    val colMap = SnapshotTable.manifestColMap(spark, dir, atVersion)
+    val scanSchema =
+      if (colMap.isEmpty) schema
+      else {
+        val live = SnapshotTable.manifestSchema(spark, dir, atVersion)
+          .map(_.fieldNames.toSet).getOrElse(Set.empty)
+        val gone = schema.fieldNames.filterNot(live)
+        if (gone.nonEmpty) throw new IllegalStateException(
+          s"graft streaming source: column(s) ${gone.mkString(", ")} were " +
+            "renamed or dropped mid-stream — restart the stream to " +
+            "capture the current schema")
+        SnapshotTable.physSchemaOf(colMap, schema)
+      }
+    val attrs = DataTypeUtils.toAttributes(scanSchema)
     val plan =
       if (files.isEmpty) LocalRelation(attrs, Nil, isStreaming = true)
       else {
         val index = new ExactFilesIndex(spark, dir, files, sizes)
-        val rel = HadoopFsRelation(index, new StructType(), schema, None,
-          new ParquetFileFormat(), Map.empty)(spark)
+        val rel = HadoopFsRelation(index, new StructType(), scanSchema,
+          None, new ParquetFileFormat(), Map.empty)(spark)
         LogicalRelation(rel, attrs, None, isStreaming = true, None)
       }
-    org.apache.spark.sql.GraftSqlBridge.ofRows(spark, plan)
+    val base = org.apache.spark.sql.GraftSqlBridge.ofRows(spark, plan)
+    // Deletion vectors mask FIRST (the anti-join keys on `_metadata`,
+    // which only the bare file relation exposes — a stream-static
+    // left-anti join, a supported incremental shape); the logical
+    // rename projects on top and keeps the plan streaming.
+    val masked = SnapshotTable.dvMaskOver(spark, dir,
+      SnapshotTable.manifestDvRefs(spark, dir, atVersion), files, base)
+    if (colMap.isEmpty) masked
+    else masked.select(schema.fields.map(f =>
+      col(SnapshotTable.physName(colMap, f.name)).as(f.name)).toSeq: _*)
   }
 
   private def versionOf(o: Offset): Long = o match {

@@ -49,16 +49,25 @@ object SnapshotSql {
       throw new java.io.IOException(s"SnapshotSql: no committed version under $dir"))
     val schema = SnapshotTable.manifestSchema(spark, dir, v).getOrElse(
       SnapshotTable.read(spark, dir, Some(v)).schema)
-    val index = new SnapshotFileIndex(spark, dir, v, schema)
+    // Under an active column mapping the SCAN reads the files'
+    // PHYSICAL names; [[dataFrame]] renames to the logical schema on
+    // top. The returned StructType stays LOGICAL (what callers serve).
+    val colMap = SnapshotTable.manifestColMap(spark, dir, v)
+    val scanSchema =
+      if (colMap.isEmpty) schema
+      else SnapshotTable.physSchemaOf(colMap, schema)
+    val index = new SnapshotFileIndex(spark, dir, v, scanSchema)
     // A manifest-recorded bucketing claim becomes Spark's BucketSpec:
     // FileSourceScanExec then reports HashPartitioning(cols, n) and a
     // join/agg on the bucket columns plans with ZERO Exchange. The
     // claim is only ever present when every live file was written by
-    // appendBucketed under this exact spec (see BucketLayout).
+    // appendBucketed under this exact spec (see BucketLayout); its
+    // columns are logical — the physical scan needs physical names.
     val bucketSpec = SnapshotTable.manifestBucket(spark, dir, v).map(b =>
       org.apache.spark.sql.catalyst.catalog.BucketSpec(
-        b.numBuckets, b.cols, b.sortCols))
-    (HadoopFsRelation(index, new StructType(), schema, bucketSpec,
+        b.numBuckets, b.cols.map(SnapshotTable.physName(colMap, _)),
+        b.sortCols.map(SnapshotTable.physName(colMap, _))))
+    (HadoopFsRelation(index, new StructType(), scanSchema, bucketSpec,
       new ParquetFileFormat(), Map.empty)(spark), schema, v)
   }
 
@@ -74,12 +83,23 @@ object SnapshotSql {
                 version: Option[Long] = None): DataFrame = {
     val (rel, schema, v) = relation(spark, dir, version)
     val plan = LogicalRelation(rel,
-      DataTypeUtils.toAttributes(schema), None, isStreaming = false, None)
+      DataTypeUtils.toAttributes(rel.dataSchema), None,
+      isStreaming = false, None)
     val base = org.apache.spark.sql.GraftSqlBridge.ofRows(spark, plan)
     val dvRefs = SnapshotTable.manifestDvRefs(spark, dir, v)
-    if (dvRefs.isEmpty) base
-    else SnapshotTable.dvMaskOver(spark, dir, dvRefs,
-      SnapshotTable.manifestFiles(spark, dir, v), base)
+    val masked =
+      if (dvRefs.isEmpty) base
+      else SnapshotTable.dvMaskOver(spark, dir, dvRefs,
+        SnapshotTable.manifestFiles(spark, dir, v), base)
+    // Rename the physical scan to the logical schema LAST (after DV
+    // masking, which needs `_metadata`); filters a query pushes
+    // against logical names travel through the aliases down to the
+    // physical scan and its file pruning.
+    val colMap = SnapshotTable.manifestColMap(spark, dir, v)
+    if (colMap.isEmpty) masked
+    else masked.select(schema.fields.map(f =>
+      org.apache.spark.sql.functions
+        .col(SnapshotTable.physName(colMap, f.name)).as(f.name)).toSeq: _*)
   }
 
   /** Register the current (or pinned) snapshot as a temp view, so
@@ -257,13 +277,16 @@ final class SnapshotFileIndex(spark: SparkSession, dir: String, version: Long,
     // full residual).
     val conjuncts = dataFilters.flatMap(splitAnd)
     var selected: Set[String] = statuses.keySet
+    // Attribute names here come from the SCAN schema — PHYSICAL under
+    // an active column mapping — so the probe must go through the
+    // physical (translation-free) pruning variants.
     conjuncts.foreach {
       case Eq(c, v) =>
         selected = selected.intersect(
-          SnapshotTable.pruneFilesEq(spark, dir, c, v, Some(version))._1.toSet)
+          SnapshotTable.pruneFilesEqPhys(spark, dir, c, v, version)._1.toSet)
       case Range(c, lo, hi) =>
-        selected = selected.intersect(SnapshotTable.pruneFilesBounds(
-          spark, dir, c, lo, hi, Some(version))._1.toSet)
+        selected = selected.intersect(SnapshotTable.pruneFilesBoundsPhys(
+          spark, dir, c, lo, hi, version)._1.toSet)
       case _ => () // unrecognized shape: never prunes
     }
     lastDecision = (selected.size, statuses.size)

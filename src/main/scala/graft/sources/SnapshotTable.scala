@@ -88,9 +88,22 @@ import org.apache.spark.sql.types._
   *     segment count). At 100 TB file counts the manifest write no
   *     longer scales with the table.
   *
+  *   - **Column mapping** ([[renameColumn]]/[[dropColumn]] — the
+  *     public Delta column-mapping design): data files keep STABLE
+  *     physical column names; the manifest maps logical→physical, so
+  *     RENAME and DROP COLUMN are one metadata commit with zero
+  *     rewrite at any table size. Dropped physical names RETIRE
+  *     (re-adding the logical name takes a fresh physical — old bytes
+  *     never resurrect); stats/Bloom pruning key physically and keep
+  *     working across renames; time travel serves each version under
+  *     its own names. Feature-guarded: pre-mapping readers refuse a
+  *     mapped manifest loudly instead of serving physical names.
+  *     (The bucketed/hive-partitioned WRITERS refuse mapped tables —
+  *     their layouts derive from column names; plain append inherits
+  *     everything.)
+  *
   * Deliberately out of scope (and documented as such): multi-table
-  * transactions, and column renames/drops (add-column only — the
-  * reference-O16 contract). */
+  * transactions. */
 object SnapshotTable {
 
   private def fs(spark: SparkSession, dir: String): FileSystem =
@@ -139,7 +152,7 @@ object SnapshotTable {
     * protocol-versioning idea reduced to a feature list: plain old
     * manifests carry no list and every reader accepts them. */
   private val SupportedFeatures = Set(
-    "dv", "dvremoves", "constraints", "segments", "bucket")
+    "dv", "dvremoves", "constraints", "segments", "bucket", "colmap")
 
   private def manifestNode(spark: SparkSession, dir: String,
                            v: Long): com.fasterxml.jackson.databind.JsonNode = {
@@ -187,7 +200,18 @@ object SnapshotTable {
       segments: Seq[(String, Seq[String])] = Nil,
       dvDirty: Set[String] = Set.empty,
       bucket: Option[BucketLayout] = None,
-      constraints: Map[String, String] = Map.empty)
+      constraints: Map[String, String] = Map.empty,
+      // COLUMN MAPPING (the public Delta column-mapping idea): the
+      // manifest schema holds LOGICAL names; data files, stats keys,
+      // Bloom keys and tracked-column lists hold stable PHYSICAL
+      // names. The map is SPARSE — only non-identity entries are
+      // recorded; a logical name absent from it IS its physical name.
+      // `retired` lists physical names of DROPPED columns: their data
+      // still sits in old files (explicit-schema reads never touch
+      // it) and a re-added logical column of the same name must take
+      // a FRESH physical name, never resurrect the old bytes.
+      colMap: Map[String, String] = Map.empty,
+      retired: Seq[String] = Nil)
 
   /** A table-wide bucketing CLAIM: every data file of the version was
     * written by [[appendBucketed]] with this spec — file names carry
@@ -419,7 +443,9 @@ object SnapshotTable {
         dvRefs = segs.iterator.flatMap(_._2.dvRefs).toMap,
         segments = segs.map { case (nm, s) => nm -> s.files },
         bucket = bucketOf(n),
-        constraints = refMapOf(n, "constraints"))
+        constraints = refMapOf(n, "constraints"),
+        colMap = refMapOf(n, "colmap"),
+        retired = strSeq(n, "retired"))
     }
     val refs = bloomRefsOf(n)
     val cols = strSeq(n, "bloomcols") match {
@@ -437,7 +463,9 @@ object SnapshotTable {
       txns = txnsOf(n), stats = statsOf(n), bloomRefs = refs,
       bloomCols = cols, legacyBlooms = legacy, schema = schemaOf(n),
       sizes = sizesOf(n), dvRefs = dvRefsOf(n), bucket = bucketOf(n),
-      constraints = refMapOf(n, "constraints"))
+      constraints = refMapOf(n, "constraints"),
+      colMap = refMapOf(n, "colmap"),
+      retired = strSeq(n, "retired"))
   }
 
   private def deltaState(parent: TableState,
@@ -476,7 +504,14 @@ object SnapshotTable {
       // carries the field only when the set changed — present-but-
       // empty means an explicit clear.
       constraints = if (n.get("constraints") != null)
-        refMapOf(n, "constraints") else parent.constraints)
+        refMapOf(n, "constraints") else parent.constraints,
+      // Column mapping inherits the same way (present = replace,
+      // absent = inherit; an explicit empty object clears — the
+      // rename-back-to-identity case).
+      colMap = if (n.get("colmap") != null || n.get("retired") != null)
+        refMapOf(n, "colmap") else parent.colMap,
+      retired = if (n.get("colmap") != null || n.get("retired") != null)
+        strSeq(n, "retired") else parent.retired)
   }
 
   /** The file list of a version (relative paths). */
@@ -899,15 +934,62 @@ object SnapshotTable {
           .select(cols: _*)
     }
 
+  // ------------------------------------------------------------------
+  // Column mapping (logical ↔ physical names)
+  // ------------------------------------------------------------------
+
+  /** The stable physical (in-file) name of logical column `c` under a
+    * sparse mapping — identity when unmapped. */
+  private[sources] def physName(colMap: Map[String, String],
+                                c: String): String =
+    colMap.getOrElse(c, c)
+
+  /** The schema a snapshot's parquet FILES carry: the logical fields
+    * renamed to their stable physical names. */
+  private[sources] def physSchemaOf(colMap: Map[String, String],
+                           logical: StructType): StructType =
+    StructType(logical.fields.map(f =>
+      f.copy(name = physName(colMap, f.name))))
+
+  /** Rename a physical-named frame to its logical names in ONE atomic
+    * select — pairwise withColumnRenamed would collide on swapped
+    * names. Extra (non-schema) columns in `df` are preserved as-is,
+    * appended after the logical fields. */
+  private def toLogicalFrame(df: DataFrame, colMap: Map[String, String],
+                             logical: StructType): DataFrame = {
+    val physToExtra = {
+      val phys = logical.fields.map(f => physName(colMap, f.name)).toSet
+      df.columns.filterNot(phys)
+    }
+    df.select(logical.fields.map(f =>
+      col(physName(colMap, f.name)).as(f.name)).toSeq ++
+      physToExtra.map(col): _*)
+  }
+
   /** [[readFiles]] with each file's deletion vector applied (see
     * [[dvMaskOver]]); a snapshot with no vectors is exactly
-    * [[readFiles]]. */
+    * [[readFiles]]. Under an active column mapping the files are read
+    * with the PHYSICAL schema (the names actually in the parquet),
+    * vectors applied (they key on `_metadata`, name-independent), and
+    * the frame then renamed to the LOGICAL schema — callers only ever
+    * see logical names. */
   private def readFilesWithDv(spark: SparkSession, dir: String,
                               files: Seq[String],
                               schema: Option[StructType],
-                              dvRefs: Map[String, String]): DataFrame =
-    dvMaskOver(spark, dir, dvRefs, files,
-      readFiles(spark, dir, files, schema))
+                              dvRefs: Map[String, String],
+                              colMap: Map[String, String] = Map.empty
+                             ): DataFrame =
+    if (colMap.isEmpty)
+      dvMaskOver(spark, dir, dvRefs, files,
+        readFiles(spark, dir, files, schema))
+    else {
+      val logical = schema.getOrElse(throw new IllegalStateException(
+        s"column mapping active under $dir but the manifest records no " +
+          "schema — corrupt metadata"))
+      val masked = dvMaskOver(spark, dir, dvRefs, files,
+        readFiles(spark, dir, files, Some(physSchemaOf(colMap, logical))))
+      toLogicalFrame(masked, colMap, logical)
+    }
 
   /** Serializes same-JVM committers. Commit atomicity rests on a
     * rename-that-fails-if-destination-exists — which HDFS-class
@@ -1003,7 +1085,9 @@ object SnapshotTable {
                         op: String = "commit",
                         dvRefs: Map[String, String] = Map.empty,
                         bucket: Option[BucketLayout] = None,
-                        constraints: Option[Map[String, String]] = None
+                        constraints: Option[Map[String, String]] = None,
+                        colMapOpt: Option[(Map[String, String],
+                          Seq[String])] = None
                        ): Boolean = commitLock.synchronized {
     val f = fs(spark, dir)
     f.mkdirs(manifestDir(dir))
@@ -1016,9 +1100,17 @@ object SnapshotTable {
       if (v == 0L) Map.empty[String, String]
       else scala.util.Try(stateOf(spark, dir, v - 1).constraints)
         .getOrElse(Map.empty[String, String]))
+    // Column mapping inherits identically (None = parent's mapping;
+    // only renameColumn/dropColumn/restore/clone and the evolving
+    // append commits pass Some).
+    val (effColMap, effRetired) = colMapOpt.getOrElse(
+      if (v == 0L) (Map.empty[String, String], Seq.empty[String])
+      else scala.util.Try(stateOf(spark, dir, v - 1))
+        .map(p => (p.colMap, p.retired))
+        .getOrElse((Map.empty[String, String], Seq.empty[String])))
     val body = manifestBody(spark, dir, v, full, files, txns, stats,
       schema, bloomRefs, bloomCols, sizes, op, dvRefs, bucket,
-      effConstraints)
+      effConstraints, colMap = effColMap, retired = effRetired)
     val tmp = new Path(manifestDir(dir),
       s".v$v.${java.util.UUID.randomUUID()}.tmp")
     val out = f.create(tmp, false)
@@ -1044,7 +1136,9 @@ object SnapshotTable {
                            bucket: Option[BucketLayout] = None,
                            constraints: Map[String, String] = Map.empty,
                            tsOverride: Option[Long] = None,
-                           stampTs: Boolean = true
+                           stampTs: Boolean = true,
+                           colMap: Map[String, String] = Map.empty,
+                           retired: Seq[String] = Nil
                           ): String = {
     val root = new java.util.LinkedHashMap[String, Object]()
     root.put("version", java.lang.Long.valueOf(v))
@@ -1124,7 +1218,21 @@ object SnapshotTable {
       m.toSeq.sortBy(_._1).foreach { case (nm, sql) => cj.put(nm, sql) }
       root.put("constraints", cj)
     }
+    // Column mapping: `colmap` (sparse logical→physical) + `retired`
+    // (dropped physical names). An explicit EMPTY colmap object is a
+    // clear (rename-back-to-identity); absence inherits in deltas.
+    def putColMap(): Unit = {
+      val mj = new java.util.LinkedHashMap[String, Object]()
+      colMap.toSeq.sortBy(_._1).foreach { case (l, p) => mj.put(l, p) }
+      root.put("colmap", mj)
+      if (retired.nonEmpty) {
+        val rj = new java.util.ArrayList[String]()
+        retired.foreach(rj.add)
+        root.put("retired", rj)
+      }
+    }
     if (full) { if (constraints.nonEmpty) putConstraints(constraints) }
+    if (full) { if (colMap.nonEmpty || retired.nonEmpty) putColMap() }
     if (full && files.size > SegmentInlineMax) {
       // SEGMENTED checkpoint — the 100 TB commit-cost answer (the
       // public Iceberg manifest-list design): the checkpoint
@@ -1206,6 +1314,9 @@ object SnapshotTable {
       // present-but-empty object is an explicit clear, absence
       // inherits (see deltaState).
       if (constraints != parent.constraints) putConstraints(constraints)
+      // column mapping in a delta only when it CHANGED (same
+      // discipline: present = replace, explicit-empty = clear).
+      if (colMap != parent.colMap || retired != parent.retired) putColMap()
     }
     // Stamp exactly the reader features this manifest's resolution
     // depends on (see [[SupportedFeatures]]); a plain manifest stays
@@ -1216,9 +1327,16 @@ object SnapshotTable {
     // masked rows).
     val usesDv = root.containsKey("dvrefs") ||
       (full && dvRefs.view.filterKeys(fileSet).nonEmpty)
+    // "colmap" guards only manifests that RECORD a live mapping: a
+    // reader unaware of it would serve physical column names (or
+    // resurrect dropped columns). An explicit-empty clear needs no
+    // guard — identity is what a legacy reader assumes anyway.
+    val usesColMap = (root.containsKey("colmap") ||
+      root.containsKey("retired")) && (colMap.nonEmpty || retired.nonEmpty)
     val feats = Seq("segments", "dvremoves", "constraints",
       "bucket").filter(root.containsKey) ++
-      (if (usesDv) Seq("dv") else Nil)
+      (if (usesDv) Seq("dv") else Nil) ++
+      (if (usesColMap) Seq("colmap") else Nil)
     if (feats.nonEmpty) {
       val fj = new java.util.ArrayList[String]()
       feats.foreach(fj.add)
@@ -1534,11 +1652,15 @@ object SnapshotTable {
           "consistently (build casts to string, probe renders via toString)")
     }
     val base = latestVersion(spark, dir)
-    val fields = df.schema.fieldNames.toSet
+    // Tracked lists are recorded in PHYSICAL names; caller-supplied
+    // columns arrive LOGICAL — translate before merging, and filter
+    // inherited columns by the batch's PHYSICAL field set.
+    val cm = base.map(stateOf(spark, dir, _).colMap).getOrElse(Map.empty)
+    val fields = df.schema.fieldNames.map(physName(cm, _)).toSet
     val ts = base.map(trackedStatsCols(spark, dir, _)).getOrElse(Nil)
     val tb = base.map(trackedBloomCols(spark, dir, _)).getOrElse(Nil)
-    ((statsCols ++ ts.filter(fields)).distinct,
-      (bloomCols ++ tb.filter(fields)).distinct)
+    ((statsCols.map(physName(cm, _)) ++ ts.filter(fields)).distinct,
+      (bloomCols.map(physName(cm, _)) ++ tb.filter(fields)).distinct)
   }
 
   /** Append `df` as a new snapshot: write data files under a unique
@@ -1558,12 +1680,13 @@ object SnapshotTable {
       .foreach(evolveSchema(_, df.schema))
     val vcs = enforceConstraints(spark, dir, df, "append")
     val (sCols, bCols) = inheritTracking(spark, dir, df, statsCols, bloomCols)
-    val (added, addedStats, addedRefs, addedSizes) =
+    val (added, addedStats, addedRefs, addedSizes, claim) =
       writeBatch(df, dir, sCols, bCols, strictBlooms = false)
     commitAppend(spark, dir, df.schema, added, addedStats, addedRefs,
       bCols, maxRetries, "append",
       addedSizes = addedSizes,
-      validatedConstraints = vcs).get // non-txn append never no-ops
+      validatedConstraints = vcs,
+      claim = claim).get // non-txn append never no-ops
   }
 
   /** Atomic REPLACE: commit a snapshot containing ONLY `df`'s freshly
@@ -1582,20 +1705,23 @@ object SnapshotTable {
     // table POLICY (tracked stats/bloom columns) survives a replace,
     // same as constraints do — one overwrite must not strip pruning
     val (sCols, bCols) = inheritTracking(spark, dir, df, statsCols, bloomCols)
-    val (added, addedStats, addedRefs, addedSizes) =
+    val (added, addedStats, addedRefs, addedSizes, claim) =
       writeBatch(df, dir, sCols, bCols, strictBlooms = false)
     var attempt = 0
     while (attempt < maxRetries) {
       val base = latestVersion(spark, dir)
       val st = base.map(stateOf(spark, dir, _))
+      checkMapClaim(st, claim, "overwrite")
       val txns = st.map(_.txns).getOrElse(Map.empty)
       validated = recheckConstraints(spark, dir,
         st.map(_.constraints).getOrElse(Map.empty), validated,
-        added, Some(df.schema), "overwrite")
+        added, Some(df.schema), "overwrite",
+        claim.map(_.colMap).getOrElse(Map.empty))
       val v = base.getOrElse(-1L) + 1
       if (tryCommit(spark, dir, v, added, txns, addedStats,
           Some(StructType(df.schema.fields.map(_.copy(nullable = true)))),
-          addedRefs, bCols, addedSizes, "overwrite"))
+          addedRefs, bCols, addedSizes, "overwrite",
+          colMapOpt = claim.map(c => (c.colMap, c.retired))))
         return v
       attempt += 1
     }
@@ -1617,13 +1743,15 @@ object SnapshotTable {
                            addedSizes: Map[String, Long] = Map.empty,
                            bucket: Option[BucketLayout] = None,
                            validatedConstraints: Map[String, String] =
-                             Map.empty
+                             Map.empty,
+                           claim: Option[MapClaim] = None
                           ): Option[Long] = {
     var validated = validatedConstraints
     var attempt = 0
     while (attempt < maxRetries) {
       val base = latestVersion(spark, dir)
       val st = base.map(stateOf(spark, dir, _))
+      checkMapClaim(st, claim, op)
       // A bucketing claim only survives the commit if whatever table
       // state this attempt lands on still supports it (empty, or
       // bucketed with the SAME spec) — a racing unbucketed writer
@@ -1645,13 +1773,14 @@ object SnapshotTable {
       // a concurrently-added constraint must gate THIS batch too
       validated = recheckConstraints(spark, dir,
         st.map(_.constraints).getOrElse(Map.empty), validated,
-        added, Some(unified), op)
+        added, Some(unified), op, claim.map(_.colMap).getOrElse(Map.empty))
       val v = base.getOrElse(-1L) + 1
       if (tryCommit(spark, dir, v, prev ++ added,
           txn.fold(txns)(txns + _), stats ++ addedStats,
           Some(unified), refs ++ addedRefs, bcols,
           st.map(_.sizes).getOrElse(Map.empty) ++ addedSizes, op,
-          st.map(_.dvRefs).getOrElse(Map.empty), effBucket))
+          st.map(_.dvRefs).getOrElse(Map.empty), effBucket,
+          colMapOpt = claim.map(c => (c.colMap, c.retired))))
         return Some(v)
       attempt += 1 // lost the race: re-read the new latest and retry
     }
@@ -1689,8 +1818,15 @@ object SnapshotTable {
           " cannot carry pruning stats")
     }
     val spark = df.sparkSession
-    latestVersion(spark, dir).flatMap(manifestSchema(spark, dir, _))
-      .foreach(evolveSchema(_, df.schema))
+    latestVersion(spark, dir).foreach { v =>
+      manifestSchema(spark, dir, v).foreach(evolveSchema(_, df.schema))
+      val cur = stateOf(spark, dir, v)
+      require(cur.colMap.isEmpty && cur.retired.isEmpty,
+        "appendPartitioned: not supported on a column-mapped table — " +
+          "the hive-routed writer derives its layout from column names; " +
+          "use append (pruning stats still inherit), or recreate the " +
+          "table without a mapping")
+    }
     val vcs = enforceConstraints(spark, dir, df, "appendPartitioned")
     val (sCols, bCols) = inheritTracking(spark, dir, df, statsCols, bloomCols)
     val f = fs(spark, dir)
@@ -1750,6 +1886,10 @@ object SnapshotTable {
     latestVersion(spark, dir).foreach { v =>
       manifestSchema(spark, dir, v).foreach(evolveSchema(_, df.schema))
       val cur = stateOf(spark, dir, v)
+      require(cur.colMap.isEmpty && cur.retired.isEmpty,
+        "appendBucketed: not supported on a column-mapped table — the " +
+          "bucketed writer derives its layout from column names; use " +
+          "append, or recreate the table without a mapping")
       require(cur.files.isEmpty || cur.bucket.contains(layout),
         s"appendBucketed: table under $dir is not bucketed as $layout " +
           s"(found ${cur.bucket.orNull}) — overwrite or compact first")
@@ -1878,17 +2018,68 @@ object SnapshotTable {
   /** Write `df` into a fresh unique batch dir; return (relative file
     * paths, their stats). No two writers can collide on data paths,
     * so data writes need no coordination at all. */
+  /** The column-mapping state a batch was written under: the head
+    * mapping observed at write time (`base*` — commit loops fail
+    * loudly if a concurrent rename/drop moved it, because the batch's
+    * physical column names were derived from it) and the possibly
+    * EXTENDED mapping to commit (new logical columns get fresh
+    * physical names here, never resurrecting a retired one). */
+  private[sources] final case class MapClaim(
+      baseColMap: Map[String, String], baseRetired: Seq[String],
+      colMap: Map[String, String], retired: Seq[String])
+
+  /** A physical name for newly-added logical column `logical`: the
+    * logical name itself when never used physically, else the first
+    * free `<logical>_pN` (the re-add-after-drop / post-swap case —
+    * old bytes under the previous physical name must stay dead). */
+  private def freshPhys(logical: String, taken: Set[String]): String =
+    if (!taken(logical)) logical
+    else Iterator.from(1).map(i => s"${logical}_p$i")
+      .find(c => !taken(c)).get
+
+  /** Write `df`'s rows as a new data batch. `df` carries LOGICAL
+    * column names; under an active mapping the files are written with
+    * PHYSICAL names (stable across renames), and `statsCols`/
+    * `bloomCols` are interpreted as PHYSICAL names (the recorded
+    * tracking lists — public entry points translate caller-supplied
+    * logical names in [[inheritTracking]]). Returns the batch's
+    * files/stats/refs/sizes plus the [[MapClaim] ] the commit must
+    * thread (None when the table has no mapping — the legacy path is
+    * byte-identical to before). */
   private def writeBatch(df: DataFrame, dir: String,
                          statsCols: Seq[String],
                          bloomCols: Seq[String] = Nil,
                          strictBlooms: Boolean = true
                         ): (Seq[String], Map[String, Map[String, ColStat]],
-                            Map[String, String], Map[String, Long]) = {
+                            Map[String, String], Map[String, Long],
+                            Option[MapClaim]) = {
     val spark = df.sparkSession
+    val headSt = latestVersion(spark, dir).map(stateOf(spark, dir, _))
+    val baseMap = headSt.map(_.colMap).getOrElse(Map.empty)
+    val baseRet = headSt.map(_.retired).getOrElse(Seq.empty)
+    val claim =
+      if (baseMap.isEmpty && baseRet.isEmpty) None
+      else {
+        val known = headSt.flatMap(_.schema)
+          .map(_.fieldNames.toSet).getOrElse(Set.empty)
+        var taken = known.map(physName(baseMap, _)) ++ baseRet
+        var m = baseMap
+        df.schema.fieldNames.filterNot(known).foreach { l =>
+          val p = freshPhys(l, taken)
+          taken += p
+          if (p != l) m += l -> p
+        }
+        Some(MapClaim(baseMap, baseRet, m, baseRet))
+      }
+    val physDf = claim match {
+      case None => df
+      case Some(c) => df.select(df.columns.map(cn =>
+        col(cn).as(physName(c.colMap, cn))).toSeq: _*)
+    }
     val f = fs(spark, dir)
     val batch = java.util.UUID.randomUUID().toString
     val batchDir = new Path(dir, s"data/$batch")
-    df.write.parquet(batchDir.toString)
+    physDf.write.parquet(batchDir.toString)
     val listed = f.listStatus(batchDir).toSeq
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
     val added = listed.map(s => s"data/$batch/${s.getPath.getName}")
@@ -1900,7 +2091,26 @@ object SnapshotTable {
     // Bitsets land in the batch's sidecar file; the manifest only ever
     // carries the path-sized refs.
     val refs = writeBloomSidecar(spark, dir, batch, blooms)
-    (added, stats, refs, sizes)
+    (added, stats, refs, sizes, claim)
+  }
+
+  /** Commit-loop guard for column-mapping races: the batch's physical
+    * column names were derived from the mapping observed at write
+    * time — a rename/drop landing in between would make the commit
+    * record rows under a superseded mapping. Loud and rare (mapping
+    * changes are admin ops), exactly like the vanished-file
+    * conflict. */
+  private def checkMapClaim(st: Option[TableState],
+                            claim: Option[MapClaim], op: String): Unit = {
+    val curMap = st.map(_.colMap).getOrElse(Map.empty)
+    val curRet = st.map(_.retired).getOrElse(Seq.empty)
+    val baseMap = claim.map(_.baseColMap).getOrElse(Map.empty)
+    val baseRet = claim.map(_.baseRetired).getOrElse(Seq.empty)
+    if (curMap != baseMap || curRet != baseRet)
+      throw new java.util.ConcurrentModificationException(
+        s"$op: the table's column mapping changed while this batch was " +
+          "being written (a concurrent renameColumn/dropColumn) — retry " +
+          "the operation against the new head")
   }
 
   /** EXACTLY-ONCE append for replayable writers (the Structured
@@ -1928,12 +2138,13 @@ object SnapshotTable {
     if (pre.getOrElse(appId, Long.MinValue) >= txnVersion) return None
     var validated = enforceConstraints(spark, dir, df, "transactionalAppend")
     val (sCols, bCols) = inheritTracking(spark, dir, df, statsCols, bloomCols)
-    val (added, addedStats, addedRefs, addedSizes) =
+    val (added, addedStats, addedRefs, addedSizes, claim) =
       writeBatch(df, dir, sCols, bCols, strictBlooms = false)
     var attempt = 0
     while (attempt < maxRetries) {
       val base = latestVersion(spark, dir)
       val st = base.map(stateOf(spark, dir, _))
+      checkMapClaim(st, claim, "transactionalAppend")
       val prev = st.map(_.files).getOrElse(Nil)
       val txns = st.map(_.txns).getOrElse(Map.empty)
       val stats = st.map(_.stats).getOrElse(Map.empty)
@@ -1946,14 +2157,17 @@ object SnapshotTable {
         .getOrElse(evolveSchema(new StructType(), df.schema))
       validated = recheckConstraints(spark, dir,
         st.map(_.constraints).getOrElse(Map.empty), validated,
-        added, Some(unified), "transactionalAppend")
+        added, Some(unified), "transactionalAppend",
+        claim.map(_.colMap).getOrElse(Map.empty))
       val v = base.getOrElse(-1L) + 1
       if (tryCommit(spark, dir, v, prev ++ added,
           txns + (appId -> txnVersion), stats ++ addedStats,
           Some(unified), refs ++ addedRefs, bcols,
           st.map(_.sizes).getOrElse(Map.empty) ++ addedSizes,
           "transactionalAppend",
-          st.map(_.dvRefs).getOrElse(Map.empty))) return Some(v)
+          st.map(_.dvRefs).getOrElse(Map.empty),
+          colMapOpt = claim.map(c => (c.colMap, c.retired))))
+        return Some(v)
       attempt += 1
     }
     throw new java.io.IOException(
@@ -1979,7 +2193,10 @@ object SnapshotTable {
       schema.map(st => spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st))
         .getOrElse(spark.emptyDataFrame)
-    else readFilesWithDv(spark, dir, files, schema, stateOf(spark, dir, v).dvRefs)
+    else {
+      val st = stateOf(spark, dir, v)
+      readFilesWithDv(spark, dir, files, schema, st.dvRefs, st.colMap)
+    }
   }
 
   /** The manifest-level file-pruning decision for
@@ -2002,10 +2219,25 @@ object SnapshotTable {
                        version: Option[Long] = None): (Seq[String], Int) = {
     val v = version.orElse(latestVersion(spark, dir)).getOrElse(
       throw new java.io.IOException(s"pruneFiles: no committed version under $dir"))
+    // Stats are keyed by PHYSICAL column name; the caller's predicate
+    // names the LOGICAL one.
+    pruneFilesBoundsPhys(spark, dir,
+      physName(stateOf(spark, dir, v).colMap, column), lower, upper, v)
+  }
+
+  /** [[pruneFilesBounds]] with `pc` ALREADY physical — the
+    * scan-relation path ([[SnapshotFileIndex]]) pushes filters whose
+    * attribute names come from the physical scan schema; translating
+    * them again through the logical→physical map would mis-prune
+    * swapped-name tables. */
+  private[sources] def pruneFilesBoundsPhys(spark: SparkSession,
+                       dir: String, pc: String,
+                       lower: Option[Any], upper: Option[Any],
+                       v: Long): (Seq[String], Int) = {
     val files = manifestFiles(spark, dir, v)
     val stats = manifestStats(spark, dir, v)
     val selected = files.filter { file =>
-      stats.get(file).flatMap(_.get(column)) match {
+      stats.get(file).flatMap(_.get(pc)) match {
         case None => true
         case Some(st) =>
           val okLo = lower.forall { l =>
@@ -2039,8 +2271,9 @@ object SnapshotTable {
     if (selected.isEmpty) read(spark, dir, version).filter(lit(false))
     else {
       val v = version.orElse(latestVersion(spark, dir)).get
+      val st = stateOf(spark, dir, v)
       readFilesWithDv(spark, dir, selected, manifestSchema(spark, dir, v),
-        stateOf(spark, dir, v).dvRefs)
+        st.dvRefs, st.colMap)
         .filter(residual)
     }
   }
@@ -2067,7 +2300,8 @@ object SnapshotTable {
       .reduce(_ && _)
     if (selected.isEmpty) read(spark, dir, Some(v)).filter(lit(false))
     else readFilesWithDv(spark, dir, selected.toSeq.sorted,
-      manifestSchema(spark, dir, v), stateOf(spark, dir, v).dvRefs)
+      manifestSchema(spark, dir, v), stateOf(spark, dir, v).dvRefs,
+      stateOf(spark, dir, v).colMap)
       .filter(residual)
   }
 
@@ -2090,7 +2324,8 @@ object SnapshotTable {
       .distinct.sorted
     if (selected.isEmpty) read(spark, dir, Some(v)).filter(lit(false))
     else readFilesWithDv(spark, dir, selected,
-      manifestSchema(spark, dir, v), stateOf(spark, dir, v).dvRefs)
+      manifestSchema(spark, dir, v), stateOf(spark, dir, v).dvRefs,
+      stateOf(spark, dir, v).colMap)
       .filter(col(column).isin(values: _*))
   }
 
@@ -2105,8 +2340,16 @@ object SnapshotTable {
     val v = version.orElse(latestVersion(spark, dir)).getOrElse(
       throw new java.io.IOException(
         s"pruneFilesEq: no committed version under $dir"))
+    pruneFilesEqPhys(spark, dir,
+      physName(stateOf(spark, dir, v).colMap, column), value, v)
+  }
+
+  /** [[pruneFilesEq]] with `pc` ALREADY physical (see
+    * [[pruneFilesBoundsPhys]]). */
+  private[sources] def pruneFilesEqPhys(spark: SparkSession, dir: String,
+                   pc: String, value: Any, v: Long): (Seq[String], Int) = {
     val (rangeKept, total) =
-      pruneFiles(spark, dir, column, value, value, Some(v))
+      pruneFilesBoundsPhys(spark, dir, pc, Some(value), Some(value), v)
     // Sidecar-lazy probe: load only the sidecars of files that
     // survived range pruning — a point lookup on a well-clustered
     // table reads O(selected files) bloom bytes, not O(table).
@@ -2120,7 +2363,7 @@ object SnapshotTable {
         fileRefs.keys.flatMap(f => sidecarLookup(side, f, ref).map(f -> _))
     }
     val selected = rangeKept.filter { file =>
-      blooms.get(file).flatMap(_.get(column)) match {
+      blooms.get(file).flatMap(_.get(pc)) match {
         case None => true
         case Some(bits) => bloomMightContain(bits, value)
       }
@@ -2139,8 +2382,9 @@ object SnapshotTable {
     if (selected.isEmpty) read(spark, dir, version).filter(lit(false))
     else {
       val v = version.orElse(latestVersion(spark, dir)).get
+      val st = stateOf(spark, dir, v)
       readFilesWithDv(spark, dir, selected, manifestSchema(spark, dir, v),
-        stateOf(spark, dir, v).dvRefs)
+        st.dvRefs, st.colMap)
         .filter(col(column) === lit(value))
     }
   }
@@ -2178,8 +2422,13 @@ object SnapshotTable {
     val fromSet = fromFiles.toSet
     val dvChanged = toFiles.filter(f =>
       fromSet.contains(f) && fromSt.dvRefs.get(f) != toSt.dvRefs.get(f))
+    // Both sides resolve under TO-version's column mapping (physical
+    // names are rename-stable, so old files read correctly under it)
+    // — a feed spanning a rename surfaces end-state logical names
+    // throughout, exactly like the schema discipline above.
     def side(files: Seq[String], refs: Map[String, String]): DataFrame =
-      if (files.nonEmpty) readFilesWithDv(spark, dir, files, schema, refs)
+      if (files.nonEmpty)
+        readFilesWithDv(spark, dir, files, schema, refs, toSt.colMap)
       else schema.map(st => spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st))
         .getOrElse(read(spark, dir, Some(toVersion)).filter(lit(false)))
@@ -2269,9 +2518,19 @@ object SnapshotTable {
     if (old.length <= nTarget && clusterBy.isEmpty && zOrderBy.isEmpty &&
         bucketBy.isEmpty)
       return None
+    // Column mapping: layout columns arrive LOGICAL (they drive
+    // repartition/sort on the logical frame below); the recorded
+    // stats/bloom tracking is PHYSICAL — translate before merging.
+    val cm = stateOf(spark, dir, base).colMap
+    val cRet = stateOf(spark, dir, base).retired
+    require(bucketBy.isEmpty || (cm.isEmpty && cRet.isEmpty),
+      "compact(bucketBy): not supported on a column-mapped table — " +
+        "the bucketed writer derives file layout from column names; " +
+        "drop the mapping (recreate the table) or skip bucketing")
     val trackedCols =
       (manifestStats(spark, dir, base).values.flatMap(_.keys).toSeq ++
-        clusterBy ++ zOrderBy ++ bucketBy ++ bucketSortBy).distinct
+        (clusterBy ++ zOrderBy ++ bucketBy ++ bucketSortBy)
+          .map(physName(cm, _))).distinct
     val trackedBlooms = stateOf(spark, dir, base).bloomCols
     val batch = java.util.UUID.randomUUID().toString
     val batchDir = new Path(dir, s"data/$batch")
@@ -2279,7 +2538,8 @@ object SnapshotTable {
     // deletes — compaction is also the vector-purge operation.
     val baseDv = stateOf(spark, dir, base).dvRefs
     val src = readFilesWithDv(spark, dir, old,
-      manifestSchema(spark, dir, base), baseDv)
+      manifestSchema(spark, dir, base), baseDv,
+      stateOf(spark, dir, base).colMap)
     val bucketLayout = if (bucketBy.isEmpty) None
       else Some(BucketLayout(numBuckets, bucketBy, bucketSortBy))
     bucketLayout match {
@@ -2301,7 +2561,13 @@ object SnapshotTable {
           else if (clusterBy.isEmpty) src.coalesce(nTarget)
           else src.repartitionByRange(nTarget, clusterBy.map(col): _*)
             .sortWithinPartitions(clusterBy.map(col): _*)
-        laid.write.parquet(batchDir.toString)
+        // Data files always carry PHYSICAL names — layout ran on the
+        // logical frame; rename in one atomic select before writing.
+        val laidPhys =
+          if (cm.isEmpty) laid
+          else laid.select(laid.columns.map(c =>
+            col(c).as(physName(cm, c))).toSeq: _*)
+        laidPhys.write.parquet(batchDir.toString)
     }
     val rewritten = f.listStatus(batchDir).toSeq
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
@@ -2322,6 +2588,10 @@ object SnapshotTable {
     while (attempt < maxRetries) {
       val cur = latestVersion(spark, dir).get
       val curSt = stateOf(spark, dir, cur)
+      if (curSt.colMap != cm || curSt.retired != cRet)
+        throw new java.util.ConcurrentModificationException(
+          "compact: the table's column mapping changed during the " +
+            "rewrite (a concurrent renameColumn/dropColumn) — retry")
       // A deletion vector advanced on a compacted file since our read
       // would be silently dropped by the rewrite — conflict, loudly.
       val dvMoved = old.filter(f => curSt.dvRefs.get(f) != baseDv.get(f))
@@ -2432,7 +2702,8 @@ object SnapshotTable {
         !candidates.exists(st.dvRefs.contains))
       return None
     val src = readFilesWithDv(spark, dir, candidates,
-      manifestSchema(spark, dir, base), st.dvRefs).coalesce(nTarget)
+      manifestSchema(spark, dir, base), st.dvRefs, st.colMap)
+      .coalesce(nTarget)
     commitRewrite(spark, dir, candidates, src,
       trackedStatsCols(spark, dir, base),
       trackedBloomCols(spark, dir, base), maxRetries, op,
@@ -2526,7 +2797,8 @@ object SnapshotTable {
       .map { case (k, r) => absolutize(k) -> absolutizeRef(r) }
     val sizes = st.sizes.map { case (k, n) => absolutize(k) -> n }
     if (!tryCommit(spark, dstDir, 0L, files, Map.empty, stats, st.schema,
-        refs, st.bloomCols, sizes, "clone", dvRefs))
+        refs, st.bloomCols, sizes, "clone", dvRefs,
+        colMapOpt = Some((st.colMap, st.retired))))
       throw new java.io.IOException(
         s"shallowClone: destination $dstDir committed concurrently")
     0L
@@ -2604,6 +2876,142 @@ object SnapshotTable {
       s"dropConstraint: lost the commit race $maxRetries times under $dir")
   }
 
+  // ------------------------------------------------------------------
+  // Column mapping admin ops (metadata-only RENAME / DROP COLUMN)
+  // ------------------------------------------------------------------
+
+  /** The column mapping recorded at version `v` (logical → physical,
+    * SPARSE — identity columns are absent). Empty = logical and
+    * physical names coincide (every table until its first rename). */
+  def manifestColMap(spark: SparkSession, dir: String,
+                     v: Long): Map[String, String] =
+    stateOf(spark, dir, v).colMap
+
+  /** Physical names of DROPPED columns at version `v` — still present
+    * in old data files, never served, never reused. */
+  def manifestRetired(spark: SparkSession, dir: String,
+                      v: Long): Seq[String] =
+    stateOf(spark, dir, v).retired
+
+  /** The first recorded CHECK constraint whose SQL mentions column
+    * `c` (word-boundary match — conservative: a false positive
+    * refuses a rename/drop loudly, which is always safe). */
+  private def constraintReferencing(constraints: Map[String, String],
+                                    c: String): Option[(String, String)] = {
+    val re = ("""(?i)(?<![A-Za-z0-9_`])""" +
+      java.util.regex.Pattern.quote(c) + """(?![A-Za-z0-9_`])""").r
+    constraints.toSeq.sortBy(_._1)
+      .find { case (_, sql) => re.findFirstIn(sql).isDefined }
+  }
+
+  /** METADATA-ONLY column rename — the public Delta column-mapping
+    * idea: data files keep their stable PHYSICAL column names; one
+    * manifest commit moves the LOGICAL name, so a 100 TB table
+    * renames in milliseconds with zero rewrite. Every read surface
+    * serves the new name immediately; time travel reads each version
+    * under ITS schema; stats/Bloom pruning keep working (their keys
+    * are physical). Refused while a CHECK constraint references the
+    * column (drop the constraint first — silently rewriting user SQL
+    * would be worse). A bucketing claim on the renamed column carries
+    * through with its column list renamed (the files' hash layout is
+    * value-based, names never entered it). Returns the committed
+    * version. */
+  def renameColumn(spark: SparkSession, dir: String, from: String,
+                   to: String, maxRetries: Int = 20): Long = {
+    require(to.nonEmpty, "renameColumn: target name must be non-empty")
+    require(from != to, s"renameColumn: $from -> $to is a no-op")
+    latestVersion(spark, dir).getOrElse(
+      throw new java.io.IOException(
+        s"renameColumn: no committed version under $dir"))
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val cur = latestVersion(spark, dir).get
+      val st = stateOf(spark, dir, cur)
+      val schema = st.schema.getOrElse(throw new IllegalStateException(
+        s"renameColumn: table under $dir records no schema (legacy " +
+          "manifest) — append once to record one, then rename"))
+      require(schema.fieldNames.contains(from),
+        s"renameColumn: no such column $from " +
+          s"(have ${schema.fieldNames.mkString(", ")})")
+      require(!schema.fieldNames.contains(to),
+        s"renameColumn: column $to already exists")
+      constraintReferencing(st.constraints, from).foreach { case (n, sql) =>
+        throw new IllegalArgumentException(
+          s"renameColumn: CHECK constraint $n ($sql) references $from — " +
+            "drop the constraint, rename, then re-add it under the new name")
+      }
+      val phys = physName(st.colMap, from)
+      val newMap0 = st.colMap - from
+      val newMap = if (phys == to) newMap0 else newMap0 + (to -> phys)
+      val newSchema = StructType(schema.fields.map(f =>
+        if (f.name == from) f.copy(name = to) else f))
+      val newBucket = st.bucket.map(b => b.copy(
+        cols = b.cols.map(c => if (c == from) to else c),
+        sortCols = b.sortCols.map(c => if (c == from) to else c)))
+      if (tryCommit(spark, dir, cur + 1, st.files, st.txns, st.stats,
+          Some(newSchema), st.bloomRefs, st.bloomCols, st.sizes,
+          "renameColumn", st.dvRefs, newBucket,
+          colMapOpt = Some((newMap, st.retired))))
+        return cur + 1
+      attempt += 1
+    }
+    throw new java.io.IOException(
+      s"renameColumn: lost the commit race $maxRetries times under $dir")
+  }
+
+  /** METADATA-ONLY column drop: one manifest commit removes the
+    * column from the logical schema and RETIRES its physical name —
+    * the bytes stay in old files (time travel still serves them at
+    * pre-drop versions) but no current read ever touches them, and a
+    * later re-add of the same logical name takes a FRESH physical
+    * name so the dead values can never resurrect (the Delta
+    * drop-column contract). Tracked Bloom columns forget the dropped
+    * physical; per-file stats entries for it become dead weight until
+    * the next rewrite of each file (harmless — nothing consults
+    * them). Refused while a CHECK constraint references the column; a
+    * bucketing claim that hashes on it CLEARS (the layout can no
+    * longer be asserted over the visible schema). Returns the
+    * committed version. */
+  def dropColumn(spark: SparkSession, dir: String, column: String,
+                 maxRetries: Int = 20): Long = {
+    latestVersion(spark, dir).getOrElse(
+      throw new java.io.IOException(
+        s"dropColumn: no committed version under $dir"))
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val cur = latestVersion(spark, dir).get
+      val st = stateOf(spark, dir, cur)
+      val schema = st.schema.getOrElse(throw new IllegalStateException(
+        s"dropColumn: table under $dir records no schema (legacy " +
+          "manifest) — append once to record one, then drop"))
+      require(schema.fieldNames.contains(column),
+        s"dropColumn: no such column $column " +
+          s"(have ${schema.fieldNames.mkString(", ")})")
+      require(schema.fields.length > 1,
+        s"dropColumn: $column is the table's only column")
+      constraintReferencing(st.constraints, column).foreach {
+        case (n, sql) => throw new IllegalArgumentException(
+          s"dropColumn: CHECK constraint $n ($sql) references $column — " +
+            "drop the constraint first")
+      }
+      val phys = physName(st.colMap, column)
+      val newMap = st.colMap - column
+      val newRetired = (st.retired :+ phys).distinct
+      val newSchema = StructType(schema.fields.filterNot(_.name == column))
+      val newBucket = st.bucket.filterNot(b =>
+        b.cols.contains(column) || b.sortCols.contains(column))
+      if (tryCommit(spark, dir, cur + 1, st.files, st.txns, st.stats,
+          Some(newSchema), st.bloomRefs,
+          st.bloomCols.filterNot(_ == phys), st.sizes,
+          "dropColumn", st.dvRefs, newBucket,
+          colMapOpt = Some((newMap, newRetired))))
+        return cur + 1
+      attempt += 1
+    }
+    throw new java.io.IOException(
+      s"dropColumn: lost the commit race $maxRetries times under $dir")
+  }
+
   /** Enforce the table's recorded CHECK constraints on a batch (or a
     * rewrite that can introduce new values) BEFORE it lands: one
     * violation-probe action per constraint, each a `LIMIT 1` over the
@@ -2648,10 +3056,24 @@ object SnapshotTable {
                                  validated: Map[String, String],
                                  added: Seq[String],
                                  schema: Option[StructType],
-                                 op: String): Map[String, String] = {
+                                 op: String,
+                                 colMap: Map[String, String] = Map.empty
+                                ): Map[String, String] = {
     val fresh = cur.filter { case (k, sql) => !validated.get(k).contains(sql) }
-    if (fresh.nonEmpty && added.nonEmpty)
-      enforceConstraintSet(fresh, readFiles(spark, dir, added, schema), op)
+    if (fresh.nonEmpty && added.nonEmpty) {
+      // Constraint SQL is written against LOGICAL names; the batch
+      // files carry physical ones — probe through the rename.
+      val frame =
+        if (colMap.isEmpty) readFiles(spark, dir, added, schema)
+        else {
+          val logical = schema.getOrElse(throw new IllegalStateException(
+            s"$op: column mapping active under $dir but no schema"))
+          toLogicalFrame(
+            readFiles(spark, dir, added, Some(physSchemaOf(colMap, logical))),
+            colMap, logical)
+        }
+      enforceConstraintSet(fresh, frame, op)
+    }
     validated ++ fresh
   }
 
@@ -2679,7 +3101,9 @@ object SnapshotTable {
     * only ones [[vacuum]] could have retired — each is
     * existence-checked and a vacuumed-away file fails loudly BEFORE
     * any commit. Returns the new version; None when the head already
-    * reads identically to the target (same files, same vectors). */
+    * reads identically to the target (same files, same vectors, same
+    * schema/mapping/constraints/bucket — metadata-only commits like
+    * renameColumn are restorable state too, not no-ops). */
   def restore(spark: SparkSession, dir: String, toVersion: Long,
               maxRetries: Int = 20): Option[Long] = {
     val f = fs(spark, dir)
@@ -2694,7 +3118,12 @@ object SnapshotTable {
         s"restore: target v$toVersion is beyond the head v$cur")
       val curSt = stateOf(spark, dir, cur)
       if (curSt.files.toSet == target.files.toSet &&
-          curSt.dvRefs == target.dvRefs) return None
+          curSt.dvRefs == target.dvRefs &&
+          manifestSchema(spark, dir, cur) == targetSchema &&
+          curSt.colMap == target.colMap &&
+          curSt.retired == target.retired &&
+          curSt.constraints == target.constraints &&
+          curSt.bucket == target.bucket) return None
       val gone = target.files.filterNot(curSt.files.toSet)
         .filterNot { p =>
           f.exists(if (p.startsWith("data/")) new Path(dir, p)
@@ -2706,7 +3135,11 @@ object SnapshotTable {
       if (tryCommit(spark, dir, cur + 1, target.files, curSt.txns,
           target.stats, targetSchema, target.bloomRefs,
           target.bloomCols, target.sizes, "restore", target.dvRefs,
-          target.bucket))
+          target.bucket,
+          // the TARGET's column mapping reinstates with its state — a
+          // restore across a rename/drop rolls the names back too
+          // (explicit empty = clear, for pre-mapping targets)
+          colMapOpt = Some((target.colMap, target.retired))))
         return Some(cur + 1)
       attempt += 1
     }
@@ -2823,7 +3256,11 @@ object SnapshotTable {
           tsOverride = origTs,
           // a legacy stampless manifest stays stampless — see
           // manifestBody's ts discipline
-          stampTs = origTs.isDefined)
+          stampTs = origTs.isDefined,
+          // the column mapping is table state like bucket/constraints
+          // — stripping it here would serve physical names (or
+          // resurrect dropped columns) at the keepFrom version
+          colMap = st.colMap, retired = st.retired)
         val tmp = new Path(manifestDir(dir),
           s".v$keepFrom.${java.util.UUID.randomUUID()}.ckpt.tmp")
         val out = f.create(tmp, false)
@@ -2933,7 +3370,15 @@ object SnapshotTable {
   private def withFile(spark: SparkSession, dir: String, v: Long): DataFrame = {
     val st = stateOf(spark, dir, v)
     val schema = manifestSchema(spark, dir, v)
-    val base = readFiles(spark, dir, st.files, schema)
+    // Under an active column mapping the scan reads PHYSICAL names;
+    // the final select below renames to logical, so callers' keys and
+    // predicates resolve as users wrote them.
+    val physSchema =
+      if (st.colMap.isEmpty) schema
+      else Some(physSchemaOf(st.colMap, schema.getOrElse(
+        throw new IllegalStateException(
+          s"column mapping active under $dir but no recorded schema"))))
+    val base = readFiles(spark, dir, st.files, physSchema)
     val cols = base.columns.map(col)
     val keyed = base.select(cols :+
       fileKeyExpr(dir, col("_metadata.file_path")).as("__file") :+
@@ -2944,7 +3389,9 @@ object SnapshotTable {
         col("__file") === col("__dv_file") &&
           col("__row_index") === col("__dv_rowidx"), "left_anti")
     }
-    live.select(cols :+ col("__file") :+ col("__row_index"): _*)
+    val physOut = live.select(cols :+ col("__file") :+ col("__row_index"): _*)
+    if (st.colMap.isEmpty) physOut
+    else toLogicalFrame(physOut, st.colMap, schema.get)
   }
 
   /** Copy-on-write row DELETE: rewrites ONLY the files that contain a
@@ -2972,7 +3419,7 @@ object SnapshotTable {
     val baseDv = stateOf(spark, dir, base).dvRefs
     val survivors =
       readFilesWithDv(spark, dir, touched, manifestSchema(spark, dir, base),
-        baseDv)
+        baseDv, stateOf(spark, dir, base).colMap)
         .filter(not(condition))
     commitRewrite(spark, dir, touched, survivors,
       trackedStatsCols(spark, dir, base),
@@ -3019,7 +3466,8 @@ object SnapshotTable {
       .map(r => manifestKey(dir, r.getString(0))).toSeq.sorted
     if (touched.isEmpty) return None
     val baseDv = stateOf(spark, dir, base).dvRefs
-    val src = readFilesWithDv(spark, dir, touched, schema, baseDv)
+    val src = readFilesWithDv(spark, dir, touched, schema, baseDv,
+      stateOf(spark, dir, base).colMap)
     // All SET expressions see the PRE-update row: project them in one
     // select, not a fold of withColumn (which would let later SETs
     // read earlier SETs' outputs — not SQL UPDATE semantics).
@@ -3170,7 +3618,7 @@ object SnapshotTable {
     val updated = matches.select(fieldNames.map(c =>
       setMap.get(c).map(_.as(c)).getOrElse(col(c))): _*)
     var validated = enforceConstraints(spark, dir, updated, "updateWhereMor")
-    val (added, addedStats, addedRefs, addedSizes) =
+    val (added, addedStats, addedRefs, addedSizes, claim) =
       writeBatch(updated, dir, trackedStatsCols(spark, dir, base),
         trackedBloomCols(spark, dir, base), strictBlooms = false)
     // Cumulative vector per affected file: previous positions ∪ new.
@@ -3187,6 +3635,7 @@ object SnapshotTable {
     while (attempt < maxRetries) {
       val cur = latestVersion(spark, dir).get
       val curSt = stateOf(spark, dir, cur)
+      checkMapClaim(Some(curSt), claim, "updateWhereMor")
       val missing = affected.filterNot(curSt.files.toSet)
       if (missing.nonEmpty)
         throw new java.util.ConcurrentModificationException(
@@ -3202,12 +3651,14 @@ object SnapshotTable {
         .map(evolveSchema(_, updated.schema))
         .getOrElse(evolveSchema(new StructType(), updated.schema)))
       validated = recheckConstraints(spark, dir, curSt.constraints,
-        validated, added, nextSchema, "updateWhereMor")
+        validated, added, nextSchema, "updateWhereMor",
+        claim.map(_.colMap).getOrElse(Map.empty))
       if (tryCommit(spark, dir, cur + 1, curSt.files ++ added,
           curSt.txns, curSt.stats ++ addedStats, nextSchema,
           curSt.bloomRefs ++ addedRefs, curSt.bloomCols,
           curSt.sizes ++ addedSizes, "updateMor",
-          curSt.dvRefs ++ affected.map(_ -> ref)))
+          curSt.dvRefs ++ affected.map(_ -> ref),
+          colMapOpt = claim.map(c => (c.colMap, c.retired))))
         return Some(cur + 1)
       attempt += 1
     }
@@ -3276,7 +3727,8 @@ object SnapshotTable {
     val rewrite =
       if (touched.isEmpty) source
       else readFilesWithDv(spark, dir, touched,
-          base.flatMap(manifestSchema(spark, dir, _)), baseDv)
+          base.flatMap(manifestSchema(spark, dir, _)), baseDv,
+          base.map(stateOf(spark, dir, _).colMap).getOrElse(Map.empty))
         .join(srcKeys, keys, "left_anti")
         .unionByName(source)
     commitRewrite(spark, dir, touched, rewrite,
@@ -3366,7 +3818,8 @@ object SnapshotTable {
     val rewrite =
       if (touched.isEmpty) inserts
       else readFilesWithDv(spark, dir, touched,
-          base.flatMap(manifestSchema(spark, dir, _)), baseDv)
+          base.flatMap(manifestSchema(spark, dir, _)), baseDv,
+          base.map(stateOf(spark, dir, _).colMap).getOrElse(Map.empty))
         .join(affectedKeys, keys, "left_anti")
         .unionByName(inserts, allowMissingColumns = true)
     commitRewrite(spark, dir, touched, rewrite,
@@ -3469,7 +3922,7 @@ object SnapshotTable {
     // strictBlooms=false: bloomCols here is the table's RECORDED
     // tracking list — legacy ineligible entries drop, never wedge a
     // row-level op on a pre-r7 table.
-    val (added, addedStats, addedRefs, addedSizes) =
+    val (added, addedStats, addedRefs, addedSizes, claim) =
       writeBatch(rewrite, dir, statsCols, bloomCols, strictBlooms = false)
     val touchedSet = touched.toSet
     val addedSet = added.toSet
@@ -3480,6 +3933,7 @@ object SnapshotTable {
     while (attempt < maxRetries) {
       val cur = latestVersion(spark, dir)
       val curSt = cur.map(stateOf(spark, dir, _))
+      checkMapClaim(curSt, claim, op)
       val curFiles = curSt.map(_.files).getOrElse(Nil)
       val curTxns = curSt.map(_.txns).getOrElse(Map.empty)
       txn.foreach { case (appId, tv) =>
@@ -3504,8 +3958,20 @@ object SnapshotTable {
         val newSinceBase = curFiles
           .filterNot(baseFiles).filterNot(addedSet).filterNot(touchedSet)
         if (newSinceBase.nonEmpty) {
-          val clash = readFiles(spark, dir, newSinceBase,
+          // keys are logical; concurrently-added files are physical —
+          // probe through the rename under an active mapping.
+          val cm = claim.map(_.colMap).getOrElse(Map.empty)
+          val probeFrame =
+            if (cm.isEmpty) readFiles(spark, dir, newSinceBase,
               curSt.flatMap(_.schema))
+            else {
+              val logical = curSt.flatMap(_.schema).getOrElse(
+                throw new IllegalStateException(
+                  s"$op: column mapping active under $dir but no schema"))
+              toLogicalFrame(readFiles(spark, dir, newSinceBase,
+                Some(physSchemaOf(cm, logical))), cm, logical)
+            }
+          val clash = probeFrame
             .join(srcKeys, keys, "left_semi").limit(1).collect()
           if (clash.nonEmpty)
             throw new java.util.ConcurrentModificationException(
@@ -3518,7 +3984,7 @@ object SnapshotTable {
         .getOrElse(evolveSchema(new StructType(), rewrite.schema)))
       validated = validated.map(v => recheckConstraints(spark, dir,
         curSt.map(_.constraints).getOrElse(Map.empty), v,
-        added, schema, op))
+        added, schema, op, claim.map(_.colMap).getOrElse(Map.empty)))
       val next = curFiles.filterNot(touchedSet) ++ added
       if (tryCommit(spark, dir, cur.getOrElse(-1L) + 1, next,
           txn.fold(curTxns)(curTxns + _),
@@ -3531,7 +3997,8 @@ object SnapshotTable {
           op,
           // rewritten files physically exclude their masked rows, so
           // their vectors retire with them
-          curSt.map(_.dvRefs).getOrElse(Map.empty) -- touched))
+          curSt.map(_.dvRefs).getOrElse(Map.empty) -- touched,
+          colMapOpt = claim.map(c => (c.colMap, c.retired))))
         return Some(cur.getOrElse(-1L) + 1)
       attempt += 1
     }
