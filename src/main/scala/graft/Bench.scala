@@ -11,6 +11,7 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       // Throughput-first AQE coalescing: let small post-shuffle
       // partitions merge toward the advisory size instead of padding
       // out to #cpus. The multi-stage candidate pipelines (near-dup

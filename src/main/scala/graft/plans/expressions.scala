@@ -2118,12 +2118,19 @@ object GraftFunctions {
 }
 
 /** Config-time wiring: `.config("spark.sql.extensions",
-  * "graft.plans.GraftExtensions")` injects the native functions into
-  * every session built on that context. */
+  * "graft.plans.GraftExtensions")` injects the native functions AND
+  * the snapshot-table SQL DML grammar
+  * ([[graft.sources.GraftSqlParser]] — DELETE/UPDATE/MERGE/INSERT/
+  * ALTER/OPTIMIZE/VACUUM/RESTORE/DESCRIBE HISTORY over graft tables,
+  * everything else delegated verbatim to Spark's parser) into every
+  * session built on that context. */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     GraftFunctions.registrations.foreach { case (name, builder) =>
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo("graft.plans", name), builder))
     }
+    ext.injectParser((_, delegate) =>
+      new graft.sources.GraftSqlParser(delegate))
+  }
 }

@@ -12342,6 +12342,67 @@ object Queries {
       FROM orders GROUP BY 2)
     ORDER BY phase, priority"""))
 
+  /** The SQL DML surface ([[graft.sources.GraftSqlParser]], injected
+    * via `spark.sql.extensions`): the ENTIRE table lifecycle driven by
+    * plain `spark.sql` statements — INSERT INTO an empty `graft.`…``
+    * path, scoped DELETE, scoped UPDATE, whole-row-upsert MERGE from
+    * a subquery (with SQL's implicit casts), metadata-only ALTER
+    * TABLE RENAME COLUMN, a Z-order OPTIMIZE rewrite, and a final
+    * aggregate read through a LIVE registered view — none of it
+    * touches the Scala API. The oracle restates delete→update→merge
+    * algebraically (price ops are exact IEEE power-of-two doublings),
+    * so a mis-parsed predicate, a merge that updated the wrong rows,
+    * or a rename that leaked physical names all flip the hash. */
+  private val qSnapshotDml = Q(
+    "q_snapshot_dml",
+    (s, d) => {
+      val dir = snapTmp()
+      t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_orderpriority"), col("o_totalprice"))
+        .createOrReplaceTempView("dml_orders")
+      // first INSERT into an empty path creates the table
+      s.sql(s"INSERT INTO graft.`$dir` SELECT * FROM dml_orders")
+      s.sql(s"DELETE FROM graft.`$dir` WHERE o_orderkey % 10 = 0")
+      s.sql(s"UPDATE graft.`$dir` SET o_totalprice = o_totalprice * 2 " +
+        "WHERE o_orderpriority = '1-URGENT'")
+      // keys %5==0 ∧ %10≠0 exist → MERGE-update; %10==0 were deleted
+      // → MERGE-insert: both branches exercised in one statement
+      s.sql(s"MERGE INTO graft.`$dir` t USING (" +
+        "SELECT o_orderkey, 'X' AS o_orderstatus, o_orderpriority, " +
+        "o_totalprice * 4 AS o_totalprice FROM dml_orders " +
+        "WHERE o_orderkey % 5 = 0) s ON t.o_orderkey = s.o_orderkey " +
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+      s.sql(s"ALTER TABLE graft.`$dir` RENAME COLUMN o_totalprice TO price")
+      s.sql(s"OPTIMIZE graft.`$dir` ZORDER BY (o_orderkey, price)")
+      graft.sources.SnapshotSql.registerLive(s, "dml_live", dir)
+      s.sql("""SELECT o_orderstatus AS status, o_orderpriority AS priority,
+        count(*) AS n,
+        CAST(sum(CAST(price AS DECIMAL(18,6)) * 100) AS BIGINT) AS cents
+      FROM dml_live GROUP BY 1, 2 ORDER BY 1, 2""")
+    },
+    Some("""WITH src AS (
+      SELECT o_orderkey, 'X' AS o_orderstatus, o_orderpriority,
+             o_totalprice * 4 AS o_totalprice
+      FROM orders WHERE o_orderkey % 5 = 0),
+    after_del AS (
+      SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice
+      FROM orders WHERE o_orderkey % 10 <> 0),
+    after_upd AS (
+      SELECT o_orderkey, o_orderstatus, o_orderpriority,
+        CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice * 2
+             ELSE o_totalprice END AS o_totalprice
+      FROM after_del),
+    merged AS (
+      SELECT * FROM src
+      UNION ALL
+      SELECT * FROM after_upd WHERE o_orderkey % 5 <> 0)
+    SELECT o_orderstatus AS status, o_orderpriority AS priority,
+      count(*) AS n,
+      CAST(sum(CAST(o_totalprice AS DECIMAL(18,6)) * 100) AS BIGINT)
+        AS cents
+    FROM merged GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   /** Merge-on-read UPDATE through
     * [[graft.sources.SnapshotTable.updateWhereMor]]: every urgent
     * order is updated (status → 'U', price doubled — an exact
@@ -12851,7 +12912,7 @@ object Queries {
     qSnapshotHistory, qSnapshotFormat, qSnapshotStream, qSnapshotMatview,
     qSnapshotMor, qSnapshotMorSql, qSnapshotCdf, qMatviewMinmax,
     qMatviewStats, qSnapshotBucket, qSnapshotLive,
-    qSnapshotRestore, qSnapshotColmap, qSnapshotMorUpdate,
+    qSnapshotRestore, qSnapshotColmap, qSnapshotDml, qSnapshotMorUpdate,
     qSnapshotCompactWhere,
     qSnapshotConstraint, qBpeEncode, qSnapshotTimetravel, qTextIndex,
     qHybridSearch, qSnapshotCount,

@@ -1,0 +1,597 @@
+package graft.sources
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.CatalystTypeConverters
+import org.apache.spark.sql.catalyst.expressions.{Attribute,
+  AttributeReference, Literal}
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.functions.{col, expr, lit}
+import org.apache.spark.sql.types._
+
+/** The SQL **write** surface of [[SnapshotTable]] — the public
+  * Delta-on-Spark parser-extension design (reference behavior:
+  * main.py delegates every mutation to BigQuery DML / Firestore
+  * writes; here the table format itself serves them): a
+  * [[ParserInterface]] wrapper tries a small snapshot-DML grammar
+  * first and delegates EVERYTHING else, byte-for-byte, to Spark's own
+  * parser. Injected via `SparkSessionExtensions.injectParser`
+  * ([[graft.plans.GraftExtensions]]), so a session built with
+  * `spark.sql.extensions=graft.plans.GraftExtensions` runs:
+  *
+  *   - `DELETE FROM t WHERE …`                       → [[SnapshotTable.deleteWhere]]
+  *   - `UPDATE t SET a = …, b = … [WHERE …]`         → [[SnapshotTable.updateWhere]]
+  *   - `MERGE INTO t USING src ON t.k = src.k
+  *      WHEN MATCHED THEN UPDATE SET *
+  *      WHEN NOT MATCHED THEN INSERT *`              → [[SnapshotTable.merge]] (key upsert)
+  *   - `INSERT INTO t <query>`                       → [[SnapshotTable.append]] (positional)
+  *   - `ALTER TABLE t RENAME COLUMN a TO b`          → [[SnapshotTable.renameColumn]]
+  *   - `ALTER TABLE t DROP COLUMN a`                 → [[SnapshotTable.dropColumn]]
+  *   - `ALTER TABLE t ADD CONSTRAINT n CHECK (…)`    → [[SnapshotTable.addConstraint]]
+  *   - `ALTER TABLE t DROP CONSTRAINT n`             → [[SnapshotTable.dropConstraint]]
+  *   - `OPTIMIZE t`                                  → [[SnapshotTable.binPackSmall]]
+  *   - `OPTIMIZE t ZORDER BY (c1, c2)`               → [[SnapshotTable.compact]] (Z-order)
+  *   - `OPTIMIZE t WHERE c BETWEEN lo AND hi`        → [[SnapshotTable.compactWhere]]
+  *   - `VACUUM t [RETAIN n VERSIONS] [DRY RUN]`      → [[SnapshotTable.vacuum]]/[[SnapshotTable.vacuumPreview]]
+  *   - `RESTORE [TABLE] t [TO] VERSION AS OF n`      → [[SnapshotTable.restore]]
+  *   - `DESCRIBE HISTORY t`                          → [[SnapshotTable.history]]
+  *
+  * **Table addressing**: `graft.`/abs/path`` (the Delta path idiom)
+  * or a name bound by [[SnapshotSql.register]] /
+  * [[SnapshotSql.registerLive]] / [[SnapshotSql.bind]]. A statement
+  * whose table reference resolves to NEITHER delegates to Spark
+  * untouched — `DELETE FROM`/`UPDATE`/`MERGE`/`INSERT`/`ALTER` over
+  * ordinary tables never enter this grammar, so injecting the parser
+  * cannot change the behavior of any non-graft SQL. A statement
+  * that DOES address a graft table but uses an unsupported shape
+  * fails loudly with the supported grammar in the message (silent
+  * delegation there would produce Spark's confusing
+  * view-is-not-writable errors).
+  *
+  * Each statement is a Spark `RunnableCommand`: `spark.sql(…)`
+  * executes it eagerly and returns its summary row(s) (committed
+  * version, rows deleted, files vacuumed, …) as a regular DataFrame.
+  * Expressions (WHERE conditions, SET values, CHECK bodies) are
+  * carried as SQL text and resolved by Spark's own analyzer against
+  * the table's LOGICAL schema at run time — column mapping, deletion
+  * vectors and every other manifest feature apply exactly as through
+  * the Scala API, because these commands ARE the Scala API. */
+object GraftSqlCommands {
+
+  // ------------------------------------------------------------------
+  // Lexical helpers (quote/paren-aware scanning — expression payloads
+  // pass through verbatim; only top-level structure is parsed here)
+  // ------------------------------------------------------------------
+
+  /** Index of the first TOP-LEVEL (outside quotes/backticks/parens)
+    * case-insensitive occurrence of word `kw` in `s`, or -1. */
+  private def topLevelKeyword(s: String, kw: String, from: Int = 0): Int = {
+    val u = s.toUpperCase(java.util.Locale.ROOT)
+    val k = kw.toUpperCase(java.util.Locale.ROOT)
+    var i = from; var depth = 0
+    var inS = false; var inD = false; var inB = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inS) { if (c == '\'') inS = false }
+      else if (inD) { if (c == '"') inD = false }
+      else if (inB) { if (c == '`') inB = false }
+      else c match {
+        case '\'' => inS = true
+        case '"' => inD = true
+        case '`' => inB = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _ =>
+          if (depth == 0 && u.startsWith(k, i) &&
+              (i == 0 || !Character.isLetterOrDigit(u.charAt(i - 1)) &&
+                u.charAt(i - 1) != '_') &&
+              (i + k.length == s.length ||
+                !Character.isLetterOrDigit(u.charAt(i + k.length)) &&
+                  u.charAt(i + k.length) != '_'))
+            return i
+      }
+      i += 1
+    }
+    -1
+  }
+
+  /** Split on top-level commas (SET a = f(x, y), b = z must not split
+    * inside the call). */
+  private def splitTopCommas(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var start = 0; var i = 0; var depth = 0
+    var inS = false; var inD = false; var inB = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inS) { if (c == '\'') inS = false }
+      else if (inD) { if (c == '"') inD = false }
+      else if (inB) { if (c == '`') inB = false }
+      else c match {
+        case '\'' => inS = true
+        case '"' => inD = true
+        case '`' => inB = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case ',' if depth == 0 => out += s.substring(start, i); start = i + 1
+        case _ =>
+      }
+      i += 1
+    }
+    out += s.substring(start)
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** A table reference token: `graft.`path``, a backquoted name, or a
+    * plain identifier. Returns (directory, matched length) when the
+    * reference resolves to a graft table; None otherwise (→ the whole
+    * statement delegates to Spark). */
+  private def resolveTableAt(s: String): Option[(String, Int)] = {
+    val GraftPath = """(?is)^graft\.`([^`]+)`""".r
+    val Quoted = """(?s)^`([^`]+)`""".r
+    val Ident = """(?s)^([A-Za-z_][A-Za-z0-9_]*)""".r
+    GraftPath.findFirstMatchIn(s)
+      .map(m => Some((m.group(1), m.end)))
+      .getOrElse {
+        val nm = Quoted.findFirstMatchIn(s).map(m => (m.group(1), m.end))
+          .orElse(Ident.findFirstMatchIn(s).map(m => (m.group(1), m.end)))
+        nm.flatMap { case (name, len) =>
+          SnapshotSql.boundDir(name).map(dir => (dir, len)) }
+      }
+  }
+
+  private def fail(msg: String): Nothing =
+    throw new IllegalArgumentException(s"graft SQL: $msg")
+
+  /** Evaluate an expression TEXT that must be a literal (OPTIMIZE's
+    * BETWEEN bounds, RESTORE's version) to its Scala value. */
+  private def literalValue(text: String): Any =
+    org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+      .parseExpression(text) match {
+      case l: Literal =>
+        CatalystTypeConverters.convertToScala(l.value, l.dataType)
+      case other => fail(s"expected a literal, got: $text")
+    }
+
+  // ------------------------------------------------------------------
+  // The grammar — None = not ours, delegate to Spark's parser
+  // ------------------------------------------------------------------
+
+  def tryParse(sqlText: String): Option[LogicalPlan] = {
+    val s0 = sqlText.trim
+    val s = if (s0.endsWith(";")) s0.dropRight(1).trim else s0
+    val head = s.takeWhile(c => Character.isLetter(c))
+      .toUpperCase(java.util.Locale.ROOT)
+    head match {
+      case "DELETE" => parseDelete(s)
+      case "UPDATE" => parseUpdate(s)
+      case "MERGE" => parseMerge(s)
+      case "INSERT" => parseInsert(s)
+      case "ALTER" => parseAlter(s)
+      case "OPTIMIZE" => parseOptimize(s)
+      case "VACUUM" => parseVacuum(s)
+      case "RESTORE" => parseRestore(s)
+      case "DESCRIBE" | "DESC" => parseDescribeHistory(s)
+      case _ => None
+    }
+  }
+
+  private val Ws = """\s+"""
+
+  private def parseDelete(s: String): Option[LogicalPlan] = {
+    val m = s"""(?is)^DELETE${Ws}FROM$Ws""".r.findFirstMatchIn(s)
+      .getOrElse(return None)
+    val rest = s.substring(m.end)
+    val (dir, len) = resolveTableAt(rest).getOrElse(return None)
+    val tail = rest.substring(len).trim
+    val where =
+      if (tail.isEmpty) None
+      else {
+        val w = s"""(?is)^WHERE$Ws""".r.findFirstMatchIn(tail)
+          .getOrElse(fail(s"DELETE FROM <t> [WHERE <cond>] — got: $tail"))
+        Some(tail.substring(w.end).trim)
+      }
+    Some(GraftDeleteCommand(dir, where))
+  }
+
+  private def parseUpdate(s: String): Option[LogicalPlan] = {
+    val m = s"""(?is)^UPDATE$Ws""".r.findFirstMatchIn(s).getOrElse(return None)
+    val rest = s.substring(m.end)
+    val (dir, len) = resolveTableAt(rest).getOrElse(return None)
+    val tail = rest.substring(len).trim
+    val setM = s"""(?is)^SET$Ws""".r.findFirstMatchIn(tail)
+      .getOrElse(fail(s"UPDATE <t> SET a = …[, b = …] [WHERE <cond>] — got: $tail"))
+    val body = tail.substring(setM.end)
+    val wIdx = topLevelKeyword(body, "WHERE")
+    val (setText, where) =
+      if (wIdx < 0) (body, None)
+      else (body.substring(0, wIdx),
+        Some(body.substring(wIdx + "WHERE".length).trim))
+    val sets = splitTopCommas(setText).map { a =>
+      val eq = a.indexOf('=')
+      if (eq <= 0) fail(s"UPDATE SET expects <col> = <expr>, got: $a")
+      val c = a.substring(0, eq).trim
+      val name = if (c.startsWith("`") && c.endsWith("`") && c.length > 1)
+        c.substring(1, c.length - 1) else c
+      (name, a.substring(eq + 1).trim)
+    }
+    if (sets.isEmpty) fail("UPDATE SET list is empty")
+    Some(GraftUpdateCommand(dir, sets, where))
+  }
+
+  private def parseMerge(s: String): Option[LogicalPlan] = {
+    val m = s"""(?is)^MERGE${Ws}INTO$Ws""".r.findFirstMatchIn(s)
+      .getOrElse(return None)
+    val rest = s.substring(m.end)
+    val (dir, len) = resolveTableAt(rest).getOrElse(return None)
+    var tail = rest.substring(len).trim
+    // optional [AS] <alias> on the target
+    val aliasM = s"""(?is)^(?:AS$Ws)?([A-Za-z_][A-Za-z0-9_]*)$Ws""".r
+      .findFirstMatchIn(tail)
+      .filter(a => !Set("USING").contains(
+        a.group(1).toUpperCase(java.util.Locale.ROOT)))
+    aliasM.foreach(a => tail = tail.substring(a.end).trim)
+    val usingM = s"""(?is)^USING$Ws""".r.findFirstMatchIn(tail)
+      .getOrElse(fail(s"MERGE INTO <t> USING <src> ON … — got: $tail"))
+    tail = tail.substring(usingM.end).trim
+    // source: (subquery) or identifier; optional [AS] alias
+    val (source, afterSrc) =
+      if (tail.startsWith("(")) {
+        var depth = 0; var i = 0; var end = -1
+        while (i < tail.length && end < 0) {
+          val c = tail.charAt(i)
+          if (c == '(') depth += 1
+          else if (c == ')') { depth -= 1; if (depth == 0) end = i }
+          i += 1
+        }
+        if (end < 0) fail("MERGE USING (…): unbalanced parentheses")
+        (Left(tail.substring(1, end).trim): Either[String, String],
+          tail.substring(end + 1).trim)
+      } else {
+        val im = """(?s)^([A-Za-z_][A-Za-z0-9_]*)""".r
+          .findFirstMatchIn(tail)
+          .getOrElse(fail(s"MERGE USING expects a view name or (subquery), got: $tail"))
+        (Right(im.group(1)): Either[String, String],
+          tail.substring(im.end).trim)
+      }
+    var t2 = afterSrc
+    val srcAliasM = s"""(?is)^(?:AS$Ws)?([A-Za-z_][A-Za-z0-9_]*)$Ws""".r
+      .findFirstMatchIn(t2)
+      .filter(a => !Set("ON").contains(
+        a.group(1).toUpperCase(java.util.Locale.ROOT)))
+    srcAliasM.foreach(a => t2 = t2.substring(a.end).trim)
+    val onM = s"""(?is)^ON$Ws""".r.findFirstMatchIn(t2)
+      .getOrElse(fail(s"MERGE: expected ON <key equalities>, got: $t2"))
+    t2 = t2.substring(onM.end)
+    val whenIdx = topLevelKeyword(t2, "WHEN")
+    if (whenIdx < 0) fail("MERGE: expected WHEN MATCHED / WHEN NOT MATCHED clauses")
+    val onText = t2.substring(0, whenIdx).trim
+    val clauses = t2.substring(whenIdx).trim
+    val Clauses =
+      s"""(?is)^WHEN${Ws}MATCHED${Ws}THEN${Ws}UPDATE${Ws}SET$Ws\\*$Ws(?:WHEN${Ws}NOT${Ws}MATCHED$Ws(?:BY${Ws}TARGET$Ws)?THEN${Ws}INSERT$Ws\\*)$$""".r
+    if (Clauses.findFirstIn(clauses).isEmpty)
+      fail("MERGE supports exactly the whole-row upsert form: " +
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT * " +
+        s"(got: $clauses). For other shapes use SnapshotTable.merge/applyChanges.")
+    // ON must be a conjunction of same-name key equalities
+    val keys = {
+      def split(t: String, acc: Seq[String]): Seq[String] = {
+        val i = topLevelKeyword(t, "AND")
+        if (i < 0) acc :+ t.trim
+        else split(t.substring(i + 3), acc :+ t.substring(0, i).trim)
+      }
+      split(onText, Nil).map { eqText =>
+        val parts = eqText.split("=")
+        if (parts.length != 2)
+          fail(s"MERGE ON expects <t.k> = <s.k> equalities, got: $eqText")
+        def colName(p: String) = {
+          val c = p.trim
+          val base = c.substring(c.lastIndexOf('.') + 1).trim
+          if (base.startsWith("`") && base.endsWith("`") && base.length > 1)
+            base.substring(1, base.length - 1) else base
+        }
+        val (l, r) = (colName(parts(0)), colName(parts(1)))
+        if (l != r) fail(s"MERGE ON keys must pair the same column name " +
+          s"on both sides (the key-upsert contract), got: $eqText")
+        l
+      }
+    }
+    Some(GraftMergeCommand(dir, source, keys))
+  }
+
+  private def parseInsert(s: String): Option[LogicalPlan] = {
+    val m = s"""(?is)^INSERT${Ws}INTO$Ws""".r.findFirstMatchIn(s)
+      .getOrElse(return None)
+    val rest = s.substring(m.end)
+    val (dir, len) = resolveTableAt(rest).getOrElse(return None)
+    val query = rest.substring(len).trim
+    if (query.isEmpty) fail("INSERT INTO <t> <query> — missing query")
+    Some(GraftInsertCommand(dir, query))
+  }
+
+  private def parseAlter(s: String): Option[LogicalPlan] = {
+    val m = s"""(?is)^ALTER${Ws}TABLE$Ws""".r.findFirstMatchIn(s)
+      .getOrElse(return None)
+    val rest = s.substring(m.end)
+    val (dir, len) = resolveTableAt(rest).getOrElse(return None)
+    val tail = rest.substring(len).trim
+    val Rename =
+      s"""(?is)^RENAME${Ws}COLUMN$Ws(`[^`]+`|[A-Za-z_][A-Za-z0-9_]*)${Ws}TO$Ws(`[^`]+`|[A-Za-z_][A-Za-z0-9_]*)$$""".r
+    val DropCol =
+      s"""(?is)^DROP${Ws}COLUMN$Ws(`[^`]+`|[A-Za-z_][A-Za-z0-9_]*)$$""".r
+    val AddCons =
+      s"""(?is)^ADD${Ws}CONSTRAINT$Ws([A-Za-z_][A-Za-z0-9_]*)${Ws}CHECK\\s*\\((.*)\\)$$""".r
+    val DropCons =
+      s"""(?is)^DROP${Ws}CONSTRAINT$Ws([A-Za-z_][A-Za-z0-9_]*)$$""".r
+    def unq(c: String) =
+      if (c.startsWith("`") && c.endsWith("`") && c.length > 1)
+        c.substring(1, c.length - 1) else c
+    tail match {
+      case Rename(from, to) =>
+        Some(GraftAlterCommand(dir, "renameColumn", Seq(unq(from), unq(to))))
+      case DropCol(c) =>
+        Some(GraftAlterCommand(dir, "dropColumn", Seq(unq(c))))
+      case AddCons(nm, body) =>
+        Some(GraftAlterCommand(dir, "addConstraint", Seq(nm, body.trim)))
+      case DropCons(nm) =>
+        Some(GraftAlterCommand(dir, "dropConstraint", Seq(nm)))
+      case _ => fail(
+        "ALTER TABLE <t> supports RENAME COLUMN a TO b | DROP COLUMN a | " +
+          s"ADD CONSTRAINT n CHECK (…) | DROP CONSTRAINT n — got: $tail")
+    }
+  }
+
+  private def parseOptimize(s: String): Option[LogicalPlan] = {
+    val m = s"""(?is)^OPTIMIZE$Ws""".r.findFirstMatchIn(s)
+      .getOrElse(return None)
+    val rest = s.substring(m.end)
+    val (dir, len) = resolveTableAt(rest).getOrElse(return None)
+    val tail = rest.substring(len).trim
+    if (tail.isEmpty) return Some(GraftOptimizeCommand(dir, None, Nil))
+    val Z = s"""(?is)^ZORDER${Ws}BY\\s*\\(([^)]*)\\)$$""".r
+    val W =
+      s"""(?is)^WHERE$Ws(`[^`]+`|[A-Za-z_][A-Za-z0-9_]*)${Ws}BETWEEN$Ws(.+?)${Ws}AND$Ws(.+)$$""".r
+    tail match {
+      case Z(cols) =>
+        val cs = splitTopCommas(cols).map(c =>
+          if (c.startsWith("`") && c.endsWith("`") && c.length > 1)
+            c.substring(1, c.length - 1) else c)
+        if (cs.isEmpty) fail("OPTIMIZE ZORDER BY (…) needs at least one column")
+        Some(GraftOptimizeCommand(dir, None, cs))
+      case W(c, lo, hi) =>
+        val cn = if (c.startsWith("`") && c.endsWith("`") && c.length > 1)
+          c.substring(1, c.length - 1) else c
+        Some(GraftOptimizeCommand(dir, Some((cn, lo.trim, hi.trim)), Nil))
+      case _ => fail("OPTIMIZE <t> [ZORDER BY (c1, c2)] | " +
+        s"[WHERE <col> BETWEEN <lit> AND <lit>] — got: $tail")
+    }
+  }
+
+  private def parseVacuum(s: String): Option[LogicalPlan] = {
+    val m = s"""(?is)^VACUUM$Ws""".r.findFirstMatchIn(s).getOrElse(return None)
+    val rest = s.substring(m.end)
+    val (dir, len) = resolveTableAt(rest).getOrElse(return None)
+    var tail = rest.substring(len).trim
+    var keep = 2
+    val R = s"""(?is)^RETAIN$Ws(\\d+)${Ws}VERSIONS\\s*""".r
+    R.findFirstMatchIn(tail).foreach { rm =>
+      keep = rm.group(1).toInt; tail = tail.substring(rm.end).trim }
+    val dry = s"""(?is)^DRY${Ws}RUN$$""".r.findFirstIn(tail).isDefined
+    if (!dry && tail.nonEmpty)
+      fail(s"VACUUM <t> [RETAIN n VERSIONS] [DRY RUN] — got: $tail")
+    Some(GraftVacuumCommand(dir, keep, dry))
+  }
+
+  private def parseRestore(s: String): Option[LogicalPlan] = {
+    val M =
+      s"""(?is)^RESTORE$Ws(?:TABLE$Ws)?""".r.findFirstMatchIn(s)
+        .getOrElse(return None)
+    val rest = s.substring(M.end)
+    val (dir, len) = resolveTableAt(rest).getOrElse(return None)
+    val tail = rest.substring(len).trim
+    val V = s"""(?is)^(?:TO$Ws)?VERSION${Ws}AS${Ws}OF$Ws(\\d+)$$""".r
+    tail match {
+      case V(v) => Some(GraftRestoreCommand(dir, v.toLong))
+      case _ => fail(s"RESTORE [TABLE] <t> [TO] VERSION AS OF <n> — got: $tail")
+    }
+  }
+
+  private def parseDescribeHistory(s: String): Option[LogicalPlan] = {
+    val m = s"""(?is)^DESC(?:RIBE)?${Ws}HISTORY$Ws""".r.findFirstMatchIn(s)
+      .getOrElse(return None)
+    val rest = s.substring(m.end)
+    val (dir, len) = resolveTableAt(rest).getOrElse(return None)
+    if (rest.substring(len).trim.nonEmpty) return None
+    Some(GraftHistoryCommand(dir))
+  }
+
+  // ------------------------------------------------------------------
+  // Commands (each is the corresponding SnapshotTable call)
+  // ------------------------------------------------------------------
+
+  private def longAttr(n: String, nullable: Boolean = false): Attribute =
+    AttributeReference(n, LongType, nullable)()
+
+  /** `DELETE FROM` → CoW [[SnapshotTable.deleteWhere]]. `rows_deleted`
+    * comes from the metadata-only [[SnapshotTable.countRows]] fold
+    * (exact, no scan). */
+  case class GraftDeleteCommand(dir: String, where: Option[String])
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] =
+      Seq(longAttr("version", nullable = true), longAttr("rows_deleted"))
+    override def run(spark: SparkSession): Seq[Row] = {
+      val pre = SnapshotTable.countRows(spark, dir)
+      val v = SnapshotTable.deleteWhere(spark, dir,
+        where.map(expr).getOrElse(lit(true)))
+      val post = SnapshotTable.countRows(spark, dir)
+      Seq(Row(v.map(Long.box).orNull, pre - post))
+    }
+  }
+
+  /** `UPDATE` → CoW [[SnapshotTable.updateWhere]] (SET expressions
+    * all see the PRE-update row, SQL semantics). */
+  case class GraftUpdateCommand(dir: String, sets: Seq[(String, String)],
+                                where: Option[String])
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(longAttr("version", nullable = true))
+    override def run(spark: SparkSession): Seq[Row] = {
+      val v = SnapshotTable.updateWhere(spark, dir,
+        where.map(expr).getOrElse(lit(true)),
+        sets.map { case (c, e) => c -> expr(e) })
+      Seq(Row(v.map(Long.box).orNull))
+    }
+  }
+
+  /** `MERGE INTO … WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED
+    * THEN INSERT *` → the whole-row key upsert, [[SnapshotTable.merge]].
+    * The source resolves at run time: a registered view name or an
+    * inline subquery. */
+  case class GraftMergeCommand(dir: String, source: Either[String, String],
+                               keys: Seq[String])
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(longAttr("version"))
+    override def run(spark: SparkSession): Seq[Row] = {
+      val src0 = source.fold(spark.sql, spark.table)
+      // SQL MERGE's implicit-cast contract: source columns that the
+      // table also has cast to the table's types BY NAME (an INT
+      // subquery literal merges into a BIGINT column); source-only
+      // columns pass through for add-column evolution.
+      val src = SnapshotTable.latestVersion(spark, dir)
+        .flatMap(v => SnapshotTable.manifestSchema(spark, dir, v)) match {
+        case Some(schema) =>
+          val types = schema.fields.map(f => f.name -> f.dataType).toMap
+          src0.select(src0.columns.map(c =>
+            types.get(c).map(t => col(c).cast(t).as(c))
+              .getOrElse(col(c))).toSeq: _*)
+        case None => src0
+      }
+      Seq(Row(SnapshotTable.merge(spark, dir, src, keys)))
+    }
+  }
+
+  /** `INSERT INTO t <query>` → [[SnapshotTable.append]]. SQL INSERT
+    * is POSITIONAL: when the table has a recorded schema the query's
+    * columns are renamed (and cast, INSERT's implicit-cast contract)
+    * to it by position, arity-checked. A first write into an empty
+    * directory appends the query's own shape. */
+  case class GraftInsertCommand(dir: String, query: String)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(longAttr("version"))
+    override def run(spark: SparkSession): Seq[Row] = {
+      val q = spark.sql(query)
+      val aligned = SnapshotTable.latestVersion(spark, dir)
+        .flatMap(v => SnapshotTable.manifestSchema(spark, dir, v)) match {
+        case Some(schema) =>
+          if (q.schema.length != schema.length)
+            fail(s"INSERT INTO: query has ${q.schema.length} columns, " +
+              s"table has ${schema.length}")
+          q.select(schema.fields.zipWithIndex.map { case (f, i) =>
+            col(q.columns(i)).cast(f.dataType).as(f.name) }.toSeq: _*)
+        case None => q
+      }
+      Seq(Row(SnapshotTable.append(aligned, dir)))
+    }
+  }
+
+  /** The four metadata `ALTER TABLE` forms. */
+  case class GraftAlterCommand(dir: String, op: String, args: Seq[String])
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(longAttr("version"))
+    override def run(spark: SparkSession): Seq[Row] = {
+      val v = op match {
+        case "renameColumn" =>
+          SnapshotTable.renameColumn(spark, dir, args(0), args(1))
+        case "dropColumn" => SnapshotTable.dropColumn(spark, dir, args(0))
+        case "addConstraint" =>
+          SnapshotTable.addConstraint(spark, dir, args(0), args(1))
+        case "dropConstraint" =>
+          SnapshotTable.dropConstraint(spark, dir, args(0))
+      }
+      Seq(Row(v))
+    }
+  }
+
+  /** `OPTIMIZE` → bin-pack small files (Delta's default), Z-order
+    * rewrite, or the stats-pruned scoped form. */
+  case class GraftOptimizeCommand(dir: String,
+                                  between: Option[(String, String, String)],
+                                  zorder: Seq[String])
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(longAttr("version", nullable = true))
+    override def run(spark: SparkSession): Seq[Row] = {
+      val v = between match {
+        case Some((c, lo, hi)) =>
+          SnapshotTable.compactWhere(spark, dir, c,
+            literalValue(lo), literalValue(hi))
+        case None if zorder.nonEmpty =>
+          SnapshotTable.compact(spark, dir, zOrderBy = zorder)
+        case None =>
+          SnapshotTable.binPackSmall(spark, dir,
+            smallerThanBytes = 128L * 1024 * 1024)
+      }
+      Seq(Row(v.map(Long.box).orNull))
+    }
+  }
+
+  /** `VACUUM [DRY RUN]` → retention GC / its read-only preview.
+    * minAgeMs=0: the SQL surface assumes no in-flight writer (the
+    * programmatic API keeps the safe default). */
+  case class GraftVacuumCommand(dir: String, keepVersions: Int, dryRun: Boolean)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] =
+      if (dryRun) Seq(longAttr("files_eligible"), longAttr("manifests_below"))
+      else Seq(longAttr("files_deleted"))
+    override def run(spark: SparkSession): Seq[Row] =
+      if (dryRun) {
+        val (files, manifests) =
+          SnapshotTable.vacuumPreview(spark, dir, keepVersions, minAgeMs = 0L)
+        Seq(Row(files.toLong, manifests.toLong))
+      } else Seq(Row(
+        SnapshotTable.vacuum(spark, dir, keepVersions, minAgeMs = 0L).toLong))
+  }
+
+  /** `RESTORE … VERSION AS OF n` → [[SnapshotTable.restore]]. */
+  case class GraftRestoreCommand(dir: String, toVersion: Long)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(longAttr("version", nullable = true))
+    override def run(spark: SparkSession): Seq[Row] =
+      Seq(Row(SnapshotTable.restore(spark, dir, toVersion)
+        .map(Long.box).orNull))
+  }
+
+  /** `DESCRIBE HISTORY` → the commit log (version, op, commit_ts,
+    * add/remove/file/byte counts). Control-plane sized: one row per
+    * surviving version. */
+  case class GraftHistoryCommand(dir: String) extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(
+      longAttr("version"),
+      AttributeReference("op", StringType, nullable = false)(),
+      longAttr("commit_ts", nullable = true),
+      longAttr("n_added"), longAttr("n_removed"),
+      longAttr("n_files"), longAttr("total_bytes"))
+    override def run(spark: SparkSession): Seq[Row] =
+      SnapshotTable.history(spark, dir).collect().toSeq
+  }
+}
+
+/** The injected parser: graft snapshot-DML first, Spark for
+  * everything else (see [[GraftSqlCommands]] for the grammar and the
+  * delegation guarantee). */
+class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+  override def parsePlan(sqlText: String): LogicalPlan =
+    GraftSqlCommands.tryParse(sqlText).getOrElse(delegate.parsePlan(sqlText))
+  override def parseExpression(sqlText: String) =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String) =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String) =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String) =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseQuery(sqlText: String) = delegate.parseQuery(sqlText)
+  override def parseRoutineParam(sqlText: String) =
+    delegate.parseRoutineParam(sqlText)
+  override def parseTableSchema(sqlText: String) =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String) = delegate.parseDataType(sqlText)
+}

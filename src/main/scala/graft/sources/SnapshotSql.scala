@@ -37,6 +37,27 @@ import org.apache.spark.sql.types.StructType
   * [[SnapshotTable.read]]. Re-register to advance. */
 object SnapshotSql {
 
+  /** name → table directory, the address book [[GraftSqlCommands]]'s
+    * DML grammar resolves bare table names against ([[register]] /
+    * [[registerLive]] populate it; [[bind]] adds a name with no view).
+    * JVM-wide like Spark's own temp-view catalog is session-wide —
+    * names are case-insensitive, last bind wins. */
+  private val bound =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Bind `name` to a snapshot table directory for the SQL DML
+    * surface (`DELETE FROM name …`, `OPTIMIZE name`, …) without
+    * registering any view. */
+  def bind(name: String, dir: String): Unit =
+    bound.put(name.toLowerCase(java.util.Locale.ROOT), dir)
+
+  def unbind(name: String): Unit =
+    bound.remove(name.toLowerCase(java.util.Locale.ROOT))
+
+  /** The directory `name` is bound to, if any. */
+  def boundDir(name: String): Option[String] =
+    Option(bound.get(name.toLowerCase(java.util.Locale.ROOT)))
+
   /** The manifest-pruned parquet relation over a pinned snapshot —
     * shared by [[dataFrame]] (temp-view surface) and
     * [[GraftDataSource]] (`spark.read.format("graft")` surface; a
@@ -110,6 +131,7 @@ object SnapshotSql {
     val v = version.orElse(SnapshotTable.latestVersion(spark, dir)).getOrElse(
       throw new java.io.IOException(s"SnapshotSql: no committed version under $dir"))
     dataFrame(spark, dir, Some(v)).createOrReplaceTempView(name)
+    bind(name, dir)
     v
   }
 
@@ -142,8 +164,10 @@ object SnapshotSql {
   /** [[register]]'s live twin: a temp view that always reads the
     * table's head — `spark.sql` over a table that other writers keep
     * committing to, with no REFRESH/re-register step. */
-  def registerLive(spark: SparkSession, name: String, dir: String): Unit =
+  def registerLive(spark: SparkSession, name: String, dir: String): Unit = {
     dataFrameLive(spark, dir).createOrReplaceTempView(name)
+    bind(name, dir)
+  }
 }
 
 /** The relation behind [[SnapshotSql.registerLive]]: version

@@ -1,0 +1,189 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.sources.{SnapshotSql, SnapshotTable}
+
+/** The injected SQL DML surface (GraftSqlParser via
+  * spark.sql.extensions): every snapshot-table mutation runnable as
+  * plain `spark.sql`, with non-graft SQL delegated untouched. */
+class GraftSqlDmlSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private def tmp(tag: String): String =
+    Files.createTempDirectory(s"graft-sqldml-$tag").toString + "/t"
+
+  private def mk(dir: String, n: Long = 100L): Unit =
+    SnapshotTable.append(
+      (0L until n).map(i => (i, s"v$i", i * 10)).toDF("id", "name", "score"),
+      dir, statsCols = Seq("id"))
+
+  test("DELETE FROM with and without WHERE; rows_deleted is exact") {
+    val dir = tmp("delete"); mk(dir)
+    SnapshotSql.bind("sqldml_del", dir)
+    val r = spark.sql("DELETE FROM sqldml_del WHERE id >= 90").head()
+    assert(r.getLong(1) == 10L)
+    assert(SnapshotTable.read(spark, dir).count() == 90)
+    val r2 = spark.sql("DELETE FROM sqldml_del").head()
+    assert(r2.getLong(1) == 90L)
+    assert(SnapshotTable.read(spark, dir).count() == 0)
+  }
+
+  test("UPDATE SET sees pre-update rows; WHERE scopes the rewrite") {
+    val dir = tmp("update"); mk(dir)
+    SnapshotSql.bind("sqldml_upd", dir)
+    spark.sql(
+      "UPDATE sqldml_upd SET score = score * 2, name = concat(name, '!') " +
+        "WHERE id < 10")
+    val got = SnapshotTable.read(spark, dir)
+    assert(got.filter(col("id") < 10 && col("score") === col("id") * 20)
+      .count() == 10)
+    assert(got.filter(col("name") === "v3!").count() == 1)
+    assert(got.filter(col("id") >= 10 && col("score") === col("id") * 10)
+      .count() == 90)
+  }
+
+  test("MERGE INTO upserts by key from a view and from a subquery") {
+    val dir = tmp("merge"); mk(dir)
+    SnapshotSql.bind("sqldml_mrg", dir)
+    Seq((0L, "UPD", 999L), (500L, "NEW", 5L)).toDF("id", "name", "score")
+      .createOrReplaceTempView("sqldml_src")
+    spark.sql(
+      "MERGE INTO sqldml_mrg t USING sqldml_src s ON t.id = s.id " +
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    val got = SnapshotTable.read(spark, dir)
+    assert(got.count() == 101)
+    assert(got.filter(col("id") === 0L).head().getString(1) == "UPD")
+    // subquery source
+    spark.sql(
+      "MERGE INTO sqldml_mrg AS t USING " +
+        "(SELECT 501 AS id, 'NEW2' AS name, 7 AS score) AS s " +
+        "ON t.id = s.id " +
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    assert(SnapshotTable.read(spark, dir).count() == 102)
+    // non-upsert clause shapes refuse loudly
+    val e = intercept[IllegalArgumentException] {
+      spark.sql("MERGE INTO sqldml_mrg t USING sqldml_src s ON t.id = s.id " +
+        "WHEN MATCHED THEN DELETE") }
+    assert(e.getMessage.contains("upsert"))
+  }
+
+  test("INSERT INTO is positional with insert-casts") {
+    val dir = tmp("insert"); mk(dir, 10L)
+    SnapshotSql.bind("sqldml_ins", dir)
+    val v = spark.sql(
+      "INSERT INTO sqldml_ins VALUES (100, 'v100', 1), (101, 'v101', 2)")
+      .head().getLong(0)
+    assert(v == 1L)
+    // SELECT source with different column names + narrower int types:
+    // positional rename + cast to the table schema
+    spark.sql("INSERT INTO sqldml_ins " +
+      "SELECT 200 AS a, 'v200' AS b, CAST(3 AS INT) AS c")
+    val got = SnapshotTable.read(spark, dir)
+    assert(got.count() == 13)
+    assert(got.filter(col("id") === 200L).head().getLong(2) == 3L)
+    val e = intercept[IllegalArgumentException] {
+      spark.sql("INSERT INTO sqldml_ins VALUES (1, 'x')") }
+    assert(e.getMessage.contains("columns"))
+  }
+
+  test("ALTER TABLE RENAME/DROP COLUMN and constraints via SQL") {
+    val dir = tmp("alter"); mk(dir)
+    SnapshotSql.bind("sqldml_alt", dir)
+    spark.sql("ALTER TABLE sqldml_alt RENAME COLUMN score TO points")
+    assert(SnapshotTable.read(spark, dir).columns.toSeq ==
+      Seq("id", "name", "points"))
+    spark.sql("ALTER TABLE sqldml_alt ADD CONSTRAINT pts CHECK (points >= 0)")
+    val e = intercept[IllegalArgumentException] {
+      spark.sql("INSERT INTO sqldml_alt VALUES (999, 'x', -1)") }
+    assert(e.getMessage.contains("pts"))
+    spark.sql("ALTER TABLE sqldml_alt DROP CONSTRAINT pts")
+    spark.sql("INSERT INTO sqldml_alt VALUES (999, 'x', -1)")
+    assert(SnapshotTable.read(spark, dir).count() == 101)
+    spark.sql("ALTER TABLE sqldml_alt DROP COLUMN name")
+    assert(SnapshotTable.read(spark, dir).columns.toSeq ==
+      Seq("id", "points"))
+  }
+
+  test("OPTIMIZE: bin-pack, ZORDER BY, and the scoped BETWEEN form") {
+    val dir = tmp("optimize")
+    // many small files: 5 single-partition appends
+    for (i <- 0 until 5)
+      SnapshotTable.append(
+        (i * 20L until (i + 1) * 20L).map(j => (j, j * 10)).toDF("id", "v")
+          .coalesce(1), dir, statsCols = Seq("id"))
+    SnapshotSql.bind("sqldml_opt", dir)
+    val before = SnapshotTable.manifestFiles(spark, dir,
+      SnapshotTable.latestVersion(spark, dir).get).size
+    val r = spark.sql("OPTIMIZE sqldml_opt").head()
+    assert(!r.isNullAt(0))
+    val after = SnapshotTable.manifestFiles(spark, dir,
+      SnapshotTable.latestVersion(spark, dir).get).size
+    assert(after < before)
+    assert(SnapshotTable.read(spark, dir).count() == 100)
+    spark.sql("OPTIMIZE sqldml_opt ZORDER BY (id, v)")
+    assert(SnapshotTable.read(spark, dir).count() == 100)
+    spark.sql("OPTIMIZE sqldml_opt WHERE id BETWEEN 0 AND 50")
+    assert(SnapshotTable.read(spark, dir).count() == 100)
+  }
+
+  test("VACUUM DRY RUN previews; VACUUM deletes; RESTORE rolls back") {
+    val dir = tmp("vacuum"); mk(dir)                       // v0
+    SnapshotSql.bind("sqldml_vac", dir)
+    spark.sql("DELETE FROM sqldml_vac WHERE id >= 50")     // v1 (CoW rewrite)
+    spark.sql("INSERT INTO sqldml_vac VALUES (500, 'x', 0)") // v2
+    val dry = spark.sql("VACUUM sqldml_vac RETAIN 2 VERSIONS DRY RUN").head()
+    assert(dry.getLong(0) > 0)  // v0's rewritten files are eligible
+    // restore BEFORE vacuuming: v0 files still exist
+    spark.sql("RESTORE TABLE sqldml_vac TO VERSION AS OF 0")
+    assert(SnapshotTable.read(spark, dir).count() == 100)
+    spark.sql("RESTORE sqldml_vac VERSION AS OF 2")
+    assert(SnapshotTable.read(spark, dir).count() == 51)
+    val deleted = spark.sql("VACUUM sqldml_vac RETAIN 1 VERSIONS").head()
+      .getLong(0)
+    assert(deleted > 0)
+    assert(SnapshotTable.read(spark, dir).count() == 51)
+  }
+
+  test("DESCRIBE HISTORY returns the commit log") {
+    val dir = tmp("history"); mk(dir)
+    SnapshotSql.bind("sqldml_hist", dir)
+    spark.sql("DELETE FROM sqldml_hist WHERE id = 0")
+    val h = spark.sql("DESCRIBE HISTORY sqldml_hist")
+    assert(h.columns.toSeq == Seq("version", "op", "commit_ts", "n_added",
+      "n_removed", "n_files", "total_bytes"))
+    val ops = h.orderBy("version").select("op").collect().map(_.getString(0))
+    assert(ops.head == "append" && ops.last.startsWith("delete"))
+  }
+
+  test("graft.`path` addressing works without any binding") {
+    val dir = tmp("path"); mk(dir, 10L)
+    spark.sql(s"DELETE FROM graft.`$dir` WHERE id < 5")
+    assert(SnapshotTable.read(spark, dir).count() == 5)
+    assert(spark.sql(s"DESCRIBE HISTORY graft.`$dir`").count() == 2)
+  }
+
+  test("non-graft SQL delegates untouched") {
+    assert(spark.sql("SELECT 1 AS x").head().getInt(0) == 1)
+    // DML keywords over unbound tables reach Spark's parser/analyzer
+    intercept[Exception] { spark.sql("DELETE FROM totally_unknown_t") }
+    Seq((1, 2)).toDF("a", "b").createOrReplaceTempView("sqldml_plain")
+    assert(spark.sql("SELECT sum(a + b) AS s FROM sqldml_plain")
+      .head().getLong(0) == 3L)
+    // UPDATE of a plain temp view is not ours: Spark's own error
+    intercept[Exception] { spark.sql("UPDATE sqldml_plain SET a = 1") }
+  }
+
+  test("DML through a live view: SQL reads see SQL writes immediately") {
+    val dir = tmp("live"); mk(dir)
+    SnapshotSql.registerLive(spark, "sqldml_live", dir) // binds too
+    spark.sql("DELETE FROM sqldml_live WHERE id >= 10")
+    assert(spark.sql("SELECT count(*) AS n FROM sqldml_live")
+      .head().getLong(0) == 10L)
+    spark.sql("UPDATE sqldml_live SET score = 0 WHERE id = 5")
+    assert(spark.sql("SELECT sum(score) AS s FROM sqldml_live")
+      .head().getLong(0) == (0L until 10L).filter(_ != 5).map(_ * 10).sum)
+  }
+}
