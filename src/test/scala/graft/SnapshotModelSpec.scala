@@ -200,4 +200,144 @@ class SnapshotModelSpec extends AnyFunSuite {
       assert(snap(dir, Some(v)) == m, s"time travel to v$v")
     }
   }
+
+  test("35 random ops with column mapping: rename/drop/re-add interleave " +
+      "with row ops; every version serves ITS schema") {
+    val dir = tmp()
+    val rng = new scala.util.Random(77260815L)
+    // model: id -> (value of the (renameable) v-column, value of the
+    // droppable x-column — None = this row reads NULL x right now)
+    var model = Map.empty[Long, (Long, Option[Long])]
+    var vName = "v"          // the v-column's CURRENT logical name
+    var hasX = true          // is x in the current schema?
+    // version -> (model, vName, hasX): restore targets + time travel
+    var history = Map.empty[Long, (Map[Long, (Long, Option[Long])], String, Boolean)]
+    var nextId = 0L
+
+    def freshBatch(n: Int): Seq[(Long, Long, Long)] = {
+      val b = (0 until n).map(i =>
+        (nextId + i, rng.nextInt(1000).toLong, rng.nextInt(100).toLong))
+      nextId += n
+      b
+    }
+    def append(n: Int): Unit = {
+      val b = freshBatch(n)
+      if (hasX) {
+        SnapshotTable.append(b.toDF("id", vName, "x"), dir)
+        model ++= b.map { case (i, v, x) => i -> (v, Some(x)) }
+      } else {
+        SnapshotTable.append(b.map(t => (t._1, t._2)).toDF("id", vName), dir)
+        model ++= b.map { case (i, v, _) => i -> (v, None) }
+      }
+    }
+    def read(v: Option[Long], nm: String, withX: Boolean
+            ): Map[Long, (Long, Option[Long])] = {
+      val df = SnapshotTable.read(spark, dir, v)
+      assert(df.columns.toSet ==
+        (Set("id", nm) ++ (if (withX) Set("x") else Set.empty)),
+        s"schema at $v: got ${df.columns.toSeq}, vName=$nm hasX=$withX")
+      if (withX)
+        df.select(col("id"), col(nm), col("x")).collect().map(r =>
+          r.getLong(0) -> (r.getLong(1),
+            if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+      else
+        df.select(col("id"), col(nm)).collect().map(r =>
+          r.getLong(0) -> (r.getLong(1), None: Option[Long])).toMap
+    }
+
+    val seed = freshBatch(30)
+    SnapshotTable.append(seed.toDF("id", "v", "x"), dir,
+      statsCols = Seq("id"))
+    model = seed.map { case (i, v, x) => i -> (v, Some(x)) }.toMap
+    history += 0L -> ((model, vName, hasX))
+
+    for (step <- 1 to 35) {
+      val opPick = rng.nextInt(10)
+      val committed: Option[Long] = opPick match {
+        case 0 | 1 => // append under the CURRENT schema shape
+          append(4 + rng.nextInt(6))
+          SnapshotTable.latestVersion(spark, dir)
+        case 2 => // metadata-only rename of the v-column
+          val to = if (vName == "v") "val" else "v"
+          val r = SnapshotTable.renameColumn(spark, dir, vName, to)
+          vName = to
+          Some(r)
+        case 3 if hasX => // metadata-only drop of x
+          val r = SnapshotTable.dropColumn(spark, dir, "x")
+          hasX = false
+          model = model.map { case (k, (v, _)) => k -> (v, None) }
+          Some(r)
+        case 3 => // re-ADD x (schema evolution + fresh physical name):
+          // pre-drop rows must read NULL, never the retired bytes
+          hasX = true
+          append(3 + rng.nextInt(4))
+          SnapshotTable.latestVersion(spark, dir)
+        case 4 => // CoW delete by value band under the current name
+          val cut = rng.nextInt(1000).toLong
+          val r = SnapshotTable.deleteWhere(spark, dir, col(vName) < cut)
+          if (r.nonEmpty) model = model.filter(_._2._1 >= cut)
+          r
+        case 5 => // MoR delete by id stripe
+          val m = 2 + rng.nextInt(5)
+          val r = SnapshotTable.deleteWhereMor(spark, dir,
+            pmod($"id", lit(m.toLong)) === 0L)
+          if (r.nonEmpty) model = model.filter(_._1 % m != 0)
+          r
+        case 6 => // CoW update of the v-column under its current name
+          val cut = rng.nextInt(1000).toLong
+          val r = SnapshotTable.updateWhere(spark, dir, col(vName) >= cut,
+            Seq(vName -> (col(vName) + 10000L)))
+          if (r.nonEmpty) model = model.map { case (k, (v, x)) =>
+            k -> (if (v >= cut) (v + 10000L, x) else (v, x)) }
+          r
+        case 7 => // merge upsert on id, current schema shape
+          val existing = rng.shuffle(model.keys.toSeq)
+            .take(math.min(4, model.size))
+          val fresh = freshBatch(2)
+          if (existing.isEmpty && fresh.isEmpty) None
+          else if (hasX) {
+            val src = existing.map(k => (k, 5555L, 9L)) ++ fresh
+            val v = SnapshotTable.merge(spark, dir,
+              src.toDF("id", vName, "x"), Seq("id"))
+            model ++= src.map { case (i, vv, x) => i -> (vv, Some(x)) }
+            Some(v)
+          } else {
+            val src = existing.map(k => (k, 5555L)) ++
+              fresh.map(t => (t._1, t._2))
+            val v = SnapshotTable.merge(spark, dir,
+              src.toDF("id", vName), Seq("id"))
+            model ++= src.map { case (i, vv) => i -> (vv, None: Option[Long]) }
+            Some(v)
+          }
+        case 8 => // compaction scopes (model no-op; materializes DVs,
+          // rewrites under the mapping)
+          rng.nextInt(2) match {
+            case 0 => SnapshotTable.compact(spark, dir)
+            case 1 => SnapshotTable.binPackSmall(spark, dir,
+              smallerThanBytes = 1L << 20)
+          }
+        case 9 => // restore: model AND schema state roll back together
+          val targets = history.keys.toSeq.sorted.takeRight(8)
+          val target = targets(rng.nextInt(targets.length))
+          val r = SnapshotTable.restore(spark, dir, target)
+          if (r.nonEmpty) {
+            val (m, nm, hx) = history(target)
+            model = m; vName = nm; hasX = hx
+          }
+          r
+      }
+      committed.foreach(v => history += v -> ((model, vName, hasX)))
+      val got = read(None, vName, hasX)
+      assert(got == model,
+        s"step $step (op $opPick, v $committed): table/model diverged\n" +
+          s"only-table: ${(got.toSet -- model.toSet).take(5)}\n" +
+          s"only-model: ${(model.toSet -- got.toSet).take(5)}")
+    }
+    // time travel: sampled versions serve THEIR schema and THEIR rows
+    history.keys.toSeq.sorted.zipWithIndex.filter(_._2 % 5 == 0)
+      .foreach { case (v, _) =>
+        val (m, nm, hx) = history(v)
+        assert(read(Some(v), nm, hx) == m, s"time travel to v$v")
+      }
+  }
 }
