@@ -2307,11 +2307,14 @@ object SnapshotTable {
 
   /** Multi-value point lookup — `column IN (values)` with Bloom +
     * stats file skipping: the opened set is the UNION of each value's
-    * [[pruneFilesEq]] decision, the residual an `isin`. The probe
-    * shape of an inverted-index query: k terms open only the posting
-    * files that might hold them, never the table. (Each value probes
-    * sidecars independently — fine for the handful of values a point
-    * query carries; a large IN-list belongs in a semi-join.) */
+    * range+Bloom decision, the residual an `isin`. The probe shape of
+    * an inverted-index query: k terms open only the posting files
+    * that might hold them, never the table. Sidecars load ONCE across
+    * the whole value list (range pruning is an in-memory manifest
+    * fold per value; the shared Bloom bitsets then answer every
+    * value) — a k-term probe reads each needed sidecar exactly once,
+    * not up to k times. A truly large IN-list still belongs in a
+    * semi-join. */
   def readWhereEqAny(spark: SparkSession, dir: String, column: String,
                      values: Seq[Any],
                      version: Option[Long] = None): DataFrame = {
@@ -2319,13 +2322,28 @@ object SnapshotTable {
     val v = version.orElse(latestVersion(spark, dir)).getOrElse(
       throw new java.io.IOException(
         s"readWhereEqAny: no committed version under $dir"))
-    val selected = values
-      .flatMap(x => pruneFilesEq(spark, dir, column, x, Some(v))._1)
-      .distinct.sorted
+    val st = stateOf(spark, dir, v)
+    val pc = physName(st.colMap, column)
+    val ranged: Seq[(Any, Seq[String])] = values.map(x =>
+      x -> pruneFilesBoundsPhys(spark, dir, pc, Some(x), Some(x), v)._1)
+    val needed = ranged.iterator.flatMap(_._2).toSet
+    val neededRefs = st.bloomRefs.view.filterKeys(needed).toMap
+    val blooms = st.legacyBlooms ++ neededRefs.groupBy(_._2).flatMap {
+      case (ref, fileRefs) =>
+        val side = loadBloomSidecar(spark, dir, ref)
+        fileRefs.keys.flatMap(f => sidecarLookup(side, f, ref).map(f -> _))
+    }
+    val selected = ranged.flatMap { case (x, files) =>
+      files.filter { file =>
+        blooms.get(file).flatMap(_.get(pc)) match {
+          case None => true
+          case Some(bits) => bloomMightContain(bits, x)
+        }
+      }
+    }.distinct.sorted
     if (selected.isEmpty) read(spark, dir, Some(v)).filter(lit(false))
     else readFilesWithDv(spark, dir, selected,
-      manifestSchema(spark, dir, v), stateOf(spark, dir, v).dvRefs,
-      stateOf(spark, dir, v).colMap)
+      manifestSchema(spark, dir, v), st.dvRefs, st.colMap)
       .filter(col(column).isin(values: _*))
   }
 
