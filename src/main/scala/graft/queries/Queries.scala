@@ -12342,6 +12342,45 @@ object Queries {
       FROM orders GROUP BY 2)
     ORDER BY phase, priority"""))
 
+  /** Metadata-only TYPE WIDENING through
+    * [[graft.sources.SnapshotTable.widenColumn]] (the public Delta
+    * type-widening design): an INT column widens to BIGINT in one
+    * manifest commit with zero rewrite — old files keep int32 pages
+    * and every read upcasts through the scan schema; a post-widening
+    * append lands values beyond int range (+1e10) into the SAME
+    * column, so the final rollup only matches if both the upcast read
+    * of the narrow files and the wide writes are exact. */
+  private val qSnapshotWiden = Q(
+    "q_snapshot_widen",
+    (s, d) => {
+      val dir = snapTmp()
+      val orders = t(s, d, "orders")
+      graft.sources.SnapshotTable.append(
+        orders.filter(pmod(col("o_orderkey"), lit(2)) === 0)
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            floor(col("o_totalprice")).cast("int").as("units")),
+        dir, statsCols = Seq("o_orderkey"))                         // v0 int
+      graft.sources.SnapshotTable.widenColumn(s, dir, "units",
+        org.apache.spark.sql.types.LongType)                        // v1
+      graft.sources.SnapshotTable.append(
+        orders.filter(pmod(col("o_orderkey"), lit(2)) === 1)
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            (floor(col("o_totalprice")).cast("long") + 10000000000L)
+              .as("units")),
+        dir)                                                        // v2 long
+      graft.sources.SnapshotTable.read(s, dir)
+        .groupBy(col("o_orderpriority").as("priority"))
+        .agg(count(lit(1)).as("n"),
+          sum("units").cast("long").as("units"))
+        .orderBy("priority")
+    },
+    Some("""SELECT o_orderpriority AS priority, count(*) AS n,
+      CAST(sum(CASE WHEN o_orderkey % 2 = 0
+                    THEN CAST(FLOOR(o_totalprice) AS BIGINT)
+                    ELSE CAST(FLOOR(o_totalprice) AS BIGINT)
+                         + 10000000000 END) AS BIGINT) AS units
+    FROM orders GROUP BY 1 ORDER BY priority"""))
+
   /** The SQL DML surface ([[graft.sources.GraftSqlParser]], injected
     * via `spark.sql.extensions`): the ENTIRE table lifecycle driven by
     * plain `spark.sql` statements — INSERT INTO an empty `graft.`…``
@@ -12912,8 +12951,8 @@ object Queries {
     qSnapshotHistory, qSnapshotFormat, qSnapshotStream, qSnapshotMatview,
     qSnapshotMor, qSnapshotMorSql, qSnapshotCdf, qMatviewMinmax,
     qMatviewStats, qSnapshotBucket, qSnapshotLive,
-    qSnapshotRestore, qSnapshotColmap, qSnapshotDml, qSnapshotMorUpdate,
-    qSnapshotCompactWhere,
+    qSnapshotRestore, qSnapshotColmap, qSnapshotDml, qSnapshotWiden,
+    qSnapshotMorUpdate, qSnapshotCompactWhere,
     qSnapshotConstraint, qBpeEncode, qSnapshotTimetravel, qTextIndex,
     qHybridSearch, qSnapshotCount,
     qQualityProbe, qQualityClassifier, qAnnPq, qAnnIvfPq, qAnnIvfPqRes, qAnnRerank,

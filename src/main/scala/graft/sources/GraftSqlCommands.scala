@@ -323,6 +323,8 @@ object GraftSqlCommands {
       s"""(?is)^ADD${Ws}CONSTRAINT$Ws([A-Za-z_][A-Za-z0-9_]*)${Ws}CHECK\\s*\\((.*)\\)$$""".r
     val DropCons =
       s"""(?is)^DROP${Ws}CONSTRAINT$Ws([A-Za-z_][A-Za-z0-9_]*)$$""".r
+    val Widen =
+      s"""(?is)^ALTER${Ws}COLUMN$Ws(`[^`]+`|[A-Za-z_][A-Za-z0-9_]*)${Ws}TYPE$Ws(.+)$$""".r
     def unq(c: String) =
       if (c.startsWith("`") && c.endsWith("`") && c.length > 1)
         c.substring(1, c.length - 1) else c
@@ -335,8 +337,11 @@ object GraftSqlCommands {
         Some(GraftAlterCommand(dir, "addConstraint", Seq(nm, body.trim)))
       case DropCons(nm) =>
         Some(GraftAlterCommand(dir, "dropConstraint", Seq(nm)))
+      case Widen(c, dt) =>
+        Some(GraftAlterCommand(dir, "widenColumn", Seq(unq(c), dt.trim)))
       case _ => fail(
         "ALTER TABLE <t> supports RENAME COLUMN a TO b | DROP COLUMN a | " +
+          "ALTER COLUMN c TYPE <wider> | " +
           s"ADD CONSTRAINT n CHECK (…) | DROP CONSTRAINT n — got: $tail")
     }
   }
@@ -506,6 +511,10 @@ object GraftSqlCommands {
           SnapshotTable.addConstraint(spark, dir, args(0), args(1))
         case "dropConstraint" =>
           SnapshotTable.dropConstraint(spark, dir, args(0))
+        case "widenColumn" =>
+          SnapshotTable.widenColumn(spark, dir, args(0),
+            org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+              .parseDataType(args(1)))
       }
       Seq(Row(v))
     }

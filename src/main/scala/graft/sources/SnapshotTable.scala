@@ -834,7 +834,8 @@ object SnapshotTable {
     val prevNames = prev.fields.map(f => f.name -> f.dataType).toMap
     next.fields.foreach { f =>
       prevNames.get(f.name).foreach { pt =>
-        require(pt.catalogString == f.dataType.catalogString,
+        require(pt.catalogString == f.dataType.catalogString ||
+            widens(f.dataType, pt),
           s"schema evolution: column ${f.name} arrives as " +
             s"${f.dataType.simpleString} but the table holds ${pt.simpleString}")
       }
@@ -843,6 +844,32 @@ object SnapshotTable {
       next.fields.filterNot(f => prevNames.contains(f.name)))
       .map(_.copy(nullable = true)))
   }
+
+  /** The TYPE-WIDENING lattice (the public Delta/Iceberg
+    * type-promotion set, restricted to conversions every summary
+    * stays correct under): integral chain byte→short→int→long,
+    * float→double, and decimal precision growth at fixed scale.
+    * Widening is safe because (a) Spark's vectorized parquet reader
+    * upcasts a narrower on-disk type to the requested schema natively
+    * (an int32 page reads as bigint — no rewrite), (b) min/max stats
+    * live in the shared canonical "num" domain, and (c) Bloom bitsets
+    * hash `toString`, which is STABLE along the integral chain ("5"
+    * is "5" at every width) while float/decimal columns are never
+    * bloom-eligible. Conversions outside this set (int→double,
+    * long→int, anything→string) are refused — int→double in
+    * particular would silently break existing Bloom bitsets ("5" vs
+    * "5.0"). */
+  private[sources] def widens(from: DataType, to: DataType): Boolean =
+    (from, to) match {
+      case (f, t) if f == t => false
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case (f: DecimalType, t: DecimalType) =>
+        t.scale == f.scale && t.precision > f.precision
+      case _ => false
+    }
 
   /** Read exactly `files` (relative paths), under the table schema
     * when the manifest records one — an explicit schema makes parquet
@@ -2975,6 +3002,59 @@ object SnapshotTable {
     }
     throw new java.io.IOException(
       s"renameColumn: lost the commit race $maxRetries times under $dir")
+  }
+
+  /** METADATA-ONLY type widening (`ALTER COLUMN … TYPE`, the public
+    * Delta type-widening design): one manifest commit moves the
+    * column to a wider type from the [[widens]] lattice; existing
+    * data files keep their narrower pages and every read upcasts
+    * through the explicit scan schema (Spark's vectorized parquet
+    * reader does int32→bigint natively), so a 100 TB table widens
+    * with zero rewrite. Appends may keep arriving at EITHER width
+    * ([[evolveSchema]] accepts widening-compatible columns; the
+    * manifest schema stays wide). Stats and Bloom summaries remain
+    * valid by the lattice's construction. Time travel serves each
+    * version under its own type. Returns the committed version. */
+  def widenColumn(spark: SparkSession, dir: String, column: String,
+                  to: DataType, maxRetries: Int = 20): Long = {
+    latestVersion(spark, dir).getOrElse(
+      throw new java.io.IOException(
+        s"widenColumn: no committed version under $dir"))
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val cur = latestVersion(spark, dir).get
+      val st = stateOf(spark, dir, cur)
+      val schema = st.schema.getOrElse(throw new IllegalStateException(
+        s"widenColumn: table under $dir records no schema (legacy " +
+          "manifest) — append once to record one, then widen"))
+      val field = schema.fields.find(_.name == column).getOrElse(
+        throw new IllegalArgumentException(
+          s"widenColumn: no such column $column " +
+            s"(have ${schema.fieldNames.mkString(", ")})"))
+      require(widens(field.dataType, to),
+        s"widenColumn: ${field.dataType.simpleString} -> " +
+          s"${to.simpleString} is not a supported widening " +
+          "(integral chain byte->short->int->long, float->double, " +
+          "decimal precision growth at fixed scale)")
+      // A bucket claim HASHES on its columns, and Spark's murmur3
+      // hashes an int and the same value as long differently — the
+      // claim would silently become false. (sort columns are fine:
+      // widening preserves order.)
+      require(!st.bucket.exists(_.cols.contains(column)),
+        s"widenColumn: $column is a bucket-hash column of the table's " +
+          "bucketing claim — hashing is width-sensitive; compact away " +
+          "the bucket layout first")
+      val newSchema = StructType(schema.fields.map(f =>
+        if (f.name == column) f.copy(dataType = to) else f))
+      if (tryCommit(spark, dir, cur + 1, st.files, st.txns, st.stats,
+          Some(newSchema), st.bloomRefs, st.bloomCols, st.sizes,
+          "widenColumn", st.dvRefs, st.bucket,
+          colMapOpt = Some((st.colMap, st.retired))))
+        return cur + 1
+      attempt += 1
+    }
+    throw new java.io.IOException(
+      s"widenColumn: lost the commit race $maxRetries times under $dir")
   }
 
   /** METADATA-ONLY column drop: one manifest commit removes the
