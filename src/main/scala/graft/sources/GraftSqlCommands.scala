@@ -36,6 +36,11 @@ import org.apache.spark.sql.types._
   *   - `VACUUM t [RETAIN n VERSIONS] [DRY RUN]`      → [[SnapshotTable.vacuum]]/[[SnapshotTable.vacuumPreview]]
   *   - `RESTORE [TABLE] t [TO] VERSION AS OF n`      → [[SnapshotTable.restore]]
   *   - `DESCRIBE HISTORY t`                          → [[SnapshotTable.history]]
+  *   - `DESCRIBE DETAIL t`                           → metadata-only summary row
+  *   - `SHOW CONSTRAINTS [ON] t`                     → the recorded CHECK policy
+  *   - `ALTER TABLE t ALTER COLUMN c TYPE <wider>`   → [[SnapshotTable.widenColumn]]
+  *   - `CREATE TABLE graft.`dst` SHALLOW CLONE t
+  *      [VERSION AS OF n]`                           → [[SnapshotTable.shallowClone]]
   *
   * **Table addressing**: `graft.`/abs/path`` (the Delta path idiom)
   * or a name bound by [[SnapshotSql.register]] /
@@ -171,7 +176,10 @@ object GraftSqlCommands {
       case "OPTIMIZE" => parseOptimize(s)
       case "VACUUM" => parseVacuum(s)
       case "RESTORE" => parseRestore(s)
-      case "DESCRIBE" | "DESC" => parseDescribeHistory(s)
+      case "DESCRIBE" | "DESC" =>
+        parseDescribeHistory(s).orElse(parseDescribeDetail(s))
+      case "SHOW" => parseShowConstraints(s)
+      case "CREATE" => parseShallowClone(s)
       case _ => None
     }
   }
@@ -410,6 +418,55 @@ object GraftSqlCommands {
     Some(GraftHistoryCommand(dir))
   }
 
+  private def parseDescribeDetail(s: String): Option[LogicalPlan] = {
+    val m = s"""(?is)^DESC(?:RIBE)?${Ws}DETAIL$Ws""".r.findFirstMatchIn(s)
+      .getOrElse(return None)
+    val rest = s.substring(m.end)
+    val (dir, len) = resolveTableAt(rest).getOrElse(return None)
+    if (rest.substring(len).trim.nonEmpty) return None
+    Some(GraftDetailCommand(dir))
+  }
+
+  private def parseShowConstraints(s: String): Option[LogicalPlan] = {
+    val m = s"""(?is)^SHOW${Ws}CONSTRAINTS$Ws(?:ON$Ws)?""".r
+      .findFirstMatchIn(s).getOrElse(return None)
+    val rest = s.substring(m.end)
+    val (dir, len) = resolveTableAt(rest).getOrElse(return None)
+    if (rest.substring(len).trim.nonEmpty) return None
+    Some(GraftShowConstraintsCommand(dir))
+  }
+
+  private def parseShallowClone(s: String): Option[LogicalPlan] = {
+    // only statements containing the (non-Spark) SHALLOW CLONE phrase
+    // are candidates; every other CREATE TABLE delegates untouched
+    if (topLevelKeyword(s, "SHALLOW") < 0) return None
+    val m = s"""(?is)^CREATE${Ws}TABLE$Ws""".r.findFirstMatchIn(s)
+      .getOrElse(return None)
+    val rest = s.substring(m.end)
+    // destination: a fresh graft.`path` (a bare name has no directory)
+    val DstPath = """(?is)^graft\.`([^`]+)`""".r
+    val dm = DstPath.findFirstMatchIn(rest).getOrElse(
+      fail("CREATE TABLE … SHALLOW CLONE: the destination must be a " +
+        "graft.`/path` reference (a bare name carries no directory)"))
+    val dst = dm.group(1)
+    var tail = rest.substring(dm.end).trim
+    val sc = s"""(?is)^SHALLOW${Ws}CLONE$Ws""".r.findFirstMatchIn(tail)
+      .getOrElse(fail(
+        s"CREATE TABLE graft.`…` SHALLOW CLONE <src> [VERSION AS OF n] — got: $tail"))
+    tail = tail.substring(sc.end)
+    val (src, len) = resolveTableAt(tail).getOrElse(
+      fail(s"SHALLOW CLONE: unknown source table: ${tail.trim}"))
+    val after = tail.substring(len).trim
+    val V = s"""(?is)^VERSION${Ws}AS${Ws}OF$Ws(\\d+)$$""".r
+    val version = after match {
+      case "" => None
+      case V(n) => Some(n.toLong)
+      case other => fail(
+        s"SHALLOW CLONE: expected [VERSION AS OF n], got: $other")
+    }
+    Some(GraftCloneCommand(src, dst, version))
+  }
+
   // ------------------------------------------------------------------
   // Commands (each is the corresponding SnapshotTable call)
   // ------------------------------------------------------------------
@@ -566,6 +623,62 @@ object GraftSqlCommands {
     override def run(spark: SparkSession): Seq[Row] =
       Seq(Row(SnapshotTable.restore(spark, dir, toVersion)
         .map(Long.box).orNull))
+  }
+
+  /** `DESCRIBE DETAIL` → one metadata-only summary row (`n_rows` is
+    * the manifest fold of [[SnapshotTable.countRows]] — no scan). */
+  case class GraftDetailCommand(dir: String) extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(
+      longAttr("version"), longAttr("n_files"), longAttr("total_bytes"),
+      longAttr("n_rows"),
+      AttributeReference("schema", StringType, nullable = false)(),
+      AttributeReference("features", StringType, nullable = false)())
+    override def run(spark: SparkSession): Seq[Row] = {
+      val v = SnapshotTable.latestVersion(spark, dir).getOrElse(
+        fail(s"DESCRIBE DETAIL: no committed version under $dir"))
+      val files = SnapshotTable.manifestFiles(spark, dir, v)
+      val bytes = SnapshotTable.manifestSizes(spark, dir, v).values.sum
+      val rows = SnapshotTable.countRows(spark, dir, Some(v))
+      val schema = SnapshotTable.manifestSchema(spark, dir, v)
+        .map(_.map(f => s"${f.name} ${f.dataType.simpleString}")
+          .mkString(", ")).getOrElse("")
+      val feats = Seq(
+        if (SnapshotTable.manifestColMap(spark, dir, v).nonEmpty ||
+            SnapshotTable.manifestRetired(spark, dir, v).nonEmpty)
+          Some("colmap") else None,
+        if (SnapshotTable.manifestDvRefs(spark, dir, v).nonEmpty)
+          Some("dv") else None,
+        if (SnapshotTable.manifestConstraints(spark, dir, v).nonEmpty)
+          Some("constraints") else None,
+        SnapshotTable.manifestBucket(spark, dir, v).map(b =>
+          s"bucket(${b.cols.mkString(",")};${b.numBuckets})")
+      ).flatten.mkString(" ")
+      Seq(Row(v, files.size.toLong, bytes, rows, schema, feats))
+    }
+  }
+
+  /** `SHOW CONSTRAINTS` → the table's recorded CHECK policy. */
+  case class GraftShowConstraintsCommand(dir: String)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(
+      AttributeReference("name", StringType, nullable = false)(),
+      AttributeReference("expr", StringType, nullable = false)())
+    override def run(spark: SparkSession): Seq[Row] = {
+      val v = SnapshotTable.latestVersion(spark, dir).getOrElse(
+        fail(s"SHOW CONSTRAINTS: no committed version under $dir"))
+      SnapshotTable.manifestConstraints(spark, dir, v)
+        .toSeq.sortBy(_._1).map { case (n, e) => Row(n, e) }
+    }
+  }
+
+  /** `CREATE TABLE graft.`dst` SHALLOW CLONE src [VERSION AS OF n]` →
+    * [[SnapshotTable.shallowClone]] — branch in one manifest write. */
+  case class GraftCloneCommand(srcDir: String, dstDir: String,
+                               version: Option[Long])
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(longAttr("version"))
+    override def run(spark: SparkSession): Seq[Row] =
+      Seq(Row(SnapshotTable.shallowClone(spark, srcDir, dstDir, version)))
   }
 
   /** `DESCRIBE HISTORY` → the commit log (version, op, commit_ts,

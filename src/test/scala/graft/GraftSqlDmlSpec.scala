@@ -176,6 +176,35 @@ class GraftSqlDmlSpec extends AnyFunSuite {
     intercept[Exception] { spark.sql("UPDATE sqldml_plain SET a = 1") }
   }
 
+  test("DESCRIBE DETAIL, SHOW CONSTRAINTS, SHALLOW CLONE via SQL") {
+    val dir = tmp("detail"); mk(dir)
+    SnapshotSql.bind("sqldml_det", dir)
+    spark.sql("ALTER TABLE sqldml_det ADD CONSTRAINT pos CHECK (score >= 0)")
+    spark.sql("ALTER TABLE sqldml_det RENAME COLUMN name TO label")
+    val det = spark.sql("DESCRIBE DETAIL sqldml_det").head()
+    assert(det.getLong(0) == 2L)             // version
+    assert(det.getLong(3) == 100L)           // n_rows, metadata-only
+    assert(det.getString(4).contains("label string"))
+    assert(det.getString(5).contains("colmap") &&
+      det.getString(5).contains("constraints"))
+    val cons = spark.sql("SHOW CONSTRAINTS ON sqldml_det").collect()
+    assert(cons.map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("pos", "score >= 0")))
+    // SHALLOW CLONE from history, then diverge — source untouched
+    val cloneDir = tmp("detail-clone")
+    spark.sql(s"CREATE TABLE graft.`$cloneDir` SHALLOW CLONE sqldml_det " +
+      "VERSION AS OF 0")
+    assert(SnapshotTable.read(spark, cloneDir).count() == 100)
+    assert(SnapshotTable.read(spark, cloneDir).columns.contains("name"))
+    spark.sql(s"DELETE FROM graft.`$cloneDir`")
+    assert(SnapshotTable.read(spark, cloneDir).count() == 0)
+    assert(SnapshotTable.read(spark, dir).count() == 100)
+    // plain CREATE TABLE stays Spark's (no SHALLOW CLONE keyword)
+    intercept[Exception] {
+      spark.sql("CREATE TABLE sqldml_det_x (a INT) USING nosuchformat")
+      spark.sql("INSERT INTO sqldml_det_x VALUES (1)") }
+  }
+
   test("DML through a live view: SQL reads see SQL writes immediately") {
     val dir = tmp("live"); mk(dir)
     SnapshotSql.registerLive(spark, "sqldml_live", dir) // binds too
