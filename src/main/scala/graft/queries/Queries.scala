@@ -11697,6 +11697,50 @@ object Queries {
       CAST(sum(CAST(c_acctbal AS DECIMAL(18,6)) * 100) AS BIGINT) AS cents
     FROM customer GROUP BY 1 ORDER BY segment"""))
 
+  /** Streaming ADMISSION CONTROL (`maxFilesPerTrigger`, the public
+    * Delta source option — [[graft.sources.GraftStreamSource]]'s
+    * composite `{v,i,snap}` offsets): the source table lands as
+    * several single-partition appends, the stream is budgeted to 2
+    * files per trigger, so the initial snapshot DRAINS across
+    * multiple micro-batches instead of one 100 TB bite — and the
+    * ledgered graft sink lands every chunk exactly once. The oracle
+    * is the plain rollup: any chunk lost, duplicated, or re-emitted
+    * across the drain flips the hash. `batches > 1` is asserted so
+    * the rate limit provably engaged. */
+  private val qSnapshotRatelimit = Q(
+    "q_snapshot_ratelimit",
+    (s, d) => {
+      val src = snapTmp(); val dst = snapTmp()
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft-q-rate-ck").toString
+      val base = t(s, d, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      // several small files so the 2-file budget bites
+      for (m <- 0 until 5)
+        graft.sources.SnapshotTable.append(
+          base.filter(pmod(col("c_custkey"), lit(5)) === m).coalesce(1), src)
+      val q = s.readStream.format("graft")
+        .option("maxFilesPerTrigger", "2").load(src)
+        .writeStream.format("graft")
+        .option("checkpointLocation", ckpt)
+        .option("appId", "q-snapshot-ratelimit")
+        .start(dst)
+      try q.processAllAvailable() finally q.stop()
+      val batches = graft.sources.SnapshotTable
+        .latestVersion(s, dst).get + 1
+      require(batches > 1,
+        s"rate limit did not engage: initial snapshot landed in $batches batch(es)")
+      s.read.format("graft").load(dst)
+        .groupBy(col("c_mktsegment").as("segment"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("c_acctbal").cast("decimal(18,6)") * 100)
+            .cast("long").as("cents"))
+        .orderBy("segment")
+    },
+    Some("""SELECT c_mktsegment AS segment, count(*) AS n,
+      CAST(sum(CAST(c_acctbal AS DECIMAL(18,6)) * 100) AS BIGINT) AS cents
+    FROM customer GROUP BY 1 ORDER BY segment"""))
+
   /** Incrementally-maintained materialized aggregate view
     * ([[graft.sources.MaterializedAgg]]): per-customer order
     * count + exact DECIMAL spend, created over half the orders, then
@@ -12948,7 +12992,8 @@ object Queries {
     qSnapshotMerge, qSnapshotDelete, qSnapshotPrune, qSnapshotLookup,
     qSnapshotChanges, qSnapshotReplicate, qSnapshotPartition,
     qSnapshotZorder, qSnapshotClone, qSnapshotSql, qSnapshotUpdate,
-    qSnapshotHistory, qSnapshotFormat, qSnapshotStream, qSnapshotMatview,
+    qSnapshotHistory, qSnapshotFormat, qSnapshotStream, qSnapshotRatelimit,
+    qSnapshotMatview,
     qSnapshotMor, qSnapshotMorSql, qSnapshotCdf, qMatviewMinmax,
     qMatviewStats, qSnapshotBucket, qSnapshotLive,
     qSnapshotRestore, qSnapshotColmap, qSnapshotDml, qSnapshotWiden,

@@ -159,7 +159,10 @@ final class GraftDataSource extends RelationProvider
     else new GraftStreamSource(spark, dir,
       schema.getOrElse(tableSchema(spark, dir)),
       startingVersion = startingVersion,
-      ignoreChanges = parameters.get("ignoreChanges").exists(_.toBoolean))
+      ignoreChanges = parameters.get("ignoreChanges").exists(_.toBoolean),
+      maxFiles = parameters.get("maxFilesPerTrigger").map(_.toInt),
+      maxBytes = parameters.get("maxBytesPerTrigger").map(_.toLong),
+      metadataPath = metadataPath)
   }
 
   // ---- streaming sink -----------------------------------------------
@@ -219,64 +222,202 @@ object GraftDataSource {
   * replayable-source half of Structured Streaming's exactly-once
   * contract; the ledgered sink is the other half). Batches are
   * planned as native parquet relations over exactly the committed
-  * files — the scan itself is Spark's vectorized reader. */
+  * files — the scan itself is Spark's vectorized reader.
+  *
+  * **Admission control** (`maxFilesPerTrigger` / `maxBytesPerTrigger`
+  * — the public Delta source options): at 100 TB the initial snapshot
+  * as ONE micro-batch is the scale killer, so with a limit set the
+  * offset becomes the composite `{"v":N,"i":K,"snap":B}` — versions
+  * `< N` fully consumed plus the first `K` files of version `N`'s
+  * emission list (its full snapshot when `snap`, the Delta
+  * isStartingVersion idea; its commit's added files otherwise), and
+  * the snapshot drains across as many triggers as the budget needs
+  * (at least one file always admits, so an over-budget file cannot
+  * wedge the stream). Every batch is still an exact deterministic
+  * `(start, end]` slice — replay-safe. The source self-persists its
+  * last planned position under the stream's `metadataPath` (atomic
+  * tmp+rename) so a restart continues chunking where it left off; a
+  * crash between planning and the engine's commit only widens one
+  * batch (the checkpointed start re-slices correctly), never skips or
+  * duplicates. Without limits the offsets stay the legacy plain
+  * version numbers, byte-compatible with existing checkpoints — and
+  * the position file is maintained either way, so limits can be
+  * turned ON over an existing checkpoint. */
 final class GraftStreamSource(spark: SparkSession, dir: String,
                               override val schema: StructType,
                               startingVersion: Option[Long],
-                              ignoreChanges: Boolean) extends Source {
+                              ignoreChanges: Boolean,
+                              maxFiles: Option[Int] = None,
+                              maxBytes: Option[Long] = None,
+                              metadataPath: String = "") extends Source {
+  import GraftStreamSource.{Pos, PosOffset}
 
-  override def getOffset: Option[Offset] =
-    SnapshotTable.latestVersion(spark, dir).map(LongOffset(_))
+  require(maxFiles.forall(_ > 0), "maxFilesPerTrigger must be positive")
+  require(maxBytes.forall(_ > 0), "maxBytesPerTrigger must be positive")
 
-  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
-    val to = versionOf(end)
-    start.map(versionOf) match {
-      case Some(from) => changesBetween(from, to)
-      case None => startingVersion match {
-        // startingVersion = v: begin the stream AT commit v (skip the
-        // initial-snapshot read) — the catch-up-from-a-known-point
-        // shape. The whole range must still be inside the vacuum
-        // retention window, or this fails loudly.
-        case Some(sv) => changesBetween(sv - 1, to)
-        case None =>
-          // Initial snapshot: the streaming file relation anti-joins
-          // any merge-on-read deletion vectors as a stream-static
-          // left-anti join (a supported incremental shape; the static
-          // side is the broadcast, deleted-row-count-sized vector
-          // set), so a DV'd snapshot streams its LIVE rows exactly.
-          val files = SnapshotTable.manifestFiles(spark, dir, to)
-          filesAsBatch(files, SnapshotTable.manifestSizes(spark, dir, to),
-            to)
+  private val limited = maxFiles.nonEmpty || maxBytes.nonEmpty
+
+  private val posPath: Option[Path] =
+    if (metadataPath.isEmpty) None
+    else Some(new Path(metadataPath, "graft-pos.json"))
+  private def posFs = posPath.get
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** The furthest position this source has PLANNED (not necessarily
+    * committed) — restored across restarts from the metadata file.
+    * Planning monotonically forward is safe: the engine's
+    * checkpointed start re-slices the exact range, so a stale (or
+    * lost) file costs at most one wider batch, never a gap. */
+  private var lastPos: Option[Pos] = posPath.flatMap { p =>
+    val f = posFs
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      scala.util.Try(Pos.parse(txt.trim)).toOption
+    }
+  }
+
+  private def persist(p: Pos): Unit = {
+    if (lastPos.forall(lp => Pos.lt(lp, p))) {
+      lastPos = Some(p)
+      posPath.foreach { path =>
+        posFs.mkdirs(path.getParent)
+        TableIO.atomicWriteText(posFs, path, p.json)
       }
     }
   }
 
-  /** Rows appended by the commits in `(from, to]`. Append-shaped
-    * commits emit their added files verbatim; a commit that removed
-    * files is a rewrite (delete/update/merge/compact) — contract
-    * violation unless `ignoreChanges`, under which its added files
-    * are re-emitted (the documented Delta `ignoreChanges` duplicate
-    * semantics) and files both added AND removed inside the range are
-    * skipped (their content is superseded within the very range).
-    * Emitted files carry the `to`-version deletion-vector mask, so
-    * rows already MoR-deleted by the end of the range never enter the
-    * stream (re-emission can still duplicate, per the contract; a
-    * duplicate-free row-level view is `option("readChangeFeed")`). */
-  private def changesBetween(from: Long, to: Long): DataFrame = {
-    val deltas = SnapshotTable.versionDeltas(spark, dir, from, to)
-    deltas.filter(d => d.removes.nonEmpty || d.dvChanged.nonEmpty)
-      .foreach { d =>
-        if (!ignoreChanges) throw new IllegalStateException(
-          s"graft streaming source: version ${d.version} (op=${d.op}) " +
-            s"removed ${d.removes.length} file(s) and advanced deletion " +
-            s"vectors on ${d.dvChanged.length} — the source requires an " +
-            "append-only table. Set option(\"ignoreChanges\",\"true\") to " +
-            "re-emit rewritten files (may duplicate rows), or consume " +
-            "row-level deltas via option(\"readChangeFeed\",\"true\").")
+  /** Version `v`'s emission list: the full snapshot when `snap`
+    * (initial-snapshot draining), else the files its commit added
+    * (validated append-only unless `ignoreChanges`). */
+  private def listOf(v: Long, snap: Boolean): Seq[String] =
+    if (snap) SnapshotTable.manifestFiles(spark, dir, v)
+    else SnapshotTable.versionDeltas(spark, dir, v - 1, v) match {
+      case Seq(d) => validate(d); d.adds
+      case _ => Seq.empty
+    }
+
+  private def validate(d: SnapshotTable.VersionDelta): Unit =
+    if ((d.removes.nonEmpty || d.dvChanged.nonEmpty) && !ignoreChanges)
+      throw new IllegalStateException(
+        s"graft streaming source: version ${d.version} (op=${d.op}) " +
+          s"removed ${d.removes.length} file(s) and advanced deletion " +
+          s"vectors on ${d.dvChanged.length} — the source requires an " +
+          "append-only table. Set option(\"ignoreChanges\",\"true\") to " +
+          "re-emit rewritten files (may duplicate rows), or consume " +
+          "row-level deltas via option(\"readChangeFeed\",\"true\").")
+
+  /** Where emission starts when nothing was consumed yet. */
+  private def initialPos(head: Long): Pos = startingVersion match {
+    case Some(sv) => Pos(sv - 1, Pos.Complete, snap = false)
+    case None => Pos(head, 0, snap = true)
+  }
+
+  override def getOffset: Option[Offset] = {
+    val headOpt = SnapshotTable.latestVersion(spark, dir)
+    if (headOpt.isEmpty) return None
+    val head = headOpt.get
+    if (!limited) {
+      // legacy unlimited path: plain version offsets, byte-compatible
+      // with existing checkpoints. The position file still advances so
+      // a later switch to rate limiting continues instead of
+      // re-planning the snapshot.
+      persist(Pos(head, Pos.Complete, snap = false))
+      return Some(LongOffset(head))
+    }
+    var pos = lastPos.getOrElse(initialPos(head))
+    var files = 0
+    var bytes = 0L
+    def exhausted = maxFiles.exists(files >= _) || maxBytes.exists(bytes >= _)
+    var progressed = false
+    var done = false
+    while (!done && !exhausted) {
+      val list = listOf(pos.v, pos.snap)
+      val consumed = math.min(pos.iNorm(list.size), list.size)
+      if (consumed < list.size) {
+        val sizes = SnapshotTable.manifestSizes(spark, dir, pos.v)
+        var i = consumed
+        var stop = false
+        while (i < list.size && !stop) {
+          val sz = sizes.getOrElse(list(i), 0L)
+          val over = maxFiles.exists(files + 1 > _) ||
+            maxBytes.exists(bytes + sz > _)
+          // admit at least one file per trigger or the stream wedges
+          if (over && (files > 0)) stop = true
+          else { files += 1; bytes += sz; i += 1; if (exhausted) stop = true }
+        }
+        if (i > consumed) progressed = true
+        pos = pos.copy(i = i)
+        if (i < list.size) done = true
+      } else if (pos.v < head) {
+        pos = Pos(pos.v + 1, 0, snap = false)
+      } else done = true
+    }
+    if (!progressed) lastPos.map(PosOffset).orElse(None)
+    else { persist(pos); Some(PosOffset(pos)) }
+  }
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val endPos0 = Pos.parse(end.json)
+    // A legacy plain-long END with no start and no startingVersion is
+    // the old initial-snapshot contract: the full snapshot at `end`.
+    val endPos =
+      if (start.isEmpty && startingVersion.isEmpty && !endPos0.snap &&
+          endPos0.i == Pos.Complete) endPos0.copy(snap = true)
+      else endPos0
+    val startPos = start.map(o => Pos.parse(o.json))
+    val (files, sizes) = rangeFiles(startPos, endPos)
+    persist(endPos) // recovery replays keep future planning monotone
+    filesAsBatch(files, sizes, endPos.v)
+  }
+
+  /** The exact, deterministic file slice of `(start, end]`. Full
+    * version spans keep the documented `ignoreChanges` refinement
+    * (files added AND removed inside the range are skipped — their
+    * content is superseded within the very range); a partially-sliced
+    * version's files always emit (an earlier chunk may already have
+    * emitted its neighbors). Emitted files carry the END-version
+    * deletion-vector mask, so rows already MoR-deleted by the end of
+    * the range never enter the stream. */
+  private def rangeFiles(start: Option[Pos], end: Pos
+                        ): (Seq[String], Map[String, Long]) = {
+    val begin = start.getOrElse(startingVersion match {
+      case Some(sv) => Pos(sv - 1, Pos.Complete, snap = false)
+      case None => Pos(end.v, 0, snap = end.snap)
+    })
+    if (!Pos.lt(begin, end)) return (Seq.empty, Map.empty)
+    // validate + collect the delta versions STRICTLY AFTER begin.v
+    val deltas = SnapshotTable.versionDeltas(spark, dir, begin.v, end.v)
+    deltas.foreach(validate)
+    val removedLater = deltas.flatMap(_.removes).toSet
+    val out = Seq.newBuilder[String]
+    var sizes = Map.empty[String, Long]
+    def emit(v: Long, list: Seq[String], lo: Int, hi: Int): Unit = {
+      if (hi > lo) {
+        val slice = list.slice(lo, hi)
+        val fullSpan = lo == 0 && hi == list.size
+        out ++= (if (fullSpan && ignoreChanges)
+          slice.filterNot(removedLater) else slice)
+        sizes ++= SnapshotTable.manifestSizes(spark, dir, v)
       }
-    val removedInRange = deltas.flatMap(_.removes).toSet
-    val files = deltas.flatMap(_.adds).filterNot(removedInRange)
-    filesAsBatch(files, SnapshotTable.manifestSizes(spark, dir, to), to)
+    }
+    // begin version's tail (empty when begin.i is Complete)
+    if (begin.i != Pos.Complete || begin.v == end.v) {
+      val list = listOf(begin.v, begin.snap)
+      val lo = math.min(begin.iNorm(list.size), list.size)
+      val hi = if (begin.v == end.v) math.min(end.iNorm(list.size), list.size)
+        else list.size
+      emit(begin.v, list, lo, hi)
+    }
+    deltas.foreach { d =>
+      val list = d.adds
+      val hi = if (d.version == end.v) math.min(end.iNorm(list.size), list.size)
+        else list.size
+      emit(d.version, list, 0, hi)
+    }
+    (out.result(), sizes)
   }
 
   /** A micro-batch over exactly `files`, planned like
@@ -328,15 +469,34 @@ final class GraftStreamSource(spark: SparkSession, dir: String,
       col(SnapshotTable.physName(colMap, f.name)).as(f.name)).toSeq: _*)
   }
 
-  private def versionOf(o: Offset): Long = o match {
-    case l: LongOffset => l.offset
-    case s: SerializedOffset => s.json.trim.toLong
-    case other => other.json.trim.toLong
-  }
-
   override def stop(): Unit = ()
 
   override def toString: String = s"GraftStreamSource[$dir]"
+}
+
+object GraftStreamSource {
+  /** Composite streaming position: everything below `v` consumed,
+    * plus the first `i` files of `v`'s emission list (`i == Complete`
+    * = all of it); `snap` marks `v`'s list as the full snapshot (the
+    * initial-snapshot drain) rather than its commit's adds. A legacy
+    * plain-long offset parses as (v, Complete, false). */
+  private[sources] final case class Pos(v: Long, i: Int, snap: Boolean) {
+    def iNorm(size: Int): Int = if (i == Pos.Complete) size else i
+    def json: String = s"""{"v":$v,"i":$i,"snap":$snap}"""
+  }
+  private[sources] object Pos {
+    val Complete: Int = Int.MaxValue
+    private val J =
+      """\{"v":(\d+),"i":(\d+),"snap":(true|false)\}""".r
+    def parse(s: String): Pos = s.trim match {
+      case J(v, i, sn) => Pos(v.toLong, i.toInt, sn.toBoolean)
+      case t => Pos(t.toLong, Complete, snap = false)
+    }
+    def lt(a: Pos, b: Pos): Boolean = a.v < b.v || (a.v == b.v && a.i < b.i)
+  }
+  private[sources] final case class PosOffset(p: Pos) extends Offset {
+    override def json: String = p.json
+  }
 }
 
 /** The SnapshotTable streaming SINK: each micro-batch lands through
