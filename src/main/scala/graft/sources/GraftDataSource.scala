@@ -315,6 +315,22 @@ final class GraftStreamSource(spark: SparkSession, dir: String,
     case None => Pos(head, 0, snap = true)
   }
 
+  /** True when the ENGINE already checkpointed progress for this
+    * stream but no graft position file exists — a checkpoint created
+    * before positions were persisted (or a lost/corrupt file). With
+    * rate limits on, planning the initial snapshot from scratch would
+    * re-emit already-consumed data as duplicates; the first offset
+    * instead falls back to the unlimited form (one catch-up batch
+    * sliced from the engine's committed start), which also seeds the
+    * position file — subsequent triggers rate-limit normally. */
+  private def legacyCheckpoint: Boolean =
+    lastPos.isEmpty && posPath.isDefined && {
+      val offsets = new Path(
+        new Path(metadataPath).getParent.getParent, "offsets")
+      scala.util.Try(posFs.exists(offsets) &&
+        posFs.listStatus(offsets).nonEmpty).getOrElse(false)
+    }
+
   override def getOffset: Option[Offset] = {
     val headOpt = SnapshotTable.latestVersion(spark, dir)
     if (headOpt.isEmpty) return None
@@ -327,13 +343,17 @@ final class GraftStreamSource(spark: SparkSession, dir: String,
       persist(Pos(head, Pos.Complete, snap = false))
       return Some(LongOffset(head))
     }
+    if (legacyCheckpoint) {
+      persist(Pos(head, Pos.Complete, snap = false))
+      return Some(LongOffset(head))
+    }
     var pos = lastPos.getOrElse(initialPos(head))
     var files = 0
     var bytes = 0L
     def exhausted = maxFiles.exists(files >= _) || maxBytes.exists(bytes >= _)
     var progressed = false
     var done = false
-    while (!done && !exhausted) {
+    while (!done && !exhausted && pos.v <= head) {
       val list = listOf(pos.v, pos.snap)
       val consumed = math.min(pos.iNorm(list.size), list.size)
       if (consumed < list.size) {
@@ -432,22 +452,38 @@ final class GraftStreamSource(spark: SparkSession, dir: String,
                            atVersion: Long): DataFrame = {
     // Under an active column mapping the files carry PHYSICAL names:
     // scan physically, rename to the stream's captured (logical)
-    // schema on top (a projection keeps the plan streaming). A column
-    // of the captured schema renamed away mid-stream cannot be
-    // resolved — fail loudly; restarting the stream re-captures.
+    // schema on top (a projection keeps the plan streaming). Schema
+    // changes the captured schema cannot absorb fail LOUDLY with a
+    // restart hint — a column renamed or dropped mid-stream (the
+    // retired-only case counts: a pure drop leaves the map empty but
+    // `retired` set, and silently re-serving the dropped column would
+    // resurrect retired bytes under ignoreChanges), or a column
+    // WIDENED mid-stream (new files carry the wider pages; scanning
+    // them with the captured narrow schema would throw a raw parquet
+    // conversion error with no hint). Restarting re-captures.
     val colMap = SnapshotTable.manifestColMap(spark, dir, atVersion)
-    val scanSchema =
-      if (colMap.isEmpty) schema
-      else {
-        val live = SnapshotTable.manifestSchema(spark, dir, atVersion)
-          .map(_.fieldNames.toSet).getOrElse(Set.empty)
-        val gone = schema.fieldNames.filterNot(live)
-        if (gone.nonEmpty) throw new IllegalStateException(
+    val retired = SnapshotTable.manifestRetired(spark, dir, atVersion)
+    val liveSchema = SnapshotTable.manifestSchema(spark, dir, atVersion)
+    liveSchema.foreach { ls =>
+      val liveTypes = ls.fields.map(f => f.name -> f.dataType).toMap
+      val gone = schema.fieldNames.filterNot(liveTypes.contains)
+      if (gone.nonEmpty && (colMap.nonEmpty || retired.nonEmpty))
+        throw new IllegalStateException(
           s"graft streaming source: column(s) ${gone.mkString(", ")} were " +
             "renamed or dropped mid-stream — restart the stream to " +
             "capture the current schema")
-        SnapshotTable.physSchemaOf(colMap, schema)
-      }
+      val retyped = schema.fields.filter(f =>
+        liveTypes.get(f.name).exists(_ != f.dataType))
+      if (retyped.nonEmpty) throw new IllegalStateException(
+        s"graft streaming source: column(s) " +
+          retyped.map(f => s"${f.name} (${f.dataType.simpleString} -> " +
+            s"${liveTypes(f.name).simpleString})").mkString(", ") +
+          " changed type mid-stream (widenColumn) — restart the stream " +
+          "to capture the current schema")
+    }
+    val scanSchema =
+      if (colMap.isEmpty) schema
+      else SnapshotTable.physSchemaOf(colMap, schema)
     val attrs = DataTypeUtils.toAttributes(scanSchema)
     val plan =
       if (files.isEmpty) LocalRelation(attrs, Nil, isStreaming = true)

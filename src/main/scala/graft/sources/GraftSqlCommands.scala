@@ -78,7 +78,10 @@ object GraftSqlCommands {
     var inS = false; var inD = false; var inB = false
     while (i < s.length) {
       val c = s.charAt(i)
-      if (inS) { if (c == '\'') inS = false }
+      // Spark string literals allow backslash escapes ('it\'s') —
+      // skip the escaped char or the in-string state would invert.
+      if ((inS || inD) && c == '\\') i += 1
+      else if (inS) { if (c == '\'') inS = false }
       else if (inD) { if (c == '"') inD = false }
       else if (inB) { if (c == '`') inB = false }
       else c match {
@@ -109,7 +112,8 @@ object GraftSqlCommands {
     var inS = false; var inD = false; var inB = false
     while (i < s.length) {
       val c = s.charAt(i)
-      if (inS) { if (c == '\'') inS = false }
+      if ((inS || inD) && c == '\\') i += 1
+      else if (inS) { if (c == '\'') inS = false }
       else if (inD) { if (c == '"') inD = false }
       else if (inB) { if (c == '`') inB = false }
       else c match {
@@ -414,7 +418,9 @@ object GraftSqlCommands {
       .getOrElse(return None)
     val rest = s.substring(m.end)
     val (dir, len) = resolveTableAt(rest).getOrElse(return None)
-    if (rest.substring(len).trim.nonEmpty) return None
+    val tail = rest.substring(len).trim
+    if (tail.nonEmpty) fail(
+      s"DESCRIBE HISTORY <t> takes no further clauses — got: $tail")
     Some(GraftHistoryCommand(dir))
   }
 
@@ -423,7 +429,9 @@ object GraftSqlCommands {
       .getOrElse(return None)
     val rest = s.substring(m.end)
     val (dir, len) = resolveTableAt(rest).getOrElse(return None)
-    if (rest.substring(len).trim.nonEmpty) return None
+    val tail = rest.substring(len).trim
+    if (tail.nonEmpty) fail(
+      s"DESCRIBE DETAIL <t> takes no further clauses — got: $tail")
     Some(GraftDetailCommand(dir))
   }
 
@@ -432,7 +440,9 @@ object GraftSqlCommands {
       .findFirstMatchIn(s).getOrElse(return None)
     val rest = s.substring(m.end)
     val (dir, len) = resolveTableAt(rest).getOrElse(return None)
-    if (rest.substring(len).trim.nonEmpty) return None
+    val tail = rest.substring(len).trim
+    if (tail.nonEmpty) fail(
+      s"SHOW CONSTRAINTS [ON] <t> takes no further clauses — got: $tail")
     Some(GraftShowConstraintsCommand(dir))
   }
 

@@ -47,7 +47,15 @@ object SnapshotSql {
 
   /** Bind `name` to a snapshot table directory for the SQL DML
     * surface (`DELETE FROM name …`, `OPTIMIZE name`, …) without
-    * registering any view. */
+    * registering any view.
+    *
+    * CONTRACT: the binding is graft's OWN address book, independent
+    * of Spark's view/catalog lifecycle — dropping or replacing a temp
+    * view of the same name does NOT unbind it, and a bare-name DML
+    * statement resolves here FIRST. If a name is later reused for a
+    * non-graft table, call [[unbind]] (or address graft tables by
+    * `graft.`path`` only) — otherwise bare-name DML keeps targeting
+    * the old directory. */
   def bind(name: String, dir: String): Unit =
     bound.put(name.toLowerCase(java.util.Locale.ROOT), dir)
 

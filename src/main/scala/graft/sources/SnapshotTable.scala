@@ -187,7 +187,7 @@ object SnapshotTable {
     * the files whose deletion-vector ref was overridden by a delta
     * since that checkpoint (their segment entries are stale and the
     * segment must be rewritten at the next checkpoint). */
-  private final case class TableState(
+  private[graft] final case class TableState(
       files: Seq[String],
       txns: Map[String, Long],
       stats: Map[String, Map[String, ColStat]],
@@ -1707,13 +1707,12 @@ object SnapshotTable {
       .foreach(evolveSchema(_, df.schema))
     val vcs = enforceConstraints(spark, dir, df, "append")
     val (sCols, bCols) = inheritTracking(spark, dir, df, statsCols, bloomCols)
-    val (added, addedStats, addedRefs, addedSizes, claim) =
-      writeBatch(df, dir, sCols, bCols, strictBlooms = false)
-    commitAppend(spark, dir, df.schema, added, addedStats, addedRefs,
-      bCols, maxRetries, "append",
-      addedSizes = addedSizes,
+    val wb = writeBatch(df, dir, sCols, bCols, strictBlooms = false)
+    commitAppend(spark, dir, df.schema, wb.added, wb.stats, wb.refs,
+      wb.bloomCols, maxRetries, "append",
+      addedSizes = wb.sizes,
       validatedConstraints = vcs,
-      claim = claim).get // non-txn append never no-ops
+      claim = wb.claim).get // non-txn append never no-ops
   }
 
   /** Atomic REPLACE: commit a snapshot containing ONLY `df`'s freshly
@@ -1732,23 +1731,22 @@ object SnapshotTable {
     // table POLICY (tracked stats/bloom columns) survives a replace,
     // same as constraints do — one overwrite must not strip pruning
     val (sCols, bCols) = inheritTracking(spark, dir, df, statsCols, bloomCols)
-    val (added, addedStats, addedRefs, addedSizes, claim) =
-      writeBatch(df, dir, sCols, bCols, strictBlooms = false)
+    val wb = writeBatch(df, dir, sCols, bCols, strictBlooms = false)
     var attempt = 0
     while (attempt < maxRetries) {
       val base = latestVersion(spark, dir)
       val st = base.map(stateOf(spark, dir, _))
-      checkMapClaim(st, claim, "overwrite")
+      checkMapClaim(st, wb.claim, "overwrite")
       val txns = st.map(_.txns).getOrElse(Map.empty)
       validated = recheckConstraints(spark, dir,
         st.map(_.constraints).getOrElse(Map.empty), validated,
-        added, Some(df.schema), "overwrite",
-        claim.map(_.colMap).getOrElse(Map.empty))
+        wb.added, Some(df.schema), "overwrite",
+        wb.claim.map(_.colMap).getOrElse(Map.empty))
       val v = base.getOrElse(-1L) + 1
-      if (tryCommit(spark, dir, v, added, txns, addedStats,
+      if (tryCommit(spark, dir, v, wb.added, txns, wb.stats,
           Some(StructType(df.schema.fields.map(_.copy(nullable = true)))),
-          addedRefs, bCols, addedSizes, "overwrite",
-          colMapOpt = claim.map(c => (c.colMap, c.retired))))
+          wb.refs, wb.bloomCols, wb.sizes, "overwrite",
+          colMapOpt = wb.claim.map(c => (c.colMap, c.retired))))
         return v
       attempt += 1
     }
@@ -2069,32 +2067,54 @@ object SnapshotTable {
     * PHYSICAL names (stable across renames), and `statsCols`/
     * `bloomCols` are interpreted as PHYSICAL names (the recorded
     * tracking lists — public entry points translate caller-supplied
-    * logical names in [[inheritTracking]]). Returns the batch's
-    * files/stats/refs/sizes plus the [[MapClaim] ] the commit must
-    * thread (None when the table has no mapping — the legacy path is
-    * byte-identical to before). */
+    * logical names in [[inheritTracking]]); entries naming a NEW
+    * logical column are re-pointed at the fresh physical name chosen
+    * here (a re-added column's tracking must key the column it
+    * actually lands in). Returns the batch's files/stats/refs/sizes
+    * plus the [[MapClaim]] the commit must thread (None when the
+    * table has no mapping — the legacy path is byte-identical to
+    * before), and the possibly-repointed stats/bloom lists.
+    *
+    * `basis`: the table state `df`'s LOGICAL column names were
+    * resolved against. CoW/MoR rewrites MUST pass their base state —
+    * their frame was built by reading at base, so a rename landing
+    * between the base read and this write would otherwise have the
+    * batch written under the NEW mapping while the frame's names are
+    * the OLD logical ones (silent wrong physical names → NULLs on
+    * every read). With the base as the claim's compare point, the
+    * commit loop's [[checkMapClaim]] turns that race into a loud
+    * ConcurrentModificationException. Appends (frame authored by the
+    * caller against the current table) default to the head. */
   private def writeBatch(df: DataFrame, dir: String,
                          statsCols: Seq[String],
                          bloomCols: Seq[String] = Nil,
-                         strictBlooms: Boolean = true
-                        ): (Seq[String], Map[String, Map[String, ColStat]],
-                            Map[String, String], Map[String, Long],
-                            Option[MapClaim]) = {
+                         strictBlooms: Boolean = true,
+                         basis: Option[TableState] = None
+                        ): WrittenBatch = {
     val spark = df.sparkSession
-    val headSt = latestVersion(spark, dir).map(stateOf(spark, dir, _))
-    val baseMap = headSt.map(_.colMap).getOrElse(Map.empty)
-    val baseRet = headSt.map(_.retired).getOrElse(Seq.empty)
+    val baseSt = basis.orElse(
+      latestVersion(spark, dir).map(stateOf(spark, dir, _)))
+    val baseMap = baseSt.map(_.colMap).getOrElse(Map.empty)
+    val baseRet = baseSt.map(_.retired).getOrElse(Seq.empty)
+    var sCols = statsCols
+    var bCols = bloomCols
     val claim =
       if (baseMap.isEmpty && baseRet.isEmpty) None
       else {
-        val known = headSt.flatMap(_.schema)
+        val known = baseSt.flatMap(_.schema)
           .map(_.fieldNames.toSet).getOrElse(Set.empty)
         var taken = known.map(physName(baseMap, _)) ++ baseRet
         var m = baseMap
         df.schema.fieldNames.filterNot(known).foreach { l =>
           val p = freshPhys(l, taken)
           taken += p
-          if (p != l) m += l -> p
+          if (p != l) {
+            m += l -> p
+            // tracking entries that named the new column by its
+            // logical name follow it to the fresh physical name
+            sCols = sCols.map(c => if (c == l) p else c)
+            bCols = bCols.map(c => if (c == l) p else c)
+          }
         }
         Some(MapClaim(baseMap, baseRet, m, baseRet))
       }
@@ -2113,13 +2133,23 @@ object SnapshotTable {
     val sizes = listed.map(s =>
       s"data/$batch/${s.getPath.getName}" -> s.getLen).toMap
     val (colStats, blooms) =
-      batchSummaries(spark, batchDir, statsCols, bloomCols, strictBlooms)
+      batchSummaries(spark, batchDir, sCols, bCols, strictBlooms)
     val stats = withRowCounts(colStats, footerRowCounts(spark, dir, listed))
     // Bitsets land in the batch's sidecar file; the manifest only ever
     // carries the path-sized refs.
     val refs = writeBloomSidecar(spark, dir, batch, blooms)
-    (added, stats, refs, sizes, claim)
+    WrittenBatch(added, stats, refs, sizes, claim, bCols)
   }
+
+  /** [[writeBatch]]'s result: the batch's files/stats/refs/sizes, the
+    * column-mapping claim the commit must thread, and the bloom
+    * tracking list with new-column entries re-pointed at their fresh
+    * physical names (commit sites must record THIS list, not the one
+    * they passed in). */
+  private final case class WrittenBatch(
+      added: Seq[String], stats: Map[String, Map[String, ColStat]],
+      refs: Map[String, String], sizes: Map[String, Long],
+      claim: Option[MapClaim], bloomCols: Seq[String])
 
   /** Commit-loop guard for column-mapping races: the batch's physical
     * column names were derived from the mapping observed at write
@@ -2165,18 +2195,17 @@ object SnapshotTable {
     if (pre.getOrElse(appId, Long.MinValue) >= txnVersion) return None
     var validated = enforceConstraints(spark, dir, df, "transactionalAppend")
     val (sCols, bCols) = inheritTracking(spark, dir, df, statsCols, bloomCols)
-    val (added, addedStats, addedRefs, addedSizes, claim) =
-      writeBatch(df, dir, sCols, bCols, strictBlooms = false)
+    val wb = writeBatch(df, dir, sCols, bCols, strictBlooms = false)
     var attempt = 0
     while (attempt < maxRetries) {
       val base = latestVersion(spark, dir)
       val st = base.map(stateOf(spark, dir, _))
-      checkMapClaim(st, claim, "transactionalAppend")
+      checkMapClaim(st, wb.claim, "transactionalAppend")
       val prev = st.map(_.files).getOrElse(Nil)
       val txns = st.map(_.txns).getOrElse(Map.empty)
       val stats = st.map(_.stats).getOrElse(Map.empty)
       val refs = st.map(_.bloomRefs).getOrElse(Map.empty)
-      val bcols = (st.map(_.bloomCols).getOrElse(Nil) ++ bCols).distinct
+      val bcols = (st.map(_.bloomCols).getOrElse(Nil) ++ wb.bloomCols).distinct
       if (txns.getOrElse(appId, Long.MinValue) >= txnVersion)
         return None // a racing replay won; our files stay orphaned
       val unified = st.flatMap(_.schema)
@@ -2184,16 +2213,16 @@ object SnapshotTable {
         .getOrElse(evolveSchema(new StructType(), df.schema))
       validated = recheckConstraints(spark, dir,
         st.map(_.constraints).getOrElse(Map.empty), validated,
-        added, Some(unified), "transactionalAppend",
-        claim.map(_.colMap).getOrElse(Map.empty))
+        wb.added, Some(unified), "transactionalAppend",
+        wb.claim.map(_.colMap).getOrElse(Map.empty))
       val v = base.getOrElse(-1L) + 1
-      if (tryCommit(spark, dir, v, prev ++ added,
-          txns + (appId -> txnVersion), stats ++ addedStats,
-          Some(unified), refs ++ addedRefs, bcols,
-          st.map(_.sizes).getOrElse(Map.empty) ++ addedSizes,
+      if (tryCommit(spark, dir, v, prev ++ wb.added,
+          txns + (appId -> txnVersion), stats ++ wb.stats,
+          Some(unified), refs ++ wb.refs, bcols,
+          st.map(_.sizes).getOrElse(Map.empty) ++ wb.sizes,
           "transactionalAppend",
           st.map(_.dvRefs).getOrElse(Map.empty),
-          colMapOpt = claim.map(c => (c.colMap, c.retired))))
+          colMapOpt = wb.claim.map(c => (c.colMap, c.retired))))
         return Some(v)
       attempt += 1
     }
@@ -2752,7 +2781,7 @@ object SnapshotTable {
     commitRewrite(spark, dir, candidates, src,
       trackedStatsCols(spark, dir, base),
       trackedBloomCols(spark, dir, base), maxRetries, op,
-      baseDv = st.dvRefs)
+      baseDv = st.dvRefs, basis = Some(st))
   }
 
   /** The interleaved-bit z-value of `cols` over `src`'s value ranges —
@@ -3522,7 +3551,7 @@ object SnapshotTable {
     commitRewrite(spark, dir, touched, survivors,
       trackedStatsCols(spark, dir, base),
       trackedBloomCols(spark, dir, base), maxRetries, "deleteWhere",
-      baseDv = baseDv)
+      baseDv = baseDv, basis = Some(stateOf(spark, dir, base)))
   }
 
   /** Copy-on-write row UPDATE — the remaining corner of the CRUD
@@ -3580,7 +3609,8 @@ object SnapshotTable {
     commitRewrite(spark, dir, touched, rewritten,
       trackedStatsCols(spark, dir, base),
       trackedBloomCols(spark, dir, base), maxRetries, "updateWhere",
-      baseDv = baseDv, checkConstraints = Some(vcs))
+      baseDv = baseDv, checkConstraints = Some(vcs),
+      basis = Some(stateOf(spark, dir, base)))
   }
 
   /** MERGE-ON-READ row DELETE — the write-cheap sibling of
@@ -3716,9 +3746,10 @@ object SnapshotTable {
     val updated = matches.select(fieldNames.map(c =>
       setMap.get(c).map(_.as(c)).getOrElse(col(c))): _*)
     var validated = enforceConstraints(spark, dir, updated, "updateWhereMor")
-    val (added, addedStats, addedRefs, addedSizes, claim) =
-      writeBatch(updated, dir, trackedStatsCols(spark, dir, base),
-        trackedBloomCols(spark, dir, base), strictBlooms = false)
+    // basis = base state: `updated` carries base-version logical names
+    val wb = writeBatch(updated, dir, trackedStatsCols(spark, dir, base),
+        trackedBloomCols(spark, dir, base), strictBlooms = false,
+        basis = Some(baseSt))
     // Cumulative vector per affected file: previous positions ∪ new.
     val prior = dvRows(spark, dir, baseSt.dvRefs, affected)
       .map(_.filter(col("__dv_file").isin(affected: _*))
@@ -3733,7 +3764,7 @@ object SnapshotTable {
     while (attempt < maxRetries) {
       val cur = latestVersion(spark, dir).get
       val curSt = stateOf(spark, dir, cur)
-      checkMapClaim(Some(curSt), claim, "updateWhereMor")
+      checkMapClaim(Some(curSt), wb.claim, "updateWhereMor")
       val missing = affected.filterNot(curSt.files.toSet)
       if (missing.nonEmpty)
         throw new java.util.ConcurrentModificationException(
@@ -3749,14 +3780,14 @@ object SnapshotTable {
         .map(evolveSchema(_, updated.schema))
         .getOrElse(evolveSchema(new StructType(), updated.schema)))
       validated = recheckConstraints(spark, dir, curSt.constraints,
-        validated, added, nextSchema, "updateWhereMor",
-        claim.map(_.colMap).getOrElse(Map.empty))
-      if (tryCommit(spark, dir, cur + 1, curSt.files ++ added,
-          curSt.txns, curSt.stats ++ addedStats, nextSchema,
-          curSt.bloomRefs ++ addedRefs, curSt.bloomCols,
-          curSt.sizes ++ addedSizes, "updateMor",
+        validated, wb.added, nextSchema, "updateWhereMor",
+        wb.claim.map(_.colMap).getOrElse(Map.empty))
+      if (tryCommit(spark, dir, cur + 1, curSt.files ++ wb.added,
+          curSt.txns, curSt.stats ++ wb.stats, nextSchema,
+          curSt.bloomRefs ++ wb.refs, (curSt.bloomCols ++ wb.bloomCols).distinct,
+          curSt.sizes ++ wb.sizes, "updateMor",
           curSt.dvRefs ++ affected.map(_ -> ref),
-          colMapOpt = claim.map(c => (c.colMap, c.retired))))
+          colMapOpt = wb.claim.map(c => (c.colMap, c.retired))))
         return Some(cur + 1)
       attempt += 1
     }
@@ -3836,7 +3867,8 @@ object SnapshotTable {
       keyConflict = Some((
         base.map(manifestFiles(spark, dir, _)).getOrElse(Nil).toSet,
         keys, srcKeys)),
-      baseDv = baseDv, checkConstraints = Some(vcs))
+      baseDv = baseDv, checkConstraints = Some(vcs),
+      basis = base.map(stateOf(spark, dir, _)))
   }
 
   /** Apply a CDC batch — rows tagged by a `_change` column with
@@ -3927,7 +3959,8 @@ object SnapshotTable {
       keyConflict = Some((
         base.map(manifestFiles(spark, dir, _)).getOrElse(Nil).toSet,
         keys, affectedKeys)),
-      baseDv = baseDv, checkConstraints = Some(vcs))
+      baseDv = baseDv, checkConstraints = Some(vcs),
+      basis = base.map(stateOf(spark, dir, _)))
   }
 
   /** EXACTLY-ONCE incremental table-to-table replication: advance the
@@ -4015,13 +4048,18 @@ object SnapshotTable {
                               DataFrame)] = None,
                             baseDv: Map[String, String] = Map.empty,
                             checkConstraints: Option[Map[String, String]] =
-                              None
+                              None,
+                            basis: Option[TableState] = None
                            ): Option[Long] = {
     // strictBlooms=false: bloomCols here is the table's RECORDED
     // tracking list — legacy ineligible entries drop, never wedge a
-    // row-level op on a pre-r7 table.
+    // row-level op on a pre-r7 table. basis = the state the rewrite
+    // frame's logical names were resolved against (see writeBatch's
+    // column-mapping race contract).
+    val wb = writeBatch(rewrite, dir, statsCols, bloomCols,
+      strictBlooms = false, basis = basis)
     val (added, addedStats, addedRefs, addedSizes, claim) =
-      writeBatch(rewrite, dir, statsCols, bloomCols, strictBlooms = false)
+      (wb.added, wb.stats, wb.refs, wb.sizes, wb.claim)
     val touchedSet = touched.toSet
     val addedSet = added.toSet
     // None = this op introduces no new values (delete/compaction);
@@ -4090,7 +4128,7 @@ object SnapshotTable {
           schema,
           (curSt.map(_.bloomRefs).getOrElse(Map.empty) -- touched)
             ++ addedRefs,
-          (curSt.map(_.bloomCols).getOrElse(Nil) ++ bloomCols).distinct,
+          (curSt.map(_.bloomCols).getOrElse(Nil) ++ wb.bloomCols).distinct,
           (curSt.map(_.sizes).getOrElse(Map.empty) -- touched) ++ addedSizes,
           op,
           // rewritten files physically exclude their masked rows, so

@@ -93,6 +93,103 @@ class GraftRateLimitSpec extends AnyFunSuite {
     assert(spark.read.parquet(out).count() == 4)
   }
 
+  test("a checkpoint with engine progress but NO position file falls back " +
+      "to one unlimited catch-up batch — never a duplicate snapshot replan") {
+    val dir = tmp("legacy"); mkFiles(dir, 3)
+    val ckpt = Files.createTempDirectory("rate-ck5").toString
+    val out = Files.createTempDirectory("rate-out5").toString + "/p"
+    val b1 = scala.collection.mutable.Buffer[Long]()
+    runOnce(dir, ckpt, out, Map.empty, b1)
+    assert(b1.toSeq == Seq(3L))
+    // simulate a pre-rate-limiting checkpoint: drop the position file
+    val pos = java.nio.file.Paths.get(ckpt, "sources", "0", "graft-pos.json")
+    assert(java.nio.file.Files.deleteIfExists(pos))
+    mkFiles(dir, 2, from = 100L)
+    val b2 = scala.collection.mutable.Buffer[Long]()
+    runOnce(dir, ckpt, out, Map("maxFilesPerTrigger" -> "1"), b2)
+    // two safe recovery shapes exist — the engine may replay the last
+    // committed range through getBatch (which re-seeds the position
+    // file, then chunked [1,1]) or call getOffset first (the legacy
+    // fallback emits one unlimited catch-up [2]). Either way the
+    // CRITICAL property holds: only the two NEW rows emit — never a
+    // replanned initial snapshot.
+    assert(b2.sum == 2 && b2.forall(_ <= 2), s"got $b2")
+    val got = spark.read.parquet(out)
+    assert(got.count() == 5)
+    assert(got.select("id").distinct().count() == 5)
+    // and the position file is re-seeded: further appends rate-limit
+    mkFiles(dir, 2, from = 200L)
+    val b3 = scala.collection.mutable.Buffer[Long]()
+    runOnce(dir, ckpt, out, Map("maxFilesPerTrigger" -> "1"), b3)
+    assert(b3.toSeq == Seq(1L, 1L), s"got $b3")
+  }
+
+  test("startingVersion beyond the head waits instead of crashing") {
+    val dir = tmp("beyond"); mkFiles(dir, 2)
+    val head = SnapshotTable.latestVersion(spark, dir).get
+    val ckpt = Files.createTempDirectory("rate-ck6").toString
+    val out = Files.createTempDirectory("rate-out6").toString + "/p"
+    val batches = scala.collection.mutable.Buffer[Long]()
+    runOnce(dir, ckpt, out,
+      Map("maxFilesPerTrigger" -> "1", "startingVersion" -> s"${head + 2}"),
+      batches)
+    assert(batches.isEmpty) // nothing yet, and no manifest-missing crash
+    mkFiles(dir, 3, from = 100L) // versions head+1..head+3
+    runOnce(dir, ckpt, out,
+      Map("maxFilesPerTrigger" -> "1", "startingVersion" -> s"${head + 2}"),
+      batches)
+    // only versions >= head+2 emit (ids 101, 102)
+    assert(batches.toSeq == Seq(1L, 1L), s"got $batches")
+    assert(spark.read.parquet(out).select("id").collect()
+      .map(_.getLong(0)).toSet == Set(101L, 102L))
+  }
+
+  test("mid-stream widen/drop fail loudly with a restart hint") {
+    // widen guard: int column widened mid-stream
+    val dir2 = tmp("guards2")
+    SnapshotTable.append(Seq((1, "a")).toDF("n", "s").coalesce(1), dir2)
+    val ckpt2 = Files.createTempDirectory("rate-ckg2").toString
+    val out2 = Files.createTempDirectory("rate-outg2").toString + "/p"
+    val q2 = spark.readStream.format("graft").load(dir2)
+      .writeStream.format("parquet")
+      .option("checkpointLocation", ckpt2).option("path", out2).start()
+    val e2 = intercept[Throwable] {
+      try {
+        q2.processAllAvailable()
+        SnapshotTable.widenColumn(spark, dir2, "n",
+          org.apache.spark.sql.types.LongType)
+        SnapshotTable.append(Seq((5000000000L, "b")).toDF("n", "s")
+          .coalesce(1), dir2)
+        q2.processAllAvailable()
+        throw new IllegalStateException("unreachable: stream kept running")
+      } finally q2.stop()
+    }
+    assert(e2.toString.contains("mid-stream") ||
+      Option(e2.getCause).exists(_.toString.contains("mid-stream")),
+      s"got $e2")
+    // drop guard: retired-only state (empty map) still fails loudly
+    val dir3 = tmp("guards3")
+    SnapshotTable.append(Seq((1L, "a", 7L)).toDF("k", "s", "x")
+      .coalesce(1), dir3)
+    val ckpt3 = Files.createTempDirectory("rate-ckg3").toString
+    val out3 = Files.createTempDirectory("rate-outg3").toString + "/p"
+    val q3 = spark.readStream.format("graft").load(dir3)
+      .writeStream.format("parquet")
+      .option("checkpointLocation", ckpt3).option("path", out3).start()
+    val e3 = intercept[Throwable] {
+      try {
+        q3.processAllAvailable()
+        SnapshotTable.dropColumn(spark, dir3, "x") // colMap stays EMPTY
+        SnapshotTable.append(Seq((2L, "b")).toDF("k", "s").coalesce(1), dir3)
+        q3.processAllAvailable()
+        throw new IllegalStateException("unreachable: stream kept running")
+      } finally q3.stop()
+    }
+    assert(e3.toString.contains("dropped mid-stream") ||
+      Option(e3.getCause).exists(_.toString.contains("dropped mid-stream")),
+      s"got $e3")
+  }
+
   test("turning limits ON over an unlimited checkpoint continues cleanly") {
     val dir = tmp("flip"); mkFiles(dir, 3)
     val ckpt = Files.createTempDirectory("rate-ck4").toString

@@ -45,6 +45,20 @@ class GraftSqlDmlSpec extends AnyFunSuite {
       .count() == 90)
   }
 
+  test("backslash-escaped quotes inside literals don't confuse the scanner") {
+    val dir = tmp("escape"); mk(dir, 10L)
+    SnapshotSql.bind("sqldml_esc", dir)
+    spark.sql("UPDATE sqldml_esc SET name = 'it\\'s, fine', score = 1 " +
+      "WHERE id = 3")
+    val got = SnapshotTable.read(spark, dir).filter(col("id") === 3L).head()
+    assert(got.getString(1) == "it's, fine")
+    assert(got.getLong(2) == 1L)
+    // the WHERE keyword inside a string literal is not a clause break
+    spark.sql("UPDATE sqldml_esc SET name = 'WHERE AND SET' WHERE id = 4")
+    assert(SnapshotTable.read(spark, dir).filter(col("id") === 4L)
+      .head().getString(1) == "WHERE AND SET")
+  }
+
   test("MERGE INTO upserts by key from a view and from a subquery") {
     val dir = tmp("merge"); mk(dir)
     SnapshotSql.bind("sqldml_mrg", dir)

@@ -107,6 +107,35 @@ class SnapshotColumnMapSpec extends AnyFunSuite {
     assert(scored.agg(sum("score")).head().getLong(0) == 7L)
   }
 
+  test("a re-added column's tracking follows its fresh physical name") {
+    val dir = tmp("readd-track")
+    mkTable(dir)
+    SnapshotTable.dropColumn(spark, dir, "score")
+    // re-add 'score' WITH tracking: the stats/bloom must key the fresh
+    // physical name (score_p1), not the retired 'score'
+    SnapshotTable.append(
+      (200L until 220L).map(i => (i, s"v$i", i * 3)).toDF("id", "name", "score"),
+      dir, statsCols = Seq("score"), bloomCols = Seq("score"))
+    val head = SnapshotTable.latestVersion(spark, dir).get
+    assert(SnapshotTable.manifestColMap(spark, dir, head) ==
+      Map("score" -> "score_p1"))
+    // range pruning on the re-added column engages (stats exist under
+    // the fresh physical key and translate from the logical name);
+    // pre-re-add files have no score_p1 stats and stay conservatively
+    val (sel, total) = SnapshotTable.pruneFiles(spark, dir, "score",
+      600L, 612L)
+    assert(sel.size < total, s"pruning did not engage: $sel of $total")
+    assert(SnapshotTable.readWhere(spark, dir, "score", 600L, 612L)
+      .count() == 5)
+    // Bloom point lookup on the re-added column
+    assert(SnapshotTable.readWhereEq(spark, dir, "score", 603L).count() == 1)
+    // and the committed bloom tracking list records the PHYSICAL name,
+    // so the next append inherits it correctly
+    SnapshotTable.append(
+      Seq((300L, "v300", 900L)).toDF("id", "name", "score"), dir)
+    assert(SnapshotTable.readWhereEq(spark, dir, "score", 900L).count() == 1)
+  }
+
   test("CoW delete/merge and the change feed work across a rename") {
     val dir = tmp("cow")
     mkTable(dir)
