@@ -249,7 +249,9 @@ final class GraftStreamSource(spark: SparkSession, dir: String,
                               ignoreChanges: Boolean,
                               maxFiles: Option[Int] = None,
                               maxBytes: Option[Long] = None,
-                              metadataPath: String = "") extends Source {
+                              metadataPath: String = "") extends Source
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
   import GraftStreamSource.{Pos, PosOffset}
 
   require(maxFiles.forall(_ > 0), "maxFilesPerTrigger must be positive")
@@ -331,23 +333,10 @@ final class GraftStreamSource(spark: SparkSession, dir: String,
         posFs.listStatus(offsets).nonEmpty).getOrElse(false)
     }
 
-  override def getOffset: Option[Offset] = {
-    val headOpt = SnapshotTable.latestVersion(spark, dir)
-    if (headOpt.isEmpty) return None
-    val head = headOpt.get
-    if (!limited) {
-      // legacy unlimited path: plain version offsets, byte-compatible
-      // with existing checkpoints. The position file still advances so
-      // a later switch to rate limiting continues instead of
-      // re-planning the snapshot.
-      persist(Pos(head, Pos.Complete, snap = false))
-      return Some(LongOffset(head))
-    }
-    if (legacyCheckpoint) {
-      persist(Pos(head, Pos.Complete, snap = false))
-      return Some(LongOffset(head))
-    }
-    var pos = lastPos.getOrElse(initialPos(head))
+  /** The next bounded position after `base` given data through
+    * `head`; None = no progress (nothing new under the budget). */
+  private def planNextPos(base: Option[Pos], head: Long): Option[Pos] = {
+    var pos = base.getOrElse(initialPos(head))
     var files = 0
     var bytes = 0L
     def exhausted = maxFiles.exists(files >= _) || maxBytes.exists(bytes >= _)
@@ -375,8 +364,79 @@ final class GraftStreamSource(spark: SparkSession, dir: String,
         pos = Pos(pos.v + 1, 0, snap = false)
       } else done = true
     }
-    if (!progressed) lastPos.map(PosOffset).orElse(None)
-    else { persist(pos); Some(PosOffset(pos)) }
+    if (progressed) Some(pos) else None
+  }
+
+  /** `Trigger.AvailableNow`: everything committed when the query
+    * started is the drain target; the engine keeps running (bounded)
+    * batches until the offset stops advancing, then terminates —
+    * WITHOUT this the engine's generic V1 wrapper captures the FIRST
+    * rate-limited offset as "all available" and a limited stream
+    * drains one chunk and stops. Commits landing after the capture
+    * wait for the next run, per the trigger's contract. */
+  private var availableNowBound: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowBound = Some(
+      SnapshotTable.latestVersion(spark, dir).getOrElse(-1L))
+
+  private def boundedHead: Option[Long] = {
+    val h = SnapshotTable.latestVersion(spark, dir)
+      .getOrElse(return None)
+    Some(availableNowBound.fold(h)(math.min(h, _)))
+  }
+
+  /** The admission-control planner (the path the engine actually
+    * drives — a Source implementing SupportsAdmissionControl gets the
+    * COMMITTED start handed in, so planning needs no self-tracked
+    * state to be correct; the position file remains a secondary
+    * continuation hint for the plain-getOffset path). Limits are
+    * enforced from the reader OPTIONS (the Delta convention);
+    * `limit` is acknowledged but the options win. */
+  override def latestOffset(startOffset: org.apache.spark.sql.connector
+                              .read.streaming.Offset,
+                            limit: org.apache.spark.sql.connector
+                              .read.streaming.ReadLimit
+                           ): org.apache.spark.sql.connector.read.streaming.Offset = {
+    val head = boundedHead.getOrElse(return startOffset)
+    if (head < 0) return startOffset // AvailableNow over an empty table
+    val start = Option(startOffset).map(o => Pos.parse(o.json))
+    if (!limited) {
+      persist(Pos(head, Pos.Complete, snap = false))
+      // no new data when the start already covers head COMPLETELY
+      val covered = start.exists(p =>
+        p.v > head || (p.v == head && p.i == Pos.Complete))
+      return if (covered) startOffset else LongOffset(head)
+    }
+    val base = start.orElse(lastPos)
+    planNextPos(base, head) match {
+      case Some(pos) => persist(pos); PosOffset(pos)
+      case None => startOffset
+    }
+  }
+
+  override def getDefaultReadLimit
+      : org.apache.spark.sql.connector.read.streaming.ReadLimit =
+    org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
+
+  override def getOffset: Option[Offset] = {
+    val head = boundedHead.getOrElse(return None)
+    if (head < 0) return None
+    if (!limited) {
+      // legacy unlimited path: plain version offsets, byte-compatible
+      // with existing checkpoints. The position file still advances so
+      // a later switch to rate limiting continues instead of
+      // re-planning the snapshot.
+      persist(Pos(head, Pos.Complete, snap = false))
+      return Some(LongOffset(head))
+    }
+    if (legacyCheckpoint) {
+      persist(Pos(head, Pos.Complete, snap = false))
+      return Some(LongOffset(head))
+    }
+    planNextPos(lastPos, head) match {
+      case Some(pos) => persist(pos); Some(PosOffset(pos))
+      case None => lastPos.map(PosOffset).orElse(None)
+    }
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {

@@ -190,6 +190,36 @@ class GraftRateLimitSpec extends AnyFunSuite {
       s"got $e3")
   }
 
+  test("Trigger.AvailableNow drains ALL available data under the budget, " +
+      "then terminates; a later run picks up new commits") {
+    val dir = tmp("avnow"); mkFiles(dir, 5)
+    val ckpt = Files.createTempDirectory("rate-ck7").toString
+    val out = Files.createTempDirectory("rate-out7").toString + "/p"
+    def runAvailableNow(): Int = {
+      var n = 0
+      val q = spark.readStream.format("graft")
+        .option("maxFilesPerTrigger", "2").load(dir)
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          if (df.count() > 0) n += 1
+          df.write.mode("append").parquet(out)
+        }.start()
+      q.awaitTermination(); n
+    }
+    // 5 files at 2/trigger: the full snapshot drains in 3 batches and
+    // the query TERMINATES (without SupportsTriggerAvailableNow the
+    // engine captured the first chunk as "all available" and stopped
+    // after 2 of 5 rows)
+    assert(runAvailableNow() == 3)
+    assert(spark.read.parquet(out).count() == 5)
+    mkFiles(dir, 3, from = 100L)
+    assert(runAvailableNow() == 2) // 3 new files at 2/trigger
+    val got = spark.read.parquet(out)
+    assert(got.count() == 8)
+    assert(got.select("id").distinct().count() == 8)
+  }
+
   test("turning limits ON over an unlimited checkpoint continues cleanly") {
     val dir = tmp("flip"); mkFiles(dir, 3)
     val ckpt = Files.createTempDirectory("rate-ck4").toString
