@@ -2132,5 +2132,14 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     }
     ext.injectParser((_, delegate) =>
       new graft.sources.GraftSqlParser(delegate))
+    // `FROM graft.`/path`` in plain SQL resolves to the
+    // manifest-pruned snapshot relation (incl. VERSION/TIMESTAMP AS
+    // OF) — the read-side twin of the DML parser above. Injected into
+    // the HINT-resolution batch, which runs BEFORE the resolution
+    // batch: Spark's builtin ResolveSQLOnFile claims `graft.`path``
+    // (graft is a registered datasource name) and fails "unsupported
+    // for direct query" before an ordinary resolution rule would run.
+    ext.injectHintResolutionRule(session =>
+      new graft.sources.GraftRelationResolution(session))
   }
 }

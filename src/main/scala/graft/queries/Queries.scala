@@ -12458,11 +12458,12 @@ object Queries {
         "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
       s.sql(s"ALTER TABLE graft.`$dir` RENAME COLUMN o_totalprice TO price")
       s.sql(s"OPTIMIZE graft.`$dir` ZORDER BY (o_orderkey, price)")
-      graft.sources.SnapshotSql.registerLive(s, "dml_live", dir)
-      s.sql("""SELECT o_orderstatus AS status, o_orderpriority AS priority,
+      // the final read is ALSO plain SQL: `FROM graft.`path`` resolves
+      // through the injected analyzer rule — no registration at all
+      s.sql(s"""SELECT o_orderstatus AS status, o_orderpriority AS priority,
         count(*) AS n,
         CAST(sum(CAST(price AS DECIMAL(18,6)) * 100) AS BIGINT) AS cents
-      FROM dml_live GROUP BY 1, 2 ORDER BY 1, 2""")
+      FROM graft.`$dir` GROUP BY 1, 2 ORDER BY 1, 2""")
     },
     Some("""WITH src AS (
       SELECT o_orderkey, 'X' AS o_orderstatus, o_orderpriority,

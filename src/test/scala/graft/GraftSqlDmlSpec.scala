@@ -219,6 +219,34 @@ class GraftSqlDmlSpec extends AnyFunSuite {
       spark.sql("INSERT INTO sqldml_det_x VALUES (1)") }
   }
 
+  test("SELECT FROM graft.`path` resolves with no registration; " +
+      "VERSION/TIMESTAMP AS OF time-travel") {
+    val dir = tmp("select"); mk(dir)                        // v0
+    SnapshotTable.deleteWhere(spark, dir, col("id") >= 50L) // v1
+    assert(spark.sql(s"SELECT count(*) AS n FROM graft.`$dir`")
+      .head().getLong(0) == 50L)
+    assert(spark.sql(
+      s"SELECT sum(score) AS s FROM graft.`$dir` WHERE id < 10")
+      .head().getLong(0) == (0L until 10L).map(_ * 10).sum)
+    // version time travel inside plain SQL
+    assert(spark.sql(
+      s"SELECT count(*) AS n FROM graft.`$dir` VERSION AS OF 0")
+      .head().getLong(0) == 100L)
+    // timestamp time travel: any instant at/after v1's commit
+    val ts = new java.sql.Timestamp(System.currentTimeMillis() + 60000)
+    assert(spark.sql(
+      s"SELECT count(*) AS n FROM graft.`$dir` TIMESTAMP AS OF '$ts'")
+      .head().getLong(0) == 50L)
+    // joins across a graft path and an ordinary view
+    Seq((1L, "x"), (60L, "y")).toDF("id", "tag")
+      .createOrReplaceTempView("sqldml_selj")
+    assert(spark.sql(s"SELECT count(*) AS n FROM graft.`$dir` g " +
+      "JOIN sqldml_selj j ON g.id = j.id").head().getLong(0) == 1L)
+    // a nonexistent graft path falls through to Spark's own error
+    intercept[Exception] {
+      spark.sql("SELECT * FROM graft.`/no/such/table`").collect() }
+  }
+
   test("DML through a live view: SQL reads see SQL writes immediately") {
     val dir = tmp("live"); mk(dir)
     SnapshotSql.registerLive(spark, "sqldml_live", dir) // binds too
