@@ -12386,6 +12386,55 @@ object Queries {
       FROM orders GROUP BY 2)
     ORDER BY phase, priority"""))
 
+  /** TBLPROPERTIES-routed DML (the public
+    * `delta.enableDeletionVectors` idea): one SQL statement records
+    * `graft.enableDeletionVectors` in the manifest, after which the
+    * SAME `DELETE`/`UPDATE` SQL routes through merge-on-read deletion
+    * vectors (write cost ∝ matched rows — asserted: the DELETE commits
+    * with ZERO file churn) instead of copy-on-write; `OPTIMIZE` then
+    * materializes the vectors (asserted: none survive). The oracle
+    * restates delete→update algebraically — identical ANSWERS under
+    * either write strategy is exactly the property's contract. */
+  private val qSnapshotTblprops = Q(
+    "q_snapshot_tblprops",
+    (s, d) => {
+      val dir = snapTmp()
+      t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_orderpriority"), col("o_totalprice"))
+        .createOrReplaceTempView("dml_src_orders")
+      s.sql(s"INSERT INTO graft.`$dir` SELECT o_orderkey, o_orderstatus, " +
+        "o_orderpriority, o_totalprice FROM dml_src_orders")
+      s.sql(s"ALTER TABLE graft.`$dir` SET TBLPROPERTIES " +
+        "('graft.enableDeletionVectors' = 'true')")
+      val before = graft.sources.SnapshotTable.manifestFiles(s, dir,
+        graft.sources.SnapshotTable.latestVersion(s, dir).get).toSet
+      s.sql(s"DELETE FROM graft.`$dir` WHERE o_orderkey % 10 = 0")
+      val v = graft.sources.SnapshotTable.latestVersion(s, dir).get
+      require(graft.sources.SnapshotTable.manifestFiles(s, dir, v).toSet ==
+        before, "MoR DELETE must not rewrite any file")
+      require(graft.sources.SnapshotTable.manifestDvRefs(s, dir, v).nonEmpty,
+        "MoR DELETE must land a deletion vector")
+      s.sql(s"UPDATE graft.`$dir` SET o_totalprice = o_totalprice * 2 " +
+        "WHERE o_orderpriority = '1-URGENT'")
+      s.sql(s"OPTIMIZE graft.`$dir`")
+      val v3 = graft.sources.SnapshotTable.latestVersion(s, dir).get
+      require(graft.sources.SnapshotTable.manifestDvRefs(s, dir, v3).isEmpty,
+        "OPTIMIZE must materialize the vectors")
+      s.sql(s"""SELECT o_orderpriority AS priority, count(*) AS n,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,6)) * 100) AS BIGINT)
+          AS cents
+      FROM graft.`$dir` GROUP BY 1 ORDER BY 1""")
+    },
+    Some("""WITH after_del AS (
+      SELECT o_orderpriority, o_totalprice
+      FROM orders WHERE o_orderkey % 10 <> 0)
+    SELECT o_orderpriority AS priority, count(*) AS n,
+      CAST(sum(CAST(CASE WHEN o_orderpriority = '1-URGENT'
+                         THEN o_totalprice * 2 ELSE o_totalprice END
+                    AS DECIMAL(18,6)) * 100) AS BIGINT) AS cents
+    FROM after_del GROUP BY 1 ORDER BY priority"""))
+
   /** Metadata-only TYPE WIDENING through
     * [[graft.sources.SnapshotTable.widenColumn]] (the public Delta
     * type-widening design): an INT column widens to BIGINT in one
@@ -12998,7 +13047,7 @@ object Queries {
     qSnapshotMor, qSnapshotMorSql, qSnapshotCdf, qMatviewMinmax,
     qMatviewStats, qSnapshotBucket, qSnapshotLive,
     qSnapshotRestore, qSnapshotColmap, qSnapshotDml, qSnapshotWiden,
-    qSnapshotMorUpdate, qSnapshotCompactWhere,
+    qSnapshotTblprops, qSnapshotMorUpdate, qSnapshotCompactWhere,
     qSnapshotConstraint, qBpeEncode, qSnapshotTimetravel, qTextIndex,
     qHybridSearch, qSnapshotCount,
     qQualityProbe, qQualityClassifier, qAnnPq, qAnnIvfPq, qAnnIvfPqRes, qAnnRerank,

@@ -41,6 +41,14 @@ import org.apache.spark.sql.types._
   *   - `ALTER TABLE t ALTER COLUMN c TYPE <wider>`   → [[SnapshotTable.widenColumn]]
   *   - `CREATE TABLE graft.`dst` SHALLOW CLONE t
   *      [VERSION AS OF n]`                           → [[SnapshotTable.shallowClone]]
+  *   - `ALTER TABLE t SET TBLPROPERTIES ('k'='v')`   → [[SnapshotTable.setProperties]]
+  *   - `ALTER TABLE t UNSET TBLPROPERTIES ('k')`     → [[SnapshotTable.unsetProperties]]
+  *   - `SHOW TBLPROPERTIES t`                        → the recorded properties
+  *
+  * With `graft.enableDeletionVectors` = `true` recorded in the
+  * table's properties, DELETE and UPDATE route through the
+  * merge-on-read deletion-vector paths instead of copy-on-write —
+  * write cost proportional to matched rows; `OPTIMIZE` materializes.
   *
   * **Table addressing**: `graft.`/abs/path`` (the Delta path idiom)
   * or a name bound by [[SnapshotSql.register]] /
@@ -152,6 +160,24 @@ object GraftSqlCommands {
   private def fail(msg: String): Nothing =
     throw new IllegalArgumentException(s"graft SQL: $msg")
 
+  /** `'key'` / `"key"` / bare dotted identifier → key text. */
+  private def unquotePropToken(t0: String): String = {
+    val t = t0.trim
+    if (t.length >= 2 && ((t.head == '\'' && t.last == '\'') ||
+        (t.head == '"' && t.last == '"')))
+      t.substring(1, t.length - 1)
+    else if (t.matches("""[A-Za-z_][A-Za-z0-9_.]*""")) t
+    else fail(s"TBLPROPERTIES: expected a quoted key or identifier, got: $t")
+  }
+
+  /** One `'k' = 'v'` pair of a SET TBLPROPERTIES list. */
+  private def parsePropPair(t: String): (String, String) = {
+    val eq = t.indexOf('=')
+    if (eq <= 0) fail(s"SET TBLPROPERTIES expects 'k' = 'v' pairs, got: $t")
+    (unquotePropToken(t.substring(0, eq)),
+      unquotePropToken(t.substring(eq + 1)))
+  }
+
   /** Evaluate an expression TEXT that must be a literal (OPTIMIZE's
     * BETWEEN bounds, RESTORE's version) to its Scala value. */
   private def literalValue(text: String): Any =
@@ -182,7 +208,8 @@ object GraftSqlCommands {
       case "RESTORE" => parseRestore(s)
       case "DESCRIBE" | "DESC" =>
         parseDescribeHistory(s).orElse(parseDescribeDetail(s))
-      case "SHOW" => parseShowConstraints(s)
+      case "SHOW" =>
+        parseShowConstraints(s).orElse(parseShowProps(s))
       case "CREATE" => parseShallowClone(s)
       case _ => None
     }
@@ -337,6 +364,10 @@ object GraftSqlCommands {
       s"""(?is)^DROP${Ws}CONSTRAINT$Ws([A-Za-z_][A-Za-z0-9_]*)$$""".r
     val Widen =
       s"""(?is)^ALTER${Ws}COLUMN$Ws(`[^`]+`|[A-Za-z_][A-Za-z0-9_]*)${Ws}TYPE$Ws(.+)$$""".r
+    val SetProps =
+      s"""(?is)^SET${Ws}TBLPROPERTIES\\s*\\((.*)\\)$$""".r
+    val UnsetProps =
+      s"""(?is)^UNSET${Ws}TBLPROPERTIES\\s*(?:IF${Ws}EXISTS\\s*)?\\((.*)\\)$$""".r
     def unq(c: String) =
       if (c.startsWith("`") && c.endsWith("`") && c.length > 1)
         c.substring(1, c.length - 1) else c
@@ -351,10 +382,20 @@ object GraftSqlCommands {
         Some(GraftAlterCommand(dir, "dropConstraint", Seq(nm)))
       case Widen(c, dt) =>
         Some(GraftAlterCommand(dir, "widenColumn", Seq(unq(c), dt.trim)))
+      case SetProps(body) =>
+        val kvs = splitTopCommas(body).map(parsePropPair)
+        if (kvs.isEmpty) fail("SET TBLPROPERTIES: empty property list")
+        Some(GraftPropsCommand(dir, kvs.toMap, unset = Nil))
+      case UnsetProps(body) =>
+        val keys = splitTopCommas(body).map(unquotePropToken)
+        if (keys.isEmpty) fail("UNSET TBLPROPERTIES: empty key list")
+        Some(GraftPropsCommand(dir, Map.empty, unset = keys))
       case _ => fail(
         "ALTER TABLE <t> supports RENAME COLUMN a TO b | DROP COLUMN a | " +
           "ALTER COLUMN c TYPE <wider> | " +
-          s"ADD CONSTRAINT n CHECK (…) | DROP CONSTRAINT n — got: $tail")
+          "ADD CONSTRAINT n CHECK (…) | DROP CONSTRAINT n | " +
+          "SET TBLPROPERTIES ('k'='v', …) | " +
+          s"UNSET TBLPROPERTIES ('k', …) — got: $tail")
     }
   }
 
@@ -446,6 +487,17 @@ object GraftSqlCommands {
     Some(GraftShowConstraintsCommand(dir))
   }
 
+  private def parseShowProps(s: String): Option[LogicalPlan] = {
+    val m = s"""(?is)^SHOW${Ws}TBLPROPERTIES$Ws""".r
+      .findFirstMatchIn(s).getOrElse(return None)
+    val rest = s.substring(m.end)
+    val (dir, len) = resolveTableAt(rest).getOrElse(return None)
+    val tail = rest.substring(len).trim
+    if (tail.nonEmpty) fail(
+      s"SHOW TBLPROPERTIES <t> takes no further clauses — got: $tail")
+    Some(GraftShowPropsCommand(dir))
+  }
+
   private def parseShallowClone(s: String): Option[LogicalPlan] = {
     // only statements containing the (non-Spark) SHALLOW CLONE phrase
     // are candidates; every other CREATE TABLE delegates untouched
@@ -493,8 +545,12 @@ object GraftSqlCommands {
       Seq(longAttr("version", nullable = true), longAttr("rows_deleted"))
     override def run(spark: SparkSession): Seq[Row] = {
       val pre = SnapshotTable.countRows(spark, dir)
-      val v = SnapshotTable.deleteWhere(spark, dir,
-        where.map(expr).getOrElse(lit(true)))
+      val cond = where.map(expr).getOrElse(lit(true))
+      // graft.enableDeletionVectors routes through merge-on-read —
+      // write cost ∝ matched rows; compact materializes later
+      val v = if (morEnabled(spark, dir))
+        SnapshotTable.deleteWhereMor(spark, dir, cond)
+      else SnapshotTable.deleteWhere(spark, dir, cond)
       val post = SnapshotTable.countRows(spark, dir)
       Seq(Row(v.map(Long.box).orNull, pre - post))
     }
@@ -507,9 +563,11 @@ object GraftSqlCommands {
       extends LeafRunnableCommand {
     override val output: Seq[Attribute] = Seq(longAttr("version", nullable = true))
     override def run(spark: SparkSession): Seq[Row] = {
-      val v = SnapshotTable.updateWhere(spark, dir,
-        where.map(expr).getOrElse(lit(true)),
-        sets.map { case (c, e) => c -> expr(e) })
+      val cond = where.map(expr).getOrElse(lit(true))
+      val assigns = sets.map { case (c, e) => c -> expr(e) }
+      val v = if (morEnabled(spark, dir))
+        SnapshotTable.updateWhereMor(spark, dir, cond, assigns)
+      else SnapshotTable.updateWhere(spark, dir, cond, assigns)
       Seq(Row(v.map(Long.box).orNull))
     }
   }
@@ -634,6 +692,36 @@ object GraftSqlCommands {
       Seq(Row(SnapshotTable.restore(spark, dir, toVersion)
         .map(Long.box).orNull))
   }
+
+  /** `ALTER TABLE … SET/UNSET TBLPROPERTIES` → one metadata commit. */
+  case class GraftPropsCommand(dir: String, set: Map[String, String],
+                               unset: Seq[String])
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(longAttr("version"))
+    override def run(spark: SparkSession): Seq[Row] =
+      Seq(Row(if (set.nonEmpty) SnapshotTable.setProperties(spark, dir, set)
+              else SnapshotTable.unsetProperties(spark, dir, unset)))
+  }
+
+  /** `SHOW TBLPROPERTIES` → the recorded key/value pairs. */
+  case class GraftShowPropsCommand(dir: String) extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(
+      AttributeReference("key", StringType, nullable = false)(),
+      AttributeReference("value", StringType, nullable = false)())
+    override def run(spark: SparkSession): Seq[Row] = {
+      val v = SnapshotTable.latestVersion(spark, dir).getOrElse(
+        fail(s"SHOW TBLPROPERTIES: no committed version under $dir"))
+      SnapshotTable.manifestProps(spark, dir, v)
+        .toSeq.sortBy(_._1).map { case (k, value) => Row(k, value) }
+    }
+  }
+
+  /** True when the table's recorded properties route row-level DML
+    * through merge-on-read deletion vectors. */
+  private def morEnabled(spark: SparkSession, dir: String): Boolean =
+    SnapshotTable.latestVersion(spark, dir).exists(v =>
+      SnapshotTable.manifestProps(spark, dir, v)
+        .get(SnapshotTable.EnableDeletionVectorsKey).exists(_.toBoolean))
 
   /** `DESCRIBE DETAIL` → one metadata-only summary row (`n_rows` is
     * the manifest fold of [[SnapshotTable.countRows]] — no scan). */

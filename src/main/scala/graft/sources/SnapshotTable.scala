@@ -211,7 +211,14 @@ object SnapshotTable {
       // it) and a re-added logical column of the same name must take
       // a FRESH physical name, never resurrect the old bytes.
       colMap: Map[String, String] = Map.empty,
-      retired: Seq[String] = Nil)
+      retired: Seq[String] = Nil,
+      // TABLE PROPERTIES (the public TBLPROPERTIES surface): free-form
+      // key->value metadata; behavior-bearing keys are documented on
+      // [[setProperties]]. Read semantics never depend on them (no
+      // reader feature guard needed) — they steer WRITE-side routing
+      // (e.g. graft.enableDeletionVectors -> SQL DELETE/UPDATE go
+      // merge-on-read).
+      props: Map[String, String] = Map.empty)
 
   /** A table-wide bucketing CLAIM: every data file of the version was
     * written by [[appendBucketed]] with this spec — file names carry
@@ -445,7 +452,8 @@ object SnapshotTable {
         bucket = bucketOf(n),
         constraints = refMapOf(n, "constraints"),
         colMap = refMapOf(n, "colmap"),
-        retired = strSeq(n, "retired"))
+        retired = strSeq(n, "retired"),
+        props = refMapOf(n, "props"))
     }
     val refs = bloomRefsOf(n)
     val cols = strSeq(n, "bloomcols") match {
@@ -465,7 +473,8 @@ object SnapshotTable {
       sizes = sizesOf(n), dvRefs = dvRefsOf(n), bucket = bucketOf(n),
       constraints = refMapOf(n, "constraints"),
       colMap = refMapOf(n, "colmap"),
-      retired = strSeq(n, "retired"))
+      retired = strSeq(n, "retired"),
+      props = refMapOf(n, "props"))
   }
 
   private def deltaState(parent: TableState,
@@ -511,7 +520,11 @@ object SnapshotTable {
       colMap = if (n.get("colmap") != null || n.get("retired") != null)
         refMapOf(n, "colmap") else parent.colMap,
       retired = if (n.get("colmap") != null || n.get("retired") != null)
-        strSeq(n, "retired") else parent.retired)
+        strSeq(n, "retired") else parent.retired,
+      // properties inherit like constraints (present = replace,
+      // explicit-empty = clear, absent = inherit)
+      props = if (n.get("props") != null) refMapOf(n, "props")
+        else parent.props)
   }
 
   /** The file list of a version (relative paths). */
@@ -1114,7 +1127,8 @@ object SnapshotTable {
                         bucket: Option[BucketLayout] = None,
                         constraints: Option[Map[String, String]] = None,
                         colMapOpt: Option[(Map[String, String],
-                          Seq[String])] = None
+                          Seq[String])] = None,
+                        propsOpt: Option[Map[String, String]] = None
                        ): Boolean = commitLock.synchronized {
     val f = fs(spark, dir)
     f.mkdirs(manifestDir(dir))
@@ -1127,6 +1141,12 @@ object SnapshotTable {
       if (v == 0L) Map.empty[String, String]
       else scala.util.Try(stateOf(spark, dir, v - 1).constraints)
         .getOrElse(Map.empty[String, String]))
+    // Table properties inherit identically (None = parent's set;
+    // only setProperties/unsetProperties/clone pass Some).
+    val effProps = propsOpt.getOrElse(
+      if (v == 0L) Map.empty[String, String]
+      else scala.util.Try(stateOf(spark, dir, v - 1).props)
+        .getOrElse(Map.empty[String, String]))
     // Column mapping inherits identically (None = parent's mapping;
     // only renameColumn/dropColumn/restore/clone and the evolving
     // append commits pass Some).
@@ -1137,7 +1157,8 @@ object SnapshotTable {
         .getOrElse((Map.empty[String, String], Seq.empty[String])))
     val body = manifestBody(spark, dir, v, full, files, txns, stats,
       schema, bloomRefs, bloomCols, sizes, op, dvRefs, bucket,
-      effConstraints, colMap = effColMap, retired = effRetired)
+      effConstraints, colMap = effColMap, retired = effRetired,
+      props = effProps)
     val tmp = new Path(manifestDir(dir),
       s".v$v.${java.util.UUID.randomUUID()}.tmp")
     val out = f.create(tmp, false)
@@ -1165,7 +1186,8 @@ object SnapshotTable {
                            tsOverride: Option[Long] = None,
                            stampTs: Boolean = true,
                            colMap: Map[String, String] = Map.empty,
-                           retired: Seq[String] = Nil
+                           retired: Seq[String] = Nil,
+                           props: Map[String, String] = Map.empty
                           ): String = {
     val root = new java.util.LinkedHashMap[String, Object]()
     root.put("version", java.lang.Long.valueOf(v))
@@ -1258,8 +1280,14 @@ object SnapshotTable {
         root.put("retired", rj)
       }
     }
+    def putProps(m: Map[String, String]): Unit = {
+      val pj = new java.util.LinkedHashMap[String, Object]()
+      m.toSeq.sortBy(_._1).foreach { case (k, v2) => pj.put(k, v2) }
+      root.put("props", pj)
+    }
     if (full) { if (constraints.nonEmpty) putConstraints(constraints) }
     if (full) { if (colMap.nonEmpty || retired.nonEmpty) putColMap() }
+    if (full) { if (props.nonEmpty) putProps(props) }
     if (full && files.size > SegmentInlineMax) {
       // SEGMENTED checkpoint — the 100 TB commit-cost answer (the
       // public Iceberg manifest-list design): the checkpoint
@@ -1344,6 +1372,9 @@ object SnapshotTable {
       // column mapping in a delta only when it CHANGED (same
       // discipline: present = replace, explicit-empty = clear).
       if (colMap != parent.colMap || retired != parent.retired) putColMap()
+      // properties: same change-only discipline. No reader feature
+      // guard — props never change READ semantics, only write routing.
+      if (props != parent.props) putProps(props)
     }
     // Stamp exactly the reader features this manifest's resolution
     // depends on (see [[SupportedFeatures]]); a plain manifest stays
@@ -2872,7 +2903,8 @@ object SnapshotTable {
     val sizes = st.sizes.map { case (k, n) => absolutize(k) -> n }
     if (!tryCommit(spark, dstDir, 0L, files, Map.empty, stats, st.schema,
         refs, st.bloomCols, sizes, "clone", dvRefs,
-        colMapOpt = Some((st.colMap, st.retired))))
+        colMapOpt = Some((st.colMap, st.retired)),
+        propsOpt = Some(st.props)))
       throw new java.io.IOException(
         s"shallowClone: destination $dstDir committed concurrently")
     0L
@@ -2948,6 +2980,65 @@ object SnapshotTable {
     }
     throw new java.io.IOException(
       s"dropConstraint: lost the commit race $maxRetries times under $dir")
+  }
+
+  // ------------------------------------------------------------------
+  // Table properties (the TBLPROPERTIES surface)
+  // ------------------------------------------------------------------
+
+  /** The table properties recorded at version `v`. */
+  def manifestProps(spark: SparkSession, dir: String,
+                    v: Long): Map[String, String] =
+    stateOf(spark, dir, v).props
+
+  /** The property key that flips SQL DELETE/UPDATE from copy-on-write
+    * to MERGE-ON-READ deletion vectors (the public Delta
+    * `delta.enableDeletionVectors` idea): set it `"true"` and the DML
+    * surface routes through [[deleteWhereMor]]/[[updateWhereMor]] —
+    * write cost ∝ matched rows, [[compact]] materializes later. */
+  val EnableDeletionVectorsKey = "graft.enableDeletionVectors"
+
+  /** SET TBLPROPERTIES: merge `kvs` into the table's recorded
+    * properties in one metadata commit. Properties are free-form
+    * metadata plus documented behavior keys
+    * ([[EnableDeletionVectorsKey]]); they never change READ semantics
+    * (no reader feature guard), survive restore like constraints do,
+    * and clone with the table. Returns the committed version. */
+  def setProperties(spark: SparkSession, dir: String,
+                    kvs: Map[String, String],
+                    maxRetries: Int = 20): Long = {
+    require(kvs.nonEmpty, "setProperties: at least one property required")
+    commitProps(spark, dir, _ ++ kvs, "setProperties", maxRetries)
+  }
+
+  /** UNSET TBLPROPERTIES: drop `keys` (absent keys are fine — the SQL
+    * IF EXISTS semantics). Returns the committed version. */
+  def unsetProperties(spark: SparkSession, dir: String,
+                      keys: Seq[String],
+                      maxRetries: Int = 20): Long = {
+    require(keys.nonEmpty, "unsetProperties: at least one key required")
+    commitProps(spark, dir, _ -- keys, "unsetProperties", maxRetries)
+  }
+
+  private def commitProps(spark: SparkSession, dir: String,
+                          f: Map[String, String] => Map[String, String],
+                          op: String, maxRetries: Int): Long = {
+    latestVersion(spark, dir).getOrElse(
+      throw new java.io.IOException(s"$op: no committed version under $dir"))
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val cur = latestVersion(spark, dir).get
+      val st = stateOf(spark, dir, cur)
+      if (tryCommit(spark, dir, cur + 1, st.files, st.txns, st.stats,
+          st.schema, st.bloomRefs, st.bloomCols, st.sizes, op,
+          st.dvRefs, st.bucket,
+          colMapOpt = Some((st.colMap, st.retired)),
+          propsOpt = Some(f(st.props))))
+        return cur + 1
+      attempt += 1
+    }
+    throw new java.io.IOException(
+      s"$op: lost the commit race $maxRetries times under $dir")
   }
 
   // ------------------------------------------------------------------
@@ -3387,7 +3478,8 @@ object SnapshotTable {
           // the column mapping is table state like bucket/constraints
           // — stripping it here would serve physical names (or
           // resurrect dropped columns) at the keepFrom version
-          colMap = st.colMap, retired = st.retired)
+          colMap = st.colMap, retired = st.retired,
+          props = st.props)
         val tmp = new Path(manifestDir(dir),
           s".v$keepFrom.${java.util.UUID.randomUUID()}.ckpt.tmp")
         val out = f.create(tmp, false)

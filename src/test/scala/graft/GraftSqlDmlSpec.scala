@@ -247,6 +247,50 @@ class GraftSqlDmlSpec extends AnyFunSuite {
       spark.sql("SELECT * FROM graft.`/no/such/table`").collect() }
   }
 
+  test("TBLPROPERTIES: set/show/unset; enableDeletionVectors routes " +
+      "DELETE/UPDATE through merge-on-read; OPTIMIZE materializes") {
+    val dir = tmp("props"); mk(dir)
+    SnapshotSql.bind("sqldml_props", dir)
+    spark.sql("ALTER TABLE sqldml_props SET TBLPROPERTIES " +
+      "('graft.enableDeletionVectors' = 'true', 'owner' = 'etl')")
+    assert(spark.sql("SHOW TBLPROPERTIES sqldml_props").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap ==
+      Map("graft.enableDeletionVectors" -> "true", "owner" -> "etl"))
+    val filesBefore = SnapshotTable.manifestFiles(spark, dir,
+      SnapshotTable.latestVersion(spark, dir).get).toSet
+    // MoR DELETE: no file rewritten, a vector lands, count exact
+    val r = spark.sql("DELETE FROM sqldml_props WHERE id >= 90").head()
+    assert(r.getLong(1) == 10L)
+    val v1 = SnapshotTable.latestVersion(spark, dir).get
+    assert(SnapshotTable.manifestFiles(spark, dir, v1).toSet == filesBefore)
+    assert(SnapshotTable.manifestDvRefs(spark, dir, v1).nonEmpty)
+    assert(SnapshotTable.read(spark, dir).count() == 90)
+    // MoR UPDATE: masked old rows + new files, values correct
+    spark.sql("UPDATE sqldml_props SET score = score + 1000000 WHERE id < 5")
+    val got = SnapshotTable.read(spark, dir)
+    assert(got.filter(col("score") >= 1000000L).count() == 5)
+    assert(got.count() == 90)
+    // OPTIMIZE materializes the vectors
+    spark.sql("OPTIMIZE sqldml_props")
+    val v3 = SnapshotTable.latestVersion(spark, dir).get
+    assert(SnapshotTable.manifestDvRefs(spark, dir, v3).isEmpty)
+    assert(SnapshotTable.read(spark, dir).count() == 90)
+    // UNSET flips back to copy-on-write: the touched file is REWRITTEN
+    spark.sql("ALTER TABLE sqldml_props UNSET TBLPROPERTIES " +
+      "('graft.enableDeletionVectors')")
+    spark.sql("DELETE FROM sqldml_props WHERE id = 0")
+    val v4 = SnapshotTable.latestVersion(spark, dir).get
+    assert(SnapshotTable.manifestDvRefs(spark, dir, v4).isEmpty)
+    assert(SnapshotTable.read(spark, dir).count() == 89)
+    assert(spark.sql("SHOW TBLPROPERTIES sqldml_props").collect()
+      .map(_.getString(0)).toSeq == Seq("owner"))
+    // properties survive a shallow clone
+    val cloneDir = tmp("props-clone")
+    SnapshotTable.shallowClone(spark, dir, cloneDir)
+    assert(SnapshotTable.manifestProps(spark, cloneDir, 0L) ==
+      Map("owner" -> "etl"))
+  }
+
   test("DML through a live view: SQL reads see SQL writes immediately") {
     val dir = tmp("live"); mk(dir)
     SnapshotSql.registerLive(spark, "sqldml_live", dir) // binds too
