@@ -44,6 +44,9 @@ import org.apache.spark.sql.types._
   *   - `ALTER TABLE t SET TBLPROPERTIES ('k'='v')`   → [[SnapshotTable.setProperties]]
   *   - `ALTER TABLE t UNSET TBLPROPERTIES ('k')`     → [[SnapshotTable.unsetProperties]]
   *   - `SHOW TBLPROPERTIES t`                        → the recorded properties
+  *   - `INSERT OVERWRITE t <query>`                  → [[SnapshotTable.overwrite]] (atomic replace)
+  *   - `CREATE [OR REPLACE] TABLE graft.`p` AS <q>`  → CTAS into a fresh/replaced table
+  *   - `TRUNCATE TABLE t`                            → delete-all (one commit; time travel keeps history)
   *
   * With `graft.enableDeletionVectors` = `true` recorded in the
   * table's properties, DELETE and UPDATE route through the
@@ -210,7 +213,8 @@ object GraftSqlCommands {
         parseDescribeHistory(s).orElse(parseDescribeDetail(s))
       case "SHOW" =>
         parseShowConstraints(s).orElse(parseShowProps(s))
-      case "CREATE" => parseShallowClone(s)
+      case "CREATE" => parseShallowClone(s).orElse(parseCtas(s))
+      case "TRUNCATE" => parseTruncate(s)
       case _ => None
     }
   }
@@ -339,13 +343,38 @@ object GraftSqlCommands {
   }
 
   private def parseInsert(s: String): Option[LogicalPlan] = {
-    val m = s"""(?is)^INSERT${Ws}INTO$Ws""".r.findFirstMatchIn(s)
-      .getOrElse(return None)
+    val m = s"""(?is)^INSERT$Ws(INTO|OVERWRITE)$Ws(?:TABLE$Ws)?""".r
+      .findFirstMatchIn(s).getOrElse(return None)
+    val overwrite = m.group(1).equalsIgnoreCase("OVERWRITE")
     val rest = s.substring(m.end)
     val (dir, len) = resolveTableAt(rest).getOrElse(return None)
     val query = rest.substring(len).trim
-    if (query.isEmpty) fail("INSERT INTO <t> <query> — missing query")
-    Some(GraftInsertCommand(dir, query))
+    if (query.isEmpty) fail(
+      "INSERT INTO|OVERWRITE <t> <query> — missing query")
+    Some(GraftInsertCommand(dir, query, overwrite))
+  }
+
+  /** `CREATE [OR REPLACE] TABLE graft.`path` AS <query>` — CTAS into
+    * a snapshot-table directory (plain CREATE refuses an existing
+    * table; OR REPLACE is an atomic [[SnapshotTable.overwrite]]). */
+  private def parseCtas(s: String): Option[LogicalPlan] = {
+    val m =
+      s"""(?is)^CREATE$Ws(?:(OR${Ws}REPLACE)$Ws)?TABLE${Ws}graft\\.`([^`]+)`${Ws}AS$Ws""".r
+        .findFirstMatchIn(s).getOrElse(return None)
+    val query = s.substring(m.end).trim
+    if (query.isEmpty) fail("CREATE TABLE graft.`…` AS <query> — missing query")
+    Some(GraftCtasCommand(m.group(2), query, replace = m.group(1) != null))
+  }
+
+  private def parseTruncate(s: String): Option[LogicalPlan] = {
+    val m = s"""(?is)^TRUNCATE${Ws}TABLE$Ws""".r.findFirstMatchIn(s)
+      .getOrElse(return None)
+    val rest = s.substring(m.end)
+    val (dir, len) = resolveTableAt(rest).getOrElse(return None)
+    val tail = rest.substring(len).trim
+    if (tail.nonEmpty) fail(
+      s"TRUNCATE TABLE <t> takes no further clauses — got: $tail")
+    Some(GraftDeleteCommand(dir, None))
   }
 
   private def parseAlter(s: String): Option[LogicalPlan] = {
@@ -599,12 +628,14 @@ object GraftSqlCommands {
     }
   }
 
-  /** `INSERT INTO t <query>` → [[SnapshotTable.append]]. SQL INSERT
-    * is POSITIONAL: when the table has a recorded schema the query's
+  /** `INSERT INTO|OVERWRITE t <query>` → [[SnapshotTable.append]] /
+    * the atomic [[SnapshotTable.overwrite]] REPLACE. SQL INSERT is
+    * POSITIONAL: when the table has a recorded schema the query's
     * columns are renamed (and cast, INSERT's implicit-cast contract)
     * to it by position, arity-checked. A first write into an empty
-    * directory appends the query's own shape. */
-  case class GraftInsertCommand(dir: String, query: String)
+    * directory lands the query's own shape. */
+  case class GraftInsertCommand(dir: String, query: String,
+                                overwrite: Boolean = false)
       extends LeafRunnableCommand {
     override val output: Seq[Attribute] = Seq(longAttr("version"))
     override def run(spark: SparkSession): Seq[Row] = {
@@ -613,13 +644,34 @@ object GraftSqlCommands {
         .flatMap(v => SnapshotTable.manifestSchema(spark, dir, v)) match {
         case Some(schema) =>
           if (q.schema.length != schema.length)
-            fail(s"INSERT INTO: query has ${q.schema.length} columns, " +
+            fail(s"INSERT: query has ${q.schema.length} columns, " +
               s"table has ${schema.length}")
-          q.select(schema.fields.zipWithIndex.map { case (f, i) =>
-            col(q.columns(i)).cast(f.dataType).as(f.name) }.toSeq: _*)
+          // strictly positional (toDF renames by position — selecting
+          // by the query's own names would break on duplicate aliases)
+          q.toDF(schema.fieldNames.toIndexedSeq: _*)
+            .select(schema.fields.map(f =>
+              col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
         case None => q
       }
-      Seq(Row(SnapshotTable.append(aligned, dir)))
+      Seq(Row(
+        if (overwrite) SnapshotTable.overwrite(aligned, dir)
+        else SnapshotTable.append(aligned, dir)))
+    }
+  }
+
+  /** `CREATE [OR REPLACE] TABLE graft.`path` AS <query>` — CTAS. */
+  case class GraftCtasCommand(dir: String, query: String, replace: Boolean)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(longAttr("version"))
+    override def run(spark: SparkSession): Seq[Row] = {
+      val exists = SnapshotTable.latestVersion(spark, dir).nonEmpty
+      if (exists && !replace) fail(
+        s"CREATE TABLE: a snapshot table already exists under $dir — " +
+          "use CREATE OR REPLACE TABLE")
+      val q = spark.sql(query)
+      Seq(Row(
+        if (exists) SnapshotTable.overwrite(q, dir)
+        else SnapshotTable.append(q, dir)))
     }
   }
 

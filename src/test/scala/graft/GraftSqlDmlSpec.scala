@@ -291,6 +291,34 @@ class GraftSqlDmlSpec extends AnyFunSuite {
       Map("owner" -> "etl"))
   }
 
+  test("CTAS, INSERT OVERWRITE, and TRUNCATE TABLE") {
+    val dir = tmp("ctas")
+    spark.sql(s"CREATE TABLE graft.`$dir` AS " +
+      "SELECT id, id * 2 AS v FROM range(10)")
+    assert(spark.sql(s"SELECT sum(v) AS s FROM graft.`$dir`")
+      .head().getLong(0) == (0L until 10L).map(_ * 2).sum)
+    // plain CREATE refuses an existing table; OR REPLACE replaces
+    intercept[IllegalArgumentException] {
+      spark.sql(s"CREATE TABLE graft.`$dir` AS SELECT 1 AS x") }
+    spark.sql(s"CREATE OR REPLACE TABLE graft.`$dir` AS " +
+      "SELECT id, id * 3 AS v FROM range(4)")
+    assert(SnapshotTable.read(spark, dir).count() == 4)
+    // history retained: the pre-replace version still time-travels
+    assert(SnapshotTable.read(spark, dir, Some(0L)).count() == 10)
+    // INSERT OVERWRITE: positional replace with insert-casts
+    SnapshotSql.bind("sqldml_ctas", dir)
+    spark.sql("INSERT OVERWRITE sqldml_ctas " +
+      "SELECT CAST(id AS INT), CAST(id AS INT) FROM range(6)")
+    val got = SnapshotTable.read(spark, dir)
+    assert(got.count() == 6)
+    assert(got.schema("v").dataType ==
+      org.apache.spark.sql.types.LongType) // cast to the table's type
+    // TRUNCATE: one commit empties the table, history keeps the rows
+    val r = spark.sql("TRUNCATE TABLE sqldml_ctas").head()
+    assert(r.getLong(1) == 6L)
+    assert(SnapshotTable.read(spark, dir).count() == 0)
+  }
+
   test("DML through a live view: SQL reads see SQL writes immediately") {
     val dir = tmp("live"); mk(dir)
     SnapshotSql.registerLive(spark, "sqldml_live", dir) // binds too

@@ -79,6 +79,30 @@ class SnapshotWidenSpec extends AnyFunSuite {
     assert(e.getMessage.contains("bucket"))
   }
 
+  test("restore across a widen rolls the type back consistently " +
+      "(wide files can never pair with a narrow schema)") {
+    val dir = tmp("restore")
+    SnapshotTable.append(
+      (0 until 10).map(i => (i, i)).toDF("id", "v"), dir)           // v0 int
+    SnapshotTable.widenColumn(spark, dir, "v", LongType)            // v1
+    SnapshotTable.append(
+      Seq((100, 5000000000L)).toDF("id", "v"), dir)                 // v2 wide rows
+    assert(SnapshotTable.read(spark, dir)
+      .agg(max("v")).head().getLong(0) == 5000000000L)
+    // restore to v0: int schema AND the int-only file list reinstate
+    // together — a wide file can never be read under a narrow schema
+    SnapshotTable.restore(spark, dir, 0L)
+    val got = SnapshotTable.read(spark, dir)
+    assert(got.schema("v").dataType == IntegerType)
+    assert(got.count() == 10)
+    // the wide version still time-travels with ITS schema
+    assert(SnapshotTable.read(spark, dir, Some(2L))
+      .agg(max("v")).head().getLong(0) == 5000000000L)
+    // widening again after the rollback works
+    SnapshotTable.widenColumn(spark, dir, "v", LongType)
+    assert(SnapshotTable.read(spark, dir).schema("v").dataType == LongType)
+  }
+
   test("widen composes with rename (column mapping) and SQL DML") {
     val dir = tmp("sql")
     SnapshotTable.append(
