@@ -650,6 +650,20 @@ final class GraftCdfStreamSource(spark: SparkSession, dir: String,
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val to = versionOf(end)
+    // Mid-stream schema changes the captured CDF schema cannot absorb
+    // fail LOUDLY with a restart hint (same contract as the plain
+    // source — without this a rename/drop/widen surfaces as a raw
+    // unresolved-column or parquet-conversion error deep in a step).
+    SnapshotTable.manifestSchema(spark, dir, to).foreach { live =>
+      val liveTypes = live.fields.map(f => f.name -> f.dataType).toMap
+      val captured = GraftCdfStreamSource.stripCdfColumns(schema)
+      val bad = captured.fields.filter(f =>
+        !liveTypes.get(f.name).contains(f.dataType))
+      if (bad.nonEmpty) throw new IllegalStateException(
+        s"graft CDF source: column(s) ${bad.map(_.name).mkString(", ")} " +
+          "were renamed, dropped, or changed type mid-stream — restart " +
+          "the stream to capture the current schema")
+    }
     val batch = start.map(versionOf) match {
       case Some(from) => changes(from, to)
       case None => startingVersion match {

@@ -220,6 +220,30 @@ class GraftRateLimitSpec extends AnyFunSuite {
     assert(got.select("id").distinct().count() == 8)
   }
 
+  test("CDF source: a mid-stream rename fails loudly with a restart hint") {
+    val dir = tmp("cdf-guard")
+    SnapshotTable.append(Seq((1L, "a")).toDF("k", "s").coalesce(1), dir)
+    val ckpt = Files.createTempDirectory("rate-ckc").toString
+    val out = Files.createTempDirectory("rate-outc").toString + "/p"
+    val q = spark.readStream.format("graft")
+      .option("readChangeFeed", "true").load(dir)
+      .writeStream.format("parquet")
+      .option("checkpointLocation", ckpt).option("path", out).start()
+    val e = intercept[Throwable] {
+      try {
+        q.processAllAvailable()
+        SnapshotTable.renameColumn(spark, dir, "s", "label")
+        SnapshotTable.append(Seq((2L, "b")).toDF("k", "label")
+          .coalesce(1), dir)
+        q.processAllAvailable()
+        throw new IllegalStateException("unreachable: stream kept running")
+      } finally q.stop()
+    }
+    assert(e.toString.contains("restart the stream") ||
+      Option(e.getCause).exists(_.toString.contains("restart the stream")),
+      s"got $e")
+  }
+
   test("turning limits ON over an unlimited checkpoint continues cleanly") {
     val dir = tmp("flip"); mkFiles(dir, 3)
     val ckpt = Files.createTempDirectory("rate-ck4").toString
