@@ -2130,8 +2130,8 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo("graft.plans", name), builder))
     }
-    ext.injectParser((_, delegate) =>
-      new graft.sources.GraftSqlParser(delegate))
+    ext.injectParser((session, delegate) =>
+      new graft.sources.GraftSqlParser(session, delegate))
     // `FROM graft.`/path`` in plain SQL resolves to the
     // manifest-pruned snapshot relation (incl. VERSION/TIMESTAMP AS
     // OF) — the read-side twin of the DML parser above. Injected into

@@ -343,6 +343,16 @@ final class GraftStreamSource(spark: SparkSession, dir: String,
     var progressed = false
     var done = false
     while (!done && !exhausted && pos.v <= head) {
+      // A fully-consumed position advances WITHOUT touching its
+      // manifest: listOf(v) reads versionDeltas(v-1, v), so probing a
+      // Complete position both re-reads two manifests on every idle
+      // trigger and, for startingVersion=sv with v=sv-1 the oldest
+      // surviving (checkpoint-rewritten) version, would throw
+      // "manifest missing" where the unlimited path works.
+      if (pos.i == Pos.Complete) {
+        if (pos.v < head) { pos = Pos(pos.v + 1, 0, snap = false) }
+        else done = true
+      } else {
       val list = listOf(pos.v, pos.snap)
       val consumed = math.min(pos.iNorm(list.size), list.size)
       if (consumed < list.size) {
@@ -363,6 +373,7 @@ final class GraftStreamSource(spark: SparkSession, dir: String,
       } else if (pos.v < head) {
         pos = Pos(pos.v + 1, 0, snap = false)
       } else done = true
+      }
     }
     if (progressed) Some(pos) else None
   }

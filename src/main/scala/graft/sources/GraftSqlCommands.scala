@@ -145,8 +145,11 @@ object GraftSqlCommands {
   /** A table reference token: `graft.`path``, a backquoted name, or a
     * plain identifier. Returns (directory, matched length) when the
     * reference resolves to a graft table; None otherwise (→ the whole
-    * statement delegates to Spark). */
-  private def resolveTableAt(s: String): Option[(String, Int)] = {
+    * statement delegates to Spark). Bare names resolve against the
+    * PARSING session's address book ([[SnapshotSql.boundDir]]) — a
+    * session that never bound the name delegates to Spark. */
+  private def resolveTableAt(spark: SparkSession,
+                             s: String): Option[(String, Int)] = {
     val GraftPath = """(?is)^graft\.`([^`]+)`""".r
     val Quoted = """(?s)^`([^`]+)`""".r
     val Ident = """(?s)^([A-Za-z_][A-Za-z0-9_]*)""".r
@@ -156,12 +159,33 @@ object GraftSqlCommands {
         val nm = Quoted.findFirstMatchIn(s).map(m => (m.group(1), m.end))
           .orElse(Ident.findFirstMatchIn(s).map(m => (m.group(1), m.end)))
         nm.flatMap { case (name, len) =>
-          SnapshotSql.boundDir(name).map(dir => (dir, len)) }
+          SnapshotSql.boundDir(spark, name).map(dir => (dir, len)) }
       }
   }
 
   private def fail(msg: String): Nothing =
     throw new IllegalArgumentException(s"graft SQL: $msg")
+
+  /** INSERT/MERGE's implicit-cast discipline honors
+    * `spark.sql.storeAssignmentPolicy` (Spark's default: ANSI): an
+    * overflowing or malformed value FAILS the statement loudly —
+    * exactly native INSERT INTO behavior — instead of silently
+    * landing NULL / truncated via the permissive cast. Set the policy
+    * to LEGACY for the permissive behavior. */
+  private[sources] def storeCast(spark: SparkSession,
+                                 c: org.apache.spark.sql.Column,
+                                 dt: DataType): org.apache.spark.sql.Column = {
+    val policy = spark.conf.get("spark.sql.storeAssignmentPolicy", "ANSI")
+    // EvalMode pinned EXPLICITLY both ways: a plain Column.cast keys
+    // off spark.sql.ansi.enabled, not the store-assignment policy.
+    val mode =
+      if (policy.equalsIgnoreCase("LEGACY"))
+        org.apache.spark.sql.catalyst.expressions.EvalMode.LEGACY
+      else org.apache.spark.sql.catalyst.expressions.EvalMode.ANSI
+    org.apache.spark.sql.GraftSqlBridge.column(
+      org.apache.spark.sql.catalyst.expressions.Cast(
+        org.apache.spark.sql.GraftSqlBridge.expression(c), dt, None, mode))
+  }
 
   /** `'key'` / `"key"` / bare dotted identifier → key text. */
   private def unquotePropToken(t0: String): String = {
@@ -195,37 +219,37 @@ object GraftSqlCommands {
   // The grammar — None = not ours, delegate to Spark's parser
   // ------------------------------------------------------------------
 
-  def tryParse(sqlText: String): Option[LogicalPlan] = {
+  def tryParse(spark: SparkSession, sqlText: String): Option[LogicalPlan] = {
     val s0 = sqlText.trim
     val s = if (s0.endsWith(";")) s0.dropRight(1).trim else s0
     val head = s.takeWhile(c => Character.isLetter(c))
       .toUpperCase(java.util.Locale.ROOT)
     head match {
-      case "DELETE" => parseDelete(s)
-      case "UPDATE" => parseUpdate(s)
-      case "MERGE" => parseMerge(s)
-      case "INSERT" => parseInsert(s)
-      case "ALTER" => parseAlter(s)
-      case "OPTIMIZE" => parseOptimize(s)
-      case "VACUUM" => parseVacuum(s)
-      case "RESTORE" => parseRestore(s)
+      case "DELETE" => parseDelete(spark, s)
+      case "UPDATE" => parseUpdate(spark, s)
+      case "MERGE" => parseMerge(spark, s)
+      case "INSERT" => parseInsert(spark, s)
+      case "ALTER" => parseAlter(spark, s)
+      case "OPTIMIZE" => parseOptimize(spark, s)
+      case "VACUUM" => parseVacuum(spark, s)
+      case "RESTORE" => parseRestore(spark, s)
       case "DESCRIBE" | "DESC" =>
-        parseDescribeHistory(s).orElse(parseDescribeDetail(s))
+        parseDescribeHistory(spark, s).orElse(parseDescribeDetail(spark, s))
       case "SHOW" =>
-        parseShowConstraints(s).orElse(parseShowProps(s))
-      case "CREATE" => parseShallowClone(s).orElse(parseCtas(s))
-      case "TRUNCATE" => parseTruncate(s)
+        parseShowConstraints(spark, s).orElse(parseShowProps(spark, s))
+      case "CREATE" => parseCreate(spark, s)
+      case "TRUNCATE" => parseTruncate(spark, s)
       case _ => None
     }
   }
 
   private val Ws = """\s+"""
 
-  private def parseDelete(s: String): Option[LogicalPlan] = {
+  private def parseDelete(spark: SparkSession, s: String): Option[LogicalPlan] = {
     val m = s"""(?is)^DELETE${Ws}FROM$Ws""".r.findFirstMatchIn(s)
       .getOrElse(return None)
     val rest = s.substring(m.end)
-    val (dir, len) = resolveTableAt(rest).getOrElse(return None)
+    val (dir, len) = resolveTableAt(spark, rest).getOrElse(return None)
     val tail = rest.substring(len).trim
     val where =
       if (tail.isEmpty) None
@@ -237,10 +261,10 @@ object GraftSqlCommands {
     Some(GraftDeleteCommand(dir, where))
   }
 
-  private def parseUpdate(s: String): Option[LogicalPlan] = {
+  private def parseUpdate(spark: SparkSession, s: String): Option[LogicalPlan] = {
     val m = s"""(?is)^UPDATE$Ws""".r.findFirstMatchIn(s).getOrElse(return None)
     val rest = s.substring(m.end)
-    val (dir, len) = resolveTableAt(rest).getOrElse(return None)
+    val (dir, len) = resolveTableAt(spark, rest).getOrElse(return None)
     val tail = rest.substring(len).trim
     val setM = s"""(?is)^SET$Ws""".r.findFirstMatchIn(tail)
       .getOrElse(fail(s"UPDATE <t> SET a = …[, b = …] [WHERE <cond>] — got: $tail"))
@@ -262,11 +286,11 @@ object GraftSqlCommands {
     Some(GraftUpdateCommand(dir, sets, where))
   }
 
-  private def parseMerge(s: String): Option[LogicalPlan] = {
+  private def parseMerge(spark: SparkSession, s: String): Option[LogicalPlan] = {
     val m = s"""(?is)^MERGE${Ws}INTO$Ws""".r.findFirstMatchIn(s)
       .getOrElse(return None)
     val rest = s.substring(m.end)
-    val (dir, len) = resolveTableAt(rest).getOrElse(return None)
+    val (dir, len) = resolveTableAt(spark, rest).getOrElse(return None)
     var tail = rest.substring(len).trim
     // optional [AS] <alias> on the target
     val aliasM = s"""(?is)^(?:AS$Ws)?([A-Za-z_][A-Za-z0-9_]*)$Ws""".r
@@ -342,46 +366,112 @@ object GraftSqlCommands {
     Some(GraftMergeCommand(dir, source, keys))
   }
 
-  private def parseInsert(s: String): Option[LogicalPlan] = {
+  private def parseInsert(spark: SparkSession, s: String): Option[LogicalPlan] = {
     val m = s"""(?is)^INSERT$Ws(INTO|OVERWRITE)$Ws(?:TABLE$Ws)?""".r
       .findFirstMatchIn(s).getOrElse(return None)
     val overwrite = m.group(1).equalsIgnoreCase("OVERWRITE")
     val rest = s.substring(m.end)
-    val (dir, len) = resolveTableAt(rest).getOrElse(return None)
+    val (dir, len) = resolveTableAt(spark, rest).getOrElse(return None)
     val query = rest.substring(len).trim
     if (query.isEmpty) fail(
       "INSERT INTO|OVERWRITE <t> <query> — missing query")
     Some(GraftInsertCommand(dir, query, overwrite))
   }
 
-  /** `CREATE [OR REPLACE] TABLE graft.`path` AS <query>` — CTAS into
-    * a snapshot-table directory (plain CREATE refuses an existing
-    * table; OR REPLACE is an atomic [[SnapshotTable.overwrite]]). */
-  private def parseCtas(s: String): Option[LogicalPlan] = {
-    val m =
-      s"""(?is)^CREATE$Ws(?:(OR${Ws}REPLACE)$Ws)?TABLE${Ws}graft\\.`([^`]+)`${Ws}AS$Ws""".r
-        .findFirstMatchIn(s).getOrElse(return None)
-    val query = s.substring(m.end).trim
-    if (query.isEmpty) fail("CREATE TABLE graft.`…` AS <query> — missing query")
-    Some(GraftCtasCommand(m.group(2), query, replace = m.group(1) != null))
+  /** Backquote-stripped identifier. */
+  private def unqIdent(c0: String): String = {
+    val c = c0.trim
+    if (c.startsWith("`") && c.endsWith("`") && c.length > 1)
+      c.substring(1, c.length - 1) else c
   }
 
-  private def parseTruncate(s: String): Option[LogicalPlan] = {
+  /** The one CREATE entry point. The grammar claims ONLY statements
+    * whose DESTINATION is a `graft.`path`` reference — every other
+    * CREATE TABLE (including ones that merely contain the word
+    * SHALLOW as a column or table name) delegates to Spark untouched,
+    * preserving the file-wide delegation guarantee. Forms:
+    *
+    *   CREATE TABLE graft.`p` SHALLOW CLONE <src> [VERSION AS OF n]
+    *   CREATE [OR REPLACE] TABLE graft.`p` AS <query>
+    *   CREATE TABLE graft.`p` PARTITIONED BY (c1, …) AS <query>
+    *   CREATE TABLE graft.`p` CLUSTERED BY (c1, …) [SORTED BY (s1, …)]
+    *     INTO n BUCKETS AS <query>
+    *
+    * Layout clauses route to [[SnapshotTable.appendPartitioned]] /
+    * [[SnapshotTable.appendBucketed]], so a SQL-created table carries
+    * the same manifest partition stats / bucket claim (and the same
+    * pruning / zero-Exchange join plans) as the API path. Layouts
+    * need a FRESH directory (OR REPLACE would have to re-layout the
+    * replacement atomically — unsupported, fail loudly). */
+  private def parseCreate(spark: SparkSession, s: String): Option[LogicalPlan] = {
+    val m =
+      s"""(?is)^CREATE$Ws(?:(OR${Ws}REPLACE)$Ws)?TABLE${Ws}graft\\.`([^`]+)`""".r
+        .findFirstMatchIn(s).getOrElse(return None)
+    val replace = m.group(1) != null
+    val dst = m.group(2)
+    var tail = s.substring(m.end).trim
+    val sc = s"""(?is)^SHALLOW${Ws}CLONE$Ws""".r.findFirstMatchIn(tail)
+    if (sc.isDefined) {
+      if (replace) fail("CREATE OR REPLACE … SHALLOW CLONE is not " +
+        "supported — clone into a fresh directory")
+      tail = tail.substring(sc.get.end)
+      val (src, len) = resolveTableAt(spark, tail).getOrElse(
+        fail(s"SHALLOW CLONE: unknown source table: ${tail.trim}"))
+      val after = tail.substring(len).trim
+      val V = s"""(?is)^VERSION${Ws}AS${Ws}OF$Ws(\\d+)$$""".r
+      val version = after match {
+        case "" => None
+        case V(n) => Some(n.toLong)
+        case other => fail(
+          s"SHALLOW CLONE: expected [VERSION AS OF n], got: $other")
+      }
+      return Some(GraftCloneCommand(src, dst, version))
+    }
+    val P = s"""(?is)^PARTITIONED${Ws}BY\\s*\\(([^)]*)\\)\\s*""".r
+    val C =
+      s"""(?is)^CLUSTERED${Ws}BY\\s*\\(([^)]*)\\)\\s*(?:SORTED${Ws}BY\\s*\\(([^)]*)\\)\\s*)?INTO$Ws(\\d+)${Ws}BUCKETS\\s*""".r
+    var partitionBy: Seq[String] = Nil
+    var bucket: Option[(Seq[String], Seq[String], Int)] = None
+    P.findFirstMatchIn(tail).foreach { pm =>
+      partitionBy = splitTopCommas(pm.group(1)).map(unqIdent)
+      tail = tail.substring(pm.end).trim
+    }
+    if (partitionBy.isEmpty) C.findFirstMatchIn(tail).foreach { cm =>
+      bucket = Some((splitTopCommas(cm.group(1)).map(unqIdent),
+        Option(cm.group(2)).map(g => splitTopCommas(g).map(unqIdent))
+          .getOrElse(Nil),
+        cm.group(3).toInt))
+      tail = tail.substring(cm.end).trim
+    }
+    if (replace && (partitionBy.nonEmpty || bucket.nonEmpty)) fail(
+      "CREATE OR REPLACE with a PARTITIONED BY / CLUSTERED BY clause is " +
+        "not supported — layouts need a fresh directory")
+    val asM = s"""(?is)^AS$Ws""".r.findFirstMatchIn(tail).getOrElse(fail(
+      "CREATE [OR REPLACE] TABLE graft.`path` supports: AS <query> | " +
+        "PARTITIONED BY (…) AS <query> | CLUSTERED BY (…) [SORTED BY (…)] " +
+        "INTO n BUCKETS AS <query> | SHALLOW CLONE <src> [VERSION AS OF n]" +
+        s" — got: $tail"))
+    val query = tail.substring(asM.end).trim
+    if (query.isEmpty) fail("CREATE TABLE graft.`…` AS <query> — missing query")
+    Some(GraftCtasCommand(dst, query, replace, partitionBy, bucket))
+  }
+
+  private def parseTruncate(spark: SparkSession, s: String): Option[LogicalPlan] = {
     val m = s"""(?is)^TRUNCATE${Ws}TABLE$Ws""".r.findFirstMatchIn(s)
       .getOrElse(return None)
     val rest = s.substring(m.end)
-    val (dir, len) = resolveTableAt(rest).getOrElse(return None)
+    val (dir, len) = resolveTableAt(spark, rest).getOrElse(return None)
     val tail = rest.substring(len).trim
     if (tail.nonEmpty) fail(
       s"TRUNCATE TABLE <t> takes no further clauses — got: $tail")
     Some(GraftDeleteCommand(dir, None))
   }
 
-  private def parseAlter(s: String): Option[LogicalPlan] = {
+  private def parseAlter(spark: SparkSession, s: String): Option[LogicalPlan] = {
     val m = s"""(?is)^ALTER${Ws}TABLE$Ws""".r.findFirstMatchIn(s)
       .getOrElse(return None)
     val rest = s.substring(m.end)
-    val (dir, len) = resolveTableAt(rest).getOrElse(return None)
+    val (dir, len) = resolveTableAt(spark, rest).getOrElse(return None)
     val tail = rest.substring(len).trim
     val Rename =
       s"""(?is)^RENAME${Ws}COLUMN$Ws(`[^`]+`|[A-Za-z_][A-Za-z0-9_]*)${Ws}TO$Ws(`[^`]+`|[A-Za-z_][A-Za-z0-9_]*)$$""".r
@@ -428,11 +518,11 @@ object GraftSqlCommands {
     }
   }
 
-  private def parseOptimize(s: String): Option[LogicalPlan] = {
+  private def parseOptimize(spark: SparkSession, s: String): Option[LogicalPlan] = {
     val m = s"""(?is)^OPTIMIZE$Ws""".r.findFirstMatchIn(s)
       .getOrElse(return None)
     val rest = s.substring(m.end)
-    val (dir, len) = resolveTableAt(rest).getOrElse(return None)
+    val (dir, len) = resolveTableAt(spark, rest).getOrElse(return None)
     val tail = rest.substring(len).trim
     if (tail.isEmpty) return Some(GraftOptimizeCommand(dir, None, Nil))
     val Z = s"""(?is)^ZORDER${Ws}BY\\s*\\(([^)]*)\\)$$""".r
@@ -454,10 +544,10 @@ object GraftSqlCommands {
     }
   }
 
-  private def parseVacuum(s: String): Option[LogicalPlan] = {
+  private def parseVacuum(spark: SparkSession, s: String): Option[LogicalPlan] = {
     val m = s"""(?is)^VACUUM$Ws""".r.findFirstMatchIn(s).getOrElse(return None)
     val rest = s.substring(m.end)
-    val (dir, len) = resolveTableAt(rest).getOrElse(return None)
+    val (dir, len) = resolveTableAt(spark, rest).getOrElse(return None)
     var tail = rest.substring(len).trim
     var keep = 2
     val R = s"""(?is)^RETAIN$Ws(\\d+)${Ws}VERSIONS\\s*""".r
@@ -469,12 +559,12 @@ object GraftSqlCommands {
     Some(GraftVacuumCommand(dir, keep, dry))
   }
 
-  private def parseRestore(s: String): Option[LogicalPlan] = {
+  private def parseRestore(spark: SparkSession, s: String): Option[LogicalPlan] = {
     val M =
       s"""(?is)^RESTORE$Ws(?:TABLE$Ws)?""".r.findFirstMatchIn(s)
         .getOrElse(return None)
     val rest = s.substring(M.end)
-    val (dir, len) = resolveTableAt(rest).getOrElse(return None)
+    val (dir, len) = resolveTableAt(spark, rest).getOrElse(return None)
     val tail = rest.substring(len).trim
     val V = s"""(?is)^(?:TO$Ws)?VERSION${Ws}AS${Ws}OF$Ws(\\d+)$$""".r
     tail match {
@@ -483,79 +573,48 @@ object GraftSqlCommands {
     }
   }
 
-  private def parseDescribeHistory(s: String): Option[LogicalPlan] = {
+  private def parseDescribeHistory(spark: SparkSession, s: String): Option[LogicalPlan] = {
     val m = s"""(?is)^DESC(?:RIBE)?${Ws}HISTORY$Ws""".r.findFirstMatchIn(s)
       .getOrElse(return None)
     val rest = s.substring(m.end)
-    val (dir, len) = resolveTableAt(rest).getOrElse(return None)
+    val (dir, len) = resolveTableAt(spark, rest).getOrElse(return None)
     val tail = rest.substring(len).trim
     if (tail.nonEmpty) fail(
       s"DESCRIBE HISTORY <t> takes no further clauses — got: $tail")
     Some(GraftHistoryCommand(dir))
   }
 
-  private def parseDescribeDetail(s: String): Option[LogicalPlan] = {
+  private def parseDescribeDetail(spark: SparkSession, s: String): Option[LogicalPlan] = {
     val m = s"""(?is)^DESC(?:RIBE)?${Ws}DETAIL$Ws""".r.findFirstMatchIn(s)
       .getOrElse(return None)
     val rest = s.substring(m.end)
-    val (dir, len) = resolveTableAt(rest).getOrElse(return None)
+    val (dir, len) = resolveTableAt(spark, rest).getOrElse(return None)
     val tail = rest.substring(len).trim
     if (tail.nonEmpty) fail(
       s"DESCRIBE DETAIL <t> takes no further clauses — got: $tail")
     Some(GraftDetailCommand(dir))
   }
 
-  private def parseShowConstraints(s: String): Option[LogicalPlan] = {
+  private def parseShowConstraints(spark: SparkSession, s: String): Option[LogicalPlan] = {
     val m = s"""(?is)^SHOW${Ws}CONSTRAINTS$Ws(?:ON$Ws)?""".r
       .findFirstMatchIn(s).getOrElse(return None)
     val rest = s.substring(m.end)
-    val (dir, len) = resolveTableAt(rest).getOrElse(return None)
+    val (dir, len) = resolveTableAt(spark, rest).getOrElse(return None)
     val tail = rest.substring(len).trim
     if (tail.nonEmpty) fail(
       s"SHOW CONSTRAINTS [ON] <t> takes no further clauses — got: $tail")
     Some(GraftShowConstraintsCommand(dir))
   }
 
-  private def parseShowProps(s: String): Option[LogicalPlan] = {
+  private def parseShowProps(spark: SparkSession, s: String): Option[LogicalPlan] = {
     val m = s"""(?is)^SHOW${Ws}TBLPROPERTIES$Ws""".r
       .findFirstMatchIn(s).getOrElse(return None)
     val rest = s.substring(m.end)
-    val (dir, len) = resolveTableAt(rest).getOrElse(return None)
+    val (dir, len) = resolveTableAt(spark, rest).getOrElse(return None)
     val tail = rest.substring(len).trim
     if (tail.nonEmpty) fail(
       s"SHOW TBLPROPERTIES <t> takes no further clauses — got: $tail")
     Some(GraftShowPropsCommand(dir))
-  }
-
-  private def parseShallowClone(s: String): Option[LogicalPlan] = {
-    // only statements containing the (non-Spark) SHALLOW CLONE phrase
-    // are candidates; every other CREATE TABLE delegates untouched
-    if (topLevelKeyword(s, "SHALLOW") < 0) return None
-    val m = s"""(?is)^CREATE${Ws}TABLE$Ws""".r.findFirstMatchIn(s)
-      .getOrElse(return None)
-    val rest = s.substring(m.end)
-    // destination: a fresh graft.`path` (a bare name has no directory)
-    val DstPath = """(?is)^graft\.`([^`]+)`""".r
-    val dm = DstPath.findFirstMatchIn(rest).getOrElse(
-      fail("CREATE TABLE … SHALLOW CLONE: the destination must be a " +
-        "graft.`/path` reference (a bare name carries no directory)"))
-    val dst = dm.group(1)
-    var tail = rest.substring(dm.end).trim
-    val sc = s"""(?is)^SHALLOW${Ws}CLONE$Ws""".r.findFirstMatchIn(tail)
-      .getOrElse(fail(
-        s"CREATE TABLE graft.`…` SHALLOW CLONE <src> [VERSION AS OF n] — got: $tail"))
-    tail = tail.substring(sc.end)
-    val (src, len) = resolveTableAt(tail).getOrElse(
-      fail(s"SHALLOW CLONE: unknown source table: ${tail.trim}"))
-    val after = tail.substring(len).trim
-    val V = s"""(?is)^VERSION${Ws}AS${Ws}OF$Ws(\\d+)$$""".r
-    val version = after match {
-      case "" => None
-      case V(n) => Some(n.toLong)
-      case other => fail(
-        s"SHALLOW CLONE: expected [VERSION AS OF n], got: $other")
-    }
-    Some(GraftCloneCommand(src, dst, version))
   }
 
   // ------------------------------------------------------------------
@@ -613,14 +672,16 @@ object GraftSqlCommands {
       val src0 = source.fold(spark.sql, spark.table)
       // SQL MERGE's implicit-cast contract: source columns that the
       // table also has cast to the table's types BY NAME (an INT
-      // subquery literal merges into a BIGINT column); source-only
-      // columns pass through for add-column evolution.
+      // subquery literal merges into a BIGINT column), under the
+      // session's storeAssignmentPolicy (ANSI default: overflow /
+      // malformed values fail loudly); source-only columns pass
+      // through for add-column evolution.
       val src = SnapshotTable.latestVersion(spark, dir)
         .flatMap(v => SnapshotTable.manifestSchema(spark, dir, v)) match {
         case Some(schema) =>
           val types = schema.fields.map(f => f.name -> f.dataType).toMap
           src0.select(src0.columns.map(c =>
-            types.get(c).map(t => col(c).cast(t).as(c))
+            types.get(c).map(t => storeCast(spark, col(c), t).as(c))
               .getOrElse(col(c))).toSeq: _*)
         case None => src0
       }
@@ -647,10 +708,13 @@ object GraftSqlCommands {
             fail(s"INSERT: query has ${q.schema.length} columns, " +
               s"table has ${schema.length}")
           // strictly positional (toDF renames by position — selecting
-          // by the query's own names would break on duplicate aliases)
+          // by the query's own names would break on duplicate aliases);
+          // casts follow storeAssignmentPolicy (ANSI default — a
+          // mis-ordered or mistyped INSERT fails loudly, like Spark's
+          // own INSERT INTO, instead of silently nulling a column)
           q.toDF(schema.fieldNames.toIndexedSeq: _*)
             .select(schema.fields.map(f =>
-              col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
+              storeCast(spark, col(f.name), f.dataType).as(f.name)).toSeq: _*)
         case None => q
       }
       Seq(Row(
@@ -659,8 +723,14 @@ object GraftSqlCommands {
     }
   }
 
-  /** `CREATE [OR REPLACE] TABLE graft.`path` AS <query>` — CTAS. */
-  case class GraftCtasCommand(dir: String, query: String, replace: Boolean)
+  /** `CREATE [OR REPLACE] TABLE graft.`path` [layout] AS <query>` —
+    * CTAS, optionally routed through the partitioned / bucketed
+    * writers so the SQL-created table plans with the same pruning /
+    * zero-Exchange properties as the API path. */
+  case class GraftCtasCommand(dir: String, query: String, replace: Boolean,
+                              partitionBy: Seq[String] = Nil,
+                              bucket: Option[(Seq[String], Seq[String], Int)]
+                                = None)
       extends LeafRunnableCommand {
     override val output: Seq[Attribute] = Seq(longAttr("version"))
     override def run(spark: SparkSession): Seq[Row] = {
@@ -668,10 +738,20 @@ object GraftSqlCommands {
       if (exists && !replace) fail(
         s"CREATE TABLE: a snapshot table already exists under $dir — " +
           "use CREATE OR REPLACE TABLE")
+      if (exists && (partitionBy.nonEmpty || bucket.nonEmpty)) fail(
+        "CREATE TABLE with a layout clause requires a fresh directory")
       val q = spark.sql(query)
-      Seq(Row(
-        if (exists) SnapshotTable.overwrite(q, dir)
-        else SnapshotTable.append(q, dir)))
+      val v =
+        if (partitionBy.nonEmpty)
+          SnapshotTable.appendPartitioned(q, dir, partitionBy)
+        else bucket match {
+          case Some((bCols, sCols, n)) =>
+            SnapshotTable.appendBucketed(q, dir, bCols, n, sCols)
+          case None =>
+            if (exists) SnapshotTable.overwrite(q, dir)
+            else SnapshotTable.append(q, dir)
+        }
+      Seq(Row(v))
     }
   }
 
@@ -848,10 +928,13 @@ object GraftSqlCommands {
 
 /** The injected parser: graft snapshot-DML first, Spark for
   * everything else (see [[GraftSqlCommands]] for the grammar and the
-  * delegation guarantee). */
-class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+  * delegation guarantee). Carries ITS session so bare table names
+  * resolve against that session's address book, never another's. */
+class GraftSqlParser(session: SparkSession,
+                     delegate: ParserInterface) extends ParserInterface {
   override def parsePlan(sqlText: String): LogicalPlan =
-    GraftSqlCommands.tryParse(sqlText).getOrElse(delegate.parsePlan(sqlText))
+    GraftSqlCommands.tryParse(session, sqlText)
+      .getOrElse(delegate.parsePlan(sqlText))
   override def parseExpression(sqlText: String) =
     delegate.parseExpression(sqlText)
   override def parseTableIdentifier(sqlText: String) =

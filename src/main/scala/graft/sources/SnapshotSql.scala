@@ -37,34 +37,72 @@ import org.apache.spark.sql.types.StructType
   * [[SnapshotTable.read]]. Re-register to advance. */
 object SnapshotSql {
 
-  /** name → table directory, the address book [[GraftSqlCommands]]'s
-    * DML grammar resolves bare table names against ([[register]] /
-    * [[registerLive]] populate it; [[bind]] adds a name with no view).
-    * JVM-wide like Spark's own temp-view catalog is session-wide —
-    * names are case-insensitive, last bind wins. */
+  /** (session scope, name) → table directory, the address book
+    * [[GraftSqlCommands]]'s DML grammar resolves bare table names
+    * against ([[register]] / [[registerLive]] populate it; [[bind]]
+    * adds a name with no view). Scoped PER SparkSession — like
+    * Spark's own temp-view catalog — so a bare-name DML statement
+    * from a session that never bound the name can NEVER mutate a
+    * graft directory another session (or a past life of this name)
+    * pointed at. Names are case-insensitive, last bind wins. Entries
+    * die with the session: the scope key is the session's UUID, which
+    * no later session reuses. */
   private val bound =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+
+  /** One session's scope key: a UUID assigned per SparkSession object
+    * (a cloned/new session gets its own), held weakly so a dead
+    * session's bindings become unreachable — a scope is never
+    * reused by a later session. */
+  private val scopes =
+    new java.util.WeakHashMap[SparkSession, String]()
+  private def scopeOf(spark: SparkSession): String = scopes.synchronized {
+    val hit = scopes.get(spark)
+    if (hit != null) hit
+    else {
+      val id = java.util.UUID.randomUUID().toString
+      scopes.put(spark, id)
+      id
+    }
+  }
+
+  private def keyOf(spark: SparkSession, name: String): (String, String) =
+    (scopeOf(spark), name.toLowerCase(java.util.Locale.ROOT))
 
   /** Bind `name` to a snapshot table directory for the SQL DML
-    * surface (`DELETE FROM name …`, `OPTIMIZE name`, …) without
-    * registering any view.
+    * surface (`DELETE FROM name …`, `OPTIMIZE name`, …) in `spark`'s
+    * session, without registering any view.
     *
     * CONTRACT: the binding is graft's OWN address book, independent
     * of Spark's view/catalog lifecycle — dropping or replacing a temp
     * view of the same name does NOT unbind it, and a bare-name DML
-    * statement resolves here FIRST. If a name is later reused for a
-    * non-graft table, call [[unbind]] (or address graft tables by
-    * `graft.`path`` only) — otherwise bare-name DML keeps targeting
-    * the old directory. */
+    * statement in the binding session resolves here FIRST. If a name
+    * is later reused for a non-graft table in the same session, call
+    * [[unbind]] (or address graft tables by `graft.`path`` only) —
+    * otherwise bare-name DML keeps targeting the old directory.
+    * Other sessions are never affected. */
+  def bind(spark: SparkSession, name: String, dir: String): Unit =
+    bound.put(keyOf(spark, name), dir)
+
+  /** [[bind]] against the ACTIVE session (must exist — DML parsing
+    * resolves names per session, so a session-less bind would be
+    * unreachable). */
   def bind(name: String, dir: String): Unit =
-    bound.put(name.toLowerCase(java.util.Locale.ROOT), dir)
+    bind(activeSession("bind"), name, dir)
 
-  def unbind(name: String): Unit =
-    bound.remove(name.toLowerCase(java.util.Locale.ROOT))
+  def unbind(spark: SparkSession, name: String): Unit =
+    bound.remove(keyOf(spark, name))
 
-  /** The directory `name` is bound to, if any. */
-  def boundDir(name: String): Option[String] =
-    Option(bound.get(name.toLowerCase(java.util.Locale.ROOT)))
+  def unbind(name: String): Unit = unbind(activeSession("unbind"), name)
+
+  /** The directory `name` is bound to in `spark`'s session, if any. */
+  def boundDir(spark: SparkSession, name: String): Option[String] =
+    Option(bound.get(keyOf(spark, name)))
+
+  private def activeSession(op: String): SparkSession =
+    SparkSession.getActiveSession.getOrElse(
+      throw new IllegalStateException(
+        s"SnapshotSql.$op: no active SparkSession — use $op(spark, …)"))
 
   /** The manifest-pruned parquet relation over a pinned snapshot —
     * shared by [[dataFrame]] (temp-view surface) and
@@ -139,7 +177,7 @@ object SnapshotSql {
     val v = version.orElse(SnapshotTable.latestVersion(spark, dir)).getOrElse(
       throw new java.io.IOException(s"SnapshotSql: no committed version under $dir"))
     dataFrame(spark, dir, Some(v)).createOrReplaceTempView(name)
-    bind(name, dir)
+    bind(spark, name, dir)
     v
   }
 
@@ -174,7 +212,7 @@ object SnapshotSql {
     * committing to, with no REFRESH/re-register step. */
   def registerLive(spark: SparkSession, name: String, dir: String): Unit = {
     dataFrameLive(spark, dir).createOrReplaceTempView(name)
-    bind(name, dir)
+    bind(spark, name, dir)
   }
 }
 

@@ -3320,8 +3320,10 @@ object SnapshotTable {
     * existence-checked and a vacuumed-away file fails loudly BEFORE
     * any commit. Returns the new version; None when the head already
     * reads identically to the target (same files, same vectors, same
-    * schema/mapping/constraints/bucket — metadata-only commits like
-    * renameColumn are restorable state too, not no-ops). */
+    * schema/mapping/bucket — metadata-only commits like renameColumn
+    * are restorable state too, not no-ops; constraints and properties
+    * are NOT compared because they inherit forward from the head
+    * rather than rolling back). */
   def restore(spark: SparkSession, dir: String, toVersion: Long,
               maxRetries: Int = 20): Option[Long] = {
     val f = fs(spark, dir)
@@ -3335,12 +3337,17 @@ object SnapshotTable {
       require(toVersion <= cur,
         s"restore: target v$toVersion is beyond the head v$cur")
       val curSt = stateOf(spark, dir, cur)
+      // The no-op check covers exactly the state a restore REINSTATES
+      // (files, vectors, schema, mapping, bucket). Constraints/props
+      // deliberately inherit FORWARD from the current head (policy
+      // survives rollback), so they must not participate here — a
+      // head differing from the target only in constraints would
+      // otherwise commit a version identical to itself.
       if (curSt.files.toSet == target.files.toSet &&
           curSt.dvRefs == target.dvRefs &&
           manifestSchema(spark, dir, cur) == targetSchema &&
           curSt.colMap == target.colMap &&
           curSt.retired == target.retired &&
-          curSt.constraints == target.constraints &&
           curSt.bucket == target.bucket) return None
       val gone = target.files.filterNot(curSt.files.toSet)
         .filterNot { p =>

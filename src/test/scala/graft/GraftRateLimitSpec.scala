@@ -244,6 +244,23 @@ class GraftRateLimitSpec extends AnyFunSuite {
       s"got $e")
   }
 
+  test("rate-limited startingVersion works when earlier manifests were vacuumed") {
+    // planNextPos must not probe the manifest of an already-complete
+    // position: startingVersion=head begins at Pos(head-1, Complete),
+    // and listOf(head-1) would read versionDeltas(head-2, head-1) —
+    // vacuumed away here — where the unlimited path works fine.
+    val dir = tmp("vacstart"); mkFiles(dir, 6)           // v0..v5
+    SnapshotTable.vacuum(spark, dir, keepVersions = 2, minAgeMs = 0L)
+    val ckpt = Files.createTempDirectory("rate-ck5").toString
+    val out = Files.createTempDirectory("rate-out5").toString + "/p"
+    val batches = scala.collection.mutable.Buffer[Long]()
+    runOnce(dir, ckpt, out,
+      Map("maxFilesPerTrigger" -> "1", "startingVersion" -> "5"), batches)
+    assert(batches.toSeq == Seq(1L), s"got $batches")
+    assert(spark.read.parquet(out).select("id").collect()
+      .map(_.getLong(0)).toSet == Set(5L))
+  }
+
   test("turning limits ON over an unlimited checkpoint continues cleanly") {
     val dir = tmp("flip"); mkFiles(dir, 3)
     val ckpt = Files.createTempDirectory("rate-ck4").toString

@@ -319,6 +319,77 @@ class GraftSqlDmlSpec extends AnyFunSuite {
     assert(SnapshotTable.read(spark, dir).count() == 0)
   }
 
+  test("non-graft CREATE TABLE containing the word 'shallow' delegates") {
+    // round-8 regression: the SHALLOW pre-check claimed any CREATE
+    // TABLE whose text contained the identifier, then failed on the
+    // non-graft destination — violating the delegation guarantee
+    Seq((1, 2)).toDF("shallow", "x").createOrReplaceTempView("sqldml_shsrc")
+    spark.sql(
+      "CREATE TABLE sqldml_sh_tbl AS SELECT shallow FROM sqldml_shsrc")
+    try assert(spark.table("sqldml_sh_tbl").count() == 1)
+    finally spark.sql("DROP TABLE sqldml_sh_tbl")
+    // a table NAMED shallow delegates too
+    spark.sql("CREATE TABLE shallow AS SELECT 1 AS a")
+    try assert(spark.table("shallow").count() == 1)
+    finally spark.sql("DROP TABLE shallow")
+  }
+
+  test("PARTITIONED BY / CLUSTERED BY CTAS route through the layout writers") {
+    val pdir = tmp("ctas-part")
+    spark.sql(s"CREATE TABLE graft.`$pdir` PARTITIONED BY (k) AS " +
+      "SELECT id, CAST(id % 3 AS INT) AS k FROM range(30)")
+    // the partition column carries per-file min==max stats → an
+    // equality probe prunes to exactly the owning files
+    val (kept, total) = SnapshotTable.pruneFilesEq(spark, pdir, "k", 1)
+    assert(total >= 3 && kept.size < total,
+      s"partition pruning should drop files: $kept of $total")
+    assert(SnapshotTable.readWhereEq(spark, pdir, "k", 1).count() == 10)
+    val bdir = tmp("ctas-bucket")
+    spark.sql(s"CREATE TABLE graft.`$bdir` CLUSTERED BY (id) " +
+      "SORTED BY (id) INTO 4 BUCKETS AS SELECT id, id * 2 AS v FROM range(40)")
+    val b = SnapshotTable.manifestBucket(spark, bdir,
+      SnapshotTable.latestVersion(spark, bdir).get)
+    assert(b.exists(s => s.numBuckets == 4 && s.cols == Seq("id")))
+    assert(SnapshotTable.read(spark, bdir).count() == 40)
+    // OR REPLACE with a layout clause is refused loudly
+    intercept[IllegalArgumentException] {
+      spark.sql(s"CREATE OR REPLACE TABLE graft.`$bdir` " +
+        "CLUSTERED BY (id) INTO 2 BUCKETS AS SELECT 1L AS id") }
+  }
+
+  test("INSERT honors storeAssignmentPolicy: malformed values fail loudly") {
+    val dir = tmp("ansi")
+    SnapshotTable.append(Seq((1L, 10)).toDF("id", "v"), dir)
+    SnapshotSql.bind("sqldml_ansi", dir)
+    // ANSI (Spark's default): a string that can't cast to INT fails
+    // the statement — nothing lands
+    intercept[Exception] {
+      spark.sql("INSERT INTO sqldml_ansi SELECT 2L, 'oops'") }
+    assert(SnapshotTable.read(spark, dir).count() == 1)
+    // LEGACY restores the permissive NULL-on-failure cast
+    spark.conf.set("spark.sql.storeAssignmentPolicy", "LEGACY")
+    try {
+      spark.sql("INSERT INTO sqldml_ansi SELECT 2L, 'oops'")
+      val got = SnapshotTable.read(spark, dir)
+        .filter(col("id") === 2L).head()
+      assert(got.isNullAt(1))
+    } finally spark.conf.set("spark.sql.storeAssignmentPolicy", "ANSI")
+  }
+
+  test("bare-name DML bindings are session-scoped") {
+    val dir = tmp("scope"); mk(dir, 10L)
+    SnapshotSql.bind(spark, "sqldml_scope", dir)
+    // a session that never bound the name delegates to Spark (which
+    // can't resolve it) — it can NEVER mutate the graft directory
+    val other = spark.newSession()
+    intercept[Exception] {
+      other.sql("DELETE FROM sqldml_scope WHERE id = 1") }
+    assert(SnapshotTable.read(spark, dir).count() == 10)
+    // the binding session still resolves
+    spark.sql("DELETE FROM sqldml_scope WHERE id = 1")
+    assert(SnapshotTable.read(spark, dir).count() == 9)
+  }
+
   test("DML through a live view: SQL reads see SQL writes immediately") {
     val dir = tmp("live"); mk(dir)
     SnapshotSql.registerLive(spark, "sqldml_live", dir) // binds too

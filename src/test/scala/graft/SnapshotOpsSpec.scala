@@ -48,6 +48,21 @@ class SnapshotOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("restore: a head differing only in constraints/props is a no-op") {
+    // constraints and properties inherit FORWARD across restore (they
+    // are policy, not structure) — so a head whose only difference
+    // from the target is policy must not commit a self-identical
+    // version.
+    val dir = tmp("restore-cons")
+    SnapshotTable.append(spark.range(0, 10).toDF(), dir)          // v0
+    SnapshotTable.addConstraint(spark, dir, "nonneg", "id >= 0")  // v1
+    SnapshotTable.setProperties(spark, dir, Map("k" -> "v"))      // v2
+    assert(SnapshotTable.restore(spark, dir, 0L).isEmpty)
+    // and the policy is still in force
+    assert(SnapshotTable.manifestConstraints(spark, dir,
+      SnapshotTable.latestVersion(spark, dir).get).contains("nonneg"))
+  }
+
   test("restore: deletion vectors roll back and the txn ledger carries forward") {
     val dir = tmp("restore-dv")
     SnapshotTable.append(spark.range(0, 40).toDF(), dir)      // v0
