@@ -12536,6 +12536,71 @@ object Queries {
         AS cents
     FROM merged GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  /** The GENERALIZED MERGE ([[graft.sources.SnapshotTable.mergeInto]]
+    * via the SQL grammar): one statement exercising every clause kind
+    * — a conditional `WHEN MATCHED … UPDATE SET col = expr` (F-status
+    * rows double price and flip to 'U'), a fall-through `WHEN MATCHED
+    * THEN DELETE`, a conditional `WHEN NOT MATCHED … INSERT (cols)
+    * VALUES (…)` (only source rows above a price floor insert, tagged
+    * 'N'), and `WHEN NOT MATCHED BY SOURCE … UPDATE` (unmatched 5-LOW
+    * target rows flip to 'L'). First-match-wins ordering, the exact
+    * insert-column list, and the by-source scope are each load-bearing
+    * — the oracle restates all four row populations algebraically
+    * (price ops are exact IEEE doublings), so any clause mis-route
+    * flips the hash. Scale: only files holding a source key or a
+    * by-source-eligible row are rewritten; the decision is one
+    * full-outer join compiled to a single when-chain select. */
+  private val qSnapshotMergeFull = Q(
+    "q_snapshot_merge_full",
+    (s, d) => {
+      val dir = snapTmp()
+      t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_orderpriority"), col("o_totalprice"))
+        .createOrReplaceTempView("mf_orders")
+      s.sql(s"CREATE TABLE graft.`$dir` AS SELECT * FROM mf_orders " +
+        "WHERE o_orderkey % 3 <> 0")
+      s.sql(s"""MERGE INTO graft.`$dir` t USING (
+          SELECT o_orderkey, o_orderpriority, o_totalprice
+          FROM mf_orders WHERE o_orderkey % 2 = 0) s
+        ON t.o_orderkey = s.o_orderkey
+        WHEN MATCHED AND t.o_orderstatus = 'F' THEN
+          UPDATE SET o_totalprice = t.o_totalprice * 2, o_orderstatus = 'U'
+        WHEN MATCHED THEN DELETE
+        WHEN NOT MATCHED AND s.o_totalprice > 1000 THEN
+          INSERT (o_orderkey, o_orderstatus, o_orderpriority, o_totalprice)
+          VALUES (s.o_orderkey, 'N', s.o_orderpriority, s.o_totalprice)
+        WHEN NOT MATCHED BY SOURCE AND t.o_orderpriority = '5-LOW' THEN
+          UPDATE SET o_orderstatus = 'L'""")
+      s.sql(s"""SELECT o_orderstatus AS status, count(*) AS n,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,6)) * 100) AS BIGINT)
+          AS cents
+      FROM graft.`$dir` GROUP BY 1 ORDER BY 1""")
+    },
+    Some("""WITH tgt AS (
+      SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice
+      FROM orders WHERE o_orderkey % 3 <> 0),
+    matched AS (
+      SELECT 'U' AS status, t.o_totalprice * 2 AS price
+      FROM tgt t WHERE t.o_orderkey % 2 = 0 AND t.o_orderstatus = 'F'),
+    by_source AS (
+      SELECT CASE WHEN t.o_orderpriority = '5-LOW' THEN 'L'
+                  ELSE t.o_orderstatus END AS status,
+             t.o_totalprice AS price
+      FROM tgt t WHERE t.o_orderkey % 2 <> 0),
+    inserted AS (
+      SELECT 'N' AS status, o_totalprice AS price
+      FROM orders
+      WHERE o_orderkey % 2 = 0 AND o_orderkey % 3 = 0
+        AND o_totalprice > 1000),
+    merged AS (
+      SELECT * FROM matched
+      UNION ALL SELECT * FROM by_source
+      UNION ALL SELECT * FROM inserted)
+    SELECT status, count(*) AS n,
+      CAST(sum(CAST(price AS DECIMAL(18,6)) * 100) AS BIGINT) AS cents
+    FROM merged GROUP BY 1 ORDER BY 1"""))
+
   /** Merge-on-read UPDATE through
     * [[graft.sources.SnapshotTable.updateWhereMor]]: every urgent
     * order is updated (status → 'U', price doubled — an exact
@@ -13047,6 +13112,7 @@ object Queries {
     qSnapshotMor, qSnapshotMorSql, qSnapshotCdf, qMatviewMinmax,
     qMatviewStats, qSnapshotBucket, qSnapshotLive,
     qSnapshotRestore, qSnapshotColmap, qSnapshotDml, qSnapshotWiden,
+    qSnapshotMergeFull,
     qSnapshotTblprops, qSnapshotMorUpdate, qSnapshotCompactWhere,
     qSnapshotConstraint, qBpeEncode, qSnapshotTimetravel, qTextIndex,
     qHybridSearch, qSnapshotCount,

@@ -292,11 +292,13 @@ object GraftSqlCommands {
     val rest = s.substring(m.end)
     val (dir, len) = resolveTableAt(spark, rest).getOrElse(return None)
     var tail = rest.substring(len).trim
-    // optional [AS] <alias> on the target
+    // optional [AS] <alias> on the target (captured: clause
+    // expressions reference it)
     val aliasM = s"""(?is)^(?:AS$Ws)?([A-Za-z_][A-Za-z0-9_]*)$Ws""".r
       .findFirstMatchIn(tail)
       .filter(a => !Set("USING").contains(
         a.group(1).toUpperCase(java.util.Locale.ROOT)))
+    val tAlias = aliasM.map(_.group(1))
     aliasM.foreach(a => tail = tail.substring(a.end).trim)
     val usingM = s"""(?is)^USING$Ws""".r.findFirstMatchIn(tail)
       .getOrElse(fail(s"MERGE INTO <t> USING <src> ON … — got: $tail"))
@@ -326,21 +328,37 @@ object GraftSqlCommands {
       .findFirstMatchIn(t2)
       .filter(a => !Set("ON").contains(
         a.group(1).toUpperCase(java.util.Locale.ROOT)))
+    val sAlias = srcAliasM.map(_.group(1))
     srcAliasM.foreach(a => t2 = t2.substring(a.end).trim)
     val onM = s"""(?is)^ON$Ws""".r.findFirstMatchIn(t2)
       .getOrElse(fail(s"MERGE: expected ON <key equalities>, got: $t2"))
     t2 = t2.substring(onM.end)
-    val whenIdx = topLevelKeyword(t2, "WHEN")
-    if (whenIdx < 0) fail("MERGE: expected WHEN MATCHED / WHEN NOT MATCHED clauses")
-    val onText = t2.substring(0, whenIdx).trim
-    val clauses = t2.substring(whenIdx).trim
-    val Clauses =
-      s"""(?is)^WHEN${Ws}MATCHED${Ws}THEN${Ws}UPDATE${Ws}SET$Ws\\*$Ws(?:WHEN${Ws}NOT${Ws}MATCHED$Ws(?:BY${Ws}TARGET$Ws)?THEN${Ws}INSERT$Ws\\*)$$""".r
-    if (Clauses.findFirstIn(clauses).isEmpty)
-      fail("MERGE supports exactly the whole-row upsert form: " +
-        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT * " +
-        s"(got: $clauses). For other shapes use SnapshotTable.merge/applyChanges.")
-    // ON must be a conjunction of same-name key equalities
+    // Clause boundaries: top-level WHEN followed by MATCHED / NOT
+    // MATCHED (a bare CASE WHEN inside a condition or assignment is
+    // not a boundary unless a column is literally named `matched` —
+    // parenthesize CASE expressions to opt out of the scanner).
+    val ClauseHead = s"""(?is)^WHEN$Ws(?:MATCHED|NOT${Ws}MATCHED)\\b""".r
+    def whenBoundaries(t: String): Seq[Int] = {
+      val out = Seq.newBuilder[Int]
+      var from = 0
+      var i = topLevelKeyword(t, "WHEN", from)
+      while (i >= 0) {
+        if (ClauseHead.findFirstIn(t.substring(i)).isDefined) out += i
+        from = i + 4
+        i = topLevelKeyword(t, "WHEN", from)
+      }
+      out.result()
+    }
+    val bounds = whenBoundaries(t2)
+    if (bounds.isEmpty)
+      fail("MERGE: expected WHEN MATCHED / WHEN NOT MATCHED clauses")
+    val onText = t2.substring(0, bounds.head).trim
+    val clauseTexts = bounds.zipAll(bounds.tail, -1, t2.length)
+      .map { case (a, b) => t2.substring(a, b).trim }
+    // ON must be a conjunction of same-name key equalities (the
+    // equi-key contract both merge kernels share — general join
+    // conditions would defeat the touched-file semi-join that makes a
+    // small MERGE cheap at 100 TB)
     val keys = {
       def split(t: String, acc: Seq[String]): Seq[String] = {
         val i = topLevelKeyword(t, "AND")
@@ -359,11 +377,121 @@ object GraftSqlCommands {
         }
         val (l, r) = (colName(parts(0)), colName(parts(1)))
         if (l != r) fail(s"MERGE ON keys must pair the same column name " +
-          s"on both sides (the key-upsert contract), got: $eqText")
+          s"on both sides (the equi-key contract), got: $eqText")
         l
       }
     }
-    Some(GraftMergeCommand(dir, source, keys))
+    import SnapshotTable.{MergeAction, MergeClause}
+    // One clause: kind prefix, optional AND <cond> up to the first
+    // top-level THEN, then the action.
+    val MatchedHead = s"""(?is)^WHEN${Ws}MATCHED\\b\\s*""".r
+    val BySourceHead =
+      s"""(?is)^WHEN${Ws}NOT${Ws}MATCHED${Ws}BY${Ws}SOURCE\\b\\s*""".r
+    val ByTargetHead =
+      s"""(?is)^WHEN${Ws}NOT${Ws}MATCHED\\b(?:${Ws}BY${Ws}TARGET\\b)?\\s*""".r
+    val UpdateAllA = s"""(?is)^UPDATE${Ws}SET\\s*\\*$$""".r
+    val UpdateA = s"""(?is)^UPDATE${Ws}SET$Ws""".r
+    val DeleteA = """(?is)^DELETE$""".r
+    val InsertAllA = s"""(?is)^INSERT\\s*\\*$$""".r
+    val InsertA = """(?is)^INSERT\s*\(""".r
+    def parseAssigns(text: String): Seq[(String, String)] =
+      splitTopCommas(text).map { a =>
+        val eq = a.indexOf('=')
+        if (eq <= 0) fail(s"MERGE SET expects <col> = <expr>, got: $a")
+        (unqIdent(a.substring(0, eq)), a.substring(eq + 1).trim)
+      }
+    def balancedParen(t: String): (String, String) = {
+      var depth = 0; var i = 0; var end = -1
+      var inS = false; var inD = false; var inB = false
+      while (i < t.length && end < 0) {
+        val c = t.charAt(i)
+        if ((inS || inD) && c == '\\') i += 1
+        else if (inS) { if (c == '\'') inS = false }
+        else if (inD) { if (c == '"') inD = false }
+        else if (inB) { if (c == '`') inB = false }
+        else c match {
+          case '\'' => inS = true
+          case '"' => inD = true
+          case '`' => inB = true
+          case '(' => depth += 1
+          case ')' => depth -= 1; if (depth == 0) end = i
+          case _ =>
+        }
+        i += 1
+      }
+      if (end < 0) fail(s"MERGE: unbalanced parentheses in: $t")
+      (t.substring(t.indexOf('(') + 1, end), t.substring(end + 1).trim)
+    }
+    def parseAction(a0: String, insertSide: Boolean): MergeAction = {
+      val a = a0.trim
+      if (insertSide) {
+        if (InsertAllA.findFirstIn(a).isDefined) MergeAction.InsertAll
+        else if (InsertA.findFirstIn(a).isDefined) {
+          val (colsTxt, rest) = balancedParen(a)
+          val vm = s"""(?is)^VALUES\\s*\\(""".r.findFirstMatchIn(rest)
+            .getOrElse(fail(
+              s"MERGE INSERT expects (cols) VALUES (exprs), got: $a"))
+          val (valsTxt, tail) = balancedParen(rest)
+          if (tail.nonEmpty) fail(
+            s"MERGE INSERT: unexpected trailing text: $tail")
+          val cols = splitTopCommas(colsTxt).map(unqIdent)
+          val vals = splitTopCommas(valsTxt)
+          if (cols.length != vals.length) fail(
+            s"MERGE INSERT: ${cols.length} columns but ${vals.length} values")
+          MergeAction.Insert(cols.zip(vals))
+        } else fail("WHEN NOT MATCHED THEN supports INSERT * | " +
+          s"INSERT (cols) VALUES (exprs) — got: $a")
+      } else {
+        if (UpdateAllA.findFirstIn(a).isDefined) MergeAction.UpdateAll
+        else if (DeleteA.findFirstIn(a).isDefined) MergeAction.Delete
+        else UpdateA.findFirstMatchIn(a) match {
+          case Some(um) =>
+            MergeAction.Update(parseAssigns(a.substring(um.end)))
+          case None => fail("WHEN [NOT] MATCHED [BY SOURCE] THEN supports " +
+            s"UPDATE SET * | UPDATE SET a = e, … | DELETE — got: $a")
+        }
+      }
+    }
+    var matchedCs = Seq.empty[MergeClause]
+    var notMatchedCs = Seq.empty[MergeClause]
+    var bySourceCs = Seq.empty[MergeClause]
+    clauseTexts.foreach { ct =>
+      val (kind, rest) = MatchedHead.findFirstMatchIn(ct)
+        .map(m => ("m", ct.substring(m.end)))
+        .orElse(BySourceHead.findFirstMatchIn(ct)
+          .map(m => ("nms", ct.substring(m.end))))
+        .orElse(ByTargetHead.findFirstMatchIn(ct)
+          .map(m => ("nm", ct.substring(m.end))))
+        .getOrElse(fail(s"MERGE: unrecognized clause: $ct"))
+      val thenIdx = topLevelKeyword(rest, "THEN")
+      if (thenIdx < 0) fail(s"MERGE clause missing THEN: $ct " +
+        "(parenthesize CASE expressions inside AND conditions)")
+      val before = rest.substring(0, thenIdx).trim
+      val action = rest.substring(thenIdx + "THEN".length).trim
+      val cond =
+        if (before.isEmpty) None
+        else {
+          val am = s"""(?is)^AND$Ws""".r.findFirstMatchIn(before)
+            .getOrElse(fail(
+              s"MERGE clause: expected [AND <condition>] THEN, got: $before"))
+          Some(before.substring(am.end).trim)
+        }
+      val clause = MergeClause(cond, parseAction(action, kind == "nm"))
+      kind match {
+        case "m" => matchedCs :+= clause
+        case "nms" => bySourceCs :+= clause
+        case "nm" => notMatchedCs :+= clause
+      }
+    }
+    // The classic whole-row upsert keeps its dedicated kernel (it is
+    // also the add-column schema-evolution path).
+    val wholeRow = bySourceCs.isEmpty &&
+      matchedCs == Seq(MergeClause(None, MergeAction.UpdateAll)) &&
+      notMatchedCs == Seq(MergeClause(None, MergeAction.InsertAll))
+    if (wholeRow) Some(GraftMergeCommand(dir, source, keys))
+    else Some(GraftMergeIntoCommand(dir, source, keys,
+      tAlias.getOrElse("__t"), sAlias.getOrElse("__s"),
+      matchedCs, notMatchedCs, bySourceCs))
   }
 
   private def parseInsert(spark: SparkSession, s: String): Option[LogicalPlan] = {
@@ -686,6 +814,27 @@ object GraftSqlCommands {
         case None => src0
       }
       Seq(Row(SnapshotTable.merge(spark, dir, src, keys)))
+    }
+  }
+
+  /** The generalized MERGE — conditional multi-clause grammar routed
+    * to [[SnapshotTable.mergeInto]] (the whole-row `UPDATE SET * /
+    * INSERT *` pair keeps [[GraftMergeCommand]]'s kernel). */
+  case class GraftMergeIntoCommand(dir: String,
+                                   source: Either[String, String],
+                                   keys: Seq[String],
+                                   tAlias: String, sAlias: String,
+                                   matched: Seq[SnapshotTable.MergeClause],
+                                   notMatched: Seq[SnapshotTable.MergeClause],
+                                   bySource: Seq[SnapshotTable.MergeClause])
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] =
+      Seq(longAttr("version", nullable = true))
+    override def run(spark: SparkSession): Seq[Row] = {
+      val src = source.fold(spark.sql, spark.table)
+      Seq(Row(SnapshotTable.mergeInto(spark, dir, src, keys,
+        matched, notMatched, bySource, tAlias, sAlias)
+        .map(Long.box).orNull))
     }
   }
 

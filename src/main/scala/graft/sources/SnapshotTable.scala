@@ -3970,6 +3970,225 @@ object SnapshotTable {
       basis = base.map(stateOf(spark, dir, _)))
   }
 
+  /** One action of a generalized [[mergeInto]] clause. Expression
+    * payloads are SQL text, resolved by Spark's analyzer against the
+    * joined target/source frame — qualify column references with the
+    * aliases passed to [[mergeInto]] where both sides share a name. */
+  sealed trait MergeAction
+  object MergeAction {
+    /** `UPDATE SET col = expr, …` — unassigned target columns keep
+      * their value. */
+    final case class Update(assigns: Seq[(String, String)]) extends MergeAction
+    /** `UPDATE SET *` — every target column the source also has takes
+      * the source value; the rest keep theirs. */
+    case object UpdateAll extends MergeAction
+    /** Remove the target row. */
+    case object Delete extends MergeAction
+    /** `INSERT (cols) VALUES (exprs)` — unassigned target columns
+      * land NULL. */
+    final case class Insert(assigns: Seq[(String, String)]) extends MergeAction
+    /** `INSERT *` — by name; target columns the source lacks land
+      * NULL. */
+    case object InsertAll extends MergeAction
+  }
+
+  /** `WHEN … [AND condition] THEN action`. `condition` is SQL text
+    * over the joined frame (aliases in scope); None = unconditional —
+    * allowed only on a group's LAST clause (an earlier unconditional
+    * clause would shadow the rest). */
+  final case class MergeClause(condition: Option[String],
+                               action: MergeAction)
+
+  /** Generalized copy-on-write MERGE — the full public MERGE grammar
+    * over equi-key matching (the key-upsert contract [[merge]]
+    * established, extended to arbitrary clause logic):
+    *
+    *   - `matched` clauses apply, first-match-wins, to target rows a
+    *     source row key-matches: conditional `UPDATE SET col = expr`,
+    *     `UPDATE SET *`, or `DELETE`.
+    *   - `notMatched` clauses apply to source rows matching no target
+    *     row: conditional `INSERT (cols) VALUES (exprs)` / `INSERT *`.
+    *   - `notMatchedBySource` clauses apply to target rows no source
+    *     row matches: conditional `UPDATE SET …` / `DELETE`. Their
+    *     conditions may reference the TARGET side only.
+    *
+    * Scale shape: only files that can change are rewritten — files
+    * holding a source key (one semi-join against a single
+    * `input_file_name()` scan), plus, when `notMatchedBySource`
+    * clauses exist, files holding an unmatched row that satisfies ANY
+    * by-source condition (one anti-join scan with the disjunction
+    * pushed down, so stats-pruning bounds it). The untouched bulk of
+    * a 100 TB table is never read past its stats. The decision logic
+    * itself is ONE full-outer join of the touched rows with the
+    * source, compiled to a single when-chain select — no per-clause
+    * passes.
+    *
+    * Source must be key-unique (the classic MERGE cardinality
+    * precondition — enforced, failing loudly). Computed values cast
+    * to the target column types under the session's
+    * `spark.sql.storeAssignmentPolicy` (ANSI default: overflow or
+    * malformed values fail the merge loudly). The output schema is
+    * exactly the target schema — the whole-row [[merge]] remains the
+    * add-column-evolution path. Commit-time conflict checks match
+    * [[merge]]: touched files rewritten or deletion-vector-advanced
+    * concurrently, and concurrently-added files holding source keys,
+    * fail with ConcurrentModificationException. Returns the committed
+    * version; None when nothing could change. */
+  def mergeInto(spark: SparkSession, dir: String, source: DataFrame,
+                keys: Seq[String],
+                matched: Seq[MergeClause] = Nil,
+                notMatched: Seq[MergeClause] = Nil,
+                notMatchedBySource: Seq[MergeClause] = Nil,
+                targetAlias: String = "t", sourceAlias: String = "s",
+                maxRetries: Int = 20): Option[Long] = {
+    import MergeAction._
+    require(keys.nonEmpty, "mergeInto: at least one key column required")
+    require(matched.nonEmpty || notMatched.nonEmpty ||
+      notMatchedBySource.nonEmpty, "mergeInto: no clauses")
+    require(targetAlias != sourceAlias,
+      s"mergeInto: target and source aliases must differ ($targetAlias)")
+    def checkGroup(g: String, cs: Seq[MergeClause],
+                   ok: MergeAction => Boolean): Unit =
+      cs.zipWithIndex.foreach { case (c, i) =>
+        require(ok(c.action), s"mergeInto: $g cannot ${c.action}")
+        require(c.condition.nonEmpty || i == cs.size - 1,
+          s"mergeInto: only the last $g clause may omit its condition " +
+            "(an earlier unconditional clause would shadow the rest)")
+      }
+    checkGroup("WHEN MATCHED", matched,
+      a => a.isInstanceOf[Update] || a == UpdateAll || a == Delete)
+    checkGroup("WHEN NOT MATCHED", notMatched,
+      a => a.isInstanceOf[Insert] || a == InsertAll)
+    checkGroup("WHEN NOT MATCHED BY SOURCE", notMatchedBySource,
+      a => a.isInstanceOf[Update] || a == Delete)
+    val base = latestVersion(spark, dir).getOrElse(throw
+      new java.io.IOException(s"mergeInto: no committed version under " +
+        s"$dir — initialize the table first (the whole-row merge " +
+        "accepts an empty target)"))
+    val st = stateOf(spark, dir, base)
+    val schema = manifestSchema(spark, dir, base)
+      .getOrElse(read(spark, dir, Some(base)).schema)
+    val fieldNames = schema.fieldNames.toSet
+    keys.foreach(k => require(fieldNames.contains(k),
+      s"mergeInto: key column $k is not in the target schema"))
+    (matched ++ notMatchedBySource).foreach(_.action match {
+      case Update(as) =>
+        val names = as.map(_._1)
+        require(names.distinct == names,
+          s"mergeInto: duplicate SET targets: ${names.mkString(", ")}")
+        names.foreach(n => require(fieldNames.contains(n),
+          s"mergeInto: SET target $n is not a target column"))
+      case _ => ()
+    })
+    notMatched.foreach(_.action match {
+      case Insert(as) =>
+        val names = as.map(_._1)
+        require(names.distinct == names,
+          s"mergeInto: duplicate INSERT columns: ${names.mkString(", ")}")
+        names.foreach(n => require(fieldNames.contains(n),
+          s"mergeInto: INSERT column $n is not a target column"))
+      case _ => ()
+    })
+    val TM = "__graft_t_present"; val SM = "__graft_s_present"
+    require(!source.columns.contains(TM) && !source.columns.contains(SM) &&
+      !fieldNames.contains(TM) && !fieldNames.contains(SM),
+      s"mergeInto: reserved marker column name in use ($TM/$SM)")
+    // ONE probe: cardinality (max rows per key) + source emptiness.
+    val probe = source.groupBy(keys.map(col): _*).count()
+      .agg(coalesce(max(col("count")), lit(0L)), count(lit(1))).collect()(0)
+    if (probe.getLong(0) > 1) {
+      val dup = source.groupBy(keys.map(col): _*)
+        .count().filter(col("count") > 1).limit(1).collect()
+      require(dup.isEmpty,
+        s"mergeInto: source has duplicate keys, e.g. ${dup.head.mkString(",")}")
+    }
+    val srcHasRows = probe.getLong(1) > 0
+    val srcKeys = source.select(keys.map(col): _*).distinct()
+    // Touched files: exactly the files that can change.
+    val hasFiles = st.files.nonEmpty
+    val touchedMatch =
+      if (!hasFiles || !srcHasRows || (matched.isEmpty && notMatched.isEmpty))
+        Seq.empty[String]
+      else withFile(spark, dir, base)
+        .join(srcKeys, keys, "left_semi").select("__file").distinct()
+        .collect().map(r => manifestKey(dir, r.getString(0))).toSeq
+    val touchedBySrc =
+      if (!hasFiles || notMatchedBySource.isEmpty) Seq.empty[String]
+      else {
+        val anyCond = notMatchedBySource
+          .map(_.condition.map(expr).getOrElse(lit(true))).reduce(_ || _)
+        withFile(spark, dir, base).alias(targetAlias)
+          .join(srcKeys, keys, "left_anti").filter(anyCond)
+          .select("__file").distinct()
+          .collect().map(r => manifestKey(dir, r.getString(0))).toSeq
+      }
+    val touched = (touchedMatch ++ touchedBySrc).distinct.sorted
+    if (touched.isEmpty && (notMatched.isEmpty || !srcHasRows)) return None
+    // The decision join: touched target rows FULL OUTER source on the
+    // keys (null keys never match — SQL `=`), markers disambiguating
+    // presence from null-valued rows.
+    val tFrame =
+      (if (touched.isEmpty)
+         spark.createDataFrame(
+           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+       else readFilesWithDv(spark, dir, touched, Some(schema), st.dvRefs,
+         st.colMap))
+        .withColumn(TM, lit(true)).alias(targetAlias)
+    val sFrame = source.withColumn(SM, lit(true)).alias(sourceAlias)
+    val joinCond = keys.map(k =>
+      col(s"$targetAlias.`$k`") === col(s"$sourceAlias.`$k`"))
+      .reduce(_ && _)
+    val joined = tFrame.join(sFrame, joinCond, "full_outer")
+    val isM = col(TM).isNotNull && col(SM).isNotNull
+    val tOnly = col(TM).isNotNull && col(SM).isNull
+    val sOnly = col(TM).isNull && col(SM).isNotNull
+    def branchPred(b: Column, c: MergeClause): Column =
+      c.condition.map(t => b && coalesce(expr(t), lit(false))).getOrElse(b)
+    val branches: Seq[(Column, MergeAction)] =
+      matched.map(c => (branchPred(isM, c), c.action)) ++
+      notMatchedBySource.map(c => (branchPred(tOnly, c), c.action)) ++
+      notMatched.map(c => (branchPred(sOnly, c), c.action))
+    val srcCols = source.columns.toSet
+    def tc(c: String) = col(s"$targetAlias.`$c`")
+    def scl(c: String) = col(s"$sourceAlias.`$c`")
+    def valueOf(a: MergeAction, c: String): Column = a match {
+      case Update(as) => as.toMap.get(c).map(expr).getOrElse(tc(c))
+      case UpdateAll => if (srcCols.contains(c)) scl(c) else tc(c)
+      case Delete => tc(c) // row dropped; branch must still consume
+      case Insert(as) => as.toMap.get(c).map(expr)
+        .getOrElse(lit(null))
+      case InsertAll => if (srcCols.contains(c)) scl(c) else lit(null)
+    }
+    def chain(value: MergeAction => Column, default: Column): Column =
+      branches.tail.foldLeft(
+        when(branches.head._1, value(branches.head._2))) {
+        case (acc, (p, a)) => acc.when(p, value(a))
+      }.otherwise(default)
+    val KEEP = "__graft_keep"; val NEW = "__graft_new"
+    val valueCols = schema.fields.map { f =>
+      GraftSqlCommands.storeCast(spark,
+        chain(valueOf(_, f.name), tc(f.name)), f.dataType).as(f.name)
+    }
+    // keep: target rows default-keep, unmatched source rows
+    // default-drop; new: rows whose values this merge introduced
+    // (constraint validation scope).
+    val keepCol = chain(a => lit(a != Delete), col(TM).isNotNull).as(KEEP)
+    val newCol = chain(a => lit(a != Delete), lit(false)).as(NEW)
+    val resultAll = joined.select(valueCols :+ keepCol :+ newCol: _*)
+    val introduced = resultAll.filter(col(KEEP) && col(NEW))
+      .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+    val vcs = enforceConstraints(spark, dir, introduced, "mergeInto")
+    val rewrite = resultAll.filter(col(KEEP))
+      .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+    commitRewrite(spark, dir, touched, rewrite,
+      trackedStatsCols(spark, dir, base),
+      trackedBloomCols(spark, dir, base),
+      maxRetries, "mergeInto", None,
+      keyConflict = Some((st.files.toSet, keys, srcKeys)),
+      baseDv = st.dvRefs, checkConstraints = Some(vcs),
+      basis = Some(st))
+  }
+
   /** Apply a CDC batch — rows tagged by a `_change` column with
     * 'insert' / 'delete' (exactly [[changeFeed]]'s shape) — in ONE
     * copy-on-write commit: inserts upsert by key, deletes whose key

@@ -77,11 +77,10 @@ class GraftSqlDmlSpec extends AnyFunSuite {
         "ON t.id = s.id " +
         "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
     assert(SnapshotTable.read(spark, dir).count() == 102)
-    // non-upsert clause shapes refuse loudly
-    val e = intercept[IllegalArgumentException] {
-      spark.sql("MERGE INTO sqldml_mrg t USING sqldml_src s ON t.id = s.id " +
-        "WHEN MATCHED THEN DELETE") }
-    assert(e.getMessage.contains("upsert"))
+    // a matched-only DELETE routes through the generalized kernel
+    spark.sql("MERGE INTO sqldml_mrg t USING sqldml_src s ON t.id = s.id " +
+      "WHEN MATCHED THEN DELETE")
+    assert(SnapshotTable.read(spark, dir).count() == 100) // 0 and 500 gone
   }
 
   test("INSERT INTO is positional with insert-casts") {
@@ -317,6 +316,36 @@ class GraftSqlDmlSpec extends AnyFunSuite {
     val r = spark.sql("TRUNCATE TABLE sqldml_ctas").head()
     assert(r.getLong(1) == 6L)
     assert(SnapshotTable.read(spark, dir).count() == 0)
+  }
+
+  test("generalized MERGE: conditional clauses, DELETE, NOT MATCHED BY SOURCE") {
+    val dir = tmp("mergefull")
+    SnapshotTable.append(Seq(
+      (1L, 10L, "open"), (2L, 5L, "open"),
+      (3L, 7L, "closed"), (4L, 1L, "open")).toDF("id", "qty", "status"), dir)
+    SnapshotSql.bind("sqldml_mf", dir)
+    Seq((1L, 3L), (3L, 4L), (5L, 9L), (6L, 0L)).toDF("id", "d")
+      .createOrReplaceTempView("sqldml_mf_src")
+    val r = spark.sql("""
+      MERGE INTO sqldml_mf t USING sqldml_mf_src s ON t.id = s.id
+      WHEN MATCHED AND t.status = 'open' THEN UPDATE SET qty = t.qty + s.d
+      WHEN MATCHED THEN DELETE
+      WHEN NOT MATCHED AND s.d > 0 THEN
+        INSERT (id, qty, status) VALUES (s.id, s.d, 'new')
+      WHEN NOT MATCHED BY SOURCE AND t.qty < 3 THEN DELETE""").head()
+    assert(!r.isNullAt(0))
+    val got = SnapshotTable.read(spark, dir).orderBy("id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getString(2))).toSeq
+    assert(got == Seq((1L, 13L, "open"), (2L, 5L, "open"), (5L, 9L, "new")))
+    // by-source UPDATE via SQL; unconditional-before-last refused
+    spark.sql("MERGE INTO sqldml_mf t USING sqldml_mf_src s ON t.id = s.id " +
+      "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET status = 'stale'")
+    assert(SnapshotTable.read(spark, dir)
+      .filter(col("status") === "stale").count() == 1) // id=2
+    intercept[IllegalArgumentException] {
+      spark.sql("MERGE INTO sqldml_mf t USING sqldml_mf_src s " +
+        "ON t.id = s.id WHEN MATCHED THEN DELETE " +
+        "WHEN MATCHED AND t.qty > 0 THEN UPDATE SET qty = 0") }
   }
 
   test("non-graft CREATE TABLE containing the word 'shallow' delegates") {
