@@ -246,10 +246,9 @@ object MaterializedAgg {
         // Source commits with no net row changes (compaction, identical
         // rewrites): still ADVANCE the cursor — otherwise every later
         // refresh re-diffs across the same compaction boundary, reading
-        // its dropped+added files again and again. An empty ledgered
-        // append is one tiny commit.
-        SnapshotTable.transactionalAppend(cur.limit(0), dstDir,
-          meta.viewId, srcV, statsCols = meta.keys)
+        // its dropped+added files again and again. Manifest-only: zero
+        // data movement, zero Spark jobs.
+        SnapshotTable.advanceTxn(spark, dstDir, meta.viewId, srcV)
       } else {
         // Dead groups need no recompute — they become delete rows
         // regardless of what the retracted extremum was.
@@ -272,9 +271,13 @@ object MaterializedAgg {
         // The recompute leg re-scans affected source files per pass —
         // cache it; the pure-delta leg is a projection over the cached
         // join and needs no second cache.
+        // preValidated: tags are when/otherwise-constructed, keys are
+        // groupBy-unique (the recompute leg replaces whole groups),
+        // emptiness was decided by the fused probe above — skipping
+        // applyChanges' own probe saves one job per refresh.
         if (needRecompute) batch.persist()
         try SnapshotTable.applyChanges(spark, dstDir, batch, meta.keys,
-          txn = Some(meta.viewId -> srcV))
+          txn = Some(meta.viewId -> srcV), preValidated = true)
         finally if (needRecompute) batch.unpersist(false)
       }
       Some(srcV)

@@ -2261,6 +2261,34 @@ object SnapshotTable {
       s"transactionalAppend: lost the commit race $maxRetries times under $dir")
   }
 
+  /** Manifest-only EXACTLY-ONCE ledger advance: record `(appId,
+    * txnVersion)` with zero data movement and zero Spark jobs — the
+    * cursor-only commit a materialized view's refresh lands when a
+    * source commit produced no net row change (compaction, identical
+    * rewrite), where a zero-row [[transactionalAppend]] would still
+    * pay a full empty write job + file listing. Same ledger
+    * discipline: a replayed or raced advance returns None. */
+  def advanceTxn(spark: SparkSession, dir: String, appId: String,
+                 txnVersion: Long, maxRetries: Int = 20): Option[Long] = {
+    require(appId.nonEmpty, "advanceTxn: appId must be non-empty")
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val cur = latestVersion(spark, dir).getOrElse(
+        throw new java.io.IOException(
+          s"advanceTxn: no committed version under $dir"))
+      val st = stateOf(spark, dir, cur)
+      if (st.txns.getOrElse(appId, Long.MinValue) >= txnVersion) return None
+      if (tryCommit(spark, dir, cur + 1, st.files,
+          st.txns + (appId -> txnVersion), st.stats, st.schema,
+          st.bloomRefs, st.bloomCols, st.sizes, "advanceTxn", st.dvRefs,
+          st.bucket, colMapOpt = Some((st.colMap, st.retired))))
+        return Some(cur + 1)
+      attempt += 1
+    }
+    throw new java.io.IOException(
+      s"advanceTxn: lost the commit race $maxRetries times under $dir")
+  }
+
   // ------------------------------------------------------------------
   // Reads
   // ------------------------------------------------------------------
@@ -4203,7 +4231,8 @@ object SnapshotTable {
     * applied this (appId, txnVersion). */
   def applyChanges(spark: SparkSession, dir: String, changes: DataFrame,
                    keys: Seq[String], txn: Option[(String, Long)] = None,
-                   maxRetries: Int = 20): Option[Long] = {
+                   maxRetries: Int = 20,
+                   preValidated: Boolean = false): Option[Long] = {
     require(keys.nonEmpty, "applyChanges: at least one key column required")
     require(changes.columns.contains("_change"),
       "applyChanges: changes must carry a _change column (insert|delete)")
@@ -4214,6 +4243,7 @@ object SnapshotTable {
         .map(manifestTxns(spark, dir, _)).getOrElse(Map.empty)
       if (pre.getOrElse(appId, Long.MinValue) >= tv) return None
     }
+    val inserts = changes.filter(col("_change") === "insert").drop("_change")
     // ONE probe job validates the batch — bad-tag count, max insert
     // multiplicity per key, affected-key count — replacing three
     // separate actions (tag scan, duplicate scan, emptiness), each of
@@ -4222,30 +4252,35 @@ object SnapshotTable {
     // The tag guard must be NULL-safe: `!isin(...)` evaluates to NULL
     // for a NULL tag — a mistyped or NULL tag silently vanishing from
     // the apply would be a data-loss bug, not a skip.
-    val badTagC = col("_change").isNull ||
-      !col("_change").isin("insert", "delete")
-    val probe = changes.groupBy(keys.map(col): _*)
-      .agg(
-        sum(when(col("_change") === "insert", 1L).otherwise(0L)).as("_ni"),
-        sum(when(badTagC, 1L).otherwise(0L)).as("_nb"))
-      .agg(coalesce(sum(col("_nb")), lit(0L)),
-        coalesce(max(col("_ni")), lit(0L)), count(lit(1)))
-      .collect()(0)
-    if (probe.getLong(0) > 0) {
-      val badTag = changes.filter(badTagC).limit(1).collect()
-      require(badTag.isEmpty,
-        s"applyChanges: unknown _change tag in e.g. " +
-          s"${badTag.headOption.orNull} — only insert|delete are defined")
+    // `preValidated` skips the probe entirely — for internal callers
+    // whose batch is valid BY CONSTRUCTION (MaterializedAgg.refresh
+    // tags via when/otherwise, keys via groupBy, emptiness via its own
+    // fused probe): one fewer job per refresh.
+    if (!preValidated) {
+      val badTagC = col("_change").isNull ||
+        !col("_change").isin("insert", "delete")
+      val probe = changes.groupBy(keys.map(col): _*)
+        .agg(
+          sum(when(col("_change") === "insert", 1L).otherwise(0L)).as("_ni"),
+          sum(when(badTagC, 1L).otherwise(0L)).as("_nb"))
+        .agg(coalesce(sum(col("_nb")), lit(0L)),
+          coalesce(max(col("_ni")), lit(0L)), count(lit(1)))
+        .collect()(0)
+      if (probe.getLong(0) > 0) {
+        val badTag = changes.filter(badTagC).limit(1).collect()
+        require(badTag.isEmpty,
+          s"applyChanges: unknown _change tag in e.g. " +
+            s"${badTag.headOption.orNull} — only insert|delete are defined")
+      }
+      if (probe.getLong(1) > 1) {
+        val dupKeys = inserts.groupBy(keys.map(col): _*)
+          .count().filter(col("count") > 1).limit(1).collect()
+        require(dupKeys.isEmpty,
+          s"applyChanges: duplicate insert keys, e.g. " +
+            s"${dupKeys.head.mkString(",")}")
+      }
+      if (probe.getLong(2) == 0) return None
     }
-    val inserts = changes.filter(col("_change") === "insert").drop("_change")
-    if (probe.getLong(1) > 1) {
-      val dupKeys = inserts.groupBy(keys.map(col): _*)
-        .count().filter(col("count") > 1).limit(1).collect()
-      require(dupKeys.isEmpty,
-        s"applyChanges: duplicate insert keys, e.g. " +
-          s"${dupKeys.head.mkString(",")}")
-    }
-    if (probe.getLong(2) == 0) return None
     // Only the insert half introduces new values.
     val vcs = enforceConstraints(spark, dir, inserts, "applyChanges")
     val insertKeys = inserts.select(keys.map(col): _*).distinct()
