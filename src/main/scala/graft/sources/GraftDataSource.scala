@@ -155,7 +155,10 @@ final class GraftDataSource extends RelationProvider
       new GraftCdfStreamSource(spark, dir,
         GraftCdfStreamSource.cdfSchema(
           schema.map(GraftCdfStreamSource.stripCdfColumns)
-            .getOrElse(tableSchema(spark, dir))), startingVersion)
+            .getOrElse(tableSchema(spark, dir))), startingVersion,
+        maxFiles = parameters.get("maxFilesPerTrigger").map(_.toInt),
+        maxBytes = parameters.get("maxBytesPerTrigger").map(_.toLong),
+        metadataPath = metadataPath)
     else new GraftStreamSource(spark, dir,
       schema.getOrElse(tableSchema(spark, dir)),
       startingVersion = startingVersion,
@@ -216,74 +219,72 @@ object GraftDataSource {
   }
 }
 
-/** The SnapshotTable streaming SOURCE: manifest versions ARE the
-  * offsets (a committed version is immutable, so replay of any
-  * `(start, end]` range is deterministic — exactly the
-  * replayable-source half of Structured Streaming's exactly-once
-  * contract; the ledgered sink is the other half). Batches are
-  * planned as native parquet relations over exactly the committed
-  * files — the scan itself is Spark's vectorized reader.
-  *
-  * **Admission control** (`maxFilesPerTrigger` / `maxBytesPerTrigger`
-  * — the public Delta source options): at 100 TB the initial snapshot
-  * as ONE micro-batch is the scale killer, so with a limit set the
-  * offset becomes the composite `{"v":N,"i":K,"snap":B}` — versions
-  * `< N` fully consumed plus the first `K` files of version `N`'s
-  * emission list (its full snapshot when `snap`, the Delta
-  * isStartingVersion idea; its commit's added files otherwise), and
-  * the snapshot drains across as many triggers as the budget needs
-  * (at least one file always admits, so an over-budget file cannot
-  * wedge the stream). Every batch is still an exact deterministic
-  * `(start, end]` slice — replay-safe. The source self-persists its
-  * last planned position under the stream's `metadataPath` (atomic
-  * tmp+rename) so a restart continues chunking where it left off; a
-  * crash between planning and the engine's commit only widens one
-  * batch (the checkpointed start re-slices correctly), never skips or
-  * duplicates. Without limits the offsets stay the legacy plain
-  * version numbers, byte-compatible with existing checkpoints — and
-  * the position file is maintained either way, so limits can be
-  * turned ON over an existing checkpoint. */
-final class GraftStreamSource(spark: SparkSession, dir: String,
-                              override val schema: StructType,
-                              startingVersion: Option[Long],
-                              ignoreChanges: Boolean,
-                              maxFiles: Option[Int] = None,
-                              maxBytes: Option[Long] = None,
-                              metadataPath: String = "") extends Source
-    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+/** Shared admission-control machinery of the two graft streaming
+  * sources (plain + CDF): composite `{v,i,snap}` offsets, budgeted
+  * planning under maxFilesPerTrigger/maxBytesPerTrigger,
+  * position-file persistence under the stream's metadataPath,
+  * legacy-checkpoint fallback, and the Trigger.AvailableNow drain
+  * bound. Implementors provide [[emissionUnit]] — a version's file
+  * list plus whether it can be SLICED across triggers or must land
+  * atomically (a rewrite commit's row-level delta is a cross-file
+  * comparison, indivisible). Offsets stay legacy plain-long when no
+  * limit is set — byte-compatible with existing checkpoints. */
+private[sources] trait GraftRateLimited
+    extends org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  self: Source =>
   import GraftStreamSource.{Pos, PosOffset}
+
+  protected def rlSpark: SparkSession
+  protected def rlDir: String
+  protected def maxFiles: Option[Int]
+  protected def maxBytes: Option[Long]
+  protected def metadataPath: String
+  protected def startingVersion: Option[Long]
+
+  /** Version `v`'s emission list (`snap` = the full-snapshot form)
+    * and whether the unit is ATOMIC (admitted all-or-nothing). */
+  protected def emissionUnit(v: Long, snap: Boolean): (Seq[String], Boolean)
 
   require(maxFiles.forall(_ > 0), "maxFilesPerTrigger must be positive")
   require(maxBytes.forall(_ > 0), "maxBytesPerTrigger must be positive")
 
-  private val limited = maxFiles.nonEmpty || maxBytes.nonEmpty
+  protected final def limited: Boolean =
+    maxFiles.nonEmpty || maxBytes.nonEmpty
 
-  private val posPath: Option[Path] =
+  private def posPath: Option[Path] =
     if (metadataPath.isEmpty) None
     else Some(new Path(metadataPath, "graft-pos.json"))
   private def posFs = posPath.get
-    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    .getFileSystem(rlSpark.sparkContext.hadoopConfiguration)
 
   /** The furthest position this source has PLANNED (not necessarily
     * committed) — restored across restarts from the metadata file.
     * Planning monotonically forward is safe: the engine's
     * checkpointed start re-slices the exact range, so a stale (or
     * lost) file costs at most one wider batch, never a gap. */
-  private var lastPos: Option[Pos] = posPath.flatMap { p =>
-    val f = posFs
-    if (!f.exists(p)) None
-    else {
-      val in = f.open(p)
-      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
-      scala.util.Try(Pos.parse(txt.trim)).toOption
+  private var lastPosOpt: Option[Pos] = None
+  private var lastPosLoaded = false
+  protected final def lastPos: Option[Pos] = {
+    if (!lastPosLoaded) {
+      lastPosLoaded = true
+      lastPosOpt = posPath.flatMap { p =>
+        val f = posFs
+        if (!f.exists(p)) None
+        else {
+          val in = f.open(p)
+          val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+          scala.util.Try(Pos.parse(txt.trim)).toOption
+        }
+      }
     }
+    lastPosOpt
   }
 
-  private def persist(p: Pos): Unit = {
+  protected final def persist(p: Pos): Unit = {
     if (lastPos.forall(lp => Pos.lt(lp, p))) {
-      lastPos = Some(p)
+      lastPosOpt = Some(p)
       posPath.foreach { path =>
         posFs.mkdirs(path.getParent)
         TableIO.atomicWriteText(posFs, path, p.json)
@@ -291,28 +292,8 @@ final class GraftStreamSource(spark: SparkSession, dir: String,
     }
   }
 
-  /** Version `v`'s emission list: the full snapshot when `snap`
-    * (initial-snapshot draining), else the files its commit added
-    * (validated append-only unless `ignoreChanges`). */
-  private def listOf(v: Long, snap: Boolean): Seq[String] =
-    if (snap) SnapshotTable.manifestFiles(spark, dir, v)
-    else SnapshotTable.versionDeltas(spark, dir, v - 1, v) match {
-      case Seq(d) => validate(d); d.adds
-      case _ => Seq.empty
-    }
-
-  private def validate(d: SnapshotTable.VersionDelta): Unit =
-    if ((d.removes.nonEmpty || d.dvChanged.nonEmpty) && !ignoreChanges)
-      throw new IllegalStateException(
-        s"graft streaming source: version ${d.version} (op=${d.op}) " +
-          s"removed ${d.removes.length} file(s) and advanced deletion " +
-          s"vectors on ${d.dvChanged.length} — the source requires an " +
-          "append-only table. Set option(\"ignoreChanges\",\"true\") to " +
-          "re-emit rewritten files (may duplicate rows), or consume " +
-          "row-level deltas via option(\"readChangeFeed\",\"true\").")
-
   /** Where emission starts when nothing was consumed yet. */
-  private def initialPos(head: Long): Pos = startingVersion match {
+  protected def initialPos(head: Long): Pos = startingVersion match {
     case Some(sv) => Pos(sv - 1, Pos.Complete, snap = false)
     case None => Pos(head, 0, snap = true)
   }
@@ -344,35 +325,52 @@ final class GraftStreamSource(spark: SparkSession, dir: String,
     var done = false
     while (!done && !exhausted && pos.v <= head) {
       // A fully-consumed position advances WITHOUT touching its
-      // manifest: listOf(v) reads versionDeltas(v-1, v), so probing a
-      // Complete position both re-reads two manifests on every idle
-      // trigger and, for startingVersion=sv with v=sv-1 the oldest
-      // surviving (checkpoint-rewritten) version, would throw
-      // "manifest missing" where the unlimited path works.
+      // manifest: emissionUnit(v) reads versionDeltas(v-1, v), so
+      // probing a Complete position both re-reads two manifests on
+      // every idle trigger and, for startingVersion=sv with v=sv-1
+      // the oldest surviving (checkpoint-rewritten) version, would
+      // throw "manifest missing" where the unlimited path works.
       if (pos.i == Pos.Complete) {
         if (pos.v < head) { pos = Pos(pos.v + 1, 0, snap = false) }
         else done = true
       } else {
-      val list = listOf(pos.v, pos.snap)
-      val consumed = math.min(pos.iNorm(list.size), list.size)
-      if (consumed < list.size) {
-        val sizes = SnapshotTable.manifestSizes(spark, dir, pos.v)
-        var i = consumed
-        var stop = false
-        while (i < list.size && !stop) {
-          val sz = sizes.getOrElse(list(i), 0L)
-          val over = maxFiles.exists(files + 1 > _) ||
-            maxBytes.exists(bytes + sz > _)
-          // admit at least one file per trigger or the stream wedges
-          if (over && (files > 0)) stop = true
-          else { files += 1; bytes += sz; i += 1; if (exhausted) stop = true }
+        val (list, atomic) = emissionUnit(pos.v, pos.snap)
+        if (atomic) {
+          // all-or-nothing: admit as the trigger's first unit (the
+          // at-least-one rule — an over-budget rewrite cannot wedge
+          // the stream), defer otherwise
+          if (files > 0) done = true
+          else {
+            val sizes = SnapshotTable.manifestSizes(rlSpark, rlDir, pos.v)
+            files += list.size
+            bytes += list.map(sizes.getOrElse(_, 0L)).sum
+            progressed = true
+            pos = pos.copy(i = Pos.Complete)
+          }
+        } else {
+          val consumed = math.min(pos.iNorm(list.size), list.size)
+          if (consumed < list.size) {
+            val sizes = SnapshotTable.manifestSizes(rlSpark, rlDir, pos.v)
+            var i = consumed
+            var stop = false
+            while (i < list.size && !stop) {
+              val sz = sizes.getOrElse(list(i), 0L)
+              val over = maxFiles.exists(files + 1 > _) ||
+                maxBytes.exists(bytes + sz > _)
+              // admit at least one file per trigger or the stream wedges
+              if (over && (files > 0)) stop = true
+              else {
+                files += 1; bytes += sz; i += 1
+                if (exhausted) stop = true
+              }
+            }
+            if (i > consumed) progressed = true
+            pos = pos.copy(i = i)
+            if (i < list.size) done = true
+          } else if (pos.v < head) {
+            pos = Pos(pos.v + 1, 0, snap = false)
+          } else done = true
         }
-        if (i > consumed) progressed = true
-        pos = pos.copy(i = i)
-        if (i < list.size) done = true
-      } else if (pos.v < head) {
-        pos = Pos(pos.v + 1, 0, snap = false)
-      } else done = true
       }
     }
     if (progressed) Some(pos) else None
@@ -388,10 +386,10 @@ final class GraftStreamSource(spark: SparkSession, dir: String,
   private var availableNowBound: Option[Long] = None
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowBound = Some(
-      SnapshotTable.latestVersion(spark, dir).getOrElse(-1L))
+      SnapshotTable.latestVersion(rlSpark, rlDir).getOrElse(-1L))
 
-  private def boundedHead: Option[Long] = {
-    val h = SnapshotTable.latestVersion(spark, dir)
+  protected final def boundedHead: Option[Long] = {
+    val h = SnapshotTable.latestVersion(rlSpark, rlDir)
       .getOrElse(return None)
     Some(availableNowBound.fold(h)(math.min(h, _)))
   }
@@ -404,10 +402,10 @@ final class GraftStreamSource(spark: SparkSession, dir: String,
     * enforced from the reader OPTIONS (the Delta convention);
     * `limit` is acknowledged but the options win. */
   override def latestOffset(startOffset: org.apache.spark.sql.connector
-                              .read.streaming.Offset,
-                            limit: org.apache.spark.sql.connector
-                              .read.streaming.ReadLimit
-                           ): org.apache.spark.sql.connector.read.streaming.Offset = {
+                     .read.streaming.Offset,
+                   limit: org.apache.spark.sql.connector
+                     .read.streaming.ReadLimit
+                  ): org.apache.spark.sql.connector.read.streaming.Offset = {
     val head = boundedHead.getOrElse(return startOffset)
     if (head < 0) return startOffset // AvailableNow over an empty table
     val start = Option(startOffset).map(o => Pos.parse(o.json))
@@ -449,6 +447,73 @@ final class GraftStreamSource(spark: SparkSession, dir: String,
       case None => lastPos.map(PosOffset).orElse(None)
     }
   }
+}
+
+/** The SnapshotTable streaming SOURCE: manifest versions ARE the
+  * offsets (a committed version is immutable, so replay of any
+  * `(start, end]` range is deterministic — exactly the
+  * replayable-source half of Structured Streaming's exactly-once
+  * contract; the ledgered sink is the other half). Batches are
+  * planned as native parquet relations over exactly the committed
+  * files — the scan itself is Spark's vectorized reader.
+  *
+  * **Admission control** (`maxFilesPerTrigger` / `maxBytesPerTrigger`
+  * — the public Delta source options): at 100 TB the initial snapshot
+  * as ONE micro-batch is the scale killer, so with a limit set the
+  * offset becomes the composite `{"v":N,"i":K,"snap":B}` — versions
+  * `< N` fully consumed plus the first `K` files of version `N`'s
+  * emission list (its full snapshot when `snap`, the Delta
+  * isStartingVersion idea; its commit's added files otherwise), and
+  * the snapshot drains across as many triggers as the budget needs
+  * (at least one file always admits, so an over-budget file cannot
+  * wedge the stream). Every batch is still an exact deterministic
+  * `(start, end]` slice — replay-safe. The source self-persists its
+  * last planned position under the stream's `metadataPath` (atomic
+  * tmp+rename) so a restart continues chunking where it left off; a
+  * crash between planning and the engine's commit only widens one
+  * batch (the checkpointed start re-slices correctly), never skips or
+  * duplicates. Without limits the offsets stay the legacy plain
+  * version numbers, byte-compatible with existing checkpoints — and
+  * the position file is maintained either way, so limits can be
+  * turned ON over an existing checkpoint. */
+final class GraftStreamSource(spark: SparkSession, dir: String,
+                              override val schema: StructType,
+                              protected val startingVersion: Option[Long],
+                              ignoreChanges: Boolean,
+                              protected val maxFiles: Option[Int] = None,
+                              protected val maxBytes: Option[Long] = None,
+                              protected val metadataPath: String = "")
+    extends Source with GraftRateLimited
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import GraftStreamSource.Pos
+
+  protected def rlSpark: SparkSession = spark
+  protected def rlDir: String = dir
+
+  /** Version `v`'s emission list: the full snapshot when `snap`
+    * (initial-snapshot draining), else the files its commit added
+    * (validated append-only unless `ignoreChanges`). Always sliceable
+    * — this source emits file contents, never cross-file deltas. */
+  protected def emissionUnit(v: Long, snap: Boolean): (Seq[String], Boolean) =
+    (listOf(v, snap), false)
+
+  private def listOf(v: Long, snap: Boolean): Seq[String] =
+    if (snap) SnapshotTable.manifestFiles(spark, dir, v)
+    else SnapshotTable.versionDeltas(spark, dir, v - 1, v) match {
+      case Seq(d) => validate(d); d.adds
+      case _ => Seq.empty
+    }
+
+  private def validate(d: SnapshotTable.VersionDelta): Unit =
+    if ((d.removes.nonEmpty || d.dvChanged.nonEmpty) && !ignoreChanges)
+      throw new IllegalStateException(
+        s"graft streaming source: version ${d.version} (op=${d.op}) " +
+          s"removed ${d.removes.length} file(s) and advanced deletion " +
+          s"vectors on ${d.dvChanged.length} — the source requires an " +
+          "append-only table. Set option(\"ignoreChanges\",\"true\") to " +
+          "re-emit rewritten files (may duplicate rows), or consume " +
+          "row-level deltas via option(\"readChangeFeed\",\"true\").")
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val endPos0 = Pos.parse(end.json)
@@ -652,15 +717,45 @@ final class GraftStreamSink(spark: SparkSession, dir: String, appId: String,
   * so checkpoint-recovery replays are deterministic. */
 final class GraftCdfStreamSource(spark: SparkSession, dir: String,
                                  override val schema: StructType,
-                                 startingVersion: Option[Long]
-                                ) extends Source {
+                                 protected val startingVersion: Option[Long],
+                                 protected val maxFiles: Option[Int] = None,
+                                 protected val maxBytes: Option[Long] = None,
+                                 protected val metadataPath: String = "")
+    extends Source with GraftRateLimited
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
   import GraftCdfStreamSource._
+  import GraftStreamSource.Pos
 
-  override def getOffset: Option[Offset] =
-    SnapshotTable.latestVersion(spark, dir).map(LongOffset(_))
+  protected def rlSpark: SparkSession = spark
+  protected def rlDir: String = dir
+
+  /** Sliceability per version: the initial snapshot and append-shaped
+    * commits (adds only — a bulk backfill, exactly the scale problem)
+    * drain across triggers as insert-row file slices; a commit that
+    * removed files or advanced deletion vectors is a cross-file
+    * row-level delta and lands ATOMICALLY (its adds are still counted
+    * against the budget, so a trigger never packs more after a big
+    * rewrite). */
+  protected def emissionUnit(v: Long, snap: Boolean): (Seq[String], Boolean) =
+    if (snap) (SnapshotTable.manifestFiles(spark, dir, v), false)
+    else SnapshotTable.versionDeltas(spark, dir, v - 1, v) match {
+      case Seq(d) if d.removes.isEmpty && d.dvChanged.isEmpty =>
+        (d.adds, false)
+      case Seq(d) => (d.adds, true)
+      case _ => (Seq.empty, false)
+    }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
-    val to = versionOf(end)
+    val endPos0 = Pos.parse(end.json)
+    // A legacy plain-long END with no start and no startingVersion is
+    // the old initial-snapshot contract: the full snapshot at `end`.
+    val endPos =
+      if (start.isEmpty && startingVersion.isEmpty && !endPos0.snap &&
+          endPos0.i == Pos.Complete) endPos0.copy(snap = true)
+      else endPos0
+    val startPos = start.map(o => Pos.parse(o.json))
+    val to = endPos.v
     // Mid-stream schema changes the captured CDF schema cannot absorb
     // fail LOUDLY with a restart hint (same contract as the plain
     // source — without this a rename/drop/widen surfaces as a raw
@@ -675,40 +770,84 @@ final class GraftCdfStreamSource(spark: SparkSession, dir: String,
           "were renamed, dropped, or changed type mid-stream — restart " +
           "the stream to capture the current schema")
     }
-    val batch = start.map(versionOf) match {
-      case Some(from) => changes(from, to)
-      case None => startingVersion match {
-        case Some(sv) => changes(sv - 1, to)
-        case None =>
-          // Initial snapshot as inserts at the pinned version —
-          // read() applies any deletion vectors.
-          withCdfColumns(SnapshotTable.read(spark, dir, Some(to)), to)
+    val begin = startPos.getOrElse(startingVersion match {
+      case Some(sv) => Pos(sv - 1, Pos.Complete, snap = false)
+      case None => Pos(endPos.v, 0, snap = endPos.snap)
+    })
+    val batch =
+      if (!Pos.lt(begin, endPos)) emptyBatch()
+      else {
+        val pieces = Seq.newBuilder[DataFrame]
+        // begin version's sliced tail (snapshot or append slice)
+        if (begin.i != Pos.Complete || begin.v == endPos.v) {
+          val (list, _) = emissionUnit(begin.v, begin.snap)
+          val lo = math.min(begin.iNorm(list.size), list.size)
+          val hi =
+            if (begin.v == endPos.v) math.min(endPos.iNorm(list.size),
+              list.size)
+            else list.size
+          if (hi > lo) pieces += sliceInserts(list.slice(lo, hi), begin.v)
+        }
+        // full intermediate versions = exact per-commit row deltas;
+        // a partially-admitted END version = an insert-file slice
+        // (only ever a sliceable unit — atomic versions are never
+        // left partial by the planner)
+        (begin.v + 1 to endPos.v).foreach { v =>
+          if (v < endPos.v || endPos.i == Pos.Complete)
+            pieces += changeStep(v)
+          else {
+            val (list, _) = emissionUnit(v, snap = false)
+            val hi = math.min(endPos.iNorm(list.size), list.size)
+            if (hi > 0) pieces += sliceInserts(list.slice(0, hi), v)
+          }
+        }
+        val ps = pieces.result()
+        if (ps.isEmpty) emptyBatch() else ps.reduce(_ unionByName _)
       }
-    }
+    persist(endPos) // recovery replays keep future planning monotone
     org.apache.spark.sql.GraftSqlBridge.streamingDataFrameOfInternalRows(
       spark, batch.queryExecution.toRdd, batch.schema)
   }
 
-  /** Per-commit row deltas over `(from, to]`, each one changeFeed
-    * step so `_commit_version` is exact. A micro-batch range is a
-    * handful of commits (the trigger cadence), so the union stays
-    * driver-bounded. An empty range (a startingVersion at or beyond
-    * the head — the commit-notification shape) is an empty batch. */
-  private def changes(from: Long, to: Long): DataFrame =
-    if (to <= from)
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else (from + 1 to to).map { v =>
-      val step = SnapshotTable.changeFeed(spark, dir, v - 1, v)
-      val dataCols = step.columns.filterNot(_ == "_change")
-      step.select(dataCols.map(col) :+ col("_change") :+
-        lit(v).cast(LongType).as("_commit_version"): _*)
-    }.reduce(_ unionByName _)
+  private def emptyBatch(): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
 
-  private def versionOf(o: Offset): Long = o match {
-    case l: LongOffset => l.offset
-    case s: SerializedOffset => s.json.trim.toLong
-    case other => other.json.trim.toLong
+  /** One changeFeed step — version `v`'s exact row-level delta. */
+  private def changeStep(v: Long): DataFrame = {
+    val step = SnapshotTable.changeFeed(spark, dir, v - 1, v)
+    val dataCols = step.columns.filterNot(_ == "_change")
+    step.select(dataCols.map(col) :+ col("_change") :+
+      lit(v).cast(LongType).as("_commit_version"): _*)
+  }
+
+  /** A file slice emitted as inserts at version `v` — the bounded
+    * drain path for the initial snapshot and append-shaped commits.
+    * Scans the version's PHYSICAL schema under an active column
+    * mapping (renamed to logical on top) and applies its deletion
+    * vectors, so a slice reads exactly what the full snapshot read
+    * would have emitted for those files. */
+  private def sliceInserts(files: Seq[String], v: Long): DataFrame = {
+    val dataSchema = stripCdfColumns(schema)
+    val colMap = SnapshotTable.manifestColMap(spark, dir, v)
+    val scanSchema =
+      if (colMap.isEmpty) dataSchema
+      else SnapshotTable.physSchemaOf(colMap, dataSchema)
+    val sizes = SnapshotTable.manifestSizes(spark, dir, v)
+    val index = new ExactFilesIndex(spark, dir, files, sizes)
+    val rel = HadoopFsRelation(index, new StructType(), scanSchema, None,
+      new ParquetFileFormat(), Map.empty)(spark)
+    val plan = LogicalRelation(rel,
+      DataTypeUtils.toAttributes(scanSchema), None,
+      isStreaming = false, None)
+    val base = org.apache.spark.sql.GraftSqlBridge.ofRows(spark, plan)
+    val masked = SnapshotTable.dvMaskOver(spark, dir,
+      SnapshotTable.manifestDvRefs(spark, dir, v), files, base)
+    val logical =
+      if (colMap.isEmpty) masked
+      else masked.select(dataSchema.fields.map(f =>
+        col(SnapshotTable.physName(colMap, f.name)).as(f.name)).toSeq: _*)
+    withCdfColumns(logical, v)
   }
 
   override def stop(): Unit = ()

@@ -261,6 +261,74 @@ class GraftRateLimitSpec extends AnyFunSuite {
       .map(_.getLong(0)).toSet == Set(5L))
   }
 
+  test("CDF maxFilesPerTrigger drains the snapshot and bulk appends across triggers") {
+    val dir = tmp("cdf-files"); mkFiles(dir, 5)            // v0..v4
+    val ckpt = Files.createTempDirectory("cdfrate-ck").toString
+    val out = Files.createTempDirectory("cdfrate-out").toString + "/p"
+    val batches = scala.collection.mutable.Buffer[Long]()
+    runOnce(dir, ckpt, out,
+      Map("readChangeFeed" -> "true", "maxFilesPerTrigger" -> "2"), batches)
+    // the 5-file initial snapshot drains 2-2-1
+    assert(batches.toSeq == Seq(2L, 2L, 1L), s"got $batches")
+    val snap = spark.read.parquet(out)
+    assert(snap.count() == 5)
+    assert(snap.select("_change").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("insert"))
+    // ONE bulk-backfill commit of 4 files must also drain across
+    // triggers (the round-8 gap: per-commit batches were unbounded)
+    SnapshotTable.append((100L until 104L).map(i => (i, s"v$i"))
+      .toDF("id", "name").repartition(4), dir)
+    batches.clear()
+    runOnce(dir, ckpt, out,
+      Map("readChangeFeed" -> "true", "maxFilesPerTrigger" -> "2"), batches)
+    // AQE may coalesce the backfill into fewer/uneven files — the
+    // property under test is that ONE commit drains across MULTIPLE
+    // bounded triggers with exact totals, not the slice shapes
+    assert(batches.length >= 2 && batches.sum == 4, s"got $batches")
+    val got = spark.read.parquet(out)
+    assert(got.select("id").distinct().count() == 9)
+    // the backfill slices all stamp the backfill's commit version
+    assert(got.filter(col("id") >= 100L).select("_commit_version")
+      .distinct().count() == 1)
+  }
+
+  test("CDF rate limit: rewrite commits land atomically as row-level deltas") {
+    val dir = tmp("cdf-atomic")
+    SnapshotTable.append((0L until 6L).map(i => (i, s"v$i"))
+      .toDF("id", "name").repartition(3), dir)              // v0: 3 files
+    SnapshotTable.deleteWhere(spark, dir, col("id") < 2L)   // v1: rewrite
+    mkFiles(dir, 2, from = 50L)                             // v2, v3
+    val ckpt = Files.createTempDirectory("cdfrate-ck2").toString
+    val out = Files.createTempDirectory("cdfrate-out2").toString + "/p"
+    val batches = scala.collection.mutable.Buffer[Long]()
+    runOnce(dir, ckpt, out,
+      Map("readChangeFeed" -> "true", "maxFilesPerTrigger" -> "1",
+        "startingVersion" -> "1"), batches)
+    // v1 is a cross-file delta → atomic (its 2 delete rows in one
+    // batch, never sliced); the appends then admit 1 file per trigger
+    assert(batches.toSeq == Seq(2L, 1L, 1L), s"got $batches")
+    val got = spark.read.parquet(out)
+    assert(got.filter(col("_change") === "delete")
+      .select("id").collect().map(_.getLong(0)).toSet == Set(0L, 1L))
+    assert(got.filter(col("_change") === "insert")
+      .select("id").collect().map(_.getLong(0)).toSet == Set(50L, 51L))
+  }
+
+  test("turning limits ON over an unlimited CDF checkpoint continues cleanly") {
+    val dir = tmp("cdf-flip"); mkFiles(dir, 3)
+    val ckpt = Files.createTempDirectory("cdfrate-ck3").toString
+    val out = Files.createTempDirectory("cdfrate-out3").toString + "/p"
+    val b1 = scala.collection.mutable.Buffer[Long]()
+    runOnce(dir, ckpt, out, Map("readChangeFeed" -> "true"), b1)
+    assert(b1.toSeq == Seq(3L))
+    mkFiles(dir, 3, from = 100L)
+    val b2 = scala.collection.mutable.Buffer[Long]()
+    runOnce(dir, ckpt, out,
+      Map("readChangeFeed" -> "true", "maxFilesPerTrigger" -> "1"), b2)
+    assert(b2.toSeq == Seq(1L, 1L, 1L), s"got $b2")
+    assert(spark.read.parquet(out).select("id").distinct().count() == 6)
+  }
+
   test("turning limits ON over an unlimited checkpoint continues cleanly") {
     val dir = tmp("flip"); mkFiles(dir, 3)
     val ckpt = Files.createTempDirectory("rate-ck4").toString
