@@ -928,18 +928,32 @@ object SnapshotTable {
                      files: Seq[String]): Option[DataFrame] = {
     val relevant = dvRefs.view.filterKeys(files.toSet).toMap
     if (relevant.isEmpty) return None
-    val frames = relevant.values.toSeq.distinct.map { ref =>
-      val df = spark.read.parquet(resolveDvRef(dir, ref))
+    // One sidecar can cover MANY files (a single MoR delete writes one
+    // vector file for every file it touched). Positions must be
+    // restricted to the files that CURRENTLY reference the sidecar: a
+    // sibling file's later rewrite materializes ITS deletes and drops
+    // ITS dvRefs entry, but the shared sidecar lives on — serving its
+    // stale positions would make position-COUNTING consumers
+    // (countRows) subtract deletes that no longer exist. (The
+    // anti-join mask was accidentally immune — a rewritten file's name
+    // never matches — but the filter is the correctness contract, not
+    // the join's luck.)
+    import spark.implicits._
+    val frames = relevant.groupBy(_._2).toSeq.map { case (ref, fs) =>
+      val df0 = spark.read.parquet(resolveDvRef(dir, ref))
         .select(col("file").as("__dv_file"),
           col("row_index").as("__dv_rowidx"))
-      if (ref.startsWith("_dv/")) df
-      else {
-        val srcDir = new Path(ref).getParent.getParent.toUri.getPath
-        df.withColumn("__dv_file",
-          when(col("__dv_file").startsWith("data/"),
-            concat(lit(s"$srcDir/"), col("__dv_file")))
-            .otherwise(col("__dv_file")))
-      }
+      val df =
+        if (ref.startsWith("_dv/")) df0
+        else {
+          val srcDir = new Path(ref).getParent.getParent.toUri.getPath
+          df0.withColumn("__dv_file",
+            when(col("__dv_file").startsWith("data/"),
+              concat(lit(s"$srcDir/"), col("__dv_file")))
+              .otherwise(col("__dv_file")))
+        }
+      df.join(broadcast(fs.keys.toSeq.toDF("__dv_file")),
+        Seq("__dv_file"), "left_semi")
     }
     Some(frames.reduce(_ unionByName _).distinct())
   }

@@ -340,4 +340,184 @@ class SnapshotModelSpec extends AnyFunSuite {
         assert(read(Some(v), nm, hx) == m, s"time travel to v$v")
       }
   }
+
+  test("CONCURRENT writers: 4 threads of mixed row ops + a compaction " +
+      "chaos thread against ONE table; per-thread linearized models") {
+    // Each thread owns a disjoint id range, so its semantic effects
+    // commute with every other thread's — the final table must equal
+    // the union of the per-thread models, where each model folds
+    // exactly the ops that COMMITTED (a ConcurrentModificationException
+    // is the protocol's documented answer to a write-write race and
+    // must be perfectly atomic: no manifest, no effect). The chaos
+    // thread compacts concurrently, deliberately mixing threads' rows
+    // into shared files so row ops and rewrites really do collide.
+    val dir = tmp()
+    SnapshotTable.append(Seq((-1L, -1L)).toDF("id", "v"), dir,
+      statsCols = Seq("id"))
+    val T = 4; val OPS = 10
+    val models = new Array[Map[Long, Long]](T)
+    val cmes = new java.util.concurrent.atomic.AtomicInteger()
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val workers = (0 until T).map { t =>
+      new Thread(() => {
+        try {
+          val rng = new scala.util.Random(9000L + t)
+          val lo = (t + 1) * 1000000L
+          val hi = lo + 1000000L
+          var nextId = lo
+          var model = Map.empty[Long, Long]
+          def own = $"id" >= lo && $"id" < hi
+          def fresh(n: Int): Seq[(Long, Long)] = {
+            val b = (0 until n).map(i => (nextId + i, rng.nextInt(1000).toLong))
+            nextId += n
+            b
+          }
+          for (_ <- 1 to OPS) {
+            try {
+              rng.nextInt(6) match {
+                case 0 | 1 =>
+                  val b = fresh(5)
+                  SnapshotTable.append(b.toDF("id", "v"), dir)
+                  model ++= b
+                case 2 =>
+                  val cut = rng.nextInt(1000).toLong
+                  SnapshotTable.deleteWhere(spark, dir, own && $"v" < cut)
+                  model = model.filter(_._2 >= cut)
+                case 3 =>
+                  val m = 2 + rng.nextInt(4)
+                  SnapshotTable.deleteWhereMor(spark, dir,
+                    own && pmod($"id", lit(m.toLong)) === 0L)
+                  model = model.filter(_._1 % m != 0)
+                case 4 =>
+                  val cut = rng.nextInt(1000).toLong
+                  SnapshotTable.updateWhere(spark, dir, own && $"v" >= cut,
+                    Seq("v" -> ($"v" + 10000L)))
+                  model = model.map { case (k, v) =>
+                    k -> (if (v >= cut) v + 10000L else v) }
+                case 5 =>
+                  val ex = rng.shuffle(model.keys.toSeq)
+                    .take(math.min(3, model.size)).map(k => (k, 5555L))
+                  val src = ex ++ fresh(2)
+                  SnapshotTable.merge(spark, dir, src.toDF("id", "v"),
+                    Seq("id"))
+                  model ++= src
+              }
+            } catch {
+              // the documented loser's surface — must be a perfect
+              // no-op (the model update above is skipped with it)
+              case _: java.util.ConcurrentModificationException =>
+                cmes.incrementAndGet()
+            }
+          }
+          models(t) = model
+        } catch { case e: Throwable => errs.add(e) }
+      })
+    }
+    val chaos = new Thread(() => {
+      try {
+        for (i <- 1 to 8) {
+          try {
+            if (i % 2 == 0) SnapshotTable.compact(spark, dir)
+            else SnapshotTable.binPackSmall(spark, dir,
+              smallerThanBytes = 1L << 20)
+          } catch {
+            case _: java.util.ConcurrentModificationException =>
+              cmes.incrementAndGet()
+          }
+          // consistent-snapshot probe UNDER FIRE: a pinned version's
+          // scan count must equal its metadata-only count no matter
+          // what is committing around it
+          val v = SnapshotTable.latestVersion(spark, dir).get
+          assert(SnapshotTable.read(spark, dir, Some(v)).count() ==
+            SnapshotTable.countRows(spark, dir, Some(v)),
+            s"torn snapshot at v$v")
+        }
+      } catch { case e: Throwable => errs.add(e) }
+    })
+    (workers :+ chaos).foreach(_.start())
+    (workers :+ chaos).foreach(_.join(600000))
+    assert(errs.isEmpty, s"worker errors: ${errs.toArray.mkString("; ")}")
+    val expected = models.foldLeft(Map(-1L -> -1L))(_ ++ _)
+    val got = snap(dir)
+    assert(got == expected,
+      s"final state diverged (cmes=$cmes)\n" +
+        s"only-table: ${(got.toSet -- expected.toSet).take(5)}\n" +
+        s"only-model: ${(expected.toSet -- got.toSet).take(5)}")
+    // chain integrity: every surviving version parses and history walks
+    val head = SnapshotTable.latestVersion(spark, dir).get
+    val manifests = new java.io.File(dir, "_manifests").list().sorted.toSeq
+    assert(SnapshotTable.history(spark, dir).count() == head + 1,
+      s"gap in the version chain — manifests: $manifests")
+    // metadata-only COUNT(*) == scan count — the invariant this stress
+    // originally broke: a shared DV sidecar partially materialized by
+    // a sibling file's rewrite kept serving the dead files' positions
+    // to countRows (dvRows now filters positions to currently-
+    // referencing files)
+    assert(SnapshotTable.read(spark, dir, Some(head)).count() ==
+      SnapshotTable.countRows(spark, dir, Some(head)),
+      "metadata count diverged from the scan")
+  }
+
+  test("100 seeded metadata-commit interleavings: the ledger CAS admits " +
+      "exactly one winner, policy and data commits converge") {
+    val dir = tmp()
+    SnapshotTable.append((0L until 20L).map(i => (i, i))
+      .toDF("id", "v"), dir, statsCols = Seq("id"))
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    var appended = 0L
+    var appendCmes = 0
+    for (round <- 1 to 100) {
+      val wins = new java.util.concurrent.atomic.AtomicInteger()
+      val doAppend = round % 4 == 0
+      val ts = Seq(
+        // two threads RACE the same exactly-once ledger advance —
+        // the CAS must admit exactly one
+        new Thread(() => {
+          try { if (SnapshotTable.advanceTxn(spark, dir, "race-app",
+            round.toLong).nonEmpty) wins.incrementAndGet() }
+          catch { case e: Throwable => errs.add(e) }
+        }),
+        new Thread(() => {
+          try { if (SnapshotTable.advanceTxn(spark, dir, "race-app",
+            round.toLong).nonEmpty) wins.incrementAndGet() }
+          catch { case e: Throwable => errs.add(e) }
+        }),
+        // a policy commit rebases through the same commit loop
+        new Thread(() => {
+          try { SnapshotTable.setProperties(spark, dir,
+            Map("round" -> round.toString)) }
+          catch { case e: Throwable => errs.add(e) }
+        })) ++
+        // every 4th round a DATA commit races the metadata commits
+        (if (doAppend) Seq(new Thread(() => {
+          try {
+            SnapshotTable.append(
+              Seq((100000L + round, round.toLong)).toDF("id", "v"), dir)
+            appended += 1
+          } catch {
+            case _: java.util.ConcurrentModificationException =>
+              appendCmes += 1
+            case e: Throwable => errs.add(e)
+          }
+        })) else Nil)
+      ts.foreach(_.start()); ts.foreach(_.join(120000))
+      assert(errs.isEmpty, s"round $round: ${errs.toArray.mkString("; ")}")
+      assert(wins.get() == 1,
+        s"round $round: advanceTxn admitted ${wins.get()} winners")
+      val head = SnapshotTable.latestVersion(spark, dir).get
+      val st = SnapshotTable.manifestTxns(spark, dir, head)
+      assert(st.get("race-app").contains(round.toLong),
+        s"round $round: ledger cursor lost")
+      assert(SnapshotTable.manifestProps(spark, dir, head)
+        .get("round").contains(round.toString),
+        s"round $round: property commit lost")
+    }
+    // every successful append is visible exactly once
+    assert(SnapshotTable.read(spark, dir)
+      .filter($"id" >= 100000L).count() == appended)
+    assert(appendCmes == 0, "plain appends never write-write conflict")
+    // vacuum after the fact: the 300+-version chain stays healthy
+    SnapshotTable.vacuum(spark, dir, keepVersions = 5, minAgeMs = 0L)
+    assert(SnapshotTable.read(spark, dir).count() == 20 + appended)
+  }
 }

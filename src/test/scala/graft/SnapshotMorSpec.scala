@@ -181,4 +181,24 @@ class SnapshotMorSpec extends AnyFunSuite {
     assert(ids(SnapshotTable.read(spark, src)) ==
       (5L until 30L).toSet -- Set(10L, 11L))
   }
+
+  test("countRows stays exact when a shared DV sidecar is partially materialized") {
+    // ONE MoR delete touching two files writes ONE sidecar covering
+    // both; a later CoW rewrite of one file materializes ITS deletes
+    // and drops ITS dvRefs entry, but the sibling still references the
+    // shared sidecar. countRows must subtract only the positions of
+    // files that currently reference the sidecar (the concurrency
+    // stress in SnapshotModelSpec caught the unfiltered form).
+    val dir = tmp("shared-dv")
+    SnapshotTable.append((0L until 10L).map(i => (i, i)).toDF("id", "v")
+      .coalesce(1), dir, statsCols = Seq("id"))
+    SnapshotTable.append((10L until 20L).map(i => (i, i)).toDF("id", "v")
+      .coalesce(1), dir)
+    SnapshotTable.deleteWhereMor(spark, dir,
+      pmod($"id", lit(5L)) === 0L)                 // masks 0,5 | 10,15
+    SnapshotTable.deleteWhere(spark, dir, $"id" === 3L) // rewrites file A
+    val scanned = SnapshotTable.read(spark, dir).count()
+    assert(scanned == 15)                          // 20 - 4 masked - 1 CoW
+    assert(SnapshotTable.countRows(spark, dir) == scanned)
+  }
 }
