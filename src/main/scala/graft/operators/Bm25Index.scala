@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.sources.{MaterializedAgg, SnapshotTable}
+import graft.sources.SnapshotTable
 import graft.functions.TextAnalysis
 
 /** A MATERIALIZED inverted index for BM25 retrieval, built entirely
@@ -17,17 +17,19 @@ import graft.functions.TextAnalysis
   *     tracks per-file term min/max stats AND term Bloom bitsets —
   *     a k-term query opens only the posting files that might hold
   *     its terms ([[SnapshotTable.readWhereEqAny]]), never the index.
-  *   - `<dir>/doclen` — (g=0, doc_id, dl), the corpus-scalar feed.
-  *   - `<dir>/stats` — a [[MaterializedAgg]] view over doclen
-  *     (count + Σdl grouped by the constant g): N and total tokens as
-  *     a ONE-ROW table maintained incrementally, so query-time corpus
-  *     scalars cost one tiny read, not a corpus scan.
+  *   - `<dir>/stats` — one tiny DELTA row per indexed batch
+  *     (`n` = documents, `tottok` = tokens), folded by a sum at query
+  *     time: corpus scalars cost one control-plane read of a
+  *     rows-per-batch table, not a corpus scan. (An earlier layout
+  *     kept a per-document doclen table feeding a materialized view —
+  *     dead weight: dl is denormalized into the postings, so the
+  *     per-doc rows were never queried and doubled the write cost.)
   *
   * Document frequency is NOT materialized: df(term) = the row count
   * of the term's postings, already in hand after pruning — exact at
   * every index size, and immune to the incremental-df staleness
   * every materialized-idf design fights. Incremental ingest =
-  * [[append]] (new postings/doclen files + one matview refresh);
+  * [[append]] (new posting files + one scalar-delta row);
   * doc_ids must be new (re-adding a document is the caller's dedup
   * problem, same as every public search engine's upsert story).
   *
@@ -36,9 +38,7 @@ import graft.functions.TextAnalysis
   * scanned. */
 object Bm25Index {
   private def postingsDir(dir: String) = s"$dir/postings"
-  private def doclenDir(dir: String) = s"$dir/doclen"
   private def statsDir(dir: String) = s"$dir/stats"
-  private val ViewId = "bm25-stats"
 
   /** (term, doc_id, tf, dl) for a doc batch — `q_bm25`'s tokenization
     * verbatim: split on single space, EMPTY tokens kept (they are
@@ -55,54 +55,52 @@ object Bm25Index {
   /** Build the index (first call) or extend it with a new doc batch
     * (later calls): postings land term-range-partitioned and
     * term-sorted so per-file term stats are disjoint and pruning is
-    * sharp; the scalar view is created on first build and refreshed
-    * after every append. `shards` bounds the files per batch. */
+    * sharp; each batch also lands its one-row corpus-scalar delta.
+    * `shards` bounds the files per batch. */
   def append(docs: DataFrame, dir: String, idCol: String = "doc_id",
              textCol: String = "text", shards: Int = 8): Unit =
     appendImpl(docs, dir, idCol, textCol, shards, txn = None)
 
   /** The one indexing body behind [[append]] and [[appendTxn]] — the
     * two index forms must never diverge (tokenization, layout, and
-    * the stats-view spec are all load-bearing for the q_bm25
+    * the scalar-delta layout are all load-bearing for the q_bm25
     * differential check), so only the COMMIT discipline varies. */
   private def appendImpl(docs: DataFrame, dir: String, idCol: String,
                          textCol: String, shards: Int,
                          txn: Option[(String, Long)]): Unit = {
-    val spark = docs.sparkSession
     val posts = postingsOf(docs, idCol, textCol)
       .repartitionByRange(shards, col("term"))
       .sortWithinPartitions("term", "doc_id")
-    val dl = posts.groupBy("doc_id").agg(max("dl").as("dl"))
-      .select(lit(0L).as("g"), col("doc_id"), col("dl"))
+    // The batch's corpus-scalar DELTA (doc_ids are new by contract, so
+    // the batch's distinct docs are globally new): one tiny row per
+    // batch, summed at query time.
+    val delta = posts.agg(
+      countDistinct(col("doc_id")).cast("long").as("n"),
+      coalesce(sum(col("tf")), lit(0L)).cast("long").as("tottok"))
     txn match {
       case Some((appId, tv)) =>
         SnapshotTable.transactionalAppend(posts, postingsDir(dir), appId,
           tv, statsCols = Seq("term"), bloomCols = Seq("term"))
-        SnapshotTable.transactionalAppend(dl, doclenDir(dir), appId, tv)
+        // same (appId, txnVersion): a crash between the two commits
+        // converges on retry, each table exactly-once
+        SnapshotTable.transactionalAppend(delta, statsDir(dir), appId, tv)
       case None =>
         SnapshotTable.append(posts, postingsDir(dir),
           statsCols = Seq("term"), bloomCols = Seq("term"))
-        SnapshotTable.append(dl, doclenDir(dir))
+        SnapshotTable.append(delta, statsDir(dir))
     }
-    if (SnapshotTable.latestVersion(spark, statsDir(dir)).isEmpty)
-      MaterializedAgg.create(spark, doclenDir(dir), statsDir(dir),
-        Seq("g"),
-        Seq(MaterializedAgg.AggSpec("n", "", "count"),
-          MaterializedAgg.AggSpec("tottok", "dl", "sum_long")),
-        ViewId)
-    else MaterializedAgg.refresh(spark, statsDir(dir))
   }
 
   /** EXACTLY-ONCE [[append]] for replayable writers (the streaming
-    * contract): postings and doclen each land under their own
+    * contract): postings and stats each land under their own
     * per-`appId` transaction ledger with `txnVersion` as the batch
     * version, so a replayed micro-batch is a manifest no-op on
     * whichever sub-table already holds it — a crash BETWEEN the two
     * commits converges on retry (each table exactly-once). Queries
     * stay correct throughout: df is computed exact from the postings
-    * actually read, and the scalar view's cursor advances
-    * monotonically — a momentarily-behind N is ordinary async-stats
-    * lag, never wrong postings. */
+    * actually read, and the scalar table is ledgered with the same
+    * (appId, txnVersion) — a momentarily-behind N is ordinary
+    * async-stats lag, never wrong postings. */
   def appendTxn(docs: DataFrame, dir: String, appId: String,
                 txnVersion: Long, idCol: String = "doc_id",
                 textCol: String = "text", shards: Int = 8): Unit =
@@ -131,7 +129,7 @@ object Bm25Index {
     * DECIMAL(18,6) values, summed in the decimal ring so the total is
     * aggregation-order-free — a double sum here would make top-k
     * boundaries partitioning-dependent). Touches ONLY the pruned
-    * posting files and the one-row scalar view; df comes exact from
+    * posting files and the per-batch scalar fold; df comes exact from
     * the pruned rows themselves. */
   def search(spark: SparkSession, dir: String, terms: Seq[String],
              k: Int): DataFrame = {
@@ -139,8 +137,11 @@ object Bm25Index {
     require(k > 0, s"Bm25Index.search: k must be positive, got $k")
     val posts = SnapshotTable.readWhereEqAny(
       spark, postingsDir(dir), "term", terms.distinct)
-    // one-row control-plane read of the maintained corpus scalars
-    val sRow = MaterializedAgg.read(spark, statsDir(dir)).collect().head
+    // control-plane fold of the per-batch scalar deltas (one tiny
+    // row per indexed batch)
+    val sRow = SnapshotTable.read(spark, statsDir(dir))
+      .agg(sum("n").cast("long").as("n"),
+        sum("tottok").cast("long").as("tottok")).collect().head
     val n = sRow.getAs[Long]("n")
     val tottok = sRow.getAs[Long]("tottok")
     val dfreq = posts.groupBy("term").agg(count(lit(1)).as("df"))

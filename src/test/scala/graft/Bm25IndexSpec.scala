@@ -82,24 +82,25 @@ class Bm25IndexSpec extends AnyFunSuite {
     // REPLAY both micro-batches by hand: every surface unchanged
     val before = (
       SnapshotTable.latestVersion(spark, s"$streamIx/postings"),
-      SnapshotTable.latestVersion(spark, s"$streamIx/doclen"),
+      SnapshotTable.latestVersion(spark, s"$streamIx/stats"),
       results(streamIx, terms, 8))
     Bm25Index.appendTxn(df.filter($"doc_id" < 4L), streamIx, "bm25-spec", 0L)
     Bm25Index.appendTxn(df.filter($"doc_id" >= 4L), streamIx, "bm25-spec", 1L)
     assert((SnapshotTable.latestVersion(spark, s"$streamIx/postings"),
-      SnapshotTable.latestVersion(spark, s"$streamIx/doclen"),
+      SnapshotTable.latestVersion(spark, s"$streamIx/stats"),
       results(streamIx, terms, 8)) == before)
   }
 
-  test("corpus scalars ride the maintained one-row view") {
+  test("corpus scalars fold from per-batch delta rows") {
     val dir = tmp("stats")
     Bm25Index.append(docs.take(4).toDF("doc_id", "text"), dir)
     Bm25Index.append(docs.drop(4).toDF("doc_id", "text"), dir)
-    val s = graft.sources.MaterializedAgg.read(spark, s"$dir/stats")
-      .collect()
-    assert(s.length == 1)
+    // one tiny delta row per batch; the fold is the corpus truth —
+    // no per-document doclen table, no materialized view
+    val deltas = SnapshotTable.read(spark, s"$dir/stats").collect()
+    assert(deltas.length == 2)
     val totalToks = docs.map(_._2.split(" ", -1).length.toLong).sum
-    assert(s.head.getAs[Long]("n") == 8L)
-    assert(s.head.getAs[Long]("tottok") == totalToks)
+    assert(deltas.map(_.getAs[Long]("n")).sum == 8L)
+    assert(deltas.map(_.getAs[Long]("tottok")).sum == totalToks)
   }
 }
