@@ -2446,13 +2446,45 @@ object SnapshotTable {
     * semi-join. */
   def readWhereEqAny(spark: SparkSession, dir: String, column: String,
                      values: Seq[Any],
-                     version: Option[Long] = None): DataFrame = {
+                     version: Option[Long] = None,
+                     semiJoinThreshold: Int = 256): DataFrame = {
     require(values.nonEmpty, "readWhereEqAny: at least one value required")
     val v = version.orElse(latestVersion(spark, dir)).getOrElse(
       throw new java.io.IOException(
         s"readWhereEqAny: no committed version under $dir"))
     val st = stateOf(spark, dir, v)
     val pc = physName(st.colMap, column)
+    // A WIDE IN-list flips from per-value pruning to a broadcast
+    // semi-join: the per-value path costs O(values × files) driver
+    // work plus a values-long In literal, both of which stop scaling
+    // around a few hundred values. Above the threshold the files
+    // prune ONCE against the value set's [min, max] envelope (sharp
+    // on range-clustered layouts like the BM25 term shards), the
+    // values broadcast as a one-column frame, and the match is a
+    // single codegen'd LeftSemi hash join — a 10k-value probe is one
+    // join, not 10k probes.
+    if (values.length >= semiJoinThreshold) {
+      val distinctVals = values.distinct
+      implicit val ord: Ordering[Any] =
+        (a: Any, b: Any) => a.asInstanceOf[Comparable[Any]].compareTo(b)
+      val kept = scala.util.Try(
+        (distinctVals.min(ord), distinctVals.max(ord))).toOption match {
+        case Some((lo, hi)) =>
+          pruneFilesBoundsPhys(spark, dir, pc, Some(lo), Some(hi), v)._1
+        case None => st.files // non-comparable values: no envelope
+      }
+      if (kept.isEmpty) return read(spark, dir, Some(v)).filter(lit(false))
+      val dt = manifestSchema(spark, dir, v)
+        .flatMap(_.fields.find(_.name == column).map(_.dataType))
+        .getOrElse(read(spark, dir, Some(v)).schema(column).dataType)
+      val probe = spark.createDataFrame(
+        java.util.Arrays.asList(distinctVals.map(x =>
+          org.apache.spark.sql.Row(x)): _*),
+        StructType(Seq(StructField(column, dt))))
+      return readFilesWithDv(spark, dir, kept,
+        manifestSchema(spark, dir, v), st.dvRefs, st.colMap)
+        .join(broadcast(probe), Seq(column), "left_semi")
+    }
     val ranged: Seq[(Any, Seq[String])] = values.map(x =>
       x -> pruneFilesBoundsPhys(spark, dir, pc, Some(x), Some(x), v)._1)
     val needed = ranged.iterator.flatMap(_._2).toSet

@@ -477,6 +477,31 @@ class ScaleOpsSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE IF EXISTS cp_edge_idx")
   }
 
+  test("readWhereEqAny: a wide IN-list plans ONE broadcast semi-join, same rows") {
+    import graft.sources.SnapshotTable
+    val dir = Files.createTempDirectory("graft-eqany").toString + "/t"
+    SnapshotTable.append((0L until 2000L).map(i => (i, s"t$i"))
+      .toDF("id", "s").repartitionByRange(4, col("id"))
+      .sortWithinPartitions("id"), dir,
+      statsCols = Seq("id"), bloomCols = Seq("id"))
+    // 5000 values (half beyond the table): above the threshold the
+    // probe is one broadcast LeftSemi join — not 5000 per-value file
+    // prunes and a 5000-literal In filter
+    val wide: Seq[Any] = (0L until 10000L by 2L).map(x => x: Any)
+    val df = SnapshotTable.readWhereEqAny(spark, dir, "id", wide)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), s"expected a semi-join plan:\n$plan")
+    assert(df.count() == 1000) // even ids 0..1998
+    // the [min,max] envelope still prunes files on the clustered layout
+    val hiVals: Seq[Any] = (1500L until 3000L).map(x => x: Any)
+    val hi = SnapshotTable.readWhereEqAny(spark, dir, "id", hiVals)
+    assert(hi.count() == 500)
+    assert(hi.queryExecution.executedPlan.toString.contains("LeftSemi"))
+    // narrow lists keep the per-value prune + In path, same semantics
+    assert(SnapshotTable.readWhereEqAny(spark, dir, "id",
+      Seq(2L, 3L, 4999L)).collect().map(_.getLong(0)).toSet == Set(2L, 3L))
+  }
+
   test("schema evolution survives the partitioned layout (mergeSchema)") {
     val dir = Files.createTempDirectory("graft-wh2").toString
     Warehouse.appendPartitioned(
