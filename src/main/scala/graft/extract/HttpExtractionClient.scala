@@ -1,0 +1,69 @@
+package graft.extract
+
+import scala.jdk.CollectionConverters._
+
+/** JSON-over-HTTP [[ExtractionClient]] — the wire client that makes
+  * [[BatchedRpcExtractor]] runnable END TO END against any extraction
+  * gateway (a sidecar or proxy in front of a model endpoint; the
+  * reference makes one HTTPS model call per file, main.py:694-713 —
+  * this is the batched engine-side analog). JDK-only transport
+  * (HttpURLConnection) + the Jackson already on Spark's classpath: no
+  * new dependencies.
+  *
+  * Protocol, one POST per document batch:
+  * {{{
+  *   request  {"keys": ["k1", …],
+  *             "docs": [{"name": "...", "content_b64": "..."}, …]}
+  *   response {"results": [{"k1": "v1", …}, …]}   // positional
+  * }}}
+  * Auth/tenancy ride `headers`. Non-2xx statuses, malformed
+  * responses, and transport errors THROW — retry/backoff/degrade
+  * policy is [[BatchedRpcExtractor]]'s job, by contract. */
+final class HttpExtractionClient(endpoint: String,
+                                 headers: Map[String, String] = Map.empty,
+                                 connectTimeoutMs: Int = 10000,
+                                 readTimeoutMs: Int = 60000)
+    extends ExtractionClient {
+
+  @transient private lazy val mapper =
+    new com.fasterxml.jackson.databind.ObjectMapper()
+
+  override def extractBatch(docs: Seq[(String, Array[Byte])],
+                            keys: Seq[String]): Seq[Map[String, String]] = {
+    val root = mapper.createObjectNode()
+    val kj = root.putArray("keys"); keys.foreach(kj.add)
+    val dj = root.putArray("docs")
+    docs.foreach { case (name, content) =>
+      val o = dj.addObject()
+      o.put("name", name)
+      o.put("content_b64",
+        java.util.Base64.getEncoder.encodeToString(content))
+    }
+    val body = mapper.writeValueAsBytes(root)
+    val conn = java.net.URI.create(endpoint).toURL.openConnection()
+      .asInstanceOf[java.net.HttpURLConnection]
+    try {
+      conn.setConnectTimeout(connectTimeoutMs)
+      conn.setReadTimeout(readTimeoutMs)
+      conn.setRequestMethod("POST")
+      conn.setRequestProperty("Content-Type", "application/json")
+      headers.foreach { case (k, v) => conn.setRequestProperty(k, v) }
+      conn.setDoOutput(true)
+      val out = conn.getOutputStream
+      try { out.write(body); out.flush() } finally out.close()
+      val code = conn.getResponseCode
+      if (code < 200 || code >= 300) throw new java.io.IOException(
+        s"extraction endpoint returned HTTP $code")
+      val in = conn.getInputStream
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      val rs = mapper.readTree(txt).get("results")
+      if (rs == null || !rs.isArray) throw new java.io.IOException(
+        s"malformed extraction response: ${txt.take(200)}")
+      (0 until rs.size).map { i =>
+        rs.get(i).fields().asScala
+          .map(e => e.getKey -> e.getValue.asText()).toMap
+      }
+    } finally conn.disconnect()
+  }
+}

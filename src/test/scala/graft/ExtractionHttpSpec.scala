@@ -1,0 +1,117 @@
+package graft
+
+import java.net.InetSocketAddress
+import java.util.concurrent.atomic.AtomicInteger
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.extract.{BatchedRpcExtractor, HttpExtractionClient}
+
+/** [[BatchedRpcExtractor]] + [[HttpExtractionClient]] against a REAL
+  * local HTTP socket (a deterministic extraction-gateway stub): wire
+  * batching, the "N/A" floor, retry/backoff against transient 5xx,
+  * and degrade-on-exhaustion — the production skeleton exercised end
+  * to end, not just against an in-process fake. */
+class ExtractionHttpSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** Extraction stub: value = "<key>@<name>#<contentLen>"; the key
+    * literally named "missing" is never returned (N/A-floor probe);
+    * the first `failFirst` requests answer 503. */
+  private def startServer(failFirst: Int = 0
+                         ): (HttpServer, AtomicInteger) = {
+    val requests = new AtomicInteger()
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/extract", new HttpHandler {
+      override def handle(x: HttpExchange): Unit = {
+        val n = requests.incrementAndGet()
+        val body = scala.io.Source
+          .fromInputStream(x.getRequestBody, "UTF-8").mkString
+        if (n <= failFirst) {
+          x.sendResponseHeaders(503, -1); x.close(); return
+        }
+        val node = mapper.readTree(body)
+        val keys = (0 until node.get("keys").size)
+          .map(node.get("keys").get(_).asText)
+        val docs = node.get("docs")
+        val root = mapper.createObjectNode()
+        val rs = root.putArray("results")
+        (0 until docs.size).foreach { i =>
+          val d = docs.get(i)
+          val name = d.get("name").asText
+          val len = java.util.Base64.getDecoder
+            .decode(d.get("content_b64").asText).length
+          val o = rs.addObject()
+          keys.filterNot(_ == "missing")
+            .foreach(k => o.put(k, s"$k@$name#$len"))
+        }
+        val out = mapper.writeValueAsBytes(root)
+        x.getResponseHeaders.add("Content-Type", "application/json")
+        x.sendResponseHeaders(200, out.length)
+        x.getResponseBody.write(out)
+        x.close()
+      }
+    })
+    server.start()
+    (server, requests)
+  }
+
+  test("distributed extraction over a real socket: wire batching + N/A floor") {
+    val (server, requests) = startServer()
+    try {
+      val port = server.getAddress.getPort
+      val extractor = new BatchedRpcExtractor(
+        new HttpExtractionClient(s"http://127.0.0.1:$port/extract"),
+        batchSize = 4)
+      val docs = (0 until 12).map(i =>
+        (s"f$i.pdf", s"content-$i".getBytes("UTF-8")))
+      val keys = Seq("total", "missing")
+      // executor-side calls from 2 partitions: ceil(6/4) × 2 = 4 RPCs
+      val bs = extractor.batchSize
+      val got = spark.sparkContext.parallelize(docs, 2)
+        .mapPartitions(_.grouped(bs)
+          .flatMap(b => extractor.extractAll(b, keys)))
+        .collect()
+      assert(got.length == 12)
+      assert(got.forall(_("missing") == "N/A"))
+      assert(got.map(_("total")).toSet ==
+        docs.map { case (n, c) => s"total@$n#${c.length}" }.toSet)
+      assert(requests.get() == 4, s"expected 4 batched RPCs, got $requests")
+    } finally server.stop(0)
+  }
+
+  test("transient 503s retry with the exponential schedule, then succeed") {
+    val (server, requests) = startServer(failFirst = 2)
+    try {
+      val port = server.getAddress.getPort
+      val sleeps = scala.collection.mutable.Buffer[Long]()
+      val extractor = new BatchedRpcExtractor(
+        new HttpExtractionClient(s"http://127.0.0.1:$port/extract"),
+        batchSize = 8, maxAttempts = 3, baseBackoffMs = 50L,
+        sleep = sleeps.append(_))
+      val out = extractor.extractAll(
+        Seq("a.pdf" -> "abc".getBytes("UTF-8")), Seq("total"))
+      assert(out.head("total") == "total@a.pdf#3")
+      assert(sleeps.toSeq == Seq(50L, 100L)) // base, 2×base
+      assert(requests.get() == 3)
+    } finally server.stop(0)
+  }
+
+  test("exhausted retries degrade the batch to all-N/A, never throw") {
+    val (server, requests) = startServer(failFirst = Int.MaxValue)
+    try {
+      val port = server.getAddress.getPort
+      val extractor = new BatchedRpcExtractor(
+        new HttpExtractionClient(s"http://127.0.0.1:$port/extract"),
+        batchSize = 8, maxAttempts = 2, baseBackoffMs = 1L,
+        sleep = _ => ())
+      val out = extractor.extractAll(
+        Seq("a.pdf" -> "x".getBytes, "b.pdf" -> "y".getBytes),
+        Seq("total", "date"))
+      assert(out == Seq(
+        Map("total" -> "N/A", "date" -> "N/A"),
+        Map("total" -> "N/A", "date" -> "N/A")))
+      assert(requests.get() == 2) // maxAttempts, then log-and-continue
+    } finally server.stop(0)
+  }
+}
