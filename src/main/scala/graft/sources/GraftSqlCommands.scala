@@ -555,6 +555,25 @@ object GraftSqlCommands {
       }
       return Some(GraftCloneCommand(src, dst, version))
     }
+    // explicit-schema DDL: CREATE TABLE graft.`p` (id BIGINT, …) —
+    // an EMPTY v0 manifest recording the schema, no data files
+    if (tail.startsWith("(")) {
+      if (replace) fail(
+        "CREATE OR REPLACE with an explicit schema is not supported — " +
+          "use CREATE OR REPLACE TABLE … AS <query>")
+      var depth = 0; var i = 0; var end = -1
+      while (i < tail.length && end < 0) {
+        val c = tail.charAt(i)
+        if (c == '(') depth += 1
+        else if (c == ')') { depth -= 1; if (depth == 0) end = i }
+        i += 1
+      }
+      if (end < 0) fail("CREATE TABLE: unbalanced column list")
+      val after = tail.substring(end + 1).trim
+      if (after.nonEmpty) fail(
+        s"CREATE TABLE graft.`…` (cols) takes no further clauses — got: $after")
+      return Some(GraftCreateEmptyCommand(dst, tail.substring(1, end)))
+    }
     val P = s"""(?is)^PARTITIONED${Ws}BY\\s*\\(([^)]*)\\)\\s*""".r
     val C =
       s"""(?is)^CLUSTERED${Ws}BY\\s*\\(([^)]*)\\)\\s*(?:SORTED${Ws}BY\\s*\\(([^)]*)\\)\\s*)?INTO$Ws(\\d+)${Ws}BUCKETS\\s*""".r
@@ -901,6 +920,22 @@ object GraftSqlCommands {
             else SnapshotTable.append(q, dir)
         }
       Seq(Row(v))
+    }
+  }
+
+  /** `CREATE TABLE graft.`p` (cols)` → [[SnapshotTable.createEmpty]]:
+    * a v0 manifest recording the declared schema, zero data files. */
+  case class GraftCreateEmptyCommand(dir: String, schemaDdl: String)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(longAttr("version"))
+    override def run(spark: SparkSession): Seq[Row] = {
+      val schema =
+        try org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+          .parseTableSchema(schemaDdl)
+        catch { case e: Exception =>
+          fail(s"CREATE TABLE: bad column list ($schemaDdl): ${e.getMessage}")
+        }
+      Seq(Row(SnapshotTable.createEmpty(spark, dir, schema)))
     }
   }
 

@@ -2275,6 +2275,24 @@ object SnapshotTable {
       s"transactionalAppend: lost the commit race $maxRetries times under $dir")
   }
 
+  /** Initialize an EMPTY table: one v0 manifest recording `schema`
+    * and no data files — the SQL `CREATE TABLE (cols)` DDL shape, and
+    * the clean way to start a streaming consumer or bind DML before
+    * any data lands. Later appends must be compatible with the
+    * declared schema (the evolveSchema contract: add-column widening
+    * only). Refuses an existing table. */
+  def createEmpty(spark: SparkSession, dir: String,
+                  schema: StructType): Long = {
+    require(schema.nonEmpty, "createEmpty: schema must have columns")
+    latestVersion(spark, dir).foreach(v => throw new IllegalStateException(
+      s"createEmpty: a snapshot table already exists under $dir (v$v)"))
+    if (!tryCommit(spark, dir, 0L, Nil, schema = Some(schema),
+        op = "create"))
+      throw new java.io.IOException(
+        s"createEmpty: lost the v0 commit race under $dir")
+    0L
+  }
+
   /** Manifest-only EXACTLY-ONCE ledger advance: record `(appId,
     * txnVersion)` with zero data movement and zero Spark jobs — the
     * cursor-only commit a materialized view's refresh lands when a

@@ -419,6 +419,26 @@ class GraftSqlDmlSpec extends AnyFunSuite {
     assert(SnapshotTable.read(spark, dir).count() == 9)
   }
 
+  test("CREATE TABLE with an explicit schema: empty v0, typed inserts follow") {
+    val dir = tmp("ddl")
+    spark.sql(s"CREATE TABLE graft.`$dir` (id BIGINT, name STRING, score INT)")
+    // empty but fully typed — reads and DML bind before any data lands
+    val empty = spark.sql(s"SELECT * FROM graft.`$dir`")
+    assert(empty.count() == 0)
+    assert(empty.schema.map(f => (f.name, f.dataType.simpleString)) ==
+      Seq(("id", "bigint"), ("name", "string"), ("score", "int")))
+    spark.sql(s"INSERT INTO graft.`$dir` SELECT 1L, 'a', 10")
+    assert(spark.sql(s"SELECT * FROM graft.`$dir`").count() == 1)
+    // positional arity is enforced against the declared schema
+    intercept[IllegalArgumentException] {
+      spark.sql(s"INSERT INTO graft.`$dir` SELECT 2L, 'b'") }
+    // recreate refused; trailing clauses refused
+    intercept[IllegalStateException] {
+      spark.sql(s"CREATE TABLE graft.`$dir` (id BIGINT)") }
+    intercept[IllegalArgumentException] {
+      spark.sql(s"CREATE TABLE graft.`${dir}2` (id BIGINT) USING parquet") }
+  }
+
   test("DML through a live view: SQL reads see SQL writes immediately") {
     val dir = tmp("live"); mk(dir)
     SnapshotSql.registerLive(spark, "sqldml_live", dir) // binds too
