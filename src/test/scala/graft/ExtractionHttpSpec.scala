@@ -15,10 +15,16 @@ class ExtractionHttpSpec extends AnyFunSuite {
   private lazy val spark = SparkTestBase.spark
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
-  /** Extraction stub: value = "<key>@<name>#<contentLen>"; the key
-    * literally named "missing" is never returned (N/A-floor probe);
-    * the first `failFirst` requests answer 503. */
-  private def startServer(failFirst: Int = 0
+  /** Extraction-gateway stub over a real socket. Default responder:
+    * value = "<key>@<name>#<contentLen>"; the key literally named
+    * "missing" is never returned (N/A-floor probe). The first
+    * `failFirst` requests answer 503. */
+  private def startServer(failFirst: Int = 0,
+                          respond: (String, Array[Byte], Seq[String]) =>
+                            Map[String, String] = (name, content, keys) =>
+                            keys.filterNot(_ == "missing")
+                              .map(k => k -> s"$k@$name#${content.length}")
+                              .toMap
                          ): (HttpServer, AtomicInteger) = {
     val requests = new AtomicInteger()
     val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
@@ -39,11 +45,10 @@ class ExtractionHttpSpec extends AnyFunSuite {
         (0 until docs.size).foreach { i =>
           val d = docs.get(i)
           val name = d.get("name").asText
-          val len = java.util.Base64.getDecoder
-            .decode(d.get("content_b64").asText).length
+          val content = java.util.Base64.getDecoder
+            .decode(d.get("content_b64").asText)
           val o = rs.addObject()
-          keys.filterNot(_ == "missing")
-            .foreach(k => o.put(k, s"$k@$name#$len"))
+          respond(name, content, keys).foreach { case (k, v) => o.put(k, v) }
         }
         val out = mapper.writeValueAsBytes(root)
         x.getResponseHeaders.add("Content-Type", "application/json")
@@ -94,6 +99,64 @@ class ExtractionHttpSpec extends AnyFunSuite {
       assert(out.head("total") == "total@a.pdf#3")
       assert(sleeps.toSeq == Seq(50L, 100L)) // base, 2×base
       assert(requests.get() == 3)
+    } finally server.stop(0)
+  }
+
+  test("FULL ingest pipeline over the HTTP client equals the in-process run") {
+    // The reference's shape end to end: landing binaries stream in,
+    // each partition's batches go out as real HTTP extraction calls,
+    // typed KPI rows land in the warehouse — diffed row-for-row
+    // against the same pipeline run with the in-process extractor.
+    import java.nio.charset.StandardCharsets
+    import graft.catalog.Catalog
+    import graft.extract.DeterministicExtractor
+    import graft.streaming.Ingest
+    import org.apache.spark.sql.functions.col
+    // gateway behavior: parse key=value lines (the documents' format)
+    // and answer exactly the requested keys it finds
+    val (server, requests) = startServer(respond = (_, content, keys) => {
+      val found = DeterministicExtractor.discover("d.pdf", content)
+      keys.flatMap(k => found.get(k).map(k -> _)).toMap
+    })
+    try {
+      val port = server.getAddress.getPort
+      val master = DeterministicExtractor.discover("master.pdf",
+        """Total Revenue ($)=$1,234.56
+          |Report Date=January 15, 2024
+          |Status=Active""".stripMargin.getBytes(StandardCharsets.UTF_8))
+      val catalog = Catalog.empty.add(
+        Catalog.train("u1", "f1", "quarterly report", master))
+      def write(landing: String, rel: String, content: String): Unit = {
+        val p = java.nio.file.Paths.get(landing, rel)
+        java.nio.file.Files.createDirectories(p.getParent)
+        java.nio.file.Files.write(p,
+          content.getBytes(StandardCharsets.UTF_8))
+      }
+      def runPipeline(tag: String,
+                      extractor: graft.extract.Extractor): Seq[Seq[Any]] = {
+        val root = java.nio.file.Files
+          .createTempDirectory(s"graft-http-ingest-$tag").toString
+        Seq("doc1" -> "Total Revenue ($)=\"$2,500.75\"\nReport Date=2024-02-01\nStatus=Active",
+          "doc2" -> "Total Revenue ($)=(3,000.00)\nStatus=Closed",
+          "doc3" -> "Report Date=03/15/2024\nStatus=Active")
+          .foreach { case (n, c) =>
+            write(s"$root/landing", s"incoming/u1/f1/batch/$n.pdf", c) }
+        Ingest.start(spark, s"$root/landing", s"$root/warehouse",
+          s"$root/processed", s"$root/checkpoint", catalog, extractor)
+          .awaitTermination()
+        val meta = catalog.get("u1", "f1").get
+        Ingest.readTable(spark, s"$root/warehouse", meta)
+          .drop("row_id", "uploaded_at") // run-specific columns
+          .orderBy(col("file_name"))
+          .collect().map(_.toSeq).toSeq
+      }
+      val viaHttp = runPipeline("http", new BatchedRpcExtractor(
+        new HttpExtractionClient(s"http://127.0.0.1:$port/extract"),
+        batchSize = 2))
+      val inProc = runPipeline("det", DeterministicExtractor)
+      assert(viaHttp == inProc, "HTTP-extracted table diverged")
+      assert(viaHttp.length == 3)
+      assert(requests.get() >= 2, "extraction actually went over the wire")
     } finally server.stop(0)
   }
 
