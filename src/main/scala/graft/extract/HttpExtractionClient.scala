@@ -61,8 +61,18 @@ final class HttpExtractionClient(endpoint: String,
       if (rs == null || !rs.isArray) throw new java.io.IOException(
         s"malformed extraction response: ${txt.take(200)}")
       (0 until rs.size).map { i =>
-        rs.get(i).fields().asScala
-          .map(e => e.getKey -> e.getValue.asText()).toMap
+        rs.get(i).fields().asScala.flatMap { e =>
+          val v = e.getValue
+          // JSON null = the gateway had no value — DROP the key so
+          // BatchedRpcExtractor's "N/A" floor applies (asText() would
+          // land the literal string "null"); object/array values are
+          // malformed and THROW, per the class contract.
+          if (v.isNull) None
+          else if (v.isValueNode) Some(e.getKey -> v.asText())
+          else throw new java.io.IOException(
+            s"malformed extraction value for ${e.getKey}: " +
+              v.toString.take(80))
+        }.toMap
       }
     } finally conn.disconnect()
   }

@@ -89,6 +89,18 @@ object Bm25Index {
           statsCols = Seq("term"), bloomCols = Seq("term"))
         SnapshotTable.append(delta, statsDir(dir))
     }
+    // Delta rows accrete one file per batch: without folding, a
+    // streaming index at trigger cadence would make every search()
+    // pay an O(#batches) scalar fold. Bin-pack the tiny files once
+    // enough accumulate — a plain (non-ledgered) compaction commit,
+    // harmless under replay; search stays a bounded control-plane
+    // read at any ingest history.
+    val spark = docs.sparkSession
+    SnapshotTable.latestVersion(spark, statsDir(dir)).foreach { v =>
+      if (SnapshotTable.manifestFiles(spark, statsDir(dir), v).size > 32)
+        SnapshotTable.binPackSmall(spark, statsDir(dir),
+          smallerThanBytes = 4L << 20)
+    }
   }
 
   /** EXACTLY-ONCE [[append]] for replayable writers (the streaming

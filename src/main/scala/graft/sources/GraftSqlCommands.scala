@@ -170,12 +170,23 @@ object GraftSqlCommands {
     * `spark.sql.storeAssignmentPolicy` (Spark's default: ANSI): an
     * overflowing or malformed value FAILS the statement loudly —
     * exactly native INSERT INTO behavior — instead of silently
-    * landing NULL / truncated via the permissive cast. Set the policy
-    * to LEGACY for the permissive behavior. */
+    * landing NULL / truncated via the permissive cast. LEGACY
+    * restores the permissive cast; STRICT additionally REFUSES any
+    * cast that is not a safe up-cast when the source type is known
+    * (`from`; expression-valued assignments whose type is unknown at
+    * command time fall back to the ANSI runtime check). */
   private[sources] def storeCast(spark: SparkSession,
                                  c: org.apache.spark.sql.Column,
-                                 dt: DataType): org.apache.spark.sql.Column = {
+                                 dt: DataType,
+                                 from: Option[DataType] = None
+                                ): org.apache.spark.sql.Column = {
     val policy = spark.conf.get("spark.sql.storeAssignmentPolicy", "ANSI")
+    if (policy.equalsIgnoreCase("STRICT")) from.foreach { f =>
+      if (f != dt &&
+          !org.apache.spark.sql.catalyst.expressions.Cast.canUpCast(f, dt))
+        fail(s"cannot safely cast ${f.simpleString} to ${dt.simpleString} " +
+          "under spark.sql.storeAssignmentPolicy=STRICT")
+    }
     // EvalMode pinned EXPLICITLY both ways: a plain Column.cast keys
     // off spark.sql.ansi.enabled, not the store-assignment policy.
     val mode =
@@ -400,28 +411,6 @@ object GraftSqlCommands {
         if (eq <= 0) fail(s"MERGE SET expects <col> = <expr>, got: $a")
         (unqIdent(a.substring(0, eq)), a.substring(eq + 1).trim)
       }
-    def balancedParen(t: String): (String, String) = {
-      var depth = 0; var i = 0; var end = -1
-      var inS = false; var inD = false; var inB = false
-      while (i < t.length && end < 0) {
-        val c = t.charAt(i)
-        if ((inS || inD) && c == '\\') i += 1
-        else if (inS) { if (c == '\'') inS = false }
-        else if (inD) { if (c == '"') inD = false }
-        else if (inB) { if (c == '`') inB = false }
-        else c match {
-          case '\'' => inS = true
-          case '"' => inD = true
-          case '`' => inB = true
-          case '(' => depth += 1
-          case ')' => depth -= 1; if (depth == 0) end = i
-          case _ =>
-        }
-        i += 1
-      }
-      if (end < 0) fail(s"MERGE: unbalanced parentheses in: $t")
-      (t.substring(t.indexOf('(') + 1, end), t.substring(end + 1).trim)
-    }
     def parseAction(a0: String, insertSide: Boolean): MergeAction = {
       val a = a0.trim
       if (insertSide) {
@@ -506,6 +495,33 @@ object GraftSqlCommands {
     Some(GraftInsertCommand(dir, query, overwrite))
   }
 
+  /** The quote-aware balanced-paren slice shared by the MERGE INSERT
+    * grammar and the CREATE TABLE column list: (contents of the first
+    * top-level (…) group, text after it). Parens inside '…'/"…"/`…`
+    * (e.g. a COMMENT literal) never count. */
+  private def balancedParen(t: String): (String, String) = {
+    var depth = 0; var i = 0; var end = -1
+    var inS = false; var inD = false; var inB = false
+    while (i < t.length && end < 0) {
+      val c = t.charAt(i)
+      if ((inS || inD) && c == '\\') i += 1
+      else if (inS) { if (c == '\'') inS = false }
+      else if (inD) { if (c == '"') inD = false }
+      else if (inB) { if (c == '`') inB = false }
+      else c match {
+        case '\'' => inS = true
+        case '"' => inD = true
+        case '`' => inB = true
+        case '(' => depth += 1
+        case ')' => depth -= 1; if (depth == 0) end = i
+        case _ =>
+      }
+      i += 1
+    }
+    if (end < 0) fail(s"unbalanced parentheses in: $t")
+    (t.substring(t.indexOf('(') + 1, end), t.substring(end + 1).trim)
+  }
+
   /** Backquote-stripped identifier. */
   private def unqIdent(c0: String): String = {
     val c = c0.trim
@@ -561,18 +577,11 @@ object GraftSqlCommands {
       if (replace) fail(
         "CREATE OR REPLACE with an explicit schema is not supported — " +
           "use CREATE OR REPLACE TABLE … AS <query>")
-      var depth = 0; var i = 0; var end = -1
-      while (i < tail.length && end < 0) {
-        val c = tail.charAt(i)
-        if (c == '(') depth += 1
-        else if (c == ')') { depth -= 1; if (depth == 0) end = i }
-        i += 1
-      }
-      if (end < 0) fail("CREATE TABLE: unbalanced column list")
-      val after = tail.substring(end + 1).trim
+      // quote-aware scan: parens inside COMMENT literals never count
+      val (cols, after) = balancedParen(tail)
       if (after.nonEmpty) fail(
         s"CREATE TABLE graft.`…` (cols) takes no further clauses — got: $after")
-      return Some(GraftCreateEmptyCommand(dst, tail.substring(1, end)))
+      return Some(GraftCreateEmptyCommand(dst, cols))
     }
     val P = s"""(?is)^PARTITIONED${Ws}BY\\s*\\(([^)]*)\\)\\s*""".r
     val C =
@@ -828,7 +837,8 @@ object GraftSqlCommands {
         case Some(schema) =>
           val types = schema.fields.map(f => f.name -> f.dataType).toMap
           src0.select(src0.columns.map(c =>
-            types.get(c).map(t => storeCast(spark, col(c), t).as(c))
+            types.get(c).map(t => storeCast(spark, col(c), t,
+                from = Some(src0.schema(c).dataType)).as(c))
               .getOrElse(col(c))).toSeq: _*)
         case None => src0
       }
@@ -881,8 +891,10 @@ object GraftSqlCommands {
           // mis-ordered or mistyped INSERT fails loudly, like Spark's
           // own INSERT INTO, instead of silently nulling a column)
           q.toDF(schema.fieldNames.toIndexedSeq: _*)
-            .select(schema.fields.map(f =>
-              storeCast(spark, col(f.name), f.dataType).as(f.name)).toSeq: _*)
+            .select(schema.fields.zipWithIndex.map { case (f, i) =>
+              storeCast(spark, col(f.name), f.dataType,
+                from = Some(q.schema(i).dataType)).as(f.name)
+            }.toSeq: _*)
         case None => q
       }
       Seq(Row(

@@ -37,52 +37,41 @@ import org.apache.spark.sql.types.StructType
   * [[SnapshotTable.read]]. Re-register to advance. */
 object SnapshotSql {
 
-  /** (session scope, name) → table directory, the address book
-    * [[GraftSqlCommands]]'s DML grammar resolves bare table names
-    * against ([[register]] / [[registerLive]] populate it; [[bind]]
-    * adds a name with no view). Scoped PER SparkSession — like
-    * Spark's own temp-view catalog — so a bare-name DML statement
-    * from a session that never bound the name can NEVER mutate a
-    * graft directory another session (or a past life of this name)
-    * pointed at. Names are case-insensitive, last bind wins. Entries
-    * die with the session: the scope key is the session's UUID, which
-    * no later session reuses. */
-  private val bound =
-    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+  /** Per-session address books, held WEAKLY by their session: a
+    * binding dies with its session (no leak, no reuse) and is never
+    * visible to another session — a bare-name DML statement from a
+    * session that never bound the name can NEVER mutate a graft
+    * directory some other session pointed at.
+    *
+    * [[register]]/[[registerLive]] do not populate this map at all:
+    * their resolution rides the temp view ITSELF — [[boundDir]]
+    * recognizes a graft-backed temp view by inspecting its plan — so
+    * dropping or replacing the view retires the DML binding
+    * automatically, and a CLONED session (e.g. the per-micro-batch
+    * sessions foreachBatch runs under, which inherit temp views)
+    * resolves the same table even though clones get their own scope. */
+  private val scopes = new java.util.WeakHashMap[SparkSession,
+    java.util.concurrent.ConcurrentHashMap[String, String]]()
 
-  /** One session's scope key: a UUID assigned per SparkSession object
-    * (a cloned/new session gets its own), held weakly so a dead
-    * session's bindings become unreachable — a scope is never
-    * reused by a later session. */
-  private val scopes =
-    new java.util.WeakHashMap[SparkSession, String]()
-  private def scopeOf(spark: SparkSession): String = scopes.synchronized {
-    val hit = scopes.get(spark)
-    if (hit != null) hit
-    else {
-      val id = java.util.UUID.randomUUID().toString
-      scopes.put(spark, id)
-      id
-    }
-  }
-
-  private def keyOf(spark: SparkSession, name: String): (String, String) =
-    (scopeOf(spark), name.toLowerCase(java.util.Locale.ROOT))
+  private def lower(name: String): String =
+    name.toLowerCase(java.util.Locale.ROOT)
 
   /** Bind `name` to a snapshot table directory for the SQL DML
     * surface (`DELETE FROM name …`, `OPTIMIZE name`, …) in `spark`'s
-    * session, without registering any view.
-    *
-    * CONTRACT: the binding is graft's OWN address book, independent
-    * of Spark's view/catalog lifecycle — dropping or replacing a temp
-    * view of the same name does NOT unbind it, and a bare-name DML
-    * statement in the binding session resolves here FIRST. If a name
-    * is later reused for a non-graft table in the same session, call
-    * [[unbind]] (or address graft tables by `graft.`path`` only) —
-    * otherwise bare-name DML keeps targeting the old directory.
-    * Other sessions are never affected. */
+    * session, without registering any view. The binding is graft's
+    * own per-session address book — independent of the view catalog;
+    * call [[unbind]] to retire it. Other sessions (including clones)
+    * are never affected; for clone-visible names use [[register]] /
+    * [[registerLive]], whose binding rides the temp view. */
   def bind(spark: SparkSession, name: String, dir: String): Unit =
-    bound.put(keyOf(spark, name), dir)
+    scopes.synchronized {
+      var m = scopes.get(spark)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[String, String]()
+        scopes.put(spark, m)
+      }
+      m.put(lower(name), dir)
+    }
 
   /** [[bind]] against the ACTIVE session (must exist — DML parsing
     * resolves names per session, so a session-less bind would be
@@ -91,13 +80,43 @@ object SnapshotSql {
     bind(activeSession("bind"), name, dir)
 
   def unbind(spark: SparkSession, name: String): Unit =
-    bound.remove(keyOf(spark, name))
+    scopes.synchronized {
+      Option(scopes.get(spark)).foreach(_.remove(lower(name)))
+    }
 
   def unbind(name: String): Unit = unbind(activeSession("unbind"), name)
 
-  /** The directory `name` is bound to in `spark`'s session, if any. */
+  /** The directory `name` addresses in `spark`'s session: an explicit
+    * [[bind]] first, else a graft-backed TEMP VIEW of that name
+    * (plan-inspected — see [[viewDir]]). */
   def boundDir(spark: SparkSession, name: String): Option[String] =
-    Option(bound.get(keyOf(spark, name)))
+    scopes.synchronized {
+      Option(scopes.get(spark)).flatMap(m => Option(m.get(lower(name))))
+    }.orElse(viewDir(spark, name))
+
+  /** The table directory behind a graft temp view, recovered from the
+    * view's PLAN (a [[SnapshotFileIndex]]-backed relation or a
+    * [[LiveSnapshotRelation]]): the binding lives exactly as long as
+    * the view, is inherited by session clones with it, and names
+    * exactly one table (views over joins of several graft tables
+    * resolve to None — ambiguous, address by `graft.`path``). */
+  private def viewDir(spark: SparkSession, name: String): Option[String] = {
+    val plan = scala.util.Try(
+      spark.sessionState.catalog.getTempView(name)
+        .orElse(spark.sessionState.catalog.getTempView(lower(name))))
+      .toOption.flatten.getOrElse(return None)
+    val dirs = plan.collect {
+      case lr: LogicalRelation => lr.relation match {
+        case hfs: HadoopFsRelation => hfs.location match {
+          case idx: SnapshotFileIndex => Some(idx.tableDir)
+          case _ => None
+        }
+        case live: LiveSnapshotRelation => Some(live.tableDir)
+        case _ => None
+      }
+    }.flatten.distinct
+    if (dirs.length == 1) dirs.headOption else None
+  }
 
   private def activeSession(op: String): SparkSession =
     SparkSession.getActiveSession.getOrElse(
@@ -177,7 +196,9 @@ object SnapshotSql {
     val v = version.orElse(SnapshotTable.latestVersion(spark, dir)).getOrElse(
       throw new java.io.IOException(s"SnapshotSql: no committed version under $dir"))
     dataFrame(spark, dir, Some(v)).createOrReplaceTempView(name)
-    bind(spark, name, dir)
+    // no explicit bind: the view plan itself carries the binding
+    // (boundDir plan-inspects it), so dropping/replacing the view
+    // retires the DML address automatically, and clones inherit it
     v
   }
 
@@ -212,7 +233,7 @@ object SnapshotSql {
     * committing to, with no REFRESH/re-register step. */
   def registerLive(spark: SparkSession, name: String, dir: String): Unit = {
     dataFrameLive(spark, dir).createOrReplaceTempView(name)
-    bind(spark, name, dir)
+    // binding rides the view (see register)
   }
 }
 
@@ -229,6 +250,10 @@ final class LiveSnapshotRelation(spark: SparkSession, dir: String,
                                 ) extends org.apache.spark.sql.sources.BaseRelation
     with org.apache.spark.sql.sources.PrunedFilteredScan {
   import org.apache.spark.sql.{sources => sf}
+
+  /** The table this view follows — [[SnapshotSql.boundDir]]'s
+    * plan-inspection hook. */
+  private[sources] def tableDir: String = dir
 
   override def sqlContext: org.apache.spark.sql.SQLContext = spark.sqlContext
   override def needConversion: Boolean = false
@@ -306,6 +331,10 @@ object LiveSnapshotRelation {
   * `lastDecision` is advisory observability for specs. */
 final class SnapshotFileIndex(spark: SparkSession, dir: String, version: Long,
                               schema: StructType) extends FileIndex {
+
+  /** The table this index lists — [[SnapshotSql.boundDir]]'s
+    * plan-inspection hook. */
+  private[sources] def tableDir: String = dir
 
   private val fs = new Path(dir)
     .getFileSystem(spark.sparkContext.hadoopConfiguration)

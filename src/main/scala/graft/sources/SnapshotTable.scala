@@ -2495,10 +2495,34 @@ object SnapshotTable {
       val dt = manifestSchema(spark, dir, v)
         .flatMap(_.fields.find(_.name == column).map(_.dataType))
         .getOrElse(read(spark, dir, Some(v)).schema(column).dataType)
+      // The probe frame is TYPED BY THE VALUES (their runtime class)
+      // and then cast to the table's column type — createDataFrame
+      // against `dt` directly would crash on boxed-type mismatches
+      // (Integer values probing a BIGINT column) that the narrow
+      // isin() path happily coerces.
+      val valDt: DataType = distinctVals.head match {
+        case _: java.lang.Integer => IntegerType
+        case _: java.lang.Long => LongType
+        case _: java.lang.Short => ShortType
+        case _: java.lang.Byte => ByteType
+        case _: java.lang.Double => DoubleType
+        case _: java.lang.Float => FloatType
+        case _: java.lang.Boolean => BooleanType
+        case _: String => StringType
+        case _: java.math.BigDecimal | _: scala.math.BigDecimal =>
+          DecimalType(38, 18)
+        case _: java.sql.Date => DateType
+        case _: java.sql.Timestamp => TimestampType
+        case _ => dt // unknown class: assume the caller matched the column
+      }
       val probe = spark.createDataFrame(
         java.util.Arrays.asList(distinctVals.map(x =>
-          org.apache.spark.sql.Row(x)): _*),
-        StructType(Seq(StructField(column, dt))))
+          org.apache.spark.sql.Row(x match {
+            case bd: scala.math.BigDecimal => bd.bigDecimal
+            case other => other
+          })): _*),
+        StructType(Seq(StructField(column, valDt))))
+        .select(col(column).cast(dt).as(column))
       return readFilesWithDv(spark, dir, kept,
         manifestSchema(spark, dir, v), st.dvRefs, st.colMap)
         .join(broadcast(probe), Seq(column), "left_semi")
@@ -4124,7 +4148,11 @@ object SnapshotTable {
     * add-column-evolution path. Commit-time conflict checks match
     * [[merge]]: touched files rewritten or deletion-vector-advanced
     * concurrently, and concurrently-added files holding source keys,
-    * fail with ConcurrentModificationException. Returns the committed
+    * fail with ConcurrentModificationException. An INSERT-ONLY merge
+    * additionally reads (never rewrites) the files holding its source
+    * keys to suppress inserts of present keys; a concurrent DELETE of
+    * such a key commits without conflict and the suppression stands —
+    * the standard write-serializable caveat. Returns the committed
     * version; None when nothing could change. */
   def mergeInto(spark: SparkSession, dir: String, source: DataFrame,
                 keys: Seq[String],
@@ -4182,9 +4210,11 @@ object SnapshotTable {
       case _ => ()
     })
     val TM = "__graft_t_present"; val SM = "__graft_s_present"
+    val RW = "__graft_rewrite"
     require(!source.columns.contains(TM) && !source.columns.contains(SM) &&
-      !fieldNames.contains(TM) && !fieldNames.contains(SM),
-      s"mergeInto: reserved marker column name in use ($TM/$SM)")
+      !source.columns.contains(RW) && !fieldNames.contains(TM) &&
+      !fieldNames.contains(SM) && !fieldNames.contains(RW),
+      s"mergeInto: reserved marker column name in use ($TM/$SM/$RW)")
     // ONE probe: cardinality (max rows per key) + source emptiness.
     val probe = source.groupBy(keys.map(col): _*).count()
       .agg(coalesce(max(col("count")), lit(0L)), count(lit(1))).collect()(0)
@@ -4196,14 +4226,22 @@ object SnapshotTable {
     }
     val srcHasRows = probe.getLong(1) > 0
     val srcKeys = source.select(keys.map(col): _*).distinct()
-    // Touched files: exactly the files that can change.
+    // Touched files: exactly the files that can CHANGE. Files holding
+    // a source key must be REWRITTEN only when a matched clause exists
+    // — an insert-only merge (WHEN NOT MATCHED alone, the classic
+    // insert-if-absent) needs those files READ (to suppress inserts of
+    // present keys) but never rewritten: they join into the decision
+    // with a rewrite=false flag and their rows are excluded from the
+    // output (the files carry forward by reference, and they stay out
+    // of the commit's conflict set).
     val hasFiles = st.files.nonEmpty
-    val touchedMatch =
+    val keyFiles =
       if (!hasFiles || !srcHasRows || (matched.isEmpty && notMatched.isEmpty))
         Seq.empty[String]
       else withFile(spark, dir, base)
         .join(srcKeys, keys, "left_semi").select("__file").distinct()
         .collect().map(r => manifestKey(dir, r.getString(0))).toSeq
+    val touchedMatch = if (matched.isEmpty) Seq.empty[String] else keyFiles
     val touchedBySrc =
       if (!hasFiles || notMatchedBySource.isEmpty) Seq.empty[String]
       else {
@@ -4216,15 +4254,24 @@ object SnapshotTable {
       }
     val touched = (touchedMatch ++ touchedBySrc).distinct.sorted
     if (touched.isEmpty && (notMatched.isEmpty || !srcHasRows)) return None
-    // The decision join: touched target rows FULL OUTER source on the
-    // keys (null keys never match — SQL `=`), markers disambiguating
-    // presence from null-valued rows.
+    // read-only side: key-holding files NOT being rewritten
+    val holderOnly = keyFiles.filterNot(touched.toSet)
+    // The decision join: (touched ∪ holder) target rows FULL OUTER
+    // source on the keys (null keys never match — SQL `=`), markers
+    // disambiguating presence from null-valued rows, the rewrite flag
+    // separating output rows from read-only suppression rows.
+    val tParts = Seq(touched -> true, holderOnly -> false)
+      .filter(_._1.nonEmpty)
+      .map { case (files, rw) =>
+        readFilesWithDv(spark, dir, files, Some(schema), st.dvRefs,
+          st.colMap).withColumn(RW, lit(rw))
+      }
     val tFrame =
-      (if (touched.isEmpty)
+      (if (tParts.isEmpty)
          spark.createDataFrame(
            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-       else readFilesWithDv(spark, dir, touched, Some(schema), st.dvRefs,
-         st.colMap))
+           .withColumn(RW, lit(true))
+       else tParts.reduce(_ unionByName _))
         .withColumn(TM, lit(true)).alias(targetAlias)
     val sFrame = source.withColumn(SM, lit(true)).alias(sourceAlias)
     val joinCond = keys.map(k =>
@@ -4261,10 +4308,12 @@ object SnapshotTable {
       GraftSqlCommands.storeCast(spark,
         chain(valueOf(_, f.name), tc(f.name)), f.dataType).as(f.name)
     }
-    // keep: target rows default-keep, unmatched source rows
-    // default-drop; new: rows whose values this merge introduced
+    // keep: REWRITABLE target rows default-keep (read-only holder rows
+    // drop — their files carry forward untouched), unmatched source
+    // rows default-drop; new: rows whose values this merge introduced
     // (constraint validation scope).
-    val keepCol = chain(a => lit(a != Delete), col(TM).isNotNull).as(KEEP)
+    val keepCol = chain(a => lit(a != Delete),
+      col(TM).isNotNull && coalesce(col(RW), lit(false))).as(KEEP)
     val newCol = chain(a => lit(a != Delete), lit(false)).as(NEW)
     val resultAll = joined.select(valueCols :+ keepCol :+ newCol: _*)
     val introduced = resultAll.filter(col(KEEP) && col(NEW))

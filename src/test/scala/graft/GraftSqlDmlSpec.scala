@@ -439,6 +439,58 @@ class GraftSqlDmlSpec extends AnyFunSuite {
       spark.sql(s"CREATE TABLE graft.`${dir}2` (id BIGINT) USING parquet") }
   }
 
+  test("STRICT storeAssignmentPolicy refuses unsafe INSERT casts up front") {
+    val dir = tmp("strict")
+    SnapshotTable.append(Seq((1L, 10)).toDF("id", "v"), dir) // v INT
+    SnapshotSql.bind("sqldml_strict", dir)
+    spark.conf.set("spark.sql.storeAssignmentPolicy", "STRICT")
+    try {
+      // double → int is not a safe up-cast: STRICT fails at command
+      // time (ANSI would silently truncate 1.5 → 1)
+      val e = intercept[IllegalArgumentException] {
+        spark.sql("INSERT INTO sqldml_strict SELECT 2L, 1.5D") }
+      assert(e.getMessage.contains("STRICT"))
+      assert(SnapshotTable.read(spark, dir).count() == 1)
+      // safe up-casts still flow (int literal → int column)
+      spark.sql("INSERT INTO sqldml_strict SELECT 2L, 7")
+      assert(SnapshotTable.read(spark, dir).count() == 2)
+    } finally spark.conf.set("spark.sql.storeAssignmentPolicy", "ANSI")
+  }
+
+  test("schema DDL tolerates parens inside COMMENT literals") {
+    val dir = tmp("ddl-comment")
+    spark.sql(s"CREATE TABLE graft.`$dir` " +
+      "(s STRING COMMENT 'a)b', id BIGINT)")
+    val got = spark.sql(s"SELECT * FROM graft.`$dir`")
+    assert(got.columns.toSeq == Seq("s", "id"))
+  }
+
+  test("registered views resolve DML from CLONED sessions; drop retires the binding") {
+    val dir = tmp("clone"); mk(dir, 10L)
+    SnapshotSql.registerLive(spark, "sqldml_clone", dir)
+    // foreachBatch runs under a CLONED session, which inherits temp
+    // views — and with them the DML binding (it rides the view plan,
+    // not a per-session map); the round-8 per-session registry made
+    // exactly this shape fail to resolve
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[Long]
+    in.addData(1L)
+    val q = in.toDF().writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.sparkSession.sql("DELETE FROM sqldml_clone WHERE id = 1")
+        ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    assert(SnapshotTable.read(spark, dir).count() == 9)
+    // dropping the view retires the name: DML delegates to Spark and
+    // can never mutate the old directory again
+    spark.catalog.dropTempView("sqldml_clone")
+    intercept[Exception] {
+      spark.sql("DELETE FROM sqldml_clone WHERE id = 2") }
+    assert(SnapshotTable.read(spark, dir).count() == 9)
+  }
+
   test("DML through a live view: SQL reads see SQL writes immediately") {
     val dir = tmp("live"); mk(dir)
     SnapshotSql.registerLive(spark, "sqldml_live", dir) // binds too

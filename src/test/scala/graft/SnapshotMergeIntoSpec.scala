@@ -94,6 +94,28 @@ class SnapshotMergeIntoSpec extends AnyFunSuite {
         MergeAction.Delete))).isEmpty)
   }
 
+  test("insert-only merge NEVER rewrites files holding matched keys") {
+    val dir = tmp("insonly")
+    SnapshotTable.append((0L until 50L).map(i => (i, i, "x"))
+      .toDF("id", "qty", "status").coalesce(1), dir, statsCols = Seq("id"))
+    val before = SnapshotTable.manifestFiles(spark, dir, 0L).toSet
+    // half the source keys exist (suppressed), half insert
+    val src = Seq((5L, 1L, "dup"), (7L, 2L, "dup"),
+      (100L, 3L, "new"), (101L, 4L, "new")).toDF("id", "qty", "status")
+    SnapshotTable.mergeInto(spark, dir, src, Seq("id"),
+      notMatched = Seq(MergeClause(None, MergeAction.InsertAll)))
+    val head = SnapshotTable.latestVersion(spark, dir).get
+    val after = SnapshotTable.manifestFiles(spark, dir, head).toSet
+    // the key-holding file is READ, never rewritten: it carries
+    assert(before.subsetOf(after),
+      s"insert-only merge rewrote ${before -- after}")
+    val got = rows(dir)
+    assert(got.size == 52)                       // 50 kept + 2 inserts
+    assert(got.contains((5L, 5L, "x")))          // present key untouched
+    assert(got.contains((100L, 3L, "new")))
+    assert(!got.exists(r => r._1 == 5L && r._3 == "dup")) // no dup insert
+  }
+
   test("cardinality, clause-order, and cast discipline fail loudly") {
     val dir = tmp("guards")
     SnapshotTable.append(Seq((1L, 1L, "a")).toDF("id", "qty", "status"), dir)
