@@ -11891,6 +11891,53 @@ object Queries {
     FROM customer JOIN orders ON c_custkey = o_custkey
     GROUP BY 1 ORDER BY segment"""))
 
+  /** Incrementally-maintained COUNT(DISTINCT) by COMPOSITION:
+    * distinct counts are not delta-maintainable directly (an insert's
+    * newness and a delete's last-ness both need the value set), but
+    * DISTINCTNESS is — materialize the (key, value)-grouped view with
+    * its hidden live-row counts ([[graft.sources.MaterializedAgg]]
+    * kind `count` keyed by (l_partkey, l_suppkey)): a pair's row dies
+    * exactly when its LAST source row dies, so the view's live pairs
+    * are `SELECT DISTINCT key, value` at every refresh, maintained in
+    * O(changed files) through appends AND deletes. The distinct count
+    * per key is then a group SIZE at read time — O(pairs), no source
+    * scan. The query drives create → append-refresh → delete-refresh
+    * and reads the per-part distinct-supplier histogram; oracle =
+    * COUNT(DISTINCT) recomputed from the final source state. */
+  private val qMatviewDistinct = Q(
+    "q_matview_distinct",
+    (s, d) => {
+      val src = snapTmp(); val view = snapTmp()
+      val li = t(s, d, "lineitem")
+        .filter(pmod(col("l_partkey"), lit(5)) === 0)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          col("l_quantity"))
+      graft.sources.SnapshotTable.append(
+        li.filter(pmod(col("l_orderkey"), lit(2)) === 0), src)
+      graft.sources.MaterializedAgg.create(s, src, view,
+        Seq("l_partkey", "l_suppkey"),
+        Seq(graft.sources.MaterializedAgg.AggSpec("n", "", "count")),
+        "q-matview-distinct")
+      graft.sources.SnapshotTable.append(
+        li.filter(pmod(col("l_orderkey"), lit(2)) === 1), src)
+      graft.sources.MaterializedAgg.refresh(s, view)
+      graft.sources.SnapshotTable.deleteWhere(s, src,
+        col("l_quantity") < 10)
+      graft.sources.MaterializedAgg.refresh(s, view)
+      graft.sources.MaterializedAgg.read(s, view)
+        .groupBy(col("l_partkey")).agg(count(lit(1)).as("n_supp"))
+        .groupBy(col("n_supp")).agg(count(lit(1)).cast("long").as("n_parts"))
+        .orderBy("n_supp")
+    },
+    Some("""WITH pairs AS (
+      SELECT DISTINCT l_partkey, l_suppkey
+      FROM lineitem
+      WHERE l_partkey % 5 = 0 AND l_quantity >= 10),
+    per_part AS (
+      SELECT l_partkey, count(*) AS n_supp FROM pairs GROUP BY 1)
+    SELECT n_supp, CAST(count(*) AS BIGINT) AS n_parts
+    FROM per_part GROUP BY 1 ORDER BY n_supp"""))
+
   /** Maintained MOMENTS in an incrementally-maintained view
     * ([[graft.sources.MaterializedAgg]] kind `sum_sq_long` — exact
     * integer sum-of-squares in the DECIMAL(38,0) ring): per-language
@@ -13110,7 +13157,7 @@ object Queries {
     qSnapshotHistory, qSnapshotFormat, qSnapshotStream, qSnapshotRatelimit,
     qSnapshotMatview,
     qSnapshotMor, qSnapshotMorSql, qSnapshotCdf, qMatviewMinmax,
-    qMatviewStats, qSnapshotBucket, qSnapshotLive,
+    qMatviewStats, qMatviewDistinct, qSnapshotBucket, qSnapshotLive,
     qSnapshotRestore, qSnapshotColmap, qSnapshotDml, qSnapshotWiden,
     qSnapshotMergeFull,
     qSnapshotTblprops, qSnapshotMorUpdate, qSnapshotCompactWhere,
