@@ -366,11 +366,12 @@ object GraftSqlCommands {
     val onText = t2.substring(0, bounds.head).trim
     val clauseTexts = bounds.zipAll(bounds.tail, -1, t2.length)
       .map { case (a, b) => t2.substring(a, b).trim }
-    // ON must be a conjunction of same-name key equalities (the
-    // equi-key contract both merge kernels share — general join
-    // conditions would defeat the touched-file semi-join that makes a
-    // small MERGE cheap at 100 TB)
-    val keys = {
+    // ON must be a conjunction of key EQUALITIES (the equi-key
+    // contract both merge kernels share — general join conditions
+    // would defeat the touched-file semi-join that makes a small
+    // MERGE cheap at 100 TB). Differing column names are allowed when
+    // the sides are disambiguated by the aliases (t.id = s.src_id).
+    val keyPairs: Seq[(String, String)] = {
       def split(t: String, acc: Seq[String]): Seq[String] = {
         val i = topLevelKeyword(t, "AND")
         if (i < 0) acc :+ t.trim
@@ -380,18 +381,26 @@ object GraftSqlCommands {
         val parts = eqText.split("=")
         if (parts.length != 2)
           fail(s"MERGE ON expects <t.k> = <s.k> equalities, got: $eqText")
-        def colName(p: String) = {
+        def side(p: String): (Option[String], String) = {
           val c = p.trim
-          val base = c.substring(c.lastIndexOf('.') + 1).trim
-          if (base.startsWith("`") && base.endsWith("`") && base.length > 1)
-            base.substring(1, base.length - 1) else base
+          val dot = c.lastIndexOf('.')
+          val qual = if (dot < 0) None
+            else Some(unqIdent(c.substring(0, dot)))
+          (qual, unqIdent(c.substring(dot + 1)))
         }
-        val (l, r) = (colName(parts(0)), colName(parts(1)))
-        if (l != r) fail(s"MERGE ON keys must pair the same column name " +
-          s"on both sides (the equi-key contract), got: $eqText")
-        l
+        val (ql, nl) = side(parts(0))
+        val (qr, nr) = side(parts(1))
+        def isT(q: Option[String]) = q.exists(x => tAlias.contains(x))
+        def isS(q: Option[String]) = q.exists(x => sAlias.contains(x))
+        if (isT(ql) || isS(qr)) (nl, nr)
+        else if (isT(qr) || isS(ql)) (nr, nl)
+        else if (nl == nr) (nl, nr)
+        else fail("MERGE ON: qualify differing key names with the " +
+          s"target/source aliases so the sides are unambiguous: $eqText")
       }
     }
+    val keys = keyPairs.map(_._1)
+    val srcKeyNames = keyPairs.map(_._2)
     import SnapshotTable.{MergeAction, MergeClause}
     // One clause: kind prefix, optional AND <cond> up to the first
     // top-level THEN, then the action.
@@ -474,13 +483,17 @@ object GraftSqlCommands {
     }
     // The classic whole-row upsert keeps its dedicated kernel (it is
     // also the add-column schema-evolution path).
-    val wholeRow = bySourceCs.isEmpty &&
+    // The classic whole-row upsert with SAME-NAME keys keeps its
+    // dedicated (evolution-capable) kernel; differing key names route
+    // through the generalized kernel's key-pairing.
+    val wholeRow = bySourceCs.isEmpty && keys == srcKeyNames &&
       matchedCs == Seq(MergeClause(None, MergeAction.UpdateAll)) &&
       notMatchedCs == Seq(MergeClause(None, MergeAction.InsertAll))
     if (wholeRow) Some(GraftMergeCommand(dir, source, keys))
     else Some(GraftMergeIntoCommand(dir, source, keys,
       tAlias.getOrElse("__t"), sAlias.getOrElse("__s"),
-      matchedCs, notMatchedCs, bySourceCs))
+      matchedCs, notMatchedCs, bySourceCs,
+      srcKeys = srcKeyNames))
   }
 
   private def parseInsert(spark: SparkSession, s: String): Option[LogicalPlan] = {
@@ -855,14 +868,16 @@ object GraftSqlCommands {
                                    tAlias: String, sAlias: String,
                                    matched: Seq[SnapshotTable.MergeClause],
                                    notMatched: Seq[SnapshotTable.MergeClause],
-                                   bySource: Seq[SnapshotTable.MergeClause])
+                                   bySource: Seq[SnapshotTable.MergeClause],
+                                   srcKeys: Seq[String] = Nil)
       extends LeafRunnableCommand {
     override val output: Seq[Attribute] =
       Seq(longAttr("version", nullable = true))
     override def run(spark: SparkSession): Seq[Row] = {
       val src = source.fold(spark.sql, spark.table)
       Seq(Row(SnapshotTable.mergeInto(spark, dir, src, keys,
-        matched, notMatched, bySource, tAlias, sAlias)
+        matched, notMatched, bySource, tAlias, sAlias,
+        sourceKeys = srcKeys)
         .map(Long.box).orNull))
     }
   }

@@ -4160,9 +4160,22 @@ object SnapshotTable {
                 notMatched: Seq[MergeClause] = Nil,
                 notMatchedBySource: Seq[MergeClause] = Nil,
                 targetAlias: String = "t", sourceAlias: String = "s",
-                maxRetries: Int = 20): Option[Long] = {
+                maxRetries: Int = 20,
+                sourceKeys: Seq[String] = Nil): Option[Long] = {
     import MergeAction._
     require(keys.nonEmpty, "mergeInto: at least one key column required")
+    // ON may pair DIFFERENTLY-NAMED columns (t.id = s.src_id):
+    // `sourceKeys` gives the source-side names positionally; empty =
+    // same names. All internal key probes use the TARGET names (the
+    // source key frame renames up front); UPDATE SET * / INSERT *
+    // route a target key column to its PAIRED source column.
+    val sKeys = if (sourceKeys.isEmpty) keys else sourceKeys
+    require(sKeys.length == keys.length,
+      "mergeInto: sourceKeys must pair keys positionally")
+    sKeys.foreach(sk => require(source.columns.contains(sk),
+      s"mergeInto: source key column $sk is not in the source"))
+    val keyPair: Map[String, String] =
+      keys.zip(sKeys).filter(p => p._1 != p._2).toMap
     require(matched.nonEmpty || notMatched.nonEmpty ||
       notMatchedBySource.nonEmpty, "mergeInto: no clauses")
     require(targetAlias != sourceAlias,
@@ -4216,16 +4229,19 @@ object SnapshotTable {
       !fieldNames.contains(SM) && !fieldNames.contains(RW),
       s"mergeInto: reserved marker column name in use ($TM/$SM/$RW)")
     // ONE probe: cardinality (max rows per key) + source emptiness.
-    val probe = source.groupBy(keys.map(col): _*).count()
+    val probe = source.groupBy(sKeys.map(col): _*).count()
       .agg(coalesce(max(col("count")), lit(0L)), count(lit(1))).collect()(0)
     if (probe.getLong(0) > 1) {
-      val dup = source.groupBy(keys.map(col): _*)
+      val dup = source.groupBy(sKeys.map(col): _*)
         .count().filter(col("count") > 1).limit(1).collect()
       require(dup.isEmpty,
         s"mergeInto: source has duplicate keys, e.g. ${dup.head.mkString(",")}")
     }
     val srcHasRows = probe.getLong(1) > 0
-    val srcKeys = source.select(keys.map(col): _*).distinct()
+    // renamed to the TARGET key names: every file/conflict probe joins
+    // on them
+    val srcKeys = source.select(sKeys.zip(keys).map { case (sk, k) =>
+      col(sk).as(k) }: _*).distinct()
     // Touched files: exactly the files that can CHANGE. Files holding
     // a source key must be REWRITTEN only when a matched clause exists
     // — an insert-only merge (WHEN NOT MATCHED alone, the classic
@@ -4274,8 +4290,8 @@ object SnapshotTable {
        else tParts.reduce(_ unionByName _))
         .withColumn(TM, lit(true)).alias(targetAlias)
     val sFrame = source.withColumn(SM, lit(true)).alias(sourceAlias)
-    val joinCond = keys.map(k =>
-      col(s"$targetAlias.`$k`") === col(s"$sourceAlias.`$k`"))
+    val joinCond = keys.zip(sKeys).map { case (k, sk) =>
+      col(s"$targetAlias.`$k`") === col(s"$sourceAlias.`$sk`") }
       .reduce(_ && _)
     val joined = tFrame.join(sFrame, joinCond, "full_outer")
     val isM = col(TM).isNotNull && col(SM).isNotNull
@@ -4292,11 +4308,15 @@ object SnapshotTable {
     def scl(c: String) = col(s"$sourceAlias.`$c`")
     def valueOf(a: MergeAction, c: String): Column = a match {
       case Update(as) => as.toMap.get(c).map(expr).getOrElse(tc(c))
-      case UpdateAll => if (srcCols.contains(c)) scl(c) else tc(c)
+      case UpdateAll =>
+        if (srcCols.contains(c)) scl(c)
+        else keyPair.get(c).map(scl).getOrElse(tc(c))
       case Delete => tc(c) // row dropped; branch must still consume
       case Insert(as) => as.toMap.get(c).map(expr)
         .getOrElse(lit(null))
-      case InsertAll => if (srcCols.contains(c)) scl(c) else lit(null)
+      case InsertAll =>
+        if (srcCols.contains(c)) scl(c)
+        else keyPair.get(c).map(scl).getOrElse(lit(null))
     }
     def chain(value: MergeAction => Column, default: Column): Column =
       branches.tail.foldLeft(

@@ -348,6 +348,25 @@ class GraftSqlDmlSpec extends AnyFunSuite {
         "WHEN MATCHED AND t.qty > 0 THEN UPDATE SET qty = 0") }
   }
 
+  test("MERGE ON with differing key names, alias-disambiguated") {
+    val dir = tmp("mergekeys")
+    SnapshotTable.append(Seq((1L, 10L), (2L, 20L)).toDF("id", "qty"), dir)
+    SnapshotSql.bind("sqldml_mk", dir)
+    Seq((1L, 100L), (3L, 300L)).toDF("src_id", "v")
+      .createOrReplaceTempView("sqldml_mk_src")
+    spark.sql("MERGE INTO sqldml_mk t USING sqldml_mk_src s " +
+      "ON t.id = s.src_id " +
+      "WHEN MATCHED THEN UPDATE SET qty = s.v " +
+      "WHEN NOT MATCHED THEN INSERT (id, qty) VALUES (s.src_id, s.v)")
+    val got = SnapshotTable.read(spark, dir).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 100L), (2L, 20L), (3L, 300L)))
+    // unqualified differing names are ambiguous — refused loudly
+    intercept[IllegalArgumentException] {
+      spark.sql("MERGE INTO sqldml_mk t USING sqldml_mk_src s " +
+        "ON id = src_id WHEN MATCHED THEN DELETE") }
+  }
+
   test("non-graft CREATE TABLE containing the word 'shallow' delegates") {
     // round-8 regression: the SHALLOW pre-check claimed any CREATE
     // TABLE whose text contained the identifier, then failed on the

@@ -162,6 +162,28 @@ class SnapshotMergeIntoSpec extends AnyFunSuite {
     assert(rows(dir) == Set((2L, 6L, "b")))
   }
 
+  test("differing ON key names: t.id = s.sid pairs positionally, INSERT * maps the key") {
+    val dir = tmp("keypair")
+    SnapshotTable.append(Seq((1L, 10L, "a"), (2L, 20L, "b"))
+      .toDF("id", "qty", "status"), dir)
+    val src = Seq((1L, 5L), (9L, 7L)).toDF("sid", "d")
+    SnapshotTable.mergeInto(spark, dir, src, Seq("id"),
+      matched = Seq(MergeClause(None,
+        MergeAction.Update(Seq("qty" -> "t.qty + s.d")))),
+      notMatched = Seq(MergeClause(None,
+        MergeAction.Insert(Seq("id" -> "s.sid", "qty" -> "s.d",
+          "status" -> "'new'")))),
+      sourceKeys = Seq("sid"))
+    assert(rows(dir) == Set(
+      (1L, 15L, "a"), (2L, 20L, "b"), (9L, 7L, "new")))
+    // INSERT * maps a target key to its PAIRED source column
+    SnapshotTable.mergeInto(spark, dir,
+      Seq((50L, 1L, "z")).toDF("sid", "qty", "status"), Seq("id"),
+      notMatched = Seq(MergeClause(None, MergeAction.InsertAll)),
+      sourceKeys = Seq("sid"))
+    assert(rows(dir).contains((50L, 1L, "z")))
+  }
+
   test("generalized MERGE equals whole-row merge on the upsert shape") {
     val dirA = tmp("eq-a"); val dirB = tmp("eq-b")
     val init = (0L until 30L).map(i => (i, i, "x")).toDF("id", "qty", "status")
