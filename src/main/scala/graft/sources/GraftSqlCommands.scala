@@ -719,13 +719,19 @@ object GraftSqlCommands {
     val (dir, len) = resolveTableAt(spark, rest).getOrElse(return None)
     var tail = rest.substring(len).trim
     var keep = 2
-    val R = s"""(?is)^RETAIN$Ws(\\d+)${Ws}VERSIONS\\s*""".r
+    var hours: Option[Long] = None
+    val R = s"""(?is)^RETAIN$Ws(\\d+)$Ws(VERSIONS|HOURS)\\s*""".r
     R.findFirstMatchIn(tail).foreach { rm =>
-      keep = rm.group(1).toInt; tail = tail.substring(rm.end).trim }
+      if (rm.group(2).equalsIgnoreCase("HOURS"))
+        hours = Some(rm.group(1).toLong)
+      else keep = rm.group(1).toInt
+      tail = tail.substring(rm.end).trim
+    }
     val dry = s"""(?is)^DRY${Ws}RUN$$""".r.findFirstIn(tail).isDefined
     if (!dry && tail.nonEmpty)
-      fail(s"VACUUM <t> [RETAIN n VERSIONS] [DRY RUN] — got: $tail")
-    Some(GraftVacuumCommand(dir, keep, dry))
+      fail(s"VACUUM <t> [RETAIN n VERSIONS | RETAIN n HOURS] [DRY RUN]" +
+        s" — got: $tail")
+    Some(GraftVacuumCommand(dir, keep, dry, hours))
   }
 
   private def parseRestore(spark: SparkSession, s: String): Option[LogicalPlan] = {
@@ -1013,18 +1019,28 @@ object GraftSqlCommands {
   /** `VACUUM [DRY RUN]` → retention GC / its read-only preview.
     * minAgeMs=0: the SQL surface assumes no in-flight writer (the
     * programmatic API keeps the safe default). */
-  case class GraftVacuumCommand(dir: String, keepVersions: Int, dryRun: Boolean)
+  case class GraftVacuumCommand(dir: String, keepVersions: Int,
+                                dryRun: Boolean,
+                                retainHours: Option[Long] = None)
       extends LeafRunnableCommand {
     override val output: Seq[Attribute] =
       if (dryRun) Seq(longAttr("files_eligible"), longAttr("manifests_below"))
       else Seq(longAttr("files_deleted"))
-    override def run(spark: SparkSession): Seq[Row] =
+    override def run(spark: SparkSession): Seq[Row] = {
+      // RETAIN n HOURS translates through the adjusted commit
+      // timeline: every version inside the window survives
+      val keep = retainHours match {
+        case Some(h) => SnapshotTable.keepVersionsForRetention(
+          spark, dir, h * 3600L * 1000L)
+        case None => keepVersions
+      }
       if (dryRun) {
         val (files, manifests) =
-          SnapshotTable.vacuumPreview(spark, dir, keepVersions, minAgeMs = 0L)
+          SnapshotTable.vacuumPreview(spark, dir, keep, minAgeMs = 0L)
         Seq(Row(files.toLong, manifests.toLong))
       } else Seq(Row(
-        SnapshotTable.vacuum(spark, dir, keepVersions, minAgeMs = 0L).toLong))
+        SnapshotTable.vacuum(spark, dir, keep, minAgeMs = 0L).toLong))
+    }
   }
 
   /** `RESTORE … VERSION AS OF n` → [[SnapshotTable.restore]]. */

@@ -3531,6 +3531,24 @@ object SnapshotTable {
     (files, manifests)
   }
 
+  /** TIME-based retention (the public `VACUUM … RETAIN n HOURS`
+    * semantic), translated onto the version-count kernel: every
+    * version whose monotonicity-adjusted commit time is at or after
+    * `now − retainMs` survives — time travel within the window keeps
+    * working, the latest version always survives. Returns the
+    * keepVersions equivalent, so callers can preview with
+    * [[vacuumPreview]] before [[vacuum]]. Legacy stampless manifests
+    * sort as old as possible (the [[commitTimeline]] contract) — they
+    * fall outside any finite window. */
+  def keepVersionsForRetention(spark: SparkSession, dir: String,
+                               retainMs: Long): Int = {
+    val latest = latestVersion(spark, dir).getOrElse(return 1)
+    val cutoff = System.currentTimeMillis() - retainMs
+    val keepFrom = commitTimeline(spark, dir)
+      .find(_._2 >= cutoff).map(_._1).getOrElse(latest)
+    math.max(1, (latest - keepFrom + 1).toInt)
+  }
+
   def vacuum(spark: SparkSession, dir: String, keepVersions: Int = 2,
              minAgeMs: Long = 60L * 60 * 1000): Int = {
     require(keepVersions >= 1, s"keepVersions must be >= 1, got $keepVersions")

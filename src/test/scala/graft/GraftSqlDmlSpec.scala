@@ -160,6 +160,23 @@ class GraftSqlDmlSpec extends AnyFunSuite {
     assert(SnapshotTable.read(spark, dir).count() == 51)
   }
 
+  test("VACUUM RETAIN n HOURS: every version inside the window survives") {
+    val dir = tmp("vach"); mk(dir, 10L)
+    SnapshotTable.append(Seq((100L, "x", 1L)).toDF("id", "name", "score"),
+      dir)                                   // v1, just now
+    SnapshotSql.bind("sqldml_vach", dir)
+    // a 24h window keeps BOTH versions — nothing is eligible
+    val r = spark.sql(
+      "VACUUM sqldml_vach RETAIN 24 HOURS DRY RUN").head()
+    assert(r.getLong(1) == 0L, s"manifests below a 24h window: $r")
+    spark.sql("VACUUM sqldml_vach RETAIN 24 HOURS")
+    assert(SnapshotTable.read(spark, dir, Some(0L)).count() == 10)
+    // a 0-hour window keeps only the head
+    spark.sql("VACUUM sqldml_vach RETAIN 0 HOURS")
+    intercept[Exception] { SnapshotTable.read(spark, dir, Some(0L)).count() }
+    assert(SnapshotTable.read(spark, dir).count() == 11)
+  }
+
   test("DESCRIBE HISTORY returns the commit log") {
     val dir = tmp("history"); mk(dir)
     SnapshotSql.bind("sqldml_hist", dir)
