@@ -11891,6 +11891,70 @@ object Queries {
     FROM customer JOIN orders ON c_custkey = o_custkey
     GROUP BY 1 ORDER BY segment"""))
 
+  /** TYPE-2 DIMENSION maintenance ([[graft.operators.Scd2]]): a
+    * full-history dimension kept in sync with a source table by
+    * consuming its row-level change feed — close-old + open-new as
+    * ONE applyChanges commit on the composite (key, _valid_from), the
+    * cursor ledgered in the same commit (exactly-once). The query
+    * drives the full lifecycle — bootstrap over half the orders,
+    * append the other half, a price-doubling UPDATE of urgent orders,
+    * a DELETE of F-status orders — each followed by a maintain(), and
+    * rolls the dimension up by interval (valid_from, valid_to). The
+    * oracle restates every interval population in closed form over
+    * the base table (versions are deterministic: 0=bootstrap,
+    * 1=append, 2=update, 3=delete), so a mis-closed interval, a
+    * duplicated open row, or a wrong stamp flips the hash. */
+  private val qScd2Dim = Q(
+    "q_scd2_dim",
+    (s, d) => {
+      val src = snapTmp(); val dim = snapTmp()
+      val base = t(s, d, "orders").select(col("o_orderkey"),
+        col("o_orderpriority"), col("o_orderstatus"), col("o_totalprice"))
+      graft.sources.SnapshotTable.append(
+        base.filter(pmod(col("o_orderkey"), lit(2)) === 0), src)    // v0
+      graft.operators.Scd2.maintain(s, src, dim, Seq("o_orderkey"),
+        "q-scd2")
+      graft.sources.SnapshotTable.append(
+        base.filter(pmod(col("o_orderkey"), lit(2)) === 1), src)    // v1
+      graft.operators.Scd2.maintain(s, src, dim, Seq("o_orderkey"),
+        "q-scd2")
+      graft.sources.SnapshotTable.updateWhere(s, src,
+        col("o_orderpriority") === "1-URGENT",
+        Seq("o_totalprice" -> (col("o_totalprice") * 2)))           // v2
+      graft.operators.Scd2.maintain(s, src, dim, Seq("o_orderkey"),
+        "q-scd2")
+      graft.sources.SnapshotTable.deleteWhere(s, src,
+        col("o_orderstatus") === "F")                               // v3
+      graft.operators.Scd2.maintain(s, src, dim, Seq("o_orderkey"),
+        "q-scd2")
+      graft.sources.SnapshotTable.read(s, dim)
+        .groupBy(col(graft.operators.Scd2.ValidFrom).as("vf"),
+          coalesce(col(graft.operators.Scd2.ValidTo), lit(-1L)).as("vt"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,6)") * 100)
+            .cast("long").as("cents"))
+        .orderBy("vf", "vt")
+    },
+    Some("""WITH base AS (
+      SELECT o_orderkey AS k, o_orderpriority AS pri,
+             o_orderstatus AS st, o_totalprice AS price,
+             CASE WHEN o_orderkey % 2 = 0 THEN 0 ELSE 1 END AS vf0
+      FROM orders),
+    ivals AS (
+      SELECT vf0 AS vf,
+        CASE WHEN pri = '1-URGENT' THEN 2
+             WHEN st = 'F' THEN 3 ELSE -1 END AS vt,
+        price
+      FROM base
+      UNION ALL
+      SELECT 2 AS vf, CASE WHEN st = 'F' THEN 3 ELSE -1 END AS vt,
+        price * 2 AS price
+      FROM base WHERE pri = '1-URGENT')
+    SELECT CAST(vf AS BIGINT) AS vf, CAST(vt AS BIGINT) AS vt,
+      count(*) AS n,
+      CAST(sum(CAST(price AS DECIMAL(18,6)) * 100) AS BIGINT) AS cents
+    FROM ivals GROUP BY 1, 2 ORDER BY vf, vt"""))
+
   /** Incrementally-maintained COUNT(DISTINCT) by COMPOSITION:
     * distinct counts are not delta-maintainable directly (an insert's
     * newness and a delete's last-ness both need the value set), but
@@ -13157,7 +13221,7 @@ object Queries {
     qSnapshotHistory, qSnapshotFormat, qSnapshotStream, qSnapshotRatelimit,
     qSnapshotMatview,
     qSnapshotMor, qSnapshotMorSql, qSnapshotCdf, qMatviewMinmax,
-    qMatviewStats, qMatviewDistinct, qSnapshotBucket, qSnapshotLive,
+    qMatviewStats, qMatviewDistinct, qScd2Dim, qSnapshotBucket, qSnapshotLive,
     qSnapshotRestore, qSnapshotColmap, qSnapshotDml, qSnapshotWiden,
     qSnapshotMergeFull,
     qSnapshotTblprops, qSnapshotMorUpdate, qSnapshotCompactWhere,

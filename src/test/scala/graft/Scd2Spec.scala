@@ -1,0 +1,97 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Scd2
+import graft.sources.SnapshotTable
+
+/** Type-2 dimension maintenance: interval lifecycle through
+  * insert/update/delete/re-birth, exactly-once replay, point-in-time
+  * reconstruction, and the only-affected-files rewrite discipline. */
+class Scd2Spec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private def tmp(tag: String): String =
+    Files.createTempDirectory(s"graft-scd2-$tag").toString + "/t"
+
+  private def intervals(dim: String): Set[(Long, String, Long, Option[Long])] =
+    SnapshotTable.read(spark, dim).collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSet
+
+  test("interval lifecycle: bootstrap, update, delete, re-birth; as-of reconstructs") {
+    val src = tmp("src"); val dim = tmp("dim")
+    SnapshotTable.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), src) // v0
+    assert(Scd2.maintain(spark, src, dim, Seq("id"), "scd").nonEmpty)
+    assert(intervals(dim) == Set(
+      (1L, "a", 0L, None), (2L, "b", 0L, None)))
+    // update key 1, insert key 3                                       v1
+    SnapshotTable.merge(spark, src,
+      Seq((1L, "a2"), (3L, "c")).toDF("id", "v"), Seq("id"))
+    assert(Scd2.maintain(spark, src, dim, Seq("id"), "scd").nonEmpty)
+    assert(intervals(dim) == Set(
+      (1L, "a", 0L, Some(1L)), (1L, "a2", 1L, None),
+      (2L, "b", 0L, None), (3L, "c", 1L, None)))
+    // delete key 2                                                     v2
+    SnapshotTable.deleteWhere(spark, src, $"id" === 2L)
+    assert(Scd2.maintain(spark, src, dim, Seq("id"), "scd").nonEmpty)
+    assert(intervals(dim).contains((2L, "b", 0L, Some(2L))))
+    // re-birth of key 2 with a new value                               v3
+    SnapshotTable.append(Seq((2L, "b2")).toDF("id", "v"), src)
+    assert(Scd2.maintain(spark, src, dim, Seq("id"), "scd").nonEmpty)
+    assert(intervals(dim) == Set(
+      (1L, "a", 0L, Some(1L)), (1L, "a2", 1L, None),
+      (2L, "b", 0L, Some(2L)), (2L, "b2", 3L, None),
+      (3L, "c", 1L, None)))
+    // replayed maintain: manifest no-op, nothing moves
+    val head = SnapshotTable.latestVersion(spark, dim)
+    assert(Scd2.maintain(spark, src, dim, Seq("id"), "scd").isEmpty)
+    assert(SnapshotTable.latestVersion(spark, dim) == head)
+    // point-in-time: as-of each source version == the source then
+    (0L to 3L).foreach { v =>
+      val got = Scd2.asOf(spark, dim, v).orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+      val want = SnapshotTable.read(spark, src, Some(v)).orderBy("id")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(got == want, s"as-of v$v")
+    }
+    // current == source head
+    assert(Scd2.current(spark, dim).orderBy("id").collect()
+      .map(_.getString(1)).toSeq == Seq("a2", "b2", "c"))
+  }
+
+  test("only files holding affected keys' open rows are rewritten") {
+    val src = tmp("src2"); val dim = tmp("dim2")
+    SnapshotTable.append((0L until 40L).map(i => (i, s"v$i"))
+      .toDF("id", "v"), src)
+    Scd2.maintain(spark, src, dim, Seq("id"), "scd2")
+    // split the dimension into two files by key range
+    SnapshotTable.compact(spark, dim, clusterBy = Seq("id"))
+    SnapshotTable.append((100L until 140L).map(i => (i, s"v$i"))
+      .toDF("id", "v").coalesce(1), src)
+    // a fresh-key batch: NO dimension file holds an affected open row
+    val before = SnapshotTable.manifestFiles(spark, dim,
+      SnapshotTable.latestVersion(spark, dim).get).toSet
+    Scd2.maintain(spark, src, dim, Seq("id"), "scd2")
+    val after = SnapshotTable.manifestFiles(spark, dim,
+      SnapshotTable.latestVersion(spark, dim).get).toSet
+    assert(before.subsetOf(after), "insert-only maintain rewrote history")
+    assert(Scd2.current(spark, dim).count() == 80)
+  }
+
+  test("range-collapsed: two source commits between maintains net to one interval") {
+    val src = tmp("src3"); val dim = tmp("dim3")
+    SnapshotTable.append(Seq((1L, "a")).toDF("id", "v"), src)     // v0
+    Scd2.maintain(spark, src, dim, Seq("id"), "scd3")
+    SnapshotTable.merge(spark, src, Seq((1L, "mid")).toDF("id", "v"),
+      Seq("id"))                                                  // v1
+    SnapshotTable.merge(spark, src, Seq((1L, "end")).toDF("id", "v"),
+      Seq("id"))                                                  // v2
+    Scd2.maintain(spark, src, dim, Seq("id"), "scd3")
+    // the intermediate value never materializes an interval
+    assert(intervals(dim) == Set(
+      (1L, "a", 0L, Some(2L)), (1L, "end", 2L, None)))
+  }
+}
