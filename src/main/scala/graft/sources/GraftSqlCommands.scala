@@ -644,6 +644,8 @@ object GraftSqlCommands {
     val tail = rest.substring(len).trim
     val Rename =
       s"""(?is)^RENAME${Ws}COLUMN$Ws(`[^`]+`|[A-Za-z_][A-Za-z0-9_]*)${Ws}TO$Ws(`[^`]+`|[A-Za-z_][A-Za-z0-9_]*)$$""".r
+    val AddCol =
+      s"""(?is)^ADD${Ws}COLUMN$Ws(`[^`]+`|[A-Za-z_][A-Za-z0-9_]*)$Ws(.+)$$""".r
     val DropCol =
       s"""(?is)^DROP${Ws}COLUMN$Ws(`[^`]+`|[A-Za-z_][A-Za-z0-9_]*)$$""".r
     val AddCons =
@@ -662,6 +664,8 @@ object GraftSqlCommands {
     tail match {
       case Rename(from, to) =>
         Some(GraftAlterCommand(dir, "renameColumn", Seq(unq(from), unq(to))))
+      case AddCol(c, dt) =>
+        Some(GraftAlterCommand(dir, "addColumn", Seq(unq(c), dt.trim)))
       case DropCol(c) =>
         Some(GraftAlterCommand(dir, "dropColumn", Seq(unq(c))))
       case AddCons(nm, body) =>
@@ -679,7 +683,8 @@ object GraftSqlCommands {
         if (keys.isEmpty) fail("UNSET TBLPROPERTIES: empty key list")
         Some(GraftPropsCommand(dir, Map.empty, unset = keys))
       case _ => fail(
-        "ALTER TABLE <t> supports RENAME COLUMN a TO b | DROP COLUMN a | " +
+        "ALTER TABLE <t> supports ADD COLUMN c <type> | " +
+          "RENAME COLUMN a TO b | DROP COLUMN a | " +
           "ALTER COLUMN c TYPE <wider> | " +
           "ADD CONSTRAINT n CHECK (…) | DROP CONSTRAINT n | " +
           "SET TBLPROPERTIES ('k'='v', …) | " +
@@ -980,6 +985,10 @@ object GraftSqlCommands {
       val v = op match {
         case "renameColumn" =>
           SnapshotTable.renameColumn(spark, dir, args(0), args(1))
+        case "addColumn" =>
+          SnapshotTable.addColumn(spark, dir, args(0),
+            org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+              .parseDataType(args(1)))
         case "dropColumn" => SnapshotTable.dropColumn(spark, dir, args(0))
         case "addConstraint" =>
           SnapshotTable.addConstraint(spark, dir, args(0), args(1))

@@ -3251,6 +3251,53 @@ object SnapshotTable {
     * manifest schema stays wide). Stats and Bloom summaries remain
     * valid by the lattice's construction. Time travel serves each
     * version under its own type. Returns the committed version. */
+  /** METADATA-ONLY column ADD: one manifest commit appends a NULLABLE
+    * column to the logical schema — zero rewrite at any table size;
+    * every existing file NULL-backfills on read (the parquet
+    * missing-column contract) and later appends may supply values.
+    * The column is forced nullable (a non-null column over
+    * NULL-backfilled history would lie). Under an active column
+    * mapping a logical name that was ever used physically takes a
+    * FRESH physical name (the re-add discipline — dropped bytes never
+    * resurrect). Returns the committed version. */
+  def addColumn(spark: SparkSession, dir: String, column: String,
+                dt: DataType, maxRetries: Int = 20): Long = {
+    latestVersion(spark, dir).getOrElse(
+      throw new java.io.IOException(
+        s"addColumn: no committed version under $dir"))
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val cur = latestVersion(spark, dir).get
+      val st = stateOf(spark, dir, cur)
+      val schema = st.schema.getOrElse(throw new IllegalStateException(
+        s"addColumn: table under $dir records no schema (legacy " +
+          "manifest) — append once to record one, then add"))
+      require(!schema.fieldNames.contains(column),
+        s"addColumn: column $column already exists")
+      val newSchema = StructType(schema.fields :+
+        StructField(column, dt, nullable = true))
+      // mapped tables: route the new logical name through the same
+      // fresh-physical discipline as append-evolution
+      val colMapOpt =
+        if (st.colMap.isEmpty && st.retired.isEmpty)
+          Some((st.colMap, st.retired))
+        else {
+          val taken = schema.fieldNames
+            .map(physName(st.colMap, _)).toSet ++ st.retired
+          val p = freshPhys(column, taken)
+          val m = if (p != column) st.colMap + (column -> p) else st.colMap
+          Some((m, st.retired))
+        }
+      if (tryCommit(spark, dir, cur + 1, st.files, st.txns, st.stats,
+          Some(newSchema), st.bloomRefs, st.bloomCols, st.sizes,
+          "addColumn", st.dvRefs, st.bucket, colMapOpt = colMapOpt))
+        return cur + 1
+      attempt += 1
+    }
+    throw new java.io.IOException(
+      s"addColumn: lost the commit race $maxRetries times under $dir")
+  }
+
   def widenColumn(spark: SparkSession, dir: String, column: String,
                   to: DataType, maxRetries: Int = 20): Long = {
     latestVersion(spark, dir).getOrElse(

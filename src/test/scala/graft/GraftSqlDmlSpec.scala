@@ -160,6 +160,32 @@ class GraftSqlDmlSpec extends AnyFunSuite {
     assert(SnapshotTable.read(spark, dir).count() == 51)
   }
 
+  test("ALTER TABLE ADD COLUMN: metadata-only, NULL-backfill, no resurrect") {
+    val dir = tmp("addcol"); mk(dir, 5L)
+    SnapshotSql.bind("sqldml_add", dir)
+    val before = SnapshotTable.manifestFiles(spark, dir, 0L).toSet
+    spark.sql("ALTER TABLE sqldml_add ADD COLUMN note STRING")
+    // zero rewrite; existing rows NULL-backfill
+    val head = SnapshotTable.latestVersion(spark, dir).get
+    assert(SnapshotTable.manifestFiles(spark, dir, head).toSet == before)
+    val got = spark.sql(s"SELECT * FROM graft.`$dir`")
+    assert(got.columns.toSeq == Seq("id", "name", "score", "note"))
+    assert(got.filter(col("note").isNull).count() == 5)
+    // new arity flows through positional INSERT
+    spark.sql("INSERT INTO sqldml_add SELECT 100L, 'x', 1L, 'noted'")
+    assert(SnapshotTable.read(spark, dir)
+      .filter(col("note") === "noted").count() == 1)
+    // duplicate add refused
+    intercept[IllegalArgumentException] {
+      spark.sql("ALTER TABLE sqldml_add ADD COLUMN note STRING") }
+    // drop + re-add under the mapping: retired bytes never resurrect
+    spark.sql("ALTER TABLE sqldml_add DROP COLUMN note")
+    spark.sql("ALTER TABLE sqldml_add ADD COLUMN note STRING")
+    assert(SnapshotTable.read(spark, dir)
+      .filter(col("note").isNotNull).count() == 0,
+      "re-added column resurrected retired bytes")
+  }
+
   test("VACUUM RETAIN n HOURS: every version inside the window survives") {
     val dir = tmp("vach"); mk(dir, 10L)
     SnapshotTable.append(Seq((100L, "x", 1L)).toDF("id", "name", "score"),
