@@ -90,12 +90,16 @@ object Scd2 {
         // one copy-on-write commit: closes are upserts of their
         // (keys, _valid_from) row, opens are inserts of (keys, srcV)
         // — composite keys can't collide (an open row's _valid_from
-        // is always < srcV)
+        // is always < srcV). PERSISTED: applyChanges probes, touches,
+        // and lands this frame in separate jobs; uncached, each would
+        // re-run the change-feed scan AND the dimension scan.
         val changes = closed.withColumn("_change", lit("insert"))
           .unionByName(opened.withColumn("_change", lit("insert")))
-        SnapshotTable.applyChanges(spark, dimDir, changes,
+          .persist()
+        try SnapshotTable.applyChanges(spark, dimDir, changes,
           keys :+ ValidFrom, txn = Some(appId -> srcV),
           maxRetries = maxRetries)
+        finally changes.unpersist(false)
     }
   }
 

@@ -11908,8 +11908,12 @@ object Queries {
     "q_scd2_dim",
     (s, d) => {
       val src = snapTmp(); val dim = snapTmp()
-      val base = t(s, d, "orders").select(col("o_orderkey"),
-        col("o_orderpriority"), col("o_orderstatus"), col("o_totalprice"))
+      // a 1-in-3 key slice: the lifecycle machinery (4 maintains ×
+      // changeFeed + dim rewrite) is what's under test, not bulk
+      val base = t(s, d, "orders")
+        .filter(pmod(col("o_orderkey"), lit(3)) === 0)
+        .select(col("o_orderkey"),
+          col("o_orderpriority"), col("o_orderstatus"), col("o_totalprice"))
       graft.sources.SnapshotTable.append(
         base.filter(pmod(col("o_orderkey"), lit(2)) === 0), src)    // v0
       graft.operators.Scd2.maintain(s, src, dim, Seq("o_orderkey"),
@@ -11939,7 +11943,7 @@ object Queries {
       SELECT o_orderkey AS k, o_orderpriority AS pri,
              o_orderstatus AS st, o_totalprice AS price,
              CASE WHEN o_orderkey % 2 = 0 THEN 0 ELSE 1 END AS vf0
-      FROM orders),
+      FROM orders WHERE o_orderkey % 3 = 0),
     ivals AS (
       SELECT vf0 AS vf,
         CASE WHEN pri = '1-URGENT' THEN 2
@@ -11973,7 +11977,7 @@ object Queries {
     (s, d) => {
       val src = snapTmp(); val view = snapTmp()
       val li = t(s, d, "lineitem")
-        .filter(pmod(col("l_partkey"), lit(5)) === 0)
+        .filter(pmod(col("l_partkey"), lit(10)) === 0)
         .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
           col("l_quantity"))
       graft.sources.SnapshotTable.append(
@@ -11996,7 +12000,7 @@ object Queries {
     Some("""WITH pairs AS (
       SELECT DISTINCT l_partkey, l_suppkey
       FROM lineitem
-      WHERE l_partkey % 5 = 0 AND l_quantity >= 10),
+      WHERE l_partkey % 10 = 0 AND l_quantity >= 10),
     per_part AS (
       SELECT l_partkey, count(*) AS n_supp FROM pairs GROUP BY 1)
     SELECT n_supp, CAST(count(*) AS BIGINT) AS n_parts
