@@ -18,9 +18,15 @@ import graft.sources.SnapshotTable
   *     ([[SnapshotTable.applyChanges]] on the composite key
   *     `keys :+ _valid_from` — closing an interval is an upsert of
   *     its row, opening one is an insert; no interval is ever
-  *     rewritten again once closed). At 100 TB a small upstream
-  *     commit maintains the dimension in a few file reads and one
-  *     small rewrite — never a scan of source or history.
+  *     REWRITTEN again once closed). The open-interval lookup and
+  *     applyChanges' touched-file probe each SCAN the dimension
+  *     (filter-pushed, column-pruned, but not file-pruned — the
+  *     affected keys are data, not literals): per-maintain cost is
+  *     O(changed source files) + O(dimension scan) + O(touched
+  *     dimension files rewritten). The dimension is
+  *     current-keys × history-sized; when its scan dominates,
+  *     cluster it by key ([[SnapshotTable.compact]]) and shorten the
+  *     maintain cadence.
   *   - EXACTLY-ONCE: the applied source version lands as the
   *     dimension's transaction-ledger cursor in the SAME commit as
   *     the rows (the [[SnapshotTable.replicate]] discipline) — a
@@ -93,8 +99,13 @@ object Scd2 {
         // is always < srcV). PERSISTED: applyChanges probes, touches,
         // and lands this frame in separate jobs; uncached, each would
         // re-run the change-feed scan AND the dimension scan.
+        // allowMissingColumns: after a source schema evolution (ADD
+        // COLUMN / append-evolution) `opened` carries columns the
+        // dimension's older intervals lack — they NULL-backfill, and
+        // applyChanges evolves the dimension schema with the batch
         val changes = closed.withColumn("_change", lit("insert"))
-          .unionByName(opened.withColumn("_change", lit("insert")))
+          .unionByName(opened.withColumn("_change", lit("insert")),
+            allowMissingColumns = true)
           .persist()
         try SnapshotTable.applyChanges(spark, dimDir, changes,
           keys :+ ValidFrom, txn = Some(appId -> srcV),

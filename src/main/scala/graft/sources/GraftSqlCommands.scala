@@ -390,8 +390,15 @@ object GraftSqlCommands {
         }
         val (ql, nl) = side(parts(0))
         val (qr, nr) = side(parts(1))
-        def isT(q: Option[String]) = q.exists(x => tAlias.contains(x))
-        def isS(q: Option[String]) = q.exists(x => sAlias.contains(x))
+        // SQL identifiers are case-insensitive — so is the alias match
+        def isT(q: Option[String]) =
+          q.exists(x => tAlias.exists(_.equalsIgnoreCase(x)))
+        def isS(q: Option[String]) =
+          q.exists(x => sAlias.exists(_.equalsIgnoreCase(x)))
+        // both sides on ONE alias is a typo (ON t.id = t.sid would
+        // otherwise silently pair the wrong columns), not a pairing
+        if ((isT(ql) && isT(qr)) || (isS(ql) && isS(qr))) fail(
+          s"MERGE ON: both sides reference the same alias: $eqText")
         if (isT(ql) || isS(qr)) (nl, nr)
         else if (isT(qr) || isS(ql)) (nr, nl)
         else if (nl == nr) (nl, nr)

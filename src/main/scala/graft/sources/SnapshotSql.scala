@@ -87,35 +87,43 @@ object SnapshotSql {
   def unbind(name: String): Unit = unbind(activeSession("unbind"), name)
 
   /** The directory `name` addresses in `spark`'s session: an explicit
-    * [[bind]] first, else a graft-backed TEMP VIEW of that name
-    * (plan-inspected — see [[viewDir]]). */
+    * [[bind]] first, else a temp view REGISTER() CREATED (see
+    * [[viewDir]]). */
   def boundDir(spark: SparkSession, name: String): Option[String] =
     scopes.synchronized {
       Option(scopes.get(spark)).flatMap(m => Option(m.get(lower(name))))
     }.orElse(viewDir(spark, name))
 
-  /** The table directory behind a graft temp view, recovered from the
-    * view's PLAN (a [[SnapshotFileIndex]]-backed relation or a
-    * [[LiveSnapshotRelation]]): the binding lives exactly as long as
-    * the view, is inherited by session clones with it, and names
-    * exactly one table (views over joins of several graft tables
-    * resolve to None — ambiguous, address by `graft.`path``). */
+  /** Plans [[register]]/[[registerLive]] put into the view catalog,
+    * held WEAKLY → table directory. Keyed by the PLAN OBJECTS
+    * themselves, so ONLY views those calls created resolve — a
+    * user-built frame over the same table (filtered, projected,
+    * joined, version-pinned) never becomes a writable bare-name DML
+    * address (a `DELETE FROM my_filtered_view` must not wipe the
+    * whole base table). Clones inherit temp views by reference, so
+    * the binding rides into foreachBatch sessions; dropping or
+    * replacing the view releases the last strong reference and the
+    * binding dies with it. */
+  private val viewBindings = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, String]())
+
+  private[sources] def recordViewBinding(df: DataFrame, dir: String): Unit = {
+    viewBindings.put(df.queryExecution.logical,
+      new Path(dir).toUri.getPath)
+    viewBindings.put(df.queryExecution.analyzed,
+      new Path(dir).toUri.getPath)
+  }
+
+  /** The directory behind a temp view that register()/registerLive()
+    * created — identity-matched against the recorded plans. */
   private def viewDir(spark: SparkSession, name: String): Option[String] = {
     val plan = scala.util.Try(
       spark.sessionState.catalog.getTempView(name)
         .orElse(spark.sessionState.catalog.getTempView(lower(name))))
       .toOption.flatten.getOrElse(return None)
-    val dirs = plan.collect {
-      case lr: LogicalRelation => lr.relation match {
-        case hfs: HadoopFsRelation => hfs.location match {
-          case idx: SnapshotFileIndex => Some(idx.tableDir)
-          case _ => None
-        }
-        case live: LiveSnapshotRelation => Some(live.tableDir)
-        case _ => None
-      }
-    }.flatten.distinct
-    if (dirs.length == 1) dirs.headOption else None
+    (plan +: plan.collect { case p => p })
+      .flatMap(p => Option(viewBindings.get(p))).headOption
   }
 
   private def activeSession(op: String): SparkSession =
@@ -195,10 +203,13 @@ object SnapshotSql {
                version: Option[Long] = None): Long = {
     val v = version.orElse(SnapshotTable.latestVersion(spark, dir)).getOrElse(
       throw new java.io.IOException(s"SnapshotSql: no committed version under $dir"))
-    dataFrame(spark, dir, Some(v)).createOrReplaceTempView(name)
-    // no explicit bind: the view plan itself carries the binding
-    // (boundDir plan-inspects it), so dropping/replacing the view
-    // retires the DML address automatically, and clones inherit it
+    val df = dataFrame(spark, dir, Some(v))
+    df.createOrReplaceTempView(name)
+    // no explicit bind: the binding is keyed by THIS view's plan
+    // objects, so dropping/replacing the view retires the DML address
+    // automatically, and clones (which inherit the view by reference)
+    // resolve it too
+    recordViewBinding(df, dir)
     v
   }
 
@@ -232,8 +243,9 @@ object SnapshotSql {
     * table's head — `spark.sql` over a table that other writers keep
     * committing to, with no REFRESH/re-register step. */
   def registerLive(spark: SparkSession, name: String, dir: String): Unit = {
-    dataFrameLive(spark, dir).createOrReplaceTempView(name)
-    // binding rides the view (see register)
+    val df = dataFrameLive(spark, dir)
+    df.createOrReplaceTempView(name)
+    recordViewBinding(df, dir) // binding rides the view (see register)
   }
 }
 
@@ -250,10 +262,6 @@ final class LiveSnapshotRelation(spark: SparkSession, dir: String,
                                 ) extends org.apache.spark.sql.sources.BaseRelation
     with org.apache.spark.sql.sources.PrunedFilteredScan {
   import org.apache.spark.sql.{sources => sf}
-
-  /** The table this view follows — [[SnapshotSql.boundDir]]'s
-    * plan-inspection hook. */
-  private[sources] def tableDir: String = dir
 
   override def sqlContext: org.apache.spark.sql.SQLContext = spark.sqlContext
   override def needConversion: Boolean = false
@@ -331,10 +339,6 @@ object LiveSnapshotRelation {
   * `lastDecision` is advisory observability for specs. */
 final class SnapshotFileIndex(spark: SparkSession, dir: String, version: Long,
                               schema: StructType) extends FileIndex {
-
-  /** The table this index lists — [[SnapshotSql.boundDir]]'s
-    * plan-inspection hook. */
-  private[sources] def tableDir: String = dir
 
   private val fs = new Path(dir)
     .getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -2495,25 +2495,26 @@ object SnapshotTable {
       val dt = manifestSchema(spark, dir, v)
         .flatMap(_.fields.find(_.name == column).map(_.dataType))
         .getOrElse(read(spark, dir, Some(v)).schema(column).dataType)
-      // The probe frame is TYPED BY THE VALUES (their runtime class)
-      // and then cast to the table's column type — createDataFrame
-      // against `dt` directly would crash on boxed-type mismatches
-      // (Integer values probing a BIGINT column) that the narrow
-      // isin() path happily coerces.
-      val valDt: DataType = distinctVals.head match {
-        case _: java.lang.Integer => IntegerType
-        case _: java.lang.Long => LongType
-        case _: java.lang.Short => ShortType
-        case _: java.lang.Byte => ByteType
-        case _: java.lang.Double => DoubleType
-        case _: java.lang.Float => FloatType
-        case _: java.lang.Boolean => BooleanType
-        case _: String => StringType
-        case _: java.math.BigDecimal | _: scala.math.BigDecimal =>
-          DecimalType(38, 18)
-        case _: java.sql.Date => DateType
-        case _: java.sql.Timestamp => TimestampType
-        case _ => dt // unknown class: assume the caller matched the column
+      // The probe frame is TYPED BY THE VALUES and then cast to the
+      // table's column type — createDataFrame against `dt` directly
+      // would crash on boxed-type mismatches (Integer values probing
+      // a BIGINT column) that the narrow isin() path happily coerces.
+      // Decimal values type directly as the COLUMN's decimal (their
+      // own precision/scale vary per value); everything else types by
+      // Catalyst's own boxed-class mapping (Literal), which must be
+      // ONE type across the list — mixed classes fail loudly here
+      // instead of deep in a task.
+      val valDt: DataType = dt match {
+        case _: DecimalType => dt
+        case _ =>
+          val dts = distinctVals.map(x => scala.util.Try(
+            org.apache.spark.sql.catalyst.expressions.Literal(x).dataType)
+            .getOrElse(dt)).distinct
+          require(dts.length == 1,
+            s"readWhereEqAny: IN-list values mix types " +
+              s"(${dts.map(_.simpleString).mkString(", ")}) — pass one " +
+              "runtime type")
+          dts.head
       }
       val probe = spark.createDataFrame(
         java.util.Arrays.asList(distinctVals.map(x =>
@@ -3272,7 +3273,9 @@ object SnapshotTable {
       val schema = st.schema.getOrElse(throw new IllegalStateException(
         s"addColumn: table under $dir records no schema (legacy " +
           "manifest) — append once to record one, then add"))
-      require(!schema.fieldNames.contains(column),
+      // case-INsensitive guard: Spark's default resolution would make
+      // a case-variant duplicate unreadable (ambiguous column)
+      require(!schema.fieldNames.exists(_.equalsIgnoreCase(column)),
         s"addColumn: column $column already exists")
       val newSchema = StructType(schema.fields :+
         StructField(column, dt, nullable = true))
@@ -3591,8 +3594,13 @@ object SnapshotTable {
                                retainMs: Long): Int = {
     val latest = latestVersion(spark, dir).getOrElse(return 1)
     val cutoff = System.currentTimeMillis() - retainMs
+    // keepFrom = the version CURRENT AT the window boundary (the last
+    // one committed at-or-before the cutoff): TIMESTAMP AS OF any
+    // instant inside the window must keep resolving, including
+    // instants before the first in-window commit. All commits inside
+    // the window → keep everything.
     val keepFrom = commitTimeline(spark, dir)
-      .find(_._2 >= cutoff).map(_._1).getOrElse(latest)
+      .filter(_._2 <= cutoff).map(_._1).lastOption.getOrElse(0L)
     math.max(1, (latest - keepFrom + 1).toInt)
   }
 

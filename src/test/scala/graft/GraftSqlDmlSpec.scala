@@ -527,6 +527,18 @@ class GraftSqlDmlSpec extends AnyFunSuite {
     assert(got.columns.toSeq == Seq("s", "id"))
   }
 
+  test("a user-built view over a graft table is NEVER a writable DML address") {
+    // only register()/registerLive()-created views resolve as DML
+    // targets — a filtered user frame must not: DELETE FROM it would
+    // wipe the WHOLE base table, not the subset the view exposes
+    val dir = tmp("uview"); mk(dir, 10L)
+    SnapshotTable.read(spark, dir).filter(col("id") < 3L)
+      .createOrReplaceTempView("sqldml_uview")
+    intercept[Exception] {
+      spark.sql("DELETE FROM sqldml_uview WHERE id = 1") }
+    assert(SnapshotTable.read(spark, dir).count() == 10)
+  }
+
   test("registered views resolve DML from CLONED sessions; drop retires the binding") {
     val dir = tmp("clone"); mk(dir, 10L)
     SnapshotSql.registerLive(spark, "sqldml_clone", dir)

@@ -500,6 +500,16 @@ class ScaleOpsSpec extends AnyFunSuite {
     // narrow lists keep the per-value prune + In path, same semantics
     assert(SnapshotTable.readWhereEqAny(spark, dir, "id",
       Seq(2L, 3L, 4999L)).collect().map(_.getLong(0)).toSet == Set(2L, 3L))
+    // boxed-type mismatch with the column coerces (Integer → BIGINT)…
+    val ints: Seq[Any] = (0 until 600).map(i => Int.box(i * 2))
+    assert(SnapshotTable.readWhereEqAny(spark, dir, "id", ints)
+      .count() == 600)
+    // …while a MIXED-type list fails loudly up front
+    intercept[IllegalArgumentException] {
+      SnapshotTable.readWhereEqAny(spark, dir, "id",
+        (0 until 300).map(i =>
+          if (i % 2 == 0) Int.box(i) else Long.box(i.toLong)))
+    }
   }
 
   test("schema evolution survives the partitioned layout (mergeSchema)") {

@@ -48,6 +48,24 @@ class SnapshotOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("time-based retention keeps the version CURRENT AT the window boundary") {
+    // v0 old, v1 recent, cutoff between them: TIMESTAMP AS OF any
+    // instant inside the window before v1 must still resolve → v0
+    // survives (keep 2, not 1)
+    val dir = tmp("retain")
+    SnapshotTable.append(spark.range(0, 5).toDF(), dir)   // v0
+    Thread.sleep(2500)
+    SnapshotTable.append(spark.range(5, 9).toDF(), dir)   // v1
+    assert(SnapshotTable.keepVersionsForRetention(spark, dir,
+      retainMs = 1000L) == 2)
+    // a window older than the whole table keeps everything
+    assert(SnapshotTable.keepVersionsForRetention(spark, dir,
+      retainMs = 3600L * 1000) == 2)
+    // a zero window keeps only the head
+    assert(SnapshotTable.keepVersionsForRetention(spark, dir,
+      retainMs = 0L) == 1)
+  }
+
   test("restore: a head differing only in constraints/props is a no-op") {
     // constraints and properties inherit FORWARD across restore (they
     // are policy, not structure) — so a head whose only difference
