@@ -114,6 +114,39 @@ object Scd2 {
     }
   }
 
+  /** CONTINUOUS maintenance: a Structured Streaming query that
+    * watches the source table's commits and [[maintain]]s the
+    * dimension once per micro-batch — the always-fresh SCD2, with
+    * zero new consistency machinery (the MaterializedAgg
+    * startContinuous design). The readChangeFeed stream is a pure
+    * commit-NOTIFICATION channel (the batch frame is never executed);
+    * all exactly-once comes from the dimension's ledger, so replays,
+    * overlapping triggers, and concurrent manual maintains are
+    * no-ops. Run at trigger cadence for per-commit interval
+    * fidelity. The dimension must already be bootstrapped
+    * ([[maintain]] once). */
+  def startContinuous(spark: SparkSession, srcDir: String, dimDir: String,
+                      keys: Seq[String], appId: String,
+                      checkpointDir: String,
+                      trigger: org.apache.spark.sql.streaming.Trigger =
+                        org.apache.spark.sql.streaming.Trigger
+                          .ProcessingTime(0L)
+                     ): org.apache.spark.sql.streaming.StreamingQuery = {
+    val srcV = SnapshotTable.latestVersion(spark, srcDir).getOrElse(0L)
+    spark.readStream.format("graft")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", (srcV + 1).toString)
+      .load(srcDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (_: DataFrame, _: Long) =>
+        maintain(spark, srcDir, dimDir, keys, appId); ()
+      }
+      .trigger(trigger)
+      .queryName(s"graft-scd2[$appId]")
+      .start()
+  }
+
   /** The dimension's rows as of source version `v` — point-in-time
     * reconstruction from intervals. */
   def asOf(spark: SparkSession, dimDir: String, v: Long): DataFrame =

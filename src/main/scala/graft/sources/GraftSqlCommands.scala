@@ -754,9 +754,13 @@ object GraftSqlCommands {
     val (dir, len) = resolveTableAt(spark, rest).getOrElse(return None)
     val tail = rest.substring(len).trim
     val V = s"""(?is)^(?:TO$Ws)?VERSION${Ws}AS${Ws}OF$Ws(\\d+)$$""".r
+    val T =
+      s"""(?is)^(?:TO$Ws)?TIMESTAMP${Ws}AS${Ws}OF$Ws'([^']+)'$$""".r
     tail match {
-      case V(v) => Some(GraftRestoreCommand(dir, v.toLong))
-      case _ => fail(s"RESTORE [TABLE] <t> [TO] VERSION AS OF <n> — got: $tail")
+      case V(v) => Some(GraftRestoreCommand(dir, Some(v.toLong), None))
+      case T(ts) => Some(GraftRestoreCommand(dir, None, Some(ts)))
+      case _ => fail("RESTORE [TABLE] <t> [TO] VERSION AS OF <n> | " +
+        s"TIMESTAMP AS OF '<ts>' — got: $tail")
     }
   }
 
@@ -1059,13 +1063,22 @@ object GraftSqlCommands {
     }
   }
 
-  /** `RESTORE … VERSION AS OF n` → [[SnapshotTable.restore]]. */
-  case class GraftRestoreCommand(dir: String, toVersion: Long)
+  /** `RESTORE … VERSION AS OF n | TIMESTAMP AS OF 'ts'` →
+    * [[SnapshotTable.restore]], timestamps resolved through the same
+    * adjusted commit timeline as read-side time travel. */
+  case class GraftRestoreCommand(dir: String, toVersion: Option[Long],
+                                 toTimestamp: Option[String])
       extends LeafRunnableCommand {
     override val output: Seq[Attribute] = Seq(longAttr("version", nullable = true))
-    override def run(spark: SparkSession): Seq[Row] =
-      Seq(Row(SnapshotTable.restore(spark, dir, toVersion)
-        .map(Long.box).orNull))
+    override def run(spark: SparkSession): Seq[Row] = {
+      val v = toVersion.getOrElse {
+        val t = toTimestamp.get
+        val millis = scala.util.Try(t.toLong).getOrElse(
+          java.sql.Timestamp.valueOf(t).getTime)
+        SnapshotTable.versionAtTimestamp(spark, dir, millis)
+      }
+      Seq(Row(SnapshotTable.restore(spark, dir, v).map(Long.box).orNull))
+    }
   }
 
   /** `ALTER TABLE … SET/UNSET TBLPROPERTIES` → one metadata commit. */

@@ -186,6 +186,18 @@ class GraftSqlDmlSpec extends AnyFunSuite {
       "re-added column resurrected retired bytes")
   }
 
+  test("RESTORE TO TIMESTAMP AS OF resolves through the commit timeline") {
+    val dir = tmp("rts"); mk(dir, 5L)                    // v0
+    Thread.sleep(1200)
+    SnapshotTable.append(Seq((100L, "x", 1L)).toDF("id", "name", "score"),
+      dir)                                               // v1
+    SnapshotSql.bind("sqldml_rts", dir)
+    val t0 = SnapshotTable.manifestCommitTime(spark, dir, 0L).get
+    // an instant between v0 and v1 resolves to v0 (epoch-millis form)
+    spark.sql(s"RESTORE sqldml_rts TO TIMESTAMP AS OF '${t0 + 300}'")
+    assert(SnapshotTable.read(spark, dir).count() == 5)
+  }
+
   test("VACUUM RETAIN n HOURS: every version inside the window survives") {
     val dir = tmp("vach"); mk(dir, 10L)
     SnapshotTable.append(Seq((100L, "x", 1L)).toDF("id", "name", "score"),

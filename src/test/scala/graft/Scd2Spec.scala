@@ -81,6 +81,43 @@ class Scd2Spec extends AnyFunSuite {
     assert(Scd2.current(spark, dim).count() == 80)
   }
 
+  test("continuous maintenance: commits stream into intervals, replays no-op") {
+    val src = tmp("src4"); val dim = tmp("dim4")
+    SnapshotTable.append(Seq((1L, "a")).toDF("id", "v"), src)
+    Scd2.maintain(spark, src, dim, Seq("id"), "scd4") // bootstrap
+    val ckpt = Files.createTempDirectory("graft-scd2-ck").toString
+    val q = Scd2.startContinuous(spark, src, dim, Seq("id"), "scd4", ckpt)
+    try {
+      SnapshotTable.merge(spark, src, Seq((1L, "a2"), (2L, "b"))
+        .toDF("id", "v"), Seq("id"))
+      q.processAllAvailable()
+      SnapshotTable.deleteWhere(spark, src, $"id" === 2L)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(intervals(dim) == Set(
+      (1L, "a", 0L, Some(1L)), (1L, "a2", 1L, None),
+      (2L, "b", 1L, Some(2L))))
+    // a concurrent/replayed manual maintain is a no-op
+    assert(Scd2.maintain(spark, src, dim, Seq("id"), "scd4").isEmpty)
+  }
+
+  test("maintain survives source schema evolution (ADD COLUMN)") {
+    val src = tmp("src5"); val dim = tmp("dim5")
+    SnapshotTable.append(Seq((1L, "a")).toDF("id", "v"), src)
+    Scd2.maintain(spark, src, dim, Seq("id"), "scd5")
+    SnapshotTable.addColumn(spark, src, "note",
+      org.apache.spark.sql.types.StringType)              // v1
+    SnapshotTable.merge(spark, src,
+      Seq((1L, "a2", "n1")).toDF("id", "v", "note"), Seq("id")) // v2
+    assert(Scd2.maintain(spark, src, dim, Seq("id"), "scd5").nonEmpty)
+    val got = SnapshotTable.read(spark, dim).orderBy(Scd2.ValidFrom)
+      .collect().map(r => (r.getString(1),
+        if (r.isNullAt(r.fieldIndex("note"))) None
+        else Some(r.getString(r.fieldIndex("note"))))).toSeq
+    // old interval NULL-backfills the evolved column; new one carries it
+    assert(got == Seq(("a", None), ("a2", Some("n1"))))
+  }
+
   test("range-collapsed: two source commits between maintains net to one interval") {
     val src = tmp("src3"); val dim = tmp("dim3")
     SnapshotTable.append(Seq((1L, "a")).toDF("id", "v"), src)     // v0
