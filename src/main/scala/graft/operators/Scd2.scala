@@ -19,14 +19,18 @@ import graft.sources.SnapshotTable
   *     `keys :+ _valid_from` — closing an interval is an upsert of
   *     its row, opening one is an insert; no interval is ever
   *     REWRITTEN again once closed). The open-interval lookup and
-  *     applyChanges' touched-file probe each SCAN the dimension
-  *     (filter-pushed, column-pruned, but not file-pruned — the
-  *     affected keys are data, not literals): per-maintain cost is
-  *     O(changed source files) + O(dimension scan) + O(touched
-  *     dimension files rewritten). The dimension is
-  *     current-keys × history-sized; when its scan dominates,
-  *     cluster it by key ([[SnapshotTable.compact]]) and shorten the
-  *     maintain cadence.
+  *     applyChanges' touched-file probe are FILE-PRUNED when the
+  *     affected key set is bounded (≤ [[PruneKeyLimit]], the
+  *     incremental norm — keys come from a change feed): the set is
+  *     collected and routed through the manifest's stats/Bloom
+  *     summaries ([[SnapshotTable.readWhereKeySet]] /
+  *     [[SnapshotTable.pruneFilesForKeys]]), so per-maintain cost is
+  *     O(changed source files) + O(dimension files holding affected
+  *     keys) — never a dimension scan. Keep the dimension key-clustered
+  *     ([[SnapshotTable.compact]] sorted by key) so those summaries
+  *     stay sharp; past the cap the lookup degrades to the full
+  *     filter-pushed, column-pruned scan (the right plan for a bulk
+  *     rewrite anyway).
   *   - EXACTLY-ONCE: the applied source version lands as the
   *     dimension's transaction-ledger cursor in the SAME commit as
   *     the rows (the [[SnapshotTable.replicate]] discipline) — a
@@ -71,47 +75,75 @@ object Scd2 {
         SnapshotTable.transactionalAppend(init, dimDir, appId, srcV,
           statsCols = keys, maxRetries = maxRetries)
       case Some(c) =>
+        // PERSISTED: the feed feeds the affected-key collect, the
+        // open-interval lookup, and the opened half below — uncached,
+        // each would re-run the change-feed diff.
         val feed =
-          try SnapshotTable.changeFeed(spark, srcDir, c, srcV)
+          (try SnapshotTable.changeFeed(spark, srcDir, c, srcV)
           catch { case e: java.io.FileNotFoundException =>
             throw new java.io.IOException(
               s"Scd2: cursor version $c of $srcDir is beyond the " +
                 "source's vacuum horizon — re-bootstrap a fresh " +
                 "dimension", e)
-          }
-        val affected = feed.select(keys.map(col): _*).distinct()
-        // every affected key's OPEN interval closes at srcV (an
-        // update's net feed is delete+insert; a pure delete closes
-        // with no successor; identical rewrites net to nothing and
-        // never reach here)
-        val closed = SnapshotTable.read(spark, dimDir)
-          .filter(col(ValidTo).isNull)
-          .join(affected, keys, "left_semi")
-          .withColumn(ValidTo, lit(srcV))
-        // the new current values open at srcV
-        val opened = feed.filter(col("_change") === "insert")
-          .drop("_change")
-          .withColumn(ValidFrom, lit(srcV))
-          .withColumn(ValidTo, lit(null).cast("long"))
-        // one copy-on-write commit: closes are upserts of their
-        // (keys, _valid_from) row, opens are inserts of (keys, srcV)
-        // — composite keys can't collide (an open row's _valid_from
-        // is always < srcV). PERSISTED: applyChanges probes, touches,
-        // and lands this frame in separate jobs; uncached, each would
-        // re-run the change-feed scan AND the dimension scan.
-        // allowMissingColumns: after a source schema evolution (ADD
-        // COLUMN / append-evolution) `opened` carries columns the
-        // dimension's older intervals lack — they NULL-backfill, and
-        // applyChanges evolves the dimension schema with the batch
-        val changes = closed.withColumn("_change", lit("insert"))
-          .unionByName(opened.withColumn("_change", lit("insert")),
-            allowMissingColumns = true)
-          .persist()
-        try SnapshotTable.applyChanges(spark, dimDir, changes,
-          keys :+ ValidFrom, txn = Some(appId -> srcV),
-          maxRetries = maxRetries)
-        finally changes.unpersist(false)
+          }).persist()
+        try maintainIncremental(spark, dimDir, keys, appId, srcV, feed,
+          maxRetries)
+        finally feed.unpersist(false)
     }
+  }
+
+  /** How many affected keys an incremental [[maintain]] collects for
+    * file-pruned dimension lookups before falling back to the full
+    * dimension scan (past this, the key set is no longer control-plane
+    * data and the scan is the right plan). */
+  val PruneKeyLimit = 8192
+
+  private def maintainIncremental(spark: SparkSession, dimDir: String,
+      keys: Seq[String], appId: String, srcV: Long, feed: DataFrame,
+      maxRetries: Int): Option[Long] = {
+    val affected = feed.select(keys.map(col): _*).distinct()
+    // FILE-PRUNED open-interval lookup: the affected key set is
+    // bounded by the change feed — collect it (capped) and route the
+    // dimension probe through stats/Bloom file pruning
+    // ([[SnapshotTable.readWhereKeySet]]). On a key-clustered
+    // dimension a maintain reads O(affected key clusters) dimension
+    // files, never the dimension — the 100 TB cost model.
+    val affectedRows = affected.limit(PruneKeyLimit + 1).collect()
+    val openLookup =
+      if (affectedRows.length > PruneKeyLimit)
+        SnapshotTable.read(spark, dimDir).join(affected, keys, "left_semi")
+      else SnapshotTable.readWhereKeySet(spark, dimDir, keys,
+        affectedRows.toSeq)
+    // every affected key's OPEN interval closes at srcV (an
+    // update's net feed is delete+insert; a pure delete closes
+    // with no successor; identical rewrites net to nothing and
+    // never reach here)
+    val closed = openLookup
+      .filter(col(ValidTo).isNull)
+      .withColumn(ValidTo, lit(srcV))
+    // the new current values open at srcV
+    val opened = feed.filter(col("_change") === "insert")
+      .drop("_change")
+      .withColumn(ValidFrom, lit(srcV))
+      .withColumn(ValidTo, lit(null).cast("long"))
+    // one copy-on-write commit: closes are upserts of their
+    // (keys, _valid_from) row, opens are inserts of (keys, srcV)
+    // — composite keys can't collide (an open row's _valid_from
+    // is always < srcV). PERSISTED: applyChanges probes, touches,
+    // and lands this frame in separate jobs; uncached, each would
+    // re-run the change-feed scan AND the dimension lookup.
+    // allowMissingColumns: after a source schema evolution (ADD
+    // COLUMN / append-evolution) `opened` carries columns the
+    // dimension's older intervals lack — they NULL-backfill, and
+    // applyChanges evolves the dimension schema with the batch
+    val changes = closed.withColumn("_change", lit("insert"))
+      .unionByName(opened.withColumn("_change", lit("insert")),
+        allowMissingColumns = true)
+      .persist()
+    try SnapshotTable.applyChanges(spark, dimDir, changes,
+      keys :+ ValidFrom, txn = Some(appId -> srcV),
+      maxRetries = maxRetries)
+    finally changes.unpersist(false)
   }
 
   /** CONTINUOUS maintenance: a Structured Streaming query that

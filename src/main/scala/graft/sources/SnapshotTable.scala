@@ -2611,6 +2611,129 @@ object SnapshotTable {
     }
   }
 
+  /** File pruning for a BOUNDED, COLLECTED key set — the touched-file
+    * probe of [[applyChanges]] and [[graft.operators.Scd2]]'s
+    * open-interval lookup at 100 TB. A file can hold a row whose key
+    * columns take values from `keyRows` only if EVERY key column's
+    * summaries admit at least one of that column's values:
+    *
+    *   - stats range: binary search of the column's sorted canonical
+    *     value list against the file's recorded [min,max] —
+    *     O(files × keyCols × log values) in-memory driver work, sharp
+    *     on key-clustered layouts (compact-by-key dimensions, bucketed
+    *     tables);
+    *   - Bloom (when the file has one for the column):
+    *     any-value-might-contain, sidecars loaded once per column
+    *     across the candidate set — budgeted, because values × files
+    *     bitset probes stop being control-plane work past a few
+    *     million.
+    *
+    * Files or columns without summaries never exclude; values that do
+    * not canonicalize never exclude; NULL key values are dropped (an
+    * equi-join key of NULL matches no row). Returns a sound SUPERSET
+    * of the files holding matching keys — the caller's exact semi-join
+    * stays the row-level decision, this only bounds what it scans. */
+  def pruneFilesForKeys(spark: SparkSession, dir: String, v: Long,
+                        keyCols: Seq[String],
+                        keyRows: Seq[org.apache.spark.sql.Row]): Seq[String] = {
+    val st = stateOf(spark, dir, v)
+    val stats = manifestStats(spark, dir, v)
+    var kept = st.files
+    keyCols.zipWithIndex.foreach { case (c, i) =>
+      if (kept.nonEmpty) {
+        val pc = physName(st.colMap, c)
+        val vals = keyRows.iterator.map(_.get(i)).filter(_ != null)
+          .toArray.distinct
+        if (vals.isEmpty) kept = Nil // all-NULL key column: no match
+        else {
+          // Sorted canonical values, cached per stats tag (tags are
+          // uniform per column in practice; the cache keeps this
+          // correct even if a mixed-history manifest disagrees). A
+          // canonicalization or compare failure marks the whole tag
+          // un-prunable — never a skip.
+          val canonCache =
+            scala.collection.mutable.Map.empty[String, Option[IndexedSeq[String]]]
+          def canonSorted(tag: String): Option[IndexedSeq[String]] =
+            canonCache.getOrElseUpdate(tag, {
+              val cs = vals.map(canonBound(tag, _))
+              if (cs.contains(None)) None
+              else scala.util.Try(cs.map(_.get).toIndexedSeq.sortWith((a, b) =>
+                statCompare(tag, a, b)
+                  .getOrElse(throw new IllegalStateException) < 0)).toOption
+            })
+          kept = kept.filter { f =>
+            stats.get(f).flatMap(_.get(pc)) match {
+              case None => true
+              case Some(cs) => canonSorted(cs.tag) match {
+                case None => true
+                case Some(sorted) =>
+                  // smallest value >= file min, then check <= file max
+                  var lo = 0; var hi = sorted.length; var open = false
+                  while (lo < hi && !open)
+                    statCompare(cs.tag, sorted((lo + hi) >>> 1), cs.min) match {
+                      case Some(r) =>
+                        if (r < 0) lo = ((lo + hi) >>> 1) + 1
+                        else hi = (lo + hi) >>> 1
+                      case None => open = true
+                    }
+                  open || (lo < sorted.length &&
+                    statCompare(cs.tag, sorted(lo), cs.max).forall(_ <= 0))
+              }
+            }
+          }
+          if (kept.nonEmpty &&
+              vals.length.toLong * kept.length <= 4000000L) {
+            val keptSet = kept.toSet
+            val neededRefs = st.bloomRefs.view.filterKeys(keptSet).toMap
+            val blooms = st.legacyBlooms ++ neededRefs.groupBy(_._2).flatMap {
+              case (ref, fileRefs) =>
+                val side = loadBloomSidecar(spark, dir, ref)
+                fileRefs.keys.flatMap(f =>
+                  sidecarLookup(side, f, ref).map(f -> _))
+            }
+            kept = kept.filter { f =>
+              blooms.get(f).flatMap(_.get(pc)) match {
+                case None => true
+                case Some(bits) => vals.exists(bloomMightContain(bits, _))
+              }
+            }
+          }
+        }
+      }
+    }
+    kept
+  }
+
+  /** Bounded-key-set read: the rows whose key columns equal one of
+    * `keyRows` (fields positionally matching `keyCols`), opening only
+    * [[pruneFilesForKeys]]' candidate files and deciding membership
+    * with ONE broadcast semi-join against the collected key set — the
+    * dimension-lookup shape of [[graft.operators.Scd2]] at scale: an
+    * incremental maintain's open-interval probe reads O(affected key
+    * clusters) files, never the dimension. Result identical to
+    * `read(...).join(keyFrame, keyCols, "left_semi")`. */
+  def readWhereKeySet(spark: SparkSession, dir: String,
+                      keyCols: Seq[String], keyRows: Seq[org.apache.spark.sql.Row],
+                      version: Option[Long] = None): DataFrame = {
+    require(keyCols.nonEmpty, "readWhereKeySet: at least one key column")
+    val v = version.orElse(latestVersion(spark, dir)).getOrElse(
+      throw new java.io.IOException(
+        s"readWhereKeySet: no committed version under $dir"))
+    val base = read(spark, dir, Some(v))
+    if (keyRows.isEmpty) return base.filter(lit(false))
+    val probe = spark.createDataFrame(
+      java.util.Arrays.asList(keyRows: _*),
+      StructType(keyCols.map(c => base.schema(c))))
+    val cand = pruneFilesForKeys(spark, dir, v, keyCols, keyRows)
+    if (cand.isEmpty) base.filter(lit(false))
+    else {
+      val st = stateOf(spark, dir, v)
+      readFilesWithDv(spark, dir, cand, manifestSchema(spark, dir, v),
+        st.dvRefs, st.colMap)
+        .join(broadcast(probe), keyCols, "left_semi")
+    }
+  }
+
   /** Row-level CHANGE FEED between two committed versions — the CDC
     * read side of the format. Because every write is copy-on-write,
     * files carried forward by reference cancel exactly: the diff is
@@ -3782,8 +3905,10 @@ object SnapshotTable {
     * `__row_index` its in-file position. Both are computed at the
     * SCAN (from `_metadata`) because a post-join `input_file_name()`
     * is undefined. */
-  private def withFile(spark: SparkSession, dir: String, v: Long): DataFrame = {
+  private def withFile(spark: SparkSession, dir: String, v: Long,
+                       only: Option[Seq[String]] = None): DataFrame = {
     val st = stateOf(spark, dir, v)
+    val files = only.getOrElse(st.files)
     val schema = manifestSchema(spark, dir, v)
     // Under an active column mapping the scan reads PHYSICAL names;
     // the final select below renames to logical, so callers' keys and
@@ -3793,12 +3918,12 @@ object SnapshotTable {
       else Some(physSchemaOf(st.colMap, schema.getOrElse(
         throw new IllegalStateException(
           s"column mapping active under $dir but no recorded schema"))))
-    val base = readFiles(spark, dir, st.files, physSchema)
+    val base = readFiles(spark, dir, files, physSchema)
     val cols = base.columns.map(col)
     val keyed = base.select(cols :+
       fileKeyExpr(dir, col("_metadata.file_path")).as("__file") :+
       col("_metadata.row_index").as("__row_index"): _*)
-    val live = dvRows(spark, dir, st.dvRefs, st.files) match {
+    val live = dvRows(spark, dir, st.dvRefs, files) match {
       case None => keyed
       case Some(dv) => keyed.join(broadcast(dv),
         col("__file") === col("__dv_file") &&
@@ -4302,10 +4427,18 @@ object SnapshotTable {
       !fieldNames.contains(SM) && !fieldNames.contains(RW),
       s"mergeInto: reserved marker column name in use ($TM/$SM/$RW)")
     // ONE probe: cardinality (max rows per key) + source emptiness.
-    val probe = source.groupBy(sKeys.map(col): _*).count()
-      .agg(coalesce(max(col("count")), lit(0L)), count(lit(1))).collect()(0)
+    // NULL-keyed source rows are EXCLUDED from the duplicate check —
+    // a NULL key can never equi-match a target row (SQL/Delta MERGE
+    // semantics), so each such row is an independent WHEN NOT MATCHED
+    // insert, not a multi-match hazard. They still count toward
+    // emptiness (an all-NULL-key source must still run its inserts).
+    val keysNonNull = sKeys.map(col(_).isNotNull).reduce(_ && _)
+    val probe = source.groupBy(sKeys.map(col): _*)
+      .agg(count(lit(1)).as("__graft_n"))
+      .agg(coalesce(max(when(keysNonNull, col("__graft_n"))), lit(0L)),
+        count(lit(1))).collect()(0)
     if (probe.getLong(0) > 1) {
-      val dup = source.groupBy(sKeys.map(col): _*)
+      val dup = source.filter(keysNonNull).groupBy(sKeys.map(col): _*)
         .count().filter(col("count") > 1).limit(1).collect()
       require(dup.isEmpty,
         s"mergeInto: source has duplicate keys, e.g. ${dup.head.mkString(",")}")
@@ -4438,7 +4571,8 @@ object SnapshotTable {
   def applyChanges(spark: SparkSession, dir: String, changes: DataFrame,
                    keys: Seq[String], txn: Option[(String, Long)] = None,
                    maxRetries: Int = 20,
-                   preValidated: Boolean = false): Option[Long] = {
+                   preValidated: Boolean = false,
+                   pruneKeyLimit: Int = 8192): Option[Long] = {
     require(keys.nonEmpty, "applyChanges: at least one key column required")
     require(changes.columns.contains("_change"),
       "applyChanges: changes must carry a _change column (insert|delete)")
@@ -4494,11 +4628,37 @@ object SnapshotTable {
     val deleteKeys = changes.filter(col("_change") === "delete")
       .select(keys.map(col): _*).distinct()
       .join(insertKeys, keys, "left_anti")
-    val affectedKeys = insertKeys.unionByName(deleteKeys)
+    val affectedKeysFull = insertKeys.unionByName(deleteKeys)
+    // BOUNDED-KEY-SET FILE PRUNING. The touched-file probe's semi-join
+    // is exact but, unpruned, SCANS the whole table per apply — at a
+    // 100 TB dimension that scan IS the operation's cost. The
+    // incremental case (keys come from a change feed) has a small key
+    // set by construction: collect it (capped — past the cap the key
+    // set is no longer control-plane data and the full scan is the
+    // right plan anyway), prune the probe's scan to the files whose
+    // stats/Bloom summaries might hold ANY affected key, and feed the
+    // collected set back as a BROADCAST frame so the probe, the
+    // rewrite's anti-join, and the conflict check stop re-running the
+    // caller's change plan.
+    val collectedKeys: Option[Array[org.apache.spark.sql.Row]] =
+      if (pruneKeyLimit <= 0) None
+      else {
+        val rows = affectedKeysFull.limit(pruneKeyLimit + 1).collect()
+        if (rows.length > pruneKeyLimit) None else Some(rows)
+      }
+    val affectedKeys = collectedKeys match {
+      case Some(rows) => broadcast(spark.createDataFrame(
+        java.util.Arrays.asList(rows.toSeq: _*),
+        StructType(affectedKeysFull.schema.fields)))
+      case None => affectedKeysFull
+    }
     val base = latestVersion(spark, dir)
     val touched = base match {
       case Some(v) if manifestFiles(spark, dir, v).nonEmpty =>
-        withFile(spark, dir, v)
+        val candidates = collectedKeys
+          .map(rows => pruneFilesForKeys(spark, dir, v, keys, rows))
+        if (candidates.exists(_.isEmpty)) Seq.empty[String]
+        else withFile(spark, dir, v, candidates)
           .join(affectedKeys, keys, "left_semi").select("__file").distinct()
           .collect().map(r => manifestKey(dir, r.getString(0))).toSeq.sorted
       case _ => Seq.empty[String]

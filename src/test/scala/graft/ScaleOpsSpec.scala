@@ -512,6 +512,54 @@ class ScaleOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("applyChanges: bounded key sets prune the touched-file probe; past the cap, identical results") {
+    import graft.sources.SnapshotTable
+    // TWO key-clustered twins (range-partitioned files with id stats +
+    // blooms); the same change batch applies pruned (default cap) to
+    // one and with pruning DISABLED (pruneKeyLimit = 0, the old
+    // full-scan probe) to the other — tables must end byte-identical
+    // in content, and the pruned probe's candidate set must be ≪ the
+    // file count.
+    def mk(tag: String): String = {
+      val d = Files.createTempDirectory(s"graft-ac-$tag").toString + "/t"
+      SnapshotTable.append((0L until 2000L).map(i => (i, s"v$i", i % 7))
+        .toDF("id", "v", "g").repartitionByRange(8, col("id"))
+        .sortWithinPartitions("id"), d,
+        statsCols = Seq("id"), bloomCols = Seq("id"))
+      d
+    }
+    val pruned = mk("p"); val full = mk("f")
+    val changes = Seq(
+      (3L, "up3", 0L, "insert"),   // update in the low file
+      (1777L, "up1777", 6L, "insert"), // update in the high file
+      (9L, "", 0L, "delete"),      // delete in the low file
+      (5000L, "new", 1L, "insert") // fresh key, no file holds it
+    ).toDF("id", "v", "g", "_change")
+    val v0 = SnapshotTable.latestVersion(spark, pruned).get
+    val cand = SnapshotTable.pruneFilesForKeys(spark, pruned, v0,
+      Seq("id"), Seq(3L, 1777L, 9L, 5000L)
+        .map(org.apache.spark.sql.Row(_)))
+    val total = SnapshotTable.manifestFiles(spark, pruned, v0).length
+    assert(total >= 8 && cand.length <= 2,
+      s"expected ≤2 of $total candidates, got ${cand.length}")
+    SnapshotTable.applyChanges(spark, pruned, changes, Seq("id"))
+    SnapshotTable.applyChanges(spark, full, changes, Seq("id"),
+      pruneKeyLimit = 0)
+    val a = SnapshotTable.read(spark, pruned).collect().toSet
+    val b = SnapshotTable.read(spark, full).collect().toSet
+    assert(a == b)
+    assert(a.exists(r => r.getLong(0) == 3L && r.getString(1) == "up3"))
+    assert(!a.exists(_.getLong(0) == 9L))
+    assert(a.exists(_.getLong(0) == 5000L))
+    // both rewrites dropped the SAME (exact) touched files
+    def dropped(d: String): Int = {
+      val v = SnapshotTable.latestVersion(spark, d).get
+      (SnapshotTable.manifestFiles(spark, d, v - 1).toSet --
+        SnapshotTable.manifestFiles(spark, d, v).toSet).size
+    }
+    assert(dropped(pruned) == dropped(full) && dropped(pruned) <= 2)
+  }
+
   test("schema evolution survives the partitioned layout (mergeSchema)") {
     val dir = Files.createTempDirectory("graft-wh2").toString
     Warehouse.appendPartitioned(

@@ -101,6 +101,47 @@ class Scd2Spec extends AnyFunSuite {
     assert(Scd2.maintain(spark, src, dim, Seq("id"), "scd4").isEmpty)
   }
 
+  test("continuous restart mid-stream: replayed micro-batch is a manifest no-op; dimension equals the batch-maintained twin") {
+    val src = tmp("src7"); val dim = tmp("dim7"); val twin = tmp("twin7")
+    SnapshotTable.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), src) // v0
+    Scd2.maintain(spark, src, dim, Seq("id"), "scd7")
+    Scd2.maintain(spark, src, twin, Seq("id"), "scd7t")
+    val ckpt = Files.createTempDirectory("graft-scd2-ck7").toString
+    val q = Scd2.startContinuous(spark, src, dim, Seq("id"), "scd7", ckpt)
+    try {
+      SnapshotTable.merge(spark, src, Seq((1L, "a2")).toDF("id", "v"),
+        Seq("id"))                                                   // v1
+      q.processAllAvailable()
+    } finally q.stop()
+    Scd2.maintain(spark, src, twin, Seq("id"), "scd7t")
+    // CRASH SIMULATION: drop the newest commit marker so the restart
+    // REPLAYS the already-applied micro-batch — the replayed maintain
+    // must be a ledger no-op (no new dimension version)
+    val commits = new java.io.File(ckpt, "commits").listFiles()
+      .filter(_.getName.forall(_.isDigit))
+    val last = commits.maxBy(_.getName.toLong)
+    assert(last.delete(), "failed to remove the commit marker")
+    // the local FS keeps a checksum sibling; a stale one makes the
+    // replay's rename-based re-commit look like a concurrent writer
+    new java.io.File(ckpt + "/commits", s".${last.getName}.crc").delete()
+    val headBefore = SnapshotTable.latestVersion(spark, dim)
+    val q2 = Scd2.startContinuous(spark, src, dim, Seq("id"), "scd7", ckpt)
+    try {
+      q2.processAllAvailable() // replays the dropped batch: no-op
+      assert(SnapshotTable.latestVersion(spark, dim) == headBefore,
+        "replayed micro-batch advanced the dimension")
+      // and the stream keeps working after the replay
+      SnapshotTable.deleteWhere(spark, src, $"id" === 2L)            // v2
+      q2.processAllAvailable()
+    } finally q2.stop()
+    Scd2.maintain(spark, src, twin, Seq("id"), "scd7t")
+    assert(intervals(dim) == intervals(twin),
+      "continuous dimension diverged from the batch-maintained twin")
+    assert(intervals(dim) == Set(
+      (1L, "a", 0L, Some(1L)), (1L, "a2", 1L, None),
+      (2L, "b", 0L, Some(2L))))
+  }
+
   test("maintain survives source schema evolution (ADD COLUMN)") {
     val src = tmp("src5"); val dim = tmp("dim5")
     SnapshotTable.append(Seq((1L, "a")).toDF("id", "v"), src)
@@ -116,6 +157,55 @@ class Scd2Spec extends AnyFunSuite {
         else Some(r.getString(r.fieldIndex("note"))))).toSeq
     // old interval NULL-backfills the evolved column; new one carries it
     assert(got == Seq(("a", None), ("a2", Some("n1"))))
+  }
+
+  test("incremental maintain file-prunes the dimension lookup on a key-clustered dimension") {
+    val src = tmp("src6"); val dim = tmp("dim6")
+    SnapshotTable.append((0L until 800L).map(i => (i, s"v$i"))
+      .toDF("id", "v").repartition(4), src)
+    Scd2.maintain(spark, src, dim, Seq("id"), "scd6")
+    // key-cluster the dimension into many small files with sharp id stats
+    SnapshotTable.compact(spark, dim, targetBytes = 2048,
+      clusterBy = Seq("id"))
+    val dimV = SnapshotTable.latestVersion(spark, dim).get
+    val total = SnapshotTable.manifestFiles(spark, dim, dimV).length
+    assert(total >= 4, s"fixture should be multi-file, got $total")
+    // change TWO keys at the corpus's ends
+    SnapshotTable.merge(spark, src,
+      Seq((5L, "x5"), (700L, "x700")).toDF("id", "v"), Seq("id"))
+    // the probe the maintain routes through: candidates ≪ total files
+    val keyRows = Seq(org.apache.spark.sql.Row(5L),
+      org.apache.spark.sql.Row(700L))
+    val cand = SnapshotTable.pruneFilesForKeys(spark, dim, dimV,
+      Seq("id"), keyRows)
+    assert(cand.length <= 2 && cand.length < total,
+      s"expected ≤2 of $total candidate files, got ${cand.length}")
+    // the pruned read's SCAN opens only the candidates — file-open
+    // count pinned off the executed plan, and rows match the
+    // unpruned semi-join exactly
+    val pruned = SnapshotTable.readWhereKeySet(spark, dim, Seq("id"),
+      keyRows, Some(dimV))
+    // AQE hides the real tree behind AdaptiveSparkPlanExec — collect
+    // through it (and through query-stage wrappers)
+    def scansOf(p: org.apache.spark.sql.execution.SparkPlan): Seq[Int] =
+      p.collect {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          scansOf(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          scansOf(q.plan)
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          Seq(f.relation.location.inputFiles.length)
+      }.flatten
+    val scanned = scansOf(pruned.queryExecution.executedPlan).sum
+    assert(scanned == cand.length, s"scan opened $scanned files")
+    val full = SnapshotTable.read(spark, dim, Some(dimV))
+      .join(Seq(5L, 700L).toDF("id"), Seq("id"), "left_semi")
+    assert(pruned.collect().toSet == full.collect().toSet)
+    // and the maintain itself stays correct through the pruned path
+    assert(Scd2.maintain(spark, src, dim, Seq("id"), "scd6").nonEmpty)
+    assert(Scd2.current(spark, dim).filter($"id".isin(5L, 700L))
+      .collect().map(_.getString(1)).toSet == Set("x5", "x700"))
+    assert(intervals(dim).count(_._4.nonEmpty) == 2) // exactly 2 closed
   }
 
   test("range-collapsed: two source commits between maintains net to one interval") {
