@@ -630,15 +630,23 @@ object Queries {
     WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
     ORDER BY c_custkey"""))
 
-  /** Left anti join (NOT EXISTS). */
+  /** Left anti join (NOT EXISTS) — customers DORMANT since mid-1998
+    * (no order on/after the cutoff). The date-filtered probe side
+    * keeps the result non-vacuous at every fixture scale (every
+    * customer has SOME order, so an unfiltered NOT EXISTS is empty —
+    * a green-but-proves-nothing correctness row); the filter pushes
+    * into the orders scan before the anti-join builds. */
   private val qJoinAnti = Q(
     "q_join_anti",
     (s, d) => t(s, d, "customer")
-      .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(t(s, d, "orders")
+          .filter(col("o_orderdate") >= lit("1998-06-01")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
       .select("c_custkey", "c_name")
       .orderBy("c_custkey"),
     Some("""SELECT c_custkey, c_name FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+      AND o_orderdate >= TIMESTAMP '1998-06-01 00:00:00')
     ORDER BY c_custkey"""))
 
   /** Salted skew join (graft.operators.SkewJoin): the explicit
@@ -5657,9 +5665,13 @@ object Queries {
     FROM lab ORDER BY part_id"""))
 
   /** Multi-source BFS blast radius over the support-3 co-purchase
-    * graph — hop distance (≤ 3) from the seed set {parts ≡ 0 mod 100
-    * present in the graph} to every reachable part, with per-hop
-    * counts riding along. [[Graph.bfsHops]] expands level-
+    * graph — hop distance (≤ 3) from the seed set {the 3 smallest
+    * part ids present in the graph} to every reachable part, with
+    * per-hop counts riding along. The seed rule is scale-proof: a
+    * modulus predicate goes EMPTY on fixture scales where the
+    * support-3 graph is sparse (a vacuously-green correctness row
+    * that would hide frontier bugs), while smallest-3 is non-empty on
+    * any non-empty graph. [[Graph.bfsHops]] expands level-
     * synchronously (per hop: frontier ⋈ edges + min-agg, shuffle
     * bytes O(frontier·degree)), reading the MATERIALIZED bucketed
     * edge index the rest of the graph family shares. The oracle walks
@@ -5672,7 +5684,7 @@ object Queries {
       val edges = copurchaseEdges(s, d, 3, "u", "v")
       val nodes = edges.select(col("u").as("node"))
         .unionByName(edges.select(col("v").as("node"))).distinct()
-      val seeds = nodes.filter(pmod(col("node"), lit(100)) === 0)
+      val seeds = nodes.orderBy("node").limit(3)
       Graph.bfsHops(edges, seeds, maxHops = 3)
         .orderBy("node")
     },
@@ -5685,7 +5697,7 @@ object Queries {
     sym AS (SELECT u AS src, v AS dst FROM e
             UNION ALL SELECT v AS src, u AS dst FROM e),
     nodes AS (SELECT DISTINCT src AS node FROM sym),
-    seeds AS (SELECT node FROM nodes WHERE node % 100 = 0),
+    seeds AS (SELECT node FROM nodes ORDER BY node LIMIT 3),
     walk(node, hops) AS (
       SELECT node, 0 FROM seeds
       UNION ALL
