@@ -85,8 +85,17 @@ object GraftSqlCommands {
   private def topLevelKeyword(s: String, kw: String, from: Int = 0): Int = {
     val u = s.toUpperCase(java.util.Locale.ROOT)
     val k = kw.toUpperCase(java.util.Locale.ROOT)
-    var i = from; var depth = 0
+    var i = from; var depth = 0; var caseDepth = 0
     var inS = false; var inD = false; var inB = false
+    // a keyword hit at position j — not quoted, not a sub-token of a
+    // longer identifier
+    def wordAt(j: Int, w: String): Boolean =
+      u.startsWith(w, j) &&
+        (j == 0 || !Character.isLetterOrDigit(u.charAt(j - 1)) &&
+          u.charAt(j - 1) != '_') &&
+        (j + w.length == s.length ||
+          !Character.isLetterOrDigit(u.charAt(j + w.length)) &&
+            u.charAt(j + w.length) != '_')
     while (i < s.length) {
       val c = s.charAt(i)
       // Spark string literals allow backslash escapes ('it\'s') —
@@ -102,12 +111,18 @@ object GraftSqlCommands {
         case '(' => depth += 1
         case ')' => depth -= 1
         case _ =>
-          if (depth == 0 && u.startsWith(k, i) &&
-              (i == 0 || !Character.isLetterOrDigit(u.charAt(i - 1)) &&
-                u.charAt(i - 1) != '_') &&
-              (i + k.length == s.length ||
-                !Character.isLetterOrDigit(u.charAt(i + k.length)) &&
-                  u.charAt(i + k.length) != '_'))
+          // CASE … END nesting: a WHEN/THEN/AND/ELSE inside a bare
+          // (unparenthesized) CASE expression is NOT a top-level
+          // keyword — this is what lets MERGE clause conditions carry
+          // `AND CASE WHEN … THEN … END` without mis-splitting the
+          // clause at the CASE's own WHEN/THEN. A stray END at
+          // caseDepth 0 (e.g. a window frame's `… AND UNBOUNDED
+          // FOLLOWING`… has none; truly stray ENDs are user typos
+          // Spark will reject later) never drives the depth negative.
+          if (depth == 0 && wordAt(i, "CASE")) { caseDepth += 1; i += 3 }
+          else if (depth == 0 && caseDepth > 0 && wordAt(i, "END"))
+            { caseDepth -= 1; i += 2 }
+          else if (depth == 0 && caseDepth == 0 && wordAt(i, k))
             return i
       }
       i += 1
@@ -345,9 +360,10 @@ object GraftSqlCommands {
       .getOrElse(fail(s"MERGE: expected ON <key equalities>, got: $t2"))
     t2 = t2.substring(onM.end)
     // Clause boundaries: top-level WHEN followed by MATCHED / NOT
-    // MATCHED (a bare CASE WHEN inside a condition or assignment is
-    // not a boundary unless a column is literally named `matched` —
-    // parenthesize CASE expressions to opt out of the scanner).
+    // MATCHED. The scanner is CASE-aware (topLevelKeyword skips
+    // CASE…END interiors), so bare `CASE WHEN … THEN … END`
+    // expressions inside clause conditions and assignments never
+    // mis-split a clause.
     val ClauseHead = s"""(?is)^WHEN$Ws(?:MATCHED|NOT${Ws}MATCHED)\\b""".r
     def whenBoundaries(t: String): Seq[Int] = {
       val out = Seq.newBuilder[Int]
@@ -469,8 +485,7 @@ object GraftSqlCommands {
           .map(m => ("nm", ct.substring(m.end))))
         .getOrElse(fail(s"MERGE: unrecognized clause: $ct"))
       val thenIdx = topLevelKeyword(rest, "THEN")
-      if (thenIdx < 0) fail(s"MERGE clause missing THEN: $ct " +
-        "(parenthesize CASE expressions inside AND conditions)")
+      if (thenIdx < 0) fail(s"MERGE clause missing THEN: $ct")
       val before = rest.substring(0, thenIdx).trim
       val action = rest.substring(thenIdx + "THEN".length).trim
       val cond =

@@ -403,6 +403,46 @@ class GraftSqlDmlSpec extends AnyFunSuite {
         "WHEN MATCHED AND t.qty > 0 THEN UPDATE SET qty = 0") }
   }
 
+  test("MERGE clauses carry bare CASE WHEN … END in conditions, SET exprs and INSERT values") {
+    // round-9 caveat (now fixed): the WHEN/THEN boundary scanner is
+    // CASE-aware, so an unparenthesized CASE inside AND conditions or
+    // assignments never mis-splits a clause. SQL path checked
+    // row-for-row against the API path on a twin table.
+    import graft.sources.SnapshotTable.{MergeAction, MergeClause}
+    def seed(dir: String): Unit = SnapshotTable.append(Seq(
+      (1L, 10L, "open"), (2L, 5L, "vip"), (3L, 7L, "open"))
+      .toDF("id", "qty", "status"), dir)
+    val sqlDir = tmp("mergecase"); val apiDir = tmp("mergecase-api")
+    seed(sqlDir); seed(apiDir)
+    val src = Seq((1L, 3L), (2L, 4L), (5L, 9L)).toDF("id", "d")
+    src.createOrReplaceTempView("sqldml_mc_src")
+    SnapshotSql.bind("sqldml_mc", sqlDir)
+    spark.sql("""
+      MERGE INTO sqldml_mc t USING sqldml_mc_src s ON t.id = s.id
+      WHEN MATCHED AND CASE WHEN t.status = 'vip' THEN true
+                            ELSE s.d > 2 END THEN
+        UPDATE SET qty = t.qty + CASE WHEN s.d > 3 THEN s.d * 2
+                                      ELSE s.d END
+      WHEN NOT MATCHED AND CASE WHEN s.d > 5 THEN true ELSE false END THEN
+        INSERT (id, qty, status) VALUES (s.id, s.d,
+          CASE WHEN s.d > 8 THEN 'big' ELSE 'new' END)""")
+    SnapshotTable.mergeInto(spark, apiDir, src, Seq("id"),
+      matched = Seq(MergeClause(
+        Some("CASE WHEN t.status = 'vip' THEN true ELSE s.d > 2 END"),
+        MergeAction.Update(Seq("qty" ->
+          "t.qty + CASE WHEN s.d > 3 THEN s.d * 2 ELSE s.d END")))),
+      notMatched = Seq(MergeClause(
+        Some("CASE WHEN s.d > 5 THEN true ELSE false END"),
+        MergeAction.Insert(Seq("id" -> "s.id", "qty" -> "s.d",
+          "status" -> "CASE WHEN s.d > 8 THEN 'big' ELSE 'new' END")))))
+    def rows(d: String) = SnapshotTable.read(spark, d).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    val got = rows(sqlDir)
+    assert(got == Seq((1L, 13L, "open"), (2L, 13L, "vip"),
+      (3L, 7L, "open"), (5L, 9L, "big")))
+    assert(got == rows(apiDir), "SQL path diverged from the API path")
+  }
+
   test("MERGE ON with differing key names, alias-disambiguated") {
     val dir = tmp("mergekeys")
     SnapshotTable.append(Seq((1L, 10L), (2L, 20L)).toDF("id", "qty"), dir)

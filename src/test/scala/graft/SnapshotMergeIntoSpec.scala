@@ -195,4 +195,44 @@ class SnapshotMergeIntoSpec extends AnyFunSuite {
       notMatched = Seq(MergeClause(None, MergeAction.InsertAll)))
     assert(rows(dirA) == rows(dirB))
   }
+
+  test("NULL source keys never match, never trip the duplicate probe, insert independently") {
+    // SQL/Delta MERGE semantics: a NULL key equi-matches nothing, so
+    // several NULL-keyed source rows are independent WHEN NOT MATCHED
+    // inserts — not 'duplicate keys'. (The probe once grouped NULLs
+    // together and rejected them.)
+    val dir = tmp("nullkeys")
+    SnapshotTable.append(Seq((1L, 10L, "open")).toDF("id", "qty", "status"),
+      dir)
+    val src = Seq[(Option[Long], Long)](
+      (Some(1L), 5L), (None, 7L), (None, 8L)).toDF("id", "d")
+    val v = SnapshotTable.mergeInto(spark, dir, src, Seq("id"),
+      matched = Seq(MergeClause(None,
+        MergeAction.Update(Seq("qty" -> "s.d")))),
+      notMatched = Seq(MergeClause(None, MergeAction.Insert(Seq(
+        "id" -> "s.id", "qty" -> "s.d", "status" -> "'null-key'")))))
+    assert(v.nonEmpty)
+    val got = SnapshotTable.read(spark, dir).collect().map(r =>
+      (if (r.isNullAt(0)) -1L else r.getLong(0), r.getLong(1),
+        r.getString(2))).toSet
+    assert(got == Set((1L, 5L, "open"),
+      (-1L, 7L, "null-key"), (-1L, 8L, "null-key")))
+    // genuine duplicates among NON-NULL keys still fail loudly
+    val dup = Seq[(Option[Long], Long)](
+      (Some(1L), 2L), (Some(1L), 3L), (None, 4L)).toDF("id", "d")
+    val e = intercept[IllegalArgumentException] {
+      SnapshotTable.mergeInto(spark, dir, dup, Seq("id"),
+        matched = Seq(MergeClause(None,
+          MergeAction.Update(Seq("qty" -> "s.d")))))
+    }
+    assert(e.getMessage.contains("duplicate keys"))
+    // an ALL-NULL-key source still runs its inserts (emptiness counts
+    // every row, not just keyed ones)
+    val nullsOnly = Seq[(Option[Long], Long)]((None, 9L)).toDF("id", "d")
+    assert(SnapshotTable.mergeInto(spark, dir, nullsOnly, Seq("id"),
+      notMatched = Seq(MergeClause(None, MergeAction.Insert(Seq(
+        "id" -> "s.id", "qty" -> "s.d", "status" -> "'n2'"))))).nonEmpty)
+    assert(SnapshotTable.read(spark, dir)
+      .filter(col("status") === "n2").count() == 1)
+  }
 }
