@@ -52,8 +52,23 @@ final class HttpExtractionClient(endpoint: String,
       val out = conn.getOutputStream
       try { out.write(body); out.flush() } finally out.close()
       val code = conn.getResponseCode
-      if (code < 200 || code >= 300) throw new java.io.IOException(
-        s"extraction endpoint returned HTTP $code")
+      if (code < 200 || code >= 300) {
+        // Surface (and drain) the gateway's error body: the status
+        // alone is diagnostic loss, and an undrained error stream
+        // blocks connection reuse.
+        val detail = Option(conn.getErrorStream).map { es =>
+          try {
+            val buf = new Array[Byte](512)
+            val n = es.readNBytes(buf, 0, buf.length)
+            while (es.read(buf) >= 0) {} // drain the remainder
+            if (n <= 0) ""
+            else ": " + new String(buf, 0, n,
+              java.nio.charset.StandardCharsets.UTF_8)
+          } finally es.close()
+        }.getOrElse("")
+        throw new java.io.IOException(
+          s"extraction endpoint returned HTTP $code$detail")
+      }
       val in = conn.getInputStream
       val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()

@@ -40,6 +40,29 @@ object Bm25Index {
   private def postingsDir(dir: String) = s"$dir/postings"
   private def statsDir(dir: String) = s"$dir/stats"
 
+  /** LAYOUT GUARD: the stats table changed from a per-document doclen
+    * matview (pre-r9: a `doclen/` sub-table + refreshed aggregates) to
+    * ONE (n, tottok) scalar-delta row per indexed batch. Appending to
+    * or folding an old-layout index would silently sum rows of the
+    * wrong grain — detect either signature and fail with a rebuild
+    * hint before any write or fold happens. */
+  private def checkLayout(spark: SparkSession, dir: String): Unit = {
+    val rebuild = s"rebuild the index (re-append all batches into a " +
+      s"fresh directory) — $dir was built under the pre-scalar-delta " +
+      "stats layout"
+    val dl = new org.apache.hadoop.fs.Path(s"$dir/doclen")
+    if (dl.getFileSystem(spark.sessionState.newHadoopConf()).exists(dl))
+      throw new IllegalStateException(
+        s"Bm25Index: found legacy doclen sub-table — $rebuild")
+    SnapshotTable.latestVersion(spark, statsDir(dir)).foreach { v =>
+      val cols = SnapshotTable.read(spark, statsDir(dir), Some(v))
+        .schema.fieldNames.toSet
+      if (cols != Set("n", "tottok")) throw new IllegalStateException(
+        s"Bm25Index: stats table has columns ${cols.mkString(", ")} " +
+          s"instead of (n, tottok) — $rebuild")
+    }
+  }
+
   /** (term, doc_id, tf, dl) for a doc batch — `q_bm25`'s tokenization
     * verbatim: split on single space, EMPTY tokens kept (they are
     * tokens in the exploded form too). */
@@ -68,6 +91,7 @@ object Bm25Index {
   private def appendImpl(docs: DataFrame, dir: String, idCol: String,
                          textCol: String, shards: Int,
                          txn: Option[(String, Long)]): Unit = {
+    checkLayout(docs.sparkSession, dir)
     val posts = postingsOf(docs, idCol, textCol)
       .repartitionByRange(shards, col("term"))
       .sortWithinPartitions("term", "doc_id")
@@ -147,6 +171,7 @@ object Bm25Index {
              k: Int): DataFrame = {
     require(terms.nonEmpty, "Bm25Index.search: at least one term")
     require(k > 0, s"Bm25Index.search: k must be positive, got $k")
+    checkLayout(spark, dir)
     val posts = SnapshotTable.readWhereEqAny(
       spark, postingsDir(dir), "term", terms.distinct)
     // control-plane fold of the per-batch scalar deltas (one tiny

@@ -188,8 +188,10 @@ object GraftSqlCommands {
     * landing NULL / truncated via the permissive cast. LEGACY
     * restores the permissive cast; STRICT additionally REFUSES any
     * cast that is not a safe up-cast when the source type is known
-    * (`from`; expression-valued assignments whose type is unknown at
-    * command time fall back to the ANSI runtime check). */
+    * (`from`). Every caller now knows its source types at command
+    * time — INSERT from the query schema, MERGE SET/INSERT exprs from
+    * the when-chains resolved against the join schema — so STRICT is
+    * a command-time refusal everywhere, never a runtime surprise. */
   private[sources] def storeCast(spark: SparkSession,
                                  c: org.apache.spark.sql.Column,
                                  dt: DataType,

@@ -122,8 +122,50 @@ object SnapshotSql {
       spark.sessionState.catalog.getTempView(name)
         .orElse(spark.sessionState.catalog.getTempView(lower(name))))
       .toOption.flatten.getOrElse(return None)
-    (plan +: plan.collect { case p => p })
+    val hit = (plan +: plan.collect { case p => p })
       .flatMap(p => Option(viewBindings.get(p))).headOption
+    if (hit.nonEmpty) return hit
+    // DIAGNOSTIC PATH: the view's plan IS a bare graft scan — the
+    // shape register()/registerLive() create — yet no recorded
+    // binding matched by identity. That means the catalog is serving
+    // a transformed/copied plan (the WeakHashMap key contract broke,
+    // e.g. a Spark version that re-instantiates stored view plans) or
+    // the binding was otherwise lost. Silently returning None here
+    // would delegate the DML to Spark's parser, whose error ("DELETE
+    // is only supported with v2 tables") points users away from the
+    // real cause — fail with the fix instead. DERIVED views (filters
+    // / projections / joins a user layered over the table) still
+    // return None: they are intentionally never writable addresses.
+    def bareGraftScan(p: org.apache.spark.sql.catalyst.plans.logical
+        .LogicalPlan): Boolean = p match {
+      case lr: LogicalRelation => lr.relation match {
+        case h: HadoopFsRelation => h.location.isInstanceOf[SnapshotFileIndex]
+        case _: LiveSnapshotRelation => true
+        case _ => false
+      }
+      case sa: org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias =>
+        bareGraftScan(sa.child)
+      case v: org.apache.spark.sql.catalyst.plans.logical.View =>
+        bareGraftScan(v.child)
+      // the rename-to-logical select of a column-mapped register:
+      // attribute-or-alias-of-attribute projections only
+      case pr: org.apache.spark.sql.catalyst.plans.logical.Project
+          if pr.projectList.forall {
+            case _: Attribute => true
+            case a: org.apache.spark.sql.catalyst.expressions.Alias =>
+              a.child.isInstanceOf[Attribute]
+            case _ => false
+          } => bareGraftScan(pr.child)
+      case _ => false
+    }
+    if (bareGraftScan(plan)) throw new IllegalStateException(
+      s"SnapshotSql: temp view '$name' is graft-backed but its DML " +
+        "binding did not resolve (the session catalog returned a plan " +
+        "instance the registration did not record) — re-register the " +
+        "view (SnapshotSql.register/registerLive), bind the name " +
+        "explicitly (SnapshotSql.bind), or address the table as " +
+        "graft.`<path>`")
+    None
   }
 
   private def activeSession(op: String): SparkSession =

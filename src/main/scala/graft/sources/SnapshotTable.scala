@@ -4341,17 +4341,20 @@ object SnapshotTable {
     * precondition — enforced, failing loudly). Computed values cast
     * to the target column types under the session's
     * `spark.sql.storeAssignmentPolicy` (ANSI default: overflow or
-    * malformed values fail the merge loudly). The output schema is
+    * malformed values fail the merge loudly; STRICT refuses unsafe
+    * casts at COMMAND time — the when-chains' types resolve against
+    * the join schema before anything is written). The output schema is
     * exactly the target schema — the whole-row [[merge]] remains the
     * add-column-evolution path. Commit-time conflict checks match
     * [[merge]]: touched files rewritten or deletion-vector-advanced
     * concurrently, and concurrently-added files holding source keys,
     * fail with ConcurrentModificationException. An INSERT-ONLY merge
     * additionally reads (never rewrites) the files holding its source
-    * keys to suppress inserts of present keys; a concurrent DELETE of
-    * such a key commits without conflict and the suppression stands —
-    * the standard write-serializable caveat. Returns the committed
-    * version; None when nothing could change. */
+    * keys to suppress inserts of present keys; those holder files are
+    * conflict-GUARDED like touched files (a concurrent DELETE or DV
+    * advance on one invalidates the suppression decision and fails the
+    * commit loudly instead of letting the suppression silently stand).
+    * Returns the committed version; None when nothing could change. */
   def mergeInto(spark: SparkSession, dir: String, source: DataFrame,
                 keys: Seq[String],
                 matched: Seq[MergeClause] = Nil,
@@ -4530,9 +4533,23 @@ object SnapshotTable {
         case (acc, (p, a)) => acc.when(p, value(a))
       }.otherwise(default)
     val KEEP = "__graft_keep"; val NEW = "__graft_new"
-    val valueCols = schema.fields.map { f =>
-      GraftSqlCommands.storeCast(spark,
-        chain(valueOf(_, f.name), tc(f.name)), f.dataType).as(f.name)
+    // STRICT storeAssignmentPolicy is a COMMAND-TIME check here, not
+    // an ANSI-runtime fallback: the when-chains' types ARE known once
+    // resolved against the joined schema — one driver-side analysis
+    // of all chains at once (no job) yields each output column's
+    // resolved source type, which storeCast then refuses to down-cast
+    // before any data is written.
+    val chainCols = schema.fields.map(f =>
+      chain(valueOf(_, f.name), tc(f.name)).as(f.name))
+    val fromTypes: Map[String, DataType] =
+      if (spark.conf.get("spark.sql.storeAssignmentPolicy", "ANSI")
+          .equalsIgnoreCase("STRICT"))
+        joined.select(chainCols.toIndexedSeq: _*).schema.fields
+          .map(f => f.name -> f.dataType).toMap
+      else Map.empty
+    val valueCols = schema.fields.zip(chainCols).map { case (f, cc) =>
+      GraftSqlCommands.storeCast(spark, cc, f.dataType,
+        fromTypes.get(f.name)).as(f.name)
     }
     // keep: REWRITABLE target rows default-keep (read-only holder rows
     // drop — their files carry forward untouched), unmatched source
@@ -4553,7 +4570,7 @@ object SnapshotTable {
       maxRetries, "mergeInto", None,
       keyConflict = Some((st.files.toSet, keys, srcKeys)),
       baseDv = st.dvRefs, checkConstraints = Some(vcs),
-      basis = Some(st))
+      basis = Some(st), readOnly = holderOnly)
   }
 
   /** Apply a CDC batch — rows tagged by a `_change` column with
@@ -4756,7 +4773,13 @@ object SnapshotTable {
     * the manifest since our base read is probed for rows matching the
     * operation's keys; a hit throws ConcurrentModificationException
     * (same surface as Delta's conflict checker). The probe reads only
-    * the concurrently-added files — zero cost on the no-race path. */
+    * the concurrently-added files — zero cost on the no-race path.
+    * `readOnly` names files the operation's DECISION read without
+    * rewriting (mergeInto's insert-suppression holders): they carry
+    * forward by reference, but a concurrent rewrite or DV advance on
+    * one invalidates the decision (e.g. a racing DELETE of a
+    * suppressed key would silently stand) — guarded exactly like
+    * touched files, minus the commit math. */
   private[graft] def commitRewrite(spark: SparkSession, dir: String,
                             touched: Seq[String], rewrite: DataFrame,
                             statsCols: Seq[String],
@@ -4768,7 +4791,8 @@ object SnapshotTable {
                             baseDv: Map[String, String] = Map.empty,
                             checkConstraints: Option[Map[String, String]] =
                               None,
-                            basis: Option[TableState] = None
+                            basis: Option[TableState] = None,
+                            readOnly: Seq[String] = Nil
                            ): Option[Long] = {
     // strictBlooms=false: bloomCols here is the table's RECORDED
     // tracking list — legacy ineligible entries drop, never wedge a
@@ -4795,15 +4819,18 @@ object SnapshotTable {
         if (curTxns.getOrElse(appId, Long.MinValue) >= tv)
           return None // a racing replay won; our files stay orphaned
       }
-      val missing = touched.filterNot(curFiles.toSet)
+      val guarded = touched ++ readOnly
+      val missing = guarded.filterNot(curFiles.toSet)
       if (missing.nonEmpty)
         throw new java.util.ConcurrentModificationException(
-          s"$op: touched files rewritten concurrently: ${missing.take(3).mkString(", ")}")
+          s"$op: touched/read files rewritten concurrently: ${missing.take(3).mkString(", ")}")
       // A deletion vector committed on a touched file AFTER our base
       // read means our rewrite (built from the base vector state)
       // would resurrect those freshly-deleted rows — same write-write
-      // conflict as a vanished file, same loud surface.
-      val dvMoved = touched.filter(f =>
+      // conflict as a vanished file, same loud surface. Read-only
+      // decision inputs (insert-suppression holders) get the same
+      // guard: their rows decided what this commit suppresses.
+      val dvMoved = guarded.filter(f =>
         curSt.map(_.dvRefs).getOrElse(Map.empty).get(f) != baseDv.get(f))
       if (dvMoved.nonEmpty)
         throw new java.util.ConcurrentModificationException(

@@ -30,6 +30,26 @@ class Bm25IndexSpec extends AnyFunSuite {
     Bm25Index.search(spark, dir, terms, k).collect()
       .map(r => (r.getLong(0), r.getDouble(1))).toSeq
 
+  test("legacy stats layouts are refused with a rebuild hint, never summed raw") {
+    // pre-r9 signature 1: a doclen/ sub-table next to postings/stats
+    val legacy1 = tmp("legacy1")
+    Bm25Index.append(docs.toDF("doc_id", "text"), legacy1)
+    SnapshotTable.append(Seq((0L, 4L)).toDF("doc_id", "dl"),
+      s"$legacy1/doclen")
+    val e1 = intercept[IllegalStateException] {
+      Bm25Index.search(spark, legacy1, Seq("spark"), 3) }
+    assert(e1.getMessage.contains("rebuild"))
+    intercept[IllegalStateException] {
+      Bm25Index.append(docs.toDF("doc_id", "text"), legacy1) }
+    // pre-r9 signature 2: a stats table whose schema is not (n, tottok)
+    val legacy2 = tmp("legacy2")
+    SnapshotTable.append(Seq((0L, 4L)).toDF("doc_id", "dl"),
+      s"$legacy2/stats")
+    val e2 = intercept[IllegalStateException] {
+      Bm25Index.append(docs.toDF("doc_id", "text"), legacy2) }
+    assert(e2.getMessage.contains("rebuild"))
+  }
+
   test("incremental build equals one-shot build, any input partitioning") {
     val oneShot = tmp("one"); val inc = tmp("inc")
     val df = docs.toDF("doc_id", "text")

@@ -102,6 +102,32 @@ class ExtractionHttpSpec extends AnyFunSuite {
     } finally server.stop(0)
   }
 
+  test("non-2xx failures surface the gateway's error body in the exception") {
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/extract", new HttpHandler {
+      override def handle(x: HttpExchange): Unit = {
+        val msg = """{"error":"tenant quota exhausted"}"""
+          .getBytes("UTF-8")
+        x.sendResponseHeaders(429, msg.length)
+        x.getResponseBody.write(msg)
+        x.close()
+      }
+    })
+    server.start()
+    try {
+      val port = server.getAddress.getPort
+      val client = new HttpExtractionClient(
+        s"http://127.0.0.1:$port/extract")
+      val e = intercept[java.io.IOException] {
+        client.extractBatch(Seq("a.pdf" -> "x".getBytes("UTF-8")),
+          Seq("total"))
+      }
+      assert(e.getMessage.contains("HTTP 429"))
+      assert(e.getMessage.contains("tenant quota exhausted"),
+        s"error body missing from: ${e.getMessage}")
+    } finally server.stop(0)
+  }
+
   test("FULL ingest pipeline over the HTTP client equals the in-process run") {
     // The reference's shape end to end: landing binaries stream in,
     // each partition's batches go out as real HTTP extraction calls,

@@ -462,6 +462,26 @@ class GraftSqlDmlSpec extends AnyFunSuite {
         "ON id = src_id WHEN MATCHED THEN DELETE") }
   }
 
+  test("DML on a graft-backed temp view with no binding fails with a re-register hint") {
+    // a view created by hand over dataFrame() (not via register) is
+    // graft-backed but unbound — the diagnostic must name the fix,
+    // not delegate into Spark's unrelated "v2 tables" DML error
+    val dir = tmp("unbound"); mk(dir)
+    SnapshotSql.dataFrame(spark, dir)
+      .createOrReplaceTempView("sqldml_unbound")
+    val e = intercept[IllegalStateException] {
+      spark.sql("DELETE FROM sqldml_unbound WHERE id = 1") }
+    assert(e.getMessage.contains("re-register"))
+    // a DERIVED view over the same table still delegates (it must
+    // never become a writable address) — Spark's own error, not ours
+    SnapshotSql.dataFrame(spark, dir).filter(col("id") < 10)
+      .createOrReplaceTempView("sqldml_derived")
+    val e2 = intercept[Exception] {
+      spark.sql("DELETE FROM sqldml_derived WHERE id = 1") }
+    assert(!e2.isInstanceOf[IllegalStateException] ||
+      !e2.getMessage.contains("re-register"))
+  }
+
   test("non-graft CREATE TABLE containing the word 'shallow' delegates") {
     // round-8 regression: the SHALLOW pre-check claimed any CREATE
     // TABLE whose text contained the identifier, then failed on the
@@ -568,6 +588,31 @@ class GraftSqlDmlSpec extends AnyFunSuite {
       // safe up-casts still flow (int literal → int column)
       spark.sql("INSERT INTO sqldml_strict SELECT 2L, 7")
       assert(SnapshotTable.read(spark, dir).count() == 2)
+    } finally spark.conf.set("spark.sql.storeAssignmentPolicy", "ANSI")
+  }
+
+  test("STRICT refuses unsafe MERGE SET expression casts at command time") {
+    val dir = tmp("strictmerge")
+    SnapshotTable.append(Seq((1L, 10)).toDF("id", "v"), dir) // v INT
+    SnapshotSql.bind("sqldml_strictm", dir)
+    Seq((1L, 0.5)).toDF("id", "f").createOrReplaceTempView("sqldml_sm_src")
+    spark.conf.set("spark.sql.storeAssignmentPolicy", "STRICT")
+    try {
+      val head = SnapshotTable.latestVersion(spark, dir)
+      // the SET expression's type resolves to DOUBLE against the join
+      // schema — STRICT refuses BEFORE any data is written (round-9
+      // degraded this to the ANSI runtime check)
+      val e = intercept[IllegalArgumentException] {
+        spark.sql("MERGE INTO sqldml_strictm t USING sqldml_sm_src s " +
+          "ON t.id = s.id " +
+          "WHEN MATCHED THEN UPDATE SET v = t.v * s.f") }
+      assert(e.getMessage.contains("STRICT"))
+      assert(SnapshotTable.latestVersion(spark, dir) == head,
+        "refusal must happen before any commit")
+      // safe up-casts in SET expressions still flow
+      spark.sql("MERGE INTO sqldml_strictm t USING sqldml_sm_src s " +
+        "ON t.id = s.id WHEN MATCHED THEN UPDATE SET v = t.v + 1")
+      assert(SnapshotTable.read(spark, dir).collect().head.getInt(1) == 11)
     } finally spark.conf.set("spark.sql.storeAssignmentPolicy", "ANSI")
   }
 

@@ -235,4 +235,66 @@ class SnapshotMergeIntoSpec extends AnyFunSuite {
     assert(SnapshotTable.read(spark, dir)
       .filter(col("status") === "n2").count() == 1)
   }
+
+  test("insert-only merge: a concurrent DELETE of a suppressed key fails the commit") {
+    // Interleaving pinned with a gate inside the SOURCE's first
+    // evaluation (mergeInto's cardinality probe): the merge pins its
+    // base, sees key 1 present (suppression), and while it is paused a
+    // DELETE of key 1 commits. Pre-fix the merge committed anyway and
+    // the suppression silently stood (key 1 lost although the merge
+    // ran after the delete); now the holder file is conflict-guarded
+    // like a touched file and the merge fails loudly.
+    val dir = tmp("supdel")
+    SnapshotTable.append(Seq((1L, 10L, "open"), (2L, 5L, "open"))
+      .toDF("id", "qty", "status"), dir)
+    MergeRaceGate.reset()
+    val src = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq((1L, 99L)), 1)
+        .mapPartitions { it => MergeRaceGate.pauseFirst(); it },
+      ).toDF("id", "d")
+    val err = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val merger = new Thread(() => {
+      try SnapshotTable.mergeInto(spark, dir, src, Seq("id"),
+        notMatched = Seq(MergeClause(None, MergeAction.Insert(Seq(
+          "id" -> "s.id", "qty" -> "s.d", "status" -> "'ins'")))))
+      catch { case t: Throwable => err.set(t) }
+    })
+    merger.start()
+    assert(MergeRaceGate.started.await(60,
+      java.util.concurrent.TimeUnit.SECONDS), "merge never evaluated source")
+    SnapshotTable.deleteWhere(spark, dir, col("id") === 1L) // racing delete
+    MergeRaceGate.proceed.countDown()
+    merger.join(120000)
+    assert(err.get() != null &&
+      err.get().isInstanceOf[java.util.ConcurrentModificationException],
+      s"expected ConcurrentModificationException, got ${err.get()}")
+    // the delete won cleanly; a RETRIED merge now inserts the key
+    assert(SnapshotTable.read(spark, dir).filter(col("id") === 1L)
+      .count() == 0)
+    MergeRaceGate.reset(); MergeRaceGate.proceed.countDown()
+    SnapshotTable.mergeInto(spark, dir, src, Seq("id"),
+      notMatched = Seq(MergeClause(None, MergeAction.Insert(Seq(
+        "id" -> "s.id", "qty" -> "s.d", "status" -> "'ins'")))))
+    assert(rows(dir) == Set((1L, 99L, "ins"), (2L, 5L, "open")))
+  }
+}
+
+/** Static gate (NOT captured in closures — objects resolve by name on
+  * deserialization): pauses the first source evaluation of the
+  * interleaving test above so the racing delete lands mid-merge. */
+object MergeRaceGate {
+  @volatile var started = new java.util.concurrent.CountDownLatch(1)
+  @volatile var proceed = new java.util.concurrent.CountDownLatch(1)
+  private val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+  def reset(): Unit = {
+    started = new java.util.concurrent.CountDownLatch(1)
+    proceed = new java.util.concurrent.CountDownLatch(1)
+    fired.set(false)
+  }
+  def pauseFirst(): Unit =
+    if (fired.compareAndSet(false, true)) {
+      started.countDown()
+      proceed.await(120, java.util.concurrent.TimeUnit.SECONDS)
+      ()
+    }
 }
