@@ -12601,6 +12601,55 @@ object Queries {
                          + 10000000000 END) AS BIGINT) AS units
     FROM orders GROUP BY 1 ORDER BY priority"""))
 
+  /** ALTER TABLE ADD COLUMN … DEFAULT — INITIAL defaults (the public
+    * Iceberg initial-default semantics): the literal is recorded in
+    * the manifest with the files present at the ADD and SERVED for
+    * exactly those files on every read surface; post-ADD batches read
+    * their physical bytes (an explicit NULL stays NULL). The
+    * lifecycle exercises the sharp edges: a metadata-only ADD over an
+    * existing population, a post-ADD append carrying explicit values
+    * AND explicit NULLs, and a row-level DELETE whose predicate
+    * matches on the SERVED default (the touched-file probe must see
+    * the default, and the rewrite MATERIALIZES it — the rewritten
+    * file leaves the pre-ADD set). The oracle restates the three row
+    * populations algebraically. */
+  private val qSnapshotAddDefault = Q(
+    "q_snapshot_add_default",
+    (s, d) => {
+      val dir = snapTmp()
+      val c = t(s, d, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      graft.sources.SnapshotTable.append(
+        c.filter(pmod(col("c_custkey"), lit(2)) === 0), dir,
+        statsCols = Seq("c_custkey"))                          // v0 pre-ADD
+      s.sql(s"ALTER TABLE graft.`$dir` ADD COLUMN tier STRING " +
+        "DEFAULT 'basic'")                                     // v1 metadata
+      graft.sources.SnapshotTable.append(
+        c.filter(pmod(col("c_custkey"), lit(2)) === 1)
+          .withColumn("tier",
+            when(col("c_acctbal") > 5000, lit("gold"))), dir)  // v2 explicit
+      // predicate on the SERVED default: deletes only pre-ADD rows
+      graft.sources.SnapshotTable.deleteWhere(s, dir,
+        col("tier") === "basic" &&
+          pmod(col("c_custkey"), lit(10)) === 0)               // v3 CoW
+      s.sql(s"""SELECT coalesce(tier, 'none') AS tier, count(*) AS n,
+        CAST(sum(CAST(c_acctbal AS DECIMAL(18,6)) * 100) AS BIGINT) AS cents
+      FROM graft.`$dir` GROUP BY 1 ORDER BY 1""")
+    },
+    Some("""WITH pre AS (
+      SELECT c_custkey, c_acctbal, 'basic' AS tier
+      FROM customer WHERE c_custkey % 2 = 0),
+    post AS (
+      SELECT c_custkey, c_acctbal,
+        CASE WHEN c_acctbal > 5000 THEN 'gold' END AS tier
+      FROM customer WHERE c_custkey % 2 = 1),
+    final AS (
+      SELECT * FROM pre WHERE c_custkey % 10 <> 0
+      UNION ALL SELECT * FROM post)
+    SELECT coalesce(tier, 'none') AS tier, count(*) AS n,
+      CAST(sum(CAST(c_acctbal AS DECIMAL(18,6)) * 100) AS BIGINT) AS cents
+    FROM final GROUP BY 1 ORDER BY 1"""))
+
   /** The SQL DML surface ([[graft.sources.GraftSqlParser]], injected
     * via `spark.sql.extensions`): the ENTIRE table lifecycle driven by
     * plain `spark.sql` statements — INSERT INTO an empty `graft.`…``
@@ -13239,7 +13288,7 @@ object Queries {
     qSnapshotMor, qSnapshotMorSql, qSnapshotCdf, qMatviewMinmax,
     qMatviewStats, qMatviewDistinct, qScd2Dim, qSnapshotBucket, qSnapshotLive,
     qSnapshotRestore, qSnapshotColmap, qSnapshotDml, qSnapshotWiden,
-    qSnapshotMergeFull,
+    qSnapshotMergeFull, qSnapshotAddDefault,
     qSnapshotTblprops, qSnapshotMorUpdate, qSnapshotCompactWhere,
     qSnapshotConstraint, qBpeEncode, qSnapshotTimetravel, qTextIndex,
     qHybridSearch, qSnapshotCount,

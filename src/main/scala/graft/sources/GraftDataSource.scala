@@ -91,7 +91,8 @@ final class GraftDataSource extends RelationProvider
     // fully-resolved frame — same manifest-pruned parquet scan
     // underneath, plus the anti-join / logical rename.
     if (SnapshotTable.manifestDvRefs(spark, dir, v).isEmpty &&
-        SnapshotTable.manifestColMap(spark, dir, v).isEmpty) rel
+        SnapshotTable.manifestColMap(spark, dir, v).isEmpty &&
+        SnapshotTable.manifestDefaults(spark, dir, v).isEmpty) rel
     else new DvMaskedRelation(spark, dir, v, schema)
   }
 
@@ -621,24 +622,52 @@ final class GraftStreamSource(spark: SparkSession, dir: String,
       if (colMap.isEmpty) schema
       else SnapshotTable.physSchemaOf(colMap, schema)
     val attrs = DataTypeUtils.toAttributes(scanSchema)
-    val plan =
-      if (files.isEmpty) LocalRelation(attrs, Nil, isStreaming = true)
-      else {
-        val index = new ExactFilesIndex(spark, dir, files, sizes)
-        val rel = HadoopFsRelation(index, new StructType(), scanSchema,
-          None, new ParquetFileFormat(), Map.empty)(spark)
-        LogicalRelation(rel, attrs, None, isStreaming = true, None)
-      }
-    val base = org.apache.spark.sql.GraftSqlBridge.ofRows(spark, plan)
-    // Deletion vectors mask FIRST (the anti-join keys on `_metadata`,
-    // which only the bare file relation exposes — a stream-static
-    // left-anti join, a supported incremental shape); the logical
-    // rename projects on top and keeps the plan streaming.
-    val masked = SnapshotTable.dvMaskOver(spark, dir,
-      SnapshotTable.manifestDvRefs(spark, dir, atVersion), files, base)
-    if (colMap.isEmpty) masked
-    else masked.select(schema.fields.map(f =>
-      col(SnapshotTable.physName(colMap, f.name)).as(f.name)).toSeq: _*)
+    def buildSlice(fs: Seq[String]): DataFrame = {
+      val plan =
+        if (fs.isEmpty) LocalRelation(attrs, Nil, isStreaming = true)
+        else {
+          val index = new ExactFilesIndex(spark, dir, fs, sizes)
+          val rel = HadoopFsRelation(index, new StructType(), scanSchema,
+            None, new ParquetFileFormat(), Map.empty)(spark)
+          LogicalRelation(rel, attrs, None, isStreaming = true, None)
+        }
+      val base = org.apache.spark.sql.GraftSqlBridge.ofRows(spark, plan)
+      // Deletion vectors mask FIRST (the anti-join keys on
+      // `_metadata`, which only the bare file relation exposes — a
+      // stream-static left-anti join, a supported incremental shape);
+      // the logical rename projects on top and keeps the plan
+      // streaming.
+      val masked = SnapshotTable.dvMaskOver(spark, dir,
+        SnapshotTable.manifestDvRefs(spark, dir, atVersion), fs, base)
+      if (colMap.isEmpty) masked
+      else masked.select(schema.fields.map(f =>
+        col(SnapshotTable.physName(colMap, f.name)).as(f.name)).toSeq: _*)
+    }
+    // initial DEFAULTS: the same group-split the batch readers take —
+    // pre-ADD file groups replace the defaulted columns with the
+    // recorded literal on top of the logical frame (a projection,
+    // plan stays streaming). Columns the stream's captured schema
+    // does not carry are skipped (the stream serves its
+    // registration-time columns by contract).
+    val defaults =
+      (if (files.isEmpty || atVersion < 0)
+         Map.empty[String, (String, Set[String])]
+       else SnapshotTable.manifestDefaults(spark, dir, atVersion))
+        .filter { case (c, (_, pre)) =>
+          schema.fieldNames.contains(c) && files.exists(pre) }
+    if (defaults.isEmpty) buildSlice(files)
+    else files
+      .groupBy(f => defaults.keySet.filter(c => defaults(c)._2(f)))
+      .toSeq.sortBy(_._2.headOption.getOrElse(""))
+      .map { case (cols, fs) =>
+        val part = buildSlice(fs)
+        if (cols.isEmpty) part
+        else part.select(schema.fields.map { f =>
+          if (cols.contains(f.name))
+            lit(defaults(f.name)._1).cast(f.dataType).as(f.name)
+          else col(f.name)
+        }.toIndexedSeq: _*)
+      }.reduce(_ unionByName _)
   }
 
   override def stop(): Unit = ()
@@ -834,19 +863,39 @@ final class GraftCdfStreamSource(spark: SparkSession, dir: String,
       if (colMap.isEmpty) dataSchema
       else SnapshotTable.physSchemaOf(colMap, dataSchema)
     val sizes = SnapshotTable.manifestSizes(spark, dir, v)
-    val index = new ExactFilesIndex(spark, dir, files, sizes)
-    val rel = HadoopFsRelation(index, new StructType(), scanSchema, None,
-      new ParquetFileFormat(), Map.empty)(spark)
-    val plan = LogicalRelation(rel,
-      DataTypeUtils.toAttributes(scanSchema), None,
-      isStreaming = false, None)
-    val base = org.apache.spark.sql.GraftSqlBridge.ofRows(spark, plan)
-    val masked = SnapshotTable.dvMaskOver(spark, dir,
-      SnapshotTable.manifestDvRefs(spark, dir, v), files, base)
-    val logical =
+    def buildSlice(fs: Seq[String]): DataFrame = {
+      val index = new ExactFilesIndex(spark, dir, fs, sizes)
+      val rel = HadoopFsRelation(index, new StructType(), scanSchema, None,
+        new ParquetFileFormat(), Map.empty)(spark)
+      val plan = LogicalRelation(rel,
+        DataTypeUtils.toAttributes(scanSchema), None,
+        isStreaming = false, None)
+      val base = org.apache.spark.sql.GraftSqlBridge.ofRows(spark, plan)
+      val masked = SnapshotTable.dvMaskOver(spark, dir,
+        SnapshotTable.manifestDvRefs(spark, dir, v), fs, base)
       if (colMap.isEmpty) masked
       else masked.select(dataSchema.fields.map(f =>
         col(SnapshotTable.physName(colMap, f.name)).as(f.name)).toSeq: _*)
+    }
+    // initial DEFAULTS — same group-split as every other read surface,
+    // so a CDF consumer sees the served values, not scan NULLs
+    val defaults = SnapshotTable.manifestDefaults(spark, dir, v)
+      .filter { case (c, (_, pre)) =>
+        dataSchema.fieldNames.contains(c) && files.exists(pre) }
+    val logical =
+      if (defaults.isEmpty) buildSlice(files)
+      else files
+        .groupBy(f => defaults.keySet.filter(c => defaults(c)._2(f)))
+        .toSeq.sortBy(_._2.headOption.getOrElse(""))
+        .map { case (cols, fs) =>
+          val part = buildSlice(fs)
+          if (cols.isEmpty) part
+          else part.select(dataSchema.fields.map { f =>
+            if (cols.contains(f.name))
+              lit(defaults(f.name)._1).cast(f.dataType).as(f.name)
+            else col(f.name)
+          }.toIndexedSeq: _*)
+        }.reduce(_ unionByName _)
     withCdfColumns(logical, v)
   }
 

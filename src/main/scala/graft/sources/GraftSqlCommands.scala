@@ -688,8 +688,22 @@ object GraftSqlCommands {
     tail match {
       case Rename(from, to) =>
         Some(GraftAlterCommand(dir, "renameColumn", Seq(unq(from), unq(to))))
-      case AddCol(c, dt) =>
-        Some(GraftAlterCommand(dir, "addColumn", Seq(unq(c), dt.trim)))
+      case AddCol(c, dt0) =>
+        // optional trailing DEFAULT <literal> (initial default,
+        // served for pre-ADD files): split on the LAST top-level
+        // DEFAULT keyword so a type can never swallow it
+        val dt = dt0.trim
+        val dIdx = topLevelKeyword(dt, "DEFAULT")
+        if (dIdx < 0)
+          Some(GraftAlterCommand(dir, "addColumn", Seq(unq(c), dt)))
+        else {
+          val tpe = dt.substring(0, dIdx).trim
+          val dv = literalValue(dt.substring(dIdx + "DEFAULT".length).trim)
+          if (dv == null) fail("ADD COLUMN ... DEFAULT NULL is the " +
+            "plain nullable ADD — drop the DEFAULT clause")
+          Some(GraftAlterCommand(dir, "addColumnDefault",
+            Seq(unq(c), tpe, dv.toString)))
+        }
       case DropCol(c) =>
         Some(GraftAlterCommand(dir, "dropColumn", Seq(unq(c))))
       case AddCons(nm, body) =>
@@ -707,7 +721,7 @@ object GraftSqlCommands {
         if (keys.isEmpty) fail("UNSET TBLPROPERTIES: empty key list")
         Some(GraftPropsCommand(dir, Map.empty, unset = keys))
       case _ => fail(
-        "ALTER TABLE <t> supports ADD COLUMN c <type> | " +
+        "ALTER TABLE <t> supports ADD COLUMN c <type> [DEFAULT lit] | " +
           "RENAME COLUMN a TO b | DROP COLUMN a | " +
           "ALTER COLUMN c TYPE <wider> | " +
           "ADD CONSTRAINT n CHECK (…) | DROP CONSTRAINT n | " +
@@ -1017,6 +1031,10 @@ object GraftSqlCommands {
           SnapshotTable.addColumn(spark, dir, args(0),
             org.apache.spark.sql.catalyst.parser.CatalystSqlParser
               .parseDataType(args(1)))
+        case "addColumnDefault" =>
+          SnapshotTable.addColumn(spark, dir, args(0),
+            org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+              .parseDataType(args(1)), default = Some(args(2)))
         case "dropColumn" => SnapshotTable.dropColumn(spark, dir, args(0))
         case "addConstraint" =>
           SnapshotTable.addConstraint(spark, dir, args(0), args(1))

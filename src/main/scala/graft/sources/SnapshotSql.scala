@@ -179,7 +179,8 @@ object SnapshotSql {
     * HadoopFsRelation IS a V1 BaseRelation, the public
     * Delta-connector layering). */
   private[sources] def relation(spark: SparkSession, dir: String,
-                                version: Option[Long]
+                                version: Option[Long],
+                                only: Option[Seq[String]] = None
                                ): (HadoopFsRelation, StructType, Long) = {
     val v = version.orElse(SnapshotTable.latestVersion(spark, dir)).getOrElse(
       throw new java.io.IOException(s"SnapshotSql: no committed version under $dir"))
@@ -192,7 +193,7 @@ object SnapshotSql {
     val scanSchema =
       if (colMap.isEmpty) schema
       else SnapshotTable.physSchemaOf(colMap, schema)
-    val index = new SnapshotFileIndex(spark, dir, v, scanSchema)
+    val index = new SnapshotFileIndex(spark, dir, v, scanSchema, only)
     // A manifest-recorded bucketing claim becomes Spark's BucketSpec:
     // FileSourceScanExec then reports HashPartitioning(cols, n) and a
     // join/agg on the bucket columns plans with ZERO Exchange. The
@@ -217,16 +218,51 @@ object SnapshotSql {
     * side, so manifest pruning and vector masking compose. */
   def dataFrame(spark: SparkSession, dir: String,
                 version: Option[Long] = None): DataFrame = {
-    val (rel, schema, v) = relation(spark, dir, version)
+    val v0 = version.orElse(SnapshotTable.latestVersion(spark, dir))
+      .getOrElse(throw new java.io.IOException(
+        s"SnapshotSql: no committed version under $dir"))
+    // ADD COLUMN initial DEFAULTS take the same group-split shape as
+    // the programmatic readers: one pruned relation per group of
+    // files sharing a default signature, the pre-ADD groups replacing
+    // those columns with the recorded literal, unioned. Tables
+    // without live defaults take the single-relation path below.
+    val defaults = SnapshotTable.manifestDefaults(spark, dir, v0)
+    val allFiles = SnapshotTable.manifestFiles(spark, dir, v0)
+    val relevant = defaults.filter { case (_, (_, pre)) =>
+      allFiles.exists(pre) }
+    if (relevant.nonEmpty) {
+      import org.apache.spark.sql.functions.{col, lit}
+      return allFiles
+        .groupBy(f => relevant.keySet.filter(c => relevant(c)._2(f)))
+        .toSeq.sortBy(_._2.head)
+        .map { case (cols, fs) =>
+          val part = dataFrameOver(spark, dir, v0, Some(fs))
+          if (cols.isEmpty) part
+          else part.select(part.schema.fields.map { f =>
+            if (cols.contains(f.name))
+              lit(relevant(f.name)._1).cast(f.dataType).as(f.name)
+            else col(f.name)
+          }.toIndexedSeq: _*)
+        }.reduce(_ unionByName _)
+    }
+    dataFrameOver(spark, dir, v0, None)
+  }
+
+  /** One manifest-pruned relation over (a subset of) a pinned
+    * snapshot — [[dataFrame]]'s single-group body. */
+  private def dataFrameOver(spark: SparkSession, dir: String, v0: Long,
+                            only: Option[Seq[String]]): DataFrame = {
+    val (rel, schema, v) = relation(spark, dir, Some(v0), only)
     val plan = LogicalRelation(rel,
       DataTypeUtils.toAttributes(rel.dataSchema), None,
       isStreaming = false, None)
     val base = org.apache.spark.sql.GraftSqlBridge.ofRows(spark, plan)
+    val files = only.getOrElse(SnapshotTable.manifestFiles(spark, dir, v))
     val dvRefs = SnapshotTable.manifestDvRefs(spark, dir, v)
+      .view.filterKeys(files.toSet).toMap
     val masked =
       if (dvRefs.isEmpty) base
-      else SnapshotTable.dvMaskOver(spark, dir, dvRefs,
-        SnapshotTable.manifestFiles(spark, dir, v), base)
+      else SnapshotTable.dvMaskOver(spark, dir, dvRefs, files, base)
     // Rename the physical scan to the logical schema LAST (after DV
     // masking, which needs `_metadata`); filters a query pushes
     // against logical names travel through the aliases down to the
@@ -380,7 +416,9 @@ object LiveSnapshotRelation {
   * Thread-safety: the pruning inputs are immutable snapshot state;
   * `lastDecision` is advisory observability for specs. */
 final class SnapshotFileIndex(spark: SparkSession, dir: String, version: Long,
-                              schema: StructType) extends FileIndex {
+                              schema: StructType,
+                              only: Option[Seq[String]] = None
+                             ) extends FileIndex {
 
   private val fs = new Path(dir)
     .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -390,10 +428,12 @@ final class SnapshotFileIndex(spark: SparkSession, dir: String, version: Long,
     * path (the manifest-only-planning property object stores need;
     * modification time is irrelevant to a pinned-snapshot read and
     * stamps 0). Files a pre-sizes writer committed fall back to one
-    * getFileStatus each. */
+    * getFileStatus each. `only` restricts the index to a subset (the
+    * per-group scans a defaults-split [[SnapshotSql.dataFrame]]
+    * builds); manifest pruning then intersects within it. */
   private val statuses: Map[String, FileStatus] = {
     val sizes = SnapshotTable.manifestSizes(spark, dir, version)
-    SnapshotTable.manifestFiles(spark, dir, version).map { key =>
+    only.getOrElse(SnapshotTable.manifestFiles(spark, dir, version)).map { key =>
       val p = if (key.startsWith("data/")) new Path(dir, key) else new Path(key)
       key -> sizes.get(key)
         .map(len => new FileStatus(len, false, 1, len, 0L, p))

@@ -152,7 +152,8 @@ object SnapshotTable {
     * protocol-versioning idea reduced to a feature list: plain old
     * manifests carry no list and every reader accepts them. */
   private val SupportedFeatures = Set(
-    "dv", "dvremoves", "constraints", "segments", "bucket", "colmap")
+    "dv", "dvremoves", "constraints", "segments", "bucket", "colmap",
+    "defaults")
 
   private def manifestNode(spark: SparkSession, dir: String,
                            v: Long): com.fasterxml.jackson.databind.JsonNode = {
@@ -218,7 +219,15 @@ object SnapshotTable {
       // reader feature guard needed) — they steer WRITE-side routing
       // (e.g. graft.enableDeletionVectors -> SQL DELETE/UPDATE go
       // merge-on-read).
-      props: Map[String, String] = Map.empty)
+      props: Map[String, String] = Map.empty,
+      // ADD COLUMN ... DEFAULT (the Iceberg initial-default idea):
+      // logical column -> (canonical literal string, the file keys
+      // present when the column was added). Reads serve the literal —
+      // cast to the column's type — for exactly those files; every
+      // other file reads its physical bytes (absent -> NULL). The
+      // pre-file sets only SHRINK: rewrites materialize the default
+      // into new files, and commits prune entries to live files.
+      defaults: Map[String, (String, Set[String])] = Map.empty)
 
   /** A table-wide bucketing CLAIM: every data file of the version was
     * written by [[appendBucketed]] with this spec — file names carry
@@ -369,6 +378,20 @@ object SnapshotTable {
       strSeq(b, "sort")))
   }
 
+  /** Parse the `defaults` object: {col: {"v": str, "files": [...]}}. */
+  private def defaultsOf(n: com.fasterxml.jackson.databind.JsonNode
+                        ): Map[String, (String, Set[String])] = {
+    val d = n.get("defaults")
+    if (d == null) return Map.empty
+    val it = d.fieldNames()
+    val b = Map.newBuilder[String, (String, Set[String])]
+    while (it.hasNext) {
+      val c = it.next(); val e = d.get(c)
+      b += c -> (e.get("v").asText, strSeq(e, "files").toSet)
+    }
+    b.result()
+  }
+
   private def sizesOf(n: com.fasterxml.jackson.databind.JsonNode
                      ): Map[String, Long] = {
     val t = n.get("sizes")
@@ -453,7 +476,8 @@ object SnapshotTable {
         constraints = refMapOf(n, "constraints"),
         colMap = refMapOf(n, "colmap"),
         retired = strSeq(n, "retired"),
-        props = refMapOf(n, "props"))
+        props = refMapOf(n, "props"),
+        defaults = defaultsOf(n))
     }
     val refs = bloomRefsOf(n)
     val cols = strSeq(n, "bloomcols") match {
@@ -474,7 +498,8 @@ object SnapshotTable {
       constraints = refMapOf(n, "constraints"),
       colMap = refMapOf(n, "colmap"),
       retired = strSeq(n, "retired"),
-      props = refMapOf(n, "props"))
+      props = refMapOf(n, "props"),
+      defaults = defaultsOf(n))
   }
 
   private def deltaState(parent: TableState,
@@ -524,7 +549,10 @@ object SnapshotTable {
       // properties inherit like constraints (present = replace,
       // explicit-empty = clear, absent = inherit)
       props = if (n.get("props") != null) refMapOf(n, "props")
-        else parent.props)
+        else parent.props,
+      // column defaults: same change-only discipline
+      defaults = if (n.get("defaults") != null) defaultsOf(n)
+        else parent.defaults)
   }
 
   /** The file list of a version (relative paths). */
@@ -1031,8 +1059,38 @@ object SnapshotTable {
                               files: Seq[String],
                               schema: Option[StructType],
                               dvRefs: Map[String, String],
-                              colMap: Map[String, String] = Map.empty
-                             ): DataFrame =
+                              colMap: Map[String, String] = Map.empty,
+                              defaults: Map[String, (String, Set[String])] =
+                                Map.empty
+                             ): DataFrame = {
+    // ADD COLUMN initial DEFAULTS — group-split read: files are
+    // grouped by WHICH default columns consider them pre-ADD, each
+    // group scans once, and the pre-ADD groups replace those columns
+    // with the recorded literal (cast to the column type). One union
+    // of a handful of scans (group count <= distinct default
+    // signatures, in practice #defaults + 1) — no per-row file
+    // comparisons, pushed filters prune each branch independently,
+    // and a table without live defaults takes the single-scan path
+    // untouched.
+    val relevant = defaults.filter { case (_, (_, pre)) =>
+      files.exists(pre) }
+    if (relevant.nonEmpty) {
+      val logical = schema.getOrElse(throw new IllegalStateException(
+        s"column defaults active under $dir but the manifest records " +
+          "no schema — corrupt metadata"))
+      return files
+        .groupBy(f => relevant.keySet.filter(c => relevant(c)._2(f)))
+        .toSeq.sortBy(_._2.head)
+        .map { case (cols, fs) =>
+          val base = readFilesWithDv(spark, dir, fs, schema, dvRefs, colMap)
+          if (cols.isEmpty) base
+          else base.select(logical.fields.map { f =>
+            if (cols.contains(f.name))
+              lit(relevant(f.name)._1).cast(f.dataType).as(f.name)
+            else col(f.name)
+          }.toIndexedSeq: _*)
+        }.reduce(_ unionByName _)
+    }
     if (colMap.isEmpty)
       dvMaskOver(spark, dir, dvRefs, files,
         readFiles(spark, dir, files, schema))
@@ -1044,6 +1102,7 @@ object SnapshotTable {
         readFiles(spark, dir, files, Some(physSchemaOf(colMap, logical))))
       toLogicalFrame(masked, colMap, logical)
     }
+  }
 
   /** Serializes same-JVM committers. Commit atomicity rests on a
     * rename-that-fails-if-destination-exists — which HDFS-class
@@ -1142,7 +1201,9 @@ object SnapshotTable {
                         constraints: Option[Map[String, String]] = None,
                         colMapOpt: Option[(Map[String, String],
                           Seq[String])] = None,
-                        propsOpt: Option[Map[String, String]] = None
+                        propsOpt: Option[Map[String, String]] = None,
+                        defaultsOpt: Option[Map[String,
+                          (String, Set[String])]] = None
                        ): Boolean = commitLock.synchronized {
     val f = fs(spark, dir)
     f.mkdirs(manifestDir(dir))
@@ -1169,10 +1230,20 @@ object SnapshotTable {
       else scala.util.Try(stateOf(spark, dir, v - 1))
         .map(p => (p.colMap, p.retired))
         .getOrElse((Map.empty[String, String], Seq.empty[String])))
+    // Column defaults inherit like colmap (None = parent's; only
+    // addColumn/restore/clone pass Some) — and PRUNE to this commit's
+    // live files: a rewritten pre-ADD file materialized its default,
+    // so its entry (and, eventually, the whole column's) retires.
+    val effDefaults = defaultsOpt.getOrElse(
+      if (v == 0L) Map.empty[String, (String, Set[String])]
+      else scala.util.Try(stateOf(spark, dir, v - 1).defaults)
+        .getOrElse(Map.empty[String, (String, Set[String])]))
+      .map { case (c, (dv, pre)) => c -> (dv, pre.intersect(files.toSet)) }
+      .filter(_._2._2.nonEmpty)
     val body = manifestBody(spark, dir, v, full, files, txns, stats,
       schema, bloomRefs, bloomCols, sizes, op, dvRefs, bucket,
       effConstraints, colMap = effColMap, retired = effRetired,
-      props = effProps)
+      props = effProps, defaults = effDefaults)
     val tmp = new Path(manifestDir(dir),
       s".v$v.${java.util.UUID.randomUUID()}.tmp")
     val out = f.create(tmp, false)
@@ -1201,7 +1272,9 @@ object SnapshotTable {
                            stampTs: Boolean = true,
                            colMap: Map[String, String] = Map.empty,
                            retired: Seq[String] = Nil,
-                           props: Map[String, String] = Map.empty
+                           props: Map[String, String] = Map.empty,
+                           defaults: Map[String, (String, Set[String])] =
+                             Map.empty
                           ): String = {
     val root = new java.util.LinkedHashMap[String, Object]()
     root.put("version", java.lang.Long.valueOf(v))
@@ -1299,9 +1372,22 @@ object SnapshotTable {
       m.toSeq.sortBy(_._1).foreach { case (k, v2) => pj.put(k, v2) }
       root.put("props", pj)
     }
+    def putDefaults(m: Map[String, (String, Set[String])]): Unit = {
+      val dj = new java.util.LinkedHashMap[String, Object]()
+      m.toSeq.sortBy(_._1).foreach { case (c, (dv, pre)) =>
+        val ej = new java.util.LinkedHashMap[String, Object]()
+        ej.put("v", dv)
+        val fj = new java.util.ArrayList[String]()
+        pre.toSeq.sorted.foreach(fj.add)
+        ej.put("files", fj)
+        dj.put(c, ej)
+      }
+      root.put("defaults", dj)
+    }
     if (full) { if (constraints.nonEmpty) putConstraints(constraints) }
     if (full) { if (colMap.nonEmpty || retired.nonEmpty) putColMap() }
     if (full) { if (props.nonEmpty) putProps(props) }
+    if (full) { if (defaults.nonEmpty) putDefaults(defaults) }
     if (full && files.size > SegmentInlineMax) {
       // SEGMENTED checkpoint — the 100 TB commit-cost answer (the
       // public Iceberg manifest-list design): the checkpoint
@@ -1389,6 +1475,9 @@ object SnapshotTable {
       // properties: same change-only discipline. No reader feature
       // guard — props never change READ semantics, only write routing.
       if (props != parent.props) putProps(props)
+      // column defaults: change-only (present = replace, explicit
+      // empty = clear — the last-pre-file-rewritten case)
+      if (defaults != parent.defaults) putDefaults(defaults)
     }
     // Stamp exactly the reader features this manifest's resolution
     // depends on (see [[SupportedFeatures]]); a plain manifest stays
@@ -1405,10 +1494,14 @@ object SnapshotTable {
     // guard — identity is what a legacy reader assumes anyway.
     val usesColMap = (root.containsKey("colmap") ||
       root.containsKey("retired")) && (colMap.nonEmpty || retired.nonEmpty)
+    // "defaults" keys off the EFFECTIVE map (the dv discipline): a
+    // reader unaware of initial defaults would serve NULL where the
+    // table's contract says the default value.
     val feats = Seq("segments", "dvremoves", "constraints",
       "bucket").filter(root.containsKey) ++
       (if (usesDv) Seq("dv") else Nil) ++
-      (if (usesColMap) Seq("colmap") else Nil)
+      (if (usesColMap) Seq("colmap") else Nil) ++
+      (if (defaults.nonEmpty) Seq("defaults") else Nil)
     if (feats.nonEmpty) {
       val fj = new java.util.ArrayList[String]()
       feats.foreach(fj.add)
@@ -2342,7 +2435,8 @@ object SnapshotTable {
         .getOrElse(spark.emptyDataFrame)
     else {
       val st = stateOf(spark, dir, v)
-      readFilesWithDv(spark, dir, files, schema, st.dvRefs, st.colMap)
+      readFilesWithDv(spark, dir, files, schema, st.dvRefs, st.colMap,
+        st.defaults)
     }
   }
 
@@ -2420,7 +2514,7 @@ object SnapshotTable {
       val v = version.orElse(latestVersion(spark, dir)).get
       val st = stateOf(spark, dir, v)
       readFilesWithDv(spark, dir, selected, manifestSchema(spark, dir, v),
-        st.dvRefs, st.colMap)
+        st.dvRefs, st.colMap, st.defaults)
         .filter(residual)
     }
   }
@@ -2448,7 +2542,7 @@ object SnapshotTable {
     if (selected.isEmpty) read(spark, dir, Some(v)).filter(lit(false))
     else readFilesWithDv(spark, dir, selected.toSeq.sorted,
       manifestSchema(spark, dir, v), stateOf(spark, dir, v).dvRefs,
-      stateOf(spark, dir, v).colMap)
+      stateOf(spark, dir, v).colMap, stateOf(spark, dir, v).defaults)
       .filter(residual)
   }
 
@@ -2525,7 +2619,7 @@ object SnapshotTable {
         StructType(Seq(StructField(column, valDt))))
         .select(col(column).cast(dt).as(column))
       return readFilesWithDv(spark, dir, kept,
-        manifestSchema(spark, dir, v), st.dvRefs, st.colMap)
+        manifestSchema(spark, dir, v), st.dvRefs, st.colMap, st.defaults)
         .join(broadcast(probe), Seq(column), "left_semi")
     }
     val ranged: Seq[(Any, Seq[String])] = values.map(x =>
@@ -2547,7 +2641,7 @@ object SnapshotTable {
     }.distinct.sorted
     if (selected.isEmpty) read(spark, dir, Some(v)).filter(lit(false))
     else readFilesWithDv(spark, dir, selected,
-      manifestSchema(spark, dir, v), st.dvRefs, st.colMap)
+      manifestSchema(spark, dir, v), st.dvRefs, st.colMap, st.defaults)
       .filter(col(column).isin(values: _*))
   }
 
@@ -2606,7 +2700,7 @@ object SnapshotTable {
       val v = version.orElse(latestVersion(spark, dir)).get
       val st = stateOf(spark, dir, v)
       readFilesWithDv(spark, dir, selected, manifestSchema(spark, dir, v),
-        st.dvRefs, st.colMap)
+        st.dvRefs, st.colMap, st.defaults)
         .filter(col(column) === lit(value))
     }
   }
@@ -2729,7 +2823,7 @@ object SnapshotTable {
     else {
       val st = stateOf(spark, dir, v)
       readFilesWithDv(spark, dir, cand, manifestSchema(spark, dir, v),
-        st.dvRefs, st.colMap)
+        st.dvRefs, st.colMap, st.defaults)
         .join(broadcast(probe), keyCols, "left_semi")
     }
   }
@@ -2773,7 +2867,8 @@ object SnapshotTable {
     // throughout, exactly like the schema discipline above.
     def side(files: Seq[String], refs: Map[String, String]): DataFrame =
       if (files.nonEmpty)
-        readFilesWithDv(spark, dir, files, schema, refs, toSt.colMap)
+        readFilesWithDv(spark, dir, files, schema, refs, toSt.colMap,
+          toSt.defaults)
       else schema.map(st => spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st))
         .getOrElse(read(spark, dir, Some(toVersion)).filter(lit(false)))
@@ -2884,7 +2979,8 @@ object SnapshotTable {
     val baseDv = stateOf(spark, dir, base).dvRefs
     val src = readFilesWithDv(spark, dir, old,
       manifestSchema(spark, dir, base), baseDv,
-      stateOf(spark, dir, base).colMap)
+      stateOf(spark, dir, base).colMap,
+      stateOf(spark, dir, base).defaults)
     val bucketLayout = if (bucketBy.isEmpty) None
       else Some(BucketLayout(numBuckets, bucketBy, bucketSortBy))
     bucketLayout match {
@@ -3047,7 +3143,7 @@ object SnapshotTable {
         !candidates.exists(st.dvRefs.contains))
       return None
     val src = readFilesWithDv(spark, dir, candidates,
-      manifestSchema(spark, dir, base), st.dvRefs, st.colMap)
+      manifestSchema(spark, dir, base), st.dvRefs, st.colMap, st.defaults)
       .coalesce(nTarget)
     commitRewrite(spark, dir, candidates, src,
       trackedStatsCols(spark, dir, base),
@@ -3141,10 +3237,16 @@ object SnapshotTable {
     val dvRefs = st.dvRefs
       .map { case (k, r) => absolutize(k) -> absolutizeRef(r) }
     val sizes = st.sizes.map { case (k, n) => absolutize(k) -> n }
+    // defaults' pre-ADD file keys absolutize exactly like the file
+    // list — the clone's reads must keep serving the source's
+    // initial defaults for its referenced files
+    val defaults = st.defaults.map { case (c, (dv, pre)) =>
+      c -> (dv, pre.map(absolutize)) }
     if (!tryCommit(spark, dstDir, 0L, files, Map.empty, stats, st.schema,
         refs, st.bloomCols, sizes, "clone", dvRefs,
         colMapOpt = Some((st.colMap, st.retired)),
-        propsOpt = Some(st.props)))
+        propsOpt = Some(st.props),
+        defaultsOpt = Some(defaults)))
       throw new java.io.IOException(
         s"shallowClone: destination $dstDir committed concurrently")
     0L
@@ -3155,6 +3257,12 @@ object SnapshotTable {
   def manifestConstraints(spark: SparkSession, dir: String,
                           v: Long): Map[String, String] =
     stateOf(spark, dir, v).constraints
+
+  /** The column initial-defaults recorded at version `v`:
+    * column → (canonical literal, pre-ADD file keys still live). */
+  def manifestDefaults(spark: SparkSession, dir: String, v: Long
+                      ): Map[String, (String, Set[String])] =
+    stateOf(spark, dir, v).defaults
 
   /** Record a CHECK constraint (the public `ALTER TABLE … ADD
     * CONSTRAINT … CHECK (expr)` shape): `exprSql` must hold — SQL
@@ -3385,10 +3493,25 @@ object SnapshotTable {
     * FRESH physical name (the re-add discipline — dropped bytes never
     * resurrect). Returns the committed version. */
   def addColumn(spark: SparkSession, dir: String, column: String,
-                dt: DataType, maxRetries: Int = 20): Long = {
+                dt: DataType, maxRetries: Int = 20,
+                default: Option[Any] = None): Long = {
     latestVersion(spark, dir).getOrElse(
       throw new java.io.IOException(
         s"addColumn: no committed version under $dir"))
+    // DEFAULT <literal>: recorded in the manifest as a canonical
+    // string and served (cast to `dt`) for exactly the files present
+    // at this ADD — Iceberg's initial-default semantics. Validated by
+    // actually casting it before any commit; a default that casts to
+    // NULL is meaningless (plain nullable ADD does that for free).
+    val defStr = default.map { dv =>
+      require(dv != null, "addColumn: default must be a non-null literal")
+      val str = dv.toString
+      val got = spark.range(1)
+        .select(lit(str).cast(dt)).collect()(0)
+      require(!got.isNullAt(0),
+        s"addColumn: default '$str' does not cast to ${dt.simpleString}")
+      str
+    }
     var attempt = 0
     while (attempt < maxRetries) {
       val cur = latestVersion(spark, dir).get
@@ -3416,7 +3539,9 @@ object SnapshotTable {
         }
       if (tryCommit(spark, dir, cur + 1, st.files, st.txns, st.stats,
           Some(newSchema), st.bloomRefs, st.bloomCols, st.sizes,
-          "addColumn", st.dvRefs, st.bucket, colMapOpt = colMapOpt))
+          "addColumn", st.dvRefs, st.bucket, colMapOpt = colMapOpt,
+          defaultsOpt = defStr.map(d =>
+            st.defaults + (column -> (d, st.files.toSet)))))
         return cur + 1
       attempt += 1
     }
@@ -3637,6 +3762,7 @@ object SnapshotTable {
           manifestSchema(spark, dir, cur) == targetSchema &&
           curSt.colMap == target.colMap &&
           curSt.retired == target.retired &&
+          curSt.defaults == target.defaults &&
           curSt.bucket == target.bucket) return None
       val gone = target.files.filterNot(curSt.files.toSet)
         .filterNot { p =>
@@ -3652,8 +3778,11 @@ object SnapshotTable {
           target.bucket,
           // the TARGET's column mapping reinstates with its state — a
           // restore across a rename/drop rolls the names back too
-          // (explicit empty = clear, for pre-mapping targets)
-          colMapOpt = Some((target.colMap, target.retired))))
+          // (explicit empty = clear, for pre-mapping targets);
+          // column defaults are schema-adjacent structure and roll
+          // back the same way
+          colMapOpt = Some((target.colMap, target.retired)),
+          defaultsOpt = Some(target.defaults)))
         return Some(cur + 1)
       attempt += 1
     }
@@ -3798,7 +3927,7 @@ object SnapshotTable {
           // — stripping it here would serve physical names (or
           // resurrect dropped columns) at the keepFrom version
           colMap = st.colMap, retired = st.retired,
-          props = st.props)
+          props = st.props, defaults = st.defaults)
         val tmp = new Path(manifestDir(dir),
           s".v$keepFrom.${java.util.UUID.randomUUID()}.ckpt.tmp")
         val out = f.create(tmp, false)
@@ -3920,9 +4049,25 @@ object SnapshotTable {
           s"column mapping active under $dir but no recorded schema"))))
     val base = readFiles(spark, dir, files, physSchema)
     val cols = base.columns.map(col)
-    val keyed = base.select(cols :+
+    val keyed0 = base.select(cols :+
       fileKeyExpr(dir, col("_metadata.file_path")).as("__file") :+
       col("_metadata.row_index").as("__row_index"): _*)
+    // initial DEFAULTS: row-level conditions (delete/update/merge
+    // probes) must see the served values, or a predicate on a
+    // defaulted column would silently miss every pre-ADD row. __file
+    // is in hand here, so the replacement is a per-column when() over
+    // the scanned subset's pre-ADD files (bounded by `files`).
+    val keyed = st.defaults.foldLeft(keyed0) {
+      case (df, (c, (dv, pre))) =>
+        val subset = files.filter(pre)
+        val dt = schema.flatMap(_.fields.find(_.name == c)).map(_.dataType)
+        if (subset.isEmpty || dt.isEmpty) df
+        else {
+          val pc = physName(st.colMap, c)
+          df.withColumn(pc, when(col("__file").isin(subset: _*),
+            lit(dv).cast(dt.get)).otherwise(col(pc)))
+        }
+    }
     val live = dvRows(spark, dir, st.dvRefs, files) match {
       case None => keyed
       case Some(dv) => keyed.join(broadcast(dv),
@@ -3959,7 +4104,8 @@ object SnapshotTable {
     val baseDv = stateOf(spark, dir, base).dvRefs
     val survivors =
       readFilesWithDv(spark, dir, touched, manifestSchema(spark, dir, base),
-        baseDv, stateOf(spark, dir, base).colMap)
+        baseDv, stateOf(spark, dir, base).colMap,
+        stateOf(spark, dir, base).defaults)
         .filter(not(condition))
     commitRewrite(spark, dir, touched, survivors,
       trackedStatsCols(spark, dir, base),
@@ -4007,7 +4153,8 @@ object SnapshotTable {
     if (touched.isEmpty) return None
     val baseDv = stateOf(spark, dir, base).dvRefs
     val src = readFilesWithDv(spark, dir, touched, schema, baseDv,
-      stateOf(spark, dir, base).colMap)
+      stateOf(spark, dir, base).colMap,
+      stateOf(spark, dir, base).defaults)
     // All SET expressions see the PRE-update row: project them in one
     // select, not a fold of withColumn (which would let later SETs
     // read earlier SETs' outputs — not SQL UPDATE semantics).
@@ -4270,7 +4417,8 @@ object SnapshotTable {
       if (touched.isEmpty) source
       else readFilesWithDv(spark, dir, touched,
           base.flatMap(manifestSchema(spark, dir, _)), baseDv,
-          base.map(stateOf(spark, dir, _).colMap).getOrElse(Map.empty))
+          base.map(stateOf(spark, dir, _).colMap).getOrElse(Map.empty),
+          base.map(stateOf(spark, dir, _).defaults).getOrElse(Map.empty))
         .join(srcKeys, keys, "left_anti")
         .unionByName(source)
     commitRewrite(spark, dir, touched, rewrite,
@@ -4489,7 +4637,7 @@ object SnapshotTable {
       .filter(_._1.nonEmpty)
       .map { case (files, rw) =>
         readFilesWithDv(spark, dir, files, Some(schema), st.dvRefs,
-          st.colMap).withColumn(RW, lit(rw))
+          st.colMap, st.defaults).withColumn(RW, lit(rw))
       }
     val tFrame =
       (if (tParts.isEmpty)
@@ -4685,7 +4833,8 @@ object SnapshotTable {
       if (touched.isEmpty) inserts
       else readFilesWithDv(spark, dir, touched,
           base.flatMap(manifestSchema(spark, dir, _)), baseDv,
-          base.map(stateOf(spark, dir, _).colMap).getOrElse(Map.empty))
+          base.map(stateOf(spark, dir, _).colMap).getOrElse(Map.empty),
+          base.map(stateOf(spark, dir, _).defaults).getOrElse(Map.empty))
         .join(affectedKeys, keys, "left_anti")
         .unionByName(inserts, allowMissingColumns = true)
     commitRewrite(spark, dir, touched, rewrite,

@@ -186,6 +186,55 @@ class GraftSqlDmlSpec extends AnyFunSuite {
       "re-added column resurrected retired bytes")
   }
 
+  test("ADD COLUMN ... DEFAULT serves the literal for pre-ADD files only; rewrites materialize") {
+    val dir = tmp("adddef"); mk(dir, 6L)                       // v0 pre-ADD
+    SnapshotSql.bind("sqldml_adddef", dir)
+    val before = SnapshotTable.manifestFiles(spark, dir, 0L).toSet
+    spark.sql("ALTER TABLE sqldml_adddef ADD COLUMN rank INT DEFAULT 7")
+    val v1 = SnapshotTable.latestVersion(spark, dir).get
+    assert(SnapshotTable.manifestFiles(spark, dir, v1).toSet == before,
+      "ADD COLUMN DEFAULT must be metadata-only")
+    // every read surface serves 7 for the pre-ADD population
+    assert(SnapshotTable.read(spark, dir)
+      .filter(col("rank") === 7).count() == 6)                 // API
+    assert(spark.sql(s"SELECT * FROM graft.`$dir` WHERE rank = 7")
+      .count() == 6)                                           // SQL
+    assert(spark.read.format("graft").load(dir)
+      .filter(col("rank") === 7).count() == 6)                 // format
+    // post-ADD rows read their physical bytes: explicit NULL stays NULL
+    spark.sql("INSERT INTO sqldml_adddef SELECT 100L, 'x', 1L, 1")
+    spark.sql(
+      "INSERT INTO sqldml_adddef SELECT 101L, 'y', 1L, CAST(NULL AS INT)")
+    val got = SnapshotTable.read(spark, dir)
+    assert(got.filter(col("rank") === 7).count() == 6)
+    assert(got.filter(col("rank") === 1).count() == 1)
+    assert(got.filter(col("rank").isNull).count() == 1,
+      "an explicit post-ADD NULL must NOT read as the default")
+    // a DELETE matching on the SERVED default: the probe sees 7, the
+    // survivors MATERIALIZE it, and the rewritten file leaves the
+    // pre-ADD set (manifest defaults shrink, values persist)
+    spark.sql("DELETE FROM sqldml_adddef WHERE rank = 7 AND id >= 4")
+    val afterDel = SnapshotTable.read(spark, dir)
+    assert(afterDel.filter(col("rank") === 7).count() == 4)
+    assert(afterDel.filter(col("rank").isNull).count() == 1)
+    val headDefs = SnapshotTable.manifestDefaults(spark, dir,
+      SnapshotTable.latestVersion(spark, dir).get)
+    assert(headDefs.get("rank").forall(_._2.subsetOf(before)),
+      "rewritten files must leave the pre-ADD set")
+    // time travel: pre-ADD versions have no column; restore rolls the
+    // default back out with the schema
+    assert(!SnapshotTable.read(spark, dir, Some(0L))
+      .columns.contains("rank"))
+    spark.sql(s"RESTORE sqldml_adddef TO VERSION AS OF 0")
+    assert(!SnapshotTable.read(spark, dir).columns.contains("rank"))
+    assert(SnapshotTable.manifestDefaults(spark, dir,
+      SnapshotTable.latestVersion(spark, dir).get).isEmpty)
+    // a default that cannot cast is refused up front
+    intercept[IllegalArgumentException] {
+      spark.sql(
+        "ALTER TABLE sqldml_adddef ADD COLUMN bad INT DEFAULT 'oops'") }
+  }
+
   test("RESTORE TO TIMESTAMP AS OF resolves through the commit timeline") {
     val dir = tmp("rts"); mk(dir, 5L)                    // v0
     Thread.sleep(1200)

@@ -998,4 +998,63 @@ class SnapshotTableSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("unknown _change tag"))
   }
+
+  test("initial defaults serve on stream, CDF, clone, changeFeed; compact drains them") {
+    val dir = Files.createTempDirectory("graft-defs").toString + "/t"
+    SnapshotTable.append((0L until 8L).map(i => (i, s"v$i"))
+      .toDF("id", "v").coalesce(2), dir)                        // v0
+    SnapshotTable.addColumn(spark, dir, "score",
+      org.apache.spark.sql.types.LongType, default = Some(42L)) // v1
+    SnapshotTable.append(Seq((100L, "x", 5L)).toDF("id", "v", "score"),
+      dir)                                                      // v2
+    def scores(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(r.fieldIndex("score"))) -1L
+         else r.getLong(r.fieldIndex("score")))).toMap
+    val expect = (0L until 8L).map(_ -> 42L).toMap + (100L -> 5L)
+    // batch API + changeFeed from scratch
+    assert(scores(SnapshotTable.read(spark, dir)) == expect)
+    assert(scores(SnapshotTable.changeFeed(spark, dir, 0L, 2L)
+      .filter(col("_change") === "insert").drop("_change")) ==
+      Map(100L -> 5L))
+    // shallow clone serves the SOURCE's defaults (absolutized keys)
+    val cl = Files.createTempDirectory("graft-defs-cl").toString + "/t"
+    SnapshotTable.shallowClone(spark, dir, cl)
+    assert(scores(SnapshotTable.read(spark, cl)) == expect)
+    // streaming source: the snapshot batch serves defaults
+    val got = scala.collection.mutable.Map[Long, Long]()
+    val q = spark.readStream.format("graft").load(dir)
+      .writeStream
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-defs-ck").toString)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= scores(b); ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000); q.stop()
+    assert(got.toMap == expect, s"stream served ${got.toMap}")
+    // CDF source: initial-snapshot slices serve defaults too
+    val gotCdf = scala.collection.mutable.Map[Long, Long]()
+    val q2 = spark.readStream.format("graft")
+      .option("readChangeFeed", "true")
+      .load(dir)
+      .writeStream
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-defs-ck2").toString)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        gotCdf ++= scores(b.filter(col("_change") === "insert")
+          .drop("_change", "_commit_version")); ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination(120000); q2.stop()
+    assert(gotCdf.toMap == expect, s"CDF served ${gotCdf.toMap}")
+    // compact materializes: values persist, the defaults map drains
+    SnapshotTable.compact(spark, dir, clusterBy = Seq("id"))
+    val head = SnapshotTable.latestVersion(spark, dir).get
+    assert(SnapshotTable.manifestDefaults(spark, dir, head).isEmpty,
+      "all pre-ADD files rewritten — the entry must retire")
+    assert(scores(SnapshotTable.read(spark, dir)) == expect)
+  }
 }
