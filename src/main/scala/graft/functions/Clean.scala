@@ -112,7 +112,17 @@ object Clean {
     "d-MMM-yyyy" -> "^\\d{1,2}-[A-Za-z]{3}-\\d{4}$",
     "d-MMMM-yyyy" -> "^\\d{1,2}-[A-Za-z]{4,}-\\d{4}$",
     "d MMMM yyyy" -> "^\\d{1,2} [A-Za-z]{4,} \\d{4}$",
-    "d MMM yyyy" -> "^\\d{1,2} [A-Za-z]{3} \\d{4}$")
+    "d MMM yyyy" -> "^\\d{1,2} [A-Za-z]{3} \\d{4}$",
+    // round-10 tail: compact all-digit form ("19980305")
+    "yyyyMMdd" -> "^\\d{8}$")
+
+  /** Two-digit-year guard ("05-Mar-98") — handled OUTSIDE the format
+    * chain because the century pivot must be explicit: Spark's `yy`
+    * pattern is 2000-based (98 → 2098) while the POSIX/strptime (and
+    * dateutil-adjacent) convention every oracle engine implements is
+    * 69..99 → 19xx, 00..68 → 20xx. The pivot rewrites the string to
+    * its four-digit form and reuses the d-MMM-yyyy parse. */
+  private val TwoDigitYearGuard = "^\\d{1,2}-[A-Za-z]{3}-\\d{2}$"
 
   /** O12: fuzzy date cast over the declared format subset
     * (main.py:241-247) — first format that parses wins; NULL otherwise.
@@ -148,9 +158,18 @@ object Clean {
       .sortBy { case (_, members) => members.map(_._2).min }
       .map { case (re, members) =>
         re -> members.sortBy(_._2).map { case ((f, _), _) => f } }
-    coalesce(grouped.map { case (re, formats) =>
+    val chained = grouped.map { case (re, formats) =>
       when(s.rlike(re),
         coalesce(formats.map(f => try_to_timestamp(s, lit(f))): _*))
-    }: _*).cast("date")
+    }
+    // d-MMM-yy with the POSIX century pivot (see TwoDigitYearGuard):
+    // rebuild "05-Mar-98" as "05-Mar-1998" and parse 4-digit.
+    val yy = substring(s, -2, 2).cast("int")
+    val fullYear = when(yy <= 68, yy + 2000).otherwise(yy + 1900)
+    val twoDigit = when(s.rlike(TwoDigitYearGuard),
+      try_to_timestamp(
+        concat(regexp_replace(s, "\\d{2}$", ""), fullYear.cast("string")),
+        lit("d-MMM-yyyy")))
+    coalesce((chained :+ twoDigit): _*).cast("date")
   }
 }

@@ -207,7 +207,7 @@ object Queries {
         .when(dayN.isin(2, 22), lit("nd"))
         .when(dayN.isin(3, 23), lit("rd"))
         .otherwise(lit("th"))
-      val arm = col("o_orderkey") % 9
+      val arm = col("o_orderkey") % 11
       val raw = when(arm === 0, date_format(col("o_orderdate"), "yyyy-MM-dd"))
         .when(arm === 1, date_format(col("o_orderdate"), "MM/dd/yyyy"))
         .when(arm === 2, date_format(col("o_orderdate"), "MMMM dd, yyyy"))
@@ -219,6 +219,11 @@ object Queries {
         .when(arm === 7, concat(date_format(col("o_orderdate"), "MMMM "),
           dayN.cast("string"), suffix, lit(", "),
           date_format(col("o_orderdate"), "yyyy")))
+        // round-10 tail formats: two-digit year (the POSIX 69-pivot —
+        // the fixture's 1995-2001 span exercises BOTH centuries) and
+        // the compact all-digit form
+        .when(arm === 8, date_format(col("o_orderdate"), "dd-MMM-yy"))
+        .when(arm === 9, date_format(col("o_orderdate"), "yyyyMMdd"))
         .otherwise(lit("not a date"))
       t(s, d, "orders")
         .select(col("o_orderkey"), raw.as("raw"))
@@ -227,7 +232,7 @@ object Queries {
     },
     Some("""WITH m AS (
       SELECT o_orderkey,
-        CASE CAST(o_orderkey % 9 AS INT)
+        CASE CAST(o_orderkey % 11 AS INT)
           WHEN 0 THEN strftime(o_orderdate, '%Y-%m-%d')
           WHEN 1 THEN strftime(o_orderdate, '%m/%d/%Y')
           WHEN 2 THEN strftime(o_orderdate, '%B %d, %Y')
@@ -244,6 +249,8 @@ object Queries {
                  WHEN day(o_orderdate) IN (2, 22) THEN 'nd'
                  WHEN day(o_orderdate) IN (3, 23) THEN 'rd'
                  ELSE 'th' END || strftime(o_orderdate, ', %Y')
+          WHEN 8 THEN strftime(o_orderdate, '%d-%b-%y')
+          WHEN 9 THEN strftime(o_orderdate, '%Y%m%d')
           ELSE 'not a date' END AS raw
       FROM orders),
     st AS (
@@ -251,14 +258,18 @@ object Queries {
         regexp_replace(raw, '(\d)(st|nd|rd|th)\b', '\1', 'g') AS stripped
       FROM m)
     SELECT o_orderkey, raw,
-      CAST(COALESCE(
+      CAST(CASE WHEN regexp_matches(stripped,
+             '^\d{1,2}-[A-Za-z]{3}-\d{2}$')
+           THEN TRY_STRPTIME(stripped, '%d-%b-%y')
+           ELSE COALESCE(
         TRY_STRPTIME(stripped, '%Y-%m-%d'),
         TRY_STRPTIME(stripped, '%m/%d/%Y'),
         TRY_STRPTIME(stripped, '%B %d, %Y'),
         TRY_STRPTIME(stripped, '%d-%b-%Y'),
         TRY_STRPTIME(stripped, '%B %d %Y'),
         TRY_STRPTIME(stripped, '%b %d, %Y'),
-        TRY_STRPTIME(stripped, '%d %B %Y')) AS DATE) AS parsed
+        TRY_STRPTIME(stripped, '%d %B %Y'),
+        TRY_STRPTIME(stripped, '%Y%m%d')) END AS DATE) AS parsed
     FROM st ORDER BY o_orderkey"""))
 
   /** O13 (main.py:224-225): sentinel → NULL normalization, counted. */

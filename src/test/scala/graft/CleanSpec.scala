@@ -60,6 +60,16 @@ class CleanSpec extends AnyFunSuite {
     assert(got.map(Option(_).map(_.toString).orNull) == exp)
   }
 
+  test("parseFuzzyDate: round-10 tail (d-MMM-yy POSIX pivot, yyyyMMdd)") {
+    val got = runStr(Clean.parseFuzzyDate,
+      Seq("05-Mar-98", "5-Mar-69", "05-Mar-68", "05-Mar-01", "5-Mar-00",
+        "19980305", "20240115", "99999999", "05-Mar-9"))
+    // POSIX two-digit-year pivot: 69..99 -> 19xx, 00..68 -> 20xx
+    val exp = Seq("1998-03-05", "1969-03-05", "2068-03-05", "2001-03-05",
+      "2000-03-05", "1998-03-05", "2024-01-15", null, null)
+    assert(got.map(Option(_).map(_.toString).orNull) == exp)
+  }
+
   test("parseFuzzyDate: round-6 tail (abbrev month with comma, ordinal suffixes)") {
     val got = runStr(Clean.parseFuzzyDate,
       Seq("Jan 5, 2024", "Jan 15, 2024", "Sep 5, 2024",
