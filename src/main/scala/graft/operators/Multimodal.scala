@@ -264,6 +264,7 @@ object Multimodal {
   def decodePixels(content: Array[Byte]): Option[PngCodec.Image] =
     PngCodec.decode(content)
       .orElse(GifCodec.decode(content).map(_.frames.head))
+      .orElse(JpegCodec.decode(content))
       .orElse(ImageIoCodec.decode(content))
 
   /** Distributed resize: every media row through the codec's

@@ -2486,6 +2486,46 @@ object Queries {
     GROUP BY d.doc_id
     ORDER BY d.doc_id"""))
 
+  /** REAL JPEG pipeline end-to-end through the pure-JVM baseline
+    * decoder ([[graft.operators.JpegCodec]]): each document becomes a
+    * 32×16 DC-only grayscale JPEG (8 blocks, all-ones quant table,
+    * dc(b) = 8·(((doc_id·13 + b·29) mod 255) − 127) — multiples of 8,
+    * so decode is the EXACT closed form 128 + dc/8 with no rounding
+    * or clamping), decoded through the full marker/Huffman/IDCT path
+    * via [[graft.operators.Multimodal.decodePixels]] (whose chain
+    * routes JPEG to JpegCodec — an ImageIO fallback would surface 3
+    * channels and triple the sum), box-resampled 4:1 (block-aligned
+    * boxes: averages of constants stay exact), and reduced to an
+    * integer pixel sum the oracle restates as plain modular
+    * arithmetic. Map-only, zero shuffle. */
+  private val qMediaJpeg = Q(
+    "q_media_jpeg",
+    (s, d) => {
+      import s.implicits._
+      import graft.operators.{JpegCodec, Multimodal, PngCodec}
+      t(s, d, "documents")
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          val dcs = Array.tabulate(8)(b =>
+            8 * ((((id * 13 + b * 29) % 255) - 127).toInt))
+          val bytes = JpegCodec.encodeGrayDcOnly(32, 16, dcs)
+          val img = Multimodal.decodePixels(bytes).getOrElse(
+            throw new IllegalStateException(s"JPEG decode failed for $id"))
+          val small = PngCodec.resizeBox(img, 8, 4)
+          var sum = 0L
+          small.pixels.foreach(p => sum += (p & 0xff))
+          (id, small.width, small.height, small.channels.toLong, sum)
+        }
+        .toDF("doc_id", "width", "height", "channels", "px_sum")
+        .orderBy("doc_id")
+    },
+    Some("""SELECT d.doc_id, 8 AS width, 4 AS height,
+      CAST(1 AS BIGINT) AS channels,
+      CAST(4 * SUM((d.doc_id * 13 + b.b * 29) % 255 + 1) AS BIGINT) AS px_sum
+    FROM documents d, range(8) b(b)
+    GROUP BY d.doc_id
+    ORDER BY d.doc_id"""))
+
   /** REAL audio pipeline end-to-end: each document deterministically
     * becomes a 1024-sample mono 16-bit PCM clip — sample(i) =
     * ((37 i^2 + 13 i + 101 doc_id) mod 4001) - 2000 —
@@ -13323,7 +13363,7 @@ object Queries {
     qCharhashCluster,
     qDedupMinhash, qDedupSimhash, qEmbedNearDup,
     qAnnTopk, qAnnIvf, qMediaFeatures, qMediaDims, qMediaResize,
-    qMediaGif, qAudioStats, qAudioSpectrum, qFrameSample, qPdfExtract,
+    qMediaGif, qMediaJpeg, qAudioStats, qAudioSpectrum, qFrameSample, qPdfExtract,
     qQuantile,
     qApproxQuantile,
     qWindowFuncs, qAsofJoin, qRangeJoin, qTextSearch, qLabelCentroids,

@@ -84,6 +84,57 @@ class ImageIoCrossSpec extends AnyFunSuite {
       "ImageIO and GifCodec disagree on our own GIF bytes")
   }
 
+  test("JpegCodec DC-only bytes decode BIT-EXACT through ImageIO (independent impl)") {
+    // DC-only blocks under an all-ones quant table: both our float
+    // IDCT and libjpeg's integer IDCT reconstruct the exact constant
+    // 128 + dc/8 (dc multiples of 8) — two implementations, one spec,
+    // zero tolerance.
+    val w = 40; val h = 24
+    val dcs = Array.tabulate((w / 8) * (h / 8))(i => ((i * 7) % 120 - 56) * 8)
+    val bytes = graft.operators.JpegCodec.encodeGrayDcOnly(w, h, dcs)
+    val ours = graft.operators.JpegCodec.decode(bytes).get
+    val bi = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(bi != null && bi.getWidth == w && bi.getHeight == h,
+      "ImageIO rejected our hand-assembled JPEG")
+    val raster = bi.getRaster
+    for (y <- 0 until h; x <- 0 until w)
+      assert(raster.getSample(x, y, 0) == (ours.pixels(y * w + x) & 0xff),
+        s"ImageIO disagrees at ($x,$y)")
+  }
+
+  test("JpegCodec agrees with ImageIO on ImageIO-written JPEGs (AC + subsampling)") {
+    // Grayscale (no chroma, IDCT differences only): |Δ| <= 1/sample.
+    val gw = 41; val gh = 23 // non-multiple-of-8: edge MCU padding path
+    val gbi = new java.awt.image.BufferedImage(gw, gh,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until gh; x <- 0 until gw)
+      gbi.getRaster.setSample(x, y, 0, (x * 5 + y * 3) % 256)
+    val gbytes = write(gbi, "jpg")
+    val gours = graft.operators.JpegCodec.decode(gbytes)
+      .getOrElse(fail("our decoder rejected an ImageIO grayscale JPEG"))
+    assert(gours.width == gw && gours.height == gh && gours.channels == 1)
+    val gback = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(gbytes)).getRaster
+    val gerr = (for (y <- 0 until gh; x <- 0 until gw) yield
+      math.abs(gback.getSample(x, y, 0) -
+        (gours.pixels(y * gw + x) & 0xff))).max
+    assert(gerr <= 1, s"grayscale max per-sample diff $gerr > 1")
+    // Color 4:2:0 (ImageIO's default): chroma upsampling filters are
+    // decoder's choice per the spec (ours is nearest, libjpeg's is
+    // triangular) — smooth gradients bound the difference tightly.
+    val src = PngCodec.Image(40, 24, 3,
+      Array.tabulate(40 * 24 * 3) { i =>
+        val k = i / 3; ((k % 40) * 3 + (k / 40) * 4).toByte })
+    val cbytes = write(toBuffered(src), "jpg")
+    val cours = graft.operators.JpegCodec.decode(cbytes)
+      .getOrElse(fail("our decoder rejected an ImageIO color JPEG"))
+    assert(cours.width == 40 && cours.height == 24 && cours.channels == 3)
+    val cIio = ImageIoCodec.decode(cbytes).get
+    val cerr = cours.pixels.zip(cIio.pixels)
+      .map { case (a, b) => math.abs((a & 0xff) - (b & 0xff)) }.max
+    assert(cerr <= 12, s"color max per-sample diff $cerr > 12")
+  }
+
   test("JPEG decodes for real through the ImageIO fallback; resample composes") {
     // A smooth gradient survives JPEG within a tight error bound —
     // enough to pin that real DCT decoding happened (the stub would
