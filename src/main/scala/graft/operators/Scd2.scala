@@ -108,7 +108,9 @@ object Scd2 {
     // ([[SnapshotTable.readWhereKeySet]]). On a key-clustered
     // dimension a maintain reads O(affected key clusters) dimension
     // files, never the dimension — the 100 TB cost model.
-    val affectedRows = affected.limit(PruneKeyLimit + 1).collect()
+    val affectedRows = SnapshotTable.labeled(spark, "scd2:key-collect") {
+      affected.limit(PruneKeyLimit + 1).collect()
+    }
     val openLookup =
       if (affectedRows.length > PruneKeyLimit)
         SnapshotTable.read(spark, dimDir).join(affected, keys, "left_semi")

@@ -226,11 +226,13 @@ object MaterializedAgg {
       // sanity check (negative live counts = feed/view divergence).
       // These were three separate actions, each re-running the join.
       val retAlive = retracted && newN > 0
-      val p = joined.agg(
+      val p = SnapshotTable.labeled(spark, "matview:refresh-probe") {
+        joined.agg(
         count(lit(1)).as("_n"),
         coalesce(sum(when(retAlive, 1L).otherwise(0L)), lit(0L)).as("_aff"),
         coalesce(sum(when(newN < 0, 1L).otherwise(0L)), lit(0L)).as("_bad")
-      ).collect()(0)
+        ).collect()(0)
+      }
       val (nRows, nAff, nBad) = (p.getLong(0), p.getLong(1), p.getLong(2))
       if (nBad > 0) {
         // A negative live count means the feed and the view disagree —

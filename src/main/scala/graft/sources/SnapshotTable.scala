@@ -109,6 +109,24 @@ object SnapshotTable {
   private def fs(spark: SparkSession, dir: String): FileSystem =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Label every Spark job an internal phase launches (guide §1.5 —
+    * "label your jobs"): the phase tag is APPENDED to whatever
+    * description the caller already set, so a profiler/UI reading
+    * `spark.job.description` can attribute each control-plane job
+    * (probe, stats scan, rewrite, ...) to the table operation that
+    * ran it. Pure observability — restores the previous description
+    * on exit. */
+  private[graft] def labeled[T](spark: SparkSession, tag: String)
+                               (body: => T): T = {
+    val sc = spark.sparkContext
+    val prev = sc.getLocalProperty("spark.job.description")
+    sc.setJobDescription(
+      if (prev == null || prev.isEmpty) s"graft:$tag"
+      else s"$prev | $tag")
+    try body
+    finally sc.setJobDescription(prev)
+  }
+
   private def manifestDir(dir: String) = new Path(dir, "_manifests")
   private def manifestPath(dir: String, v: Long) =
     new Path(manifestDir(dir), s"v$v.json")
@@ -1628,6 +1646,172 @@ object SnapshotTable {
     }.toMap
   }
 
+  /** One column chunk's (tag, min, max) rendered EXACTLY as
+    * [[computeStats]]/[[statStr]] would render the same values, or
+    * Left(()) when the column's physical encoding carries no usable
+    * footer statistics (INT96 timestamps — Spark's default parquet
+    * timestamp encoding — and any exotic annotation), or Right(None)
+    * when this chunk's statistics are absent/empty (conservative:
+    * the file simply stays un-prunable on the column).
+    *
+    * Order-compatibility is the load-bearing fact: parquet footer
+    * min/max for UTF8 binary use UNSIGNED byte order — the SAME order
+    * Spark's min/max over strings (UTF8String binary order) and this
+    * manifest's [[statCompare]] use — and numeric/date/ts chunk stats
+    * are exact typed values, so footer bounds are valid [min,max]
+    * bounds in every stat domain pruning compares in. */
+  private def chunkStat(
+      ccmd: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData
+     ): Either[Unit, Option[(String, String, String)]] = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import org.apache.parquet.schema.LogicalTypeAnnotation._
+    val pt = ccmd.getPrimitiveType
+    val ann = pt.getLogicalTypeAnnotation
+    // tag + renderer from the parquet type itself (self-contained:
+    // works for every writer in this file without threading schemas)
+    val render: Either[Unit, (String, Any => String)] =
+      (pt.getPrimitiveTypeName, ann) match {
+        case (INT96, _) => Left(())                 // no usable stats
+        case (_, d: DecimalLogicalTypeAnnotation) =>
+          val scale = d.getScale
+          Right(("num", {
+            case i: java.lang.Integer =>
+              java.math.BigDecimal.valueOf(i.longValue, scale).toString
+            case l: java.lang.Long =>
+              java.math.BigDecimal.valueOf(l, scale).toString
+            case b: org.apache.parquet.io.api.Binary =>
+              new java.math.BigDecimal(
+                new java.math.BigInteger(b.getBytes), scale).toString
+            case x => x.toString
+          }))
+        case (INT32, _: DateLogicalTypeAnnotation) =>
+          Right(("date", _.toString))
+        case (INT64, t: TimestampLogicalTypeAnnotation)
+            if t.getUnit == LogicalTypeAnnotation.TimeUnit.MICROS =>
+          Right(("ts", _.toString))
+        case (INT64, _: TimestampLogicalTypeAnnotation) => Left(())
+        case (BINARY, _: StringLogicalTypeAnnotation) =>
+          Right(("str", {
+            case b: org.apache.parquet.io.api.Binary => b.toStringUsingUTF8
+            case x => x.toString
+          }))
+        case (INT32 | INT64, null) => Right(("num", _.toString))
+        case (INT32 | INT64, _: IntLogicalTypeAnnotation) =>
+          Right(("num", _.toString))
+        case (FLOAT | DOUBLE, _) => Right(("num", _.toString))
+        case _ => Left(())
+      }
+    render.map { case (tag, r) =>
+      val st = ccmd.getStatistics
+      if (st == null || st.isEmpty || !st.hasNonNullValue) None
+      else scala.util.Try(
+        (tag, r(st.genericGetMin), r(st.genericGetMax))).toOption
+    }
+  }
+
+  /** Per-file min/max of `statsCols` (PHYSICAL names) plus [[RowsCol]]
+    * counts, read from the parquet FOOTERS of freshly written files —
+    * the metadata the write already produced, so the batch is never
+    * re-scanned for stats (guide §6: use file metadata, don't re-read
+    * data). Returns the stats map and the set of requested columns
+    * whose encoding carries no footer stats (INT96 timestamps) — the
+    * caller routes exactly those through the scan-based path.
+    * A chunk with absent/all-null statistics just drops the column
+    * for that file: stats can only ever SKIP a provably-unmatching
+    * file, so absence is always safe. */
+  private def footerSummaries(spark: SparkSession, dir: String,
+                              statuses: Seq[FileStatus],
+                              statsCols: Seq[String]
+                             ): (Map[String, Map[String, ColStat]],
+                                 Set[String]) = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val wanted = statsCols.distinct
+    val unsupported =
+      java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val perFile = statuses.map { st =>
+      val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf))
+      try {
+        val cnt = rd.getRecordCount
+        val blocks = rd.getFooter.getBlocks
+        // per column: fold chunk stats across row groups in the stat
+        // domain; any unusable chunk drops the column for this file
+        val colStats = wanted.flatMap { c =>
+          var tag: String = null
+          var mn: String = null
+          var mx: String = null
+          var ok = true
+          val it = blocks.iterator()
+          while (ok && it.hasNext) {
+            val block = it.next()
+            if (block.getRowCount > 0) {
+              val chunk = {
+                val cit = block.getColumns.iterator()
+                var found: org.apache.parquet.hadoop.metadata
+                  .ColumnChunkMetaData = null
+                while (found == null && cit.hasNext) {
+                  val cc = cit.next()
+                  if (cc.getPath.size == 1 && cc.getPath.toDotString == c)
+                    found = cc
+                }
+                found
+              }
+              if (chunk == null) ok = false
+              else chunkStat(chunk) match {
+                case Left(()) => unsupported.add(c); ok = false
+                case Right(None) => ok = false
+                case Right(Some((t, lo, hi))) =>
+                  if (tag == null) { tag = t; mn = lo; mx = hi }
+                  else if (tag != t) ok = false
+                  else {
+                    (statCompare(tag, lo, mn), statCompare(tag, hi, mx)) match {
+                      case (Some(a), Some(b)) =>
+                        if (a < 0) mn = lo
+                        if (b > 0) mx = hi
+                      case _ => ok = false
+                    }
+                  }
+              }
+            }
+          }
+          if (ok && tag != null) Some(c -> ColStat(tag, mn, mx)) else None
+        }.toMap
+        manifestKey(dir, st.getPath.toString) ->
+          (colStats + (RowsCol -> ColStat("num", cnt.toString, cnt.toString)))
+      } finally rd.close()
+    }.toMap
+    import scala.jdk.CollectionConverters._
+    val unsup = unsupported.asScala.toSet
+    // a column that fell back to the scan must not ALSO carry partial
+    // footer entries (the scan result is authoritative for it)
+    val cleaned =
+      if (unsup.isEmpty) perFile
+      else perFile.view.mapValues(_.filterNot(kv => unsup(kv._1))).toMap
+    (cleaned, unsup)
+  }
+
+  /** The one batch-summary entry point every committer uses: footer
+    * stats + row counts in ONE footer pass per file (no executor job,
+    * no data re-read), with the scan-based [[batchSummaries]] retained
+    * for exactly (a) Bloom bitsets — data-dependent by nature — and
+    * (b) stat columns whose parquet encoding has no usable footer
+    * statistics (INT96 timestamps). A stats-only table therefore
+    * commits with ZERO post-write jobs; before this, every append and
+    * every CoW rewrite re-read every byte it had just written. */
+  private def summarizeBatch(spark: SparkSession, dir: String,
+                             batchDir: Path, listed: Seq[FileStatus],
+                             statsCols: Seq[String],
+                             bloomCols: Seq[String], strictBlooms: Boolean
+                            ): (Map[String, Map[String, ColStat]],
+                                Map[String, Map[String, Array[Byte]]]) = {
+    val (footer, scanCols) =
+      footerSummaries(spark, dir, listed, statsCols)
+    val (scanStats, blooms) = batchSummaries(spark, batchDir,
+      scanCols.toSeq, bloomCols, strictBlooms)
+    (withRowCounts(scanStats, footer), blooms)
+  }
+
   /** Outer per-file merge of a batch's column stats with its
     * [[RowsCol]] counts (computeStats drops stat-less files; counts
     * cover every file). */
@@ -1845,7 +2029,9 @@ object SnapshotTable {
       .foreach(evolveSchema(_, df.schema))
     val vcs = enforceConstraints(spark, dir, df, "append")
     val (sCols, bCols) = inheritTracking(spark, dir, df, statsCols, bloomCols)
-    val wb = writeBatch(df, dir, sCols, bCols, strictBlooms = false)
+    val wb = labeled(spark, "append") {
+      writeBatch(df, dir, sCols, bCols, strictBlooms = false)
+    }
     commitAppend(spark, dir, df.schema, wb.added, wb.stats, wb.refs,
       wb.bloomCols, maxRetries, "append",
       addedSizes = wb.sizes,
@@ -2003,9 +2189,8 @@ object SnapshotTable {
     val added = listed.map(st => manifestKey(dir, st.getPath.toString))
     val sizes = listed.map(st =>
       manifestKey(dir, st.getPath.toString) -> st.getLen).toMap
-    val (colStats, blooms) = batchSummaries(spark, batchDir,
+    val (stats, blooms) = summarizeBatch(spark, dir, batchDir, listed,
       (partitionBy ++ sCols).distinct, bCols, strictBlooms = false)
-    val stats = withRowCounts(colStats, footerRowCounts(spark, dir, listed))
     val refs = writeBloomSidecar(spark, dir, batch, blooms)
     commitAppend(spark, dir, df.schema, added, stats, refs, bCols,
       maxRetries, "appendPartitioned", addedSizes = sizes,
@@ -2067,9 +2252,8 @@ object SnapshotTable {
     val added = listed.map(st => manifestKey(dir, st.getPath.toString))
     val sizes = listed.map(st =>
       manifestKey(dir, st.getPath.toString) -> st.getLen).toMap
-    val (colStats, blooms) = batchSummaries(spark, batchDir, sCols,
-      bCols, strictBlooms = false)
-    val stats = withRowCounts(colStats, footerRowCounts(spark, dir, listed))
+    val (stats, blooms) = summarizeBatch(spark, dir, batchDir, listed,
+      sCols, bCols, strictBlooms = false)
     val refs = writeBloomSidecar(spark, dir, batch, blooms)
     commitAppend(spark, dir, df.schema, added, stats, refs, bCols,
       maxRetries, "appendBucketed", addedSizes = sizes,
@@ -2157,9 +2341,8 @@ object SnapshotTable {
     val added = listed.map(st => manifestKey(dir, st.getPath.toString))
     val sizes = listed.map(st =>
       manifestKey(dir, st.getPath.toString) -> st.getLen).toMap
-    val (colStats, blooms) = batchSummaries(spark, batchDir,
+    val (stats, blooms) = summarizeBatch(spark, dir, batchDir, listed,
       (partitionBy ++ sCols).distinct, bCols, strictBlooms = false)
-    val stats = withRowCounts(colStats, footerRowCounts(spark, dir, listed))
     val refs = writeBloomSidecar(spark, dir, batch, blooms)
     commitAppend(spark, dir, df.schema, added, stats, refs, bCols,
       maxRetries, "transactionalAppendPartitioned",
@@ -2264,15 +2447,17 @@ object SnapshotTable {
     val f = fs(spark, dir)
     val batch = java.util.UUID.randomUUID().toString
     val batchDir = new Path(dir, s"data/$batch")
-    physDf.write.parquet(batchDir.toString)
+    labeled(spark, "write-batch:data") {
+      physDf.write.parquet(batchDir.toString)
+    }
     val listed = f.listStatus(batchDir).toSeq
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
     val added = listed.map(s => s"data/$batch/${s.getPath.getName}")
     val sizes = listed.map(s =>
       s"data/$batch/${s.getPath.getName}" -> s.getLen).toMap
-    val (colStats, blooms) =
-      batchSummaries(spark, batchDir, sCols, bCols, strictBlooms)
-    val stats = withRowCounts(colStats, footerRowCounts(spark, dir, listed))
+    val (stats, blooms) = labeled(spark, "write-batch:summaries") {
+      summarizeBatch(spark, dir, batchDir, listed, sCols, bCols, strictBlooms)
+    }
     // Bitsets land in the batch's sidecar file; the manifest only ever
     // carries the path-sized refs.
     val refs = writeBloomSidecar(spark, dir, batch, blooms)
@@ -3020,10 +3205,8 @@ object SnapshotTable {
     // strict=false: trackedBlooms is the table's RECORDED column list,
     // which on a pre-r7 table may include since-rejected types —
     // compaction must complete, dropping those bitsets, not throw.
-    val (rwStats, rwBlooms) = batchSummaries(spark, batchDir,
-      trackedCols, trackedBlooms, strictBlooms = false)
-    val rewrittenStats = withRowCounts(rwStats,
-      footerRowCounts(spark, dir, rewrittenList))
+    val (rewrittenStats, rwBlooms) = summarizeBatch(spark, dir, batchDir,
+      rewrittenList, trackedCols, trackedBlooms, strictBlooms = false)
     val rewrittenRefs = writeBloomSidecar(spark, dir, batch, rwBlooms)
     var attempt = 0
     while (attempt < maxRetries) {
@@ -4097,9 +4280,11 @@ object SnapshotTable {
     val base = latestVersion(spark, dir).getOrElse(
       throw new java.io.IOException(s"deleteWhere: no committed version under $dir"))
     if (manifestFiles(spark, dir, base).isEmpty) return None
-    val touched = withFile(spark, dir, base)
-      .filter(condition).select("__file").distinct().collect()
-      .map(r => manifestKey(dir, r.getString(0))).toSeq.sorted
+    val touched = labeled(spark, "delete-where:touched-probe") {
+      withFile(spark, dir, base)
+        .filter(condition).select("__file").distinct().collect()
+        .map(r => manifestKey(dir, r.getString(0))).toSeq.sorted
+    }
     if (touched.isEmpty) return None
     val baseDv = stateOf(spark, dir, base).dvRefs
     val survivors =
@@ -4147,9 +4332,11 @@ object SnapshotTable {
           s"${fieldNames.mkString(", ")})")
     }
     if (manifestFiles(spark, dir, base).isEmpty) return None
-    val touched = withFile(spark, dir, base)
-      .filter(condition).select("__file").distinct().collect()
-      .map(r => manifestKey(dir, r.getString(0))).toSeq.sorted
+    val touched = labeled(spark, "update-where:touched-probe") {
+      withFile(spark, dir, base)
+        .filter(condition).select("__file").distinct().collect()
+        .map(r => manifestKey(dir, r.getString(0))).toSeq.sorted
+    }
     if (touched.isEmpty) return None
     val baseDv = stateOf(spark, dir, base).dvRefs
     val src = readFilesWithDv(spark, dir, touched, schema, baseDv,
@@ -4749,72 +4936,108 @@ object SnapshotTable {
       if (pre.getOrElse(appId, Long.MinValue) >= tv) return None
     }
     val inserts = changes.filter(col("_change") === "insert").drop("_change")
-    // ONE probe job validates the batch — bad-tag count, max insert
-    // multiplicity per key, affected-key count — replacing three
-    // separate actions (tag scan, duplicate scan, emptiness), each of
-    // which re-ran the caller's whole change plan. Example rows for
-    // the error messages are fetched only on the (rare) failure paths.
+    // The affected key set — every key any change row names. (The
+    // insert∪(delete∖insert) formulation this replaces is the same
+    // SET, built with two extra shuffles — an anti-join and a union —
+    // that a single distinct never pays.)
+    val affectedKeysFull = changes.select(keys.map(col): _*).distinct()
+    // FUSED probe + key collect: ONE bounded action over the change
+    // frame yields (a) the affected key set for file pruning, (b) the
+    // per-key validation aggregates — bad-tag count, insert
+    // multiplicity — and (c) emptiness. Up to pruneKeyLimit the
+    // per-key rows ARE control-plane data, so collecting them with
+    // the validation columns attached replaces what used to be two
+    // separate actions (a global validation aggregate + a distinct
+    // key collect), each of which re-ran the caller's whole change
+    // plan. Past the cap (bulk applies) the key set is no longer
+    // collectable and validation falls back to the global aggregate.
     // The tag guard must be NULL-safe: `!isin(...)` evaluates to NULL
     // for a NULL tag — a mistyped or NULL tag silently vanishing from
-    // the apply would be a data-loss bug, not a skip.
-    // `preValidated` skips the probe entirely — for internal callers
-    // whose batch is valid BY CONSTRUCTION (MaterializedAgg.refresh
-    // tags via when/otherwise, keys via groupBy, emptiness via its own
-    // fused probe): one fewer job per refresh.
+    // the apply would be a data-loss bug, not a skip. Example rows
+    // for error messages are fetched only on the (rare) failure path.
+    // `preValidated` spares internal callers the validation half —
+    // their batches are valid by construction (MaterializedAgg
+    // .refresh tags via when/otherwise, keys via groupBy, emptiness
+    // via its own fused probe) — but the key collect still runs: the
+    // file-pruned touched probe needs it.
+    val badTagC = col("_change").isNull ||
+      !col("_change").isin("insert", "delete")
+    val fused: Option[Array[org.apache.spark.sql.Row]] =
+      if (pruneKeyLimit <= 0) None
+      else labeled(spark, "apply-changes:probe+keys") {
+        val rows = changes.groupBy(keys.map(col): _*)
+          .agg(
+            sum(when(col("_change") === "insert", 1L).otherwise(0L))
+              .as("__ac_ni"),
+            sum(when(badTagC, 1L).otherwise(0L)).as("__ac_nb"))
+          .limit(pruneKeyLimit + 1).collect()
+        if (rows.length > pruneKeyLimit) None else Some(rows)
+      }
     if (!preValidated) {
-      val badTagC = col("_change").isNull ||
-        !col("_change").isin("insert", "delete")
-      val probe = changes.groupBy(keys.map(col): _*)
-        .agg(
-          sum(when(col("_change") === "insert", 1L).otherwise(0L)).as("_ni"),
-          sum(when(badTagC, 1L).otherwise(0L)).as("_nb"))
-        .agg(coalesce(sum(col("_nb")), lit(0L)),
-          coalesce(max(col("_ni")), lit(0L)), count(lit(1)))
-        .collect()(0)
-      if (probe.getLong(0) > 0) {
-        val badTag = changes.filter(badTagC).limit(1).collect()
-        require(badTag.isEmpty,
-          s"applyChanges: unknown _change tag in e.g. " +
-            s"${badTag.headOption.orNull} — only insert|delete are defined")
+      fused match {
+        case Some(rows) =>
+          val nb = rows.iterator.map(_.getLong(keys.length + 1)).sum
+          if (nb > 0) {
+            val badTag = changes.filter(badTagC).limit(1).collect()
+            require(badTag.isEmpty,
+              s"applyChanges: unknown _change tag in e.g. " +
+                s"${badTag.headOption.orNull} — only insert|delete are defined")
+          }
+          if (rows.iterator.map(_.getLong(keys.length)).maxOption
+              .getOrElse(0L) > 1) {
+            val dupKeys = inserts.groupBy(keys.map(col): _*)
+              .count().filter(col("count") > 1).limit(1).collect()
+            require(dupKeys.isEmpty,
+              s"applyChanges: duplicate insert keys, e.g. " +
+                s"${dupKeys.head.mkString(",")}")
+          }
+          if (rows.isEmpty) return None
+        case None =>
+          // past the collect cap: the global validation aggregate
+          val probe = labeled(spark, "apply-changes:probe") {
+            changes.groupBy(keys.map(col): _*)
+              .agg(
+                sum(when(col("_change") === "insert", 1L).otherwise(0L))
+                  .as("_ni"),
+                sum(when(badTagC, 1L).otherwise(0L)).as("_nb"))
+              .agg(coalesce(sum(col("_nb")), lit(0L)),
+                coalesce(max(col("_ni")), lit(0L)), count(lit(1)))
+              .collect()(0)
+          }
+          if (probe.getLong(0) > 0) {
+            val badTag = changes.filter(badTagC).limit(1).collect()
+            require(badTag.isEmpty,
+              s"applyChanges: unknown _change tag in e.g. " +
+                s"${badTag.headOption.orNull} — only insert|delete are defined")
+          }
+          if (probe.getLong(1) > 1) {
+            val dupKeys = inserts.groupBy(keys.map(col): _*)
+              .count().filter(col("count") > 1).limit(1).collect()
+            require(dupKeys.isEmpty,
+              s"applyChanges: duplicate insert keys, e.g. " +
+                s"${dupKeys.head.mkString(",")}")
+          }
+          if (probe.getLong(2) == 0) return None
       }
-      if (probe.getLong(1) > 1) {
-        val dupKeys = inserts.groupBy(keys.map(col): _*)
-          .count().filter(col("count") > 1).limit(1).collect()
-        require(dupKeys.isEmpty,
-          s"applyChanges: duplicate insert keys, e.g. " +
-            s"${dupKeys.head.mkString(",")}")
-      }
-      if (probe.getLong(2) == 0) return None
     }
     // Only the insert half introduces new values.
     val vcs = enforceConstraints(spark, dir, inserts, "applyChanges")
-    val insertKeys = inserts.select(keys.map(col): _*).distinct()
-    // Pure deletes: delete-side keys with no insert half.
-    val deleteKeys = changes.filter(col("_change") === "delete")
-      .select(keys.map(col): _*).distinct()
-      .join(insertKeys, keys, "left_anti")
-    val affectedKeysFull = insertKeys.unionByName(deleteKeys)
     // BOUNDED-KEY-SET FILE PRUNING. The touched-file probe's semi-join
     // is exact but, unpruned, SCANS the whole table per apply — at a
     // 100 TB dimension that scan IS the operation's cost. The
     // incremental case (keys come from a change feed) has a small key
-    // set by construction: collect it (capped — past the cap the key
-    // set is no longer control-plane data and the full scan is the
-    // right plan anyway), prune the probe's scan to the files whose
-    // stats/Bloom summaries might hold ANY affected key, and feed the
-    // collected set back as a BROADCAST frame so the probe, the
-    // rewrite's anti-join, and the conflict check stop re-running the
-    // caller's change plan.
+    // set by construction: the fused collect above bounded it, the
+    // probe's scan prunes to the files whose stats/Bloom summaries
+    // might hold ANY affected key, and the collected set feeds back
+    // as a BROADCAST frame so the probe, the rewrite's anti-join, and
+    // the conflict check stop re-running the caller's change plan.
+    val keySchema = StructType(affectedKeysFull.schema.fields)
     val collectedKeys: Option[Array[org.apache.spark.sql.Row]] =
-      if (pruneKeyLimit <= 0) None
-      else {
-        val rows = affectedKeysFull.limit(pruneKeyLimit + 1).collect()
-        if (rows.length > pruneKeyLimit) None else Some(rows)
-      }
+      fused.map(_.map(r =>
+        org.apache.spark.sql.Row.fromSeq(r.toSeq.dropRight(2))))
     val affectedKeys = collectedKeys match {
       case Some(rows) => broadcast(spark.createDataFrame(
-        java.util.Arrays.asList(rows.toSeq: _*),
-        StructType(affectedKeysFull.schema.fields)))
+        java.util.Arrays.asList(rows.toSeq: _*), keySchema))
       case None => affectedKeysFull
     }
     val base = latestVersion(spark, dir)
@@ -4823,9 +5046,11 @@ object SnapshotTable {
         val candidates = collectedKeys
           .map(rows => pruneFilesForKeys(spark, dir, v, keys, rows))
         if (candidates.exists(_.isEmpty)) Seq.empty[String]
-        else withFile(spark, dir, v, candidates)
-          .join(affectedKeys, keys, "left_semi").select("__file").distinct()
-          .collect().map(r => manifestKey(dir, r.getString(0))).toSeq.sorted
+        else labeled(spark, "apply-changes:touched-probe") {
+          withFile(spark, dir, v, candidates)
+            .join(affectedKeys, keys, "left_semi").select("__file").distinct()
+            .collect().map(r => manifestKey(dir, r.getString(0))).toSeq.sorted
+        }
       case _ => Seq.empty[String]
     }
     val baseDv = base.map(stateOf(spark, dir, _).dvRefs).getOrElse(Map.empty)
@@ -4948,8 +5173,10 @@ object SnapshotTable {
     // row-level op on a pre-r7 table. basis = the state the rewrite
     // frame's logical names were resolved against (see writeBatch's
     // column-mapping race contract).
-    val wb = writeBatch(rewrite, dir, statsCols, bloomCols,
-      strictBlooms = false, basis = basis)
+    val wb = labeled(spark, op) {
+      writeBatch(rewrite, dir, statsCols, bloomCols,
+        strictBlooms = false, basis = basis)
+    }
     val (added, addedStats, addedRefs, addedSizes, claim) =
       (wb.added, wb.stats, wb.refs, wb.sizes, wb.claim)
     val touchedSet = touched.toSet
