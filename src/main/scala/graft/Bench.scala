@@ -20,6 +20,11 @@ object Bench {
       // the recommended throughput setting anyway.
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
+      // Every SQL execution eagerly renders its plan into the
+      // SQLExecutionStart event (even with the UI off); "formatted"
+      // explain strings on multi-action lifecycle queries are pure
+      // driver overhead — "simple" keeps the event cheap at any scale.
+      .config("spark.sql.ui.explainMode", "simple")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

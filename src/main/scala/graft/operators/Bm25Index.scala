@@ -92,27 +92,36 @@ object Bm25Index {
                          textCol: String, shards: Int,
                          txn: Option[(String, Long)]): Unit = {
     checkLayout(docs.sparkSession, dir)
-    val posts = postingsOf(docs, idCol, textCol)
-      .repartitionByRange(shards, col("term"))
-      .sortWithinPartitions("term", "doc_id")
-    // The batch's corpus-scalar DELTA (doc_ids are new by contract, so
-    // the batch's distinct docs are globally new): one tiny row per
-    // batch, summed at query time.
-    val delta = posts.agg(
-      countDistinct(col("doc_id")).cast("long").as("n"),
-      coalesce(sum(col("tf")), lit(0L)).cast("long").as("tottok"))
-    txn match {
-      case Some((appId, tv)) =>
-        SnapshotTable.transactionalAppend(posts, postingsDir(dir), appId,
-          tv, statsCols = Seq("term"), bloomCols = Seq("term"))
-        // same (appId, txnVersion): a crash between the two commits
-        // converges on retry, each table exactly-once
-        SnapshotTable.transactionalAppend(delta, statsDir(dir), appId, tv)
-      case None =>
-        SnapshotTable.append(posts, postingsDir(dir),
-          statsCols = Seq("term"), bloomCols = Seq("term"))
-        SnapshotTable.append(delta, statsDir(dir))
-    }
+    // PERSIST the postings once: three consumers follow — the range
+    // partitioner's SAMPLING pass, the postings write itself, and the
+    // scalar-delta aggregate — and uncached each would re-run the
+    // whole tokenize + tf/dl pipeline. The delta aggregates the
+    // PRE-repartition frame (bit-identical values — aggregation is
+    // partitioning-free) so its lineage skips the range sample too.
+    val p0 = postingsOf(docs, idCol, textCol).persist()
+    try {
+      val posts = p0
+        .repartitionByRange(shards, col("term"))
+        .sortWithinPartitions("term", "doc_id")
+      // The batch's corpus-scalar DELTA (doc_ids are new by contract,
+      // so the batch's distinct docs are globally new): one tiny row
+      // per batch, summed at query time.
+      val delta = p0.agg(
+        countDistinct(col("doc_id")).cast("long").as("n"),
+        coalesce(sum(col("tf")), lit(0L)).cast("long").as("tottok"))
+      txn match {
+        case Some((appId, tv)) =>
+          SnapshotTable.transactionalAppend(posts, postingsDir(dir), appId,
+            tv, statsCols = Seq("term"), bloomCols = Seq("term"))
+          // same (appId, txnVersion): a crash between the two commits
+          // converges on retry, each table exactly-once
+          SnapshotTable.transactionalAppend(delta, statsDir(dir), appId, tv)
+        case None =>
+          SnapshotTable.append(posts, postingsDir(dir),
+            statsCols = Seq("term"), bloomCols = Seq("term"))
+          SnapshotTable.append(delta, statsDir(dir))
+      }
+    } finally { p0.unpersist(false); () }
     // Delta rows accrete one file per batch: without folding, a
     // streaming index at trigger cadence would make every search()
     // pay an O(#batches) scalar fold. Bin-pack the tiny files once

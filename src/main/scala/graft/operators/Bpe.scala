@@ -90,11 +90,19 @@ object Bpe {
     // code in one plan blow past codegen limits and driver heap —
     // checkpointing materializes the vocabulary AND truncates the
     // plan, keeping every iteration's tree one fold deep.
+    // LAZY local checkpoints throughout: each is materialized by the
+    // NEXT iteration's argmax job (which computes every partition, so
+    // checkpoint finalization launches no catch-up job) — one Spark
+    // action per merge instead of two, halving the per-iteration
+    // job-dispatch + planning overhead that dominates the trainer at
+    // any corpus size. The parent checkpoint is unpersisted only
+    // AFTER the job that materialized its child (a lazily
+    // checkpointed child still reads the parent's blocks).
     var vocab = wordWeights(docs, textCol)
       .filter(length(col("w")) <= maxWordChars)
       .select(split(col("w"), "").as("syms"), col("cnt"))
       .repartition(32)
-      .localCheckpoint()
+      .localCheckpoint(false)
     // Size iteration parallelism to the VOCABULARY, not the corpus:
     // per-merge jobs run dozens of times, so task-launch overhead on
     // a near-empty 32-way table would dominate training. ~50k words
@@ -103,6 +111,7 @@ object Bpe {
     val parts = math.max(1L, math.min(32L, nWords / 50000L + 1)).toInt
     if (parts < 32) vocab = vocab.coalesce(parts)
     val merges = Seq.newBuilder[(String, String)]
+    var prev: DataFrame = null
     var i = 0
     var done = false
     while (i < numMerges && !done) {
@@ -120,6 +129,8 @@ object Bpe {
         .agg(sum(col("cnt")).as("n"))
         .orderBy(col("n").desc, col("l").asc, col("r").asc)
         .limit(1).collect()
+      // this job materialized `vocab`; its parent's blocks are now free
+      if (prev != null) { prev.unpersist(false); prev = null }
       if (best.isEmpty) done = true // every word fully merged
       else {
         val l = best.head.getString(0); val r = best.head.getString(1)
@@ -135,12 +146,13 @@ object Bpe {
         val next = vocab.crossJoin(broadcast(pair))
           .select(applyMerge(col("syms"), col("__l"), col("__r")).as("syms"),
             col("cnt"))
-          .localCheckpoint() // eager: materializes + truncates lineage
-        vocab.unpersist()
+          .localCheckpoint(false) // lazy: the next argmax materializes it
+        prev = vocab
         vocab = next
         i += 1
       }
     }
+    if (prev != null) prev.unpersist(false)
     vocab.unpersist()
     merges.result()
   }
@@ -218,11 +230,14 @@ object Bpe {
     require(numMerges >= 1, s"numMerges must be >= 1: $numMerges")
     require(maxBatch >= 1, s"maxBatch must be >= 1: $maxBatch")
     val spark = docs.sparkSession
+    // Lazy checkpoints, same discipline as [[train]]: the next
+    // iteration's pair-count job materializes the batch apply — one
+    // action per iteration instead of two.
     var vocab = wordWeights(docs, textCol)
       .filter(length(col("w")) <= maxWordChars)
       .select(split(col("w"), "").as("syms"), col("cnt"))
       .repartition(32)
-      .localCheckpoint()
+      .localCheckpoint(false)
     val nWords = vocab.count()
     val parts = math.max(1L, math.min(32L, nWords / 50000L + 1)).toInt
     if (parts < 32) vocab = vocab.coalesce(parts)
@@ -240,6 +255,7 @@ object Bpe {
     symbolsSuper ++= vocab.select(explode(col("syms")).as("s"))
       .distinct().collect().map(_.getString(0))
     val merges = Seq.newBuilder[(String, String)]
+    var prev: DataFrame = null
     var total = 0
     var iters = 0
     var done = false
@@ -263,6 +279,8 @@ object Bpe {
         .orderBy(col("n").desc, col("l").asc, col("r").asc)
         .limit(topM).collect()
         .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      // this job materialized `vocab`; its parent's blocks are now free
+      if (prev != null) { prev.unpersist(false); prev = null }
       if (top.isEmpty) done = true
       else {
         // PASS 1 — symbol-only admission (no Spark job): the maximal
@@ -337,11 +355,12 @@ object Bpe {
         val next = vocab.crossJoin(broadcast(pairArr))
           .select(applyMergeBatch(col("syms"), col("__pairs")).as("syms"),
             col("cnt"))
-          .localCheckpoint()
-        vocab.unpersist()
+          .localCheckpoint(false) // lazy: the next pair count materializes it
+        prev = vocab
         vocab = next
       }
     }
+    if (prev != null) prev.unpersist(false)
     vocab.unpersist()
     lastIterations = iters
     merges.result()

@@ -728,7 +728,7 @@ object Dedup {
       .select(greatest(col("i").cast("long"), col("j").cast("long")).as("c"),
         least(col("i").cast("long"), col("j").cast("long")).as("p"))
       .distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(false) // lazy: the edge count below materializes it
     val e0Raw = canon.filter(col("c") =!= col("p"))
     val selfOnly = canon.filter(col("c") === col("p")).select(col("c"))
     // Right-size the loop's partitioning from the MEASURED edge count
@@ -761,12 +761,18 @@ object Dedup {
       val largeMins = adj.groupBy("n")
         .agg(min("nbr").as("mn"))
         .select(col("n"), least(col("n"), col("mn")).as("m"))
+      // LAZY checkpoints inside the round: the round's single action —
+      // the fixpoint probe below — materializes both phases in one job
+      // (its limit sits ABOVE a full aggregation, so every partition
+      // of afterSmall computes and the checkpoint finalizes with no
+      // catch-up job). Lineage still truncates per phase; the round
+      // costs ONE job dispatch instead of three.
       val afterLarge = adj.filter(col("nbr") > col("n"))
         .join(largeMins, "n")
         .select(col("nbr").as("c"), col("m").as("p"))
         .filter(col("c") =!= col("p"))
         .distinct()
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       // small-star: node n attaches its smaller neighbors and itself
       // to the minimum of its smaller neighborhood.
       val adj2 = sym(afterLarge)
@@ -777,7 +783,7 @@ object Dedup {
         .select(col("nbr").as("c"), col("m").as("p"))
         .unionByName(smallMins.select(col("n").as("c"), col("m").as("p")))
         .distinct()
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       // EXACT fixpoint test, no hash-compare: the pointer set is a
       // star forest iff (1) every child has exactly one parent and
       // (2) no parent is itself a child — and a star forest is

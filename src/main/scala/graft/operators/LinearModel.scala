@@ -135,20 +135,28 @@ object LinearModel {
                   iters: Int = 30, lrNum: Long = 1L,
                   lrShift: Int = 0): Array[Long] = {
     require(dim >= 1 && iters >= 0, "logisticFit: dim/iters")
+    // PERSIST the design matrix: every gradient pass re-executes this
+    // frame, and uncached each of the `iters` epochs would re-run the
+    // caller's whole feature pipeline (scan + feature transforms) —
+    // the classic train-loop cache. The count below materializes it.
     val prepared = df.select(xArr.cast("array<long>").as("__x"),
-      yCol.cast("long").as("__y"))
+      yCol.cast("long").as("__y")).persist()
+    try {
     // n for the per-example rate: one count, exact.
     val n = prepared.count()
     require(n > 0, "logisticFit: empty input")
     var w = Array.fill(dim)(0L)
     var it = 0
     while (it < iters) {
-      val wLit = typedLit(w.toSeq)
-      // z = (w · x) / WScale — the dot is EXACT integer arithmetic
-      // (array HOF over longs; ANSI mode would fail loudly on
-      // overflow rather than wrap).
-      val dot = aggregate(zip_with(col("__x"), wLit, (a, b) => a * b),
-        lit(0L), (acc, v) => acc + v)
+      // z = (w · x) / WScale — the dot is EXACT integer arithmetic,
+      // evaluated by the native [[graft.plans.DotLongWeights]]
+      // expression (bit-identical to the aggregate(zip_with(...)) HOF
+      // chain it replaced — pinned in ExpressionSpec — but one plan
+      // node instead of a lambda chain, so the per-iteration Catalyst
+      // analysis that dominated training driver time is flat, and the
+      // weights ride as a referenced object so codegen compiles once
+      // across iterations).
+      val dot = graft.plans.GraftFunctions.dotLongWeights(col("__x"), w)
       val z = dot.cast("double") / lit(WScale.toDouble)
       // residual r = sigmoid(z) − y, quantized to the 1/QScale grid:
       // a deterministic double function of exact integers, rounded to
@@ -172,14 +180,14 @@ object LinearModel {
       it += 1
     }
     w
+    } finally { prepared.unpersist(false); () }
   }
 
   /** Logistic score (probability) for a feature ARRAY under scaled
     * weights — the deployment-side Column twin of [[logisticFit]]. */
   def logisticScoreExpr(w: Array[Long], xArr: Column): Column = {
-    val wLit = typedLit(w.toSeq)
-    val dot = aggregate(zip_with(xArr.cast("array<long>"), wLit,
-      (a, b) => a * b), lit(0L), (acc, v) => acc + v)
+    val dot = graft.plans.GraftFunctions.dotLongWeights(
+      xArr.cast("array<long>"), w)
     lit(1.0) / (lit(1.0) + exp(-(dot.cast("double") / lit(WScale.toDouble))))
   }
 }

@@ -615,6 +615,27 @@ object ExprHelpers {
     java.lang.Double.valueOf(acc)
   }
 
+  /** [[DotLongWeights]]: exact integer dot of an ARRAY<BIGINT> row
+    * vector against a TRAINED weight vector (a referenced object, not
+    * a literal array) — drop-in for
+    * `aggregate(zip_with(x, wLit, a*b), 0L, acc+v)`, the logistic
+    * trainer/scorer hot path. Null array, length mismatch (zip_with
+    * null-pads the shorter side, poisoning the sum) and null ELEMENTS
+    * all yield null exactly like the HOF chain; arithmetic is
+    * overflow-checked (Math.*Exact) so out-of-range inputs fail
+    * loudly like the HOF form under ANSI instead of wrapping. */
+  def dotLongWeights(x: ArrayData, w: Array[Long]): java.lang.Long = {
+    if (x == null || x.numElements() != w.length) return null
+    var acc = 0L
+    var i = 0
+    while (i < w.length) {
+      if (x.isNullAt(i)) return null
+      acc = Math.addExact(acc, Math.multiplyExact(x.getLong(i), w(i)))
+      i += 1
+    }
+    java.lang.Long.valueOf(acc)
+  }
+
   /** [[NearestCellId]]: exact-integer argmin over the centroid matrix
     * with (dist, cid) tie-break — one tight loop instead of the
     * k-lambda `array_min(transform(struct(sqDist...)))` chain, whose
@@ -1724,6 +1745,42 @@ case class TopKByScore(
     copy(score = newChildren.head, id = newChildren(1))
 }
 
+/** Exact integer dot product against a trained weight vector — see
+  * [[ExprHelpers.dotLongWeights]]. The weights ride as a REFERENCED
+  * object: the generated code is identical across training
+  * iterations (codegen compiles once per run), and the plan carries
+  * one expression node instead of a zip_with/aggregate lambda chain
+  * whose per-iteration analysis cost dominated the logistic
+  * trainer's driver time. */
+case class DotLongWeights(child: Expression, w: Array[Long])
+  extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) if w.nonEmpty => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"dot_long_weights expects ARRAY<BIGINT> + non-empty weights, got ${other.sql}")
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else ExprHelpers.dotLongWeights(v.asInstanceOf[ArrayData], w)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("weights", w, "long[]")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      java.lang.Long ${ev.value}_r = graft.plans.ExprHelpers.dotLongWeights($c, $ref);
+      if (${ev.value}_r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ${ev.value}_r.longValue(); }
+    """)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): DotLongWeights =
+    copy(child = newChild)
+}
+
 /** Native nearest-centroid assignment over a TRAINED centroid matrix
   * (carried as a referenced object, one copy per task, not a per-row
   * literal walk): the IVF index build / append / streaming-ingest hot
@@ -1947,6 +2004,11 @@ object GraftFunctions {
   def dotProductFloat(a: Column, b: Column): Column =
     GraftSqlBridge.column(DotProductFloat(
       GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+
+  /** Exact integer dot against trained weights (see
+    * [[DotLongWeights]]). */
+  def dotLongWeights(x: Column, w: Array[Long]): Column =
+    GraftSqlBridge.column(DotLongWeights(GraftSqlBridge.expression(x), w))
 
   def charGramHashes(c: Column, n: Int): Column =
     GraftSqlBridge.column(CharGramHashes(GraftSqlBridge.expression(c), n))

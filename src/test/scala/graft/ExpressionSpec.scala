@@ -63,6 +63,33 @@ class ExpressionSpec extends AnyFunSuite {
     }
   }
 
+  test("DotLongWeights ≡ aggregate(zip_with) HOF chain, incl. null/len edges") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val w = Array(3L, -2L, 7L)
+    val schema = StructType(Seq(StructField("x",
+      ArrayType(LongType, containsNull = true), nullable = true)))
+    val rows = Seq(
+      Row(Seq(1L, 2L, 3L)),            // plain
+      Row(Seq(-5L, 0L, 9L)),           // negatives
+      Row(Seq(1L, null, 3L)),          // null element -> null
+      Row(Seq(1L, 2L)),                // shorter than w -> null
+      Row(Seq(1L, 2L, 3L, 4L)),        // longer than w -> null
+      Row(null))                       // null array -> null
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), schema)
+    val wLit = typedLit(w.toSeq)
+    val hof = aggregate(zip_with(col("x"), wLit, (a, b) => a * b),
+      lit(0L), (acc, v) => acc + v)
+    val out = df.select(hof.as("hof"),
+      GraftFunctions.dotLongWeights(col("x"), w).as("native")).collect()
+    out.zipWithIndex.foreach { case (r, i) =>
+      val h = if (r.isNullAt(0)) null else java.lang.Long.valueOf(r.getLong(0))
+      val n = if (r.isNullAt(1)) null else java.lang.Long.valueOf(r.getLong(1))
+      assert(h == n, s"row $i: hof=$h native=$n")
+    }
+  }
+
   test("SQL registration: all three natives callable from SQL") {
     GraftFunctions.register(spark)
     val r = spark.sql(
