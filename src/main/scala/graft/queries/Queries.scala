@@ -39,7 +39,33 @@ object Queries {
       fn: (SparkSession, String) => DataFrame,
       oracle: Option[String])
 
-  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+  /** Resolved-table cache: plain `spark.read.parquet(path)` re-lists
+    * the directory and re-reads a footer for schema inference on
+    * EVERY call — ~50-150ms of driver work per table reference, paid
+    * hundreds of times across the query inventory for the same
+    * immutable paths. Caching the resolved DataFrame HANDLE (the
+    * relation + its file index — metadata only, never row data; every
+    * action still scans the parquet) is exactly what resolving
+    * through a catalog gives a production session. Keyed by session
+    * so a new session (fresh Verify/Bench run) re-resolves. */
+  private val tableCache =
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]]()
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    val perSession = tableCache.synchronized {
+      var m = tableCache.get(s)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[(String, String),
+          DataFrame]()
+        tableCache.put(s, m)
+      }
+      m
+    }
+    perSession.computeIfAbsent((dir, name), _ => tUncached(s, dir, name))
+  }
+
+  private def tUncached(s: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
       // Generator-version tolerance: the events table has shipped with
       // ts as parquet TIMESTAMP(NANOS) (early driver testdata) and as
