@@ -3073,11 +3073,38 @@ object SnapshotTable {
       newRows.withColumn("_change", lit("insert"))
     else if (newFiles.isEmpty)
       oldRows.withColumn("_change", lit("delete"))
-    else
-      newRows.exceptAll(oldRows)
-        .withColumn("_change", lit("insert"))
-        .unionByName(oldRows.exceptAll(newRows)
-          .withColumn("_change", lit("delete")))
+    else {
+      // COMMIT-KIND shortcuts: manifests record each commit's op, and
+      // some op kinds bound what a diff can contain — knowledge the
+      // generic multiset diff cannot see (guide §8: use what you know
+      // that the engine does not).
+      //   - compact / compactWhere / binPackSmall REARRANGE live rows
+      //     (DV materialization included): a span of only these nets
+      //     to NO row change — skip both exceptAll legs and the file
+      //     reads entirely. This is what makes a refresh across a
+      //     compaction boundary metadata-only.
+      //   - a single deleteWhere commit is a pure FILTER of its
+      //     touched files: the insert leg is empty by construction,
+      //     so only the delete-side exceptAll runs (one shuffle pair
+      //     instead of two over the touched bytes).
+      // Both shortcuts demand dvChanged empty (true by construction
+      // for these ops — they never advance a carried file's vector);
+      // guarded anyway so an unforeseen writer degrades to the
+      // generic diff, never to a wrong feed.
+      val spanOps = (fromVersion + 1 to toVersion).map(v =>
+        Option(manifestNode(spark, dir, v).get("op")).map(_.asText)
+          .getOrElse("commit"))
+      val rowPreserving = Set("compact", "compactWhere", "binPackSmall")
+      if (dvChanged.isEmpty && spanOps.forall(rowPreserving))
+        newRows.withColumn("_change", lit("insert")).filter(lit(false))
+      else if (dvChanged.isEmpty && spanOps == Seq("deleteWhere"))
+        oldRows.exceptAll(newRows).withColumn("_change", lit("delete"))
+      else
+        newRows.exceptAll(oldRows)
+          .withColumn("_change", lit("insert"))
+          .unionByName(oldRows.exceptAll(newRows)
+            .withColumn("_change", lit("delete")))
+    }
   }
 
   // ------------------------------------------------------------------

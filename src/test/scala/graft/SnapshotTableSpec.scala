@@ -308,6 +308,28 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(feed(4, 4).isEmpty)
   }
 
+  test("changeFeed: commit-kind shortcuts equal the generic multiset diff") {
+    val dir = Files.createTempDirectory("graft-snap-cfop").toString + "/t"
+    (0 until 3).foreach { i =>
+      SnapshotTable.append(
+        spark.range(100L * i, 100L * i + 100).toDF()
+          .withColumn("v", lit("x")).coalesce(1), dir)
+    }
+    def feed(a: Long, b: Long) = SnapshotTable.changeFeed(spark, dir, a, b)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    // v3 = compaction: rearranges every live row, nets NO change —
+    // the op-kind shortcut must agree with what a full diff would say.
+    SnapshotTable.compact(spark, dir, targetBytes = 1L << 30)
+    assert(feed(2, 3).isEmpty)
+    // v4 = CoW delete: the insert leg is provably empty (deletes-only
+    // shortcut); rows must be exactly the masked slice.
+    SnapshotTable.deleteWhere(spark, dir, $"id".between(10, 14))
+    assert(feed(3, 4) == (10L to 14L).map(i => (i, "x", "delete")).toSet)
+    // Mixed span [compact, deleteWhere] takes the GENERIC path and
+    // must net to the same deletes (rearranged rows cancel).
+    assert(feed(2, 4) == (10L to 14L).map(i => (i, "x", "delete")).toSet)
+  }
+
   test("zOrder compaction: one layout serves range predicates on BOTH columns") {
     val dir = Files.createTempDirectory("graft-snap-zo").toString + "/t"
     // 64x64 grid appended interleaved on id%4: every file spans the
