@@ -95,8 +95,11 @@ object Scd2 {
   /** How many affected keys an incremental [[maintain]] collects for
     * file-pruned dimension lookups before falling back to the full
     * dimension scan (past this, the key set is no longer control-plane
-    * data and the scan is the right plan). */
-  val PruneKeyLimit = 8192
+    * data and the scan is the right plan). 64k keys is a few MB
+    * collected and re-broadcast — comfortably driver-bounded at any
+    * table size, and the broadcast-semi-join probe it buys stays far
+    * cheaper than a shuffle join of the dimension. */
+  val PruneKeyLimit = 65536
 
   private def maintainIncremental(spark: SparkSession, dimDir: String,
       keys: Seq[String], appId: String, srcV: Long, feed: DataFrame,

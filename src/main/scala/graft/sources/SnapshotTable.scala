@@ -4951,7 +4951,7 @@ object SnapshotTable {
                    keys: Seq[String], txn: Option[(String, Long)] = None,
                    maxRetries: Int = 20,
                    preValidated: Boolean = false,
-                   pruneKeyLimit: Int = 8192): Option[Long] = {
+                   pruneKeyLimit: Int = 65536): Option[Long] = {
     require(keys.nonEmpty, "applyChanges: at least one key column required")
     require(changes.columns.contains("_change"),
       "applyChanges: changes must carry a _change column (insert|delete)")
