@@ -4424,8 +4424,10 @@ object SnapshotTable {
       .select(col("__file").as("file"), col("__row_index").as("row_index"))
       .persist()
     try {
-    val affected = matches.select("file").distinct()
-      .collect().map(_.getString(0)).toSeq.sorted
+    val affected = labeled(spark, "delete-mor:affected-probe") {
+      matches.select("file").distinct()
+        .collect().map(_.getString(0)).toSeq.sorted
+    }
     if (affected.isEmpty) return None
     // Cumulative vector per affected file: previous positions ∪ new.
     val prior = dvRows(spark, dir, baseSt.dvRefs, affected)
@@ -4436,7 +4438,9 @@ object SnapshotTable {
       .getOrElse(matches)
     val batch = java.util.UUID.randomUUID().toString
     val ref = s"_dv/$batch"
-    vector.write.parquet(new Path(dir, ref).toString)
+    labeled(spark, "delete-mor:vector-write") {
+      vector.write.parquet(new Path(dir, ref).toString)
+    }
     var attempt = 0
     while (attempt < maxRetries) {
       val cur = latestVersion(spark, dir).get
@@ -4511,8 +4515,10 @@ object SnapshotTable {
     try {
     val positions = matches.select(col("__file").as("file"),
       col("__row_index").as("row_index"))
-    val affected = positions.select("file").distinct()
-      .collect().map(_.getString(0)).toSeq.sorted
+    val affected = labeled(spark, "update-mor:affected-probe") {
+      positions.select("file").distinct()
+        .collect().map(_.getString(0)).toSeq.sorted
+    }
     if (affected.isEmpty) return None
     // The updated forms: every row here matched, so the SET columns
     // project unconditionally — all against the PRE-update row.
@@ -4533,7 +4539,9 @@ object SnapshotTable {
       .getOrElse(positions)
     val batch = java.util.UUID.randomUUID().toString
     val ref = s"_dv/$batch"
-    vector.write.parquet(new Path(dir, ref).toString)
+    labeled(spark, "update-mor:vector-write") {
+      vector.write.parquet(new Path(dir, ref).toString)
+    }
     var attempt = 0
     while (attempt < maxRetries) {
       val cur = latestVersion(spark, dir).get
