@@ -934,13 +934,68 @@ object SnapshotTable {
     * when the manifest records one — an explicit schema makes parquet
     * surface NULL for columns a file predates, which is what lets one
     * scan span an evolving file population. */
+  /** Above this many explicit files, [[readFiles]] hands path
+    * resolution back to Spark's (distributed) listing machinery; at
+    * or below it, the scan plans from driver-side statuses with zero
+    * listing jobs. Manifest-driven reads pass bounded file subsets
+    * (touched files, pruned candidates), so the fast path is the
+    * norm; a full-table read of a million-file table still gets the
+    * parallel listing it needs. */
+  private val ExplicitIndexMaxFiles = 4096
+
   private def readFiles(spark: SparkSession, dir: String,
                         files: Seq[String],
                         schema: Option[StructType]): DataFrame = {
     // Relative entries live under THIS table; absolute entries are a
     // shallow clone's references into its source table.
     val paths = files.map(p => if (p.startsWith("data/")) s"$dir/$p" else p)
-    schema.map(spark.read.schema(_)).getOrElse(spark.read).parquet(paths: _*)
+    schema match {
+      case Some(st) if files.nonEmpty &&
+          files.length <= ExplicitIndexMaxFiles =>
+        // EXPLICIT-FILE relation: the caller already knows the exact
+        // file set from the manifest, so handing the paths to
+        // spark.read.parquet — which re-stats every one and, above
+        // spark.sql.sources.parallelPartitionDiscovery.threshold
+        // (32), launches a whole LISTING JOB per read — is pure
+        // overhead on every probe, rewrite and feed read. One
+        // driver-side getFileStatus per file feeds a fixed FileIndex
+        // instead (the SnapshotFileIndex manifest-only-planning idea,
+        // applied to the programmatic read path).
+        val f = fs(spark, dir)
+        val statuses = paths.map(p => f.getFileStatus(new Path(p)))
+        val index = new ExplicitFileIndex(new Path(dir), statuses)
+        val rel = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
+          index, new StructType(), st, None,
+          new org.apache.spark.sql.execution.datasources.parquet
+            .ParquetFileFormat(), Map.empty)(spark)
+        org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+          org.apache.spark.sql.execution.datasources.LogicalRelation(
+            rel, org.apache.spark.sql.catalyst.types.DataTypeUtils
+              .toAttributes(rel.dataSchema), None, isStreaming = false, None))
+      case Some(st) => spark.read.schema(st).parquet(paths: _*)
+      case None => spark.read.parquet(paths: _*)
+    }
+  }
+
+  /** Fixed file set as a [[org.apache.spark.sql.execution.datasources
+    * .FileIndex]]: no directory listing, no refresh — the statuses
+    * ARE the table subset being read (see [[readFiles]]). */
+  private final class ExplicitFileIndex(
+      root: Path, statuses: Seq[FileStatus])
+    extends org.apache.spark.sql.execution.datasources.FileIndex {
+    override def rootPaths: Seq[Path] = Seq(root)
+    override def partitionSchema: StructType = new StructType()
+    override def inputFiles: Array[String] =
+      statuses.map(_.getPath.toString).toArray
+    override def refresh(): Unit = ()
+    override def sizeInBytes: Long = statuses.map(_.getLen).sum
+    override def listFiles(
+        partitionFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+        dataFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : Seq[org.apache.spark.sql.execution.datasources.PartitionDirectory] =
+      Seq(org.apache.spark.sql.execution.datasources.PartitionDirectory(
+        org.apache.spark.sql.catalyst.InternalRow.empty,
+        statuses.toArray[FileStatus]))
   }
 
   // ------------------------------------------------------------------
